@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Bench harness (BASELINE.md protocol).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32),
+per-query wall time excluding session startup, median of N warm runs
+(default 3), full result fetch. Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+ONLY = [a for a in sys.argv[1:] if not a.startswith("-")]
+
+
+def main() -> None:
+    from swivel_spark_prep_spark.session import get_session
+    from __spark_entry__ import queries
+
+    spark = get_session(
+        "swivel-spark-prep-bench",
+        master=f"local[{CPUS}]",
+        conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = queries()
+    if ONLY:
+        qmap = {k: v for k, v in qmap.items() if any(s in k for s in ONLY)}
+    if not qmap:
+        print(f"no queries match filter {ONLY}", file=sys.stderr)
+        sys.exit(2)
+
+    # Warm the JVM / parquet footers once with a cheap query.
+    next(iter(qmap.values()))(spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name, fn in sorted(qmap.items()):
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            rows = df.collect()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
+        print(f"# {name}: {times[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "declared_queries_total_wall",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else SF_DIR,
+                "runs": RUNS,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""SparkSession factory with the engine's required configuration.
+
+Required confs (SURVEY.md §1.3):
+- ``spark.sql.session.timeZone=UTC`` — keeps TIMESTAMP_NTZ comparisons
+  aligned with the DuckDB oracle.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet stores
+  INT64 TIMESTAMP(NANOS) which Spark 4.1 otherwise refuses to read
+  ([PARQUET_TYPE_ILLEGAL]); the catalog converts the long back to
+  timestamp_ntz.
+- AQE on — runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast: the scale levers we rely on at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to set at runtime on an existing session.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+#: Confs that must be set before the JVM starts.
+STARTUP_CONFS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "12g",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (e.g. one the
+    verify driver created without our settings)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this build — session factory already set it
+    return spark
+
+
+def get_session(
+    app_name: str = "swivel-spark-prep-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (``local[*]`` if the
+    env var is unset) — the bench contract (TESTDATA.md / BASELINE.md).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**STARTUP_CONFS, **RUNTIME_CONFS, **(conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return configure_runtime(spark)
