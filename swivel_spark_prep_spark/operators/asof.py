@@ -1,0 +1,66 @@
+"""As-of join — Spark 4.1 has no native ASOF (SURVEY.md §4.3).
+
+Rewrite: equi-join on the `by` keys + range predicate on the timestamps,
+then keep the closest match per left row with max_by/min_by. The join is
+hash-partitioned on the `by` keys, so it scales with key cardinality; the
+per-key candidate fan-out is bounded by right-rows-per-key. For very hot
+keys, pre-filter the right side to a time horizon (`tolerance`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance: str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest earlier (backward) or earliest
+    later (forward) right row with equal `by` keys. LEFT semantics: no
+    match → NULLs. Ties on the right timestamp are broken arbitrarily
+    (matches DuckDB ASOF, where ties are measure-zero for continuous ts).
+
+    ``tolerance`` (e.g. "INTERVAL 7 DAYS") bounds the match window — both a
+    semantic option and the skew-control lever for hot keys.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    right_cols = right_cols or [c for c in right.columns if c not in by]
+
+    r = right.select(
+        *[F.col(c).alias(f"__by_{c}") for c in by],
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols if c != right_ts],
+    )
+    cond = F.lit(True)
+    for c in by:
+        cond = cond & (F.col(c) == F.col(f"__by_{c}"))
+    if direction == "backward":
+        cond = cond & (F.col(left_ts) >= F.col("__r_ts"))
+        if tolerance:
+            cond = cond & (
+                F.col("__r_ts") >= F.col(left_ts) - F.expr(tolerance)
+            )
+        pick = F.max_by
+    else:
+        cond = cond & (F.col(left_ts) <= F.col("__r_ts"))
+        if tolerance:
+            cond = cond & (
+                F.col("__r_ts") <= F.col(left_ts) + F.expr(tolerance)
+            )
+        pick = F.min_by
+
+    joined = left.join(r, cond, "left")
+    out_right = [c for c in r.columns if not c.startswith("__by_")]
+    aggs = [pick(c, "__r_ts").alias(c) for c in out_right if c != "__r_ts"]
+    aggs.append(pick("__r_ts", "__r_ts").alias(f"{right_ts}{suffix}"))
+    return joined.groupBy(*left.columns).agg(*aggs)

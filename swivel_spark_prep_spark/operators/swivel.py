@@ -1,0 +1,255 @@
+"""The swivel-prep pipeline — the reference's entire capability, Spark-first.
+
+Reference semantics (SURVEY.md §1–2; public sources: arXiv:1602.02215 and
+tensorflow/models research/swivel/prep.py, which the reference reimplements
+for Spark):
+
+  corpus lines → tokenize (whitespace) → vocabulary (count ≥ min_count,
+  sorted count desc, truncated to a multiple of shard_size, id = 0-based
+  rank) → co-occurrence matrix (weight Σ 1/distance within ±window,
+  symmetric) → modulo sharding (element (i,j) → shard (i%N, j%N), local
+  coords (i div N, j div N)) → marginals (row/col sums) → sinks.
+
+Scale design (SURVEY.md §7.5 — deliberately NOT the reference's driver
+-collect-and-broadcast architecture):
+- id assignment uses a two-pass range-partitioned rank, never a global
+  row_number window (single-task bottleneck) and never a driver collect of
+  the vocabulary;
+- the token→id mapping is applied with a join (Catalyst broadcasts it
+  automatically when small; at 100 TB vocab scale it degrades gracefully
+  to a shuffle join instead of OOMing the driver);
+- co-occurrence aggregation is a hash aggregate with map-side combine; an
+  optional salting pass (`salt_partial_agg`) handles Zipf-skewed hot
+  tokens;
+- shard grouping uses repartition + sortWithinPartitions, never groupByKey.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
+    """corpus → (doc_id, pos, tok), whitespace tokenization (prep.py split)."""
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+
+
+def assign_ids(df: DataFrame, order_cols: list, id_col: str = "id") -> DataFrame:
+    """Deterministic dense 0-based ids by a total order, without a global
+    window. Two-pass rank: range-partition on the order, rank within each
+    partition in parallel, then add per-partition offsets (a tiny
+    driver-side cumsum over partition *counts*, never data)."""
+    n_part = max(df.rdd.getNumPartitions(), 1)
+    ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(*order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # Pass 1: per-partition counts (n_part rows — metadata, not data).
+    counts = dict(
+        with_pid.groupBy("_pid").count().collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(off))
+            for pid, off in offsets.items()
+        ]
+        or [F.lit(0)],
+        F.lit(0),
+    )
+    # Pass 2: rank within each partition (parallel windows) + offset.
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn(
+            id_col, (F.row_number().over(w) - 1 + offset_col).cast("long")
+        )
+        .drop("_pid")
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    min_count: int = 5,
+    shard_size: int = 4096,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(tok, cnt, id): count desc / token asc order, min_count filter,
+    truncated down to a multiple of shard_size (prep.py create_vocabulary
+    semantics; tie-break pinned by SURVEY.md Q33)."""
+    counts = (
+        tokenize(docs, text_col, doc_col)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    vocab = assign_ids(counts, [F.col("cnt").desc(), F.col("tok").asc()])
+    if shard_size > 1:
+        total = vocab.count()
+        keep = total - total % shard_size
+        # Truncation drops the rarest tail so V is a shard_size multiple;
+        # if the vocab is smaller than one shard, keep everything (the
+        # declared queries run un-truncated).
+        if keep > 0:
+            vocab = vocab.filter(F.col("id") < keep)
+    return vocab.select("tok", "cnt", "id")
+
+
+def cooc_matrix(
+    docs: DataFrame,
+    vocab: DataFrame,
+    window: int = 10,
+    symmetric: bool = True,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    salt_partial_agg: int = 0,
+) -> DataFrame:
+    """(row_id, col_id, w): w = Σ 1/distance over co-occurrences at
+    distance ≤ window within a line (prep.py accumulates both (i,j) and
+    (j,i); set symmetric=False for the upper triangle only).
+
+    The positional self-join is keyed on doc_id — co-location by line, no
+    cross-line shuffle amplification. ``salt_partial_agg > 0`` enables
+    two-level aggregation (salt, partial, unsalt, final) for Zipf-hot
+    (row_id, col_id) cells; sums are associative so semantics are unchanged.
+    """
+    toks = (
+        tokenize(docs, text_col, doc_col)
+        .join(vocab.select("tok", "id"), "tok")
+        .select("doc_id", "id", "pos")
+    )
+    a = toks.select("doc_id", F.col("id").alias("row_id"), F.col("pos").alias("pos_a"))
+    b = toks.select("doc_id", F.col("id").alias("col_id"), F.col("pos").alias("pos_b"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(
+            (F.col("pos_b") > F.col("pos_a"))
+            & (F.col("pos_b") - F.col("pos_a") <= window)
+        )
+        .select(
+            "row_id",
+            "col_id",
+            (F.lit(1.0) / (F.col("pos_b") - F.col("pos_a"))).alias("w"),
+        )
+    )
+    if symmetric:
+        # prep.py adds weight to both (i,j) and (j,i) — mirror then re-sum;
+        # the i==j diagonal correctly receives both contributions.
+        pairs = pairs.unionByName(
+            pairs.select(
+                F.col("col_id").alias("row_id"),
+                F.col("row_id").alias("col_id"),
+                "w",
+            )
+        )
+    if salt_partial_agg > 0:
+        salted = pairs.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_partial_agg))
+        )
+        partial = salted.groupBy("row_id", "col_id", "_salt").agg(
+            F.sum("w").alias("w")
+        )
+        return partial.groupBy("row_id", "col_id").agg(F.sum("w").alias("w"))
+    return pairs.groupBy("row_id", "col_id").agg(F.sum("w").alias("w"))
+
+
+def shard_cooc(cooc: DataFrame, vocab_size: int, shard_size: int) -> DataFrame:
+    """Modulo sharding (arXiv:1602.02215 §3): N = V/shard_size submatrices
+    per side; element (i,j) → shard (i%N, j%N) at local (i div N, j div N).
+    The mod assignment mixes frequent and rare tokens in every shard."""
+    n = max(vocab_size // shard_size, 1)
+    return cooc.select(
+        (F.col("row_id") % n).alias("row_shard"),
+        (F.col("col_id") % n).alias("col_shard"),
+        (F.col("row_id") / n).cast("long").alias("local_row"),
+        (F.col("col_id") / n).cast("long").alias("local_col"),
+        "row_id",
+        "col_id",
+        "w",
+    )
+
+
+def marginals(cooc: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Row sums and column sums of the (symmetric) matrix — prep.py
+    row_sums.txt / col_sums.txt."""
+    row_sums = cooc.groupBy("row_id").agg(F.sum("w").alias("row_sum"))
+    col_sums = cooc.groupBy("col_id").agg(F.sum("w").alias("col_sum"))
+    return row_sums, col_sums
+
+
+@dataclass
+class SwivelPrepResult:
+    vocab: DataFrame       # (tok, cnt, id)
+    cooc: DataFrame        # (row_id, col_id, w) — symmetric
+    shards: DataFrame      # cooc + shard/local coordinates
+    row_sums: DataFrame    # (row_id, row_sum)
+    col_sums: DataFrame    # (col_id, col_sum)
+    vocab_size: int
+    num_shards: int        # per side
+
+
+def prep(
+    docs: DataFrame,
+    window: int = 10,
+    min_count: int = 5,
+    shard_size: int = 4096,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> SwivelPrepResult:
+    """The reference's whole pipeline as one composable call."""
+    vocab = build_vocab(docs, min_count, shard_size, text_col, doc_col).cache()
+    vocab_size = vocab.count()
+    cooc = cooc_matrix(docs, vocab, window, symmetric=True, text_col=text_col, doc_col=doc_col)
+    shards = shard_cooc(cooc, vocab_size, shard_size)
+    row_sums, col_sums = marginals(cooc)
+    return SwivelPrepResult(
+        vocab=vocab,
+        cooc=cooc,
+        shards=shards,
+        row_sums=row_sums,
+        col_sums=col_sums,
+        vocab_size=vocab_size,
+        num_shards=max(vocab_size // shard_size, 1),
+    )
+
+
+def write_outputs(result: SwivelPrepResult, out_dir: str, tfrecord: bool = False) -> None:
+    """Sinks with the reference's logical columns: row/col vocab text files,
+    row/col sums text files, shards as parquet partitioned by shard coords
+    (partition pruning on read), optionally TFRecord (sinks/tfrecord.py).
+
+    coalesce(1) on the text files mirrors the reference's one-file-per-
+    artifact layout and is fine for vocab-sized data (≤ millions of rows);
+    shard data stays fully parallel.
+    """
+    ordered_vocab = result.vocab.orderBy("id")
+    for name in ("row_vocab.txt", "col_vocab.txt"):
+        ordered_vocab.select("tok").coalesce(1).write.mode("overwrite").text(
+            f"{out_dir}/{name}"
+        )
+    for sums, key, val, name in (
+        (result.row_sums, "row_id", "row_sum", "row_sums.txt"),
+        (result.col_sums, "col_id", "col_sum", "col_sums.txt"),
+    ):
+        sums.orderBy(key).select(F.col(val).cast("string")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{out_dir}/{name}")
+    (
+        result.shards.repartition("row_shard", "col_shard")
+        .sortWithinPartitions("local_row", "local_col")
+        .write.mode("overwrite")
+        .partitionBy("row_shard", "col_shard")
+        .parquet(f"{out_dir}/shards")
+    )
+    if tfrecord:
+        from swivel_spark_prep_spark.sinks.tfrecord import write_swivel_shards
+
+        write_swivel_shards(result, f"{out_dir}/shards_tfrecord")

@@ -1,0 +1,108 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — all JVM-side expressions (no Python UDFs), each
+with a deterministic, SQL-expressible definition so the DuckDB oracle can
+replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-overlap
+#: language-ID heuristic. Deterministic tie-break: list order below.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "dans", "est", "pour"],
+    "es": ["el", "la", "los", "las", "de", "y", "en", "que", "es", "por"],
+    "de": ["der", "die", "das", "und", "in", "von", "zu", "mit", "ist", "den"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+LANG_ORDER = list(STOPWORDS)
+
+
+def lang_scores(text_col="text") -> dict[str, F.Column]:
+    toks = F.split(F.col(text_col), " ")
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).cast("long")
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by stopword-overlap score; 'und' when no stopword
+    matches. Argmax with the fixed LANG_ORDER tie-break."""
+    scores = lang_scores(text_col)
+    # left-to-right scan with strict > : earlier languages win ties
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in LANG_ORDER:
+        cond = scores[lang] > best_score
+        new_best = F.when(cond, F.lit(lang)).otherwise(best)
+        new_score = F.when(cond, scores[lang]).otherwise(best_score)
+        best, best_score = new_best, new_score
+    return docs.withColumn("pred_lang", best)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics per document:
+    - n_tok: whitespace token count;
+    - avg_tok_len: (chars − spaces) / tokens;
+    - alpha_ratio: fraction of [a-z ] characters;
+    - digit_ratio: fraction of [0-9];
+    - score: 100 · alpha_ratio − 10 · digit_ratio, clamped to [0, 100],
+      zeroed for docs with < 5 tokens."""
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    n_tok = F.size(F.split(text, " ")).cast("long")
+    avg_tok_len = (n_chars - (n_tok - 1)) / n_tok
+    alpha = F.length(F.regexp_replace(text, "[^a-z ]", "")).cast("double")
+    digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+    alpha_ratio = alpha / n_chars
+    digit_ratio = digit / n_chars
+    raw = 100.0 * alpha_ratio - 10.0 * digit_ratio
+    score = F.when(n_tok < 5, F.lit(0.0)).otherwise(
+        F.least(F.lit(100.0), F.greatest(F.lit(0.0), raw))
+    )
+    return docs.select(
+        "*",
+        n_tok.alias("n_tok"),
+        F.round(avg_tok_len, 4).alias("avg_tok_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    ([a-z]+ runs | digits | single non-space symbol) — the cheap proxy for
+    subword token budgeting."""
+    text = F.col(text_col)
+    return docs.select(
+        "*",
+        F.size(F.split(text, " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(text, F.lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("long").alias(
+            "re_tokens"
+        ),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+    - fp_md5: md5 of the whitespace-normalized text (lower, collapsed
+      runs of spaces, trimmed) — the exact-dedup key;
+    - fp_rolling: polynomial rolling hash (base 31, mod 1e9+7 — the
+      modulus keeps acc*31+c inside int64) over the normalized text's code
+      points, computed JVM-side with aggregate()."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " "))
+    rolling = F.aggregate(
+        F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(1000000007),
+    )
+    return docs.select(
+        "*", F.md5(norm).alias("fp_md5"), rolling.alias("fp_rolling")
+    )

@@ -1,8 +1,9 @@
 """Extra queries beyond the declared 44 — LLM-data-pipeline operators.
 
-Populated as operators land (MinHash-LSH, SimHash, ANN, language-ID,
-quality scoring, token counting, fingerprinting, multimodal plumbing).
-Keys are X-prefixed so they sort after the declared contract.
+X01–X05, X09 are oracle-checked (deterministic, SQL-expressible). X06–X08
+use seeded xxhash64 / LSH internals DuckDB cannot replay — the driver
+records a rows-only check; their quality guarantees (recall vs the exact
+oracles) are asserted by tests/test_llm_operators.py instead.
 """
 
 from __future__ import annotations
@@ -10,6 +11,10 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.catalog import load_table
+from swivel_spark_prep_spark.operators import dedup, multimodal, similarity, textstats
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -25,3 +30,165 @@ def _declare(name: str, oracle: str | None):
         return fn
 
     return deco
+
+
+def _stop_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang]) + "]"
+
+
+@_declare(
+    "X01_lang_id",
+    f"""WITH s AS (
+  SELECT lang,
+         len(list_intersect(string_split(text,' '), {_stop_list_sql('en')})) AS s_en,
+         len(list_intersect(string_split(text,' '), {_stop_list_sql('fr')})) AS s_fr,
+         len(list_intersect(string_split(text,' '), {_stop_list_sql('es')})) AS s_es,
+         len(list_intersect(string_split(text,' '), {_stop_list_sql('de')})) AS s_de,
+         len(list_intersect(string_split(text,' '), {_stop_list_sql('zh')})) AS s_zh
+  FROM documents),
+g AS (SELECT *, greatest(s_en, s_fr, s_es, s_de, s_zh) AS g FROM s)
+SELECT lang,
+       CASE WHEN g = 0 THEN 'und'
+            WHEN s_en = g THEN 'en' WHEN s_fr = g THEN 'fr'
+            WHEN s_es = g THEN 'es' WHEN s_de = g THEN 'de'
+            ELSE 'zh' END AS pred_lang,
+       COUNT(*) AS n
+FROM g GROUP BY lang, pred_lang ORDER BY lang, pred_lang;""",
+)
+def x01(spark, sf_dir):
+    # Stopword-overlap language ID (operators/textstats.py); the first
+    # language in LANG_ORDER reaching the max score wins, 'und' when no
+    # stopword matches.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.language_id(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@_declare(
+    "X02_quality_score",
+    """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok,
+       ROUND((length(text) - (len(string_split(text,' ')) - 1))::DOUBLE / len(string_split(text,' ')), 4) AS avg_tok_len,
+       ROUND(length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 4) AS digit_ratio,
+       ROUND(CASE WHEN len(string_split(text,' ')) < 5 THEN 0.0
+             ELSE least(100.0, greatest(0.0,
+                  100.0 * length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE / length(text)
+                  - 10.0 * length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text))) END, 4) AS quality
+FROM documents ORDER BY doc_id;""",
+)
+def x02(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.quality_score(docs)
+        .select("doc_id", "n_tok", "avg_tok_len", "alpha_ratio", "digit_ratio", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "X03_token_counts",
+    """SELECT doc_id, len(string_split(text,' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))::BIGINT AS re_tokens
+FROM documents ORDER BY doc_id;""",
+)
+def x03(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.token_counts(docs)
+        .select("doc_id", "ws_tokens", "re_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "X04_fingerprint",
+    """SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp_md5,
+       list_reduce(list_transform(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ''),
+                   c -> ascii(c)::BIGINT),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
+FROM documents ORDER BY doc_id;""",
+)
+def x04(spark, sf_dir):
+    # DuckDB list_reduce has no init accumulator (starts at element 0);
+    # Spark aggregate starts at 0 — equivalent because 0*31+c0 = c0.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.fingerprint(docs)
+        .select("doc_id", "fp_md5", "fp_rolling")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "X05_allpairs_topk",
+    """SELECT a.vec_id AS i, b.vec_id AS j,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, i, j
+LIMIT 20;""",
+)
+def x05(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.all_pairs_topk(emb, k=20)
+        .select("i", "j", F.round("sim", 4).alias("sim"))
+    )
+
+
+@_declare("X06_minhash_near_dups", None)  # xxhash64 seeds — not DuckDB-replayable
+def x06(spark, sf_dir):
+    # MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.8.
+    # Recall vs the exact Q41 oracle asserted in tests/test_llm_operators.py.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_near_dups(docs, jaccard_threshold=0.8)
+        .select("d1", "d2", F.round("jac", 4).alias("jac"))
+        .orderBy("d1", "d2")
+    )
+
+
+@_declare("X07_simhash_near_dups", None)  # xxhash64 — not DuckDB-replayable
+def x07(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_near_dups(docs, max_hamming=16)
+        .orderBy("d1", "d2")
+    )
+
+
+@_declare("X08_ann_topk", None)  # LSH hyperplanes — not DuckDB-replayable
+def x08(spark, sf_dir):
+    # Approximate nearest neighbours for vec_id 0; recall vs the exact
+    # Q42 top-k asserted in tests/test_llm_operators.py.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(emb, query_id=0, k=5, dim=64).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+@_declare(
+    "X09_multimodal_features",
+    """SELECT doc_id, length(text)::BIGINT AS n_bytes,
+       (length(text) // 1000 + 1)::BIGINT AS n_frames,
+       ROUND(length(text)::DOUBLE, 4) AS feat_n
+FROM documents ORDER BY doc_id;""",
+)
+def x09(spark, sf_dir):
+    # Binary-column plumbing through mapInPandas (Arrow batches): payload
+    # bytes → typed metadata + fake features. The byte-content features are
+    # property-tested; the oracle pins the length-derived columns (ascii
+    # text → n_bytes == length(text)).
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs)
+    feats = multimodal.extract_features(media, decode_mode="fake")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "n_frames",
+        F.round(F.element_at("features", 4), 4).alias("feat_n"),
+    ).orderBy("doc_id")

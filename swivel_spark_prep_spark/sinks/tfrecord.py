@@ -1,0 +1,185 @@
+"""TFRecord sink — pure-Python encoder, no TensorFlow dependency.
+
+The reference's sink is one ``tf.train.Example`` per co-occurrence shard in
+TFRecord files (SURVEY.md §1.1 D7: features global_row, global_col,
+sparse_local_row, sparse_local_col, sparse_value — the public prep.py
+output format). Spark has no built-in TFRecord writer, so we emit the
+format directly (SURVEY.md §4.3):
+
+- TFRecord framing: uint64-LE length, masked CRC32C of the length, the
+  payload, masked CRC32C of the payload (mask = ((crc>>15 | crc<<17) +
+  0xa282ead8) mod 2^32) — the public TFRecord spec.
+- ``tf.train.Example`` protobuf wire format hand-encoded: Example{1:
+  Features{1: map<string, Feature>}}, Feature{1: BytesList | 2: FloatList
+  | 3: Int64List}, packed repeated scalars.
+
+Shard files are written executor-side via ``applyInPandas`` over
+(row_shard, col_shard) groups — one task per shard, fully parallel, no
+driver materialization.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+# --- CRC32C (Castagnoli), table-driven ------------------------------------
+
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# --- minimal protobuf wire encoding ---------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _varint_int64(n: int) -> bytes:
+    # int64 values are plain varints (two's complement, 10 bytes when
+    # negative) — tf.train.Int64List does not zigzag.
+    return _varint(n & 0xFFFFFFFFFFFFFFFF)
+
+
+def _len_delim(field_no: int, payload: bytes) -> bytes:
+    return _varint((field_no << 3) | 2) + _varint(len(payload)) + payload
+
+
+def encode_int64_list(values) -> bytes:
+    packed = b"".join(_varint_int64(int(v)) for v in values)
+    return _len_delim(1, packed)  # Int64List.value = 1, packed
+
+
+def encode_float_list(values) -> bytes:
+    packed = struct.pack(f"<{len(values)}f", *[float(v) for v in values])
+    return _len_delim(1, packed)  # FloatList.value = 1, packed
+
+
+def encode_bytes_list(values) -> bytes:
+    out = b"".join(
+        _len_delim(1, v if isinstance(v, bytes) else str(v).encode("utf-8"))
+        for v in values
+    )
+    return out  # BytesList.value = 1, repeated (not packed)
+
+
+def encode_feature(kind: str, values) -> bytes:
+    if kind == "bytes":
+        inner = _len_delim(1, encode_bytes_list(values))
+    elif kind == "float":
+        inner = _len_delim(2, encode_float_list(values))
+    elif kind == "int64":
+        inner = _len_delim(3, encode_int64_list(values))
+    else:
+        raise ValueError(f"unknown feature kind {kind}")
+    return inner  # Feature message body
+
+
+def encode_example(features: dict[str, tuple[str, list]]) -> bytes:
+    """features: name → (kind, values); kind ∈ {bytes, float, int64}."""
+    entries = b""
+    for name, (kind, values) in sorted(features.items()):
+        entry = _len_delim(1, name.encode("utf-8")) + _len_delim(
+            2, encode_feature(kind, values)
+        )
+        entries += _len_delim(1, entry)  # Features.feature map entry
+    features_msg = entries
+    return _len_delim(1, features_msg)  # Example.features = 1
+
+
+def write_tfrecord(path: str, payloads) -> int:
+    """Write serialized protobuf payloads with TFRecord framing."""
+    n = 0
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        for payload in payloads:
+            length = struct.pack("<Q", len(payload))
+            f.write(length)
+            f.write(struct.pack("<I", _masked_crc(length)))
+            f.write(payload)
+            f.write(struct.pack("<I", _masked_crc(payload)))
+            n += 1
+    return n
+
+
+def read_tfrecord(path: str) -> list[bytes]:
+    """Read back TFRecord payloads, verifying both CRCs (test utility)."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                return out
+            (length,) = struct.unpack("<Q", header)
+            (len_crc,) = struct.unpack("<I", f.read(4))
+            assert len_crc == _masked_crc(header), "length CRC mismatch"
+            payload = f.read(length)
+            (data_crc,) = struct.unpack("<I", f.read(4))
+            assert data_crc == _masked_crc(payload), "data CRC mismatch"
+            out.append(payload)
+
+
+# --- swivel shard writer ---------------------------------------------------
+
+def write_swivel_shards(result, out_dir: str) -> int:
+    """One `shard-XXX-YYY.pb` TFRecord per (row_shard, col_shard), each
+    holding a single tf.train.Example with the prep.py feature layout.
+    Runs executor-side (applyInPandas per shard group)."""
+    import pandas as pd
+
+    n = result.num_shards
+    shard_size = max(result.vocab_size // n, 1)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        i = int(pdf["row_shard"].iloc[0])
+        j = int(pdf["col_shard"].iloc[0])
+        pdf = pdf.sort_values(["local_row", "local_col"])
+        # global token ids covered by this shard's rows/cols (modulo layout)
+        global_row = [i + k * n for k in range(shard_size)]
+        global_col = [j + k * n for k in range(shard_size)]
+        example = encode_example(
+            {
+                "global_row": ("int64", global_row),
+                "global_col": ("int64", global_col),
+                "sparse_local_row": ("int64", pdf["local_row"].tolist()),
+                "sparse_local_col": ("int64", pdf["local_col"].tolist()),
+                "sparse_value": ("float", pdf["w"].tolist()),
+            }
+        )
+        path = os.path.join(out_dir, f"shard-{i:03d}-{j:03d}.pb")
+        write_tfrecord(path, [example])
+        return pd.DataFrame(
+            {"row_shard": [i], "col_shard": [j], "nnz": [len(pdf)]}
+        )
+
+    written = (
+        result.shards.groupBy("row_shard", "col_shard")
+        .applyInPandas(_write, schema="row_shard long, col_shard long, nnz long")
+        .count()
+    )
+    return written

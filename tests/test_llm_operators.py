@@ -1,0 +1,124 @@
+"""Extra-query oracle parity + quality properties for LLM operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.catalog import load_table
+from swivel_spark_prep_spark.oracle import compare_frames
+from swivel_spark_prep_spark.queries.declared import DECLARED_ORACLES
+from swivel_spark_prep_spark.queries.extra import EXTRA_ORACLES, EXTRA_QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
+def test_extra_query_matches_oracle(name, spark, sf_dir, duck):
+    spark_pdf = EXTRA_QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = duck.execute(EXTRA_ORACLES[name]).fetchdf()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_minhash_recall_vs_exact_oracle(spark, sf_dir, duck):
+    """MinHash-LSH must find every planted near-dup pair (exact Jaccard
+    ≥ 0.8 per FIXTURES.md) that the exact Q41 oracle finds."""
+    exact = duck.execute(DECLARED_ORACLES["Q41_jaccard_pairs"]).fetchdf()
+    planted = {(r.d1, r.d2) for r in exact.itertuples() if r.jac >= 0.8}
+    assert planted, "fixture should contain planted near-dup pairs"
+    found = {
+        (r.d1, r.d2)
+        for r in EXTRA_QUERIES["X06_minhash_near_dups"](spark, sf_dir).collect()
+    }
+    missed = planted - found
+    assert not missed, f"MinHash-LSH missed planted pairs: {sorted(missed)}"
+
+
+def test_minhash_precision_is_exact_verified(spark, sf_dir):
+    """Every reported pair carries an exact Jaccard ≥ threshold (the
+    verify stage guarantees precision = 1 wrt the threshold)."""
+    rows = EXTRA_QUERIES["X06_minhash_near_dups"](spark, sf_dir).collect()
+    assert all(r.jac >= 0.8 for r in rows)
+
+
+def test_simhash_identical_docs_collide(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = simhash(docs).withColumnRenamed("simhash", "sa")
+    b = simhash(docs).withColumnRenamed("simhash", "sb")
+    diff = a.join(b, "doc_id").filter(F.col("sa") != F.col("sb"))
+    assert diff.count() == 0  # deterministic
+    # shuffled token order preserves the (order-insensitive) signature
+    shuffled = docs.select(
+        "doc_id",
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    )
+    c = simhash(shuffled).withColumnRenamed("simhash", "sc")
+    same = a.join(c, "doc_id").filter(F.col("sa") == F.col("sc"))
+    assert same.count() == 50
+
+
+def test_simhash_near_dups_low_hamming_for_planted_pairs(spark, sf_dir, duck):
+    """Planted near-dups (Jaccard ≥ 0.8) should sit at small Hamming
+    distance; assert the X07 blocking finds most of them at ≤ 16 bits."""
+    exact = duck.execute(DECLARED_ORACLES["Q41_jaccard_pairs"]).fetchdf()
+    planted = {(r.d1, r.d2) for r in exact.itertuples() if r.jac >= 0.8}
+    found = {
+        (r.d1, r.d2)
+        for r in EXTRA_QUERIES["X07_simhash_near_dups"](spark, sf_dir).collect()
+    }
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.8, f"simhash recall {recall:.2f} over planted pairs"
+
+
+def test_ann_recall_vs_exact_topk(spark, sf_dir):
+    """LSH-ANN top-5 for vec_id 0 must overlap the exact top-5 (Q42)
+    on ≥ 4 of 5 neighbours at this scale."""
+    from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
+
+    exact = {
+        r.vec_id for r in DECLARED_QUERIES["Q42_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {r.vec_id for r in EXTRA_QUERIES["X08_ann_topk"](spark, sf_dir).collect()}
+    assert len(exact & approx) >= 4, f"ANN recall too low: {exact & approx}"
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    once = exact_dedup(docs)
+    twice = exact_dedup(once)
+    assert once.count() == twice.count()
+    # survivors ∪ removed = all
+    assert docs.count() >= once.count()
+
+
+def test_multimodal_fake_features_content(spark, sf_dir):
+    """Byte-content features (mean/min/max) not covered by the X09 oracle:
+    cross-check one document driver-side."""
+    from swivel_spark_prep_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    text = {r.doc_id: r.text for r in docs.collect()}
+    feats = extract_features(attach_binary(docs)).collect()
+    for r in feats:
+        b = text[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(b)
+        assert r.features[0] == pytest.approx(sum(b) / len(b))
+        assert r.features[1] == float(min(b))
+        assert r.features[2] == float(max(b))
+
+
+def test_multimodal_real_mode_raises(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        extract_features(attach_binary(docs), decode_mode="real").collect()
