@@ -69,14 +69,20 @@ def all_pairs_topk(
     emb: DataFrame, k: int = 20, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Top-k most similar pairs (i < j) by cosine, brute force. O(n²/2)
-    comparisons — the correctness baseline; use `ann_*` beyond ~10⁵ rows."""
+    comparisons — the correctness baseline; use `ann_*` beyond ~10⁵ rows.
+    Norms are precomputed per side (O(n·d)) so the n² inner loop pays only
+    the dot product."""
     base = with_double_embedding(emb, vec_col).select(
-        F.col(id_col).alias("i"), F.col("_emb").alias("ea")
+        F.col(id_col).alias("i"),
+        F.col("_emb").alias("ea"),
+        F.sqrt(_norm2("_emb")).alias("na"),
     )
-    other = base.select(F.col("i").alias("j"), F.col("ea").alias("eb"))
+    other = base.select(
+        F.col("i").alias("j"), F.col("ea").alias("eb"), F.col("na").alias("nb")
+    )
     return (
         base.join(other, F.col("i") < F.col("j"))
-        .withColumn("sim", _dot("ea", "eb") / F.sqrt(_norm2("ea") * _norm2("eb")))
+        .withColumn("sim", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .orderBy(F.col("sim").desc(), "i", "j")
         .limit(k)
         .select("i", "j", "sim")

@@ -24,13 +24,16 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces most shuffles anyway, but streaming state shuffles are
+    # not AQE-planned — a vanilla 200-partition session pays 6× overhead on
+    # local[32]; at cluster scale this is sized per deployment.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 #: Confs that must be set before the JVM starts.
 STARTUP_CONFS = {
-    "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "12g",
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
 }
 

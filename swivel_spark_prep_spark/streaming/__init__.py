@@ -1,0 +1,109 @@
+"""Structured Streaming wrappers — the same logical plans as Q36–Q38,
+run incrementally with watermarks and state stores.
+
+Batch/stream parity is by construction: `tumbling_agg` / `sliding_agg` /
+`session_agg` build one DataFrame expression used by BOTH the batch
+queries (queries/declared.py) and the streaming wrappers here — Spark's
+unbounded-table model makes the same plan incremental under readStream.
+
+Behavioral contract (tests/test_streaming.py):
+- complete/append-mode results converge to the batch answer once all
+  input is processed;
+- rows older than the watermark are dropped
+  (StreamingQueryProgress.stateOperators.numRowsDroppedByWatermark);
+- state store size stays bounded by the open-window count.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.session import configure_runtime
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("win_s"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            F.col("win_s.start").cast("timestamp_ntz").alias("win"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("win_s"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win_s.start").cast("timestamp_ntz").alias("win_start"), "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("win_s"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.col("win_s.start").cast("timestamp_ntz").alias("s_start"),
+            F.col("win_s.end").cast("timestamp_ntz").alias("s_end"),
+            "cnt",
+        )
+    )
+
+
+def events_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over parquet drops (one micro-batch per file with
+    maxFilesPerTrigger=1 — the replay harness for behavioral tests).
+    Timestamps must already be µs (write the drops from a catalog-loaded
+    DataFrame)."""
+    configure_runtime(spark)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(input_dir)
+        # watermarks require TIMESTAMP (LTZ); with a UTC session the cast
+        # from TIMESTAMP_NTZ is value-identical
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+
+
+def run_stream(
+    agg: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+):
+    """Run a streaming aggregate to a memory sink until all available input
+    is processed; returns (result_df, query) — `query` exposes
+    recentProgress for watermark/state assertions. Caller stops the query.
+    """
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="sspp_ckpt_"),
+        )
+        .start()
+    )
+    query.processAllAvailable()
+    return agg.sparkSession.sql(f"SELECT * FROM {name}"), query

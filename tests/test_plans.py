@@ -1,0 +1,95 @@
+"""Physical-plan tests (SURVEY.md §4.2): the optimizations we rely on at
+100 TB must actually appear in the plans — pushdown, pruning, broadcast
+joins for small dims, TakeOrdered top-k, no BNLJ on the theta join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.catalog import load_table
+from swivel_spark_prep_spark.plans import (
+    assert_in_plan,
+    assert_not_in_plan,
+    formatted_plan,
+)
+from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = DECLARED_QUERIES["Q02_filter_pred"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    df = DECLARED_QUERIES["Q01_scan_project"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # ReadSchema lists only the projected columns
+    assert "ReadSchema" in plan
+    assert "r_comment" not in plan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    df = DECLARED_QUERIES["Q05_join_inner_multi"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    for name, jt in (
+        ("Q07_join_semi", "LeftSemi"),
+        ("Q08_join_anti", "LeftAnti"),
+    ):
+        plan = formatted_plan(DECLARED_QUERIES[name](spark, sf_dir))
+        assert jt in plan, f"{name} should plan a {jt} join:\n{plan}"
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = DECLARED_QUERIES["Q22_sort_limit"](spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_theta_join_is_not_bnlj(spark, sf_dir):
+    # The equi-conjunct on p_size must keep Q11 a hash/sort-merge join.
+    df = DECLARED_QUERIES["Q11_join_range_theta"](spark, sf_dir)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_join_hints_are_honored(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    merge = cust.join(nation.hint("merge"), cust.c_nationkey == nation.n_nationkey)
+    assert "SortMergeJoin" in formatted_plan(merge)
+    shuffle_hash = cust.join(
+        nation.hint("shuffle_hash"), cust.c_nationkey == nation.n_nationkey
+    )
+    assert "ShuffledHashJoin" in formatted_plan(shuffle_hash)
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # TPC-H Q1 shape: partial + final HashAggregate (map-side combine).
+    df = DECLARED_QUERIES["Q13_agg_tpch_q1"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_swivel_pipeline_broadcasts_vocab(spark, sf_dir):
+    # The token→id dictionary join must be a broadcast at this vocab size
+    # (the reference broadcasts its token map; Catalyst does it for us).
+    df = DECLARED_QUERIES["Q35_shard_marginals"](spark, sf_dir)
+    assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_declared_queries_stay_jvm_side(spark, sf_dir):
+    # Everything except the deliberate UDF exercise (Q44) and the
+    # multimodal Arrow plumbing (X09) must compile to pure JVM plans.
+    for name, fn in DECLARED_QUERIES.items():
+        if name == "Q44_udf_normalize":
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+            f"{name} unexpectedly crosses into Python:\n{plan}"
+        )

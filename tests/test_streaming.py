@@ -1,0 +1,159 @@
+"""Streaming behavioral tests (SURVEY.md §5.4) — not DuckDB-checkable.
+
+Replays the events fixture through a file-source stream (one micro-batch
+per parquet drop) and asserts:
+(a) windowed aggregates converge to the batch answers (Q36/Q37/Q38 plans);
+(b) rows older than the watermark are dropped;
+(c) session windows emit on watermark passage in append mode.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.catalog import load_table
+from swivel_spark_prep_spark.streaming import (
+    events_file_stream,
+    run_stream,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@pytest.fixture(scope="module")
+def replay_dir(tmp_path_factory, events):
+    """The events fixture split into 4 time-ordered parquet drops —
+    4 micro-batches with monotonically advancing event time."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    d = tmp_path_factory.mktemp("events_stream")
+    ordered = events.withColumn("_bucket", F.ntile(4).over(Window.orderBy("ts")))
+    for b in range(1, 5):
+        (
+            ordered.filter(F.col("_bucket") == b)
+            .drop("_bucket")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(d / f"drop{b}"))
+        )
+    # flatten into one dir with time-ordered file names (latestFirst=false
+    # replays them oldest-first, one micro-batch each)
+    out = tmp_path_factory.mktemp("events_replay")
+    for b in range(1, 5):
+        part = glob.glob(str(d / f"drop{b}" / "part-*.parquet"))[0]
+        shutil.copy(part, str(out / f"{b:02d}.parquet"))
+    return str(out)
+
+
+def _stream(spark, events, replay_dir, watermark="1 hour"):
+    return events_file_stream(spark, replay_dir, events.schema, watermark)
+
+
+def test_tumbling_stream_converges_to_batch(spark, events, replay_dir):
+    stream = _stream(spark, events, replay_dir)
+    result, query = run_stream(tumbling_agg(stream), "complete")
+    try:
+        got = {tuple(r) for r in result.collect()}
+        want = {tuple(r) for r in tumbling_agg(events).collect()}
+        assert got == want
+        assert len(query.recentProgress) >= 4  # one per micro-batch (+idle)
+    finally:
+        query.stop()
+
+
+def test_sliding_stream_converges_to_batch(spark, events, replay_dir):
+    stream = _stream(spark, events, replay_dir)
+    result, query = run_stream(sliding_agg(stream), "complete")
+    try:
+        got = {tuple(r) for r in result.collect()}
+        want = {tuple(r) for r in sliding_agg(events).collect()}
+        assert got == want
+    finally:
+        query.stop()
+
+
+def test_late_rows_dropped_by_watermark(spark, events, replay_dir, tmp_path):
+    """Append a drop whose rows are far older than the advanced watermark:
+    they must be counted in numRowsDroppedByWatermark and excluded from
+    new state."""
+    import glob
+    import shutil
+
+    late_dir = tmp_path / "with_late"
+    late_dir.mkdir()
+    for f in sorted(glob.glob(f"{replay_dir}/*.parquet")):
+        shutil.copy(f, str(late_dir / f.split("/")[-1]))
+
+    # build the late drop: clone the earliest 10 events, shifted 10 days back
+    late = (
+        events.orderBy("ts")
+        .limit(10)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 10 DAYS"))
+    )
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late_raw"))
+    part = glob.glob(str(tmp_path / "late_raw" / "part-*.parquet"))[0]
+    shutil.copy(part, str(late_dir / "99.parquet"))  # sorts last → last batch
+
+    stream = events_file_stream(spark, str(late_dir), events.schema, "1 hour")
+    # append mode makes the watermark actually filter state-input rows
+    result, query = run_stream(tumbling_agg(stream), "append")
+    try:
+        # numRowsDroppedByWatermark counts post-partial-agg GROUPS entering
+        # the state store, not raw rows — assert drops happened AND none of
+        # the late (10-days-back) windows leaked into the output.
+        dropped = sum(
+            s["numRowsDroppedByWatermark"]
+            for p in query.recentProgress
+            for s in p["stateOperators"]
+        )
+        assert dropped > 0, "late rows were not dropped by the watermark"
+        min_real_ts = events.agg(F.min("ts")).collect()[0][0]
+        leaked = result.filter(F.col("win") < min_real_ts).count()
+        assert leaked == 0, f"{leaked} late windows leaked into append output"
+    finally:
+        query.stop()
+
+
+def test_session_stream_emits_closed_sessions(spark, events, replay_dir, tmp_path):
+    """Session windows in append mode emit once the watermark passes the
+    session end; a far-future sentinel flushes every real session. The
+    emitted sessions must equal the batch gaps-and-islands answer."""
+    import glob
+    import shutil
+
+    flush_dir = tmp_path / "with_flush"
+    flush_dir.mkdir()
+    for f in sorted(glob.glob(f"{replay_dir}/*.parquet")):
+        shutil.copy(f, str(flush_dir / f.split("/")[-1]))
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(999_999, max_ts, -1, "sentinel", 0.0)], schema=events.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s_raw"))
+    part = glob.glob(str(tmp_path / "s_raw" / "part-*.parquet"))[0]
+    shutil.copy(part, str(flush_dir / "99.parquet"))
+
+    stream = events_file_stream(spark, str(flush_dir), events.schema, "0 seconds")
+    result, query = run_stream(session_agg(stream), "append")
+    try:
+        got = {
+            (r.user_id, r.cnt)
+            for r in result.filter(F.col("user_id") >= 0).collect()
+        }
+        want = {(r.user_id, r.cnt) for r in session_agg(events).collect()}
+        assert got == want
+    finally:
+        query.stop()
