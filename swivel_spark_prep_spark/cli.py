@@ -1,0 +1,95 @@
+"""CLI front-end — the reference's spark-submit surface, re-expressed.
+
+The reference's CLI takes (input, output, shard_size, min_count, window)
+and runs the full prep pipeline (SURVEY.md §2.1 "CLI", §3.1 E1). Ours:
+
+    python -m swivel_spark_prep_spark.cli prep \
+        --input corpus.txt --output out/ \
+        --shard-size 4096 --min-count 5 --window 10 [--tfrecord]
+
+    python -m swivel_spark_prep_spark.cli bench-query Q13_agg_tpch_q1 \
+        --sf-dir /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="swivel-spark-prep")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    prep = sub.add_parser("prep", help="run the swivel prep pipeline")
+    prep.add_argument("--input", required=True, help="text corpus (one doc per line) or parquet with doc_id/text")
+    prep.add_argument("--output", required=True, help="output directory")
+    prep.add_argument("--shard-size", type=int, default=4096)
+    prep.add_argument("--min-count", type=int, default=5)
+    prep.add_argument("--window", type=int, default=10)
+    prep.add_argument("--tfrecord", action="store_true", help="also write TFRecord shards")
+    prep.add_argument("--master", default=None)
+
+    bq = sub.add_parser("bench-query", help="run one registered query")
+    bq.add_argument("name")
+    bq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    bq.add_argument("--master", default=None)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from swivel_spark_prep_spark.session import get_session
+
+    # getOrCreate may hand us a pre-existing session (e.g. when driven
+    # in-process) — only stop what we created.
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_session("swivel-spark-prep-cli", master=args.master)
+    try:
+        if args.cmd == "prep":
+            from swivel_spark_prep_spark.operators.swivel import prep, write_outputs
+            from swivel_spark_prep_spark.sources import read_corpus_text
+
+            if args.input.endswith(".parquet") or args.input.rstrip("/").endswith(
+                "parquet"
+            ):
+                docs = spark.read.parquet(args.input).select("doc_id", "text")
+            else:
+                docs = read_corpus_text(spark, args.input)
+            result = prep(
+                docs,
+                window=args.window,
+                min_count=args.min_count,
+                shard_size=args.shard_size,
+            )
+            write_outputs(result, args.output, tfrecord=args.tfrecord)
+            print(
+                f"vocab={result.vocab_size} shards={result.num_shards}x"
+                f"{result.num_shards} nnz={result.cooc.count()} → {args.output}"
+            )
+        elif args.cmd == "bench-query":
+            import time
+
+            from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
+            from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
+
+            registry = {**DECLARED_QUERIES, **EXTRA_QUERIES}
+            if args.name not in registry:
+                print(f"unknown query {args.name}; known: {sorted(registry)}", file=sys.stderr)
+                return 2
+            t0 = time.perf_counter()
+            pdf = registry[args.name](spark, args.sf_dir).toPandas()
+            dt = time.perf_counter() - t0
+            print(pdf.head(10).to_string(index=False))
+            print(f"# {args.name}: {len(pdf)} rows in {dt:.3f}s")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

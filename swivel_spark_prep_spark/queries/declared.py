@@ -1124,9 +1124,16 @@ def q44(spark, sf_dir):
     # exercise the Python data path — the oracle equivalent is pure window
     # SQL (SURVEY.md Q44). Rounding applied JVM-side with F.round so the
     # half-away-from-zero rule matches DuckDB (numpy rounds half-to-even).
+    #
+    # Grouping is by a salted USER BUCKET, not by user_id: grouped-map ships
+    # one Arrow batch + one Python call per group, so thousands of tiny
+    # user groups pay ~3 ms each in fixed overhead. Bucketing amortizes it
+    # — each call normalizes many users with a vectorized groupby-transform
+    # (C speed), semantics unchanged. Buckets scale out with the cluster.
     def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["value"].mean()
-        sd = pdf["value"].std(ddof=1)
+        g = pdf.groupby("user_id")["value"]
+        mu = g.transform("mean")
+        sd = g.transform("std")  # ddof=1, matches STDDEV_SAMP
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "v_norm": (pdf["value"] - mu) / sd}
         )
@@ -1134,7 +1141,7 @@ def q44(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
         .select("event_id", "user_id", "value")
-        .groupBy("user_id")
+        .groupBy(F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("_bucket"))
         .applyInPandas(_norm, schema="event_id long, v_norm double")
         .select("event_id", F.round("v_norm", 4).alias("v_norm"))
         .orderBy("event_id")

@@ -182,4 +182,24 @@ def write_swivel_shards(result, out_dir: str) -> int:
         .applyInPandas(_write, schema="row_shard long, col_shard long, nnz long")
         .count()
     )
+    # Shard cells with zero entries produce no group above, but the prep.py
+    # output contract has one file per (i,j) cell of the N×N grid — fill
+    # the missing ones with empty sparse lists (driver-side; they hold
+    # nothing beyond the global id vectors).
+    present = {f for f in os.listdir(out_dir) if f.startswith("shard-")}
+    for i in range(n):
+        for j in range(n):
+            fname = f"shard-{i:03d}-{j:03d}.pb"
+            if fname not in present:
+                example = encode_example(
+                    {
+                        "global_row": ("int64", [i + k * n for k in range(shard_size)]),
+                        "global_col": ("int64", [j + k * n for k in range(shard_size)]),
+                        "sparse_local_row": ("int64", []),
+                        "sparse_local_col": ("int64", []),
+                        "sparse_value": ("float", []),
+                    }
+                )
+                write_tfrecord(os.path.join(out_dir, fname), [example])
+                written += 1
     return written

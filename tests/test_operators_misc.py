@@ -1,0 +1,138 @@
+"""Unit tests: as-of join directions/tolerance, sources, CLI, approx aggs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.catalog import load_table
+from swivel_spark_prep_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_asof_backward_matches_q12(spark, sf_dir, events):
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), "user_id", "ts"
+    )
+    got = asof_join(
+        purchases, signups, by=["user_id"], left_ts="ts", right_ts="ts"
+    ).select("event_id", F.col("s_id_asof").alias("last_signup"))
+
+    from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
+
+    want = DECLARED_QUERIES["Q12_join_asof"](spark, sf_dir)
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert diff == 0
+
+
+def test_asof_forward_direction(spark, events):
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), "user_id", "ts"
+    )
+    fwd = asof_join(
+        purchases, signups, by=["user_id"], left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    rows = fwd.filter(F.col("ts_asof").isNotNull()).select("ts", "ts_asof").collect()
+    assert rows and all(r.ts_asof >= r.ts for r in rows)
+
+
+def test_asof_tolerance_limits_matches(spark, events):
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), "user_id", "ts"
+    )
+    unbounded = asof_join(purchases, signups, ["user_id"], "ts", "ts")
+    bounded = asof_join(
+        purchases, signups, ["user_id"], "ts", "ts", tolerance="INTERVAL 1 DAY"
+    )
+    n_unbounded = unbounded.filter(F.col("s_id_asof").isNotNull()).count()
+    n_bounded = bounded.filter(F.col("s_id_asof").isNotNull()).count()
+    assert n_bounded <= n_unbounded
+    # bounded matches respect the horizon
+    rows = bounded.filter(F.col("ts_asof").isNotNull()).collect()
+    assert all((r.ts - r.ts_asof).total_seconds() <= 86400 for r in rows)
+
+
+def test_asof_rejects_bad_direction(spark, events):
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(events, events, ["user_id"], "ts", "ts", direction="sideways")
+
+
+def test_read_corpus_text(spark, tmp_path):
+    from swivel_spark_prep_spark.sources import read_corpus_text
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("the quick fox\n\njumps over\nthe lazy dog\n")
+    df = read_corpus_text(spark, str(p))
+    rows = df.collect()
+    assert [r.text for r in sorted(rows, key=lambda r: r.doc_id)] == [
+        "the quick fox",
+        "jumps over",
+        "the lazy dog",
+    ]  # empty line filtered
+    assert len({r.doc_id for r in rows}) == 3  # unique ids
+
+
+def test_cli_prep_roundtrip(spark, tmp_path, sf_dir):
+    """Drive the CLI surface in-process on a small corpus."""
+    from swivel_spark_prep_spark import cli
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b c a b\nb c d e\na a b\n" * 5)
+    out = tmp_path / "out"
+    rc = cli.main(
+        [
+            "prep",
+            "--input", str(corpus),
+            "--output", str(out),
+            "--shard-size", "2",
+            "--min-count", "1",
+            "--window", "2",
+        ]
+    )
+    assert rc == 0
+    vocab = spark.read.text(f"{out}/row_vocab.txt")
+    assert vocab.count() % 2 == 0  # truncated to shard multiple
+
+
+def test_approx_count_distinct_within_rated_error(spark, sf_dir):
+    """§5.3: approx_count_distinct within its rated rsd of the exact Q14
+    values (never oracle-hashed — approximate by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(0.15 * r.exact, 5), r
+
+
+def test_approx_percentile_brackets_exact_median(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.median("value").alias("exact"),
+            F.percentile_approx("value", 0.5, 1000).alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.05 * max(abs(r.exact), 1.0), r
