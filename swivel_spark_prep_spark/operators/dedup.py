@@ -84,17 +84,46 @@ def _exact_jaccard_verify(
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-def minhash_signature(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
-    """(doc_id, shingles, sig): sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). Empty shingle sets get a NULL signature and
-    never enter candidate generation."""
-    def _min_hash(i: int):
+MERSENNE_31 = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine min-hash family
+    h_i(x) = (a_i·x + b_i) mod 2^31−1. The 31-bit field keeps a·h+b
+    < 2^62 — exact in int64 under Spark 4's default ANSI mode, which
+    THROWS on long overflow instead of wrapping."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_31) | 1, rng.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, shingles, sig): classic affine-family MinHash — each
+    shingle is string-hashed ONCE (xxhash64), then every signature slot
+    applies a cheap affine permutation h_i(x) = (a_i·x + b_i) mod 2^31−1
+    and takes the min. One string hash per shingle instead of num_hashes
+    string hashes — the standard construction. Empty shingle sets get
+    NULL mins and never enter candidate generation."""
+    base = sh.withColumn(
+        "_hs",
+        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31))),
+    )
+
+    def _min_hash(a: int, b: int):
         # NB: the lambda must take exactly one parameter — PySpark treats a
         # two-parameter transform lambda as (element, index).
-        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(i))))
+        return F.array_min(
+            F.transform(
+                "_hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
+            )
+        )
 
-    sig = F.array(*[_min_hash(i) for i in range(num_hashes)])
-    return sh.withColumn("sig", sig)
+    sig = F.array(*[_min_hash(a, b) for a, b in _affine_params(num_hashes)])
+    return base.withColumn("sig", sig).drop("_hs")
 
 
 def minhash_lsh_candidates(

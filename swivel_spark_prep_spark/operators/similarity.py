@@ -154,21 +154,43 @@ def ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query in
-    ≥1 table; exact cosine re-rank on candidates only."""
+    ≥1 table; exact cosine re-rank on candidates only.
+
+    The query's buckets are computed driver-side from its single row (the
+    hyperplanes are deterministic), so the corpus index expression is
+    evaluated exactly once with a direct (table, bucket) IN-filter — no
+    second index pass, no join."""
+    qrow = (
+        with_double_embedding(emb, vec_col)
+        .filter(F.col(id_col) == query_id)
+        .select("_emb")
+        .collect()
+    )
+    if not qrow:
+        raise ValueError(f"query_id {query_id} not found")
+    qv = qrow[0][0]
+
+    wanted: set[tuple[int, int]] = set()
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
+        bucket = 0
+        for p_idx, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(qv, plane)) >= 0:
+                bucket |= 1 << p_idx
+        wanted.add((t, bucket))
+
     index = ann_index(emb, dim, num_planes, num_tables, seed, id_col, vec_col)
-    q = index.filter(F.col("id") == query_id).select(
-        "table_idx", "bucket", F.col("_emb").alias("qv")
-    )
-    cands = (
-        index.filter(F.col("id") != query_id)
-        .join(F.broadcast(q), ["table_idx", "bucket"])
-        .select("id", "_emb", "qv")
-        .dropDuplicates(["id"])
-    )
+    cond = None
+    for t, b in sorted(wanted):
+        clause = (F.col("table_idx") == t) & (F.col("bucket") == b)
+        cond = clause if cond is None else (cond | clause)
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        cands.withColumn(
-            "sim", _dot("_emb", "qv") / F.sqrt(_norm2("_emb") * _norm2("qv"))
-        )
+        index.filter(F.col("id") != query_id)
+        .filter(cond)
+        .dropDuplicates(["id"])
+        .withColumn("qv", qv_lit)
+        .withColumn("sim", _dot("_emb", "qv") / F.sqrt(_norm2("_emb") * _norm2("qv")))
         .orderBy(F.col("sim").desc(), "id")
         .limit(k)
         .select(F.col("id").alias(id_col), "sim")

@@ -54,11 +54,27 @@ def replay_dir(tmp_path_factory, events):
     for b in range(1, 5):
         part = glob.glob(str(d / f"drop{b}" / "part-*.parquet"))[0]
         shutil.copy(part, str(out / f"{b:02d}.parquet"))
+    _stamp_mtimes(str(out))
     return str(out)
 
 
 def _stream(spark, events, replay_dir, watermark="1 hour"):
     return events_file_stream(spark, replay_dir, events.schema, watermark)
+
+
+def _stamp_mtimes(dir_path):
+    """Give the replay files strictly increasing mtimes in filename order.
+    Spark's FileStreamSource orders micro-batches by millisecond-granularity
+    modification time; files copied in a tight loop tie, and a tie can
+    replay the far-future sentinel BEFORE the real drops, advancing the
+    watermark 30 days and silently dropping every real event."""
+    import glob
+    import os
+    import time
+
+    base = time.time() - 3600
+    for i, f in enumerate(sorted(glob.glob(f"{dir_path}/*.parquet"))):
+        os.utime(f, (base + i * 10, base + i * 10))
 
 
 def test_tumbling_stream_converges_to_batch(spark, events, replay_dir):
@@ -105,6 +121,7 @@ def test_late_rows_dropped_by_watermark(spark, events, replay_dir, tmp_path):
     late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late_raw"))
     part = glob.glob(str(tmp_path / "late_raw" / "part-*.parquet"))[0]
     shutil.copy(part, str(late_dir / "99.parquet"))  # sorts last → last batch
+    _stamp_mtimes(str(late_dir))
 
     stream = events_file_stream(spark, str(late_dir), events.schema, "1 hour")
     # append mode makes the watermark actually filter state-input rows
@@ -119,8 +136,12 @@ def test_late_rows_dropped_by_watermark(spark, events, replay_dir, tmp_path):
             for s in p["stateOperators"]
         )
         assert dropped > 0, "late rows were not dropped by the watermark"
-        min_real_ts = events.agg(F.min("ts")).collect()[0][0]
-        leaked = result.filter(F.col("win") < min_real_ts).count()
+        # the earliest LEGITIMATE window starts at min(ts) truncated to the
+        # hour; anything before that can only come from the late drop
+        min_real_win = (
+            events.agg(F.date_trunc("hour", F.min("ts"))).collect()[0][0]
+        )
+        leaked = result.filter(F.col("win") < min_real_win).count()
         assert leaked == 0, f"{leaked} late windows leaked into append output"
     finally:
         query.stop()
@@ -145,6 +166,7 @@ def test_session_stream_emits_closed_sessions(spark, events, replay_dir, tmp_pat
     sentinel.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s_raw"))
     part = glob.glob(str(tmp_path / "s_raw" / "part-*.parquet"))[0]
     shutil.copy(part, str(flush_dir / "99.parquet"))
+    _stamp_mtimes(str(flush_dir))
 
     stream = events_file_stream(spark, str(flush_dir), events.schema, "0 seconds")
     result, query = run_stream(session_agg(stream), "append")
