@@ -19,6 +19,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to full parallelism before CPU-heavy
+    per-row work (shingling / hashing are compute-bound, and a single
+    parquet file scans as one task). No-op when the input is already at
+    least as wide as the cluster; the one-off shuffle of raw text is noise
+    next to the higher-order-function evaluation it parallelizes."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- exact dedup -----------------------------------------------------------
 
 def exact_dedup(
@@ -64,6 +76,34 @@ def shingle(
     ).select("doc_id", expr.alias("shingles"))
 
 
+def shingle_hashes(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shingles: array<long>): sorted distinct 64-bit hashes of
+    the n-token shingles — xxhash64 over the token TUPLE, so no string
+    shingle is ever materialized, deduped, or sorted (string
+    array_sort/array_distinct dominated the profile). Token tuples are
+    unambiguous (tokens are space-split, so they contain no spaces), hence
+    tuple-hash equality ≡ string-shingle equality up to 64-bit collisions
+    (≈ n²/2⁶⁵ ≈ 10⁻⁷ at 10⁶ distinct shingles — could perturb one pair's
+    Jaccard by one element). Downstream set ops (df counts, Jaccard
+    intersections) compare longs instead of re-hashing ~20-char strings
+    once per candidate-pair membership."""
+    tuple_hash = ", ".join(f"toks[p+{i}]" for i in range(n))
+    expr = F.expr(
+        f"""CASE WHEN size(toks) >= {n} THEN
+              array_sort(array_distinct(transform(sequence(0, size(toks)-{n}),
+                p -> xxhash64({tuple_hash}))))
+            ELSE cast(array() as array<bigint>) END"""
+    )
+    return docs.select(
+        F.col(doc_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+    ).select("doc_id", expr.alias("shingles"))
+
+
 def _exact_jaccard_verify(
     cand: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
@@ -101,17 +141,23 @@ def _affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+def minhash_signature(
+    sh: DataFrame, num_hashes: int = 64, hashed: bool = False
+) -> DataFrame:
     """(doc_id, shingles, sig): classic affine-family MinHash — each
-    shingle is string-hashed ONCE (xxhash64), then every signature slot
-    applies a cheap affine permutation h_i(x) = (a_i·x + b_i) mod 2^31−1
-    and takes the min. One string hash per shingle instead of num_hashes
-    string hashes — the standard construction. Empty shingle sets get
-    NULL mins and never enter candidate generation."""
-    base = sh.withColumn(
-        "_hs",
-        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31))),
+    shingle is string-hashed ONCE (xxhash64; pass hashed=True when the
+    input already carries int64 shingles from `hash_shingles`), then every
+    signature slot applies a cheap affine permutation
+    h_i(x) = (a_i·x + b_i) mod 2^31−1 and takes the min. One string hash
+    per shingle instead of num_hashes string hashes — the standard
+    construction. Empty shingle sets get NULL mins and never enter
+    candidate generation."""
+    to_field = (
+        (lambda s: F.pmod(s, F.lit(MERSENNE_31)))
+        if hashed
+        else (lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31)))
     )
+    base = sh.withColumn("_hs", F.transform("shingles", to_field))
 
     def _min_hash(a: int, b: int):
         # NB: the lambda must take exactly one parameter — PySpark treats a
@@ -126,12 +172,36 @@ def minhash_signature(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     return base.withColumn("sig", sig).drop("_hs")
 
 
+def _pairs_within_buckets(buckets: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(…keys, doc_id) → distinct (d1 < d2) pairs co-bucketed under any
+    key. ONE pass: groupBy key → member list → explode twice. The naive
+    alternative — self-joining the bucket relation — evaluates the entire
+    upstream lineage once per join side (Spark has no common-subplan
+    reuse), which for signature pipelines means recomputing every hash;
+    measured 10.6 s → 1.6 s on the MinHash path at sf0.1. Bucket skew =
+    |bucket|² pairs either way; callers bound bucket size upstream."""
+    return (
+        buckets.groupBy(*key_cols)
+        .agg(F.collect_list("doc_id").alias("_ms"))
+        .filter(F.size("_ms") > 1)
+        .select(F.explode("_ms").alias("d1"), "_ms")
+        .select("d1", F.explode("_ms").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     signed: DataFrame, num_bands: int = 32, rows_per_band: int = 4
 ) -> DataFrame:
     """Band the signature; docs sharing any (band_idx, band_hash) bucket
-    become candidate pairs (d1 < d2). Join is keyed on the bucket —
-    scales with bucket occupancy, not n²."""
+    become candidate pairs (d1 < d2) — grouped per bucket, never an n²
+    join. Callers must pre-filter empty-shingle docs (minhash_near_dups
+    filters on the cheap token-count predicate BEFORE shingling: a filter
+    on size(shingles) here would be pushed down by Catalyst with the whole
+    shingle expression substituted into the predicate, recomputing it per
+    row)."""
     bands = F.array(
         *[
             F.struct(
@@ -143,19 +213,12 @@ def minhash_lsh_candidates(
             for b in range(num_bands)
         ]
     )
-    buckets = (
-        signed.filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode(bands).alias("b"))
-        .select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    buckets = signed.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_hash").alias("band_hash"),
     )
-    a = buckets.select(F.col("doc_id").alias("d1"), "band_idx", "band_hash")
-    b = buckets.select(F.col("doc_id").alias("d2"), "band_idx", "band_hash")
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
+    return _pairs_within_buckets(buckets, ["band_idx", "band_hash"])
 
 
 def minhash_near_dups(
@@ -174,8 +237,12 @@ def minhash_near_dups(
     stage keeps precision exact. 64 hashes halve signature cost vs 128
     with the same band width."""
     rows_per_band = num_hashes // num_bands
-    sh = shingle(docs, n, text_col, doc_col)
-    signed = minhash_signature(sh, num_hashes)
+    # cheap pre-filter (token count) instead of size(shingles) > 0: the
+    # latter would make Catalyst substitute the full shingle expression
+    # into a pushed-down predicate and evaluate it twice per row
+    eligible = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= n))
+    sh = shingle_hashes(eligible, n, text_col, doc_col)
+    signed = minhash_signature(sh, num_hashes, hashed=True)
     cand = minhash_lsh_candidates(signed, num_bands, rows_per_band)
     return _exact_jaccard_verify(cand, sh, jaccard_threshold)
 
@@ -196,18 +263,17 @@ def ngram_jaccard_pairs(
     upper bound keeps bucket joins skew-free: a shingle shared by >max_df
     docs would create quadratic candidates and is (by construction) a weak
     signal anyway."""
-    sh = shingle(docs, n, text_col, doc_col)
+    sh = shingle_hashes(_spread(docs), n, text_col, doc_col)
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    rare = (
-        inv.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df").between(min_df, max_df))
-        .select("sh")
-    )
+    # shingles are distinct per doc, so the member-list length IS the
+    # document frequency — the df-band filter and pair generation happen
+    # in one grouped pass (see _pairs_within_buckets for why not a join)
     cand = (
-        inv.withColumnRenamed("doc_id", "d1")
-        .join(rare, "sh")
-        .join(inv.withColumnRenamed("doc_id", "d2"), "sh")
+        inv.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("_ms"))
+        .filter(F.size("_ms").between(min_df, max_df))
+        .select(F.explode("_ms").alias("d1"), "_ms")
+        .select("d1", F.explode("_ms").alias("d2"))
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
@@ -223,6 +289,7 @@ def simhash(
     """(doc_id, simhash): classic token-level SimHash. Each token hashes to
     64 bits; bit k of the signature is 1 iff Σ_tokens (2·bit_k − 1) ≥ 0.
     Pure JVM expressions (explode + 64 conditional sums), no Python."""
+    docs = _spread(docs)
     toks = docs.select(
         F.col(doc_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -277,16 +344,24 @@ def simhash_near_dups(
         F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_val").alias("band_val"),
     )
-    a = buckets.select(
-        F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"), "band_idx", "band_val"
-    )
-    b = buckets.select(
-        F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"), "band_idx", "band_val"
-    )
+    # grouped pair generation (one lineage evaluation — see
+    # _pairs_within_buckets); members carry their signature so the
+    # Hamming distance needs no join back
+    members = F.collect_list(F.struct("doc_id", "simhash")).alias("_ms")
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+        buckets.groupBy("band_idx", "band_val")
+        .agg(members)
+        .filter(F.size("_ms") > 1)
+        .select(F.explode("_ms").alias("a"), "_ms")
+        .select("a", F.explode("_ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -3,13 +3,17 @@
 - brute-force cosine top-k (the correctness baseline, Q42 as an API);
 - all-pairs top-k (self-join, blocked by vec_id to halve work);
 - LSH-bucketed ANN (random-hyperplane signatures, deterministic seeds) —
-  the scale path: candidates share a bucket in ≥1 table, exact re-rank on
-  candidates only.
+  candidates share a bucket in ≥1 table, exact re-rank on candidates only;
+- IVF (inverted-file) ANN — Lloyd-iterated centroids, per-list inverted
+  index, probe the nprobe nearest lists; full probe ≡ brute force;
+- embedding-cosine near-dup pairs (exact all-pairs ≥ τ baseline + an
+  LSH-candidate scale variant).
 
 All vector math is JVM-side (zip_with/aggregate) in double precision — no
 Python in the hot path. At 100 TB the brute-force query is a broadcast of
 the query vector + a single scan; the ANN index is a narrow projection
-(signature per row) joined on bucket keys.
+(signature per row) joined on bucket keys; the IVF index partitions the
+corpus by list id so a probe touches nprobe/nlist of the data.
 """
 
 from __future__ import annotations
@@ -17,8 +21,11 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -65,26 +72,137 @@ def cosine_topk(
     )
 
 
-def all_pairs_topk(
-    emb: DataFrame, k: int = 20, id_col: str = "vec_id", vec_col: str = "embedding"
+def _blocked_pair_sims(
+    emb: DataFrame,
+    block_size: int,
+    id_col: str,
+    vec_col: str,
+    threshold: float | None,
+    per_block_topk: int | None,
 ) -> DataFrame:
-    """Top-k most similar pairs (i < j) by cosine, brute force. O(n²/2)
-    comparisons — the correctness baseline; use `ann_*` beyond ~10⁵ rows.
-    Norms are precomputed per side (O(n·d)) so the n² inner loop pays only
-    the dot product."""
-    base = with_double_embedding(emb, vec_col).select(
-        F.col(id_col).alias("i"),
-        F.col("_emb").alias("ea"),
-        F.sqrt(_norm2("_emb")).alias("na"),
+    """All-pairs cosine via blocked matrix multiplication — the scale path
+    for brute-force pair similarity. Rows are grouped into blocks of
+    `block_size` by id; every block pair (bi ≤ bj) becomes one task that
+    computes an (|A|×|B|) similarity matrix with a single numpy matmul in
+    mapInPandas (Arrow-batched), emitting only pairs ≥ `threshold` and/or
+    each block-pair's local top-k.
+
+    Scale math: n rows → n/B blocks → (n/B)²/2 block pairs; shuffle volume
+    is n²/B floats (each block replicated n/B times), compute n²·d/2 FLOPs
+    as dense BLAS instead of n²/2 interpreted zip_with expressions. B is
+    the knob: bigger blocks = less shuffle, more memory per task
+    (B²·8 bytes for the sim matrix)."""
+
+    base = with_double_embedding(emb, vec_col)
+    packed = base.groupBy(
+        F.floor(F.col(id_col) / block_size).alias("blk")
+    ).agg(
+        F.collect_list(
+            F.struct(F.col(id_col).cast("long").alias("id"), F.col("_emb").alias("e"))
+        ).alias("rows")
     )
-    other = base.select(
-        F.col("i").alias("j"), F.col("ea").alias("eb"), F.col("na").alias("nb")
-    )
+    a = packed.select(F.col("blk").alias("blka"), F.col("rows").alias("rowsa"))
+    b = packed.select(F.col("blk").alias("blkb"), F.col("rows").alias("rowsb"))
+    grid = a.join(b, F.col("blka") <= F.col("blkb")).repartition("blka", "blkb")
+
+    def _sims(batches):
+        for pdf in batches:
+            out_i, out_j, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["id"] for r in row["rowsa"]])
+                mat_a = np.vstack([np.asarray(r["e"]) for r in row["rowsa"]])
+                ids_b = np.array([r["id"] for r in row["rowsb"]])
+                mat_b = np.vstack([np.asarray(r["e"]) for r in row["rowsb"]])
+                na = np.linalg.norm(mat_a, axis=1)
+                nb = np.linalg.norm(mat_b, axis=1)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                sims = (mat_a / na[:, None]) @ (mat_b / nb[:, None]).T
+                mask = ids_a[:, None] < ids_b[None, :]
+                if threshold is not None:
+                    mask &= sims >= threshold
+                ii, jj = np.nonzero(mask)
+                if per_block_topk is not None and len(ii) > per_block_topk:
+                    order = np.argsort(-sims[ii, jj], kind="stable")[:per_block_topk]
+                    ii, jj = ii[order], jj[order]
+                out_i.append(ids_a[ii])
+                out_j.append(ids_b[jj])
+                out_s.append(sims[ii, jj])
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate(out_i),
+                        "j": np.concatenate(out_j),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    return grid.mapInPandas(_sims, "i long, j long, sim double")
+
+
+def all_pairs_topk(
+    emb: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+) -> DataFrame:
+    """Top-k most similar pairs (i < j) by cosine, exact. Blocked-matmul
+    execution (`_blocked_pair_sims`): each block pair keeps its local
+    top-k, then one global TakeOrdered — the global top-k is a subset of
+    the union of block-pair top-ks, so this is exact."""
     return (
-        base.join(other, F.col("i") < F.col("j"))
-        .withColumn("sim", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
+        _blocked_pair_sims(emb, block_size, id_col, vec_col, None, k)
         .orderBy(F.col("sim").desc(), "i", "j")
         .limit(k)
+    )
+
+
+def cosine_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (i < j) with cosine ≥
+    threshold, exact, via blocked matmul. The deterministic baseline for
+    embedding-space dedup; beyond ~10⁶ rows switch to
+    `cosine_near_dups_lsh` (bucketed candidates, same verify semantics)."""
+    return _blocked_pair_sims(emb, block_size, id_col, vec_col, threshold, None)
+
+
+def cosine_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 24,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dups: candidate pairs share a
+    random-hyperplane LSH bucket in ≥1 table, then exact cosine ≥ threshold
+    on candidates only. Recall vs `cosine_near_dups` is property-tested
+    (high-cosine pairs collide in some table w.h.p. — a pair at angle θ
+    agrees per table with prob (1−θ/π)^planes)."""
+    index = ann_index(emb, dim, num_planes, num_tables, seed, id_col, vec_col)
+    a = index.select(
+        F.col("id").alias("i"), F.col("_emb").alias("ea"), "table_idx", "bucket"
+    )
+    b = index.select(
+        F.col("id").alias("j"), F.col("_emb").alias("eb"), "table_idx", "bucket"
+    )
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "ea", "eb")
+        .dropDuplicates(["i", "j"])
+    )
+    return (
+        cand.withColumn("sim", _dot("ea", "eb") / F.sqrt(_norm2("ea") * _norm2("eb")))
+        .filter(F.col("sim") >= threshold)
         .select("i", "j", "sim")
     )
 
@@ -114,31 +232,35 @@ def ann_index(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, table_idx, bucket): random-hyperplane LSH. bucket = the
-    num_planes sign bits of ⟨x, h_i⟩ packed into a long. Narrow projection
-    — at scale this materializes as a bucketed table joined on
-    (table_idx, bucket)."""
+    num_planes sign bits of ⟨x, h_i⟩ packed into a long. All
+    num_tables·num_planes projections are ONE numpy matmul per Arrow batch
+    (a (batch × dim) @ (dim × T·P) product) — compiling them as T·P
+    separate zip_with/aggregate expressions made Catalyst analysis, not
+    compute, the bottleneck. Narrow projection — at scale this
+    materializes as a bucketed table joined on (table_idx, bucket)."""
+    # (dim, num_tables*num_planes) projection matrix, deterministic per seed
+    proj = np.column_stack(
+        [
+            np.asarray(plane)
+            for t in range(num_tables)
+            for plane in _hyperplanes(dim, num_planes, seed + 1000 * t)
+        ]
+    )
+    powers = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy())
+        bits = (mat @ proj >= 0).reshape(len(mat), num_tables, num_planes)
+        packed = (bits * powers[None, None, :]).sum(axis=2)
+        return pd.Series(list(packed))
+
     base = with_double_embedding(emb, vec_col)
-    tables = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
-        bucket = None
-        for p_idx, plane in enumerate(planes):
-            lit_plane = F.array(*[F.lit(x) for x in plane])
-            bit = F.when(_dot("_emb", lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            term = F.shiftleft(bit, p_idx)
-            bucket = term if bucket is None else bucket.bitwiseOR(term)
-        tables.append(
-            F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket"))
+    return (
+        base.select(
+            F.col(id_col).alias("id"), "_emb", _buckets("_emb").alias("_bks")
         )
-    return base.select(
-        F.col(id_col).alias("id"), "_emb", F.explode(F.array(*tables)).alias("tb")
-    ).select(
-        "id",
-        "_emb",
-        F.col("tb.table_idx").alias("table_idx"),
-        F.col("tb.bucket").alias("bucket"),
+        .select("id", "_emb", F.posexplode("_bks").alias("table_idx", "bucket"))
     )
 
 
@@ -170,14 +292,20 @@ def ann_topk(
         raise ValueError(f"query_id {query_id} not found")
     qv = qrow[0][0]
 
-    wanted: set[tuple[int, int]] = set()
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
-        bucket = 0
-        for p_idx, plane in enumerate(planes):
-            if sum(x * y for x, y in zip(qv, plane)) >= 0:
-                bucket |= 1 << p_idx
-        wanted.add((t, bucket))
+    # same numpy matmul as the ann_index UDF — identical float reduction
+    # order, so the query row's buckets exactly match its corpus-side ones
+    proj = np.column_stack(
+        [
+            np.asarray(plane)
+            for t in range(num_tables)
+            for plane in _hyperplanes(dim, num_planes, seed + 1000 * t)
+        ]
+    )
+    bits = (np.asarray(qv, dtype=float)[None, :] @ proj >= 0).reshape(
+        num_tables, num_planes
+    )
+    powers = 1 << np.arange(num_planes, dtype=np.int64)
+    wanted = {(t, int((bits[t] * powers).sum())) for t in range(num_tables)}
 
     index = ann_index(emb, dim, num_planes, num_tables, seed, id_col, vec_col)
     cond = None
@@ -189,6 +317,113 @@ def ann_topk(
         index.filter(F.col("id") != query_id)
         .filter(cond)
         .dropDuplicates(["id"])
+        .withColumn("qv", qv_lit)
+        .withColumn("sim", _dot("_emb", "qv") / F.sqrt(_norm2("_emb") * _norm2("qv")))
+        .orderBy(F.col("sim").desc(), "id")
+        .limit(k)
+        .select(F.col("id").alias(id_col), "sim")
+    )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+def ivf_fit(
+    emb: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means centroids (nlist × dim numpy array), trained
+    driver-side on a deterministic hash-ordered sample — the standard IVF
+    recipe (a bounded training sample fits the driver even for a 10⁹-row
+    corpus; FAISS trains IVF the same way). Deterministic: sample order is
+    xxhash64(id), init is the first nlist sample rows, Lloyd updates are
+    numpy (fixed reduction order)."""
+    sample = (
+        with_double_embedding(emb, vec_col)
+        .select(F.col(id_col).alias("id"), "_emb")
+        .orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.vstack([np.asarray(r["_emb"]) for r in sample])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    if len(mat) < nlist:
+        raise ValueError(f"need ≥ {nlist} vectors to fit {nlist} lists")
+    cents = mat[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(nlist):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, _emb): nearest-centroid assignment, vectorized per
+    Arrow batch (one numpy matmul per batch — no per-row Python). At scale
+    this is the partitioning key: write the corpus bucketed by list_id and
+    a probe reads only nprobe/nlist of the files."""
+    cents = centroids  # (nlist, dim), unit-norm — captured in the closure
+
+    @pandas_udf("long")
+    def _nearest(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((mat / norms[:, None]) @ cents.T, axis=1))
+
+    return with_double_embedding(emb, vec_col).select(
+        F.col(id_col).alias("id"), "_emb", _nearest("_emb").alias("list_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe lists whose centroids are
+    nearest the query, exact cosine re-rank on their members only —
+    touching ~nprobe/nlist of the corpus. nprobe = nlist degenerates to
+    exact brute force (property-tested against `cosine_topk`)."""
+    cents = ivf_fit(emb, nlist, iters, id_col=id_col, vec_col=vec_col)
+    qrow = (
+        with_double_embedding(emb, vec_col)
+        .filter(F.col(id_col) == query_id)
+        .select("_emb")
+        .collect()
+    )
+    if not qrow:
+        raise ValueError(f"query_id {query_id} not found")
+    qv = np.asarray(qrow[0][0], dtype=float)
+    qn = np.linalg.norm(qv)
+    probe = np.argsort(-(cents @ (qv / (qn if qn else 1.0))), kind="stable")[:nprobe]
+
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assigned.filter(
+            F.col("list_id").isin([int(c) for c in probe]) & (F.col("id") != query_id)
+        )
         .withColumn("qv", qv_lit)
         .withColumn("sim", _dot("_emb", "qv") / F.sqrt(_norm2("_emb") * _norm2("qv")))
         .orderBy(F.col("sim").desc(), "id")

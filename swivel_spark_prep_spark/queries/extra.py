@@ -172,6 +172,38 @@ def x08(spark, sf_dir):
 
 
 @_declare(
+    "X10_embedding_near_dups",
+    """SELECT a.vec_id AS i, b.vec_id AS j,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY i, j;""",
+)
+def x10(spark, sf_dir):
+    # Exact embedding-cosine near-dup pairs via blocked matmul
+    # (operators/similarity.py). The fixtures' embeddings are random
+    # (max pairwise cosine ≈ 0.5), so τ=0.4 exercises a realistic sparse
+    # near-dup band; the LSH variant's recall against this exact result is
+    # asserted in tests/test_llm_operators.py.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.cosine_near_dups(emb, threshold=0.4)
+        .select("i", "j", F.round("sim", 4).alias("sim"))
+        .orderBy("i", "j")
+    )
+
+
+@_declare("X11_ivf_topk", None)  # k-means centroids — not DuckDB-replayable
+def x11(spark, sf_dir):
+    # IVF ANN for vec_id 0 probing 4/16 lists; full-probe ≡ brute-force
+    # exactness is property-tested in tests/test_llm_operators.py.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, k=5, nlist=16, nprobe=4).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+@_declare(
     "X09_multimodal_features",
     """SELECT doc_id, length(text)::BIGINT AS n_bytes,
        (length(text) // 1000 + 1)::BIGINT AS n_frames,

@@ -83,6 +83,63 @@ def test_ann_recall_vs_exact_topk(spark, sf_dir):
     assert len(exact & approx) >= 4, f"ANN recall too low: {exact & approx}"
 
 
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """IVF with nprobe = nlist scans every list — must equal the exact
+    brute-force top-k bit-for-bit (same tie-break sim desc, id asc)."""
+    from swivel_spark_prep_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [
+        (r.vec_id, round(r.sim, 10))
+        for r in cosine_topk(emb, query_id=0, k=5).collect()
+    ]
+    full = [
+        (r.vec_id, round(r.sim, 10))
+        for r in ivf_topk(emb, query_id=0, k=5, nlist=16, nprobe=16).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_probe_prunes_and_overlaps(spark, sf_dir):
+    """nprobe < nlist must (a) scan a strict subset of the corpus and
+    (b) still return k rows whose sims are ≤ the exact top-k's."""
+    from swivel_spark_prep_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_fit(emb, nlist=16)
+    sizes = ivf_assign(emb, cents).groupBy("list_id").count().collect()
+    assert len(sizes) > 1, "k-means collapsed to one list"
+    approx = ivf_topk(emb, query_id=0, k=5, nlist=16, nprobe=4).collect()
+    assert len(approx) == 5
+    exact_best = cosine_topk(emb, query_id=0, k=1).collect()[0].sim
+    assert all(r.sim <= exact_best + 1e-12 for r in approx)
+
+
+def test_cosine_near_dups_lsh_recall(spark, sf_dir):
+    """LSH-candidate embedding near-dups must recover most exact pairs at
+    τ=0.4 (24 tables × 4 planes ⇒ a cos≥0.4 pair collides in ≥1 table
+    w.p. ≈ 1−(1−(1−θ/π)⁴)²⁴ ≈ 0.97 at θ = 66°)."""
+    from swivel_spark_prep_spark.operators.similarity import (
+        cosine_near_dups,
+        cosine_near_dups_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.i, r.j) for r in cosine_near_dups(emb, threshold=0.4).collect()}
+    assert exact, "τ=0.4 should catch some pairs in the fixture"
+    approx = {(r.i, r.j) for r in cosine_near_dups_lsh(emb, threshold=0.4).collect()}
+    assert approx <= exact | approx  # sanity
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH near-dup recall {recall:.2f}"
+    # precision is exact by construction: every emitted pair re-verified
+    assert all(pair in exact for pair in approx)
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     from swivel_spark_prep_spark.operators.dedup import exact_dedup
 
