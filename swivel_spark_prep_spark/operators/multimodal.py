@@ -77,3 +77,79 @@ def extract_features(
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+
+def resize(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    decode_mode: str = "fake",
+) -> DataFrame:
+    """Resize stub over mapInPandas: binary in → binary out with typed
+    dimensions. fake mode deterministically resamples the byte stream to
+    width·height bytes (nearest-neighbour over byte offsets — the exact
+    shape a PIL `Image.resize` integration would have); real mode raises
+    (no codecs in this container). Output rows stay 1:1 with input —
+    partitioning is preserved, no shuffle."""
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"decode_mode must be fake|real, got {decode_mode}")
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real resize needs PIL — not available in this container"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b:
+                    out = bytes(b[(i * len(b)) // target] for i in range(target))
+                else:
+                    out = b"\x00" * target
+                rows.append((doc_id, out, width, height))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame binary"
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 1000,
+    every_nth: int = 2,
+    decode_mode: str = "fake",
+) -> DataFrame:
+    """Frame-sampling stub: one input row fans out to one row per sampled
+    frame (the 1→N Arrow batch shape an ffmpeg keyframe extractor would
+    have). fake mode slices the payload into frame_bytes-sized chunks and
+    keeps every `every_nth`; real mode raises."""
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"decode_mode must be fake|real, got {decode_mode}")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real frame extraction needs ffmpeg — not available "
+                    "in this container"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, every_nth):
+                    rows.append(
+                        (doc_id, k, b[k * frame_bytes : (k + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)

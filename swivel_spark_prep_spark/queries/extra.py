@@ -204,6 +204,120 @@ def x11(spark, sf_dir):
 
 
 @_declare(
+    "X12_grouping_sets",
+    """SELECT r_name, c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal),2) AS bal
+FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST;""",
+)
+def x12(spark, sf_dir):
+    # GROUPING SETS beyond ROLLUP/CUBE (Q15/Q16): the general form, via the
+    # DataFrame groupingSets API (one expand + one hash aggregate — same
+    # physical shape as rollup).
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        nat, cust.c_nationkey == nat.n_nationkey
+    ).join(reg, nat.n_regionkey == reg.r_regionkey)
+    return (
+        joined.groupingSets(
+            [["r_name", "c_mktsegment"], ["r_name"], ["c_mktsegment"]],
+            "r_name",
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )
+
+
+@_declare(
+    "X13_pivot",
+    """SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS p_cnt,
+       ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS f_sum,
+       ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS o_sum,
+       ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS p_sum
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority;""",
+)
+def x13(spark, sf_dir):
+    # Pivot with an explicit value list (no extra pass to discover keys —
+    # at scale always pin the pivot values). Aggregates compile to one
+    # hash aggregate with conditional (FILTER) aggregation, no join.
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),  # count(*) is invalid inside pivot
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("sum"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F_cnt", F.lit(0)).alias("f_cnt"),
+        F.coalesce("O_cnt", F.lit(0)).alias("o_cnt"),
+        F.coalesce("P_cnt", F.lit(0)).alias("p_cnt"),
+        F.coalesce("F_sum", F.lit(0.0)).alias("f_sum"),
+        F.coalesce("O_sum", F.lit(0.0)).alias("o_sum"),
+        F.coalesce("P_sum", F.lit(0.0)).alias("p_sum"),
+    ).orderBy("o_orderpriority")
+
+
+@_declare(
+    "X14_percentiles",
+    """SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.50), 4) AS p50,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type ORDER BY event_type;""",
+)
+def x14(spark, sf_dir):
+    # Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    # quantile_cont — linear interpolation; NEVER percentile_approx here,
+    # the approximate sketch is engine-specific and covered by X15).
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.element_at("q", 1), 4).alias("p25"),
+            F.round(F.element_at("q", 2), 4).alias("p50"),
+            F.round(F.element_at("q", 3), 4).alias("p75"),
+            F.round(F.element_at("q", 4), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare("X15_approx_distinct", None)  # HLL++ sketch — engine-specific
+def x15(spark, sf_dir):
+    # approx_count_distinct (HyperLogLog++): deterministic for fixed data
+    # but not DuckDB-replayable; bounded relative error vs the exact Q14
+    # counts is property-tested in tests/test_operators_misc.py.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("nd_part_approx"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("nd_supp_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_declare(
     "X09_multimodal_features",
     """SELECT doc_id, length(text)::BIGINT AS n_bytes,
        (length(text) // 1000 + 1)::BIGINT AS n_frames,

@@ -85,6 +85,47 @@ def events_file_stream(
     )
 
 
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup — a CUSTOM stateful operator via
+    applyInPandasWithState (no built-in Spark operator expresses "emit
+    only first occurrence per key, forever"). Groups by content hash
+    (md5); per-key state is the number of occurrences seen so far; a row
+    is emitted iff its key was never seen in any earlier micro-batch (or
+    earlier in this batch). With an arrival order of ascending `id_col`,
+    the emitted set equals the batch `operators.dedup.exact_dedup`
+    survivors (property-tested in tests/test_streaming.py).
+
+    State is one long per distinct content hash — bounded by unique-doc
+    count; at 100 TB shard it with `spark.sql.shuffle.partitions` like any
+    keyed state (RocksDB state store in production)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _dedup(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        out_ids = []
+        for pdf in pdfs:
+            for doc_id in pdf[id_col]:
+                if seen == 0:
+                    out_ids.append(int(doc_id))
+                seen += 1
+        state.update((seen,))
+        yield pd.DataFrame({id_col: out_ids, "content_hash": [key[0]] * len(out_ids)})
+
+    hashed = docs_stream.withColumn("content_hash", F.md5(F.col(content_col)))
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _dedup,
+        outputStructType=f"{id_col} long, content_hash string",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream(
     agg: DataFrame,
     output_mode: str = "complete",

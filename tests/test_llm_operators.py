@@ -170,6 +170,47 @@ def test_multimodal_fake_features_content(spark, sf_dir):
         assert r.features[2] == float(max(b))
 
 
+def test_multimodal_resize_shapes(spark, sf_dir):
+    """Resize stub: 1:1 rows, payload exactly width·height bytes, and
+    deterministic nearest-neighbour content."""
+    from swivel_spark_prep_spark.operators.multimodal import attach_binary, resize
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = attach_binary(docs)
+    out = resize(media, width=8, height=4).collect()
+    assert len(out) == 10
+    text = {r.doc_id: r.text for r in docs.collect()}
+    for r in out:
+        assert len(r.payload) == 8 * 4
+        b = text[r.doc_id].encode("utf-8")
+        assert bytes(r.payload) == bytes(b[(i * len(b)) // 32] for i in range(32))
+
+
+def test_multimodal_frame_sampling_fanout(spark, sf_dir):
+    """Frame sampling: each doc fans out to ceil(n_bytes/frame_bytes)
+    frames, keeping every 2nd; frame content is the exact byte slice."""
+    from swivel_spark_prep_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    frames = sample_frames(
+        attach_binary(docs), frame_bytes=100, every_nth=2
+    ).collect()
+    text = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, b in text.items():
+        n_frames = (len(b) + 99) // 100
+        expect = list(range(0, n_frames, 2))
+        got = sorted(r.frame_idx for r in by_doc[doc_id])
+        assert got == expect
+        for r in by_doc[doc_id]:
+            assert bytes(r.frame) == b[r.frame_idx * 100 : (r.frame_idx + 1) * 100]
+
+
 def test_multimodal_real_mode_raises(spark, sf_dir):
     from swivel_spark_prep_spark.operators.multimodal import (
         attach_binary,

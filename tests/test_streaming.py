@@ -147,6 +147,55 @@ def test_late_rows_dropped_by_watermark(spark, events, replay_dir, tmp_path):
         query.stop()
 
 
+def test_stream_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState dedup: replaying documents in doc_id order,
+    the emitted set must equal the batch exact-dedup survivors (keep min
+    doc_id per content hash), across micro-batch boundaries."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.dedup import exact_dedup
+    from swivel_spark_prep_spark.streaming import run_stream, stream_exact_dedup
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = base.count()
+    # clone the first quarter with shifted ids — guaranteed cross-batch
+    # exact duplicates (the sf0.001 fixture plants none of its own)
+    clones = base.filter(F.col("doc_id") < n // 4).select(
+        (F.col("doc_id") + n).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(clones)
+    replay = tmp_path / "docs_replay"
+    replay.mkdir()
+    bounds = [(0, n // 4), (n // 4, n // 2), (n // 2, n), (n, 2 * n)]
+    for b, (lo, hi) in enumerate(bounds):
+        part_dir = tmp_path / f"raw{b}"
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(part_dir))
+        )
+        part = glob.glob(str(part_dir / "part-*.parquet"))[0]
+        shutil.copy(part, str(replay / f"{b:02d}.parquet"))
+    _stamp_mtimes(str(replay))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    result, query = run_stream(stream_exact_dedup(stream), "append")
+    try:
+        got = {r.doc_id for r in result.collect()}
+        want = {r.doc_id for r in exact_dedup(docs).select("doc_id").collect()}
+        assert got == want
+        assert len(got) < docs.count()  # the clones were deduped away
+    finally:
+        query.stop()
+
+
 def test_session_stream_emits_closed_sessions(spark, events, replay_dir, tmp_path):
     """Session windows in append mode emit once the watermark passes the
     session end; a far-future sentinel flushes every real session. The
