@@ -57,22 +57,33 @@ def assign_ids(df: DataFrame, order_cols: list, id_col: str = "id") -> DataFrame
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_col = F.coalesce(
-        *[
-            F.when(F.col("_pid") == pid, F.lit(off))
-            for pid, off in offsets.items()
-        ]
-        or [F.lit(0)],
-        F.lit(0),
-    )
     # Pass 2: rank within each partition (parallel windows) + offset.
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        with_pid.withColumn(
-            id_col, (F.row_number().over(w) - 1 + offset_col).cast("long")
+    local = with_pid.withColumn("_rn", F.row_number().over(w) - 1)
+    if len(offsets) <= 64:
+        # small cluster: constant-fold the offsets into one expression
+        offset_col = F.coalesce(
+            *[
+                F.when(F.col("_pid") == pid, F.lit(off))
+                for pid, off in offsets.items()
+            ]
+            or [F.lit(0)],
+            F.lit(0),
         )
-        .drop("_pid")
-    )
+        ranked = local.withColumn(
+            id_col, (F.col("_rn") + offset_col).cast("long")
+        )
+    else:
+        # thousands of partitions: a 10⁴-branch CASE chain blows up
+        # codegen — broadcast-join the (pid, offset) table instead
+        spark = df.sparkSession
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+        ranked = local.join(F.broadcast(off_df), "_pid").withColumn(
+            id_col, (F.col("_rn") + F.col("_off")).cast("long")
+        ).drop("_off")
+    return ranked.drop("_pid", "_rn")
 
 
 def build_vocab(

@@ -93,3 +93,56 @@ def test_declared_queries_stay_jvm_side(spark, sf_dir):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
             f"{name} unexpectedly crosses into Python:\n{plan}"
         )
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed+sorted on the same key must sort-merge join
+    straight off the scans — no Exchange, no Sort in the plan."""
+    from swivel_spark_prep_spark.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        "t_orders_b", str(tmp_path / "ob"), 8, ["o_orderkey"], ["o_orderkey"],
+    )
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"),
+        "t_lineitem_b", str(tmp_path / "lb"), 8, ["l_orderkey"], ["l_orderkey"],
+    )
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        # MERGE hint: at fixture scale Catalyst would broadcast the tiny
+        # side; the property under test is that the SMJ needs no exchange
+        joined = a.hint("merge").join(b, a.o_orderkey == b.l_orderkey)
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # bucket-local sort order satisfies the SMJ requirement too
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Reading a partitioned dataset with a partition filter must show
+    partition pruning (only matching directories scanned)."""
+    from swivel_spark_prep_spark.sinks import write_partitioned
+
+    li = load_table(spark, sf_dir, "lineitem")
+    write_partitioned(
+        li.select("l_orderkey", "l_quantity", "l_returnflag"),
+        str(tmp_path / "li_part"),
+        ["l_returnflag"],
+    )
+    back = spark.read.parquet(str(tmp_path / "li_part")).filter(
+        F.col("l_returnflag") == "R"
+    )
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == want
