@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from swivel_spark_prep_spark.catalog import load_table
 from swivel_spark_prep_spark.operators import dedup, multimodal, similarity, textstats
@@ -314,6 +315,167 @@ def x15(spark, sf_dir):
             F.approx_count_distinct("l_suppkey", 0.02).alias("nd_supp_approx"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@_declare(
+    "X16_win_range_frame",
+    """SELECT event_id, user_id, COUNT(*) OVER w AS n_1h, ROUND(SUM(value) OVER w, 2) AS v_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id;""",
+)
+def x16(spark, sf_dir):
+    # RANGE frame keyed on time (trailing 1 hour per user). Spark's
+    # rangeBetween needs a numeric ordering column, so the frame is pinned
+    # in epoch MICROseconds on both engines — truncating to seconds would
+    # move frame boundaries for sub-second timestamps.
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("v_1h"),
+    ).orderBy("event_id")
+
+
+@_declare(
+    "X17_win_ntile",
+    """SELECT c_custkey, NTILE(4) OVER o AS quartile,
+       ROUND(PERCENT_RANK() OVER o, 4) AS pr, ROUND(CUME_DIST() OVER o, 4) AS cd
+FROM customer WINDOW o AS (ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey;""",
+)
+def x17(spark, sf_dir):
+    # Distribution window functions. The unpartitioned ORDER BY makes this
+    # a single-task window at any scale — correct here by contract; the
+    # 100 TB path for global quantile bucketing is X14's percentile /
+    # approx_percentile, not a global window.
+    cust = load_table(spark, sf_dir, "customer")
+    o = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(o).alias("quartile"),
+        F.round(F.percent_rank().over(o), 4).alias("pr"),
+        F.round(F.cume_dist().over(o), 4).alias("cd"),
+    ).orderBy("c_custkey")
+
+
+@_declare(
+    "X18_scalar_subquery",
+    """SELECT l_orderkey, l_linenumber FROM lineitem l
+WHERE l_quantity > 1.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+ORDER BY l_orderkey, l_linenumber;""",
+)
+def x18(spark, sf_dir):
+    # Correlated scalar subquery, expressed directly as its decorrelated
+    # plan: per-key aggregate + equi-join + filter — the same shape
+    # Catalyst rewrites the subquery into, with map-side partial agg and a
+    # shuffle on l_partkey only.
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg_q"))
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") > 1.5 * F.col("_avg_q"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@_declare(
+    "X19_topk_revenue",
+    """SELECT o_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10;""",
+)
+def x19(spark, sf_dir):
+    # TPC-H Q3 shape: selective dimension filter → two equi-joins → agg →
+    # global top-k (TakeOrderedAndProject, no full sort). Filters sit
+    # before the joins so they push into the parquet scans.
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_declare(
+    "X20_win_first_last",
+    """SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+       LAST_VALUE(o_orderkey) OVER w AS last_ok,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey;""",
+)
+def x20(spark, sf_dir):
+    # first/last/nth over an explicit full-partition frame (the default
+    # frame would stop at CURRENT ROW and make last_value ≡ the row itself).
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    ).orderBy("o_orderkey")
+
+
+@_declare(
+    "X21_string_agg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name;""",
+)
+def x21(spark, sf_dir):
+    # Ordered string aggregation: collect_list is order-nondeterministic
+    # under parallel merge, so determinism comes from array_sort before the
+    # join — never from assuming input order.
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+        .orderBy("r_name")
     )
 
 

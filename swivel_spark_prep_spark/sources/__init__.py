@@ -49,3 +49,15 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar/vectorized/pushdown properties as parquet
+    (Spark's native OrcFileFormat); schema always comes from the files."""
+    configure_runtime(spark)
+    return spark.read.orc(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    configure_runtime(spark)
+    return spark.read.parquet(path)

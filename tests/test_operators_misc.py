@@ -108,6 +108,28 @@ def test_cli_prep_roundtrip(spark, tmp_path, sf_dir):
     assert vocab.count() % 2 == 0  # truncated to shard multiple
 
 
+def test_format_roundtrips(spark, sf_dir, tmp_path):
+    """Every ingestion format round-trips a fixture slice losslessly:
+    parquet → {orc, csv, jsonl} → read back ≡ original."""
+    from swivel_spark_prep_spark.sources import read_csv, read_jsonl, read_orc
+
+    src = load_table(spark, sf_dir, "nation")
+    want = sorted(tuple(r) for r in src.collect())
+
+    src.write.mode("overwrite").orc(str(tmp_path / "orc"))
+    got = read_orc(spark, str(tmp_path / "orc"))
+    assert sorted(tuple(r) for r in got.collect()) == want
+    assert got.schema == src.schema  # ORC keeps exact types
+
+    src.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "csv"))
+    got = read_csv(spark, str(tmp_path / "csv"), schema=src.schema)
+    assert sorted(tuple(r) for r in got.collect()) == want
+
+    src.write.mode("overwrite").json(str(tmp_path / "jsonl"))
+    got = read_jsonl(spark, str(tmp_path / "jsonl"), schema=src.schema)
+    assert sorted(tuple(r) for r in got.collect()) == want
+
+
 def test_approx_count_distinct_within_rated_error(spark, sf_dir):
     """§5.3: approx_count_distinct within its rated rsd of the exact Q14
     values (never oracle-hashed — approximate by design)."""
