@@ -1,0 +1,95 @@
+"""Sequence packing: concat-and-chunk document → training-sequence layout.
+
+The standard LLM pretraining packing: lay every document's tokens end to
+end in a deterministic document order, then cut the stream every
+`chunk_tokens` tokens. Each document therefore occupies the half-open
+token span [cum_before, cum_before + n_tok), which maps to the chunk range
+[cum_before // chunk, (cum_before + n_tok - 1) // chunk] — documents may
+straddle a boundary (that is the point: zero padding waste).
+
+Scale design: the only non-trivial step is the exclusive prefix sum of
+token counts in document order. A naive `SUM() OVER (ORDER BY ...)` is a
+single-task global window; instead this uses the same two-pass scheme as
+swivel.assign_ids — range-partition by the order column, partition-local
+prefix sums in parallel, then add per-partition offsets computed from the
+partition TOTALS (a driver-side cumsum over #partitions numbers, never
+data). Identical results, no single-task stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame, value_col: str, order_cols: list, out_col: str
+) -> DataFrame:
+    """cum_before = sum of value_col over all rows strictly before this one
+    in the total order — two-pass, no global window."""
+    n_part = max(df.rdd.getNumPartitions(), 1)
+    ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_pid.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    if len(offsets) <= 64:
+        off = F.coalesce(
+            *[F.when(F.col("_pid") == p, F.lit(o)) for p, o in offsets.items()]
+            or [F.lit(0)],
+            F.lit(0),
+        )
+        out = local.withColumn(out_col, (F.col("_local") + off).cast("long"))
+    else:
+        off_df = df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+        out = (
+            local.join(F.broadcast(off_df), "_pid")
+            .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
+            .drop("_off")
+        )
+    return out.drop("_pid", "_local")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    chunk_tokens: int,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk layout: (doc, n_tok, first_chunk, last_chunk) for
+    every document, tokens counted by whitespace split. Deterministic in
+    `order_col`; downstream writers group by chunk id to materialize the
+    packed sequences."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    with_tok = docs.select(
+        order_col, F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok")
+    )
+    cum = _exclusive_prefix_sum(with_tok, "n_tok", [order_col], "cum_before")
+    return cum.select(
+        order_col,
+        "n_tok",
+        F.floor(F.col("cum_before") / chunk_tokens).cast("long").alias("first_chunk"),
+        F.floor((F.col("cum_before") + F.col("n_tok") - 1) / chunk_tokens)
+        .cast("long")
+        .alias("last_chunk"),
+    )

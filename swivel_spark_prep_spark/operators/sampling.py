@@ -1,0 +1,99 @@
+"""Deterministic sampling and dataset splits for training-data pipelines.
+
+Random `df.sample()` is fine for quick stats but useless for pipelines: it
+is neither reproducible across runs/engines nor stable under re-partitioning,
+and a row's membership changes when the input grows. Hash-based sampling
+fixes all three — membership is a pure function of the row's KEY, so
+
+- the same key always lands in the same split (stable train/val/test
+  boundaries across incremental re-runs — the property that prevents
+  train/test contamination when the corpus grows);
+- it needs no shuffle, no state, and no coordination: a narrow projection
+  that runs map-side at any scale;
+- it is oracle-checkable (md5 is engine-independent, unlike xxhash64
+  whose seeds are Spark-internal).
+
+Bucket function: the first 8 hex chars of md5(key) as an integer, i.e. a
+uniform draw from [0, 2^32) — `% n_buckets` gives the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "") -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from a key column.
+    `salt` decouples independent sampling decisions on the same key (e.g.
+    a 1% eval sample drawn independently of the train/val/test split)."""
+    keyed = F.concat(F.lit(salt), key.cast("string")) if salt else key.cast("string")
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~`fraction` of rows, deterministically by key. Rows sharing a
+    key are kept or dropped together (document-level, not row-level,
+    sampling when key = doc id)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    n = 1_000_000  # ppm resolution
+    return df.filter(
+        hash_bucket(F.col(key_col), n, salt) < F.lit(int(round(fraction * n)))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split with the given weights
+    (e.g. {"train": .8, "val": .1, "test": .1}). Splits are disjoint,
+    exhaustive, and stable under data growth: a key keeps its split
+    forever. Weight order follows the dict (insertion-ordered)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    n = 1_000_000
+    bucket = hash_bucket(F.col(key_col), n, salt)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        cond = F.when(bucket < F.lit(int(round(hi * n))), F.lit(name))
+        expr = cond if expr is None else expr.when(
+            bucket < F.lit(int(round(hi * n))), F.lit(name)
+        )
+    expr = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'en' to 10% but
+    keep all of 'fr'). Strata missing from `fractions` are dropped —
+    explicit beats silent pass-through in a data pipeline. Still a single
+    map-side filter: the fractions table is folded into one expression."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0,1], got {f}")
+    n = 1_000_000
+    bucket = hash_bucket(F.col(key_col), n, salt)
+    thresh = F.lit(None)
+    for s, f in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == s, F.lit(int(round(f * n)))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

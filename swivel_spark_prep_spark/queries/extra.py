@@ -480,6 +480,83 @@ def x21(spark, sf_dir):
 
 
 @_declare(
+    "X22_hash_split",
+    """SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
+  SELECT doc_id,
+         CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 1000000 AS b
+        FROM documents))
+GROUP BY split ORDER BY split;""",
+)
+def x22(spark, sf_dir):
+    # Deterministic md5-bucket train/val/test split (operators/sampling.py):
+    # membership is a pure function of the key, so splits stay disjoint and
+    # stable as the corpus grows — no shuffle, map-side only.
+    from swivel_spark_prep_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+    )
+
+
+@_declare(
+    "X23_higher_order_funcs",
+    """SELECT doc_id,
+       len(list_filter(string_split(text,' '), x -> length(x) > 3))::BIGINT AS n_long,
+       list_reduce(list_transform(string_split(text,' '), x -> length(x)::BIGINT),
+                   (a, b) -> a + b) AS sum_len,
+       array_to_string(list_transform(string_split(text,' ')[1:3], x -> upper(x)), ' ') AS head_upper
+FROM documents ORDER BY doc_id;""",
+)
+def x23(spark, sf_dir):
+    # Higher-order array functions stay whole-stage-codegen'd JVM
+    # expressions (lambdas compile to Catalyst LambdaFunction) — the
+    # fast path for per-row array work that would otherwise tempt a UDF.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 3)).cast("long").alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_len"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), " "
+        ).alias("head_upper"),
+    ).orderBy("doc_id")
+
+
+@_declare(
+    "X24_pack_sequences",
+    """WITH t AS (
+  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+  FROM t)
+SELECT doc_id, n_tok, (cum_before // 512)::BIGINT AS first_chunk,
+       ((cum_before + n_tok - 1) // 512)::BIGINT AS last_chunk
+FROM c ORDER BY doc_id;""",
+)
+def x24(spark, sf_dir):
+    # Concat-and-chunk sequence packing (operators/packing.py): documents
+    # laid end-to-end in doc_id order, cut every 512 tokens. The oracle is
+    # the single-window formulation; the engine computes the same prefix
+    # sum with the two-pass range-partitioned scheme (no global window).
+    from swivel_spark_prep_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, chunk_tokens=512).orderBy("doc_id")
+
+
+@_declare(
     "X09_multimodal_features",
     """SELECT doc_id, length(text)::BIGINT AS n_bytes,
        (length(text) // 1000 + 1)::BIGINT AS n_frames,

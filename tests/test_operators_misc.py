@@ -130,6 +130,75 @@ def test_format_roundtrips(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == want
 
 
+def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    by = {r["split"]: r["n"] for r in
+          split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n  # exhaustive, one split per row
+    assert 0.6 * n < by.get("train", 0) < 0.95 * n
+    # stable: same assignment on a re-run over a reshuffled input
+    again = hash_split(docs.repartition(7), "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert split.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = hash_sample(docs, "doc_id", 0.3)
+    s2 = hash_sample(docs, "doc_id", 0.3)
+    assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
+    frac = s1.count() / docs.count()
+    assert 0.15 < frac < 0.45
+    # a different salt draws an (almost surely) different subset
+    s3 = hash_sample(docs, "doc_id", 0.3, salt="other")
+    assert s3.select("doc_id").exceptAll(s1.select("doc_id")).count() > 0
+    # sample is a subset of the 0.6 sample with the same salt (nested
+    # thresholds — the property that makes fractions tunable in place)
+    s6 = hash_sample(docs, "doc_id", 0.6)
+    assert s1.select("doc_id").exceptAll(s6.select("doc_id")).count() == 0
+
+
+def test_stratified_hash_sample(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "fr": 0.0}
+    )
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert by.get("en") == n_en  # fraction 1.0 keeps everything
+    assert "fr" not in by  # fraction 0.0 drops everything
+    assert set(by) <= {"en"}  # unlisted strata dropped
+
+
+def test_pack_sequences_properties(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, chunk_tokens=512).orderBy("doc_id").collect()
+    # spans are contiguous: each doc starts where the previous one ended
+    cum = 0
+    for r in packed:
+        assert r.first_chunk == cum // 512
+        assert r.last_chunk == (cum + r.n_tok - 1) // 512
+        cum += r.n_tok
+    # every chunk index up to the last is produced by some document
+    last = packed[-1].last_chunk
+    covered = set()
+    for r in packed:
+        covered.update(range(r.first_chunk, r.last_chunk + 1))
+    assert covered == set(range(last + 1))
+
+
 def test_approx_count_distinct_within_rated_error(spark, sf_dir):
     """§5.3: approx_count_distinct within its rated rsd of the exact Q14
     values (never oracle-hashed — approximate by design)."""
