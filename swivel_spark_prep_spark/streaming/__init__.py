@@ -126,6 +126,30 @@ def stream_exact_dedup(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "INTERVAL 7 DAYS",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-range conjunct: match right rows
+    at or before the left row's time, no older than `within`. Both inputs
+    must carry watermarks — the range conjunct plus the watermarks is what
+    lets Spark expire join state (without it, state grows forever). The
+    same expression joins two batch DataFrames identically, which is the
+    parity property tests/test_streaming.py asserts."""
+    lt, rt = F.col(f"_l.{left_ts}"), F.col(f"_r.{right_ts}")
+    cond = (
+        (F.col(f"_l.{on_col}") == F.col(f"_r.{on_col}"))
+        & (rt <= lt)
+        & (rt >= lt - F.expr(within))
+    )
+    return left.alias("_l").join(right.alias("_r"), cond, how)
+
+
 def run_stream(
     agg: DataFrame,
     output_mode: str = "complete",

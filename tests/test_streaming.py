@@ -196,6 +196,41 @@ def test_stream_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
         query.stop()
 
 
+def test_stream_stream_join_converges_to_batch(spark, events, replay_dir):
+    """Stream-stream inner join (purchases ⋈ signups per user within 7
+    days, signup at or before purchase): the streamed result must equal
+    the identical batch-join expression once every drop is processed."""
+    from swivel_spark_prep_spark.streaming import stream_stream_join
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts"
+        )
+        s = df.filter(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("s_id"), "user_id", "ts"
+        )
+        return p, s
+
+    stream = _stream(spark, events, replay_dir, watermark="1 hour")
+    sp, ss = split(stream)
+    joined = stream_stream_join(sp, ss, "user_id").select(
+        "_l.p_id", "_r.s_id"
+    )
+    result, query = run_stream(joined, "append")
+    try:
+        got = {(r.p_id, r.s_id) for r in result.collect()}
+        bp, bs = split(events)
+        want = {
+            (r.p_id, r.s_id)
+            for r in stream_stream_join(bp, bs, "user_id")
+            .select("_l.p_id", "_r.s_id")
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        query.stop()
+
+
 def test_session_stream_emits_closed_sessions(spark, events, replay_dir, tmp_path):
     """Session windows in append mode emit once the watermark passes the
     session end; a far-future sentinel flushes every real session. The
