@@ -241,7 +241,10 @@ def minhash_near_dups(
     # latter would make Catalyst substitute the full shingle expression
     # into a pushed-down predicate and evaluate it twice per row
     eligible = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= n))
-    sh = shingle_hashes(eligible, n, text_col, doc_col)
+    # persisted: the shingle arrays feed BOTH the signature path and the
+    # exact-verify join sides, and Spark has no common-subplan reuse —
+    # without this the shingling runs three times
+    sh = shingle_hashes(eligible, n, text_col, doc_col).persist()
     signed = minhash_signature(sh, num_hashes, hashed=True)
     cand = minhash_lsh_candidates(signed, num_bands, rows_per_band)
     return _exact_jaccard_verify(cand, sh, jaccard_threshold)
@@ -259,26 +262,48 @@ def ngram_jaccard_pairs(
     doc_col: str = "doc_id",
 ) -> DataFrame:
     """Exact near-dup pairs via inverted-index blocking on rare shingles
-    (document frequency in [min_df, max_df]) — Q41 generalized. The df
-    upper bound keeps bucket joins skew-free: a shingle shared by >max_df
-    docs would create quadratic candidates and is (by construction) a weak
-    signal anyway."""
-    sh = shingle_hashes(_spread(docs), n, text_col, doc_col)
+    (document frequency in [min_df, max_df]) — Q41 generalized.
+
+    Pair-counting design (see queries/declared.py Q41): |A∩B| is the
+    number of shingles whose member list contains both docs, so exploding
+    ordered pairs per inverted-index entry and counting per (d1,d2) gives
+    the exact intersection with no array joins; the blocking predicate
+    ("shares ≥1 shingle with df in the band") rides along as max(_rare) in
+    the same aggregation, and set sizes join back as a broadcast.
+
+    Scale note: pair explosion is O(Σ df²) over member lists. A Zipf-hot
+    corpus (shingles with huge df) needs the MinHash-LSH path — exact
+    all-pairs Jaccard is quadratic in hot-shingle membership by nature."""
+    sh = shingle_hashes(_spread(docs), n, text_col, doc_col).persist()
+    sizes = sh.select("doc_id", F.size("shingles").alias("_sz"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     # shingles are distinct per doc, so the member-list length IS the
-    # document frequency — the df-band filter and pair generation happen
-    # in one grouped pass (see _pairs_within_buckets for why not a join)
-    cand = (
+    # document frequency (see _pairs_within_buckets for why not a join)
+    grouped = (
         inv.groupBy("sh")
         .agg(F.collect_list("doc_id").alias("_ms"))
-        .filter(F.size("_ms").between(min_df, max_df))
-        .select(F.explode("_ms").alias("d1"), "_ms")
-        .select("d1", F.explode("_ms").alias("d2"))
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
+        .filter(F.size("_ms") >= 2)
+        .withColumn("_rare", F.size("_ms").between(min_df, max_df))
     )
-    return _exact_jaccard_verify(cand, sh, threshold)
+    pairs = (
+        grouped.select("_rare", F.explode("_ms").alias("d1"), "_ms")
+        .select("_rare", "d1", F.explode("_ms").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+    )
+    stats = pairs.groupBy("d1", "d2").agg(
+        F.count("*").alias("_inter"), F.max("_rare").alias("_has_rare")
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("_sz").alias("_sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("_sz").alias("_sz2"))
+    jac = F.col("_inter") / (F.col("_sz1") + F.col("_sz2") - F.col("_inter"))
+    return (
+        stats.filter("_has_rare")
+        .join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", "jac")
+    )
 
 
 # --- SimHash ---------------------------------------------------------------
