@@ -54,6 +54,26 @@ def exact_dup_stats(df: DataFrame, content_col: str = "text") -> DataFrame:
     )
 
 
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    content_col: str = "text",
+    seen_hash_col: str = "content_hash",
+) -> DataFrame:
+    """Survivors among `new_docs` whose content was never seen before:
+    dedup the batch internally, then anti-join against the accumulated
+    hash set. `seen` is (content_hash) — at pipeline scale a bucketed
+    table on content_hash so successive increments join co-located
+    without a shuffle of the (much larger) history side. The streaming
+    twin of this operator is streaming.stream_exact_dedup."""
+    batch = exact_dedup(new_docs, content_col)
+    return batch.withColumn("_h", F.md5(F.col(content_col))).join(
+        seen.select(F.col(seen_hash_col).alias("_h")),
+        "_h",
+        "left_anti",
+    ).drop("_h")
+
+
 # --- shingling -------------------------------------------------------------
 
 def shingle(

@@ -21,6 +21,38 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files and return the
+    new file count. Small-file proliferation is the classic failure mode
+    of incremental pipelines at scale (every micro-batch/increment leaves
+    a shard; a 100 TB table with 10⁷ tiny files is unreadable): compaction
+    sizes output files from the dataset's actual bytes, never a fixed
+    partition count. Writes to `out_path` (default: alongside as
+    `<path>__compacted`) — the caller swaps directories; an in-place
+    rewrite that fails mid-way would destroy data."""
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    hadoop_path = jvm.Path(path)
+    fs = hadoop_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hadoop_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    out = out_path or f"{path.rstrip('/')}__compacted"
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: no shuffle — each output task reads a
+    # contiguous set of input files
+    df.coalesce(n_files).write.mode("overwrite").parquet(out)
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -130,6 +130,48 @@ def test_format_roundtrips(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == want
 
 
+def test_exact_dedup_incremental(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    first = docs.filter(F.col("doc_id") < n // 2)
+    # second batch: new docs + exact clones of first-batch content
+    clones = first.limit(20).select((F.col("doc_id") + n).alias("doc_id"), "text")
+    second = docs.filter(F.col("doc_id") >= n // 2).unionByName(clones)
+
+    seen = exact_dedup(first).select(F.md5("text").alias("content_hash"))
+    out = exact_dedup_incremental(second, seen)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    # no clone of already-seen content survives
+    assert not (got & {r.doc_id for r in clones.select("doc_id").collect()})
+    # equivalent to deduping the full corpus and keeping second-half ids
+    full = {
+        r.doc_id
+        for r in exact_dedup(first.unionByName(second)).select("doc_id").collect()
+    }
+    assert got == {d for d in full if d >= n // 2}
+
+
+def test_compact_sizes_output_files(spark, sf_dir, tmp_path):
+    from swivel_spark_prep_spark.sinks import compact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = str(tmp_path / "fragmented")
+    li.repartition(40).write.parquet(src)  # 40 tiny shards
+    n_files = compact(spark, src, target_file_bytes=1 << 30)
+    out = f"{src}__compacted"
+    assert n_files == 1  # fixture is far below 1 GiB
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 1
+
+
 def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
     from swivel_spark_prep_spark.operators.sampling import hash_split
 
