@@ -40,7 +40,9 @@ def test_declared_query_matches_oracle(name, spark, sf_dir, duck):
     spark_pdf = DECLARED_QUERIES[name](spark, sf_dir).toPandas()
     oracle_pdf = duck.execute(DECLARED_ORACLES[name]).fetchdf()
 
-    expected = EXPECTED_ROWS_SF0001.get(name)
+    expected = (
+        EXPECTED_ROWS_SF0001.get(name) if sf_dir.rstrip("/").endswith("sf0.001") else None
+    )
     if expected is not None:
         assert len(oracle_pdf) == expected, (
             f"oracle self-check failed for {name}: got {len(oracle_pdf)} rows, "
