@@ -90,6 +90,31 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def clean_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    redact: bool = True,
+) -> DataFrame:
+    """Normalization + redaction pass for training corpora, all JVM regex
+    (one fused projection, no Python):
+    - lowercase, collapse whitespace runs, trim;
+    - with redact=True, mask email addresses as <email> and long digit
+      runs (phone/account/card numbers, ≥7 digits with optional
+      separators) as <number> — masking BEFORE the corpus ships beats
+      filtering (keeps the document, drops the PII).
+    Order matters: emails first (they may contain digits), then numbers,
+    then whitespace cleanup of any gaps the masking left."""
+    t = F.lower(F.col(text_col))
+    if redact:
+        t = F.regexp_replace(
+            t, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<email>"
+        )
+        t = F.regexp_replace(t, r"\d(?:[ \-.]?\d){6,}", "<number>")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return docs.withColumn(out_col, t)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
     - fp_md5: md5 of the whitespace-normalized text (lower, collapsed

@@ -557,6 +557,28 @@ def x24(spark, sf_dir):
 
 
 @_declare(
+    "X25_clean_text",
+    r"""SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+      '\d(?:[ \-.]?\d){6,}', '<number>', 'g'),
+    '\s+', ' ', 'g')) AS text_clean
+FROM documents ORDER BY doc_id;""",
+)
+def x25(spark, sf_dir):
+    # Corpus normalization + PII masking (operators/textstats.clean_text):
+    # one fused JVM regex projection; redaction unit-specs live in
+    # tests/test_operators_misc.py (the fixture corpus itself is clean).
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.clean_text(docs)
+        .select("doc_id", "text_clean")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
     "X09_multimodal_features",
     """SELECT doc_id, length(text)::BIGINT AS n_bytes,
        (length(text) // 1000 + 1)::BIGINT AS n_frames,

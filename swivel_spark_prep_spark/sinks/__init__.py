@@ -53,6 +53,28 @@ def compact(
     return n_files
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort by `cluster_cols` before writing: every
+    output file holds a contiguous key range, so parquet row-group min/max
+    statistics let filtered scans skip whole files (data skipping without
+    a table format). The complement of `write_bucketed`: bucketing
+    co-locates equal keys for joins; clustering orders keys for range
+    predicates."""
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -172,6 +172,26 @@ def test_compact_sizes_output_files(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{out}/part-*.parquet")) == 1
 
 
+def test_clean_text_redaction(spark):
+    from swivel_spark_prep_spark.operators.textstats import clean_text
+
+    rows = [
+        (1, "Contact Bob.Smith+x@Example.ORG  today"),
+        (2, "card 4111 1111 1111 1111 exp 12/26"),
+        (3, "call 555-123-4567 or 5551234567"),
+        (4, "short 123 stays,  spaces   collapse"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_clean for r in clean_text(df).collect()}
+    assert got[1] == "contact <email> today"
+    assert got[2] == "card <number> exp 12/26"
+    assert got[3] == "call <number> or <number>"
+    assert got[4] == "short 123 stays, spaces collapse"  # short digits kept
+    # redact=False only normalizes
+    plain = {r.doc_id: r.text_clean for r in clean_text(df, redact=False).collect()}
+    assert plain[3] == "call 555-123-4567 or 5551234567"
+
+
 def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
     from swivel_spark_prep_spark.operators.sampling import hash_split
 

@@ -126,6 +126,72 @@ def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_aqe_splits_skewed_join(spark, sf_dir, tmp_path):
+    """AQE skew-join handling: a join where one key holds ~90% of the
+    rows must show skew=true on the sort-merge join after adaptive
+    re-planning — the runtime lever that replaces hand-salting for skewed
+    JOINS (skewed AGGREGATIONS still need the salting in
+    operators/swivel.py salt_partial_agg)."""
+    big = spark.range(0, 300_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    skew_confs = {
+        # thresholds sized so the fixture-scale skew actually triggers
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        joined = big.join(dim, "k")
+        # collect() (not count()) — count builds a separate aggregate plan
+        # and never finalizes THIS DataFrame's adaptive plan
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_clustered_write_enables_file_skipping(spark, sf_dir, tmp_path):
+    """write_clustered orders rows by key across files; a range filter
+    then reads strictly fewer rows than a scan of unclustered data would
+    (parquet row-group stats skip non-matching files)."""
+    from swivel_spark_prep_spark.sinks import write_clustered
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    out = str(tmp_path / "clustered")
+    write_clustered(li, out, ["l_orderkey"], num_files=8)
+    back = spark.read.parquet(out)
+    want = li.filter(F.col("l_orderkey") < 100).count()
+    assert back.filter(F.col("l_orderkey") < 100).count() == want
+    # files hold disjoint contiguous ranges: per-file min/max don't overlap
+    import pyarrow.parquet as pq
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Reading a partitioned dataset with a partition filter must show
     partition pruning (only matching directories scanned)."""
