@@ -47,6 +47,9 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, fn in sorted(qmap.items()):
+        # cache hygiene: operators that persist intermediates (Q41, X06)
+        # must not leave blocks that pressure later queries' memory/GC
+        spark.catalog.clearCache()
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -72,6 +72,73 @@ def cosine_topk(
     )
 
 
+def cosine_topk_many(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for MANY queries in one corpus scan (the evaluation /
+    retrieval batch shape): the query matrix (q × dim, small) broadcasts
+    into a mapInPandas closure; each Arrow batch computes one
+    (batch × q) matmul and emits only its local top-k per query; a final
+    per-query window rank keeps the global top-k. Exact because every
+    query's global top-k is a subset of the union of its batch top-ks.
+    Corpus work is one scan + n·q·d FLOPs of dense BLAS regardless of q —
+    vs q separate scans for repeated `cosine_topk` calls."""
+    from pyspark.sql import Window
+
+    base = with_double_embedding(emb, vec_col)
+    qrows = (
+        base.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(F.col(id_col).alias("id"), "_emb")
+        .collect()
+    )
+    if len(qrows) != len(set(query_ids)):
+        found = {r["id"] for r in qrows}
+        raise ValueError(f"query ids not found: {sorted(set(query_ids) - found)}")
+    qids = np.array([r["id"] for r in qrows], dtype=np.int64)
+    qmat = np.vstack([np.asarray(r["_emb"]) for r in qrows])
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+
+    def _scan(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            mat = np.vstack(pdf["e"].to_numpy())
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ qmat.T  # (batch, q)
+            out_q, out_i, out_s = [], [], []
+            for c, qid in enumerate(qids):
+                col = sims[:, c]
+                valid = ids != qid  # never return the query itself
+                vi = np.nonzero(valid)[0]
+                top = vi[np.argsort(-col[vi], kind="stable")[:k]]
+                out_q.append(np.full(len(top), qid))
+                out_i.append(ids[top])
+                out_s.append(col[top])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    local = base.select(
+        F.col(id_col).cast("long").alias("id"), F.col("_emb").alias("e")
+    ).mapInPandas(_scan, "qid long, id long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", F.col("id").alias(id_col), "sim")
+    )
+
+
 def _blocked_pair_sims(
     emb: DataFrame,
     block_size: int,

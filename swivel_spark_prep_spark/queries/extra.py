@@ -579,6 +579,31 @@ def x25(spark, sf_dir):
 
 
 @_declare(
+    "X26_multi_query_topk",
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+s AS (SELECT qid, vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS sim
+      FROM embeddings, q WHERE vec_id <> qid),
+r AS (SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM s)
+SELECT qid, vec_id, ROUND(sim, 4) AS sim FROM r WHERE rn <= 5
+ORDER BY qid, vec_id;""",
+)
+def x26(spark, sf_dir):
+    # Batched retrieval: exact top-5 for 4 queries in ONE corpus scan
+    # (operators/similarity.cosine_topk_many — per-Arrow-batch matmul
+    # against the broadcast query matrix, block-local top-k, global
+    # window re-rank).
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.cosine_topk_many(emb, [0, 1, 2, 3], k=5)
+        .select("qid", "vec_id", F.round("sim", 4).alias("sim"))
+        .orderBy("qid", "vec_id")
+    )
+
+
+@_declare(
     "X09_multimodal_features",
     """SELECT doc_id, length(text)::BIGINT AS n_bytes,
        (length(text) // 1000 + 1)::BIGINT AS n_frames,

@@ -140,6 +140,30 @@ def test_cosine_near_dups_lsh_recall(spark, sf_dir):
     assert all(pair in exact for pair in approx)
 
 
+def test_cosine_topk_many_matches_single(spark, sf_dir):
+    """Batched retrieval equals per-query brute force for every query."""
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_many,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    many = cosine_topk_many(emb, [0, 7, 42], k=5)
+    for qid in (0, 7, 42):
+        got = [
+            (r.vec_id, round(r.sim, 9))
+            for r in many.filter(F.col("qid") == qid)
+            .orderBy(F.col("sim").desc(), "vec_id")
+            .collect()
+        ]
+        want = [
+            (r.vec_id, round(r.sim, 9))
+            for r in cosine_topk(emb, query_id=qid, k=5).collect()
+        ]
+        assert got == want, qid
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     from swivel_spark_prep_spark.operators.dedup import exact_dedup
 
