@@ -78,6 +78,34 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic training mixture: each named source contributes a
+    hash-sampled fraction of its rows, tagged with its name — the "data
+    mixing" step of a pretraining pipeline (e.g. books 2×-epoch'd via
+    fraction 1.0 twice under different salts, web downsampled to 0.3).
+    Fractions apply independently per source; schemas must be
+    union-compatible. Pure map-side filters + UNION ALL: no shuffle, and
+    re-running on a grown source keeps previously selected keys selected."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    parts = []
+    for name, (df, frac) in sources.items():
+        parts.append(
+            hash_sample(df, key_col, frac, salt=f"{salt}:{name}").withColumn(
+                source_col, F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def stratified_hash_sample(
     df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float],
     salt: str = "",

@@ -90,6 +90,26 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_score(
+    docs: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule): the
+    fraction of n-gram OCCURRENCES that are repeats of an earlier one,
+    rep_ratio = 1 − distinct_ngrams / total_ngrams (0 for docs shorter
+    than n tokens). High values flag boilerplate/spam for filtering.
+    Pure per-row JVM array expressions — no explode, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda p: F.xxhash64(*[F.element_at(toks, p + i + 1) for i in range(n)]),
+    )
+    total = F.size(toks) - (n - 1)
+    ratio = F.when(total <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / total
+    )
+    return docs.withColumn("rep_ratio", ratio)
+
+
 def clean_text(
     docs: DataFrame,
     text_col: str = "text",

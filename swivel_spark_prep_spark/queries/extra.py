@@ -604,6 +604,29 @@ def x26(spark, sf_dir):
 
 
 @_declare(
+    "X27_repetition_score",
+    """SELECT doc_id,
+       ROUND(CASE WHEN len(string_split(text,' ')) - 1 <= 0 THEN 0.0
+            ELSE 1.0 - len(list_distinct(list_transform(
+                     range(len(string_split(text,' ')) - 1),
+                     p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2])))::DOUBLE
+                 / (len(string_split(text,' ')) - 1) END, 4) AS rep_ratio
+FROM documents ORDER BY doc_id;""",
+)
+def x27(spark, sf_dir):
+    # Gopher-style duplicate-bigram fraction (operators/textstats.py
+    # repetition_score) — per-row JVM array expressions, no shuffle. The
+    # engine hashes n-grams (xxhash64 tuples) where the oracle joins
+    # strings: distinct-counts agree up to 64-bit collisions.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.repetition_score(docs, n=2)
+        .select("doc_id", F.round("rep_ratio", 4).alias("rep_ratio"))
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
     "X09_multimodal_features",
     """SELECT doc_id, length(text)::BIGINT AS n_bytes,
        (length(text) // 1000 + 1)::BIGINT AS n_frames,

@@ -192,6 +192,37 @@ def test_clean_text_redaction(spark):
     assert plain[3] == "call 555-123-4567 or 5551234567"
 
 
+def test_repetition_score_bounds_and_extremes(spark):
+    from swivel_spark_prep_spark.operators.textstats import repetition_score
+
+    rows = [
+        (1, "a b a b a b a b"),  # heavy repetition
+        (2, "one two three four five"),  # all distinct bigrams
+        (3, "solo"),  # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.rep_ratio for r in repetition_score(df, n=2).collect()}
+    assert got[2] == 0.0 and got[3] == 0.0
+    # 7 bigram occurrences, 2 distinct ("a b", "b a") → 1 - 2/7
+    assert abs(got[1] - (1 - 2 / 7)) < 1e-9
+
+
+def test_mix_corpora_deterministic_and_tagged(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import mix_corpora
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 250)
+    b = docs.filter(F.col("doc_id") >= 250)
+    mixed = mix_corpora({"keep_all": (a, 1.0), "down": (b, 0.2)}, "doc_id")
+    by = {r["source"]: r["n"] for r in
+          mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["keep_all"] == a.count()  # fraction 1.0 keeps everything
+    assert 0 < by["down"] < 0.5 * b.count()  # downsampled
+    again = mix_corpora({"keep_all": (a, 1.0), "down": (b, 0.2)}, "doc_id")
+    assert mixed.select("doc_id", "source").exceptAll(
+        again.select("doc_id", "source")).count() == 0
+
+
 def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
     from swivel_spark_prep_spark.operators.sampling import hash_split
 
