@@ -35,12 +35,26 @@ def _build_parser() -> argparse.ArgumentParser:
     bq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     bq.add_argument("--master", default=None)
 
+    pc = sub.add_parser(
+        "prep-corpus",
+        help="training-data prep: clean → dedup → split → pack → write",
+    )
+    pc.add_argument("--input", required=True, help="parquet with doc_id/text")
+    pc.add_argument("--output", required=True, help="output directory")
+    pc.add_argument("--chunk-tokens", type=int, default=2048)
+    pc.add_argument("--train", type=float, default=0.9)
+    pc.add_argument("--val", type=float, default=0.05)
+    pc.add_argument("--test", type=float, default=0.05)
+    pc.add_argument("--no-redact", action="store_true")
+    pc.add_argument("--master", default=None)
+
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: F401 (prep-corpus)
 
     from swivel_spark_prep_spark.session import get_session
 
@@ -69,6 +83,34 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"vocab={result.vocab_size} shards={result.num_shards}x"
                 f"{result.num_shards} nnz={result.cooc.count()} → {args.output}"
+            )
+        elif args.cmd == "prep-corpus":
+            from swivel_spark_prep_spark.operators.dedup import exact_dedup
+            from swivel_spark_prep_spark.operators.packing import pack_sequences
+            from swivel_spark_prep_spark.operators.sampling import hash_split
+            from swivel_spark_prep_spark.operators.textstats import clean_text
+            from swivel_spark_prep_spark.sinks import write_partitioned
+
+            docs = spark.read.parquet(args.input).select("doc_id", "text")
+            cleaned = clean_text(
+                docs, redact=not args.no_redact
+            ).select("doc_id", F.col("text_clean").alias("text"))
+            deduped = exact_dedup(cleaned)
+            split = hash_split(
+                deduped,
+                "doc_id",
+                {"train": args.train, "val": args.val, "test": args.test},
+            )
+            packed = pack_sequences(split, args.chunk_tokens)
+            out = split.join(packed.drop("n_tok"), "doc_id")
+            write_partitioned(out, args.output, ["split"])
+            by = {
+                r["split"]: r["n"]
+                for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+            }
+            print(
+                f"docs={deduped.count()} splits={by} "
+                f"chunks≤{args.chunk_tokens}tok → {args.output}"
             )
         elif args.cmd == "bench-query":
             import time

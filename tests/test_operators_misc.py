@@ -292,6 +292,31 @@ def test_pack_sequences_properties(spark, sf_dir):
     assert covered == set(range(last + 1))
 
 
+def test_cli_prep_corpus_end_to_end(spark, tmp_path, sf_dir):
+    """The training-data prep pipeline: clean → dedup → split → pack →
+    partitioned write, driven through the CLI."""
+    from swivel_spark_prep_spark import cli
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "corpus_in")
+    docs.limit(200).write.parquet(src)
+    out = str(tmp_path / "prep_out")
+    rc = cli.main(
+        ["prep-corpus", "--input", src, "--output", out, "--chunk-tokens", "256"]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert {r["split"] for r in back.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    assert back.count() <= 200  # dedup never grows the corpus
+    assert {"doc_id", "text", "split", "first_chunk", "last_chunk"} <= set(
+        back.columns
+    )
+    # partition pruning works on the split column
+    assert back.filter(F.col("split") == "train").count() > 0
+
+
 def test_approx_count_distinct_within_rated_error(spark, sf_dir):
     """§5.3: approx_count_distinct within its rated rsd of the exact Q14
     values (never oracle-hashed — approximate by design)."""
