@@ -29,6 +29,10 @@ RUNTIME_CONFS = {
     # local[32]; at cluster scale this is sized per deployment.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # bigger Arrow batches cut driver-fetch conversion ~20% on wide
+    # results (measured Q28 sf0.1); also the pandas-UDF batch size — at
+    # cluster scale balance against per-task memory
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
 }
 
 #: Confs that must be set before the JVM starts.
