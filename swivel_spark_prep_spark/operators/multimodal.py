@@ -79,6 +79,43 @@ def extract_features(
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+EMBED_SCHEMA = "doc_id long, embedding array<float>"
+
+
+def embed_media(
+    media: DataFrame, dim: int = 64, decode_mode: str = "fake"
+) -> DataFrame:
+    """Media → embedding column, the input shape of the similarity stack
+    (cosine_topk / ann_topk / cosine_near_dups run unchanged on the
+    output). fake mode: L2-normalized byte-value histogram folded to
+    `dim` buckets — deterministic, vectorized with numpy per Arrow batch,
+    exactly where a CLIP/encoder forward pass would slot in; real mode
+    raises (no model runtimes in this container)."""
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"decode_mode must be fake|real, got {decode_mode}")
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real embedding needs a model runtime — not available "
+                    "in this container; use decode_mode='fake'"
+                )
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                n = np.linalg.norm(hist)
+                out.append((hist / n if n else hist).astype(np.float32))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "embedding": out}
+            )
+
+    return media.mapInPandas(_embed, schema=EMBED_SCHEMA)
+
+
 RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
 
 

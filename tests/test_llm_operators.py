@@ -235,6 +235,26 @@ def test_multimodal_frame_sampling_fanout(spark, sf_dir):
             assert bytes(r.frame) == b[r.frame_idx * 100 : (r.frame_idx + 1) * 100]
 
 
+def test_embed_media_feeds_similarity_stack(spark, sf_dir):
+    """Media embeddings are unit-norm, deterministic, and drop straight
+    into the similarity operators (cross-modal retrieval shape)."""
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.multimodal import attach_binary, embed_media
+    from swivel_spark_prep_spark.operators.similarity import cosine_topk_many
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    emb = embed_media(attach_binary(docs), dim=32)
+    rows = emb.collect()
+    assert len(rows) == 100
+    for r in rows[:5]:
+        norm = sum(x * x for x in r.embedding) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+    again = {r.doc_id: list(r.embedding) for r in emb.collect()}
+    assert all(list(r.embedding) == again[r.doc_id] for r in rows)
+    top = cosine_topk_many(emb.withColumnRenamed("doc_id", "vec_id"), [0], k=3)
+    assert top.count() == 3
+
+
 def test_multimodal_real_mode_raises(spark, sf_dir):
     from swivel_spark_prep_spark.operators.multimodal import (
         attach_binary,
