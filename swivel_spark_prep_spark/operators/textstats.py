@@ -21,8 +21,8 @@ STOPWORDS: dict[str, list[str]] = {
 LANG_ORDER = list(STOPWORDS)
 
 
-def lang_scores(text_col="text") -> dict[str, F.Column]:
-    toks = F.split(F.col(text_col), " ")
+def lang_scores(toks_col="_toks") -> dict[str, F.Column]:
+    toks = F.col(toks_col)
     return {
         lang: F.size(
             F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
@@ -33,8 +33,11 @@ def lang_scores(text_col="text") -> dict[str, F.Column]:
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Predict language by stopword-overlap score; 'und' when no stopword
-    matches. Argmax with the fixed LANG_ORDER tie-break."""
-    scores = lang_scores(text_col)
+    matches. Argmax with the fixed LANG_ORDER tie-break. The token array
+    is materialized once — referencing split() from each of the 5 score
+    expressions would re-split per language."""
+    base = docs.select("*", F.split(F.col(text_col), " ").alias("_toks"))
+    scores = lang_scores("_toks")
     # left-to-right scan with strict > : earlier languages win ties
     best = F.lit("und")
     best_score = F.lit(0).cast("long")
@@ -43,7 +46,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         new_best = F.when(cond, F.lit(lang)).otherwise(best)
         new_score = F.when(cond, scores[lang]).otherwise(best_score)
         best, best_score = new_best, new_score
-    return docs.withColumn("pred_lang", best)
+    return base.withColumn("pred_lang", best).drop("_toks")
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -54,20 +57,26 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - digit_ratio: fraction of [0-9];
     - score: 100 · alpha_ratio − 10 · digit_ratio, clamped to [0, 100],
       zeroed for docs with < 5 tokens."""
+    # materialize the shared subexpressions (split / regex scans) once —
+    # the ratio expressions below reference each of them 2–3 times
     text = F.col(text_col)
-    n_chars = F.length(text).cast("double")
-    n_tok = F.size(F.split(text, " ")).cast("long")
+    base = docs.select(
+        "*",
+        F.length(text).cast("double").alias("_nc"),
+        F.size(F.split(text, " ")).cast("long").alias("_nt"),
+        F.length(F.regexp_replace(text, "[^a-z ]", "")).cast("double").alias("_na"),
+        F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double").alias("_nd"),
+    )
+    n_chars, n_tok = F.col("_nc"), F.col("_nt")
     avg_tok_len = (n_chars - (n_tok - 1)) / n_tok
-    alpha = F.length(F.regexp_replace(text, "[^a-z ]", "")).cast("double")
-    digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
-    alpha_ratio = alpha / n_chars
-    digit_ratio = digit / n_chars
+    alpha_ratio = F.col("_na") / n_chars
+    digit_ratio = F.col("_nd") / n_chars
     raw = 100.0 * alpha_ratio - 10.0 * digit_ratio
     score = F.when(n_tok < 5, F.lit(0.0)).otherwise(
         F.least(F.lit(100.0), F.greatest(F.lit(0.0), raw))
     )
-    return docs.select(
-        "*",
+    return base.select(
+        *[c for c in docs.columns],
         n_tok.alias("n_tok"),
         F.round(avg_tok_len, 4).alias("avg_tok_len"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
@@ -146,12 +155,20 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - fp_rolling: polynomial rolling hash (base 31, mod 1e9+7 — the
       modulus keeps acc*31+c inside int64) over the normalized text's code
       points, computed JVM-side with aggregate()."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " "))
+    # normalized text materialized once — both fingerprints reference it
+    base = docs.select(
+        "*",
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")).alias(
+            "_norm"
+        ),
+    )
     rolling = F.aggregate(
-        F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.transform(F.split(F.col("_norm"), ""), lambda ch: F.ascii(ch).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % F.lit(1000000007),
     )
-    return docs.select(
-        "*", F.md5(norm).alias("fp_md5"), rolling.alias("fp_rolling")
+    return base.select(
+        *[c for c in docs.columns],
+        F.md5(F.col("_norm")).alias("fp_md5"),
+        rolling.alias("fp_rolling"),
     )
