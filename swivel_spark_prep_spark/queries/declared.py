@@ -703,9 +703,12 @@ def q29(spark, sf_dir):
 FROM documents ORDER BY doc_id;""",
 )
 def q30(spark, sf_dir):
-    toks = F.split("text", " ")
+    # split once into its own projection — three consumers below would
+    # each re-split if the expression were inlined
+    toks = F.col("_toks")
     return (
         _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.split("text", " ").alias("_toks"))
         .select(
             "doc_id",
             F.size(toks).cast("long").alias("n_tok"),

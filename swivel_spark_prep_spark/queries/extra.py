@@ -517,8 +517,11 @@ def x23(spark, sf_dir):
     # Higher-order array functions stay whole-stage-codegen'd JVM
     # expressions (lambdas compile to Catalyst LambdaFunction) — the
     # fast path for per-row array work that would otherwise tempt a UDF.
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Token array materialized once for its three consumers.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     return docs.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 3)).cast("long").alias("n_long"),
