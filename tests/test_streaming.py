@@ -231,6 +231,73 @@ def test_stream_stream_join_converges_to_batch(spark, events, replay_dir):
         query.stop()
 
 
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a streaming dedup mid-stream and restart it from the same
+    checkpoint onto the same file sink: the union of outputs must equal
+    the batch answer with no duplicates — Spark's checkpoint + file-sink
+    transaction log give end-to-end exactly-once across restarts."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.dedup import exact_dedup
+    from swivel_spark_prep_spark.streaming import stream_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    bounds = [(0, n // 4), (n // 4, n // 2), (n // 2, 3 * n // 4), (3 * n // 4, n)]
+    staged = []
+    for b, (lo, hi) in enumerate(bounds):
+        raw = tmp_path / f"raw{b}"
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(raw))
+        )
+        staged.append(glob.glob(str(raw / "part-*.parquet"))[0])
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        q = (
+            stream_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    # phase 1: first two drops, then a hard stop
+    for b in (0, 1):
+        shutil.copy(staged[b], str(replay / f"{b:02d}.parquet"))
+    _stamp_mtimes(str(replay))
+    run_once()
+    # phase 2: remaining drops, restart from the same checkpoint
+    for b in (2, 3):
+        shutil.copy(staged[b], str(replay / f"{b:02d}.parquet"))
+    _stamp_mtimes(str(replay))
+    run_once()
+
+    got_rows = spark.read.parquet(out).select("doc_id").collect()
+    got = [r.doc_id for r in got_rows]
+    want = {r.doc_id for r in exact_dedup(docs).select("doc_id").collect()}
+    assert len(got) == len(set(got)), "restart produced duplicate outputs"
+    assert set(got) == want
+
+
 def test_session_stream_emits_closed_sessions(spark, events, replay_dir, tmp_path):
     """Session windows in append mode emit once the watermark passes the
     session end; a far-future sentinel flushes every real session. The
