@@ -74,6 +74,56 @@ def exact_dedup_incremental(
     ).drop("_h")
 
 
+def remove_common_lines(
+    docs: DataFrame,
+    min_df: int = 5,
+    sep: str = "\n",
+    content_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate removal: drop every LINE that appears (as an exact
+    string) in ≥ min_df distinct documents — headers, footers, cookie
+    banners, nav menus. The CommonCrawl-style sub-document dedup that
+    document-level dedup can't express.
+
+    Plan: posexplode lines → line-hash df count (distinct docs per line,
+    partial+final agg) → join the small "common lines" set back
+    broadcast → filter → reassemble with concat_ws over collect_list
+    sorted by position (struct sort keeps the surviving lines in original
+    order). Docs that lose every line survive with empty text."""
+    lines = docs.select(
+        F.col(key_col).alias("_k"),
+        F.posexplode(F.split(F.col(content_col), sep)).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64("_line"))
+    common = (
+        lines.groupBy("_h")
+        .agg(F.countDistinct("_k").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    kept = lines.join(F.broadcast(common), "_h", "left_anti")
+    rebuilt = (
+        kept.groupBy("_k")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias("_clean")
+        )
+    )
+    out_cols = [c for c in docs.columns if c != content_col]
+    return (
+        docs.join(rebuilt, F.col(key_col) == F.col("_k"), "left")
+        .select(
+            *out_cols,
+            F.coalesce(F.col("_clean"), F.lit("")).alias(content_col),
+        )
+    )
+
+
 # --- shingling -------------------------------------------------------------
 
 def shingle(

@@ -164,6 +164,26 @@ def test_cosine_topk_many_matches_single(spark, sf_dir):
         assert got == want, qid
 
 
+def test_remove_common_lines(spark):
+    from swivel_spark_prep_spark.operators.dedup import remove_common_lines
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (i, f"unique opening {i}\n{boiler}\nunique closing {i}") for i in range(6)
+    ] + [(99, "no boilerplate here\njust content")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in remove_common_lines(df, min_df=5).collect()}
+    for i in range(6):
+        assert out[i] == f"unique opening {i}\nunique closing {i}"  # order kept
+    assert out[99] == "no boilerplate here\njust content"  # untouched
+    # a line must appear in >= min_df DISTINCT docs to be boilerplate
+    dup_in_one = spark.createDataFrame(
+        [(1, "same\nsame\nsame\nsame\nsame\nother")], "doc_id long, text string"
+    )
+    kept = remove_common_lines(dup_in_one, min_df=5).collect()[0].text
+    assert kept == "same\nsame\nsame\nsame\nsame\nother"
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     from swivel_spark_prep_spark.operators.dedup import exact_dedup
 
