@@ -218,7 +218,13 @@ def prep(
     """The reference's whole pipeline as one composable call."""
     vocab = build_vocab(docs, min_count, shard_size, text_col, doc_col).cache()
     vocab_size = vocab.count()
-    cooc = cooc_matrix(docs, vocab, window, symmetric=True, text_col=text_col, doc_col=doc_col)
+    # cached: three consumers (shards, row marginals, col marginals) would
+    # otherwise each re-run tokenize → vocab join → pair join → aggregate.
+    # At cluster scale this is the write-cooc-to-storage step; in-session,
+    # MEMORY_AND_DISK blocks serve the same role.
+    cooc = cooc_matrix(
+        docs, vocab, window, symmetric=True, text_col=text_col, doc_col=doc_col
+    ).cache()
     shards = shard_cooc(cooc, vocab_size, shard_size)
     row_sums, col_sums = marginals(cooc)
     return SwivelPrepResult(
