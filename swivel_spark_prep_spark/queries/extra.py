@@ -629,6 +629,25 @@ def x27(spark, sf_dir):
     )
 
 
+_LATERAL_SQL = """SELECT r_name, l.n_name, l.n FROM region,
+LATERAL (SELECT n_name, COUNT(*) AS n
+         FROM nation JOIN customer ON c_nationkey = n_nationkey
+         WHERE n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY n DESC, n_name LIMIT 2) l
+ORDER BY r_name, n DESC, n_name"""
+
+
+@_declare("X28_lateral_topk", _LATERAL_SQL + ";")
+def x28(spark, sf_dir):
+    # Correlated LATERAL subquery in FROM (per-region top-2 nations) —
+    # the same SQL text runs on both engines; Catalyst decorrelates the
+    # lateral into a ranked join, no per-row re-execution.
+    from swivel_spark_prep_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
 @_declare(
     "X09_multimodal_features",
     """SELECT doc_id, length(text)::BIGINT AS n_bytes,
