@@ -216,30 +216,58 @@ def minhash_signature(
 ) -> DataFrame:
     """(doc_id, shingles, sig): classic affine-family MinHash — each
     shingle is string-hashed ONCE (xxhash64; pass hashed=True when the
-    input already carries int64 shingles from `hash_shingles`), then every
-    signature slot applies a cheap affine permutation
-    h_i(x) = (a_i·x + b_i) mod 2^31−1 and takes the min. One string hash
-    per shingle instead of num_hashes string hashes — the standard
-    construction. Empty shingle sets get NULL mins and never enter
-    candidate generation."""
+    input already carries int64 shingles from `shingle_hashes`), then
+    every signature slot applies a cheap affine permutation
+    h_i(x) = (a_i·x + b_i) mod 2^31−1 and takes the min.
+
+    The field reduction stays JVM-side; the num_hashes permutations + min
+    run as ONE numpy pass per Arrow batch (outer product + segmented
+    minimum.reduceat) in mapInPandas — ~2× over num_hashes separate
+    array_min(transform(...)) expressions (same expression-count
+    bottleneck as simhash/ann_index). All terms stay < 2^62, exact in
+    int64. Empty shingle sets get a NULL sig and never enter candidate
+    generation."""
+    import numpy as np
+    import pandas as pd
+
+    params = _affine_params(num_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+
     to_field = (
         (lambda s: F.pmod(s, F.lit(MERSENNE_31)))
         if hashed
         else (lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31)))
     )
     base = sh.withColumn("_hs", F.transform("shingles", to_field))
+    out_schema = "doc_id long, shingles array<bigint>, sig array<long>"
 
-    def _min_hash(a: int, b: int):
-        # NB: the lambda must take exactly one parameter — PySpark treats a
-        # two-parameter transform lambda as (element, index).
-        return F.array_min(
-            F.transform(
-                "_hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
+    def _sig(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = np.array([len(h) for h in pdf["_hs"]])
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in pdf["_hs"] if len(h)]
+                )
+                perm = (flat[:, None] * a_vec[None, :] + b_vec[None, :]) % MERSENNE_31
+                bounds = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+                mins = np.minimum.reduceat(perm, bounds, axis=0)
+            it = iter(range(int(nz.sum())))
+            sigs = [
+                [int(x) for x in mins[next(it)]] if has else None for has in nz
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "shingles": pdf["shingles"],
+                    "sig": sigs,
+                }
             )
-        )
 
-    sig = F.array(*[_min_hash(a, b) for a, b in _affine_params(num_hashes)])
-    return base.withColumn("sig", sig).drop("_hs")
+    return base.mapInPandas(_sig, out_schema)
 
 
 def _pairs_within_buckets(buckets: DataFrame, key_cols: list[str]) -> DataFrame:
