@@ -629,6 +629,27 @@ def x27(spark, sf_dir):
     )
 
 
+@_declare(
+    "X29_date_parts",
+    """SELECT o_orderkey, quarter(o_orderdate) AS q, weekofyear(o_orderdate) AS w,
+       isodow(o_orderdate) AS dw, epoch(o_orderdate)::BIGINT AS ep
+FROM orders ORDER BY o_orderkey;""",
+)
+def x29(spark, sf_dir):
+    # Calendar parts beyond Q27, conventions pinned across engines:
+    # ISO weekday 1=Mon..7=Sun is Spark weekday()+1 (Spark's dayofweek()
+    # counts 1=Sun); epoch seconds need the NTZ→TZ cast (UTC session) for
+    # unix_timestamp.
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.weekofyear("o_orderdate").cast("long").alias("w"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("dw"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("ep"),
+    ).orderBy("o_orderkey")
+
+
 _LATERAL_SQL = """SELECT r_name, l.n_name, l.n FROM region,
 LATERAL (SELECT n_name, COUNT(*) AS n
          FROM nation JOIN customer ON c_nationkey = n_nationkey
