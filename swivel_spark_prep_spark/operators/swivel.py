@@ -149,6 +149,12 @@ def cooc_matrix(
             "row_id",
             "col_id",
             (F.lit(1.0) / (F.col("pos_b") - F.col("pos_a"))).alias("w"),
+            # Content-derived salt, computed while (doc_id, pos_a, pos_b)
+            # are still in scope: unique per pair *instance*, so a Zipf-hot
+            # (row_id, col_id) cell spreads uniformly across salts, and —
+            # unlike monotonically_increasing_id — deterministic under task
+            # retry / stage recomputation.
+            F.xxhash64("doc_id", "pos_a", "pos_b").alias("_h"),
         )
     )
     if symmetric:
@@ -159,11 +165,13 @@ def cooc_matrix(
                 F.col("col_id").alias("row_id"),
                 F.col("row_id").alias("col_id"),
                 "w",
+                # flip a bit so the mirrored instance salts independently
+                F.xxhash64("_h").alias("_h"),
             )
         )
     if salt_partial_agg > 0:
         salted = pairs.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_partial_agg))
+            "_salt", F.pmod(F.col("_h"), F.lit(salt_partial_agg))
         )
         partial = salted.groupBy("row_id", "col_id", "_salt").agg(
             F.sum("w").alias("w")
