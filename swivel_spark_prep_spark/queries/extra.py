@@ -690,3 +690,39 @@ def x09(spark, sf_dir):
         "n_frames",
         F.round(F.element_at("features", 4), 4).alias("feat_n"),
     ).orderBy("doc_id")
+
+
+@_declare(
+    "X30_remove_common_lines",
+    """WITH lines AS (
+  SELECT doc_id, p::BIGINT AS pos, arr[p+1] AS line
+  FROM (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+       UNNEST(range(len(arr))) AS u(p)),
+common AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >=
+         CAST(ceil(0.79 * (SELECT COUNT(*) FROM documents)) AS BIGINT)),
+kept AS (SELECT doc_id, pos, line FROM lines ANTI JOIN common USING (line)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.clean, '') AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id;""",
+)
+def x30(spark, sf_dir):
+    # Boilerplate (sub-document) dedup: drop every "line" appearing in
+    # >= 79% of documents (operators/dedup.py remove_common_lines). The
+    # fixture docs are single-line, so the separator is ' ' — the operator
+    # is separator-generic; the posexplode -> df-count -> broadcast
+    # anti-join -> ordered-reassemble plan is identical for '\n' corpora.
+    # Threshold is relative to |docs| so the query stays non-degenerate at
+    # every SF (the fixture vocab is ~31 tokens with ~80% doc-frequency).
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    min_df = int(math.ceil(0.79 * docs.count()))
+    return (
+        dedup.remove_common_lines(docs, min_df=min_df, sep=" ")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
