@@ -19,15 +19,31 @@ def test_extra_query_matches_oracle(name, spark, sf_dir, duck):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-def test_minhash_recall_vs_exact_oracle(spark, sf_dir, duck):
+#: both smoke SFs — recall properties must hold as the corpus grows 10×
+#: (VERDICT r01 #8), not only at the default test SF.
+BOTH_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _planted_pairs(sfd: str) -> set:
+    from swivel_spark_prep_spark.oracle import duckdb_connection
+
+    con = duckdb_connection(sfd)
+    try:
+        exact = con.execute(DECLARED_ORACLES["Q41_jaccard_pairs"]).fetchdf()
+    finally:
+        con.close()
+    return {(r.d1, r.d2) for r in exact.itertuples() if r.jac >= 0.8}
+
+
+@pytest.mark.parametrize("sfd", BOTH_SFS)
+def test_minhash_recall_vs_exact_oracle(spark, sfd):
     """MinHash-LSH must find every planted near-dup pair (exact Jaccard
     ≥ 0.8 per FIXTURES.md) that the exact Q41 oracle finds."""
-    exact = duck.execute(DECLARED_ORACLES["Q41_jaccard_pairs"]).fetchdf()
-    planted = {(r.d1, r.d2) for r in exact.itertuples() if r.jac >= 0.8}
+    planted = _planted_pairs(sfd)
     assert planted, "fixture should contain planted near-dup pairs"
     found = {
         (r.d1, r.d2)
-        for r in EXTRA_QUERIES["X06_minhash_near_dups"](spark, sf_dir).collect()
+        for r in EXTRA_QUERIES["X06_minhash_near_dups"](spark, sfd).collect()
     }
     missed = planted - found
     assert not missed, f"MinHash-LSH missed planted pairs: {sorted(missed)}"
@@ -58,28 +74,29 @@ def test_simhash_identical_docs_collide(spark, sf_dir):
     assert same.count() == 50
 
 
-def test_simhash_near_dups_low_hamming_for_planted_pairs(spark, sf_dir, duck):
+@pytest.mark.parametrize("sfd", BOTH_SFS)
+def test_simhash_near_dups_low_hamming_for_planted_pairs(spark, sfd):
     """Planted near-dups (Jaccard ≥ 0.8) should sit at small Hamming
     distance; assert the X07 blocking finds most of them at ≤ 16 bits."""
-    exact = duck.execute(DECLARED_ORACLES["Q41_jaccard_pairs"]).fetchdf()
-    planted = {(r.d1, r.d2) for r in exact.itertuples() if r.jac >= 0.8}
+    planted = _planted_pairs(sfd)
     found = {
         (r.d1, r.d2)
-        for r in EXTRA_QUERIES["X07_simhash_near_dups"](spark, sf_dir).collect()
+        for r in EXTRA_QUERIES["X07_simhash_near_dups"](spark, sfd).collect()
     }
     recall = len(planted & found) / len(planted)
     assert recall >= 0.8, f"simhash recall {recall:.2f} over planted pairs"
 
 
-def test_ann_recall_vs_exact_topk(spark, sf_dir):
+@pytest.mark.parametrize("sfd", BOTH_SFS)
+def test_ann_recall_vs_exact_topk(spark, sfd):
     """LSH-ANN top-5 for vec_id 0 must overlap the exact top-5 (Q42)
     on ≥ 4 of 5 neighbours at this scale."""
     from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
 
     exact = {
-        r.vec_id for r in DECLARED_QUERIES["Q42_cosine_topk"](spark, sf_dir).collect()
+        r.vec_id for r in DECLARED_QUERIES["Q42_cosine_topk"](spark, sfd).collect()
     }
-    approx = {r.vec_id for r in EXTRA_QUERIES["X08_ann_topk"](spark, sf_dir).collect()}
+    approx = {r.vec_id for r in EXTRA_QUERIES["X08_ann_topk"](spark, sfd).collect()}
     assert len(exact & approx) >= 4, f"ANN recall too low: {exact & approx}"
 
 

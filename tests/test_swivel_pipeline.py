@@ -174,3 +174,77 @@ def test_tfrecord_shard_files_exist(tmp_path, spark, result):
     assert n_files == len(files) > 0
     payloads = read_tfrecord(os.path.join(out, files[0]))
     assert len(payloads) == 1 and len(payloads[0]) > 0
+
+
+def test_crc32c_public_vectors():
+    """Pin CRC32C (Castagnoli) against the RFC 3720 §B.4 test vectors —
+    independent of our table construction."""
+    from swivel_spark_prep_spark.sinks.tfrecord import crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_tfexample_golden_bytes():
+    """Pin the tf.train.Example wire format with hand-assembled protobuf
+    bytes (Example{1: Features{1: map entries}}, Feature{1: BytesList |
+    2: FloatList | 3: Int64List}, packed numeric lists). These literals
+    were derived from the public protobuf wire spec, NOT from the encoder
+    under test — a drop-in TF reader must accept our bytes verbatim."""
+    from swivel_spark_prep_spark.sinks.tfrecord import encode_example
+
+    # {"a": int64 [1]} — smallest complete Example
+    assert encode_example({"a": ("int64", [1])}) == bytes.fromhex(
+        "0a0c"          # Example.features (len 12)
+        "0a0a"          # Features.feature map entry (len 10)
+        "0a0161"        # key = "a"
+        "1205"          # value = Feature (len 5)
+        "1a03"          # Feature.int64_list (len 3)
+        "0a0101"        # Int64List.value packed varints: [1]
+    )
+    # {"w": float [1.5, -2.0]} — IEEE754 LE packed floats
+    assert encode_example({"w": ("float", [1.5, -2.0])}) == bytes.fromhex(
+        "0a13" "0a11" "0a0177" "120c"
+        "120a"          # Feature.float_list (len 10)
+        "0a08"          # FloatList.value packed (len 8)
+        "0000c03f"      # 1.5
+        "000000c0"      # -2.0
+    )
+    # {"n": int64 [-1], "s": bytes [b"hi"]} — negative int64 is a 10-byte
+    # two's-complement varint (no zigzag); map entries sorted by key
+    assert encode_example({"s": ("bytes", [b"hi"]), "n": ("int64", [-1])}) == bytes.fromhex(
+        "0a22"
+        "0a13" "0a016e" "120e" "1a0c" "0a0a" "ffffffffffffffffff01"
+        "0a0b" "0a0173" "1206" "0a04" "0a026869"
+    )
+
+
+def test_tfrecord_framing_golden_bytes(tmp_path):
+    """Pin the TFRecord container layout byte-for-byte: uint64-LE length,
+    masked CRC32C of the length bytes, payload, masked CRC32C of the
+    payload, with mask(crc) = ((crc>>15 | crc<<17) + 0xa282ead8) mod 2^32.
+    CRC function itself is pinned by the RFC vectors above."""
+    import struct
+
+    from swivel_spark_prep_spark.sinks.tfrecord import (
+        _masked_crc,
+        write_tfrecord,
+    )
+
+    path = str(tmp_path / "g.tfrecord")
+    write_tfrecord(path, [b"abc"])
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    length = struct.pack("<Q", 3)
+    expected = (
+        length
+        + struct.pack("<I", _masked_crc(length))
+        + b"abc"
+        + struct.pack("<I", _masked_crc(b"abc"))
+    )
+    assert raw == expected
+    # masked-CRC formula spot-check against an independently computed value:
+    # crc32c(b"abc") = 0x364B3FB7 → mask = ((c>>15)|(c<<17))+0xa282ead8
+    c = 0x364B3FB7
+    assert _masked_crc(b"abc") == (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
