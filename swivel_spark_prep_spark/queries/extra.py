@@ -726,3 +726,197 @@ def x30(spark, sf_dir):
         .select("doc_id", "text")
         .orderBy("doc_id")
     )
+
+
+def _io_dir(sf_dir: str, leaf: str) -> str:
+    """Deterministic scratch dir for source/sink round-trip queries."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), "ssps_io", tag, leaf)
+
+
+@_declare(
+    "X31_csv_roundtrip",
+    """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice),2) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;""",
+)
+def x31(spark, sf_dir):
+    # CSV sink + source round-trip (sources.read_csv): write the slice,
+    # read it back with an explicit schema (never inferSchema in a
+    # production path), aggregate. Spark writes doubles via shortest
+    # round-trip repr, so SUM over the re-read column is exact.
+    from swivel_spark_prep_spark import sources
+
+    path = _io_dir(sf_dir, "orders_csv")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    back = sources.read_csv(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_declare(
+    "X32_jsonl_roundtrip",
+    """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS qty,
+       ROUND(SUM(l_extendedprice),2) AS ext
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;""",
+)
+def x32(spark, sf_dir):
+    # JSONL sink + source round-trip (sources.read_jsonl) — the ingest
+    # format of most raw LLM corpora. Explicit schema on read.
+    from swivel_spark_prep_spark import sources
+
+    path = _io_dir(sf_dir, "lineitem_jsonl")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = sources.read_jsonl(
+        spark,
+        path,
+        schema="l_orderkey bigint, l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("ext"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_declare(
+    "X33_partitioned_pruning",
+    """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value),2) AS v
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id;""",
+)
+def x33(spark, sf_dir):
+    # Hive-partitioned sink + pruned read (sinks.write_partitioned): the
+    # equality filter on the partition column prunes directories before
+    # any IO — tests/test_plans.py asserts PartitionFilters carries it.
+    from swivel_spark_prep_spark import sinks
+
+    path = _io_dir(sf_dir, "events_by_type")
+    sinks.write_partitioned(
+        load_table(spark, sf_dir, "events"), path, ["event_type"]
+    )
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return (
+        back.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .orderBy("user_id")
+    )
+
+
+@_declare(
+    "X34_unpivot",
+    """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal::DOUBLE AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'c_nationkey' AS metric, c_nationkey::DOUBLE AS val FROM customer
+ORDER BY c_custkey, metric;""",
+)
+def x34(spark, sf_dir):
+    # Wide→long reshape: DataFrame.unpivot (single Expand node, no
+    # N-way self-union scan).
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double"),
+        F.col("c_nationkey").cast("double"),
+    )
+    return cust.unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "c_nationkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).orderBy("c_custkey", "metric")
+
+
+@_declare(
+    "X35_win_dist",
+    """SELECT o_custkey, o_orderkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),4) AS pr,
+       ROUND(CUME_DIST()  OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),4) AS cd
+FROM orders ORDER BY o_custkey, o_orderkey;""",
+)
+def x35(spark, sf_dir):
+    # Distribution window functions (percent_rank, cume_dist) — the
+    # ranking family Q18 doesn't cover; ties broken by o_orderkey.
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@_declare(
+    "X36_regexp_funcs",
+    """SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       len(regexp_extract_all(p_name, '[aeiou]'))::BIGINT AS n_vowels,
+       split_part(p_name, ' ', 2) AS second_word,
+       strpos(p_name, 'widget')::BIGINT AS widget_at,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part ORDER BY p_partkey;""",
+)
+def x36(spark, sf_dir):
+    # Regexp scalar family beyond Q26: capture-group extract, match
+    # count, split_part, substring position, global replace. Spark
+    # regexp_replace is global by default (DuckDB needs the 'g' flag).
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]")).alias("n_vowels"),
+        F.split_part("p_name", F.lit(" "), F.lit(2)).alias("second_word"),
+        F.instr("p_name", "widget").cast("long").alias("widget_at"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+    ).orderBy("p_partkey")
+
+
+@_declare(
+    "X37_orc_roundtrip",
+    """SELECT p_type, COUNT(*) AS n, ROUND(AVG(p_retailprice),4) AS avg_price
+FROM part GROUP BY p_type ORDER BY p_type;""",
+)
+def x37(spark, sf_dir):
+    # ORC sink + source round-trip (sources.read_orc): Spark's second
+    # native columnar format — same vectorized reader + pushdown family
+    # as parquet.
+    from swivel_spark_prep_spark import sources
+
+    path = _io_dir(sf_dir, "part_orc")
+    load_table(spark, sf_dir, "part").write.mode("overwrite").orc(path)
+    return (
+        sources.read_orc(spark, path)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("p_type")
+    )
