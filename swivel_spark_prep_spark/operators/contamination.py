@@ -1,0 +1,77 @@
+"""Benchmark-contamination detection: which corpus documents share enough
+n-grams with an evaluation/benchmark set to be suspect.
+
+The standard pre-training hygiene step (and its post-hoc audit): before a
+corpus trains a model, every document is checked for verbatim n-gram
+overlap with held-out benchmarks so evaluation numbers aren't inflated by
+memorized test items.
+
+Plan shape (100 TB reading): the corpus side is the 100 TB table; the
+benchmark side is eval suites — thousands of documents, megabytes. Shingle
+both, broadcast the benchmark inverted index, hash-join on the shingle,
+partial-agg count per (doc, bench) pair. The corpus is touched exactly
+once, map-side only: no shuffle of corpus data at all when the benchmark
+broadcasts (the groupBy keys are (doc_id, bench_id) — partial aggregation
+collapses the join fan-out before the one small exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.operators.dedup import shingle
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    bench_doc_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared): corpus docs sharing ≥ ``min_shared``
+    distinct n-token shingles with a benchmark doc.
+
+    ``shingle`` emits *distinct* shingles per document, so every
+    (doc, shingle) and (bench, shingle) row is unique and the joined rows
+    per (doc, bench) pair are distinct — ``count(*)`` equals
+    ``countDistinct(shingle)`` without the distinct-agg expand.
+
+    Set ``broadcast_benchmark=False`` only if the benchmark side is too
+    large to broadcast (then it's a shuffle hash join on the shingle).
+    """
+    c = shingle(corpus, n=n, text_col=text_col, doc_col=doc_col).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    b = shingle(benchmark, n=n, text_col=text_col, doc_col=bench_doc_col).select(
+        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("sh")
+    )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus minus contaminated docs (left-anti on the overlap set) —
+    the removal step downstream of the audit."""
+    flagged = ngram_overlap(
+        corpus, benchmark, n=n, min_shared=min_shared,
+        text_col=text_col, doc_col=doc_col,
+    ).select("doc_id").distinct()
+    return corpus.join(flagged, corpus[doc_col] == flagged["doc_id"], "left_anti")

@@ -920,3 +920,74 @@ def x37(spark, sf_dir):
         )
         .orderBy("p_type")
     )
+
+
+@_declare(
+    "X38_contamination",
+    """WITH sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+           p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3]))) AS shingles
+  FROM documents),
+b AS (SELECT doc_id AS bench_id, s.sh FROM sh, UNNEST(shingles) AS s(sh) WHERE doc_id < 20),
+c AS (SELECT doc_id, s.sh FROM sh, UNNEST(shingles) AS s(sh) WHERE doc_id >= 20)
+SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+FROM c JOIN b USING (sh)
+GROUP BY c.doc_id, b.bench_id
+HAVING COUNT(*) >= 2
+ORDER BY c.doc_id, b.bench_id;""",
+)
+def x38(spark, sf_dir):
+    # Benchmark-contamination audit (operators/contamination.py): docs
+    # sharing >= 2 distinct 3-gram shingles with the "benchmark" slice
+    # (doc_id < 20 stands in for an eval suite). Benchmark side
+    # broadcasts; the corpus is touched once, map-side.
+    from swivel_spark_prep_spark.operators import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        contamination.ngram_overlap(
+            corpus=docs.filter(F.col("doc_id") >= 20),
+            benchmark=docs.filter(F.col("doc_id") < 20),
+            n=3,
+            min_shared=2,
+        )
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+@_declare(
+    "X39_vocab_coverage",
+    """WITH v AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM documents, UNNEST(string_split(text,' ')) AS t(tok) GROUP BY tok)
+SELECT tok, cnt,
+       ROUND((SUM(cnt) OVER (ORDER BY cnt DESC, tok))::DOUBLE
+             / (SELECT SUM(cnt) FROM v), 6) AS cum_share
+FROM v ORDER BY cnt DESC, tok;""",
+)
+def x39(spark, sf_dir):
+    # Tokenizer-planning stat: cumulative corpus coverage of the
+    # frequency-ranked vocabulary ("top-k tokens cover p% of the
+    # corpus"). The global window runs over the VOCAB (|V| << corpus,
+    # already aggregated), not the token stream — fine at scale; the
+    # total is a 1-row broadcast cross join, not a collect.
+    from swivel_spark_prep_spark.operators.swivel import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = tokenize(docs).groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = v.agg(F.sum("cnt").alias("_total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w).cast("double") / F.col("_total"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+    )

@@ -345,3 +345,31 @@ def test_approx_percentile_brackets_exact_median(spark, sf_dir):
     )
     for r in rows:
         assert abs(r.approx - r.exact) <= 0.05 * max(abs(r.exact), 1.0), r
+
+
+def test_decontaminate_partitions_corpus(spark, sf_dir):
+    """decontaminate = corpus − flagged: survivors and flagged docs
+    partition the corpus, no flagged doc survives, and the result is
+    idempotent against the same benchmark."""
+    from swivel_spark_prep_spark.operators.contamination import (
+        decontaminate,
+        ngram_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    flagged = {
+        r.doc_id for r in ngram_overlap(corpus, bench, min_shared=2).collect()
+    }
+    assert flagged, "fixture should contain contaminated docs (planted dups)"
+    clean = decontaminate(corpus, bench, min_shared=2)
+    survivors = {r.doc_id for r in clean.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert survivors | flagged == all_ids
+    assert survivors & flagged == set()
+    again = {
+        r.doc_id
+        for r in decontaminate(clean, bench, min_shared=2).select("doc_id").collect()
+    }
+    assert again == survivors
