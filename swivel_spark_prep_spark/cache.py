@@ -1,0 +1,43 @@
+"""Session-level registry for persisted intermediates.
+
+Several operators persist() a relation that feeds two or more downstream
+consumers (Spark has no common-subplan reuse, so without the persist the
+lineage — shingling, signatures, tokenization — would be recomputed per
+consumer). Those operators return a LAZY DataFrame, so they cannot
+unpersist inside the function: the blocks must survive until the caller
+fetches the result.
+
+The contract: operators persist through ``track_persist``; the session
+owner calls ``release_persisted()`` after each query's results are
+fetched (bench.py does this between queries; tests/conftest.py does it
+after every test). A long-lived session that never releases simply
+accumulates bounded-size intermediates until ``spark.catalog.clearCache()``
+— the registry makes the cleanup explicit instead of leaking handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() a DataFrame and register it for later release."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every registered intermediate (blocking=False — block
+    eviction proceeds async, callers don't wait on executor cleanup).
+    Returns how many handles were released."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

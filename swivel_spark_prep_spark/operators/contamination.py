@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from swivel_spark_prep_spark.operators.dedup import shingle
+from swivel_spark_prep_spark.operators.dedup import shingle_hashes
 
 
 def ngram_overlap(
@@ -36,7 +36,13 @@ def ngram_overlap(
     """(doc_id, bench_id, n_shared): corpus docs sharing ≥ ``min_shared``
     distinct n-token shingles with a benchmark doc.
 
-    ``shingle`` emits *distinct* shingles per document, so every
+    Both sides shingle with ``shingle_hashes`` (xxhash64 over the token
+    tuple) — the hash function is identical on corpus and benchmark, so
+    the shared-shingle count is unchanged up to 64-bit collisions, and no
+    string shingle is ever materialized, deduped, sorted, or join-keyed
+    (string array ops dominated the MinHash profile; see dedup.py).
+
+    ``shingle_hashes`` emits *distinct* shingles per document, so every
     (doc, shingle) and (bench, shingle) row is unique and the joined rows
     per (doc, bench) pair are distinct — ``count(*)`` equals
     ``countDistinct(shingle)`` without the distinct-agg expand.
@@ -44,12 +50,12 @@ def ngram_overlap(
     Set ``broadcast_benchmark=False`` only if the benchmark side is too
     large to broadcast (then it's a shuffle hash join on the shingle).
     """
-    c = shingle(corpus, n=n, text_col=text_col, doc_col=doc_col).select(
+    c = shingle_hashes(corpus, n=n, text_col=text_col, doc_col=doc_col).select(
         "doc_id", F.explode("shingles").alias("sh")
     )
-    b = shingle(benchmark, n=n, text_col=text_col, doc_col=bench_doc_col).select(
-        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("sh")
-    )
+    b = shingle_hashes(
+        benchmark, n=n, text_col=text_col, doc_col=bench_doc_col
+    ).select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("sh"))
     if broadcast_benchmark:
         b = F.broadcast(b)
     return (
@@ -67,11 +73,12 @@ def decontaminate(
     min_shared: int = 2,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    bench_doc_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus minus contaminated docs (left-anti on the overlap set) —
     the removal step downstream of the audit."""
     flagged = ngram_overlap(
         corpus, benchmark, n=n, min_shared=min_shared,
-        text_col=text_col, doc_col=doc_col,
+        text_col=text_col, doc_col=doc_col, bench_doc_col=bench_doc_col,
     ).select("doc_id").distinct()
     return corpus.join(flagged, corpus[doc_col] == flagged["doc_id"], "left_anti")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from swivel_spark_prep_spark.cache import track_persist
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to full parallelism before CPU-heavy
@@ -80,11 +82,17 @@ def remove_common_lines(
     sep: str = "\n",
     content_col: str = "text",
     key_col: str = "doc_id",
+    min_df_frac: float | None = None,
 ) -> DataFrame:
     """Boilerplate removal: drop every LINE that appears (as an exact
     string) in ≥ min_df distinct documents — headers, footers, cookie
     banners, nav menus. The CommonCrawl-style sub-document dedup that
     document-level dedup can't express.
+
+    ``min_df_frac`` makes the threshold relative: a line is boilerplate
+    when its document frequency ≥ ceil(min_df_frac · |docs|). The corpus
+    size is folded into the plan as a 1-row broadcast aggregate — no
+    driver-side count() job before the main plan.
 
     Plan: posexplode lines → line-hash df count (distinct docs per line,
     partial+final agg) → join the small "common lines" set back
@@ -95,12 +103,16 @@ def remove_common_lines(
         F.col(key_col).alias("_k"),
         F.posexplode(F.split(F.col(content_col), sep)).alias("_pos", "_line"),
     ).withColumn("_h", F.xxhash64("_line"))
-    common = (
-        lines.groupBy("_h")
-        .agg(F.countDistinct("_k").alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("_h")
-    )
+    dfs = lines.groupBy("_h").agg(F.countDistinct("_k").alias("_df"))
+    if min_df_frac is not None:
+        total = docs.select(F.count("*").alias("_n_docs"))
+        dfs = dfs.crossJoin(F.broadcast(total)).filter(
+            F.col("_df")
+            >= F.ceil(F.lit(min_df_frac) * F.col("_n_docs")).cast("long")
+        )
+    else:
+        dfs = dfs.filter(F.col("_df") >= min_df)
+    common = dfs.select("_h")
     kept = lines.join(F.broadcast(common), "_h", "left_anti")
     rebuilt = (
         kept.groupBy("_k")
@@ -341,8 +353,9 @@ def minhash_near_dups(
     eligible = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= n))
     # persisted: the shingle arrays feed BOTH the signature path and the
     # exact-verify join sides, and Spark has no common-subplan reuse —
-    # without this the shingling runs three times
-    sh = shingle_hashes(eligible, n, text_col, doc_col).persist()
+    # without this the shingling runs three times. Released via
+    # cache.release_persisted() after the caller fetches (see cache.py).
+    sh = track_persist(shingle_hashes(eligible, n, text_col, doc_col))
     signed = minhash_signature(sh, num_hashes, hashed=True)
     cand = minhash_lsh_candidates(signed, num_bands, rows_per_band)
     return _exact_jaccard_verify(cand, sh, jaccard_threshold)
@@ -372,7 +385,7 @@ def ngram_jaccard_pairs(
     Scale note: pair explosion is O(Σ df²) over member lists. A Zipf-hot
     corpus (shingles with huge df) needs the MinHash-LSH path — exact
     all-pairs Jaccard is quadratic in hot-shingle membership by nature."""
-    sh = shingle_hashes(_spread(docs), n, text_col, doc_col).persist()
+    sh = track_persist(shingle_hashes(_spread(docs), n, text_col, doc_col))
     sizes = sh.select("doc_id", F.size("shingles").alias("_sz"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     # shingles are distinct per doc, so the member-list length IS the

@@ -114,6 +114,52 @@ def build_vocab(
     return vocab.select("tok", "cnt", "id")
 
 
+def cooc_pairs(
+    docs: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(w1, w2, w, _h): one row per ordered co-occurrence instance
+    (pos_b > pos_a, distance ≤ window, weight 1/distance) — generated
+    MAP-SIDE with a nested-transform pair array + one explode, the
+    Spark-first equivalent of prep.py's per-line flatMap.
+
+    This replaces the positional self-join formulation: that plan shuffled
+    the token stream twice (both join sides keyed on doc_id) plus once for
+    the aggregate; this plan shuffles NOTHING until the pair counts are
+    partially aggregated — at 100 TB the only data-scale exchange left in
+    the co-occurrence build is the combined (w1, w2) partial-sum shuffle.
+
+    ``_h`` = xxhash64(doc_id, pos_a, pos_b): a content-derived salt unique
+    per pair *instance* — deterministic under task retry (unlike
+    monotonically_increasing_id) and uniform over salts for Zipf-hot pairs.
+    """
+    pair_expr = F.expr(
+        f"""CASE WHEN size(toks) >= 2 THEN
+              flatten(transform(sequence(0, size(toks)-2), p ->
+                transform(sequence(p+1, least(p+{int(window)}, size(toks)-1)), q ->
+                  struct(toks[p] AS w1, toks[q] AS w2,
+                         1.0/(q-p) AS w,
+                         xxhash64(doc_id, p, q) AS h))))
+            ELSE cast(array() as array<struct<w1:string,w2:string,w:double,h:bigint>>)
+            END"""
+    )
+    return (
+        docs.select(
+            F.col(doc_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.col("p.w").alias("w"),
+            F.col("p.h").alias("_h"),
+        )
+    )
+
+
 def cooc_matrix(
     docs: DataFrame,
     vocab: DataFrame,
@@ -127,57 +173,47 @@ def cooc_matrix(
     distance ≤ window within a line (prep.py accumulates both (i,j) and
     (j,i); set symmetric=False for the upper triangle only).
 
-    The positional self-join is keyed on doc_id — co-location by line, no
-    cross-line shuffle amplification. ``salt_partial_agg > 0`` enables
-    two-level aggregation (salt, partial, unsalt, final) for Zipf-hot
-    (row_id, col_id) cells; sums are associative so semantics are unchanged.
+    Plan: map-side pair generation (`cooc_pairs` — no token-stream
+    shuffle) → hash aggregate on the token pair (map-side partial combine,
+    so the one exchange carries partially-summed cells, not instances) →
+    vocab id mapping joined AFTER the aggregate on the nnz-sized relation
+    (broadcast under the threshold, graceful shuffle join beyond — never a
+    driver-collected dictionary). Tokens outside the vocabulary drop at
+    the join; distances still count the original positions, exactly as the
+    pre-join tokenization did.
+
+    ``salt_partial_agg > 0`` enables two-level aggregation (salt, partial,
+    unsalt, final) for Zipf-hot (w1, w2) cells; sums are associative so
+    semantics are unchanged.
     """
-    toks = (
-        tokenize(docs, text_col, doc_col)
-        .join(vocab.select("tok", "id"), "tok")
-        .select("doc_id", "id", "pos")
-    )
-    a = toks.select("doc_id", F.col("id").alias("row_id"), F.col("pos").alias("pos_a"))
-    b = toks.select("doc_id", F.col("id").alias("col_id"), F.col("pos").alias("pos_b"))
-    pairs = (
-        a.join(b, ["doc_id"])
-        .filter(
-            (F.col("pos_b") > F.col("pos_a"))
-            & (F.col("pos_b") - F.col("pos_a") <= window)
-        )
-        .select(
-            "row_id",
-            "col_id",
-            (F.lit(1.0) / (F.col("pos_b") - F.col("pos_a"))).alias("w"),
-            # Content-derived salt, computed while (doc_id, pos_a, pos_b)
-            # are still in scope: unique per pair *instance*, so a Zipf-hot
-            # (row_id, col_id) cell spreads uniformly across salts, and —
-            # unlike monotonically_increasing_id — deterministic under task
-            # retry / stage recomputation.
-            F.xxhash64("doc_id", "pos_a", "pos_b").alias("_h"),
-        )
-    )
-    if symmetric:
-        # prep.py adds weight to both (i,j) and (j,i) — mirror then re-sum;
-        # the i==j diagonal correctly receives both contributions.
-        pairs = pairs.unionByName(
-            pairs.select(
-                F.col("col_id").alias("row_id"),
-                F.col("row_id").alias("col_id"),
-                "w",
-                # flip a bit so the mirrored instance salts independently
-                F.xxhash64("_h").alias("_h"),
-            )
-        )
+    pairs = cooc_pairs(docs, window, text_col, doc_col)
     if salt_partial_agg > 0:
         salted = pairs.withColumn(
             "_salt", F.pmod(F.col("_h"), F.lit(salt_partial_agg))
         )
-        partial = salted.groupBy("row_id", "col_id", "_salt").agg(
-            F.sum("w").alias("w")
+        partial = salted.groupBy("w1", "w2", "_salt").agg(F.sum("w").alias("w"))
+        agg = partial.groupBy("w1", "w2").agg(F.sum("w").alias("w"))
+    else:
+        agg = pairs.groupBy("w1", "w2").agg(F.sum("w").alias("w"))
+    v1 = vocab.select(F.col("tok").alias("w1"), F.col("id").alias("row_id"))
+    v2 = vocab.select(F.col("tok").alias("w2"), F.col("id").alias("col_id"))
+    m = agg.join(v1, "w1").join(v2, "w2").select("row_id", "col_id", "w")
+    if symmetric:
+        # prep.py adds weight to both (i,j) and (j,i) — mirror the
+        # aggregated (nnz-sized) matrix and re-sum; the i==j diagonal
+        # correctly receives both contributions.
+        m = (
+            m.unionByName(
+                m.select(
+                    F.col("col_id").alias("row_id"),
+                    F.col("row_id").alias("col_id"),
+                    "w",
+                )
+            )
+            .groupBy("row_id", "col_id")
+            .agg(F.sum("w").alias("w"))
         )
-        return partial.groupBy("row_id", "col_id").agg(F.sum("w").alias("w"))
-    return pairs.groupBy("row_id", "col_id").agg(F.sum("w").alias("w"))
+    return m
 
 
 def shard_cooc(cooc: DataFrame, vocab_size: int, shard_size: int) -> DataFrame:
@@ -224,15 +260,22 @@ def prep(
     doc_col: str = "doc_id",
 ) -> SwivelPrepResult:
     """The reference's whole pipeline as one composable call."""
-    vocab = build_vocab(docs, min_count, shard_size, text_col, doc_col).cache()
+    from swivel_spark_prep_spark.cache import track_persist
+
+    vocab = track_persist(
+        build_vocab(docs, min_count, shard_size, text_col, doc_col)
+    )
     vocab_size = vocab.count()
     # cached: three consumers (shards, row marginals, col marginals) would
     # otherwise each re-run tokenize → vocab join → pair join → aggregate.
     # At cluster scale this is the write-cooc-to-storage step; in-session,
-    # MEMORY_AND_DISK blocks serve the same role.
-    cooc = cooc_matrix(
-        docs, vocab, window, symmetric=True, text_col=text_col, doc_col=doc_col
-    ).cache()
+    # MEMORY_AND_DISK blocks serve the same role. Released via
+    # cache.release_persisted() once the outputs are written/fetched.
+    cooc = track_persist(
+        cooc_matrix(
+            docs, vocab, window, symmetric=True, text_col=text_col, doc_col=doc_col
+        )
+    )
     shards = shard_cooc(cooc, vocab_size, shard_size)
     row_sums, col_sums = marginals(cooc)
     return SwivelPrepResult(

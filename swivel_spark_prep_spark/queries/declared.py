@@ -798,28 +798,18 @@ FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.p
 GROUP BY a.tok, b.tok ORDER BY a.tok, b.tok;""",
 )
 def q34(spark, sf_dir):
-    # Co-occurrence pair generation as a positional self-join (SURVEY.md
-    # §2.1 "cooc pair gen"): weight 1/distance, window ≤ 3, upper triangle.
-    toks = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 50)
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-    )
-    a = toks.select("doc_id", F.col("tok").alias("w1"), F.col("pos").alias("pos_a"))
-    b = toks.select("doc_id", F.col("tok").alias("w2"), F.col("pos").alias("pos_b"))
+    # Co-occurrence pair generation (SURVEY.md §2.1 "cooc pair gen"):
+    # weight 1/distance, window ≤ 3, upper triangle. MAP-SIDE pair
+    # explosion (operators/swivel.cooc_pairs — prep.py's per-line flatMap,
+    # Spark-first): no token-stream self-join, the only exchange is the
+    # partially-aggregated (w1, w2) sum.
+    from swivel_spark_prep_spark.operators.swivel import cooc_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return (
-        a.join(
-            b,
-            ["doc_id"],
-        )
-        .filter(
-            (F.col("pos_b") > F.col("pos_a"))
-            & (F.col("pos_b") - F.col("pos_a") <= 3)
-        )
+        cooc_pairs(docs, window=3)
         .groupBy("w1", "w2")
-        .agg(
-            F.round(F.sum(F.lit(1.0) / (F.col("pos_b") - F.col("pos_a"))), 4).alias("w")
-        )
+        .agg(F.round(F.sum("w"), 4).alias("w"))
         .orderBy("w1", "w2")
     )
 
@@ -845,6 +835,13 @@ FROM cooc GROUP BY 1,2 ORDER BY 1,2;""",
 def q35(spark, sf_dir):
     # End-to-end swivel-prep oracle: vocab → ids → cooc → modulo shards
     # (arXiv:1602.02215 §3 sharding) → per-shard nnz + mass.
+    # Map-side pair generation (swivel.cooc_pairs) + vocab ids joined
+    # AFTER the pair aggregate on the nnz-sized relation: the corpus is
+    # scanned twice (vocab counts, pair gen — both map-side single
+    # passes), nothing is persisted, and the only data-scale exchange is
+    # the combined pair-sum shuffle.
+    from swivel_spark_prep_spark.operators.swivel import cooc_pairs
+
     docs = _t(spark, sf_dir, "documents")
     toks_raw = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
@@ -855,17 +852,15 @@ def q35(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .select("tok", (F.row_number().over(w) - 1).cast("long").alias("id"))
     )
-    toks = toks_raw.join(F.broadcast(vocab), "tok").select("doc_id", "id", "pos")
-    a = toks.select("doc_id", F.col("id").alias("row_id"), F.col("pos").alias("pos_a"))
-    b = toks.select("doc_id", F.col("id").alias("col_id"), F.col("pos").alias("pos_b"))
+    agg = cooc_pairs(docs, window=3).groupBy("w1", "w2").agg(
+        F.sum("w").alias("w")
+    )
+    v1 = vocab.select(F.col("tok").alias("w1"), F.col("id").alias("row_id"))
+    v2 = vocab.select(F.col("tok").alias("w2"), F.col("id").alias("col_id"))
     cooc = (
-        a.join(b, ["doc_id"])
-        .filter(
-            (F.col("pos_b") > F.col("pos_a"))
-            & (F.col("pos_b") - F.col("pos_a") <= 3)
-        )
-        .groupBy("row_id", "col_id")
-        .agg(F.sum(F.lit(1.0) / (F.col("pos_b") - F.col("pos_a"))).alias("w"))
+        agg.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .select("row_id", "col_id", "w")
     )
     return (
         cooc.select(
@@ -1050,11 +1045,13 @@ def q41(spark, sf_dir):
     )
     # persisted: consumed twice (sizes + inverted index) and Spark has no
     # common-subplan reuse — 20 MB at sf0.1; at cluster scale this is the
-    # materialize-the-inverted-index step of any dedup pipeline
-    sh = (
+    # materialize-the-inverted-index step of any dedup pipeline. Released
+    # via cache.release_persisted() after the fetch (see cache.py).
+    from swivel_spark_prep_spark.cache import track_persist
+
+    sh = track_persist(
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", hash_expr.alias("shingles"))
-        .persist()
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))

@@ -1,7 +1,10 @@
 """Extra queries beyond the declared 44 — LLM-data-pipeline operators.
 
-X01–X05, X09 are oracle-checked (deterministic, SQL-expressible). X06–X08
-use seeded xxhash64 / LSH internals DuckDB cannot replay — the driver
+Most are oracle-checked (deterministic, SQL-expressible) — including X06,
+whose MinHash-LSH output equals the exact all-pairs Jaccard ≥ 0.8 result
+because the exact-verify stage makes it deterministic given recall (and
+recall is property-tested at both SFs). X07/X08/X11/X15 use seeded
+xxhash64 / LSH / sketch internals DuckDB cannot replay — the driver
 records a rows-only check; their quality guarantees (recall vs the exact
 oracles) are asserted by tests/test_llm_operators.py instead.
 """
@@ -141,7 +144,30 @@ def x05(spark, sf_dir):
     )
 
 
-@_declare("X06_minhash_near_dups", None)  # xxhash64 seeds — not DuckDB-replayable
+@_declare(
+    "X06_minhash_near_dups",
+    # Exact all-pairs 3-shingle Jaccard ≥ 0.8 (Q41's oracle without the
+    # df band) IS a valid oracle for the LSH path: the exact-verify stage
+    # makes the output deterministic given recall, and with b=16, r=4 a
+    # pair at jac = 0.8 is missed w.p. ≈ 3e-4 (the recall property test
+    # at both SFs shows recall = 100% on the fixture).
+    """WITH sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+           p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3]))) AS shingles
+  FROM documents),
+inv AS (SELECT doc_id, s.sh FROM sh, UNNEST(shingles) AS s(sh)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM inv a JOIN inv b USING (sh)
+         WHERE a.doc_id < b.doc_id)
+SELECT d1, d2,
+       ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+             (len(x.shingles)+len(y.shingles)-len(list_intersect(x.shingles,y.shingles))),4) AS jac
+FROM cand JOIN sh x ON x.doc_id=d1 JOIN sh y ON y.doc_id=d2
+WHERE len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+      (len(x.shingles)+len(y.shingles)-len(list_intersect(x.shingles,y.shingles))) >= 0.8
+ORDER BY d1, d2;""",
+)
 def x06(spark, sf_dir):
     # MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.8.
     # Recall vs the exact Q41 oracle asserted in tests/test_llm_operators.py.
@@ -716,25 +742,29 @@ def x30(spark, sf_dir):
     # is separator-generic; the posexplode -> df-count -> broadcast
     # anti-join -> ordered-reassemble plan is identical for '\n' corpora.
     # Threshold is relative to |docs| so the query stays non-degenerate at
-    # every SF (the fixture vocab is ~31 tokens with ~80% doc-frequency).
-    import math
-
+    # every SF (the fixture vocab is ~31 tokens with ~80% doc-frequency);
+    # min_df_frac folds the corpus size into the plan (1-row broadcast
+    # aggregate), so no driver-side count() job runs before the main plan.
     docs = load_table(spark, sf_dir, "documents")
-    min_df = int(math.ceil(0.79 * docs.count()))
     return (
-        dedup.remove_common_lines(docs, min_df=min_df, sep=" ")
+        dedup.remove_common_lines(docs, min_df_frac=0.79, sep=" ")
         .select("doc_id", "text")
         .orderBy("doc_id")
     )
 
 
 def _io_dir(sf_dir: str, leaf: str) -> str:
-    """Deterministic scratch dir for source/sink round-trip queries."""
+    """Per-process scratch dir for source/sink round-trip queries. The PID
+    discriminator keeps two concurrent runs at the same SF (bench + pytest,
+    pytest -n) from overwriting each other's round-trip data between one
+    process's write and read."""
     import os
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), "ssps_io", tag, leaf)
+    return os.path.join(
+        tempfile.gettempdir(), "ssps_io", f"{tag}-{os.getpid()}", leaf
+    )
 
 
 @_declare(

@@ -33,6 +33,20 @@ RUNTIME_CONFS = {
     # results (measured Q28 sf0.1); also the pandas-UDF batch size — at
     # cluster scale balance against per-task memory
     "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+    # InferFiltersFromGenerate rewrites explode(f(x)) into
+    # Filter(size(f(x)) > 0 AND isnotnull(f(x))) + explode(f(x)) — the
+    # FULL generator-input expression is duplicated into the filter, which
+    # then pushes below exchanges down to the scan. For cheap column
+    # references that prunes empty arrays early; for computed inputs
+    # (shingle/n-gram/signature pipelines, any transform(...) feeding an
+    # explode) it evaluates the expensive expression TWICE per row, the
+    # first time before any repartition can parallelize it. Measured on
+    # the shingle path (sf0.1, 5000 docs): 5.9 s → 0.4 s scan+explode,
+    # X38 contamination 8.5 s → 1.3 s end-to-end. Generator inputs in
+    # this engine are always computed arrays, so the rule is globally
+    # excluded.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 #: Confs that must be set before the JVM starts.

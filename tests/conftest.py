@@ -4,7 +4,7 @@ import os
 
 import pytest
 
-SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+from _sfs import BOTH_SFS, SF_SMOKE
 
 
 @pytest.fixture(scope="session")
@@ -24,6 +24,16 @@ def sf_dir():
     return SF_SMOKE
 
 
+@pytest.fixture(autouse=True)
+def _release_persisted_blocks():
+    """Unpersist operator intermediates after every test — no persisted
+    blocks may outlive the query that created them (cache.py contract)."""
+    yield
+    from swivel_spark_prep_spark.cache import release_persisted
+
+    release_persisted()
+
+
 @pytest.fixture(scope="session")
 def duck(sf_dir):
     from swivel_spark_prep_spark.oracle import duckdb_connection
@@ -31,3 +41,29 @@ def duck(sf_dir):
     con = duckdb_connection(sf_dir)
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session", params=BOTH_SFS, ids=os.path.basename)
+def each_sf(request):
+    """Parametrizes a test over BOTH smoke SFs (sf0.001 + the driver's
+    sf0.01) so the default `pytest tests/` run proves the driver's scale
+    factor with no env var."""
+    return request.param
+
+
+@pytest.fixture(scope="session")
+def duck_for():
+    """Lazily-opened DuckDB oracle connection per SF dir (closed at
+    session end) — the per-SF twin of the `duck` fixture."""
+    from swivel_spark_prep_spark.oracle import duckdb_connection
+
+    cons = {}
+
+    def get(sfd):
+        if sfd not in cons:
+            cons[sfd] = duckdb_connection(sfd)
+        return cons[sfd]
+
+    yield get
+    for con in cons.values():
+        con.close()

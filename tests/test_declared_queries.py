@@ -1,4 +1,5 @@
-"""Oracle parity for the 44 declared queries (SURVEY.md §2) at sf0.001.
+"""Oracle parity for the 44 declared queries (SURVEY.md §2) at BOTH
+smoke SFs (sf0.001 and the driver's sf0.01).
 
 Mirrors the driver's correctness gate: Spark result vs DuckDB oracle,
 order-insensitive value compare after dtype normalization.
@@ -36,12 +37,12 @@ EXPECTED_ROWS_SF0001 = {
 
 
 @pytest.mark.parametrize("name", sorted(DECLARED_QUERIES))
-def test_declared_query_matches_oracle(name, spark, sf_dir, duck):
-    spark_pdf = DECLARED_QUERIES[name](spark, sf_dir).toPandas()
-    oracle_pdf = duck.execute(DECLARED_ORACLES[name]).fetchdf()
+def test_declared_query_matches_oracle(name, spark, each_sf, duck_for):
+    spark_pdf = DECLARED_QUERIES[name](spark, each_sf).toPandas()
+    oracle_pdf = duck_for(each_sf).execute(DECLARED_ORACLES[name]).fetchdf()
 
     expected = (
-        EXPECTED_ROWS_SF0001.get(name) if sf_dir.rstrip("/").endswith("sf0.001") else None
+        EXPECTED_ROWS_SF0001.get(name) if each_sf.rstrip("/").endswith("sf0.001") else None
     )
     if expected is not None:
         assert len(oracle_pdf) == expected, (

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from _sfs import BOTH_SFS
 from swivel_spark_prep_spark.catalog import load_table
 from swivel_spark_prep_spark.oracle import compare_frames
 from swivel_spark_prep_spark.queries.declared import DECLARED_ORACLES
@@ -12,16 +13,16 @@ from swivel_spark_prep_spark.queries.extra import EXTRA_ORACLES, EXTRA_QUERIES
 
 
 @pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
-def test_extra_query_matches_oracle(name, spark, sf_dir, duck):
-    spark_pdf = EXTRA_QUERIES[name](spark, sf_dir).toPandas()
-    oracle_pdf = duck.execute(EXTRA_ORACLES[name]).fetchdf()
+def test_extra_query_matches_oracle(name, spark, each_sf, duck_for):
+    spark_pdf = EXTRA_QUERIES[name](spark, each_sf).toPandas()
+    oracle_pdf = duck_for(each_sf).execute(EXTRA_ORACLES[name]).fetchdf()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-#: both smoke SFs — recall properties must hold as the corpus grows 10×
-#: (VERDICT r01 #8), not only at the default test SF.
-BOTH_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+#: BOTH_SFS (imported above from tests/_sfs.py) — recall properties must
+#: hold as the corpus grows 10× (VERDICT r01 #8), not only at the default
+#: test SF; derived from the same env base the sf_dir fixture honors.
 
 
 def _planted_pairs(sfd: str) -> set:
