@@ -521,3 +521,91 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- clustering (connected components) -------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "d1",
+    dst_col: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, rep): rep = minimum node id reachable in the undirected
+    graph — the canonical cluster id. The stage every fuzzy-dedup
+    pipeline needs between "near-dup pairs" and "keep one per cluster".
+
+    Min-label propagation: each round, every node takes the minimum label
+    over itself and its neighbors. One round = one shuffle-join of the
+    edge list with the label table plus one min-aggregate; convergence is
+    detected with a cheap isEmpty() on the changed-label set (an
+    aggregate action, never a data-scale collect). Near-dup graphs are
+    unions of tiny-diameter cliques-with-chords, so 2–4 rounds converge;
+    the iteration cap guards adversarial path graphs, where the
+    alternating large-star/small-star scheme (Kiveris et al., MapReduce
+    and Beyond, 2014) is the published O(log n)-round alternative.
+
+    Each round's label table is persisted and the previous round's is
+    unpersisted immediately — peak storage is two label tables (O(|V|)),
+    regardless of iteration count.
+    """
+    nbrs = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr"))
+    )
+    labels = (
+        nbrs.select("node")
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .persist()
+    )
+    labels.count()  # materialize so each round starts from blocks, not lineage
+    for _ in range(max_iter):
+        nbr_label = nbrs.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "rep")
+        new_labels = (
+            labels.unionByName(nbr_label)
+            .groupBy("node")
+            .agg(F.min("rep").alias("rep"))
+            .persist()
+        )
+        new_labels.count()
+        changed = new_labels.join(
+            labels.withColumnRenamed("rep", "_old"), "node"
+        ).filter(F.col("rep") != F.col("_old"))
+        done = changed.isEmpty()
+        labels.unpersist()
+        labels = new_labels
+        if done:
+            break
+    from swivel_spark_prep_spark.cache import track
+
+    return track(labels)  # released by the session owner post-fetch
+
+
+def fuzzy_dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, rep_id, is_rep): every document mapped to its near-dup
+    cluster representative (minimum doc_id in the component; singletons
+    represent themselves). Survivors = ``filter(is_rep)``; the removal
+    set = ``filter(~is_rep)``.
+
+    ``pairs`` is any (d1, d2) near-dup relation — minhash_near_dups,
+    simhash_near_dups, or ngram_jaccard_pairs output. The component
+    table is |nodes-in-pairs|-sized (bounded by the duplicate count, far
+    smaller than the corpus), so the final join broadcasts under the
+    threshold and the corpus itself is touched exactly once, map-side.
+    """
+    comp = connected_components(pairs)
+    return docs.select(F.col(doc_col).alias("doc_id")).join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("rep", F.col("doc_id")).alias("rep_id"),
+        (F.coalesce("rep", F.col("doc_id")) == F.col("doc_id")).alias("is_rep"),
+    )

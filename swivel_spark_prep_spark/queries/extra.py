@@ -1021,3 +1021,50 @@ def x39(spark, sf_dir):
         )
         .orderBy(F.col("cnt").desc(), "tok")
     )
+
+
+@_declare(
+    "X40_dedup_clusters",
+    # Transitive closure over the exact near-dup pair graph (jac >= 0.8,
+    # same edge set as X06's oracle) via a recursive CTE: rep_id = min
+    # reachable doc_id; singletons represent themselves.
+    """WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+           p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3]))) AS shingles
+  FROM documents),
+inv AS (SELECT doc_id, s.sh FROM sh, UNNEST(shingles) AS s(sh)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM inv a JOIN inv b USING (sh) WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT d1, d2 FROM cand JOIN sh x ON x.doc_id=d1 JOIN sh y ON y.doc_id=d2
+  WHERE len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+        (len(x.shingles)+len(y.shingles)-len(list_intersect(x.shingles,y.shingles))) >= 0.8),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+rep AS (SELECT u AS doc_id, MIN(v) AS rep_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(r.rep_id, d.doc_id) AS rep_id,
+       (COALESCE(r.rep_id, d.doc_id) = d.doc_id)::INT AS is_rep
+FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id;""",
+)
+def x40(spark, sf_dir):
+    # Fuzzy-dedup clustering: exact jac>=0.8 pairs (deterministic — the
+    # df band is disabled so the edge set equals X06's oracle graph) →
+    # min-label connected components → every doc mapped to its cluster
+    # representative. Survivors of the dedup = filter(is_rep = 1).
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_df=2, max_df=1 << 31, threshold=0.8
+    )
+    return (
+        dedup.fuzzy_dedup_clusters(docs, pairs)
+        .select(
+            "doc_id", "rep_id", F.col("is_rep").cast("int").alias("is_rep")
+        )
+        .orderBy("doc_id")
+    )
