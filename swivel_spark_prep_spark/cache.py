@@ -29,14 +29,6 @@ def track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def track(df: DataFrame) -> DataFrame:
-    """Register an ALREADY-persisted DataFrame for later release — for
-    operators that manage persistence inside an iteration loop (e.g.
-    connected_components) and only hand the final table to the registry."""
-    _PERSISTED.append(df)
-    return df
-
-
 def release_persisted() -> int:
     """Unpersist every registered intermediate (blocking=False — block
     eviction proceeds async, callers don't wait on executor cleanup).

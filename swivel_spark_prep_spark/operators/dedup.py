@@ -545,9 +545,13 @@ def connected_components(
     alternating large-star/small-star scheme (Kiveris et al., MapReduce
     and Beyond, 2014) is the published O(log n)-round alternative.
 
-    Each round's label table is persisted and the previous round's is
-    unpersisted immediately — peak storage is two label tables (O(|V|)),
-    regardless of iteration count.
+    Every round ends with an EAGER localCheckpoint: persist alone serves
+    the blocks but leaves the logical plan doubling per round, and a
+    ~20-round lineage OOMs the PLANNER before any data moves (measured
+    on a 20-node path graph). Lineage truncation is the load-bearing
+    choice for iterative DataFrame algorithms; on a real cluster with
+    lossy executors, swap in reliable checkpointing
+    (spark.sparkContext.setCheckpointDir + .checkpoint()) at a cadence.
     """
     nbrs = edges.select(
         F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
@@ -558,9 +562,8 @@ def connected_components(
         nbrs.select("node")
         .distinct()
         .withColumn("rep", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()  # materialize so each round starts from blocks, not lineage
     for _ in range(max_iter):
         nbr_label = nbrs.join(
             labels.withColumnRenamed("node", "nbr"), "nbr"
@@ -569,20 +572,16 @@ def connected_components(
             labels.unionByName(nbr_label)
             .groupBy("node")
             .agg(F.min("rep").alias("rep"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_labels.count()
         changed = new_labels.join(
             labels.withColumnRenamed("rep", "_old"), "node"
         ).filter(F.col("rep") != F.col("_old"))
         done = changed.isEmpty()
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels  # prior round's checkpoint blocks are GC-freed
         if done:
             break
-    from swivel_spark_prep_spark.cache import track
-
-    return track(labels)  # released by the session owner post-fetch
+    return labels
 
 
 def fuzzy_dedup_clusters(

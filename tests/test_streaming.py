@@ -330,3 +330,46 @@ def test_session_stream_emits_closed_sessions(spark, events, replay_dir, tmp_pat
         assert got == want
     finally:
         query.stop()
+
+
+def test_rate_micro_batch_source_delivers_exactly_once(spark, tmp_path):
+    """A non-file source exercise: the rate-micro-batch source emits
+    `rowsPerBatch` deterministic (timestamp, value) rows per micro-batch.
+    Poll the memory sink (never processAllAvailable — a rate source
+    always has more data available, so that call would block forever)
+    and assert every value 0..N-1 arrived exactly once — no gaps, no
+    duplicates across micro-batch boundaries."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        stream.select("value")
+        .writeStream.format("memory")
+        .queryName("rate_rows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        stats = None
+        while time.time() < deadline:
+            stats = spark.sql(
+                "SELECT COUNT(*) AS n, COUNT(DISTINCT value) AS nd, "
+                "MIN(value) AS lo, MAX(value) AS hi FROM rate_rows"
+            ).collect()[0]
+            if stats.n >= 150:
+                break
+            time.sleep(1)
+        assert stats is not None and stats.n >= 150, (
+            f"rate source produced only {stats and stats.n} rows in 90s"
+        )
+        assert stats.nd == stats.n, "duplicate values delivered"
+        assert stats.lo == 0 and stats.hi == stats.n - 1, "gap in values"
+    finally:
+        q.stop()
