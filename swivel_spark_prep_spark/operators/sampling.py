@@ -125,3 +125,26 @@ def stratified_hash_sample(
             F.col(strata_col) == s, F.lit(int(round(f * n)))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Reproducible global shuffle: order rows by md5(salt ‖ key) and
+    attach the 0-based shuffle rank — the "randomize training order once,
+    identically on every rerun" step of a data pipeline. md5 (not
+    xxhash64) so external systems can replay the exact order.
+
+    The rank comes from swivel.assign_ids' two-pass scheme:
+    range-partition on the hash (parallel sorted runs), rank within each
+    partition, add per-partition offsets (a driver-side cumsum over
+    partition COUNTS, never data) — a global total order with no
+    single-reducer window. At 100 TB, skip the rank column when only the
+    order matters and write the range-sorted output directly.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    from swivel_spark_prep_spark.operators.swivel import assign_ids
+
+    return assign_ids(
+        df.withColumn("_shuffle_key", h), ["_shuffle_key"], id_col="shuffle_rank"
+    ).drop("_shuffle_key")

@@ -1237,3 +1237,25 @@ def x45(spark, sf_dir):
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@_declare(
+    "X46_deterministic_shuffle",
+    """SELECT ROW_NUMBER() OVER (ORDER BY md5('ep0' || doc_id::VARCHAR)) - 1 AS shuffle_rank,
+       doc_id
+FROM documents ORDER BY shuffle_rank;""",
+)
+def x46(spark, sf_dir):
+    # Reproducible global training-order shuffle: rank by
+    # md5(salt || key) via assign_ids' two-pass range-partitioned rank
+    # (per-partition counts are the only driver traffic — no global
+    # window). Changing the salt ("ep1", …) reshuffles per epoch,
+    # identically on every engine and rerun.
+    from swivel_spark_prep_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        sampling.deterministic_shuffle(docs, "doc_id", salt="ep0")
+        .select("shuffle_rank", "doc_id")
+        .orderBy("shuffle_rank")
+    )

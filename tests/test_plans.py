@@ -251,3 +251,42 @@ def test_asof_join_is_not_bnlj(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark, sf_dir, tmp_path):
+    """Runtime row-group filtering: for a shuffle join where one side is
+    selective, Spark injects a bloom filter built from the small side
+    into the large side's scan (BloomFilterMightContain) — at 100 TB this
+    prunes most of the probe-side shuffle before it is written. Local
+    thresholds are tuned down so fixture-scale data triggers the rewrite."""
+    li_path = str(tmp_path / "li_bloom")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").parquet(li_path)
+    ord_path = str(tmp_path / "ord_bloom")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(ord_path)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(li_path)
+        orders = spark.read.parquet(ord_path).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = formatted_plan(joined)
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
