@@ -1,0 +1,69 @@
+"""Batch upsert (MERGE semantics) for incremental pipelines.
+
+Plain Spark over parquet has no transactional MERGE (that is the lakehouse
+formats' job); what an incremental pipeline needs from the ENGINE is the
+relational core: apply a changes batch to a base snapshot — update rows
+whose key matches, insert rows whose key is new, optionally delete — and
+write the result as the next snapshot. That core is one full-outer join
+on the key, expressed declaratively so Catalyst plans it (broadcast when
+the changes batch is small — the common case; shuffle hash join with AQE
+skew handling when it is not).
+
+At 100 TB, bucket the base table on the key (sinks.write_bucketed) so
+successive upserts join co-located without re-shuffling the big side —
+the same pattern as dedup.exact_dedup_incremental's seen-hash table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Next snapshot: base rows overwritten by matching ``changes`` rows
+    (matched on ``key_cols``), plus brand-new changes rows appended.
+
+    Value columns are taken from the changes side when present
+    (``coalesce(change.col, base.col)`` — a changes batch may carry a
+    subset of value columns; missing ones keep the base value). When
+    ``delete_col`` names a boolean column on ``changes``, rows flagged
+    true are dropped instead of upserted.
+    """
+    val_cols = [c for c in base.columns if c not in key_cols]
+    ch_vals = [c for c in changes.columns if c not in key_cols and c != delete_col]
+    unknown = set(ch_vals) - set(val_cols)
+    if unknown:
+        raise ValueError(f"changes columns not in base schema: {sorted(unknown)}")
+    ch = changes.select(
+        *[F.col(c).alias(f"__c_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__v_{c}") for c in ch_vals],
+        *(
+            [F.col(delete_col).alias("__del")]
+            if delete_col is not None
+            else [F.lit(False).alias("__del")]
+        ),
+        F.lit(True).alias("__hit"),
+    )
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & (base[c].eqNullSafe(F.col(f"__c_{c}")))
+    joined = base.join(ch, cond, "full_outer")
+    out_keys = [
+        F.coalesce(base[c], F.col(f"__c_{c}")).alias(c) for c in key_cols
+    ]
+    out_vals = [
+        F.coalesce(F.col(f"__v_{c}"), base[c]).alias(c)
+        if c in ch_vals
+        else base[c].alias(c)
+        for c in val_cols
+    ]
+    return (
+        joined.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        .select(*out_keys, *out_vals)
+    )

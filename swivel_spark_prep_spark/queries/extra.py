@@ -1259,3 +1259,85 @@ def x46(spark, sf_dir):
         .select("shuffle_rank", "doc_id")
         .orderBy("shuffle_rank")
     )
+
+
+@_declare(
+    "X47_upsert_snapshot",
+    # MERGE core as a full-outer join: updates overwrite, inserts append,
+    # delete-flagged keys drop. Change sets are key-disjoint (an upsert
+    # batch has one action per key).
+    """WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+upd AS (
+  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+         'P' AS o_orderstatus, FALSE AS is_delete
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, 42.0 AS o_totalprice,
+         'N' AS o_orderstatus, FALSE AS is_delete
+  FROM orders WHERE o_orderkey % 97 = 0),
+del AS (
+  SELECT o_orderkey, NULL::DOUBLE AS o_totalprice,
+         NULL::VARCHAR AS o_orderstatus, TRUE AS is_delete
+  FROM orders WHERE o_orderkey % 13 = 0),
+changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM del),
+merged AS (
+  SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         b.o_custkey,
+         COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+         COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         COALESCE(c.is_delete, FALSE) AS is_delete
+  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey)
+SELECT o_orderstatus, COUNT(*) AS n,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS tot_cents,
+       COUNT(o_custkey) AS with_cust
+FROM merged WHERE NOT is_delete
+GROUP BY o_orderstatus ORDER BY o_orderstatus;""",
+)
+def x47(spark, sf_dir):
+    # Incremental-snapshot upsert (operators/upsert.py): one declarative
+    # full-outer join Catalyst can broadcast when the changes batch is
+    # small; summarized per status so the result stays driver-sized.
+    from swivel_spark_prep_spark.operators.upsert import upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("P").alias("o_orderstatus"),
+        F.lit(False).alias("is_delete"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(False).alias("is_delete"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(True).alias("is_delete"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    merged = upsert(orders, changes, ["o_orderkey"], delete_col="is_delete")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            # integer-cents checksum via floor(x*100 + .5): pure FP,
+            # bit-identical across engines (ROUND(double, n) is not —
+            # Spark rounds the shortest-decimal string, DuckDB the
+            # scaled binary; a double SUM's last digit is
+            # summation-order-dependent besides)
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("tot_cents"),
+            F.count("o_custkey").alias("with_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )

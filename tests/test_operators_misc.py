@@ -373,3 +373,44 @@ def test_decontaminate_partitions_corpus(spark, sf_dir):
         for r in decontaminate(clean, bench, min_shared=2).select("doc_id").collect()
     }
     assert again == survivors
+
+
+def test_upsert_update_insert_delete(spark):
+    from swivel_spark_prep_spark.operators.upsert import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(2, None, 99.0, False), (4, "d", 40.0, False), (3, None, None, True)],
+        "k long, s string, v double, is_delete boolean",
+    )
+    got = {
+        r.k: (r.s, r.v)
+        for r in upsert(base, changes, ["k"], delete_col="is_delete").collect()
+    }
+    assert got == {
+        1: ("a", 10.0),   # untouched
+        2: ("b", 99.0),   # updated v, missing s keeps base value
+        4: ("d", 40.0),   # inserted
+    }  # 3 deleted
+
+
+def test_upsert_partial_value_columns(spark):
+    from swivel_spark_prep_spark.operators.upsert import upsert
+
+    base = spark.createDataFrame([(1, "a", 10.0)], ["k", "s", "v"])
+    changes = spark.createDataFrame([(1, 77.0)], "k long, v double")
+    row = upsert(base, changes, ["k"]).collect()[0]
+    assert (row.k, row.s, row.v) == (1, "a", 77.0)
+
+
+def test_upsert_rejects_unknown_columns(spark):
+    import pytest as _pytest
+
+    from swivel_spark_prep_spark.operators.upsert import upsert
+
+    base = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    changes = spark.createDataFrame([(1, 5.0)], ["k", "nope"])
+    with _pytest.raises(ValueError, match="nope"):
+        upsert(base, changes, ["k"])

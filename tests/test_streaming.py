@@ -373,3 +373,39 @@ def test_rate_micro_batch_source_delivers_exactly_once(spark, tmp_path):
         assert stats.lo == 0 and stats.hi == stats.n - 1, "gap in values"
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_join(spark, events, replay_dir, sf_dir):
+    """Stream-static join: enrich the replayed event stream with a static
+    dimension (user → nation via customer). The static side re-resolves
+    per micro-batch and broadcasts (it is a batch DataFrame under the
+    broadcast threshold) — the canonical scale pattern for dimension
+    enrichment with NO stream-state: unlike a stream-stream join there is
+    no watermark bookkeeping and no state store. Converges to the batch
+    join answer."""
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.streaming import run_stream
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    stream = _stream(spark, events, replay_dir)
+    enriched = (
+        stream.join(dim, "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    result, query = run_stream(enriched, "complete")
+    try:
+        got = {(r.c_nationkey, r.n) for r in result.collect()}
+        want = {
+            (r.c_nationkey, r.n)
+            for r in events.join(dim, "user_id")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        query.stop()
