@@ -24,6 +24,37 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 ONLY = [a for a in sys.argv[1:] if not a.startswith("-")]
 
 
+def _duckdb_calibration() -> dict[str, float]:
+    """Median ms for two fixed BASELINE.md DuckDB queries (Q13/Q28) in the
+    current environment — a per-round calibration anchor separating
+    machine drift from genuine engine regressions."""
+    try:
+        import duckdb
+
+        from swivel_spark_prep_spark.queries.declared import DECLARED_ORACLES
+
+        con = duckdb.connect()
+        con.execute(f"SET threads={int(CPUS)}")
+        for t in ("lineitem",):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        out = {}
+        for name in ("Q13_agg_tpch_q1", "Q28_math_funcs"):
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(DECLARED_ORACLES[name]).fetchall()
+                samples.append(time.perf_counter() - t0)
+            out[name.split("_", 1)[0].lower()] = round(
+                statistics.median(samples) * 1000, 1
+            )
+        con.close()
+        return out
+    except Exception:  # calibration is best-effort, never fails the bench
+        return {}
+
+
 def main() -> None:
     from swivel_spark_prep_spark.session import get_session
     from __spark_entry__ import queries
@@ -82,6 +113,7 @@ def main() -> None:
     )
     extra_total = round(sum(t for n, t in times.items() if n.startswith("X")), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    calib = _duckdb_calibration()
     payload = {
         # value = the 44 declared queries (apples-to-apples with
         # BASELINE.md); X-prefixed extras reported separately.
@@ -97,6 +129,13 @@ def main() -> None:
         "sf": float(sf) if sf else SF_DIR,
         "runs": RUNS,
         "cpus": int(CPUS),
+        # Environment anchor: DuckDB medians for two BASELINE.md queries,
+        # measured in THIS run's environment. Round-over-round Spark
+        # totals moved ±30-50% with bit-identical code while these stayed
+        # at their BASELINE.md values (round 4: Q13 78 ms vs 67, Q28
+        # 1084 ms vs 1080) — compare "calib" before reading a cross-round
+        # delta as a plan change.
+        "calib": calib,
     }
     # Full-fidelity record for round-over-round diffing (not driver-parsed).
     try:

@@ -1341,3 +1341,75 @@ def x47(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@_declare(
+    "X48_training_pipeline",
+    # The end-to-end training-data flow, composed from the individually
+    # proven fragments: quality filter (X02's expression) -> exact dedup
+    # (Q40) -> decontaminate vs the doc_id<20 "benchmark" slice (X38) ->
+    # deterministic split (X22) -> per (split, lang) accounting.
+    """WITH scored AS (
+  SELECT doc_id, text, lang,
+         ROUND(CASE WHEN len(string_split(text,' ')) < 5 THEN 0.0
+               ELSE least(100.0, greatest(0.0,
+                    100.0 * length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE / length(text)
+                    - 10.0 * length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text))) END, 4) AS quality
+  FROM documents),
+q AS (SELECT doc_id, text, lang FROM scored WHERE quality >= 40),
+d AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+  WHERE rn = 1),
+corpus AS (SELECT * FROM d WHERE doc_id >= 20),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+    p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3])) AS shingles
+  FROM documents),
+csh AS (SELECT s.doc_id, u.sh FROM sh s, UNNEST(shingles) AS u(sh)
+        WHERE s.doc_id IN (SELECT doc_id FROM corpus)),
+bsh AS (SELECT s.doc_id AS bench_id, u.sh FROM sh s, UNNEST(shingles) AS u(sh)
+        WHERE s.doc_id < 20),
+flagged AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT c.doc_id, b.bench_id FROM csh c JOIN bsh b USING (sh)
+    GROUP BY c.doc_id, b.bench_id HAVING COUNT(*) >= 2)),
+clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+parts AS (
+  SELECT *, CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 1000000 AS b
+        FROM clean))
+SELECT split, lang, COUNT(*) AS n,
+       SUM(len(string_split(text,' ')))::BIGINT AS toks
+FROM parts GROUP BY split, lang ORDER BY split, lang;""",
+)
+def x48(spark, sf_dir):
+    # Flagship composition: every stage is the library operator itself
+    # (textstats.quality_score -> dedup.exact_dedup ->
+    # contamination.decontaminate -> sampling.hash_split). Each stage is
+    # map-side or hash-partitioned; the benchmark side broadcasts; no
+    # stage collects data — the chain scales like its widest shuffle
+    # (the dedup window), not its length.
+    from swivel_spark_prep_spark.operators import contamination, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        textstats.quality_score(docs)
+        .filter(F.col("quality") >= 40)
+        .select("doc_id", "text", "lang")
+    )
+    d = dedup.exact_dedup(q)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    clean = contamination.decontaminate(corpus, bench, n=3, min_shared=2)
+    parts = sampling.hash_split(
+        clean, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        parts.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("toks"),
+        )
+        .orderBy("split", "lang")
+    )
