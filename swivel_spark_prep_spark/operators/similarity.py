@@ -497,3 +497,41 @@ def ivf_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "sim")
     )
+
+
+# --- int8 quantization ------------------------------------------------------
+
+def quantize_int8(
+    df: DataFrame, col: str = "embedding", scale_col: str = "scale",
+    q_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) ∈ [-127, 127] (zero vectors quantize
+    to zeros with scale 0). 4× smaller than float32 — at 100 TB of
+    embeddings this is the difference between a broadcastable index and
+    one that is not; dequantized error is ≤ scale/2 per dimension
+    (property-tested). floor(x + 0.5) rather than round(): engine round()
+    implementations disagree at representational boundaries, this stays
+    reproducible bit-for-bit anywhere.
+
+    Map-side only (two higher-order expressions per row, no shuffle).
+    """
+    v = F.col(col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(F.col(scale_col) == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("int")
+        )
+    )
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def dequantize(
+    df: DataFrame, scale_col: str = "scale", q_col: str = "qvec",
+    out_col: str = "deq",
+) -> DataFrame:
+    """Reconstruct double vectors from (scale, qvec)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)),
+    )

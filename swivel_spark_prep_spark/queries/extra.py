@@ -1413,3 +1413,88 @@ def x48(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+@_declare(
+    "X49_recursive_cte",
+    # Binary "referral" hierarchy: custkey k's parent is k // 2; depth =
+    # distance from the root. DuckDB's // is integer division.
+    """WITH RECURSIVE chain AS (
+  SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, p.depth + 1
+  FROM customer c JOIN chain p ON c.c_custkey // 2 = p.c_custkey
+  WHERE c.c_custkey > 1)
+SELECT depth, COUNT(*) AS n, MIN(c_custkey) AS lo, MAX(c_custkey) AS hi
+FROM chain GROUP BY depth ORDER BY depth;""",
+)
+def x49(spark, sf_dir):
+    # Recursive CTE (Spark 4 WITH RECURSIVE — iterative in-engine, the
+    # SQL twin of operators/dedup.connected_components' loop): each
+    # recursion step is a hash join of the frontier against the base
+    # relation, so depth ~ log2(|customers|) rounds. `div` is Spark
+    # SQL's integer division (DuckDB spells it //).
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "x49_customer"
+    )
+    return spark.sql(
+        """WITH RECURSIVE chain AS (
+  SELECT c_custkey, 0 AS depth FROM x49_customer WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, p.depth + 1
+  FROM x49_customer c JOIN chain p ON c.c_custkey div 2 = p.c_custkey
+  WHERE c.c_custkey > 1)
+SELECT depth, COUNT(*) AS n, MIN(c_custkey) AS lo, MAX(c_custkey) AS hi
+FROM chain GROUP BY depth ORDER BY depth"""
+    )
+
+
+@_declare(
+    "X50_quantize_error",
+    # Exact integer-unit error accounting for int8 quantization: floor
+    # rounding + micro-unit floors keep every value reproducible across
+    # engines (no double ROUND, no order-dependent double SUM).
+    """WITH s AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+  FROM embeddings),
+e AS (
+  SELECT label,
+         UNNEST(list_transform(embedding, x ->
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE abs(x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)
+           END)) AS err
+  FROM s)
+SELECT label, COUNT(*) AS n_dims,
+       CAST(FLOOR(MAX(err) * 1000000 + 0.5) AS BIGINT) AS max_err_u,
+       SUM(CAST(FLOOR(err * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_err_u
+FROM e GROUP BY label ORDER BY label;""",
+)
+def x50(spark, sf_dir):
+    # int8 quantization reconstruction error per label
+    # (operators/similarity.quantize_int8 → dequantize): max and summed
+    # per-dimension error in exact micro-units. The flow quantizes,
+    # dequantizes, and accounts — all map-side until the final tiny agg.
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = similarity.dequantize(similarity.quantize_int8(emb))
+    err = qd.select(
+        "label",
+        F.explode(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                "deq",
+                lambda v, d: F.abs(v - d),
+            )
+        ).alias("err"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.floor(F.max("err") * 1e6 + 0.5).cast("long").alias("max_err_u"),
+            F.sum(F.floor(F.col("err") * 1e6 + 0.5).cast("long")).alias(
+                "sum_err_u"
+            ),
+        )
+        .orderBy("label")
+    )

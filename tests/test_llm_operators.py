@@ -347,3 +347,29 @@ def test_fuzzy_dedup_survivor_count(spark, sf_dir):
     for r in rows:
         assert r.rep_id <= r.doc_id  # rep is the component minimum
         assert r.is_rep == (1 if r.rep_id == r.doc_id else 0)
+
+
+def test_quantize_int8_error_bound_and_range(spark, sf_dir):
+    """Every quantized value fits int8 [-127, 127] and dequantized error
+    is bounded by scale/2 + FP noise per dimension."""
+    from swivel_spark_prep_spark.operators.similarity import (
+        dequantize,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = dequantize(quantize_int8(emb))
+    checks = qd.select(
+        F.array_min("qvec").alias("qmin"),
+        F.array_max("qvec").alias("qmax"),
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                "deq",
+                lambda v, d: F.abs(v - d),
+            )
+        ).alias("max_err"),
+        F.col("scale"),
+    ).collect()
+    assert all(-127 <= r.qmin and r.qmax <= 127 for r in checks)
+    assert all(r.max_err <= r.scale / 2 + 1e-12 for r in checks)
