@@ -414,3 +414,37 @@ def test_upsert_rejects_unknown_columns(spark):
     changes = spark.createDataFrame([(1, 5.0)], ["k", "nope"])
     with _pytest.raises(ValueError, match="nope"):
         upsert(base, changes, ["k"])
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on the lake: a later writer adds a column; reading
+    with mergeSchema=true unions the schemas and back-fills nulls — the
+    append-only evolution path an incremental corpus store needs."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["k", "s"]).write.parquet(p + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["k", "s", "score"]).write.parquet(
+        p + "/batch=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.k: (r.s, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert set(df.columns) == {"k", "s", "score", "batch"}
+
+
+def test_observe_pipeline_accounting(spark, sf_dir):
+    """df.observe(): per-stage row/byte accounting rides along with the
+    query (collected by the listener at action time) — pipeline
+    observability with ZERO extra jobs, unlike a count() probe."""
+    from pyspark.sql import Observation
+
+    from swivel_spark_prep_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs_in = Observation("input")
+    obs_out = Observation("survivors")
+    surv = exact_dedup(
+        docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    ).observe(obs_out, F.count(F.lit(1)).alias("n"))
+    fetched = surv.count()
+    assert obs_out.get["n"] == fetched
+    assert obs_in.get["n"] >= obs_out.get["n"]
