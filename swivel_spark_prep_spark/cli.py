@@ -35,6 +35,17 @@ def _build_parser() -> argparse.ArgumentParser:
     bq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     bq.add_argument("--master", default=None)
 
+    dc = sub.add_parser(
+        "dedup-cluster",
+        help="fuzzy dedup: MinHash-LSH pairs → connected components → "
+        "survivors + cluster map",
+    )
+    dc.add_argument("--input", required=True, help="parquet with doc_id/text")
+    dc.add_argument("--output", required=True, help="output directory")
+    dc.add_argument("--threshold", type=float, default=0.8, help="Jaccard")
+    dc.add_argument("--ngram", type=int, default=3, help="shingle width")
+    dc.add_argument("--master", default=None)
+
     pc = sub.add_parser(
         "prep-corpus",
         help="training-data prep: clean → dedup → split → pack → write",
@@ -111,6 +122,28 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"docs={deduped.count()} splits={by} "
                 f"chunks≤{args.chunk_tokens}tok → {args.output}"
+            )
+        elif args.cmd == "dedup-cluster":
+            from swivel_spark_prep_spark.operators.dedup import (
+                fuzzy_dedup_clusters,
+                minhash_near_dups,
+            )
+
+            docs = spark.read.parquet(args.input)
+            pairs = minhash_near_dups(
+                docs, n=args.ngram, jaccard_threshold=args.threshold
+            )
+            clusters = fuzzy_dedup_clusters(docs, pairs)
+            clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+            survivors = docs.join(
+                clusters.filter("is_rep").select("doc_id"), "doc_id", "left_semi"
+            )
+            survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
+            n_docs = docs.count()
+            n_surv = survivors.count()
+            print(
+                f"docs={n_docs} survivors={n_surv} "
+                f"removed={n_docs - n_surv} → {args.output}"
             )
         elif args.cmd == "bench-query":
             import time

@@ -172,3 +172,53 @@ def run_stream(
     )
     query.processAllAvailable()
     return agg.sparkSession.sql(f"SELECT * FROM {name}"), query
+
+
+def stream_upsert_snapshot(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+):
+    """Maintain a parquet snapshot from a change stream: every
+    micro-batch MERGEs (operators/upsert.upsert — update matched, insert
+    new, drop delete-flagged) into the current snapshot, written to a
+    fresh directory and atomically swapped in. foreachBatch is the
+    escape hatch Structured Streaming provides exactly for sinks with
+    batch-only semantics; the swap keeps readers consistent (they see
+    the old or the new snapshot, never a half-written one). On a real
+    deployment the swap step is the lakehouse table format's commit;
+    the MERGE plan is identical.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from swivel_spark_prep_spark.operators.upsert import upsert
+
+    cur = os.path.join(snapshot_dir, "current")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(cur):
+            base = spark.read.parquet(cur)
+        else:
+            drop = [delete_col] if delete_col else []
+            base = batch_df.drop(*drop).limit(0)
+        merged = upsert(base, batch_df, key_cols, delete_col=delete_col)
+        nxt = os.path.join(snapshot_dir, f"_next_{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)  # materialized BEFORE swap
+        old = os.path.join(snapshot_dir, f"_old_{batch_id}")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(nxt, cur)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sspp_upsert_"))
+        .start()
+    )

@@ -448,3 +448,25 @@ def test_observe_pipeline_accounting(spark, sf_dir):
     fetched = surv.count()
     assert obs_out.get["n"] == fetched
     assert obs_in.get["n"] >= obs_out.get["n"]
+
+
+def test_cli_dedup_cluster(spark, tmp_path, sf_dir):
+    """Drive the dedup-cluster CLI surface in-process: survivors must be
+    exactly the is_rep rows and clusters must cover every doc."""
+    from swivel_spark_prep_spark import cli
+
+    src = tmp_path / "docs_in"
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").write.parquet(
+        str(src)
+    )
+    out = tmp_path / "dedup_out"
+    rc = cli.main(
+        ["dedup-cluster", "--input", str(src), "--output", str(out)]
+    )
+    assert rc == 0
+    clusters = spark.read.parquet(str(out / "clusters"))
+    survivors = spark.read.parquet(str(out / "survivors"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert clusters.count() == n_docs
+    assert survivors.count() == clusters.filter("is_rep").count()
+    assert survivors.count() <= n_docs

@@ -409,3 +409,65 @@ def test_stream_static_enrichment_join(spark, events, replay_dir, sf_dir):
         assert got == want and got
     finally:
         query.stop()
+
+
+def test_stream_upsert_snapshot_converges_to_batch_merge(spark, tmp_path):
+    """foreachBatch MERGE sink: replaying three change batches (insert,
+    update, delete) must leave the snapshot equal to applying the same
+    batches sequentially with the batch upsert operator."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.operators.upsert import upsert
+    from swivel_spark_prep_spark.streaming import stream_upsert_snapshot
+
+    batches = [
+        [(1, "a", 1.0, False), (2, "b", 2.0, False), (3, "c", 3.0, False)],
+        [(2, "b2", 20.0, False), (4, "d", 4.0, False)],
+        [(1, None, None, True), (4, "d2", 44.0, False)],
+    ]
+    schema = "k long, s string, v double, is_delete boolean"
+    replay = tmp_path / "changes"
+    replay.mkdir()
+    for i, rows in enumerate(batches):
+        raw = tmp_path / f"raw{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(raw))
+        part = glob.glob(str(raw / "part-*.parquet"))[0]
+        shutil.copy(part, str(replay / f"{i:02d}.parquet"))
+    _stamp_mtimes(str(replay))
+
+    snap_dir = tmp_path / "snapshot"
+    snap_dir.mkdir()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = stream_upsert_snapshot(
+        stream, str(snap_dir), ["k"], delete_col="is_delete"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.k: (r.s, r.v)
+        for r in spark.read.parquet(str(snap_dir / "current")).collect()
+    }
+    base = spark.createDataFrame([], "k long, s string, v double")
+    for rows in batches:
+        base = upsert(
+            base,
+            spark.createDataFrame(rows, schema),
+            ["k"],
+            delete_col="is_delete",
+        )
+    want = {r.k: (r.s, r.v) for r in base.collect()}
+    assert got == want == {
+        2: ("b2", 20.0),
+        3: ("c", 3.0),
+        4: ("d2", 44.0),
+    }
