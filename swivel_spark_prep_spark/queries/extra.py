@@ -757,14 +757,27 @@ def _io_dir(sf_dir: str, leaf: str) -> str:
     """Per-process scratch dir for source/sink round-trip queries. The PID
     discriminator keeps two concurrent runs at the same SF (bench + pytest,
     pytest -n) from overwriting each other's round-trip data between one
-    process's write and read."""
+    process's write and read. Scratch left by processes that no longer
+    exist is swept opportunistically so repeated bench/test runs don't
+    accumulate dead round-trip data in the system tempdir."""
+    import contextlib
     import os
+    import shutil
     import tempfile
 
+    root = os.path.join(tempfile.gettempdir(), "ssps_io")
+    with contextlib.suppress(OSError):
+        for d in os.listdir(root):
+            pid = d.rsplit("-", 1)[-1]
+            if pid.isdigit() and int(pid) != os.getpid():
+                try:
+                    os.kill(int(pid), 0)  # raises if the owner is gone
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                except OSError:
+                    pass  # alive but unsignalable — leave it
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(
-        tempfile.gettempdir(), "ssps_io", f"{tag}-{os.getpid()}", leaf
-    )
+    return os.path.join(root, f"{tag}-{os.getpid()}", leaf)
 
 
 @_declare(
