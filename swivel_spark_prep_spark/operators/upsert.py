@@ -5,13 +5,17 @@ formats' job); what an incremental pipeline needs from the ENGINE is the
 relational core: apply a changes batch to a base snapshot — update rows
 whose key matches, insert rows whose key is new, optionally delete — and
 write the result as the next snapshot. That core is one full-outer join
-on the key, expressed declaratively so Catalyst plans it (broadcast when
-the changes batch is small — the common case; shuffle hash join with AQE
-skew handling when it is not).
+on the key, expressed declaratively.
 
-At 100 TB, bucket the base table on the key (sinks.write_bucketed) so
-successive upserts join co-located without re-shuffling the big side —
-the same pattern as dedup.exact_dedup_incremental's seen-hash table.
+Scale note: Spark cannot BROADCAST a full-outer join (both sides may
+produce unmatched rows, so both must be complete at every task — the
+plan is a sort-merge/shuffled-hash join regardless of side sizes;
+verified in this repo's plans). The scale lever is therefore
+CO-LOCATION, not broadcast: bucket the base snapshot on the key
+(sinks.write_bucketed) and write each new snapshot bucketed the same
+way, so successive upserts sort-merge without re-shuffling the big
+side — the same pattern as dedup.exact_dedup_incremental's seen-hash
+table.
 """
 
 from __future__ import annotations
@@ -34,6 +38,15 @@ def upsert(
     subset of value columns; missing ones keep the base value). When
     ``delete_col`` names a boolean column on ``changes``, rows flagged
     true are dropped instead of upserted.
+
+    ``changes`` must carry at most ONE row per key (one action per key —
+    the usual contract of a change batch; a multi-action batch must be
+    pre-collapsed, e.g. keep the latest by a version column). Duplicate
+    change keys would fan out the join. Key columns must be NON-NULL on
+    both sides: the join uses plain equality, not ``<=>`` — null-safe
+    equality disables bucketed co-location (measured: 0 exchanges with
+    ``=`` on bucketed tables, 2 with ``<=>``), and a NULL merge key is a
+    data bug better surfaced than silently matched.
     """
     val_cols = [c for c in base.columns if c not in key_cols]
     ch_vals = [c for c in changes.columns if c not in key_cols and c != delete_col]
@@ -52,7 +65,7 @@ def upsert(
     )
     cond = F.lit(True)
     for c in key_cols:
-        cond = cond & (base[c].eqNullSafe(F.col(f"__c_{c}")))
+        cond = cond & (base[c] == F.col(f"__c_{c}"))
     joined = base.join(ch, cond, "full_outer")
     out_keys = [
         F.coalesce(base[c], F.col(f"__c_{c}")).alias(c) for c in key_cols

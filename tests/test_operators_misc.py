@@ -470,3 +470,56 @@ def test_cli_dedup_cluster(spark, tmp_path, sf_dir):
     assert clusters.count() == n_docs
     assert survivors.count() == clusters.filter("is_rep").count()
     assert survivors.count() <= n_docs
+
+
+def test_upsert_matches_dict_model_hypothesis(spark):
+    """Property: applying random change batches through upsert() equals
+    the obvious dict model (last action per key wins within a batch run,
+    deletes remove, missing value columns keep base values)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from swivel_spark_prep_spark.operators.upsert import upsert
+
+    # one action per key per batch (the operator's documented contract)
+    batch = st.dictionaries(
+        st.integers(0, 9),
+        st.tuples(
+            st.one_of(st.none(), st.text("ab", max_size=2)),  # s (None = keep)
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),  # v
+            st.booleans(),  # is_delete
+        ),
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(batch, min_size=1, max_size=3))
+    def run(batches):
+        model: dict[int, tuple] = {}
+        df = spark.createDataFrame([], "k long, s string, v double")
+        for b in batches:
+            rows = [(k, s, v, d) for k, (s, v, d) in b.items()]
+            ch = spark.createDataFrame(
+                rows, "k long, s string, v double, is_delete boolean"
+            )
+            df = upsert(df, ch, ["k"], delete_col="is_delete")
+            # localCheckpoint keeps the iterated plan small (same lesson
+            # as connected_components)
+            df = df.localCheckpoint(eager=True)
+            for k, (s, v, d) in b.items():
+                if d:
+                    model.pop(k, None)
+                else:
+                    old = model.get(k, (None, None))
+                    model[k] = (
+                        s if s is not None else old[0],
+                        v if v is not None else old[1],
+                    )
+        got = {r.k: (r.s, r.v) for r in df.collect()}
+        assert got == model
+
+    run()

@@ -290,3 +290,34 @@ def test_runtime_bloom_filter_reduces_shuffle_join_probe(spark, sf_dir, tmp_path
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_upsert_full_outer_eliminates_exchange(spark, sf_dir, tmp_path):
+    """The upsert scale story: full-outer joins can never broadcast, so
+    the lever is co-location — base snapshot and changes batch bucketed
+    on the key must full-outer sort-merge with NO Exchange."""
+    from swivel_spark_prep_spark.operators.upsert import upsert
+    from swivel_spark_prep_spark.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        "t_ups_base", str(tmp_path / "base_b"), 8, ["o_orderkey"], ["o_orderkey"],
+    )
+    write_bucketed(
+        orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") + 1.0).alias("o_totalprice")
+        ),
+        "t_ups_chg", str(tmp_path / "chg_b"), 8, ["o_orderkey"], ["o_orderkey"],
+    )
+    try:
+        merged = upsert(
+            spark.table("t_ups_base"), spark.table("t_ups_chg"), ["o_orderkey"]
+        )
+        plan = formatted_plan(merged)
+        assert "SortMergeJoin FullOuter" in plan
+        assert "Exchange" not in plan, plan
+        assert merged.count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ups_base")
+        spark.sql("DROP TABLE IF EXISTS t_ups_chg")
