@@ -373,3 +373,28 @@ def test_quantize_int8_error_bound_and_range(spark, sf_dir):
     ).collect()
     assert all(-127 <= r.qmin and r.qmax <= 127 for r in checks)
     assert all(r.max_err <= r.scale / 2 + 1e-12 for r in checks)
+
+
+def test_quantized_cosine_topk_recall(spark, sf_dir):
+    """Search quality after 4× compression: cosine top-5 computed on
+    dequantized int8 vectors must recover ≥4/5 of the exact top-5 for
+    each of 3 probe vectors (int8 keeps ~2 decimal digits per dim, far
+    inside cosine top-k's stability margin on these embeddings)."""
+    from swivel_spark_prep_spark.operators.similarity import (
+        cosine_topk,
+        dequantize,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = dequantize(quantize_int8(emb)).select(
+        "vec_id", F.col("deq").cast("array<float>").alias("embedding"), "label"
+    )
+    for qid in (0, 7, 42):
+        exact = {
+            r.vec_id for r in cosine_topk(emb, query_id=qid, k=5).collect()
+        }
+        approx = {
+            r.vec_id for r in cosine_topk(deq, query_id=qid, k=5).collect()
+        }
+        assert len(exact & approx) >= 4, (qid, exact, approx)
