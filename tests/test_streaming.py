@@ -471,3 +471,36 @@ def test_stream_upsert_snapshot_converges_to_batch_merge(spark, tmp_path):
         3: ("c", 3.0),
         4: ("d2", 44.0),
     }
+
+
+def test_drop_duplicates_within_watermark(spark, events, replay_dir, tmp_path):
+    """Spark's built-in streaming dedup (dropDuplicatesWithinWatermark) —
+    the zero-custom-code twin of stream_exact_dedup for when the dedup
+    key fits in state and duplicates arrive within the watermark horizon:
+    each event_id must be emitted exactly once even though the duplicated
+    drop replays every event twice."""
+    import glob
+    import shutil
+
+    dup_dir = tmp_path / "dup_replay"
+    dup_dir.mkdir()
+    files = sorted(glob.glob(f"{replay_dir}/*.parquet"))
+    for f in files:
+        shutil.copy(f, str(dup_dir / f.split("/")[-1]))
+    # replay the first drop AGAIN as a later micro-batch — every event in
+    # it becomes a cross-batch duplicate
+    shutil.copy(files[0], str(dup_dir / "90.parquet"))
+    _stamp_mtimes(str(dup_dir))
+
+    stream = events_file_stream(
+        spark, str(dup_dir), events.schema, watermark="30 days"
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    result, query = run_stream(deduped, "append")
+    try:
+        got = [r.event_id for r in result.collect()]
+        assert len(got) == len(set(got)), "duplicate event emitted"
+        # every original event arrived exactly once
+        assert sorted(got) == sorted(r.event_id for r in events.collect())
+    finally:
+        query.stop()
