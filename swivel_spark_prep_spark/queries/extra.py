@@ -1511,3 +1511,64 @@ def x50(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@_declare(
+    "X51_conversion_funnel",
+    # Event-sequence funnel: first signup per user, first purchase AT OR
+    # AFTER it, conversion accounting per nation. Elapsed seconds =
+    # floor(epoch(p−s)): tz-independent interval arithmetic on both
+    # sides (Spark casts the NTZ interval to long seconds, truncating;
+    # DuckDB's epoch() keeps the microsecond fraction, floored off).
+    """WITH su AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+  GROUP BY e.user_id),
+f AS (SELECT su.user_id, s_ts, p_ts FROM su LEFT JOIN pu ON su.user_id = pu.user_id)
+SELECT c_nationkey, COUNT(*) AS n_signed, COUNT(p_ts) AS n_converted,
+       SUM(CASE WHEN p_ts IS NOT NULL THEN
+           CAST(FLOOR(FLOOR(epoch(p_ts - s_ts)) / 60) AS BIGINT)
+           END)::BIGINT AS tot_mins
+FROM f JOIN customer ON f.user_id = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey;""",
+)
+def x51(spark, sf_dir):
+    # Funnel/sequence analytics over the event stream: two hash
+    # aggregates keyed on user_id (the purchase scan joins the signup
+    # mins to enforce the ordering constraint), then a dimension join.
+    # All joins/aggs share the user_id hash partitioning, so the chain
+    # re-uses one exchange layout; the nation dim broadcasts.
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    f = su.join(pu, "user_id", "left")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    mins = F.floor(
+        F.expr("cast((p_ts - s_ts) as long)") / 60
+    ).cast("long")
+    return (
+        f.join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_signed"),
+            F.count("p_ts").alias("n_converted"),
+            F.sum(F.when(F.col("p_ts").isNotNull(), mins)).alias("tot_mins"),
+        )
+        .orderBy("c_nationkey")
+    )
