@@ -530,20 +530,30 @@ def connected_components(
     src_col: str = "d1",
     dst_col: str = "d2",
     max_iter: int = 25,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """(node, rep): rep = minimum node id reachable in the undirected
     graph — the canonical cluster id. The stage every fuzzy-dedup
     pipeline needs between "near-dup pairs" and "keep one per cluster".
 
-    Min-label propagation: each round, every node takes the minimum label
-    over itself and its neighbors. One round = one shuffle-join of the
-    edge list with the label table plus one min-aggregate; convergence is
-    detected with a cheap isEmpty() on the changed-label set (an
-    aggregate action, never a data-scale collect). Near-dup graphs are
-    unions of tiny-diameter cliques-with-chords, so 2–4 rounds converge;
-    the iteration cap guards adversarial path graphs, where the
-    alternating large-star/small-star scheme (Kiveris et al., MapReduce
-    and Beyond, 2014) is the published O(log n)-round alternative.
+    ``algorithm="min_label"`` (default): each round, every node takes the
+    minimum label over itself and its neighbors. One round = one
+    shuffle-join of the edge list with the label table plus one
+    min-aggregate; convergence is detected with an isEmpty() on the
+    changed-label set — a join + limit-1 probe that works for ANY node-id
+    type (a sum-of-labels probe would NULL out on string doc_ids and
+    exit after one round). Rounds needed = graph diameter: near-dup
+    graphs are unions of tiny-diameter cliques-with-chords, so 2–4
+    rounds converge; the iteration cap guards adversarial path graphs.
+
+    ``algorithm="star"``: alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    each round roughly halves every path, so a diameter-d component
+    resolves in O(log d) rounds instead of d. The choice at 100 TB when
+    the dup graph's shape is not under your control (e.g. chained
+    boilerplate documents forming 10⁶-node paths). Per round: two
+    group-by-min passes over the (dup-bounded) edge list; the probe is a
+    1-row count + hash-sum aggregate, type-independent.
 
     Every round ends with an EAGER localCheckpoint: persist alone serves
     the blocks but leaves the logical plan doubling per round, and a
@@ -553,6 +563,11 @@ def connected_components(
     lossy executors, swap in reliable checkpointing
     (spark.sparkContext.setCheckpointDir + .checkpoint()) at a cadence.
     """
+    if algorithm == "star":
+        labels, _ = _cc_star(edges, src_col, dst_col, max_iter)
+        return labels
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     nbrs = (
         edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
         .unionByName(
@@ -586,16 +601,103 @@ def connected_components(
             .agg(F.min("rep").alias("rep"))
             .localCheckpoint(eager=True)
         )
-        # min-label only ever decreases, so sum(rep) strictly decreases
-        # until the fixpoint: a 1-row aggregate probe, not a join.
+        # changed-set probe: both sides are checkpointed label tables
+        # (dup-bounded, far smaller than the corpus), so the equi-join is
+        # cheap and isEmpty() stops at the first differing row.
         done = (
-            new_labels.agg(F.sum("rep")).first()[0]
-            == labels.agg(F.sum("rep")).first()[0]
+            new_labels.join(
+                labels.withColumnRenamed("rep", "_prev"), "node"
+            )
+            .filter(F.col("rep") != F.col("_prev"))
+            .isEmpty()
         )
         labels = new_labels  # prior round's checkpoint blocks are GC-freed
         if done:
             break
     return labels
+
+
+def _cc_star(
+    edges: DataFrame, src_col: str, dst_col: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star rounds; returns (labels, rounds)
+    so tests can assert the O(log n) bound. Kiveris et al. SoCC 2014:
+
+    - large-star at node u: m = min(N(u) ∪ {u}); re-point every neighbor
+      v > u at m (emit edge (v, m)).
+    - small-star at node u over its ≤-neighbors N⁻(u): m = min(N⁻(u) ∪
+      {u}); emit (v, m) for v ∈ N⁻(u) ∪ {u}.
+
+    At the fixpoint every component is a star rooted at its minimum, so
+    the surviving edges ARE the (node, rep) pairs. Ordering comparisons
+    use the column's natural ordering — correct for numeric AND string
+    ids; "minimum node id" then means lexicographic min for strings,
+    matching min-label's semantics.
+    """
+    cur = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    # equality probe: (row count, XOR of per-edge xxhash64) — two 1-row
+    # aggregates, type-independent (xxhash64 maps any type to long) and
+    # overflow-free under ANSI mode (SUM of longs is not). A colliding
+    # XOR over distinct edge sets of equal size is ~2⁻⁶⁴ noise; the
+    # max_iter cap backstops even that.
+    def _sig(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+        ).first()
+
+    sig = _sig(cur)
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: neighborhoods over BOTH directions
+        nbrs = cur.select("u", "v").unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: key every edge by its LARGER endpoint
+        keyed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = keyed.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        nxt = (
+            keyed.join(smins, "u")
+            .select(F.col("v").alias("n"), "m")
+            .unionByName(smins.select(F.col("u").alias("n"), "m"))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(nxt)
+        cur = nxt
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint edges: (non-root → root). Roots label themselves.
+    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("rep"))
+    roots = (
+        cur.select(F.col("v").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("rep"))
+    )
+    return labels.unionByName(roots).distinct(), rounds
 
 
 def fuzzy_dedup_clusters(

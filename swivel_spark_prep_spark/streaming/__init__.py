@@ -190,18 +190,53 @@ def stream_upsert_snapshot(
     deployment the swap step is the lakehouse table format's commit;
     the MERGE plan is identical.
 
+    The checkpoint lives INSIDE snapshot_dir (``_checkpoint``) so a
+    restarted query resumes from the last committed micro-batch instead
+    of replaying the whole source onto the existing snapshot (a fresh
+    tmpdir checkpoint would double-apply every insert). The two-rename
+    swap is not crash-atomic — a crash between rename(cur→old) and
+    rename(nxt→cur) leaves no ``current`` — so each batch starts with a
+    repair pass: a missing ``current`` is restored from the newest
+    fully-written ``_next_*`` (it was materialized before any rename
+    started), then stale ``_old_*``/``_next_*`` are swept. Replaying the
+    in-flight batch onto the repaired snapshot is safe because MERGE is
+    idempotent per key (re-update = same row, re-insert = matched
+    update, re-delete = no-op); committed batches are never replayed
+    thanks to the checkpoint's batch-id tracking.
+
     Returns the started StreamingQuery (caller awaits/stops).
     """
     import os
     import shutil
-    import tempfile
 
     from swivel_spark_prep_spark.operators.upsert import upsert
 
     cur = os.path.join(snapshot_dir, "current")
 
+    def _repair() -> None:
+        if not os.path.isdir(snapshot_dir):
+            return
+        scratch = [
+            d for d in os.listdir(snapshot_dir)
+            if d.startswith(("_next_", "_old_"))
+        ]
+        if not os.path.exists(cur):
+            # only a crash BETWEEN the two renames loses `current`, and
+            # at that point _next_<id> is complete — finish the swap.
+            nexts = sorted(
+                (d for d in scratch if d.startswith("_next_")),
+                key=lambda d: int(d.rsplit("_", 1)[1]),
+            )
+            if nexts:
+                os.rename(os.path.join(snapshot_dir, nexts[-1]), cur)
+                scratch.remove(nexts[-1])
+        if os.path.exists(cur):
+            for d in scratch:  # superseded _old_ / partial _next_
+                shutil.rmtree(os.path.join(snapshot_dir, d))
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _repair()
         if os.path.exists(cur):
             base = spark.read.parquet(cur)
         else:
@@ -219,6 +254,8 @@ def stream_upsert_snapshot(
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sspp_upsert_"))
+        .option(
+            "checkpointLocation", os.path.join(snapshot_dir, "_checkpoint")
+        )
         .start()
     )

@@ -318,6 +318,58 @@ def test_connected_components_path_graph(spark):
     assert comp == {i: 0 for i in range(20)}
 
 
+def test_connected_components_string_ids(spark):
+    """String doc_ids (the common corpus case) on a path graph: a
+    numeric-only convergence probe (sum of labels) NULLs out on strings
+    and exits after one propagation round, silently under-merging — this
+    pins the type-independent changed-set probe for both algorithms."""
+    from swivel_spark_prep_spark.operators.dedup import connected_components
+
+    ids = [f"doc{i:03d}" for i in range(12)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(11)], ["d1", "d2"]
+    )
+    for algo in ("min_label", "star"):
+        comp = {
+            r.node: r.rep
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert comp == {i: "doc000" for i in ids}, algo
+
+
+def test_connected_components_star_log_rounds(spark):
+    """A 10⁴-node chain is the adversarial case for min-label (needs
+    diameter = 9 999 rounds); large-star/small-star must resolve it to a
+    single component in O(log n) rounds — the Kiveris et al. bound."""
+    import math
+
+    from swivel_spark_prep_spark.operators.dedup import _cc_star
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["d1", "d2"]
+    )
+    labels, rounds = _cc_star(edges, "d1", "d2", max_iter=50)
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2  # 30 ≪ 9 999
+    comp = {r.node: r.rep for r in labels.collect()}
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_min_label(spark):
+    """Both algorithms agree on a multi-component mixed graph."""
+    from swivel_spark_prep_spark.operators.dedup import connected_components
+
+    e = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11), (20, 21), (20, 22),
+         (30, 31), (31, 32), (32, 33), (33, 34)]
+    edges = spark.createDataFrame(e, ["d1", "d2"])
+    a = {r.node: r.rep for r in connected_components(edges).collect()}
+    b = {
+        r.node: r.rep
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert a == b
+
+
 def test_connected_components_cluster_invariants(spark):
     """On a multi-component graph: both endpoints of every edge share a
     rep, every rep is its own rep (canonical), and distinct components
@@ -343,7 +395,9 @@ def test_fuzzy_dedup_survivor_count(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert len(rows) == n_docs
     reps = {r.rep_id for r in rows}
-    assert all((r.doc_id in reps) == (r.rep_id == r.doc_id) or True for r in rows)
+    # a doc appears as someone's rep IFF it is its own rep (clustering
+    # is consistent: nobody points at a node that points elsewhere)
+    assert all((r.doc_id in reps) == (r.rep_id == r.doc_id) for r in rows)
     for r in rows:
         assert r.rep_id <= r.doc_id  # rep is the component minimum
         assert r.is_rep == (1 if r.rep_id == r.doc_id else 0)
