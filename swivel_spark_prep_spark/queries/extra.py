@@ -1309,8 +1309,10 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus;""",
 )
 def x47(spark, sf_dir):
     # Incremental-snapshot upsert (operators/upsert.py): one declarative
-    # full-outer join Catalyst can broadcast when the changes batch is
-    # small; summarized per status so the result stays driver-sized.
+    # full-outer join; full-outer cannot broadcast (test_plans.py proves
+    # it), so the scale lever is bucketed co-location (upsert.py:10),
+    # which removes both exchanges. Summarized per status so the result
+    # stays driver-sized.
     from swivel_spark_prep_spark.operators.upsert import upsert
 
     orders = load_table(spark, sf_dir, "orders").select(
