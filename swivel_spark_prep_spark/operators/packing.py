@@ -74,6 +74,7 @@ def pack_sequences(
     chunk_tokens: int,
     text_col: str = "text",
     order_col: str = "doc_id",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk layout: (doc, n_tok, first_chunk, last_chunk) for
     every document, tokens counted by whitespace split. Deterministic in
@@ -81,9 +82,18 @@ def pack_sequences(
     packed sequences."""
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
-    with_tok = docs.select(
-        order_col, F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok")
-    )
+    # token_count_col: pack by a precomputed token count (e.g. BPE n_tok
+    # from operators/bpe.bpe_encode) instead of the whitespace default —
+    # token-accurate packing for real tokenizers, same layout math.
+    if token_count_col is not None:
+        with_tok = docs.select(
+            order_col, F.col(token_count_col).cast("long").alias("n_tok")
+        )
+    else:
+        with_tok = docs.select(
+            order_col,
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+        )
     cum = _exclusive_prefix_sum(with_tok, "n_tok", [order_col], "cum_before")
     return cum.select(
         order_col,

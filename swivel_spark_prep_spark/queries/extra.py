@@ -1574,3 +1574,71 @@ def x51(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+# -- BPE subword tokenizer (operators/bpe.py) --------------------------------
+# The oracle SQL is GENERATED from the same DEMO_MERGES table the Spark
+# side uses (bpe.bpe_oracle_expr) — the replace chain is byte-for-byte
+# the same computation in both engines, so parity pins the tokenizer
+# contract (rank-order, single pass per merge), not just this fixture.
+
+from swivel_spark_prep_spark.operators import bpe as _bpe  # noqa: E402
+
+_BPE_S = _bpe.bpe_oracle_expr(_bpe.DEMO_MERGES, col="text")
+
+
+@_declare(
+    "X52_bpe_tokenize",
+    f"""WITH m AS (SELECT doc_id, {_BPE_S} AS s FROM documents)
+SELECT doc_id,
+       (length(s) - length(replace(s, '<', '')))::BIGINT AS n_tok,
+       array_to_string(regexp_extract_all(s, '<([a-z0-9]+)>', 1)[1:4], ' ') AS head
+FROM m ORDER BY doc_id;""",
+)
+def x52(spark, sf_dir):
+    # Deterministic subword (BPE) tokenization with a fixed 10-merge
+    # table: per-document token count + the first 4 tokens. Entirely
+    # whole-stage codegen (two regexp_replace + 10 literal replaces) —
+    # no Python, no shuffle; linear in corpus bytes at 100 TB. Trained
+    # merge tables come from bpe.train_bpe (bounded-driver word table);
+    # the fixed table keeps the oracle replayable.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bpe.bpe_encode(docs, _bpe.DEMO_MERGES)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.concat_ws(" ", F.slice("tokens", 1, 4)).alias("head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "X53_pack_bpe_sequences",
+    f"""WITH m AS (SELECT doc_id, {_BPE_S} AS s FROM documents),
+t AS (SELECT doc_id,
+             (length(s) - length(replace(s, '<', '')))::BIGINT AS n_tok FROM m),
+c AS (SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      FROM t)
+SELECT doc_id, n_tok, (cum_before // 256)::BIGINT AS first_chunk,
+       ((cum_before + n_tok - 1) // 256)::BIGINT AS last_chunk
+FROM c ORDER BY doc_id;""",
+)
+def x53(spark, sf_dir):
+    # Token-accurate sequence packing: X24's concat-and-chunk layout
+    # driven by the BPE token count instead of the whitespace proxy
+    # (pack_sequences token_count_col= seam). Oracle = the same
+    # single-window prefix sum over the same generated token counts;
+    # the engine keeps the two-pass range-partitioned scheme (no global
+    # window) — token-accurate packing costs nothing extra at scale.
+    from swivel_spark_prep_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_n = docs.withColumn(
+        "bpe_n_tok", _bpe.bpe_token_count_expr("text", _bpe.DEMO_MERGES)
+    )
+    return pack_sequences(
+        with_n, chunk_tokens=256, token_count_col="bpe_n_tok"
+    ).orderBy("doc_id")
