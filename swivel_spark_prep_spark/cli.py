@@ -135,12 +135,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             clusters = fuzzy_dedup_clusters(docs, pairs)
             clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+            # Re-read the materialized clusters so the survivors join and
+            # the count below reuse the written parquet instead of
+            # re-executing the LSH→CC lineage per action (three full
+            # recomputes otherwise); the survivors count likewise reads
+            # back its own parquet (row-group-stats count, no re-join).
+            clusters = spark.read.parquet(f"{args.output}/clusters")
             survivors = docs.join(
                 clusters.filter("is_rep").select("doc_id"), "doc_id", "left_semi"
             )
             survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
             n_docs = docs.count()
-            n_surv = survivors.count()
+            n_surv = spark.read.parquet(f"{args.output}/survivors").count()
             print(
                 f"docs={n_docs} survivors={n_surv} "
                 f"removed={n_docs - n_surv} → {args.output}"

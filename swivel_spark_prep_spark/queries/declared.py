@@ -1175,6 +1175,9 @@ def q44(spark, sf_dir):
     # user groups pay ~3 ms each in fixed overhead. Bucketing amortizes it
     # — each call normalizes many users with a vectorized groupby-transform
     # (C speed), semantics unchanged. Buckets scale out with the cluster.
+    # Residual skew limit: bucketing cannot SPLIT one pathologically hot
+    # key; the skew-proof two-pass form (agg + join-back, no Python) is
+    # operators/normalize.normalize_per_key (X54), result-equal by test.
     def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("user_id")["value"]
         mu = g.transform("mean")

@@ -1642,3 +1642,28 @@ def x53(spark, sf_dir):
     return pack_sequences(
         with_n, chunk_tokens=256, token_count_col="bpe_n_tok"
     ).orderBy("doc_id")
+
+
+@_declare(
+    "X54_normalize_two_pass",
+    """SELECT event_id, ROUND((value - AVG(value) OVER (PARTITION BY user_id)) /
+       STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS v_norm
+FROM events ORDER BY event_id;""",
+)
+def x54(spark, sf_dir):
+    # The skew-proof twin of Q44 (operators/normalize.py): per-user
+    # moments via hash aggregate (map-side combine absorbs Zipf-hot
+    # users), joined back, applied as a projection — no Python, no
+    # single task ever holds a whole key. Same oracle as Q44; equality
+    # with the grouped-map form is pinned by
+    # tests/test_operators_misc.py::test_normalize_two_pass_equals_q44.
+    from swivel_spark_prep_spark.operators.normalize import normalize_per_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    return (
+        normalize_per_key(ev, "user_id", "value")
+        .select("event_id", F.round("v_norm", 4).alias("v_norm"))
+        .orderBy("event_id")
+    )

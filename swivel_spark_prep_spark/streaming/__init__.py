@@ -197,8 +197,11 @@ def stream_upsert_snapshot(
     swap is not crash-atomic — a crash between rename(cur→old) and
     rename(nxt→cur) leaves no ``current`` — so each batch starts with a
     repair pass: a missing ``current`` is restored from the newest
-    fully-written ``_next_*`` (it was materialized before any rename
-    started), then stale ``_old_*``/``_next_*`` are swept. Replaying the
+    ``_next_*`` that carries the committer's ``_SUCCESS`` marker (a
+    marker-less ``_next_`` is a partial write from a crash mid-batch —
+    possible only before the first swap — and is left for the replaying
+    batch to overwrite), then stale ``_old_*``/``_next_*`` are swept
+    once ``current`` exists. Replaying the
     in-flight batch onto the repaired snapshot is safe because MERGE is
     idempotent per key (re-update = same row, re-insert = matched
     update, re-delete = no-op); committed batches are never replayed
@@ -221,10 +224,23 @@ def stream_upsert_snapshot(
             if d.startswith(("_next_", "_old_"))
         ]
         if not os.path.exists(cur):
-            # only a crash BETWEEN the two renames loses `current`, and
-            # at that point _next_<id> is complete — finish the swap.
+            # `current` is missing either (a) after a crash BETWEEN the
+            # two renames — _next_<id> is complete, finish the swap — or
+            # (b) after a crash DURING the very first batch's parquet
+            # write, when no `current` ever existed and _next_0 is a
+            # partial directory. The committer's _SUCCESS marker
+            # distinguishes them: promote only a fully-committed _next
+            # (a partial one is left for the replaying batch's
+            # mode=overwrite to rewrite).
             nexts = sorted(
-                (d for d in scratch if d.startswith("_next_")),
+                (
+                    d
+                    for d in scratch
+                    if d.startswith("_next_")
+                    and os.path.exists(
+                        os.path.join(snapshot_dir, d, "_SUCCESS")
+                    )
+                ),
                 key=lambda d: int(d.rsplit("_", 1)[1]),
             )
             if nexts:

@@ -523,3 +523,15 @@ def test_upsert_matches_dict_model_hypothesis(spark):
         assert got == model
 
     run()
+
+
+def test_normalize_two_pass_equals_q44(spark, sf_dir):
+    """The skew-proof two-pass normalization (agg + join-back, pure JVM)
+    must produce exactly the rows of Q44's grouped-map applyInPandas
+    form — same per-user z-scores, NULLs included."""
+    from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
+    from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
+
+    q44 = DECLARED_QUERIES["Q44_udf_normalize"](spark, sf_dir).collect()
+    x54 = EXTRA_QUERIES["X54_normalize_two_pass"](spark, sf_dir).collect()
+    assert q44 == x54

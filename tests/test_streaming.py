@@ -473,6 +473,53 @@ def test_stream_upsert_snapshot_converges_to_batch_merge(spark, tmp_path):
     }
 
 
+def test_stream_upsert_snapshot_first_batch_crash_repair(spark, tmp_path):
+    """A crash DURING the very first batch's parquet write leaves a
+    partial ``_next_0`` (no _SUCCESS) and no ``current``. The repair
+    pass must NOT promote the partial directory — the replayed batch
+    overwrites it and the snapshot converges to the correct rows."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.streaming import stream_upsert_snapshot
+
+    schema = "k long, s string, v double, is_delete boolean"
+    replay = tmp_path / "changes"
+    replay.mkdir()
+    raw = tmp_path / "raw"
+    spark.createDataFrame(
+        [(1, "a", 1.0, False), (2, "b", 2.0, False)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(raw))
+    part = glob.glob(str(raw / "part-*.parquet"))[0]
+    shutil.copy(part, str(replay / "00.parquet"))
+    _stamp_mtimes(str(replay))
+
+    # simulate the mid-write crash: a partial _next_0 with data files
+    # but NO _SUCCESS marker (only row k=1 made it), and no `current`.
+    snap_dir = tmp_path / "snapshot"
+    snap_dir.mkdir()
+    partial = tmp_path / "partial"
+    spark.createDataFrame([(1, "STALE", -1.0)], "k long, s string, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(str(partial))
+    (partial / "_SUCCESS").unlink()
+    shutil.move(str(partial), str(snap_dir / "_next_0"))
+
+    stream = spark.readStream.schema(schema).parquet(str(replay))
+    q = stream_upsert_snapshot(
+        stream, str(snap_dir), ["k"], delete_col="is_delete"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.k: (r.s, r.v)
+        for r in spark.read.parquet(str(snap_dir / "current")).collect()
+    }
+    assert got == {1: ("a", 1.0), 2: ("b", 2.0)}  # no STALE promotion
+
+
 def test_drop_duplicates_within_watermark(spark, events, replay_dir, tmp_path):
     """Spark's built-in streaming dedup (dropDuplicatesWithinWatermark) —
     the zero-custom-code twin of stream_exact_dedup for when the dedup
