@@ -2,12 +2,17 @@
 
 Real pipelines carry image/audio/video as binary columns with metadata
 structs; decode/feature-extraction runs as Arrow-batched Pandas UDFs over
-mapInPandas. The image/audio decode libraries are NOT available in this
-environment, so the decode step is stubbed: ``decode_mode="fake"`` derives
-deterministic pseudo-features from the bytes (testable plumbing);
-``decode_mode="real"`` raises NotImplementedError where a PIL/ffmpeg call
-would go. The Spark-side contract — schema, partitioning, UDF signature,
-Arrow batch shape — is real and tested.
+mapInPandas. Two decode modes share identical Spark-side plumbing
+(schema, partitioning, UDF signature, Arrow batch shape):
+
+- ``decode_mode="fake"``: deterministic pseudo-features straight from
+  the payload bytes — library-free, oracle-checkable (X09).
+- ``decode_mode="real"``: actual decoding via operators/codecs.py —
+  pure-Python BMP (24-bpp BI_RGB) and WAV (RIFF PCM16) decoders, no
+  native libraries needed (X55 oracle-checks this path end-to-end).
+  Compressed formats (JPEG/PNG/MP3/video) still require PIL/ffmpeg,
+  which this container lacks — those payloads raise ValueError at the
+  codec boundary, not a stubbed NotImplementedError.
 """
 
 from __future__ import annotations
@@ -18,23 +23,97 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from swivel_spark_prep_spark.operators import codecs
+
 #: Output schema of extract_features — typed metadata + a small feature vec.
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, n_frames long, features array<double>"
 )
 
+_MODES = ("fake", "real")
 
-def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Simulate a multimodal table: payload = utf-8 bytes of the text
-    (stand-in for image/audio bytes), plus a typed metadata struct."""
-    payload = F.encode(F.col(text_col), "utf-8")
-    return docs.select(
+
+def _check_mode(decode_mode: str) -> None:
+    if decode_mode not in _MODES:
+        raise ValueError(f"decode_mode must be fake|real, got {decode_mode}")
+
+
+def attach_binary(
+    docs: DataFrame, text_col: str = "text", codec: str = "bytes"
+) -> DataFrame:
+    """Simulate a multimodal table from the documents fixture.
+
+    codec="bytes": payload = utf-8 bytes of the text (opaque stand-in,
+    pure JVM projection). codec="bmp": payload = a real 8×8 grayscale
+    24-bpp BMP whose pixels are the first 64 text bytes (zero-padded) —
+    decodable by decode_mode="real". codec="wav": payload = a real
+    PCM16 WAV whose samples are the text bytes. The encoded variants run
+    through mapInPandas (numpy per batch), 1:1 rows, no shuffle.
+    """
+    if codec == "bytes":
+        payload = F.encode(F.col(text_col), "utf-8")
+        return docs.select(
+            "doc_id",
+            payload.alias("payload"),
+            F.struct(
+                F.length(payload).cast("long").alias("n_bytes"),
+                F.lit("application/octet-stream").alias("mime"),
+            ).alias("meta"),
+        )
+    if codec not in ("bmp", "wav"):
+        raise ValueError(f"codec must be bytes|bmp|wav, got {codec}")
+    mime = "image/bmp" if codec == "bmp" else "audio/wav"
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                b = (text or "").encode("utf-8")
+                if codec == "bmp":
+                    px = np.zeros(64, dtype=np.uint8)
+                    arr = np.frombuffer(b[:64], dtype=np.uint8)
+                    px[: len(arr)] = arr
+                    payloads.append(codecs.encode_bmp(px.reshape(8, 8)))
+                else:
+                    samples = np.frombuffer(b, dtype=np.uint8).astype("<i2")
+                    payloads.append(codecs.encode_wav(samples))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+            yield out
+
+    enc = docs.select("doc_id", text_col).mapInPandas(
+        _encode, schema="doc_id long, payload binary, n_bytes long"
+    )
+    return enc.select(
         "doc_id",
-        payload.alias("payload"),
-        F.struct(
-            F.length(payload).cast("long").alias("n_bytes"),
-            F.lit("application/octet-stream").alias("mime"),
-        ).alias("meta"),
+        "payload",
+        F.struct(F.col("n_bytes"), F.lit(mime).alias("mime")).alias("meta"),
+    )
+
+
+def _decode_values(b: bytes):
+    """payload → (flat numeric array for features, n_frames). BMP: pixel
+    channel bytes, one frame. WAV: int16 samples, one frame per sample."""
+    import numpy as np
+
+    kind = codecs.sniff(b)
+    if kind == "bmp":
+        px = codecs.decode_bmp(b)
+        return px.reshape(-1).astype(np.float64), 1, px.shape[0] * px.shape[1]
+    if kind == "wav":
+        _, samples = codecs.decode_wav(b)
+        vals = samples.astype(np.float64)
+        return vals, len(samples), len(samples)
+    raise ValueError(
+        "unsupported payload format for decode_mode='real' (pure-Python "
+        "codecs cover BMP/WAV; compressed formats need PIL/ffmpeg)"
     )
 
 
@@ -46,32 +125,39 @@ def extract_features(
 ) -> DataFrame:
     """Decode / feature-extract over mapInPandas (Arrow batches).
 
-    fake mode (deterministic, library-free): n_frames = ceil-ish frame
-    count (n_bytes // frame_bytes + 1 — frame sampling stand-in), features
-    = mean/min/max/len of the byte values. real mode raises — this
-    container has no image/audio codecs (see module docstring).
+    fake mode (deterministic, library-free): n_frames = n_bytes //
+    frame_bytes + 1 (frame-sampling stand-in), features = mean/min/max
+    of the byte values + byte count. real mode decodes BMP/WAV via
+    operators/codecs.py: features = mean/min/max over pixel channel
+    bytes (images) or int16 samples (audio) + pixel/sample count —
+    mean/min/max agree with the grayscale source values, which is what
+    X55's oracle pins.
     """
-    if decode_mode not in ("fake", "real"):
-        raise ValueError(f"decode_mode must be fake|real, got {decode_mode}")
+    _check_mode(decode_mode)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real decode needs PIL/ffmpeg — not available in this "
-                    "container; use decode_mode='fake' for plumbing tests"
-                )
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 n = len(b)
-                feats = [
-                    float(sum(b)) / n if n else 0.0,
-                    float(min(b)) if n else 0.0,
-                    float(max(b)) if n else 0.0,
-                    float(n),
-                ][:n_features]
-                rows.append((doc_id, n, n // frame_bytes + 1, feats))
+                if decode_mode == "real":
+                    vals, n_frames, count = _decode_values(b)
+                    feats = [
+                        float(vals.mean()) if count else 0.0,
+                        float(vals.min()) if count else 0.0,
+                        float(vals.max()) if count else 0.0,
+                        float(count),
+                    ][:n_features]
+                    rows.append((doc_id, n, n_frames, feats))
+                else:
+                    feats = [
+                        float(sum(b)) / n if n else 0.0,
+                        float(min(b)) if n else 0.0,
+                        float(max(b)) if n else 0.0,
+                        float(n),
+                    ][:n_features]
+                    rows.append((doc_id, n, n // frame_bytes + 1, feats))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes", "n_frames", "features"]
             )
@@ -87,31 +173,29 @@ def embed_media(
 ) -> DataFrame:
     """Media → embedding column, the input shape of the similarity stack
     (cosine_topk / ann_topk / cosine_near_dups run unchanged on the
-    output). fake mode: L2-normalized byte-value histogram folded to
-    `dim` buckets — deterministic, vectorized with numpy per Arrow batch,
-    exactly where a CLIP/encoder forward pass would slot in; real mode
-    raises (no model runtimes in this container)."""
-    if decode_mode not in ("fake", "real"):
-        raise ValueError(f"decode_mode must be fake|real, got {decode_mode}")
+    output). fake mode: L2-normalized histogram of the raw payload bytes
+    folded to `dim` buckets. real mode: the same histogram over DECODED
+    content (pixel channel bytes / |samples| mod dim) — deterministic,
+    numpy per Arrow batch, exactly where a CLIP/encoder forward pass
+    would slot in."""
+    _check_mode(decode_mode)
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real embedding needs a model runtime — not available "
-                    "in this container; use decode_mode='fake'"
-                )
             out = []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                b = bytes(payload)
+                if decode_mode == "real":
+                    vals, _, _ = _decode_values(b)
+                    arr = np.abs(vals).astype(np.int64)
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
                 n = np.linalg.norm(hist)
                 out.append((hist / n if n else hist).astype(np.float32))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "embedding": out}
-            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": out})
 
     return media.mapInPandas(_embed, schema=EMBED_SCHEMA)
 
@@ -125,26 +209,30 @@ def resize(
     height: int = 32,
     decode_mode: str = "fake",
 ) -> DataFrame:
-    """Resize stub over mapInPandas: binary in → binary out with typed
+    """Resize over mapInPandas: binary in → binary out with typed
     dimensions. fake mode deterministically resamples the byte stream to
-    width·height bytes (nearest-neighbour over byte offsets — the exact
-    shape a PIL `Image.resize` integration would have); real mode raises
-    (no codecs in this container). Output rows stay 1:1 with input —
-    partitioning is preserved, no shuffle."""
-    if decode_mode not in ("fake", "real"):
-        raise ValueError(f"decode_mode must be fake|real, got {decode_mode}")
+    width·height bytes (nearest-neighbour over byte offsets). real mode
+    decodes BMP, nearest-neighbour-resamples the pixel grid with numpy
+    indexing, and re-encodes BMP (audio payloads raise — resize is an
+    image operation). Output rows stay 1:1 with input — partitioning is
+    preserved, no shuffle."""
+    _check_mode(decode_mode)
     target = width * height
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real resize needs PIL — not available in this container"
-                )
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b:
+                if decode_mode == "real":
+                    px = codecs.decode_bmp(b)  # raises on non-BMP
+                    h, w = px.shape[:2]
+                    ri = (np.arange(height) * h) // height
+                    ci = (np.arange(width) * w) // width
+                    out = codecs.encode_bmp(px[ri][:, ci])
+                elif b:
                     out = bytes(b[(i * len(b)) // target] for i in range(target))
                 else:
                     out = b"\x00" * target
@@ -165,23 +253,26 @@ def sample_frames(
     every_nth: int = 2,
     decode_mode: str = "fake",
 ) -> DataFrame:
-    """Frame-sampling stub: one input row fans out to one row per sampled
-    frame (the 1→N Arrow batch shape an ffmpeg keyframe extractor would
-    have). fake mode slices the payload into frame_bytes-sized chunks and
-    keeps every `every_nth`; real mode raises."""
-    if decode_mode not in ("fake", "real"):
-        raise ValueError(f"decode_mode must be fake|real, got {decode_mode}")
+    """Frame sampling: one input row fans out to one row per sampled
+    frame (the 1→N Arrow batch shape a keyframe extractor has). fake
+    mode slices the payload into frame_bytes-sized chunks and keeps
+    every `every_nth`. real mode: WAV → frame_bytes-sized blocks of the
+    DECODED PCM byte stream (every_nth kept); BMP → the single image as
+    frame 0 (a still has one frame)."""
+    _check_mode(decode_mode)
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real frame extraction needs ffmpeg — not available "
-                    "in this container"
-                )
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                if decode_mode == "real":
+                    kind = codecs.sniff(b)
+                    if kind == "bmp":
+                        rows.append((doc_id, 0, b))
+                        continue
+                    _, samples = codecs.decode_wav(b)  # raises on unknown
+                    b = samples.astype("<i2").tobytes()
                 n_frames = (len(b) + frame_bytes - 1) // frame_bytes
                 for k in range(0, n_frames, every_nth):
                     rows.append(

@@ -1667,3 +1667,40 @@ def x54(spark, sf_dir):
         .select("event_id", F.round("v_norm", 4).alias("v_norm"))
         .orderBy("event_id")
     )
+
+
+@_declare(
+    "X55_multimodal_decode_real",
+    # The REAL decode path, oracle-checked end-to-end: attach_binary
+    # renders each document's first 64 text bytes into an actual 8x8
+    # 24-bpp BMP; extract_features(decode_mode="real") parses the BMP
+    # back with the pure-Python codec. The oracle recomputes what the
+    # decoded pixels must be (ascii codes, zero-padded to 64) straight
+    # from the text — so encode→decode→features is pinned bit-exact.
+    # n_bytes = 54 header + 8 rows x 24 bytes = 246 for every 8x8 BMP.
+    """WITH px AS (
+  SELECT doc_id,
+         list_transform(range(1, 65),
+           i -> CASE WHEN i <= length(text)
+                     THEN ascii(substr(text, i, 1)) ELSE 0 END) AS p
+  FROM documents)
+SELECT doc_id, 246::BIGINT AS n_bytes, 1::BIGINT AS n_frames,
+       ROUND(list_aggregate(p, 'avg'), 4) AS f_mean,
+       list_aggregate(p, 'min')::DOUBLE AS f_min,
+       list_aggregate(p, 'max')::DOUBLE AS f_max,
+       64.0 AS f_cnt
+FROM px ORDER BY doc_id;""",
+)
+def x55(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, codec="bmp")
+    feats = multimodal.extract_features(media, decode_mode="real")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "n_frames",
+        F.round(F.element_at("features", 1), 4).alias("f_mean"),
+        F.element_at("features", 2).alias("f_min"),
+        F.element_at("features", 3).alias("f_max"),
+        F.element_at("features", 4).alias("f_cnt"),
+    ).orderBy("doc_id")

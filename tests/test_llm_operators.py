@@ -293,14 +293,17 @@ def test_embed_media_feeds_similarity_stack(spark, sf_dir):
     assert top.count() == 3
 
 
-def test_multimodal_real_mode_raises(spark, sf_dir):
+def test_multimodal_real_mode_rejects_unknown_format(spark, sf_dir):
+    """decode_mode='real' decodes BMP/WAV (pure-Python codecs); an opaque
+    byte payload must fail at the codec boundary with a clear error, not
+    produce garbage features."""
     from swivel_spark_prep_spark.operators.multimodal import (
         attach_binary,
         extract_features,
     )
 
     docs = load_table(spark, sf_dir, "documents").limit(2)
-    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+    with pytest.raises(Exception, match="unsupported payload format"):
         extract_features(attach_binary(docs), decode_mode="real").collect()
 
 

@@ -1,0 +1,107 @@
+"""Pure-Python codec correctness + decode_mode='real' behaviors
+(operators/codecs.py, multimodal.py). X55's oracle parity covers the
+BMP feature path; these pin the codecs themselves and the WAV/resize/
+frame-sampling real paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from swivel_spark_prep_spark.catalog import load_table
+from swivel_spark_prep_spark.operators import codecs, multimodal
+
+
+def test_bmp_roundtrip_color_and_gray():
+    rng = np.random.default_rng(7)
+    color = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert (codecs.decode_bmp(codecs.encode_bmp(color)) == color).all()
+    # odd width exercises the 4-byte row padding (3*3=9 → pad 3)
+    gray = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    decoded = codecs.decode_bmp(codecs.encode_bmp(gray))
+    assert decoded.shape == (4, 3, 3)
+    assert (decoded[:, :, 0] == gray).all() and (decoded[:, :, 2] == gray).all()
+
+
+def test_bmp_header_golden_bytes():
+    b = codecs.encode_bmp(np.zeros((8, 8), dtype=np.uint8))
+    assert b[:2] == b"BM" and len(b) == 246  # 54 header + 8*24 rows
+    assert int.from_bytes(b[10:14], "little") == 54  # pixel offset
+    assert int.from_bytes(b[18:22], "little") == 8  # width
+    assert int.from_bytes(b[28:30], "little") == 24  # bpp
+
+
+def test_wav_roundtrip_and_mono_mixdown():
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    rate, back = codecs.decode_wav(codecs.encode_wav(samples, 16000))
+    assert rate == 16000 and (back == samples).all()
+
+
+def test_codec_rejects_junk_and_compressed():
+    with pytest.raises(ValueError, match="not a BMP"):
+        codecs.decode_bmp(b"\x89PNG\r\n")
+    with pytest.raises(ValueError, match="not a WAV"):
+        codecs.decode_wav(b"ID3\x04rubbish")
+    assert codecs.sniff(b"BMxx") == "bmp"
+    assert codecs.sniff(b"RIFFxxxxWAVE") == "wav"
+    assert codecs.sniff(b"\xff\xd8\xff") == "unknown"
+
+
+def test_wav_real_features_match_byte_stats(spark, sf_dir):
+    """attach_binary(codec='wav') stores text bytes as PCM16 samples, so
+    real-decode features must equal the raw byte statistics (and
+    n_frames = one per sample = len(text))."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.attach_binary(docs, codec="wav")
+    got = {
+        r.doc_id: (r.n_frames, r.features)
+        for r in multimodal.extract_features(media, decode_mode="real").collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        b = row.text.encode()
+        n_frames, feats = got[row.doc_id]
+        assert n_frames == len(b)
+        assert feats[0] == pytest.approx(sum(b) / len(b))
+        assert feats[1] == float(min(b)) and feats[2] == float(max(b))
+        assert feats[3] == float(len(b))
+
+
+def test_resize_real_nearest_neighbour(spark):
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    media = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_bmp(px)))], "doc_id long, payload binary"
+    )
+    out = multimodal.resize(media, width=4, height=4, decode_mode="real").collect()
+    assert out[0].width == 4 and out[0].height == 4
+    back = codecs.decode_bmp(bytes(out[0].payload))
+    # nearest-neighbour with 2x downscale keeps rows/cols 0,2,4,6
+    assert (back[:, :, 0] == px[::2, ::2]).all()
+
+
+def test_sample_frames_real_wav_blocks(spark):
+    samples = np.arange(1500, dtype=np.int16)  # 3000 PCM bytes
+    media = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_wav(samples)))], "doc_id long, payload binary"
+    )
+    frames = multimodal.sample_frames(
+        media, frame_bytes=1000, every_nth=2, decode_mode="real"
+    ).collect()
+    # 3 blocks of 1000 PCM bytes, every 2nd kept → idx 0 and 2
+    assert [f.frame_idx for f in frames] == [0, 2]
+    assert bytes(frames[0].frame) == samples[:500].tobytes()
+
+
+def test_embed_real_is_deterministic_unit_norm(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = multimodal.attach_binary(docs, codec="bmp")
+    emb = {
+        r.doc_id: r.embedding
+        for r in multimodal.embed_media(media, decode_mode="real").collect()
+    }
+    again = {
+        r.doc_id: r.embedding
+        for r in multimodal.embed_media(media, decode_mode="real").collect()
+    }
+    assert emb == again
+    for v in emb.values():
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
