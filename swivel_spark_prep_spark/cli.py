@@ -53,6 +53,13 @@ def _build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--input", required=True, help="parquet with doc_id/text")
     pc.add_argument("--output", required=True, help="output directory")
     pc.add_argument("--chunk-tokens", type=int, default=2048)
+    pc.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=0,
+        help="train a BPE merge table of this size on the deduped corpus "
+        "and pack by BPE token count (0 = whitespace tokens)",
+    )
     pc.add_argument("--train", type=float, default=0.9)
     pc.add_argument("--val", type=float, default=0.05)
     pc.add_argument("--test", type=float, default=0.05)
@@ -112,7 +119,22 @@ def main(argv: list[str] | None = None) -> int:
                 "doc_id",
                 {"train": args.train, "val": args.val, "test": args.test},
             )
-            packed = pack_sequences(split, args.chunk_tokens)
+            if args.bpe_merges > 0:
+                from swivel_spark_prep_spark.operators.bpe import (
+                    bpe_token_count_expr,
+                    train_bpe,
+                )
+
+                merges = train_bpe(deduped, num_merges=args.bpe_merges)
+                split = split.withColumn(
+                    "_bpe_n_tok", bpe_token_count_expr("text", merges)
+                )
+                packed = pack_sequences(
+                    split, args.chunk_tokens, token_count_col="_bpe_n_tok"
+                )
+                split = split.drop("_bpe_n_tok")
+            else:
+                packed = pack_sequences(split, args.chunk_tokens)
             out = split.join(packed.drop("n_tok"), "doc_id")
             write_partitioned(out, args.output, ["split"])
             by = {

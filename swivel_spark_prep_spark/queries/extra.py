@@ -1704,3 +1704,38 @@ def x55(spark, sf_dir):
         F.element_at("features", 3).alias("f_max"),
         F.element_at("features", 4).alias("f_cnt"),
     ).orderBy("doc_id")
+
+
+@_declare(
+    "X56_bpe_vocab",
+    # BPE-token vocabulary with dense ids — the subword twin of the
+    # reference pipeline's word vocab (Q32/Q33). Oracle assigns ids with
+    # one global window; the engine reuses swivel.assign_ids (two-pass
+    # range-partitioned rank, no single-task stage).
+    f"""WITH tok AS (
+  SELECT unnest(regexp_extract_all({_BPE_S}, '<([a-z0-9]+)>', 1)) AS tok
+  FROM documents),
+v AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+SELECT (ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) - 1)::BIGINT AS id,
+       tok, cnt
+FROM v ORDER BY id LIMIT 100;""",
+)
+def x56(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.swivel import assign_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                _bpe.bpe_tokens_expr("text", _bpe.DEMO_MERGES)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        assign_ids(vocab, [F.desc("cnt"), F.asc("tok")], id_col="id")
+        .select("id", "tok", "cnt")
+        .orderBy("id")
+        .limit(100)
+    )

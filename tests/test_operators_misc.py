@@ -317,6 +317,41 @@ def test_cli_prep_corpus_end_to_end(spark, tmp_path, sf_dir):
     assert back.filter(F.col("split") == "train").count() > 0
 
 
+def test_cli_prep_corpus_bpe_packing(spark, tmp_path, sf_dir):
+    """--bpe-merges trains a merge table on the deduped corpus and packs
+    by BPE token count; chunk spans must reflect BPE (not whitespace)
+    counts, i.e. differ from the default run on the same input."""
+    from swivel_spark_prep_spark import cli
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "corpus_in")
+    docs.limit(100).write.parquet(src)
+    out = str(tmp_path / "prep_bpe")
+    rc = cli.main(
+        [
+            "prep-corpus", "--input", src, "--output", out,
+            "--chunk-tokens", "256", "--bpe-merges", "20",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert {"doc_id", "text", "split", "first_chunk", "last_chunk"} <= set(
+        back.columns
+    )
+    base_out = str(tmp_path / "prep_ws")
+    assert cli.main(
+        ["prep-corpus", "--input", src, "--output", base_out,
+         "--chunk-tokens", "256"]
+    ) == 0
+    ws = spark.read.parquet(base_out)
+    # BPE token counts exceed whitespace counts (subwords), so the packed
+    # stream is longer: the max chunk id must grow.
+    assert (
+        back.agg(F.max("last_chunk")).first()[0]
+        > ws.agg(F.max("last_chunk")).first()[0]
+    )
+
+
 def test_approx_count_distinct_within_rated_error(spark, sf_dir):
     """§5.3: approx_count_distinct within its rated rsd of the exact Q14
     values (never oracle-hashed — approximate by design)."""
