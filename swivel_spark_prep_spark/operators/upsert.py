@@ -5,7 +5,9 @@ formats' job); what an incremental pipeline needs from the ENGINE is the
 relational core: apply a changes batch to a base snapshot — update rows
 whose key matches, insert rows whose key is new, optionally delete — and
 write the result as the next snapshot. That core is one full-outer join
-on the key, expressed declaratively.
+on the key, expressed declaratively. Multi-writer commit safety on top
+of this core lives in operators/versioned.py (put-if-absent commit log
+with optimistic rebase).
 
 Scale note: Spark cannot BROADCAST a full-outer join (both sides may
 produce unmatched rows, so both must be complete at every task — the

@@ -570,3 +570,90 @@ def test_normalize_two_pass_equals_q44(spark, sf_dir):
     q44 = DECLARED_QUERIES["Q44_udf_normalize"](spark, sf_dir).collect()
     x54 = EXTRA_QUERIES["X54_normalize_two_pass"](spark, sf_dir).collect()
     assert q44 == x54
+
+
+def test_versioned_table_commit_read_time_travel(spark, tmp_path):
+    """Create → two upserts → read latest + time-travel; history records
+    parent chain."""
+    from swivel_spark_prep_spark.operators.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, s string, v double"
+    )
+    assert t.create(base) == 1
+    ch1 = spark.createDataFrame(
+        [(2, "b2", 20.0, False), (3, "c", 3.0, False)],
+        "k long, s string, v double, is_delete boolean",
+    )
+    assert t.commit_upsert(ch1, ["k"], delete_col="is_delete") == 2
+    ch2 = spark.createDataFrame(
+        [(1, None, None, True)], "k long, s string, v double, is_delete boolean"
+    )
+    assert t.commit_upsert(ch2, ["k"], delete_col="is_delete") == 3
+
+    latest = {r.k: (r.s, r.v) for r in t.read(spark).collect()}
+    assert latest == {2: ("b2", 20.0), 3: ("c", 3.0)}
+    v2 = {r.k: (r.s, r.v) for r in t.read(spark, version=2).collect()}
+    assert v2 == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c", 3.0)}
+    assert [h["parent"] for h in t.history()] == [None, 1, 2]
+
+
+def test_versioned_table_conflict_rebases(spark, tmp_path):
+    """Optimistic concurrency: writer A merges against v1; writer B
+    commits v2 before A's commit point. A's put-if-absent loses, A
+    rebases onto v2 and lands v3 containing BOTH changes."""
+    from swivel_spark_prep_spark.operators import versioned
+    from swivel_spark_prep_spark.operators.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    )
+    b_change = spark.createDataFrame([(2, 22.0)], "k long, v double")
+    a_change = spark.createDataFrame([(3, 3.0)], "k long, v double")
+
+    # interleave: force B's commit to land during A's commit_upsert by
+    # patching _try_commit to inject B's v2 before A's first attempt.
+    real_try = VersionedTable._try_commit
+    state = {"injected": False}
+
+    def racy_try(self, df, version, op, parent):
+        if not state["injected"]:
+            state["injected"] = True
+            other = VersionedTable(self.path)
+            assert real_try(
+                other, t.read(spark, 1).unionByName(b_change).groupBy("k")
+                .agg(F.max("v").alias("v")), version, "upsert", parent
+            )
+        return real_try(self, df, version, op, parent)
+
+    versioned.VersionedTable._try_commit = racy_try
+    try:
+        v = t.commit_upsert(a_change, ["k"])
+    finally:
+        versioned.VersionedTable._try_commit = real_try
+    assert v == 3  # rebased past B's v2
+    latest = {r.k: r.v for r in t.read(spark).collect()}
+    assert latest == {1: 1.0, 2: 22.0, 3: 3.0}  # both writers' changes
+    # the losing attempt removed its own staged dir on conflict, so
+    # nothing is left to vacuum (crash orphans are a separate test)
+    assert t.vacuum() == 0
+    assert {r.k: r.v for r in t.read(spark).collect()} == latest
+
+
+def test_versioned_table_orphan_invisible_and_empty_reads_fail(spark, tmp_path):
+    from swivel_spark_prep_spark.operators.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+    t.create(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    # crash simulation: a staged dir with no log entry must stay invisible
+    orphan = tmp_path / "tbl" / "_staged" / "v2-deadbeef"
+    spark.createDataFrame([(9, 9.0)], "k long, v double").write.parquet(
+        str(orphan)
+    )
+    assert t.latest_version() == 1
+    assert {r.k for r in t.read(spark).collect()} == {1}
+    assert t.vacuum() == 1
