@@ -321,3 +321,18 @@ def test_bucketed_upsert_full_outer_eliminates_exchange(spark, sf_dir, tmp_path)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ups_base")
         spark.sql("DROP TABLE IF EXISTS t_ups_chg")
+
+
+def test_bpe_encode_stays_jvm_side(spark, sf_dir):
+    """The BPE expression path (X52) must compile to a pure JVM plan —
+    the whole replace chain + token extraction inside codegen, no
+    Python eval nodes, single scan of documents."""
+    from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
+
+    plan = formatted_plan(EXTRA_QUERIES["X52_bpe_tokenize"](spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted explain prints each node once in the tree and once in
+    # the detail section → a single scan appears exactly twice
+    assert plan.count("Scan parquet") == 2
+    # the whole replace chain folds into one Project over the scan
+    assert "regexp_extract_all(replace(replace(" in plan
