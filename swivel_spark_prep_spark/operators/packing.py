@@ -103,3 +103,41 @@ def pack_sequences(
         .cast("long")
         .alias("last_chunk"),
     )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Length-bucketed inference batching: walk documents in descending
+    token-count order (ties by `order_col`) and cut a new batch every
+    `token_budget` cumulative tokens. Because neighbours in the walk
+    have similar lengths, per-batch padding-to-max waste is small — the
+    standard serving-side batching prep.
+
+    Returns one row per document: (order_col, n_tok, batch_id). Reuses
+    the same two-pass range-partitioned prefix sum as pack_sequences —
+    no global window, no single-task stage at any corpus size.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if token_count_col is not None:
+        with_tok = docs.select(
+            order_col, F.col(token_count_col).cast("long").alias("n_tok")
+        )
+    else:
+        with_tok = docs.select(
+            order_col,
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+        )
+    cum = _exclusive_prefix_sum(
+        with_tok, "n_tok", [F.desc("n_tok"), F.asc(order_col)], "cum_before"
+    )
+    return cum.select(
+        order_col,
+        "n_tok",
+        F.floor(F.col("cum_before") / token_budget).cast("long").alias("batch_id"),
+    )

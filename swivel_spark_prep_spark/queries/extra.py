@@ -1739,3 +1739,43 @@ def x56(spark, sf_dir):
         .orderBy("id")
         .limit(100)
     )
+
+
+@_declare(
+    "X57_length_batching",
+    # Length-bucketed inference batching: docs walked in (n_tok DESC,
+    # doc_id) order, a new batch every 4096 cumulative tokens; summary
+    # reports the padding-to-max waste per batch (the number this
+    # operator exists to minimize). Oracle = single-window cumsum; the
+    # engine reuses packing's two-pass prefix sum (no global window).
+    """WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM t),
+b AS (SELECT doc_id, n_tok, (cum_before // 4096)::BIGINT AS batch_id FROM c)
+SELECT batch_id, COUNT(*) AS n_docs, MAX(n_tok) AS max_tok,
+       SUM(n_tok)::BIGINT AS sum_tok,
+       (COUNT(*) * MAX(n_tok) - SUM(n_tok))::BIGINT AS padding
+FROM b GROUP BY batch_id ORDER BY batch_id;""",
+)
+def x57(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.packing import length_bucketed_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = length_bucketed_batches(docs, token_budget=4096)
+    return (
+        batches.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        .withColumn(
+            "padding", F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")
+        )
+        .orderBy("batch_id")
+    )
