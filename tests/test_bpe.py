@@ -98,3 +98,33 @@ def test_oracle_count_expr_matches_spark(spark, sf_dir, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_bpe_expr_matches_python_reference_on_adversarial_corpus(spark):
+    """Expression path ≡ the pure-Python reference on inputs chosen to
+    break it: empty/whitespace docs, unicode casing, digit runs,
+    punctuation-only, repeated chars (overlapping-merge stress), very
+    long tokens."""
+    import re
+
+    docs = [
+        (0, ""),
+        (1, "   "),
+        (2, "Straße ÉCOLE İstanbul"),
+        (3, "123 123 123 aaaa aaaaa aaaaaa"),
+        (4, "!@#$%^&*()"),
+        (5, "the the the and and in in in"),
+        (6, "a" * 500 + " " + "ab" * 250),
+        (7, "mixedCASE Words-with_proto.punct2和中文"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe.DEMO_MERGES + [("a", "a"), ("aa", "aa")]
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tok)
+        for r in bpe.bpe_encode(df, merges).collect()
+    }
+    for doc_id, text in docs:
+        toks = []
+        for w in re.findall("[a-z0-9]+", text.lower()):
+            toks.extend(bpe.encode_word(w, merges))
+        assert got[doc_id] == (toks, len(toks)), f"doc {doc_id}"
