@@ -203,3 +203,109 @@ def write_swivel_shards(result, out_dir: str) -> int:
                 write_tfrecord(os.path.join(out_dir, fname), [example])
                 written += 1
     return written
+
+
+# --- minimal protobuf wire decoding (the encoder's exact inverse) ----------
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    val, shift = 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_no, wire_type, value) over a protobuf message body;
+    value is an int for varint/fixed fields, bytes for length-delimited."""
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        field_no, wt = tag >> 3, tag & 7
+        if wt == 0:  # varint
+            val, i = _read_varint(buf, i)
+        elif wt == 2:  # length-delimited
+            ln, i = _read_varint(buf, i)
+            val = buf[i : i + ln]
+            i += ln
+        elif wt == 5:  # 32-bit
+            val = buf[i : i + 4]
+            i += 4
+        elif wt == 1:  # 64-bit
+            val = buf[i : i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field_no, wt, val
+
+
+def _to_int64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _decode_feature(buf: bytes) -> tuple[str, list]:
+    for field_no, _, inner in _iter_fields(buf):
+        if field_no == 1:  # BytesList: repeated bytes value = 1
+            return "bytes", [v for _, _, v in _iter_fields(inner)]
+        if field_no == 2:  # FloatList: packed float value = 1
+            vals: list = []
+            for _, wt, v in _iter_fields(inner):
+                if wt == 2:  # packed
+                    vals.extend(struct.unpack(f"<{len(v) // 4}f", v))
+                else:  # unpacked fixed32
+                    vals.extend(struct.unpack("<f", v))
+            return "float", vals
+        if field_no == 3:  # Int64List: packed varint value = 1
+            ints: list = []
+            for _, wt, v in _iter_fields(inner):
+                if wt == 2:  # packed
+                    i = 0
+                    while i < len(v):
+                        u, i = _read_varint(v, i)
+                        ints.append(_to_int64(u))
+                else:  # unpacked varint
+                    ints.append(_to_int64(v))
+            return "int64", ints
+    return "bytes", []  # empty Feature
+
+
+def decode_example(payload: bytes) -> dict[str, tuple[str, list]]:
+    """Inverse of :func:`encode_example`: tf.train.Example bytes →
+    name → (kind, values). Round-trip pinned by test."""
+    out: dict[str, tuple[str, list]] = {}
+    for field_no, _, features_msg in _iter_fields(payload):
+        if field_no != 1:  # Example.features
+            continue
+        for f_no, _, entry in _iter_fields(features_msg):
+            if f_no != 1:  # Features.feature map entry
+                continue
+            name, feat = "", b""
+            for e_no, _, v in _iter_fields(entry):
+                if e_no == 1:
+                    name = v.decode("utf-8")
+                elif e_no == 2:
+                    feat = v
+            out[name] = _decode_feature(feat)
+    return out
+
+
+def parse_tfrecord_stream(data: bytes) -> list[bytes]:
+    """TFRecord framing parser over in-memory bytes, verifying both CRCs
+    — the executor-side twin of :func:`read_tfrecord`."""
+    out, i = [], 0
+    while i < len(data):
+        header = data[i : i + 8]
+        (length,) = struct.unpack("<Q", header)
+        (len_crc,) = struct.unpack("<I", data[i + 8 : i + 12])
+        if len_crc != _masked_crc(header):
+            raise ValueError(f"length CRC mismatch at offset {i}")
+        payload = data[i + 12 : i + 12 + length]
+        (data_crc,) = struct.unpack("<I", data[i + 12 + length : i + 16 + length])
+        if data_crc != _masked_crc(payload):
+            raise ValueError(f"data CRC mismatch at offset {i}")
+        out.append(payload)
+        i += 16 + length
+    return out

@@ -248,3 +248,59 @@ def test_tfrecord_framing_golden_bytes(tmp_path):
     # crc32c(b"abc") = 0x364B3FB7 → mask = ((c>>15)|(c<<17))+0xa282ead8
     c = 0x364B3FB7
     assert _masked_crc(b"abc") == (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def test_example_protobuf_roundtrip():
+    """decode_example is the exact inverse of encode_example across all
+    three feature kinds, including negative int64 and empty lists."""
+    from swivel_spark_prep_spark.sinks.tfrecord import (
+        decode_example,
+        encode_example,
+    )
+
+    feats = {
+        "ids": ("int64", [0, 1, -1, 2**62, -(2**62)]),
+        "vals": ("float", [0.0, 1.5, -2.25]),
+        "names": ("bytes", [b"abc", b"", b"\x00\xff"]),
+        "empty": ("int64", []),
+    }
+    got = decode_example(encode_example(feats))
+    assert set(got) == set(feats)
+    assert got["ids"] == feats["ids"]
+    assert got["names"] == feats["names"]
+    kind, vals = got["vals"]
+    assert kind == "float" and vals == [0.0, 1.5, -2.25]
+    assert got["empty"] == ("int64", [])  # kind survives an empty list
+
+
+def test_tfrecord_distributed_source_roundtrip(spark, sf_dir, tmp_path):
+    """write_swivel_shards → read_tfrecord_records + decode_example must
+    reproduce every shard's feature payload (distributed read ≡ the
+    local test-utility reader, CRCs verified on the executor)."""
+    import glob
+
+    from swivel_spark_prep_spark.operators.swivel import prep
+    from swivel_spark_prep_spark.sinks.tfrecord import (
+        decode_example,
+        read_tfrecord,
+        write_swivel_shards,
+    )
+    from swivel_spark_prep_spark.sources import read_corpus_text, read_tfrecord_records
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b c a b\nb c d e\na a b c d\n" * 4)
+    docs = read_corpus_text(spark, str(corpus))
+    result = prep(docs, window=2, min_count=1, shard_size=2)
+    out = str(tmp_path / "shards")
+    n = write_swivel_shards(result, out)
+    assert n > 0
+
+    rows = read_tfrecord_records(spark, f"{out}/*.pb").collect()
+    assert len(rows) == n  # one Example per shard file
+    by_file = {r.file.split("/")[-1]: bytes(r.payload) for r in rows}
+    for f in glob.glob(f"{out}/*.pb"):
+        want = read_tfrecord(f)
+        assert by_file[f.split("/")[-1]] == want[0]
+        feats = decode_example(want[0])
+        assert {"global_row", "global_col", "sparse_local_row",
+                "sparse_local_col", "sparse_value"} <= set(feats)
