@@ -148,3 +148,47 @@ def deterministic_shuffle(
     return assign_ids(
         df.withColumn("_shuffle_key", h), ["_shuffle_key"], id_col="shuffle_rank"
     ).drop("_shuffle_key")
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    temperature: float = 2.0,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened corpus balancing: downsample each stratum
+    (language, source, domain) so effective proportions follow
+    p_s ∝ n_s^(1/T) — the standard multilingual-pretraining mixing rule
+    — WITHOUT upsampling: the smallest stratum keeps 100% and every
+    other stratum keeps fraction (n_min / n_s)^(1 - 1/T). T=1 is the
+    natural distribution (no-op), T→∞ approaches uniform.
+
+    Fully declarative, zero driver materialization: per-stratum counts
+    are a hash aggregate, the global min folds in as a 1-row broadcast,
+    the per-stratum keep-threshold (ppm) broadcasts back onto the corpus
+    scan, and membership is the same deterministic md5 bucket as
+    hash_sample — a key keeps its decision as the corpus grows.
+    """
+    if temperature < 1.0:
+        raise ValueError(f"temperature must be >= 1, got {temperature}")
+    n = 1_000_000
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_cnt"))
+    cmin = counts.agg(F.min("_cnt").alias("_cmin"))
+    thresholds = counts.crossJoin(F.broadcast(cmin)).select(
+        strata_col,
+        F.floor(
+            F.pow(
+                F.col("_cmin").cast("double") / F.col("_cnt"),
+                1.0 - 1.0 / temperature,
+            )
+            * n
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(hash_bucket(F.col(key_col), n, salt) < F.col("_thr"))
+        .drop("_thr")
+    )

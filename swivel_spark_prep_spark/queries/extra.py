@@ -1779,3 +1779,33 @@ def x57(spark, sf_dir):
         )
         .orderBy("batch_id")
     )
+
+
+@_declare(
+    "X58_temperature_mix",
+    # Temperature-flattened (T=2) corpus balancing by language: stratum s
+    # keeps fraction (n_min/n_s)^(1-1/T); smallest keeps all, natural
+    # distribution flattens toward uniform. Membership = the same
+    # deterministic md5 ppm bucket as X22, salted 'temp'.
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT MIN(cnt) AS cmin FROM c),
+t AS (SELECT lang,
+             CAST(FLOOR(POWER(cmin::DOUBLE / cnt, 0.5) * 1000000) AS BIGINT) AS thr
+      FROM c, m),
+k AS (SELECT d.doc_id, d.lang
+      FROM documents d JOIN t USING (lang)
+      WHERE CAST(('0x' || substr(md5('temp' || d.doc_id::VARCHAR), 1, 8)) AS BIGINT)
+            % 1000000 < thr)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+FROM k GROUP BY lang ORDER BY lang;""",
+)
+def x58(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, "lang", "doc_id", temperature=2.0)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )

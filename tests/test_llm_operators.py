@@ -455,3 +455,30 @@ def test_quantized_cosine_topk_recall(spark, sf_dir):
             r.vec_id for r in cosine_topk(deq, query_id=qid, k=5).collect()
         }
         assert len(exact & approx) >= 4, (qid, exact, approx)
+
+
+def test_temperature_resample_flattens_distribution(spark, sf_dir):
+    """T=2 flattening: the smallest stratum is kept whole, every kept
+    fraction is within [n_min/n_s, 1], and the kept distribution is
+    strictly flatter (max/min ratio shrinks) than the natural one."""
+    from swivel_spark_prep_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    nat = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in temperature_resample(docs, "lang", "doc_id", 2.0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    smallest = min(nat, key=lambda k: (nat[k], k))
+    assert kept[smallest] == nat[smallest]  # floor stratum untouched
+    for lang, n in nat.items():
+        assert 0 < kept.get(lang, 0) <= n
+    ratio_nat = max(nat.values()) / min(nat.values())
+    ratio_kept = max(kept.values()) / min(kept.values())
+    assert ratio_kept <= ratio_nat
+    # T=1 must be a no-op (natural distribution)
+    t1 = temperature_resample(docs, "lang", "doc_id", temperature=1.0)
+    assert t1.count() == docs.count()
