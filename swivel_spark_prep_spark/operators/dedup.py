@@ -302,16 +302,12 @@ def _pairs_within_buckets(buckets: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(
-    signed: DataFrame, num_bands: int = 32, rows_per_band: int = 4
+def _band_buckets(
+    signed: DataFrame, num_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band the signature; docs sharing any (band_idx, band_hash) bucket
-    become candidate pairs (d1 < d2) — grouped per bucket, never an n²
-    join. Callers must pre-filter empty-shingle docs (minhash_near_dups
-    filters on the cheap token-count predicate BEFORE shingling: a filter
-    on size(shingles) here would be pushed down by Catalyst with the whole
-    shingle expression substituted into the predicate, recomputing it per
-    row)."""
+    """signature → (doc_id, band_idx, band_hash) bucket relation — the
+    joinable LSH index shape shared by the one-shot and incremental
+    paths."""
     bands = F.array(
         *[
             F.struct(
@@ -323,11 +319,24 @@ def minhash_lsh_candidates(
             for b in range(num_bands)
         ]
     )
-    buckets = signed.select("doc_id", F.explode(bands).alias("b")).select(
+    return signed.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id",
         F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_hash").alias("band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    signed: DataFrame, num_bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any (band_idx, band_hash) bucket
+    become candidate pairs (d1 < d2) — grouped per bucket, never an n²
+    join. Callers must pre-filter empty-shingle docs (minhash_near_dups
+    filters on the cheap token-count predicate BEFORE shingling: a filter
+    on size(shingles) here would be pushed down by Catalyst with the whole
+    shingle expression substituted into the predicate, recomputing it per
+    row)."""
+    buckets = _band_buckets(signed, num_bands, rows_per_band)
     return _pairs_within_buckets(buckets, ["band_idx", "band_hash"])
 
 
@@ -359,6 +368,85 @@ def minhash_near_dups(
     signed = minhash_signature(sh, num_hashes, hashed=True)
     cand = minhash_lsh_candidates(signed, num_bands, rows_per_band)
     return _exact_jaccard_verify(cand, sh, jaccard_threshold)
+
+
+def minhash_index(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent near-dup index for a corpus: (bands,
+    shingles). ``bands`` is the (doc_id, band_idx, band_hash) bucket
+    relation, ``shingles`` the (doc_id, shingles) sets the exact-verify
+    stage needs. Callers write both out (bucketed on band_hash / doc_id
+    respectively — sinks.write_bucketed) so successive batches join
+    without reshuffling the corpus side — the same seen-table pattern
+    as exact_dedup_incremental."""
+    rows_per_band = num_hashes // num_bands
+    eligible = _spread(docs.filter(F.size(F.split(F.col(text_col), " ")) >= n))
+    sh = track_persist(shingle_hashes(eligible, n, text_col, doc_col))
+    bands = _band_buckets(
+        minhash_signature(sh, num_hashes, hashed=True), num_bands, rows_per_band
+    )
+    return bands, sh
+
+
+def minhash_near_dups_incremental(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch — batch-vs-corpus plus
+    batch-internal — against a prebuilt :func:`minhash_index`, without
+    re-signing the corpus (the continuous-ingestion shape of X06).
+
+    Candidates come from one equi-join of the batch's band buckets
+    against the indexed buckets plus one grouped pass over the batch's
+    own buckets — never a pass over corpus text. Hyper-parameters (n,
+    num_hashes, num_bands) MUST match the ones the index was built
+    with; doc ids must be globally unique across corpus and batch.
+    Output (d1 < d2, jac) with exact-verified precision, identical to
+    what one-shot minhash_near_dups over corpus ∪ batch reports minus
+    its corpus-internal pairs (property-tested)."""
+    batch_bands, batch_sh = minhash_index(
+        batch, n, num_hashes, num_bands, text_col, doc_col
+    )
+    # persisted: the banded batch feeds BOTH the cross join and the
+    # internal pair pass (no common-subplan reuse in Spark)
+    batch_bands = track_persist(batch_bands)
+    cross = (
+        batch_bands.select(
+            "band_idx", "band_hash", F.col("doc_id").alias("d2")
+        )
+        .join(
+            index_bands.select(
+                "band_idx", "band_hash", F.col("doc_id").alias("d1")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    internal = _pairs_within_buckets(batch_bands, ["band_idx", "band_hash"])
+    cand = (
+        cross.unionByName(internal)
+        .select(
+            F.least("d1", "d2").alias("d1"), F.greatest("d1", "d2").alias("d2")
+        )
+        .distinct()
+    )
+    return _exact_jaccard_verify(
+        cand, index_shingles.unionByName(batch_sh), jaccard_threshold
+    )
 
 
 # --- exact n-gram Jaccard (inverted-index blocking) ------------------------

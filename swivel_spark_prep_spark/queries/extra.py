@@ -1809,3 +1809,41 @@ def x58(spark, sf_dir):
         .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id"))
         .orderBy("lang")
     )
+
+
+@_declare(
+    "X59_incremental_near_dups",
+    # Incremental near-dup detection: corpus = doc_id % 5 != 0 (indexed
+    # once), batch = doc_id % 5 == 0 (new arrivals). The oracle is X06's
+    # exact all-pairs Jaccard restricted to pairs touching the batch —
+    # valid for the same reason X06's is: the exact-verify stage makes
+    # the LSH output deterministic given recall (recall property at both
+    # SFs in tests/test_llm_operators.py).
+    """WITH sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+           p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3]))) AS shingles
+  FROM documents),
+inv AS (SELECT doc_id, s.sh FROM sh, UNNEST(shingles) AS s(sh)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM inv a JOIN inv b USING (sh)
+         WHERE a.doc_id < b.doc_id)
+SELECT d1, d2,
+       ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+             (len(x.shingles)+len(y.shingles)-len(list_intersect(x.shingles,y.shingles))),4) AS jac
+FROM cand JOIN sh x ON x.doc_id=d1 JOIN sh y ON y.doc_id=d2
+WHERE (d1 % 5 = 0 OR d2 % 5 = 0)
+  AND len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+      (len(x.shingles)+len(y.shingles)-len(list_intersect(x.shingles,y.shingles))) >= 0.8
+ORDER BY d1, d2;""",
+)
+def x59(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    bands, shingles = dedup.minhash_index(corpus)
+    return (
+        dedup.minhash_near_dups_incremental(batch, bands, shingles)
+        .select("d1", "d2", F.round("jac", 4).alias("jac"))
+        .orderBy("d1", "d2")
+    )

@@ -482,3 +482,27 @@ def test_temperature_resample_flattens_distribution(spark, sf_dir):
     # T=1 must be a no-op (natural distribution)
     t1 = temperature_resample(docs, "lang", "doc_id", temperature=1.0)
     assert t1.count() == docs.count()
+
+
+def test_incremental_minhash_equals_oneshot_minus_corpus_pairs(spark, sf_dir):
+    """Incremental lookup against a prebuilt index must report exactly
+    the one-shot result over corpus ∪ batch minus corpus-internal pairs
+    (nothing new invented, nothing touching the batch missed)."""
+    from swivel_spark_prep_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    bands, shingles = dedup.minhash_index(corpus)
+    inc = {
+        (r.d1, r.d2)
+        for r in dedup.minhash_near_dups_incremental(
+            batch, bands, shingles
+        ).collect()
+    }
+    oneshot = {
+        (r.d1, r.d2)
+        for r in dedup.minhash_near_dups(docs, jaccard_threshold=0.8).collect()
+    }
+    want = {(a, b) for a, b in oneshot if a % 5 == 0 or b % 5 == 0}
+    assert inc == want
