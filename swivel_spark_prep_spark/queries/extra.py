@@ -1847,3 +1847,52 @@ def x59(spark, sf_dir):
         .select("d1", "d2", F.round("jac", 4).alias("jac"))
         .orderBy("d1", "d2")
     )
+
+
+@_declare(
+    "X60_rolling_range_window",
+    # RANGE-interval frame — the window class Q20's ROWS frame cannot
+    # express: per user, aggregates over all events in the trailing
+    # 3 DAYS by timestamp VALUE (peer rows at the frame edge included,
+    # however many there are). Both engines frame over integral epoch
+    # seconds so the boundary arithmetic is exact.
+    """WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events)
+SELECT event_id,
+       COUNT(*) OVER w AS n_3d,
+       ROUND(SUM(value) OVER w, 4) AS sum_3d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+ORDER BY event_id;""",
+)
+def x60(spark, sf_dir):
+    # Trailing-window user features (sessionless "activity in the last N
+    # days" — the standard feature-engineering shape). Hash-partitioned
+    # by user_id; the range frame sorts within partitions only — no
+    # global sort, no shuffle beyond the user_id exchange.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec"))
+        .rangeBetween(-259200, Window.currentRow)
+    )
+    # NTZ has no direct long cast; subtracting the epoch yields a
+    # day-time interval whose long cast is whole seconds — tz-free on
+    # both sides (same pattern as X51's interval arithmetic).
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr(
+            "cast((ts - TIMESTAMP_NTZ '1970-01-01 00:00:00') as long)"
+        ).alias("sec"),
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.count("*").over(w).alias("n_3d"),
+            F.round(F.sum("value").over(w), 4).alias("sum_3d"),
+        )
+        .orderBy("event_id")
+    )
