@@ -166,3 +166,60 @@ class VersionedTable:
                 shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
                 removed += 1
         return removed
+
+    def expire_versions(self, keep_last: int) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` versions —
+        snapshot dir first, log entry second, so a crash mid-expire
+        leaves a version either whole or log-less (invisible to readers,
+        swept by the next expire), never a log entry pointing at a
+        deleted snapshot. Time travel to expired versions is gone; the
+        latest snapshot is never touched. Returns the expired versions."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        victims = self._committed_versions()[:-keep_last]
+        for v in victims:
+            shutil.rmtree(
+                os.path.join(self.path, self._record(v)["dir"]),
+                ignore_errors=True,
+            )
+            os.remove(os.path.join(self._log_dir, f"{v:08d}.json"))
+        return victims
+
+
+def stream_upsert_versioned(
+    stream_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin: maintain a VersionedTable from a change stream —
+    every micro-batch lands as one committed version (foreachBatch +
+    commit_upsert). Unlike stream_upsert_snapshot's single-writer swap,
+    commits go through the put-if-absent log, so a concurrent BATCH
+    writer (backfill, compaction) can interleave safely: the streaming
+    batch just rebases. Exactly-once per batch comes from the streaming
+    checkpoint (committed batch ids are never replayed); a batch
+    replayed after a crash re-MERGEs idempotently per key.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    import os
+
+    table = VersionedTable(table_path)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if table.latest_version() is None:
+            drop = [delete_col] if delete_col else []
+            table.create(batch_df.drop(*drop).limit(0))
+        table.commit_upsert(batch_df, key_cols, delete_col=delete_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(table_path, "_checkpoint"),
+        )
+        .start()
+    )

@@ -551,3 +551,63 @@ def test_drop_duplicates_within_watermark(spark, events, replay_dir, tmp_path):
         assert sorted(got) == sorted(r.event_id for r in events.collect())
     finally:
         query.stop()
+
+
+def test_stream_upsert_versioned_commits_per_batch(spark, tmp_path):
+    """Streaming into the versioned table: each micro-batch lands as one
+    committed version; final state equals the sequential batch merge and
+    history records the create + N upserts. Retention then drops old
+    versions but keeps the latest readable."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.operators.versioned import (
+        VersionedTable,
+        stream_upsert_versioned,
+    )
+
+    batches = [
+        [(1, "a", 1.0, False), (2, "b", 2.0, False)],
+        [(2, "b2", 20.0, False), (3, "c", 3.0, False)],
+        [(1, None, None, True)],
+    ]
+    schema = "k long, s string, v double, is_delete boolean"
+    replay = tmp_path / "changes"
+    replay.mkdir()
+    for i, rows in enumerate(batches):
+        raw = tmp_path / f"raw{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(raw))
+        shutil.copy(
+            glob.glob(str(raw / "part-*.parquet"))[0],
+            str(replay / f"{i:02d}.parquet"),
+        )
+    _stamp_mtimes(str(replay))
+
+    tbl_path = str(tmp_path / "vtbl")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = stream_upsert_versioned(stream, tbl_path, ["k"], delete_col="is_delete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    t = VersionedTable(tbl_path)
+    assert [h["op"] for h in t.history()] == [
+        "create", "upsert", "upsert", "upsert",
+    ]
+    got = {r.k: (r.s, r.v) for r in t.read(spark).collect()}
+    assert got == {2: ("b2", 20.0), 3: ("c", 3.0)}
+    # retention: keep the last 2 versions; latest still reads fine
+    expired = t.expire_versions(keep_last=2)
+    assert expired == [1, 2]
+    assert {r.k for r in t.read(spark).collect()} == {2, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
