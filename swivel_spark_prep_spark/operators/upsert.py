@@ -31,6 +31,7 @@ def upsert(
     changes: DataFrame,
     key_cols: list[str],
     delete_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Next snapshot: base rows overwritten by matching ``changes`` rows
     (matched on ``key_cols``), plus brand-new changes rows appended.
@@ -40,6 +41,11 @@ def upsert(
     subset of value columns; missing ones keep the base value). When
     ``delete_col`` names a boolean column on ``changes``, rows flagged
     true are dropped instead of upserted.
+
+    With ``evolve_schema=True``, change columns missing from the base
+    schema are ADDED (base rows get NULL) instead of rejected — the
+    lakehouse mergeSchema behavior; the default stays strict because a
+    typo'd column name silently evolving is worse than an error.
 
     ``changes`` must carry at most ONE row per key (one action per key —
     the usual contract of a change batch; a multi-action batch must be
@@ -54,7 +60,18 @@ def upsert(
     ch_vals = [c for c in changes.columns if c not in key_cols and c != delete_col]
     unknown = set(ch_vals) - set(val_cols)
     if unknown:
-        raise ValueError(f"changes columns not in base schema: {sorted(unknown)}")
+        if not evolve_schema:
+            raise ValueError(
+                f"changes columns not in base schema: {sorted(unknown)} "
+                "(pass evolve_schema=True to add them)"
+            )
+        # schema evolution (the lakehouse mergeSchema behavior): new
+        # change columns join the snapshot schema; pre-existing base rows
+        # carry NULL. Column order = base columns then new ones, so
+        # successive snapshots only ever append columns.
+        for c in changes.select(*sorted(unknown)).schema.fields:
+            base = base.withColumn(c.name, F.lit(None).cast(c.dataType))
+            val_cols.append(c.name)
     ch = changes.select(
         *[F.col(c).alias(f"__c_{c}") for c in key_cols],
         *[F.col(c).alias(f"__v_{c}") for c in ch_vals],

@@ -127,6 +127,7 @@ class VersionedTable:
         key_cols: list[str],
         delete_col: str | None = None,
         max_retries: int = 5,
+        evolve_schema: bool = False,
     ) -> int:
         """MERGE ``changes`` into the latest snapshot and commit it as
         the next version. On a concurrent-commit conflict the merge is
@@ -141,7 +142,11 @@ class VersionedTable:
                     f"no committed version at {self.path}; call create() first"
                 )
             merged = upsert(
-                self.read(spark, base_v), changes, key_cols, delete_col=delete_col
+                self.read(spark, base_v),
+                changes,
+                key_cols,
+                delete_col=delete_col,
+                evolve_schema=evolve_schema,
             )
             if self._try_commit(merged, base_v + 1, "upsert", base_v):
                 return base_v + 1

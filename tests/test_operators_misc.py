@@ -657,3 +657,32 @@ def test_versioned_table_orphan_invisible_and_empty_reads_fail(spark, tmp_path):
     assert t.latest_version() == 1
     assert {r.k for r in t.read(spark).collect()} == {1}
     assert t.vacuum() == 1
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """evolve_schema=True adds new change columns (base rows get NULL);
+    the strict default still rejects them. Through the versioned table,
+    the evolved column persists into subsequent versions."""
+    from swivel_spark_prep_spark.operators.upsert import upsert
+    from swivel_spark_prep_spark.operators.versioned import VersionedTable
+
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    ch = spark.createDataFrame(
+        [(2, 20.0, "fr"), (3, 3.0, "en")], "k long, v double, lang string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        upsert(base, ch, ["k"]).collect()
+    got = {
+        r.k: (r.v, r.lang)
+        for r in upsert(base, ch, ["k"], evolve_schema=True).collect()
+    }
+    assert got == {1: (1.0, None), 2: (20.0, "fr"), 3: (3.0, "en")}
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.create(base)
+    t.commit_upsert(ch, ["k"], evolve_schema=True)
+    t.commit_upsert(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), ["k"]
+    )
+    latest = {r.k: (r.v, r.lang) for r in t.read(spark).collect()}
+    assert latest == {1: (10.0, None), 2: (20.0, "fr"), 3: (3.0, "en")}
