@@ -1896,3 +1896,73 @@ def x60(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@_declare(
+    "X61_zipf_fit",
+    # Corpus power-law diagnostics: least-squares slope/intercept of
+    # log(freq) on log(rank) over the top-1000 words — Zipf's law says
+    # slope ≈ -1; a far-off slope flags synthetic or degenerate corpora.
+    # Exercises the regression-aggregate class (regr_slope/intercept/r2),
+    # present in both engines with identical least-squares definitions.
+    """WITH wc AS (
+  SELECT t.tok AS w, COUNT(*) AS c
+  FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(tok)
+  GROUP BY t.tok),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM wc
+      ORDER BY rk LIMIT 1000)
+SELECT ROUND(regr_slope(ln(c::DOUBLE), ln(rk::DOUBLE)), 4) AS slope,
+       ROUND(regr_intercept(ln(c::DOUBLE), ln(rk::DOUBLE)), 4) AS icept,
+       ROUND(regr_r2(ln(c::DOUBLE), ln(rk::DOUBLE)), 4) AS r2,
+       COUNT(*) AS n FROM r;""",
+)
+def x61(spark, sf_dir):
+    # Rank via the global-sort TakeOrdered cap (top-1000 is driver-safe);
+    # the regression aggregates are single-pass JVM hash aggs.
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = (
+        wc.orderBy(F.desc("c"), "w")
+        .limit(1000)
+        .select("c", F.row_number().over(
+            Window.orderBy(F.desc("c"), "w")
+        ).alias("rk"))
+    )
+    lc, lr = F.log(F.col("c").cast("double")), F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lc, lr), 4).alias("slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("icept"),
+        F.round(F.regr_r2(lc, lr), 4).alias("r2"),
+        F.count("*").alias("n"),
+    )
+
+
+@_declare(
+    "X62_value_histogram",
+    # Fixed-range histogram of event values per type via width_bucket —
+    # the binning primitive behind quality-score and length
+    # distributions. Bucket 0 / n+1 are the underflow/overflow bins.
+    # DuckDB has no width_bucket; the oracle spells out the same
+    # arithmetic (10 buckets of width 50 over [0, 500)).
+    """SELECT event_type,
+       (CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 11
+             ELSE FLOOR(value / 50) + 1 END)::BIGINT AS bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS tot
+FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket;""",
+)
+def x62(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(10))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tot"))
+        .orderBy("event_type", "bucket")
+    )
