@@ -32,15 +32,20 @@ def upsert(
     key_cols: list[str],
     delete_col: str | None = None,
     evolve_schema: bool = False,
+    full_row: bool = False,
 ) -> DataFrame:
     """Next snapshot: base rows overwritten by matching ``changes`` rows
     (matched on ``key_cols``), plus brand-new changes rows appended.
 
     Value columns are taken from the changes side when present
     (``coalesce(change.col, base.col)`` — a changes batch may carry a
-    subset of value columns; missing ones keep the base value). When
-    ``delete_col`` names a boolean column on ``changes``, rows flagged
-    true are dropped instead of upserted.
+    subset of value columns; missing ones keep the base value). That
+    partial-update default cannot set a value TO NULL; pass
+    ``full_row=True`` for CDC-style semantics where a matched change
+    row replaces every carried column verbatim, NULLs included (the
+    mode snapshot_diff's round-trip law needs). When ``delete_col``
+    names a boolean column on ``changes``, rows flagged true are
+    dropped instead of upserted.
 
     With ``evolve_schema=True``, change columns missing from the base
     schema are ADDED (base rows get NULL) instead of rejected — the
@@ -89,13 +94,85 @@ def upsert(
     out_keys = [
         F.coalesce(base[c], F.col(f"__c_{c}")).alias(c) for c in key_cols
     ]
-    out_vals = [
-        F.coalesce(F.col(f"__v_{c}"), base[c]).alias(c)
-        if c in ch_vals
-        else base[c].alias(c)
-        for c in val_cols
-    ]
+    if full_row:
+        out_vals = [
+            F.when(F.col("__hit"), F.col(f"__v_{c}")).otherwise(base[c]).alias(c)
+            if c in ch_vals
+            else base[c].alias(c)
+            for c in val_cols
+        ]
+    else:
+        out_vals = [
+            F.coalesce(F.col(f"__v_{c}"), base[c]).alias(c)
+            if c in ch_vals
+            else base[c].alias(c)
+            for c in val_cols
+        ]
     return (
         joined.filter(~F.coalesce(F.col("__del"), F.lit(False)))
         .select(*out_keys, *out_vals)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = "_op",
+) -> DataFrame:
+    """Change-data feed between two snapshots — the inverse of
+    :func:`upsert`: one row per changed key with ``op_col`` ∈
+    {'I','U','D'}. Inserts/updates carry the NEW values, deletes carry
+    the OLD values (CDC convention: consumers need the key, and the
+    last-known row is more useful than nulls). Unchanged keys emit
+    nothing. Value comparison is null-safe per column.
+
+    Round-trip law (test-pinned): applying the diff back with
+    ``upsert(old, diff, keys, delete_col=(op=='D'), full_row=True)``
+    reproduces ``new`` exactly (full_row because an update may set a
+    column to NULL). One declarative full-outer join on the keys — same
+    co-location lever as upsert (bucket both snapshots on the key).
+    """
+    val_cols = [c for c in old.columns if c not in key_cols]
+    if set(new.columns) != set(old.columns):
+        raise ValueError(
+            f"snapshots must share a schema: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}"
+        )
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in val_cols],
+        F.lit(True).alias("__o_hit"),
+    )
+    nw = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in val_cols],
+        F.lit(True).alias("__n_hit"),
+    )
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & (F.col(f"__ok_{c}") == F.col(f"__nk_{c}"))
+    j = o.join(nw, cond, "full_outer")
+    same_vals = F.lit(True)
+    for c in val_cols:
+        same_vals = same_vals & F.col(f"__nv_{c}").eqNullSafe(F.col(f"__ov_{c}"))
+    op = (
+        F.when(F.col("__o_hit").isNull(), F.lit("I"))
+        .when(F.col("__n_hit").isNull(), F.lit("D"))
+        .when(~same_vals, F.lit("U"))
+    )  # both present & equal → NULL → filtered out
+    out_keys = [
+        F.coalesce(F.col(f"__ok_{c}"), F.col(f"__nk_{c}")).alias(c)
+        for c in key_cols
+    ]
+    out_vals = [
+        F.when(F.col(op_col) == "D", F.col(f"__ov_{c}"))
+        .otherwise(F.col(f"__nv_{c}"))
+        .alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*out_keys, *out_vals, op_col)
     )

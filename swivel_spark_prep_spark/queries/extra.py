@@ -1966,3 +1966,63 @@ def x62(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tot"))
         .orderBy("event_type", "bucket")
     )
+
+
+@_declare(
+    "X63_snapshot_diff",
+    # CDC generation: diff two order snapshots into a change feed with
+    # op I/U/D (operators/upsert.snapshot_diff — the inverse of X47's
+    # MERGE; the round-trip law upsert(old, diff) == new is pinned in
+    # tests/test_operators_misc.py). Summarized per op with a key
+    # checksum so the result stays driver-sized.
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+n AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N', 42.0
+  FROM orders WHERE o_orderkey % 97 = 0),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN n.o_orderkey IS NULL THEN 'D'
+              WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+              THEN 'U' END AS op
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+SELECT op AS _op, COUNT(*) AS n, SUM(k)::BIGINT AS key_sum
+FROM d WHERE op IS NOT NULL GROUP BY op ORDER BY op;""",
+)
+def x63(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.upsert import snapshot_diff
+
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return (
+        snapshot_diff(old, new, ["o_orderkey"])
+        .groupBy("_op")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("_op")
+    )

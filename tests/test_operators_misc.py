@@ -686,3 +686,31 @@ def test_upsert_schema_evolution(spark, tmp_path):
     )
     latest = {r.k: (r.v, r.lang) for r in t.read(spark).collect()}
     assert latest == {1: (10.0, None), 2: (20.0, "fr"), 3: (3.0, "en")}
+
+
+def test_snapshot_diff_roundtrip_law(spark, sf_dir):
+    """upsert(old, snapshot_diff(old, new)) must reproduce new exactly —
+    the CDC round-trip law, including null-value updates."""
+    from swivel_spark_prep_spark.operators.upsert import snapshot_diff, upsert
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    ops = {r.k: r._op for r in diff.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}  # k=1 unchanged: absent
+    applied = upsert(
+        old,
+        diff.withColumn("is_delete", F.col("_op") == "D").drop("_op"),
+        ["k"],
+        delete_col="is_delete",
+        full_row=True,  # an update may set a column to NULL
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
