@@ -2026,3 +2026,38 @@ def x63(spark, sf_dir):
         )
         .orderBy("_op")
     )
+
+
+@_declare(
+    "X64_quality_expectations",
+    # Declarative data-quality expectations (operators/quality.py): four
+    # named constraints over orders, pass/fail stats in ONE scan (one
+    # conditional sum per rule). NULL conditions count as failures.
+    """WITH s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS p_pos,
+         SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS p_st,
+         SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS p_ck,
+         SUM(CASE WHEN o_orderdate >= DATE '1992-01-01' THEN 1 ELSE 0 END) AS p_dt
+  FROM orders)
+SELECT rule, n AS n_rows, p::BIGINT AS n_pass, (n - p)::BIGINT AS n_fail,
+       ROUND(p::DOUBLE / n, 4) AS pass_rate
+FROM s, (VALUES ('custkey_not_null'), ('orderdate_modern'),
+                ('positive_price'), ('valid_status')) AS r(rule),
+     LATERAL (SELECT CASE rule WHEN 'positive_price' THEN p_pos
+                               WHEN 'valid_status' THEN p_st
+                               WHEN 'custkey_not_null' THEN p_ck
+                               ELSE p_dt END AS p)
+ORDER BY rule;""",
+)
+def x64(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "positive_price": "o_totalprice > 0",
+        "valid_status": "o_orderstatus IN ('O','F','P')",
+        "custkey_not_null": "o_custkey IS NOT NULL",
+        "orderdate_modern": "o_orderdate >= DATE '1992-01-01'",
+    }
+    return check_expectations(orders, rules).orderBy("rule")

@@ -714,3 +714,29 @@ def test_snapshot_diff_roundtrip_law(spark, sf_dir):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_quarantine_splits_and_tags_violations(spark):
+    """quarantine: good rows pass every rule; bad rows name each
+    violated rule; NULL conditions fail conservatively; the two sides
+    partition the input."""
+    from swivel_spark_prep_spark.operators.quality import (
+        check_expectations,
+        quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "en"), (2, -1.0, "en"), (3, 5.0, None), (4, None, "zz")],
+        "k long, v double, lang string",
+    )
+    rules = {"v_pos": "v > 0", "lang_known": "lang IN ('en','fr')"}
+    good, bad = quarantine(df, rules)
+    assert {r.k for r in good.collect()} == {1}
+    tags = {r.k: sorted(r._failed) for r in bad.collect()}
+    assert tags == {
+        2: ["v_pos"],
+        3: ["lang_known"],          # NULL lang → failed
+        4: ["lang_known", "v_pos"],  # NULL v → failed too
+    }
+    stats = {r.rule: (r.n_pass, r.n_fail) for r in check_expectations(df, rules).collect()}
+    assert stats == {"v_pos": (2, 2), "lang_known": (2, 2)}
