@@ -2061,3 +2061,30 @@ def x64(spark, sf_dir):
         "orderdate_modern": "o_orderdate >= DATE '1992-01-01'",
     }
     return check_expectations(orders, rules).orderBy("rule")
+
+
+# Generated z-order expression (operators/zorder.py) — identical SQL text
+# evaluated by both engines, so parity pins the Morton bit layout itself.
+from swivel_spark_prep_spark.operators.zorder import zorder_sql as _zorder_sql  # noqa: E402
+
+_Z8 = _zorder_sql(["(l_orderkey % 256)", "(l_partkey % 256)"], 8)
+
+
+@_declare(
+    "X65_zorder_value",
+    # Morton interleave of two bucketized dims (8 bits each): the
+    # data-layout key behind zorder_layout's multi-dimensional file
+    # skipping. Summed per z-bucket so the result stays driver-sized
+    # while still covering every row's z-value.
+    f"""SELECT ({_Z8} // 4096)::BIGINT AS z_bucket,
+       COUNT(*) AS n, SUM({_Z8})::BIGINT AS z_sum
+FROM lineitem GROUP BY z_bucket ORDER BY z_bucket;""",
+)
+def x65(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    z = F.expr(_Z8).cast("long")
+    return (
+        li.groupBy(F.floor(z / 4096).cast("long").alias("z_bucket"))
+        .agg(F.count("*").alias("n"), F.sum(z).cast("long").alias("z_sum"))
+        .orderBy("z_bucket")
+    )

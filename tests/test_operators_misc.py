@@ -740,3 +740,59 @@ def test_quarantine_splits_and_tags_violations(spark):
     }
     stats = {r.rule: (r.n_pass, r.n_fail) for r in check_expectations(df, rules).collect()}
     assert stats == {"v_pos": (2, 2), "lang_known": (2, 2)}
+
+
+def test_zorder_value_interleave_bits():
+    """Known Morton values: interleave of (x, y) with y's bits one place
+    above x's — pins the exact bit layout the X65 oracle replays."""
+    from swivel_spark_prep_spark.operators.zorder import zorder_sql
+
+    import duckdb
+
+    sql = zorder_sql(["x", "y"], 4)
+    got = duckdb.sql(
+        f"SELECT {sql} FROM (VALUES (0,0),(1,0),(0,1),(3,5),(15,15)) t(x,y)"
+    ).fetchall()
+    # morton(3,5) = interleave(0b0011, 0b0101) = 0b100111 = 39
+    assert [r[0] for r in got] == [0, 1, 2, 39, 255]
+
+
+def test_zorder_layout_gives_both_dims_locality(spark, sf_dir, tmp_path):
+    """Files written z-ordered on (orderkey, partkey) must cover small
+    ranges of BOTH dimensions, unlike a single-column sort where the
+    non-sorted dimension's per-file spans cover ~the whole domain. The
+    per-file min/max spans ARE what parquet row-group pruning uses."""
+    import glob
+
+    from swivel_spark_prep_spark.operators.zorder import zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    dom = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("span")
+    ).first()["span"]
+
+    # 8 bits: partkey (≤ ~200 in this fixture) never wraps, so bucket-
+    # space locality equals raw-column locality; 16 files over the
+    # 16-bit z-space → ~64x64 rectangles per file.
+    z_dir = str(tmp_path / "zorder")
+    zorder_layout(li, ["l_orderkey", "l_partkey"], n_bits=8, n_files=16).write.parquet(z_dir)
+    s_dir = str(tmp_path / "single")
+    li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(s_dir)
+
+    def mean_partkey_span(d):
+        spans = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            row = spark.read.parquet(f).agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("s")
+            ).first()
+            spans.append(row["s"])
+        return sum(spans) / len(spans)
+
+    z_span, s_span = mean_partkey_span(z_dir), mean_partkey_span(s_dir)
+    # single-column sort leaves partkey spans ≈ the full domain; z-order
+    # must cut the mean span materially (×2 here; asymptotically ~2^-5
+    # per 10-bit dim at 8 files)
+    assert s_span > 0.9 * dom
+    assert z_span < s_span / 2, (z_span, s_span, dom)
