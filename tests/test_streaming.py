@@ -611,3 +611,34 @@ def test_stream_upsert_versioned_commits_per_batch(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         t.read(spark, version=1)
+
+
+def test_stream_static_broadcast_enrichment(spark, events, replay_dir, sf_dir):
+    """Stream-static join: enrich a change stream with a static
+    dimension (the broadcast-enrichment class — per micro-batch the
+    static side joins with no stream-side state). Result must equal the
+    batch join, and every user must resolve to exactly one nation."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    stream = _stream(spark, events, replay_dir)
+    enriched = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tot"))
+    )
+    result, query = run_stream(enriched, "complete")
+    try:
+        got = {
+            r.c_nationkey: (r.n, round(r.tot, 6)) for r in result.collect()
+        }
+        want = {
+            r.c_nationkey: (r.n, round(r.tot, 6))
+            for r in events.join(cust, "user_id")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("tot"))
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        query.stop()
