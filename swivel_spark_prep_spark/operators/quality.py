@@ -39,24 +39,27 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
     scan, one aggregate row, regardless of rule count."""
     if not rules:
         raise ValueError("rules must be non-empty")
-    aggs = []
-    for name in rules:
-        aggs.append(
-            F.sum(_passed(rules[name]).cast("long")).alias(f"__p_{name}")
-        )
+    # positional aliases: rule names are user strings and may contain
+    # dots/spaces/backticks that F.col would parse as struct paths; the
+    # display name only ever appears as a literal in the output struct
+    names = list(rules)
+    aggs = [
+        F.sum(_passed(rules[name]).cast("long")).alias(f"__p_{i}")
+        for i, name in enumerate(names)
+    ]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     per_rule = F.array(
         *[
             F.struct(
                 F.lit(name).alias("rule"),
                 F.col("__n").alias("n_rows"),
-                F.col(f"__p_{name}").alias("n_pass"),
-                (F.col("__n") - F.col(f"__p_{name}")).alias("n_fail"),
-                F.round(F.col(f"__p_{name}") / F.col("__n"), 4).alias(
+                F.col(f"__p_{i}").alias("n_pass"),
+                (F.col("__n") - F.col(f"__p_{i}")).alias("n_fail"),
+                F.round(F.col(f"__p_{i}") / F.col("__n"), 4).alias(
                     "pass_rate"
                 ),
             )
-            for name in rules
+            for i, name in enumerate(names)
         ]
     )
     return (

@@ -132,6 +132,13 @@ def snapshot_diff(
     reproduces ``new`` exactly (full_row because an update may set a
     column to NULL). One declarative full-outer join on the keys — same
     co-location lever as upsert (bucket both snapshots on the key).
+
+    Key columns must be NON-NULL in both snapshots — the same contract
+    (and for the same reasons) as :func:`upsert`: the join uses plain
+    equality, so a key NULL in both snapshots would never match itself
+    and would surface as a spurious D+I pair; and ``<=>`` would disable
+    bucketed co-location. A NULL snapshot key is a data bug better
+    surfaced upstream than silently diffed.
     """
     val_cols = [c for c in old.columns if c not in key_cols]
     if set(new.columns) != set(old.columns):

@@ -61,7 +61,10 @@ def zorder_layout(
     with_z = df.select("*", *buck).withColumn(
         "__z", zorder_value([f"__zb_{i}" for i in range(len(cols))], n_bits)
     )
-    n = n_files or max(df.rdd.getNumPartitions(), 1)
+    # default file count from the session's parallelism — NOT df.rdd
+    # (touching .rdd forces a full plan-to-RDD conversion just to read a
+    # partition count)
+    n = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
     return (
         with_z.repartitionByRange(n, "__z")
         .sortWithinPartitions("__z")

@@ -2088,3 +2088,97 @@ def x65(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.sum(z).cast("long").alias("z_sum"))
         .orderBy("z_bucket")
     )
+
+
+@_declare(
+    "X66_versioned_read_changes",
+    # CDC *reader* on the versioned table (operators/versioned.py
+    # read_changes): build v1 from an orders slice, commit one MERGE
+    # batch (updates + inserts + deletes) as v2, then read the I/U/D
+    # feed from the beginning — v1 surfaces as all-I, v2 as its diff,
+    # each step tagged with its _version. The oracle replays the same
+    # feed relationally. Summarized per (_version, _op) with key and
+    # integer-cents checksums so the result stays driver-sized.
+    """WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 3 = 0),
+upd AS (
+  SELECT o_orderkey, 'P' AS o_orderstatus,
+         o_totalprice + 5.0 AS o_totalprice
+  FROM v1 WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+ins AS (
+  SELECT o_orderkey, 'N' AS o_orderstatus, 42.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 31 = 0),
+del AS (SELECT o_orderkey FROM v1 WHERE o_orderkey % 13 = 0),
+feed AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         'I' AS _op, 1 AS _version FROM v1
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'U', 2 FROM upd
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'I', 2 FROM ins
+  UNION ALL
+  SELECT v1.o_orderkey, v1.o_orderstatus, v1.o_totalprice, 'D', 2
+  FROM v1 JOIN del USING (o_orderkey))
+SELECT _version, _op, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS key_sum,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS price_cents
+FROM feed GROUP BY _version, _op ORDER BY _version, _op;""",
+)
+def x66(spark, sf_dir):
+    # The versioned table's change-feed reader: the API an incremental
+    # downstream consumer calls instead of re-diffing snapshots itself.
+    # Table lives in per-process scratch (fresh per call — create()
+    # rejects an existing table); commits are real parquet snapshots
+    # through the put-if-absent log.
+    import shutil
+
+    from swivel_spark_prep_spark.operators.versioned import VersionedTable
+
+    path = _io_dir(sf_dir, "x66_versioned")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    t = VersionedTable(path)
+    t.create(v1)
+    upd = v1.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).select(
+        "o_orderkey",
+        F.lit("P").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        F.lit(False).alias("is_delete"),
+    )
+    ins = orders.filter(
+        (F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 31 == 0)
+    ).select(
+        "o_orderkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit(False).alias("is_delete"),
+    )
+    dels = v1.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(True).alias("is_delete"),
+    )
+    t.commit_upsert(
+        upd.unionByName(ins).unionByName(dels),
+        ["o_orderkey"],
+        delete_col="is_delete",
+    )
+    feed = t.read_changes(spark, ["o_orderkey"], v_from=0)
+    return (
+        feed.groupBy("_version", "_op")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("price_cents"),
+        )
+        .orderBy("_version", "_op")
+    )
