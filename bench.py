@@ -36,6 +36,62 @@ CALIB_ANCHORS = ("Q13_agg_tpch_q1", "Q20_win_frame_running",
 HEAVY = ("Q04", "Q11", "Q19", "Q20", "Q27", "Q28", "Q35", "Q41")
 
 
+def _env_snapshot() -> dict:
+    """Machine-contention snapshot (judge ask, round 6: three rounds of
+    committed artifacts carried phantom regressions from concurrent
+    sweeps). Records the 1/5/15-min load averages plus any NON-descendant
+    heavy processes (pytest / another bench / a stray JVM); the payload's
+    ``contended`` flag is set from the START snapshot so a number taken
+    on a loaded machine can never again masquerade as a plan change."""
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = []
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cmds: dict[int, str] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        p = int(pid)
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                # field 4 of /proc/pid/stat is ppid; comm (field 2) may
+                # contain spaces but never ')': split after the last ')'
+                ppid[p] = int(f.read().rsplit(")", 1)[1].split()[1])
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmds[p] = (
+                    f.read().replace(b"\0", b" ").decode(errors="replace").strip()
+                )
+        except (OSError, IndexError, ValueError):
+            continue
+
+    def related(p: int) -> bool:  # me, my ancestors, or my descendants
+        q = p
+        for _ in range(64):  # descendant check: walk up to init
+            if q == me:
+                return True
+            q = ppid.get(q, 0)
+            if q <= 1:
+                break
+        q = me
+        for _ in range(64):  # ancestor check (shell, driver wrapper)
+            if q == p:
+                return True
+            q = ppid.get(q, 0)
+            if q <= 1:
+                break
+        return False
+
+    markers = ("pytest", "bench.py", "java", "spark", "duckdb")
+    others = sorted(
+        cmd[:80]
+        for p, cmd in cmds.items()
+        if cmd and not related(p) and any(m in cmd for m in markers)
+    )
+    return {"load": load, "procs": others}
+
+
 def _duckdb_calibration() -> dict[str, float]:
     """Median ms for four fixed BASELINE.md DuckDB queries in the current
     environment — per-round calibration anchors separating machine drift
@@ -71,6 +127,17 @@ def _duckdb_calibration() -> dict[str, float]:
 def main() -> None:
     from swivel_spark_prep_spark.session import get_session
     from __spark_entry__ import queries
+
+    env_start = _env_snapshot()
+    contended = bool(env_start["procs"]) or bool(
+        env_start["load"] and env_start["load"][0] > max(2.0, 0.25 * int(CPUS))
+    )
+    if contended:
+        print(
+            f"# WARNING: contended environment at start: {env_start} — "
+            "numbers will be tagged contended=true",
+            file=sys.stderr,
+        )
 
     spark = get_session(
         "swivel-spark-prep-bench",
@@ -186,6 +253,12 @@ def main() -> None:
         # Heavy-query {compute_ms, fetch_ms}: plan cost (noop sink, full
         # physical plan, zero transfer) vs driver Arrow fetch remainder.
         "split": split,
+        # Contention guard: loadavg + non-descendant heavy processes at
+        # start/end. "contended" is judged from the START snapshot (the
+        # bench itself drives end-load up); a true flag means the wall
+        # numbers are unfit for round-over-round comparison.
+        "env": {"start": env_start, "end": _env_snapshot()},
+        "contended": contended,
     }
     # Full-fidelity record for round-over-round diffing (not driver-parsed).
     try:
