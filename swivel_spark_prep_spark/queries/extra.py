@@ -2182,3 +2182,61 @@ def x66(spark, sf_dir):
         )
         .orderBy("_version", "_op")
     )
+
+
+_BPE_BC = _bpe.bpe_oracle_expr(
+    _bpe.DEMO_MERGES_BYTES, col="ptext", byte_complete=True
+)
+
+
+@_declare(
+    "X67_bpe_byte_complete",
+    # Byte-complete BPE (operators/bpe.py byte_complete mode): nothing
+    # dropped — non-alnum runs become escaped #hh byte symbols, merges
+    # include punctuation pairs (", " ". " "--"), and
+    # detokenize(tokens) == lower(text) exactly (hypothesis-pinned in
+    # tests/test_kernel_properties.py). The fixture corpus is pure
+    # words+spaces, so punctuation is INJECTED first with the same two
+    # literal replaces on both engines (", " between words, "--" inside
+    # "ta" words) — the ", " demo merge then fires corpus-wide. The
+    # oracle SQL is GENERATED from the same merge table + escape spec,
+    # so parity pins the byte layout itself. Per-doc token count +
+    # byte-token share + first 4 tokens.
+    f"""WITH p AS (
+  SELECT doc_id, replace(replace(text, ' ', ', '), 'ta', 't--a') AS ptext
+  FROM documents),
+m AS (SELECT doc_id, {_BPE_BC} AS s FROM p),
+t AS (SELECT doc_id,
+             (length(s) - length(replace(s, '<', '')))::BIGINT AS n_tok,
+             regexp_extract_all(s, '<([a-z0-9#]+)>', 1) AS toks
+      FROM m)
+SELECT doc_id, n_tok,
+       len(list_filter(toks, x -> x LIKE '#%'))::BIGINT AS n_byte_tok,
+       array_to_string(toks[1:4], ' ') AS head
+FROM t ORDER BY doc_id;""",
+)
+def x67(spark, sf_dir):
+    # The byte-complete twin of X52: same codegen replace-chain shape
+    # (piece transform + literal replaces — no Python, no shuffle,
+    # linear in corpus bytes), now over the FULL byte stream. n_byte_tok
+    # counts escape tokens, proving punctuation genuinely lands in the
+    # token stream instead of vanishing at the pre-tokenizer.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" "), F.lit(", ")),
+            F.lit("ta"),
+            F.lit("t--a"),
+        ).alias("ptext"),
+    )
+    enc = _bpe.bpe_encode(
+        docs, _bpe.DEMO_MERGES_BYTES, text_col="ptext", byte_complete=True
+    )
+    return enc.select(
+        "doc_id",
+        "n_tok",
+        F.size(
+            F.filter(F.col("tokens"), lambda x: x.startswith("#"))
+        ).cast("long").alias("n_byte_tok"),
+        F.concat_ws(" ", F.slice("tokens", 1, 4)).alias("head"),
+    ).orderBy("doc_id")

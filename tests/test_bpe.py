@@ -128,3 +128,36 @@ def test_bpe_expr_matches_python_reference_on_adversarial_corpus(spark):
         for w in re.findall("[a-z0-9]+", text.lower()):
             toks.extend(bpe.encode_word(w, merges))
         assert got[doc_id] == (toks, len(toks)), f"doc {doc_id}"
+
+
+def test_byte_complete_trained_expr_equals_pandas_and_roundtrips(spark, sf_dir):
+    """Byte-complete mode end-to-end on the real fixture corpus with a
+    TRAINED merge table: the codegen expression path and the Arrow
+    pandas path agree token-for-token, and every document detokenizes
+    back to its lowercased text exactly (nothing dropped)."""
+    # the fixture corpus is pure words+spaces — inject punctuation runs
+    # (same trick as X67) so byte merges have something to learn
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" "), F.lit(", ")),
+            F.lit("ta"),
+            F.lit("t--a"),
+        ).alias("text"),
+    )
+    merges = bpe.train_bpe(docs, num_merges=40, byte_complete=True)
+    assert len(merges) == 40
+    # punctuation must genuinely participate: ", " is now the dominant
+    # separator, so at least one learned merge is byte-side
+    assert any(a.startswith("#") for a, _ in merges)
+    e = bpe.bpe_encode(docs, merges, byte_complete=True).select(
+        "doc_id", "text", "tokens", "n_tok"
+    )
+    p = bpe.bpe_encode_pandas(docs, merges, byte_complete=True).select(
+        "doc_id", "tokens", "n_tok"
+    )
+    erows = {r.doc_id: r for r in e.collect()}
+    for pr in p.collect():
+        assert list(erows[pr.doc_id].tokens) == list(pr.tokens)
+    for r in erows.values():
+        assert bpe.detokenize(list(r.tokens)) == r.text.lower()

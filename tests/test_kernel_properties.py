@@ -88,3 +88,58 @@ def test_wav_roundtrip_property(samples, rate):
     arr = np.array(samples, dtype=np.int16)
     got_rate, back = codecs.decode_wav(codecs.encode_wav(arr, rate))
     assert got_rate == rate and (back == arr).all()
+
+
+# ---------------------------------------------------------- byte-complete
+
+# Mixed alphabet: letters/digits, ASCII punctuation, whitespace, and
+# multibyte UTF-8 (2-, 3-, and 4-byte sequences) — plus uppercase so the
+# lowercase normalization boundary is exercised. Kept to characters whose
+# lowercase mapping is locale-stable across Python/JVM/utf8proc.
+_bc_text = st.text(
+    alphabet="abz09 .,!?-\t\n'\"(){}éüλ中\U0001F600ABZ",
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(_bc_text)
+@settings(max_examples=300, deadline=None)
+def test_byte_complete_roundtrip_exact(text):
+    """Byte-complete contract: detokenize(encode(text)) == lower(text)
+    EXACTLY — punctuation, whitespace runs, and multibyte characters all
+    survive (the alnum-only mode drops them by design)."""
+    import re
+
+    from swivel_spark_prep_spark.operators.bpe import (
+        _PIECE_RE,
+        DEMO_MERGES_BYTES,
+        detokenize,
+    )
+
+    toks: list[str] = []
+    for p in re.findall(_PIECE_RE, text.lower()):
+        toks.extend(encode_word(p, DEMO_MERGES_BYTES, byte_complete=True))
+    assert detokenize(toks) == text.lower()
+
+
+@given(_bc_text, st.text(alphabet="abz09", min_size=1, max_size=2),
+       st.text(alphabet="abz09", min_size=1, max_size=2))
+@settings(max_examples=200, deadline=None)
+def test_byte_complete_roundtrip_any_merges(text, a, b):
+    """The round-trip holds for ARBITRARY merge tables, including byte
+    merges that split a multibyte character across tokens — detokenize
+    concatenates bytes before UTF-8 decoding, so token boundaries need
+    not respect character boundaries."""
+    import re
+
+    from swivel_spark_prep_spark.operators.bpe import (
+        _PIECE_RE,
+        detokenize,
+    )
+
+    merges = [(a, b), ("#c3", "#a9"), ("#f0", "#9f"), ("#98#80", "#20")]
+    toks: list[str] = []
+    for p in re.findall(_PIECE_RE, text.lower()):
+        toks.extend(encode_word(p, merges, byte_complete=True))
+    assert detokenize(toks) == text.lower()
