@@ -535,3 +535,116 @@ def dequantize(
         out_col,
         F.transform(F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)),
     )
+
+
+# --- semantic dedup ---------------------------------------------------------
+
+
+def cluster_centroids(
+    assigned: DataFrame,
+    list_col: str = "list_id",
+    emb_col: str = "_emb",
+) -> DataFrame:
+    """(list_id, centroid): spherical mean of each cluster's members —
+    position-wise average of the UNIT-normalized vectors, computed
+    distributively (posexplode → partial-aggregated avg per (cluster,
+    dim) → re-assembled array). The 64× row blow-up is map-side-combined
+    before the shuffle, and the result is nlist tiny rows — broadcast
+    material. Zero vectors contribute zeros (norm guarded to 1)."""
+    n = F.sqrt(F.aggregate(emb_col, F.lit(0.0), lambda a, v: a + v * v))
+    unit = assigned.withColumn(
+        "_n", F.when(n == 0, F.lit(1.0)).otherwise(n)
+    ).select(
+        list_col,
+        F.posexplode(
+            F.transform(F.col(emb_col), lambda x: x / F.col("_n"))
+        ).alias("pos", "val"),
+    )
+    return (
+        unit.groupBy(list_col, "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy(list_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc")
+        )
+        .select(
+            list_col, F.transform("pc", lambda s: s["cv"]).alias("centroid")
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    nlist: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    technique): cluster the embedding space, find intra-cluster cosine
+    near-duplicates, keep per duplicate-neighborhood the vector FARTHEST
+    from its cluster centroid (the paper's diversity-preserving choice),
+    deterministically.
+
+    Survivor rule (order-free, anti-join expressible): x is REMOVED iff
+    some y in the same cluster has cosine(x, y) ≥ threshold and strictly
+    better keep-priority — (round(cent_sim, 6), id) lexicographically
+    smaller (lower centroid similarity = more diverse = kept; rounding
+    makes the FP comparison engine-stable). For every near-dup pair at
+    most one side survives, and each near-dup connected component's
+    minimum-priority member always survives. Returns (id_col, list_id,
+    cent_sim) survivors.
+
+    Scale: pair generation is per-cluster (the SemDeDup point — nlist
+    grows with the corpus so cluster sizes stay bounded, never all-pairs
+    across the corpus); the centroid table is nlist rows, broadcast both
+    times it is joined. Default clustering is :func:`ivf_fit` /
+    :func:`ivf_assign` (driver-bounded k-means sample); pass ``assigned``
+    (id, _emb, list_id) to use precomputed or exactly-replayable
+    assignments — X68 pins parity that way.
+    """
+    if assigned is None:
+        cents = ivf_fit(emb, nlist, iters, id_col=id_col, vec_col=vec_col)
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+    cent = cluster_centroids(assigned)
+    cs = (
+        assigned.join(F.broadcast(cent), "list_id")
+        .withColumn(
+            "cent_sim",
+            _dot("_emb", "centroid")
+            / F.sqrt(_norm2("_emb") * _norm2("centroid")),
+        )
+        .withColumn("_pri", F.round("cent_sim", 6))
+        .select("list_id", "id", "_emb", "cent_sim", "_pri")
+    )
+    a = cs.select(
+        "list_id",
+        F.col("id").alias("i"),
+        F.col("_emb").alias("ea"),
+        F.col("_pri").alias("pa"),
+    )
+    b = cs.select(
+        "list_id",
+        F.col("id").alias("j"),
+        F.col("_emb").alias("eb"),
+        F.col("_pri").alias("pb"),
+    )
+    dominated = (
+        a.join(b, "list_id")
+        .filter(F.col("i") != F.col("j"))
+        .filter(
+            (F.col("pb") < F.col("pa"))
+            | ((F.col("pb") == F.col("pa")) & (F.col("j") < F.col("i")))
+        )
+        .withColumn(
+            "sim", _dot("ea", "eb") / F.sqrt(_norm2("ea") * _norm2("eb"))
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("i").alias("id"))
+        .distinct()
+    )
+    return cs.join(dominated, "id", "left_anti").select(
+        F.col("id").alias(id_col), "list_id", "cent_sim"
+    )

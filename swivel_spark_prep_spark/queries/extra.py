@@ -2240,3 +2240,65 @@ def x67(spark, sf_dir):
         ).cast("long").alias("n_byte_tok"),
         F.concat_ws(" ", F.slice("tokens", 1, 4)).alias("head"),
     ).orderBy("doc_id")
+
+
+@_declare(
+    "X68_semantic_dedup",
+    # SemDeDup composition (similarity.semantic_dedup): cluster → intra-
+    # cluster cosine near-dups → keep the vector farthest from its
+    # cluster centroid per duplicate neighborhood. For oracle replay the
+    # clustering is the deterministic sign-bucket of the first two
+    # dims (the operator's default IVF assignment is seeded k-means —
+    # not SQL-replayable; its parity with THIS exact survivor rule is
+    # what the oracle pins, and the IVF path shares every line below
+    # the assignment). Centroid = spherical mean (position-wise avg of
+    # unit vectors); priority = (round(cent_sim,6), vec_id).
+    """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END +
+          CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)::BIGINT AS list_id,
+         CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+              THEN 1.0
+              ELSE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         END AS nrm
+  FROM embeddings),
+pos AS (
+  SELECT list_id, r.i AS pos, emb[r.i] / nrm AS val
+  FROM e, UNNEST(range(1, len(emb) + 1)) AS r(i)),
+cent AS (
+  SELECT list_id, pos, AVG(val) AS cv FROM pos GROUP BY list_id, pos),
+centv AS (
+  SELECT list_id, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY list_id),
+cs AS (
+  SELECT e.vec_id, e.emb, e.list_id,
+         list_cosine_similarity(e.emb, c.centroid) AS cent_sim,
+         ROUND(list_cosine_similarity(e.emb, c.centroid), 6) AS pri
+  FROM e JOIN centv c USING (list_id)),
+dom AS (
+  SELECT DISTINCT x.vec_id
+  FROM cs x JOIN cs y ON x.list_id = y.list_id AND x.vec_id <> y.vec_id
+  WHERE (y.pri < x.pri OR (y.pri = x.pri AND y.vec_id < x.vec_id))
+    AND list_cosine_similarity(x.emb, y.emb) >= 0.4)
+SELECT vec_id, list_id, ROUND(cent_sim, 4) AS cent_sim
+FROM cs WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+ORDER BY vec_id;""",
+)
+def x68(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.with_double_embedding(emb).select(
+        F.col("vec_id").alias("id"),
+        "_emb",
+        (
+            F.when(F.element_at("embedding", 1) >= 0, F.lit(2)).otherwise(
+                F.lit(0)
+            )
+            + F.when(F.element_at("embedding", 2) >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("list_id"),
+    )
+    return (
+        similarity.semantic_dedup(emb, threshold=0.4, assigned=assigned)
+        .select("vec_id", "list_id", F.round("cent_sim", 4).alias("cent_sim"))
+        .orderBy("vec_id")
+    )

@@ -506,3 +506,37 @@ def test_incremental_minhash_equals_oneshot_minus_corpus_pairs(spark, sf_dir):
     }
     want = {(a, b) for a, b in oneshot if a % 5 == 0 or b % 5 == 0}
     assert inc == want
+
+
+def test_semantic_dedup_survivor_invariants(spark, sf_dir):
+    """SemDeDup invariants on the DEFAULT (IVF-assigned) path: (1) no
+    two survivors in the same cluster are cosine-near-dups — for every
+    near-dup pair one side dominates, so the dominated side is gone;
+    (2) something is actually removed on the fixture (it has planted
+    near-dup embedding pairs); (3) every cluster retains at least one
+    member (the minimum-priority vector is never dominated)."""
+    import itertools
+
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    total = emb.count()
+    surv = similarity.semantic_dedup(emb, threshold=0.4, nlist=8).collect()
+    assert 0 < len(surv) < total  # removals happened, not everything died
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=float)
+        for r in emb.collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for r in surv:
+        by_cluster.setdefault(r.list_id, []).append(r.vec_id)
+    for members in by_cluster.values():
+        for i, j in itertools.combinations(members, 2):
+            a, b = vecs[i], vecs[j]
+            sim = float(
+                a @ b / (np.linalg.norm(a) * np.linalg.norm(b) or 1.0)
+            )
+            assert sim < 0.4, (i, j, sim)
