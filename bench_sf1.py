@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""sf1-class scale bench for the heavy declared queries (judge round-6
+ask #1): proves whether the ~3-6× sf0.1 wall ratios on sub-300 ms DuckDB
+baselines are fixed-overhead floor artifacts (they should collapse
+toward ≤2× as compute amortizes the floor) or genuine plan deficiencies
+(they would persist or grow).
+
+Dataset: a deterministic 10× replication of the driver-generated sf0.1
+fixtures (seed-42 data, TESTDATA.md) with SHIFTED KEY SPACES — each copy
+i gets disjoint o_orderkey/o_custkey/event_id/user_id/doc_id ranges, so
+window-partition sizes, join fan-outs, and group cardinalities scale the
+way a true sf1 generation would (10× partitions of unchanged size, not
+10×-deeper partitions). Document text gets a per-copy token suffix
+(copy 0 verbatim), keeping each copy's planted near-dup pairs while
+making cross-copy shingle spaces disjoint — Q41's blocking-df profile is
+exactly the sf0.1 profile at 10× volume. Value distributions are
+untouched by construction. Generated once into .scratch/sf1
+(gitignored, ~170 MB) via DuckDB; delete the dir to regenerate.
+
+Protocol mirrors bench.py / BASELINE.md: per-query wall = median of
+RUNS warm runs with full Arrow fetch; {compute_ms, fetch_ms} split via
+the noop sink; DuckDB twins run the SAME declared oracle SQL in this
+process (execute + full fetchall, 32 threads); the 4 calib anchors and
+the contention guard ride along. Output: BENCH_SF1.json + one JSON line.
+
+Usage:  python bench_sf1.py            # generate-if-missing, then bench
+        SPARK_GRAFT_SF1_RUNS=3 python bench_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import _duckdb_calibration  # noqa: E402  (reused via env)
+from bench import _env_snapshot  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch", "sf1")
+COPIES = 10
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
+HEAVY = (
+    "Q04_case_coalesce",
+    "Q13_agg_tpch_q1",
+    "Q19_win_laglead",
+    "Q20_win_frame_running",
+    "Q27_date_funcs",
+    "Q28_math_funcs",
+    "Q41_jaccard_pairs",
+)
+
+
+def generate() -> None:
+    """10× key-shifted replication of the sf0.1 fixtures (orders,
+    lineitem, events, documents — the heavy set's tables)."""
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads={int(CPUS)}")
+    specs = {
+        # table -> (select expression over one copy; r(i) is the copy id)
+        "orders": """
+            SELECT o_orderkey + i*150000 AS o_orderkey,
+                   o_custkey + i*15000  AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM '{src}/orders.parquet', range({n}) r(i)""",
+        "lineitem": """
+            SELECT l_orderkey + i*150000 AS l_orderkey,
+                   l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax,
+                   l_returnflag, l_linestatus, l_shipdate
+            FROM '{src}/lineitem.parquet', range({n}) r(i)""",
+        "events": """
+            SELECT event_id + i*100000 AS event_id, ts,
+                   user_id + i*1500 AS user_id, event_type, value, props
+            FROM '{src}/events.parquet', range({n}) r(i)""",
+        "documents": """
+            SELECT doc_id + i*5000 AS doc_id,
+                   CASE WHEN i = 0 THEN text
+                        ELSE regexp_replace(text, '([a-z0-9]+)',
+                                            '\\1x' || i, 'g') END AS text,
+                   lang, source,
+                   length(CASE WHEN i = 0 THEN text
+                          ELSE regexp_replace(text, '([a-z0-9]+)',
+                                              '\\1x' || i, 'g') END)::BIGINT
+                     AS n_chars
+            FROM '{src}/documents.parquet', range({n}) r(i)""",
+    }
+    for table, sel in specs.items():
+        out = os.path.join(DST, f"{table}.parquet")
+        if os.path.exists(out):
+            continue
+        q = sel.format(src=SRC, n=COPIES)
+        print(f"# generating {table} ...", file=sys.stderr)
+        con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+    con.close()
+
+
+def main() -> None:
+    env_start = _env_snapshot()
+    contended = bool(env_start["procs"]) or bool(
+        env_start["load"] and env_start["load"][0] > max(2.0, 0.25 * int(CPUS))
+    )
+    if contended:
+        print(f"# WARNING: contended at start: {env_start}", file=sys.stderr)
+    generate()
+
+    import duckdb
+
+    from swivel_spark_prep_spark.queries.declared import (
+        DECLARED_ORACLES,
+        DECLARED_QUERIES,
+    )
+    from swivel_spark_prep_spark.session import get_session
+    from swivel_spark_prep_spark.cache import release_persisted
+
+    spark = get_session(
+        "swivel-spark-prep-bench-sf1",
+        master=f"local[{CPUS}]",
+        conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    DECLARED_QUERIES["Q13_agg_tpch_q1"](spark, DST).count()  # JVM warm
+
+    spark_s: dict[str, float] = {}
+    split: dict[str, dict[str, float]] = {}
+    duck_s: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEAVY:
+        fn = DECLARED_QUERIES[name]
+        spark.catalog.clearCache()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            pdf = fn(spark, DST).toArrow().to_pandas(
+                self_destruct=True, split_blocks=True
+            )
+            samples.append(time.perf_counter() - t0)
+        spark_s[name] = round(statistics.median(samples), 3)
+        rows[name] = len(pdf)
+        cs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, DST).write.mode("overwrite").format("noop").save()
+            cs.append(time.perf_counter() - t0)
+        compute_ms = round(min(cs) * 1000, 1)
+        split[name.split("_", 1)[0]] = {
+            "compute_ms": compute_ms,
+            "fetch_ms": round(max(0.0, spark_s[name] * 1000 - compute_ms), 1),
+        }
+        release_persisted()
+        print(f"# spark {name}: {spark_s[name]:.3f}s ({rows[name]} rows)",
+              file=sys.stderr)
+
+    # DuckDB twins — same oracle SQL, same machine, full fetch.
+    con = duckdb.connect()
+    con.execute(f"SET threads={int(CPUS)}")
+    for t in ("orders", "lineitem", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{DST}/{t}.parquet'"
+        )
+    # events.ts is TIMESTAMP_NS in the replicated parquet; the declared
+    # oracles expect the same µs view DuckDB gives the driver fixtures.
+    for name in HEAVY:
+        n_runs = RUNS if name != "Q41_jaccard_pairs" else 1
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            con.execute(DECLARED_ORACLES[name]).fetchall()
+            samples.append(time.perf_counter() - t0)
+        duck_s[name] = round(statistics.median(samples), 3)
+        print(f"# duckdb {name}: {duck_s[name]:.3f}s", file=sys.stderr)
+    con.close()
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = DST  # calib anchors read this? no —
+    # bench._duckdb_calibration reads its module-level SF_DIR (sf0.1):
+    # those anchors stay the cross-round environment reference on purpose.
+    calib = _duckdb_calibration()
+
+    short = lambda n: n.split("_", 1)[0]  # noqa: E731
+    payload = {
+        "metric": "sf1_heavy_set",
+        "unit": "sec",
+        "sf": 1.0,
+        "rows_scale": "10x sf0.1 key-shifted replication",
+        "runs": RUNS,
+        "cpus": int(CPUS),
+        "spark": {short(n): spark_s[n] for n in HEAVY},
+        "duckdb": {short(n): duck_s[n] for n in HEAVY},
+        "ratio": {
+            short(n): round(spark_s[n] / duck_s[n], 2)
+            for n in HEAVY
+            if duck_s.get(n)
+        },
+        "result_rows": {short(n): rows[n] for n in HEAVY},
+        "split": split,
+        "calib_sf01": calib,
+        "env": {"start": env_start, "end": _env_snapshot()},
+        "contended": contended,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(payload, separators=(",", ":")))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
