@@ -2302,3 +2302,57 @@ def x68(spark, sf_dir):
         .select("vec_id", "list_id", F.round("cent_sim", 4).alias("cent_sim"))
         .orderBy("vec_id")
     )
+
+
+@_declare(
+    "X69_lm_perplexity",
+    # CCNet-style LM quality scoring (operators/lm.py): train a stupid-
+    # backoff bigram LM on the even-doc_id half, score EVERY document —
+    # held-out docs exercise the backoff path (unseen bigrams, OOV
+    # floor c(w2):=1). avg_lp = mean ln-likelihood per bigram,
+    # ppl = exp(-avg_lp). Docs with <2 tokens drop out (none in the
+    # fixtures). Rounded to 4 dp: the Spark and DuckDB sums order terms
+    # differently (double accumulation), identical to 1e-10 here.
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tr AS (SELECT t FROM toks WHERE doc_id % 2 = 0),
+uni AS (
+  SELECT u.w, COUNT(*) AS c FROM tr, UNNEST(t) AS u(w) GROUP BY u.w),
+tot AS (SELECT SUM(c) AS n FROM uni),
+trbi AS (
+  SELECT t[r.i] AS w1, t[r.i + 1] AS w2
+  FROM tr, UNNEST(range(1, len(t))) AS r(i)),
+bic AS (SELECT w1, w2, COUNT(*) AS c FROM trbi GROUP BY w1, w2),
+db AS (
+  SELECT doc_id, t[r.i] AS w1, t[r.i + 1] AS w2, COUNT(*) AS k
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  GROUP BY doc_id, w1, w2),
+sc AS (
+  SELECT d.doc_id, d.k,
+         CASE WHEN bc.c IS NOT NULL THEN ln(bc.c::DOUBLE / u1.c)
+              ELSE ln(0.4 * COALESCE(u2.c, 1)::DOUBLE / t.n) END AS lp
+  FROM db d
+  LEFT JOIN bic bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+  LEFT JOIN uni u1 ON u1.w = d.w1
+  LEFT JOIN uni u2 ON u2.w = d.w2
+  CROSS JOIN tot t)
+SELECT doc_id, SUM(k)::BIGINT AS n_bigrams,
+       ROUND(SUM(k * lp) / SUM(k), 4) AS avg_lp,
+       ROUND(exp(-(SUM(k * lp) / SUM(k))), 4) AS ppl
+FROM sc GROUP BY doc_id ORDER BY doc_id;""",
+)
+def x69(spark, sf_dir):
+    from swivel_spark_prep_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, bi, total = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return (
+        lm.score_stupid_backoff(docs, uni, bi, total)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_lp", 4).alias("avg_lp"),
+            F.round("ppl", 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

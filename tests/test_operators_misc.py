@@ -891,3 +891,30 @@ def test_zorder_layout_gives_both_dims_locality(spark, sf_dir, tmp_path):
     # per 10-bit dim at 8 files)
     assert s_span > 0.9 * dom
     assert z_span < s_span / 2, (z_span, s_span, dom)
+
+
+def test_lm_backoff_and_short_docs(spark):
+    """Stupid-backoff bigram LM (operators/lm.py): seen bigrams use the
+    conditional MLE, unseen bigrams the alpha*c(w2)/N backoff, OOV words
+    the c:=1 floor; docs with <2 tokens emit no score row."""
+    import math
+
+    from swivel_spark_prep_spark.operators import lm
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c")], ["doc_id", "text"]
+    )  # uni: a=2 b=2 c=1, N=5; bi: (a,b)=2 (b,a)=1 (b,c)=1
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a zzz"), (4, "x")],
+        ["doc_id", "text"],
+    )
+    uni, bi, total = lm.train_bigram_lm(train)
+    out = {
+        r["doc_id"]: r
+        for r in lm.score_stupid_backoff(score, uni, bi, total).collect()
+    }
+    assert 4 not in out  # single token → no bigrams → absent
+    assert math.isclose(out[1]["avg_lp"], math.log(2 / 2))  # seen (a,b)
+    assert math.isclose(out[2]["avg_lp"], math.log(0.4 * 1 / 5))  # backoff via c(c)=1
+    assert math.isclose(out[3]["avg_lp"], math.log(0.4 * 1 / 5))  # OOV floor
+    assert math.isclose(out[1]["ppl"], math.exp(-out[1]["avg_lp"]))
