@@ -2356,3 +2356,16 @@ def x69(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@_declare("X70_pq_topk", None)  # k-means codebooks — not DuckDB-replayable
+def x70(spark, sf_dir):
+    # Product-quantization ANN (similarity.pq_topk): m=8 subspaces,
+    # 16 codes each (8-byte codes for 64-dim vectors), ADC scan +
+    # exact re-rank of the top 4k candidates. Recall vs the exact
+    # brute-force oracle and ADC-plumbing exactness are property-tested
+    # in tests/test_llm_operators.py.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, query_id=0, k=5, m=8, ksub=16, rerank=4).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )

@@ -540,3 +540,62 @@ def test_semantic_dedup_survivor_invariants(spark, sf_dir):
                 a @ b / (np.linalg.norm(a) * np.linalg.norm(b) or 1.0)
             )
             assert sim < 0.4, (i, j, sim)
+
+
+def test_pq_full_rerank_equals_brute_force(spark, sf_dir):
+    """PQ with k·rerank ≥ corpus size re-ranks every vector exactly —
+    must equal the brute-force top-k bit-for-bit (ADC only prunes; the
+    exact stage decides, so a no-prune run is exact by construction)."""
+    from swivel_spark_prep_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [
+        (r.vec_id, round(r.sim, 10))
+        for r in cosine_topk(emb, query_id=0, k=5).collect()
+    ]
+    full = [
+        (r.vec_id, round(r.sim, 10))
+        for r in pq_topk(emb, query_id=0, k=5, rerank=100).collect()
+    ]
+    assert full == exact
+
+
+def test_pq_encode_matches_numpy(spark, sf_dir):
+    """The Arrow-batched encoder must produce the same codes as a pure
+    driver-side numpy re-computation (pins the UDF plumbing: batch
+    stacking, normalization, argmin tie behavior)."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.similarity import pq_encode, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_fit(emb, m=8, ksub=16)
+    m, _, dsub = cb.shape
+    rows = pq_encode(emb, cb).orderBy("id").limit(20).collect()
+    for r in rows:
+        v = np.asarray(r["_emb"], dtype=float)
+        n = np.linalg.norm(v)
+        u = v / (n if n else 1.0)
+        want = [
+            int(
+                np.argmin(
+                    ((cb[j] - u[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(
+                        axis=1
+                    )
+                )
+            )
+            for j in range(m)
+        ]
+        assert list(r["codes"]) == want, r["id"]
+
+
+def test_pq_recall_with_narrow_rerank(spark, sf_dir):
+    """rerank=4 (20 ADC candidates out of 500) must still recover most
+    of the exact top-5 — the PQ approximation quality bound this fixture
+    supports (8 subspaces × 16 codes on 64-dim unit vectors)."""
+    from swivel_spark_prep_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=5).collect()}
+    approx = {r.vec_id for r in pq_topk(emb, query_id=0, k=5, rerank=4).collect()}
+    assert len(exact & approx) >= 3, f"PQ recall too low: {exact & approx}"
