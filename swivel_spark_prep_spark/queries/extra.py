@@ -2369,3 +2369,26 @@ def x70(spark, sf_dir):
     return similarity.pq_topk(emb, query_id=0, k=5, m=8, ksub=16, rerank=4).select(
         "vec_id", F.round("sim", 4).alias("sim")
     )
+
+
+@_declare(
+    "X71_heavy_hitters",
+    # Exact top-10 frequent words via the Misra-Gries two-pass
+    # (operators/heavyhitters.py): per-partition bounded sketches →
+    # candidate superset → exact recount. The result is certified exact
+    # (k-th count > N/(cap+1) is checked at runtime), so the oracle is
+    # the plain GROUP BY top-k with the same count-desc/word-asc
+    # tie-break. The sketch's pruning + certification-failure paths are
+    # pinned by tests/test_operators_misc.py on synthetic Zipf data.
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+u AS (SELECT w.x AS word, COUNT(*) AS n FROM t, UNNEST(t.t) AS w(x) GROUP BY 1)
+SELECT word, n FROM u ORDER BY n DESC, word LIMIT 10;""",
+)
+def x71(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.heavyhitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return heavy_hitters(words, "word", k=10, capacity=64)

@@ -918,3 +918,44 @@ def test_lm_backoff_and_short_docs(spark):
     assert math.isclose(out[2]["avg_lp"], math.log(0.4 * 1 / 5))  # backoff via c(c)=1
     assert math.isclose(out[3]["avg_lp"], math.log(0.4 * 1 / 5))  # OOV floor
     assert math.isclose(out[1]["ppl"], math.exp(-out[1]["avg_lp"]))
+
+
+def test_heavy_hitters_prunes_and_stays_exact(spark):
+    """Misra-Gries two-pass on synthetic Zipf data with a capacity far
+    below the distinct count: sketches MUST prune (capacity 8, 1000
+    distinct), yet the certified result equals the exact top-k."""
+    from swivel_spark_prep_spark.operators.heavyhitters import heavy_hitters
+
+    # 5 heavy items (counts 800..630, each > N/(cap+1) = 3920/17 ≈ 231)
+    # over a 500-item singleton tail — 505 distinct ≫ capacity 16, so
+    # every partition's sketch must compact.
+    heavy = [800, 700, 650, 640, 630]
+    rows = [(f"h{i}",) for i, c in enumerate(heavy) for _ in range(c)]
+    rows += [(f"t{i:03d}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["w"]).repartition(8)
+    got = [(r["w"], r["n"]) for r in heavy_hitters(df, "w", k=5, capacity=16).collect()]
+    want = [(f"h{i}", c) for i, c in enumerate(heavy)]
+    assert got == want
+
+
+def test_heavy_hitters_uncertifiable_raises(spark):
+    """Near-uniform data at a tiny capacity cannot certify top-k
+    exactness — the operator must refuse rather than return a silently
+    approximate answer."""
+    import pytest as _pytest
+
+    from swivel_spark_prep_spark.operators.heavyhitters import heavy_hitters
+
+    rows = [(f"u{i:03d}",) for i in range(200) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["w"]).repartition(4)
+    with _pytest.raises(ValueError, match="not certifiable|candidates survived"):
+        heavy_hitters(df, "w", k=5, capacity=4)
+
+
+def test_heavy_hitters_fewer_distinct_than_k(spark):
+    """distinct < k with ample capacity: returns all items exactly."""
+    from swivel_spark_prep_spark.operators.heavyhitters import heavy_hitters
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["w"])
+    got = [(r["w"], r["n"]) for r in heavy_hitters(df, "w", k=5, capacity=16).collect()]
+    assert got == [("a", 2), ("b", 1)]
