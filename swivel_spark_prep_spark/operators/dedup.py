@@ -812,3 +812,91 @@ def fuzzy_dedup_clusters(
         F.coalesce("rep", F.col("doc_id")).alias("rep_id"),
         (F.coalesce("rep", F.col("doc_id")) == F.col("doc_id")).alias("is_rep"),
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-substring detection at token-n-gram
+    granularity — the distributed re-expression of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (their
+    suffix-array ExactSubstr; a shared n-gram is exactly a shared
+    n-token substring, so flagging n-grams seen in ≥ ``min_docs`` docs
+    finds every duplicated span of length ≥ n).
+
+    Returns one row per document: ``(id_col, n_tok, dup_positions,
+    covered_tokens, dup_frac)`` where ``covered_tokens`` is the size of
+    the union of the [pos, pos+n-1] intervals of its duplicated n-grams
+    (computed with one lead() per doc partition — interval-union as a
+    window expression, no per-row Python), and ``dup_frac`` the
+    fraction of the document inside some duplicated span — the score a
+    pipeline thresholds to drop or trim boilerplate-heavy documents.
+
+    Plan shape: n-gram generation is a JVM-side transform/posexplode
+    (no UDF); the global duplicate table is one count-distinct
+    aggregate keyed by the n-gram. With ``hash_grams`` (default) the
+    shuffle key is xxhash64(gram) — 8 bytes instead of the n-token
+    string, the difference between shuffling ~1× and ~0.1× the corpus
+    bytes at 100 TB (collisions only ever ADD a false duplicate flag;
+    at 2⁻⁶⁴ per pair they are negligible, and equality with the
+    raw-string path is test-pinned on the fixtures).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("t"),
+    ).select(id_col, "t", F.size("t").alias("n_tok"))
+    grams = toks.select(
+        id_col,
+        "n_tok",
+        F.posexplode(
+            F.when(
+                F.col("n_tok") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1),"
+                    f" i -> concat_ws(' ', slice(t, i, {n})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        "n_tok",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup_pos = grams.join(dup, "g", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    per_doc = (
+        dup_pos.withColumn(
+            "contrib",
+            F.least(F.lit(n), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(n))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("dup_positions"),
+            F.sum("contrib").alias("covered_tokens"),
+        )
+    )
+    return (
+        toks.select(id_col, "n_tok")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tok",
+            F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tok"), 4
+            ).alias("dup_frac"),
+        )
+    )

@@ -2392,3 +2392,39 @@ def x71(spark, sf_dir):
         F.explode(F.split(F.col("text"), " ")).alias("word")
     )
     return heavy_hitters(words, "word", k=10, capacity=64)
+
+
+@_declare(
+    "X72_dup_ngram_spans",
+    # Lee-et-al-style duplicated-substring detection at 4-gram
+    # granularity (dedup.duplicate_ngram_spans): 4-grams seen in >= 2
+    # distinct docs mark spans; covered_tokens = union of [pos, pos+3]
+    # intervals via the lead()-difference trick. The operator defaults
+    # to shuffling xxhash64 fingerprints; the oracle uses raw grams —
+    # hash-path == raw-path equality is pinned in
+    # tests/test_llm_operators.py.
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+g AS (
+  SELECT doc_id, n_tok, r.i AS pos, array_to_string(t[r.i:r.i+3], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 4 + 2)) AS r(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+dp AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+c AS (
+  SELECT doc_id, pos,
+         LEAST(4, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 4)) AS contrib
+  FROM dp),
+pd AS (
+  SELECT doc_id, COUNT(*) AS dup_positions, SUM(contrib) AS covered_tokens
+  FROM c GROUP BY doc_id)
+SELECT t.doc_id, t.n_tok::BIGINT AS n_tok,
+       COALESCE(pd.dup_positions, 0)::BIGINT AS dup_positions,
+       COALESCE(pd.covered_tokens, 0)::BIGINT AS covered_tokens,
+       ROUND(COALESCE(pd.covered_tokens, 0)::DOUBLE / t.n_tok, 4) AS dup_frac
+FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id
+ORDER BY t.doc_id;""",
+)
+def x72(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_spans(docs, n=4).orderBy("doc_id")

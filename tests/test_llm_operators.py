@@ -599,3 +599,39 @@ def test_pq_recall_with_narrow_rerank(spark, sf_dir):
     exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=5).collect()}
     approx = {r.vec_id for r in pq_topk(emb, query_id=0, k=5, rerank=4).collect()}
     assert len(exact & approx) >= 3, f"PQ recall too low: {exact & approx}"
+
+
+def test_dup_ngram_spans_hash_equals_raw(spark, sf_dir):
+    """The scale path (xxhash64 fingerprint shuffle key) must produce
+    the same span report as the raw-gram path on real data — collisions
+    would only ever ADD flags, and none occur on the fixtures."""
+    from swivel_spark_prep_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = duplicate_ngram_spans(docs, n=4, hash_grams=True).orderBy("doc_id").collect()
+    b = duplicate_ngram_spans(docs, n=4, hash_grams=False).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_dup_ngram_spans_interval_union(spark):
+    """Hand-built corpus pins the interval-union arithmetic: overlapping
+    duplicated 3-gram positions must not double-count covered tokens,
+    and a doc shorter than n emits zero positions."""
+    from swivel_spark_prep_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),   # "a b c d e" dup'd with doc 2
+            (2, "q a b c d e r s"),
+            (3, "u v"),               # shorter than n=3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicate_ngram_spans(docs, n=3).collect()}
+    # doc 1: dup 3-grams at pos 1,2,3 ("a b c","b c d","c d e") →
+    # union [1,5] = 5 tokens of 8
+    assert out[1]["dup_positions"] == 3
+    assert out[1]["covered_tokens"] == 5
+    assert abs(out[1]["dup_frac"] - round(5 / 8, 4)) < 1e-9
+    assert out[2]["covered_tokens"] == 5
+    assert out[3]["dup_positions"] == 0 and out[3]["dup_frac"] == 0.0
