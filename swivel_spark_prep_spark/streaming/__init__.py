@@ -275,3 +275,91 @@ def stream_upsert_snapshot(
         )
         .start()
     )
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization as a CUSTOM stateful operator —
+    applyInPandasWithState with an EVENT-TIME TIMEOUT. The built-in
+    ``session_window`` aggregate (Q38 / `session_agg`) can only emit
+    count-style aggregates when the watermark closes the window; a
+    custom operator owns the session record (here start/end/count, in
+    production e.g. first/last event ids, funnels, device merges) and
+    decides emission itself.
+
+    Per key the state is the one OPEN session ``(start_ms, end_ms, n)``.
+    Each batch merges its events (sorted by ts) into the state: a gap
+    > ``gap_seconds`` closes the running session (emitted immediately)
+    and opens a new one. The surviving open session registers an
+    event-time timeout at ``end + gap``; when the watermark passes it,
+    the timeout fires and the session closes with no further input —
+    exactly session_window's close rule, so emitted rows match
+    `session_agg` (s_end = last event + gap; equality is test-pinned).
+    A timeout already behind the watermark (possible when a batch's own
+    max ts advanced the watermark past a stale key) emits immediately.
+
+    State per key is 3 longs — bounded by live (not total) key count;
+    the session-close output is append-only, safe for any sink. The
+    input stream must carry a watermark on ``ts_col``
+    (`events_file_stream` sets one).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _sess(key, pdfs, state):
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            out.append((key[0], s, e, n))
+            state.remove()
+        else:
+            # state in µs epoch — ms would truncate sub-ms event times
+            # (the timeout API itself is ms; round UP so the timeout
+            # never fires a hair before end+gap)
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 10**3
+                )
+            ts_us.sort()
+            s, e, n = state.get if state.exists else (None, None, 0)
+            for t in ts_us:
+                if s is None:
+                    s, e, n = t, t, 1
+                elif t - e > gap_us:
+                    out.append((key[0], s, e, n))
+                    s, e, n = t, t, 1
+                else:
+                    e, n = t, n + 1
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            if e + gap_us <= wm_us:
+                # already closeable — the watermark outran this key
+                out.append((key[0], s, e, n))
+                state.remove()
+            else:
+                state.update((s, e, n))
+                state.setTimeoutTimestamp(-(-(e + gap_us) // 1000))
+        yield pd.DataFrame(
+            {
+                key_col: [r[0] for r in out],
+                "s_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                "s_end": pd.to_datetime([r[2] + gap_us for r in out], unit="us"),
+                "cnt": [r[3] for r in out],
+            }
+        )
+
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        _sess,
+        outputStructType=(
+            f"{key_col} long, s_start timestamp, s_end timestamp, cnt long"
+        ),
+        stateStructType="s long, e long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -9,6 +9,9 @@ per parquet drop) and asserts:
 
 from __future__ import annotations
 
+import datetime
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -640,5 +643,62 @@ def test_stream_static_broadcast_enrichment(spark, events, replay_dir, sf_dir):
             .collect()
         }
         assert got == want and got
+    finally:
+        query.stop()
+
+
+def test_stream_sessionize_matches_batch_session_window(
+    spark, events, replay_dir, tmp_path
+):
+    """Custom stateful sessionization (applyInPandasWithState +
+    EventTimeTimeout): replaying the time-ordered drops and then two
+    far-future sentinel files (watermark flush), the closed sessions
+    must equal the batch session_window result — same 30-min gap, same
+    s_end = last event + gap close rule."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.streaming import (
+        events_file_stream,
+        run_stream,
+        session_agg,
+        stream_sessionize,
+    )
+
+    replay = tmp_path / "sess_replay"
+    replay.mkdir()
+    for f in sorted(glob.glob(f"{replay_dir}/*.parquet")):
+        shutil.copy(f, str(replay / os.path.basename(f)))
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((10, 11)):
+        sentinel = spark.createDataFrame(
+            [(10**9 + i, max_ts + datetime.timedelta(days=days), 999999,
+              "view", 0.0)],
+            schema=events.schema,
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"sent{i}")
+        )
+        part = glob.glob(str(tmp_path / f"sent{i}" / "part-*.parquet"))[0]
+        shutil.copy(part, str(replay / f"9{i}.parquet"))
+    _stamp_mtimes(str(replay))
+
+    stream = events_file_stream(
+        spark, str(replay), events.schema, watermark="1 second"
+    )
+    result, query = run_stream(
+        stream_sessionize(stream, gap_seconds=1800), "append"
+    )
+    try:
+        got = sorted(
+            (r.user_id, r.s_start, r.s_end, r.cnt)
+            for r in result.filter(F.col("user_id") != 999999).collect()
+        )
+        want = sorted(
+            (r.user_id, r.s_start, r.s_end, r.cnt)
+            for r in session_agg(events, "30 minutes").collect()
+        )
+        assert len(got) == len(want), (len(got), len(want))
+        assert got == want
     finally:
         query.stop()
