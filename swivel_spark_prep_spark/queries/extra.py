@@ -2428,3 +2428,35 @@ ORDER BY t.doc_id;""",
 def x72(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicate_ngram_spans(docs, n=4).orderBy("doc_id")
+
+
+@_declare(
+    "X73_bloom_semi_join",
+    # Bloom-runtime-filtered semi join (operators/bloom.py): lineitem
+    # rows whose order is a high-value order (o_totalprice > 150000).
+    # The Bloom pre-filter only prunes — the final left_semi decides —
+    # so the oracle is the plain IN-subquery; no-false-negative and
+    # real-pruning behavior are property-tested.
+    """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS rev
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+GROUP BY l_returnflag ORDER BY l_returnflag;""",
+)
+def x73(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, hi, "l_orderkey", n_bits=1 << 18)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .orderBy("l_returnflag")
+    )

