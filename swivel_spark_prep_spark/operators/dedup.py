@@ -900,3 +900,104 @@ def duplicate_ngram_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every token k-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum (leftmost on ties).
+    Guarantee: any match of length ≥ w + k - 1 tokens shares ≥ 1
+    fingerprint, while only ~2/(w+1) of positions are kept — a
+    position-robust sub-linear sketch, the third near-dup family next
+    to MinHash (set-similarity) and SimHash (vector-similarity).
+
+    Everything is JVM expressions: the k-gram hash is md5 (a hex string;
+    lexicographic min is the deterministic total order, which also makes
+    the DuckDB oracle exact), the window min runs per doc-partition over
+    ``ROWS [0, w-1] FOLLOWING``, ties resolve leftmost by appending the
+    zero-padded position to the sort key. Short docs (fewer than w
+    k-grams) keep their single global minimum. Returns ``(id_col,
+    fp_pos, fp_hash)`` — one row per selected fingerprint.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("t")
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k} + 1),"
+                    f" i -> concat_ws(' ', slice(t, i, {k})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat(
+            F.md5("gram"), F.lpad(F.col("pos0") + 1, 6, "0")
+        ).alias("sel_key"),
+    )
+    part = Window.partitionBy(id_col)
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("n_grams", F.count("*").over(part))
+        .withColumn("sel", F.min("sel_key").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w + 1, F.lit(1)))
+        .select(id_col, "sel")
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        F.substring("sel", 33, 6).cast("int").alias("fp_pos"),
+        F.substring("sel", 1, 32).alias("fp_hash"),
+    )
+
+
+def winnow_near_dups(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints: docs are
+    candidates when they share ≥ ``min_shared`` distinct fingerprint
+    HASHES (content, position-independent). Fingerprints appearing in
+    more than ``max_doc_freq`` docs are dropped first — the standard
+    stop-fingerprint guard; without it one boilerplate k-gram joins
+    every pair of a million docs (the same quadratic blowup LSH banding
+    avoids, solved the same way: cap the bucket). Returns ``(i, j,
+    n_shared)`` with i < j.
+    """
+    fp = (
+        winnow_fingerprints(docs, k, w, id_col, text_col)
+        .select(F.col(id_col).alias("d"), "fp_hash")
+        .distinct()
+    )
+    df_freq = fp.groupBy("fp_hash").agg(F.count("*").alias("nd"))
+    rare = fp.join(
+        df_freq.filter(F.col("nd") <= max_doc_freq).select("fp_hash"),
+        "fp_hash",
+        "left_semi",
+    )
+    a = rare.select(F.col("d").alias("i"), "fp_hash")
+    b = rare.select(F.col("d").alias("j"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -2460,3 +2460,39 @@ def x73(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@_declare(
+    "X74_winnow_near_dups",
+    # Winnowing (MOSS) fingerprint near-dups, k=4 w=4 (dedup.winnow_
+    # fingerprints / winnow_near_dups): md5 hex is the hash (its
+    # lexicographic min is a total order both engines share), leftmost
+    # tie-break via zero-padded position suffix, stop-fingerprints
+    # dropped at doc-freq > 20, pairs sharing >= 2 distinct fingerprint
+    # hashes. Finds the fixture's planted near-dup pairs — the same 25
+    # X06 (MinHash) recovers, via a position-robust local algorithm.
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, r.i AS pos,
+         md5(array_to_string(t[r.i:r.i+3], ' ')) || lpad(r.i::VARCHAR, 6, '0') AS sel_key
+  FROM toks, UNNEST(range(1, len(t) - 4 + 2)) AS r(i)),
+s AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+         MIN(sel_key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM g),
+fp AS (
+  SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp_hash
+  FROM s WHERE pos <= GREATEST(n_grams - 4 + 1, 1)),
+freq AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 20)
+SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*)::BIGINT AS n_shared
+FROM fp a JOIN freq USING (fp_hash) JOIN fp b USING (fp_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY i, j;""",
+)
+def x74(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_near_dups(
+        docs, k=4, w=4, min_shared=2, max_doc_freq=20
+    ).orderBy("i", "j")

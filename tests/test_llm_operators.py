@@ -635,3 +635,29 @@ def test_dup_ngram_spans_interval_union(spark):
     assert abs(out[1]["dup_frac"] - round(5 / 8, 4)) < 1e-9
     assert out[2]["covered_tokens"] == 5
     assert out[3]["dup_positions"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing theorem: two docs sharing a token run of length
+    >= w + k - 1 MUST share at least one fingerprint hash (here k=4,
+    w=4 → any shared 7-token run). Density: ~2/(w+1) of positions are
+    selected, far below 1 (the sketch actually compresses)."""
+    from swivel_spark_prep_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six seven eight"),
+            (2, f"red green blue cyan {shared} pink black white"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(docs, k=4, w=4)
+    rows = fp.collect()
+    h1 = {r.fp_hash for r in rows if r.doc_id == 1}
+    h2 = {r.fp_hash for r in rows if r.doc_id == 2}
+    assert h1 & h2, "shared 7-token run produced no shared fingerprint"
+
+    n_grams_1 = 15 - 4 + 1  # doc 1 has 15 tokens → 12 k-grams
+    n_sel_1 = sum(1 for r in rows if r.doc_id == 1)
+    assert n_sel_1 < n_grams_1  # strictly compresses
