@@ -1,0 +1,125 @@
+"""Content-defined chunking (CDC) + chunk-level dedup — the
+storage-dedup primitive (Muthitacharoen et al., "A Low-bandwidth Network
+File System"; rsync/restic/borg all chunk this way): cut a document
+where a rolling hash of the last ``window`` tokens hits a divisor
+condition, so boundaries depend on CONTENT, not position. Insert a
+paragraph at the front and every later boundary re-aligns — shared
+content keeps producing identical chunks (property-tested), which
+fixed-size chunking cannot do.
+
+Token-level here (matching the rest of the text pipeline): the hash of
+a window ending at token i is the Horner polynomial of per-token hashes
+(first 8 md5 hex digits as an int — an arithmetic both Spark's
+``conv(hex,16,10)`` and DuckDB's ``('0x'||hex)::BIGINT`` evaluate
+identically, which is what makes the oracle exact) mod M = 2³¹−1;
+a cut lands after token i when that value ≡ 0 mod ``divisor`` (mean
+chunk length ≈ divisor tokens). The final token never cuts (the forced
+end boundary covers it).
+
+Everything is a chain of higher-order JVM expressions per row —
+transform / filter / aggregate / slice — no shuffle at all until the
+cross-doc chunk-hash aggregate, and that shuffles 8-byte-ish hashes
+with map-side combine. No Python in any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_B = 257
+_M = 2147483647  # 2^31 - 1
+
+
+def cdc_chunk(
+    docs: DataFrame,
+    window: int = 3,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode documents into content-defined chunks: ``(id_col,
+    chunk_idx, chunk_text, chunk_hash)``. Docs shorter than ``window``
+    tokens form a single chunk."""
+    w, d = window, divisor
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    hashed = toks.withColumn(
+        "hs",
+        F.expr(
+            "transform(t, x -> cast(conv(substr(md5(x), 1, 8), 16, 10)"
+            " as bigint))"
+        ),
+    )
+    # cut after token i (window..n-1) when the windowed Horner hash
+    # divides; Horner with a step-mod is congruent to the full
+    # polynomial mod M, and each step stays < 2^40 (no overflow)
+    cuts = hashed.withColumn(
+        "cuts",
+        F.when(
+            F.col("n") > w,
+            F.expr(
+                f"filter(sequence({w}, n - 1),"
+                f" i -> aggregate(slice(hs, i - {w} + 1, {w}),"
+                f" cast(0 as bigint),"
+                f" (acc, h) -> (acc * {_B} + h) % {_M}) % {d} = 0)"
+            ),
+        ).otherwise(F.expr("cast(array() as array<bigint>)")),
+    )
+    chunks = cuts.withColumn(
+        "bounds",
+        F.expr("concat(array(cast(0 as bigint)), cuts, array(cast(n as bigint)))"),
+    ).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(bounds) - 1),"
+                " j -> concat_ws(' ', slice(t,"
+                " cast(element_at(bounds, j) + 1 as int),"
+                " cast(element_at(bounds, j + 1) - element_at(bounds, j)"
+                " as int))))"
+            )
+        ).alias("idx0", "chunk_text"),
+    )
+    return chunks.select(
+        id_col,
+        (F.col("idx0") + 1).alias("chunk_idx"),
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    window: int = 3,
+    divisor: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document chunk-dedup report: ``(id_col, n_chunks, dup_chunks,
+    dup_frac)`` where a chunk instance is duplicated when its hash
+    occurs in ≥ ``min_docs`` distinct documents — the storage-dedup
+    ratio a CDC-chunked corpus store would achieve on this data."""
+    ch = cdc_chunk(docs, window, divisor, id_col, text_col)
+    dup = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk_hash")
+    )
+    flagged = ch.join(dup, "chunk_hash", "left_semi")
+    per = flagged.groupBy(id_col).agg(F.count("*").alias("dup_chunks"))
+    totals = ch.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        totals.join(per, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("dup_chunks", F.lit(0)).alias("dup_chunks"),
+            F.round(
+                F.coalesce("dup_chunks", F.lit(0)) / F.col("n_chunks"), 4
+            ).alias("dup_frac"),
+        )
+    )

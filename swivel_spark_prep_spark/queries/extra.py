@@ -2496,3 +2496,47 @@ def x74(spark, sf_dir):
     return dedup.winnow_near_dups(
         docs, k=4, w=4, min_shared=2, max_doc_freq=20
     ).orderBy("i", "j")
+
+
+@_declare(
+    "X75_cdc_chunk_dedup",
+    # Content-defined chunking + chunk-level dedup report (operators/
+    # chunking.py): Rabin-style rolling boundary (window 3, divisor 8,
+    # Horner polynomial of md5-prefix token hashes mod 2^31-1), chunk
+    # hash = md5(chunk text), a chunk instance counts as duplicated
+    # when its hash occurs in >= 2 docs. The hex->int arithmetic is
+    # engine-shared (Spark conv(,16,10) == DuckDB ('0x'||h)::BIGINT);
+    # boundary-realignment (the CDC property) is unit-pinned.
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents),
+h AS (
+  SELECT doc_id, t, n,
+         list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+  FROM toks),
+cuts AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n > 3 THEN
+           list_filter(range(3, n),
+             i -> (hs[i-2] * 66049 + hs[i-1] * 257 + hs[i]) % 2147483647 % 8 = 0)
+         ELSE [] END AS cuts
+  FROM h),
+b AS (
+  SELECT doc_id, t, list_concat(list_concat([0], cuts), [n]) AS bounds FROM cuts),
+ch AS (
+  SELECT doc_id, r.j AS chunk_idx,
+         md5(array_to_string(t[bounds[r.j] + 1: bounds[r.j + 1]], ' ')) AS chunk_hash
+  FROM b, UNNEST(range(1, len(bounds))) AS r(j)),
+dup AS (SELECT chunk_hash FROM ch GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2),
+per AS (SELECT doc_id, COUNT(*) AS dup_chunks FROM ch JOIN dup USING (chunk_hash) GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks::BIGINT AS n_chunks,
+       COALESCE(p.dup_chunks, 0)::BIGINT AS dup_chunks,
+       ROUND(COALESCE(p.dup_chunks, 0)::DOUBLE / t.n_chunks, 4) AS dup_frac
+FROM tot t LEFT JOIN per p USING (doc_id) ORDER BY t.doc_id;""",
+)
+def x75(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.chunking import cdc_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_dedup_stats(docs, window=3, divisor=8).orderBy("doc_id")

@@ -661,3 +661,40 @@ def test_winnowing_guarantee_and_density(spark):
     n_grams_1 = 15 - 4 + 1  # doc 1 has 15 tokens → 12 k-grams
     n_sel_1 = sum(1 for r in rows if r.doc_id == 1)
     assert n_sel_1 < n_grams_1  # strictly compresses
+
+
+def test_cdc_boundaries_realign_after_insertion(spark):
+    """The content-defined property: prepending tokens to a document
+    shifts every position, yet the chunks over the shared suffix
+    re-align — most chunk hashes stay identical (fixed-size chunking
+    would share none). Only the chunk containing the splice point may
+    differ."""
+    from swivel_spark_prep_spark.operators.chunking import cdc_chunk
+
+    base = " ".join(f"w{(i * 7) % 53}x{i % 11}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix tokens go here " + base)],
+        ["doc_id", "text"],
+    )
+    ch = cdc_chunk(docs, window=3, divisor=8).collect()
+    h1 = [r.chunk_hash for r in ch if r.doc_id == 1]
+    h2 = {r.chunk_hash for r in ch if r.doc_id == 2}
+    shared = sum(1 for h in h1 if h in h2)
+    # all but the first boundary-straddling chunk(s) must re-align
+    assert shared >= len(h1) - 2, (shared, len(h1))
+    assert len(h1) > 5  # the doc actually chunked
+
+
+def test_cdc_chunks_reconstruct_document(spark):
+    """Chunk texts concatenated in chunk_idx order must reproduce the
+    document exactly — no token lost or duplicated at boundaries."""
+    from swivel_spark_prep_spark.operators.chunking import cdc_chunk
+
+    rows = [(1, "a b"), (2, " ".join(f"t{i % 17}q{i % 5}" for i in range(64)))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ch = cdc_chunk(docs, window=3, divisor=4).collect()
+    for doc_id, text in rows:
+        parts = sorted(
+            ((r.chunk_idx, r.chunk_text) for r in ch if r.doc_id == doc_id)
+        )
+        assert " ".join(p for _, p in parts) == text
