@@ -803,3 +803,54 @@ def pq_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "sim")
     )
+
+
+# --- distributed k-means ----------------------------------------------------
+
+
+def kmeans_fit_distributed(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Full-corpus spherical k-means — the DISTRIBUTED twin of
+    :func:`ivf_fit` (which Lloyd-iterates a bounded driver-side sample).
+    Here every iteration touches the whole corpus: assignment is the
+    Arrow-batched argmax against broadcast centroids (``ivf_assign``),
+    the update is the distributed spherical mean (``cluster_centroids``
+    — posexplode + partial-aggregated avg), and the only driver
+    materialization per iteration is the k×dim centroid table itself.
+    Use when the corpus distribution drifts from any sample — at 100 TB
+    each iteration is one scan + one (k·dim)-row shuffle, the textbook
+    Spark k-means shape.
+
+    Same deterministic init as ivf_fit (first k rows in xxhash64-of-id
+    order), same assignment and update math — on a corpus the sample
+    covers entirely, the two converge to the same centroids
+    (property-tested to 1e-9). Returns the (k, dim) numpy array.
+    """
+    init_rows = (
+        with_double_embedding(emb, vec_col)
+        .select(F.col(id_col).alias("id"), "_emb")
+        .orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"need ≥ {k} vectors to fit {k} clusters")
+    cents = np.vstack([np.asarray(r["_emb"]) for r in init_rows])
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+    cents = cents / norms[:, None]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        rows = cluster_centroids(assigned).collect()
+        for r in rows:
+            c = np.asarray(r["centroid"], dtype=float)
+            n = np.linalg.norm(c)
+            if n > 0:
+                cents[r["list_id"]] = c / n
+        # clusters that lost every member keep their previous centroid
+    return cents

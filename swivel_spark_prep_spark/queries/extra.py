@@ -2540,3 +2540,36 @@ def x75(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_dedup_stats(docs, window=3, divisor=8).orderBy("doc_id")
+
+
+@_declare("X76_kmeans_clusters", None)  # k-means — not DuckDB-replayable
+def x76(spark, sf_dir):
+    # Distributed full-corpus spherical k-means (similarity.kmeans_fit_
+    # distributed): per-cluster membership count and mean cosine to the
+    # centroid. Equality-with-driver-kmeans and objective-improvement
+    # are property-tested in tests/test_llm_operators.py.
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_fit_distributed(emb, k=8, iters=3)
+    assigned = sim.ivf_assign(emb, cents)
+    qc = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    return (
+        assigned.withColumn("c", F.element_at(qc, F.col("list_id").cast("int") + 1))
+        .withColumn(
+            "sim",
+            F.aggregate(
+                F.zip_with("_emb", "c", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.sqrt(
+                F.aggregate("_emb", F.lit(0.0), lambda a, v: a + v * v)
+            ),
+        )
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_members"), F.round(F.avg("sim"), 4).alias("avg_sim"))
+        .orderBy("list_id")
+    )

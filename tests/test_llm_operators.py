@@ -698,3 +698,49 @@ def test_cdc_chunks_reconstruct_document(spark):
             ((r.chunk_idx, r.chunk_text) for r in ch if r.doc_id == doc_id)
         )
         assert " ".join(p for _, p in parts) == text
+
+
+def test_kmeans_distributed_equals_driver_on_full_sample(spark, sf_dir):
+    """When ivf_fit's sample covers the whole corpus, the distributed
+    Lloyd loop (Arrow-batched assignment + distributed spherical mean)
+    must converge to the same centroids as the driver-side numpy loop —
+    same init, same math, different execution."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.similarity import (
+        ivf_fit,
+        kmeans_fit_distributed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    driver = ivf_fit(emb, nlist=8, iters=3, sample_size=100000)
+    dist = kmeans_fit_distributed(emb, k=8, iters=3)
+    assert np.allclose(driver, dist, atol=1e-9), np.abs(driver - dist).max()
+
+
+def test_kmeans_distributed_improves_objective(spark, sf_dir):
+    """Lloyd iterations must not worsen the spherical k-means objective
+    (mean cosine of each vector to its assigned centroid)."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit_distributed,
+        with_double_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def objective(cents):
+        rows = ivf_assign(emb, cents).collect()
+        tot = 0.0
+        for r in rows:
+            v = np.asarray(r["_emb"], dtype=float)
+            n = np.linalg.norm(v)
+            u = v / (n if n else 1.0)
+            tot += float(u @ cents[r["list_id"]])
+        return tot / len(rows)
+
+    o0 = objective(kmeans_fit_distributed(emb, k=8, iters=0))
+    o3 = objective(kmeans_fit_distributed(emb, k=8, iters=3))
+    assert o3 >= o0 - 1e-12, (o0, o3)
