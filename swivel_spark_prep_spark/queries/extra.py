@@ -2573,3 +2573,33 @@ def x76(spark, sf_dir):
         .agg(F.count("*").alias("n_members"), F.round(F.avg("sim"), 4).alias("avg_sim"))
         .orderBy("list_id")
     )
+
+
+@_declare(
+    "X77_avro_roundtrip",
+    # Avro sink + source round-trip (sinks.write_avro / sources.read_
+    # avro — the pure-Python Avro 1.11 container implementation, deflate
+    # codec): write the orders slice as .avro part files, read them back
+    # distributedly (binaryFile + spec-kernel parse, sync-verified),
+    # aggregate. Kernel golden-bytes + hypothesis round-trip +
+    # corruption-detection tests live in tests/test_kernel_properties.py.
+    """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice),2) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;""",
+)
+def x77(spark, sf_dir):
+    from swivel_spark_prep_spark.sinks import write_avro
+    from swivel_spark_prep_spark.sources import read_avro
+
+    path = _io_dir(sf_dir, "orders_avro")
+    write_avro(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        path,
+    )
+    return (
+        read_avro(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )

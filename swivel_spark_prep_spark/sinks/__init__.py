@@ -94,3 +94,118 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_avro(
+    df: DataFrame, path: str, codec: str = "deflate", overwrite: bool = True
+) -> int:
+    """Distributed Avro sink: one ``part-NNNNN.avro`` container file per
+    partition, written executor-side through the pure-Python spec kernel
+    (sinks/avro.py — no avro package). Streaming and memory-bounded:
+    the header goes out on the first Arrow batch and every batch becomes
+    one deflate block, so a partition of any size writes in O(batch)
+    memory. Returns the total row count (the only thing collected).
+
+    Encoders run row-at-a-time inside the partition writer — the same
+    I/O-boundary tradeoff as the TFRecord sink (serialization IS the
+    work here; there is no JVM avro writer to hand off to without the
+    spark-avro package)."""
+    import os
+    import zlib
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from swivel_spark_prep_spark.sinks import avro as av
+
+    if overwrite:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+    avsc = av.avro_schema_for(schema)
+    ftypes = av.field_types_of(avsc)
+    import json as _json
+
+    meta_schema = _json.dumps(avsc).encode()
+
+    type_names = [
+        (f.dataType.typeName(), getattr(f.dataType, "elementType", None))
+        for f in schema.fields
+    ]
+
+    def _conv(tn, v):
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        if tn in ("long", "integer", "short", "byte"):
+            return int(v)
+        if tn in ("double", "float"):
+            return float(v)
+        if tn == "string":
+            return str(v)
+        if tn == "boolean":
+            return bool(v)
+        if tn == "binary":
+            return bytes(v)
+        if tn == "date":
+            if v is pd.NaT:
+                return None
+            import datetime as _dt
+
+            d = v.date() if isinstance(v, pd.Timestamp) else v
+            return (d - _dt.date(1970, 1, 1)).days
+        if tn in ("timestamp", "timestamp_ntz"):
+            if v is pd.NaT:
+                return None
+            return int(pd.Timestamp(v).value // 1000)  # ns → µs
+        if tn == "array":
+            return None if v is None else list(v)
+        raise ValueError(f"unsupported type {tn}")  # pragma: no cover
+
+    def _write(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        fpath = os.path.join(path, f"part-{pid:05d}.avro")
+        sync = os.urandom(16)
+        n = 0
+        f = None
+        for pdf in batches:
+            if f is None:
+                f = open(fpath, "wb")
+                f.write(av.MAGIC)
+                f.write(av.zigzag_encode(2))
+                for k, v in (
+                    (b"avro.schema", meta_schema),
+                    (b"avro.codec", codec.encode()),
+                ):
+                    f.write(av.zigzag_encode(len(k)))
+                    f.write(k)
+                    f.write(av.zigzag_encode(len(v)))
+                    f.write(v)
+                f.write(av.zigzag_encode(0))
+                f.write(sync)
+            recs = []
+            cols = [pdf[c] for c in pdf.columns]
+            for row in zip(*cols):
+                vals = [
+                    _conv(type_names[i][0], row[i]) for i in range(len(row))
+                ]
+                recs.append(av.encode_record(ftypes, vals))
+            data = b"".join(recs)
+            if codec == "deflate":
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                data = co.compress(data) + co.flush()
+            f.write(av.zigzag_encode(len(recs)))
+            f.write(av.zigzag_encode(len(data)))
+            f.write(data)
+            f.write(sync)
+            n += len(recs)
+        if f is not None:
+            f.close()
+        yield pd.DataFrame({"n": [n]})
+
+    import pyspark.sql.functions as _F
+
+    summary = df.mapInPandas(_write, "n long").agg(_F.sum("n")).collect()
+    return int(summary[0][0] or 0)

@@ -98,3 +98,86 @@ def read_tfrecord_records(spark: SparkSession, path: str) -> DataFrame:
     return bf.mapInPandas(
         _parse, schema="file string, record_idx long, payload binary"
     )
+
+
+def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Distributed Avro source — the exact inverse of
+    ``sinks.write_avro``: binaryFile (one task per container file) +
+    executor-side spec-kernel parse (sinks/avro.py) with per-block sync
+    verification; logical types (date, timestamp-micros) come back as
+    real date/timestamp columns.
+
+    ``schema`` (Spark DDL) skips the driver-side peek; without it the
+    lexicographically-first part file's header is read locally to learn
+    the schema (a driver-mounted path, same contract as the CLI inputs —
+    pass ``schema`` for object-store paths). Every file's embedded
+    schema is still validated executor-side, so a mixed-schema directory
+    fails loudly instead of misdecoding."""
+    import glob as _glob
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from swivel_spark_prep_spark.sinks import avro as av
+
+    configure_runtime(spark)
+    if schema is None:
+        parts = sorted(_glob.glob(f"{path}/part-*.avro")) or sorted(
+            _glob.glob(path)
+        )
+        if not parts:
+            raise FileNotFoundError(f"no avro files under {path}")
+        with open(parts[0], "rb") as fh:
+            head = fh.read(1 << 20)
+        avsc_ref, _ = None, None
+        avsc_ref = av.read_container_header(head)
+        schema = av.spark_schema_for(avsc_ref)
+        expected = _json.dumps(avsc_ref, sort_keys=True)
+    else:
+        expected = None
+
+    from pyspark.sql.types import StructType
+
+    ddl_schema = StructType.fromDDL(schema)
+    tns = [
+        (f.name, f.dataType.typeName()) for f in ddl_schema.fields
+    ]
+
+    bf = spark.read.format("binaryFile").load(path).select("content")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                avsc, rows = av.read_container(bytes(content))
+                if expected is not None and _json.dumps(
+                    avsc, sort_keys=True
+                ) != expected:
+                    raise ValueError(
+                        "avro file schema differs from directory schema"
+                    )
+                cols = {}
+                for i, (name, tn) in enumerate(tns):
+                    vals = [r[i] for r in rows]
+                    if tn in ("timestamp", "timestamp_ntz"):
+                        cols[name] = pd.to_datetime(
+                            pd.Series(vals, dtype="object"), unit="us"
+                        )
+                    elif tn == "date":
+                        cols[name] = pd.Series(
+                            [
+                                None
+                                if v is None
+                                else _dt.date(1970, 1, 1)
+                                + _dt.timedelta(days=v)
+                                for v in vals
+                            ],
+                            dtype="object",
+                        )
+                    else:
+                        cols[name] = pd.Series(vals, dtype="object")
+                yield pd.DataFrame(cols, columns=[n for n, _ in tns])
+
+    return bf.mapInPandas(_parse, ddl_schema)

@@ -143,3 +143,84 @@ def test_byte_complete_roundtrip_any_merges(text, a, b):
     for p in re.findall(_PIECE_RE, text.lower()):
         toks.extend(encode_word(p, merges, byte_complete=True))
     assert detokenize(toks) == text.lower()
+
+
+# --- avro spec kernel -------------------------------------------------------
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_avro_zigzag_roundtrip(n):
+    from swivel_spark_prep_spark.sinks import avro as av
+
+    enc = av.zigzag_encode(n)
+    dec, pos = av.zigzag_decode(memoryview(enc), 0)
+    assert dec == n and pos == len(enc)
+
+
+def test_avro_zigzag_golden_bytes():
+    """Spec examples (Avro 1.11 'Binary Encoding'): 0→00, -1→01, 1→02,
+    -2→03, 2→04, -64→7f, 64→80 01."""
+    from swivel_spark_prep_spark.sinks import avro as av
+
+    golden = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+              2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+    for n, b in golden.items():
+        assert av.zigzag_encode(n) == b, n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=True)),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(st.none(), st.lists(st.integers(-(2**31), 2**31), max_size=8)),
+        ),
+        max_size=50,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=30, deadline=None)
+def test_avro_container_roundtrip(rows, codec):
+    """encode → container (both codecs) → parse reproduces every value,
+    including nulls, negative longs, unicode, empty arrays."""
+    import tempfile
+
+    from swivel_spark_prep_spark.sinks import avro as av
+
+    avsc = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": ["null", "long"]},
+            {"name": "b", "type": ["null", "double"]},
+            {"name": "c", "type": ["null", "string"]},
+            {"name": "d", "type": ["null", {"type": "array", "items": "long"}]},
+        ],
+    }
+    ftypes = av.field_types_of(avsc)
+    recs = [av.encode_record(ftypes, list(r)) for r in rows]
+    with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+        av.write_container(f.name, avsc, recs, codec=codec, block_records=7)
+        schema, got = av.read_container(open(f.name, "rb").read())
+    assert schema == avsc
+    assert got == [list(r) for r in rows]
+
+
+def test_avro_container_detects_corruption():
+    import tempfile
+
+    import pytest
+
+    from swivel_spark_prep_spark.sinks import avro as av
+
+    avsc = {"type": "record", "name": "row",
+            "fields": [{"name": "a", "type": ["null", "long"]}]}
+    ftypes = av.field_types_of(avsc)
+    recs = [av.encode_record(ftypes, [i]) for i in range(100)]
+    with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+        av.write_container(f.name, avsc, recs, codec="null")
+        data = bytearray(open(f.name, "rb").read())
+        data[-8] ^= 0xFF  # flip a sync byte of the last block
+        with pytest.raises(ValueError, match="sync"):
+            av.read_container(bytes(data))

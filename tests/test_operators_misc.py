@@ -1001,3 +1001,50 @@ def test_bloom_semi_join_rejects_bad_bits(spark):
 
     with _pytest.raises(ValueError, match="power of two"):
         build_bloom(spark.range(3), "id", n_bits=1000)
+
+
+def test_avro_roundtrips_all_types(spark, sf_dir, tmp_path):
+    """Distributed Avro sink + source round-trip on every fixture type
+    family: longs/strings (nation), array<float> (embeddings — widened
+    to double per the schema map), dates+doubles (lineitem slice),
+    µs timestamps (events slice). Schema comes from the file header
+    (driver peek) — no schema passed."""
+    from swivel_spark_prep_spark.sinks import write_avro
+    from swivel_spark_prep_spark.sources import read_avro
+
+    cases = {
+        "nation": load_table(spark, sf_dir, "nation"),
+        "embeddings": load_table(spark, sf_dir, "embeddings"),
+        "lineitem": load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate", "l_extendedprice", "l_returnflag"
+        ),
+        "events": load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id"
+        ),
+    }
+    for name, src in cases.items():
+        d = str(tmp_path / f"avro_{name}")
+        n = write_avro(src, d)
+        assert n == src.count()
+        back = read_avro(spark, d)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        ), name
+
+
+def test_avro_mixed_schema_dir_fails_loudly(spark, sf_dir, tmp_path):
+    import shutil
+
+    from swivel_spark_prep_spark.sinks import write_avro
+    from swivel_spark_prep_spark.sources import read_avro
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_avro(load_table(spark, sf_dir, "nation").coalesce(1), a)
+    write_avro(load_table(spark, sf_dir, "region").coalesce(1), b)
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    shutil.copy(f"{a}/part-00000.avro", str(mixed / "part-00000.avro"))
+    shutil.copy(f"{b}/part-00000.avro", str(mixed / "part-00001.avro"))
+    with pytest.raises(Exception, match="schema differs"):
+        read_avro(spark, str(mixed)).collect()
