@@ -2603,3 +2603,68 @@ def x77(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+@_declare(
+    "X78_incremental_agg_refresh",
+    # Incremental materialized-view maintenance (upsert.refresh_agg):
+    # a deterministic change load against orders — delete keys %7=3,
+    # double totalprice on keys %5=0 (delete wins on overlap), insert
+    # +10M-shifted clones of keys %11=4 — is diffed with snapshot_diff
+    # and folded into the OLD aggregate as a pure delta (O(changes),
+    # the base is touched only by one semi-join on the update keys).
+    # The oracle recomputes the aggregate from scratch over the same
+    # new snapshot: incremental == direct.
+    """WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+nw AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM old WHERE o_orderkey % 7 <> 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice + 1000 FROM old WHERE o_orderkey % 11 = 4)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice
+FROM nw GROUP BY o_orderstatus ORDER BY o_orderstatus;""",
+)
+def x78(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.upsert import refresh_agg, snapshot_diff
+
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 7 != 3)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 11 == 4).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderstatus",
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            )
+        )
+    )
+    changes = snapshot_diff(old, new, ["o_orderkey"])
+    agg_old = old.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("sum_o_totalprice")
+    )
+    return (
+        refresh_agg(
+            agg_old,
+            old,
+            changes,
+            key_cols=["o_orderkey"],
+            group_cols=["o_orderstatus"],
+            sum_cols=["o_totalprice"],
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            F.round("sum_o_totalprice", 2).alias("sum_o_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1048,3 +1048,32 @@ def test_avro_mixed_schema_dir_fails_loudly(spark, sf_dir, tmp_path):
     shutil.copy(f"{b}/part-00000.avro", str(mixed / "part-00001.avro"))
     with pytest.raises(Exception, match="schema differs"):
         read_avro(spark, str(mixed)).collect()
+
+
+def test_refresh_agg_group_death_and_birth(spark):
+    """Incremental refresh must delete a group whose last row dies and
+    create a group born purely from inserts — the two edges a
+    full-outer-merge MV refresh can get wrong."""
+    from swivel_spark_prep_spark.operators.upsert import refresh_agg, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)],
+        ["k", "g", "v"],
+    )
+    # group b dies (row 3 deleted); group c born (row 4 inserted);
+    # row 1 updated (a shrinks by 3)
+    new = spark.createDataFrame(
+        [(1, "a", 7.0), (2, "a", 5.0), (4, "c", 2.0)],
+        ["k", "g", "v"],
+    )
+    agg_old = old.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sum_v")
+    )
+    got = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in refresh_agg(
+            agg_old, old, snapshot_diff(old, new, ["k"]),
+            key_cols=["k"], group_cols=["g"], sum_cols=["v"],
+        ).collect()
+    }
+    assert got == {"a": (2, 12.0), "c": (1, 2.0)}  # b gone, c born
