@@ -89,3 +89,83 @@ def quarantine(
     good = tagged.filter(F.size(failed_col) == 0).drop(failed_col)
     bad = tagged.filter(F.size(failed_col) > 0)
     return good, bad
+
+
+def drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    num_cols: list[str],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per numeric column — the standard
+    data-drift monitor (credit-risk literature; the check a training
+    pipeline runs between corpus versions before retraining). Bin edges
+    are equal-width over the BASELINE min/max (values outside the range
+    clamp into the edge bins, the usual PSI convention for new data);
+    ``psi = Σ (p_cur − p_base) · ln(max(p_cur, ε) / max(p_base, ε))``
+    with the ε floor on empty bins. Verdicts use the conventional
+    thresholds: < 0.1 stable, < 0.25 moderate, else drifted.
+
+    Plan shape: each side is ONE scan regardless of column count (a
+    ``stack`` unpivot → one grouped count per (column, bin)); the
+    per-column min/max table is tiny and broadcast into the bucketing.
+    Returns ``(col, psi, verdict)``.
+    """
+    n = len(num_cols)
+    stack_expr = (
+        f"stack({n}, "
+        + ", ".join(f"'{c}', cast({c} as double)" for c in num_cols)
+        + ") as (col, val)"
+    )
+    b = baseline.select(F.expr(stack_expr)).filter(F.col("val").isNotNull())
+    c = current.select(F.expr(stack_expr)).filter(F.col("val").isNotNull())
+    stats = b.groupBy("col").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+
+    def bucketed(side: DataFrame, name: str) -> DataFrame:
+        w = (F.col("mx") - F.col("mn")) / bins
+        raw = F.when(w == 0, F.lit(1)).otherwise(
+            F.floor((F.col("val") - F.col("mn")) / w) + 1
+        )
+        return (
+            side.join(F.broadcast(stats), "col")
+            .withColumn(
+                "bin", F.least(F.lit(bins), F.greatest(F.lit(1), raw))
+            )
+            .groupBy("col", "bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    bb = bucketed(b, "nb")
+    cc = bucketed(c, "nc")
+    tb = b.groupBy("col").agg(F.count("*").alias("tb"))
+    tc = c.groupBy("col").agg(F.count("*").alias("tc"))
+    joined = (
+        bb.join(cc, ["col", "bin"], "full_outer")
+        .join(tb, "col")
+        .join(tc, "col")
+        .select(
+            "col",
+            (F.coalesce("nb", F.lit(0)) / F.col("tb")).alias("pb"),
+            (F.coalesce("nc", F.lit(0)) / F.col("tc")).alias("pc"),
+        )
+    )
+    psi = joined.groupBy("col").agg(
+        F.sum(
+            (F.col("pc") - F.col("pb"))
+            * F.log(
+                F.greatest(F.col("pc"), F.lit(eps))
+                / F.greatest(F.col("pb"), F.lit(eps))
+            )
+        ).alias("psi")
+    )
+    return psi.select(
+        "col",
+        F.round("psi", 4).alias("psi"),
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("drifted"))
+        .alias("verdict"),
+    )

@@ -2668,3 +2668,59 @@ def x78(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@_declare(
+    "X79_drift_psi",
+    # Population-Stability-Index drift report (quality.drift_report):
+    # baseline = orders, current = orders with o_totalprice scaled 1.3x
+    # (drifts past the 0.25 threshold) while o_custkey is unchanged
+    # (psi 0, stable). Equal-width bins over baseline min/max, edge-bin
+    # clamping, eps-floored log ratios — the oracle replays the exact
+    # arithmetic (explicit floor twin of Spark's bucketing, as X62).
+    """WITH b AS (
+  SELECT col, val FROM (
+    SELECT 'o_totalprice' AS col, o_totalprice::DOUBLE AS val FROM orders
+    UNION ALL SELECT 'o_custkey', o_custkey::DOUBLE FROM orders)
+  WHERE val IS NOT NULL),
+c AS (
+  SELECT col, val FROM (
+    SELECT 'o_totalprice' AS col, (o_totalprice * 1.3)::DOUBLE AS val FROM orders
+    UNION ALL SELECT 'o_custkey', o_custkey::DOUBLE FROM orders)
+  WHERE val IS NOT NULL),
+stats AS (SELECT col, MIN(val) mn, MAX(val) mx FROM b GROUP BY col),
+bb AS (
+  SELECT b.col, LEAST(10, GREATEST(1,
+    CASE WHEN (mx-mn)/10 = 0 THEN 1 ELSE FLOOR((val-mn)/((mx-mn)/10))+1 END))::BIGINT AS bin,
+    COUNT(*) nb
+  FROM b JOIN stats USING (col) GROUP BY 1, 2),
+cc AS (
+  SELECT c.col, LEAST(10, GREATEST(1,
+    CASE WHEN (mx-mn)/10 = 0 THEN 1 ELSE FLOOR((val-mn)/((mx-mn)/10))+1 END))::BIGINT AS bin,
+    COUNT(*) nc
+  FROM c JOIN stats USING (col) GROUP BY 1, 2),
+tb AS (SELECT col, COUNT(*) tb FROM b GROUP BY col),
+tc AS (SELECT col, COUNT(*) tc FROM c GROUP BY col),
+j AS (
+  SELECT COALESCE(bb.col, cc.col) AS col,
+         COALESCE(nb, 0)::DOUBLE / tb.tb AS pb,
+         COALESCE(nc, 0)::DOUBLE / tc.tc AS pc
+  FROM bb FULL OUTER JOIN cc ON bb.col = cc.col AND bb.bin = cc.bin
+  JOIN tb ON tb.col = COALESCE(bb.col, cc.col)
+  JOIN tc ON tc.col = COALESCE(bb.col, cc.col)),
+p AS (
+  SELECT col, SUM((pc - pb) * ln(GREATEST(pc, 1e-6) / GREATEST(pb, 1e-6))) AS psi
+  FROM j GROUP BY col)
+SELECT col, ROUND(psi, 4) AS psi,
+       CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate'
+            ELSE 'drifted' END AS verdict
+FROM p ORDER BY col;""",
+)
+def x79(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import drift_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    current = orders.withColumn("o_totalprice", F.col("o_totalprice") * 1.3)
+    return drift_report(
+        orders, current, ["o_totalprice", "o_custkey"], bins=10
+    ).orderBy("col")
