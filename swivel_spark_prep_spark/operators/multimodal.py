@@ -281,3 +281,122 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (pure numpy, deterministic)."""
+    import numpy as np
+
+    k = np.arange(n)
+    C = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    C *= np.sqrt(2.0 / n)
+    C[0] *= np.sqrt(0.5)
+    return C
+
+
+def phash(
+    media: DataFrame,
+    decode_mode: str = "real",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual image hash (the classic pHash recipe: grayscale → 2D
+    DCT-II → threshold the AC coefficients at their median → 64-bit
+    hash). Robust to brightness shifts and small pixel noise — the
+    image-dedup key, the visual analogue of SimHash for text. Decode +
+    DCT run vectorized per Arrow batch through the same codec seam as
+    extract_features; ``decode_mode="fake"`` hashes deterministic
+    pseudo-pixels from the payload bytes so the plumbing is testable
+    without real images. Returns ``(id_col, phash)`` with phash a
+    64-bit long.
+    """
+    _check_mode(decode_mode)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = _dct_matrix(8)
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                b = bytes(b)
+                if decode_mode == "real":
+                    px = codecs.decode_bmp(b).astype(float).mean(axis=2)
+                else:
+                    raw = np.frombuffer(b[:64].ljust(64, b"\0"), dtype=np.uint8)
+                    px = raw.astype(float).reshape(8, 8)
+                d = C @ px @ C.T
+                ac = d.flatten()[1:]  # drop the DC coefficient
+                bits = ac > np.median(ac)
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                # 63 bits → fits a signed long without wrap
+                out.append(h)
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": out})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _hash, schema=f"{id_col} long, phash long"
+    )
+
+
+def phash_near_dups(
+    media: DataFrame,
+    max_hamming: int = 3,
+    decode_mode: str = "real",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate images by pHash Hamming distance ≤ ``max_hamming``
+    via pigeonhole banding: the 63-bit hash splits into
+    ``max_hamming + 1`` bands, and any pair within the distance budget
+    must agree on ≥ 1 whole band (pigeonhole) — so candidates come from
+    per-band equality joins, never an all-pairs scan, exactly the
+    SimHash banding argument. Exact Hamming (``bit_count(xor)``, pure
+    codegen) filters candidates. Returns ``(i, j, hamming)`` with
+    i < j."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    h = phash(media, decode_mode, id_col, payload_col)
+    bands = h.select(
+        F.col(id_col).alias("d"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.call_function(
+                            "shiftright", F.col("phash"), F.lit(i * width)
+                        )
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("d", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(
+        F.col("d").alias("i"), F.col("phash").alias("ph_i"), "band", "val"
+    )
+    b = bands.select(
+        F.col("d").alias("j"), F.col("phash").alias("ph_j"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "ph_i", "ph_j")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.call_function(
+                "bit_count",
+                F.col("ph_i").bitwiseXOR(F.col("ph_j")),
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )

@@ -2724,3 +2724,14 @@ def x79(spark, sf_dir):
     return drift_report(
         orders, current, ["o_totalprice", "o_custkey"], bins=10
     ).orderBy("col")
+
+
+@_declare("X80_phash_near_dups", None)  # DCT floats — not DuckDB-replayable
+def x80(spark, sf_dir):
+    # Perceptual-hash image dedup (multimodal.phash_near_dups) over the
+    # real-BMP fixture images: 63-bit DCT pHash, pigeonhole banding
+    # (max_hamming+1 bands), exact bit_count(xor) verify. Banding
+    # recall == driver all-pairs Hamming is property-tested.
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, codec="bmp")
+    return multimodal.phash_near_dups(media, max_hamming=3).orderBy("i", "j")

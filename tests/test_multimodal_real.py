@@ -105,3 +105,88 @@ def test_embed_real_is_deterministic_unit_norm(spark, sf_dir):
     assert emb == again
     for v in emb.values():
         assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_phash_brightness_invariance_and_noise(spark):
+    """pHash thresholds AC coefficients only, so a uniform brightness
+    shift (pure-DC change) leaves the hash IDENTICAL; flipping one
+    pixel moves few bits; an unrelated image is far."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators import codecs
+    from swivel_spark_prep_spark.operators.multimodal import phash
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(40, 200, size=(8, 8)).astype(np.uint8)
+    bright = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    noisy = base.copy()
+    noisy[3, 4] = 255 - noisy[3, 4]
+    other = rng.integers(0, 255, size=(8, 8)).astype(np.uint8)
+    rows = [
+        (1, bytearray(codecs.encode_bmp(base))),
+        (2, bytearray(codecs.encode_bmp(bright))),
+        (3, bytearray(codecs.encode_bmp(noisy))),
+        (4, bytearray(codecs.encode_bmp(other))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = {r.doc_id: r.phash for r in phash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert h[1] == h[2]  # brightness shift → identical hash
+    assert ham(h[1], h[3]) <= 8  # single-pixel flip stays close
+    assert ham(h[1], h[4]) > 12  # unrelated image is far
+
+
+def test_phash_matches_driver_numpy(spark, sf_dir):
+    """Arrow-batched pHash == a driver-side recompute through the same
+    decode + DCT math (pins batch stacking, grayscale, median/threshold
+    and bit packing)."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators import codecs
+    from swivel_spark_prep_spark.operators.multimodal import (
+        _dct_matrix,
+        attach_binary,
+        phash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_binary(docs, codec="bmp")
+    got = {r.doc_id: r.phash for r in phash(media).collect()}
+    C = _dct_matrix(8)
+    for r in media.collect():
+        px = codecs.decode_bmp(bytes(r.payload)).astype(float).mean(axis=2)
+        ac = (C @ px @ C.T).flatten()[1:]
+        bits = ac > np.median(ac)
+        h = 0
+        for bit in bits:
+            h = (h << 1) | int(bit)
+        assert got[r.doc_id] == h, r.doc_id
+
+
+def test_phash_banding_recall_equals_all_pairs(spark, sf_dir):
+    """Pigeonhole banding must recover EVERY pair within the Hamming
+    budget (hamming <= bands-1 guarantees a shared band) — compared
+    against a driver-side all-pairs scan of the same hashes."""
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.multimodal import (
+        attach_binary,
+        phash,
+        phash_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, codec="bmp")
+    hashes = {r.doc_id: r.phash for r in phash(media).collect()}
+    ids = sorted(hashes)
+    want = {
+        (i, j, bin(hashes[i] ^ hashes[j]).count("1"))
+        for a, i in enumerate(ids)
+        for j in ids[a + 1 :]
+        if bin(hashes[i] ^ hashes[j]).count("1") <= 3
+    }
+    got = {
+        (r.i, r.j, r.hamming)
+        for r in phash_near_dups(media, max_hamming=3).collect()
+    }
+    assert got == want
