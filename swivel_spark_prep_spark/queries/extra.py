@@ -2735,3 +2735,42 @@ def x80(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary(docs, codec="bmp")
     return multimodal.phash_near_dups(media, max_hamming=3).orderBy("i", "j")
+
+
+@_declare(
+    "X81_skew_hybrid_join",
+    # Hybrid skew join (operators/skewjoin.py): events enriched with a
+    # per-user aggregate dim; the top-10 hottest user_ids (detected by
+    # the certified Misra-Gries pass) route through a broadcast join,
+    # the rest shuffle normally; union == the plain join, which is the
+    # oracle. Plan shape (hot path broadcasts) is plan-tested.
+    """WITH dim AS (
+  SELECT user_id, COUNT(*) AS n_ev, ROUND(SUM(value), 2) AS tot
+  FROM events GROUP BY user_id)
+SELECT e.event_type, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(e.value), 2) AS sum_value,
+       SUM(d.n_ev)::BIGINT AS sum_user_events
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.event_type ORDER BY e.event_type;""",
+)
+def x81(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.skewjoin import skew_hybrid_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"), F.round(F.sum("value"), 2).alias("tot")
+    )
+    joined = skew_hybrid_join(
+        events.select("event_id", "user_id", "event_type", "value"),
+        dim,
+        "user_id",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("n_ev").alias("sum_user_events"),
+        )
+        .orderBy("event_type")
+    )

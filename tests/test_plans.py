@@ -336,3 +336,48 @@ def test_bpe_encode_stays_jvm_side(spark, sf_dir):
     assert plan.count("Scan parquet") == 2
     # the whole replace chain folds into one Project over the scan
     assert "regexp_extract_all(replace(replace(" in plan
+
+
+def test_skew_hybrid_join_routes_hot_keys_to_broadcast(spark, sf_dir):
+    """The hot path must be a BroadcastHashJoin (no shuffle of hot
+    rows) while the cold path keeps a regular exchange — both shapes
+    present in one plan; and the hybrid result equals the plain join."""
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.skewjoin import skew_hybrid_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = events.groupBy("user_id").count()
+    # disable size-based auto-broadcast so only the EXPLICIT hint can
+    # produce a broadcast: the hot path must broadcast anyway, the cold
+    # path must fall back to a shuffle join — the exact skew guarantee
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hybrid = skew_hybrid_join(events, dim, "user_id", n_hot=5, capacity=256)
+        plan = formatted_plan(hybrid)
+        assert "BroadcastHashJoin" in plan  # hot path, from the hint alone
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # cold path
+
+        plain = events.join(dim, "user_id")
+        assert hybrid.exceptAll(plain).count() == 0
+        assert plain.exceptAll(hybrid).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_skew_hybrid_join_left_preserves_null_and_unmatched(spark):
+    from swivel_spark_prep_spark.operators.skewjoin import skew_hybrid_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d"), (9, "e")],
+        "k int, v string",
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    got = skew_hybrid_join(big, small, "k", how="left", hot_keys=[1])
+    want = big.join(small, "k", "left")
+    from collections import Counter
+
+    assert Counter(map(tuple, got.collect())) == Counter(
+        map(tuple, want.collect())
+    )
