@@ -1001,3 +1001,84 @@ def winnow_near_dups(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    database-venue algorithm family (Chaudhuri et al. SSJoin; Bayardo
+    et al. "Scaling Up All Pairs Similarity Search"; Xiao et al.
+    PPJoin): order each document's shingle set by ascending global
+    frequency (rarest first), keep only the first
+    ``|s| − ⌈τ·|s|⌉ + 1`` shingles as its PREFIX, and generate
+    candidates from per-prefix-token equality joins. The theorem: two
+    sets with Jaccard ≥ τ must share at least one prefix token under a
+    common global order, so exact verification of candidates returns
+    the complete answer — recall 1 by construction, which the DuckDB
+    all-pairs oracle confirms (X82).
+
+    The complement of MinHash-LSH (X06, probabilistic) and pair-
+    counting (Q41, counts all co-occurrences): prefix filtering is
+    exact AND sub-quadratic, because prefixes hold each set's RAREST
+    tokens — bucket sizes are bounded by construction, the opposite of
+    joining on common tokens. Verification is one join back to the
+    full sets and a JVM array_intersect/array_union.
+
+    Documents with fewer than ``shingle`` tokens have no shingle set
+    and are excluded (they have no well-defined shingle Jaccard).
+    Returns ``(i, j, jac)`` with i < j, Jaccard ≥ ``threshold``.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("t")
+    ).filter(F.size("t") >= shingle)
+    sets = toks.select(
+        id_col,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(t) - {shingle} + 1),"
+                f" i -> concat_ws(' ', slice(t, i, {shingle})))"
+            )
+        ).alias("s"),
+    ).withColumn("sz", F.size("s"))
+    freq = (
+        sets.select(F.explode("s").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("fr"))
+    )
+    ordered = (
+        sets.select(id_col, "sz", F.explode("s").alias("tok"))
+        .join(freq, "tok")
+        .groupBy(id_col, "sz")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("fr", "tok"))).alias("o")
+        )
+        .withColumn(
+            "prefix",
+            F.expr(
+                f"slice(transform(o, x -> x.tok), 1,"
+                f" sz - cast(ceil({threshold} * sz) as int) + 1)"
+            ),
+        )
+    )
+    pref = ordered.select(id_col, F.explode("prefix").alias("tok"))
+    a = pref.select(F.col(id_col).alias("i"), "tok")
+    b = pref.select(F.col(id_col).alias("j"), "tok")
+    cand = a.join(b, "tok").filter(F.col("i") < F.col("j")).select("i", "j").distinct()
+    si = sets.select(F.col(id_col).alias("i"), F.col("s").alias("s_i"))
+    sj = sets.select(F.col(id_col).alias("j"), F.col("s").alias("s_j"))
+    return (
+        cand.join(si, "i")
+        .join(sj, "j")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("s_i", "s_j"))
+            / F.size(F.array_union("s_i", "s_j")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("i", "j", F.round("jac", 4).alias("jac"))
+    )

@@ -2774,3 +2774,31 @@ def x81(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "X82_prefix_filter_jaccard",
+    # Prefix-filtered EXACT shingle-set Jaccard join (dedup.prefix_
+    # filter_jaccard_join): rarest-first canonical order, prefix length
+    # |s|-ceil(t|s|)+1, candidates from per-prefix-token joins, exact
+    # verify. The oracle is the brute-force all-pairs scan — parity
+    # proves the prefix theorem's recall-1 on this data. Finds the
+    # same 25 planted pairs as X06/X74 via the third (exact,
+    # deterministic) set-similarity algorithm family.
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       ROUND(len(list_intersect(a.s,b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s,b.s))), 4) AS jac
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s,b.s))::DOUBLE
+      / len(list_distinct(list_concat(a.s,b.s))) >= 0.6
+ORDER BY i, j;""",
+)
+def x82(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_join(docs, threshold=0.6, shingle=3).orderBy(
+        "i", "j"
+    )

@@ -744,3 +744,23 @@ def test_kmeans_distributed_improves_objective(spark, sf_dir):
     o0 = objective(kmeans_fit_distributed(emb, k=8, iters=0))
     o3 = objective(kmeans_fit_distributed(emb, k=8, iters=3))
     assert o3 >= o0 - 1e-12, (o0, o3)
+
+
+def test_prefix_filter_join_edge_cases(spark):
+    """Identical docs → jac 1.0; disjoint docs → no pair; docs shorter
+    than the shingle width are excluded rather than erroring."""
+    from swivel_spark_prep_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "q r s t u v"),
+            (4, "x y"),  # < shingle tokens
+        ],
+        ["doc_id", "text"],
+    )
+    rows = prefix_filter_jaccard_join(docs, threshold=0.6, shingle=3).collect()
+    assert [(r.i, r.j, r.jac) for r in rows] == [(1, 2, 1.0)]
