@@ -172,3 +172,82 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col("_norm")).alias("fp_md5"),
         rolling.alias("fp_rolling"),
     )
+
+
+#: The Gopher paper's stopword-presence list (Rae et al. 2021, table A1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher quality-filter rule bundle (Rae et al.,
+    "Scaling Language Models: ... Gopher", appendix A1.1 — the rule set
+    MassiveText, RefinedWeb, FineWeb etc. all start from), as ONE
+    declarative projection — every rule is a JVM expression over the
+    token list, no UDFs, one scan, and each rule's boolean is emitted
+    separately so a pipeline can audit WHY a document failed:
+
+    - ``ok_word_count``: word count in [min_words, max_words]
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: (#'#' + #'...') / words ≤ 0.1
+    - ``ok_bullet``: fraction of lines starting with a bullet ≤ 0.9
+    - ``ok_ellipsis``: fraction of lines ending with '...' ≤ 0.3
+    - ``ok_alpha``: fraction of words containing a letter ≥ 0.8
+    - ``ok_stopwords``: ≥ 2 of the paper's 8 stopwords present
+    - ``gopher_pass``: all of the above
+
+    Thresholds are the paper's defaults, overridable per corpus.
+    """
+    t = F.split(F.col(text_col), " ")
+    n_words = F.size(t)
+    sum_word_len = F.length(F.col(text_col)) - (n_words - 1)
+    mean_wl = sum_word_len / n_words
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))  # noqa: E741
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$"))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]"))) / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), stop_arr))
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "ok_bullet": bullet_frac <= max_bullet_frac,
+        "ok_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "ok_alpha": alpha_frac >= min_alpha_frac,
+        "ok_stopwords": n_stop >= min_stopwords,
+    }
+    out = docs
+    overall = F.lit(True)
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+        overall = overall & F.col(name)
+    return out.withColumn("gopher_pass", overall)

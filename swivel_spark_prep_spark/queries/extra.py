@@ -2802,3 +2802,56 @@ def x82(spark, sf_dir):
     return dedup.prefix_filter_jaccard_join(docs, threshold=0.6, shingle=3).orderBy(
         "i", "j"
     )
+
+
+@_declare(
+    "X83_gopher_rules",
+    # The Gopher quality-rule bundle (textstats.gopher_quality — Rae et
+    # al. 2021 A1.1 defaults) aggregated by flag combination: any
+    # per-doc rule flip changes a combo count, so the aggregate pins
+    # every rule. On this fixture the word-count rule splits the corpus
+    # (223/277 at sf0.01) and the stopword rule fails everywhere (the
+    # synthetic vocabulary contains only 'the' from the paper's list).
+    """WITH g AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+           / len(string_split(text, ' ')) AS mean_wl,
+         (length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) / 3.0)
+           / len(string_split(text, ' ')) AS symbol_ratio,
+         len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[-*•]')))::DOUBLE
+           / len(string_split(text, chr(10))) AS bullet_frac,
+         len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '\\.\\.\\.$')))::DOUBLE
+           / len(string_split(text, chr(10))) AS ellipsis_frac,
+         len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+           / len(string_split(text, ' ')) AS alpha_frac,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         n_words BETWEEN 50 AND 100000 AS ok_word_count,
+         mean_wl BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+         symbol_ratio <= 0.1 AS ok_symbol_ratio,
+         bullet_frac <= 0.9 AS ok_bullet,
+         ellipsis_frac <= 0.3 AS ok_ellipsis,
+         alpha_frac >= 0.8 AS ok_alpha,
+         n_stop >= 2 AS ok_stopwords
+  FROM g)
+SELECT ok_word_count, ok_mean_word_len, ok_stopwords,
+       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet
+        AND ok_ellipsis AND ok_alpha AND ok_stopwords) AS gopher_pass,
+       COUNT(*)::BIGINT AS n
+FROM f GROUP BY 1,2,3,4 ORDER BY 1,2,3,4;""",
+)
+def x83(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality(docs)
+    return (
+        g.groupBy("ok_word_count", "ok_mean_word_len", "ok_stopwords", "gopher_pass")
+        .agg(F.count("*").alias("n"))
+        .orderBy("ok_word_count", "ok_mean_word_len", "ok_stopwords", "gopher_pass")
+    )

@@ -764,3 +764,36 @@ def test_prefix_filter_join_edge_cases(spark):
     )
     rows = prefix_filter_jaccard_join(docs, threshold=0.6, shingle=3).collect()
     assert [(r.i, r.j, r.jac) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_gopher_rules_on_crafted_docs(spark):
+    """Each Gopher rule must fire on a document crafted to violate
+    exactly it (the fixture corpus never exercises bullets/ellipses/
+    symbols), and a well-formed document passes everything."""
+    from swivel_spark_prep_spark.operators.textstats import gopher_quality
+
+    good = (
+        "the report with all of that and more " * 8
+    ).strip()  # 64 words, has >=2 stopwords, mean len ok
+    rows = [
+        (1, good),
+        (2, "short text"),  # word count
+        (3, " ".join(["a"] * 60)),  # mean word length < 3
+        (4, " ".join(["the", "of"] + ["####"] * 58)),  # symbol ratio + alpha
+        (5, "\n".join(["- bullet line"] * 10)),  # bullets (and word count)
+        (6, "\n".join(["trailing dots..."] * 10)),  # ellipsis lines
+        (7, " ".join(["123"] * 60)),  # alpha fraction
+        (8, " ".join(["word"] * 60)),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.asDict() for r in gopher_quality(df).collect()}
+    assert got[1]["gopher_pass"]
+    assert not got[2]["ok_word_count"]
+    assert not got[3]["ok_mean_word_len"]
+    assert not got[4]["ok_symbol_ratio"] and not got[4]["ok_alpha"]
+    assert not got[5]["ok_bullet"]
+    assert not got[6]["ok_ellipsis"]
+    assert not got[7]["ok_alpha"]
+    assert not got[8]["ok_stopwords"]
+    for d in range(2, 9):
+        assert not got[d]["gopher_pass"], d
