@@ -58,3 +58,56 @@ def skew_hybrid_join(
         small, key_col, how
     )
     return hot.unionByName(cold)
+
+
+def join_diagnosis(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+) -> DataFrame:
+    """Pre-flight join health report — the checks a data engineer runs
+    before an expensive join, in ONE pass over each side's key-count
+    table (never the join itself): row/null counts, distinct keys,
+    key-overlap split (matched / left-only / right-only), the EXACT
+    inner-join output cardinality Σ lc·rc (what decides whether the
+    join is even feasible), and the worst per-key fanout on each side
+    (the skew signal — a max_fanout in the millions says use
+    skew_hybrid_join). Returns a single row; at 100 TB the cost is two
+    grouped counts plus a full-outer join of two key tables, orders of
+    magnitude below running the join to find out it explodes."""
+    rk = right_key or left_key
+    lc = (
+        left.select(F.col(left_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count("*").alias("lc"))
+    )
+    rc = (
+        right.select(F.col(rk).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count("*").alias("rc"))
+    )
+    j = lc.join(rc, "k", "full_outer")
+    stats = j.agg(
+        F.sum("lc").alias("left_rows"),
+        F.sum("rc").alias("right_rows"),
+        F.count(F.col("lc")).alias("left_keys"),
+        F.count(F.col("rc")).alias("right_keys"),
+        F.sum(
+            F.when(F.col("lc").isNotNull() & F.col("rc").isNotNull(), 1).otherwise(0)
+        ).alias("matched_keys"),
+        F.sum(F.when(F.col("rc").isNull(), 1).otherwise(0)).alias("left_only_keys"),
+        F.sum(F.when(F.col("lc").isNull(), 1).otherwise(0)).alias("right_only_keys"),
+        F.coalesce(
+            F.sum(F.col("lc") * F.col("rc")), F.lit(0)
+        ).alias("inner_join_rows"),
+        F.coalesce(F.max("lc"), F.lit(0)).alias("max_left_fanout"),
+        F.coalesce(F.max("rc"), F.lit(0)).alias("max_right_fanout"),
+    )
+    l_nulls = left.filter(F.col(left_key).isNull()).count()
+    r_nulls = right.filter(F.col(rk).isNull()).count()
+    return stats.withColumn("left_null_keys", F.lit(l_nulls)).withColumn(
+        "right_null_keys", F.lit(r_nulls)
+    )

@@ -2855,3 +2855,35 @@ def x83(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("ok_word_count", "ok_mean_word_len", "ok_stopwords", "gopher_pass")
     )
+
+
+@_declare(
+    "X84_join_diagnosis",
+    # Pre-flight join health report (skewjoin.join_diagnosis) for
+    # orders ⋈ customer on custkey: key-overlap split, exact inner-join
+    # cardinality Σ lc·rc, worst per-key fanout both sides, null keys —
+    # all from the two key-count tables, never the join itself.
+    """WITH lc AS (SELECT o_custkey k, COUNT(*) lc FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+rc AS (SELECT c_custkey k, COUNT(*) rc FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+j AS (SELECT * FROM lc FULL OUTER JOIN rc USING (k))
+SELECT SUM(lc)::BIGINT left_rows, SUM(rc)::BIGINT right_rows,
+       COUNT(lc)::BIGINT left_keys, COUNT(rc)::BIGINT right_keys,
+       SUM(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT matched_keys,
+       SUM(CASE WHEN rc IS NULL THEN 1 ELSE 0 END)::BIGINT left_only_keys,
+       SUM(CASE WHEN lc IS NULL THEN 1 ELSE 0 END)::BIGINT right_only_keys,
+       COALESCE(SUM(lc*rc),0)::BIGINT inner_join_rows,
+       COALESCE(MAX(lc),0)::BIGINT max_left_fanout,
+       COALESCE(MAX(rc),0)::BIGINT max_right_fanout,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)::BIGINT left_null_keys,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL)::BIGINT right_null_keys
+FROM j;""",
+)
+def x84(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.skewjoin import join_diagnosis
+
+    return join_diagnosis(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )

@@ -1077,3 +1077,20 @@ def test_refresh_agg_group_death_and_birth(spark):
         ).collect()
     }
     assert got == {"a": (2, 12.0), "c": (1, 2.0)}  # b gone, c born
+
+
+def test_join_diagnosis_detects_explosion_and_nulls(spark):
+    """A many-to-many key must surface in inner_join_rows and fanout;
+    NULL keys are reported separately and never counted as matchable."""
+    from swivel_spark_prep_spark.operators.skewjoin import join_diagnosis
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k int"
+    )
+    right = spark.createDataFrame([(1,), (1,), (3,), (None,)], "k int")
+    row = join_diagnosis(left, right, "k").collect()[0]
+    assert row.inner_join_rows == 6  # 3 x 2 for key 1
+    assert row.max_left_fanout == 3 and row.max_right_fanout == 2
+    assert row.matched_keys == 1
+    assert row.left_only_keys == 1 and row.right_only_keys == 1
+    assert row.left_null_keys == 1 and row.right_null_keys == 1
