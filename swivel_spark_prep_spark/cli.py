@@ -66,6 +66,19 @@ def _build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--no-redact", action="store_true")
     pc.add_argument("--master", default=None)
 
+    cs = sub.add_parser(
+        "corpus-stats",
+        help="one-call corpus report: size, tokens, language mix, "
+        "Gopher pass rate, duplicate rates",
+    )
+    cs.add_argument("--input", required=True, help="parquet with doc_id/text")
+    cs.add_argument(
+        "--near-dups",
+        action="store_true",
+        help="also run MinHash-LSH near-dup pair detection (extra pass)",
+    )
+    cs.add_argument("--master", default=None)
+
     return p
 
 
@@ -173,6 +186,43 @@ def main(argv: list[str] | None = None) -> int:
                 f"docs={n_docs} survivors={n_surv} "
                 f"removed={n_docs - n_surv} → {args.output}"
             )
+        elif args.cmd == "corpus-stats":
+            from swivel_spark_prep_spark.operators.textstats import (
+                gopher_quality,
+                language_id,
+            )
+
+            docs = spark.read.parquet(args.input).select("doc_id", "text")
+            # one scan: doc/token/char totals + exact-dup + Gopher stats
+            g = gopher_quality(docs)
+            agg = g.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.size(F.split("text", " "))).alias("tokens"),
+                F.sum(F.length("text")).alias("chars"),
+                F.count_distinct(F.md5("text")).alias("uniq"),
+                F.sum(F.col("gopher_pass").cast("long")).alias("gopher_ok"),
+            ).collect()[0]
+            print(
+                f"docs={agg['docs']} tokens={agg['tokens']} "
+                f"chars={agg['chars']} "
+                f"exact_dups={agg['docs'] - agg['uniq']} "
+                f"gopher_pass={agg['gopher_ok']}/{agg['docs']}"
+            )
+            mix = (
+                language_id(docs)
+                .groupBy("pred_lang")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), "pred_lang")
+                .collect()
+            )
+            print("lang_mix=" + ",".join(f"{r.pred_lang}:{r.n}" for r in mix))
+            if args.near_dups:
+                from swivel_spark_prep_spark.operators.dedup import (
+                    minhash_near_dups,
+                )
+
+                n_pairs = minhash_near_dups(docs).count()
+                print(f"near_dup_pairs={n_pairs}")
         elif args.cmd == "bench-query":
             import time
 

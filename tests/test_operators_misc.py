@@ -1094,3 +1094,19 @@ def test_join_diagnosis_detects_explosion_and_nulls(spark):
     assert row.matched_keys == 1
     assert row.left_only_keys == 1 and row.right_only_keys == 1
     assert row.left_null_keys == 1 and row.right_null_keys == 1
+
+
+def test_cli_corpus_stats(spark, sf_dir, capsys):
+    """corpus-stats prints the one-call corpus report, including the
+    near-dup pass when asked."""
+    from swivel_spark_prep_spark import cli
+    from swivel_spark_prep_spark.catalog import load_table
+
+    src = str(sf_dir) + "/documents.parquet"
+    rc = cli.main(["corpus-stats", "--input", src, "--near-dups"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    n = load_table(spark, sf_dir, "documents").count()
+    assert f"docs={n} " in out
+    assert "gopher_pass=" in out and "lang_mix=" in out
+    assert "near_dup_pairs=" in out
