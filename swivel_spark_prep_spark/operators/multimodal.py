@@ -400,3 +400,79 @@ def phash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frame: int = 64,
+    hop: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Spectral-peak audio fingerprints — the constellation idea behind
+    Shazam (Wang 2003, "An Industrial-Strength Audio Search Algorithm"),
+    reduced to its dedup core: frame the PCM signal, take each frame's
+    rFFT magnitude spectrum, keep the two strongest non-DC bins, and
+    hash the (bin1, bin2) pair. A document's fingerprint is its DISTINCT
+    frame-hash set — invariant to amplitude scaling by construction
+    (the FFT is linear, argmax doesn't move; property-tested), the
+    audio analogue of winnowing fingerprints. Decode + FFT run
+    vectorized per Arrow batch over the real WAV codec (operators/
+    codecs.py). Returns ``(id_col, fp)`` exploded, one row per distinct
+    frame hash."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                _, samples = codecs.decode_wav(bytes(b))
+                samples = samples.astype(float)
+                n_frames = max(0, (len(samples) - frame) // hop + 1)
+                seen = set()
+                for i in range(n_frames):
+                    win = samples[i * hop : i * hop + frame]
+                    mag = np.abs(np.fft.rfft(win))
+                    mag[0] = 0.0  # DC carries offset, not content
+                    top = np.argsort(-mag, kind="stable")[:2]
+                    seen.add(int(top[0]) * 256 + int(top[1]))
+                ids.extend([doc_id] * len(seen))
+                fps.extend(sorted(seen))
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _fp, schema=f"{id_col} long, fp long"
+    )
+
+
+def audio_near_dups(
+    media: DataFrame,
+    min_shared: int = 4,
+    max_doc_freq: int = 50,
+    frame: int = 64,
+    hop: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate audio by shared spectral fingerprints: pairs
+    sharing ≥ ``min_shared`` distinct frame hashes, with the same
+    stop-fingerprint doc-frequency cap as winnow_near_dups (a ubiquitous
+    spectral pair would otherwise join every pair of a large corpus).
+    Returns ``(i, j, n_shared)`` with i < j."""
+    fp = audio_fingerprint(media, frame, hop, id_col, payload_col).select(
+        F.col(id_col).alias("d"), "fp"
+    )
+    freq = fp.groupBy("fp").agg(F.count("*").alias("nd"))
+    rare = fp.join(
+        freq.filter(F.col("nd") <= max_doc_freq).select("fp"), "fp", "left_semi"
+    )
+    a = rare.select(F.col("d").alias("i"), "fp")
+    b = rare.select(F.col("d").alias("j"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -251,3 +251,43 @@ def gopher_quality(
         out = out.withColumn(name, expr)
         overall = overall & F.col(name)
     return out.withColumn("gopher_pass", overall)
+
+
+def compression_signal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic repetition/
+    boilerplate signal dataset-curation pipelines threshold on (highly
+    compressible text is template or repeated spans; near-incompressible
+    text is noise/binary junk; natural prose sits in between). zlib at a
+    fixed level is bit-deterministic, so the ratio is a stable feature.
+    Arrow-batched (the deflate call IS the work — no JVM twin exists);
+    everything downstream of the ratio stays declarative. Returns
+    ``(id_col, n_bytes, n_compressed, ratio)`` with ratio ∈ (0, ~1.01]
+    rounded to 4 dp."""
+    import pandas as pd  # noqa: F811
+
+    def _ratio(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = [(t or "").encode("utf-8") for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, level)) for b in texts]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(b) for b in texts],
+                    "n_compressed": comp,
+                    "ratio": [
+                        round(c / n, 4) if n else 1.0
+                        for c, n in zip(comp, [len(b) for b in texts])
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _ratio, schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )

@@ -2887,3 +2887,25 @@ def x84(spark, sf_dir):
         "o_custkey",
         "c_custkey",
     )
+
+
+@_declare("X85_audio_near_dups", None)  # FFT floats — not DuckDB-replayable
+def x85(spark, sf_dir):
+    # Spectral-fingerprint audio dedup (multimodal.audio_near_dups)
+    # over the real-WAV fixture audio: per-frame top-2 rFFT bins →
+    # distinct frame-hash set → pairs sharing >= 4 hashes. Amplitude
+    # invariance + identity/separation are property-tested.
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, codec="wav")
+    return multimodal.audio_near_dups(media, min_shared=4).orderBy("i", "j")
+
+
+@_declare("X86_compression_signal", None)  # zlib — not DuckDB-replayable
+def x86(spark, sf_dir):
+    # zlib compression-ratio quality signal (textstats.compression_
+    # signal): deterministic at a fixed level; monotonicity properties
+    # (repetitive << prose < noise) are unit-pinned.
+    docs = load_table(spark, sf_dir, "documents")
+    from swivel_spark_prep_spark.operators.textstats import compression_signal
+
+    return compression_signal(docs).orderBy("doc_id")

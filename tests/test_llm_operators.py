@@ -797,3 +797,26 @@ def test_gopher_rules_on_crafted_docs(spark):
     assert not got[8]["ok_stopwords"]
     for d in range(2, 9):
         assert not got[d]["gopher_pass"], d
+
+
+def test_compression_signal_orders_text_classes(spark):
+    """Repetitive text compresses far better than prose; random hex
+    noise barely compresses — the ratio must order the three classes
+    and be deterministic across runs."""
+    from swivel_spark_prep_spark.operators.textstats import compression_signal
+
+    import random
+
+    rnd = random.Random(5)
+    noise = " ".join(f"{rnd.getrandbits(32):08x}" for _ in range(60))
+    rows = [
+        (1, "spam ham " * 120),
+        (2, "the quick brown fox jumps over the lazy dog and then "
+            "wanders home through the quiet evening streets " * 6),
+        (3, noise),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r.doc_id: r.ratio for r in compression_signal(df).collect()}
+    b = {r.doc_id: r.ratio for r in compression_signal(df).collect()}
+    assert a == b  # deterministic
+    assert a[1] < 0.1 < a[2] < a[3], a

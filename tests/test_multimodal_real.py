@@ -190,3 +190,30 @@ def test_phash_banding_recall_equals_all_pairs(spark, sf_dir):
         for r in phash_near_dups(media, max_hamming=3).collect()
     }
     assert got == want
+
+
+def test_audio_fingerprint_amplitude_invariant(spark):
+    """FFT is linear: halving amplitude must not move the top spectral
+    bins — identical fingerprint set. Identical audio → identical set;
+    a different signal → disjoint-ish."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators import codecs
+    from swivel_spark_prep_spark.operators.multimodal import audio_fingerprint
+
+    rng = np.random.default_rng(11)
+    sig = (rng.standard_normal(400) * 1000).astype("<i2")
+    half = (sig.astype(int) // 2).astype("<i2")
+    other = (rng.standard_normal(400) * 1000).astype("<i2")
+    rows = [
+        (1, bytearray(codecs.encode_wav(sig))),
+        (2, bytearray(codecs.encode_wav(half))),
+        (3, bytearray(codecs.encode_wav(other))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = audio_fingerprint(df).collect()
+    s1 = {r.fp for r in fp if r.doc_id == 1}
+    s2 = {r.fp for r in fp if r.doc_id == 2}
+    s3 = {r.fp for r in fp if r.doc_id == 3}
+    assert s1 and s1 == s2  # amplitude-invariant
+    assert len(s1 & s3) < len(s1)  # different signal separates
