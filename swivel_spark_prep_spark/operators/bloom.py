@@ -119,4 +119,7 @@ def bloom_semi_join(
     for t in tests[1:]:
         might = might & t
     pre = probe.filter(might)
-    return pre.join(build.select(key_col).distinct(), key_col, "left_semi")
+    # no distinct(): a semi join's output is identical with duplicate
+    # build keys, and deduplicating the build side would add the full
+    # shuffle this operator exists to avoid
+    return pre.join(build.select(key_col), key_col, "left_semi")

@@ -943,8 +943,11 @@ def winnow_fingerprints(
     ).select(
         id_col,
         (F.col("pos0") + 1).alias("pos"),
+        # 12-digit pad: lpad TRUNCATES beyond its width, so 6 digits
+        # would corrupt tie-break order and fp_pos past 10^6 grams; 12
+        # covers any physically possible document
         F.concat(
-            F.md5("gram"), F.lpad(F.col("pos0") + 1, 6, "0")
+            F.md5("gram"), F.lpad(F.col("pos0") + 1, 12, "0")
         ).alias("sel_key"),
     )
     part = Window.partitionBy(id_col)
@@ -958,7 +961,7 @@ def winnow_fingerprints(
     )
     return sel.select(
         id_col,
-        F.substring("sel", 33, 6).cast("int").alias("fp_pos"),
+        F.substring("sel", 33, 12).cast("long").alias("fp_pos"),
         F.substring("sel", 1, 32).alias("fp_hash"),
     )
 

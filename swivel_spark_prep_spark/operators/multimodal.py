@@ -294,6 +294,28 @@ def _dct_matrix(n: int):
     return C
 
 
+def _pool_gray(px, n: int = 8):
+    """Area-style downsample of a grayscale image to n×n by block
+    means over near-equal index segments (any input size ≥ 1 works;
+    an n×n input passes through unchanged). The classic pHash recipe
+    downsamples before the DCT — without this, any non-fixture image
+    size would crash the matmul."""
+    import numpy as np
+
+    h, w = px.shape
+    if (h, w) == (n, n):
+        return px
+    rb = np.linspace(0, h, n + 1).round().astype(int)
+    cb = np.linspace(0, w, n + 1).round().astype(int)
+    out = np.empty((n, n), dtype=float)
+    for i in range(n):
+        r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
+        for j in range(n):
+            c0, c1 = cb[j], max(cb[j + 1], cb[j] + 1)
+            out[i, j] = px[min(r0, h - 1) : min(r1, h), min(c0, w - 1) : min(c1, w)].mean()
+    return out
+
+
 def phash(
     media: DataFrame,
     decode_mode: str = "real",
@@ -325,6 +347,7 @@ def phash(
                 else:
                     raw = np.frombuffer(b[:64].ljust(64, b"\0"), dtype=np.uint8)
                     px = raw.astype(float).reshape(8, 8)
+                px = _pool_gray(px, 8)
                 d = C @ px @ C.T
                 ac = d.flatten()[1:]  # drop the DC coefficient
                 bits = ac > np.median(ac)

@@ -43,10 +43,14 @@ def skew_hybrid_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
     if hot_keys is None:
+        # certify=False: exactness of the top-k is irrelevant here — ANY
+        # plausible hot-key list keeps the union exact (the split is by
+        # membership, not rank), and a roughly-uniform key distribution
+        # must not make the JOIN fail with an uncertifiable-top-k error.
         hot_keys = [
             r[key_col]
             for r in heavy_hitters(
-                big, key_col, k=n_hot, capacity=capacity
+                big, key_col, k=n_hot, capacity=capacity, certify=False
             ).collect()
         ]
     if not hot_keys:
@@ -77,37 +81,59 @@ def join_diagnosis(
     grouped counts plus a full-outer join of two key tables, orders of
     magnitude below running the join to find out it explodes."""
     rk = right_key or left_key
+    # NULL keys ride the same grouped counts (one NULL group per side)
+    # so the whole report really is one key-count pass per side — no
+    # extra full-table scans, and nothing is eager until the caller
+    # acts on the returned DataFrame.
     lc = (
         left.select(F.col(left_key).alias("k"))
-        .filter(F.col("k").isNotNull())
         .groupBy("k")
         .agg(F.count("*").alias("lc"))
     )
     rc = (
         right.select(F.col(rk).alias("k"))
-        .filter(F.col("k").isNotNull())
         .groupBy("k")
         .agg(F.count("*").alias("rc"))
     )
-    j = lc.join(rc, "k", "full_outer")
-    stats = j.agg(
-        F.sum("lc").alias("left_rows"),
-        F.sum("rc").alias("right_rows"),
-        F.count(F.col("lc")).alias("left_keys"),
-        F.count(F.col("rc")).alias("right_keys"),
-        F.sum(
-            F.when(F.col("lc").isNotNull() & F.col("rc").isNotNull(), 1).otherwise(0)
-        ).alias("matched_keys"),
-        F.sum(F.when(F.col("rc").isNull(), 1).otherwise(0)).alias("left_only_keys"),
-        F.sum(F.when(F.col("lc").isNull(), 1).otherwise(0)).alias("right_only_keys"),
-        F.coalesce(
-            F.sum(F.col("lc") * F.col("rc")), F.lit(0)
-        ).alias("inner_join_rows"),
-        F.coalesce(F.max("lc"), F.lit(0)).alias("max_left_fanout"),
-        F.coalesce(F.max("rc"), F.lit(0)).alias("max_right_fanout"),
+    j = lc.join(rc, lc["k"].eqNullSafe(rc["k"]), "full_outer").select(
+        F.coalesce(lc["k"], rc["k"]).alias("k"),
+        (lc["k"].isNull() & rc["k"].isNull()).alias("is_null_key"),
+        "lc",
+        "rc",
     )
-    l_nulls = left.filter(F.col(left_key).isNull()).count()
-    r_nulls = right.filter(F.col(rk).isNull()).count()
-    return stats.withColumn("left_null_keys", F.lit(l_nulls)).withColumn(
-        "right_null_keys", F.lit(r_nulls)
+    nn = ~F.col("is_null_key")
+    return j.agg(
+        F.coalesce(F.sum(F.when(nn, F.col("lc"))), F.lit(0)).alias("left_rows"),
+        F.coalesce(F.sum(F.when(nn, F.col("rc"))), F.lit(0)).alias("right_rows"),
+        F.count(F.when(nn, F.col("lc"))).alias("left_keys"),
+        F.count(F.when(nn, F.col("rc"))).alias("right_keys"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    nn & F.col("lc").isNotNull() & F.col("rc").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("matched_keys"),
+        F.coalesce(
+            F.sum(F.when(nn & F.col("rc").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("left_only_keys"),
+        F.coalesce(
+            F.sum(F.when(nn & F.col("lc").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("right_only_keys"),
+        F.coalesce(
+            F.sum(F.when(nn, F.col("lc") * F.col("rc"))), F.lit(0)
+        ).alias("inner_join_rows"),
+        F.coalesce(F.max(F.when(nn, F.col("lc"))), F.lit(0)).alias(
+            "max_left_fanout"
+        ),
+        F.coalesce(F.max(F.when(nn, F.col("rc"))), F.lit(0)).alias(
+            "max_right_fanout"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("is_null_key"), F.col("lc"))), F.lit(0)
+        ).alias("left_null_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_null_key"), F.col("rc"))), F.lit(0)
+        ).alias("right_null_keys"),
     )

@@ -235,7 +235,33 @@ def refresh_agg(
         F.count("*").alias("__nc"),
         *[F.sum(c).alias(f"__ns_{c}") for c in sum_cols],
     )
-    delta = pos.join(neg, group_cols, "full_outer").select(
+    # GROUP BY treats NULL as one group, so the merges must use
+    # NULL-SAFE equality — a plain full-outer on group_cols would leave
+    # the NULL group's aggregate row unmatched with its delta (stale
+    # count + an orphan delta), silently diverging from a re-aggregate.
+    def _nullsafe_outer(left, right, lprefix, rprefix):
+        lt = left.select(
+            *[F.col(c).alias(f"{lprefix}{c}") for c in group_cols],
+            *[c for c in left.columns if c not in group_cols],
+        )
+        rt = right.select(
+            *[F.col(c).alias(f"{rprefix}{c}") for c in group_cols],
+            *[c for c in right.columns if c not in group_cols],
+        )
+        cond = F.lit(True)
+        for c in group_cols:
+            cond = cond & F.col(f"{lprefix}{c}").eqNullSafe(F.col(f"{rprefix}{c}"))
+        j = lt.join(rt, cond, "full_outer")
+        return j.select(
+            *[
+                F.coalesce(F.col(f"{lprefix}{c}"), F.col(f"{rprefix}{c}")).alias(c)
+                for c in group_cols
+            ],
+            *[c for c in left.columns if c not in group_cols],
+            *[c for c in right.columns if c not in group_cols],
+        )
+
+    delta = _nullsafe_outer(pos, neg, "__pg_", "__ng_").select(
         *group_cols,
         (F.coalesce("__pc", F.lit(0)) - F.coalesce("__nc", F.lit(0))).alias(
             "__dc"
@@ -248,7 +274,7 @@ def refresh_agg(
             for c in sum_cols
         ],
     )
-    merged = agg.join(delta, group_cols, "full_outer").select(
+    merged = _nullsafe_outer(agg, delta, "__ag_", "__dg_").select(
         *group_cols,
         (
             F.coalesce(count_col, F.lit(0)) + F.coalesce("__dc", F.lit(0))

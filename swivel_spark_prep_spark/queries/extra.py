@@ -2475,7 +2475,7 @@ def x73(spark, sf_dir):
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (
   SELECT doc_id, r.i AS pos,
-         md5(array_to_string(t[r.i:r.i+3], ' ')) || lpad(r.i::VARCHAR, 6, '0') AS sel_key
+         md5(array_to_string(t[r.i:r.i+3], ' ')) || lpad(r.i::VARCHAR, 12, '0') AS sel_key
   FROM toks, UNNEST(range(1, len(t) - 4 + 2)) AS r(i)),
 s AS (
   SELECT doc_id, pos,

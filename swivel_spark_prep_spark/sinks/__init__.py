@@ -118,6 +118,11 @@ def write_avro(
 
     from swivel_spark_prep_spark.sinks import avro as av
 
+    if codec not in ("null", "deflate"):
+        # must fail at write time — stamping an unimplemented codec name
+        # into the container metadata would produce files every reader
+        # (including sources.read_avro) rejects as corrupt
+        raise ValueError(f"unsupported avro codec: {codec}")
     if overwrite:
         import shutil
 

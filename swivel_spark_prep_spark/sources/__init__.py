@@ -110,9 +110,11 @@ def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> Data
     ``schema`` (Spark DDL) skips the driver-side peek; without it the
     lexicographically-first part file's header is read locally to learn
     the schema (a driver-mounted path, same contract as the CLI inputs —
-    pass ``schema`` for object-store paths). Every file's embedded
-    schema is still validated executor-side, so a mixed-schema directory
-    fails loudly instead of misdecoding."""
+    pass ``schema`` for object-store paths). Either way every file's
+    embedded schema is validated executor-side against the expected
+    Avro schema (derived from the DDL when one is passed), so a
+    mixed-schema or mis-declared directory fails loudly instead of
+    misdecoding columns by position."""
     import glob as _glob
     import json as _json
     from collections.abc import Iterator
@@ -122,6 +124,8 @@ def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> Data
     from swivel_spark_prep_spark.sinks import avro as av
 
     configure_runtime(spark)
+    from pyspark.sql.types import StructType
+
     if schema is None:
         parts = sorted(_glob.glob(f"{path}/part-*.avro")) or sorted(
             _glob.glob(path)
@@ -130,14 +134,14 @@ def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> Data
             raise FileNotFoundError(f"no avro files under {path}")
         with open(parts[0], "rb") as fh:
             head = fh.read(1 << 20)
-        avsc_ref, _ = None, None
         avsc_ref = av.read_container_header(head)
         schema = av.spark_schema_for(avsc_ref)
-        expected = _json.dumps(avsc_ref, sort_keys=True)
     else:
-        expected = None
-
-    from pyspark.sql.types import StructType
+        # derive the expected Avro schema from the declared DDL — the
+        # validation must run in BOTH modes, or a mis-declared schema
+        # would silently map decoded values to columns by position
+        avsc_ref = av.avro_schema_for(StructType.fromDDL(schema))
+    expected = _json.dumps(avsc_ref, sort_keys=True)
 
     ddl_schema = StructType.fromDDL(schema)
     tns = [
@@ -152,11 +156,9 @@ def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> Data
         for pdf in batches:
             for content in pdf["content"]:
                 avsc, rows = av.read_container(bytes(content))
-                if expected is not None and _json.dumps(
-                    avsc, sort_keys=True
-                ) != expected:
+                if _json.dumps(avsc, sort_keys=True) != expected:
                     raise ValueError(
-                        "avro file schema differs from directory schema"
+                        "avro file schema differs from expected schema"
                     )
                 cols = {}
                 for i, (name, tn) in enumerate(tns):

@@ -291,14 +291,21 @@ def stream_sessionize(
     production e.g. first/last event ids, funnels, device merges) and
     decides emission itself.
 
-    Per key the state is the one OPEN session ``(start_ms, end_ms, n)``.
-    Each batch merges its events (sorted by ts) into the state: a gap
-    > ``gap_seconds`` closes the running session (emitted immediately)
-    and opens a new one. The surviving open session registers an
-    event-time timeout at ``end + gap``; when the watermark passes it,
-    the timeout fires and the session closes with no further input —
-    exactly session_window's close rule, so emitted rows match
-    `session_agg` (s_end = last event + gap; equality is test-pinned).
+    Per key the state is the one OPEN session ``(start_us, end_us, n)``
+    treated as an INTERVAL: each batch's events (sorted) merge into it —
+    an event within ``[start − gap, end + gap]`` extends the interval on
+    either side (so a late-but-within-watermark event from an earlier
+    micro-batch merges instead of corrupting the running session), an
+    event past ``end + gap`` closes the session and opens a new one, and
+    an event before ``start − gap`` (deeper-late than the open session
+    reaches) emits as its own immediate session — the one divergence
+    from batch session_window, which could still have merged it with an
+    even-earlier neighbor; within the watermark contract such events
+    do not occur. The surviving open session registers an event-time
+    timeout at ``end + gap``; when the watermark passes it, the session
+    closes with no further input — exactly session_window's close rule,
+    so emitted rows match `session_agg` (s_end = last event + gap;
+    equality is test-pinned, including a late-cross-batch replay).
     A timeout already behind the watermark (possible when a batch's own
     max ts advanced the watermark past a stale key) emits immediately.
 
@@ -335,8 +342,14 @@ def stream_sessionize(
                 elif t - e > gap_us:
                     out.append((key[0], s, e, n))
                     s, e, n = t, t, 1
+                elif t < s - gap_us:
+                    # deeper-late than the open interval reaches:
+                    # emit as its own session (see docstring)
+                    out.append((key[0], t, t, 1))
                 else:
-                    e, n = t, n + 1
+                    # interval merge — handles late events: extend start
+                    # downward, end upward, never move end backwards
+                    s, e, n = min(s, t), max(e, t), n + 1
             wm_us = state.getCurrentWatermarkMs() * 1000
             if e + gap_us <= wm_us:
                 # already closeable — the watermark outran this key

@@ -217,3 +217,25 @@ def test_audio_fingerprint_amplitude_invariant(spark):
     s3 = {r.fp for r in fp if r.doc_id == 3}
     assert s1 and s1 == s2  # amplitude-invariant
     assert len(s1 & s3) < len(s1)  # different signal separates
+
+
+def test_phash_handles_non_8x8_images(spark):
+    """Real-world images aren't 8x8: a 16x16 BMP must hash (area-pooled
+    to 8x8 first, per the classic recipe), and a 2x-upscaled image must
+    hash IDENTICALLY to its original (block means reproduce the source
+    pixels exactly)."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators import codecs
+    from swivel_spark_prep_spark.operators.multimodal import phash
+
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 255, size=(8, 8)).astype(np.uint8)
+    big = np.kron(small, np.ones((2, 2), dtype=np.uint8))  # 16x16 upscale
+    rows = [
+        (1, bytearray(codecs.encode_bmp(small))),
+        (2, bytearray(codecs.encode_bmp(big))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = {r.doc_id: r.phash for r in phash(df).collect()}
+    assert h[1] == h[2]

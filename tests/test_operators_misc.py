@@ -1110,3 +1110,48 @@ def test_cli_corpus_stats(spark, sf_dir, capsys):
     assert f"docs={n} " in out
     assert "gopher_pass=" in out and "lang_mix=" in out
     assert "near_dup_pairs=" in out
+
+
+def test_refresh_agg_null_group_column(spark):
+    """GROUP BY treats NULL as a group; the delta merge must too (plain
+    equality joins would strand the NULL group's delta)."""
+    from swivel_spark_prep_spark.operators.upsert import refresh_agg, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, 5.0), (2, None, 3.0), (3, "x", 1.0)],
+        "k int, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, None, 3.0), (3, "x", 1.0)], "k int, g string, v double"
+    )  # k=1 (NULL group) deleted
+    agg_old = old.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sum_v")
+    )
+    got = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in refresh_agg(
+            agg_old, old, snapshot_diff(old, new, ["k"]),
+            key_cols=["k"], group_cols=["g"], sum_cols=["v"],
+        ).collect()
+    }
+    assert got == {None: (1, 3.0), "x": (1, 1.0)}
+
+
+def test_avro_explicit_schema_still_validates(spark, sf_dir, tmp_path):
+    """Passing an explicit DDL must not disable the per-file schema
+    check: a wrong declaration fails loudly instead of misdecoding
+    columns by position; the correct declaration round-trips."""
+    from swivel_spark_prep_spark.sinks import write_avro
+    from swivel_spark_prep_spark.sources import read_avro
+
+    src = load_table(spark, sf_dir, "nation")
+    d = str(tmp_path / "nation_avro")
+    write_avro(src, d)
+    ok = read_avro(
+        spark, d, schema="n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, src.collect()))
+    with pytest.raises(Exception, match="differs from expected"):
+        read_avro(
+            spark, d, schema="n_name string, n_nationkey bigint, n_regionkey bigint"
+        ).collect()

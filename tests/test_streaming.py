@@ -702,3 +702,67 @@ def test_stream_sessionize_matches_batch_session_window(
         assert got == want
     finally:
         query.stop()
+
+
+def test_stream_sessionize_merges_late_cross_batch_event(spark, tmp_path):
+    """A late (but within-watermark) event arriving one micro-batch
+    after a later event of the same session must MERGE into the open
+    session interval — not move its end backwards or split it — so the
+    closed session still equals batch session_window."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.streaming import (
+        events_file_stream,
+        run_stream,
+        session_agg,
+        stream_sessionize,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid=7):
+        return (eid, base + datetime.timedelta(minutes=minutes), uid, "view", 1.0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batches = [
+        [ev(1, 0)],            # 10:00
+        [ev(2, -20)],          # 09:40 — LATE, within gap of the open session
+        [ev(3, 10)],           # 10:10 — same session
+        [(99, base + datetime.timedelta(days=30), 999999, "view", 0.0)],
+        [(98, base + datetime.timedelta(days=31), 999999, "view", 0.0)],
+    ]
+    replay = tmp_path / "late_replay"
+    replay.mkdir()
+    for i, rows in enumerate(batches):
+        d = tmp_path / f"lb{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0], str(replay / f"{i:02d}.parquet")
+        )
+    _stamp_mtimes(str(replay))
+
+    all_events = spark.createDataFrame(
+        [r for b in batches[:3] for r in b], schema
+    )
+    stream = events_file_stream(
+        spark, str(replay), all_events.schema, watermark="2 hours"
+    )
+    result, query = run_stream(
+        stream_sessionize(stream, gap_seconds=1800), "append"
+    )
+    try:
+        got = sorted(
+            (r.user_id, r.s_start, r.s_end, r.cnt)
+            for r in result.filter(F.col("user_id") != 999999).collect()
+        )
+        want = sorted(
+            (r.user_id, r.s_start, r.s_end, r.cnt)
+            for r in session_agg(all_events, "30 minutes").collect()
+        )
+        assert got == want, (got, want)
+        assert len(got) == 1 and got[0][3] == 3  # one merged 3-event session
+    finally:
+        query.stop()
