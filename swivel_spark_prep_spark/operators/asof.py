@@ -64,3 +64,56 @@ def asof_join(
     aggs = [pick(c, "__r_ts").alias(c) for c in out_right if c != "__r_ts"]
     aggs.append(pick("__r_ts", "__r_ts").alias(f"{right_ts}{suffix}"))
     return joined.groupBy(*left.columns).agg(*aggs)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str = "s_start",
+    a_end: str = "s_end",
+    b_start: str = "s_start",
+    b_end: str = "s_end",
+    bucket_seconds: int = 1800,
+    a_prefix: str = "a_",
+    b_prefix: str = "b_",
+) -> DataFrame:
+    """Interval OVERLAP join — pairs of rows whose half-open time
+    intervals ``[start, end)`` intersect — WITHOUT the nested-loop join
+    a raw theta condition degenerates to. Each interval explodes to the
+    time buckets it covers (``bucket_seconds`` wide); candidates come
+    from a plain equi-join on the bucket index, exact candidates are
+    deduplicated (an overlapping pair can share several buckets) and
+    verified with the true overlap predicate. Pick ``bucket_seconds``
+    near the typical interval length: candidates per pair stay O(1)
+    and the join shuffles on a well-distributed integer key — the same
+    rewrite Q11 applies to scalar ranges, lifted to intervals.
+
+    All a-columns come back prefixed ``a_``, b-columns ``b_``. Rows
+    whose prefixed column sets are fully identical collapse in the
+    dedup — give rows distinct keys (session tables naturally have
+    them). Intervals with end ≤ start are empty and match nothing.
+    """
+    w_us = bucket_seconds * 1_000_000
+
+    def bucketed(df, start, end, prefix):
+        out = df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns]
+        )
+        s_us = F.unix_micros(F.col(f"{prefix}{start}").cast("timestamp"))
+        e_us = F.unix_micros(F.col(f"{prefix}{end}").cast("timestamp"))
+        return out.filter(e_us > s_us).withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / w_us),
+                    F.floor((e_us - 1) / w_us),  # e−1µs: end is exclusive
+                )
+            ),
+        )
+    ab = bucketed(a, a_start, a_end, a_prefix)
+    bb = bucketed(b, b_start, b_end, b_prefix)
+    cand = ab.join(bb, "__bk").drop("__bk").dropDuplicates()
+    return cand.filter(
+        (F.col(f"{a_prefix}{a_start}") < F.col(f"{b_prefix}{b_end}"))
+        & (F.col(f"{b_prefix}{b_start}") < F.col(f"{a_prefix}{a_end}"))
+    )

@@ -2909,3 +2909,43 @@ def x86(spark, sf_dir):
     from swivel_spark_prep_spark.operators.textstats import compression_signal
 
     return compression_signal(docs).orderBy("doc_id")
+
+
+@_declare(
+    "X87_interval_overlap_join",
+    # Bucketized interval-overlap join (asof.interval_overlap_join):
+    # even-user sessions × odd-user sessions that temporally intersect
+    # (half-open [start, end)). The operator explodes intervals to
+    # 30-min bucket indexes and equi-joins on the bucket — never the
+    # raw theta BNLJ the oracle runs (the oracle IS the plain theta
+    # join, so parity proves the bucket rewrite exact).
+    """WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess0 AS (
+  SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks),
+sess AS (
+  SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end
+  FROM sess0 GROUP BY user_id, sid),
+a AS (SELECT * FROM sess WHERE user_id % 2 = 0),
+b AS (SELECT * FROM sess WHERE user_id % 2 = 1)
+SELECT a.user_id AS a_user, COUNT(*)::BIGINT AS n_overlaps
+FROM a JOIN b ON a.s_start < b.s_end AND b.s_start < a.s_end
+GROUP BY 1 ORDER BY 1;""",
+)
+def x87(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.asof import interval_overlap_join
+    from swivel_spark_prep_spark.streaming import session_agg
+
+    sess = session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+    a = sess.filter(F.col("user_id") % 2 == 0)
+    b = sess.filter(F.col("user_id") % 2 == 1)
+    return (
+        interval_overlap_join(a, b, bucket_seconds=1800)
+        .groupBy(F.col("a_user_id").alias("a_user"))
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("a_user")
+    )

@@ -381,3 +381,19 @@ def test_skew_hybrid_join_left_preserves_null_and_unmatched(spark):
     assert Counter(map(tuple, got.collect())) == Counter(
         map(tuple, want.collect())
     )
+
+
+def test_interval_overlap_join_is_equi_join_not_bnlj(spark, sf_dir):
+    """The bucket rewrite must produce an equi-join plan (hash or
+    sort-merge on the bucket key), never BroadcastNestedLoopJoin — the
+    degenerate plan a raw interval-overlap theta condition yields."""
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.asof import interval_overlap_join
+    from swivel_spark_prep_spark.streaming import session_agg
+
+    sess = session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+    a = sess.filter(F.col("user_id") % 2 == 0)
+    b = sess.filter(F.col("user_id") % 2 == 1)
+    plan = formatted_plan(interval_overlap_join(a, b))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
