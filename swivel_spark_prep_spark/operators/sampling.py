@@ -192,3 +192,36 @@ def temperature_resample(
         .filter(hash_bucket(F.col(key_col), n, salt) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    key_out: str = "es_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    (2006): draw key = u^(1/w) with u uniform in (0, 1], keep the top-k
+    keys — inclusion probabilities are exactly proportional-to-weight
+    without replacement, in one pass, with no global sort (top-k by key
+    is Spark's TakeOrdered). The uniform comes from md5 of the id, so
+    the sample is DETERMINISTIC and DuckDB-replayable (X88) — the
+    reproducibility contract every sampling op in this module follows:
+    re-running a curation pipeline must select the same documents.
+
+    Rows with weight ≤ 0 or NULL are excluded (zero-weight items have
+    inclusion probability 0 in the E-S scheme). Ties (impossible with
+    real weights, possible after rounding) break by ``id_col``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + 1) / F.lit(4294967296.0)  # (0, 1]
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(key_out, key)
+        .orderBy(F.col(key_out).desc(), id_col)
+        .limit(k)
+    )

@@ -2949,3 +2949,29 @@ def x87(spark, sf_dir):
         .agg(F.count("*").alias("n_overlaps"))
         .orderBy("a_user")
     )
+
+
+@_declare(
+    "X88_weighted_sample",
+    # Efraimidis-Spirakis weighted sampling without replacement
+    # (sampling.weighted_sample): key = u^(1/w) with u a deterministic
+    # md5-uniform, top-50 by key (TakeOrdered, no global sort), weight
+    # = token count. The oracle replays the identical arithmetic, so
+    # the selected set (and key values to 6 dp) match exactly.
+    """WITH w AS (
+  SELECT doc_id, len(string_split(text,' '))::DOUBLE AS wt,
+         (('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT + 1) / 4294967296.0 AS u
+  FROM documents),
+k AS (SELECT doc_id, wt, pow(u, 1.0/wt) AS es_key FROM w WHERE wt > 0)
+SELECT doc_id, ROUND(es_key, 6) AS es_key
+FROM k ORDER BY es_key DESC, doc_id LIMIT 50;""",
+)
+def x88(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "wt", F.size(F.split("text", " ")).cast("double")
+    )
+    return weighted_sample(docs, "wt", 50).select(
+        "doc_id", F.round("es_key", 6).alias("es_key")
+    )

@@ -1155,3 +1155,25 @@ def test_avro_explicit_schema_still_validates(spark, sf_dir, tmp_path):
         read_avro(
             spark, d, schema="n_name string, n_nationkey bigint, n_regionkey bigint"
         ).collect()
+
+
+def test_weighted_sample_properties(spark):
+    """E-S keys: deterministic across runs; a weight-0/NULL row never
+    selected; raising a row's weight can only raise its key (u^(1/w)
+    is increasing in w for u in (0,1])."""
+    from swivel_spark_prep_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(i % 7 + 1)) for i in range(100)] + [
+        (100, 0.0),
+        (101, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    a = [r.doc_id for r in weighted_sample(df, "wt", 10).collect()]
+    b = [r.doc_id for r in weighted_sample(df, "wt", 10).collect()]
+    assert a == b and 100 not in a and 101 not in a
+
+    boosted = df.withColumn(
+        "wt", F.when(F.col("doc_id") == 5, 1e9).otherwise(F.col("wt"))
+    )
+    top = [r.doc_id for r in weighted_sample(boosted, "wt", 10).collect()]
+    assert 5 in top  # near-infinite weight → key ≈ 1 → always selected
