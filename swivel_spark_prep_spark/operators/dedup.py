@@ -15,7 +15,7 @@ shingle arrays only for candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from swivel_spark_prep_spark.cache import track_persist
@@ -1084,4 +1084,66 @@ def prefix_filter_jaccard_join(
         )
         .filter(F.col("jac") >= threshold)
         .select("i", "j", F.round("jac", 4).alias("jac"))
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernandez & Stolfo's
+    merge/purge blocking): sort the corpus by a blocking key, compare
+    each record only against its next ``window`` neighbours in that
+    order, exact-verify candidates with distinct-token Jaccard ≥
+    ``threshold``. The classic alternative to LSH when duplicates
+    cluster under a cheap sort key (here: the first 12 chars of the
+    lowercased text, override via ``key``).
+
+    Scale design: the global sort order is realized WITHOUT a global
+    window — the 0-based rank comes from the same two-pass
+    range-partitioned prefix sum as packing (partition-local ranks +
+    per-partition offsets from totals). Candidate generation explodes
+    each row to ``window`` partner ranks and equi-joins on rank, so the
+    candidate relation is exactly ``window · N`` rows — linear, never
+    quadratic — and the verify joins shuffle only candidates. Returns
+    (d1, d2, jac) with d1 < d2 by id, ordered.
+    """
+    from swivel_spark_prep_spark.operators.packing import _exclusive_prefix_sum
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    key = key if key is not None else F.substring(F.lower(F.col(text_col)), 1, 12)
+    slim = docs.select(
+        F.col(id_col).alias("_id"), key.alias("_snk"), F.lit(1).alias("_one")
+    )
+    ranked = _exclusive_prefix_sum(slim, "_one", ["_snk", "_id"], "_rank").drop(
+        "_one", "_snk"
+    )
+    a = ranked.select(F.col("_id").alias("_aid"), F.col("_rank").alias("_ar"))
+    b = ranked.select(
+        F.col("_id").alias("_bid"),
+        F.explode(F.sequence(F.col("_rank") - window, F.col("_rank") - 1)).alias("_ar"),
+    ).filter(F.col("_ar") >= 0)
+    cand = a.join(b, "_ar").select(
+        F.least("_aid", "_bid").alias("d1"), F.greatest("_aid", "_bid").alias("d2")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_tid"),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), " ")).alias("_toks"),
+    )
+    t1 = toks.select(F.col("_tid").alias("d1"), F.col("_toks").alias("_t1"))
+    t2 = toks.select(F.col("_tid").alias("d2"), F.col("_toks").alias("_t2"))
+    inter = F.size(F.array_intersect("_t1", "_t2"))
+    jac = inter / (F.size("_t1") + F.size("_t2") - inter)
+    return (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= threshold)
+        .select("d1", "d2", F.round("_jac", 4).alias("jac"))
+        .orderBy("d1", "d2")
     )

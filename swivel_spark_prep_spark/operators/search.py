@@ -1,0 +1,113 @@
+"""Full-text search primitives: inverted index + BM25 ranking.
+
+The retrieval side of a training-data pipeline (mining documents for a
+topic, building eval retrieval sets, nearest-neighbour text lookup
+without embeddings). Two entry points:
+
+- :func:`build_inverted_index` — the classic posting-list relation
+  (term, doc_id, tf) plus per-term document frequency, produced by one
+  explode + one aggregate. At 100 TB this is the standard "index build"
+  shuffle: partitioned by term, combiner-friendly (partial counts
+  map-side), no driver state.
+- :func:`bm25_topk` — score documents for a small query-term set with
+  BM25 (Robertson/Sparck Jones; the Lucene ``k1``/``b`` parametrization
+  with the non-negative ``ln(1 + (N-df+0.5)/(df+0.5))`` idf) and return
+  the global top-k.
+
+Scale design of ``bm25_topk``: the query-term filter is applied to the
+token stream BEFORE any aggregation, so the only shuffled relation is
+(docs containing a query term) — proportional to the posting lists of
+the query, not the corpus. Corpus-level constants (N, avgdl) are one
+1-row aggregate broadcast back via crossJoin; per-term df is a
+|query|-row aggregate, also broadcast. The final top-k is
+``orderBy(...).limit(k)`` which Spark executes as TakeOrdered (per
+partition heap + driver merge of k·P rows), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def build_inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Posting lists: one row per (term, doc) with the term frequency and
+    the term's document frequency. Partitioned by the groupBy on
+    (term, doc) — partial aggregation runs map-side, and the df window
+    is per-term (re-uses the same hash partitioning on term)."""
+    tf = _tokens(docs, id_col, text_col).groupBy("term", id_col).agg(
+        F.count("*").alias("tf")
+    )
+    # df per term via a second small aggregate + join rather than a
+    # window: the (term, df) relation is |vocab| rows — tiny next to the
+    # posting lists — and the join re-shuffles on term only.
+    df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return tf.join(df_by_term, "term").select("term", id_col, "tf", "df")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global BM25 top-k for ``query_terms``: (doc_id, score) with
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``,
+    ties broken by ascending doc id. Scores are exact doubles; callers
+    wanting cross-engine comparability should round."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = _tokens(docs, id_col, text_col)
+    # per-document length from the raw text — one projection, no shuffle
+    dl = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.col(text_col)), " ")).cast("double").alias("dl"),
+    )
+    # corpus constants: single-row aggregate, broadcast via crossJoin
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # filter to query terms FIRST: everything downstream is sized by the
+    # query's posting lists, not the corpus
+    qtf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    qdf = qtf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -2975,3 +2975,61 @@ def x88(spark, sf_dir):
     return weighted_sample(docs, "wt", 50).select(
         "doc_id", F.round("es_key", 6).alias("es_key")
     )
+
+
+@_declare(
+    "X89_bm25_topk",
+    # BM25 top-10 for a 3-term query (search.bm25_topk): the Spark plan
+    # filters the token stream to the query terms BEFORE aggregating, so
+    # every shuffled relation is sized by the query's posting lists; the
+    # oracle replays the same Lucene-parametrized BM25 arithmetic
+    # (idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75) corpus-wide.
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents),
+qtf AS (SELECT term, doc_id, COUNT(*)::DOUBLE AS tf FROM toks
+        WHERE term IN ('spark','join','vector') GROUP BY 1,2),
+qdf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM qtf GROUP BY 1),
+dl AS (SELECT doc_id, len(string_split(lower(text),' '))::DOUBLE AS dl FROM documents),
+st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+sc AS (SELECT qtf.doc_id AS doc_id,
+              SUM( ln(1 + (n_docs - df + 0.5)/(df + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) ) AS score
+       FROM qtf JOIN qdf USING(term) JOIN dl ON qtf.doc_id = dl.doc_id CROSS JOIN st
+       GROUP BY 1)
+SELECT doc_id, ROUND(score, 4) AS score FROM sc ORDER BY score DESC, doc_id LIMIT 10;""",
+)
+def x89(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "vector"], k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+@_declare(
+    "X90_sorted_neighborhood",
+    # Sorted-neighborhood near-dup pairs (dedup.sorted_neighborhood_pairs):
+    # block by sorting on the first 12 chars of lower(text), compare each
+    # record against its next 5 neighbours only, verify with distinct-token
+    # Jaccard >= 0.9. The Spark rank comes from the two-pass
+    # range-partitioned prefix sum (no global window); the oracle realizes
+    # the identical total order with ROW_NUMBER, so parity proves the
+    # distributed rank exact.
+    """WITH r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY substr(lower(text),1,12), doc_id) - 1 AS rnk,
+         list_distinct(string_split(lower(text),' ')) AS toks
+  FROM documents),
+cand AS (
+  SELECT LEAST(a.doc_id,b.doc_id) AS d1, GREATEST(a.doc_id,b.doc_id) AS d2,
+         a.toks AS ta, b.toks AS tb
+  FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 5),
+j AS (SELECT d1, d2,
+        len(list_intersect(ta,tb))::DOUBLE / (len(ta)+len(tb)-len(list_intersect(ta,tb))) AS jac
+      FROM cand)
+SELECT d1, d2, ROUND(jac,4) AS jac FROM j WHERE jac >= 0.9 ORDER BY d1, d2;""",
+)
+def x90(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(docs, window=5, threshold=0.9)
