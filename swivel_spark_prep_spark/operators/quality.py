@@ -169,3 +169,40 @@ def drift_report(
         .otherwise(F.lit("drifted"))
         .alias("verdict"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flags via the median-absolute-deviation rule: a
+    row is an outlier when ``|x - median| > k * 1.4826 * MAD`` within
+    its group (1.4826 scales MAD to sigma under normality, so ``k`` is
+    in sigma units — the Iglewicz-Hoberg / robust-z convention that
+    survives the very outliers a mean/stddev rule would absorb).
+
+    Two grouped aggregates with exact medians (median of x, then median
+    of |x - med|), each a hash shuffle on the group key; the per-group
+    (median, MAD) relation is group-cardinality-sized and broadcast
+    back onto the rows. Returns the input plus ``_median``, ``_mad``,
+    ``_outlier``. A degenerate group (MAD = 0) flags any deviation from
+    the median, the standard convention."""
+    gcols = group_cols or []
+
+    def _grp(frame):
+        return frame.groupBy(*gcols) if gcols else frame.groupBy()
+
+    med = _grp(df).agg(F.median(value_col).alias("_median"))
+    with_med = df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(
+        F.broadcast(med)
+    )
+    dev = with_med.withColumn("_adev", F.abs(F.col(value_col) - F.col("_median")))
+    mad = _grp(dev.select(*gcols, "_adev")).agg(F.median("_adev").alias("_mad"))
+    with_mad = dev.join(F.broadcast(mad), gcols) if gcols else dev.crossJoin(
+        F.broadcast(mad)
+    )
+    return with_mad.withColumn(
+        "_outlier", F.col("_adev") > k * 1.4826 * F.col("_mad")
+    ).drop("_adev")

@@ -1,0 +1,73 @@
+"""Time-series regularization: bucket resampling + gap fill.
+
+Event streams arrive irregularly; model features and monitoring both
+want a dense, fixed-step series per key. :func:`resample_ffill`
+produces one row per (key, bucket) over each key's observed time span —
+buckets with no events are materialized and forward-filled from the
+last observed bucket (the standard last-observation-carried-forward
+resample).
+
+Scale design: buckets are global epoch-aligned integer indexes
+(``floor(epoch_seconds / step)``), so bucket assignment is a pure
+projection (no per-key anchor join). The dense grid comes from
+``sequence(min_idx, max_idx)`` exploded per key — output is linear in
+(span / step) per key, generated executor-side. The only shuffles are
+the per-key aggregate and the per-key window for the forward fill,
+both hash-partitioned on the key; no global window, no driver
+materialization. A key with a years-long span and a tiny step explodes
+to span/step rows — that is inherent to dense resampling, and the
+per-key row budget is the caller's lever (choose ``step_seconds``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    events: DataFrame,
+    step_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense per-key series: (key, bucket_idx, value, is_gap) where
+    ``bucket_idx = floor(epoch(ts)/step)``, ``value`` is the bucket
+    MEAN forward-filled across empty buckets, and ``is_gap`` marks
+    filled rows. The first bucket of a key is observed by construction
+    (the span starts at an observation), so ``value`` is never NULL."""
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
+    # epoch seconds via field arithmetic against the epoch literal —
+    # TIMESTAMP_NTZ cannot cast to double, and unix_* would route
+    # through the session timezone; timestampdiff is tz-free. Whole-
+    # second truncation cannot move a positive timestamp across a
+    # bucket boundary (step is an integer number of seconds).
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({ts_col} as timestamp_ntz))"
+    )
+    bucketed = events.select(
+        F.col(key_col).alias("_k"),
+        F.floor(epoch_s / step_seconds).alias("_b"),
+        F.col(value_col).alias("_v"),
+    )
+    observed = bucketed.groupBy("_k", "_b").agg(F.avg("_v").alias("_obs"))
+    spans = observed.groupBy("_k").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = spans.select(
+        "_k", F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    w = Window.partitionBy("_k").orderBy("_b")
+    return (
+        grid.join(observed, ["_k", "_b"], "left")
+        .withColumn("_fill", F.last("_obs", ignorenulls=True).over(w))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_b").alias("bucket_idx"),
+            F.col("_fill").alias(value_col),
+            F.col("_obs").isNull().alias("is_gap"),
+        )
+    )

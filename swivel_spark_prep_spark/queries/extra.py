@@ -3033,3 +3033,102 @@ def x90(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return sorted_neighborhood_pairs(docs, window=5, threshold=0.9)
+
+
+@_declare(
+    "X91_resample_ffill",
+    # Dense 6-hour resample with forward fill (timeseries.resample_ffill):
+    # epoch-aligned integer buckets (floor(epoch/21600)) make bucket
+    # assignment a pure projection; the grid is sequence(lo, hi) exploded
+    # per user and gaps carry the last observed bucket MEAN. The oracle
+    # replays the identical arithmetic with generate_series +
+    # last_value IGNORE NULLS.
+    """WITH b AS (
+  SELECT user_id, floor(epoch(ts)/21600)::BIGINT AS bidx, value FROM events),
+obs AS (SELECT user_id, bidx, AVG(value) AS obs FROM b GROUP BY 1,2),
+spans AS (SELECT user_id, MIN(bidx) AS lo, MAX(bidx) AS hi FROM obs GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket_idx FROM spans),
+f AS (SELECT g.user_id, g.bucket_idx, obs.obs,
+        last_value(obs.obs IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket_idx
+          ROWS UNBOUNDED PRECEDING) AS fill
+      FROM grid g LEFT JOIN obs ON g.user_id = obs.user_id AND g.bucket_idx = obs.bidx)
+SELECT user_id, bucket_idx, ROUND(fill, 4) AS value, obs IS NULL AS is_gap
+FROM f ORDER BY user_id, bucket_idx;""",
+)
+def x91(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        resample_ffill(ev, 21600)
+        .select(
+            "user_id", "bucket_idx", F.round("value", 4).alias("value"), "is_gap"
+        )
+        .orderBy("user_id", "bucket_idx")
+    )
+
+
+@_declare(
+    "X92_mad_outliers",
+    # Robust per-type outlier stats (quality.mad_outliers): exact medians
+    # via two grouped aggregates broadcast back, |x-med| > 3*1.4826*MAD.
+    # The oracle replays the same two-level median and threshold.
+    """WITH med AS (SELECT event_type, median(value) AS m FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, e.value, abs(e.value - m) AS ad, m FROM events e JOIN med USING(event_type)),
+mad AS (SELECT event_type, median(ad) AS md FROM dev GROUP BY 1)
+SELECT d.event_type, COUNT(*)::BIGINT AS n,
+       SUM(CASE WHEN d.ad > 3.0*1.4826*mad.md THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       ROUND(MAX(d.m),4) AS med, ROUND(MAX(mad.md),4) AS mad
+FROM dev d JOIN mad USING(event_type) GROUP BY 1 ORDER BY 1;""",
+)
+def x92(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = mad_outliers(ev, "value", ["event_type"], k=3.0)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_outlier").cast("long")).alias("n_outliers"),
+            F.round(F.max("_median"), 4).alias("med"),
+            F.round(F.max("_mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _x93_oracle() -> str:
+    numeric = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    other = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    parts = []
+    for c in numeric + other:
+        lo = f"MIN({c})::DOUBLE" if c in numeric else "NULL::DOUBLE"
+        hi = f"MAX({c})::DOUBLE" if c in numeric else "NULL::DOUBLE"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
+            f"COUNT(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"{lo} AS min_value, {hi} AS max_value FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY \"column\";"
+
+
+@_declare(
+    # Single-scan table profiler (profile.profile_table): every column's
+    # null count / NDV / numeric range from ONE aggregate, pivoted long
+    # via an in-row struct explode. exact_ndv=True here for cross-engine
+    # parity; the scale default is HLL. The oracle rescans per column —
+    # the Spark plan is the one-pass one.
+    "X93_profile_table",
+    _x93_oracle(),
+)
+def x93(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li, exact_ndv=True).orderBy("column")
