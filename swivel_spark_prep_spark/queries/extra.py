@@ -3132,3 +3132,37 @@ def x93(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_table(li, exact_ndv=True).orderBy("column")
+
+
+@_declare(
+    "X94_warc_roundtrip",
+    # WARC sink + source round-trip (sinks.write_warc / sources.read_warc
+    # — pure-Python ISO 28500 kernel, record-at-time gzip members per the
+    # Common Crawl layout): write documents as .warc.gz part files, read
+    # them back distributedly (binaryFile + kernel parse), reconstruct
+    # (doc_id from the record id, text from the payload, lang/source from
+    # X-Meta headers) and compare against the source table.
+    """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id;""",
+)
+def x94(spark, sf_dir):
+    from swivel_spark_prep_spark.sinks import write_warc
+    from swivel_spark_prep_spark.sources import read_warc
+
+    path = _io_dir(sf_dir, "documents_warc")
+    write_warc(
+        load_table(spark, sf_dir, "documents"),
+        path,
+        meta_cols=["lang", "source"],
+    )
+    return (
+        read_warc(spark, path)
+        .select(
+            F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+            F.col("headers").getItem("X-Meta-lang").alias("lang"),
+            F.col("headers").getItem("X-Meta-source").alias("source"),
+        )
+        .orderBy("doc_id")
+    )

@@ -214,3 +214,77 @@ def write_avro(
 
     summary = df.mapInPandas(_write, "n long").agg(_F.sum("n")).collect()
     return int(summary[0][0] or 0)
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    payload_col: str = "text",
+    id_col: str = "doc_id",
+    meta_cols: list[str] | None = None,
+    warc_type: str = "resource",
+    date: str = "2024-01-01T00:00:00Z",
+    codec: str = "gzip",
+    overwrite: bool = True,
+) -> int:
+    """Distributed WARC sink (ISO 28500): one ``part-NNNNN.warc[.gz]``
+    per partition, records encoded executor-side by the pure-Python
+    kernel (sinks/warc.py). ``codec='gzip'`` writes record-at-time gzip
+    members — the Common Crawl layout that keeps .warc.gz splittable by
+    member boundary. Record ids derive from ``id_col``
+    (``<urn:doc:ID>``) and ``date`` is a fixed caller-supplied stamp,
+    so output bytes are deterministic for a deterministic frame.
+    ``meta_cols`` become ``X-Meta-<col>`` headers (stringified).
+    Returns the total record count (the only thing collected)."""
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from swivel_spark_prep_spark.sinks import warc as wk
+
+    if codec not in ("none", "gzip"):
+        raise ValueError(f"unsupported warc codec: {codec}")
+    if overwrite:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    metas = meta_cols or []
+    ext = "warc.gz" if codec == "gzip" else "warc"
+
+    def _write(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        fpath = os.path.join(path, f"part-{pid:05d}.{ext}")
+        n = 0
+        f = None
+        for pdf in batches:
+            if f is None:
+                f = open(fpath, "wb")
+            for row in zip(
+                pdf[id_col], pdf[payload_col], *[pdf[m] for m in metas]
+            ):
+                payload = row[1]
+                payload = (
+                    payload.encode("utf-8")
+                    if isinstance(payload, str)
+                    else bytes(payload)
+                )
+                rec = wk.encode_record(
+                    warc_type,
+                    f"<urn:doc:{row[0]}>",
+                    date,
+                    payload,
+                    [(f"X-Meta-{m}", str(v)) for m, v in zip(metas, row[2:])],
+                )
+                f.write(wk.gzip_member(rec) if codec == "gzip" else rec)
+                n += 1
+        if f is not None:
+            f.close()
+        yield pd.DataFrame({"n": [n]})
+
+    import pyspark.sql.functions as _F
+
+    summary = df.mapInPandas(_write, "n long").agg(_F.sum("n")).collect()
+    return int(summary[0][0] or 0)

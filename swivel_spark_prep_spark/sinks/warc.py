@@ -1,0 +1,116 @@
+"""Pure-Python WARC 1.0 kernel (ISO 28500 — the Common Crawl container
+format): record encoder + container parser, shared by the distributed
+sink (``sinks.write_warc``) and source (``sources.read_warc``).
+
+Format, from the public spec: each record is
+
+    WARC/1.0\\r\\n
+    <Name>: <value>\\r\\n ...            (WARC-Type, WARC-Record-ID,
+    \\r\\n                                WARC-Date, Content-Length ...)
+    <Content-Length bytes of payload>
+    \\r\\n\\r\\n                           (record trailer)
+
+``gzip`` mode writes each record as its OWN gzip member concatenated
+into the file — the Common Crawl convention (spec annex: "record-at-
+time compression"), which is what keeps a .warc.gz splittable by
+member boundary. The parser auto-detects gzip by magic and walks
+members with a streaming decompressobj, so memory stays O(record).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+_CRLF = b"\r\n"
+
+
+def encode_record(
+    warc_type: str,
+    record_id: str,
+    date: str,
+    payload: bytes,
+    extra_headers: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """One spec-shaped record. Header order is fixed (version line,
+    WARC-Type, WARC-Record-ID, WARC-Date, extras, Content-Length) so
+    output bytes are deterministic for deterministic inputs."""
+    for k, v in extra_headers or []:
+        if "\r" in v or "\n" in v or ":" in k:
+            raise ValueError(f"invalid WARC header {k!r}: {v!r}")
+    lines = [
+        b"WARC/1.0",
+        f"WARC-Type: {warc_type}".encode(),
+        f"WARC-Record-ID: {record_id}".encode(),
+        f"WARC-Date: {date}".encode(),
+    ]
+    lines += [f"{k}: {v}".encode() for k, v in extra_headers or []]
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    return _CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+
+def gzip_member(record: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)  # wbits 31 = gzip wrapper
+    return co.compress(record) + co.flush()
+
+
+def _split_members(blob: bytes):
+    """Yield decompressed gzip members from a concatenated-member file."""
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(31)
+        out = d.decompress(blob[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC file")
+        yield out
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member consumed no bytes")
+        pos += consumed
+
+
+def parse_warc_bytes(blob: bytes) -> list[dict]:
+    """Parse a WARC container (plain or record-gzipped) into dicts with
+    keys: warc_type, record_id, date, headers (dict of the remaining
+    header fields), payload (bytes). Content-Length drives the walk —
+    payloads may contain anything, including things that look like
+    record boundaries."""
+    if blob[:2] == b"\x1f\x8b":
+        records = []
+        for member in _split_members(blob):
+            records.extend(parse_warc_bytes(member))
+        return records
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("WARC header block without terminating CRLFCRLF")
+        head_lines = blob[pos:head_end].split(_CRLF)
+        if not head_lines[0].startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line: {head_lines[0]!r}")
+        fields = {}
+        for ln in head_lines[1:]:
+            k, _, v = ln.partition(b": ")
+            fields[k.decode()] = v.decode()
+        try:
+            clen = int(fields.pop("Content-Length"))
+        except KeyError:
+            raise ValueError("WARC record missing Content-Length") from None
+        body_start = head_end + 4
+        payload = blob[body_start : body_start + clen]
+        if len(payload) != clen:
+            raise ValueError("truncated WARC payload")
+        if blob[body_start + clen : body_start + clen + 4] != _CRLF + _CRLF:
+            raise ValueError("WARC record missing CRLFCRLF trailer")
+        out.append(
+            {
+                "warc_type": fields.pop("WARC-Type", ""),
+                "record_id": fields.pop("WARC-Record-ID", ""),
+                "date": fields.pop("WARC-Date", ""),
+                "headers": fields,
+                "payload": payload,
+            }
+        )
+        pos = body_start + clen + 4
+    return out

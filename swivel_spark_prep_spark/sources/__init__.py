@@ -183,3 +183,41 @@ def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> Data
                 yield pd.DataFrame(cols, columns=[n for n, _ in tns])
 
     return bf.mapInPandas(_parse, ddl_schema)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC source — the exact inverse of
+    ``sinks.write_warc`` and a reader for any spec-shaped .warc /
+    record-gzipped .warc.gz (the Common Crawl layout): binaryFile (one
+    task per container) + executor-side kernel parse (sinks/warc.py).
+    Returns (record_id, warc_type, date, headers map, payload binary);
+    payload decode is the caller's business — HTML/text extraction
+    composes downstream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from swivel_spark_prep_spark.sinks import warc as wk
+
+    configure_runtime(spark)
+    bf = spark.read.format("binaryFile").load(path).select("content")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = wk.parse_warc_bytes(bytes(content))
+                yield pd.DataFrame(
+                    {
+                        "record_id": [r["record_id"] for r in recs],
+                        "warc_type": [r["warc_type"] for r in recs],
+                        "date": [r["date"] for r in recs],
+                        "headers": [r["headers"] for r in recs],
+                        "payload": [r["payload"] for r in recs],
+                    }
+                )
+
+    return bf.mapInPandas(
+        _parse,
+        "record_id string, warc_type string, date string, "
+        "headers map<string,string>, payload binary",
+    )

@@ -224,3 +224,66 @@ def test_avro_container_detects_corruption():
         data[-8] ^= 0xFF  # flip a sync byte of the last block
         with pytest.raises(ValueError, match="sync"):
             av.read_container(bytes(data))
+
+
+# --- WARC kernel (sinks/warc.py) ---
+
+
+def test_warc_golden_bytes():
+    from swivel_spark_prep_spark.sinks import warc as wk
+
+    rec = wk.encode_record(
+        "resource", "<urn:doc:7>", "2024-01-01T00:00:00Z", b"hi", [("X-Meta-lang", "en")]
+    )
+    assert rec == (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:doc:7>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"X-Meta-lang: en\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"hi\r\n\r\n"
+    )
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+    st.sampled_from(["none", "gzip"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_container_roundtrip(payloads, codec):
+    """Any payload bytes — including CRLF-CRLF look-alikes — survive the
+    container round trip because Content-Length drives the parse."""
+    from swivel_spark_prep_spark.sinks import warc as wk
+
+    recs = [
+        wk.encode_record("resource", f"<urn:doc:{i}>", "2024-01-01T00:00:00Z", p)
+        for i, p in enumerate(payloads)
+    ]
+    blob = (
+        b"".join(wk.gzip_member(r) for r in recs)
+        if codec == "gzip"
+        else b"".join(recs)
+    )
+    parsed = wk.parse_warc_bytes(blob)
+    assert [r["payload"] for r in parsed] == payloads
+    assert [r["record_id"] for r in parsed] == [
+        f"<urn:doc:{i}>" for i in range(len(payloads))
+    ]
+
+
+def test_warc_detects_corruption():
+    import pytest
+
+    from swivel_spark_prep_spark.sinks import warc as wk
+
+    rec = wk.encode_record("resource", "<id>", "2024-01-01T00:00:00Z", b"abcdef")
+    with pytest.raises(ValueError):
+        wk.parse_warc_bytes(rec[:-6])  # truncated payload/trailer
+    with pytest.raises(ValueError):
+        wk.parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n")  # not a WARC
+    with pytest.raises(ValueError):
+        wk.parse_warc_bytes(wk.gzip_member(rec)[:-3])  # truncated member
+    with pytest.raises(ValueError):
+        wk.encode_record("r", "<i>", "d", b"", [("X", "bad\r\nheader")])
