@@ -225,3 +225,52 @@ def weighted_sample(
         .orderBy(F.col(key_out).desc(), id_col)
         .limit(k)
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Exactly-proportional train/val/test split WITHIN each stratum:
+    rows are ranked inside their stratum by a deterministic md5-uniform
+    of the id (ties impossible — the id breaks them), and the rank is
+    cut at floor(cumulative-fraction × stratum size). Unlike the plain
+    :func:`hash_split` (globally ~proportional, per-stratum only in
+    expectation), every stratum here lands within one row of its target
+    fractions — what evaluation-set construction actually needs.
+
+    Scale: one window + one aggregate, both hash-partitioned on the
+    strata columns. Per-stratum ordering means a stratum is one
+    partition's work; strata are assumed plural and bounded (languages,
+    sources). For a single giant stratum use hash_split instead.
+    Fractions must sum to 1 (within 1e-9); assignment order follows the
+    dict order, so {'train': .8, 'val': .1, 'test': .1} cuts at
+    0.8 / 0.9 / 1.0."""
+    from pyspark.sql.window import Window
+
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(u, F.col(id_col))
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
+    with_n = ranked.join(F.broadcast(counts), strata_cols)
+    expr, cum = None, 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cond = F.col("_rn") <= F.floor(F.lit(cum) * F.col("_n") + 1e-9)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    # float guard: the last cut is exactly _n, but keep a fallback for
+    # rank == _n when cumulative floating error rounds the floor down
+    last = list(fractions)[-1]
+    return with_n.withColumn(out_col, expr.otherwise(F.lit(last))).drop("_n", "_rn")

@@ -291,3 +291,35 @@ def compression_signal(
     return docs.select(id_col, text_col).mapInPandas(
         _ratio, schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double"
     )
+
+
+def nfc_normalize(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization (canonical composition) of a text
+    column — the fix for byte-distinct/visually-identical strings
+    (decomposed accents, compatibility forms) that silently break
+    exact dedup and token matching. Spark has no built-in Unicode
+    normalizer, so this runs Python's unicodedata (the reference
+    Unicode implementation) per Arrow batch via mapInPandas — the same
+    seam as every other Python-kernel operator here; NULLs pass
+    through."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if out_col in docs.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    out_schema = StructType(
+        list(docs.schema.fields) + [StructField(out_col, StringType())]
+    )
+
+    def _nfc(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(
+                lambda x: None if x is None else unicodedata.normalize("NFC", x)
+            )
+            yield pdf
+
+    return docs.mapInPandas(_nfc, out_schema)

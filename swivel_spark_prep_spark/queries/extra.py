@@ -3166,3 +3166,98 @@ def x94(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@_declare(
+    "X95_file_provenance",
+    # Row-level file lineage (sources.read_parquet_with_provenance):
+    # write lineitem partitioned by l_returnflag, read it back with the
+    # scan-side _metadata.file_path column, and recover each row's
+    # partition purely from its FILE PATH. Per-path counts equaling the
+    # per-flag counts proves the provenance mapping exact.
+    """SELECT l_returnflag, COUNT(*)::BIGINT AS n FROM lineitem
+GROUP BY 1 ORDER BY 1;""",
+)
+def x95(spark, sf_dir):
+    from swivel_spark_prep_spark.sources import read_parquet_with_provenance
+
+    path = _io_dir(sf_dir, "lineitem_by_flag")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(path)
+    return (
+        read_parquet_with_provenance(spark, path)
+        .select(
+            F.regexp_extract("_file_path", r"l_returnflag=([^/]+)/", 1).alias(
+                "l_returnflag"
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@_declare(
+    "X96_stratified_split",
+    # Exactly-proportional per-stratum split (sampling.stratified_split):
+    # rank inside each lang stratum by a deterministic md5-uniform of
+    # doc_id, cut at floor(0.8n)/floor(0.9n)/n. Unlike the ~proportional
+    # X22 hash split, every stratum is within one row of its target. The
+    # oracle replays the identical rank-and-cut arithmetic.
+    """WITH u AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT) / 4294967296.0 AS u
+  FROM documents),
+r AS (SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM u)
+SELECT lang,
+       CASE WHEN rn <= floor(0.8*n + 1e-9) THEN 'train'
+            WHEN rn <= floor(0.9*n + 1e-9) THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_rows
+FROM r GROUP BY 1, 2 ORDER BY 1, 2;""",
+)
+def x96(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_split(
+            docs, ["lang"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("lang", "split")
+    )
+
+
+@_declare(
+    "X97_nfc_normalize",
+    # Unicode NFC canonical composition (textstats.nfc_normalize, Arrow
+    # pandas UDF over unicodedata): append a decomposed accent
+    # (e + U+0301) to every text; NFC must compose it to a single
+    # precomposed character, shrinking the codepoint length by exactly
+    # one. The oracle is DuckDB's nfc_normalize — two independent
+    # Unicode implementations agreeing byte-for-byte.
+    """SELECT doc_id,
+       length(text || 'e' || chr(769)) AS len_raw,
+       length(nfc_normalize(text || 'e' || chr(769))) AS len_nfc
+FROM documents ORDER BY doc_id;""",
+)
+def x97(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_aug", F.concat("text", F.lit("e"), F.lit("́"))
+    )
+    return (
+        nfc_normalize(docs, "_aug", "_nfc")
+        .select(
+            "doc_id",
+            F.length("_aug").alias("len_raw"),
+            F.length("_nfc").alias("len_nfc"),
+        )
+        .orderBy("doc_id")
+    )
