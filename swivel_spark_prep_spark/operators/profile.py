@@ -61,3 +61,72 @@ def profile_table(
         .select(F.explode(F.array(*fields)).alias("_p"))
         .select("_p.*")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram: bins hold ~equal row
+    counts, the complement of the fixed-width ``width_bucket`` binning.
+    Cut points are the exact 1/n..(n-1)/n percentiles (linear
+    interpolation) from ONE 1-row aggregate broadcast back; each row's
+    bin is the count of cuts strictly below it — a codegen'd comparison
+    chain, no window, no second shuffle beyond the final tiny
+    per-bin aggregate. Returns (bin, n_rows, lo, hi) where lo/hi are
+    the bin's cut bounds (NULL at the open ends)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    cuts = df.agg(
+        F.expr(f"percentile({value_col}, array({probs}))").alias("_cuts")
+    )
+    binned = df.select(value_col).crossJoin(F.broadcast(cuts)).select(
+        F.aggregate(
+            "_cuts",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + (F.col(value_col) > c).cast("long"),
+        ).alias("bin"),
+        F.col("_cuts"),
+    )
+    return (
+        binned.groupBy("bin", "_cuts")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "bin",
+            "n_rows",
+            F.when(F.col("bin") > 0, F.element_at("_cuts", F.col("bin").cast("int")))
+            .alias("lo"),
+            F.when(
+                F.col("bin") < n_bins - 1,
+                F.element_at("_cuts", F.col("bin").cast("int") + 1),
+            ).alias("hi"),
+        )
+    )
+
+
+def approx_distinct_rollup(
+    df: DataFrame, group_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable distinct-count sketches: one HLL (Datasketches
+    HllSketch via Spark's hll_sketch_agg) per group, PLUS the grand
+    total obtained by UNIONING the per-group sketches — never
+    rescanning the data. This is the sketch-partitioned pattern that
+    makes distinct counts composable across shards/days at 100 TB:
+    per-partition sketches are tiny (2^lg_k registers), re-aggregable,
+    and the union is exact over the sketch algebra (estimate error
+    ~1.04/sqrt(2^lg_k), ±1.6% at the default lg_k=12).
+
+    Returns (group, n_approx) per group plus a '__total__' row from the
+    sketch union. Estimates are engine-specific (no DuckDB oracle);
+    error bounds are property-tested against exact counts."""
+    sk = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk")
+    )
+    per_group = sk.select(
+        "g", F.hll_sketch_estimate("_sk").cast("long").alias("n_approx")
+    )
+    total = sk.agg(F.hll_union_agg("_sk").alias("_u")).select(
+        F.lit("__total__").alias("g"),
+        F.hll_sketch_estimate("_u").cast("long").alias("n_approx"),
+    )
+    return per_group.unionByName(total)

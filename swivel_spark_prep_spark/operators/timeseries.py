@@ -25,6 +25,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(ts_col: str):
+    """Whole epoch seconds via field arithmetic against the epoch
+    literal — TIMESTAMP_NTZ cannot cast to double, and unix_* would
+    route through the session timezone; timestampdiff is tz-free.
+    Whole-second truncation cannot move a positive timestamp across an
+    integer-second bucket boundary."""
+    return F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({ts_col} as timestamp_ntz))"
+    )
+
+
 def resample_ffill(
     events: DataFrame,
     step_seconds: int,
@@ -39,15 +51,7 @@ def resample_ffill(
     (the span starts at an observation), so ``value`` is never NULL."""
     if step_seconds <= 0:
         raise ValueError(f"step_seconds must be positive, got {step_seconds}")
-    # epoch seconds via field arithmetic against the epoch literal —
-    # TIMESTAMP_NTZ cannot cast to double, and unix_* would route
-    # through the session timezone; timestampdiff is tz-free. Whole-
-    # second truncation cannot move a positive timestamp across a
-    # bucket boundary (step is an integer number of seconds).
-    epoch_s = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
-        f"cast({ts_col} as timestamp_ntz))"
-    )
+    epoch_s = epoch_seconds(ts_col)
     bucketed = events.select(
         F.col(key_col).alias("_k"),
         F.floor(epoch_s / step_seconds).alias("_b"),
@@ -70,4 +74,36 @@ def resample_ffill(
             F.col("_fill").alias(value_col),
             F.col("_obs").isNull().alias("is_gap"),
         )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_seconds: int = 604800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic retention matrix: users are cohorted by the epoch-aligned
+    period of their FIRST event, then counted once per (cohort, offset)
+    where offset = activity period − cohort period. Output:
+    (cohort_period, period_offset, n_active) with offset 0 = the cohort
+    size itself.
+
+    Scale: first-seen is a per-key aggregate joined back on the key (a
+    hash join both sides shuffled on key — at billions of users this is
+    the unavoidable cohort-assignment shuffle and nothing else);
+    activity is de-duplicated per (key, period) BEFORE the final small
+    aggregate, so the count-distinct never materializes user sets."""
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be positive, got {period_seconds}")
+    per = F.floor(epoch_seconds(ts_col) / period_seconds)
+    acts = events.select(F.col(key_col).alias("_k"), per.alias("_p")).distinct()
+    first = acts.groupBy("_k").agg(F.min("_p").alias("_cohort"))
+    return (
+        acts.join(first, "_k")
+        .groupBy(
+            F.col("_cohort").alias("cohort_period"),
+            (F.col("_p") - F.col("_cohort")).alias("period_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
     )

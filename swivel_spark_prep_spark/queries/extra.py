@@ -3261,3 +3261,65 @@ def x97(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@_declare(
+    "X98_retention_cohorts",
+    # Weekly retention matrix (timeseries.retention_cohorts): users
+    # cohorted by the epoch-aligned week of their first event, counted
+    # once per (cohort, week-offset). The oracle replays the same
+    # first-seen + offset arithmetic.
+    """WITH acts AS (
+  SELECT DISTINCT user_id, floor(epoch(ts)/604800)::BIGINT AS p FROM events),
+f AS (SELECT user_id, MIN(p) AS cohort FROM acts GROUP BY 1)
+SELECT cohort AS cohort_period, (p - cohort)::BIGINT AS period_offset,
+       COUNT(*)::BIGINT AS n_active
+FROM acts JOIN f USING(user_id) GROUP BY 1, 2 ORDER BY 1, 2;""",
+)
+def x98(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev).orderBy("cohort_period", "period_offset")
+
+
+@_declare("X99_hll_rollup", None)  # HLL estimates — not DuckDB-replayable;
+# error bounds vs exact counts are property-tested in tests/test_llm_operators.py
+def x99(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.profile import approx_distinct_rollup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return approx_distinct_rollup(docs, "lang", "text").orderBy("g")
+
+
+@_declare(
+    "X100_equidepth_histogram",
+    # Equi-depth histogram (profile.equidepth_histogram): exact decile
+    # cuts from one 1-row percentile aggregate broadcast back; bin =
+    # number of cuts strictly below the value (codegen comparison
+    # chain, no window). The oracle replays the identical linear-
+    # interpolation percentiles and comparison binning.
+    """WITH cuts AS (
+  SELECT quantile_cont(o_totalprice,
+         [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c FROM orders),
+b AS (SELECT len(list_filter(c, x -> o_totalprice > x))::BIGINT AS bin, c
+      FROM orders, cuts)
+SELECT bin, COUNT(*)::BIGINT AS n_rows,
+       ROUND(MAX(CASE WHEN bin > 0 THEN c[bin::INT] END), 4) AS lo,
+       ROUND(MAX(CASE WHEN bin < 9 THEN c[bin::INT + 1] END), 4) AS hi
+FROM b GROUP BY bin ORDER BY bin;""",
+)
+def x100(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.profile import equidepth_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        equidepth_histogram(orders, "o_totalprice", 10)
+        .select(
+            "bin",
+            "n_rows",
+            F.round("lo", 4).alias("lo"),
+            F.round("hi", 4).alias("hi"),
+        )
+        .orderBy("bin")
+    )

@@ -820,3 +820,24 @@ def test_compression_signal_orders_text_classes(spark):
     b = {r.doc_id: r.ratio for r in compression_signal(df).collect()}
     assert a == b  # deterministic
     assert a[1] < 0.1 < a[2] < a[3], a
+
+
+def test_hll_rollup_error_bounds(spark, sf_dir, duck):
+    """X99: per-group HLL estimates and the sketch-UNION total must sit
+    within 5% of the exact distinct counts (lg_k=12 → ~1.6% std err)."""
+    got = {
+        r.g: r.n_approx
+        for r in EXTRA_QUERIES["X99_hll_rollup"](spark, sf_dir).collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT lang, COUNT(DISTINCT text) FROM documents GROUP BY 1"
+        ).fetchall()
+    }
+    exact["__total__"] = duck.execute(
+        "SELECT COUNT(DISTINCT text) FROM documents"
+    ).fetchone()[0]
+    assert set(got) == set(exact)
+    for g, est in got.items():
+        assert abs(est / exact[g] - 1) < 0.05, (g, est, exact[g])
