@@ -82,3 +82,66 @@ def decontaminate(
         text_col=text_col, doc_col=doc_col, bench_doc_col=bench_doc_col,
     ).select("doc_id").distinct()
     return corpus.join(flagged, corpus[doc_col] == flagged["doc_id"], "left_anti")
+
+
+def novelty_scores(
+    candidates: DataFrame,
+    reference: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    a candidate's distinct n-token shingles NOT present anywhere in the
+    reference — the incremental-crawl curation signal ("how much of
+    this document is new text"), the complement of the contamination
+    audit above.
+
+    Plan: shingle both sides with the shared xxhash64 kernel, distinct
+    the reference's shingle set once, LEFT SEMI join candidate shingles
+    against it (per-shingle hash join — semi join never fans out), and
+    divide seen/total per document. A semi join plus one grouped count:
+    candidate data crosses the wire once, keyed by shingle. The
+    reference set is corpus-sized, so the default is a shuffle join;
+    pass ``broadcast_reference=True`` when the reference is small
+    (a benchmark, a day's crawl).
+
+    Returns (doc_id, n_shingles, n_seen, novelty) — docs shorter than
+    ``n`` tokens have zero shingles and are emitted with novelty NULL.
+    """
+    from swivel_spark_prep_spark.cache import track_persist
+
+    # consumed twice (totals + explode) and shingling is the CPU cost —
+    # persist the shingle arrays once, released via cache.release_persisted
+    cand = track_persist(
+        shingle_hashes(
+            candidates, n=n, text_col=text_col, doc_col=doc_col
+        ).select("doc_id", "shingles")
+    )
+    exploded = cand.select("doc_id", F.explode("shingles").alias("sh"))
+    ref = (
+        shingle_hashes(reference, n=n, text_col=text_col, doc_col=doc_col)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    seen = (
+        exploded.join(ref, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_seen"))
+    )
+    totals = cand.select("doc_id", F.size("shingles").alias("n_shingles"))
+    return (
+        totals.join(seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.when(
+                F.col("n_shingles") > 0,
+                1.0 - F.coalesce("n_seen", F.lit(0)) / F.col("n_shingles"),
+            ).alias("novelty"),
+        )
+    )

@@ -107,3 +107,54 @@ def retention_cohorts(
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def rolling_stats(
+    events: DataFrame,
+    window_rows: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window smoothing + anomaly flags per key: over the last
+    ``window_rows`` observations (ROWS frame ending at the CURRENT row's
+    predecessor — the current value never smooths itself), compute the
+    rolling mean, sample stddev, and exact rolling MEDIAN, and flag the
+    current value when |x − mean| > z · stddev. The streaming-adjacent
+    monitoring primitive (spike detection, sensor smoothing) in batch
+    form.
+
+    One window spec, hash-partitioned by key and sorted inside the
+    partition — the same single-exchange shape as Q19/Q20; the exact
+    median rides the identical frame via the percentile aggregate (no
+    collect_list, no second shuffle). Rows with fewer than 2 trailing
+    observations carry NULL stats (stddev undefined) and are never
+    flagged."""
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2, got {window_rows}")
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    return (
+        events.withColumn("roll_mean", mean)
+        .withColumn("roll_std", sd)
+        .withColumn("roll_median", med)
+        .withColumn(
+            "is_anomaly",
+            F.when(
+                F.col("roll_std").isNotNull() & (F.col("roll_std") > 0),
+                F.abs(F.col(value_col) - F.col("roll_mean"))
+                > z_threshold * F.col("roll_std"),
+            ).otherwise(F.lit(False)),
+        )
+    )

@@ -3323,3 +3323,88 @@ def x100(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@_declare(
+    "X101_novelty_scores",
+    # Per-doc novelty vs a reference corpus (contamination.novelty_
+    # scores): fraction of distinct 8-gram shingles unseen in the
+    # reference (sources src0-src9) for each candidate (src10-src19).
+    # Spark hashes token tuples (xxhash64, no string shingle ever
+    # materialized); the oracle builds the string shingles — equality
+    # up to 64-bit collisions, the same contract Q41 pins.
+    """WITH sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(string_split(text,' ')) >= 8 THEN
+      list_distinct(list_transform(range(len(string_split(text,' ')) - 7),
+        p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3] || ' ' || string_split(text,' ')[p+4] || ' ' || string_split(text,' ')[p+5] || ' ' || string_split(text,' ')[p+6] || ' ' || string_split(text,' ')[p+7] || ' ' || string_split(text,' ')[p+8]))
+    ELSE []::VARCHAR[] END AS shingles
+  FROM documents),
+ref AS (SELECT DISTINCT s.x AS g FROM sh, UNNEST(shingles) AS s(x)
+        WHERE CAST(substr(source, 4) AS INT) < 10),
+cand AS (SELECT doc_id, shingles FROM sh WHERE CAST(substr(source, 4) AS INT) >= 10),
+cnt AS (SELECT c.doc_id, COUNT(*) AS n_seen
+        FROM cand c, UNNEST(c.shingles) AS s(x) JOIN ref ON s.x = ref.g
+        GROUP BY 1)
+SELECT c.doc_id, len(c.shingles)::BIGINT AS n_shingles,
+       COALESCE(cnt.n_seen, 0)::BIGINT AS n_seen,
+       CASE WHEN len(c.shingles) > 0
+            THEN ROUND(1.0 - COALESCE(cnt.n_seen, 0)::DOUBLE / len(c.shingles), 4)
+       END AS novelty
+FROM cand c LEFT JOIN cnt USING (doc_id) ORDER BY c.doc_id;""",
+)
+def x101(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.contamination import novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    ref = docs.filter(src_num < 10)
+    cand = docs.filter(src_num >= 10)
+    return (
+        novelty_scores(cand, ref, n=8)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_seen",
+            F.round("novelty", 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "X102_rolling_stats",
+    # Trailing-window smoothing + anomaly flags (timeseries.rolling_
+    # stats): last-10 ROWS frame ending at the predecessor (the current
+    # value never smooths itself) — rolling mean / sample stddev /
+    # exact median + a 3-sigma flag, all over ONE per-key window (the
+    # single-exchange Q19/Q20 shape). The oracle replays the identical
+    # frame with quantile_cont. Comparable projection = the exactly-
+    # reproducible columns: the median interpolates two order statistics
+    # (no accumulation — byte-stable across engines) and the flag pins
+    # mean/std transitively because the oracle RECOMPUTES them
+    # independently inside the comparison; the raw mean itself differs
+    # across engines at ~1e-8 (window-aggregate accumulation order), so
+    # a rounded copy would flip at rounding boundaries.
+    """SELECT event_id,
+       ROUND(quantile_cont(value, 0.5) OVER w, 4) AS roll_median,
+       COALESCE(ABS(value - AVG(value) OVER w)
+                > 3.0 * STDDEV_SAMP(value) OVER w, FALSE) AS is_anomaly
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+ORDER BY event_id;""",
+)
+def x102(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import rolling_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        rolling_stats(ev, 10, order_tiebreak="event_id")
+        .select(
+            "event_id",
+            F.round("roll_median", 4).alias("roll_median"),
+            "is_anomaly",
+        )
+        .orderBy("event_id")
+    )
