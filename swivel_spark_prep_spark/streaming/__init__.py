@@ -16,6 +16,7 @@ Behavioral contract (tests/test_streaming.py):
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -375,4 +376,98 @@ def stream_sessionize(
         stateStructType="s long, e long, n long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_near_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.8,
+):
+    """The always-on near-dup dedup service, end to end: each micro-batch
+    of documents is checked against the PERSISTENT MinHash index
+    (operators.dedup.minhash_index relations on disk), near-dups of
+    already-accepted documents are dropped, survivors are appended to
+    ``out_dir`` and their bands/shingles appended to the index — so the
+    next batch dedups against everything accepted so far without ever
+    re-signing the corpus (cost per batch is O(batch), the
+    minhash_near_dups_incremental contract).
+
+    Survivor rule: a batch doc is dropped when it near-dups ANY indexed
+    doc (first-accepted wins) or a smaller-id doc of its own batch.
+    Batch writes go to per-batch subdirectories keyed by the foreachBatch
+    ``batch_id`` with mode=overwrite, so a replayed batch (restart after
+    crash) rewrites the same dirs instead of double-ingesting —
+    idempotent exactly-once output on top of the checkpoint's
+    at-least-once replay. Returns the started StreamingQuery.
+    """
+    from swivel_spark_prep_spark.operators.dedup import (
+        minhash_index,
+        minhash_near_dups_incremental,
+    )
+
+    bands_schema = "doc_id long, band_idx int, band_hash bigint"
+    sh_schema = "doc_id long, shingles array<bigint>"
+
+    def _load(spark, sub, schema):
+        import glob as _g
+
+        dirs = sorted(_g.glob(os.path.join(index_dir, sub, "b*")))
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
+    def _apply(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        bands = _load(spark, "bands", bands_schema)
+        shingles = _load(spark, "shingles", sh_schema)
+        pairs = minhash_near_dups_incremental(
+            batch, bands, shingles, n, num_hashes, num_bands, jaccard_threshold
+        )
+        ids = batch.select("doc_id").distinct()
+        b1 = ids.select(F.col("doc_id").alias("d1")).withColumn("_b1", F.lit(True))
+        b2 = ids.select(F.col("doc_id").alias("d2")).withColumn("_b2", F.lit(True))
+        tagged = (
+            pairs.join(F.broadcast(b1), "d1", "left")
+            .join(F.broadcast(b2), "d2", "left")
+        )
+        dropped = (
+            tagged.filter(F.col("_b2").isNotNull())
+            .select(F.col("d2").alias("doc_id"))
+            .unionByName(
+                tagged.filter(
+                    F.col("_b1").isNotNull() & F.col("_b2").isNull()
+                ).select(F.col("d1").alias("doc_id"))
+            )
+            .distinct()
+        )
+        survivors = batch.join(dropped, "doc_id", "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:06d}")
+        )
+        new_bands, new_sh = minhash_index(
+            survivors, n, num_hashes, num_bands
+        )
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "bands", f"b{batch_id:06d}")
+        )
+        new_sh.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "shingles", f"b{batch_id:06d}")
+        )
+        from swivel_spark_prep_spark.cache import release_persisted
+
+        release_persisted()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
     )

@@ -766,3 +766,66 @@ def test_stream_sessionize_merges_late_cross_batch_event(spark, tmp_path):
         assert len(got) == 1 and got[0][3] == 3  # one merged 3-event session
     finally:
         query.stop()
+
+
+def test_stream_near_dedup_service(spark, tmp_path):
+    """stream_near_dedup: the always-on dedup service. Near-dups of docs
+    accepted in EARLIER micro-batches must be dropped via the persistent
+    index (never by re-signing the corpus); novel docs pass; the index
+    grows by exactly the survivors."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.streaming import stream_near_dedup
+
+    def doc(i, mutate=None):
+        toks = [f"w{i}_{j}" for j in range(60)]
+        if mutate is not None:
+            toks = [f"w{mutate}_{j}" for j in range(60)]
+            toks[30] = f"mut{i}"
+        return (i, " ".join(toks))
+
+    batches = [
+        [doc(0), doc(1), doc(2)],
+        [doc(10, mutate=0), doc(11)],          # 10 near-dups accepted 0
+        [doc(20, mutate=11), doc(21)],         # 20 near-dups accepted 11
+    ]
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    schema = "doc_id long, text string"
+    for b, rows in enumerate(batches):
+        raw = tmp_path / f"raw{b}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(raw))
+        part = glob.glob(str(raw / "part-*.parquet"))[0]
+        shutil.copy(part, str(replay / f"{b:02d}.parquet"))
+    _stamp_mtimes(str(replay))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = stream_near_dedup(
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out_dirs = sorted(glob.glob(str(tmp_path / "out" / "b*")))
+    assert len(out_dirs) == 3
+    got = {r.doc_id for r in spark.read.parquet(*out_dirs).collect()}
+    assert got == {0, 1, 2, 11, 21}
+    # the index holds exactly the survivors' shingle sets
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(
+            *sorted(glob.glob(str(tmp_path / "index" / "shingles" / "b*")))
+        ).collect()
+    }
+    assert idx_ids == got
