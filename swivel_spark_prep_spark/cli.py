@@ -79,6 +79,22 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cs.add_argument("--master", default=None)
 
+    pr = sub.add_parser(
+        "profile",
+        help="single-scan table profile: per-column nulls/NDV/ranges",
+    )
+    pr.add_argument("--input", required=True, help="parquet table")
+    pr.add_argument("--exact-ndv", action="store_true")
+    pr.add_argument("--master", default=None)
+
+    se = sub.add_parser(
+        "search", help="BM25 full-text top-k over a doc_id/text table"
+    )
+    se.add_argument("--input", required=True, help="parquet with doc_id/text")
+    se.add_argument("query", nargs="+", help="query terms")
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--master", default=None)
+
     return p
 
 
@@ -223,6 +239,21 @@ def main(argv: list[str] | None = None) -> int:
 
                 n_pairs = minhash_near_dups(docs).count()
                 print(f"near_dup_pairs={n_pairs}")
+        elif args.cmd == "profile":
+            from swivel_spark_prep_spark.operators.profile import profile_table
+
+            pdf = profile_table(
+                spark.read.parquet(args.input), exact_ndv=args.exact_ndv
+            ).toPandas()
+            print(pdf.to_string(index=False))
+        elif args.cmd == "search":
+            from swivel_spark_prep_spark.operators.search import bm25_topk
+
+            docs = spark.read.parquet(args.input).select("doc_id", "text")
+            hits = bm25_topk(docs, args.query, k=args.k).collect()
+            for r in hits:
+                print(f"{r.doc_id}\t{r.score:.4f}")
+            print(f"# {len(hits)} hits for {' '.join(args.query)}")
         elif args.cmd == "bench-query":
             import time
 

@@ -1177,3 +1177,22 @@ def test_weighted_sample_properties(spark):
     )
     top = [r.doc_id for r in weighted_sample(boosted, "wt", 10).collect()]
     assert 5 in top  # near-infinite weight → key ≈ 1 → always selected
+
+
+def test_cli_profile_and_search(spark, sf_dir, capsys):
+    """profile prints one row per column; search prints BM25 hits with
+    the best-scoring doc first."""
+    from swivel_spark_prep_spark import cli
+
+    src = str(sf_dir) + "/documents.parquet"
+    assert cli.main(["profile", "--input", src, "--exact-ndv"]) == 0
+    out = capsys.readouterr().out
+    for col in ("doc_id", "text", "lang", "source", "n_chars"):
+        assert col in out
+
+    assert cli.main(["search", "--input", src, "-k", "5", "spark", "join"]) == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.strip().splitlines() if "\t" in ln]
+    assert len(lines) == 5
+    scores = [float(ln.split("\t")[1]) for ln in lines]
+    assert scores == sorted(scores, reverse=True)
