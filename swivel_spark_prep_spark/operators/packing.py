@@ -27,7 +27,12 @@ def _exclusive_prefix_sum(
 ) -> DataFrame:
     """cum_before = sum of value_col over all rows strictly before this one
     in the total order — two-pass, no global window."""
-    n_part = max(df.rdd.getNumPartitions(), 1)
+    # defaultParallelism, NOT df.rdd.getNumPartitions(): touching .rdd
+    # forces a plan-to-RDD conversion just to read a number (the zorder
+    # wart, VERDICT r6), and a single-file input would collapse the
+    # range exchange to ONE partition — a single-task sort stage, the
+    # exact thing the two-pass scheme exists to avoid.
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
         *order_cols
     )

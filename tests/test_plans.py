@@ -397,3 +397,68 @@ def test_interval_overlap_join_is_equi_join_not_bnlj(spark, sf_dir):
     plan = formatted_plan(interval_overlap_join(a, b))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_bm25_filters_query_terms_before_aggregation(spark, sf_dir):
+    """X89's scale claim: the query-term filter must sit BELOW the first
+    aggregate, so everything shuffled is posting-list-sized. Formatted
+    plans print filters inside the pre-exchange codegen stage; if the
+    isin filter ever migrated above the tf aggregate the shuffle would
+    carry the whole token stream."""
+    from swivel_spark_prep_spark.operators.search import bm25_topk
+
+    import re
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(bm25_topk(docs, ["spark", "join"], k=5))
+    # the top-k is TakeOrdered (never a global sort)
+    assert "TakeOrderedAndProject" in plan
+    # the query-term IN filter exists as a Filter node whose node number
+    # is LOWER than the first Exchange's — formatted plans number nodes
+    # bottom-up per branch, so this pins "filter below the first
+    # shuffle" (posting-list-sized exchanges)
+    m = re.search(r"\((\d+)\) Filter\n(?:[^\n]\n?)*?Condition[^\n]*IN \(spark,join\)", plan)
+    assert m, "query-term IN filter not found in plan"
+    first_ex = min(int(n) for n in re.findall(r"\((\d+)\) Exchange", plan))
+    assert int(m.group(1)) < first_ex
+
+
+def test_sorted_neighborhood_has_no_single_partition_stage(spark, sf_dir):
+    """X90's scale claim: the global rank comes from the two-pass
+    range-partitioned prefix sum — the plan must contain NO
+    SinglePartition exchange (the signature of a global window) on the
+    data path."""
+    from swivel_spark_prep_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(sorted_neighborhood_pairs(docs, window=3, threshold=0.9))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_profile_table_is_one_scan(spark, sf_dir):
+    """X93: profiling N columns must read the table ONCE (one scan node)
+    in approx mode — no per-column rescans, and no EXPAND (the
+    multi-distinct blow-up) unless exact_ndv is requested."""
+    from swivel_spark_prep_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = formatted_plan(profile_table(li))
+    # formatted explain prints each node once in the tree and once in
+    # the details section — one logical scan == exactly 2 occurrences
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" not in plan
+    exact_plan = formatted_plan(profile_table(li, exact_ndv=True))
+    assert exact_plan.count("Scan parquet") == 2  # still one scan node
+    assert "Expand" in exact_plan  # the documented exact-NDV cost
+
+
+def test_equidepth_histogram_broadcasts_cuts(spark, sf_dir):
+    """X100: the percentile cuts are a 1-row aggregate joined back by
+    broadcast — the row-binning side must not shuffle for the join."""
+    from swivel_spark_prep_spark.operators.profile import equidepth_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    plan = formatted_plan(equidepth_histogram(orders, "o_totalprice", 10))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
