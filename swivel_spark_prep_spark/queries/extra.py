@@ -3408,3 +3408,16 @@ def x102(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@_declare("X103_pca_project", None)  # eigendecomposition — not DuckDB-
+# replayable; orthonormality/variance/reconstruction properties are
+# pinned in tests/test_llm_operators.py
+def x103(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.pca import pca_fit, pca_transform
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(embs, k=8)
+    return pca_transform(embs, mean, comps).select("vec_id", "proj").orderBy(
+        "vec_id"
+    )

@@ -841,3 +841,45 @@ def test_hll_rollup_error_bounds(spark, sf_dir, duck):
     assert set(got) == set(exact)
     for g, est in got.items():
         assert abs(est / exact[g] - 1) < 0.05, (g, est, exact[g])
+
+
+def test_pca_properties(spark, sf_dir):
+    """X103: components orthonormal, variances descending and equal to
+    the projection variances, full-rank fit reconstructs exactly, and
+    the fit is deterministic (sign-pinned eigh)."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.pca import pca_fit, pca_transform
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ev = pca_fit(embs, k=8)
+    d = mean.shape[0]
+    assert comps.shape == (8, d)
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-8)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(7))
+
+    proj = np.array(
+        [
+            r.proj
+            for r in pca_transform(embs, mean, comps)
+            .select("proj")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    assert np.allclose(proj.mean(axis=0), 0.0, atol=1e-3)  # centered
+    assert np.allclose(proj.var(axis=0), ev, rtol=5e-3)  # float32 proj
+
+    # determinism
+    mean2, comps2, ev2 = pca_fit(embs, k=8)
+    assert np.array_equal(mean, mean2) and np.array_equal(comps, comps2)
+
+    # full-rank reconstruction: project with k=d and invert
+    x = np.array(
+        [r.embedding for r in embs.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    mf, cf, _ = pca_fit(embs, k=d)
+    rec = (x - mf) @ cf.T @ cf + mf
+    assert np.allclose(rec, x, atol=1e-5)
