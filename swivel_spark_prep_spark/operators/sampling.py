@@ -274,3 +274,72 @@ def stratified_split(
     # rank == _n when cumulative floating error rounds the floor down
     last = list(fractions)[-1]
     return with_n.withColumn(out_col, expr.otherwise(F.lit(last))).drop("_n", "_rn")
+
+
+def raking_weights(
+    df: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    targets_a: dict,
+    targets_b: dict,
+    iters: int = 50,
+    tol: float = 1e-12,
+) -> DataFrame:
+    """Iterative proportional fitting (raking): per-cell sampling weights
+    so the WEIGHTED corpus matches target marginal shares on two
+    dimensions at once (e.g. language x source) — the survey-statistics
+    workhorse applied to dataset mixing, where independent per-dimension
+    reweighting cannot hit both marginals simultaneously.
+
+    Scale shape: the data-sized work is ONE groupBy(dim_a, dim_b) count;
+    IPF then runs driver-side on the |A|x|B| cell table (languages x
+    sources — bounded, never row-scale), and the result is a tiny
+    broadcast-joinable (dim_a, dim_b, weight) frame. Weights are
+    normalized so their weighted total equals the corpus row count.
+    Every observed dimension value must appear in its targets dict
+    (raise otherwise — silently dropping a stratum is worse); target
+    shares must each sum to 1.
+    """
+    for name, t in (("targets_a", targets_a), ("targets_b", targets_b)):
+        if abs(sum(t.values()) - 1.0) > 1e-9:
+            raise ValueError(f"{name} shares must sum to 1, got {sum(t.values())}")
+    cells = df.groupBy(dim_a, dim_b).count().collect()
+    avals = sorted({r[dim_a] for r in cells})
+    bvals = sorted({r[dim_b] for r in cells})
+    missing_a = [v for v in avals if v not in targets_a]
+    missing_b = [v for v in bvals if v not in targets_b]
+    if missing_a or missing_b:
+        raise ValueError(
+            f"observed values missing from targets: {missing_a + missing_b}"
+        )
+    n = {(r[dim_a], r[dim_b]): r["count"] for r in cells}
+    total = sum(n.values())
+    w = {k: 1.0 for k in n}
+    for _ in range(iters):
+        delta = 0.0
+        for a in avals:  # row pass: match targets_a
+            cur = sum(n[k] * w[k] for k in n if k[0] == a)
+            want = targets_a[a] * total
+            if cur > 0:
+                f = want / cur
+                for k in n:
+                    if k[0] == a:
+                        w[k] *= f
+                delta = max(delta, abs(f - 1.0))
+        for b in bvals:  # column pass: match targets_b
+            cur = sum(n[k] * w[k] for k in n if k[1] == b)
+            want = targets_b[b] * total
+            if cur > 0:
+                f = want / cur
+                for k in n:
+                    if k[1] == b:
+                        w[k] *= f
+                delta = max(delta, abs(f - 1.0))
+        if delta < tol:
+            break
+    out = [(a, b, float(w[(a, b)])) for (a, b) in n]
+    schema_a = df.schema[dim_a].dataType.simpleString()
+    schema_b = df.schema[dim_b].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        out, f"{dim_a} {schema_a}, {dim_b} {schema_b}, weight double"
+    )

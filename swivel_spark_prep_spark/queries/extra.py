@@ -3421,3 +3421,23 @@ def x103(spark, sf_dir):
     return pca_transform(embs, mean, comps).select("vec_id", "proj").orderBy(
         "vec_id"
     )
+
+
+@_declare("X104_raking_weights", None)  # driver-side IPF on the bounded
+# cell table — marginal-match properties pinned in tests/test_llm_operators.py
+def x104(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import raking_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    srcs = [f"src{i}" for i in range(20)]
+    w = raking_weights(
+        docs,
+        "lang",
+        "source",
+        {l: 1 / len(langs) for l in langs},
+        {s: 1 / len(srcs) for s in srcs},
+    )
+    return w.select(
+        "lang", "source", F.round("weight", 6).alias("weight")
+    ).orderBy("lang", "source")

@@ -883,3 +883,34 @@ def test_pca_properties(spark, sf_dir):
     mf, cf, _ = pca_fit(embs, k=d)
     rec = (x - mf) @ cf.T @ cf + mf
     assert np.allclose(rec, x, atol=1e-5)
+
+
+def test_raking_weights_match_both_marginals(spark, sf_dir):
+    """X104: after IPF, the WEIGHTED corpus marginals must equal the
+    target shares on both dimensions simultaneously (plain per-dimension
+    reweighting cannot do this), and the fit is deterministic."""
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.sampling import raking_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    srcs = [f"src{i}" for i in range(20)]
+    ta = {l: 1 / len(langs) for l in langs}
+    tb = {s: 1 / len(srcs) for s in srcs}
+    w = raking_weights(docs, "lang", "source", ta, tb)
+    joined = docs.join(F.broadcast(w), ["lang", "source"])
+    total = joined.agg(F.sum("weight")).collect()[0][0]
+    for dim, targets in (("lang", ta), ("source", tb)):
+        got = {
+            r[dim]: r.s / total
+            for r in joined.groupBy(dim).agg(F.sum("weight").alias("s")).collect()
+        }
+        for v, share in targets.items():
+            assert abs(got[v] - share) < 1e-6, (dim, v, got[v], share)
+    w2 = raking_weights(docs, "lang", "source", ta, tb)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        raking_weights(docs, "lang", "source", {"en": 1.0}, tb)
