@@ -27,12 +27,20 @@ def _exclusive_prefix_sum(
 ) -> DataFrame:
     """cum_before = sum of value_col over all rows strictly before this one
     in the total order — two-pass, no global window."""
-    # defaultParallelism, NOT df.rdd.getNumPartitions(): touching .rdd
-    # forces a plan-to-RDD conversion just to read a number (the zorder
-    # wart, VERDICT r6), and a single-file input would collapse the
-    # range exchange to ONE partition — a single-task sort stage, the
-    # exact thing the two-pass scheme exists to avoid.
-    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    # NOT df.rdd.getNumPartitions(): touching .rdd forces a plan-to-RDD
+    # conversion just to read a number (the zorder wart, VERDICT r6),
+    # and a single-file input would collapse the range exchange to ONE
+    # partition — a single-task sort stage, the exact thing the
+    # two-pass scheme exists to avoid. shuffle.partitions is the knob
+    # deployments size to their data (thousands on a big cluster), so
+    # the exchange width scales with the configured shuffle width, not
+    # the local core count.
+    spark = df.sparkSession
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+        2,
+    )
     ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
         *order_cols
     )

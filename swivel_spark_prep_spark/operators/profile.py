@@ -73,14 +73,18 @@ def equidepth_histogram(
     bin is the count of cuts strictly below it — a codegen'd comparison
     chain, no window, no second shuffle beyond the final tiny
     per-bin aggregate. Returns (bin, n_rows, lo, hi) where lo/hi are
-    the bin's cut bounds (NULL at the open ends)."""
+    the bin's cut bounds (NULL at the open ends). NULL values are
+    EXCLUDED — they have no quantile position (percentile ignores them
+    on the fit side already; binning them would manufacture a phantom
+    NULL bin)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
-    cuts = df.agg(
+    vals = df.select(value_col).filter(F.col(value_col).isNotNull())
+    cuts = vals.agg(
         F.expr(f"percentile({value_col}, array({probs}))").alias("_cuts")
     )
-    binned = df.select(value_col).crossJoin(F.broadcast(cuts)).select(
+    binned = vals.crossJoin(F.broadcast(cuts)).select(
         F.aggregate(
             "_cuts",
             F.lit(0).cast("long"),

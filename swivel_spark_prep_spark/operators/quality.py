@@ -188,21 +188,35 @@ def mad_outliers(
     (median, MAD) relation is group-cardinality-sized and broadcast
     back onto the rows. Returns the input plus ``_median``, ``_mad``,
     ``_outlier``. A degenerate group (MAD = 0) flags any deviation from
-    the median, the standard convention."""
+    the median, the standard convention. NULL group keys form a group
+    of their own (the join-back is null-safe — a flagging operator must
+    be row-preserving, so NULL-keyed rows may not silently vanish)."""
     gcols = group_cols or []
 
     def _grp(frame):
         return frame.groupBy(*gcols) if gcols else frame.groupBy()
 
+    def _join_back(rows, agg_df, keep: list[str]):
+        # groupBy keeps a NULL-key group; a plain equi-join would never
+        # match it back, dropping those rows — use <=> per key column
+        if not gcols:
+            return rows.crossJoin(F.broadcast(agg_df))
+        a = agg_df
+        for c in gcols:
+            a = a.withColumnRenamed(c, f"__g_{c}")
+        cond = F.lit(True)
+        for c in gcols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        return rows.join(F.broadcast(a), cond).drop(
+            *[f"__g_{c}" for c in gcols]
+        )
+
     med = _grp(df).agg(F.median(value_col).alias("_median"))
-    with_med = df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(
-        F.broadcast(med)
+    dev = _join_back(df, med, gcols).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_median"))
     )
-    dev = with_med.withColumn("_adev", F.abs(F.col(value_col) - F.col("_median")))
     mad = _grp(dev.select(*gcols, "_adev")).agg(F.median("_adev").alias("_mad"))
-    with_mad = dev.join(F.broadcast(mad), gcols) if gcols else dev.crossJoin(
-        F.broadcast(mad)
-    )
+    with_mad = _join_back(dev, mad, gcols)
     return with_mad.withColumn(
         "_outlier", F.col("_adev") > k * 1.4826 * F.col("_mad")
     ).drop("_adev")

@@ -262,7 +262,17 @@ def stratified_split(
     w = Window.partitionBy(*strata_cols).orderBy(u, F.col(id_col))
     ranked = df.withColumn("_rn", F.row_number().over(w))
     counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
-    with_n = ranked.join(F.broadcast(counts), strata_cols)
+    # null-safe join-back: a NULL stratum is a stratum (both the window
+    # partition and groupBy treat it as one); a plain equi-join would
+    # silently drop those rows from every split
+    for c in strata_cols:
+        counts = counts.withColumnRenamed(c, f"__s_{c}")
+    cond = F.lit(True)
+    for c in strata_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+    with_n = ranked.join(F.broadcast(counts), cond).drop(
+        *[f"__s_{c}" for c in strata_cols]
+    )
     expr, cum = None, 0.0
     for name, frac in fractions.items():
         cum += frac

@@ -149,12 +149,16 @@ def rolling_stats(
         events.withColumn("roll_mean", mean)
         .withColumn("roll_std", sd)
         .withColumn("roll_median", med)
+        # coalesce(|dev| > z·σ, false): <2 trailing rows (σ NULL) or a
+        # NULL current value → not flagged; σ = 0 with ANY deviation →
+        # flagged (a spike off a constant baseline is the canonical
+        # anomaly) — exactly the X102 oracle's COALESCE semantics
         .withColumn(
             "is_anomaly",
-            F.when(
-                F.col("roll_std").isNotNull() & (F.col("roll_std") > 0),
+            F.coalesce(
                 F.abs(F.col(value_col) - F.col("roll_mean"))
                 > z_threshold * F.col("roll_std"),
-            ).otherwise(F.lit(False)),
+                F.lit(False),
+            ),
         )
     )

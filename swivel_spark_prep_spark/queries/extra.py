@@ -2992,10 +2992,11 @@ dl AS (SELECT doc_id, len(string_split(lower(text),' '))::DOUBLE AS dl FROM docu
 st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
 sc AS (SELECT qtf.doc_id AS doc_id,
               SUM( ln(1 + (n_docs - df + 0.5)/(df + 0.5))
-                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) ) AS score
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) ) AS score_raw
        FROM qtf JOIN qdf USING(term) JOIN dl ON qtf.doc_id = dl.doc_id CROSS JOIN st
        GROUP BY 1)
-SELECT doc_id, ROUND(score, 4) AS score FROM sc ORDER BY score DESC, doc_id LIMIT 10;""",
+SELECT doc_id, ROUND(score_raw, 4) AS score
+FROM sc ORDER BY score_raw DESC, doc_id LIMIT 10;""",
 )
 def x89(spark, sf_dir):
     from swivel_spark_prep_spark.operators.search import bm25_topk
@@ -3303,7 +3304,7 @@ def x99(spark, sf_dir):
   SELECT quantile_cont(o_totalprice,
          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c FROM orders),
 b AS (SELECT len(list_filter(c, x -> o_totalprice > x))::BIGINT AS bin, c
-      FROM orders, cuts)
+      FROM orders, cuts WHERE o_totalprice IS NOT NULL)
 SELECT bin, COUNT(*)::BIGINT AS n_rows,
        ROUND(MAX(CASE WHEN bin > 0 THEN c[bin::INT] END), 4) AS lo,
        ROUND(MAX(CASE WHEN bin < 9 THEN c[bin::INT + 1] END), 4) AS hi

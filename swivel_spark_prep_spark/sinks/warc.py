@@ -34,6 +34,17 @@ def encode_record(
     """One spec-shaped record. Header order is fixed (version line,
     WARC-Type, WARC-Record-ID, WARC-Date, extras, Content-Length) so
     output bytes are deterministic for deterministic inputs."""
+    # every interpolated header value desynchronizes the Content-Length
+    # walk if it smuggles a CR/LF — validate the fixed fields exactly
+    # like the extra headers (a record id derived from user data, e.g. a
+    # URL column, is attacker-shaped input)
+    for name, v in (
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", record_id),
+        ("WARC-Date", date),
+    ):
+        if "\r" in v or "\n" in v:
+            raise ValueError(f"invalid {name}: {v!r}")
     for k, v in extra_headers or []:
         if "\r" in v or "\n" in v or ":" in k:
             raise ValueError(f"invalid WARC header {k!r}: {v!r}")

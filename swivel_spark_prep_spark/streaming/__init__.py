@@ -406,64 +406,17 @@ def stream_near_dedup(
     idempotent exactly-once output on top of the checkpoint's
     at-least-once replay. Returns the started StreamingQuery.
     """
-    from swivel_spark_prep_spark.operators.dedup import (
-        minhash_index,
-        minhash_near_dups_incremental,
-    )
-
-    bands_schema = "doc_id long, band_idx int, band_hash bigint"
-    sh_schema = "doc_id long, shingles array<bigint>"
-
-    def _load(spark, sub, schema):
-        import glob as _g
-
-        dirs = sorted(_g.glob(os.path.join(index_dir, sub, "b*")))
-        if not dirs:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*dirs)
-
     def _apply(batch: DataFrame, batch_id: int):
-        spark = batch.sparkSession
-        if batch.isEmpty():
-            return
-        bands = _load(spark, "bands", bands_schema)
-        shingles = _load(spark, "shingles", sh_schema)
-        pairs = minhash_near_dups_incremental(
-            batch, bands, shingles, n, num_hashes, num_bands, jaccard_threshold
+        _near_dedup_apply(
+            batch,
+            batch_id,
+            index_dir,
+            out_dir,
+            n,
+            num_hashes,
+            num_bands,
+            jaccard_threshold,
         )
-        ids = batch.select("doc_id").distinct()
-        b1 = ids.select(F.col("doc_id").alias("d1")).withColumn("_b1", F.lit(True))
-        b2 = ids.select(F.col("doc_id").alias("d2")).withColumn("_b2", F.lit(True))
-        tagged = (
-            pairs.join(F.broadcast(b1), "d1", "left")
-            .join(F.broadcast(b2), "d2", "left")
-        )
-        dropped = (
-            tagged.filter(F.col("_b2").isNotNull())
-            .select(F.col("d2").alias("doc_id"))
-            .unionByName(
-                tagged.filter(
-                    F.col("_b1").isNotNull() & F.col("_b2").isNull()
-                ).select(F.col("d1").alias("doc_id"))
-            )
-            .distinct()
-        )
-        survivors = batch.join(dropped, "doc_id", "left_anti")
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"b{batch_id:06d}")
-        )
-        new_bands, new_sh = minhash_index(
-            survivors, n, num_hashes, num_bands
-        )
-        new_bands.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "bands", f"b{batch_id:06d}")
-        )
-        new_sh.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "shingles", f"b{batch_id:06d}")
-        )
-        from swivel_spark_prep_spark.cache import release_persisted
-
-        release_persisted()
 
     return (
         docs_stream.writeStream.foreachBatch(_apply)
@@ -471,3 +424,84 @@ def stream_near_dedup(
         .outputMode("append")
         .start()
     )
+
+
+def _near_dedup_apply(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    n: int,
+    num_hashes: int,
+    num_bands: int,
+    jaccard_threshold: float,
+) -> None:
+    """One micro-batch of the near-dup service — module-level so replay
+    idempotence is directly testable. CRITICAL for crash replay: the
+    index load EXCLUDES this batch_id's own shard dirs (a crash between
+    the index writes and the checkpoint commit replays the batch with
+    its own survivors already indexed; without the exclusion every
+    survivor self-matches at Jaccard 1.0 and the replay would rewrite
+    the batch EMPTY). The index build re-reads the just-written
+    survivors parquet, so the LSH candidate+verify pipeline runs once
+    per batch, not three times."""
+    from swivel_spark_prep_spark.operators.dedup import (
+        minhash_index,
+        minhash_near_dups_incremental,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    own = f"b{batch_id:06d}"
+
+    def _load(sub, schema):
+        import glob as _g
+
+        dirs = [
+            d
+            for d in sorted(_g.glob(os.path.join(index_dir, sub, "b*")))
+            if os.path.basename(d) != own
+        ]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
+    bands = _load("bands", "doc_id long, band_idx int, band_hash bigint")
+    shingles = _load("shingles", "doc_id long, shingles array<bigint>")
+    pairs = minhash_near_dups_incremental(
+        batch, bands, shingles, n, num_hashes, num_bands, jaccard_threshold
+    ).filter(F.col("d1") != F.col("d2"))
+    ids = batch.select("doc_id").distinct()
+    b1 = ids.select(F.col("doc_id").alias("d1")).withColumn("_b1", F.lit(True))
+    b2 = ids.select(F.col("doc_id").alias("d2")).withColumn("_b2", F.lit(True))
+    tagged = pairs.join(F.broadcast(b1), "d1", "left").join(
+        F.broadcast(b2), "d2", "left"
+    )
+    dropped = (
+        tagged.filter(F.col("_b2").isNotNull())
+        .select(F.col("d2").alias("doc_id"))
+        .unionByName(
+            tagged.filter(
+                F.col("_b1").isNotNull() & F.col("_b2").isNull()
+            ).select(F.col("d1").alias("doc_id"))
+        )
+        .distinct()
+    )
+    survivors = batch.join(dropped, "doc_id", "left_anti")
+    out_path = os.path.join(out_dir, own)
+    survivors.write.mode("overwrite").parquet(out_path)
+    # re-read what was written: the index derives from the exact bytes
+    # on disk, and the expensive LSH pipeline above is not re-executed
+    # for the two index writes
+    written = spark.read.schema(batch.schema).parquet(out_path)
+    new_bands, new_sh = minhash_index(written, n, num_hashes, num_bands)
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "bands", own)
+    )
+    new_sh.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "shingles", own)
+    )
+    from swivel_spark_prep_spark.cache import release_persisted
+
+    release_persisted()

@@ -287,3 +287,7 @@ def test_warc_detects_corruption():
         wk.parse_warc_bytes(wk.gzip_member(rec)[:-3])  # truncated member
     with pytest.raises(ValueError):
         wk.encode_record("r", "<i>", "d", b"", [("X", "bad\r\nheader")])
+    with pytest.raises(ValueError):
+        wk.encode_record("r", "<urn:evil\r\nContent-Length: 0>", "d", b"")
+    with pytest.raises(ValueError):
+        wk.encode_record("r", "<i>", "2024\n", b"")

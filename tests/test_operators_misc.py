@@ -1196,3 +1196,66 @@ def test_cli_profile_and_search(spark, sf_dir, capsys):
     assert len(lines) == 5
     scores = [float(ln.split("\t")[1]) for ln in lines]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rolling_stats_flags_spike_off_constant_baseline(spark):
+    """A zero-variance trailing window with any deviation IS an anomaly
+    (the X102 oracle's COALESCE semantics)."""
+    from swivel_spark_prep_spark.operators.timeseries import rolling_stats
+
+    rows = [(i, 1, f"2024-01-01 00:0{i}:00", 5.0) for i in range(3)] + [
+        (3, 1, "2024-01-01 00:03:00", 9.0)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+    got = {
+        r.event_id: r.is_anomaly
+        for r in rolling_stats(ev, 10, order_tiebreak="event_id").collect()
+    }
+    assert got[3] is True      # spike off [5,5,5]
+    assert got[0] is False     # <2 trailing rows → never flagged
+    assert got[2] is False     # 5.0 on [5,5] baseline: no deviation
+
+
+def test_mad_outliers_preserves_null_group_rows(spark):
+    """NULL group keys form their own group and must survive the
+    join-back (row-preserving contract)."""
+    from swivel_spark_prep_spark.operators.quality import mad_outliers
+
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 1.2), (3, None, 50.0), (4, "a", 2.0), (5, "a", 2.1), (6, "a", 2.2)],
+        "id long, g string, v double",
+    )
+    out = mad_outliers(df, "v", ["g"], k=3.0)
+    assert out.count() == 6
+    nulls = {r.id: r._outlier for r in out.filter(F.col("g").isNull()).collect()}
+    assert set(nulls) == {1, 2, 3} and nulls[3] is True
+
+
+def test_stratified_split_keeps_null_stratum(spark):
+    """A NULL stratum is a stratum: its rows must all receive a split."""
+    from swivel_spark_prep_spark.operators.sampling import stratified_split
+
+    df = spark.createDataFrame(
+        [(i, None if i < 10 else "en") for i in range(30)],
+        "doc_id long, lang string",
+    )
+    out = stratified_split(df, ["lang"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == 30
+    null_rows = out.filter(F.col("lang").isNull())
+    assert null_rows.count() == 10
+    assert null_rows.filter(F.col("split").isNull()).count() == 0
+
+
+def test_equidepth_histogram_excludes_nulls(spark):
+    """NULL values are excluded — no phantom NULL bin, counts sum to the
+    non-null row count."""
+    from swivel_spark_prep_spark.operators.profile import equidepth_histogram
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)] * 5, "v double"
+    )
+    h = equidepth_histogram(df, "v", 4).collect()
+    assert all(r.bin is not None for r in h)
+    assert sum(r.n_rows for r in h) == 100

@@ -829,3 +829,34 @@ def test_stream_near_dedup_service(spark, tmp_path):
         ).collect()
     }
     assert idx_ids == got
+
+
+def test_near_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash contract: replaying a batch whose index writes already
+    landed (crash before checkpoint commit) must reproduce the SAME
+    survivors — the index load excludes the batch's own shard dirs, so
+    survivors cannot self-match and vanish on replay."""
+    import glob
+
+    from swivel_spark_prep_spark.streaming import _near_dedup_apply
+
+    def doc(i, mutate=None):
+        toks = [f"w{i}_{j}" for j in range(60)]
+        if mutate is not None:
+            toks = [f"w{mutate}_{j}" for j in range(60)]
+            toks[30] = f"mut{i}"
+        return (i, " ".join(toks))
+
+    schema = "doc_id long, text string"
+    idx, out = str(tmp_path / "index"), str(tmp_path / "out")
+    b0 = spark.createDataFrame([doc(0), doc(1)], schema)
+    b1 = spark.createDataFrame([doc(10, mutate=0), doc(11)], schema)
+    _near_dedup_apply(b0, 0, idx, out, 3, 64, 16, 0.8)
+    _near_dedup_apply(b1, 1, idx, out, 3, 64, 16, 0.8)
+    first = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out" / "b000001")).collect()}
+    assert first == {11}
+    # replay batch 1: its own index shards exist — survivors must not change
+    _near_dedup_apply(b1, 1, idx, out, 3, 64, 16, 0.8)
+    again = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out" / "b000001")).collect()}
+    assert again == first
+    assert len(glob.glob(str(tmp_path / "index" / "shingles" / "b*"))) == 2
