@@ -448,9 +448,12 @@ def test_profile_table_is_one_scan(spark, sf_dir):
     # the details section — one logical scan == exactly 2 occurrences
     assert plan.count("Scan parquet") == 2
     assert "Expand" not in plan
+    # exact mode = one column-pruned scan per profiled column (union of
+    # single-column distinct aggs), NEVER the multi-distinct EXPAND
+    # blow-up (measured 4-6x slower at sf0.1)
     exact_plan = formatted_plan(profile_table(li, exact_ndv=True))
-    assert exact_plan.count("Scan parquet") == 2  # still one scan node
-    assert "Expand" in exact_plan  # the documented exact-NDV cost
+    assert "Expand" not in exact_plan
+    assert exact_plan.count("Scan parquet") == 2 * (len(li.columns) + 1)
 
 
 def test_equidepth_histogram_broadcasts_cuts(spark, sf_dir):
