@@ -2784,7 +2784,10 @@ def x81(spark, sf_dir):
     # verify. The oracle is the brute-force all-pairs scan — parity
     # proves the prefix theorem's recall-1 on this data. Finds the
     # same 25 planted pairs as X06/X74 via the third (exact,
-    # deterministic) set-similarity algorithm family.
+    # deterministic) set-similarity algorithm family. Scale framing:
+    # at sf0.1 the Spark plan (int64 hash domain end-to-end) runs in
+    # ~7 s while this brute-force oracle exceeds 600 s in DuckDB —
+    # the oracle is run only at the small parity SFs.
     """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
