@@ -323,3 +323,49 @@ def nfc_normalize(
             yield pdf
 
     return docs.mapInPandas(_nfc, out_schema)
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-call dataset card: the corpus-level numbers a dataset README
+    reports, as long-format (metric, value) rows — doc/token/char
+    totals, exact-duplicate count, vocabulary size, type-token ratio,
+    mean token length. Two aggregates total: one over documents (plus
+    the md5 distinct), one over the exploded token stream for the
+    vocabulary lane; both partial-aggregate map-side. Values are
+    doubles rounded to 4dp so the card is engine-comparable."""
+    toks = F.split(F.col(text_col), " ")
+    d = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size(toks)).cast("double").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("double").alias("n_chars"),
+        (F.count("*") - F.count_distinct(F.md5(F.col(text_col))))
+        .cast("double")
+        .alias("exact_dup_docs"),
+    )
+    t = (
+        docs.select(F.explode(toks).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .agg(
+            F.count_distinct("_tok").cast("double").alias("vocab_size"),
+            F.avg(F.length("_tok")).alias("mean_token_len"),
+            F.count("*").cast("double").alias("_n_nonempty"),
+        )
+    )
+    row = d.crossJoin(t)
+    metrics = [
+        ("n_docs", F.col("n_docs")),
+        ("n_tokens", F.col("n_tokens")),
+        ("n_chars", F.col("n_chars")),
+        ("avg_tokens_per_doc", F.col("n_tokens") / F.col("n_docs")),
+        ("exact_dup_docs", F.col("exact_dup_docs")),
+        ("vocab_size", F.col("vocab_size")),
+        ("type_token_ratio", F.col("vocab_size") / F.col("_n_nonempty")),
+        ("mean_token_len", F.col("mean_token_len")),
+    ]
+    fields = F.array(
+        *[
+            F.struct(F.lit(k).alias("metric"), F.round(v, 4).alias("value"))
+            for k, v in metrics
+        ]
+    )
+    return row.select(F.explode(fields).alias("_m")).select("_m.*")

@@ -162,3 +162,34 @@ def rolling_stats(
             ),
         )
     )
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-touch conversion attribution: credit each user's
+    conversion (any ``conversion_type`` event) to the FIRST event type
+    they ever produced. Output: (first_touch, n_users, n_converted,
+    conv_rate) — the channel-effectiveness report, dual of X51's
+    ordered funnel.
+
+    One min_by per user (hash aggregate — no window, no sort: first
+    touch is an argmin, and min_by's partial aggregation collapses
+    executor-side) plus a conditional max for converted, then a tiny
+    per-type rollup."""
+    per_user = events.groupBy(key_col).agg(
+        F.expr(
+            f"min_by({type_col}, struct({ts_col}, {tiebreak_col}))"
+        ).alias("first_touch"),
+        F.max((F.col(type_col) == conversion_type).cast("long")).alias("_conv"),
+    )
+    return per_user.groupBy("first_touch").agg(
+        F.count("*").alias("n_users"),
+        F.sum("_conv").alias("n_converted"),
+        F.round(F.sum("_conv") / F.count("*"), 4).alias("conv_rate"),
+    )

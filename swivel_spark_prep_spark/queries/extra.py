@@ -3445,3 +3445,68 @@ def x104(spark, sf_dir):
     return w.select(
         "lang", "source", F.round("weight", 6).alias("weight")
     ).orderBy("lang", "source")
+
+
+@_declare(
+    "X105_first_touch",
+    # First-touch conversion attribution (timeseries.first_touch_
+    # attribution): per-user argmin by (ts, event_id) via min_by — a
+    # hash aggregate with map-side partials, no window, no sort — then
+    # a per-channel rollup. The oracle realizes the identical first
+    # touch with ROW_NUMBER.
+    """WITH f AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+conv AS (SELECT user_id,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+         FROM events GROUP BY 1)
+SELECT f.event_type AS first_touch, COUNT(*)::BIGINT AS n_users,
+       SUM(conv.c)::BIGINT AS n_converted,
+       ROUND(SUM(conv.c)::DOUBLE / COUNT(*), 4) AS conv_rate
+FROM f JOIN conv USING (user_id) WHERE rn = 1
+GROUP BY 1 ORDER BY 1;""",
+)
+def x105(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        first_touch_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return first_touch_attribution(ev).orderBy("first_touch")
+
+
+@_declare(
+    "X106_dataset_card",
+    # One-call dataset card (textstats.dataset_card): corpus totals,
+    # exact-dup count, vocabulary size, type-token ratio, mean token
+    # length as long-format (metric, value) — two map-side-partial
+    # aggregates total. The oracle replays every metric definition.
+    """WITH d AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs,
+         SUM(len(string_split(text,' ')))::DOUBLE AS n_tokens,
+         SUM(length(text))::DOUBLE AS n_chars,
+         (COUNT(*) - COUNT(DISTINCT md5(text)))::DOUBLE AS exact_dup_docs
+  FROM documents),
+t AS (
+  SELECT COUNT(DISTINCT tok)::DOUBLE AS vocab_size,
+         AVG(length(tok)) AS mean_token_len,
+         COUNT(*)::DOUBLE AS nn
+  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+  WHERE tok <> '')
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, ROUND(n_docs, 4) AS value FROM d
+  UNION ALL SELECT 'n_tokens', ROUND(n_tokens, 4) FROM d
+  UNION ALL SELECT 'n_chars', ROUND(n_chars, 4) FROM d
+  UNION ALL SELECT 'avg_tokens_per_doc', ROUND(n_tokens / n_docs, 4) FROM d
+  UNION ALL SELECT 'exact_dup_docs', ROUND(exact_dup_docs, 4) FROM d
+  UNION ALL SELECT 'vocab_size', ROUND(vocab_size, 4) FROM t
+  UNION ALL SELECT 'type_token_ratio', ROUND(vocab_size / nn, 4) FROM t
+  UNION ALL SELECT 'mean_token_len', ROUND(mean_token_len, 4) FROM t
+) ORDER BY metric;""",
+)
+def x106(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import dataset_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_card(docs).orderBy("metric")
