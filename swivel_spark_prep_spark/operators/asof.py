@@ -112,8 +112,14 @@ def interval_overlap_join(
         )
     ab = bucketed(a, a_start, a_end, a_prefix)
     bb = bucketed(b, b_start, b_end, b_prefix)
-    cand = ab.join(bb, "__bk").drop("__bk").dropDuplicates()
-    return cand.filter(
-        (F.col(f"{a_prefix}{a_start}") < F.col(f"{b_prefix}{b_end}"))
-        & (F.col(f"{b_prefix}{b_start}") < F.col(f"{a_prefix}{a_end}"))
+    # verify BEFORE deduplicating: the overlap predicate is a codegen
+    # row filter and false candidates never reach the dedup exchange
+    return (
+        ab.join(bb, "__bk")
+        .filter(
+            (F.col(f"{a_prefix}{a_start}") < F.col(f"{b_prefix}{b_end}"))
+            & (F.col(f"{b_prefix}{b_start}") < F.col(f"{a_prefix}{a_end}"))
+        )
+        .drop("__bk")
+        .dropDuplicates()
     )

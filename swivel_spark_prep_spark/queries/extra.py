@@ -2943,7 +2943,13 @@ def x87(spark, sf_dir):
     from swivel_spark_prep_spark.operators.asof import interval_overlap_join
     from swivel_spark_prep_spark.streaming import session_agg
 
-    sess = session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+    from swivel_spark_prep_spark.cache import track_persist
+
+    # sessionization (per-user window over the full events table) feeds
+    # BOTH join sides — persist it once or the window runs twice
+    sess = track_persist(
+        session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+    )
     a = sess.filter(F.col("user_id") % 2 == 0)
     b = sess.filter(F.col("user_id") % 2 == 1)
     return (
