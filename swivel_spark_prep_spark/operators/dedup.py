@@ -1152,3 +1152,56 @@ def sorted_neighborhood_pairs(
         .select("d1", "d2", F.round("_jac", 4).alias("jac"))
         .orderBy("d1", "d2")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dups: pairs where
+    ``|A ∩ B| / |A| ≥ threshold`` — document A is (nearly) contained in
+    B. Catches the subset-duplicates symmetric Jaccard structurally
+    misses: a paragraph quoted inside a larger page has Jaccard
+    |A|/|B| ≈ 0 but containment ≈ 1. The quote/inclusion detector of a
+    dedup suite (Broder's "containment", the other resemblance measure
+    from the original shingling paper).
+
+    Same pair-counting plan as Q41 — shingle-hash inverted index,
+    ordered-pair explosion per member list, count per pair equals the
+    exact intersection, sizes broadcast back — with the df cap
+    (``max_df``) bounding the quadratic member-list explosion on hot
+    shingles (a shingle shared by >max_df docs identifies nothing and
+    is dropped, the standard stopword rule). Returns (inner, outer,
+    containment) with containment = |inner ∩ outer| / |inner| ≥
+    threshold, both directions emitted when both qualify."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    sh = track_persist(
+        shingle_hashes(_spread(docs), n=n, text_col=text_col, doc_col=id_col)
+    )
+    sizes = sh.select(F.col("doc_id").alias("inner"), F.size("shingles").alias("_sz"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    grouped = (
+        inv.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("_ms"))
+        .filter((F.size("_ms") >= 2) & (F.size("_ms") <= max_df))
+    )
+    pairs = (
+        grouped.select(F.explode("_ms").alias("d1"), "_ms")
+        .select("d1", F.explode("_ms").alias("d2"))
+        .filter(F.col("d1") != F.col("d2"))
+    )
+    inter = pairs.groupBy("d1", "d2").agg(F.count("*").alias("_inter"))
+    return (
+        inter.select(
+            F.col("d1").alias("inner"), F.col("d2").alias("outer"), "_inter"
+        )
+        .join(F.broadcast(sizes), "inner")
+        .withColumn("containment", F.col("_inter") / F.col("_sz"))
+        .filter(F.col("containment") >= threshold)
+        .select("inner", "outer", F.round("containment", 4).alias("containment"))
+    )

@@ -353,3 +353,35 @@ def raking_weights(
     return df.sparkSession.createDataFrame(
         out, f"{dim_a} {schema_a}, {dim_b} {schema_b}, weight double"
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_by: Column,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap — the Common Crawl "per-domain cap"
+    curation rule: within each group (domain, source, license bucket)
+    keep at most ``cap`` rows, best-first by ``order_by`` (ties broken
+    deterministically by ``tiebreak_col``), drop the rest. Caps prevent
+    any single domain from dominating a mixed corpus regardless of its
+    raw size — the quota complement of temperature_resample's
+    proportional flattening.
+
+    One per-group window (hash-partitioned on the group, sorted within
+    the partition — the Q21 top-k shape, no global sort). A group with
+    Zipf-hot cardinality makes that partition the straggler; for
+    per-domain caps on the open web that skew is the norm, so pair with
+    a pre-filter or use the two-pass rank if one group dominates."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(order_by, F.col(tiebreak_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

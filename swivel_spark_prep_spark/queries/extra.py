@@ -3516,3 +3516,66 @@ def x106(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return dataset_card(docs).orderBy("metric")
+
+
+@_declare(
+    "X107_containment_pairs",
+    # Asymmetric containment near-dups (dedup.containment_pairs):
+    # |A∩B|/|A| >= 0.8 — the quote/inclusion detector symmetric Jaccard
+    # structurally misses. Spark runs the Q41 pair-counting plan
+    # (inverted index, ordered-pair explosion, df cap) over xxhash64
+    # shingles; the oracle is the brute-force all-pairs twin on string
+    # shingles — parity proves the pair-counting containment exact (the
+    # fixture's max df, 7, is far under the 1000 cap).
+    """WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+    p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3])) AS s
+  FROM documents WHERE len(string_split(text,' ')) >= 3)
+SELECT a.doc_id AS inner, b.doc_id AS outer,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 4) AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8
+ORDER BY 1, 2;""",
+)
+def x107(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8).orderBy("inner", "outer")
+
+
+@_declare(
+    "X108_per_source_cap",
+    # Per-source document cap (sampling.cap_per_group): keep the top-10
+    # docs per source by quality (X02's formula), ties by doc_id — the
+    # Common Crawl per-domain-cap curation rule. The oracle replays the
+    # identical quality expression and rank-and-cap.
+    """WITH q AS (
+  SELECT doc_id, source,
+         CASE WHEN len(string_split(text,' ')) < 5 THEN 0.0
+              ELSE least(100.0, greatest(0.0,
+                   100.0 * length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE / length(text)
+                   - 10.0 * length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text))) END AS quality
+  FROM documents),
+r AS (SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+      FROM q)
+SELECT source, COUNT(*)::BIGINT AS n_kept, ROUND(AVG(quality), 4) AS avg_quality
+FROM r WHERE rn <= 10 GROUP BY source ORDER BY source;""",
+)
+def x108(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import cap_per_group
+    from swivel_spark_prep_spark.operators.textstats import quality_score
+
+    docs = quality_score(load_table(spark, sf_dir, "documents"))
+    capped = cap_per_group(
+        docs, "source", 10, F.desc("quality"), tiebreak_col="doc_id"
+    )
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
