@@ -81,16 +81,25 @@ def pca_transform(
     components: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "proj",
+    explained_variance: np.ndarray | None = None,
 ) -> DataFrame:
     """Project every vector onto the fitted components: out = (x − mean)
     @ componentsT, one broadcast matmul per Arrow batch. Output schema =
-    input columns + ``out_col: array<float>``."""
+    input columns + ``out_col: array<float>``. Pass the fit's
+    ``explained_variance`` to WHITEN: each projected coordinate is
+    scaled by 1/sqrt(var + 1e-12), so the output has identity
+    covariance — the preprocessing that makes Euclidean ANN isotropic."""
     from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
 
     if out_col in embs.columns:
         raise ValueError(f"output column {out_col!r} already exists")
+    comps = np.asarray(components)
+    if explained_variance is not None:
+        comps = comps / np.sqrt(
+            np.asarray(explained_variance)[:, None] + 1e-12
+        )
     sc = embs.sparkSession.sparkContext
-    b = sc.broadcast((np.asarray(mean), np.asarray(components)))
+    b = sc.broadcast((np.asarray(mean), comps))
     out_schema = StructType(
         list(embs.schema.fields) + [StructField(out_col, ArrayType(FloatType()))]
     )

@@ -3579,3 +3579,34 @@ def x108(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_declare(
+    "X109_arrow_roundtrip",
+    # Arrow IPC (Feather v2) sink + source round-trip (sinks.write_
+    # arrow_ipc / sources.read_arrow_ipc): one .arrow file per
+    # partition, Arrow schema derived from the SPARK schema, record
+    # batches streamed per Arrow batch; read back over binaryFile +
+    # pyarrow file reader and aggregated against the source table.
+    """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice),2) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;""",
+)
+def x109(spark, sf_dir):
+    from swivel_spark_prep_spark.sinks import write_arrow_ipc
+    from swivel_spark_prep_spark.sources import read_arrow_ipc
+
+    path = _io_dir(sf_dir, "orders_arrow")
+    write_arrow_ipc(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        path,
+    )
+    return (
+        read_arrow_ipc(
+            spark, path, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )

@@ -288,3 +288,71 @@ def write_warc(
 
     summary = df.mapInPandas(_write, "n long").agg(_F.sum("n")).collect()
     return int(summary[0][0] or 0)
+
+
+def write_arrow_ipc(df: DataFrame, path: str, overwrite: bool = True) -> int:
+    """Distributed Arrow IPC (Feather v2) sink: one ``part-NNNNN.arrow``
+    file per partition, written executor-side with pyarrow's file
+    writer — the zero-copy interchange format for handing partitions to
+    ML tooling (training loaders, DuckDB, polars all read it natively).
+    Each Arrow batch becomes one record batch in the file, so a
+    partition of any size streams in O(batch) memory. Returns the total
+    row count (the only thing collected)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    if overwrite:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    # Arrow schema from the SPARK schema — inferring from an empty
+    # pandas frame types every object column as null
+    _pa = {
+        "long": pa.int64(), "integer": pa.int32(), "short": pa.int16(),
+        "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
+        "string": pa.string(), "boolean": pa.bool_(), "binary": pa.binary(),
+        "date": pa.date32(), "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    fields = []
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        if tn == "array":
+            et = f.dataType.elementType.typeName()
+            if et not in _pa:
+                raise ValueError(f"unsupported arrow array element: {et}")
+            fields.append(pa.field(f.name, pa.list_(_pa[et])))
+        elif tn in _pa:
+            fields.append(pa.field(f.name, _pa[tn]))
+        else:
+            raise ValueError(f"unsupported arrow sink type: {tn}")
+    schema_ser = pa.schema(fields).serialize().to_pybytes()
+
+    def _write(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        fpath = os.path.join(path, f"part-{pid:05d}.arrow")
+        schema = pa.ipc.read_schema(pa.BufferReader(schema_ser))
+        n = 0
+        writer = None
+        for pdf in batches:
+            if writer is None:
+                writer = pa.ipc.new_file(fpath, schema)
+            writer.write_batch(
+                pa.RecordBatch.from_pandas(
+                    pdf, schema=schema, preserve_index=False
+                )
+            )
+            n += len(pdf)
+        if writer is not None:
+            writer.close()
+        yield pd.DataFrame({"n": [n]})
+
+    import pyspark.sql.functions as _F
+
+    summary = df.mapInPandas(_write, "n long").agg(_F.sum("n")).collect()
+    return int(summary[0][0] or 0)

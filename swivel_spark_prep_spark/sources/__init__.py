@@ -234,3 +234,27 @@ def read_parquet_with_provenance(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).withColumn(
         "_file_path", F.col("_metadata.file_path")
     )
+
+
+def read_arrow_ipc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Distributed Arrow IPC (Feather v2) source — the inverse of
+    ``sinks.write_arrow_ipc``: binaryFile (one task per .arrow file) +
+    pyarrow file reader per container. ``schema`` is the Spark DDL the
+    frames decode to (Arrow files carry their own schema; the DDL makes
+    the Spark-side contract explicit and mismatches fail loudly)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    configure_runtime(spark)
+    bf = spark.read.format("binaryFile").load(path).select("content")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                reader = pa.ipc.open_file(pa.BufferReader(bytes(content)))
+                yield reader.read_all().to_pandas()
+
+    return bf.mapInPandas(_parse, schema)

@@ -914,3 +914,25 @@ def test_raking_weights_match_both_marginals(spark, sf_dir):
 
     with pytest.raises(ValueError):
         raking_weights(docs, "lang", "source", {"en": 1.0}, tb)
+
+
+def test_pca_whitening_identity_covariance(spark, sf_dir):
+    """Whitened projections must have ~identity covariance."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.pca import pca_fit, pca_transform
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ev = pca_fit(embs, k=8)
+    proj = np.array(
+        [
+            r.proj
+            for r in pca_transform(embs, mean, comps, explained_variance=ev)
+            .select("proj")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(proj, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(8), atol=5e-2)  # float32 projections
