@@ -129,3 +129,84 @@ def score_stupid_backoff(
         (F.sum(F.col("k") * F.col("lp")) / F.sum("k")).alias("avg_lp"),
         F.exp(-(F.sum(F.col("k") * F.col("lp")) / F.sum("k"))).alias("ppl"),
     )
+
+
+def nb_char_trigram_classifier(
+    train: DataFrame,
+    score: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trainable naive-Bayes language classifier over character
+    trigrams (the Cavnar-Trenkle / langid.py family, multinomial NB
+    with add-one smoothing): train per-label trigram counts on
+    ``train``, predict the argmax posterior for every ``score`` row.
+    Returns (id_col, pred) — compose with the label for a confusion
+    matrix. Unlike the stopword heuristic (X01), this is a MODEL
+    TRAINED ON DATA: labels are whatever the train frame carries.
+
+    Declarative end to end — the "model" is a DataFrame of per-trigram
+    per-label log-probabilities, never collected:
+
+    - training: one explode + one (trigram, label) count aggregate
+      (map-side partials), label totals and the trigram-vocabulary size
+      fold in as 1-row/|labels|-row broadcasts;
+    - scoring: the document's trigram MULTISET joins the model on
+      trigram (hash join, broadcast-able when the vocab is small), one
+      grouped sum per (doc, label), argmax via max_by. A trigram absent
+      from training contributes the add-one floor ln(1/(n_label+V)).
+
+    ln-sum order across engines differs in the last ulp; posteriors for
+    distinct labels differ by whole units, so the ARGMAX (what this
+    returns) is engine-stable — pin parity on it, not on raw scores.
+    """
+    tris = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+        f" i -> substring({text_col}, i, 3))"
+    )
+    tr = train.select(
+        F.col(label_col).alias("_y"), F.explode(tris).alias("_t")
+    )
+    counts = tr.groupBy("_y", "_t").agg(F.count("*").alias("_c"))
+    label_tot = tr.groupBy("_y").agg(F.count("*").alias("_n"))
+    vocab = counts.select("_t").distinct().agg(
+        F.count("*").cast("double").alias("_v")
+    )
+    labels = [r["_y"] for r in label_tot.select("_y").collect()]
+    # wide per-trigram model: one ln-prob column per label (labels are
+    # few — languages, domains; the trigram dimension stays tall)
+    model = (
+        counts.groupBy("_t")
+        .pivot("_y", labels)
+        .agg(F.first("_c"))
+        .crossJoin(F.broadcast(vocab))
+    )
+    for y in labels:
+        model = model.withColumn(f"_cnt_{y}", F.coalesce(F.col(y), F.lit(0)))
+    lt = {r["_y"]: r["_n"] for r in label_tot.collect()}
+    prior_n = sum(lt.values())
+    sc = score.select(F.col(id_col), F.explode(tris).alias("_t"))
+    joined = sc.join(model.select("_t", "_v", *[f"_cnt_{y}" for y in labels]), "_t", "left")
+    aggs = []
+    for y in labels:
+        lp = F.log(
+            (F.coalesce(F.col(f"_cnt_{y}"), F.lit(0)) + 1.0)
+            / (lt[y] + F.coalesce(F.col("_v"), F.lit(1.0)))
+        )
+        aggs.append(F.sum(lp).alias(f"_s_{y}"))
+    per_doc = joined.groupBy(id_col).agg(*aggs)
+    import math
+
+    best = F.expr(
+        "greatest(" + ", ".join(f"_p_{y}" for y in labels) + ")"
+    )
+    for y in labels:
+        per_doc = per_doc.withColumn(
+            f"_p_{y}", F.col(f"_s_{y}") + math.log(lt[y] / prior_n)
+        )
+    pred = None
+    for y in sorted(labels):
+        cond = F.col(f"_p_{y}") == best
+        pred = F.when(cond, F.lit(y)) if pred is None else pred.when(cond, F.lit(y))
+    return per_doc.select(F.col(id_col), pred.alias("pred"))

@@ -3610,3 +3610,46 @@ def x109(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+@_declare(
+    "X110_nb_lang_confusion",
+    # Trained naive-Bayes char-trigram language classifier (lm.nb_char_
+    # trigram_classifier, the Cavnar-Trenkle family): train on the
+    # labeled fixture, predict resubstitution, report the confusion
+    # matrix. The oracle replays training counts, add-one smoothing,
+    # priors and the argmax (ties by label asc) in SQL; parity pins the
+    # ARGMAX, the engine-stable surface (raw ln-sums differ in the last
+    # ulp).
+    """WITH tg AS (SELECT doc_id, lang,
+        unnest(list_transform(range(1, greatest(length(text)-2, 0) + 1),
+                              i -> substr(text, i, 3))) AS t
+  FROM documents),
+counts AS (SELECT lang AS y, t, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+lt AS (SELECT lang AS y, COUNT(*) AS n FROM tg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t)::DOUBLE AS v FROM counts),
+prior AS (SELECT SUM(n)::DOUBLE AS pn FROM lt),
+scored AS (
+  SELECT tg.doc_id, tg.lang AS true_lang, lt.y,
+         SUM(ln((COALESCE(c.c, 0) + 1.0) / (lt.n + v.v))) + ln(lt.n / prior.pn) AS p
+  FROM tg CROSS JOIN lt CROSS JOIN v CROSS JOIN prior
+  LEFT JOIN counts c ON c.t = tg.t AND c.y = lt.y
+  GROUP BY tg.doc_id, tg.lang, lt.y, lt.n, prior.pn),
+pred AS (
+  SELECT doc_id, true_lang, y AS pred,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p DESC, y) AS rn
+  FROM scored)
+SELECT true_lang AS lang, pred, COUNT(*)::BIGINT AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2;""",
+)
+def x110(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.lm import nb_char_trigram_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = nb_char_trigram_classifier(docs, docs)
+    return (
+        preds.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred")
+    )
