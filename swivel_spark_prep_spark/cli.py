@@ -87,6 +87,14 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--exact-ndv", action="store_true")
     pr.add_argument("--master", default=None)
 
+    card = sub.add_parser(
+        "dataset-card",
+        help="long-format dataset card: corpus totals, dup count, "
+        "vocab size, type-token ratio",
+    )
+    card.add_argument("--input", required=True, help="parquet with doc_id/text")
+    card.add_argument("--master", default=None)
+
     se = sub.add_parser(
         "search", help="BM25 full-text top-k over a doc_id/text table"
     )
@@ -246,6 +254,12 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.input), exact_ndv=args.exact_ndv
             ).toPandas()
             print(pdf.to_string(index=False))
+        elif args.cmd == "dataset-card":
+            from swivel_spark_prep_spark.operators.textstats import dataset_card
+
+            pdf = dataset_card(spark.read.parquet(args.input)).toPandas()
+            for _, r in pdf.iterrows():
+                print(f"{r['metric']}\t{r['value']}")
         elif args.cmd == "search":
             from swivel_spark_prep_spark.operators.search import bm25_topk
 

@@ -291,3 +291,33 @@ def test_warc_detects_corruption():
         wk.encode_record("r", "<urn:evil\r\nContent-Length: 0>", "d", b"")
     with pytest.raises(ValueError):
         wk.encode_record("r", "<i>", "2024\n", b"")
+
+
+def test_warc_parses_foreign_common_crawl_shape():
+    """A hand-built warcinfo + request + response container (the Common
+    Crawl record mix, with HTTP headers inside the response payload and
+    a WARC-Target-URI field) parses field-for-field — the reader is not
+    limited to this sink's own records."""
+    from swivel_spark_prep_spark.sinks import warc as wk
+
+    info = wk.encode_record(
+        "warcinfo", "<urn:uuid:1>", "2024-01-01T00:00:00Z",
+        b"software: test/1.0\r\nformat: WARC File Format 1.0\r\n",
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"\r\n"
+        b"<html><body>hello</body></html>"
+    )
+    resp = wk.encode_record(
+        "response", "<urn:uuid:2>", "2024-01-01T00:00:01Z", http,
+        [("WARC-Target-URI", "http://example.com/"),
+         ("Content-Type", "application/http; msgtype=response")],
+    )
+    blob = wk.gzip_member(info) + wk.gzip_member(resp)
+    recs = wk.parse_warc_bytes(blob)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["headers"]["WARC-Target-URI"] == "http://example.com/"
+    assert recs[1]["payload"] == http
+    assert b"hello" in recs[1]["payload"]

@@ -1259,3 +1259,13 @@ def test_equidepth_histogram_excludes_nulls(spark):
     h = equidepth_histogram(df, "v", 4).collect()
     assert all(r.bin is not None for r in h)
     assert sum(r.n_rows for r in h) == 100
+
+
+def test_cli_dataset_card(spark, sf_dir, capsys):
+    from swivel_spark_prep_spark import cli
+
+    src = str(sf_dir) + "/documents.parquet"
+    assert cli.main(["dataset-card", "--input", src]) == 0
+    out = capsys.readouterr().out
+    for m in ("n_docs", "n_tokens", "vocab_size", "type_token_ratio"):
+        assert m in out
