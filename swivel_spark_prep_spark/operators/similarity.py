@@ -867,3 +867,49 @@ def kmeans_fit_distributed(
                 cents[r["list_id"]] = c / n
         # clusters that lost every member keep their previous centroid
     return cents
+
+
+def feature_hash_embed(
+    docs: DataFrame,
+    k: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") document vectors (Weinberger
+    et al. 2009, the Vowpal Wabbit vectorizer): each token adds ±1 to
+    bucket ``md5(token) % k``, the sign drawn from an independent hash
+    nibble so collisions cancel in expectation — a fixed-k dense
+    embedding with NO vocabulary table, no training, and no driver
+    state, usable directly by the cosine/ANN/clustering operators here.
+
+    md5 (not xxhash64) so external engines can reproduce the exact
+    vectors. One explode + one (doc, bucket) aggregate (map-side
+    partials), then the dense array assembles per doc from the sparse
+    pairs with a sequence/transform fill — k stays a per-row constant,
+    never a shuffle dimension. Returns (id_col, vec: array<double>)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).filter(F.col("_t") != "")
+    hashed = tok.select(
+        id_col,
+        (F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long") % k).alias(
+            "_b"
+        ),
+        F.when(
+            F.conv(F.substring(F.md5("_t"), 9, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("_s"),
+    )
+    sparse = hashed.groupBy(id_col, "_b").agg(F.sum("_s").alias("_w"))
+    pairs = sparse.groupBy(id_col).agg(
+        F.map_from_arrays(F.collect_list("_b"), F.collect_list("_w")).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda b: F.coalesce(F.element_at("_m", b.cast("long")), F.lit(0.0)),
+    )
+    return pairs.select(F.col(id_col), dense.alias("vec"))

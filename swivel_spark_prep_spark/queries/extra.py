@@ -3653,3 +3653,32 @@ def x110(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "pred")
     )
+
+
+@_declare(
+    "X111_feature_hash_embed",
+    # Feature-hashing document vectors (similarity.feature_hash_embed,
+    # the Vowpal hashing trick): bucket = md5(token) % 64, sign from an
+    # independent md5 nibble — vocabulary-free fixed-k embeddings. The
+    # oracle replays the identical md5 arithmetic; both sides compare
+    # the NONZERO (doc, bucket, weight) triples (a zero can be a
+    # missing bucket or an exact ±cancellation — both engines drop it).
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+h AS (SELECT doc_id,
+        ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+        CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS sgn
+      FROM tok WHERE t <> '')
+SELECT doc_id, bucket, SUM(sgn) AS w
+FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0 ORDER BY 1, 2;""",
+)
+def x111(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import feature_hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = feature_hash_embed(docs, k=64)
+    return (
+        vecs.select("doc_id", F.posexplode("vec").alias("bucket", "w"))
+        .filter(F.col("w") != 0.0)
+        .orderBy("doc_id", "bucket")
+    )
