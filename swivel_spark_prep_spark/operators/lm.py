@@ -161,52 +161,73 @@ def nb_char_trigram_classifier(
     distinct labels differ by whole units, so the ARGMAX (what this
     returns) is engine-stable — pin parity on it, not on raw scores.
     """
+    # CASE guard, not greatest(): Spark's sequence(1, 0) DESCENDS,
+    # emitting [1, 0] — a sub-3-char doc would fabricate junk trigrams
     tris = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
-        f" i -> substring({text_col}, i, 3))"
+        f"CASE WHEN length({text_col}) >= 3 THEN "
+        f"transform(sequence(1, length({text_col}) - 2),"
+        f" i -> substring({text_col}, i, 3)) "
+        f"ELSE cast(array() as array<string>) END"
     )
+    from swivel_spark_prep_spark.cache import track_persist
+
     tr = train.select(
         F.col(label_col).alias("_y"), F.explode(tris).alias("_t")
     )
-    counts = tr.groupBy("_y", "_t").agg(F.count("*").alias("_c"))
-    label_tot = tr.groupBy("_y").agg(F.count("*").alias("_n"))
+    # persisted: counts feeds the label totals, the vocab size, and the
+    # model — without it the train-corpus explode re-runs per consumer
+    counts = track_persist(tr.groupBy("_y", "_t").agg(F.count("*").alias("_c")))
+    lt = {
+        r["_y"]: r["_n"]
+        for r in counts.groupBy("_y").agg(F.sum("_c").alias("_n")).collect()
+    }
+    if not lt:
+        raise ValueError("train frame produced no trigrams")
+    if any(y is None for y in lt):
+        raise ValueError("labels must be non-null")
+    labels = sorted(lt, key=str)  # tie-break order; survives odd labels
+    prior_n = float(sum(lt.values()))
     vocab = counts.select("_t").distinct().agg(
         F.count("*").cast("double").alias("_v")
     )
-    labels = [r["_y"] for r in label_tot.select("_y").collect()]
-    # wide per-trigram model: one ln-prob column per label (labels are
-    # few — languages, domains; the trigram dimension stays tall)
-    model = (
-        counts.groupBy("_t")
-        .pivot("_y", labels)
-        .agg(F.first("_c"))
-        .crossJoin(F.broadcast(vocab))
+    # wide per-trigram model with POSITIONAL column names — label values
+    # never become identifiers (a 'pt-BR' label must not meet a parser)
+    model = counts.groupBy("_t").agg(
+        *[
+            F.sum(F.when(F.col("_y") == F.lit(y), F.col("_c"))).alias(f"_cnt_{i}")
+            for i, y in enumerate(labels)
+        ]
     )
-    for y in labels:
-        model = model.withColumn(f"_cnt_{y}", F.coalesce(F.col(y), F.lit(0)))
-    lt = {r["_y"]: r["_n"] for r in label_tot.collect()}
-    prior_n = sum(lt.values())
-    sc = score.select(F.col(id_col), F.explode(tris).alias("_t"))
-    joined = sc.join(model.select("_t", "_v", *[f"_cnt_{y}" for y in labels]), "_t", "left")
-    aggs = []
-    for y in labels:
-        lp = F.log(
-            (F.coalesce(F.col(f"_cnt_{y}"), F.lit(0)) + 1.0)
-            / (lt[y] + F.coalesce(F.col("_v"), F.lit(1.0)))
-        )
-        aggs.append(F.sum(lp).alias(f"_s_{y}"))
-    per_doc = joined.groupBy(id_col).agg(*aggs)
     import math
 
-    best = F.expr(
-        "greatest(" + ", ".join(f"_p_{y}" for y in labels) + ")"
-    )
-    for y in labels:
-        per_doc = per_doc.withColumn(
-            f"_p_{y}", F.col(f"_s_{y}") + math.log(lt[y] / prior_n)
+    ids = score.select(id_col).distinct()
+    sc = score.select(F.col(id_col), F.explode(tris).alias("_t"))
+    # vocab crossJoins the SCORING rows: a trigram absent from training
+    # must still smooth against the true V, not a left-join NULL
+    joined = sc.join(model, "_t", "left").crossJoin(F.broadcast(vocab))
+    aggs = []
+    for i, y in enumerate(labels):
+        lp = F.log(
+            (F.coalesce(F.col(f"_cnt_{i}"), F.lit(0)) + 1.0)
+            / (lt[y] + F.col("_v"))
         )
+        aggs.append(F.sum(lp).alias(f"_s_{i}"))
+    per_doc = joined.groupBy(id_col).agg(*aggs)
+    # every score row gets a prediction: a doc too short for any trigram
+    # (dropped by the explode) falls back to the PRIOR argmax
+    full = ids.join(per_doc, id_col, "left")
+    for i, y in enumerate(labels):
+        full = full.withColumn(
+            f"_p_{i}",
+            F.coalesce(F.col(f"_s_{i}"), F.lit(0.0))
+            + math.log(lt[y] / prior_n),
+        )
+    pcols = [F.col(f"_p_{i}") for i in range(len(labels))]
+    best = F.greatest(*pcols) if len(pcols) > 1 else pcols[0]
     pred = None
-    for y in sorted(labels):
-        cond = F.col(f"_p_{y}") == best
-        pred = F.when(cond, F.lit(y)) if pred is None else pred.when(cond, F.lit(y))
-    return per_doc.select(F.col(id_col), pred.alias("pred"))
+    for i, y in enumerate(labels):  # labels sorted: first match wins ties
+        cond = F.col(f"_p_{i}") == best
+        pred = F.when(cond, F.lit(y)) if pred is None else pred.when(
+            cond, F.lit(y)
+        )
+    return full.select(F.col(id_col), pred.alias("pred"))

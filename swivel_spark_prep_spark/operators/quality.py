@@ -191,32 +191,19 @@ def mad_outliers(
     the median, the standard convention. NULL group keys form a group
     of their own (the join-back is null-safe — a flagging operator must
     be row-preserving, so NULL-keyed rows may not silently vanish)."""
+    from swivel_spark_prep_spark.operators import nullsafe_broadcast_join
+
     gcols = group_cols or []
 
     def _grp(frame):
         return frame.groupBy(*gcols) if gcols else frame.groupBy()
 
-    def _join_back(rows, agg_df, keep: list[str]):
-        # groupBy keeps a NULL-key group; a plain equi-join would never
-        # match it back, dropping those rows — use <=> per key column
-        if not gcols:
-            return rows.crossJoin(F.broadcast(agg_df))
-        a = agg_df
-        for c in gcols:
-            a = a.withColumnRenamed(c, f"__g_{c}")
-        cond = F.lit(True)
-        for c in gcols:
-            cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
-        return rows.join(F.broadcast(a), cond).drop(
-            *[f"__g_{c}" for c in gcols]
-        )
-
     med = _grp(df).agg(F.median(value_col).alias("_median"))
-    dev = _join_back(df, med, gcols).withColumn(
+    dev = nullsafe_broadcast_join(df, med, gcols).withColumn(
         "_adev", F.abs(F.col(value_col) - F.col("_median"))
     )
     mad = _grp(dev.select(*gcols, "_adev")).agg(F.median("_adev").alias("_mad"))
-    with_mad = _join_back(dev, mad, gcols)
+    with_mad = nullsafe_broadcast_join(dev, mad, gcols)
     return with_mad.withColumn(
         "_outlier", F.col("_adev") > k * 1.4826 * F.col("_mad")
     ).drop("_adev")

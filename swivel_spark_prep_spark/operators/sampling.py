@@ -265,14 +265,9 @@ def stratified_split(
     # null-safe join-back: a NULL stratum is a stratum (both the window
     # partition and groupBy treat it as one); a plain equi-join would
     # silently drop those rows from every split
-    for c in strata_cols:
-        counts = counts.withColumnRenamed(c, f"__s_{c}")
-    cond = F.lit(True)
-    for c in strata_cols:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
-    with_n = ranked.join(F.broadcast(counts), cond).drop(
-        *[f"__s_{c}" for c in strata_cols]
-    )
+    from swivel_spark_prep_spark.operators import nullsafe_broadcast_join
+
+    with_n = nullsafe_broadcast_join(ranked, counts, strata_cols)
     expr, cum = None, 0.0
     for name, frac in fractions.items():
         cum += frac
@@ -314,13 +309,25 @@ def raking_weights(
         if abs(sum(t.values()) - 1.0) > 1e-9:
             raise ValueError(f"{name} shares must sum to 1, got {sum(t.values())}")
     cells = df.groupBy(dim_a, dim_b).count().collect()
-    avals = sorted({r[dim_a] for r in cells})
-    bvals = sorted({r[dim_b] for r in cells})
+    # key=str: NULL is a legitimate groupBy cell and must sort alongside
+    # strings instead of raising TypeError
+    avals = sorted({r[dim_a] for r in cells}, key=lambda v: (v is None, str(v)))
+    bvals = sorted({r[dim_b] for r in cells}, key=lambda v: (v is None, str(v)))
     missing_a = [v for v in avals if v not in targets_a]
     missing_b = [v for v in bvals if v not in targets_b]
     if missing_a or missing_b:
         raise ValueError(
             f"observed values missing from targets: {missing_a + missing_b}"
+        )
+    # ...and the reverse: a target category with NO observed rows is
+    # unreachable (raking reweights, it cannot create rows) — the row
+    # and column passes would fight forever and the loop would exit
+    # non-converged with weights matching NEITHER marginal. Fail loudly.
+    ghost_a = [v for v in targets_a if v not in set(avals)]
+    ghost_b = [v for v in targets_b if v not in set(bvals)]
+    if ghost_a or ghost_b:
+        raise ValueError(
+            f"target categories with no observed rows: {ghost_a + ghost_b}"
         )
     n = {(r[dim_a], r[dim_b]): r["count"] for r in cells}
     total = sum(n.values())

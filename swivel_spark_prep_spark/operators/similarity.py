@@ -908,8 +908,13 @@ def feature_hash_embed(
     pairs = sparse.groupBy(id_col).agg(
         F.map_from_arrays(F.collect_list("_b"), F.collect_list("_w")).alias("_m")
     )
+    # left join from ALL input ids: a doc whose every token is empty has
+    # no sparse rows but still owns a (zero) vector — a per-doc embedding
+    # operator may not silently drop rows (element_at on the NULL map
+    # yields NULL, coalesced to 0.0)
+    ids = docs.select(id_col).distinct()
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda b: F.coalesce(F.element_at("_m", b.cast("long")), F.lit(0.0)),
     )
-    return pairs.select(F.col(id_col), dense.alias("vec"))
+    return ids.join(pairs, id_col, "left").select(F.col(id_col), dense.alias("vec"))

@@ -46,7 +46,7 @@ def encode_record(
         if "\r" in v or "\n" in v:
             raise ValueError(f"invalid {name}: {v!r}")
     for k, v in extra_headers or []:
-        if "\r" in v or "\n" in v or ":" in k:
+        if "\r" in v or "\n" in v or ":" in k or "\r" in k or "\n" in k:
             raise ValueError(f"invalid WARC header {k!r}: {v!r}")
     lines = [
         b"WARC/1.0",

@@ -255,6 +255,11 @@ def read_arrow_ipc(spark: SparkSession, path: str, schema: str) -> DataFrame:
         for pdf in batches:
             for content in pdf["content"]:
                 reader = pa.ipc.open_file(pa.BufferReader(bytes(content)))
-                yield reader.read_all().to_pandas()
+                # per-record-batch iteration — read_all() would hold the
+                # raw bytes, the Arrow table, AND the pandas frame at
+                # once; the sink wrote one batch per Arrow batch exactly
+                # so the read side can stay O(batch) too
+                for i in range(reader.num_record_batches):
+                    yield reader.get_batch(i).to_pandas()
 
     return bf.mapInPandas(_parse, schema)

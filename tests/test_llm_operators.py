@@ -936,3 +936,52 @@ def test_pca_whitening_identity_covariance(spark, sf_dir):
     )
     cov = np.cov(proj, rowvar=False, bias=True)
     assert np.allclose(cov, np.eye(8), atol=5e-2)  # float32 projections
+
+
+def test_nb_classifier_train_score_disjoint_and_short_docs(spark):
+    """Unseen trigrams must smooth against the TRUE vocabulary size
+    (train != score), odd labels must not meet a SQL parser, and docs
+    too short for any trigram still get the prior-argmax prediction."""
+    train = spark.createDataFrame(
+        [(i, "aaa bbb ccc ddd eee", "pt-BR") for i in range(8)]
+        + [(100 + i, "xxx yyy zzz", "zh-CN") for i in range(2)],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [(1000, "aaa bbb ccc"), (1001, "qqq www"), (1002, "hi")],
+        "doc_id long, text string",
+    )
+    from swivel_spark_prep_spark.operators.lm import nb_char_trigram_classifier
+
+    got = {r.doc_id: r.pred for r in nb_char_trigram_classifier(train, score).collect()}
+    assert set(got) == {1000, 1001, 1002}         # every score row predicted
+    assert got[1000] == "pt-BR"                   # seen text → its label
+    assert got[1002] == "pt-BR"                   # no trigrams → prior argmax
+
+
+def test_raking_rejects_unobserved_target_category(spark, sf_dir):
+    import pytest
+
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.sampling import raking_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    srcs = [f"src{i}" for i in range(20)]
+    with pytest.raises(ValueError, match="no observed rows"):
+        raking_weights(
+            docs, "lang", "source",
+            {**{l: 0.15 for l in langs}, "ja": 0.25},
+            {s: 1 / len(srcs) for s in srcs},
+        )
+
+
+def test_feature_hash_embed_keeps_empty_docs(spark):
+    from swivel_spark_prep_spark.operators.similarity import feature_hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.vec for r in feature_hash_embed(docs, k=8).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2] == [0.0] * 8
