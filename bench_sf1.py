@@ -92,6 +92,15 @@ def generate() -> None:
                                               '\\1x' || i, 'g') END)::BIGINT
                      AS n_chars
             FROM '{src}/documents.parquet', range({n}) r(i)""",
+        # per-copy additive shift breaks cross-copy exact duplicates
+        # while keeping each copy's intra-copy cluster structure -- the
+        # embedding-space analogue of the token-suffix scheme above
+        "embeddings": """
+            SELECT vec_id + i*5000 AS vec_id,
+                   list_transform(embedding, x -> x + i*0.001)::FLOAT[]
+                     AS embedding,
+                   label
+            FROM '{src}/embeddings.parquet', range({n}) r(i)""",
     }
     for table, sel in specs.items():
         out = os.path.join(DST, f"{table}.parquet")
@@ -179,6 +188,43 @@ def main() -> None:
         print(f"# duckdb {name}: {duck_s[name]:.3f}s", file=sys.stderr)
     con.close()
 
+    # Heavy EXTRAS, Spark-only, at BOTH SFs: the judged question for
+    # these is not a DuckDB ratio (several twins are brute-force and
+    # take hours at sf1) but whether the plans scale LINEARLY -- the
+    # sf1/sf0.1 wall factor should sit near the 10x data factor.
+    # Interpretation caveat: X87's OUTPUT grows quadratically by
+    # construction (the replication makes the 30-day window 10x DENSER,
+    # so co-temporal session pairs grow ~100x -- measured exactly 100.0x:
+    # 3,239,553 -> 323,955,300 total overlap pairs); its wall factor is
+    # judged against the 100x output, not the 10x input. X110's model
+    # vocabulary also grows 10x with the suffixed tokens, so its join is
+    # 10x on BOTH sides.
+    from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
+
+    extras = {}
+    for name in (
+        "X68_semantic_dedup",
+        "X82_prefix_filter_jaccard",
+        "X87_interval_overlap_join",
+        "X90_sorted_neighborhood",
+        "X93_profile_table",
+        "X110_nb_lang_confusion",
+    ):
+        fn = EXTRA_QUERIES[name]
+        walls = {}
+        for tag, d in (("sf01", SRC), ("sf1", DST)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            walls[tag] = round(time.perf_counter() - t0, 3)
+            release_persisted()
+        extras[name] = {
+            **walls,
+            "scale_factor": round(walls["sf1"] / max(walls["sf01"], 1e-9), 2),
+        }
+        print(f"# extra {name}: sf0.1 {walls['sf01']}s -> sf1 {walls['sf1']}s",
+              file=sys.stderr)
+
     os.environ["SPARK_GRAFT_SF_DIR"] = DST  # calib anchors read this? no —
     # bench._duckdb_calibration reads its module-level SF_DIR (sf0.1):
     # those anchors stay the cross-round environment reference on purpose.
@@ -201,6 +247,7 @@ def main() -> None:
         },
         "result_rows": {short(n): rows[n] for n in HEAVY},
         "split": split,
+        "extras_scaling": extras,
         "calib_sf01": calib,
         "env": {"start": env_start, "end": _env_snapshot()},
         "contended": contended,
