@@ -193,3 +193,70 @@ def first_touch_attribution(
         F.sum("_conv").alias("n_converted"),
         F.round(F.sum("_conv") / F.count("*"), 4).alias("conv_rate"),
     )
+
+
+def decay_weighted_score(
+    events: DataFrame,
+    half_life_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially decayed activity score per key: ``Σ value ·
+    0.5^((t_ref − t)/half_life)`` with t_ref = the corpus's newest
+    event — the standard recency-weighted engagement/freshness signal
+    (recommendation freshness, customer RFM, doc recency boosts).
+    t_ref folds in as a 1-row broadcast so the whole thing is one
+    projection + one per-key aggregate; a fixed half-life makes scores
+    comparable across runs anchored to the same reference time."""
+    if half_life_seconds <= 0:
+        raise ValueError(
+            f"half_life_seconds must be positive, got {half_life_seconds}"
+        )
+    es = epoch_seconds(ts_col)
+    ref = events.agg(F.max(es).alias("_tref"))
+    lam = 0.6931471805599453 / half_life_seconds  # ln 2 / half-life
+    return (
+        events.select(F.col(key_col), es.alias("_t"), F.col(value_col).alias("_v"))
+        .crossJoin(F.broadcast(ref))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.col("_v") * F.exp(-lam * (F.col("_tref") - F.col("_t")))
+            ).alias("decay_score")
+        )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: P(next state | state) estimated from adjacent event
+    pairs in time order — the behavioral model behind next-action
+    prediction and funnel anomaly detection. One per-key lag window
+    (the Q19 single-exchange shape) + one (from, to) count; the
+    per-from normalizer rides the same aggregate via a window-free
+    join of the tiny (from, total) relation. Returns (from_state,
+    to_state, n, p)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    pairs = (
+        events.withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(F.col(type_col).alias("from_state"), F.col("_next").alias("to_state"))
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 4).alias("p"),
+        )
+    )

@@ -3682,3 +3682,73 @@ def x111(spark, sf_dir):
         .filter(F.col("w") != 0.0)
         .orderBy("doc_id", "bucket")
     )
+
+
+@_declare(
+    "X112_edit_distance_pairs",
+    # Exact edit-distance self-join (dedup.edit_distance_pairs) over
+    # part names, ed <= 2: q-gram pigeonhole blocking (d edits destroy
+    # <= d*q grams, so long-enough pairs MUST share one) + a
+    # length-band explode for short strings — recall 1 by theorem. The
+    # oracle is the brute-force all-pairs twin; parity proves it.
+    """SELECT a.p_partkey AS i, b.p_partkey AS j,
+       levenshtein(a.p_name, b.p_name)::INT AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY i, j;""",
+)
+def x112(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_pairs(
+        part, "p_name", max_distance=2, id_col="p_partkey"
+    ).orderBy("i", "j")
+
+
+@_declare(
+    "X113_decay_score",
+    # Exponentially decayed per-user activity score (timeseries.decay_
+    # weighted_score): sum of value * 0.5^(age/half_life) anchored at
+    # the corpus's newest event, half-life 7 days. The oracle replays
+    # the identical exp arithmetic.
+    """WITH ref AS (SELECT MAX(floor(epoch(ts))) AS tref FROM events)
+SELECT user_id,
+       ROUND(SUM(value * exp(-(0.6931471805599453/604800.0)
+                             * (tref - floor(epoch(ts))))), 4) AS decay_score
+FROM events CROSS JOIN ref
+GROUP BY user_id ORDER BY user_id;""",
+)
+def x113(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import decay_weighted_score
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        decay_weighted_score(ev, 604800.0)
+        .select("user_id", F.round("decay_score", 4).alias("decay_score"))
+        .orderBy("user_id")
+    )
+
+
+@_declare(
+    "X114_transition_matrix",
+    # First-order Markov transitions over per-user event sequences
+    # (timeseries.transition_matrix): adjacent pairs from one per-key
+    # lag window, P(to|from) by a tiny normalizer join. The oracle
+    # replays LEAD + the same normalization.
+    """WITH s AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+  FROM events),
+c AS (SELECT from_state, to_state, COUNT(*) AS n FROM s
+      WHERE to_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_state, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.from_state, c.to_state, c.n,
+       ROUND(c.n::DOUBLE / t.tot, 4) AS p
+FROM c JOIN t USING (from_state) ORDER BY 1, 2;""",
+)
+def x114(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev).orderBy("from_state", "to_state")
