@@ -3759,3 +3759,102 @@ def x114(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return transition_matrix(ev).orderBy("from_state", "to_state")
+
+
+@_declare(
+    "X115_nested_roundtrip",
+    # Nested materialization round-trip: orders each carry their
+    # lineitems as a ts-ordered array<struct> (the lakehouse
+    # denormalization that kills the join at read time), then the
+    # nested column is exploded BACK and checksummed — the
+    # nest/unnest round-trip law. array_sort on (linenumber) keys the
+    # struct order deterministically. The oracle is the plain join
+    # aggregate the nested form must preserve.
+    """SELECT o.o_orderstatus, COUNT(DISTINCT o.o_orderkey)::BIGINT AS n_orders,
+       COUNT(l.l_orderkey)::BIGINT AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) AS total
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1;""",
+)
+def x115(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_extendedprice", "l_quantity")
+                )
+            ).alias("items")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    # unnest back and prove the aggregate is preserved
+    return (
+        nested.select("o_orderkey", "o_orderstatus", F.explode("items").alias("it"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum("it.l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@_declare(
+    "X116_ab_test_report",
+    # Two-proportion A/B report: treatment = even user_id, control =
+    # odd; conversion = any HIGH-VALUE purchase (value > 120, ~p90 of
+    # the fixture's skewed purchase values — every user purchases
+    # SOMETHING, so plain purchase is degenerate). Lift and the two-proportion
+    # z-score (pooled variance) in one aggregate — the experiment
+    # readout primitive; significance thresholds are the caller's
+    # (|z| > 1.96 ~ p < .05). The oracle replays the identical pooled
+    # arithmetic.
+    """WITH u AS (
+  SELECT user_id, user_id % 2 = 0 AS treat,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 120 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+g AS (SELECT COUNT(*) FILTER (treat) AS nt, SUM(conv) FILTER (treat) AS ct,
+             COUNT(*) FILTER (NOT treat) AS nc, SUM(conv) FILTER (NOT treat) AS cc
+      FROM u)
+SELECT nt::BIGINT AS n_treat, ct::BIGINT AS conv_treat,
+       nc::BIGINT AS n_ctrl, cc::BIGINT AS conv_ctrl,
+       ROUND(ct::DOUBLE/nt - cc::DOUBLE/nc, 6) AS lift,
+       ROUND((ct::DOUBLE/nt - cc::DOUBLE/nc)
+             / NULLIF(sqrt(((ct+cc)::DOUBLE/(nt+nc)) * (1 - (ct+cc)::DOUBLE/(nt+nc))
+                           * (1.0/nt + 1.0/nc)), 0), 4) AS z_score
+FROM g;""",
+)
+def x116(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 120))
+            .cast("long")
+        ).alias("conv")
+    ).withColumn("treat", F.col("user_id") % 2 == 0)
+    g = u.agg(
+        F.sum(F.col("treat").cast("long")).alias("nt"),
+        F.sum(F.when(F.col("treat"), F.col("conv")).otherwise(0)).alias("ct"),
+        F.sum((~F.col("treat")).cast("long")).alias("nc"),
+        F.sum(F.when(~F.col("treat"), F.col("conv")).otherwise(0)).alias("cc"),
+    )
+    p_pool = (F.col("ct") + F.col("cc")) / (F.col("nt") + F.col("nc"))
+    lift = F.col("ct") / F.col("nt") - F.col("cc") / F.col("nc")
+    # NULL z when the pooled variance is 0 (everyone or no one
+    # converted) — the degenerate A/B readout has no defined z-score
+    denom = F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("nt") + 1.0 / F.col("nc"))
+    )
+    z = lift / F.nullif(denom, F.lit(0.0))
+    return g.select(
+        F.col("nt").alias("n_treat"),
+        F.col("ct").alias("conv_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.col("cc").alias("conv_ctrl"),
+        F.round(lift, 6).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+    )
