@@ -333,3 +333,60 @@ def write_outputs(result: SwivelPrepResult, out_dir: str, tfrecord: bool = False
         from swivel_spark_prep_spark.sinks.tfrecord import write_swivel_shards
 
         write_swivel_shards(result, f"{out_dir}/shards_tfrecord")
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    corpus-linguistics readout (Church & Hanks 1990) composed directly
+    from this module's co-occurrence core: ordered within-window pairs
+    from :func:`cooc_pairs` (the reference's own pair generator),
+    counted; unigram marginals and the two totals fold in as broadcast
+    relations; ``pmi = ln((n_ab/P) / ((n_a/N)(n_b/N)))`` with a
+    ``min_count`` floor (PMI is noise without one). Top-k via
+    orderBy+limit = TakeOrdered, never a global sort. Returns
+    (w1, w2, n_ab, pmi) — ordered pairs (w1 precedes w2 in text), the
+    directional collocation convention."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    pairs = (
+        cooc_pairs(docs, window, text_col, doc_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_n"))
+    )
+    totals = uni.agg(
+        F.sum("_n").cast("double").alias("_N")
+    ).crossJoin(
+        pairs.agg(F.sum("n_ab").cast("double").alias("_P"))
+    )
+    ua = uni.select(F.col("_w").alias("w1"), F.col("_n").alias("_na"))
+    ub = uni.select(F.col("_w").alias("w2"), F.col("_n").alias("_nb"))
+    scored = (
+        pairs.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_pmi",
+            F.log(
+                (F.col("n_ab") / F.col("_P"))
+                / ((F.col("_na") / F.col("_N")) * (F.col("_nb") / F.col("_N")))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_pmi"), "w1", "w2")
+        .limit(k)
+        .select("w1", "w2", "n_ab", F.round("_pmi", 4).alias("pmi"))
+    )

@@ -3858,3 +3858,39 @@ def x116(spark, sf_dir):
         F.round(lift, 6).alias("lift"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@_declare(
+    "X117_pmi_collocations",
+    # Top-20 PMI collocations (swivel.pmi_collocations, Church & Hanks)
+    # composed from the reference's own co-occurrence generator
+    # (cooc_pairs, window 3, ordered pairs): pair counts with a
+    # min_count=5 floor, unigram marginals and totals broadcast,
+    # TakeOrdered top-k on the unrounded PMI. The oracle replays the
+    # identical positional pairing and formula.
+    """WITH toks AS (
+  SELECT doc_id, arr[p + 1] AS tok, p::BIGINT AS pos
+  FROM (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+       UNNEST(range(len(arr))) AS u(p)),
+pairs AS (
+  SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_ab
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 3
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+tot AS (SELECT (SELECT SUM(n)::DOUBLE FROM uni) AS nn,
+               (SELECT SUM(n_ab)::DOUBLE FROM pairs) AS pp),
+sc AS (
+  SELECT p.w1, p.w2, p.n_ab,
+         ln((p.n_ab / pp) / ((ua.n / nn) * (ub.n / nn))) AS pmi_raw
+  FROM pairs p JOIN uni ua ON ua.tok = p.w1
+               JOIN uni ub ON ub.tok = p.w2
+               CROSS JOIN tot)
+SELECT w1, w2, n_ab::BIGINT AS n_ab, ROUND(pmi_raw, 4) AS pmi
+FROM sc ORDER BY pmi_raw DESC, w1, w2 LIMIT 20;""",
+)
+def x117(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.swivel import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, window=3, min_count=5, k=20)
