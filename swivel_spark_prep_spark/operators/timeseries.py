@@ -260,3 +260,72 @@ def transition_matrix(
             F.round(F.col("n") / F.col("_tot"), 4).alias("p"),
         )
     )
+
+
+def trend_slopes(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key OLS trend: slope (per day) and intercept of value ~ time
+    via the closed-form sums — slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) —
+    i.e. a million regressions in ONE hash aggregate (map-side
+    partials), the screaming-fast alternative to per-key model fitting
+    for trend/decay detection. x is epoch DAYS since 2024-01-01 (a
+    fixed near-corpus anchor keeps x² sums small — epoch-seconds
+    squared loses float precision). Keys with < 2 points or zero time
+    variance get NULL slope. Returns (key, n, slope_per_day,
+    intercept)."""
+    x = (epoch_seconds(ts_col) - F.lit(1704067200)) / 86400.0
+    v = F.col(value_col)
+    agg = events.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(v).alias("_sy"),
+        F.sum(x * v).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    denom = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (
+        F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / F.nullif(denom, F.lit(0.0))
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("n")
+    return agg.select(
+        key_col,
+        "n",
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    )
+
+
+def churn_labels(
+    events: DataFrame,
+    inactive_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Churn labeling at corpus end: a key is churned when its LAST
+    activity is more than ``inactive_seconds`` before the corpus's
+    newest event (the observation horizon — using now() would label
+    every historical corpus 100% churned). One per-key max + a 1-row
+    broadcast horizon. Returns (key, last_seen_epoch, idle_seconds,
+    churned)."""
+    if inactive_seconds <= 0:
+        raise ValueError(
+            f"inactive_seconds must be positive, got {inactive_seconds}"
+        )
+    es = epoch_seconds(ts_col)
+    last = events.groupBy(key_col).agg(F.max(es).alias("last_seen_epoch"))
+    horizon = events.agg(F.max(es).alias("_h"))
+    return (
+        last.crossJoin(F.broadcast(horizon))
+        .select(
+            key_col,
+            "last_seen_epoch",
+            (F.col("_h") - F.col("last_seen_epoch")).alias("idle_seconds"),
+            (F.col("_h") - F.col("last_seen_epoch") > inactive_seconds).alias(
+                "churned"
+            ),
+        )
+    )

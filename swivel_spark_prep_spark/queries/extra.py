@@ -3894,3 +3894,54 @@ def x117(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_collocations(docs, window=3, min_count=5, k=20)
+
+
+@_declare(
+    "X118_trend_slopes",
+    # Per-user OLS value trend (timeseries.trend_slopes): closed-form
+    # regression sums in ONE hash aggregate — a regression per key with
+    # no per-key fitting. x = epoch days since 2024-01-01 (fixed anchor
+    # keeps the squared sums in float range). The oracle replays the
+    # identical sums.
+    """WITH p AS (
+  SELECT user_id, (floor(epoch(ts)) - 1704067200) / 86400.0 AS x, value AS y
+  FROM events),
+a AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM p GROUP BY 1)
+SELECT user_id, n::BIGINT AS n,
+       ROUND((n*sxy - sx*sy) / NULLIF(n*sxx - sx*sx, 0), 4) AS slope_per_day
+FROM a ORDER BY user_id;""",
+)
+def x118(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import trend_slopes
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        trend_slopes(ev)
+        .select(
+            "user_id", "n", F.round("slope_per_day", 4).alias("slope_per_day")
+        )
+        .orderBy("user_id")
+    )
+
+
+@_declare(
+    "X119_churn_labels",
+    # Churn labeling at the observation horizon (timeseries.churn_
+    # labels): last activity vs the corpus's newest event, 3-day
+    # threshold — one per-key max + a 1-row broadcast; the oracle
+    # replays the horizon arithmetic.
+    """WITH l AS (SELECT user_id, MAX(floor(epoch(ts)))::BIGINT AS last_seen_epoch
+           FROM events GROUP BY 1),
+h AS (SELECT MAX(floor(epoch(ts)))::BIGINT AS hz FROM events)
+SELECT user_id, last_seen_epoch,
+       (hz - last_seen_epoch)::BIGINT AS idle_seconds,
+       hz - last_seen_epoch > 259200 AS churned
+FROM l CROSS JOIN h ORDER BY user_id;""",
+)
+def x119(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import churn_labels
+
+    ev = load_table(spark, sf_dir, "events")
+    return churn_labels(ev, 259200).orderBy("user_id")
