@@ -1,0 +1,182 @@
+"""Distributed graph analytics over edge relations: PageRank.
+
+PageRank (Page et al. 1999, public) is the canonical link-quality
+signal of web-scale corpus curation — Common-Crawl-style pipelines use
+it (or a harmonic-centrality cousin) to rank domains before sampling.
+The input is the plain relational form a 100 TB pipeline already has:
+an edge DataFrame ``(src, dst)``.
+
+Scale design (the join-based formulation, not a graph library):
+
+- Each iteration is exactly two shuffles: ``edges ⋈ ranks`` hashed on
+  ``src``, then ``groupBy(dst)`` for the incoming mass. The edge
+  relation is augmented with out-degrees ONCE and persisted — the
+  per-iteration work never re-derives degrees.
+- Dangling nodes (no out-edges) are handled by the standard uniform
+  redistribution: their total rank is a 1-row aggregate per iteration,
+  broadcast back via ``crossJoin`` — no driver materialization beyond
+  that single double.
+- The iteration count is a fixed small constant supplied by the caller
+  (power iteration converges geometrically at rate ``damping``); each
+  iteration's ranks are persisted and the previous one unpersisted so
+  lineage stays shallow and re-computation never cascades.
+- Determinism: all arithmetic is double-precision sums of
+  ``rank/outdeg`` terms; result magnitudes are Θ(1/N), so rounding at
+  8 decimals in callers is stable across summation orders.
+
+Connected components / fuzzy-dedup clustering live in
+``operators/dedup.py`` (large-star/small-star); this module holds the
+weighted/iterative algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.cache import track_persist
+
+
+def degree_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node (out_degree, in_degree) from one union + one aggregate.
+
+    NULL endpoints are dropped (an edge with an unknown endpoint is not
+    an edge). Output: (node, out_degree, in_degree)."""
+    e = edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    sides = e.select(
+        F.col(src_col).alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionAll(
+        e.select(F.col(dst_col).alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    )
+    return sides.groupBy("node").agg(
+        F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    dedup_edges: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge relation.
+
+    Returns (node, pagerank) for every node appearing as a source or
+    destination. ``dedup_edges=True`` (default) collapses multi-edges
+    first, matching the unweighted formulation; pass False to let
+    repeated edges act as weights.
+
+    Update rule per iteration (uniform-dangling-redistribution variant)::
+
+        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  D/N )
+
+    where ``D`` is the total rank mass on dangling nodes. Mass is
+    conserved: Σ r'(v) = 1 at every step.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if dedup_edges:
+        e = e.distinct()
+
+    # out-degrees joined into the edge relation ONCE; this persisted
+    # relation is the only per-iteration scan.
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    ew = track_persist(e.join(outdeg, "src"))
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = track_persist(nodes)
+    n_nodes = float(nodes.count())  # bounded: one long on the driver
+
+    # nodes annotated with "has out-edges" once — the dangling-mass
+    # aggregate per iteration is a filter + sum, not a join.
+    node_flags = nodes.join(
+        outdeg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
+        "node",
+        "left",
+    )
+    node_flags = track_persist(node_flags)
+
+    ranks = track_persist(
+        node_flags.select("node", "__has_out", F.lit(1.0 / n_nodes).alias("rank"))
+    )
+
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("__has_out").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contrib = (
+            ew.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("__mass"))
+        )
+        new_ranks = (
+            node_flags.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "__has_out",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__mass"), F.lit(0.0))
+                        + F.col("__dm") / F.lit(n_nodes)
+                    )
+                ).alias("rank"),
+            )
+        )
+        new_ranks = track_persist(new_ranks)
+        new_ranks.count()  # materialize before dropping the parent
+        ranks.unpersist()  # early release; release_persisted() double-release is a no-op
+        ranks = new_ranks
+
+    return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iterations: int = 5, damping: float = 0.85, round_to: int = 8
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the identical update rule
+    unrolled into one CTE chain per iteration, generated from the same
+    (iterations, damping) parameters — parity pins the algorithm, not a
+    fixture by-product. ``edges_sql`` must yield (src, dst), already
+    deduplicated if the engine side deduplicates."""
+    d = damping
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "meta AS (SELECT (SELECT COUNT(*) FROM nodes)::DOUBLE AS nn)",
+        "outdeg AS (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0/(SELECT nn FROM meta) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm FROM r{p} r "
+            f"LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank / o.od) AS mass "
+            f"FROM edges e JOIN r{p} r ON e.src = r.node "
+            f"JOIN outdeg o ON o.src = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, (1 - {d})/(SELECT nn FROM meta) "
+            f"+ {d} * (COALESCE(c.mass, 0) + (SELECT dm FROM d{i})/(SELECT nn FROM meta)) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, ROUND(rank, {round_to}) AS pagerank "
+        f"FROM r{iterations} ORDER BY node;"
+    )

@@ -3945,3 +3945,39 @@ def x119(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return churn_labels(ev, 259200).orderBy("user_id")
+
+
+# -- PageRank (operators/graph.py) -------------------------------------------
+# The oracle SQL is GENERATED by graph.pagerank_oracle_sql from the same
+# (iterations, damping) parameters the Spark side runs with — the unrolled
+# CTE chain replays the identical update rule (uniform dangling
+# redistribution included), so parity pins the algorithm.
+
+from swivel_spark_prep_spark.operators import graph as _graph  # noqa: E402
+
+_PR_EDGES_SQL = (
+    "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem"
+)
+
+
+@_declare(
+    "X120_pagerank",
+    _graph.pagerank_oracle_sql(_PR_EDGES_SQL, iterations=5, damping=0.85),
+)
+def x120(spark, sf_dir):
+    # Join-based power-iteration PageRank on the supplier→part ship
+    # graph (every part node is dangling, so the uniform-redistribution
+    # path carries real mass). Each iteration = one hash join on src +
+    # one aggregate on dst; edges+outdeg persisted once; dangling mass
+    # is a 1-row broadcast. 5 iterations, d=0.85 — the domain-ranking
+    # primitive of web-corpus curation.
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    return (
+        _graph.pagerank(edges, iterations=5, damping=0.85)
+        .select("node", F.round("pagerank", 8).alias("pagerank"))
+        .orderBy("node")
+    )
