@@ -392,3 +392,101 @@ def cap_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    document by how target-like its hashed n-gram profile is.
+
+    Features are word bigrams hashed into ``n_buckets`` buckets (the
+    paper's hashed n-gram featurization; md5 here so the oracle can
+    replay the bucketing). Two unigram bag-of-features models are
+    fitted — one over the rows matching ``target_cond``, one over the
+    rest — with add-one smoothing over the bucket space, and each
+    document's log importance weight is::
+
+        log w(d) = Σ_f c_d(f) · [ ln p_target(f) − ln p_raw(f) ]
+
+    Resampling then keeps the highest-weight raw documents (or samples
+    with Gumbel noise — left to the caller, whose randomness policy it
+    is; the weight relation is the deterministic part).
+
+    Scale design: two aggregates over the exploded bigram stream with at
+    most ``n_buckets`` distinct keys each (map-side partials collapse the
+    shuffle to ≤ n_buckets rows per partition); the fitted model is a
+    ≤ n_buckets-row relation BROADCAST back onto per-doc feature counts —
+    the corpus-sized relations never meet in a shuffle wider than
+    (doc, bucket). Docs with no bigram (<2 tokens) keep log_weight 0.
+
+    Output: (id_col, n_feats, log_weight).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = docs.select(
+        F.col(id_col),
+        target_cond.alias("__is_target"),
+        F.explode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda w, i: F.concat(w, F.lit(" "), F.element_at(toks, i + 2)),
+            )
+        ).alias("__gram"),
+    ).select(
+        F.col(id_col),
+        "__is_target",
+        hash_bucket(F.col("__gram"), n_buckets, salt="dsir").alias("__bucket"),
+    )
+
+    # the two bag models: ≤ n_buckets rows after one aggregate each side
+    counts = grams.groupBy("__bucket").agg(
+        F.sum(F.col("__is_target").cast("long")).alias("__ct"),
+        F.sum((~F.col("__is_target")).cast("long")).alias("__cr"),
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"),
+        F.coalesce(F.sum("__cr"), F.lit(0)).alias("__tr"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "__bucket",
+        (
+            F.log((F.col("__ct") + 1.0) / (F.col("__tt") + float(n_buckets)))
+            - F.log((F.col("__cr") + 1.0) / (F.col("__tr") + float(n_buckets)))
+        ).alias("__lr"),
+    )
+
+    doc_feats = grams.groupBy(id_col, "__bucket").agg(F.count("*").alias("__c"))
+    scored = (
+        doc_feats.join(F.broadcast(model), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_feats"),
+            F.sum(F.col("__c") * F.col("__lr")).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = 5, salt: str = "kfold"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: adds a ``fold``
+    column in [0, k) from the md5 bucket of the key — folds are disjoint,
+    reproducible across engines/runs, and stable as the corpus grows
+    (a row never migrates between folds). Map-side only, no shuffle."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn("fold", hash_bucket(F.col(key_col), k, salt=salt))

@@ -111,3 +111,50 @@ def bm25_topk(
         .agg(F.sum("contrib").alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, public)
+    of several retrieval result lists: ``rrf(d) = Σ_lists 1/(k_rrf +
+    rank_list(d))`` over the lists that contain ``d``.
+
+    ``ranked`` maps a list name to a (id, score) DataFrame — typically
+    the TOP-K output of :func:`bm25_topk` (lexical) and a dense cosine
+    scorer; ids must share a domain. Ranks are 1-based by (score desc,
+    id asc) — the deterministic tie-break both engines replay.
+
+    Scale: the inputs are already top-k lists (bounded), so the
+    per-list row_number window and the final aggregate touch only
+    |lists|·k rows — fusion cost is independent of corpus size.
+
+    Output: (id_col, rrf, n_lists), top-``k`` by (rrf desc, id asc).
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    from pyspark.sql.window import Window
+
+    tagged = None
+    for name, df in ranked.items():
+        t = df.select(
+            F.lit(name).alias("__list"),
+            F.col(id_col),
+            F.col(score_col).cast("double").alias("__s"),
+        )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    w = Window.partitionBy("__list").orderBy(F.desc("__s"), F.asc(id_col))
+    return (
+        tagged.withColumn("__rank", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum(1.0 / (F.lit(float(k_rrf)) + F.col("__rank"))).alias("rrf"),
+            F.count("*").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -3981,3 +3981,186 @@ def x120(spark, sf_dir):
         .select("node", F.round("pagerank", 8).alias("pagerank"))
         .orderBy("node")
     )
+
+
+@_declare(
+    "X121_dsir_weights",
+    # DSIR importance weights (sampling.dsir_weights, Xie et al. 2023):
+    # hashed-bigram bag models for target (src0-3) vs raw, add-one
+    # smoothing over the 4096-bucket space, per-doc log weight
+    # Σ c_f·(ln p_t − ln p_r). The oracle replays the identical md5
+    # bucketing (the X22 idiom) and arithmetic.
+    """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS arr FROM documents),
+grams AS (
+  SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_t,
+         ('0x' || substr(md5('dsir' || arr[p+1] || ' ' || arr[p+2]), 1, 8))::BIGINT % 4096 AS bucket
+  FROM t, UNNEST(range(len(arr) - 1)) AS u(p)),
+counts AS (SELECT bucket,
+                  SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                  SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+           FROM grams GROUP BY 1),
+tot AS (SELECT SUM(ct)::DOUBLE AS tt, SUM(cr)::DOUBLE AS tr FROM counts),
+model AS (SELECT bucket,
+                 ln((ct + 1.0) / (tt + 4096)) - ln((cr + 1.0) / (tr + 4096)) AS lr
+          FROM counts CROSS JOIN tot),
+df AS (SELECT doc_id, bucket, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+sc AS (SELECT doc_id, SUM(c) AS n_feats, SUM(c * lr) AS lw
+       FROM df JOIN model USING (bucket) GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_feats, 0)::BIGINT AS n_feats,
+       ROUND(COALESCE(lw, 0), 6) AS log_weight
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id;""",
+)
+def x121(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_weights(docs, F.col("source").isin("src0", "src1", "src2", "src3"))
+        .select("doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight"))
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "X122_mixture_divergence",
+    # Per-source token-distribution divergence vs the corpus
+    # (textstats.mixture_divergence): add-one-smoothed unigram KL and
+    # JSD over the corpus vocabulary — the "which slice drifted"
+    # diagnostic for training-mix composition. The oracle replays the
+    # identical smoothing and sums over the same |sources|x|V| grid.
+    """WITH toks AS (
+  SELECT source AS g, w FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''),
+vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+bg AS (SELECT g, w, COUNT(*) AS cg FROM toks GROUP BY 1, 2),
+gt AS (SELECT g, COUNT(*) AS ng FROM toks GROUP BY 1),
+sc AS (SELECT COUNT(*)::DOUBLE AS v, SUM(c)::DOUBLE AS n FROM vocab),
+grid AS (
+  SELECT gt.g, gt.ng, vocab.c, COALESCE(bg.cg, 0) AS cg, sc.v, sc.n
+  FROM vocab CROSS JOIN gt
+  LEFT JOIN bg ON bg.g = gt.g AND bg.w = vocab.w
+  CROSS JOIN sc),
+p AS (SELECT g, ng,
+             (cg + 1.0) / (ng + v) AS pg,
+             (c + 1.0) / (n + v) AS pc
+      FROM grid)
+SELECT g AS source, MAX(ng)::BIGINT AS n_tokens,
+       ROUND(SUM(pg * ln(pg / pc)), 6) AS kl,
+       ROUND(SUM(0.5 * pg * ln(2 * pg / (pg + pc))
+                 + 0.5 * pc * ln(2 * pc / (pg + pc))), 6) AS jsd
+FROM p GROUP BY 1 ORDER BY source;""",
+)
+def x122(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import mixture_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_divergence(docs, "source").select(
+        "source",
+        "n_tokens",
+        F.round("kl", 6).alias("kl"),
+        F.round("jsd", 6).alias("jsd"),
+    ).orderBy("source")
+
+
+@_declare(
+    "X123_hybrid_rrf_search",
+    # Hybrid retrieval: BM25 top-50 (lexical, X89's query) fused with
+    # dense cosine top-50 against the label-0 centroid via reciprocal-
+    # rank fusion (search.rrf_fuse, Cormack et al. 2009). doc_id and
+    # vec_id share a domain in the fixtures, so the two lists fuse
+    # directly. Ranks are (score desc, id asc) in both engines; the
+    # oracle replays BM25 arithmetic, the per-dimension centroid mean,
+    # list_cosine_similarity, and the same 1/(60+rank) sum.
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents),
+qtf AS (SELECT term, doc_id, COUNT(*)::DOUBLE AS tf FROM toks
+        WHERE term IN ('spark','join','vector') GROUP BY 1,2),
+qdf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM qtf GROUP BY 1),
+dl AS (SELECT doc_id, len(string_split(lower(text),' '))::DOUBLE AS dl FROM documents),
+st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+lexsc AS (SELECT qtf.doc_id AS doc_id,
+              SUM( ln(1 + (n_docs - df + 0.5)/(df + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) ) AS s
+       FROM qtf JOIN qdf USING(term) JOIN dl ON qtf.doc_id = dl.doc_id CROSS JOIN st
+       GROUP BY 1),
+lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk
+        FROM lexsc ORDER BY s DESC, doc_id LIMIT 50),
+dims AS (SELECT vec_id, p, embedding[p+1]::DOUBLE AS v
+         FROM embeddings, UNNEST(range(len(embedding))) AS u(p)),
+cent AS (SELECT p, AVG(v) AS cv FROM dims
+         WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label = 0)
+         GROUP BY p),
+centv AS (SELECT list(cv ORDER BY p) AS qv FROM cent),
+den AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS s
+        FROM embeddings CROSS JOIN centv),
+dense AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS rnk
+          FROM den ORDER BY s DESC, vec_id LIMIT 50),
+u AS (SELECT doc_id, rnk FROM lex UNION ALL SELECT doc_id, rnk FROM dense),
+f AS (SELECT doc_id, SUM(1.0/(60 + rnk)) AS rrf, COUNT(*) AS n_lists FROM u GROUP BY 1)
+SELECT doc_id, ROUND(rrf, 6) AS rrf, n_lists::BIGINT AS n_lists
+FROM f ORDER BY rrf DESC, doc_id LIMIT 20;""",
+)
+def x123(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.search import bm25_topk, rrf_fuse
+    from swivel_spark_prep_spark.operators.similarity import (
+        _dot,
+        _norm2,
+        with_double_embedding,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, ["spark", "join", "vector"], k=50)
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
+    # label-0 centroid, built distributively: posexplode -> per-dim avg
+    # -> one array row, broadcast back (never collected to the driver)
+    cent = (
+        emb.filter(F.col("label") == 0)
+        .select(F.posexplode("_emb").alias("p", "v"))
+        .groupBy("p")
+        .agg(F.avg("v").alias("cv"))
+        .agg(F.array_sort(F.collect_list(F.struct("p", "cv"))).alias("ps"))
+        .select(F.transform("ps", lambda s: s.cv).alias("qv"))
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "score", _dot("_emb", "qv") / F.sqrt(_norm2("_emb") * _norm2("qv"))
+        )
+        .select(F.col("vec_id").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    return (
+        rrf_fuse({"lex": lex, "dense": dense}, k_rrf=60, k=20)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"), "n_lists")
+    )
+
+
+@_declare(
+    "X124_kfold_assign",
+    # Deterministic k-fold CV assignment (sampling.kfold_assign): fold =
+    # md5 bucket of the key — disjoint, engine-reproducible, stable
+    # under corpus growth; per-fold size + per-fold lang mix as the
+    # accounting readout. The oracle replays the identical bucketing.
+    """SELECT fold, COUNT(*) AS n,
+       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+       MIN(doc_id) AS min_id
+FROM (SELECT doc_id, lang,
+             ('0x' || substr(md5('kfold' || doc_id::VARCHAR), 1, 8))::BIGINT % 5 AS fold
+      FROM documents)
+GROUP BY fold ORDER BY fold;""",
+)
+def x124(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kfold_assign(docs, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("fold")
+    )
