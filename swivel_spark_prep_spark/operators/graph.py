@@ -18,8 +18,10 @@ Scale design (the join-based formulation, not a graph library):
   that single double.
 - The iteration count is a fixed small constant supplied by the caller
   (power iteration converges geometrically at rate ``damping``); each
-  iteration's ranks are persisted and the previous one unpersisted so
-  lineage stays shallow and re-computation never cascades.
+  iteration's ranks are eagerly localCheckpoint-ed, which materializes
+  the step AND truncates the logical plan — the rank relation feeds the
+  next iteration twice (dangling mass + contributions), so an uncut
+  plan tree doubles per iteration and kills the optimizer itself.
 - Determinism: all arithmetic is double-precision sums of
   ``rank/outdeg`` terms; result magnitudes are Θ(1/N), so rounding at
   8 decimals in callers is stable across summation orders.
@@ -106,8 +108,8 @@ def pagerank(
     )
     node_flags = track_persist(node_flags)
 
-    ranks = track_persist(
-        node_flags.select("node", "__has_out", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = node_flags.select(
+        "node", "__has_out", F.lit(1.0 / n_nodes).alias("rank")
     )
 
     for _ in range(iterations):
@@ -135,10 +137,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        new_ranks = track_persist(new_ranks)
-        new_ranks.count()  # materialize before dropping the parent
-        ranks.unpersist()  # early release; release_persisted() double-release is a no-op
-        ranks = new_ranks
+        # localCheckpoint (eager) BOTH materializes the iteration and
+        # truncates the logical plan — ranks feeds the next iteration
+        # twice (dangling + contrib), so without the cut the plan tree
+        # doubles per iteration and the optimizer itself OOMs long
+        # before the data does. On a multi-executor cluster swap for
+        # reliable checkpoint() if executor loss must be survivable.
+        ranks = new_ranks.localCheckpoint(eager=True)
 
     return ranks.select("node", F.col("rank").alias("pagerank"))
 

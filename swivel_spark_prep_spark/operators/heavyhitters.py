@@ -106,3 +106,77 @@ def heavy_hitters(
         spark = items.sparkSession
         return spark.createDataFrame(rows, schema=exact.schema)
     return exact
+
+
+# --- count-min sketch -------------------------------------------------------
+# Cormode & Muthukrishnan 2005 (public): a depth x width counter grid;
+# est(x) = min_d grid[d][h_d(x)] >= true(x) always (one-sided error,
+# overcount <= eps*N w.h.p. for width = e/eps). Complements the exact
+# Misra-Gries path above: CMS answers point queries for ANY item from
+# O(depth*width) state and MERGES by cell-wise addition — the shape for
+# sharded corpora and streaming accumulation.
+
+
+def _cms_col(token, d: int, width: int, salt: str):
+    """Row-d bucket for a token: first 8 md5 hex chars of (salt|d|token)
+    as an int mod width — engine-independent, so DuckDB replays it."""
+    h = F.md5(F.concat(F.lit(f"{salt}{d}|"), token.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).alias("col")
+
+
+def cms_build(
+    df: DataFrame,
+    token_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the sketch relation (d, col, cnt) from a token stream.
+
+    One aggregate over the depth-replicated stream; the shuffle key
+    space is bounded by depth*width cells (map-side partials collapse
+    each partition to at most that many rows) — state is O(depth*width)
+    regardless of corpus size. Merge two sketches built with the same
+    (width, depth, salt) by unionAll + re-aggregate."""
+    rows = [
+        df.select(
+            F.lit(d).alias("d"), _cms_col(F.col(token_col), d, width, salt)
+        )
+        for d in range(depth)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionAll(r)
+    return u.groupBy("d", "col").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    token_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for the tokens in ``queries``:
+    est = min over rows d of the cell count, with absent cells counting
+    as 0 (an unseen, collision-free token estimates 0). The sketch is
+    at most depth*width rows — broadcast onto the query relation, so
+    estimation never shuffles the corpus. Output: (token_col, est)."""
+    q = queries.select(F.col(token_col)).distinct()
+    probes = [
+        q.select(
+            token_col,
+            F.lit(d).alias("d"),
+            _cms_col(F.col(token_col), d, width, salt),
+        )
+        for d in range(depth)
+    ]
+    u = probes[0]
+    for r in probes[1:]:
+        u = u.unionAll(r)
+    return (
+        u.join(F.broadcast(cms), ["d", "col"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

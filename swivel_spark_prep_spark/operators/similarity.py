@@ -918,3 +918,43 @@ def feature_hash_embed(
         lambda b: F.coalesce(F.element_at("_m", b.cast("long")), F.lit(0.0)),
     )
     return ids.join(pairs, id_col, "left").select(F.col(id_col), dense.alias("vec"))
+
+
+def matryoshka_stats(
+    emb: DataFrame,
+    dims: list[int],
+    vec_col: str = "embedding",
+    group_col: str | None = "label",
+) -> DataFrame:
+    """Matryoshka-truncation quality accounting (Kusupati et al. 2022,
+    public): for each prefix length d' in ``dims``, the cosine between
+    the zero-padded d'-prefix and the full vector is exactly
+    ``‖e[:d']‖ / ‖e‖`` — the captured-energy ratio that governs how much
+    retrieval quality survives truncating stored embeddings to d' dims.
+
+    Emits per (group, d') the mean and min ratio — a pure projection +
+    one aggregate (unpivoted via an inline struct array), no shuffle
+    wider than |groups|·|dims|. Output: (group, trunc_dim, mean_ratio,
+    min_ratio)."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    base = with_double_embedding(emb, vec_col)
+    full = F.sqrt(_norm2(F.col("_emb")))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("trunc_dim"),
+                (F.sqrt(_norm2(F.slice(F.col("_emb"), 1, d))) / full).alias(
+                    "ratio"
+                ),
+            )
+            for d in sorted(dims)
+        ]
+    )
+    g = F.col(group_col).alias("grp") if group_col else F.lit("all").alias("grp")
+    long = base.select(g, F.explode(entries).alias("e")).select(
+        "grp", "e.trunc_dim", "e.ratio"
+    )
+    return long.groupBy("grp", "trunc_dim").agg(
+        F.avg("ratio").alias("mean_ratio"), F.min("ratio").alias("min_ratio")
+    )

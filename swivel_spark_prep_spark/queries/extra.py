@@ -4164,3 +4164,169 @@ def x124(spark, sf_dir):
         )
         .orderBy("fold")
     )
+
+
+@_declare(
+    "X125_count_min_sketch",
+    # Count-min sketch point queries (heavyhitters.cms_build/estimate,
+    # Cormode & Muthukrishnan 2005): 4x1024 md5-hashed counter cells —
+    # O(depth*width) mergeable state however large the corpus — probed
+    # for 5 tokens incl. an unseen one, with the exact counts and the
+    # (always >= 0) overcount alongside. The oracle replays the
+    # identical hashing, cells, and min.
+    """WITH toks AS (
+  SELECT tok FROM (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+cells AS (
+  SELECT d, ('0x' || substr(md5('cms' || d || '|' || tok), 1, 8))::BIGINT % 1024 AS col,
+         COUNT(*) AS cnt
+  FROM toks, UNNEST([0,1,2,3]) AS u(d) GROUP BY 1, 2),
+q AS (SELECT unnest(['spark','join','the','a','zebra']) AS tok),
+probes AS (
+  SELECT q.tok, d, ('0x' || substr(md5('cms' || d || '|' || q.tok), 1, 8))::BIGINT % 1024 AS col
+  FROM q, UNNEST([0,1,2,3]) AS u(d)),
+est AS (SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN cells c USING (d, col) GROUP BY 1),
+ex AS (SELECT tok, COUNT(*) AS exact FROM toks GROUP BY 1)
+SELECT e.tok AS token, est::BIGINT AS est, COALESCE(ex.exact, 0)::BIGINT AS exact,
+       (est - COALESCE(ex.exact, 0))::BIGINT AS overcount
+FROM est e LEFT JOIN ex ON ex.tok = e.tok ORDER BY token;""",
+)
+def x125(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cms = cms_build(toks, "token", width=1024, depth=4)
+    queries = spark.createDataFrame(
+        [("spark",), ("join",), ("the",), ("a",), ("zebra",)], "token string"
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact"))
+    return (
+        cms_estimate(cms, queries, "token", width=1024, depth=4)
+        .join(exact, "token", "left")
+        .select(
+            "token",
+            "est",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+@_declare(
+    "X126_xml_roundtrip",
+    # XML sink + source round-trip (sinks.write_xml / sources.read_xml,
+    # Spark 4's upstreamed spark-xml): write a documents slice as
+    # element-per-row XML, read it back with an explicit schema,
+    # aggregate — the legacy-feed interchange path. Oracle aggregates
+    # the parquet directly.
+    """SELECT lang, COUNT(*) AS n, SUM(n_chars)::BIGINT AS chars,
+       MIN(doc_id) AS min_id
+FROM documents GROUP BY lang ORDER BY lang;""",
+)
+def x126(spark, sf_dir):
+    from swivel_spark_prep_spark import sinks, sources
+
+    path = _io_dir(sf_dir, "documents_xml")
+    sinks.write_xml(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        path,
+        row_tag="doc",
+        root_tag="docs",
+    )
+    back = sources.read_xml(
+        spark, path, row_tag="doc", schema="doc_id bigint, lang string, n_chars bigint"
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_declare(
+    "X127_matryoshka_stats",
+    # Matryoshka-truncation accounting (similarity.matryoshka_stats,
+    # Kusupati et al. 2022): cos(zero-padded prefix, full) =
+    # |e[:d]|/|e| per vector; per-(label, d) mean and min for
+    # d in {8,16,32} — the "how small can stored embeddings get"
+    # readout. Pure projection + one aggregate; oracle replays the
+    # identical slice/norm arithmetic.
+    """WITH b AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS fn FROM b),
+l AS (SELECT label, d,
+             sqrt(list_sum(list_transform(e[1:d], x -> x*x))) / fn AS ratio
+      FROM n, UNNEST([8, 16, 32]) AS u(d))
+SELECT label AS grp, d AS trunc_dim,
+       ROUND(AVG(ratio), 6) AS mean_ratio, ROUND(MIN(ratio), 6) AS min_ratio
+FROM l GROUP BY 1, 2 ORDER BY grp, trunc_dim;""",
+)
+def x127(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import matryoshka_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        matryoshka_stats(emb, [8, 16, 32])
+        .select(
+            "grp",
+            "trunc_dim",
+            F.round("mean_ratio", 6).alias("mean_ratio"),
+            F.round("min_ratio", 6).alias("min_ratio"),
+        )
+        .orderBy("grp", "trunc_dim")
+    )
+
+
+@_declare(
+    "X128_moment_aggs",
+    # Aggregate-function breadth: population skewness / excess kurtosis
+    # (Spark's formulas — the oracle computes the same g1/g2 from raw
+    # power sums because DuckDB's builtins apply sample-bias
+    # correction), plus count_if / bool_and / bool_or. Rounded to 3 dp:
+    # the power-sum route loses ~2 digits to cancellation vs Spark's
+    # streaming central-moment updates.
+    """WITH a AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(value) AS s1,
+         SUM(value*value) AS s2, SUM(value*value*value) AS s3,
+         SUM(value*value*value*value) AS s4,
+         SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS n_gt100,
+         BOOL_AND(value >= 0) AS all_nonneg, BOOL_OR(value > 400) AS any_gt400
+  FROM events GROUP BY 1),
+m AS (SELECT event_type, n, n_gt100, all_nonneg, any_gt400,
+             s2 - n*(s1/n)*(s1/n) AS m2,
+             s3 - 3*(s1/n)*s2 + 2*n*pow(s1/n, 3) AS m3,
+             s4 - 4*(s1/n)*s3 + 6*pow(s1/n, 2)*s2 - 3*n*pow(s1/n, 4) AS m4
+      FROM a)
+SELECT event_type, n::BIGINT AS n, n_gt100, all_nonneg, any_gt400,
+       ROUND((m3/n) / pow(m2/n, 1.5), 3) AS skew,
+       ROUND((m4/n) / pow(m2/n, 2) - 3, 3) AS kurt
+FROM m ORDER BY event_type;""",
+)
+def x128(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("value") > 100).alias("n_gt100"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 400).alias("any_gt400"),
+            F.round(F.skewness("value"), 3).alias("skew"),
+            F.round(F.kurtosis("value"), 3).alias("kurt"),
+        )
+        .select(
+            "event_type", "n", "n_gt100", "all_nonneg", "any_gt400", "skew", "kurt"
+        )
+        .orderBy("event_type")
+    )

@@ -356,3 +356,23 @@ def write_arrow_ipc(df: DataFrame, path: str, overwrite: bool = True) -> int:
 
     summary = df.mapInPandas(_write, "n long").agg(_F.sum("n")).collect()
     return int(summary[0][0] or 0)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink via Spark 4's built-in XML data source — one file per
+    partition, streamed row-at-a-time on executors (no driver
+    materialization). XML is an interchange/legacy-feed format: prefer
+    parquet for anything the engine re-reads."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

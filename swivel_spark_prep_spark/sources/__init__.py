@@ -263,3 +263,17 @@ def read_arrow_ipc(spark: SparkSession, path: str, schema: str) -> DataFrame:
                     yield reader.get_batch(i).to_pandas()
 
     return bf.mapInPandas(_parse, schema)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema=None
+) -> DataFrame:
+    """XML source via Spark 4's built-in XML data source (the upstreamed
+    spark-xml): splittable element-level parse on executors. Pass an
+    explicit ``schema`` in production paths — inference scans twice and
+    types drift with the data."""
+    configure_runtime(spark)
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
