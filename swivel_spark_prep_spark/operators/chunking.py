@@ -123,3 +123,67 @@ def cdc_dedup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def span_corruption_spec(
+    docs: DataFrame,
+    block: int = 20,
+    span_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "spancorr",
+) -> DataFrame:
+    """Deterministic T5-style span-corruption plan (Raffel et al. 2020's
+    denoising objective, public): which token spans of each document to
+    mask. One span of ``span_len`` tokens per full ``block``-token
+    block, placed at an md5-derived offset inside the block — spans are
+    non-overlapping BY CONSTRUCTION (one per disjoint block, offset ≤
+    block − span_len), the corruption rate is span_len/block (15% for
+    the 3/20 default), and the placement is a pure function of
+    (doc, block index): reproducible across runs, engines, and corpus
+    growth, unlike an RNG draw.
+
+    Emitting the spec (not the corrupted text) keeps the operator
+    engine-checkable and lets the tokenizer-side consumer apply
+    sentinel tokens its own way. Pure projection + explode — no
+    shuffle, linear in corpus tokens.
+
+    Output: (id_col, span_id, start, length) with 0-based token starts.
+    """
+    if not (0 < span_len <= block):
+        raise ValueError("need 0 < span_len <= block")
+    n_tok = F.size(F.split(F.lower(F.col(text_col)), " "))
+    n_blocks = F.floor(n_tok / block).cast("int")
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1)
+            ).otherwise(F.array())
+        ).alias("span_id", "__b"),
+    )
+    off = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col(id_col).cast("string"),
+                        F.lit("|"),
+                        F.col("__b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (block - span_len + 1)
+    )
+    return spans.select(
+        id_col,
+        "span_id",
+        (F.col("__b") * block + off).cast("long").alias("start"),
+        F.lit(span_len).cast("long").alias("length"),
+    )

@@ -490,3 +490,72 @@ def kfold_assign(
     if k < 2:
         raise ValueError("k must be >= 2")
     return df.withColumn("fold", hash_bucket(F.col(key_col), k, salt=salt))
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int = 3,
+    pool_per_label: int = 50,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic cross-label negative sampling for contrastive /
+    metric training: for every anchor row, ``k`` rows with a DIFFERENT
+    label, chosen by md5 rank so the choice is reproducible across
+    runs and engines.
+
+    Scale design: ranking every anchor against the whole corpus would
+    be all-pairs, so candidates come from a bounded per-label pool —
+    the ``pool_per_label`` lowest-md5 ids per label (one per-label
+    window over the pool hash). The pool (|labels|·pool rows) is
+    BROADCAST against the anchors; per-anchor choice is a row_number
+    over at most |labels|·pool candidates. Anchors only ever shuffle
+    on their own id. Sampling is without replacement per anchor and
+    excludes self-label entirely.
+
+    Output: (id_col, label_col, neg_id, neg_label, rnk) with rnk in
+    [1, k].
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pool = (
+        df.select(
+            F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("neg_label").orderBy(
+                    F.md5(
+                        F.concat(F.lit(salt), F.col("neg_id").cast("string"))
+                    ).asc(),
+                    F.col("neg_id").asc(),
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= pool_per_label)
+        .drop("__pr")
+    )
+    anchors = df.select(id_col, label_col)
+    cand = anchors.crossJoin(F.broadcast(pool)).filter(
+        F.col(label_col) != F.col("neg_label")
+    )
+    pick_w = Window.partitionBy(id_col).orderBy(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col(id_col).cast("string"),
+                F.lit("|"),
+                F.col("neg_id").cast("string"),
+            )
+        ).asc(),
+        F.col("neg_id").asc(),
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(pick_w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, label_col, "neg_id", "neg_label", "rnk")
+    )

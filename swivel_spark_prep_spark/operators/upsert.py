@@ -288,3 +288,41 @@ def refresh_agg(
         ],
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    attr_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change feed — the
+    warehouse-side consumer of the CDC feeds snapshot_diff (X63) and
+    VersionedTable.read_changes (X66) produce.
+
+    ``changes`` holds one row per (key, version) with ``op_col`` in
+    {'I','U','D'} and the attribute values as of that version. Each
+    I/U change opens an interval ``[version, next-change-version)``;
+    the successor change (any op) closes it; a D closes its
+    predecessor's interval without opening one. The open interval per
+    key has ``valid_to`` NULL and ``is_current`` true.
+
+    Plan: ONE window (lead over the per-key version order) — the
+    partition key is the dimension key, so the shuffle is the same
+    hash-on-key every upsert already does; no global sort. Versions
+    must be unique per key (assert upstream; CDC feeds are).
+
+    Output: key_cols + (valid_from, valid_to, is_current) + attr_cols.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).asc())
+    with_next = changes.withColumn("__next_v", F.lead(version_col).over(w))
+    return with_next.filter(F.col(op_col) != "D").select(
+        *key_cols,
+        F.col(version_col).alias("valid_from"),
+        F.col("__next_v").alias("valid_to"),
+        F.col("__next_v").isNull().alias("is_current"),
+        *attr_cols,
+    )

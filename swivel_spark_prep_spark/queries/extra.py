@@ -4330,3 +4330,95 @@ def x128(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "X129_scd2_history",
+    # SCD type-2 dimension history from a change feed (upsert.scd2_build)
+    # — the warehouse consumer of the X63/X66 CDC feeds. Feed derived
+    # from orders (version = o_orderkey per customer; 'F' status plays
+    # the delete): each I/U opens [v, next_v), any successor closes it,
+    # D closes without opening. ONE lead() window on the dimension key.
+    """WITH ch AS (SELECT o_custkey AS cust, o_orderkey AS v,
+                   CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                   o_totalprice AS price FROM orders),
+w AS (SELECT cust, v, op, price,
+             LEAD(v) OVER (PARTITION BY cust ORDER BY v) AS nv FROM ch)
+SELECT cust, v AS valid_from, nv AS valid_to, nv IS NULL AS is_current, price
+FROM w WHERE op <> 'D' ORDER BY cust, valid_from;""",
+)
+def x129(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.upsert import scd2_build
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return scd2_build(changes, ["cust"], "v", ["price"]).orderBy(
+        "cust", "valid_from"
+    )
+
+
+@_declare(
+    "X130_negative_samples",
+    # Deterministic cross-label negative sampling for contrastive
+    # training (sampling.negative_samples): 3 negatives per anchor from
+    # a 50-per-label md5-ranked pool, chosen by md5(anchor|cand) rank —
+    # reproducible, self-label excluded, pool BROADCAST so anchors
+    # never join the whole corpus. The oracle replays both rankings.
+    """WITH pool AS (
+  SELECT neg_id, neg_label FROM (
+    SELECT vec_id AS neg_id, label AS neg_label,
+           ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY md5('neg' || vec_id::VARCHAR), vec_id) AS pr
+    FROM embeddings) WHERE pr <= 50),
+cand AS (
+  SELECT a.vec_id, a.label, p.neg_id, p.neg_label,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           ORDER BY md5('neg' || a.vec_id::VARCHAR || '|' || p.neg_id::VARCHAR), p.neg_id) AS rnk
+  FROM embeddings a CROSS JOIN pool p WHERE a.label <> p.neg_label)
+SELECT vec_id, label, neg_id, neg_label, rnk
+FROM cand WHERE rnk <= 3 ORDER BY vec_id, rnk;""",
+)
+def x130(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import negative_samples
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return negative_samples(emb, k=3, pool_per_label=50).orderBy("vec_id", "rnk")
+
+
+@_declare(
+    "X131_span_corruption",
+    # Deterministic T5-style span-corruption plan (chunking.
+    # span_corruption_spec): one 3-token span per full 20-token block at
+    # an md5 offset — non-overlapping by construction, 15% corruption
+    # rate, placement a pure function of (doc, block). The oracle
+    # replays the identical arithmetic (offset domain 20-3+1 = 18).
+    """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents),
+b AS (SELECT doc_id, p AS span_id FROM t, UNNEST(range(n // 20)) AS u(p)),
+o AS (SELECT doc_id, span_id,
+             ('0x' || substr(md5('spancorr' || doc_id::VARCHAR || '|' || span_id::VARCHAR), 1, 8))::BIGINT % 18 AS off
+      FROM b)
+SELECT doc_id, span_id::BIGINT AS span_id,
+       (span_id * 20 + off)::BIGINT AS start, 3::BIGINT AS length
+FROM o ORDER BY doc_id, span_id;""",
+)
+def x131(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.chunking import span_corruption_spec
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        span_corruption_spec(docs, block=20, span_len=3)
+        .select(
+            "doc_id",
+            F.col("span_id").cast("long").alias("span_id"),
+            "start",
+            "length",
+        )
+        .orderBy("doc_id", "span_id")
+    )

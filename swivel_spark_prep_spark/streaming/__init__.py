@@ -505,3 +505,46 @@ def _near_dedup_apply(
     from swivel_spark_prep_spark.cache import release_persisted
 
     release_persisted()
+
+
+def stream_drift_monitor(
+    stream_df: DataFrame,
+    baseline_df: DataFrame,
+    num_cols: list[str],
+    out_dir: str,
+    checkpoint_dir: str,
+    bins: int = 10,
+):
+    """Streaming data-drift monitor: every micro-batch is scored against
+    a FIXED baseline with the PSI report (operators/quality.drift_report
+    — equal-width baseline bins, ε-floored log ratios,
+    stable/moderate/drifted verdicts), and the per-batch report rows
+    (batch_id, col, psi, verdict) are appended to ``out_dir`` as
+    parquet, partitioned per batch for idempotent replay (a restarted
+    batch overwrites its own subdirectory, the stream_near_dedup
+    convention).
+
+    This is the "alert before the corpus shifts under the model" loop
+    of a continuously-ingesting pipeline: the baseline is the last
+    blessed corpus version; a ``drifted`` verdict on an incoming batch
+    is the retrain/quarantine trigger. foreachBatch is the right seam
+    because drift_report is a batch aggregate (two scans) with no
+    streaming state — each batch is scored independently.
+
+    Returns the started StreamingQuery; stop it via ``query.stop()``.
+    """
+    from swivel_spark_prep_spark.operators.quality import drift_report
+
+    def _apply(batch: DataFrame, batch_id: int):
+        if not batch.take(1):
+            return  # nothing to score; PSI of an empty batch is noise
+        report = drift_report(baseline_df, batch, num_cols, bins=bins)
+        out = report.withColumn("batch_id", F.lit(batch_id))
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 from swivel_spark_prep_spark.catalog import load_table
 from swivel_spark_prep_spark.operators.graph import degree_stats, pagerank
 from swivel_spark_prep_spark.operators.heavyhitters import cms_build, cms_estimate
-from swivel_spark_prep_spark.operators.sampling import dsir_weights, kfold_assign
+from swivel_spark_prep_spark.operators.sampling import (
+    dsir_weights,
+    kfold_assign,
+    negative_samples,
+)
 from swivel_spark_prep_spark.operators.search import rrf_fuse
 from swivel_spark_prep_spark.operators.similarity import matryoshka_stats
 
@@ -171,3 +175,167 @@ def test_kfold_disjoint_stable_and_bounded(spark, docs):
     assert sum(per.values()) == n  # total partition, no dup/loss
     with pytest.raises(ValueError):
         kfold_assign(docs, "doc_id", k=1)
+
+
+# --- SCD2 -------------------------------------------------------------------
+
+
+def test_scd2_intervals_and_delete_semantics(spark):
+    from swivel_spark_prep_spark.operators.upsert import scd2_build
+
+    ch = spark.createDataFrame(
+        [
+            (1, 10, "I", "a"),
+            (1, 20, "U", "b"),
+            (1, 30, "D", None),
+            (2, 5, "I", "x"),
+        ],
+        "k long, v long, op string, attr string",
+    )
+    rows = {
+        (r.k, r.valid_from): (r.valid_to, r.is_current, r.attr)
+        for r in scd2_build(ch, ["k"], "v", ["attr"]).collect()
+    }
+    assert rows[(1, 10)] == (20, False, "a")   # closed by the update
+    assert rows[(1, 20)] == (30, False, "b")   # closed by the delete
+    assert (1, 30) not in rows                  # D opens nothing
+    assert rows[(2, 5)] == (None, True, "x")    # live row stays open
+
+
+# --- span corruption --------------------------------------------------------
+
+
+def test_span_corruption_non_overlapping_and_in_bounds(spark, docs):
+    from swivel_spark_prep_spark.operators.chunking import span_corruption_spec
+
+    spec = span_corruption_spec(docs, block=20, span_len=3)
+    n_tok = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n")
+    )
+    joined = spec.join(n_tok, "doc_id").collect()
+    assert joined
+    per_doc: dict = {}
+    for r in joined:
+        assert 0 <= r.start and r.start + r.length <= r.n
+        # span stays inside its own block => non-overlap across spans
+        assert r.start // 20 == r.span_id
+        assert (r.start + r.length - 1) // 20 == r.span_id
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for rows in per_doc.values():
+        assert len({r.span_id for r in rows}) == len(rows)
+
+
+def test_span_corruption_short_doc_has_no_spans(spark):
+    from swivel_spark_prep_spark.operators.chunking import span_corruption_spec
+
+    df = spark.createDataFrame(
+        [(1, "only five words right here")], "doc_id long, text string"
+    )
+    assert span_corruption_spec(df, block=20, span_len=3).count() == 0
+
+
+# --- negative sampling ------------------------------------------------------
+
+
+def test_negative_samples_cross_label_and_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = negative_samples(emb, k=3, pool_per_label=20)
+    rows = a.collect()
+    assert rows
+    assert all(r.label != r.neg_label for r in rows)
+    per_anchor: dict = {}
+    for r in rows:
+        per_anchor.setdefault(r.vec_id, set()).add(r.neg_id)
+    assert all(len(s) == 3 for s in per_anchor.values())  # k distinct negs
+    b = negative_samples(emb, k=3, pool_per_label=20)
+    assert a.exceptAll(b).count() == 0  # reproducible
+
+
+# --- audio energy segmentation ----------------------------------------------
+
+
+def _wav_df(spark, samples, doc_id=1):
+    from swivel_spark_prep_spark.operators import codecs
+
+    return spark.createDataFrame(
+        [(doc_id, bytearray(codecs.encode_wav(samples, 8000)))],
+        "doc_id long, payload binary",
+    )
+
+
+def test_audio_segments_silence_yields_none(spark):
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.multimodal import audio_energy_segments
+
+    silent = np.zeros(2048, dtype=np.int16)
+    assert audio_energy_segments(_wav_df(spark, silent)).count() == 0
+
+
+def test_audio_segments_bursts_are_located(spark):
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.multimodal import audio_energy_segments
+
+    x = np.zeros(4096, dtype=np.int16)
+    t = np.arange(1024)
+    tone = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    x[512 : 512 + 1024] = tone      # burst 1
+    x[3000 : 3000 + 1024] = tone[:1096]  # burst 2 (clipped at 4024)
+    rows = sorted(
+        audio_energy_segments(_wav_df(spark, x)).collect(),
+        key=lambda r: r.start_ms,
+    )
+    assert len(rows) == 2
+    # 8 kHz => 1 ms per 8 samples; burst 1 spans samples [512, 1536)
+    assert abs(rows[0].start_ms - 512 // 8) <= 64 // 8
+    assert abs(rows[0].end_ms - 1536 // 8) <= 2 * 64 // 8
+    assert rows[0].peak_db > -30 and rows[1].peak_db > -30
+    assert rows[0].seg_id == 0 and rows[1].seg_id == 1
+
+
+# --- streaming drift monitor ------------------------------------------------
+
+
+def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    from swivel_spark_prep_spark.streaming import stream_drift_monitor
+
+    baseline = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    )
+    import glob
+    import shutil
+
+    stage = tmp_path / "stage"
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    # batch 0: same distribution; batch 1: shifted by +200 (clear drift)
+    baseline.coalesce(1).write.parquet(str(stage / "b0"))
+    baseline.select((F.col("value") + 200.0).alias("value")).coalesce(1).write.parquet(
+        str(stage / "b1")
+    )
+    for i, b in enumerate(["b0", "b1"]):
+        part = glob.glob(str(stage / b / "part-*.parquet"))[0]
+        shutil.copy(part, str(drop_dir / f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drop_dir))
+    )
+    q = stream_drift_monitor(
+        stream,
+        baseline,
+        ["value"],
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    by_batch = {r.batch_id: (r.psi, r.verdict) for r in got}
+    assert set(by_batch) == {0, 1}
+    assert by_batch[0][1] == "stable"
+    assert by_batch[1][1] == "drifted" and by_batch[1][0] > 0.25
