@@ -86,10 +86,12 @@ def pagerank(
     if dedup_edges:
         e = e.distinct()
 
-    # out-degrees joined into the edge relation ONCE; this persisted
-    # relation is the only per-iteration scan.
+    # out-degrees joined into the edge relation ONCE, pre-partitioned on
+    # src and persisted: the cached relation keeps its hash partitioning,
+    # so the per-iteration edges ⋈ ranks join re-shuffles only the small
+    # rank side, never the edges.
     outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
-    ew = track_persist(e.join(outdeg, "src"))
+    ew = track_persist(e.join(outdeg, "src").repartition("src"))
 
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -133,21 +133,21 @@ def cms_build(
 ) -> DataFrame:
     """Build the sketch relation (d, col, cnt) from a token stream.
 
-    One aggregate over the depth-replicated stream; the shuffle key
-    space is bounded by depth*width cells (map-side partials collapse
-    each partition to at most that many rows) — state is O(depth*width)
-    regardless of corpus size. Merge two sketches built with the same
-    (width, depth, salt) by unionAll + re-aggregate."""
-    rows = [
-        df.select(
-            F.lit(d).alias("d"), _cms_col(F.col(token_col), d, width, salt)
-        )
-        for d in range(depth)
-    ]
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionAll(r)
-    return u.groupBy("d", "col").agg(F.count("*").alias("cnt"))
+    ONE scan of the token stream (the depth hashes are computed side by
+    side and posexploded, not unioned — a union would re-read the
+    stream per row); the shuffle key space is bounded by depth*width
+    cells (map-side partials collapse each partition to at most that
+    many rows), so state is O(depth*width) regardless of corpus size.
+    Merge two sketches built with the same (width, depth, salt) by
+    unionAll + re-aggregate."""
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[_cms_col(F.col(token_col), d, width, salt) for d in range(depth)]
+            )
+        ).alias("d", "col")
+    )
+    return cells.groupBy("d", "col").agg(F.count("*").alias("cnt"))
 
 
 def cms_estimate(
@@ -164,19 +164,16 @@ def cms_estimate(
     at most depth*width rows — broadcast onto the query relation, so
     estimation never shuffles the corpus. Output: (token_col, est)."""
     q = queries.select(F.col(token_col)).distinct()
-    probes = [
-        q.select(
-            token_col,
-            F.lit(d).alias("d"),
-            _cms_col(F.col(token_col), d, width, salt),
-        )
-        for d in range(depth)
-    ]
-    u = probes[0]
-    for r in probes[1:]:
-        u = u.unionAll(r)
+    probes = q.select(
+        token_col,
+        F.posexplode(
+            F.array(
+                *[_cms_col(F.col(token_col), d, width, salt) for d in range(depth)]
+            )
+        ).alias("d", "col"),
+    )
     return (
-        u.join(F.broadcast(cms), ["d", "col"], "left")
+        probes.join(F.broadcast(cms), ["d", "col"], "left")
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

@@ -427,6 +427,8 @@ def dsir_weights(
 
     Output: (id_col, n_feats, log_weight).
     """
+    from swivel_spark_prep_spark.cache import track_persist
+
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = docs.select(
         F.col(id_col),
@@ -442,6 +444,9 @@ def dsir_weights(
         "__is_target",
         hash_bucket(F.col("__gram"), n_buckets, salt="dsir").alias("__bucket"),
     )
+    # the bigram stream feeds BOTH the model fit and the per-doc feature
+    # counts — persist it once instead of re-exploding the corpus
+    grams = track_persist(grams)
 
     # the two bag models: ≤ n_buckets rows after one aggregate each side
     counts = grams.groupBy("__bucket").agg(

@@ -4193,15 +4193,20 @@ SELECT e.tok AS token, est::BIGINT AS est, COALESCE(ex.exact, 0)::BIGINT AS exac
 FROM est e LEFT JOIN ex ON ex.tok = e.tok ORDER BY token;""",
 )
 def x125(spark, sf_dir):
+    from swivel_spark_prep_spark.cache import track_persist
     from swivel_spark_prep_spark.operators.heavyhitters import (
         cms_build,
         cms_estimate,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
+    # the token stream feeds both the sketch and the exact recount —
+    # one persisted explode instead of two
+    toks = track_persist(
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        ).filter(F.col("token") != "")
+    )
     cms = cms_build(toks, "token", width=1024, depth=4)
     queries = spark.createDataFrame(
         [("spark",), ("join",), ("the",), ("a",), ("zebra",)], "token string"
