@@ -202,6 +202,10 @@ def main() -> None:
     from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
 
     extras = {}
+    # X120 (PageRank) is iterative: the sf1 graph has 10x the edges on a
+    # 10x node set (shifted key spaces keep per-node degrees constant),
+    # so a linear factor proves each iteration's two shuffles scale.
+    # X121's (doc, bucket) stream is 10x with the SAME bounded model.
     for name in (
         "X68_semantic_dedup",
         "X82_prefix_filter_jaccard",
@@ -209,6 +213,8 @@ def main() -> None:
         "X90_sorted_neighborhood",
         "X93_profile_table",
         "X110_nb_lang_confusion",
+        "X120_pagerank",
+        "X121_dsir_weights",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

@@ -103,6 +103,25 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument("-k", type=int, default=10)
     se.add_argument("--master", default=None)
 
+    sel = sub.add_parser(
+        "select",
+        help="DSIR data selection: keep the most target-like fraction "
+        "of a corpus by hashed-bigram importance weight",
+    )
+    sel.add_argument("--input", required=True, help="parquet with doc_id/text")
+    sel.add_argument(
+        "--target-sql",
+        required=True,
+        help="boolean SQL expression over the input columns marking "
+        "target-distribution rows (e.g. \"source = 'wiki'\")",
+    )
+    sel.add_argument("--output", required=True)
+    sel.add_argument(
+        "--keep", type=float, default=0.2, help="fraction of raw rows to keep"
+    )
+    sel.add_argument("--buckets", type=int, default=4096)
+    sel.add_argument("--master", default=None)
+
     return p
 
 
@@ -268,6 +287,33 @@ def main(argv: list[str] | None = None) -> int:
             for r in hits:
                 print(f"{r.doc_id}\t{r.score:.4f}")
             print(f"# {len(hits)} hits for {' '.join(args.query)}")
+        elif args.cmd == "select":
+            from swivel_spark_prep_spark.operators.sampling import dsir_weights
+
+            docs = spark.read.parquet(args.input)
+            target = F.expr(args.target_sql)
+            w = dsir_weights(docs, target, n_buckets=args.buckets)
+            raw_w = w.join(
+                docs.filter(~target).select("doc_id"), "doc_id", "left_semi"
+            )
+            # exact percentile threshold from ONE 1-row aggregate,
+            # folded into the filter (the X45 pattern) — ties at the
+            # cut may keep slightly more than the requested fraction
+            thr = raw_w.agg(
+                F.percentile("log_weight", 1.0 - args.keep)
+            ).first()[0]
+            kept = docs.join(
+                raw_w.filter(F.col("log_weight") >= thr).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            kept.write.mode("overwrite").parquet(args.output)
+            n_raw = raw_w.count()
+            n_kept = spark.read.parquet(args.output).count()
+            print(
+                f"raw={n_raw} kept={n_kept} "
+                f"(target {args.keep:.0%}) thr={thr:.4f} → {args.output}"
+            )
         elif args.cmd == "bench-query":
             import time
 

@@ -339,3 +339,33 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
     assert set(by_batch) == {0, 1}
     assert by_batch[0][1] == "stable"
     assert by_batch[1][1] == "drifted" and by_batch[1][0] > 0.25
+
+
+# --- CLI select (DSIR) ------------------------------------------------------
+
+
+def test_cli_select_keeps_target_fraction(spark, tmp_path, sf_dir):
+    from swivel_spark_prep_spark import cli
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = str(tmp_path / "sel_in")
+    docs.write.parquet(src)
+    out = str(tmp_path / "sel_out")
+    rc = cli.main(
+        [
+            "select",
+            "--input", src,
+            "--target-sql", "source IN ('src0','src1','src2','src3')",
+            "--output", out,
+            "--keep", "0.25",
+        ]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    n_raw = docs.filter(~F.col("source").isin("src0", "src1", "src2", "src3")).count()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_raw
+    # percentile cut: within ties of the requested quarter
+    assert abs(n_kept - 0.25 * n_raw) <= 0.1 * n_raw
+    # only raw (non-target) rows are emitted
+    assert kept.filter(F.col("source").isin("src0", "src1", "src2", "src3")).count() == 0
