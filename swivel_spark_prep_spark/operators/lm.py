@@ -231,3 +231,172 @@ def nb_char_trigram_classifier(
             cond, F.lit(y)
         )
     return full.select(F.col(id_col), pred.alias("pred"))
+
+
+def nb_crossval_audit(
+    docs: DataFrame,
+    k: int = 5,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "kfold",
+) -> DataFrame:
+    """Cross-validated label-noise audit (the "confident learning"
+    reading of Northcutt et al., public): every document is scored by a
+    naive-Bayes char-trigram classifier TRAINED WITHOUT ITS OWN FOLD,
+    so a prediction that disagrees with the stored label is evidence
+    about the label, not memorization. Returns (id_col, label, pred,
+    fold, mismatch) — aggregate the off-diagonal for the noise rate,
+    inspect high-disagreement slices for mislabeled strata.
+
+    Scale design — ONE training pass, not k: folds come from the
+    deterministic md5 assignment (sampling.kfold_assign), and the
+    leave-fold-out model is obtained by FOLD-DIFFERENCE ALGEBRA on two
+    count relations::
+
+        c_without_fold(f, y, t) = c_all(y, t) − c_fold(f, y, t)
+        n_without_fold(f, y)    = n_all(y)    − n_fold(f, y)
+        V_without_fold(f)       = V_all       − |{t exclusive to f}|
+
+    so the corpus-sized trigram stream is aggregated once, and only the
+    bounded count tables are combined per fold. Scoring joins each
+    document's trigram multiset against c_all and its own fold's
+    c_fold (same hash join on trigram), sums per (doc, label) with
+    add-one smoothing over the fold's vocabulary, adds the fold prior,
+    and argmaxes (ties by label asc). Labels with no rows outside a
+    fold are excluded as candidates for that fold's docs (their prior
+    is −∞). Docs shorter than one trigram fall back to the fold-prior
+    argmax, like the base classifier.
+    """
+    from pyspark.sql.window import Window
+
+    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.operators.sampling import kfold_assign
+
+    base = kfold_assign(
+        docs.select(id_col, label_col, text_col), id_col, k=k, salt=salt
+    )
+    tris = F.expr(
+        f"CASE WHEN length({text_col}) >= 3 THEN "
+        f"transform(sequence(1, length({text_col}) - 2),"
+        f" i -> substring({text_col}, i, 3)) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    tg = track_persist(
+        base.select(
+            F.col(id_col),
+            F.col("fold"),
+            F.col(label_col).alias("__y"),
+            F.explode(tris).alias("__t"),
+        )
+    )
+
+    c_all = tg.groupBy("__y", "__t").agg(F.count("*").alias("__ca"))
+    c_fold = tg.groupBy("fold", "__y", "__t").agg(F.count("*").alias("__cf"))
+    n_all = tg.groupBy("__y").agg(F.count("*").alias("__na"))
+    n_fold = tg.groupBy("fold", "__y").agg(F.count("*").alias("__nf"))
+
+    # per-fold training vocabulary: V_all minus trigrams exclusive to f
+    t_spread = tg.groupBy("__t").agg(
+        F.count_distinct("fold").alias("__nfolds"), F.min("fold").alias("__onef")
+    )
+    v_all_df = t_spread.agg(F.count("*").alias("__va"))
+    v_excl = (
+        t_spread.filter(F.col("__nfolds") == 1)
+        .groupBy(F.col("__onef").alias("fold"))
+        .agg(F.count("*").alias("__ve"))
+    )
+    folds_df = base.select("fold").distinct()
+    v_by_fold = (
+        folds_df.join(v_excl, "fold", "left")
+        .crossJoin(F.broadcast(v_all_df))
+        .select(
+            "fold",
+            (F.col("__va") - F.coalesce("__ve", F.lit(0)))
+            .cast("double")
+            .alias("__vf"),
+        )
+    )
+
+    # leave-fold-out label totals + priors; labels absent outside a fold
+    # drop out of that fold's candidate set
+    ly = (
+        folds_df.crossJoin(n_all)
+        .join(n_fold, ["fold", "__y"], "left")
+        .select(
+            "fold",
+            "__y",
+            (F.col("__na") - F.coalesce("__nf", F.lit(0)))
+            .cast("double")
+            .alias("__nyf"),
+        )
+        .filter(F.col("__nyf") > 0)
+    )
+    priors = ly.groupBy("fold").agg(F.sum("__nyf").alias("__pn"))
+    lyp = track_persist(
+        ly.join(priors, "fold")
+        .join(v_by_fold, "fold")
+        .select(
+            "fold",
+            F.col("__y").alias("__cand"),
+            "__nyf",
+            (F.log(F.col("__nyf") / F.col("__pn"))).alias("__lprior"),
+            "__vf",
+        )
+    )
+
+    # per-doc trigram multiset (bounded: one row per distinct trigram)
+    doc_t = tg.groupBy(id_col, "fold", "__t").agg(F.count("*").alias("__cd"))
+    scored = (
+        doc_t.join(F.broadcast(lyp), "fold")
+        .join(
+            c_all.select(F.col("__y").alias("__cand"), "__t", "__ca"),
+            ["__cand", "__t"],
+            "left",
+        )
+        .join(
+            c_fold.select(
+                "fold", F.col("__y").alias("__cand"), "__t", "__cf"
+            ),
+            ["fold", "__cand", "__t"],
+            "left",
+        )
+        .groupBy(id_col, "fold", "__cand")
+        .agg(
+            (
+                F.sum(
+                    F.col("__cd")
+                    * F.log(
+                        (
+                            F.coalesce("__ca", F.lit(0))
+                            - F.coalesce("__cf", F.lit(0))
+                            + 1.0
+                        )
+                        / (F.col("__nyf") + F.col("__vf"))
+                    )
+                )
+                + F.first("__lprior")
+            ).alias("__p")
+        )
+    )
+    # docs with no trigram: fold-prior argmax
+    no_tri = (
+        base.join(doc_t.select(id_col).distinct(), id_col, "left_anti")
+        .select(id_col, "fold")
+        .join(F.broadcast(lyp), "fold")
+        .select(id_col, "fold", "__cand", F.col("__lprior").alias("__p"))
+    )
+    allscores = scored.select(id_col, "fold", "__cand", "__p").unionAll(no_tri)
+    w = Window.partitionBy(id_col).orderBy(F.desc("__p"), F.asc("__cand"))
+    preds = (
+        allscores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "fold", F.col("__cand").alias("pred"))
+    )
+    return preds.join(base.select(id_col, label_col), id_col).select(
+        id_col,
+        F.col(label_col).alias("label"),
+        "pred",
+        "fold",
+        (F.col(label_col) != F.col("pred")).alias("mismatch"),
+    )

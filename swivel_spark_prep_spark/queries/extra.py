@@ -4427,3 +4427,69 @@ def x131(spark, sf_dir):
         )
         .orderBy("doc_id", "span_id")
     )
+
+
+@_declare(
+    "X132_crossval_label_audit",
+    # Cross-validated label-noise audit (lm.nb_crossval_audit): every
+    # doc scored by the NB trigram classifier trained WITHOUT its own
+    # md5 fold — one corpus aggregation + fold-difference algebra on
+    # the count tables instead of k trainings. The oracle replays the
+    # fold assignment, the leave-fold-out counts/vocab/priors and the
+    # argmax (ties by label asc); parity pins the argmax, the
+    # engine-stable surface.
+    """WITH base AS (
+  SELECT doc_id, lang, text,
+         ('0x' || substr(md5('kfold' || doc_id::VARCHAR), 1, 8))::BIGINT % 5 AS fold
+  FROM documents),
+tg AS (
+  SELECT doc_id, fold, lang AS y,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                               i -> substr(text, i, 3))) AS t
+  FROM base),
+c_all AS (SELECT y, t, COUNT(*) AS ca FROM tg GROUP BY 1, 2),
+c_fold AS (SELECT fold, y, t, COUNT(*) AS cf FROM tg GROUP BY 1, 2, 3),
+n_all AS (SELECT y, COUNT(*) AS na FROM tg GROUP BY 1),
+n_fold AS (SELECT fold, y, COUNT(*) AS nf FROM tg GROUP BY 1, 2),
+spread AS (SELECT t, COUNT(DISTINCT fold) AS nfolds, MIN(fold) AS onef
+           FROM tg GROUP BY 1),
+v_all AS (SELECT COUNT(*)::DOUBLE AS va FROM spread),
+v_excl AS (SELECT onef AS fold, COUNT(*) AS ve FROM spread
+           WHERE nfolds = 1 GROUP BY 1),
+folds AS (SELECT DISTINCT fold FROM base),
+v_f AS (SELECT f.fold, va - COALESCE(ve, 0) AS vf
+        FROM folds f LEFT JOIN v_excl x ON x.fold = f.fold CROSS JOIN v_all),
+ly AS (SELECT f.fold, a.y, (a.na - COALESCE(nf.nf, 0))::DOUBLE AS nyf
+       FROM folds f CROSS JOIN n_all a
+       LEFT JOIN n_fold nf ON nf.fold = f.fold AND nf.y = a.y),
+lyp0 AS (SELECT * FROM ly WHERE nyf > 0),
+pri AS (SELECT fold, SUM(nyf) AS pn FROM lyp0 GROUP BY 1),
+lyp AS (SELECT l.fold, l.y AS cand, l.nyf, ln(l.nyf / p.pn) AS lprior, v.vf
+        FROM lyp0 l JOIN pri p ON p.fold = l.fold JOIN v_f v ON v.fold = l.fold),
+doc_t AS (SELECT doc_id, fold, t, COUNT(*) AS cd FROM tg GROUP BY 1, 2, 3),
+scored AS (
+  SELECT d.doc_id, d.fold, m.cand,
+         SUM(d.cd * ln((COALESCE(ca.ca, 0) - COALESCE(cf.cf, 0) + 1.0)
+                        / (m.nyf + m.vf))) + ANY_VALUE(m.lprior) AS p
+  FROM doc_t d
+  JOIN lyp m ON m.fold = d.fold
+  LEFT JOIN c_all ca ON ca.y = m.cand AND ca.t = d.t
+  LEFT JOIN c_fold cf ON cf.fold = d.fold AND cf.y = m.cand AND cf.t = d.t
+  GROUP BY d.doc_id, d.fold, m.cand),
+no_tri AS (
+  SELECT b.doc_id, b.fold, m.cand, m.lprior AS p
+  FROM base b JOIN lyp m ON m.fold = b.fold
+  WHERE b.doc_id NOT IN (SELECT DISTINCT doc_id FROM doc_t)),
+allsc AS (SELECT * FROM scored UNION ALL SELECT * FROM no_tri),
+pred AS (SELECT doc_id, fold, cand AS pred,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p DESC, cand) AS rn
+         FROM allsc)
+SELECT b.doc_id, b.lang AS label, pr.pred, b.fold, b.lang <> pr.pred AS mismatch
+FROM pred pr JOIN base b ON b.doc_id = pr.doc_id
+WHERE pr.rn = 1 ORDER BY b.doc_id;""",
+)
+def x132(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.lm import nb_crossval_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_crossval_audit(docs, k=5).orderBy("doc_id")

@@ -369,3 +369,32 @@ def test_cli_select_keeps_target_fraction(spark, tmp_path, sf_dir):
     assert abs(n_kept - 0.25 * n_raw) <= 0.1 * n_raw
     # only raw (non-target) rows are emitted
     assert kept.filter(F.col("source").isin("src0", "src1", "src2", "src3")).count() == 0
+
+
+# --- cross-validated label audit -------------------------------------------
+
+
+def test_crossval_audit_equals_separate_training(spark, docs):
+    """The fold-difference algebra must give EXACTLY the per-fold
+    predictions of training a fresh classifier without that fold."""
+    from swivel_spark_prep_spark.operators.lm import (
+        nb_char_trigram_classifier,
+        nb_crossval_audit,
+    )
+    from swivel_spark_prep_spark.operators.sampling import kfold_assign
+
+    d = docs.select("doc_id", "lang", "text").limit(200)
+    audit = nb_crossval_audit(d, k=3).collect()
+    by_doc = {r.doc_id: (r.fold, r.pred) for r in audit}
+    folded = kfold_assign(d, "doc_id", k=3)
+    for f in [0, 2]:
+        train = folded.filter(F.col("fold") != f).drop("fold")
+        score = folded.filter(F.col("fold") == f).drop("fold")
+        want = {
+            r.doc_id: r.pred
+            for r in nb_char_trigram_classifier(train, score).collect()
+        }
+        for doc_id, pred in want.items():
+            assert by_doc[doc_id] == (f, pred), (
+                f"fold {f} doc {doc_id}: audit {by_doc[doc_id]} vs fresh {pred}"
+            )
