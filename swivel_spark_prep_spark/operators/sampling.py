@@ -564,3 +564,100 @@ def negative_samples(
         .filter(F.col("rnk") <= k)
         .select(id_col, label_col, "neg_id", "neg_label", "rnk")
     )
+
+
+def token_budget_allocation(
+    docs: DataFrame,
+    budget: float,
+    temperature: float = 1.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget allocator across corpus slices: how many tokens to
+    draw from each source, given a total ``budget``, temperature-
+    flattened target shares p_s ∝ n_s^(1/T) (the multilingual-sampling
+    rule temperature_resample uses), and the hard cap that a source
+    cannot contribute more than it has::
+
+        alloc_s = min(n_s, λ·p_s)   with Σ alloc_s = budget
+
+    This is the classic WATERFILLING solution, computed in CLOSED FORM
+    declaratively — no iterative λ search: sources sorted by saturation
+    point r_s = n_s/p_s saturate in order, so with prefix sums over
+    that order, λ_j = (B − Σ_{i≤j} n_i)/(P − Σ_{i≤j} p_i) and row j is
+    saturated iff r_j ≤ λ_j (a running-AND window makes the prefix
+    explicit rather than assumed). λ* then comes from one conditional
+    aggregate over the saturated set. All windows run on the per-source
+    COUNTS relation (|sources| rows) — corpus-sized data is touched by
+    exactly one token-count aggregate.
+
+    Output: (group_col, n_tokens, weight, alloc_tokens, saturated);
+    Σ alloc_tokens = min(budget, Σ n_tokens) to float precision.
+    ``weight`` is the normalized temperature share p_s/P.
+    """
+    from pyspark.sql.window import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    counts = docs.groupBy(group_col).agg(
+        F.sum(F.size(F.split(F.lower(F.col(text_col)), " ")))
+        .cast("double")
+        .alias("n_tokens")
+    )
+    p = F.pow(F.col("n_tokens"), 1.0 / temperature)
+    base = counts.select(group_col, "n_tokens", p.alias("__p"))
+    tot = base.agg(
+        F.sum("n_tokens").alias("__tn"), F.sum("__p").alias("__tp")
+    )
+    b = base.crossJoin(F.broadcast(tot)).withColumn(
+        "__r", F.col("n_tokens") / F.col("__p")
+    )
+    w = Window.orderBy(F.asc("__r"), F.asc(group_col))
+    pre = (
+        b.withColumn("__cn", F.sum("n_tokens").over(w))
+        .withColumn("__cp", F.sum("__p").over(w))
+        .withColumn(
+            "__sat_here",
+            # saturated iff r_j <= λ_j; the final row's λ is 0/0 — it can
+            # only saturate when the budget covers everything (handled by
+            # the all-saturated branch below)
+            F.when(
+                F.col("__tp") - F.col("__cp") > 0,
+                F.col("__r")
+                <= (F.lit(float(budget)) - F.col("__cn"))
+                / (F.col("__tp") - F.col("__cp")),
+            ).otherwise(F.lit(float(budget)) >= F.col("__tn")),
+        )
+        .withColumn("__sat", F.min(F.col("__sat_here").cast("int")).over(w) == 1)
+    )
+    lam = pre.agg(
+        (
+            (
+                F.lit(float(budget))
+                - F.coalesce(
+                    F.sum(F.when(F.col("__sat"), F.col("n_tokens"))), F.lit(0.0)
+                )
+            )
+            / F.nullif(
+                F.first("__tp")
+                - F.coalesce(
+                    F.sum(F.when(F.col("__sat"), F.col("__p"))), F.lit(0.0)
+                ),
+                F.lit(0.0),
+            )
+        ).alias("__lam")
+    )
+    return (
+        pre.crossJoin(F.broadcast(lam))
+        .select(
+            group_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("__p") / F.col("__tp")).alias("weight"),
+            F.when(F.col("__sat"), F.col("n_tokens"))
+            .otherwise(F.col("__lam") * F.col("__p"))
+            .alias("alloc_tokens"),
+            F.col("__sat").alias("saturated"),
+        )
+    )

@@ -958,3 +958,83 @@ def matryoshka_stats(
     return long.groupBy("grp", "trunc_dim").agg(
         F.avg("ratio").alias("mean_ratio"), F.min("ratio").alias("min_ratio")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchor_cond,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for every
+    anchor row matching ``anchor_cond``, the ``k`` MOST-similar
+    different-label vectors — the negatives that actually move a
+    contrastive loss, vs the random ones ``sampling.negative_samples``
+    draws.
+
+    Same shape as :func:`cosine_topk_many` (anchors are a bounded
+    control matrix broadcast into a mapInPandas closure; one corpus
+    scan, one (batch × anchors) BLAS matmul per Arrow batch, local
+    top-k then a global per-anchor rank) with the label mask applied
+    INSIDE the scan — exactness is preserved because each anchor's
+    global top-k over different-label rows is a subset of the union of
+    its per-batch top-ks under the same mask. Anchors must be a bounded
+    set (an eval slice, a probe batch): the matrix is collected.
+
+    Output: (anchor_id, neg_id, sim, rnk), rnk 1-based by (sim desc,
+    id asc)."""
+    from pyspark.sql import Window
+
+    base = with_double_embedding(emb, vec_col)
+    arows = (
+        base.filter(anchor_cond)
+        .select(F.col(id_col).alias("id"), F.col(label_col).alias("lb"), "_emb")
+        .collect()
+    )
+    if not arows:
+        raise ValueError("anchor_cond matched no rows")
+    aids = np.array([r["id"] for r in arows], dtype=np.int64)
+    albs = np.array([r["lb"] for r in arows])
+    amat = np.vstack([np.asarray(r["_emb"]) for r in arows])
+    an = np.linalg.norm(amat, axis=1)
+    an[an == 0] = 1.0
+    amat = amat / an[:, None]
+
+    def _scan(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lbs = pdf["lb"].to_numpy()
+            mat = np.vstack(pdf["e"].to_numpy())
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ amat.T  # (batch, anchors)
+            out_q, out_i, out_s = [], [], []
+            for c, (qid, ql) in enumerate(zip(aids, albs)):
+                col = sims[:, c]
+                valid = lbs != ql  # different label only (self is same-label)
+                vi = np.nonzero(valid)[0]
+                top = vi[np.argsort(-col[vi], kind="stable")[:k]]
+                out_q.append(np.full(len(top), qid))
+                out_i.append(ids[top])
+                out_s.append(col[top])
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.concatenate(out_q) if out_q else [],
+                    "id": np.concatenate(out_i) if out_i else [],
+                    "sim": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+    local = base.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(label_col).alias("lb"),
+        F.col("_emb").alias("e"),
+    ).mapInPandas(_scan, "anchor_id long, id long, sim double")
+    w = Window.partitionBy("anchor_id").orderBy(F.col("sim").desc(), F.col("id"))
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("anchor_id", F.col("id").alias("neg_id"), "sim", "rnk")
+    )

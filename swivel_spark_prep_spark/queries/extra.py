@@ -4493,3 +4493,85 @@ def x132(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return nb_crossval_audit(docs, k=5).orderBy("doc_id")
+
+
+@_declare(
+    "X133_hard_negatives",
+    # Hard-negative mining (similarity.hard_negatives): for ~20 anchors
+    # (label 0, vec_id % 5 = 0), the 5 most-cosine-similar DIFFERENT-
+    # label vectors — one corpus scan, one (batch x anchors) BLAS
+    # matmul per Arrow batch with the label mask inside the scan. The
+    # oracle is the brute-force all-pairs twin.
+    """WITH a AS (SELECT vec_id AS anchor_id, label AS ql, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE label = 0 AND vec_id % 5 = 0),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT a.anchor_id, c.vec_id, list_cosine_similarity(c.e, a.qe) AS sim
+      FROM a JOIN c ON c.label <> a.ql),
+r AS (SELECT anchor_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM s)
+SELECT anchor_id, vec_id AS neg_id, ROUND(sim, 4) AS sim, rnk::BIGINT AS rnk
+FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk;""",
+)
+def x133(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        hard_negatives(
+            emb,
+            (F.col("label") == 0) & (F.col("vec_id") % 5 == 0),
+            k=5,
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round("sim", 4).alias("sim"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("anchor_id", "rnk")
+    )
+
+
+@_declare(
+    "X134_token_budget_waterfill",
+    # Token-budget waterfilling (sampling.token_budget_allocation):
+    # alloc_s = min(n_s, λ·p_s) with Σ alloc = 20000 and temperature-2
+    # shares p_s ∝ √n_s — λ in CLOSED FORM via prefix sums over the
+    # saturation order (no iterative search), windows only on the
+    # |sources|-row counts relation. The oracle replays the identical
+    # prefix-sum construction.
+    """WITH c AS (SELECT source, SUM(len(string_split(lower(text), ' ')))::DOUBLE AS n
+           FROM documents GROUP BY 1),
+b AS (SELECT source, n, pow(n, 0.5) AS p FROM c),
+t AS (SELECT SUM(n) AS tn, SUM(p) AS tp FROM b),
+r AS (SELECT b.*, tn, tp, n / p AS rr FROM b CROSS JOIN t),
+w AS (SELECT *, SUM(n) OVER (ORDER BY rr, source) AS cn,
+               SUM(p) OVER (ORDER BY rr, source) AS cp FROM r),
+f AS (SELECT *, CASE WHEN tp - cp > 0 THEN rr <= (20000 - cn) / (tp - cp)
+                     ELSE 20000 >= tn END AS sat_here FROM w),
+g AS (SELECT *, MIN(CASE WHEN sat_here THEN 1 ELSE 0 END)
+                  OVER (ORDER BY rr, source) = 1 AS sat FROM f),
+l AS (SELECT (20000 - COALESCE(SUM(CASE WHEN sat THEN n END), 0))
+             / NULLIF(ANY_VALUE(tp) - COALESCE(SUM(CASE WHEN sat THEN p END), 0), 0) AS lam
+      FROM g)
+SELECT source, n::BIGINT AS n_tokens, ROUND(p / tp, 6) AS weight,
+       ROUND(CASE WHEN sat THEN n ELSE lam * p END, 2) AS alloc_tokens,
+       sat AS saturated
+FROM g CROSS JOIN l ORDER BY source;""",
+)
+def x134(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import token_budget_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_budget_allocation(docs, budget=20000, temperature=2.0)
+        .select(
+            "source",
+            "n_tokens",
+            F.round("weight", 6).alias("weight"),
+            F.round("alloc_tokens", 2).alias("alloc_tokens"),
+            "saturated",
+        )
+        .orderBy("source")
+    )

@@ -398,3 +398,36 @@ def test_crossval_audit_equals_separate_training(spark, docs):
             assert by_doc[doc_id] == (f, pred), (
                 f"fold {f} doc {doc_id}: audit {by_doc[doc_id]} vs fresh {pred}"
             )
+
+
+# --- waterfilling allocator -------------------------------------------------
+
+
+def test_waterfill_budget_conserved_and_capped(spark, docs):
+    from swivel_spark_prep_spark.operators.sampling import token_budget_allocation
+
+    out = token_budget_allocation(docs, budget=20000, temperature=2.0).collect()
+    assert abs(sum(r.alloc_tokens for r in out) - 20000) < 1e-6
+    assert all(r.alloc_tokens <= r.n_tokens + 1e-9 for r in out)
+    assert all((r.alloc_tokens == r.n_tokens) == r.saturated for r in out)
+    # a budget beyond the corpus saturates everything
+    total = sum(r.n_tokens for r in out)
+    full = token_budget_allocation(docs, budget=total * 10, temperature=2.0).collect()
+    assert all(r.saturated and r.alloc_tokens == r.n_tokens for r in full)
+    with pytest.raises(ValueError):
+        token_budget_allocation(docs, budget=0)
+
+
+def test_hard_negatives_all_cross_label(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = hard_negatives(
+        emb, (F.col("label") == 0) & (F.col("vec_id") % 5 == 0), k=4
+    ).collect()
+    assert rows
+    for r in rows:
+        assert labels[r.anchor_id] == 0
+        assert labels[r.neg_id] != 0
+        assert r.neg_id != r.anchor_id
