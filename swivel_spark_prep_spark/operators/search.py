@@ -158,3 +158,68 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Standard retrieval evaluation (TREC-style, public): per-query
+    Recall@k, MRR@k and binary nDCG@k from a ranked run and a
+    relevance-judgment relation — the eval loop every retrieval stack
+    (BM25, dense, hybrid RRF) is tuned against.
+
+    ``results``: (query, doc, rank) with rank 1-based; ``qrels``:
+    (query, doc, rel) with rel > 0 meaning relevant. Unjudged retrieved
+    docs count as non-relevant (the TREC convention). nDCG uses binary
+    gains: DCG = Σ rel/log2(rank+1), IDCG = Σ_{i≤min(R,k)} 1/log2(i+1)
+    with R the query's total relevant count.
+
+    One join on (query, doc) + two grouped aggregates — both sides
+    shuffle on the query key only; the IDCG series folds in as a
+    codegen ``aggregate(sequence(...))`` expression, no UDF. Queries
+    with no relevant documents are dropped (their metrics are
+    undefined). Output: (query_col, n_rel, recall, mrr, ndcg).
+    """
+    res = results.filter(F.col(rank_col) <= k).select(
+        query_col, doc_col, rank_col
+    )
+    rel = qrels.filter(F.col(rel_col) > 0).select(query_col, doc_col)
+    totals = rel.groupBy(query_col).agg(F.count("*").alias("n_rel"))
+    hits = (
+        res.join(
+            rel.withColumn("__rel", F.lit(1)), [query_col, doc_col], "left"
+        )
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.coalesce("__rel", F.lit(0))).alias("__hits"),
+            F.max(
+                F.when(F.col("__rel").isNotNull(), 1.0 / F.col(rank_col))
+            ).alias("__mrr"),
+            F.sum(
+                F.when(
+                    F.col("__rel").isNotNull(),
+                    1.0 / F.log2(F.col(rank_col) + 1.0),
+                )
+            ).alias("__dcg"),
+        )
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {k}))), cast(0.0 as double),"
+        " (acc, i) -> acc + 1.0 / log2(i + 1.0))"
+    )
+    return (
+        totals.join(hits, query_col, "left")
+        .select(
+            query_col,
+            "n_rel",
+            (F.coalesce("__hits", F.lit(0)) / F.col("n_rel")).alias("recall"),
+            F.coalesce("__mrr", F.lit(0.0)).alias("mrr"),
+            (F.coalesce("__dcg", F.lit(0.0)) / idcg).alias("ndcg"),
+        )
+    )

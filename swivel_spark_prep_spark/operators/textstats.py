@@ -434,3 +434,61 @@ def mixture_divergence(
             ),
         )
     )
+
+
+def diversity_scores(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ns: tuple = (1, 3),
+) -> DataFrame:
+    """Distinct-n lexical diversity per slice (Li et al. 2016's
+    distinct-1/distinct-2, public): |distinct n-grams| / |n-grams| —
+    low values flag template-generated or heavily repeated slices a
+    diversity-aware mix would downweight; near-1 trigram ratios flag
+    fresh text.
+
+    One exploded aggregate per n over the token stream (count +
+    count_distinct on the group key, map-side partials); results join
+    on the group key. Output: (group_col, n_tokens, distinct{n}...).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    out = None
+    for n in ns:
+        if n == 1:
+            grams = docs.select(
+                F.col(group_col), F.explode(toks).alias("__g")
+            ).filter(F.col("__g") != "")
+        else:
+            grams = docs.select(
+                F.col(group_col),
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))
+                        ),
+                        lambda w, i: F.concat_ws(
+                            " ",
+                            F.array(
+                                *[
+                                    F.element_at(toks, i + j + 1)
+                                    for j in range(n)
+                                ]
+                            ),
+                        ),
+                    )
+                ).alias("__g"),
+            )
+        agg = grams.groupBy(group_col).agg(
+            F.count("*").alias(f"__n{n}"),
+            F.count_distinct("__g").alias(f"__d{n}"),
+        )
+        out = agg if out is None else out.join(agg, group_col)
+    cols = [F.col(group_col)]
+    if 1 in ns:
+        cols.append(F.col("__n1").alias("n_tokens"))
+    for n in ns:
+        cols.append(
+            (F.col(f"__d{n}") / F.col(f"__n{n}")).alias(f"distinct{n}")
+        )
+    return out.select(*cols)

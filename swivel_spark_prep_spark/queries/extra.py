@@ -4575,3 +4575,128 @@ def x134(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_declare(
+    "X135_retrieval_eval",
+    # TREC-style retrieval evaluation (search.retrieval_metrics):
+    # Recall@10 / MRR@10 / binary nDCG@10 per query, run = each
+    # label-0 anchor's cosine top-10 (self excluded), qrels = same-
+    # label membership. One (query, doc) join + two grouped
+    # aggregates; the IDCG series is a codegen aggregate(sequence(..))
+    # expression. The oracle replays run construction and metric
+    # arithmetic.
+    """WITH a AS (SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE label = 0 AND vec_id % 5 = 0),
+s AS (SELECT a.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], a.qe) AS sim
+      FROM a JOIN embeddings e ON e.vec_id <> a.query_id),
+r AS (SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM s),
+res AS (SELECT * FROM r WHERE rnk <= 10),
+q AS (SELECT a.query_id, e.vec_id FROM a
+      JOIN embeddings e ON e.label = a.ql AND e.vec_id <> a.query_id),
+tot AS (SELECT query_id, COUNT(*) AS n_rel FROM q GROUP BY 1),
+h AS (SELECT res.query_id,
+             SUM(CASE WHEN q.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+             MAX(CASE WHEN q.vec_id IS NOT NULL THEN 1.0 / rnk END) AS mrr,
+             SUM(CASE WHEN q.vec_id IS NOT NULL THEN 1.0 / log2(rnk + 1.0) END) AS dcg
+      FROM res LEFT JOIN q ON q.query_id = res.query_id AND q.vec_id = res.vec_id
+      GROUP BY 1)
+SELECT t.query_id, n_rel::BIGINT AS n_rel,
+       ROUND(COALESCE(hits, 0)::DOUBLE / n_rel, 6) AS recall,
+       ROUND(COALESCE(mrr, 0), 6) AS mrr,
+       ROUND(COALESCE(dcg, 0)
+             / list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+                                       i -> 1.0 / log2(i + 1.0))), 6) AS ndcg
+FROM tot t LEFT JOIN h ON h.query_id = t.query_id ORDER BY t.query_id;""",
+)
+def x135(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.search import retrieval_metrics
+    from swivel_spark_prep_spark.operators.similarity import (
+        _dot,
+        _norm2,
+        with_double_embedding,
+    )
+    from pyspark.sql.window import Window
+
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(
+        (F.col("label") == 0) & (F.col("vec_id") % 5 == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__ql"),
+        F.col("_emb").alias("__qe"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "__sim",
+            _dot("_emb", "__qe") / F.sqrt(_norm2("_emb") * _norm2("__qe")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("vec_id"))
+    results = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+    qrels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .crossJoin(F.broadcast(anchors.select("query_id", "__ql")))
+        .filter(
+            (F.col("label") == F.col("__ql"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select("query_id", "vec_id", F.lit(1).alias("rel"))
+    )
+    return (
+        retrieval_metrics(
+            results, qrels, k=10, query_col="query_id", doc_col="vec_id",
+            rank_col="rank", rel_col="rel",
+        )
+        .select(
+            "query_id",
+            "n_rel",
+            F.round("recall", 6).alias("recall"),
+            F.round("mrr", 6).alias("mrr"),
+            F.round("ndcg", 6).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@_declare(
+    "X136_diversity_scores",
+    # Distinct-n lexical diversity per source (textstats.diversity_
+    # scores, Li et al. 2016): |distinct n-grams| / |n-grams| for
+    # n in {1,3} — the template/repetition flag a diversity-aware mix
+    # downweights. One exploded aggregate per n.
+    """WITH tok AS (SELECT source, string_split(lower(text), ' ') AS arr FROM documents),
+uni AS (SELECT source, t FROM (SELECT source, unnest(arr) AS t FROM tok) WHERE t <> ''),
+tri AS (SELECT source, arr[p+1] || ' ' || arr[p+2] || ' ' || arr[p+3] AS g
+        FROM tok, UNNEST(range(len(arr) - 2)) AS u(p)),
+u1 AS (SELECT source, COUNT(*) AS n1, COUNT(DISTINCT t) AS d1 FROM uni GROUP BY 1),
+u3 AS (SELECT source, COUNT(*) AS n3, COUNT(DISTINCT g) AS d3 FROM tri GROUP BY 1)
+SELECT u1.source, n1::BIGINT AS n_tokens,
+       ROUND(d1::DOUBLE / n1, 6) AS distinct1,
+       ROUND(d3::DOUBLE / n3, 6) AS distinct3
+FROM u1 JOIN u3 USING (source) ORDER BY source;""",
+)
+def x136(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import diversity_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        diversity_scores(docs, "source")
+        .select(
+            "source",
+            "n_tokens",
+            F.round("distinct1", 6).alias("distinct1"),
+            F.round("distinct3", 6).alias("distinct3"),
+        )
+        .orderBy("source")
+    )

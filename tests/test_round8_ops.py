@@ -431,3 +431,32 @@ def test_hard_negatives_all_cross_label(spark, sf_dir):
         assert labels[r.anchor_id] == 0
         assert labels[r.neg_id] != 0
         assert r.neg_id != r.anchor_id
+
+
+# --- retrieval metrics ------------------------------------------------------
+
+
+def test_retrieval_metrics_hand_example(spark):
+    from swivel_spark_prep_spark.operators.search import retrieval_metrics
+    import math
+
+    # q1: rel docs {a, b, c}; retrieved ranks: a@1, x@2, b@4 => hits 2
+    results = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 4), ("q1", "y", 5)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 1), ("q1", "c", 1), ("q2", "z", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    rows = {r.query_id: r for r in retrieval_metrics(results, qrels, k=5).collect()}
+    r1 = rows["q1"]
+    assert r1.n_rel == 3
+    assert abs(r1.recall - 2 / 3) < 1e-12
+    assert abs(r1.mrr - 1.0) < 1e-12  # first relevant at rank 1
+    dcg = 1 / math.log2(2) + 1 / math.log2(5)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(r1.ndcg - dcg / idcg) < 1e-12
+    # q2 retrieved nothing: zero metrics, not missing
+    r2 = rows["q2"]
+    assert (r2.recall, r2.mrr, r2.ndcg) == (0.0, 0.0, 0.0)
