@@ -223,3 +223,108 @@ def retrieval_metrics(
             (F.coalesce("__dcg", F.lit(0.0)) / idcg).alias("ndcg"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most-similar document pairs by EXACT cosine over the
+    df-pruned TF-IDF vector space (the classic VSM duplicate/related-
+    document detector — a third similarity family next to MinHash-LSH
+    shingles and dense embeddings).
+
+    Terms with document frequency > ``max_df`` are dropped from the
+    vector space itself (standard stopword pruning: a term in half the
+    corpus carries ~zero idf anyway), which simultaneously makes the
+    pair generation tractable — the posting-list self-join on the
+    shared term key is bounded by Σ_t df_t² over df ≤ max_df, never
+    the ubiquitous-term blowup. Within that space the score is exact:
+    sim = Σ_t w₁w₂ / (‖w₁‖‖w₂‖), w = tf · ln(N/df).
+
+    Plan: one token aggregate → posting lists, one |vocab|-row df
+    relation broadcast, one self-join on term + pair aggregate, one
+    TakeOrdered(k). Output: (d1, d2, sim), d1 < d2.
+    """
+    toks = _tokens(docs, id_col, text_col)
+    tf = toks.groupBy("term", id_col).agg(F.count("*").cast("double").alias("tf"))
+    n_docs = docs.select(id_col).distinct().count()  # bounded: one long
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    w = tf.join(F.broadcast(dfr), "term").select(
+        "term",
+        F.col(id_col).alias("d"),
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norms = w.groupBy("d").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    a = w.select("term", F.col("d").alias("d1"), F.col("w").alias("w1"))
+    b = w.select("term", F.col("d").alias("d2"), F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("d").alias("d1"), F.col("nn").alias("n1")), "d1")
+        .join(norms.select(F.col("d").alias("d2"), F.col("nn").alias("n2")), "d2")
+        .select("d1", "d2", (F.col("dot") / (F.col("n1") * F.col("n2"))).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("d1"), F.asc("d2"))
+        .limit(k)
+    )
+
+
+def expand_query_rm3(
+    docs: DataFrame,
+    query_terms: list[str],
+    n_docs_fb: int = 10,
+    n_terms: int = 10,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 idea, Lavrenko
+    & Croft 2001, reduced to its TF-IDF core): take the BM25 top
+    ``n_docs_fb`` documents for the query, score every term they
+    contain by Σ_docs tf·ln(N/df), drop the original query terms and
+    df > ``max_df`` noise, return the top ``n_terms`` as (term, weight)
+    — feed the union of original + expansion terms back into
+    :func:`bm25_topk` for the expanded retrieval round.
+
+    Everything downstream of the BM25 stage is sized by the feedback
+    set (n_docs_fb documents' tokens), not the corpus. Ties break by
+    term asc; weights are raw doubles (round for cross-engine
+    hashing)."""
+    fb = bm25_topk(docs, query_terms, k=n_docs_fb, id_col=id_col, text_col=text_col)
+    n = docs.select(id_col).distinct().count()  # bounded: one long
+    toks = _tokens(docs, id_col, text_col)
+    dfr = (
+        toks.groupBy("term", id_col)
+        .agg(F.lit(1).alias("__1"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    qset = {t.lower() for t in query_terms}
+    fb_toks = toks.join(F.broadcast(fb.select(id_col)), id_col, "left_semi")
+    fb_tf = (
+        fb_toks.groupBy("term", id_col)
+        .agg(F.count("*").cast("double").alias("tf"))
+        .filter(~F.col("term").isin(list(qset)))
+    )
+    # broadcast the FEEDBACK side (n_docs_fb documents' distinct terms),
+    # never the corpus-vocabulary df relation
+    scored = (
+        dfr.filter(F.col("df") <= max_df)
+        .join(F.broadcast(fb_tf), "term")
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias(
+                "weight"
+            )
+        )
+    )
+    return scored.orderBy(F.desc("weight"), F.asc("term")).limit(n_terms)

@@ -4700,3 +4700,79 @@ def x136(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_declare(
+    "X137_tfidf_cosine_pairs",
+    # Exact TF-IDF cosine top-20 pairs over the df<=50-pruned vector
+    # space (search.tfidf_cosine_pairs) — the VSM similarity family
+    # next to MinHash shingles (X06) and dense embeddings (X05). The
+    # df prune IS the vector space (near-zero-idf terms dropped), so
+    # the posting self-join is bounded by rare-term df^2 and the score
+    # is exact within the space. Oracle replays weights, norms, join.
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+tf AS (SELECT term, doc_id, COUNT(*)::DOUBLE AS tf FROM toks
+       WHERE term <> '' GROUP BY 1, 2),
+nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= 50),
+w AS (SELECT tf.term, doc_id AS d, tf.tf * ln(n / df) AS w
+      FROM tf JOIN dfr USING (term) CROSS JOIN nd),
+nr AS (SELECT d, sqrt(SUM(w * w)) AS nn FROM w GROUP BY 1),
+dots AS (SELECT a.d AS d1, b.d AS d2, SUM(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.term = b.term AND a.d < b.d GROUP BY 1, 2),
+s AS (SELECT d1, d2, dot / (x.nn * y.nn) AS sim
+      FROM dots JOIN nr x ON x.d = d1 JOIN nr y ON y.d = d2)
+SELECT d1, d2, ROUND(sim, 4) AS sim FROM s ORDER BY sim DESC, d1, d2 LIMIT 20;""",
+)
+def x137(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.search import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, k=20, max_df=50).select(
+        "d1", "d2", F.round("sim", 4).alias("sim")
+    )
+
+
+@_declare(
+    "X138_query_expansion_rm3",
+    # Pseudo-relevance-feedback expansion (search.expand_query_rm3, the
+    # RM3 idea): BM25 top-10 for X89's query, feedback terms scored
+    # Σ tf·ln(N/df), query terms and df>390 ubiquity dropped, top 10
+    # (the fixture vocabulary is ~31 terms with df 25..402 — 390 keeps
+    # the discriminative half).
+    # Everything past the BM25 stage is feedback-set-sized; the small
+    # side is what broadcasts. The oracle replays the BM25 ranking and
+    # the expansion arithmetic.
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents),
+qtf AS (SELECT term, doc_id, COUNT(*)::DOUBLE AS tf FROM toks
+        WHERE term IN ('spark','join','vector') GROUP BY 1,2),
+qdf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM qtf GROUP BY 1),
+dl AS (SELECT doc_id, len(string_split(lower(text),' '))::DOUBLE AS dl FROM documents),
+st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+lexsc AS (SELECT qtf.doc_id AS doc_id,
+              SUM( ln(1 + (n_docs - df + 0.5)/(df + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) ) AS s
+       FROM qtf JOIN qdf USING(term) JOIN dl ON qtf.doc_id = dl.doc_id CROSS JOIN st
+       GROUP BY 1),
+fb AS (SELECT doc_id FROM lexsc ORDER BY s DESC, doc_id LIMIT 10),
+tf2 AS (SELECT term, t.doc_id, COUNT(*)::DOUBLE AS tf
+        FROM toks t JOIN fb USING (doc_id)
+        WHERE term NOT IN ('spark','join','vector') AND term <> ''
+        GROUP BY 1, 2),
+dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+        WHERE term <> '' GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+sc AS (SELECT tf2.term, SUM(tf * ln(n / df)) AS weight
+       FROM tf2 JOIN dfr USING (term) CROSS JOIN nd
+       WHERE df <= 390 GROUP BY 1)
+SELECT term, ROUND(weight, 4) AS weight
+FROM sc ORDER BY weight DESC, term LIMIT 10;""",
+)
+def x138(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.search import expand_query_rm3
+
+    docs = load_table(spark, sf_dir, "documents")
+    return expand_query_rm3(
+        docs, ["spark", "join", "vector"], n_docs_fb=10, n_terms=10, max_df=390
+    ).select("term", F.round("weight", 4).alias("weight"))
