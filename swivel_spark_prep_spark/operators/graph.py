@@ -62,20 +62,29 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     dedup_edges: bool = True,
+    seeds: list | None = None,
 ) -> DataFrame:
-    """Power-iteration PageRank over an edge relation.
+    """Power-iteration PageRank over an edge relation — uniform or
+    PERSONALIZED (Haveliwala 2002): with ``seeds``, the teleport (and
+    dangling-mass) distribution concentrates on the seed nodes instead
+    of being uniform, so ranks measure proximity TO THE SEED SET — the
+    similarity/recommendation reading of PageRank.
 
     Returns (node, pagerank) for every node appearing as a source or
     destination. ``dedup_edges=True`` (default) collapses multi-edges
     first, matching the unweighted formulation; pass False to let
     repeated edges act as weights.
 
-    Update rule per iteration (uniform-dangling-redistribution variant)::
+    Update rule per iteration (teleport distribution t: uniform 1/N, or
+    1/|seeds| on seeds and 0 elsewhere)::
 
-        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  D/N )
+        r'(v) = (1-d)·t(v) + d * ( Σ_{u→v} r(u)/outdeg(u)  +  D·t(v) )
 
     where ``D`` is the total rank mass on dangling nodes. Mass is
-    conserved: Σ r'(v) = 1 at every step.
+    conserved: Σ r'(v) = 1 at every step. ``seeds`` is a bounded
+    personalization set (node ids, cast to string) folded in as a
+    broadcast literal membership; every seed must exist in the graph —
+    an absent seed's teleport share would leak mass.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -108,11 +117,19 @@ def pagerank(
         "node",
         "left",
     )
+    if seeds is not None:
+        seed_set = [str(x) for x in seeds]
+        if not seed_set:
+            raise ValueError("seeds must be non-empty when given")
+        tele = F.when(
+            F.col("node").isin(seed_set), F.lit(1.0 / len(seed_set))
+        ).otherwise(F.lit(0.0))
+    else:
+        tele = F.lit(1.0 / n_nodes)
+    node_flags = node_flags.select("node", "__has_out", tele.alias("__t"))
     node_flags = track_persist(node_flags)
 
-    ranks = node_flags.select(
-        "node", "__has_out", F.lit(1.0 / n_nodes).alias("rank")
-    )
+    ranks = node_flags.select("node", "__has_out", F.col("__t").alias("rank"))
 
     for _ in range(iterations):
         dangling = ranks.filter(F.col("__has_out").isNull()).agg(
@@ -130,11 +147,11 @@ def pagerank(
                 "node",
                 "__has_out",
                 (
-                    F.lit((1.0 - damping) / n_nodes)
+                    F.lit(1.0 - damping) * F.col("__t")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("__mass"), F.lit(0.0))
-                        + F.col("__dm") / F.lit(n_nodes)
+                        + F.col("__dm") * F.col("__t")
                     )
                 ).alias("rank"),
             )
@@ -151,7 +168,11 @@ def pagerank(
 
 
 def pagerank_oracle_sql(
-    edges_sql: str, iterations: int = 5, damping: float = 0.85, round_to: int = 8
+    edges_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 8,
+    seeds: list | None = None,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the identical update rule
     unrolled into one CTE chain per iteration, generated from the same
@@ -164,8 +185,18 @@ def pagerank_oracle_sql(
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "meta AS (SELECT (SELECT COUNT(*) FROM nodes)::DOUBLE AS nn)",
         "outdeg AS (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY 1)",
-        "r0 AS (SELECT node, 1.0/(SELECT nn FROM meta) AS rank FROM nodes)",
     ]
+    if seeds is not None:
+        lits = ", ".join("'" + str(x).replace("'", "''") + "'" for x in seeds)
+        parts.append(
+            f"tele AS (SELECT node, CASE WHEN node IN ({lits}) "
+            f"THEN 1.0/{len(seeds)} ELSE 0.0 END AS t FROM nodes)"
+        )
+    else:
+        parts.append(
+            "tele AS (SELECT node, 1.0/(SELECT nn FROM meta) AS t FROM nodes)"
+        )
+    parts.append("r0 AS (SELECT node, t AS rank FROM tele)")
     for i in range(1, iterations + 1):
         p = i - 1
         parts.append(
@@ -178,9 +209,9 @@ def pagerank_oracle_sql(
             f"JOIN outdeg o ON o.src = e.src GROUP BY 1)"
         )
         parts.append(
-            f"r{i} AS (SELECT n.node, (1 - {d})/(SELECT nn FROM meta) "
-            f"+ {d} * (COALESCE(c.mass, 0) + (SELECT dm FROM d{i})/(SELECT nn FROM meta)) AS rank "
-            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+            f"r{i} AS (SELECT n.node, (1 - {d}) * n.t "
+            f"+ {d} * (COALESCE(c.mass, 0) + (SELECT dm FROM d{i}) * n.t) AS rank "
+            f"FROM tele n LEFT JOIN c{i} c ON n.node = c.node)"
         )
     return (
         ",\n".join(parts)

@@ -4776,3 +4776,30 @@ def x138(spark, sf_dir):
     return expand_query_rm3(
         docs, ["spark", "join", "vector"], n_docs_fb=10, n_terms=10, max_df=390
     ).select("term", F.round("weight", 4).alias("weight"))
+
+
+_PPR_SEEDS = ["s0", "s1", "s2", "s3", "s4", "s5"]
+
+
+@_declare(
+    "X139_personalized_pagerank",
+    _graph.pagerank_oracle_sql(
+        _PR_EDGES_SQL, iterations=5, damping=0.85, seeds=_PPR_SEEDS
+    ),
+)
+def x139(spark, sf_dir):
+    # Personalized PageRank (graph.pagerank with seeds, Haveliwala
+    # 2002): teleport + dangling mass concentrate on suppliers s0–s5,
+    # so ranks measure proximity to that seed set — the similarity /
+    # recommendation reading. Same generated unrolled oracle, seeded
+    # teleport CTE included.
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    return (
+        _graph.pagerank(edges, iterations=5, damping=0.85, seeds=_PPR_SEEDS)
+        .select("node", F.round("pagerank", 8).alias("pagerank"))
+        .orderBy("node")
+    )

@@ -460,3 +460,21 @@ def test_retrieval_metrics_hand_example(spark):
     # q2 retrieved nothing: zero metrics, not missing
     r2 = rows["q2"]
     assert (r2.recall, r2.mrr, r2.ndcg) == (0.0, 0.0, 0.0)
+
+
+# --- personalized PageRank --------------------------------------------------
+
+
+def test_ppr_mass_conserved_and_concentrates_on_seeds(spark):
+    rows_u = pagerank(_edges(spark), iterations=6).collect()
+    rows_p = pagerank(_edges(spark), iterations=6, seeds=["d"]).collect()
+    assert abs(sum(r.pagerank for r in rows_p) - 1.0) < 1e-9
+    u = {r.node: r.pagerank for r in rows_u}
+    p = {r.node: r.pagerank for r in rows_p}
+    # teleporting to d lifts d the most (relative to uniform PR), and d
+    # keeps at least its direct teleport share (1-damping)·1
+    assert p["d"] > u["d"] and p["d"] >= 0.15
+    lifts = {n: p[n] / u[n] for n in p}
+    assert max(lifts, key=lifts.get) == "d"
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark), iterations=2, seeds=[])
