@@ -548,3 +548,62 @@ def stream_drift_monitor(
         .outputMode("append")
         .start()
     )
+
+
+def stream_running_topk_terms(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    text_col: str = "text",
+):
+    """Running top-k term tracker over a document stream — the
+    "what is this corpus filling up with" monitor of a continuously-
+    ingesting pipeline (paired with stream_drift_monitor's PSI view).
+
+    Each micro-batch appends ITS OWN token-count relation under
+    ``state_dir/batch_id=N`` (overwrite per batch — a replayed batch
+    rewrites the same partition, the idempotence convention of
+    stream_near_dedup), then re-aggregates the state directory and
+    snapshots the cumulative top-k to ``out_dir/batch_id=N``. State
+    grows by one bounded count relation per batch (vocabulary-sized,
+    not corpus-sized: per-batch counts are already aggregated); the
+    re-aggregate is a groupBy over |vocab|·batches rows — compact it by
+    periodically rewriting state_dir with one merged relation if batch
+    count grows large. At CMS scale, swap the exact counts for
+    heavyhitters.cms_build cells — same shape, fixed-size state.
+
+    Returns the started StreamingQuery.
+    """
+
+    def _apply(batch: DataFrame, batch_id: int):
+        if not batch.take(1):
+            return
+        counts = (
+            batch.select(
+                F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+        spark = batch.sparkSession
+        total = (
+            spark.read.parquet(state_dir)
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token"))
+            .limit(k)
+        )
+        total.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -478,3 +478,67 @@ def test_ppr_mass_conserved_and_concentrates_on_seeds(spark):
     assert max(lifts, key=lifts.get) == "d"
     with pytest.raises(ValueError):
         pagerank(_edges(spark), iterations=2, seeds=[])
+
+
+# --- running top-k terms stream ---------------------------------------------
+
+
+def test_stream_running_topk_terms_accumulates(spark, tmp_path, docs):
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.streaming import stream_running_topk_terms
+
+    stage = tmp_path / "stage"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    half = docs.select("doc_id", "text")
+    a = half.filter(F.col("doc_id") % 2 == 0)
+    b = half.filter(F.col("doc_id") % 2 == 1)
+    for i, part in enumerate([a, b]):
+        part.coalesce(1).write.parquet(str(stage / f"b{i}"))
+        f = glob.glob(str(stage / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(drops / f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drops))
+    )
+    q = stream_running_topk_terms(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        k=5,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the last snapshot must equal the batch top-5 over the FULL corpus
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(str(tmp_path / "out" / "batch_id=*"))
+    )
+    got = [
+        (r.token, r.cnt)
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / f"batch_id={last}")
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .collect()
+    ]
+    want = [
+        (r.token, r.cnt)
+        for r in half.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(5)
+        .collect()
+    ]
+    assert got == want
