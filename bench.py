@@ -84,12 +84,36 @@ def _env_snapshot() -> dict:
         return False
 
     markers = ("pytest", "bench.py", "java", "spark", "duckdb")
-    others = sorted(
-        cmd[:80]
+    candidates = [
+        p
         for p, cmd in cmds.items()
         if cmd and not related(p) and any(m in cmd for m in markers)
-    )
-    return {"load": load, "procs": others}
+    ]
+
+    def _cpu_ticks(p: int) -> int | None:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            return int(parts[11]) + int(parts[12])  # utime + stime
+        except (OSError, IndexError, ValueError):
+            return None
+
+    # a name match alone is not contention — an idle orchestrator whose
+    # COMMAND LINE merely contains a marker word (the harness driver's
+    # prompt text does) must not poison the artifact. Sample CPU over a
+    # short window and flag only processes actually burning a core.
+    before = {p: _cpu_ticks(p) for p in candidates}
+    if candidates:
+        time.sleep(0.25)
+    hz = os.sysconf("SC_CLK_TCK")
+    busy = []
+    for p in candidates:
+        b, a = before.get(p), _cpu_ticks(p)
+        if b is None or a is None:
+            continue
+        if (a - b) / hz / 0.25 > 0.5:  # > half a core during the window
+            busy.append(cmds[p][:80])
+    return {"load": load, "procs": sorted(busy)}
 
 
 def _duckdb_calibration() -> dict[str, float]:

@@ -479,9 +479,13 @@ def diversity_scores(
                     )
                 ).alias("__g"),
             )
-        agg = grams.groupBy(group_col).agg(
-            F.count("*").alias(f"__n{n}"),
-            F.count_distinct("__g").alias(f"__d{n}"),
+        # two cheap aggregates instead of count + count_distinct in one
+        # (that shape EXPANDs the stream 2x); the second groupBy runs
+        # over the already-distinct (group, gram) relation
+        per = grams.groupBy(group_col, "__g").agg(F.count("*").alias("__c"))
+        agg = per.groupBy(group_col).agg(
+            F.sum("__c").alias(f"__n{n}"),
+            F.count("*").alias(f"__d{n}"),
         )
         out = agg if out is None else out.join(agg, group_col)
     cols = [F.col(group_col)]
