@@ -207,3 +207,38 @@ def mad_outliers(
     return with_mad.withColumn(
         "_outlier", F.col("_adev") > k * 1.4826 * F.col("_mad")
     ).drop("_adev")
+
+
+def trimmed_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group trimmed (winsorized-band) statistics: the mean over
+    values inside the exact [p_lo, p_hi] percentile band, plus how many
+    rows the band excludes — the robust-mean companion to
+    :func:`mad_outliers` for metric columns where a few extreme rows
+    (pipeline glitches, bot traffic) drag the plain mean.
+
+    Two passes, the X54/X92 shape: one grouped EXACT-percentile
+    aggregate (tiny |groups|-row relation broadcast back) and one
+    conditional aggregate over the banded scan — no sort, no window.
+    Output: (group_col, p_lo, p_hi, trimmed_mean, n_kept, n_clipped).
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    cuts = df.groupBy(group_col).agg(
+        F.percentile(value_col, lo).alias("p_lo"),
+        F.percentile(value_col, hi).alias("p_hi"),
+    )
+    banded = df.join(F.broadcast(cuts), group_col)
+    inside = F.col(value_col).between(F.col("p_lo"), F.col("p_hi"))
+    return banded.groupBy(group_col).agg(
+        F.first("p_lo").alias("p_lo"),
+        F.first("p_hi").alias("p_hi"),
+        F.avg(F.when(inside, F.col(value_col))).alias("trimmed_mean"),
+        F.sum(inside.cast("long")).alias("n_kept"),
+        F.sum((~inside).cast("long")).alias("n_clipped"),
+    )

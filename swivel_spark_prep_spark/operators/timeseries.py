@@ -329,3 +329,129 @@ def churn_labels(
             ),
         )
     )
+
+
+def association_rules(
+    events: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules over baskets (the Agrawal et al.
+    market-basket classic): for every ordered item pair (a → b),
+    support = P(a ∧ b), confidence = P(b | a), lift = confidence /
+    P(b). Baskets are the distinct item sets per ``basket_col``.
+
+    Plan: one distinct projection to (basket, item), a self-join on
+    the basket key (fan-out bounded by per-basket ITEM-SET size, which
+    is ≤ |item vocabulary| — not basket row count), one pair count,
+    and two broadcast joins against the |items|-row marginals. The
+    |items|² output is inherently bounded.
+
+    Output: (antecedent, consequent, n_both, support, confidence,
+    lift), filtered to support ≥ ``min_support``.
+    """
+    items = events.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = items.select("__b").distinct().count()  # bounded: one long
+    marg = items.groupBy("__i").agg(F.count("*").alias("__n"))
+    pairs = (
+        items.alias("l")
+        .join(items.alias("r"), "__b")
+        .filter(F.col("l.__i") != F.col("r.__i"))
+        .groupBy(
+            F.col("l.__i").alias("antecedent"),
+            F.col("r.__i").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("__i").alias("antecedent"),
+                                    F.col("__n").alias("__na"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("__i").alias("consequent"),
+                                    F.col("__n").alias("__nc"))),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            (F.col("n_both") / float(n_baskets)).alias("support"),
+            (F.col("n_both") / F.col("__na")).alias("confidence"),
+            (
+                (F.col("n_both") / F.col("__na"))
+                / (F.col("__nc") / float(n_baskets))
+            ).alias("lift"),
+        )
+    )
+    return out.filter(F.col("support") >= min_support)
+
+
+def resample_interpolate(
+    events: DataFrame,
+    bucket_seconds: int = 21600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense resample with LINEAR interpolation — the numeric twin of
+    :func:`resample_ffill` (which carries the last value flat): gaps
+    between two observed buckets take the straight line between their
+    means; before the first / after the last observation the nearest
+    observed mean extends flat (no extrapolation).
+
+    Same scale shape as resample_ffill: epoch-aligned integer buckets
+    (assignment is a pure projection), a per-key sequence-exploded
+    grid, then TWO frames per key (forward: last observed value+bucket;
+    backward: next observed value+bucket) and a pure-arithmetic lerp —
+    no UDF, no iteration. Output: (key, bucket_start, value,
+    interpolated flag).
+    """
+    from pyspark.sql.window import Window
+
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)).cast("long")
+    obs = (
+        events.select(F.col(key_col).alias("__k"), b.alias("__b"),
+                      F.col(value_col).alias("__v"))
+        .groupBy("__k", "__b")
+        .agg(F.avg("__v").alias("__m"))
+    )
+    span = obs.groupBy("__k").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = span.select(
+        "__k", F.explode(F.sequence("__lo", "__hi")).alias("__b")
+    )
+    g = grid.join(obs, ["__k", "__b"], "left")
+    fwd = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last("__m", ignorenulls=True).over(fwd)
+    pb = F.last(F.when(F.col("__m").isNotNull(), F.col("__b")), ignorenulls=True).over(fwd)
+    nv = F.first("__m", ignorenulls=True).over(bwd)
+    nb = F.first(F.when(F.col("__m").isNotNull(), F.col("__b")), ignorenulls=True).over(bwd)
+    lerp = F.when(F.col("__m").isNotNull(), F.col("__m")).otherwise(
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(
+            pv + (nv - pv) * (F.col("__b") - pb) / (nb - pb)
+        )
+    )
+    return g.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias("bucket_idx"),
+        lerp.alias(value_col),
+        F.col("__m").isNull().alias("interpolated"),
+    )

@@ -4803,3 +4803,130 @@ def x139(spark, sf_dir):
         .select("node", F.round("pagerank", 8).alias("pagerank"))
         .orderBy("node")
     )
+
+
+@_declare(
+    "X140_association_rules",
+    # Pairwise association rules over per-user event-type baskets
+    # (timeseries.association_rules, the market-basket classic):
+    # support / confidence / lift per ordered pair — self-join fan-out
+    # bounded by the ITEM VOCABULARY per basket, marginals broadcast.
+    # The oracle replays the identical counting.
+    """WITH items AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+nb AS (SELECT COUNT(DISTINCT b)::DOUBLE AS n FROM items),
+marg AS (SELECT i, COUNT(*) AS m FROM items GROUP BY 1),
+pairs AS (SELECT l.i AS antecedent, r.i AS consequent, COUNT(*) AS n_both
+          FROM items l JOIN items r ON l.b = r.b AND l.i <> r.i GROUP BY 1, 2)
+SELECT antecedent, consequent, n_both::BIGINT AS n_both,
+       ROUND(n_both / n, 6) AS support,
+       ROUND(n_both::DOUBLE / ma.m, 6) AS confidence,
+       ROUND((n_both::DOUBLE / ma.m) / (mc.m / n), 6) AS lift
+FROM pairs JOIN marg ma ON ma.i = antecedent JOIN marg mc ON mc.i = consequent
+CROSS JOIN nb ORDER BY antecedent, consequent;""",
+)
+def x140(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import association_rules
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        association_rules(ev)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round("support", 6).alias("support"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+@_declare(
+    "X141_trimmed_stats",
+    # Per-type trimmed mean over the exact [p05, p95] band
+    # (quality.trimmed_stats): two passes — grouped exact percentiles
+    # broadcast back, then one conditional aggregate; no sort, no
+    # window. Spark percentile() and DuckDB quantile_cont share the
+    # interpolated-exact definition (the X45 equivalence).
+    """WITH c AS (SELECT event_type,
+                quantile_cont(value, 0.05) AS p_lo,
+                quantile_cont(value, 0.95) AS p_hi
+           FROM events GROUP BY 1)
+SELECT e.event_type, ROUND(p_lo, 4) AS p_lo, ROUND(p_hi, 4) AS p_hi,
+       ROUND(AVG(CASE WHEN value BETWEEN p_lo AND p_hi THEN value END), 4) AS trimmed_mean,
+       SUM(CASE WHEN value BETWEEN p_lo AND p_hi THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN value BETWEEN p_lo AND p_hi THEN 0 ELSE 1 END)::BIGINT AS n_clipped
+FROM events e JOIN c USING (event_type)
+GROUP BY 1, p_lo, p_hi ORDER BY 1;""",
+)
+def x141(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import trimmed_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        trimmed_stats(ev, "value", "event_type", 0.05, 0.95)
+        .select(
+            "event_type",
+            F.round("p_lo", 4).alias("p_lo"),
+            F.round("p_hi", 4).alias("p_hi"),
+            F.round("trimmed_mean", 4).alias("trimmed_mean"),
+            "n_kept",
+            "n_clipped",
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
+    "X142_resample_interpolate",
+    # Dense 6-hour resample with LINEAR interpolation (timeseries.
+    # resample_interpolate — X91's ffill twin): gaps take the straight
+    # line between the surrounding observed bucket means, edges extend
+    # flat. Two frames per key + pure-arithmetic lerp; the oracle
+    # replays it with IGNORE NULLS frames both directions. Rounding is
+    # epsilon-nudged (+1e-9) in BOTH engines: lerp midpoints land
+    # EXACTLY on decimal ties (rational bucket means), where Spark's
+    # string-decimal HALF_UP and DuckDB's binary rounding disagree —
+    # the nudge moves every tie off the knife edge deterministically.
+    """WITH b AS (
+  SELECT user_id, floor(epoch(ts)/21600)::BIGINT AS bidx, value FROM events),
+obs AS (SELECT user_id, bidx, AVG(value) AS m FROM b GROUP BY 1, 2),
+spans AS (SELECT user_id, MIN(bidx) AS lo, MAX(bidx) AS hi FROM obs GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket_idx FROM spans),
+g AS (SELECT gr.user_id, gr.bucket_idx, obs.m
+      FROM grid gr LEFT JOIN obs ON gr.user_id = obs.user_id AND gr.bucket_idx = obs.bidx),
+w AS (SELECT user_id, bucket_idx, m,
+        last_value(m IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_idx
+          ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN m IS NOT NULL THEN bucket_idx END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket_idx
+          ROWS UNBOUNDED PRECEDING) AS pb,
+        first_value(m IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN m IS NOT NULL THEN bucket_idx END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket_idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM g)
+SELECT user_id, bucket_idx,
+       ROUND(CASE WHEN m IS NOT NULL THEN m
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (bucket_idx - pb) / (nb - pb) END + 1e-9, 3) AS value,
+       m IS NULL AS interpolated
+FROM w ORDER BY user_id, bucket_idx;""",
+)
+def x142(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        resample_interpolate(ev, 21600)
+        .select(
+            "user_id",
+            "bucket_idx",
+            F.round(F.col("value") + 1e-9, 3).alias("value"),
+            "interpolated",
+        )
+        .orderBy("user_id", "bucket_idx")
+    )

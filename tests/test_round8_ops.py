@@ -542,3 +542,78 @@ def test_stream_running_topk_terms_accumulates(spark, tmp_path, docs):
         .collect()
     ]
     assert got == want
+
+
+# --- association rules ------------------------------------------------------
+
+
+def test_association_rules_hand_example(spark):
+    from swivel_spark_prep_spark.operators.timeseries import association_rules
+
+    ev = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c")],
+        "user_id long, event_type string",
+    )
+    rows = {
+        (r.antecedent, r.consequent): (r.n_both, r.support, r.confidence, r.lift)
+        for r in association_rules(ev).collect()
+    }
+    n_both, sup, conf, lift = rows[("a", "b")]
+    # 4 baskets; a in 3, b in 2, both in 2
+    assert n_both == 2 and abs(sup - 0.5) < 1e-12
+    assert abs(conf - 2 / 3) < 1e-12
+    assert abs(lift - (2 / 3) / (2 / 4)) < 1e-12
+    assert ("a", "c") not in rows  # never co-occur
+    # symmetry of n_both, asymmetry of confidence
+    assert rows[("b", "a")][0] == 2 and abs(rows[("b", "a")][2] - 1.0) < 1e-12
+
+
+# --- trimmed stats ----------------------------------------------------------
+
+
+def test_trimmed_stats_excludes_extremes(spark):
+    from swivel_spark_prep_spark.operators.quality import trimmed_stats
+
+    vals = [(1, "g", float(v)) for v in range(1, 100)] + [
+        (100, "g", 1e9)  # one absurd outlier
+    ]
+    df = spark.createDataFrame(vals, "id long, g string, v double")
+    r = trimmed_stats(df, "v", "g", 0.05, 0.95).collect()[0]
+    assert r.n_clipped >= 1 and r.trimmed_mean < 100  # outlier excluded
+    with pytest.raises(ValueError):
+        trimmed_stats(df, "v", "g", 0.9, 0.1)
+
+
+# --- linear interpolation ---------------------------------------------------
+
+
+def test_resample_interpolate_lerp_and_edges(spark):
+    from swivel_spark_prep_spark.operators.timeseries import resample_interpolate
+    import datetime
+
+    # user 1: observed buckets 0 and 3 (values 0 and 30): buckets 1, 2
+    # must be 10 and 20; user 2: single observation -> single flat row
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 0.0),
+        (1, base + datetime.timedelta(hours=18), 30.0),
+        (2, base, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.bucket_idx % 4 if r.user_id == 1 else 0): (
+            round(r.value, 6),
+            r.interpolated,
+        )
+        for r in resample_interpolate(df, 21600).collect()
+    }
+    u1 = sorted(
+        (k[1], v) for k, v in got.items() if k[0] == 1
+    )
+    assert [v for _, v in u1] == [
+        (0.0, False),
+        (10.0, True),
+        (20.0, True),
+        (30.0, False),
+    ]
+    assert len([k for k in got if k[0] == 2]) == 1
