@@ -122,6 +122,32 @@ def _build_parser() -> argparse.ArgumentParser:
     sel.add_argument("--buckets", type=int, default=4096)
     sel.add_argument("--master", default=None)
 
+    dr = sub.add_parser(
+        "drift",
+        help="PSI drift report between a baseline and a current parquet "
+        "table (stable/moderate/drifted per numeric column)",
+    )
+    dr.add_argument("--baseline", required=True)
+    dr.add_argument("--current", required=True)
+    dr.add_argument("--cols", required=True, help="comma-separated numeric columns")
+    dr.add_argument("--bins", type=int, default=10)
+    dr.add_argument("--master", default=None)
+
+    pg = sub.add_parser(
+        "pagerank",
+        help="PageRank over an edge parquet (src,dst); optional "
+        "personalization seeds",
+    )
+    pg.add_argument("--input", required=True, help="parquet with src/dst columns")
+    pg.add_argument("--src", default="src")
+    pg.add_argument("--dst", default="dst")
+    pg.add_argument("--iterations", type=int, default=10)
+    pg.add_argument("--damping", type=float, default=0.85)
+    pg.add_argument("--seeds", default=None, help="comma-separated seed node ids")
+    pg.add_argument("--output", required=True)
+    pg.add_argument("--top", type=int, default=10, help="print the top-N nodes")
+    pg.add_argument("--master", default=None)
+
     return p
 
 
@@ -314,6 +340,43 @@ def main(argv: list[str] | None = None) -> int:
                 f"raw={n_raw} kept={n_kept} "
                 f"(target {args.keep:.0%}) thr={thr:.4f} → {args.output}"
             )
+        elif args.cmd == "drift":
+            from swivel_spark_prep_spark.operators.quality import drift_report
+
+            rep = drift_report(
+                spark.read.parquet(args.baseline),
+                spark.read.parquet(args.current),
+                [c.strip() for c in args.cols.split(",") if c.strip()],
+                bins=args.bins,
+            ).collect()
+            for r in rep:
+                print(f"{r['col']}	{r['psi']:.4f}	{r['verdict']}")
+        elif args.cmd == "pagerank":
+            from swivel_spark_prep_spark.operators.graph import pagerank
+
+            seeds = (
+                [x.strip() for x in args.seeds.split(",") if x.strip()]
+                if args.seeds
+                else None
+            )
+            ranks = pagerank(
+                spark.read.parquet(args.input),
+                src_col=args.src,
+                dst_col=args.dst,
+                iterations=args.iterations,
+                damping=args.damping,
+                seeds=seeds,
+            )
+            ranks.write.mode("overwrite").parquet(args.output)
+            top = (
+                spark.read.parquet(args.output)
+                .orderBy(F.desc("pagerank"), F.asc("node"))
+                .limit(args.top)
+                .collect()
+            )
+            for r in top:
+                print(f"{r.node}	{r.pagerank:.8f}")
+            print(f"# wrote ranks → {args.output}")
         elif args.cmd == "bench-query":
             import time
 

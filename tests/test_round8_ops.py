@@ -617,3 +617,34 @@ def test_resample_interpolate_lerp_and_edges(spark):
         (30.0, False),
     ]
     assert len([k for k in got if k[0] == 2]) == 1
+
+
+# --- CLI drift + pagerank ---------------------------------------------------
+
+
+def test_cli_drift_and_pagerank(spark, tmp_path, capsys):
+    from swivel_spark_prep_spark import cli
+
+    base = spark.range(0, 1000).select((F.col("id") % 50).cast("double").alias("v"))
+    cur = base.select((F.col("v") + 100.0).alias("v"))
+    bdir, cdir = str(tmp_path / "b"), str(tmp_path / "c")
+    base.write.parquet(bdir)
+    cur.write.parquet(cdir)
+    rc = cli.main(["drift", "--baseline", bdir, "--current", cdir, "--cols", "v"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "drifted" in out
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("d", "a")], "src string, dst string"
+    )
+    edir, odir = str(tmp_path / "e"), str(tmp_path / "pr")
+    edges.write.parquet(edir)
+    rc = cli.main(
+        ["pagerank", "--input", edir, "--iterations", "6", "--output", odir]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0].startswith("c\t")  # the sink dominates
+    back = spark.read.parquet(odir)
+    assert abs(sum(r.pagerank for r in back.collect()) - 1.0) < 1e-9
