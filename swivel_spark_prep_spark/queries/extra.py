@@ -4930,3 +4930,45 @@ def x142(spark, sf_dir):
         )
         .orderBy("user_id", "bucket_idx")
     )
+
+
+@_declare(
+    "X143_tokenizer_fertility",
+    # Per-language tokenizer fertility (tokens per word) and
+    # compression (chars per token) under the fixed BPE merge table —
+    # the multilingual diagnostic that decides whether a tokenizer
+    # under-serves a language (high fertility = more tokens per word =
+    # costlier training/inference for that slice). Composes the X52
+    # codegen encoder; the oracle is GENERATED from the same merge
+    # table, so parity pins the tokenizer contract.
+    f"""WITH m AS (SELECT doc_id, lang, {_BPE_S} AS s,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars
+         FROM documents),
+t AS (SELECT lang, (length(s) - length(replace(s, '<', ''))) AS n_tok,
+             n_words, n_chars FROM m)
+SELECT lang, SUM(n_tok)::BIGINT AS tokens, SUM(n_words)::BIGINT AS words,
+       ROUND(SUM(n_tok)::DOUBLE / SUM(n_words), 4) AS fertility,
+       ROUND(SUM(n_chars)::DOUBLE / SUM(n_tok), 4) AS chars_per_token
+FROM t GROUP BY 1 ORDER BY 1;""",
+)
+def x143(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            _bpe.bpe_token_count_expr("text", _bpe.DEMO_MERGES).alias("n_tok"),
+            F.size(F.split("text", " ")).alias("n_words"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("tokens"),
+            F.sum("n_words").alias("words"),
+            F.round(F.sum("n_tok") / F.sum("n_words"), 4).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_tok"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
