@@ -328,6 +328,13 @@ def main(argv: list[str] | None = None) -> int:
             thr = raw_w.agg(
                 F.percentile("log_weight", 1.0 - args.keep)
             ).first()[0]
+            if thr is None:
+                print(
+                    "error: no raw (non-target) rows match — check "
+                    "--target-sql",
+                    file=sys.stderr,
+                )
+                return 2
             kept = docs.join(
                 raw_w.filter(F.col("log_weight") >= thr).select("doc_id"),
                 "doc_id",

@@ -109,6 +109,8 @@ def pagerank(
     )
     nodes = track_persist(nodes)
     n_nodes = float(nodes.count())  # bounded: one long on the driver
+    if n_nodes == 0:
+        raise ValueError("edge relation is empty (no non-NULL edges)")
 
     # nodes annotated with "has out-edges" once — the dangling-mass
     # aggregate per iteration is a filter + sum, not a join.
@@ -118,9 +120,17 @@ def pagerank(
         "left",
     )
     if seeds is not None:
-        seed_set = [str(x) for x in seeds]
+        seed_set = sorted({str(x) for x in seeds})
         if not seed_set:
             raise ValueError("seeds must be non-empty when given")
+        # validate membership NOW (bounded count): an absent seed would
+        # silently leak its teleport share — all-absent returns all-zero
+        # ranks with no error otherwise
+        n_found = nodes.filter(F.col("node").isin(seed_set)).count()
+        if n_found != len(seed_set):
+            raise ValueError(
+                f"{len(seed_set) - n_found} seed(s) not present in the graph"
+            )
         tele = F.when(
             F.col("node").isin(seed_set), F.lit(1.0 / len(seed_set))
         ).otherwise(F.lit(0.0))

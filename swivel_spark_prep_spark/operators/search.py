@@ -189,7 +189,10 @@ def retrieval_metrics(
     res = results.filter(F.col(rank_col) <= k).select(
         query_col, doc_col, rank_col
     )
-    rel = qrels.filter(F.col(rel_col) > 0).select(query_col, doc_col)
+    # distinct: duplicate judgment rows (real qrels files carry them
+    # across assessment rounds) would fan out the join and yield
+    # nDCG > 1
+    rel = qrels.filter(F.col(rel_col) > 0).select(query_col, doc_col).distinct()
     totals = rel.groupBy(query_col).agg(F.count("*").alias("n_rel"))
     hits = (
         res.join(
@@ -249,16 +252,22 @@ def tfidf_cosine_pairs(
     relation broadcast, one self-join on term + pair aggregate, one
     TakeOrdered(k). Output: (d1, d2, sim), d1 < d2.
     """
+    from swivel_spark_prep_spark.cache import track_persist
+
     toks = _tokens(docs, id_col, text_col)
     tf = toks.groupBy("term", id_col).agg(F.count("*").cast("double").alias("tf"))
     n_docs = docs.select(id_col).distinct().count()  # bounded: one long
     dfr = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_df
     )
-    w = tf.join(F.broadcast(dfr), "term").select(
-        "term",
-        F.col(id_col).alias("d"),
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    # the weighted postings feed the norms AND both self-join sides —
+    # persist once instead of re-tokenizing the corpus three times
+    w = track_persist(
+        tf.join(F.broadcast(dfr), "term").select(
+            "term",
+            F.col(id_col).alias("d"),
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
     )
     norms = w.groupBy("d").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
     a = w.select("term", F.col("d").alias("d1"), F.col("w").alias("w1"))
@@ -299,9 +308,13 @@ def expand_query_rm3(
     set (n_docs_fb documents' tokens), not the corpus. Ties break by
     term asc; weights are raw doubles (round for cross-engine
     hashing)."""
+    from swivel_spark_prep_spark.cache import track_persist
+
     fb = bm25_topk(docs, query_terms, k=n_docs_fb, id_col=id_col, text_col=text_col)
     n = docs.select(id_col).distinct().count()  # bounded: one long
-    toks = _tokens(docs, id_col, text_col)
+    # one persisted token stream feeds the vocabulary df relation and
+    # the feedback-doc counts
+    toks = track_persist(_tokens(docs, id_col, text_col))
     dfr = (
         toks.groupBy("term", id_col)
         .agg(F.lit(1).alias("__1"))

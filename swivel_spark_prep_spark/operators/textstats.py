@@ -487,7 +487,9 @@ def diversity_scores(
             F.sum("__c").alias(f"__n{n}"),
             F.count("*").alias(f"__d{n}"),
         )
-        out = agg if out is None else out.join(agg, group_col)
+        # left join: a group too short for any higher-n gram must still
+        # report its lower-n columns (NULL distinct{n}, not a dropped row)
+        out = agg if out is None else out.join(agg, group_col, "left")
     cols = [F.col(group_col)]
     if 1 in ns:
         cols.append(F.col("__n1").alias("n_tokens"))

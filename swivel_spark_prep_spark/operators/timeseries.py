@@ -351,9 +351,15 @@ def association_rules(
     Output: (antecedent, consequent, n_both, support, confidence,
     lift), filtered to support ≥ ``min_support``.
     """
-    items = events.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    from swivel_spark_prep_spark.cache import track_persist
+
+    # the distinct basket-item relation feeds the basket count, the
+    # marginals and BOTH self-join sides — persist it once
+    items = track_persist(
+        events.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        ).distinct()
+    )
     n_baskets = items.select("__b").distinct().count()  # bounded: one long
     marg = items.groupBy("__i").agg(F.count("*").alias("__n"))
     pairs = (
@@ -409,12 +415,15 @@ def resample_interpolate(
     (assignment is a pure projection), a per-key sequence-exploded
     grid, then TWO frames per key (forward: last observed value+bucket;
     backward: next observed value+bucket) and a pure-arithmetic lerp —
-    no UDF, no iteration. Output: (key, bucket_start, value,
+    no UDF, no iteration. Output: (key, bucket_idx, value,
     interpolated flag).
     """
     from pyspark.sql.window import Window
 
-    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)).cast("long")
+    # epoch_seconds, not unix_timestamp: bucket assignment must be
+    # timezone-free and identical to resample_ffill's (and the oracle's
+    # epoch()) on any session
+    b = (F.floor(epoch_seconds(ts_col) / bucket_seconds)).cast("long")
     obs = (
         events.select(F.col(key_col).alias("__k"), b.alias("__b"),
                       F.col(value_col).alias("__v"))

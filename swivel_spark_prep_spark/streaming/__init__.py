@@ -535,6 +535,12 @@ def stream_drift_monitor(
     """
     from swivel_spark_prep_spark.operators.quality import drift_report
 
+    # the baseline never changes but drift_report scans it twice per
+    # call — persist it for the monitor's lifetime so each micro-batch
+    # pays only the batch scan (caller unpersists via cache.release or
+    # query.stop + clearCache)
+    baseline_df = baseline_df.persist()
+
     def _apply(batch: DataFrame, batch_id: int):
         if not batch.take(1):
             return  # nothing to score; PSI of an empty batch is noise
