@@ -452,15 +452,22 @@ def diversity_scores(
     count_distinct on the group key, map-side partials); results join
     on the group key. Output: (group_col, n_tokens, distinct{n}...).
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    # materialize the split ONCE per row: inlining the split() expression
+    # into the slice + n element_at lambda references re-evaluates the
+    # split per reference (the repetition_score pitfall — this was a 10x
+    # on the trigram pass)
+    base = docs.select(
+        F.col(group_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
+    )
+    toks = F.col("__arr")
     out = None
     for n in ns:
         if n == 1:
-            grams = docs.select(
+            grams = base.select(
                 F.col(group_col), F.explode(toks).alias("__g")
             ).filter(F.col("__g") != "")
         else:
-            grams = docs.select(
+            grams = base.select(
                 F.col(group_col),
                 F.explode(
                     F.transform(
