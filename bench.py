@@ -188,6 +188,13 @@ def main() -> None:
         # cache hygiene: operators that persist intermediates (Q41, X06)
         # must not leave blocks that pressure later queries' memory/GC
         spark.catalog.clearCache()
+        # one untimed warm run per query (the docstring's "median of N
+        # warm runs", made literal): the first execution of a plan pays
+        # codegen compilation + OS page-cache fill that median-of-3
+        # only partially hides and median-of-2 (bench_sf1) averaged in —
+        # the round-8 Q13 "17.7×" was exactly this artifact
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        release_persisted()
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
@@ -248,6 +255,13 @@ def main() -> None:
         )
         if k in calib and calib[k] > 0
     }
+    # The stdout line must fit the driver's stdout-tail capture — eight
+    # rounds of BENCH_r*.json recorded "parsed": null because the
+    # 187-query line overflowed it (the tail showed the line truncated at
+    # the FRONT). Stdout carries only the declared-44 IDs + totals +
+    # calibration (~1 kB); the full per-extra timings, heavy-set
+    # compute/fetch split and env snapshots go to BENCH_LOCAL.json.
+    declared_ids = {k: v for k, v in short_ids.items() if k.startswith("Q")}
     payload = {
         # value = the 44 declared queries (apples-to-apples with
         # BASELINE.md); X-prefixed extras reported separately. A filtered
@@ -257,12 +271,9 @@ def main() -> None:
         "metric": "declared_queries_total_wall" if not ONLY else "partial_rebench",
         "value": declared_total if not ONLY else None,
         "unit": "sec",
-        # Short stable IDs ("Q01".."X30") keep the final JSON line well
-        # under 2 kB — round 1's full-name line exceeded the driver's
-        # stdout tail capture and BENCH_r01 recorded "parsed": null.
-        # Full names ↔ IDs are recorded in BENCH_LOCAL.json.
-        "queries": short_ids,
+        "queries": declared_ids,
         "extra_total_sec": extra_total,
+        "n_extra": len(short_ids) - len(declared_ids),
         "sf": float(sf) if sf else SF_DIR,
         "runs": RUNS,
         "cpus": int(CPUS),
@@ -274,23 +285,29 @@ def main() -> None:
         # a plan change; contention moves all four anchors together.
         "calib": calib,
         "ratio_calib": ratio_calib,
-        # Heavy-query {compute_ms, fetch_ms}: plan cost (noop sink, full
-        # physical plan, zero transfer) vs driver Arrow fetch remainder.
-        "split": split,
         # Contention guard: loadavg + non-descendant heavy processes at
-        # start/end. "contended" is judged from the START snapshot (the
-        # bench itself drives end-load up); a true flag means the wall
-        # numbers are unfit for round-over-round comparison.
-        "env": {"start": env_start, "end": _env_snapshot()},
+        # start. A true flag means the wall numbers are unfit for
+        # round-over-round comparison (full snapshots in BENCH_LOCAL).
         "contended": contended,
     }
-    # Full-fidelity record for round-over-round diffing (not driver-parsed).
+    # Full-fidelity record for round-over-round diffing (not driver-parsed):
+    # every extra's timing, the heavy-set split, and both env snapshots.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
             "w",
         ) as fh:
-            json.dump({**payload, "queries_full": times}, fh, indent=1)
+            json.dump(
+                {
+                    **payload,
+                    "queries": short_ids,
+                    "queries_full": times,
+                    "split": split,
+                    "env": {"start": env_start, "end": _env_snapshot()},
+                },
+                fh,
+                indent=1,
+            )
             fh.write("\n")
     except OSError:
         pass

@@ -17,6 +17,8 @@ accumulates bounded-size intermediates until ``spark.catalog.clearCache()``
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
@@ -41,3 +43,32 @@ def release_persisted() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+@contextlib.contextmanager
+def persisted_scope():
+    """Self-enforcing form of the track_persist contract: everything an
+    operator persists inside the ``with`` block is released on exit —
+    including on exception — so a library caller composing several
+    operators in one session cannot accumulate blocks by forgetting the
+    release call. Intermediates persisted BEFORE entry are untouched
+    (the scope releases only what it saw created).
+
+    Usage::
+
+        with persisted_scope():
+            result = minhash_near_dups(docs).collect()
+
+    Fetch results INSIDE the block — the lazy DataFrames an operator
+    returns depend on the persisted blocks the exit releases.
+    """
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        while len(_PERSISTED) > mark:
+            df = _PERSISTED.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass

@@ -15,6 +15,7 @@ and already read as TIMESTAMP_NTZ — the conversion is conditional on the
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,9 +41,34 @@ TABLES = (
 TS_COLS = frozenset({"ts", "o_orderdate", "l_shipdate"})
 
 
+#: Per-session memo of loaded fixture tables. Every ``spark.read.parquet``
+#: re-reads the footer and rebuilds the file index (~100 ms/table at sf1)
+#: and the downstream query pays a fresh analysis pass — measured 0.4–0.6 s
+#: per *rebuilt* Q13 vs 53 ms re-executing the same DataFrame. Fixture
+#: parquet is immutable and DataFrames are immutable, so sharing the
+#: analyzed base relation across queries is safe; it is the same metadata
+#: reuse a registered catalog table (or DuckDB's CREATE VIEW) gets. Keyed
+#: weakly on the session so a stopped session's handles are collectable.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, applying the conditional ns→µs adapter."""
-    configure_runtime(spark)
+    """Read one fixture table, applying the conditional ns→µs adapter.
+
+    Memoized per (session, sf_dir, table): the base relation handle is
+    reused so repeated query construction skips footer/schema re-reads.
+    """
+    per = _TABLE_MEMO.get(spark)
+    if per is None:
+        per = {}
+        _TABLE_MEMO[spark] = per
+        configure_runtime(spark)
+    key = (os.path.abspath(sf_dir), name)
+    cached = per.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name in TS_COLS and isinstance(field.dataType, LongType):
@@ -52,6 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     (F.col(field.name) / F.lit(1000)).cast("long")
                 ).cast("timestamp_ntz"),
             )
+    per[key] = df
     return df
 
 

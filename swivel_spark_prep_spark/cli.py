@@ -162,6 +162,18 @@ def main(argv: list[str] | None = None) -> int:
     # in-process) — only stop what we created.
     owns_session = SparkSession.getActiveSession() is None
     spark = get_session("swivel-spark-prep-cli", master=args.master)
+    from swivel_spark_prep_spark.cache import persisted_scope
+
+    # every subcommand fetches/writes its results before returning, so
+    # one scope around the dispatch releases whatever the operators
+    # persisted — even on error — instead of relying on process exit
+    with persisted_scope():
+        return _dispatch(args, spark, owns_session)
+
+
+def _dispatch(args, spark, owns_session) -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
     try:
         if args.cmd == "prep":
             from swivel_spark_prep_spark.operators.swivel import prep, write_outputs

@@ -24,13 +24,13 @@ from swivel_spark_prep_spark.cache import track_persist
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to full parallelism before CPU-heavy
     per-row work (shingling / hashing are compute-bound, and a single
-    parquet file scans as one task). No-op when the input is already at
-    least as wide as the cluster; the one-off shuffle of raw text is noise
-    next to the higher-order-function evaluation it parallelizes."""
+    parquet file scans as one task). Unconditional: probing the current
+    width via ``df.rdd`` forces a full plan-to-RDD conversion (the zorder
+    anti-pattern), and the one-off round-robin shuffle of raw text is
+    noise next to the higher-order-function evaluation it parallelizes —
+    AQE coalesces it back down when the input is already wide."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)
 
 
 # --- exact dedup -----------------------------------------------------------

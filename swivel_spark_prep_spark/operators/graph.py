@@ -197,10 +197,14 @@ def pagerank_oracle_sql(
         "outdeg AS (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY 1)",
     ]
     if seeds is not None:
-        lits = ", ".join("'" + str(x).replace("'", "''") + "'" for x in seeds)
+        # dedupe before sizing the teleport mass — pagerank() normalizes
+        # by the DISTINCT seed count, so a duplicated seed list must not
+        # make the oracle's teleport distribution sum past 1
+        seed_set = sorted({str(x) for x in seeds})
+        lits = ", ".join("'" + s.replace("'", "''") + "'" for s in seed_set)
         parts.append(
             f"tele AS (SELECT node, CASE WHEN node IN ({lits}) "
-            f"THEN 1.0/{len(seeds)} ELSE 0.0 END AS t FROM nodes)"
+            f"THEN 1.0/{len(seed_set)} ELSE 0.0 END AS t FROM nodes)"
         )
     else:
         parts.append(

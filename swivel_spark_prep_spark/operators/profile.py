@@ -164,3 +164,114 @@ def approx_distinct_rollup(
         F.hll_sketch_estimate("_u").cast("long").alias("n_approx"),
     )
     return per_group.unionByName(total)
+
+
+# --- mergeable quantile sketch (DDSketch) ------------------------------------
+# Masson, Rim & Lee 2019, "DDSketch: A Fast and Fully-Mergeable Quantile
+# Sketch with Relative-Error Guarantees" (VLDB, public): values bucket
+# into geometrically-spaced bins (gamma = (1+alpha)/(1-alpha)); the
+# sketch IS the (bucket -> count) map, merging is cell-wise count
+# addition, and any quantile read back from the merged map has relative
+# error <= alpha on the value. Chosen over KLL/t-digest because the
+# bucket map is PURELY relational in Spark — groupBy(bucket).count()
+# with map-side partials, no per-item UDF state — and the arithmetic is
+# deterministic, so a DuckDB oracle can replay it exactly. This is the
+# percentile twin of approx_distinct_rollup's HLL pattern: per-shard
+# sketches compose by re-aggregation, never rescanning 100 TB.
+
+
+def _dd_gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def ddsketch_build(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Build the sketch relation (g, sign, bucket, cnt) — one narrow
+    aggregate whose key space is O(log_gamma(value range)) per group.
+
+    sign in {-1,0,1} mirrors negative magnitudes into their own bucket
+    axis and gives zero its own cell (the paper stores these as
+    separate stores; one relation with a sign column is the relational
+    encoding). Bucket for |x|>0 is ceil(ln|x|/ln gamma - 1e-11) — the
+    ε-nudge keeps engines that differ in the last ulp of ln() on the
+    same side of exact powers (the X142 convention, applied on BOTH
+    sides). NULLs are excluded: they have no quantile position."""
+    import math
+
+    lg = math.log(_dd_gamma(alpha))
+    x = F.col(value_col).cast("double")
+    g = (F.col(group_col) if group_col else F.lit("__all__")).alias("g")
+    sign = F.when(x > 0, 1).when(x < 0, -1).otherwise(0).alias("sign")
+    bucket = (
+        F.when(x == 0, F.lit(0))
+        .otherwise(F.ceil(F.log(F.abs(x)) / F.lit(lg) - F.lit(1e-11)))
+        .cast("long")
+        .alias("bucket")
+    )
+    return (
+        df.filter(x.isNotNull())
+        .select(g, sign, bucket)
+        .groupBy("g", "sign", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ddsketch_merge(sketch: DataFrame, total_label: str = "__total__") -> DataFrame:
+    """Merge every group's sketch into one by cell-wise count addition —
+    the rollup is EXACT over the sketch algebra (merging loses nothing
+    beyond what bucketing already lost), so merge-then-query equals
+    sketch-the-whole-table, a property the tests pin as relation
+    equality. Input/output schema: (g, sign, bucket, cnt)."""
+    return (
+        sketch.groupBy("sign", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit(total_label).alias("g"), "sign", "bucket", "cnt")
+    )
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame, qs: list, alpha: float = 0.01
+) -> DataFrame:
+    """Read quantiles out of a sketch relation: per group, buckets sort
+    by true value order (sign, sign*bucket), a running count finds the
+    bucket holding rank floor(q*(n-1)), and the estimate is the bucket
+    midpoint 2*gamma^b/(gamma+1) (sign-adjusted; 0 for the zero cell).
+    The window runs over per-group bucket GRIDS (log-bounded, never
+    data-sized). Output: (g, q, est)."""
+    from pyspark.sql import Window
+
+    gamma = _dd_gamma(alpha)
+    w = Window.partitionBy("g").orderBy("sign", F.col("sign") * F.col("bucket"))
+    cum = sketch.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_n", F.sum("cnt").over(Window.partitionBy("g"))
+    )
+    probes = cum.select(
+        "g",
+        "sign",
+        "bucket",
+        "_cum",
+        "_n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    est = (
+        F.when(F.col("sign") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("sign")
+            * 2.0
+            * F.pow(F.lit(gamma), F.col("bucket"))
+            / F.lit(gamma + 1.0)
+        )
+        .alias("_est")
+    )
+    return (
+        probes.filter(F.col("_cum") > F.floor(F.col("q") * (F.col("_n") - 1)))
+        .select("g", "q", est, "_cum")
+        .groupBy("g", "q")
+        .agg(F.min_by("_est", "_cum").alias("est"))
+    )

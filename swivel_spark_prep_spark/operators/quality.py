@@ -229,11 +229,15 @@ def trimmed_stats(
     """
     if not 0.0 <= lo < hi <= 1.0:
         raise ValueError("need 0 <= lo < hi <= 1")
+    from swivel_spark_prep_spark.operators import nullsafe_broadcast_join
+
     cuts = df.groupBy(group_col).agg(
         F.percentile(value_col, lo).alias("p_lo"),
         F.percentile(value_col, hi).alias("p_hi"),
     )
-    banded = df.join(F.broadcast(cuts), group_col)
+    # null-safe join-back: a NULL group is a group (groupBy keeps it, so
+    # the band join must too — the mad_outliers/stratified_split rule)
+    banded = nullsafe_broadcast_join(df, cuts, [group_col])
     inside = F.col(value_col).between(F.col("p_lo"), F.col("p_hi"))
     return banded.groupBy(group_col).agg(
         F.first("p_lo").alias("p_lo"),

@@ -429,10 +429,17 @@ def dsir_weights(
     """
     from swivel_spark_prep_spark.cache import track_persist
 
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    # materialize the split ONCE into a real column — inlining the split
+    # expression into slice/size and the lambda's element_at re-evaluates
+    # it per reference (the diversity_scores 3.8× lesson, commit bd18bbd)
+    toks = F.col("__arr")
     grams = docs.select(
         F.col(id_col),
         target_cond.alias("__is_target"),
+        F.split(F.lower(F.col(text_col)), " ").alias("__arr"),
+    ).select(
+        F.col(id_col),
+        "__is_target",
         F.explode(
             F.transform(
                 F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),

@@ -45,7 +45,9 @@ def assign_ids(df: DataFrame, order_cols: list, id_col: str = "id") -> DataFrame
     window. Two-pass rank: range-partition on the order, rank within each
     partition in parallel, then add per-partition offsets (a tiny
     driver-side cumsum over partition *counts*, never data)."""
-    n_part = max(df.rdd.getNumPartitions(), 1)
+    # session parallelism, NOT df.rdd.getNumPartitions() — touching .rdd
+    # forces a full plan-to-RDD conversion just to read a partition count
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(*order_cols)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     # Pass 1: per-partition counts (n_part rows — metadata, not data).

@@ -95,7 +95,19 @@ class _PosixFS:
 class _JvmFS:
     """Hadoop FileSystem backend (via the session JVM) for URI paths —
     the same five primitives; the put-if-absent is
-    ``FileSystem.create(path, overwrite=false)``."""
+    ``FileSystem.create(path, overwrite=false)``.
+
+    Atomicity caveat: ``create(path, false)`` is an atomic
+    check-and-create on HDFS (and on rename-consistent stores like
+    ABFS), but NOT on S3A — S3's create path does a non-atomic
+    existence check before an eventually-visible PUT, so two racing
+    writers can both believe they created the commit marker
+    (HADOOP-16011 territory). On S3, concurrent-writer safety needs an
+    external coordination point — a DynamoDB/table-service lock or a
+    catalog with conditional PUT (the approach Delta Lake's S3
+    LogStore and Iceberg's catalog commit take). Single-writer S3
+    deployments are fine; this backend refuses nothing, so the
+    deployment must pick one writer or bring a lock."""
 
     def __init__(self, spark: SparkSession, path: str):
         jvm = spark._jvm

@@ -1048,10 +1048,10 @@ def q41(spark, sf_dir):
     # exact all-pairs Jaccard over hot shingles is quadratic by nature.
     docs = _t(spark, sf_dir, "documents")
     # single parquet file = single scan task; spread the CPU-bound
-    # shingling across cores (measured 6×: the HOF pipeline is the cost)
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # shingling across cores (measured 6×: the HOF pipeline is the cost).
+    # Unconditional — probing width via .rdd forces a plan-to-RDD
+    # conversion; AQE coalesces the no-op case.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # hash each 3-token shingle to int64 directly (xxhash64 of the token
     # tuple — tokens are space-split so the tuple is unambiguous): set
     # semantics identical to the string oracle up to 64-bit collisions

@@ -4684,7 +4684,7 @@ u3 AS (SELECT source, COUNT(*) AS n3, COUNT(DISTINCT g) AS d3 FROM tri GROUP BY 
 SELECT u1.source, n1::BIGINT AS n_tokens,
        ROUND(d1::DOUBLE / n1, 6) AS distinct1,
        ROUND(d3::DOUBLE / n3, 6) AS distinct3
-FROM u1 JOIN u3 USING (source) ORDER BY source;""",
+FROM u1 LEFT JOIN u3 USING (source) ORDER BY source;""",
 )
 def x136(spark, sf_dir):
     from swivel_spark_prep_spark.operators.textstats import diversity_scores
@@ -4971,4 +4971,58 @@ def x143(spark, sf_dir):
             ),
         )
         .orderBy("lang")
+    )
+
+
+@_declare(
+    "X144_ddsketch_quantiles",
+    # Mergeable quantile sketch (profile.ddsketch_*, Masson et al. 2019
+    # DDSketch): per-source p50/p90/p99 of n_chars from the relational
+    # bucket-count sketch, plus the '__total__' row obtained by MERGING
+    # the per-source sketches (cell-wise count addition — never
+    # rescanning the corpus), the percentile twin of X99's HLL rollup.
+    # The oracle REPLAYS the same deterministic bucket arithmetic
+    # (ln-bucket with the shared 1e-11 ε-nudge and the exact double
+    # literals for ln(gamma) / gamma at alpha=0.05), so parity pins the
+    # sketch algebra, not a fixture by-product.
+    """WITH v AS (SELECT source, n_chars::DOUBLE AS x FROM documents WHERE n_chars IS NOT NULL),
+b AS (SELECT source AS g,
+             CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sign,
+             (CASE WHEN x = 0 THEN 0
+                   ELSE CEIL(LN(ABS(x)) / 0.10008345855698263 - 1e-11) END)::BIGINT AS bucket
+      FROM v),
+s AS (SELECT g, sign, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+u AS (SELECT g, sign, bucket, cnt FROM s
+      UNION ALL
+      SELECT '__total__', sign, bucket, SUM(cnt) FROM s GROUP BY 2, 3),
+c AS (SELECT g, sign, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY sign, sign*bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM u),
+qs AS (SELECT UNNEST([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+hit AS (SELECT g, q, cum,
+               CASE WHEN sign = 0 THEN 0.0
+                    ELSE sign * 2 * POWER(1.105263157894737, bucket)
+                         / 2.105263157894737 END AS est
+        FROM c CROSS JOIN qs WHERE cum > FLOOR(q * (n - 1)))
+SELECT g, q, ROUND(MIN_BY(est, cum), 4) AS est
+FROM hit GROUP BY 1, 2 ORDER BY g, q;""",
+)
+def x144(spark, sf_dir):
+    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.operators.profile import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the per-source sketch feeds both the per-group read and the merge
+    # — persist the (sources × ~40 buckets)-row grid, not the corpus
+    sk = track_persist(ddsketch_build(docs, "n_chars", "source", alpha=0.05))
+    both = sk.unionByName(ddsketch_merge(sk))
+    return (
+        ddsketch_quantiles(both, [0.5, 0.9, 0.99], alpha=0.05)
+        .select("g", "q", F.round("est", 4).alias("est"))
+        .orderBy("g", "q")
     )

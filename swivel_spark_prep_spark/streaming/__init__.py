@@ -544,9 +544,12 @@ def stream_drift_monitor(
     def _apply(batch: DataFrame, batch_id: int):
         if not batch.take(1):
             return  # nothing to score; PSI of an empty batch is noise
+        # batch_id comes from the Hive partition directory alone — also
+        # writing it as a data column duplicates the partition column on
+        # a root-directory read (tolerated by schema merging today,
+        # fragile across versions)
         report = drift_report(baseline_df, batch, num_cols, bins=bins)
-        out = report.withColumn("batch_id", F.lit(batch_id))
-        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        report.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
