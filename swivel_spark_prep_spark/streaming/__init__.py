@@ -580,8 +580,9 @@ def stream_running_topk_terms(
     not corpus-sized: per-batch counts are already aggregated); the
     re-aggregate is a groupBy over |vocab|·batches rows — compact it by
     periodically rewriting state_dir with one merged relation if batch
-    count grows large. At CMS scale, swap the exact counts for
-    heavyhitters.cms_build cells — same shape, fixed-size state.
+    count grows large. For unbounded vocabularies use
+    :func:`stream_running_topk_terms_cms` — the same contract with
+    O(depth·width) sketch state instead of exact counts.
 
     Returns the started StreamingQuery.
     """
@@ -609,6 +610,113 @@ def stream_running_topk_terms(
             .limit(k)
         )
         total.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_running_topk_terms_cms(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    text_col: str = "text",
+    width: int = 4096,
+    depth: int = 4,
+    pool: int = 4,
+):
+    """Bounded-state variant of :func:`stream_running_topk_terms` — the
+    swap-in that function's docstring promises for unbounded
+    vocabularies: cumulative term counts live in a count-min sketch
+    (operators/heavyhitters.cms_build cells, Cormode & Muthukrishnan
+    2005), so per-batch state is O(depth·width) CELLS regardless of how
+    many distinct terms the stream has seen, instead of a
+    vocabulary-sized count relation.
+
+    Per micro-batch N (all writes land under ``batch_id=N`` partitions,
+    overwritten on replay — the stream_near_dedup idempotence
+    convention):
+
+    1. the batch's token stream folds into a CMS cell grid and merges
+       cell-wise into batch N-1's cumulative sketch → ``state_dir/cms/
+       batch_id=N`` (exactly depth·width rows at most);
+    2. the candidate set = previous candidates ∪ this batch's own
+       top-``k·pool`` terms (a bounded batch-local exact aggregate —
+       any term that ever becomes a global heavy hitter is a batch-local
+       heavy hitter in some batch, the SpaceSaving admission argument);
+       all candidates are re-scored against the cumulative sketch
+       (cms_estimate: broadcast of ≤ depth·width cells, never a
+       corpus-side shuffle) and the top-``k·pool`` survive →
+       ``state_dir/cand/batch_id=N``;
+    3. the top-``k`` snapshot (token, est) → ``out_dir/batch_id=N``.
+
+    Estimates are CMS one-sided: est ≥ true count, overcount ≤ εN
+    w.h.p. for width = e/ε — at the default 4096×4 a fixture-scale
+    stream reads back exact counts (the behavioral test pins top-k
+    equality with the exact stream). Ties break on token ASC, so
+    snapshots are deterministic. Returns the started StreamingQuery.
+    """
+    from swivel_spark_prep_spark.operators.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jp))
+
+    def _apply(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        toks = batch.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+        ).filter(F.col("token") != "")
+        cells = cms_build(toks, "token", width=width, depth=depth, salt="topk")
+        prev_cms = f"{state_dir}/cms/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev_cms):
+            cells = (
+                spark.read.parquet(prev_cms)
+                .unionByName(cells)
+                .groupBy("d", "col")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        # empty first batch still writes state so the chain never breaks
+        cells.write.mode("overwrite").parquet(
+            f"{state_dir}/cms/batch_id={batch_id}"
+        )
+        cum = spark.read.parquet(f"{state_dir}/cms/batch_id={batch_id}")
+
+        local_top = (
+            toks.groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token"))
+            .limit(k * pool)
+            .select("token")
+        )
+        prev_cand = f"{state_dir}/cand/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev_cand):
+            cand = (
+                spark.read.parquet(prev_cand)
+                .select("token")
+                .unionByName(local_top)
+                .distinct()
+            )
+        else:
+            cand = local_top
+        scored = cms_estimate(
+            cum, cand, "token", width=width, depth=depth, salt="topk"
+        ).orderBy(F.desc("est"), F.asc("token"))
+        scored.limit(k * pool).write.mode("overwrite").parquet(
+            f"{state_dir}/cand/batch_id={batch_id}"
+        )
+        scored.limit(k).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_apply)

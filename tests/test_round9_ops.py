@@ -89,3 +89,88 @@ def test_ddsketch_alpha_validation():
         from swivel_spark_prep_spark.operators.profile import _dd_gamma
 
         _dd_gamma(1.5)
+
+
+# --- CMS-backed running top-k stream ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_stream_running_topk_cms_matches_exact(spark, tmp_path, docs):
+    """The bounded-state CMS variant must read back the SAME cumulative
+    top-k as the exact-count stream on the fixture (at 4096x4 the
+    fixture vocabulary has no colliding heavy hitters), while its state
+    stays O(depth*width) cells + O(k*pool) candidates per batch."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.streaming import stream_running_topk_terms_cms
+
+    stage = tmp_path / "stage"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    half = docs.select("doc_id", "text")
+    parts = [
+        half.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(stage / f"b{i}"))
+        f = glob.glob(str(stage / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(drops / f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drops))
+    )
+    k, depth, width, pool = 5, 4, 4096, 4
+    q = stream_running_topk_terms_cms(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        k=k,
+        width=width,
+        depth=depth,
+        pool=pool,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(str(tmp_path / "out" / "batch_id=*"))
+    )
+    got = [
+        (r.token, r.est)
+        for r in spark.read.parquet(str(tmp_path / "out" / f"batch_id={last}"))
+        .orderBy(F.desc("est"), F.asc("token"))
+        .collect()
+    ]
+    want = [
+        (r.token, r.cnt)
+        for r in half.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+        .collect()
+    ]
+    assert got == want
+    # bounded state: every batch's CMS grid and candidate list obey caps
+    for b in range(last + 1):
+        cms_rows = spark.read.parquet(
+            str(tmp_path / "state" / "cms" / f"batch_id={b}")
+        ).count()
+        assert cms_rows <= depth * width
+        cand_rows = spark.read.parquet(
+            str(tmp_path / "state" / "cand" / f"batch_id={b}")
+        ).count()
+        assert cand_rows <= k * pool
