@@ -275,3 +275,149 @@ def ddsketch_quantiles(
         .groupBy("g", "q")
         .agg(F.min_by("_est", "_cum").alias("est"))
     )
+
+
+# --- KMV (bottom-k) distinct sketch -------------------------------------------
+# Bar-Yossef et al. 2002 "Counting distinct elements in a data stream"
+# (public; the k-minimum-values estimator): keep the k smallest hash
+# values of the distinct items; merging two sketches = union then keep
+# the k smallest again (lossless over the sketch algebra, like the
+# DDSketch merge above); the distinct-count estimate is (k-1)/h_k with
+# h_k the k-th smallest hash mapped to (0,1]. Relative error
+# ~1/sqrt(k-2). Everything is deterministic md5 arithmetic, so the
+# DuckDB oracle replays it exactly — and the sketch doubles as a
+# REPLAYABLE uniform sample of the distinct values (hash-order is a
+# random order fixed across engines and runs).
+
+#: hash space: first 15 md5 hex chars = 60 bits, comfortably inside
+#: int64 and exactly replayable as ('0x'||substr(md5(v),1,15))::BIGINT
+_KMV_BITS = 60
+
+
+def _kmv_hash(col) -> "F.Column":
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Build the sketch relation (g, pos, hv): the ``k`` smallest
+    60-bit hashes of the group's DISTINCT values, pos = 1-based rank.
+    One distinct-aggregate plus a window over per-group DISTINCT-HASH
+    relations — the window input is already collapsed to distinct
+    hashes, never raw rows. NULL values are excluded (they are not an
+    item; count them separately if needed)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    g = (F.col(group_col) if group_col else F.lit("__all__")).alias("g")
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(g, _kmv_hash(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("hv")
+    return (
+        hashes.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("g", "pos", "hv")
+    )
+
+
+def kmv_merge(
+    sketch: DataFrame, k: int = 256, total_label: str = "__total__"
+) -> DataFrame:
+    """Merge every group's sketch into one: union the hash sets, keep
+    the k smallest — identical to sketching the union of the groups
+    (relation-equality is test-pinned). Same schema as kmv_build."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy("hv")
+    return (
+        sketch.select("hv")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(F.lit(total_label).alias("g"), "pos", "hv")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimates per group: if the group has fewer than
+    k hashes the count is EXACT (the sketch holds every distinct hash);
+    otherwise ndv ≈ (k-1) / (h_k / 2^60). Output: (g, n_approx)."""
+    agg = sketch.groupBy("g").agg(
+        F.count("*").alias("_n"), F.max("hv").alias("_hk")
+    )
+    scale = float(2**_KMV_BITS)
+    return agg.select(
+        "g",
+        F.when(F.col("_n") < k, F.col("_n"))
+        .otherwise(
+            F.round((k - 1) / (F.col("_hk") / F.lit(scale))).cast("long")
+        )
+        .alias("n_approx"),
+    )
+
+
+# --- join-key skew report ------------------------------------------------------
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Pre-flight skew profile for a prospective join/groupBy key: the
+    ``top`` heaviest keys with their counts and share of all rows, plus
+    one '__stats__' row carrying the distribution-level signals — key
+    count, max/mean ratio (the straggler factor: how much longer the
+    hottest reducer runs than the average), and the p50/p99/max key
+    sizes. All computed on the (key, cnt) relation — one aggregate over
+    the data, everything after is vocabulary-sized. A max/mean ratio in
+    the hundreds is the "salt this key or enable AQE skew join" signal.
+    Output: (kind, key, cnt, share, n_keys, max_over_mean, p50, p99)."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    counts = track_persist(counts)
+    total = counts.agg(
+        F.sum("cnt").alias("_tot"),
+        F.count("*").alias("_nk"),
+        F.max("cnt").alias("_mx"),
+        F.avg("cnt").alias("_mean"),
+        F.expr("percentile(cnt, 0.5)").alias("_p50"),
+        F.expr("percentile(cnt, 0.99)").alias("_p99"),
+    )
+    hot = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top)
+        .select(
+            F.lit("hot_key").alias("kind"),
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
+            F.lit(None).cast("long").alias("n_keys"),
+            F.lit(None).cast("double").alias("max_over_mean"),
+            F.lit(None).cast("double").alias("p50"),
+            F.lit(None).cast("double").alias("p99"),
+        )
+    )
+    stats = total.select(
+        F.lit("__stats__").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("share"),
+        F.col("_nk").alias("n_keys"),
+        F.round(F.col("_mx") / F.col("_mean"), 4).alias("max_over_mean"),
+        F.round("_p50", 4).alias("p50"),
+        F.round("_p99", 4).alias("p99"),
+    )
+    return hot.unionByName(stats)

@@ -505,3 +505,44 @@ def diversity_scores(
             (F.col(f"__d{n}") / F.col(f"__n{n}")).alias(f"distinct{n}")
         )
     return out.select(*cols)
+
+
+def zipf_fit(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law fit per slice: least-squares slope/intercept/R² of
+    ln(frequency) against ln(rank) over the slice's token frequency
+    table — natural text sits near slope −1; strong departures flag
+    template/generated slices (too flat) or tiny degenerate
+    vocabularies, complementing diversity_scores' distinct-n view.
+
+    One exploded aggregate to the per-(group, token) counts, a
+    rank window over the per-group VOCABULARY relation (never raw
+    tokens), then the built-in regr_* aggregates — all JVM-side.
+    Ties rank deterministically (count desc, token asc). Output:
+    (group_col, vocab_size, slope, intercept, r2)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.col(group_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .groupBy(group_col, "_tok")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("_cnt"), F.asc("_tok"))
+    ranked = counts.withColumn("_rank", F.row_number().over(w))
+    y = F.log(F.col("_cnt").cast("double"))
+    x = F.log(F.col("_rank").cast("double"))
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.regr_slope(y, x).alias("slope"),
+            F.regr_intercept(y, x).alias("intercept"),
+            F.regr_r2(y, x).alias("r2"),
+        )
+        .orderBy(group_col)
+    )

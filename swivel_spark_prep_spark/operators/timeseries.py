@@ -464,3 +464,67 @@ def resample_interpolate(
         lerp.alias(value_col),
         F.col("__m").isNull().alias("interpolated"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: how many keys progress through
+    ``steps`` IN ORDER — t1 = earliest step-1 event; t_i = earliest
+    step-i event at or after t_{i-1} (and, with ``horizon_seconds``,
+    within the horizon of t1) — the classic product-analytics
+    conversion query, also the shape of multi-stage pipeline-latency
+    audits (ingested → cleaned → deduped → shipped).
+
+    Plan: one filtered per-key MIN aggregate per step, each joined to
+    the previous frontier by the key — k-1 equi-joins on narrow
+    |keys|-row relations (hash-partitioned by key, never broadcast
+    assumptions on the big side; the events scan is filtered to one
+    step's type before each shuffle). The per-step counts union into
+    one result, so the whole funnel is a single lazy plan. Output:
+    (step, step_name, n_keys), step 1-based."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("_t1"))
+    )
+    out = frontier.agg(
+        F.lit(1).alias("step"),
+        F.lit(steps[0]).alias("step_name"),
+        F.count("*").alias("n_keys"),
+    )
+    prev_t = "_t1"
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(frontier, key_col)
+            .filter(F.col(ts_col) >= F.col(prev_t))
+        )
+        if horizon_seconds is not None:
+            # interval arithmetic, NOT unix_timestamp subtraction —
+            # unix_timestamp truncates sub-second parts, which would
+            # disagree with an exact-epoch engine at boundary rows
+            nxt = nxt.filter(
+                F.col(ts_col)
+                <= F.col("_t1")
+                + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
+            )
+        frontier = nxt.groupBy(key_col).agg(
+            F.min(ts_col).alias(f"_t{i}"), F.first("_t1").alias("_t1")
+        )
+        prev_t = f"_t{i}"
+        out = out.unionByName(
+            frontier.agg(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.count("*").alias("n_keys"),
+            )
+        )
+    return out.orderBy("step")

@@ -5026,3 +5026,166 @@ def x144(spark, sf_dir):
         .select("g", "q", F.round("est", 4).alias("est"))
         .orderBy("g", "q")
     )
+
+
+@_declare(
+    "X145_funnel",
+    # Ordered funnel (timeseries.funnel): view -> click -> purchase
+    # within 7 days of the first view — t_i = earliest step-i event at
+    # or after t_{i-1}. One filtered per-key MIN per step joined to the
+    # previous frontier (|keys|-row relations, hash-partitioned by
+    # key); horizon compares with INTERVAL arithmetic on both engines
+    # (exact — unix_timestamp truncation would disagree at sub-second
+    # boundaries).
+    """WITH f1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+f2 AS (SELECT e.user_id, MIN(f.t1) AS t1, MIN(e.ts) AS t2
+       FROM events e JOIN f1 f USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= f.t1
+         AND e.ts <= f.t1 + INTERVAL 604800 SECOND
+       GROUP BY 1),
+f3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+       FROM events e JOIN f2 f USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= f.t2
+         AND e.ts <= f.t1 + INTERVAL 604800 SECOND
+       GROUP BY 1)
+SELECT 1 AS step, 'view' AS step_name, COUNT(*)::BIGINT AS n_keys FROM f1
+UNION ALL
+SELECT 2, 'click', COUNT(*)::BIGINT FROM f2
+UNION ALL
+SELECT 3, 'purchase', COUNT(*)::BIGINT FROM f3
+ORDER BY step;""",
+)
+def x145(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        ["view", "click", "purchase"],
+        horizon_seconds=7 * 86400,
+    )
+
+
+@_declare(
+    "X146_zipf_fit",
+    # Zipf's-law fit per source (textstats.zipf_fit): least-squares
+    # slope/intercept/R^2 of ln(freq) vs ln(rank) over each slice's
+    # token frequency table — the template/degenerate-vocabulary flag
+    # complementing X136. Rank window runs over per-group VOCABULARY
+    # relations; the regression is the built-in regr_* aggregates on
+    # both engines.
+    """WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+c AS (SELECT source, t, COUNT(*)::DOUBLE AS cnt FROM tok WHERE t <> '' GROUP BY 1, 2),
+r AS (SELECT source, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, t ASC) AS rnk
+      FROM c)
+SELECT source, COUNT(*)::BIGINT AS vocab_size,
+       ROUND(REGR_SLOPE(LN(cnt), LN(rnk)), 4) AS slope,
+       ROUND(REGR_INTERCEPT(LN(cnt), LN(rnk)), 4) AS intercept,
+       ROUND(REGR_R2(LN(cnt), LN(rnk)), 4) AS r2
+FROM r GROUP BY 1 ORDER BY 1;""",
+)
+def x146(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "source").select(
+        "source",
+        "vocab_size",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 4).alias("r2"),
+    )
+
+
+@_declare(
+    "X147_kmv_distinct_sketch",
+    # KMV bottom-k distinct sketch (profile.kmv_build/_merge/_estimate,
+    # Bar-Yossef et al. 2002): per-source distinct-token estimates from
+    # the 64 smallest 60-bit md5 hashes, plus the '__total__' row whose
+    # sketch is the MERGE of the per-source sketches (union, keep 64
+    # smallest) — the bottom-k twin of the HLL/DDSketch rollups, with
+    # exact counts alongside as the accuracy witness. Every step is
+    # deterministic md5 arithmetic the oracle replays.
+    """WITH tok AS (SELECT source AS g, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+tf AS (SELECT g, t FROM tok WHERE t <> ''),
+h AS (SELECT DISTINCT g, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tf),
+r AS (SELECT g, hv, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS pos FROM h),
+sk AS (SELECT g, pos, hv FROM r WHERE pos <= 64),
+mh AS (SELECT DISTINCT hv FROM sk),
+mr AS (SELECT '__total__' AS g, hv, ROW_NUMBER() OVER (ORDER BY hv) AS pos FROM mh),
+allsk AS (SELECT g, pos, hv FROM sk UNION ALL SELECT g, pos, hv FROM mr WHERE pos <= 64),
+est AS (SELECT g, COUNT(*) AS n, MAX(hv) AS hk FROM allsk GROUP BY 1),
+exg AS (SELECT g, COUNT(DISTINCT t)::BIGINT AS n_exact FROM tf GROUP BY 1
+        UNION ALL
+        SELECT '__total__', COUNT(DISTINCT t)::BIGINT FROM tf)
+SELECT e.g,
+       (CASE WHEN e.n < 64 THEN e.n
+             ELSE ROUND(63 / (e.hk / 1152921504606846976.0)) END)::BIGINT AS n_approx,
+       x.n_exact
+FROM est e JOIN exg x USING (g) ORDER BY g;""",
+)
+def x147(spark, sf_dir):
+    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.operators.profile import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("source").alias("g"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    toks = track_persist(toks)  # feeds the sketch AND the exact witness
+    sk = track_persist(kmv_build(toks, "t", "g", k=64))
+    both = sk.unionByName(kmv_merge(sk, k=64))
+    exact = (
+        toks.groupBy("g")
+        .agg(F.countDistinct("t").alias("n_exact"))
+        .unionByName(
+            toks.agg(
+                F.lit("__total__").alias("g"),
+                F.countDistinct("t").alias("n_exact"),
+            )
+        )
+    )
+    return (
+        kmv_estimate(both, k=64)
+        .join(exact, "g")
+        .select("g", "n_approx", "n_exact")
+        .orderBy("g")
+    )
+
+
+@_declare(
+    "X148_skew_report",
+    # Join-key skew pre-flight (profile.skew_report): the 10 heaviest
+    # events.user_id keys with row shares, plus the '__stats__' row
+    # (key count, max/mean straggler factor, p50/p99 key sizes) — all
+    # computed on the (key, cnt) relation after ONE corpus aggregate.
+    """WITH c AS (SELECT user_id::VARCHAR AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT SUM(cnt)::DOUBLE AS tot, COUNT(*)::BIGINT AS nk, MAX(cnt)::DOUBLE AS mx,
+             AVG(cnt) AS mean, quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+      FROM c),
+hot AS (SELECT 'hot_key' AS kind, key, cnt::BIGINT AS cnt,
+               ROUND(cnt / t.tot, 6) AS share,
+               NULL::BIGINT AS n_keys, NULL::DOUBLE AS max_over_mean,
+               NULL::DOUBLE AS p50, NULL::DOUBLE AS p99
+        FROM c CROSS JOIN t ORDER BY c.cnt DESC, key ASC LIMIT 10),
+st AS (SELECT '__stats__' AS kind, NULL::VARCHAR AS key, NULL::BIGINT AS cnt,
+              NULL::DOUBLE AS share, nk AS n_keys,
+              ROUND(mx / mean, 4) AS max_over_mean,
+              ROUND(p50, 4) AS p50, ROUND(p99, 4) AS p99
+       FROM t)
+SELECT * FROM hot UNION ALL SELECT * FROM st ORDER BY kind DESC, cnt DESC, key;""",
+)
+def x148(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.profile import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top=10).orderBy(
+        F.desc("kind"), F.desc("cnt"), "key"
+    )

@@ -174,3 +174,119 @@ def test_stream_running_topk_cms_matches_exact(spark, tmp_path, docs):
             str(tmp_path / "state" / "cand" / f"batch_id={b}")
         ).count()
         assert cand_rows <= k * pool
+
+
+# --- KMV sketch ----------------------------------------------------------------
+
+
+def test_kmv_merge_equals_whole_sketch(spark, docs):
+    from swivel_spark_prep_spark.operators.profile import kmv_build, kmv_merge
+
+    toks = docs.select(
+        F.col("source").alias("g"),
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    per = kmv_build(toks, "t", "g", k=64)
+    merged = {(r.pos, r.hv) for r in kmv_merge(per, k=64).collect()}
+    whole = {
+        (r.pos, r.hv) for r in kmv_build(toks, "t", k=64).collect()
+    }
+    assert merged == whole
+
+
+def test_kmv_exact_below_k_and_error_bound(spark, docs):
+    from swivel_spark_prep_spark.operators.profile import kmv_build, kmv_estimate
+
+    toks = docs.select(
+        F.col("source").alias("g"),
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    exact = {
+        r.g: r.n
+        for r in toks.groupBy("g").agg(F.countDistinct("t").alias("n")).collect()
+    }
+    # k larger than any group's ndv -> every estimate is EXACT
+    big = kmv_estimate(kmv_build(toks, "t", "g", k=100000), k=100000)
+    for r in big.collect():
+        assert r.n_approx == exact[r.g], (r.g, r.n_approx, exact[r.g])
+    # small k -> within the ~1/sqrt(k-2) relative-error envelope (x4 slack)
+    k = 64
+    small = kmv_estimate(kmv_build(toks, "t", "g", k=k), k=k)
+    for r in small.collect():
+        if exact[r.g] <= k:
+            assert r.n_approx == exact[r.g]
+        else:
+            rel = abs(r.n_approx - exact[r.g]) / exact[r.g]
+            assert rel <= 4.0 / (k - 2) ** 0.5, (r.g, r.n_approx, exact[r.g])
+
+
+def test_kmv_k_validation():
+    import pytest as _pytest
+
+    from swivel_spark_prep_spark.operators.profile import kmv_build
+
+    with _pytest.raises(ValueError):
+        kmv_build(None, "x", k=1)
+
+
+# --- skew report ----------------------------------------------------------------
+
+
+def test_skew_report_shapes_and_shares(spark):
+    from swivel_spark_prep_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 10 + [(c,) for c in "cdefg"], "k string"
+    )
+    rows = skew_report(df, "k", top=3).collect()
+    hot = [r for r in rows if r.kind == "hot_key"]
+    stats = [r for r in rows if r.kind == "__stats__"]
+    assert len(hot) == 3 and len(stats) == 1
+    assert hot[0].key == "a" and hot[0].cnt == 50
+    assert abs(hot[0].share - 50 / 65) < 1e-6  # share is ROUND(.., 6)
+    s = stats[0]
+    assert s.n_keys == 7
+    # max/mean = 50 / (65/7)
+    assert abs(s.max_over_mean - 50 / (65 / 7)) < 1e-3
+
+
+# --- funnel ----------------------------------------------------------------------
+
+
+def test_funnel_monotone_and_order_respecting(spark):
+    from swivel_spark_prep_spark.operators.timeseries import funnel
+
+    rows = [
+        # u1 completes in order
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "buy"),
+        # u2 clicks BEFORE viewing -> must not count past step 1
+        (2, "2024-01-01 01:00:00", "click"),
+        (2, "2024-01-01 02:00:00", "view"),
+        # u3 views only
+        (3, "2024-01-01 00:00:00", "view"),
+        # u4 completes but outside the horizon
+        (4, "2024-01-01 00:00:00", "view"),
+        (4, "2024-01-03 00:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r.step: r.n_keys
+        for r in funnel(
+            ev, ["view", "click", "buy"], horizon_seconds=86400
+        ).collect()
+    }
+    assert got == {1: 4, 2: 1, 3: 1}
+    counts = [got[i] for i in sorted(got)]
+    assert counts == sorted(counts, reverse=True)  # monotone non-increasing
+
+
+def test_funnel_rejects_empty_steps(spark):
+    import pytest as _pytest
+
+    from swivel_spark_prep_spark.operators.timeseries import funnel
+
+    with _pytest.raises(ValueError):
+        funnel(spark.range(1), [])
