@@ -19,7 +19,7 @@ whole surface stays declarative and Catalyst-optimizable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["check_expectations", "quarantine"]
@@ -246,3 +246,22 @@ def trimmed_stats(
         F.sum(inside.cast("long")).alias("n_kept"),
         F.sum((~inside).cast("long")).alias("n_clipped"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "q_norm",
+) -> DataFrame:
+    """Within-group quantile (percent_rank) normalization of a score
+    column: each row's score becomes its quantile position INSIDE its
+    own slice, so one global threshold compares fairly across
+    heterogeneous sources (a raw threshold on, say, doc length keeps
+    whole verbose sources and drops whole terse ones; the normalized
+    threshold keeps the same FRACTION of every source). Ties share a
+    rank (percent_rank semantics, identical in DuckDB). One
+    range-partitioned sort per group — the same cost class as any
+    per-group window at scale."""
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -668,3 +668,4 @@ def token_budget_allocation(
             F.col("__sat").alias("saturated"),
         )
     )
+

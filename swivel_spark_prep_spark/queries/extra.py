@@ -5189,3 +5189,41 @@ def x148(spark, sf_dir):
     return skew_report(ev, "user_id", top=10).orderBy(
         F.desc("kind"), F.desc("cnt"), "key"
     )
+
+
+@_declare(
+    "X149_quantile_normalize",
+    # Cross-source quantile normalization (quality.quantile_normalize):
+    # each doc's n_chars becomes its percent_rank INSIDE its source, so
+    # one global threshold keeps the same FRACTION of every slice —
+    # contrasted per source against the raw global-p75 cut that keeps
+    # whole verbose sources and drops terse ones. percent_rank and the
+    # interpolating percentile are semantics-identical across engines.
+    """WITH d AS (SELECT source, n_chars FROM documents),
+t AS (SELECT quantile_cont(n_chars, 0.75) AS thr FROM d),
+n AS (SELECT source, n_chars,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS q
+      FROM d)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM((n_chars >= t.thr)::INT)::BIGINT AS kept_raw,
+       SUM((q >= 0.75)::INT)::BIGINT AS kept_norm
+FROM n CROSS JOIN t GROUP BY 1 ORDER BY 1;""",
+)
+def x149(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    normed = quantile_normalize(docs, "n_chars", "source")
+    thr = docs.agg(F.expr("percentile(n_chars, 0.75)").alias("_thr"))
+    return (
+        normed.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_chars") >= F.col("_thr")).cast("long")).alias(
+                "kept_raw"
+            ),
+            F.sum((F.col("q_norm") >= 0.75).cast("long")).alias("kept_norm"),
+        )
+        .orderBy("source")
+    )

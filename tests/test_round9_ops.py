@@ -290,3 +290,32 @@ def test_funnel_rejects_empty_steps(spark):
 
     with _pytest.raises(ValueError):
         funnel(spark.range(1), [])
+
+
+# --- quantile normalization -------------------------------------------------------
+
+
+def test_quantile_normalize_uniform_fractions(spark):
+    """The normalized threshold keeps the same FRACTION of every group
+    regardless of the groups' raw scales — the property the operator
+    exists for (a raw threshold would keep all of the large-scale group
+    and none of the small one)."""
+    from swivel_spark_prep_spark.operators.quality import quantile_normalize
+
+    rows = [("big", float(1000 + i)) for i in range(100)] + [
+        ("small", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    n = quantile_normalize(df, "x", "g")
+    kept = (
+        n.filter(F.col("q_norm") >= 0.75)
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    by_g = {r.g: r["count"] for r in kept}
+    # percent_rank >= .75 keeps exactly 25 of each 100-row group
+    assert by_g == {"big": 25, "small": 25}
+    # raw threshold at the global p75 would keep ONLY the big group
+    raw_kept = df.filter(F.col("x") >= 1000).groupBy("g").count().collect()
+    assert {r.g for r in raw_kept} == {"big"}
