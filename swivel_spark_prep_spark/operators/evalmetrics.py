@@ -1,0 +1,149 @@
+"""Classifier-evaluation metrics as relational aggregates — the audit
+loop of a data pipeline that trains filters on its own corpus (quality
+classifiers, language ID, toxicity gates): AUC for threshold-free
+ranking power, Cohen's kappa for agreement between two labelers, and a
+calibration/ECE report for "is the score a probability".
+
+All three reduce the corpus to BOUNDED relations before any window:
+AUC's window runs over the distinct-score relation, kappa over the
+label-marginal relations, calibration over ``bins`` rows. Everything is
+deterministic arithmetic (no sampling), so DuckDB oracles replay the
+formulas exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["binary_auc", "cohens_kappa", "calibration_report"]
+
+
+def binary_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney AUC: the probability a random
+    positive outscores a random negative, counting ties as half —
+    equivalently the area under the ROC curve with linear tie
+    interpolation (Hand & Till 2001 formulation).
+
+    Computed WITHOUT ranking raw rows: one aggregate collapses the data
+    to per-DISTINCT-SCORE (n_pos, n_neg) counts, a running sum over
+    that bounded relation gives the negatives strictly below each
+    score, and ``AUC = Σ n_pos(s)·(neg_below(s) + n_neg(s)/2) /
+    (N_pos·N_neg)``. The only window is over distinct scores — score
+    cardinality, never corpus size. Rows with NULL score or label are
+    excluded. Output: one row (n_pos, n_neg, auc); auc is NULL when
+    either class is empty (undefined, not 0)."""
+    g = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    c = g.groupBy("_s").agg(
+        F.sum(F.col("_y").cast("long")).alias("_np"),
+        F.sum((~F.col("_y")).cast("long")).alias("_nn"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = c.withColumn("_cnb", F.coalesce(F.sum("_nn").over(w), F.lit(0)))
+    return cum.agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+        F.when(
+            (F.sum("_np") > 0) & (F.sum("_nn") > 0),
+            F.sum(F.col("_np") * (F.col("_cnb") + F.col("_nn") / 2.0))
+            / (F.sum("_np") * F.sum("_nn")),
+        ).alias("auc"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two categorical labelers (Cohen 1960):
+    observed agreement corrected for the agreement two INDEPENDENT
+    labelers with the same marginals would reach by chance —
+    ``kappa = (p_o - p_e)/(1 - p_e)`` with
+    ``p_e = Σ_k p_a(k)·p_b(k)``. The go/no-go statistic before trusting
+    a cheap heuristic labeler against a reference one.
+
+    One corpus aggregate for n and p_o; two tiny per-label marginal
+    aggregates full-outer-joined on the label for p_e. Rows where
+    either label is NULL are excluded. kappa is NULL when p_e = 1 (a
+    degenerate single-label pair — agreement is vacuous). Output: one
+    row (n, po, pe, kappa)."""
+    g = df.select(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    base = g.agg(
+        F.count("*").alias("_n"),
+        F.avg((F.col("_a") == F.col("_b")).cast("double")).alias("_po"),
+    )
+    ma = g.groupBy(F.col("_a").alias("_k")).agg(F.count("*").alias("_ca"))
+    mb = g.groupBy(F.col("_b").alias("_k")).agg(F.count("*").alias("_cb"))
+    pe = (
+        ma.join(mb, "_k", "full_outer")
+        .crossJoin(F.broadcast(base))
+        .agg(
+            F.sum(
+                F.coalesce("_ca", F.lit(0))
+                * F.coalesce("_cb", F.lit(0))
+                / (F.col("_n").cast("double") * F.col("_n"))
+            ).alias("_pe")
+        )
+    )
+    return base.crossJoin(F.broadcast(pe)).select(
+        F.col("_n").alias("n"),
+        F.col("_po").alias("po"),
+        F.col("_pe").alias("pe"),
+        F.when(
+            F.col("_pe") < 1.0,
+            (F.col("_po") - F.col("_pe")) / (1.0 - F.col("_pe")),
+        ).alias("kappa"),
+    )
+
+
+def calibration_report(
+    df: DataFrame, prob_col: str, label_col: str, bins: int = 10
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (Naeini et al.
+    2015 ECE): scores in [0,1] bucket into ``bins`` fixed-width bins;
+    per bin the mean predicted probability (confidence) vs the observed
+    positive rate (accuracy), and ``ECE = Σ (n_b/N)·|acc_b − conf_b|``
+    as a final '__ece__' row (the skew_report summary-row convention).
+    Output: (kind, bin, n, conf, acc, gap) — gap is |acc − conf| per
+    bin and the ECE itself on the summary row. One corpus aggregate to
+    ``bins`` rows; everything after is bin-sized."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    p = F.col(prob_col).cast("double")
+    g = df.select(
+        p.alias("_p"), F.col(label_col).cast("boolean").alias("_y")
+    ).filter(F.col("_p").isNotNull() & F.col("_y").isNotNull())
+    binned = g.select(
+        F.least(F.lit(bins - 1), F.floor(F.col("_p") * bins))
+        .cast("long")
+        .alias("bin"),
+        "_p",
+        "_y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("_p").alias("conf"),
+        F.avg(F.col("_y").cast("double")).alias("acc"),
+    )
+    per = per.select(
+        F.lit("bin").alias("kind"),
+        "bin",
+        "n",
+        "conf",
+        "acc",
+        F.abs(F.col("acc") - F.col("conf")).alias("gap"),
+    )
+    tot = per.agg(
+        F.lit("__ece__").alias("kind"),
+        F.lit(None).cast("long").alias("bin"),
+        F.sum("n").alias("n"),
+        F.lit(None).cast("double").alias("conf"),
+        F.lit(None).cast("double").alias("acc"),
+        (F.sum(F.col("n") * F.col("gap")) / F.sum("n")).alias("gap"),
+    )
+    return per.unionByName(tot)

@@ -5227,3 +5227,110 @@ def x149(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_declare(
+    "X150_binary_auc",
+    # Tie-corrected Mann-Whitney AUC (evalmetrics.binary_auc): does doc
+    # length rank English docs above the rest? Collapses the corpus to
+    # per-distinct-score (n_pos, n_neg) counts; the only window runs
+    # over that bounded relation. The oracle replays the identical
+    # neg-below + half-ties formula.
+    """WITH g AS (SELECT n_chars::DOUBLE AS s, (lang = 'en') AS y FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+c AS (SELECT s, SUM(y::INT)::BIGINT AS np, SUM((NOT y)::INT)::BIGINT AS nn
+      FROM g GROUP BY 1),
+cu AS (SELECT s, np, nn,
+              COALESCE(SUM(nn) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+       FROM c)
+SELECT SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
+       ROUND(SUM(np * (cnb + nn / 2.0)) / (SUM(np) * SUM(nn)), 6) AS auc
+FROM cu;""",
+)
+def x150(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("score"), (F.col("lang") == "en").alias("y")
+    )
+    return binary_auc(scored, "score", "y").select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    )
+
+
+@_declare(
+    "X151_cohens_kappa",
+    # Cohen's kappa (evalmetrics.cohens_kappa) between two cheap length
+    # heuristics (chars >= 300 vs tokens >= 45) — the agreement audit
+    # before trusting a heuristic labeler. Marginal-product chance
+    # correction replayed exactly by the oracle.
+    """WITH g AS (SELECT (n_chars >= 300)::VARCHAR AS a,
+                 (len(string_split(text, ' ')) >= 45)::VARCHAR AS b
+          FROM documents),
+b0 AS (SELECT COUNT(*)::BIGINT AS n, AVG((a = b)::INT::DOUBLE) AS po FROM g),
+pe AS (SELECT SUM(COALESCE(ca, 0) * COALESCE(cb, 0) / (n::DOUBLE * n)) AS pe
+       FROM (SELECT a AS k, COUNT(*) AS ca FROM g GROUP BY 1) ma
+       FULL OUTER JOIN (SELECT b AS k, COUNT(*) AS cb FROM g GROUP BY 1) mb
+         USING (k)
+       CROSS JOIN b0)
+SELECT n, ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+       ROUND((po - pe) / (1 - pe), 6) AS kappa
+FROM b0 CROSS JOIN pe;""",
+)
+def x151(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        (F.col("n_chars") >= 300).alias("a"),
+        (F.size(F.split("text", " ")) >= 45).alias("b"),
+    )
+    return cohens_kappa(labeled, "a", "b").select(
+        "n",
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round("kappa", 6).alias("kappa"),
+    )
+
+
+@_declare(
+    "X152_calibration_ece",
+    # Reliability diagram + ECE (evalmetrics.calibration_report): a
+    # deterministic length-sigmoid pseudo-probability predicting
+    # lang='en', bucketed into 10 bins — per-bin confidence vs observed
+    # rate plus the '__ece__' summary row. The math, not the model, is
+    # what parity pins.
+    """WITH g AS (SELECT 1 / (1 + exp(-(n_chars - 350) / 60.0)) AS p, (lang = 'en') AS y
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+b AS (SELECT LEAST(9, FLOOR(p * 10))::BIGINT AS bin, p, y FROM g),
+per AS (SELECT bin, COUNT(*)::BIGINT AS n, AVG(p) AS conf,
+               AVG(y::INT::DOUBLE) AS acc FROM b GROUP BY 1),
+pg AS (SELECT 'bin' AS kind, bin, n, ROUND(conf, 6) AS conf,
+              ROUND(acc, 6) AS acc, ROUND(ABS(acc - conf), 6) AS gap FROM per),
+e AS (SELECT '__ece__' AS kind, NULL::BIGINT AS bin, SUM(n)::BIGINT AS n,
+             NULL::DOUBLE AS conf, NULL::DOUBLE AS acc,
+             ROUND(SUM(n * ABS(acc - conf)) / SUM(n), 6) AS gap FROM per)
+SELECT * FROM pg UNION ALL SELECT * FROM e ORDER BY kind, bin;""",
+)
+def x152(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import calibration_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr("1 / (1 + exp(-(n_chars - 350) / 60.0))").alias("p"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return (
+        calibration_report(scored, "p", "y", bins=10)
+        .select(
+            "kind",
+            "bin",
+            "n",
+            F.round("conf", 6).alias("conf"),
+            F.round("acc", 6).alias("acc"),
+            F.round("gap", 6).alias("gap"),
+        )
+        .orderBy("kind", "bin")
+    )

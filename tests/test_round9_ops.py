@@ -319,3 +319,68 @@ def test_quantile_normalize_uniform_fractions(spark):
     # raw threshold at the global p75 would keep ONLY the big group
     raw_kept = df.filter(F.col("x") >= 1000).groupBy("g").count().collect()
     assert {r.g for r in raw_kept} == {"big"}
+
+
+# --- eval metrics ----------------------------------------------------------------
+
+
+def test_binary_auc_hand_computed_with_ties(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import binary_auc
+
+    # scores: pos {3, 2}, neg {2, 1} -> pairs: (3>2)+(3>1)+(2=2: .5)+(2>1)
+    # = 3.5 / 4 = 0.875
+    df = spark.createDataFrame(
+        [(3.0, True), (2.0, True), (2.0, False), (1.0, False)],
+        "s double, y boolean",
+    )
+    r = binary_auc(df, "s", "y").first()
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert abs(r.auc - 0.875) < 1e-12
+    # perfect separation -> 1.0; inverted -> 0.0
+    perfect = spark.createDataFrame(
+        [(2.0, True), (1.0, False)], "s double, y boolean"
+    )
+    assert binary_auc(perfect, "s", "y").first().auc == 1.0
+    # single-class input -> NULL (undefined), not 0
+    onecls = spark.createDataFrame([(1.0, True)], "s double, y boolean")
+    assert binary_auc(onecls, "s", "y").first().auc is None
+
+
+def test_cohens_kappa_bounds(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cohens_kappa
+
+    agree = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], "a string, b string"
+    )
+    r = cohens_kappa(agree, "a", "b").first()
+    assert r.po == 1.0 and abs(r.kappa - 1.0) < 1e-12
+    # statistically independent labels -> kappa ~ 0
+    indep = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")], "a string, b string"
+    )
+    r2 = cohens_kappa(indep, "a", "b").first()
+    assert abs(r2.kappa) < 1e-12
+    # degenerate single-label pair -> NULL (pe = 1)
+    degen = spark.createDataFrame([("x", "x")], "a string, b string")
+    assert cohens_kappa(degen, "a", "b").first().kappa is None
+
+
+def test_calibration_ece_perfectly_calibrated(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import calibration_report
+
+    # bin 0.25: 1 of 4 positive; bin 0.75: 3 of 4 positive -> ECE 0
+    rows = [(0.25, i == 0) for i in range(4)] + [
+        (0.75, i != 0) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    out = {r.kind: r for r in calibration_report(df, "p", "y", bins=2).collect()
+           if r.kind == "__ece__"}
+    assert abs(out["__ece__"].gap) < 1e-12
+    bins = [
+        r
+        for r in calibration_report(df, "p", "y", bins=2).collect()
+        if r.kind == "bin"
+    ]
+    assert {b.bin for b in bins} == {0, 1}
+    for b in bins:
+        assert abs(b.conf - b.acc) < 1e-12
