@@ -5334,3 +5334,42 @@ def x152(spark, sf_dir):
         )
         .orderBy("kind", "bin")
     )
+
+
+@_declare(
+    "X153_duplicate_spans",
+    # Duplicated-span detection (dedup.duplicate_spans, Lee et al. 2022
+    # substring dedup at 10-token window granularity): per source, the
+    # fraction of sliding windows whose hash occurs in >= 2 distinct
+    # docs — the memorization/boilerplate signal document-level dedup
+    # misses. The oracle replays the identical md5-window hashing.
+    """WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS arr FROM documents),
+w AS (SELECT doc_id, source,
+             ('0x' || substr(md5(array_to_string(arr[p+1:p+10], ' ')), 1, 15))::BIGINT AS h
+      FROM tok, UNNEST(range(len(arr) - 9)) AS u(p)
+      WHERE len(arr) >= 10),
+hd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY 1),
+per AS (SELECT doc_id, source, COUNT(*) AS nw, SUM((nd >= 2)::INT) AS ndup
+        FROM w JOIN hd USING (h) GROUP BY 1, 2)
+SELECT source, SUM(nw)::BIGINT AS n_windows, SUM(ndup)::BIGINT AS n_dup_windows,
+       ROUND(SUM(ndup)::DOUBLE / SUM(nw), 6) AS dup_fraction
+FROM per GROUP BY 1 ORDER BY 1;""",
+)
+def x153(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = duplicate_spans(docs, window=10, min_docs=2)
+    src = docs.select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_windows").alias("n_windows"),
+            F.sum("n_dup_windows").alias("n_dup_windows"),
+            F.round(
+                F.sum("n_dup_windows") / F.sum("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("source")
+    )
