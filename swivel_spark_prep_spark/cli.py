@@ -87,6 +87,20 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--exact-ndv", action="store_true")
     pr.add_argument("--master", default=None)
 
+    qt = sub.add_parser(
+        "quantiles",
+        help="mergeable DDSketch quantiles of a numeric column, "
+        "optionally per group (+ '__total__' rollup-by-merge)",
+    )
+    qt.add_argument("--input", required=True, help="parquet table")
+    qt.add_argument("--column", required=True, help="numeric column")
+    qt.add_argument("--by", default=None, help="optional group column")
+    qt.add_argument(
+        "--q", default="0.5,0.9,0.99", help="comma-separated quantiles"
+    )
+    qt.add_argument("--alpha", type=float, default=0.01)
+    qt.add_argument("--master", default=None)
+
     card = sub.add_parser(
         "dataset-card",
         help="long-format dataset card: corpus totals, dup count, "
@@ -311,6 +325,30 @@ def _dispatch(args, spark, owns_session) -> int:
                 spark.read.parquet(args.input), exact_ndv=args.exact_ndv
             ).toPandas()
             print(pdf.to_string(index=False))
+        elif args.cmd == "quantiles":
+            from swivel_spark_prep_spark.operators.profile import (
+                ddsketch_build,
+                ddsketch_merge,
+                ddsketch_quantiles,
+            )
+
+            from swivel_spark_prep_spark.cache import track_persist
+
+            qs = [float(x) for x in args.q.split(",") if x.strip()]
+            df = spark.read.parquet(args.input)
+            sk = ddsketch_build(df, args.column, args.by, alpha=args.alpha)
+            if args.by:
+                # consumed twice (per-group + merge) — persist the grid,
+                # released by main's persisted_scope
+                sk = track_persist(sk)
+                sk = sk.unionByName(ddsketch_merge(sk))
+            out = (
+                ddsketch_quantiles(sk, qs, alpha=args.alpha)
+                .orderBy("g", "q")
+                .collect()
+            )
+            for r in out:
+                print(f"{r.g}\tq{r.q:g}\t{r.est:.6g}")
         elif args.cmd == "dataset-card":
             from swivel_spark_prep_spark.operators.textstats import dataset_card
 

@@ -724,3 +724,67 @@ def stream_running_topk_terms_cms(
         .outputMode("append")
         .start()
     )
+
+
+def stream_running_quantiles(
+    values_stream: DataFrame,
+    value_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    alpha: float = 0.05,
+):
+    """Running quantile monitor over a value stream with BOUNDED state —
+    the DDSketch twin of :func:`stream_running_topk_terms_cms`: each
+    micro-batch's values fold into the relational bucket-count sketch
+    (operators/profile.ddsketch_build), merge cell-wise into the
+    previous cumulative sketch (state = O(log_gamma(value range)) rows
+    per batch, never value-count-sized), and the cumulative
+    p50/p90/p99 snapshot lands under ``out_dir/batch_id=N``.
+
+    Because DDSketch merge is lossless over the sketch algebra, the
+    batch-N snapshot is IDENTICAL to sketching all N batches' rows at
+    once (the behavioral test pins this), with every read-back value
+    within alpha relative error of the true running quantile. All
+    writes are per-batch-partitioned and overwritten on replay (the
+    stream_near_dedup idempotence convention); empty batches still
+    commit state so the chain never breaks.
+
+    Returns the started StreamingQuery.
+    """
+    from swivel_spark_prep_spark.operators.profile import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jp))
+
+    def _apply(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        cells = ddsketch_build(batch, value_col, alpha=alpha)
+        prev = f"{state_dir}/sketch/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev):
+            cells = (
+                spark.read.parquet(prev)
+                .unionByName(cells)
+                .groupBy("g", "sign", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        cells.write.mode("overwrite").parquet(
+            f"{state_dir}/sketch/batch_id={batch_id}"
+        )
+        cum = spark.read.parquet(f"{state_dir}/sketch/batch_id={batch_id}")
+        ddsketch_quantiles(cum, list(qs), alpha=alpha).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        values_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -419,3 +419,121 @@ def test_duplicate_spans_validation(spark):
         duplicate_spans(df, window=1)
     with _pytest.raises(ValueError):
         duplicate_spans(df, min_docs=1)
+
+
+# --- streaming running quantiles ------------------------------------------------
+
+
+def test_stream_running_quantiles_matches_batch_sketch(spark, tmp_path):
+    """Per-batch cumulative snapshots must equal the batch DDSketch of
+    ALL rows seen so far (merge is lossless over the sketch algebra),
+    and state stays bucket-grid-sized."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.operators.profile import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+    from swivel_spark_prep_spark.streaming import stream_running_quantiles
+
+    stage = tmp_path / "stage"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    full = spark.range(0, 3000).select(
+        (F.col("id") % 700).cast("double").alias("v"), F.col("id")
+    )
+    parts = [full.filter(F.col("id") % 3 == i).select("v") for i in range(3)]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(stage / f"b{i}"))
+        f = glob.glob(str(stage / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(drops / f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drops))
+    )
+    q = stream_running_quantiles(
+        stream,
+        "v",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        qs=(0.5, 0.9, 0.99),
+        alpha=0.05,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(str(tmp_path / "out" / "batch_id=*"))
+    )
+    got = {
+        (r.g, round(r.q, 4)): r.est
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / f"batch_id={last}")
+        ).collect()
+    }
+    want = {
+        (r.g, round(r.q, 4)): r.est
+        for r in ddsketch_quantiles(
+            ddsketch_build(full.select("v"), "v", alpha=0.05),
+            [0.5, 0.9, 0.99],
+            alpha=0.05,
+        ).collect()
+    }
+    assert got == want
+    # bounded state: the cumulative sketch is a bucket grid, not values
+    rows = spark.read.parquet(
+        str(tmp_path / "state" / "sketch" / f"batch_id={last}")
+    ).count()
+    assert rows < 200
+
+
+# --- CLI quantiles ---------------------------------------------------------------
+
+
+def test_cli_quantiles(spark, sf_dir, capsys):
+    """quantiles prints per-group rows plus the '__total__' merge row;
+    the total median must be within alpha of the exact percentile."""
+    import numpy as np  # noqa: F811
+
+    from swivel_spark_prep_spark import cli
+    from swivel_spark_prep_spark.catalog import load_table
+
+    src = str(sf_dir) + "/documents.parquet"
+    assert (
+        cli.main(
+            [
+                "quantiles",
+                "--input", src,
+                "--column", "n_chars",
+                "--by", "source",
+                "--q", "0.5,0.99",
+                "--alpha", "0.05",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.strip().splitlines() if "\t" in ln]
+    assert any(ln.startswith("__total__") for ln in lines)
+    med = next(
+        float(ln.split("\t")[2])
+        for ln in lines
+        if ln.startswith("__total__") and "\tq0.5\t" in ln
+    )
+    vals = np.array(
+        [
+            r.n_chars
+            for r in load_table(spark, str(sf_dir), "documents")
+            .select("n_chars")
+            .collect()
+        ],
+        dtype=float,
+    )
+    exact = np.sort(vals)[int(np.floor(0.5 * (len(vals) - 1)))]
+    assert abs(med - exact) <= 0.05 * exact + 1e-9
