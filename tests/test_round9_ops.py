@@ -537,3 +537,45 @@ def test_cli_quantiles(spark, sf_dir, capsys):
     )
     exact = np.sort(vals)[int(np.floor(0.5 * (len(vals) - 1)))]
     assert abs(med - exact) <= 0.05 * exact + 1e-9
+
+
+# --- sorted-merge as-of join ------------------------------------------------------
+
+
+def test_asof_join_sorted_semantics(spark):
+    """Inclusive match at equal ts, LEFT semantics on no-match, and the
+    deterministic largest-value tie-break on tied right timestamps."""
+    from swivel_spark_prep_spark.operators.asof import asof_join_sorted
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 5, 101), (2, 7, 102), (3, 1, 103)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 4, 5), (2, 7, 8), (2, 7, 9)],
+        "k long, ts long, rid long",
+    )
+    got = {
+        r.lid: r.rid_asof
+        for r in asof_join_sorted(
+            left, right, ["k"], "ts", "ts", "rid"
+        ).collect()
+    }
+    # lid 100: right at ts=10 matches INCLUSIVELY -> 7
+    # lid 101: only ts=4 is earlier -> 5
+    # lid 102: two right rows tied at ts=7 -> deterministic max rid = 9
+    # lid 103: nothing earlier -> NULL
+    assert got == {100: 7, 101: 5, 102: 9, 103: None}
+    fwd = {
+        r.lid: r.rid_asof
+        for r in asof_join_sorted(
+            left, right, ["k"], "ts", "ts", "rid", direction="forward"
+        ).collect()
+    }
+    # lid 101 (ts=5): earliest later right is ts=10 -> 7; lid 103: none later in k=3
+    assert fwd[101] == 7 and fwd[103] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join_sorted(left, right, ["k"], "ts", "ts", "rid", direction="both")
