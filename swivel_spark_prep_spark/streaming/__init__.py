@@ -788,3 +788,68 @@ def stream_running_quantiles(
         .outputMode("append")
         .start()
     )
+
+
+def stream_running_distinct(
+    values_stream: DataFrame,
+    value_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_col: str | None = None,
+    lg_k: int = 12,
+):
+    """Running distinct-count monitor with BOUNDED state — the third
+    of the streaming sketch services (CMS top-k terms, DDSketch
+    quantiles, HLL distinct): each micro-batch aggregates to one
+    Datasketches HLL sketch per group (``hll_sketch_agg``), UNIONS it
+    with batch N-1's cumulative sketch (``hll_union_agg`` — the sketch
+    algebra Spark exposes natively), and snapshots per-group
+    ``n_approx`` (±1.04/sqrt(2^lg_k)) under ``out_dir/batch_id=N``.
+    State per batch = one 2^lg_k-register binary per group — the
+    vocabulary/value cardinality never materializes.
+
+    Same conventions as the sibling services: per-batch-partitioned
+    overwrites (idempotent replay), empty batches still commit state.
+    Returns the started StreamingQuery.
+    """
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jp))
+
+    def _apply(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        g = (
+            F.col(group_col) if group_col else F.lit("__all__")
+        ).alias("g")
+        sk = (
+            batch.select(g, F.col(value_col).alias("_v"))
+            .groupBy("g")
+            .agg(F.hll_sketch_agg("_v", F.lit(lg_k)).alias("_sk"))
+        )
+        prev = f"{state_dir}/hll/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev):
+            sk = (
+                spark.read.parquet(prev)
+                .unionByName(sk)
+                .groupBy("g")
+                # allowDifferentLgConfigK=false: every sketch in this
+                # state chain is built with the same lg_k
+                .agg(F.hll_union_agg("_sk", F.lit(False)).alias("_sk"))
+            )
+        sk.write.mode("overwrite").parquet(
+            f"{state_dir}/hll/batch_id={batch_id}"
+        )
+        cum = spark.read.parquet(f"{state_dir}/hll/batch_id={batch_id}")
+        cum.select(
+            "g", F.hll_sketch_estimate("_sk").cast("long").alias("n_approx")
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        values_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -579,3 +579,75 @@ def test_asof_join_sorted_semantics(spark):
 
     with _pytest.raises(ValueError):
         asof_join_sorted(left, right, ["k"], "ts", "ts", "rid", direction="both")
+
+
+# --- streaming running distinct (HLL) --------------------------------------------
+
+
+def test_stream_running_distinct_converges_to_batch(spark, tmp_path):
+    """Cumulative per-group estimates after the last batch must equal
+    the one-shot batch HLL estimate over all rows (sketch-union algebra
+    is associative), and at this cardinality the estimate is exact."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.streaming import stream_running_distinct
+
+    stage = tmp_path / "stage"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    full = spark.range(0, 3000).select(
+        (F.col("id") % 2 == 0).cast("string").alias("g"),
+        # group 'true': 500 distinct values; 'false': 300 (overlapping
+        # across batches, so naive per-batch-count summation would be
+        # wrong and only the union algebra gives the right answer)
+        F.when(F.col("id") % 2 == 0, F.col("id") % 500)
+        .otherwise(F.col("id") % 300)
+        .alias("v"),
+        F.col("id"),
+    )
+    parts = [full.filter(F.col("id") % 3 == i).select("g", "v") for i in range(3)]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(stage / f"b{i}"))
+        f = glob.glob(str(stage / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(drops / f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drops))
+    )
+    q = stream_running_distinct(
+        stream,
+        "v",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        group_col="g",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(str(tmp_path / "out" / "batch_id=*"))
+    )
+    got = {
+        r.g: r.n_approx
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / f"batch_id={last}")
+        ).collect()
+    }
+    want = {
+        r.g: r.n
+        for r in full.groupBy("g")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    assert got == want  # HLL at lg_k=12 is exact at this cardinality
+    # state = ONE sketch row per group per batch
+    rows = spark.read.parquet(
+        str(tmp_path / "state" / "hll" / f"batch_id={last}")
+    ).count()
+    assert rows == 2
