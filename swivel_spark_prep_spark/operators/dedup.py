@@ -1285,77 +1285,3 @@ def edit_distance_pairs(
         .select("i", "j", "dist")
     )
 
-
-def duplicate_spans(
-    df: DataFrame,
-    window: int = 10,
-    min_docs: int = 2,
-    id_col: str = "doc_id",
-    content_col: str = "text",
-) -> DataFrame:
-    """Duplicated-span detection at sliding-window granularity — the
-    relational re-expression of Lee et al. 2022 ("Deduplicating
-    Training Data Makes Language Models Better", public) exact
-    substring deduplication: every ``window``-token sliding span is
-    hashed; a span hash occurring in ≥ ``min_docs`` DISTINCT docs marks
-    memorized/boilerplate text that an LLM would see repeatedly. Where
-    the paper builds a corpus suffix array, the distributed shape here
-    is windows → hash → distinct-doc count → join back: Σ windows =
-    corpus tokens, every shuffle row is (hash, doc) narrow, and no
-    suffix structure ever materializes on one machine.
-
-    Hashes are the KMV convention (first 15 md5 hex chars as int64 —
-    engine-replayable; 60-bit collisions are ~10⁻⁹ at fixture scale and
-    only ever OVERcount duplication). Docs shorter than ``window``
-    tokens contribute zero windows. Output per doc:
-    (id_col, n_windows, n_dup_windows, dup_fraction)."""
-    if window < 2:
-        raise ValueError(f"window must be >= 2, got {window}")
-    if min_docs < 2:
-        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = F.col("__arr")
-    spans = (
-        _spread(df.select(id_col, content_col))
-        .select(
-            id_col, F.split(F.lower(F.col(content_col)), " ").alias("__arr")
-        )
-        .filter(F.size(toks) >= window)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - window),
-                    lambda p: F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    " ", F.slice(toks, p + 1, window)
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                )
-            ).alias("__h"),
-        )
-    )
-    spans = track_persist(spans)  # feeds the count AND the join-back
-    span_docs = spans.groupBy("__h").agg(
-        F.countDistinct(id_col).alias("__nd")
-    )
-    return (
-        spans.join(span_docs, "__h")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum((F.col("__nd") >= min_docs).cast("long")).alias(
-                "n_dup_windows"
-            ),
-        )
-        .withColumn(
-            "dup_fraction", F.col("n_dup_windows") / F.col("n_windows")
-        )
-    )

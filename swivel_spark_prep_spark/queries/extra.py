@@ -5337,39 +5337,47 @@ def x152(spark, sf_dir):
 
 
 @_declare(
-    "X153_duplicate_spans",
-    # Duplicated-span detection (dedup.duplicate_spans, Lee et al. 2022
-    # substring dedup at 10-token window granularity): per source, the
-    # fraction of sliding windows whose hash occurs in >= 2 distinct
-    # docs — the memorization/boilerplate signal document-level dedup
-    # misses. The oracle replays the identical md5-window hashing.
-    """WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS arr FROM documents),
-w AS (SELECT doc_id, source,
-             ('0x' || substr(md5(array_to_string(arr[p+1:p+10], ' ')), 1, 15))::BIGINT AS h
-      FROM tok, UNNEST(range(len(arr) - 9)) AS u(p)
-      WHERE len(arr) >= 10),
-hd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY 1),
-per AS (SELECT doc_id, source, COUNT(*) AS nw, SUM((nd >= 2)::INT) AS ndup
-        FROM w JOIN hd USING (h) GROUP BY 1, 2)
-SELECT source, SUM(nw)::BIGINT AS n_windows, SUM(ndup)::BIGINT AS n_dup_windows,
-       ROUND(SUM(ndup)::DOUBLE / SUM(nw), 6) AS dup_fraction
-FROM per GROUP BY 1 ORDER BY 1;""",
+    "X153_dup_span_burden",
+    # Per-source duplicated-substring burden: the corpus-slice rollup
+    # of X72's per-doc Lee-et-al ExactSubstr coverage (10-token grams,
+    # COMPOSES dedup.duplicate_ngram_spans — no second span operator),
+    # answering "which sources carry the boilerplate/memorization
+    # weight" for mix decisions. The oracle is the X72 raw-gram twin
+    # aggregated per source.
+    """WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+g AS (
+  SELECT doc_id, source, n_tok, r.i AS pos,
+         array_to_string(t[r.i:r.i+9], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS r(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+dp AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+c AS (
+  SELECT doc_id, pos,
+         LEAST(10, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 10)) AS contrib
+  FROM dp),
+pd AS (SELECT doc_id, SUM(contrib) AS covered FROM c GROUP BY doc_id)
+SELECT t.source, SUM(t.n_tok)::BIGINT AS n_tok,
+       SUM(COALESCE(pd.covered, 0))::BIGINT AS covered_tokens,
+       ROUND(SUM(COALESCE(pd.covered, 0))::DOUBLE / SUM(t.n_tok), 6) AS dup_frac
+FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id
+GROUP BY 1 ORDER BY 1;""",
 )
 def x153(spark, sf_dir):
-    from swivel_spark_prep_spark.operators.dedup import duplicate_spans
-
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = duplicate_spans(docs, window=10, min_docs=2)
+    per_doc = dedup.duplicate_ngram_spans(docs, n=10)
     src = docs.select("doc_id", "source")
     return (
         per_doc.join(src, "doc_id")
         .groupBy("source")
         .agg(
-            F.sum("n_windows").alias("n_windows"),
-            F.sum("n_dup_windows").alias("n_dup_windows"),
+            F.sum("n_tok").alias("n_tok"),
+            F.sum("covered_tokens").alias("covered_tokens"),
             F.round(
-                F.sum("n_dup_windows") / F.sum("n_windows"), 6
-            ).alias("dup_fraction"),
+                F.sum("covered_tokens") / F.sum("n_tok"), 6
+            ).alias("dup_frac"),
         )
         .orderBy("source")
     )

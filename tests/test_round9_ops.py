@@ -386,39 +386,22 @@ def test_calibration_ece_perfectly_calibrated(spark):
         assert abs(b.conf - b.acc) < 1e-12
 
 
-# --- duplicate spans ----------------------------------------------------------
+# --- duplicated-span burden (X153 composition) -----------------------------------
 
 
-def test_duplicate_spans_planted_duplicate(spark):
-    from swivel_spark_prep_spark.operators.dedup import duplicate_spans
+def test_dup_span_burden_rolls_up_x72(spark, sf_dir):
+    """X153 is the per-source rollup of duplicate_ngram_spans (X72's
+    operator) — totals must reconcile exactly with the per-doc output."""
+    from swivel_spark_prep_spark.catalog import load_table as _lt
+    from swivel_spark_prep_spark.operators.dedup import duplicate_ngram_spans
+    from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
 
-    shared = " ".join(f"w{i}" for i in range(10))  # one 10-token span
-    rows = [
-        (1, shared + " unique one tail tokens here now a b c"),
-        (2, "prefix tokens differ here totally x y z " + shared),
-        (3, "completely different words only nothing shared at all here ok"),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r.doc_id: r for r in duplicate_spans(df, window=10).collect()}
-    # docs 1 and 2 each contain the planted span; doc 3 shares nothing
-    assert got[1].n_dup_windows >= 1 and got[2].n_dup_windows >= 1
-    assert got[3].n_dup_windows == 0
-    assert 0 < got[1].dup_fraction <= 1.0
-    # short doc contributes no windows at all
-    short = spark.createDataFrame([(9, "just three words")], "doc_id long, text string")
-    assert duplicate_spans(short, window=10).count() == 0
-
-
-def test_duplicate_spans_validation(spark):
-    import pytest as _pytest
-
-    from swivel_spark_prep_spark.operators.dedup import duplicate_spans
-
-    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
-    with _pytest.raises(ValueError):
-        duplicate_spans(df, window=1)
-    with _pytest.raises(ValueError):
-        duplicate_spans(df, min_docs=1)
+    docs = _lt(spark, str(sf_dir), "documents")
+    per_doc = duplicate_ngram_spans(docs, n=10)
+    want_cov = per_doc.agg(F.sum("covered_tokens")).first()[0]
+    got = EXTRA_QUERIES["X153_dup_span_burden"](spark, str(sf_dir)).collect()
+    assert sum(r.covered_tokens for r in got) == want_cov
+    assert all(0.0 <= r.dup_frac <= 1.0 for r in got)
 
 
 # --- streaming running quantiles ------------------------------------------------
