@@ -265,3 +265,82 @@ def quantile_normalize(
     per-group window at scale."""
     w = Window.partitionBy(group_col).orderBy(value_col)
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def fd_violations(
+    df: DataFrame, lhs: list[str], rhs: str
+) -> DataFrame:
+    """Functional-dependency audit (the CFD data-quality check): report
+    every LHS key that maps to MORE than one distinct RHS value —
+    "order key determines customer", "ISBN determines title" style
+    invariants a clean corpus must satisfy. One grouped aggregate with
+    map-side partials; NULL RHS counts as a value of its own (a key
+    mapping to both NULL and 'x' IS inconsistent). Output per
+    violating key: (lhs..., n_rows, n_distinct_rhs, rhs_min, rhs_max)
+    — the min/max witnesses give a repair crew two concrete
+    conflicting values without a second scan."""
+    if not lhs:
+        raise ValueError("lhs must be non-empty")
+    nd = F.size(
+        F.collect_set(
+            F.coalesce(F.col(rhs).cast("string"), F.lit("\u0000NULL"))
+        )
+    )
+    return (
+        df.groupBy(*lhs)
+        .agg(
+            F.count("*").alias("n_rows"),
+            nd.alias("n_distinct_rhs"),
+            F.min(rhs).alias("rhs_min"),
+            F.max(rhs).alias("rhs_max"),
+        )
+        .filter(F.col("n_distinct_rhs") > 1)
+    )
+
+
+def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit (Benford's law) distribution audit — the classic
+    sanity check for organically-generated numeric columns (amounts,
+    populations, file sizes): observed leading-digit shares vs the
+    log10(1 + 1/d) expectation, plus the chi-square statistic on a
+    '__chi2__' summary row (the skew_report convention). A synthetic
+    or truncated column departs loudly. Only strictly positive values
+    carry a leading digit; one corpus aggregate to 9 rows. Output:
+    (kind, digit, n, obs_p, exp_p, chi2)."""
+    import math
+
+    x = F.col(value_col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
+    per = (
+        df.filter(x.isNotNull() & (x > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    exp_map = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    tot = per.agg(F.sum("n").alias("__N"))
+    per = per.crossJoin(F.broadcast(tot)).select(
+        F.lit("digit").alias("kind"),
+        "digit",
+        "n",
+        (F.col("n") / F.col("__N")).alias("obs_p"),
+        exp_map.alias("exp_p"),
+        F.lit(None).cast("double").alias("chi2"),
+        F.col("__N"),
+    )
+    chi = per.agg(
+        F.lit("__chi2__").alias("kind"),
+        F.lit(None).cast("long").alias("digit"),
+        F.sum("n").alias("n"),
+        F.lit(None).cast("double").alias("obs_p"),
+        F.lit(None).cast("double").alias("exp_p"),
+        F.sum(
+            F.pow(F.col("obs_p") - F.col("exp_p"), 2)
+            / F.col("exp_p")
+            * F.col("__N")
+        ).alias("chi2"),
+    )
+    return per.drop("__N").unionByName(chi)

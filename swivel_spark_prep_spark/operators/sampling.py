@@ -669,3 +669,72 @@ def token_budget_allocation(
         )
     )
 
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007, public): a
+    weighted without-replacement sample of ``k`` rows that supports
+    UNBIASED subset-sum estimation — each sampled row carries the
+    estimator weight ``max(w, tau)`` (tau = the (k+1)-th priority), and
+    any subset's weight is estimated by summing the estimator over its
+    sampled members; E[estimate] equals the true subset sum exactly.
+    The sketch of choice when "sample 1k docs but keep totals
+    estimable" matters (per-source token budgets from a sample,
+    weighted QA draws).
+
+    Priorities are ``w / u`` with ``u`` the KMV-convention md5 uniform
+    in (0,1] — deterministic, engine-replayable, and independent per
+    salt. Plan: one TakeOrdered top-(k+1) (no global sort — Spark's
+    per-partition top-k heap + driver merge of (k+1)-row slices), the
+    threshold folded back as a 1-row broadcast. Rows with NULL or
+    non-positive weight are excluded (they cannot carry priority).
+    Output: key, weight, priority, est (estimator weight)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from swivel_spark_prep_spark.cache import track_persist
+
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float(2**60)
+    scored = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(key_col).alias("key"),
+            w.alias("weight"),
+            (w / u).alias("priority"),
+        )
+        # doc-key tiebreak keeps the top-(k+1) frontier deterministic
+        .orderBy(F.desc("priority"), F.asc("key"))
+        .limit(k + 1)
+    )
+    scored = track_persist(scored)
+    tau = scored.agg(F.min("priority").alias("__tau"))
+    n = scored.count()
+    top = scored.orderBy(F.desc("priority"), F.asc("key")).limit(
+        k if n > k else n
+    )
+    return top.crossJoin(F.broadcast(tau)).select(
+        "key",
+        "weight",
+        "priority",
+        # fewer rows than k+1 -> every row sampled, estimator = weight
+        F.when(F.lit(n) <= k, F.col("weight"))
+        .otherwise(F.greatest("weight", "__tau"))
+        .alias("est"),
+    )

@@ -5381,3 +5381,100 @@ def x153(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_declare(
+    "X154_priority_sample",
+    # Priority sampling (sampling.priority_sample, Duffield-Lund-Thorup
+    # 2007): top-50 of documents by n_chars/u with the md5 uniform u,
+    # estimator weight max(w, tau) from the 51st priority — the
+    # weighted sample whose subset sums stay unbiasedly estimable.
+    # Deterministic md5 arithmetic; both engines do bit-identical IEEE
+    # division, so the oracle replays values exactly.
+    """WITH g AS (SELECT doc_id AS key, n_chars::DOUBLE AS weight,
+                 (('0x' || substr(md5('prio' || doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                   / 1152921504606846976.0 AS u
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+p AS (SELECT key, weight, weight / u AS priority FROM g),
+t1 AS (SELECT * FROM p ORDER BY priority DESC, key ASC LIMIT 51),
+tau AS (SELECT MIN(priority) AS t FROM t1),
+s AS (SELECT * FROM t1 ORDER BY priority DESC, key ASC LIMIT 50)
+SELECT key, weight, ROUND(priority, 4) AS priority,
+       ROUND(GREATEST(weight, tau.t), 4) AS est
+FROM s CROSS JOIN tau ORDER BY key;""",
+)
+def x154(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        priority_sample(docs, "n_chars", 50, key_col="doc_id")
+        .select(
+            "key",
+            "weight",
+            F.round("priority", 4).alias("priority"),
+            F.round("est", 4).alias("est"),
+        )
+        .orderBy("key")
+    )
+
+
+@_declare(
+    "X155_fd_violations",
+    # Functional-dependency audit (quality.fd_violations): sources
+    # whose documents span more than one language — the CFD-style
+    # invariant check ("source determines lang" is violated throughout
+    # this fixture, which is exactly what the report shows), with
+    # min/max witnesses so a repair crew sees concrete conflicts.
+    """SELECT source, COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT COALESCE(lang, chr(1) || 'NULL'))::BIGINT AS n_distinct_rhs,
+       MIN(lang) AS rhs_min, MAX(lang) AS rhs_max
+FROM documents GROUP BY 1 HAVING COUNT(DISTINCT COALESCE(lang, chr(1) || 'NULL')) > 1
+ORDER BY 1;""",
+)
+def x155(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import fd_violations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fd_violations(docs, ["source"], "lang").orderBy("source")
+
+
+@_declare(
+    "X156_benford_digits",
+    # Benford first-digit audit (quality.benford_deviation) on
+    # l_extendedprice: observed leading-digit shares vs log10(1+1/d)
+    # plus the chi-square '__chi2__' summary row. TPC-H prices are
+    # uniform-ish, NOT Benford — the large chi2 is the point: the audit
+    # flags synthetic numerics loudly.
+    """WITH v AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem WHERE l_extendedprice > 0),
+d AS (SELECT FLOOR(x / POWER(10, FLOOR(LOG10(x))))::BIGINT AS digit FROM v),
+per AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n)::DOUBLE AS tot FROM per),
+e AS (SELECT * FROM (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)) AS b(digit, exp_p)),
+pg AS (SELECT per.digit, n, n / t.tot AS obs_p, e.exp_p
+       FROM per JOIN e USING (digit) CROSS JOIN t),
+chi AS (SELECT SUM(n)::BIGINT AS n,
+               SUM((obs_p - exp_p) * (obs_p - exp_p) / exp_p * t.tot) AS chi2
+        FROM pg CROSS JOIN t GROUP BY t.tot)
+SELECT 'digit' AS kind, digit, n, ROUND(obs_p, 6) AS obs_p,
+       ROUND(exp_p, 6) AS exp_p, NULL::DOUBLE AS chi2 FROM pg
+UNION ALL
+SELECT '__chi2__', NULL::BIGINT, n, NULL::DOUBLE, NULL::DOUBLE, ROUND(chi2, 4) FROM chi
+ORDER BY kind, digit;""",
+)
+def x156(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import benford_deviation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        benford_deviation(li, "l_extendedprice")
+        .select(
+            "kind",
+            "digit",
+            "n",
+            F.round("obs_p", 6).alias("obs_p"),
+            F.round("exp_p", 6).alias("exp_p"),
+            F.round("chi2", 4).alias("chi2"),
+        )
+        .orderBy("kind", "digit")
+    )

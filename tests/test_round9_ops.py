@@ -634,3 +634,62 @@ def test_stream_running_distinct_converges_to_batch(spark, tmp_path):
         str(tmp_path / "state" / "hll" / f"batch_id={last}")
     ).count()
     assert rows == 2
+
+
+# --- priority sampling / FD audit / Benford ---------------------------------------
+
+
+def test_priority_sample_estimator_reconciles(spark, docs):
+    """The total-sum estimate from the sample must land near the true
+    total (unbiased over the hash draw; the fixed-hash realization
+    should still be within a loose envelope), every estimator weight
+    >= its raw weight, and k bounds the sample size."""
+    from swivel_spark_prep_spark.operators.sampling import priority_sample
+
+    k = 64
+    out = priority_sample(docs, "n_chars", k).collect()
+    assert len(out) == k
+    assert all(r.est >= r.weight - 1e-9 for r in out)
+    est_total = sum(r.est for r in out)
+    true_total = docs.agg(F.sum("n_chars")).first()[0]
+    assert abs(est_total - true_total) / true_total < 0.5
+    # k >= population -> exact passthrough (est == weight, all rows)
+    small = docs.limit(10)
+    allrows = priority_sample(small, "n_chars", 100).collect()
+    assert len(allrows) == 10
+    assert all(r.est == r.weight for r in allrows)
+
+
+def test_fd_violations_detects_and_respects_clean_fd(spark):
+    from swivel_spark_prep_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (2, "c"), (3, None), (3, "x")],
+        "k long, v string",
+    )
+    got = {r.k: r for r in fd_violations(df, ["k"], "v").collect()}
+    assert set(got) == {1, 3}  # k=2 is consistent; NULL vs 'x' IS a violation
+    assert got[1].n_distinct_rhs == 2
+    clean = spark.createDataFrame([(1, "a"), (1, "a")], "k long, v string")
+    assert fd_violations(clean, ["k"], "v").count() == 0
+
+
+def test_benford_on_benford_distributed_data(spark):
+    """A column sampled from an actual Benford distribution (powers
+    spread uniformly in log space) must score a SMALL chi2; digits
+    cover 1..9 and observed shares track log10(1+1/d)."""
+    import math
+
+    from swivel_spark_prep_spark.operators.quality import benford_deviation
+
+    # x = 10^u for u uniform on [0,3) is exactly Benford-distributed
+    df = spark.range(0, 9000).select(
+        F.pow(F.lit(10.0), (F.col("id") % 3000) / 1000.0).alias("x")
+    )
+    rows = benford_deviation(df, "x").collect()
+    digits = {r.digit: r for r in rows if r.kind == "digit"}
+    assert set(digits) == set(range(1, 10))
+    for d in range(1, 10):
+        assert abs(digits[d].obs_p - math.log10(1 + 1 / d)) < 0.01
+    chi = next(r for r in rows if r.kind == "__chi2__")
+    assert chi.chi2 < 20  # uniform data scores in the thousands
