@@ -344,3 +344,66 @@ def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
         ).alias("chi2"),
     )
     return per.drop("__N").unionByName(chi)
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two slices of a
+    numeric column — the distribution-equality audit that PSI's fixed
+    bins can miss (D is binning-free): ``D = max_x |F_a(x) − F_b(x)|``
+    over the empirical CDFs, plus the scaled statistic
+    ``D·sqrt(n_a·n_b/(n_a+n_b))`` whose large-sample critical value is
+    1.358 at alpha=0.05 (Smirnov). Use it before treating two corpus
+    slices (two sources, two snapshot versions) as exchangeable.
+
+    One aggregate collapses both slices to per-DISTINCT-VALUE counts;
+    the running CDFs are a window over that bounded relation (value
+    cardinality, never row count). NULL values are excluded. Output:
+    one row (n_a, n_b, d_stat, ks_stat)."""
+    x = F.col(value_col)
+    g = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        x.alias("_v"),
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+        (F.col(group_col) == group_b).cast("long").alias("_b"),
+    )
+    c = g.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb")
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cu = c.select(
+        F.sum("_ca").over(w).alias("_cca"),
+        F.sum("_cb").over(w).alias("_ccb"),
+    )
+    t = c.agg(
+        F.sum("_ca").cast("double").alias("_na"),
+        F.sum("_cb").cast("double").alias("_nb"),
+    )
+    return (
+        cu.crossJoin(F.broadcast(t))
+        .agg(
+            F.first("_na").cast("long").alias("n_a"),
+            F.first("_nb").cast("long").alias("n_b"),
+            F.max(
+                F.abs(F.col("_cca") / F.col("_na") - F.col("_ccb") / F.col("_nb"))
+            ).alias("d_stat"),
+            (
+                F.max(
+                    F.abs(
+                        F.col("_cca") / F.col("_na")
+                        - F.col("_ccb") / F.col("_nb")
+                    )
+                )
+                * F.sqrt(
+                    F.first("_na") * F.first("_nb")
+                    / (F.first("_na") + F.first("_nb"))
+                )
+            ).alias("ks_stat"),
+        )
+    )

@@ -5478,3 +5478,34 @@ def x156(spark, sf_dir):
         )
         .orderBy("kind", "digit")
     )
+
+
+@_declare(
+    "X157_ks_test",
+    # Two-sample Kolmogorov-Smirnov audit (quality.ks_test): are src0
+    # and src1 drawn from the same n_chars distribution? D over the
+    # per-distinct-value CDF relation (binning-free, unlike PSI), with
+    # the Smirnov-scaled statistic alongside.
+    """WITH g AS (SELECT n_chars AS v,
+                 (source = 'src0')::INT AS a, (source = 'src1')::INT AS b
+          FROM documents
+          WHERE n_chars IS NOT NULL AND source IN ('src0', 'src1')),
+c AS (SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM g GROUP BY 1),
+cu AS (SELECT SUM(ca) OVER (ORDER BY v) AS cca,
+              SUM(cb) OVER (ORDER BY v) AS ccb FROM c),
+t AS (SELECT SUM(ca)::DOUBLE AS na, SUM(cb)::DOUBLE AS nb FROM c)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(MAX(ABS(cca / na - ccb / nb)), 6) AS d_stat,
+       ROUND(MAX(ABS(cca / na - ccb / nb)) * SQRT(na * nb / (na + nb)), 4) AS ks_stat
+FROM cu CROSS JOIN t GROUP BY na, nb;""",
+)
+def x157(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import ks_test
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_test(docs, "n_chars", "source", "src0", "src1").select(
+        "n_a",
+        "n_b",
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round("ks_stat", 4).alias("ks_stat"),
+    )

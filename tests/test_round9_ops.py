@@ -693,3 +693,27 @@ def test_benford_on_benford_distributed_data(spark):
         assert abs(digits[d].obs_p - math.log10(1 + 1 / d)) < 0.01
     chi = next(r for r in rows if r.kind == "__chi2__")
     assert chi.chi2 < 20  # uniform data scores in the thousands
+
+
+# --- KS test ----------------------------------------------------------------------
+
+
+def test_ks_test_identical_and_disjoint(spark):
+    from swivel_spark_prep_spark.operators.quality import ks_test
+
+    same = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(100)]
+        + [("b", float(i % 10)) for i in range(100)],
+        "g string, v double",
+    )
+    r = ks_test(same, "v", "g", "a", "b").first()
+    assert r.n_a == 100 and r.n_b == 100
+    assert abs(r.d_stat) < 1e-12  # identical distributions -> D = 0
+    disjoint = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)]
+        + [("b", float(i + 1000)) for i in range(50)],
+        "g string, v double",
+    )
+    r2 = ks_test(disjoint, "v", "g", "a", "b").first()
+    assert abs(r2.d_stat - 1.0) < 1e-12  # fully separated -> D = 1
+    assert abs(r2.ks_stat - (50 * 50 / 100) ** 0.5) < 1e-9
