@@ -89,20 +89,32 @@ def asof_join_sorted(
     Matching is inclusive (left_ts >= right_ts backward, <= forward —
     a right row at the exact left timestamp matches), and ties on the
     right timestamp break DETERMINISTICALLY to the largest
-    ``value_col`` (asof_join's max_by ties are arbitrary). LEFT
-    semantics: no earlier/later right row → NULL. Output: all left
-    columns + ``out_col`` (default ``value_col + "_asof"``)."""
+    ``value_col`` (asof_join's max_by ties are arbitrary; NULL values
+    sort first, so a non-NULL value wins a timestamp tie). LEFT
+    semantics: no earlier/later right row → NULL. NULL handling matches
+    asof_join's range predicate and DuckDB ASOF (ADVICE r9): right rows
+    with a NULL timestamp are NOT matchable (dropped before the merge —
+    a NULL ts cannot be "earlier"), and a NULL ``value_col`` on the
+    nearest right row yields NULL rather than falling through to an
+    older row (the running carry is a (ts, value) struct, non-NULL for
+    every right row, so the NEAREST row always wins even when its value
+    is NULL). Output: all left columns + ``out_col`` (default
+    ``value_col + "_asof"``)."""
     from pyspark.sql import Window
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     out_col = out_col or f"{value_col}_asof"
     lcols = left.columns
-    r = right.select(
+    vtype = right.schema[value_col].dataType
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__k"),
         F.col(value_col).alias("__v"),
+        F.struct(
+            F.col(right_ts).alias("__mts"), F.col(value_col).alias("__mv")
+        ).alias("__m"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in by],
     )
@@ -110,7 +122,13 @@ def asof_join_sorted(
         *by,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__k"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("__v"),
+        F.lit(None).cast(vtype).alias("__v"),
+        F.lit(None)
+        .cast(
+            f"struct<__mts:{right.schema[right_ts].dataType.simpleString()},"
+            f"__mv:{vtype.simpleString()}>"
+        )
+        .alias("__m"),
         *[F.col(c) for c in lcols if c not in by],
     )
     # right rows sort BEFORE the left row at equal ts (inclusive match);
@@ -127,7 +145,7 @@ def asof_join_sorted(
     )
     return (
         r.unionByName(l)
-        .withColumn(out_col, F.last("__v", ignorenulls=True).over(w))
+        .withColumn(out_col, F.last("__m", ignorenulls=True).over(w)["__mv"])
         .filter(F.col("__k") == 1)
         .select(*by, *[c for c in lcols if c not in by], out_col)
     )

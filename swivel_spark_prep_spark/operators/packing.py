@@ -26,60 +26,15 @@ def _exclusive_prefix_sum(
     df: DataFrame, value_col: str, order_cols: list, out_col: str
 ) -> DataFrame:
     """cum_before = sum of value_col over all rows strictly before this one
-    in the total order — two-pass, no global window."""
-    # NOT df.rdd.getNumPartitions(): touching .rdd forces a plan-to-RDD
-    # conversion just to read a number (the zorder wart, VERDICT r6),
-    # and a single-file input would collapse the range exchange to ONE
-    # partition — a single-task sort stage, the exact thing the
-    # two-pass scheme exists to avoid. shuffle.partitions is the knob
-    # deployments size to their data (thousands on a big cluster), so
-    # the exchange width scales with the configured shuffle width, not
-    # the local core count.
-    spark = df.sparkSession
-    n_part = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism,
-        2,
+    in the total order — two-pass, no global window. Thin long-typed
+    wrapper over the public primitive this pattern was promoted into
+    (operators/ranks.partitioned_prefix_sum, round-10 extraction)."""
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    out = partitioned_prefix_sum(
+        df, order_cols, [value_col], [out_col], inclusive=False
     )
-    ranged = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
-        *order_cols
-    )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in with_pid.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_t"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = with_pid.withColumn(
-        "_local", F.coalesce(F.sum(value_col).over(w), F.lit(0))
-    )
-    if len(offsets) <= 64:
-        off = F.coalesce(
-            *[F.when(F.col("_pid") == p, F.lit(o)) for p, o in offsets.items()]
-            or [F.lit(0)],
-            F.lit(0),
-        )
-        out = local.withColumn(out_col, (F.col("_local") + off).cast("long"))
-    else:
-        off_df = df.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
-        )
-        out = (
-            local.join(F.broadcast(off_df), "_pid")
-            .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
-            .drop("_off")
-        )
-    return out.drop("_pid", "_local")
+    return out.withColumn(out_col, F.col(out_col).cast("long"))
 
 
 def pack_sequences(

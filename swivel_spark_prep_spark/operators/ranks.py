@@ -1,0 +1,171 @@
+"""Scale-safe ordered prefix sums — the public primitive behind every
+"running total over a globally-ordered relation" in this engine.
+
+A naive ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY forces Spark
+to collapse the whole relation into ONE task (Exchange SinglePartition +
+Sort) — correct at test scale, a single-executor sort at 100 TB. The
+two-pass scheme here (the X46/X90 pattern born in packing/dedup, promoted
+to a public operator per the round-9 verdict) computes the identical
+values with no single-task data stage:
+
+1. range-partition by the order columns (equal keys land together, so
+   partition-local order is a contiguous slice of the global order) and
+   sort within partitions;
+2. partition-local prefix sums in parallel (a window PARTITIONED by the
+   physical partition id — never a global window);
+3. add per-partition offsets computed from the partition TOTALS — a
+   control relation of at most ``#partitions`` rows (ungrouped: a
+   driver-side cumsum over #partitions numbers; grouped: a per-group
+   window over the totals relation, whose partition spec is non-empty so
+   no single-partition exchange appears anywhere in the plan).
+
+Grouped form: with ``group_cols`` the running sum RESETS per group and
+rows are range-partitioned by (group, order) — each group occupies a
+contiguous run of partitions, so the totals relation has at most
+``#partitions + #groups`` rows and is broadcast back. Use the grouped
+form when group cardinality is control-plane-sized (sources, languages,
+shards); a per-group window is the right tool only when groups are
+numerous AND individually small.
+
+Determinism contract: ``order_cols`` must totally order the rows within
+each group (build the relation with a groupBy on the order key first, as
+binary_auc/ks_test do, or use a unique key). With duplicate order keys
+the split of ties across the exclusive/inclusive boundary is
+tie-order-dependent — exactly as it is under a raw running window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["partitioned_prefix_sum"]
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_cols,
+    out_cols=None,
+    *,
+    group_cols: list | None = None,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Append running-sum columns over the total order ``order_cols``
+    (within ``group_cols`` if given) without any single-partition data
+    stage. ``inclusive=False`` sums rows strictly BEFORE each row
+    (exclusive prefix, 0 for the first row); ``inclusive=True`` includes
+    the row itself. Multiple ``value_cols`` share one pass. All input
+    columns are preserved; ``out_cols`` default to ``<value>_cum``.
+    """
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    out_cols = list(out_cols) if out_cols else [f"{v}_cum" for v in value_cols]
+    if len(out_cols) != len(value_cols):
+        raise ValueError("out_cols must match value_cols in length")
+    group_cols = list(group_cols or [])
+    order_cols = list(order_cols)
+
+    # NOT df.rdd.getNumPartitions() (plan-to-RDD conversion; single-file
+    # inputs would collapse the range exchange to one partition) —
+    # shuffle.partitions is the knob deployments size to their data.
+    spark = df.sparkSession
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+        2,
+    )
+    ranged = df.repartitionByRange(
+        n_part, *group_cols, *order_cols
+    ).sortWithinPartitions(*group_cols, *order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    bound = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, bound)
+    )
+    if not group_cols:
+        # Driver-side cumsum over #partitions numbers (never data) — the
+        # packing/_exclusive_prefix_sum scheme verbatim, so the main
+        # plan carries NO single-partition exchange at all. The ranged
+        # relation is persisted so the totals pass and the main plan
+        # share one upstream computation (released via cache.py).
+        from swivel_spark_prep_spark.cache import track_persist
+
+        with_pid = track_persist(with_pid)
+        local = with_pid.select(
+            "*",
+            *[
+                F.coalesce(F.sum(v).over(w_local), F.lit(0)).alias(f"_loc_{v}")
+                for v in value_cols
+            ],
+        )
+        totals = {
+            r["_pid"]: tuple(r[f"_t_{v}"] for v in value_cols)
+            for r in with_pid.groupBy("_pid")
+            .agg(*[F.sum(v).alias(f"_t_{v}") for v in value_cols])
+            .collect()
+        }
+        offsets, acc = {}, [0] * len(value_cols)
+        for pid in sorted(totals):
+            offsets[pid] = tuple(acc)
+            acc = [a + (t or 0) for a, t in zip(acc, totals[pid])]
+        if len(offsets) <= 64:
+            out = local
+            for i, (v, o) in enumerate(zip(value_cols, out_cols)):
+                off = F.coalesce(
+                    *[
+                        F.when(F.col("_pid") == p, F.lit(offs[i]))
+                        for p, offs in offsets.items()
+                    ]
+                    or [F.lit(0)],
+                    F.lit(0),
+                )
+                out = out.withColumn(o, F.col(f"_loc_{v}") + off)
+        else:
+            off_df = spark.createDataFrame(
+                [(int(p),) + tuple(offs) for p, offs in offsets.items()],
+                ["_pid"] + [f"_off_{v}" for v in value_cols],
+            )
+            out = local.join(F.broadcast(off_df), "_pid")
+            for v, o in zip(value_cols, out_cols):
+                out = out.withColumn(o, F.col(f"_loc_{v}") + F.col(f"_off_{v}"))
+            out = out.drop(*[f"_off_{v}" for v in value_cols])
+    else:
+        # Grouped: offsets come from a window over the TOTALS relation
+        # (≤ n_part + #groups rows, broadcast back). The window's
+        # partition spec is the group — non-empty, so no
+        # Exchange SinglePartition anywhere, and the whole plan stays
+        # lazy (no driver-side pass).
+        local = with_pid.select(
+            "*",
+            *[
+                F.coalesce(F.sum(v).over(w_local), F.lit(0)).alias(f"_loc_{v}")
+                for v in value_cols
+            ],
+        )
+        totals = with_pid.groupBy("_pid", *group_cols).agg(
+            *[F.sum(v).alias(f"_t_{v}") for v in value_cols]
+        )
+        w_off = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off_df = totals.select(
+            "_pid",
+            *group_cols,
+            *[
+                F.coalesce(F.sum(f"_t_{v}").over(w_off), F.lit(0)).alias(
+                    f"_off_{v}"
+                )
+                for v in value_cols
+            ],
+        )
+        out = local.join(F.broadcast(off_df), ["_pid", *group_cols])
+        for v, o in zip(value_cols, out_cols):
+            out = out.withColumn(o, F.col(f"_loc_{v}") + F.col(f"_off_{v}"))
+        out = out.drop(*[f"_off_{v}" for v in value_cols])
+
+    return out.drop("_pid", *[f"_loc_{v}" for v in value_cols])

@@ -694,7 +694,14 @@ def priority_sample(
     per-partition top-k heap + driver merge of (k+1)-row slices), the
     threshold folded back as a 1-row broadcast. Rows with NULL or
     non-positive weight are excluded (they cannot carry priority).
-    Output: key, weight, priority, est (estimator weight)."""
+    ``key_col`` must uniquely identify rows — ``u`` derives from the
+    key alone, so duplicate keys would share one priority (and their
+    inclusions would not be independent); dedupe or pick the natural
+    unique key first. When the eligible input has n ≤ k rows, EVERY
+    row is sampled and the estimator is exactly ``weight`` (the
+    paper's exact case — tau is not defined; a GREATEST(weight, tau)
+    replay applies only when n > k, ADVICE r9). Output: key, weight,
+    priority, est (estimator weight)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from swivel_spark_prep_spark.cache import track_persist

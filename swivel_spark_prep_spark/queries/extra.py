@@ -5304,7 +5304,7 @@ def x151(spark, sf_dir):
     # what parity pins.
     """WITH g AS (SELECT 1 / (1 + exp(-(n_chars - 350) / 60.0)) AS p, (lang = 'en') AS y
           FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
-b AS (SELECT LEAST(9, FLOOR(p * 10))::BIGINT AS bin, p, y FROM g),
+b AS (SELECT GREATEST(0, LEAST(9, FLOOR(p * 10)))::BIGINT AS bin, p, y FROM g),
 per AS (SELECT bin, COUNT(*)::BIGINT AS n, AVG(p) AS conf,
                AVG(y::INT::DOUBLE) AS acc FROM b GROUP BY 1),
 pg AS (SELECT 'bin' AS kind, bin, n, ROUND(conf, 6) AS conf,
@@ -5448,11 +5448,13 @@ def x155(spark, sf_dir):
     # flags synthetic numerics loudly.
     """WITH v AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem WHERE l_extendedprice > 0),
 d AS (SELECT FLOOR(x / POWER(10, FLOOR(LOG10(x))))::BIGINT AS digit FROM v),
-per AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY 1),
-t AS (SELECT SUM(n)::DOUBLE AS tot FROM per),
+obs AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY 1),
 e AS (SELECT * FROM (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)) AS b(digit, exp_p)),
-pg AS (SELECT per.digit, n, n / t.tot AS obs_p, e.exp_p
-       FROM per JOIN e USING (digit) CROSS JOIN t),
+per AS (SELECT e.digit, COALESCE(obs.n, 0)::BIGINT AS n, e.exp_p
+        FROM e LEFT JOIN obs USING (digit)),
+t AS (SELECT SUM(n)::DOUBLE AS tot FROM per),
+pg AS (SELECT per.digit, n, n / t.tot AS obs_p, per.exp_p
+       FROM per CROSS JOIN t),
 chi AS (SELECT SUM(n)::BIGINT AS n,
                SUM((obs_p - exp_p) * (obs_p - exp_p) / exp_p * t.tot) AS chi2
         FROM pg CROSS JOIN t GROUP BY t.tot)

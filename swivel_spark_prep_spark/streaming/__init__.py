@@ -619,6 +619,32 @@ def stream_running_topk_terms(
     )
 
 
+def _prune_batches(spark: SparkSession, path: str, keep_from: int) -> None:
+    """Delete ``batch_id=M`` state partitions with M < keep_from — the
+    state-GC shared by the three bounded-state sketch streams (CMS /
+    DDSketch / HLL). Each service reads only batch N−1, so retention
+    bounds the state DIRECTORY COUNT (per-batch state was already
+    bounded; the dir count was not — round-9 verdict #7). Uses the
+    Hadoop FS API so it works on any supported filesystem; delete of a
+    committed state partition is safe because no future batch reads it."""
+    if keep_from <= 0:
+        return
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            m = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if m < keep_from:
+            fs.delete(st.getPath(), True)
+
+
 def stream_running_topk_terms_cms(
     docs_stream: DataFrame,
     state_dir: str,
@@ -629,6 +655,7 @@ def stream_running_topk_terms_cms(
     width: int = 4096,
     depth: int = 4,
     pool: int = 4,
+    retain_batches: int | None = 8,
 ):
     """Bounded-state variant of :func:`stream_running_topk_terms` — the
     swap-in that function's docstring promises for unbounded
@@ -645,15 +672,26 @@ def stream_running_topk_terms_cms(
     1. the batch's token stream folds into a CMS cell grid and merges
        cell-wise into batch N-1's cumulative sketch → ``state_dir/cms/
        batch_id=N`` (exactly depth·width rows at most);
-    2. the candidate set = previous candidates ∪ this batch's own
-       top-``k·pool`` terms (a bounded batch-local exact aggregate —
-       any term that ever becomes a global heavy hitter is a batch-local
-       heavy hitter in some batch, the SpaceSaving admission argument);
-       all candidates are re-scored against the cumulative sketch
+    2. the candidate set = previous candidates ∪ EVERY distinct term of
+       this batch, all scored against the CUMULATIVE sketch
        (cms_estimate: broadcast of ≤ depth·width cells, never a
-       corpus-side shuffle) and the top-``k·pool`` survive →
-       ``state_dir/cand/batch_id=N``;
+       corpus-side shuffle) and the top-``k·pool`` by cumulative
+       estimate survive → ``state_dir/cand/batch_id=N``. Admission by
+       cumulative estimate is sound where batch-local rank is not
+       (ADVICE r9): a term's cumulative count only grows in batches
+       where it appears, so in the batch where it crosses the k-th
+       threshold it IS among that batch's distinct terms and is scored
+       at full cumulative weight — a term uniformly just below every
+       batch-local top can no longer be starved. Scoring cost is
+       per-batch-distinct-term map-side work, not state;
     3. the top-``k`` snapshot (token, est) → ``out_dir/batch_id=N``.
+
+    ``retain_batches`` prunes state partitions older than the last N
+    batches after each commit (only batch N−1 is ever read; the cushion
+    covers checkpoint replays, which Structured Streaming bounds to the
+    last uncommitted batch). Without it the per-batch state is bounded
+    but the DIRECTORY COUNT grows forever (round-9 verdict #7). Output
+    snapshots under ``out_dir`` are never pruned — they are the sink.
 
     Estimates are CMS one-sided: est ≥ true count, overcount ≤ εN
     w.h.p. for width = e/ε — at the default 4096×4 a fixture-scale
@@ -691,23 +729,17 @@ def stream_running_topk_terms_cms(
         )
         cum = spark.read.parquet(f"{state_dir}/cms/batch_id={batch_id}")
 
-        local_top = (
-            toks.groupBy("token")
-            .agg(F.count("*").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("token"))
-            .limit(k * pool)
-            .select("token")
-        )
+        local_terms = toks.select("token").distinct()
         prev_cand = f"{state_dir}/cand/batch_id={batch_id - 1}"
         if batch_id > 0 and _exists(spark, prev_cand):
             cand = (
                 spark.read.parquet(prev_cand)
                 .select("token")
-                .unionByName(local_top)
+                .unionByName(local_terms)
                 .distinct()
             )
         else:
-            cand = local_top
+            cand = local_terms
         scored = cms_estimate(
             cum, cand, "token", width=width, depth=depth, salt="topk"
         ).orderBy(F.desc("est"), F.asc("token"))
@@ -717,6 +749,9 @@ def stream_running_topk_terms_cms(
         scored.limit(k).write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
+        if retain_batches:
+            _prune_batches(spark, f"{state_dir}/cms", batch_id - retain_batches + 1)
+            _prune_batches(spark, f"{state_dir}/cand", batch_id - retain_batches + 1)
 
     return (
         docs_stream.writeStream.foreachBatch(_apply)
@@ -734,6 +769,7 @@ def stream_running_quantiles(
     checkpoint_dir: str,
     qs: tuple = (0.5, 0.9, 0.99),
     alpha: float = 0.05,
+    retain_batches: int | None = 8,
 ):
     """Running quantile monitor over a value stream with BOUNDED state —
     the DDSketch twin of :func:`stream_running_topk_terms_cms`: each
@@ -749,7 +785,9 @@ def stream_running_quantiles(
     within alpha relative error of the true running quantile. All
     writes are per-batch-partitioned and overwritten on replay (the
     stream_near_dedup idempotence convention); empty batches still
-    commit state so the chain never breaks.
+    commit state so the chain never breaks. ``retain_batches`` prunes
+    state partitions older than the last N batches (only N−1 is read;
+    see :func:`_prune_batches`).
 
     Returns the started StreamingQuery.
     """
@@ -781,6 +819,10 @@ def stream_running_quantiles(
         ddsketch_quantiles(cum, list(qs), alpha=alpha).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/batch_id={batch_id}")
+        if retain_batches:
+            _prune_batches(
+                spark, f"{state_dir}/sketch", batch_id - retain_batches + 1
+            )
 
     return (
         values_stream.writeStream.foreachBatch(_apply)
@@ -798,6 +840,7 @@ def stream_running_distinct(
     checkpoint_dir: str,
     group_col: str | None = None,
     lg_k: int = 12,
+    retain_batches: int | None = 8,
 ):
     """Running distinct-count monitor with BOUNDED state — the third
     of the streaming sketch services (CMS top-k terms, DDSketch
@@ -810,7 +853,8 @@ def stream_running_distinct(
     vocabulary/value cardinality never materializes.
 
     Same conventions as the sibling services: per-batch-partitioned
-    overwrites (idempotent replay), empty batches still commit state.
+    overwrites (idempotent replay), empty batches still commit state,
+    ``retain_batches`` state-GC (only batch N−1 is ever read).
     Returns the started StreamingQuery.
     """
 
@@ -846,6 +890,10 @@ def stream_running_distinct(
         cum.select(
             "g", F.hll_sketch_estimate("_sk").cast("long").alias("n_approx")
         ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if retain_batches:
+            _prune_batches(
+                spark, f"{state_dir}/hll", batch_id - retain_batches + 1
+            )
 
     return (
         values_stream.writeStream.foreachBatch(_apply)
