@@ -377,7 +377,10 @@ def ks_test(
     be a single-task sort at corpus scale (round-9 verdict). NULL
     values are excluded. Output: one row (n_a, n_b, d_stat, ks_stat) —
     or one per slice with ``slice_col`` (the a-vs-b test REPEATED
-    within each slice, e.g. per language; NULL slice is a slice)."""
+    within each slice, e.g. per language; NULL slice is a slice). A
+    slice where either side is empty has no defined D → NULL stats
+    (binary_auc's empty-class convention), never a divide-by-zero."""
+    from swivel_spark_prep_spark.operators import nullsafe_broadcast_join
     from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
 
     scols = [slice_col] if slice_col else []
@@ -410,8 +413,14 @@ def ks_test(
         if slice_col
         else cu.crossJoin(F.broadcast(t))
     )
+    # guard the divisions: a slice where either side is empty has no
+    # defined D (and under ANSI mode x/0 raises) — NULL, not 0, mirrors
+    # binary_auc's empty-class convention
     d = F.max(
-        F.abs(F.col("_cca") / F.col("_na") - F.col("_ccb") / F.col("_nb"))
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            F.abs(F.col("_cca") / F.col("_na") - F.col("_ccb") / F.col("_nb")),
+        )
     )
     aggs = [
         F.first("_na").cast("long").alias("n_a"),

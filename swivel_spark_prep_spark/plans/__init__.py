@@ -34,3 +34,24 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return physical_plan(df).count("WholeStageCodegen")
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of physical Window(/GroupLimit) nodes with an EMPTY
+    partition spec — each one forces Exchange SinglePartition + a
+    one-task sort over its whole input, the 100×-scale killer the
+    two-pass prefix sum exists to avoid (round-9 verdict #1). Walks the
+    pre-AQE physical plan, so the count is stable under adaptive
+    re-planning."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    count = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec"):
+            if node.partitionSpec().isEmpty():
+                count += 1
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return count

@@ -5511,3 +5511,91 @@ def x157(spark, sf_dir):
         F.round("d_stat", 6).alias("d_stat"),
         F.round("ks_stat", 4).alias("ks_stat"),
     )
+
+
+@_declare(
+    "X158_auc_by_source",
+    # Per-slice AUC (evalmetrics.binary_auc group_col): does doc length
+    # rank English docs above the rest WITHIN each source — the form a
+    # curation pipeline actually audits ("is my quality score's ranking
+    # power uniform across sources, or carried by one crawl"). The CDF
+    # is the grouped two-pass prefix sum (operators/ranks) — no
+    # unpartitioned window even though scores are near-continuous. The
+    # oracle replays the per-source neg-below + half-ties formula, with
+    # the empty-class guard mirrored as CASE.
+    """WITH g AS (SELECT source, n_chars::DOUBLE AS s, (lang = 'en') AS y
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+c AS (SELECT source, s, SUM(y::INT)::BIGINT AS np,
+             SUM((NOT y)::INT)::BIGINT AS nn
+      FROM g GROUP BY 1, 2),
+cu AS (SELECT source, s, np, nn,
+              COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+       FROM c)
+SELECT source, SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
+       CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+            THEN ROUND(SUM(np * (cnb + nn / 2.0)) / (SUM(np) * SUM(nn)), 6)
+       END AS auc
+FROM cu GROUP BY source ORDER BY source;""",
+)
+def x158(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.filter(F.col("lang").isNotNull()).select(
+        "source",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return (
+        binary_auc(scored, "score", "y", group_col="source")
+        .select("source", "n_pos", "n_neg", F.round("auc", 6).alias("auc"))
+        .orderBy("source")
+    )
+
+
+@_declare(
+    "X159_ks_by_lang",
+    # Per-slice two-sample KS (quality.ks_test slice_col): the src0-vs-
+    # src1 n_chars distribution test REPEATED within every language —
+    # "the two crawls agree overall, but do they agree per language?"
+    # A slice where either side is empty has NO defined D: NULL stats
+    # (CASE in the oracle), never a divide-by-zero. Running CDFs are
+    # the grouped two-pass prefix sum (operators/ranks).
+    """WITH g AS (SELECT lang, n_chars AS v,
+                 (source = 'src0')::INT AS a, (source = 'src1')::INT AS b
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            AND source IN ('src0', 'src1')),
+c AS (SELECT lang, v, SUM(a) AS ca, SUM(b) AS cb FROM g GROUP BY 1, 2),
+cu AS (SELECT lang,
+              SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cca,
+              SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS ccb
+       FROM c),
+t AS (SELECT lang, SUM(ca)::DOUBLE AS na, SUM(cb)::DOUBLE AS nb
+      FROM c GROUP BY 1)
+SELECT lang, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(MAX(CASE WHEN na > 0 AND nb > 0
+                      THEN ABS(cca / na - ccb / nb) END), 6) AS d_stat,
+       ROUND(MAX(CASE WHEN na > 0 AND nb > 0
+                      THEN ABS(cca / na - ccb / nb) END)
+             * SQRT(na * nb / (na + nb)), 4) AS ks_stat
+FROM cu JOIN t USING (lang) GROUP BY lang, na, nb ORDER BY lang;""",
+)
+def x159(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import ks_test
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    return (
+        ks_test(docs, "n_chars", "source", "src0", "src1", slice_col="lang")
+        .select(
+            "lang",
+            "n_a",
+            "n_b",
+            F.round("d_stat", 6).alias("d_stat"),
+            F.round("ks_stat", 4).alias("ks_stat"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,493 @@
+"""Round-10 tests: the partitioned_prefix_sum public primitive (the
+X46/X90 two-pass pattern promoted out of packing/dedup), the rebased
+scale-safe CDF operators (binary_auc / ks_test) with their per-slice
+variants, the Benford absent-digit chi², funnel fractional horizons,
+asof_join_sorted NULL semantics, calibration-bin clamping, priority
+sampling under-k, and streaming state retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.catalog import load_table
+from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+
+# --- partitioned_prefix_sum: value parity with the naive global window --------
+
+
+def test_prefix_sum_matches_global_window(spark, sf_dir):
+    """Exclusive and inclusive running sums must equal the naive
+    SUM() OVER (ORDER BY ...) values exactly — the primitive changes the
+    PLAN (no single-task sort), never the arithmetic. Multi-value: both
+    columns share one pass."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("v"),
+            F.count("*").alias("c"),
+        )
+    )
+    got = {
+        r.l_orderkey: (r.v_ex, r.c_ex, r.v_in)
+        for r in partitioned_prefix_sum(
+            partitioned_prefix_sum(
+                base, ["l_orderkey"], ["v", "c"], ["v_ex", "c_ex"]
+            ),
+            ["l_orderkey"],
+            ["v"],
+            ["v_in"],
+            inclusive=True,
+        ).collect()
+    }
+    w_ex = Window.orderBy("l_orderkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_in = Window.orderBy("l_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.l_orderkey: (r.v_ex, r.c_ex, r.v_in)
+        for r in base.select(
+            "l_orderkey",
+            F.coalesce(F.sum("v").over(w_ex), F.lit(0)).alias("v_ex"),
+            F.coalesce(F.sum("c").over(w_ex), F.lit(0)).alias("c_ex"),
+            F.sum("v").over(w_in).alias("v_in"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_grouped_resets_per_group(spark, sf_dir):
+    """The grouped form restarts the running sum at every group boundary
+    — identical values to a per-group window, but rows are range- (not
+    hash-) partitioned so a single huge group never collapses into one
+    task."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_orderkey")
+        .agg(F.count("*").alias("c"))
+    )
+    got = {
+        (r.l_returnflag, r.l_orderkey): r.cum
+        for r in partitioned_prefix_sum(
+            base,
+            ["l_orderkey"],
+            ["c"],
+            ["cum"],
+            group_cols=["l_returnflag"],
+            inclusive=True,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.l_returnflag, r.l_orderkey): r.cum
+        for r in base.select(
+            "l_returnflag", "l_orderkey", F.sum("c").over(w).alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+# --- binary_auc / ks_test: rebased CDFs, bit-level parity + plan shape --------
+
+
+def test_binary_auc_equals_window_form(spark, sf_dir):
+    """The rebased AUC must reproduce the old unpartitioned-window
+    form: counts exactly, auc to float-sum reassociation tolerance."""
+    from swivel_spark_prep_spark.operators.evalmetrics import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("s"), (F.col("lang") == "en").alias("y")
+    )
+    got = binary_auc(scored, "s", "y").collect()[0]
+
+    g = scored.select(
+        F.col("s").cast("double").alias("_s"),
+        F.col("y").cast("boolean").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    c = g.groupBy("_s").agg(
+        F.sum(F.col("_y").cast("long")).alias("_np"),
+        F.sum((~F.col("_y")).cast("long")).alias("_nn"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    want = (
+        c.withColumn("_cnb", F.coalesce(F.sum("_nn").over(w), F.lit(0)))
+        .agg(
+            F.sum("_np").alias("n_pos"),
+            F.sum("_nn").alias("n_neg"),
+            (
+                F.sum(F.col("_np") * (F.col("_cnb") + F.col("_nn") / 2.0))
+                / (F.sum("_np") * F.sum("_nn"))
+            ).alias("auc"),
+        )
+        .collect()[0]
+    )
+    assert (got.n_pos, got.n_neg) == (want.n_pos, want.n_neg)
+    assert got.auc == pytest.approx(want.auc, abs=1e-12)
+
+
+def test_binary_auc_grouped_matches_per_group_runs(spark, sf_dir):
+    """group_col='source' must equal running the ungrouped operator on
+    each slice separately — per-slice AUC is the form a curation
+    pipeline actually audits."""
+    from swivel_spark_prep_spark.operators.evalmetrics import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", F.col("n_chars").alias("s"), (F.col("lang") == "en").alias("y")
+    )
+    got = {
+        r.source: (r.n_pos, r.n_neg, round(r.auc, 10))
+        for r in binary_auc(scored, "s", "y", group_col="source").collect()
+    }
+    for src in got:
+        one = binary_auc(
+            scored.filter(F.col("source") == src), "s", "y"
+        ).collect()[0]
+        assert got[src] == (one.n_pos, one.n_neg, round(one.auc, 10))
+
+
+def test_ks_test_equals_window_form(spark, sf_dir):
+    """Rebased KS: the inclusive prefix sums are integer-exact, so
+    d_stat/ks_stat must match the old window form bit-for-bit (each
+    per-row CDF term is computed from exact longs; max is
+    order-independent)."""
+    from swivel_spark_prep_spark.operators.quality import ks_test
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = ks_test(docs, "n_chars", "source", "src0", "src1").collect()[0]
+
+    g = docs.filter(
+        F.col("n_chars").isNotNull() & F.col("source").isin(["src0", "src1"])
+    ).select(
+        F.col("n_chars").alias("_v"),
+        (F.col("source") == "src0").cast("long").alias("_a"),
+        (F.col("source") == "src1").cast("long").alias("_b"),
+    )
+    c = g.groupBy("_v").agg(F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cu = c.select(
+        F.sum("_ca").over(w).alias("_cca"), F.sum("_cb").over(w).alias("_ccb")
+    )
+    t = c.agg(
+        F.sum("_ca").cast("double").alias("_na"),
+        F.sum("_cb").cast("double").alias("_nb"),
+    )
+    want = (
+        cu.crossJoin(F.broadcast(t))
+        .agg(
+            F.first("_na").cast("long").alias("n_a"),
+            F.first("_nb").cast("long").alias("n_b"),
+            F.max(
+                F.abs(F.col("_cca") / F.col("_na") - F.col("_ccb") / F.col("_nb"))
+            ).alias("d_stat"),
+        )
+        .collect()[0]
+    )
+    assert (got.n_a, got.n_b) == (want.n_a, want.n_b)
+    assert got.d_stat == want.d_stat
+
+
+def test_ks_test_sliced_matches_per_slice_runs(spark, sf_dir):
+    """slice_col repeats the a-vs-b test inside each slice; every slice
+    row must equal an independent ungrouped run on that slice."""
+    from swivel_spark_prep_spark.operators.quality import ks_test
+
+    # slice on n_chars parity, which the fixture does NOT correlate with
+    # source (doc_id parity does — each parity class holds exactly one
+    # source, which is itself a useful degenerate case, tested below)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "half", (F.col("n_chars") % 2).cast("long")
+    )
+    got = {
+        r.half: (r.n_a, r.n_b, r.d_stat)
+        for r in ks_test(
+            docs, "n_chars", "source", "src0", "src1", slice_col="half"
+        ).collect()
+    }
+    assert set(got) == {0, 1}
+    for h in got:
+        one = ks_test(
+            docs.filter(F.col("half") == h), "n_chars", "source", "src0", "src1"
+        ).collect()[0]
+        assert got[h] == (one.n_a, one.n_b, one.d_stat)
+
+
+def test_ks_test_empty_sided_slice_yields_null_not_error(spark, sf_dir):
+    """doc_id parity perfectly separates src0/src1 in the fixture —
+    each slice is missing one side, so D is undefined there: NULL
+    stats, not an ANSI divide-by-zero."""
+    from swivel_spark_prep_spark.operators.quality import ks_test
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "half", (F.col("doc_id") % 2).cast("long")
+    )
+    rows = ks_test(
+        docs, "n_chars", "source", "src0", "src1", slice_col="half"
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.d_stat is None and r.ks_stat is None
+        assert (r.n_a == 0) != (r.n_b == 0)  # exactly one side empty
+
+
+def test_auc_ks_plans_have_no_unpartitioned_window(spark, sf_dir):
+    """The round-9 scale killers are gone: neither X150 nor X157 plans
+    a Window with an empty partition spec (each of those forces
+    Exchange SinglePartition + a one-task sort of the whole CDF
+    relation), and both carry the range partitioning of the two-pass
+    prefix sum."""
+    from swivel_spark_prep_spark.plans import (
+        physical_plan,
+        unpartitioned_window_count,
+    )
+    from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
+
+    for name in ("X150_binary_auc", "X157_ks_test"):
+        df = EXTRA_QUERIES[name](spark, sf_dir)
+        assert unpartitioned_window_count(df) == 0, name
+        assert "rangepartitioning" in physical_plan(df), name
+
+
+# --- Benford: absent digit classes carry their chi2 term ----------------------
+
+
+def test_benford_emits_all_nine_digits_and_counts_absent_classes(spark):
+    """A column with a digit GAP must yield a LARGER chi² than the
+    statistic computed over observed digits only — the absent class
+    contributes its full N·exp_p term (round-9 verdict #3). All nine
+    digit rows are emitted, the missing one with n=0/obs_p=0."""
+    import math
+
+    from swivel_spark_prep_spark.operators.quality import benford_deviation
+
+    vals = [float(10 * d) for d in range(1, 9) for _ in range(5)]  # no digit 9
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = benford_deviation(df, "x").collect()
+    per = {r.digit: r for r in rows if r.kind == "digit"}
+    assert set(per) == set(range(1, 10))
+    assert per[9].n == 0 and per[9].obs_p == 0.0
+    chi2 = next(r.chi2 for r in rows if r.kind == "__chi2__")
+    n_tot = len(vals)
+    exp = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    want_full = sum(
+        (per[d].obs_p - exp[d]) ** 2 / exp[d] * n_tot for d in range(1, 10)
+    )
+    want_observed_only = sum(
+        (per[d].obs_p - exp[d]) ** 2 / exp[d] * n_tot for d in range(1, 9)
+    )
+    assert chi2 == pytest.approx(want_full, rel=1e-9)
+    assert chi2 > want_observed_only  # the old (understated) statistic
+
+
+# --- funnel: fractional horizons ----------------------------------------------
+
+
+def test_funnel_fractional_horizon_is_honored(spark):
+    """A 0.5 s horizon must admit a step-2 event 0.4 s after t1 and a
+    0.3 s horizon must reject it — pre-fix, int() truncation turned any
+    sub-second horizon into 0 (round-9 verdict #4)."""
+    from swivel_spark_prep_spark.operators.timeseries import funnel
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = spark.createDataFrame(
+        [
+            ("u1", t0, "A"),
+            ("u1", t0 + dt.timedelta(milliseconds=400), "B"),
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    def n_step2(horizon):
+        rows = funnel(
+            events, ["A", "B"], horizon_seconds=horizon
+        ).collect()
+        return next(r.n_keys for r in rows if r.step == 2)
+
+    assert n_step2(0.5) == 1
+    assert n_step2(0.3) == 0
+
+
+# --- asof_join_sorted: NULL semantics match asof_join / DuckDB ASOF -----------
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    t = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", t(2), 1), ("k", t(4), 2), ("k", t(0), 3)],
+        "key string, lts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("k", t(1), 5.0), ("k", t(3), None), ("k", None, 999.0)],
+        "key string, rts timestamp, val double",
+    )
+    return left, right
+
+
+def test_asof_sorted_null_right_ts_is_unmatchable(spark, asof_frames):
+    """A right row with NULL timestamp must never be carried (it sorted
+    first pre-fix and leaked onto every left row — ADVICE r9), and a
+    NULL value on the NEAREST right row yields NULL instead of falling
+    through to an older row."""
+    from swivel_spark_prep_spark.operators.asof import asof_join_sorted
+
+    left, right = asof_frames
+    got = {
+        r.lid: r.val_asof
+        for r in asof_join_sorted(
+            left, right, ["key"], "lts", "rts", "val"
+        ).collect()
+    }
+    # lid=3 (t=0): nothing earlier -> NULL (NOT the NULL-ts 999 row)
+    # lid=1 (t=2): nearest is t=1 -> 5.0
+    # lid=2 (t=4): nearest is t=3 whose value is NULL -> NULL, not 5.0
+    assert got == {3: None, 1: 5.0, 2: None}
+
+
+def test_asof_sorted_agrees_with_asof_join_on_nulls(spark, asof_frames):
+    """Same inputs through the range-predicate form — the two as-of
+    implementations must agree row-for-row on NULL handling."""
+    from swivel_spark_prep_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    got = {
+        r.lid: r.val_asof
+        for r in asof_join(
+            left, right, ["key"], "lts", "rts", right_cols=["val"]
+        ).collect()
+    }
+    assert got == {3: None, 1: 5.0, 2: None}
+
+
+# --- calibration_report: out-of-contract scores clamp to edge bins ------------
+
+
+def test_calibration_clamps_out_of_range_scores(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import calibration_report
+
+    df = spark.createDataFrame(
+        [(-0.2, False), (0.05, False), (1.3, True), (0.95, True)],
+        "p double, y boolean",
+    )
+    rows = calibration_report(df, "p", "y", bins=10).collect()
+    bins = {r.bin: r.n for r in rows if r.kind == "bin"}
+    assert set(bins) == {0, 9}  # no negative or >9 bin ids
+    assert bins[0] == 2 and bins[9] == 2
+    assert next(r.n for r in rows if r.kind == "__ece__") == 4
+
+
+# --- priority_sample: under-k exact case --------------------------------------
+
+
+def test_priority_sample_under_k_returns_all_with_exact_weights(spark):
+    """n <= k: every row is sampled and est == weight exactly (the
+    paper's exact case; tau is undefined — ADVICE r9 pinned)."""
+    from swivel_spark_prep_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "doc_id int, w double"
+    )
+    rows = priority_sample(df, "w", 10).collect()
+    assert sorted((r.key, r.weight, r.est) for r in rows) == [
+        (1, 10.0, 10.0),
+        (2, 20.0, 20.0),
+        (3, 30.0, 30.0),
+    ]
+
+
+# --- streaming: state retention prunes aged dirs and the chain resumes --------
+
+
+def test_stream_quantiles_retention_prunes_and_resumes(spark, tmp_path):
+    """retain_batches=1 keeps only the latest sketch state dir; a NEW
+    query over the same checkpoint then picks up batch N-1's state (the
+    only dir retention guarantees) and the resumed snapshot still
+    equals sketching all rows at once — aged state is genuinely dead."""
+    from swivel_spark_prep_spark.operators.profile import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+    from swivel_spark_prep_spark.streaming import stream_running_quantiles
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    schema = "v double"
+
+    def drop(vals, name):
+        spark.createDataFrame([(float(v),) for v in vals], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        import shutil
+
+        f = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(f, str(drops / f"{name}.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(drops))
+        )
+        q = stream_running_quantiles(
+            stream,
+            "v",
+            str(tmp_path / "state"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            qs=(0.5, 0.9),
+            retain_batches=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    batches = [[1, 2, 3], [10, 20, 30], [100, 200, 300]]
+    for i, vals in enumerate(batches):
+        drop(vals, f"b{i}")
+    run()
+    state_dirs = sorted(
+        glob.glob(str(tmp_path / "state" / "sketch" / "batch_id=*"))
+    )
+    assert [d.rsplit("=", 1)[1] for d in state_dirs] == ["2"]
+
+    # stop/extend/restart: aged state (batches 0-1) is already deleted;
+    # the resumed query must still fold batch 3 onto batch 2's sketch
+    drop([1000, 2000, 3000], "b3")
+    run()
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(str(tmp_path / "out" / "batch_id=*"))
+    )
+    got = {
+        r.q: r.est
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / f"batch_id={last}")
+        ).collect()
+    }
+    all_vals = [v for b in batches for v in b] + [1000, 2000, 3000]
+    whole = spark.createDataFrame([(float(v),) for v in all_vals], schema)
+    want = {
+        r.q: r.est
+        for r in ddsketch_quantiles(
+            ddsketch_build(whole, "v", alpha=0.05), [0.5, 0.9], alpha=0.05
+        ).collect()
+    }
+    assert got == want
+    state_dirs = sorted(
+        glob.glob(str(tmp_path / "state" / "sketch" / "batch_id=*"))
+    )
+    assert [d.rsplit("=", 1)[1] for d in state_dirs] == ["3"]
