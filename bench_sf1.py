@@ -241,6 +241,16 @@ def main() -> None:
     # 10x node set (shifted key spaces keep per-node degrees constant),
     # so a linear factor proves each iteration's two shuffles scale.
     # X121's (doc, bucket) stream is 10x with the SAME bounded model.
+    # Round-10 additions (round-9 verdict ask #4): the X144-X159 family.
+    # X153 composes X72's duplicate_ngram_spans (the heaviest dedup op)
+    # plus a join + per-source rollup — the one the verdict called out.
+    # X150/X157/X158/X159 are the rebased two-pass-prefix-sum CDFs: the
+    # sf1 factor is the direct evidence the unpartitioned-window fix
+    # scales (pre-fix these funneled the distinct-score relation through
+    # ONE task). X154 is TakeOrdered + a 1-row broadcast — its wall
+    # should be scan-bound. Caveat: the suffixed sf1 text makes
+    # cross-copy grams/values disjoint, so X153's gram relation and the
+    # CDF relations grow ~10x — linear factors are the pass bar.
     for name in (
         "X68_semantic_dedup",
         "X82_prefix_filter_jaccard",
@@ -250,6 +260,14 @@ def main() -> None:
         "X110_nb_lang_confusion",
         "X120_pagerank",
         "X121_dsir_weights",
+        "X144_ddsketch_quantiles",
+        "X145_funnel",
+        "X150_binary_auc",
+        "X153_dup_span_burden",
+        "X154_priority_sample",
+        "X157_ks_test",
+        "X158_auc_by_source",
+        "X159_ks_by_lang",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

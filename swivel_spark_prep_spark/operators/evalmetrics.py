@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
 
-__all__ = ["binary_auc", "cohens_kappa", "calibration_report"]
+__all__ = [
+    "binary_auc",
+    "cohens_kappa",
+    "calibration_report",
+    "chi2_independence",
+    "mutual_information",
+]
 
 
 def binary_auc(
@@ -167,3 +173,111 @@ def calibration_report(
         (F.sum(F.col("n") * F.col("gap")) / F.sum("n")).alias("gap"),
     )
     return per.unionByName(tot)
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramér's V effect size — the "are these two labels
+    actually related" audit (lang × source, label × split, …) run
+    before stratifying or rebalancing on a pair of columns.
+
+    ``chi2 = Σ_cells (o − e)²/e`` over the FULL |A|×|B| grid with
+    ``e = row_marginal·col_marginal/n`` — absent cells (o = 0) still
+    contribute their e term (the Benford absent-class lesson).
+    ``V = sqrt(chi2 / (n·min(|A|−1, |B|−1)))`` (Cramér 1946), in [0,1].
+    dof = (|A|−1)(|B|−1).
+
+    Scale shape: two label-marginal aggregates + one cell aggregate; the
+    grid is marginal-cross-marginal (label-cardinality-sized, broadcast)
+    left-joined with observed cells — never a corpus-sized join. Rows
+    where either label is NULL are excluded. Output: one row
+    (n, dof, chi2, cramers_v); NULL stats when either column is
+    constant (dof = 0 — independence is vacuous)."""
+    g = df.select(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    o = g.groupBy("_a", "_b").agg(F.count("*").alias("_o"))
+    ma = o.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    mb = o.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = o.agg(F.sum("_o").cast("double").alias("_n"))
+    grid = (
+        ma.crossJoin(F.broadcast(mb))
+        .join(o, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    cell = F.pow(F.coalesce(F.col("_o"), F.lit(0)) - e, 2) / e
+    ka = ma.agg(F.count("*").alias("_ka"))
+    kb = mb.agg(F.count("*").alias("_kb"))
+    agg = grid.agg(
+        F.first("_n").cast("long").alias("n"),
+        F.sum(cell).alias("_chi2"),
+    )
+    out = agg.crossJoin(F.broadcast(ka)).crossJoin(F.broadcast(kb))
+    dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
+    kmin = F.least(F.col("_ka"), F.col("_kb")) - 1
+    return out.select(
+        "n",
+        dof.cast("long").alias("dof"),
+        F.when(dof > 0, F.col("_chi2")).alias("chi2"),
+        F.when(
+            dof > 0, F.sqrt(F.col("_chi2") / (F.col("n") * kmin))
+        ).alias("cramers_v"),
+    )
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the sqrt-normalized form ``nmi = MI / sqrt(H_a·H_b)`` (Strehl &
+    Ghosh 2002) — the redundancy audit: nmi ≈ 1 means one label is a
+    relabeling of the other (keep one), ≈ 0 means independent strata.
+
+    ``MI = Σ_{observed cells} p_ab · ln(p_ab / (p_a·p_b))`` — zero
+    cells contribute exactly 0 (lim x→0 x·ln x = 0), so unlike chi²
+    the observed-cell relation IS the full sum. Same bounded shape:
+    cell + marginal aggregates, broadcast joins, one output row
+    (n, h_a, h_b, mi, nmi); nmi is NULL when either entropy is 0 (a
+    constant column carries no information to share)."""
+    g = df.select(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    o = g.groupBy("_a", "_b").agg(F.count("*").alias("_o"))
+    ma = o.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    mb = o.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = o.agg(F.sum("_o").cast("double").alias("_n"))
+    ha = ma.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("_ra") / F.col("_n")) * F.log(F.col("_ra") / F.col("_n"))
+        )).alias("_ha")
+    )
+    hb = mb.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("_cb") / F.col("_n")) * F.log(F.col("_cb") / F.col("_n"))
+        )).alias("_hb")
+    )
+    cells = (
+        o.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_ab = F.col("_o") / F.col("_n")
+    mi = cells.agg(
+        F.first("_n").cast("long").alias("n"),
+        F.sum(
+            p_ab
+            * F.log(p_ab / ((F.col("_ra") / F.col("_n")) * (F.col("_cb") / F.col("_n"))))
+        ).alias("_mi"),
+    )
+    out = mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    return out.select(
+        "n",
+        F.col("_ha").alias("h_a"),
+        F.col("_hb").alias("h_b"),
+        F.col("_mi").alias("mi"),
+        F.when(
+            (F.col("_ha") > 0) & (F.col("_hb") > 0),
+            F.col("_mi") / F.sqrt(F.col("_ha") * F.col("_hb")),
+        ).alias("nmi"),
+    )

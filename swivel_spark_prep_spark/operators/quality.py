@@ -435,3 +435,67 @@ def ks_test(
         ).alias("ks_stat"),
     ]
     return joined.groupBy(slice_col).agg(*aggs) if slice_col else joined.agg(*aggs)
+
+
+def gini_coefficient(
+    df: DataFrame, value_col: str, group_col: str | None = None
+) -> DataFrame:
+    """Gini coefficient of a non-negative value column — the corpus
+    concentration audit ("is 1% of documents carrying 80% of the
+    tokens?") that decides whether a per-source cap or a length-aware
+    mix is needed before training. 0 = perfectly even, →1 = all mass in
+    one row. Exact trapezoid-Lorenz form for a discrete population:
+    over distinct values v ascending, with P = cumulative count share
+    and L = cumulative value share (inclusive/exclusive pairs),
+    ``G = 1 − Σ_v (P_v − P_v⁻)(L_v + L_v⁻)`` — algebraically equal to
+    the mean-absolute-difference definition (Gini 1912; the grouped-
+    frequency Lorenz identity).
+
+    Scale shape: one aggregate to the per-DISTINCT-VALUE (v, c, s=v·c)
+    relation, then BOTH running shares come from one pass of the
+    two-pass range-partitioned prefix sum (operators/ranks — a
+    continuous value column makes distinct≈rows, so no unpartitioned
+    window), then one final aggregate. NULL and negative values are
+    excluded (Lorenz shares are undefined below 0); zeros count.
+    Output: (group?, n, total, gini); gini is NULL when total = 0 or
+    n < 2 (concentration is vacuous)."""
+    from swivel_spark_prep_spark.operators import nullsafe_broadcast_join
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("double")
+    g = df.filter(x.isNotNull() & (x >= 0)).select(*gcols, x.alias("_v"))
+    c = g.groupBy(*gcols, "_v").agg(
+        F.count("*").alias("_c"),
+        F.sum("_v").alias("_s"),
+    )
+    cum = partitioned_prefix_sum(
+        c,
+        ["_v"],
+        ["_c", "_s"],
+        ["_cc_ex", "_cs_ex"],
+        group_cols=gcols,
+        inclusive=False,
+    )
+    t = c.groupBy(*gcols).agg(
+        F.sum("_c").cast("double").alias("_n"),
+        F.sum("_s").alias("_t"),
+    )
+    joined = (
+        nullsafe_broadcast_join(cum, t, gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(t))
+    )
+    p_hi = (F.col("_cc_ex") + F.col("_c")) / F.col("_n")
+    p_lo = F.col("_cc_ex") / F.col("_n")
+    l_hi = (F.col("_cs_ex") + F.col("_s")) / F.col("_t")
+    l_lo = F.col("_cs_ex") / F.col("_t")
+    aggs = [
+        F.first("_n").cast("long").alias("n"),
+        F.first("_t").alias("total"),
+        F.when(
+            (F.first("_t") > 0) & (F.first("_n") >= 2),
+            1.0 - F.sum((p_hi - p_lo) * (l_hi + l_lo)),
+        ).alias("gini"),
+    ]
+    return joined.groupBy(group_col).agg(*aggs) if group_col else joined.agg(*aggs)

@@ -5599,3 +5599,121 @@ def x159(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@_declare(
+    "X160_chi2_independence",
+    # Pearson chi-square independence + Cramér's V
+    # (evalmetrics.chi2_independence) between lang and source — the
+    # "are these labels related" audit before stratifying on a pair of
+    # columns. Full-grid expected counts (absent cells contribute e —
+    # the Benford absent-class lesson); the grid is
+    # marginal-cross-marginal, label-cardinality-sized.
+    """WITH g AS (SELECT lang::VARCHAR AS a, source::VARCHAR AS b FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL),
+o AS (SELECT a, b, COUNT(*)::BIGINT AS o FROM g GROUP BY 1, 2),
+ma AS (SELECT a, SUM(o)::BIGINT AS ra FROM o GROUP BY 1),
+mb AS (SELECT b, SUM(o)::BIGINT AS cb FROM o GROUP BY 1),
+t AS (SELECT SUM(o)::DOUBLE AS n FROM o),
+cells AS (SELECT ra, cb, COALESCE(o.o, 0)::DOUBLE AS obs
+          FROM ma CROSS JOIN mb LEFT JOIN o ON ma.a = o.a AND mb.b = o.b),
+ka AS (SELECT COUNT(*)::BIGINT AS ka FROM ma),
+kb AS (SELECT COUNT(*)::BIGINT AS kb FROM mb),
+s AS (SELECT MAX(t.n) AS n,
+             SUM(POWER(obs - ra * cb / t.n, 2) / (ra * cb / t.n)) AS chi2
+      FROM cells CROSS JOIN t)
+SELECT n::BIGINT AS n, ((ka - 1) * (kb - 1))::BIGINT AS dof,
+       CASE WHEN (ka - 1) * (kb - 1) > 0 THEN ROUND(chi2, 6) END AS chi2,
+       CASE WHEN (ka - 1) * (kb - 1) > 0
+            THEN ROUND(SQRT(chi2 / (n * (LEAST(ka, kb) - 1))), 6)
+       END AS cramers_v
+FROM s CROSS JOIN ka CROSS JOIN kb;""",
+)
+def x160(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import chi2_independence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_independence(docs, "lang", "source").select(
+        "n",
+        "dof",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("cramers_v", 6).alias("cramers_v"),
+    )
+
+
+@_declare(
+    "X161_mutual_information",
+    # Mutual information + sqrt-normalized MI
+    # (evalmetrics.mutual_information) between lang and source — the
+    # label-redundancy audit (nmi near 1 = one label is a relabeling of
+    # the other). Zero cells contribute exactly 0, so the observed-cell
+    # relation IS the sum; everything is marginal-sized aggregates.
+    """WITH g AS (SELECT lang::VARCHAR AS a, source::VARCHAR AS b FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL),
+o AS (SELECT a, b, COUNT(*)::BIGINT AS o FROM g GROUP BY 1, 2),
+ma AS (SELECT a, SUM(o)::BIGINT AS ra FROM o GROUP BY 1),
+mb AS (SELECT b, SUM(o)::BIGINT AS cb FROM o GROUP BY 1),
+t AS (SELECT SUM(o)::DOUBLE AS n FROM o),
+ha AS (SELECT -SUM((ra / t.n) * LN(ra / t.n)) AS ha FROM ma CROSS JOIN t),
+hb AS (SELECT -SUM((cb / t.n) * LN(cb / t.n)) AS hb FROM mb CROSS JOIN t),
+mi AS (SELECT MAX(t.n) AS n,
+              SUM((o / t.n) * LN((o / t.n) / ((ra / t.n) * (cb / t.n)))) AS mi
+       FROM o JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t)
+SELECT n::BIGINT AS n, ROUND(ha, 6) AS h_a, ROUND(hb, 6) AS h_b,
+       ROUND(mi, 6) AS mi,
+       CASE WHEN ha > 0 AND hb > 0 THEN ROUND(mi / SQRT(ha * hb), 6) END AS nmi
+FROM mi CROSS JOIN ha CROSS JOIN hb;""",
+)
+def x161(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import mutual_information
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source").select(
+        "n",
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round("mi", 6).alias("mi"),
+        F.round("nmi", 6).alias("nmi"),
+    )
+
+
+@_declare(
+    "X162_gini_by_source",
+    # Per-source Gini coefficient of document length
+    # (quality.gini_coefficient): the concentration audit behind
+    # per-source caps — a source whose token mass sits in a few huge
+    # docs needs different treatment than an even one. Exact
+    # trapezoid-Lorenz over the per-distinct-value relation; the
+    # running shares are the grouped two-pass prefix sum
+    # (operators/ranks), one pass for both count and mass shares.
+    """WITH g AS (SELECT source, n_chars::DOUBLE AS v FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars >= 0),
+c AS (SELECT source, v, COUNT(*)::BIGINT AS c, SUM(v) AS s FROM g GROUP BY 1, 2),
+cu AS (SELECT source, v, c, s,
+              COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cc,
+              COALESCE(SUM(s) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+       FROM c),
+t AS (SELECT source, SUM(c)::DOUBLE AS n, SUM(s) AS tot FROM c GROUP BY 1)
+SELECT source, n::BIGINT AS n, ROUND(tot, 4) AS total,
+       CASE WHEN tot > 0 AND n >= 2 THEN
+         ROUND(1 - SUM(((cc + c) / n - cc / n) * ((cs + s) / tot + cs / tot)), 6)
+       END AS gini
+FROM cu JOIN t USING (source)
+GROUP BY source, n, tot ORDER BY source;""",
+)
+def x162(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import gini_coefficient
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        gini_coefficient(docs, "n_chars", group_col="source")
+        .select(
+            "source",
+            "n",
+            F.round("total", 4).alias("total"),
+            F.round("gini", 6).alias("gini"),
+        )
+        .orderBy("source")
+    )

@@ -491,3 +491,101 @@ def test_stream_quantiles_retention_prunes_and_resumes(spark, tmp_path):
         glob.glob(str(tmp_path / "state" / "sketch" / "batch_id=*"))
     )
     assert [d.rsplit("=", 1)[1] for d in state_dirs] == ["3"]
+
+
+# --- chi2 / MI / Gini: hand-computed pins -------------------------------------
+
+
+def test_chi2_independence_matches_hand_computation(spark):
+    """2x2 table [[10, 20], [30, 40]]: chi2 and V against the closed
+    form; absent-cell handling via a grid with a structural zero."""
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = __import__(
+        "swivel_spark_prep_spark.operators.evalmetrics", fromlist=["x"]
+    ).chi2_independence(df, "a", "b").collect()[0]
+    n = 100.0
+    exp = {
+        ("x", "p"): 30 * 40 / n,
+        ("x", "q"): 30 * 60 / n,
+        ("y", "p"): 70 * 40 / n,
+        ("y", "q"): 70 * 60 / n,
+    }
+    obs = {("x", "p"): 10, ("x", "q"): 20, ("y", "p"): 30, ("y", "q"): 40}
+    want = sum((obs[k] - e) ** 2 / e for k, e in exp.items())
+    assert got.n == 100 and got.dof == 1
+    assert got.chi2 == pytest.approx(want, rel=1e-12)
+    assert got.cramers_v == pytest.approx((want / 100) ** 0.5, rel=1e-12)
+
+
+def test_chi2_constant_column_yields_null(spark):
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("x", "p")], "a string, b string"
+    )
+    got = __import__(
+        "swivel_spark_prep_spark.operators.evalmetrics", fromlist=["x"]
+    ).chi2_independence(df, "a", "b").collect()[0]
+    assert got.dof == 0 and got.chi2 is None and got.cramers_v is None
+
+
+def test_mutual_information_extremes(spark):
+    """Identical labels -> nmi == 1 (MI == entropy); independent labels
+    (full balanced cross) -> mi == 0."""
+    from swivel_spark_prep_spark.operators.evalmetrics import mutual_information
+
+    same = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 5 + [("c", "c")] * 2,
+        "x string, y string",
+    )
+    r = mutual_information(same, "x", "y").collect()[0]
+    assert r.nmi == pytest.approx(1.0, abs=1e-12)
+    assert r.mi == pytest.approx(r.h_a, abs=1e-12)
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "ab" for b in "pq" for _ in range(5)],
+        "x string, y string",
+    )
+    r = mutual_information(indep, "x", "y").collect()[0]
+    assert r.mi == pytest.approx(0.0, abs=1e-12)
+
+
+def test_gini_matches_mean_absolute_difference(spark):
+    """Trapezoid-Lorenz == the MAD definition Σ|xi−xj| / (2n²μ):
+    checked on an uneven vector; all-equal -> 0; [0,0,0,10] -> 0.75."""
+    from swivel_spark_prep_spark.operators.quality import gini_coefficient
+
+    vals = [1.0, 2.0, 2.0, 5.0, 10.0, 30.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = gini_coefficient(df, "v").collect()[0]
+    n, mu = len(vals), sum(vals) / len(vals)
+    want = sum(abs(a - b) for a in vals for b in vals) / (2 * n * n * mu)
+    assert got.gini == pytest.approx(want, rel=1e-12)
+    assert got.n == n and got.total == pytest.approx(sum(vals))
+
+    flat = spark.createDataFrame([(5.0,)] * 4, "v double")
+    assert gini_coefficient(flat, "v").collect()[0].gini == pytest.approx(
+        0.0, abs=1e-12
+    )
+    spike = spark.createDataFrame(
+        [(0.0,), (0.0,), (0.0,), (10.0,)], "v double"
+    )
+    assert gini_coefficient(spike, "v").collect()[0].gini == pytest.approx(
+        0.75, abs=1e-12
+    )
+
+
+def test_gini_grouped_matches_per_group_runs(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import gini_coefficient
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.source: (r.n, round(r.gini, 10))
+        for r in gini_coefficient(docs, "n_chars", group_col="source").collect()
+    }
+    for src in got:
+        one = gini_coefficient(
+            docs.filter(F.col("source") == src), "n_chars"
+        ).collect()[0]
+        assert got[src] == (one.n, round(one.gini, 10))
