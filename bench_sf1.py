@@ -227,11 +227,16 @@ def main() -> None:
     # these is not a DuckDB ratio (several twins are brute-force and
     # take hours at sf1) but whether the plans scale LINEARLY -- the
     # sf1/sf0.1 wall factor should sit near the 10x data factor.
-    # Interpretation caveat: X87's OUTPUT grows quadratically by
+    # Interpretation caveat: X87's COUNTED pairs grow quadratically by
     # construction (the replication makes the 30-day window 10x DENSER,
     # so co-temporal session pairs grow ~100x -- measured exactly 100.0x:
-    # 3,239,553 -> 323,955,300 total overlap pairs); its wall factor is
-    # judged against the 100x output, not the 10x input. X110's model
+    # 3,239,553 -> 323,955,300 total overlap pairs). Through round 10 the
+    # query materialized that pair set (bucketized join) and its wall
+    # followed the 100x: 5.8 s -> 440 s. Round 11 rewrote it onto the
+    # sweep-line interval_overlap_count (two order statistics per session
+    # via partitioned_prefix_sum, pairs never materialized), so the work
+    # is linear in SESSIONS regardless of pair density -- the sf1 factor
+    # is now judged against the 10x input like every other extra. X110's model
     # vocabulary also grows 10x with the suffixed tokens, so its join is
     # 10x on BOTH sides.
     from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES

@@ -208,3 +208,116 @@ def interval_overlap_join(
         .drop("__bk")
         .dropDuplicates()
     )
+
+
+def interval_overlap_count(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str = "s_start",
+    a_end: str = "s_end",
+    b_start: str = "s_start",
+    b_end: str = "s_end",
+    out_col: str = "n_overlaps",
+) -> DataFrame:
+    """COUNT of b-intervals overlapping each a-row — WITHOUT materializing
+    the pair set ``interval_overlap_join`` produces. The pair relation is
+    inherently quadratic in concurrent intervals (measured: X87's grouped
+    count over the bucketized pair join scaled 75× for a 10× input at
+    sf1); when the question is "how many", the sweep-line identity
+
+        #{b : overlap(a, b)} = #{b : b_start < a_end} − #{b : b_end ≤ a_start}
+
+    (half-open ``[start, end)``; valid whenever both intervals are
+    non-empty, since ``b_end ≤ a_start`` then implies ``b_start < a_end``)
+    needs only TWO order statistics per a-row. Both come from ONE
+    :func:`~swivel_spark_prep_spark.operators.ranks.partitioned_prefix_sum`
+    pass over a 2·|a| + 2·|b| event relation — linear work, range-
+    partitioned, no single-partition stage, no pair blow-up.
+
+    Event encoding: b contributes (b_start, tb=2, w1=1) and
+    (b_end, tb=0, w2=1) marks; each a-row contributes two probes,
+    (a_end, tb=1) reading the exclusive running Σw1 (strict ``<``: the
+    tb order puts same-valued b_start marks AFTER the probe) and
+    (a_start, tb=1) reading Σw2 (``≤``: same-valued b_end marks sort
+    BEFORE). Probes carry weight 0, so tie order among probes cannot
+    change any count.
+
+    Returns ``a`` (original columns) + ``out_col``. Empty or NULL-bounded
+    intervals on either side match nothing (the join's contract) — such
+    a-rows come back with count 0. Rows of ``a`` must be distinct (they
+    are grouped back by value); attach a key first if duplicates are
+    meaningful.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    a_cols = list(a.columns)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    a_valid = (
+        F.col(a_start).isNotNull()
+        & F.col(a_end).isNotNull()
+        & (us(a_end) > us(a_start))
+    )
+    a_ok = a.filter(a_valid)
+    a_bad = a.filter(~F.coalesce(a_valid, F.lit(False)))
+    b_ok = b.filter(
+        F.col(b_start).isNotNull()
+        & F.col(b_end).isNotNull()
+        & (us(b_end) > us(b_start))
+    )
+
+    nulls = [F.lit(None).cast(a.schema[c].dataType).alias(c) for c in a_cols]
+    b_marks = b_ok.select(
+        us(b_start).alias("_val"),
+        F.lit(2).alias("_tb"),
+        F.lit(1).alias("_w1"),
+        F.lit(0).alias("_w2"),
+        *nulls,
+    ).unionByName(
+        b_ok.select(
+            us(b_end).alias("_val"),
+            F.lit(0).alias("_tb"),
+            F.lit(0).alias("_w1"),
+            F.lit(1).alias("_w2"),
+            *nulls,
+        )
+    )
+    probes = a_ok.select(
+        us(a_end).alias("_val"),
+        F.lit(1).alias("_tb"),
+        F.lit(0).alias("_w1"),
+        F.lit(0).alias("_w2"),
+        *a_cols,
+    ).unionByName(
+        a_ok.select(
+            us(a_start).alias("_val"),
+            F.lit(1).alias("_tb"),
+            F.lit(0).alias("_w1"),
+            F.lit(0).alias("_w2"),
+            *a_cols,
+        )
+    )
+
+    swept = partitioned_prefix_sum(
+        b_marks.unionByName(probes),
+        order_cols=["_val", "_tb"],
+        value_cols=["_w1", "_w2"],
+        out_cols=["_c1", "_c2"],
+    )
+    # each a-row's two probes: the a_end probe read Σw1, the a_start
+    # probe Σw2 — recombine by the a-row's (distinct) column values
+    counted = (
+        swept.filter(F.col("_tb") == 1)
+        .groupBy(*a_cols)
+        .agg(
+            (
+                F.max(F.when(F.col("_val") == us(a_end), F.col("_c1")))
+                - F.max(F.when(F.col("_val") == us(a_start), F.col("_c2")))
+            )
+            .cast("long")
+            .alias(out_col)
+        )
+    )
+    return counted.unionByName(
+        a_bad.withColumn(out_col, F.lit(0).cast("long"))
+    )

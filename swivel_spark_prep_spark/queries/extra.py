@@ -2940,22 +2940,29 @@ FROM a JOIN b ON a.s_start < b.s_end AND b.s_start < a.s_end
 GROUP BY 1 ORDER BY 1;""",
 )
 def x87(spark, sf_dir):
-    from swivel_spark_prep_spark.operators.asof import interval_overlap_join
+    from swivel_spark_prep_spark.operators.asof import interval_overlap_count
     from swivel_spark_prep_spark.streaming import session_agg
 
     from swivel_spark_prep_spark.cache import track_persist
 
     # sessionization (per-user window over the full events table) feeds
-    # BOTH join sides — persist it once or the window runs twice
+    # BOTH sweep sides — persist it once or the window runs twice.
+    # Counting goes through the SWEEP-LINE operator (two order statistics
+    # per session via partitioned_prefix_sum), NOT the pair-materializing
+    # bucket join: the pair relation is quadratic in concurrent sessions
+    # and measured 75× for a 10× input (440 s at sf1); the sweep is
+    # linear and parity with the pair join is pinned in
+    # tests/test_round11_ops.py.
     sess = track_persist(
         session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
     )
     a = sess.filter(F.col("user_id") % 2 == 0)
     b = sess.filter(F.col("user_id") % 2 == 1)
     return (
-        interval_overlap_join(a, b, bucket_seconds=1800)
-        .groupBy(F.col("a_user_id").alias("a_user"))
-        .agg(F.count("*").alias("n_overlaps"))
+        interval_overlap_count(a, b)
+        .groupBy(F.col("user_id").alias("a_user"))
+        .agg(F.sum("n_overlaps").alias("n_overlaps"))
+        .filter(F.col("n_overlaps") > 0)
         .orderBy("a_user")
     )
 

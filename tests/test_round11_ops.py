@@ -1,0 +1,137 @@
+"""Round-11 operator pins.
+
+1. interval_overlap_count (sweep-line, asof.py): result parity with the
+   pair-materializing interval_overlap_join it replaces in X87, boundary
+   semantics of the half-open intervals, zero-count passthrough for
+   empty/NULL a-rows, and the scale pins — no single-partition window,
+   no cartesian/BNLJ, no pair relation anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.catalog import load_table
+from swivel_spark_prep_spark.operators.asof import (
+    interval_overlap_count,
+    interval_overlap_join,
+)
+from swivel_spark_prep_spark.plans import (
+    physical_plan,
+    unpartitioned_window_count,
+)
+
+
+def _ts(h, m=0, s=0):
+    return datetime.datetime(2024, 1, 1, h, m, s)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "id string, s_start timestamp, s_end timestamp")
+
+
+@pytest.fixture(scope="module")
+def sessions(spark, sf_dir):
+    from swivel_spark_prep_spark.streaming import session_agg
+
+    sess = session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+    df = sess.cache()
+    yield df
+    df.unpersist()
+
+
+def test_overlap_count_matches_pair_join(spark, sessions):
+    """The sweep-line counts must equal COUNT(*) over the bucketized
+    pair join, per a-row — the exactness pin that lets X87 ride the
+    linear plan (the pair join's wall followed the quadratic pair set:
+    440 s at sf1; the sweep is two order statistics per session)."""
+    a = sessions.filter(F.col("user_id") % 2 == 0)
+    b = sessions.filter(F.col("user_id") % 2 == 1)
+    pair = {
+        (r["u"], r["st"]): r["n"]
+        for r in interval_overlap_join(a, b, bucket_seconds=1800)
+        .groupBy(F.col("a_user_id").alias("u"), F.col("a_s_start").alias("st"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    swept = {
+        (r["user_id"], r["s_start"]): r["n_overlaps"]
+        for r in interval_overlap_count(a, b).collect()
+    }
+    assert len(swept) == a.count()  # every a-row present, zero-count included
+    for key, n in swept.items():
+        assert pair.get(key, 0) == n, key
+    assert sum(swept.values()) == sum(pair.values())
+
+
+def test_overlap_count_halfopen_boundaries(spark):
+    """[0,10) and [10,20) touch but do not overlap; [9,20) does; an
+    interval strictly inside another counts; disjoint-by-far counts 0."""
+    a = _frame(
+        spark,
+        [
+            ("touch", _ts(0), _ts(10)),
+            ("over", _ts(0), _ts(10)),
+            ("inside", _ts(3), _ts(4)),
+            ("far", _ts(20), _ts(21)),
+        ],
+    )
+    b = _frame(
+        spark,
+        [
+            ("b1", _ts(10), _ts(20)),  # touches `touch` — NOT an overlap
+            ("b2", _ts(9), _ts(9, 30)),  # overlaps [0,10)
+            ("b3", _ts(2), _ts(5)),  # contains `inside`
+        ],
+    )
+    got = {r["id"]: r["n_overlaps"] for r in interval_overlap_count(a, b).collect()}
+    assert got == {"touch": 2, "over": 2, "inside": 1, "far": 0}
+
+
+def test_overlap_count_empty_and_null_rows(spark):
+    """Empty (end <= start) or NULL-bounded a-rows come back with 0;
+    empty/NULL b-rows match nothing."""
+    a = _frame(
+        spark,
+        [
+            ("ok", _ts(0), _ts(10)),
+            ("empty", _ts(5), _ts(5)),
+            ("inverted", _ts(9), _ts(1)),
+            ("nullend", _ts(1), None),
+        ],
+    )
+    b = _frame(
+        spark,
+        [
+            ("b1", _ts(1), _ts(2)),
+            ("bempty", _ts(1), _ts(1)),  # would sit inside `ok` if non-empty
+            ("bnull", None, _ts(4)),
+        ],
+    )
+    got = {r["id"]: r["n_overlaps"] for r in interval_overlap_count(a, b).collect()}
+    assert got == {"ok": 1, "empty": 0, "inverted": 0, "nullend": 0}
+
+
+def test_overlap_count_identical_rows_distinct_contract(spark):
+    """Duplicate a-rows collapse (documented contract: attach a key);
+    the count for the surviving row is still correct."""
+    a = _frame(spark, [("dup", _ts(0), _ts(10)), ("dup", _ts(0), _ts(10))])
+    b = _frame(spark, [("b", _ts(5), _ts(6))])
+    rows = interval_overlap_count(a, b).collect()
+    assert len(rows) == 1 and rows[0]["n_overlaps"] == 1
+
+
+def test_overlap_count_plan_is_scale_safe(spark, sessions):
+    """The plan must carry NO unpartitioned window, NO cartesian/
+    broadcast-nested-loop join, and NO join keyed on time buckets —
+    the whole point of the sweep is that candidate pairs never exist."""
+    a = sessions.filter(F.col("user_id") % 2 == 0)
+    b = sessions.filter(F.col("user_id") % 2 == 1)
+    out = interval_overlap_count(a, b)
+    assert unpartitioned_window_count(out) == 0
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
