@@ -5724,3 +5724,137 @@ def x162(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# Round 11 — PII scrub family (operators/pii.py). The driver corpus is
+# deliberately PII-free, so both engines append the SAME deterministic
+# PII tail (email keyed by doc_id, constant phone/ssn/card, doc_id-keyed
+# ipv4) before scanning — the scan must then find EXACTLY the planted
+# set, and the redactor must remove all of it. Patterns live in the
+# Java∩RE2 regex subset so the oracle replays them verbatim.
+_PII_AUG_SQL = """text
+  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.0.' || (doc_id % 256) || '.42' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+  || CASE WHEN doc_id % 17 = 0 THEN ' card 4111111111111111' ELSE '' END"""
+
+
+def _pii_augmented(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")).otherwise(
+                ""
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".42"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                ""
+            ),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit(" card 4111111111111111")
+            ).otherwise(""),
+        ),
+    )
+
+
+@_declare(
+    "X163_pii_scan",
+    # Per-source PII burden over the planted corpus: per-category hit
+    # totals + how many docs carry any PII. regexp_count ≡
+    # len(regexp_extract_all) — same RE2/Java-portable patterns.
+    f"""WITH aug AS (SELECT doc_id, source, {_PII_AUG_SQL} AS text FROM documents),
+c AS (SELECT source,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS e,
+  len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))::BIGINT AS s,
+  len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b'))::BIGINT AS p,
+  len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))::BIGINT AS i,
+  len(regexp_extract_all(text, '\\b\\d{{13,16}}\\b'))::BIGINT AS k
+  FROM aug)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(e)::BIGINT AS n_email, SUM(s)::BIGINT AS n_ssn,
+       SUM(p)::BIGINT AS n_phone, SUM(i)::BIGINT AS n_ipv4,
+       SUM(k)::BIGINT AS n_card,
+       SUM(CASE WHEN e + s + p + i + k > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii
+FROM c GROUP BY source ORDER BY source;""",
+)
+def x163(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.pii import pii_scan
+
+    scanned = pii_scan(_pii_augmented(spark, sf_dir))
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pii_email").alias("n_email"),
+            F.sum("pii_ssn").alias("n_ssn"),
+            F.sum("pii_phone").alias("n_phone"),
+            F.sum("pii_ipv4").alias("n_ipv4"),
+            F.sum("pii_card").alias("n_card"),
+            F.sum((F.col("pii_total") > 0).cast("long")).alias("docs_with_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+@_declare(
+    "X164_pii_redact",
+    # Redacted-corpus audit: md5 of every planted doc's scrubbed text
+    # (placeholder substitution in PII_PATTERNS order) + the residual
+    # PII count, which must be 0 everywhere. DuckDB needs the 'g' flag
+    # for global regexp_replace (Java replaces all by default).
+    f"""WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents),
+r AS (SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+          '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+        '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g'),
+    '\\b\\d{{13,16}}\\b', '<CARD>', 'g') AS red
+  FROM aug WHERE doc_id % 5 = 0 OR doc_id % 7 = 0 OR doc_id % 11 = 0
+            OR doc_id % 13 = 0 OR doc_id % 17 = 0)
+SELECT doc_id, md5(red) AS redacted_md5,
+  (len(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+   + len(regexp_extract_all(red, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))
+   + len(regexp_extract_all(red, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b'))
+   + len(regexp_extract_all(red, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+   + len(regexp_extract_all(red, '\\b\\d{{13,16}}\\b')))::BIGINT AS residual_pii
+FROM r ORDER BY doc_id;""",
+)
+def x164(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.pii import pii_redact, pii_scan
+
+    planted = _pii_augmented(spark, sf_dir).filter(
+        (F.col("doc_id") % 5 == 0)
+        | (F.col("doc_id") % 7 == 0)
+        | (F.col("doc_id") % 11 == 0)
+        | (F.col("doc_id") % 13 == 0)
+        | (F.col("doc_id") % 17 == 0)
+    )
+    red = pii_redact(planted, out_col="red")
+    rescanned = pii_scan(red, text_col="red", prefix="res_")
+    return rescanned.select(
+        "doc_id",
+        F.md5(F.col("red")).alias("redacted_md5"),
+        F.col("res_total").alias("residual_pii"),
+    ).orderBy("doc_id")

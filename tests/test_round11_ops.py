@@ -5,6 +5,10 @@
    semantics of the half-open intervals, zero-count passthrough for
    empty/NULL a-rows, and the scale pins — no single-partition window,
    no cartesian/BNLJ, no pair relation anywhere in the plan.
+2. PII scrub family (operators/pii.py): per-category detection hits and
+   misses, Luhn checksum truth table, the luhn_cards strict-card filter,
+   redaction placeholder order, and scrubbed-text completeness (rescan
+   of redacted output finds nothing).
 """
 
 from __future__ import annotations
@@ -135,3 +139,82 @@ def test_overlap_count_plan_is_scale_safe(spark, sessions):
     plan = physical_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- PII
+
+
+def _pii_df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+
+
+def test_pii_scan_categories(spark):
+    from swivel_spark_prep_spark.operators.pii import pii_scan
+
+    df = _pii_df(
+        spark,
+        [
+            "mail me at a.b+c@sub.example.co and x_1%d@ex.io today",
+            "call 555-867-5309 or 555.867.5309 but not 55-867-5309",
+            "host 192.168.1.77 gateway 10.0.0.1",
+            "ssn 123-45-6789 overlaps nothing else",
+            "card 4111111111111111 and short 123456789012 ignored",
+            "no pii here at all, just words and 42",
+        ],
+    )
+    rows = {r["id"]: r for r in pii_scan(df).collect()}
+    assert rows[0]["pii_email"] == 2 and rows[0]["pii_total"] == 2
+    assert rows[1]["pii_phone"] == 2 and rows[1]["pii_ssn"] == 0
+    assert rows[2]["pii_ipv4"] == 2
+    # the SSN shape must NOT also count as a phone (3-2-4 vs 3-3-4)
+    assert rows[3]["pii_ssn"] == 1 and rows[3]["pii_phone"] == 0
+    # 12-digit run is below the 13-16 card window
+    assert rows[4]["pii_card"] == 1
+    assert rows[5]["pii_total"] == 0
+
+
+def test_luhn_check(spark):
+    from swivel_spark_prep_spark.operators.pii import luhn_check
+
+    df = spark.createDataFrame(
+        [
+            ("4111111111111111", True),   # classic Visa test number
+            ("4111111111111112", False),  # off-by-one check digit
+            ("79927398713", True),        # canonical Luhn example
+            ("79927398710", False),
+            ("", False),
+            (None, False),
+            ("41x1", False),
+        ],
+        "s string, want boolean",
+    )
+    import pyspark.sql.functions as F
+
+    bad = df.filter(luhn_check("s") != F.col("want"))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_pii_scan_luhn_cards_filters_random_runs(spark):
+    from swivel_spark_prep_spark.operators.pii import pii_scan
+
+    df = _pii_df(spark, ["valid 4111111111111111 invalid 4111111111111112"])
+    loose = pii_scan(df).collect()[0]
+    strict = pii_scan(df, luhn_cards=True).collect()[0]
+    assert loose["pii_card"] == 2 and strict["pii_card"] == 1
+
+
+def test_pii_redact_order_and_completeness(spark):
+    from swivel_spark_prep_spark.operators.pii import pii_redact, pii_scan
+
+    df = _pii_df(
+        spark,
+        ["reach a@b.io or 555-867-5309, ssn 123-45-6789, ip 10.0.0.1, card 4111111111111111"],
+    )
+    red = pii_redact(df, out_col="r")
+    txt = red.collect()[0]["r"]
+    assert "<EMAIL>" in txt and "<PHONE>" in txt and "<SSN>" in txt
+    assert "<IPV4>" in txt and "<CARD>" in txt
+    # structured hyphen shapes were consumed by their own placeholder,
+    # not the bare card digit-run, and nothing detectable remains
+    assert "123-45" not in txt and "867-5309" not in txt
+    assert pii_scan(red, text_col="r").collect()[0]["pii_total"] == 0
