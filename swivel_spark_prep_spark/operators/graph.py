@@ -1,4 +1,5 @@
-"""Distributed graph analytics over edge relations: PageRank.
+"""Distributed graph analytics over edge relations: PageRank, triangle
+census, k-core decomposition.
 
 PageRank (Page et al. 1999, public) is the canonical link-quality
 signal of web-scale corpus curation — Common-Crawl-style pipelines use
@@ -232,3 +233,173 @@ def pagerank_oracle_sql(
         + f"\nSELECT node, ROUND(rank, {round_to}) AS pagerank "
         f"FROM r{iterations} ORDER BY node;"
     )
+
+
+def canonical_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Undirected canonical form: self-loops and NULL endpoints dropped,
+    endpoints sorted (``u < v``), duplicates collapsed. Output (u, v)."""
+    e = edges.filter(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col) != F.col(dst_col))
+    )
+    return e.select(
+        F.least(src_col, dst_col).alias("u"),
+        F.greatest(src_col, dst_col).alias("v"),
+    ).distinct()
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle census of the undirected graph: one row with
+    ``n_nodes, n_edges, n_wedges`` (open two-paths Σ C(deg,2)),
+    ``n_triangles``, and the global (transitivity) clustering
+    coefficient ``3·T / wedges``.
+
+    Scale design — the degree-ordered orientation (Cohen 2009, "Graph
+    twiddling in a MapReduce world"; also Suri & Vassilvitskii 2011):
+    orient every canonical edge from its (degree, node)-smaller endpoint
+    to the larger. Every node's OUT-degree in the oriented graph is
+    O(√m), so the wedge relation built by the self-join on the oriented
+    source is O(m^1.5) worst-case instead of Σ C(deg,2) — on a
+    power-law web graph the difference between feasible and not. Each
+    triangle {a,b,c} appears exactly once as a→b, a→c, b→c (the
+    orientation is acyclic and total). Plan: two hash joins + one
+    aggregate; degrees are one groupBy; no BNLJ anywhere.
+    """
+    ce = track_persist(canonical_edges(edges, src_col, dst_col))
+    deg = ce.select(F.col("u").alias("n")).unionAll(
+        ce.select(F.col("v").alias("n"))
+    ).groupBy("n").agg(F.count("*").alias("d"))
+    deg = track_persist(deg)
+
+    # orient by (degree, node): src is the smaller endpoint under the
+    # total order — broadcast is wrong here (deg is node-cardinality),
+    # both joins hash-shuffle on the node key
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        ce.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    oriented = track_persist(oriented)
+
+    # wedges anchored at the oriented source; the t1 < t2 guard keeps
+    # each unordered out-pair once (out-neighborhoods are O(√m))
+    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("t1"))
+    w2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "a").filter(F.col("t1") < F.col("t2"))
+    closing = oriented.select(
+        F.least("s", "t").alias("t1"), F.greatest("s", "t").alias("t2")
+    )
+    tri = wedges.join(closing, ["t1", "t2"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("transitivity"),
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node has
+    degree ≥ k (Seidman 1983) — by iterative peeling: drop nodes of
+    degree < k, drop edges touching them, repeat to fixpoint. Output
+    (node, core_degree) with the node's degree INSIDE the core.
+
+    Each round is one degree aggregate + one semi-join pass over the
+    surviving edges; the edge relation shrinks monotonically and is
+    localCheckpoint-ed per round to cut lineage (the iterative-plan
+    discipline pagerank established). Peeling converges in at most
+    O(peel depth) rounds — ``max_iterations`` is the runaway bound and
+    a non-converged exit raises rather than returning a non-core.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ce = canonical_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        deg = (
+            ce.select(F.col("u").alias("n"))
+            .unionAll(ce.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        weak = deg.filter(F.col("d") < k).select("n")
+        n_weak = weak.count()  # bounded: one long per round
+        if n_weak == 0:
+            return (
+                ce.select(F.col("u").alias("node"))
+                .unionAll(ce.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").cast("long").alias("core_degree"))
+            )
+        ce = (
+            ce.join(weak.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(weak.withColumnRenamed("n", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if ce.isEmpty():
+            return ce.sparkSession.createDataFrame([], "node string, core_degree long")
+    raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of :func:`k_core` with the peel UNROLLED ``rounds``
+    times (the pagerank_oracle_sql idiom: a fixed-depth CTE chain
+    replaying the exact update rule — parity additionally proves the
+    Spark side reached its fixpoint within ``rounds``). ``edges_sql``
+    must yield columns (src, dst)."""
+    # MATERIALIZED per round: without it DuckDB re-expands each CTE at
+    # every reference and the unrolled chain grows exponentially (the
+    # first run exhausted the process fd limit re-opening the parquet)
+    sql = f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}) GROUP BY 1),
+w{i} AS (SELECT n FROM d{i} WHERE d < {k}),
+e{i} AS MATERIALIZED (SELECT u, v FROM {prev}
+  WHERE u NOT IN (SELECT n FROM w{i}) AND v NOT IN (SELECT n FROM w{i}))"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT node, COUNT(*)::BIGINT AS core_degree FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+GROUP BY 1 ORDER BY 1;"""
+    return sql

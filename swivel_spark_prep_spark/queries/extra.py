@@ -5858,3 +5858,75 @@ def x164(spark, sf_dir):
         F.md5(F.col("red")).alias("redacted_md5"),
         F.col("res_total").alias("residual_pii"),
     ).orderBy("doc_id")
+
+
+@_declare(
+    "X165_triangle_stats",
+    # Triangle census of the parts-co-ordered-together graph (market-
+    # basket co-occurrence): nodes, edges, wedges Σ C(d,2), triangles,
+    # transitivity 3T/wedges. Spark runs the degree-ordered orientation
+    # (every out-neighborhood O(√m), wedge relation O(m^1.5) worst-case);
+    # the oracle counts the same triangles by the u<v<w 3-way self-join
+    # DuckDB can afford at test SF. Parity proves the orientation exact.
+    """WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT n, COUNT(*) AS d FROM (
+  SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+tri AS (SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM e x JOIN e y ON y.u = x.u AND x.v < y.v
+  JOIN e z ON z.u = x.v AND z.v = y.v),
+s AS (SELECT COUNT(*)::BIGINT AS n_nodes, (SUM(d) / 2)::BIGINT AS n_edges,
+             SUM(d * (d - 1) / 2)::BIGINT AS n_wedges FROM deg)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       ROUND(3.0 * n_triangles / n_wedges, 6) AS transitivity
+FROM s, tri;""",
+)
+def x165(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return triangle_stats(edges).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round("transitivity", 6).alias("transitivity"),
+    )
+
+
+from swivel_spark_prep_spark.operators.graph import k_core_oracle_sql  # noqa: E402
+
+_KCORE_EDGES_SQL = (
+    "SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem"
+)
+
+
+@_declare(
+    "X166_k_core",
+    # 20-core of the supplier↔part ship graph by iterative peeling
+    # (Seidman 1983): drop degree<20 nodes + their edges to fixpoint.
+    # The oracle unrolls SIX peel rounds (converges in ≤2 at every test
+    # SF; extra rounds are no-ops), so parity also proves the Spark loop
+    # reached its fixpoint within the unroll budget.
+    k_core_oracle_sql(_KCORE_EDGES_SQL, k=20, rounds=6),
+)
+def x166(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    return k_core(edges, k=20).orderBy("node")

@@ -9,6 +9,9 @@
    misses, Luhn checksum truth table, the luhn_cards strict-card filter,
    redaction placeholder order, and scrubbed-text completeness (rescan
    of redacted output finds nothing).
+3. Graph census ops (operators/graph.py): triangle counts on K4 /
+   triangle-free graphs with canonicalization noise, a no-cartesian
+   plan pin, and k-core peeling that provably needs multiple rounds.
 """
 
 from __future__ import annotations
@@ -218,3 +221,62 @@ def test_pii_redact_order_and_completeness(spark):
     # not the bare card digit-run, and nothing detectable remains
     assert "123-45" not in txt and "867-5309" not in txt
     assert pii_scan(red, text_col="r").collect()[0]["pii_total"] == 0
+
+
+# -------------------------------------------------------------- graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_triangle_stats_k4_and_canonicalization(spark):
+    """K4 has 4 triangles / 12 wedges / transitivity 1.0; duplicate,
+    reversed, and self-loop edges must collapse in the canonical form."""
+    from swivel_spark_prep_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    noisy = k4 + [("b", "a"), ("c", "c"), ("a", "b")]
+    r = triangle_stats(_edges(spark, noisy)).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+    assert abs(r["transitivity"] - 1.0) < 1e-12
+
+
+def test_triangle_stats_triangle_free(spark):
+    from swivel_spark_prep_spark.operators.graph import triangle_stats
+
+    path = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    r = triangle_stats(path).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 2
+    assert r["transitivity"] == 0.0
+
+
+def test_triangle_stats_plan_no_cartesian(spark):
+    from swivel_spark_prep_spark.operators.graph import triangle_stats
+    from swivel_spark_prep_spark.plans import physical_plan
+
+    plan = physical_plan(triangle_stats(_edges(spark, [("a", "b")])))
+    assert "CartesianProduct" not in plan
+
+
+def test_k_core_peels_chain_into_clique(spark):
+    """K4 with a pendant chain: the 3-core is exactly the clique, and
+    the chain forces MULTI-ROUND peeling (each round exposes the next
+    chain node) — the fixpoint loop, not a single degree filter."""
+    from swivel_spark_prep_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    got = {r["node"]: r["core_degree"] for r in k_core(_edges(spark, k4 + chain), 3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # single-round degree filter would have kept e (degree 2 < 3 only
+    # after f drops): prove multi-round by checking the 2-core too
+    got2 = {r["node"] for r in k_core(_edges(spark, k4 + chain), 2).collect()}
+    assert got2 == set("abcd")
+
+
+def test_k_core_empty_when_k_exceeds_degrees(spark):
+    from swivel_spark_prep_spark.operators.graph import k_core
+
+    rows = k_core(_edges(spark, [("a", "b"), ("b", "c")]), 5).collect()
+    assert rows == []
