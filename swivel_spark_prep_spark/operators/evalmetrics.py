@@ -15,7 +15,7 @@ arithmetic (no sampling), so DuckDB oracles replay the formulas exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
@@ -280,4 +280,61 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             (F.col("_ha") > 0) & (F.col("_hb") > 0),
             F.col("_mi") / F.sqrt(F.col("_ha") * F.col("_hb")),
         ).alias("nmi"),
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    rel_col: str,
+    score_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group NDCG@k (Järvelin & Kekäläinen 2002) of the ranking the
+    ``score_col`` induces against graded ``rel_col`` ground truth:
+    ``DCG@k = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1)`` over the score
+    ordering, normalized by the ideal (relevance-sorted) DCG@k. Groups
+    whose ideal DCG is 0 (no relevant items) return NULL.
+
+    Both orderings tie-break on ``item_col`` — REQUIRED for a
+    deterministic metric (score ties are common when scores are model
+    logits rounded to few decimals; an undefined tie order would make
+    the metric run-dependent). All windows are PARTITIONED by the group
+    — per-group ranking is embarrassingly parallel, nothing global.
+    Output: (group, ndcg) one row per group.
+    """
+    w_score = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col).asc()
+    )
+    w_ideal = Window.partitionBy(group_col).orderBy(
+        F.col(rel_col).desc(), F.col(item_col).asc()
+    )
+    gain = F.pow(F.lit(2.0), F.col(rel_col)) - 1
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        F.row_number().over(w_score).alias("__r"),
+        F.row_number().over(w_ideal).alias("__ri"),
+        gain.alias("__gain"),
+    )
+    return (
+        ranked.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__r") <= k, F.col("__gain") / F.log2(F.col("__r") + 1)
+                ).otherwise(0.0)
+            ).alias("__dcg"),
+            F.sum(
+                F.when(
+                    F.col("__ri") <= k, F.col("__gain") / F.log2(F.col("__ri") + 1)
+                ).otherwise(0.0)
+            ).alias("__idcg"),
+        )
+        .select(
+            group_col,
+            F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")).alias(
+                "ndcg"
+            ),
+        )
     )

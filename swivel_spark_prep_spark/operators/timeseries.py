@@ -533,3 +533,72 @@ def funnel(
             )
         )
     return out.orderBy("step")
+
+
+def autocorrelation(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function per series: for each lag
+    ``ℓ ∈ [1, max_lag]``, the Pearson correlation between ``x_t`` and
+    ``x_{t+ℓ}`` over the overlapping index range (the "corr of the
+    series with its shifted self" ACF variant — replayable as plain
+    ``CORR`` in any SQL engine, unlike the fixed-mean estimator).
+
+    ``index_col`` must be an evenly-spaced INTEGER index (day number,
+    hour number — produce it upstream with date_trunc/epoch division);
+    gaps simply drop those pairs. Plan: the lag axis is a tiny exploded
+    literal array, alignment is ONE hash join on (group, index+lag) —
+    no per-lag pass, no window at all, so the work is |series|·max_lag
+    shuffled once on the group key. Output (group, lag, n_pairs, acf);
+    lags with < 2 aligned pairs or zero variance yield NULL acf.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    s = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(index_col).cast("long").alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__t").isNotNull() & F.col("__x").isNotNull())
+    lagged = s.select(
+        "__g",
+        "__x",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+        F.col("__t").alias("__t0"),
+    ).withColumn("__t", F.col("__t0") + F.col("lag"))
+    pairs = lagged.alias("a").join(
+        s.select(
+            F.col("__g").alias("__g2"), "__t", F.col("__x").alias("__y")
+        ).alias("b"),
+        (F.col("a.__g") == F.col("b.__g2")) & (F.col("a.__t") == F.col("b.__t")),
+    )
+    # Pearson r from raw moments with an explicit zero-variance guard:
+    # F.corr raises DIVIDE_BY_ZERO under ANSI mode when either side is
+    # constant, where the ACF contract (and SQL CORR) wants NULL. The
+    # sample-vs-population factor cancels in the ratio.
+    moments = pairs.groupBy(F.col("a.__g").alias(group_col), "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("a.__x").alias("_sx"),
+        F.sum("b.__y").alias("_sy"),
+        F.sum(F.col("a.__x") * F.col("a.__x")).alias("_sxx"),
+        F.sum(F.col("b.__y") * F.col("b.__y")).alias("_syy"),
+        F.sum(F.col("a.__x") * F.col("b.__y")).alias("_sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    den2 = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * (
+        n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    return moments.select(
+        group_col,
+        "lag",
+        "n_pairs",
+        F.when(
+            den2 > 0,
+            (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.sqrt(den2),
+        ).alias("acf"),
+    ).orderBy(group_col, "lag")

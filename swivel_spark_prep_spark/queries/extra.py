@@ -5930,3 +5930,83 @@ def x166(spark, sf_dir):
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     )
     return k_core(edges, k=20).orderBy("node")
+
+
+@_declare(
+    "X167_ndcg",
+    # Ranking-quality audit: per-user NDCG@10 of the ranking induced by
+    # the event `value` column against graded relevance derived from
+    # event_type (purchase 3 > signup 2 > click 1 > view/error 0) —
+    # the offline eval a recsys/search curation loop runs. Both
+    # orderings tie-break on event_id (deterministic metric).
+    """WITH base AS (
+  SELECT user_id AS g, event_id AS item, value AS score,
+         CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+              WHEN 'click' THEN 1 ELSE 0 END AS rel
+  FROM events),
+r AS (SELECT g, pow(2.0, rel) - 1 AS gain,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC, item ASC) AS rnk,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY rel DESC, item ASC) AS rnk_i
+      FROM base),
+a AS (SELECT g,
+        SUM(CASE WHEN rnk <= 10 THEN gain / log2(rnk + 1) ELSE 0 END) AS dcg,
+        SUM(CASE WHEN rnk_i <= 10 THEN gain / log2(rnk_i + 1) ELSE 0 END) AS idcg
+      FROM r GROUP BY 1)
+SELECT g AS user_id,
+       CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) END AS ndcg
+FROM a ORDER BY user_id;""",
+)
+def x167(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import ndcg_at_k
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return (
+        ndcg_at_k(ev, "user_id", "event_id", "rel", "value", k=10)
+        .select("user_id", F.round("ndcg", 6).alias("ndcg"))
+        .orderBy("user_id")
+    )
+
+
+@_declare(
+    "X168_acf",
+    # Weekly-seasonality probe: sample ACF (lags 1..7) of the per-type
+    # daily event-count series. Alignment is ONE hash join on
+    # (type, day+lag) over the exploded lag axis — no window — and the
+    # CORR aggregate replays exactly in DuckDB.
+    """WITH s AS (
+  SELECT event_type AS g, date_diff('day', DATE '2024-01-01', ts::DATE) AS t,
+         COUNT(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2),
+p AS (SELECT a.g, l.lag, a.x AS x, b.x AS y
+      FROM s a CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l
+      JOIN s b ON b.g = a.g AND b.t = a.t + l.lag)
+SELECT g AS event_type, lag::BIGINT AS lag, COUNT(*)::BIGINT AS n_pairs,
+       ROUND(CORR(x, y), 6) AS acf
+FROM p GROUP BY 1, 2 ORDER BY 1, 2;""",
+)
+def x168(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import autocorrelation
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    return autocorrelation(daily, "event_type", "day", "n", max_lag=7).select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round("acf", 6).alias("acf"),
+    )

@@ -12,6 +12,9 @@
 3. Graph census ops (operators/graph.py): triangle counts on K4 /
    triangle-free graphs with canonicalization noise, a no-cartesian
    plan pin, and k-core peeling that provably needs multiple rounds.
+4. NDCG@k (evalmetrics) and sample ACF (timeseries): hand-computed
+   values, k-cutoff + tie-break determinism, partitioned-window plan
+   pin, periodic/constant-series ACF behavior, zero-variance NULL.
 """
 
 from __future__ import annotations
@@ -280,3 +283,82 @@ def test_k_core_empty_when_k_exceeds_degrees(spark):
 
     rows = k_core(_edges(spark, [("a", "b"), ("b", "c")]), 5).collect()
     assert rows == []
+
+
+# ----------------------------------------------------- ranking / ACF
+
+
+def test_ndcg_hand_computed(spark):
+    """rels [3,2,0] ranked by score as [2,3,0]: DCG = 3/1 + 7/log2(3),
+    IDCG = 7/1 + 3/log2(3); perfect ordering scores exactly 1; a group
+    with all-zero relevance yields NULL."""
+    import math
+
+    from swivel_spark_prep_spark.operators.evalmetrics import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [
+            ("q1", "i1", 3, 0.5),   # rank 2 by score, rank 1 ideal
+            ("q1", "i2", 2, 0.9),   # rank 1 by score
+            ("q1", "i3", 0, 0.1),
+            ("q2", "i1", 1, 0.9),   # already ideal
+            ("q2", "i2", 0, 0.5),
+            ("q3", "i1", 0, 0.9),   # no relevant items
+        ],
+        "q string, item string, rel int, score double",
+    )
+    got = {r["q"]: r["ndcg"] for r in ndcg_at_k(df, "q", "item", "rel", "score").collect()}
+    dcg = 3.0 / 1 + 7.0 / math.log2(3)
+    idcg = 7.0 / 1 + 3.0 / math.log2(3)
+    assert abs(got["q1"] - dcg / idcg) < 1e-12
+    assert got["q2"] == 1.0
+    assert got["q3"] is None
+
+
+def test_ndcg_k_cutoff_and_tie_break(spark):
+    """Only the top-k scored items contribute to DCG, and equal scores
+    are broken by item id — the metric must be run-deterministic."""
+    from swivel_spark_prep_spark.operators.evalmetrics import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [("q", f"i{j}", 1 if j == 5 else 0, 0.5) for j in range(6)],
+        "q string, item string, rel int, score double",
+    )
+    # all scores tie -> rank order is item order i0..i5; the single
+    # relevant item i5 sits at rank 6, outside k=5 -> DCG@5 = 0
+    got = ndcg_at_k(df, "q", "item", "rel", "score", k=5).collect()[0]
+    assert got["ndcg"] == 0.0
+
+
+def test_ndcg_windows_are_partitioned(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import ndcg_at_k
+    from swivel_spark_prep_spark.plans import unpartitioned_window_count
+
+    df = spark.createDataFrame(
+        [("q", "i", 1, 0.5)], "q string, item string, rel int, score double"
+    )
+    assert unpartitioned_window_count(ndcg_at_k(df, "q", "item", "rel", "score")) == 0
+
+
+def test_autocorrelation_periodic_and_constant(spark):
+    """A period-2 alternating series has ACF -1 at lag 1 and +1 at
+    lag 2; a constant series has zero variance -> NULL ACF; gap
+    indexes drop pairs (n_pairs reflects the overlap)."""
+    from swivel_spark_prep_spark.operators.timeseries import autocorrelation
+
+    rows = [("alt", t, float(t % 2)) for t in range(10)]
+    rows += [("const", t, 5.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    got = {(r["g"], r["lag"]): r for r in autocorrelation(df, "g", "t", "x", 2).collect()}
+    assert abs(got[("alt", 1)]["acf"] + 1.0) < 1e-12
+    assert abs(got[("alt", 2)]["acf"] - 1.0) < 1e-12
+    assert got[("alt", 1)]["n_pairs"] == 9
+    assert got[("const", 1)]["acf"] is None
+
+
+def test_autocorrelation_rejects_bad_lag(spark):
+    from swivel_spark_prep_spark.operators.timeseries import autocorrelation
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, x double")
+    with pytest.raises(ValueError):
+        autocorrelation(df, "g", "t", "x", 0)
