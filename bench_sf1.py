@@ -273,6 +273,14 @@ def main() -> None:
         "X157_ks_test",
         "X158_auc_by_source",
         "X159_ks_by_lang",
+        # Round-11 additions: X87's sweep rewrite rides above; X163 is
+        # scan-bound regex (should track the 10x scan), X165's wedge
+        # join is the O(m^1.5) worst case the orientation bounds, X166
+        # is the iterative peel, X168 is join + moment aggregates.
+        "X163_pii_scan",
+        "X165_triangle_stats",
+        "X166_k_core",
+        "X168_acf",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

@@ -26,6 +26,8 @@ __all__ = [
     "calibration_report",
     "chi2_independence",
     "mutual_information",
+    "ndcg_at_k",
+    "spearman_corr",
 ]
 
 
@@ -337,4 +339,79 @@ def ndcg_at_k(
                 "ndcg"
             ),
         )
+    )
+
+
+def _fractional_ranks(
+    df: DataFrame, val_col: str, out_col: str, group_col: str | None
+) -> DataFrame:
+    """Average (midrank) fractional ranks of ``val_col`` (per group):
+    rank(v) = #{x < v} + (#{x = v} + 1)/2 — the tie convention Spearman
+    requires. Built scale-safe: one groupBy to the per-distinct-value
+    relation, one partitioned_prefix_sum over the value order for the
+    strictly-below counts (value cardinality, never corpus size, and no
+    single-partition stage), one hash join back. NULL values get NULL
+    ranks (excluded upstream)."""
+    gcols = [group_col] if group_col else []
+    counts = df.groupBy(*gcols, val_col).agg(F.count("*").alias("__cnt"))
+    cum = partitioned_prefix_sum(
+        counts,
+        order_cols=[val_col],
+        value_cols="__cnt",
+        out_cols=["__below"],
+        group_cols=gcols or None,
+    )
+    ranks = cum.select(
+        *gcols,
+        val_col,
+        (F.col("__below") + (F.col("__cnt") + 1) / 2.0).alias(out_col),
+    )
+    return df.join(ranks, [*gcols, val_col])
+
+
+def spearman_corr(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Spearman rank correlation ρ between two columns (per group):
+    Pearson correlation of the midrank-transformed values — the
+    tie-correct general form, not the 6Σd²/n(n²−1) shortcut (which is
+    only valid with no ties). Rows with a NULL in either column are
+    excluded (pairwise-complete, the convention of R's cor and
+    pandas .corr).
+
+    Scale design: each rank transform is value-cardinality work on the
+    two-pass prefix-sum primitive (no global window — the binary_auc /
+    ks_test discipline), and the final Pearson is one aggregate from
+    guarded raw moments (NULL on zero rank variance, matching SQL CORR
+    on constant input under ANSI mode). Output: one row (or one per
+    group): (group?, n, rho).
+    """
+    gcols = [group_col] if group_col else []
+    base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        *gcols, F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    )
+    ra = _fractional_ranks(base, "__a", "__ra", group_col)
+    both = _fractional_ranks(ra, "__b", "__rb", group_col)
+    moments = both.groupBy(*gcols).agg(
+        F.count("*").alias("n"),
+        F.sum("__ra").alias("_sx"),
+        F.sum("__rb").alias("_sy"),
+        F.sum(F.col("__ra") * F.col("__ra")).alias("_sxx"),
+        F.sum(F.col("__rb") * F.col("__rb")).alias("_syy"),
+        F.sum(F.col("__ra") * F.col("__rb")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    den2 = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * (
+        n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    return moments.select(
+        *gcols,
+        "n",
+        F.when(
+            den2 > 0,
+            (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.sqrt(den2),
+        ).alias("rho"),
     )

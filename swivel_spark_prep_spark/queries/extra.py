@@ -6010,3 +6010,40 @@ def x168(spark, sf_dir):
         "n_pairs",
         F.round("acf", 6).alias("acf"),
     )
+
+
+@_declare(
+    "X169_spearman",
+    # Per-source Spearman rho between n_chars and whitespace word count
+    # — the monotone-association audit (robust to the nonlinearity that
+    # breaks Pearson). Midrank tie convention on both sides; Spark ranks
+    # come from the two-pass prefix-sum primitive (value-cardinality
+    # work, no global window), the oracle from RANK() + (tie_count-1)/2.
+    """WITH base AS (
+  SELECT source AS g, n_chars::DOUBLE AS a,
+         len(string_split(text, ' '))::DOUBLE AS b
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+r AS (SELECT g,
+  RANK() OVER (PARTITION BY g ORDER BY a) + (COUNT(*) OVER (PARTITION BY g, a) - 1) / 2.0 AS ra,
+  RANK() OVER (PARTITION BY g ORDER BY b) + (COUNT(*) OVER (PARTITION BY g, b) - 1) / 2.0 AS rb
+FROM base)
+SELECT g AS source, COUNT(*)::BIGINT AS n, ROUND(CORR(ra, rb), 6) AS rho
+FROM r GROUP BY 1 ORDER BY 1;""",
+)
+def x169(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import spearman_corr
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "source",
+            F.col("n_chars").cast("double").alias("a"),
+            F.size(F.split("text", " ")).cast("double").alias("b"),
+        )
+    )
+    return (
+        spearman_corr(docs, "a", "b", group_col="source")
+        .select("source", "n", F.round("rho", 6).alias("rho"))
+        .orderBy("source")
+    )

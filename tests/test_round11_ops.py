@@ -362,3 +362,33 @@ def test_autocorrelation_rejects_bad_lag(spark):
     df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, x double")
     with pytest.raises(ValueError):
         autocorrelation(df, "g", "t", "x", 0)
+
+
+def test_spearman_hand_computed(spark):
+    """Monotone (with ties) -> 1; reversed -> -1; the [3,1,2] pattern
+    -> -0.5; constant column -> NULL; NULL rows pairwise-excluded."""
+    from swivel_spark_prep_spark.operators.evalmetrics import spearman_corr
+
+    def rho(pairs):
+        df = spark.createDataFrame(pairs, "a double, b double")
+        return spearman_corr(df, "a", "b").collect()[0]["rho"]
+
+    assert abs(rho([(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)]) - 1.0) < 1e-12
+    assert abs(rho([(1.0, 40.0), (2.0, 20.0), (3.0, 10.0)]) + 1.0) < 1e-12
+    assert abs(rho([(1.0, 3.0), (2.0, 1.0), (3.0, 2.0)]) + 0.5) < 1e-12
+    assert rho([(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)]) is None
+    assert abs(rho([(1.0, 1.0), (2.0, 2.0), (None, 9.0), (3.0, None)]) - 1.0) < 1e-12
+
+
+def test_spearman_grouped_and_plan(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import spearman_corr
+    from swivel_spark_prep_spark.plans import unpartitioned_window_count
+
+    rows = [("g1", float(i), float(i * i)) for i in range(5)]
+    rows += [("g2", float(i), float(-i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    out = spearman_corr(df, "a", "b", group_col="g")
+    got = {r["g"]: r["rho"] for r in out.collect()}
+    assert abs(got["g1"] - 1.0) < 1e-12 and abs(got["g2"] + 1.0) < 1e-12
+    assert unpartitioned_window_count(out) == 0
+    assert unpartitioned_window_count(spearman_corr(df, "a", "b")) == 0
