@@ -6047,3 +6047,106 @@ def x169(spark, sf_dir):
         .select("source", "n", F.round("rho", 6).alias("rho"))
         .orderBy("source")
     )
+
+
+# Round 11 — URL/domain curation axis (operators/urls.py). The fixture
+# has no URL column, so both engines derive the SAME deterministic URL
+# per doc (subdomain/site/tld keyed off doc_id, one malformed shape) —
+# the PII-family planting idiom. Host extraction is one Java∩RE2 regex,
+# replayed verbatim by the oracle.
+_URL_SQL = """CASE WHEN doc_id % 89 = 0 THEN 'no-scheme.site0.com/path'
+  ELSE 'https://' ||
+       CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END ||
+       'site' || (doc_id % 97) || '.' ||
+       CASE WHEN doc_id % 3 = 0 THEN 'org' ELSE 'com' END || '/p/' || doc_id END"""
+
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def _url_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.lit("no-scheme.site0.com/path")
+        ).otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 4 == 0, F.lit("www."))
+                .when(F.col("doc_id") % 4 == 1, F.lit("cdn."))
+                .otherwise(""),
+                F.lit("site"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit("."),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("org")).otherwise("com"),
+                F.lit("/p/"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+
+
+@_declare(
+    "X170_domain_stats",
+    # Per-registered-domain corpus footprint (count + share), NULL
+    # bucket kept visible for unparseable URLs. Registered domain =
+    # last two host labels (the PSL-free approximation, documented).
+    f"""WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+h AS (SELECT NULLIF(lower(regexp_extract(url, '{_URL_HOST_RE}', 1)), '') AS host FROM u),
+d AS (SELECT CASE WHEN host IS NULL THEN NULL
+         WHEN len(string_split(host, '.')) >= 2 THEN
+           string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         ELSE host END AS domain FROM h),
+per AS (SELECT domain, COUNT(*)::BIGINT AS n_docs FROM d GROUP BY 1),
+t AS (SELECT SUM(n_docs)::DOUBLE AS tot FROM per)
+SELECT domain, n_docs, ROUND(n_docs / tot, 6) AS share
+FROM per, t ORDER BY domain NULLS FIRST;""",
+)
+def x170(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.urls import domain_stats
+
+    return (
+        domain_stats(_url_docs(spark, sf_dir))
+        .select("domain", "n_docs", F.round("share", 6).alias("share"))
+        .orderBy(F.col("domain").asc_nulls_first())
+    )
+
+
+@_declare(
+    "X171_blocklist_filter",
+    # Broadcast anti-join blocklist pass: drop docs whose registered
+    # domain is site(10k+3).com; NULL-domain docs survive by anti-join
+    # NULL semantics (pinned on both sides). One summary row.
+    f"""WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+h AS (SELECT doc_id, NULLIF(lower(regexp_extract(url, '{_URL_HOST_RE}', 1)), '') AS host FROM u),
+d AS (SELECT doc_id, CASE WHEN host IS NULL THEN NULL
+         WHEN len(string_split(host, '.')) >= 2 THEN
+           string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         ELSE host END AS domain FROM h),
+bl AS (SELECT 'site' || (10 * i + 3) || '.com' AS domain
+       FROM (SELECT UNNEST(range(10)) AS i)),
+surv AS (SELECT * FROM d WHERE domain IS NULL
+          OR domain NOT IN (SELECT domain FROM bl))
+SELECT COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN domain IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_domain,
+       COUNT(DISTINCT domain)::BIGINT AS n_domains
+FROM surv;""",
+)
+def x171(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.urls import blocklist_filter, extract_domain
+
+    docs = _url_docs(spark, sf_dir)
+    bl = (
+        spark.range(10)
+        .select(
+            F.concat(
+                F.lit("site"), (F.col("id") * 10 + 3).cast("string"), F.lit(".com")
+            ).alias("domain")
+        )
+    )
+    surv = blocklist_filter(docs, bl).withColumn("domain", extract_domain("url"))
+    return surv.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("domain").isNull().cast("long")).alias("n_null_domain"),
+        F.count_distinct("domain").alias("n_domains"),
+    )

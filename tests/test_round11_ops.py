@@ -15,6 +15,11 @@
 4. NDCG@k (evalmetrics) and sample ACF (timeseries): hand-computed
    values, k-cutoff + tie-break determinism, partitioned-window plan
    pin, periodic/constant-series ACF behavior, zero-variance NULL.
+5. Spearman rho (evalmetrics): hand-computed tie cases, grouped form,
+   no-global-window plan pins.
+6. URL/domain ops (operators/urls.py): host/registered-domain shapes
+   incl. userinfo/port/malformed, blocklist NULL-survival semantics,
+   broadcast-join plan pin.
 """
 
 from __future__ import annotations
@@ -392,3 +397,55 @@ def test_spearman_grouped_and_plan(spark):
     assert abs(got["g1"] - 1.0) < 1e-12 and abs(got["g2"] + 1.0) < 1e-12
     assert unpartitioned_window_count(out) == 0
     assert unpartitioned_window_count(spearman_corr(df, "a", "b")) == 0
+
+
+# ---------------------------------------------------------------- URLs
+
+
+def test_extract_domain_shapes(spark):
+    from swivel_spark_prep_spark.operators.urls import extract_domain
+
+    df = spark.createDataFrame(
+        [
+            ("https://www.Example.COM/path?q=1", "example.com", "www.example.com"),
+            ("http://user:pw@a.b.news.co/x", "news.co", "a.b.news.co"),
+            ("ftp://files.example.org", "example.org", "files.example.org"),
+            ("https://localhost:8080/admin", "localhost", "localhost"),
+            ("no-scheme.example.com/path", None, None),
+            ("", None, None),
+            (None, None, None),
+        ],
+        "url string, want_reg string, want_host string",
+    )
+    bad = df.filter(
+        ~(
+            extract_domain("url").eqNullSafe(F.col("want_reg"))
+            & extract_domain("url", registered=False).eqNullSafe(F.col("want_host"))
+        )
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_blocklist_filter_and_null_survival(spark):
+    from swivel_spark_prep_spark.operators.urls import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.bad.com/x"),
+            (2, "https://ok.good.org/y"),
+            (3, "not a url"),
+        ],
+        "id int, url string",
+    )
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    surv = {r["id"] for r in blocklist_filter(docs, bl).collect()}
+    assert surv == {2, 3}  # blocked domain gone, NULL-domain row survives
+
+
+def test_blocklist_is_broadcast(spark):
+    from swivel_spark_prep_spark.operators.urls import blocklist_filter
+    from swivel_spark_prep_spark.plans import physical_plan
+
+    docs = spark.createDataFrame([(1, "https://a.com/x")], "id int, url string")
+    bl = spark.createDataFrame([("b.com",)], "domain string")
+    assert "BroadcastHashJoin" in physical_plan(blocklist_filter(docs, bl))
