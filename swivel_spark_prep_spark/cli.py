@@ -162,6 +162,31 @@ def _build_parser() -> argparse.ArgumentParser:
     pg.add_argument("--top", type=int, default=10, help="print the top-N nodes")
     pg.add_argument("--master", default=None)
 
+    pii = sub.add_parser(
+        "pii",
+        help="scan a parquet text column for PII (email/phone/SSN/IPv4/"
+        "card) and optionally write a redacted copy",
+    )
+    pii.add_argument("--input", required=True)
+    pii.add_argument("--text-col", default="text")
+    pii.add_argument("--luhn", action="store_true",
+                     help="keep only Luhn-valid card hits")
+    pii.add_argument("--redact-to", default=None,
+                     help="write the scrubbed table to this parquet path")
+    pii.add_argument("--master", default=None)
+
+    dom = sub.add_parser(
+        "domains",
+        help="per-registered-domain footprint of a parquet URL column, "
+        "with optional blocklist filtering stats",
+    )
+    dom.add_argument("--input", required=True)
+    dom.add_argument("--url-col", default="url")
+    dom.add_argument("--blocklist", default=None,
+                     help="parquet/newline file of blocked domains")
+    dom.add_argument("--top", type=int, default=20)
+    dom.add_argument("--master", default=None)
+
     return p
 
 
@@ -434,6 +459,52 @@ def _dispatch(args, spark, owns_session) -> int:
             for r in top:
                 print(f"{r.node}	{r.pagerank:.8f}")
             print(f"# wrote ranks → {args.output}")
+        elif args.cmd == "pii":
+            from swivel_spark_prep_spark.operators.pii import (
+                PII_PATTERNS,
+                pii_redact,
+                pii_scan,
+            )
+
+            docs = spark.read.parquet(args.input)
+            scanned = pii_scan(docs, text_col=args.text_col, luhn_cards=args.luhn)
+            totals = scanned.agg(
+                F.count("*").alias("docs"),
+                *[F.sum(f"pii_{c}").alias(c) for c in PII_PATTERNS],
+                F.sum((F.col("pii_total") > 0).cast("long")).alias("docs_with_pii"),
+            ).collect()[0]
+            print(f"docs={totals['docs']} with_pii={totals['docs_with_pii']}")
+            for c in PII_PATTERNS:
+                print(f"  {c}: {totals[c]}")
+            if args.redact_to:
+                pii_redact(docs, text_col=args.text_col).write.mode(
+                    "overwrite"
+                ).parquet(args.redact_to)
+                print(f"# wrote redacted table → {args.redact_to}")
+        elif args.cmd == "domains":
+            from swivel_spark_prep_spark.operators.urls import (
+                blocklist_filter,
+                domain_stats,
+            )
+
+            docs = spark.read.parquet(args.input)
+            stats = domain_stats(docs, url_col=args.url_col)
+            for r in (
+                stats.orderBy(F.desc("n_docs"), F.asc_nulls_last("domain"))
+                .limit(args.top)
+                .collect()
+            ):
+                print(f"{r['domain'] or '<unparseable>'}	{r['n_docs']}	{r['share']:.4f}")
+            if args.blocklist:
+                if args.blocklist.endswith(".parquet"):
+                    bl = spark.read.parquet(args.blocklist)
+                else:
+                    bl = spark.read.text(args.blocklist).select(
+                        F.col("value").alias("domain")
+                    )
+                kept = blocklist_filter(docs, bl, url_col=args.url_col).count()
+                total = docs.count()
+                print(f"# blocklist keeps {kept}/{total} docs")
         elif args.cmd == "bench-query":
             import time
 
