@@ -745,3 +745,63 @@ def priority_sample(
         .otherwise(F.greatest("weight", "__tau"))
         .alias("est"),
     )
+
+
+def coverage_select(
+    df: DataFrame,
+    weight_col: str,
+    p: float,
+    key_cols: list[str],
+    group_col: str | None = None,
+) -> DataFrame:
+    """The smallest top-weight prefix covering at least share ``p`` of
+    the total weight (per group) — "which domains account for 90% of
+    the corpus", "which near-dup clusters hold half the tokens": the
+    head-coverage question every curation report asks. Rows are taken
+    in weight-DESC order (``key_cols`` break ties, making the selected
+    SET deterministic); a row is kept iff the cumulative share of rows
+    strictly before it is < ``p``, so the last kept row is exactly the
+    one that crosses the threshold.
+
+    Scale design: the running total is the two-pass
+    :func:`~swivel_spark_prep_spark.operators.ranks.partitioned_prefix_sum`
+    over (−weight, keys) — no global window, no single-partition stage;
+    the total is a 1-row (per-group) aggregate broadcast back. Output:
+    input columns + ``cum_share`` (share INCLUDING the row), weight-desc
+    ordered. NULL/non-positive weights are dropped (they cannot
+    contribute coverage).
+    """
+    if not 0 < p <= 1:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    gcols = [group_col] if group_col else []
+    base = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
+        "__negw", -F.col(weight_col).cast("double")
+    )
+    cum = partitioned_prefix_sum(
+        base,
+        order_cols=["__negw", *key_cols],
+        value_cols=weight_col,
+        out_cols=["__before"],
+        group_cols=gcols or None,
+    )
+    totals = base.groupBy(*gcols).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("__tot")
+    )
+    joined = (
+        cum.join(F.broadcast(totals), gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.filter(F.col("__before") / F.col("__tot") < p)
+        .select(
+            *df.columns,
+            (
+                (F.col("__before") + F.col(weight_col).cast("double"))
+                / F.col("__tot")
+            ).alias("cum_share"),
+        )
+        .orderBy(*gcols, F.col(weight_col).cast("double").desc(), *key_cols)
+    )

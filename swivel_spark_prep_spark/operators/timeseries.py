@@ -602,3 +602,64 @@ def autocorrelation(
             (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.sqrt(den2),
         ).alias("acf"),
     ).orderBy(group_col, "lag")
+
+
+def cusum(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    slack: float = 0.0,
+) -> DataFrame:
+    """Two-sided CUSUM drift statistic per series (Page 1954): the
+    classic sequential recursions
+
+        S+_t = max(0, S+_{t-1} + (x_t − μ − k))
+        S−_t = max(0, S−_{t-1} − (x_t − μ + k))
+
+    (μ = per-series mean, k = ``slack``) rewritten into their CLOSED
+    window form so no sequential state is needed:
+
+        S+_t = P_t − min(0, min_{j≤t} P_j),  P_t = Σ_{i≤t}(x_i − μ − k)
+        S−_t = max(0, max_{j≤t} Q_j) − Q_t,  Q_t = Σ_{i≤t}(x_i − μ + k)
+
+    — a running sum and a running extremum, both PARTITIONED by the
+    series key (per-series windows; a series is one group's timeline,
+    never the corpus). μ comes from a per-group aggregate joined back
+    (two-pass, the normalize.py discipline). The identity is exact:
+    subtracting the running minimum of the prefix path restarts the
+    statistic at every point the recursion would have clamped to 0.
+
+    Output: (group, index, value, cusum_pos, cusum_neg) — threshold
+    downstream (alarm at S > h·σ for a chosen h). Deterministic for a
+    unique (group, index); NULL values are dropped.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(index_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__x").isNotNull() & F.col("__t").isNotNull())
+    mu = base.groupBy("__g").agg(F.avg("__x").alias("__mu"))
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    path = base.join(mu, "__g").select(
+        "__g",
+        "__t",
+        "__x",
+        F.sum(F.col("__x") - F.col("__mu") - F.lit(slack)).over(w).alias("__p"),
+        F.sum(F.col("__x") - F.col("__mu") + F.lit(slack)).over(w).alias("__q"),
+    )
+    return path.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias(index_col),
+        F.col("__x").alias(value_col),
+        (F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(w))).alias(
+            "cusum_pos"
+        ),
+        (F.greatest(F.lit(0.0), F.max("__q").over(w)) - F.col("__q")).alias(
+            "cusum_neg"
+        ),
+    ).orderBy(group_col, index_col)

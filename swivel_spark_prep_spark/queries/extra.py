@@ -6150,3 +6150,84 @@ def x171(spark, sf_dir):
         F.sum(F.col("domain").isNull().cast("long")).alias("n_null_domain"),
         F.count_distinct("domain").alias("n_domains"),
     )
+
+
+@_declare(
+    "X172_cusum_drift",
+    # Two-sided CUSUM drift statistic (Page 1954) over the per-type
+    # daily event-count series — localizes WHEN a mean shift happened,
+    # the complement of the PSI/KS "did it drift" audits. The
+    # sequential recursion is rewritten to its closed window form
+    # (prefix path minus its running extremum), so both engines compute
+    # it with per-series windows; slack=0 makes P=Q and the oracle
+    # carries one path column.
+    """WITH s AS (
+  SELECT event_type AS g, date_diff('day', DATE '2024-01-01', ts::DATE) AS t,
+         COUNT(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2),
+m AS (SELECT g, AVG(x) AS mu FROM s GROUP BY 1),
+pq AS (SELECT s.g, t, x,
+  SUM(x - mu) OVER (PARTITION BY s.g ORDER BY t ROWS UNBOUNDED PRECEDING) AS p
+  FROM s JOIN m USING (g))
+SELECT g AS event_type, t AS day, x::BIGINT AS n,
+  ROUND(p - LEAST(0, MIN(p) OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING)), 4) AS cusum_pos,
+  ROUND(GREATEST(0, MAX(p) OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING)) - p, 4) AS cusum_neg
+FROM pq ORDER BY 1, 2;""",
+)
+def x172(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import cusum
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    return cusum(daily, "event_type", "day", "n").select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round("cusum_pos", 4).alias("cusum_pos"),
+        F.round("cusum_neg", 4).alias("cusum_neg"),
+    )
+
+
+@_declare(
+    "X173_domain_coverage",
+    # Head-coverage selection: the smallest weight-desc set of
+    # registered domains accounting for >= 80% of documents (planted
+    # URL corpus, NULL bucket excluded) — the "which domains are the
+    # corpus" report. Spark's running total is the two-pass prefix sum
+    # (no global window, plan-pinned in tests); the oracle replays it
+    # with an exclusive running-sum window.
+    f"""WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+h AS (SELECT NULLIF(lower(regexp_extract(url, '{_URL_HOST_RE}', 1)), '') AS host FROM u),
+d AS (SELECT CASE WHEN host IS NULL THEN NULL
+         WHEN len(string_split(host, '.')) >= 2 THEN
+           string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         ELSE host END AS domain FROM h),
+per AS (SELECT domain, COUNT(*)::DOUBLE AS w FROM d WHERE domain IS NOT NULL GROUP BY 1),
+t AS (SELECT SUM(w) AS tot FROM per),
+c AS (SELECT domain, w,
+  COALESCE(SUM(w) OVER (ORDER BY w DESC, domain
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM per)
+SELECT domain, w::BIGINT AS n_docs, ROUND((bef + w) / tot, 6) AS cum_share
+FROM c, t WHERE bef / tot < 0.8 ORDER BY n_docs DESC, domain;""",
+)
+def x173(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import coverage_select
+    from swivel_spark_prep_spark.operators.urls import domain_stats
+
+    per = (
+        domain_stats(_url_docs(spark, sf_dir))
+        .filter(F.col("domain").isNotNull())
+        .select("domain", "n_docs")
+    )
+    return coverage_select(per, "n_docs", 0.8, key_cols=["domain"]).select(
+        "domain",
+        "n_docs",
+        F.round("cum_share", 6).alias("cum_share"),
+    )

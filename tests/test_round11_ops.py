@@ -20,6 +20,10 @@
 6. URL/domain ops (operators/urls.py): host/registered-domain shapes
    incl. userinfo/port/malformed, blocklist NULL-survival semantics,
    broadcast-join plan pin.
+7. CUSUM (timeseries): closed window form == Page's sequential
+   recursion (incl. clamp restarts + slack), constant series all-zero.
+8. coverage_select (sampling): strict-before threshold semantics,
+   deterministic tie order, grouped form, no-global-window plan pin.
 """
 
 from __future__ import annotations
@@ -449,3 +453,77 @@ def test_blocklist_is_broadcast(spark):
     docs = spark.createDataFrame([(1, "https://a.com/x")], "id int, url string")
     bl = spark.createDataFrame([("b.com",)], "domain string")
     assert "BroadcastHashJoin" in physical_plan(blocklist_filter(docs, bl))
+
+
+# ------------------------------------------------- CUSUM / coverage
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The closed window form must equal Page's sequential recursion
+    exactly, including clamp-to-zero restarts, on a series with a real
+    mean shift and nonzero slack."""
+    from swivel_spark_prep_spark.operators.timeseries import cusum
+
+    xs = [5.0, 5.2, 4.9, 5.1, 5.0, 7.8, 8.1, 8.0, 7.9, 8.2]
+    slack = 0.25
+    mu = sum(xs) / len(xs)
+    sp = sn = 0.0
+    want = []
+    for x in xs:
+        sp = max(0.0, sp + (x - mu - slack))
+        sn = max(0.0, sn - (x - mu + slack))
+        want.append((sp, sn))
+    df = spark.createDataFrame(
+        [("s", t, x) for t, x in enumerate(xs)], "g string, t int, x double"
+    )
+    got = cusum(df, "g", "t", "x", slack=slack).orderBy("t").collect()
+    for r, (wp, wn) in zip(got, want):
+        assert abs(r["cusum_pos"] - wp) < 1e-9 and abs(r["cusum_neg"] - wn) < 1e-9
+    # the shift at t=5 must dominate the statistic's maximum
+    assert max(r["cusum_pos"] for r in got) == got[-1]["cusum_pos"]
+
+
+def test_cusum_constant_series_is_zero(spark):
+    from swivel_spark_prep_spark.operators.timeseries import cusum
+
+    df = spark.createDataFrame(
+        [("s", t, 3.0) for t in range(6)], "g string, t int, x double"
+    )
+    for r in cusum(df, "g", "t", "x").collect():
+        assert r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0
+
+
+def test_coverage_select_threshold_semantics(spark):
+    """Keep rows while the share BEFORE is < p: weights [5,3,2] at
+    p=0.5 keep exactly [5]; p=0.51 keeps [5,3]; p=1.0 keeps all and the
+    last cum_share is exactly 1."""
+    from swivel_spark_prep_spark.operators.sampling import coverage_select
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 3.0), ("c", 2.0)], "k string, w double"
+    )
+    assert [r["k"] for r in coverage_select(df, "w", 0.5, ["k"]).collect()] == ["a"]
+    assert [r["k"] for r in coverage_select(df, "w", 0.51, ["k"]).collect()] == ["a", "b"]
+    full = coverage_select(df, "w", 1.0, ["k"]).collect()
+    assert [r["k"] for r in full] == ["a", "b", "c"]
+    assert abs(full[-1]["cum_share"] - 1.0) < 1e-12
+
+
+def test_coverage_select_grouped_ties_and_plan(spark):
+    from swivel_spark_prep_spark.operators.sampling import coverage_select
+    from swivel_spark_prep_spark.plans import unpartitioned_window_count
+
+    df = spark.createDataFrame(
+        [("g1", "b", 2.0), ("g1", "a", 2.0), ("g1", "c", 1.0), ("g2", "z", 9.0)],
+        "g string, k string, w double",
+    )
+    out = coverage_select(df, "w", 0.6, ["k"], group_col="g")
+    rows = [(r["g"], r["k"]) for r in out.collect()]
+    # g1: ties 2.0/2.0 break on key — "a" first; before("a")=0 < .6,
+    # before("b")=0.4 < .6, before("c")=0.8 stops; g2: single row
+    assert rows == [("g1", "a"), ("g1", "b"), ("g2", "z")]
+    assert unpartitioned_window_count(out) == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        coverage_select(df, "w", 0.0, ["k"])
