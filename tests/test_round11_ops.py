@@ -527,3 +527,111 @@ def test_coverage_select_grouped_ties_and_plan(spark):
 
     with _pt.raises(ValueError):
         coverage_select(df, "w", 0.0, ["k"])
+
+
+# ------------------------------------- randomized brute-force parity
+# One seeded batch per operator, a single Spark job each, compared
+# element-wise against a pure-Python brute-force reference — the
+# Spark-efficient form of a property test (hundreds of cases, one job).
+
+
+def test_overlap_count_random_brute_force(spark):
+    import random
+
+    rng = random.Random(411)
+    mk = lambda n: [  # noqa: E731
+        (f"i{j}", _ts(0) + datetime.timedelta(minutes=rng.randrange(0, 500)), None)
+        for j in range(n)
+    ]
+    a_rows, b_rows = [], []
+    for j in range(120):
+        s = rng.randrange(0, 500)
+        a_rows.append((f"a{j}", _ts(0) + datetime.timedelta(minutes=s),
+                       _ts(0) + datetime.timedelta(minutes=s + rng.randrange(0, 90))))
+    for j in range(150):
+        s = rng.randrange(0, 500)
+        b_rows.append((f"b{j}", _ts(0) + datetime.timedelta(minutes=s),
+                       _ts(0) + datetime.timedelta(minutes=s + rng.randrange(0, 90))))
+    want = {
+        ka: sum(
+            1
+            for (_, bs, be) in b_rows
+            if bs < be and s < be and bs < e  # non-empty + half-open overlap
+        ) if s < e else 0
+        for (ka, s, e) in a_rows
+    }
+    got = {
+        r["id"]: r["n_overlaps"]
+        for r in interval_overlap_count(
+            _frame(spark, a_rows), _frame(spark, b_rows)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_luhn_random_brute_force(spark):
+    import random
+
+    from swivel_spark_prep_spark.operators.pii import luhn_check
+
+    rng = random.Random(412)
+
+    def brute(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    cases = ["".join(rng.choice("0123456789") for _ in range(rng.randrange(2, 20)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(c, brute(c)) for c in cases], "s string, want boolean")
+    assert df.filter(luhn_check("s") != F.col("want")).count() == 0
+
+
+def test_triangle_stats_random_brute_force(spark):
+    import itertools
+    import random
+
+    from swivel_spark_prep_spark.operators.graph import triangle_stats
+
+    rng = random.Random(413)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = [(u, v) for u, v in itertools.combinations(nodes, 2) if rng.random() < 0.25]
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(
+        1
+        for u, v, w in itertools.combinations(nodes, 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    r = triangle_stats(_edges(spark, edges)).collect()[0]
+    assert r["n_triangles"] == tri and r["n_wedges"] == wedges
+    assert r["n_edges"] == len(edges)
+
+
+def test_coverage_select_random_brute_force(spark):
+    import random
+
+    from swivel_spark_prep_spark.operators.sampling import coverage_select
+
+    rng = random.Random(414)
+    rows = [(f"k{i:03d}", float(rng.randrange(1, 50))) for i in range(80)]
+    p = 0.7
+    total = sum(w for _, w in rows)
+    order = sorted(rows, key=lambda kw: (-kw[1], kw[0]))
+    want, acc = [], 0.0
+    for k, w in order:
+        if acc / total < p:
+            want.append(k)
+        acc += w
+    df = spark.createDataFrame(rows, "k string, w double")
+    got = [r["k"] for r in coverage_select(df, "w", p, ["k"]).collect()]
+    assert got == want
