@@ -610,6 +610,7 @@ def cusum(
     index_col: str,
     value_col: str,
     slack: float = 0.0,
+    mu: float | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM drift statistic per series (Page 1954): the
     classic sequential recursions
@@ -633,19 +634,28 @@ def cusum(
     Output: (group, index, value, cusum_pos, cusum_neg) — threshold
     downstream (alarm at S > h·σ for a chosen h). Deterministic for a
     unique (group, index); NULL values are dropped.
+
+    ``mu`` fixes the reference mean for ALL series (the SPC "in-control
+    mean known" form — what the streaming twin uses, since a stream
+    cannot see its future mean); ``mu=None`` estimates it per series.
     """
     base = df.select(
         F.col(group_col).alias("__g"),
         F.col(index_col).alias("__t"),
         F.col(value_col).cast("double").alias("__x"),
     ).filter(F.col("__x").isNotNull() & F.col("__t").isNotNull())
-    mu = base.groupBy("__g").agg(F.avg("__x").alias("__mu"))
+    if mu is None:
+        mu_rel = base.groupBy("__g").agg(F.avg("__x").alias("__mu"))
+    else:
+        mu_rel = base.select("__g").distinct().withColumn(
+            "__mu", F.lit(float(mu))
+        )
     w = (
         Window.partitionBy("__g")
         .orderBy("__t")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    path = base.join(mu, "__g").select(
+    path = base.join(mu_rel, "__g").select(
         "__g",
         "__t",
         "__x",

@@ -20,7 +20,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from swivel_spark_prep_spark.session import configure_runtime
@@ -897,6 +897,142 @@ def stream_running_distinct(
 
     return (
         values_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_cusum(
+    events_stream: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    mu: float,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    retain_batches: int | None = 8,
+):
+    """Streaming two-sided CUSUM drift localizer — the "WHEN did the
+    mean shift" companion to :func:`stream_drift_monitor`'s per-batch
+    PSI "did it drift". The SPC form with a KNOWN in-control mean
+    ``mu`` (a stream cannot see its future mean; calibrate mu on a
+    baseline window, as every control chart does).
+
+    State is ONE ROW of two doubles per group — (s_pos, s_neg) carried
+    across batches — the tightest state of all the bounded services
+    (CMS keeps a grid, DDSketch a bucket relation, HLL a register
+    array; CUSUM is O(1) per series by construction). The carry uses
+    the virtual-element identity: folding Page's recursion from initial
+    state S0 equals folding [S0, d_1..d_n] from 0, so within a batch
+
+        S_t = S0 + P_t − min(0, S0 + min_{j≤t} P_j)
+
+    needs only the per-group running sum and running min the batch
+    operator already uses (timeseries.cusum closed form) — exact, no
+    per-row Python state.
+
+    Per batch: rows (group, ts, value, cusum_pos, cusum_neg[, alarm])
+    land under ``out_dir/batch_id=N`` (idempotent overwrite, the
+    service convention); end-of-batch statistics per group land under
+    ``state_dir/cusum/batch_id=N`` with groups absent from the batch
+    carried forward, so the chain never loses a series. ``threshold``
+    (absolute units) adds the boolean ``alarm`` column. Rows must be
+    unique per (group, ts) for a deterministic fold; ties are broken on
+    the value.
+
+    Returns the started StreamingQuery.
+    """
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jp))
+
+    def _apply(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        rows = batch.select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).alias("t"),
+            F.col(value_col).cast("double").alias("x"),
+        ).filter(F.col("x").isNotNull() & F.col("t").isNotNull())
+
+        prev_path = f"{state_dir}/cusum/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev_path):
+            prev = spark.read.parquet(prev_path)
+        else:
+            prev = spark.createDataFrame(
+                [], "g string, s_pos double, s_neg double"
+            )
+
+        w = (
+            Window.partitionBy("g")
+            .orderBy("t", "x")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        d = F.col("x") - F.lit(mu) - F.lit(slack)
+        e = F.lit(mu) - F.col("x") - F.lit(slack)
+        path = (
+            rows.join(prev, "g", "left")
+            .withColumn("s0p", F.coalesce("s_pos", F.lit(0.0)))
+            .withColumn("s0n", F.coalesce("s_neg", F.lit(0.0)))
+            .drop("s_pos", "s_neg")
+            .select(
+                "*",
+                F.sum(d).over(w).alias("__p"),
+                F.min(F.sum(d).over(w)).over(w).alias("__minp"),
+                F.sum(e).over(w).alias("__q"),
+                F.min(F.sum(e).over(w)).over(w).alias("__minq"),
+            )
+            .select(
+                F.col("g").alias(group_col),
+                F.col("t").alias(ts_col),
+                F.col("x").alias(value_col),
+                (
+                    F.col("s0p")
+                    + F.col("__p")
+                    - F.least(F.lit(0.0), F.col("s0p") + F.col("__minp"))
+                ).alias("cusum_pos"),
+                (
+                    F.col("s0n")
+                    + F.col("__q")
+                    - F.least(F.lit(0.0), F.col("s0n") + F.col("__minq"))
+                ).alias("cusum_neg"),
+            )
+        )
+        if threshold is not None:
+            path = path.withColumn(
+                "alarm",
+                (F.col("cusum_pos") >= threshold)
+                | (F.col("cusum_neg") >= threshold),
+            )
+        path.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+        # end-of-batch state per group; carry forward groups silent
+        # this batch (anti-join keeps their previous statistics)
+        out = spark.read.parquet(f"{out_dir}/batch_id={batch_id}")
+        ends = out.groupBy(F.col(group_col).alias("g")).agg(
+            F.expr(f"max_by(cusum_pos, struct({ts_col}, {value_col}))").alias(
+                "s_pos"
+            ),
+            F.expr(f"max_by(cusum_neg, struct({ts_col}, {value_col}))").alias(
+                "s_neg"
+            ),
+        )
+        carried = prev.join(ends.select("g"), "g", "left_anti")
+        ends.unionByName(carried).write.mode("overwrite").parquet(
+            f"{state_dir}/cusum/batch_id={batch_id}"
+        )
+        if retain_batches:
+            _prune_batches(
+                spark, f"{state_dir}/cusum", batch_id - retain_batches + 1
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()

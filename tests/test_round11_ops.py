@@ -24,6 +24,9 @@
    recursion (incl. clamp restarts + slack), constant series all-zero.
 8. coverage_select (sampling): strict-before threshold semantics,
    deterministic tie order, grouped form, no-global-window plan pin.
+9. stream_cusum (streaming): per-batch outputs bit-match the fixed-mean
+   batch operator over the concatenated stream (virtual-element carry),
+   silent groups keep state, one state row per group, alarm column.
 """
 
 from __future__ import annotations
@@ -635,3 +638,88 @@ def test_coverage_select_random_brute_force(spark):
     df = spark.createDataFrame(rows, "k string, w double")
     got = [r["k"] for r in coverage_select(df, "w", p, ["k"]).collect()]
     assert got == want
+
+
+def test_stream_cusum_matches_batch_and_carries_state(spark, tmp_path):
+    """Concatenating the per-batch outputs of the streaming CUSUM must
+    bit-match the batch operator with the same fixed mean over ALL rows
+    (the virtual-element carry identity is exact); a group silent in the
+    last batch keeps its statistics in state; state is one row per
+    group; the threshold produces the alarm column."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.operators.timeseries import cusum
+    from swivel_spark_prep_spark.streaming import stream_cusum
+
+    mu, slack = 5.0, 0.1
+    rows = []
+    for t in range(30):
+        rows.append(("a", t, 5.0 + (3.0 if t >= 18 else 0.0) + (t % 3) * 0.1))
+        if t < 20:  # "b" goes silent in the last third
+            rows.append(("b", t, 5.0 - (t % 4) * 0.05))
+    full = spark.createDataFrame(rows, "g string, t int, x double")
+
+    stage, drops = tmp_path / "stage", tmp_path / "drops"
+    drops.mkdir()
+    for i in range(3):  # batches split BY TIME: the fold order matters
+        part = full.filter((F.col("t") >= i * 10) & (F.col("t") < (i + 1) * 10))
+        part.coalesce(1).write.parquet(str(stage / f"b{i}"))
+        f = glob.glob(str(stage / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(drops / f"{i:02d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("g string, t int, x double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(drops))
+    )
+    q = stream_cusum(
+        stream,
+        "g",
+        "t",
+        "x",
+        mu=mu,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        slack=slack,
+        threshold=3.0,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["g"], r["t"]): (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["g"], r["t"]): (r["cusum_pos"], r["cusum_neg"])
+        for r in cusum(full, "g", "t", "x", slack=slack, mu=mu).collect()
+    }
+    assert set(got) == set(want)
+    for k, (wp, wn) in want.items():
+        gp, gn, alarm = got[k]
+        assert abs(gp - wp) < 1e-9 and abs(gn - wn) < 1e-9, k
+        # the alarm is defined over the EMITTED statistics (comparing
+        # against the batch twin's value here would be ulp-flaky when a
+        # statistic lands exactly on the threshold)
+        assert alarm == (gp >= 3.0 or gn >= 3.0)
+    # the shift in "a" must actually alarm
+    assert any(al for (g, _), (_, _, al) in got.items() if g == "a")
+
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(str(tmp_path / "state" / "cusum" / "batch_id=*"))
+    )
+    state = {
+        r["g"]: (r["s_pos"], r["s_neg"])
+        for r in spark.read.parquet(
+            str(tmp_path / "state" / "cusum" / f"batch_id={last}")
+        ).collect()
+    }
+    assert set(state) == {"a", "b"}  # one row per group, silent "b" carried
+    assert abs(state["b"][0] - want[("b", 19)][0]) < 1e-9
+    assert abs(state["a"][0] - want[("a", 29)][0]) < 1e-9
