@@ -1,0 +1,213 @@
+"""Distributed linear-model training — the model-in-the-loop curation
+step (train a quality/language classifier on labels, score the corpus,
+filter on the score; the CCNet / fastText-filter pattern, public).
+
+Logistic regression by FULL-BATCH gradient descent in pure relational
+algebra: features are a sparse ``(doc, bucket, cnt)`` relation (hashed
+bag-of-words via the md5 bucket idiom of sampling.hash_bucket, so the
+DuckDB oracle replays the featurization bit-for-bit), the weight vector
+is a ≤ ``dim``-row relation, and one GD step is
+
+    margin_d = Σ_b cnt_{d,b} · w_b          (join on bucket + per-doc sum)
+    grad_b   = Σ_d cnt_{d,b} · (σ(margin_d) − y_d) / N   (join + per-bucket sum)
+    w_b     ← w_b − lr · grad_b
+
+— two broadcast joins and two aggregates per iteration; the weights
+relation is control-plane-sized and broadcast, the big (doc, bucket)
+relation is never reshuffled. Deterministic by construction (fixed
+iteration count, no sampling, double-precision sums), so the training
+LOOP itself is DuckDB-replayable as an unrolled CTE chain
+(:func:`logreg_oracle_sql` — the pagerank_oracle_sql idiom applied to
+model fitting). Per-iteration ``localCheckpoint`` cuts the doubling
+plan lineage exactly as pagerank does.
+
+At 100 TB the feature relation is the corpus-sized side and stays
+partitioned by doc; every model-sized relation (weights, gradients)
+flows through broadcast. Full-batch GD is the deliberately simple,
+exactly-reproducible choice — swap the step rule for minibatch/Adam on
+a cluster where exact replay is not a requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.cache import track_persist
+from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+
+def hashed_word_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 512,
+    salt: str = "lr",
+    binary: bool = False,
+) -> DataFrame:
+    """Sparse hashed unigram features: (id, bucket, cnt). Lower-cased
+    whitespace tokens, md5-bucketed so both engines agree.
+    ``binary=True`` records presence (cnt=1) instead of counts — the
+    better-conditioned choice for gradient training (count features
+    give the shared high-frequency tokens outsized curvature and GD
+    oscillates; measured on the fixture: raw counts diverge at lr 0.5
+    while binary+intercept converges at lr 1.0)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    agg = F.lit(1.0) if binary else F.count("*").cast("double")
+    return (
+        toks.withColumn("bucket", hash_bucket(F.col("w"), dim, salt=salt))
+        .groupBy("id", "bucket")
+        .agg(F.max(agg).alias("cnt") if binary else agg.alias("cnt"))
+    )
+
+
+def logreg_fit(
+    features: DataFrame,
+    labels: DataFrame,
+    lr: float = 1.0,
+    iterations: int = 24,
+    intercept: bool = True,
+) -> DataFrame:
+    """Fit logistic-regression weights on ``features`` (id, bucket, cnt)
+    against ``labels`` (id, y ∈ {0,1}) from a zero initialization.
+    Returns the (bucket, weight) relation; with ``intercept`` a virtual
+    always-on feature at bucket −1 absorbs the class prior (without it
+    the shared-token weights carry the prior and converge far slower).
+    N is the LABELED-doc count; docs without a label are ignored
+    (semi-supervised scoring happens in :func:`logreg_score`)."""
+    feats = features.join(
+        labels.select("id", F.col("y").cast("double").alias("y")), "id"
+    )
+    if intercept:
+        feats = feats.unionByName(
+            feats.select("id", "y")
+            .distinct()
+            .withColumn("bucket", F.lit(-1).cast("long"))
+            .withColumn("cnt", F.lit(1.0))
+        )
+    feats = track_persist(feats)
+    n = feats.select("id").distinct().count()  # bounded: one long
+    if n == 0:
+        raise ValueError("no labeled documents")
+    weights = None  # zero vector: absent bucket == weight 0
+    for _ in range(iterations):
+        if weights is None:
+            margins = feats.select("id", "y").distinct().withColumn(
+                "margin", F.lit(0.0)
+            )
+        else:
+            margins = (
+                feats.join(F.broadcast(weights), "bucket", "left")
+                .groupBy("id", "y")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("cnt") * F.col("weight")), F.lit(0.0)
+                    ).alias("margin")
+                )
+            )
+        resid = margins.select(
+            "id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - F.col("y")).alias(
+                "r"
+            ),
+        )
+        grads = (
+            feats.join(F.broadcast(resid.select("id", "r")), "id")
+            .groupBy("bucket")
+            .agg((F.sum(F.col("cnt") * F.col("r")) / F.lit(float(n))).alias("g"))
+        )
+        if weights is None:
+            step = grads.select("bucket", (-F.lit(lr) * F.col("g")).alias("weight"))
+        else:
+            step = (
+                grads.join(weights, "bucket", "left")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("weight"), F.lit(0.0))
+                        - F.lit(lr) * F.col("g")
+                    ).alias("weight"),
+                )
+            )
+        # weights support == feature-bucket support after step 1, and a
+        # bucket absent from grads is absent from feats — no outer side
+        weights = step.localCheckpoint(eager=True)
+    return weights
+
+
+def logreg_score(
+    features: DataFrame,
+    weights: DataFrame,
+    out_col: str = "p",
+    intercept: bool = True,
+) -> DataFrame:
+    """Per-doc probability σ(Σ cnt·w) from the fitted weight relation
+    (broadcast). ``intercept`` must match the fit: it re-attaches the
+    virtual always-on bucket −1 so the intercept weight participates in
+    every margin (without it, scores are systematically shifted by the
+    class prior). Docs whose buckets all miss the weight support score
+    exactly 0.5 (zero margin)."""
+    if intercept:
+        features = features.unionByName(
+            features.select("id")
+            .distinct()
+            .withColumn("bucket", F.lit(-1).cast("long"))
+            .withColumn("cnt", F.lit(1.0))
+        )
+    return (
+        features.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") * F.col("weight")), F.lit(0.0)).alias(
+                "__m"
+            )
+        )
+        .select(
+            "id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))).alias(out_col),
+        )
+    )
+
+
+def logreg_oracle_sql(
+    docs_sql: str,
+    label_expr: str,
+    dim: int = 512,
+    salt: str = "lr",
+    lr: float = 1.0,
+    iterations: int = 24,
+) -> str:
+    """DuckDB twin of featurize→fit with the GD loop UNROLLED — parity
+    proves the whole training trajectory, not just the final sums.
+    ``docs_sql`` must yield (doc_id, text, …); ``label_expr`` is a SQL
+    boolean over those columns. CTEs are MATERIALIZED (the k-core
+    lesson: re-expansion is exponential in the unroll depth)."""
+    sql = f"""WITH base AS MATERIALIZED (
+  SELECT doc_id AS id, ({label_expr})::INT::DOUBLE AS y,
+         ('0x' || substr(md5('{salt}' || w), 1, 8))::BIGINT % {dim} AS bucket
+  FROM ({docs_sql}), UNNEST(string_split(lower(text), ' ')) AS u(w)
+  WHERE w <> '' GROUP BY 1, 2, 3),
+feats AS MATERIALIZED (
+  SELECT id, y, bucket, 1.0 AS cnt FROM base
+  UNION ALL
+  SELECT DISTINCT id, y, -1 AS bucket, 1.0 AS cnt FROM base),
+n AS (SELECT COUNT(DISTINCT id)::DOUBLE AS n FROM feats),
+w0 AS MATERIALIZED (SELECT bucket, 0.0 AS weight FROM feats GROUP BY 1)"""
+    prev = "w0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+m{i} AS MATERIALIZED (
+  SELECT f.id, f.y, COALESCE(SUM(f.cnt * w.weight), 0.0) AS margin
+  FROM feats f LEFT JOIN {prev} w USING (bucket) GROUP BY 1, 2),
+w{i} AS MATERIALIZED (
+  SELECT f.bucket,
+         ANY_VALUE(w.weight) - {lr!r} * SUM(f.cnt * (1.0 / (1.0 + exp(-m.margin)) - f.y)) / ANY_VALUE(n.n) AS weight
+  FROM feats f JOIN m{i} m USING (id) JOIN {prev} w USING (bucket), n
+  GROUP BY 1)"""
+        prev = f"w{i}"
+    sql += f"""
+SELECT bucket, ROUND(weight, 6) AS weight FROM {prev} ORDER BY bucket;"""
+    return sql

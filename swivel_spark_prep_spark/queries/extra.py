@@ -6231,3 +6231,102 @@ def x173(spark, sf_dir):
         "n_docs",
         F.round("cum_share", 6).alias("cum_share"),
     )
+
+
+from swivel_spark_prep_spark.operators.linear import logreg_oracle_sql  # noqa: E402
+
+# Model-in-the-loop curation (operators/linear.py). The synthetic corpus
+# carries NO natural text-label signal (unigram distributions are
+# identical across lang and source — measured: every label tried gives
+# mean_p separation < 0.01), so the queries PLANT one with the fixture
+# idiom: y=1 docs (doc_id%4=0) carry a triple 'qz' marker, and an
+# ambiguity class (doc_id%8=1, y=0) carries a single 'qz' that binary
+# presence features provably cannot distinguish — the classifier must
+# learn the marker, and its errors are exactly the planted ambiguity.
+_LOGREG_DOCS_SQL = """SELECT doc_id,
+  text || CASE WHEN doc_id % 4 = 0 THEN ' qz qz qz'
+               WHEN doc_id % 8 = 1 THEN ' qz' ELSE '' END AS text
+FROM documents"""
+_LOGREG_LABEL = "doc_id % 4 = 0"
+
+
+def _logreg_pieces(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import (
+        hashed_word_features,
+        logreg_fit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" qz qz qz"))
+            .when(F.col("doc_id") % 8 == 1, F.lit(" qz"))
+            .otherwise(""),
+        ).alias("text"),
+    )
+    feats = hashed_word_features(docs, dim=512, binary=True)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 4 == 0).cast("int").alias("y"),
+    )
+    return feats, labels
+
+
+@_declare(
+    "X174_logreg_weights",
+    # Full GD-trajectory parity: the oracle UNROLLS all 24 training
+    # steps (pagerank idiom) — md5 featurization, margins, sigmoid
+    # residuals, gradient averages, every weight update, down to the
+    # final 513-row weight relation (512 hashed buckets + intercept).
+    logreg_oracle_sql(_LOGREG_DOCS_SQL, _LOGREG_LABEL, dim=512, lr=1.0, iterations=24),
+)
+def x174(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import logreg_fit
+
+    feats, labels = _logreg_pieces(spark, sf_dir)
+    return (
+        logreg_fit(feats, labels, lr=1.0, iterations=24)
+        .select("bucket", F.round("weight", 6).alias("weight"))
+        .orderBy("bucket")
+    )
+
+
+@_declare(
+    "X175_logreg_eval",
+    # Scoring + eval of the X174 model: per-label mean probability and
+    # 0.5-threshold correct counts. The planted design makes the
+    # numbers interpretable: all y=1 docs correct, and the errors on
+    # y=0 are (a subset of) the single-marker ambiguity class.
+    logreg_oracle_sql(
+        _LOGREG_DOCS_SQL, _LOGREG_LABEL, dim=512, lr=1.0, iterations=24
+    ).replace(
+        "\nSELECT bucket, ROUND(weight, 6) AS weight FROM w24 ORDER BY bucket;",
+        """,
+scored AS (
+  SELECT f.id, ANY_VALUE(f.y) AS y,
+         1.0 / (1.0 + exp(-SUM(f.cnt * w.weight))) AS p
+  FROM feats f JOIN w24 w USING (bucket) GROUP BY f.id)
+SELECT y::INT AS label, COUNT(*)::BIGINT AS n,
+       ROUND(AVG(p), 6) AS mean_p,
+       SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)::BIGINT AS n_correct
+FROM scored GROUP BY 1 ORDER BY 1;""",
+    ),
+)
+def x175(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import logreg_fit, logreg_score
+
+    feats, labels = _logreg_pieces(spark, sf_dir)
+    w = logreg_fit(feats, labels, lr=1.0, iterations=24)
+    scored = logreg_score(feats, w).join(labels, "id")
+    return (
+        scored.groupBy(F.col("y").alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_p"),
+            F.sum(
+                ((F.col("p") >= 0.5) == (F.col("y") == 1)).cast("long")
+            ).alias("n_correct"),
+        )
+        .orderBy("label")
+    )

@@ -27,6 +27,9 @@
 9. stream_cusum (streaming): per-batch outputs bit-match the fixed-mean
    batch operator over the concatenated stream (virtual-element carry),
    silent groups keep state, one state row per group, alarm column.
+10. logreg (operators/linear.py): separable data learned to confidence,
+    intercept-only model converges to the class prior, binary feature
+    flag, empty-label rejection.
 """
 
 from __future__ import annotations
@@ -723,3 +726,62 @@ def test_stream_cusum_matches_batch_and_carries_state(spark, tmp_path):
     assert set(state) == {"a", "b"}  # one row per group, silent "b" carried
     assert abs(state["b"][0] - want[("b", 19)][0]) < 1e-9
     assert abs(state["a"][0] - want[("a", 29)][0]) < 1e-9
+
+
+# ---------------------------------------------------------- logreg
+
+
+def test_logreg_learns_separable_data(spark):
+    """A feature perfectly aligned with the label must be learned to
+    high confidence; the intercept path keeps the opposite class low."""
+    from swivel_spark_prep_spark.operators.linear import logreg_fit, logreg_score
+
+    feats = spark.createDataFrame(
+        [(i, 7, 1.0) for i in range(10)]          # all docs share bucket 7
+        + [(i, 3, 1.0) for i in range(5)],        # label-1 docs also have bucket 3
+        "id int, bucket long, cnt double",
+    )
+    labels = spark.createDataFrame(
+        [(i, 1 if i < 5 else 0) for i in range(10)], "id int, y int"
+    )
+    w = logreg_fit(feats, labels, lr=2.0, iterations=40)
+    scored = {r["id"]: r["p"] for r in logreg_score(feats, w).collect()}
+    assert all(scored[i] > 0.8 for i in range(5))
+    assert all(scored[i] < 0.2 for i in range(5, 10))
+
+
+def test_logreg_intercept_learns_prior(spark):
+    """With identical features everywhere, the model can only learn the
+    class prior — every score must approach it (and without an
+    intercept it would be stuck at 0.5 only when the prior is 0.5)."""
+    from swivel_spark_prep_spark.operators.linear import logreg_fit, logreg_score
+
+    feats = spark.createDataFrame(
+        [(i, 7, 1.0) for i in range(10)], "id int, bucket long, cnt double"
+    )
+    labels = spark.createDataFrame(
+        [(i, 1 if i < 3 else 0) for i in range(10)], "id int, y int"
+    )
+    w = logreg_fit(feats, labels, lr=1.0, iterations=60)
+    ps = [r["p"] for r in logreg_score(feats, w).collect()]
+    assert all(abs(p - 0.3) < 0.05 for p in ps)
+
+
+def test_hashed_word_features_binary_flag(spark):
+    from swivel_spark_prep_spark.operators.linear import hashed_word_features
+
+    docs = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    raw = {r["bucket"]: r["cnt"] for r in hashed_word_features(docs, dim=64).collect()}
+    bin_ = {r["bucket"]: r["cnt"] for r in hashed_word_features(docs, dim=64, binary=True).collect()}
+    assert sorted(raw.values()) == [1.0, 3.0]
+    assert sorted(bin_.values()) == [1.0, 1.0]
+    assert set(raw) == set(bin_)
+
+
+def test_logreg_requires_labels(spark):
+    from swivel_spark_prep_spark.operators.linear import logreg_fit
+
+    feats = spark.createDataFrame([(1, 7, 1.0)], "id int, bucket long, cnt double")
+    empty = spark.createDataFrame([], "id int, y int")
+    with pytest.raises(ValueError):
+        logreg_fit(feats, empty, iterations=1)
