@@ -400,3 +400,52 @@ def nb_crossval_audit(
         "fold",
         (F.col(label_col) != F.col("pred")).alias("mismatch"),
     )
+
+
+def kneser_ney_bigram(
+    train: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    the fixed-discount interpolated form of Chen & Goodman 1998):
+
+        P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                 + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    left-contexts of w2 (the continuation-probability insight: how many
+    contexts a word COMPLETES, not how often it occurs), and N1+(··) =
+    distinct bigram types. All four relations are aggregates of the one
+    bigram count table — three grouped aggregates with map-side
+    combine, two vocab-keyed hash joins, one 1-row broadcast. Output:
+    (w1, w2, c, p_kn) for every observed bigram (the backoff mass for
+    UNSEEN pairs is λ(w1)·P_cont(w2) by the same formula with c = 0 —
+    computable from the returned marginals without materializing the
+    V² grid, which is the point of the factored form at 100 TB vocab).
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    _, bi, _ = train_bigram_lm(train, text_col)
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n_follow")
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    types = bi.agg(F.count("*").alias("n_types"))
+    d = F.lit(float(discount))
+    return (
+        bi.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (
+                F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("c1")
+                + d
+                * F.col("n_follow")
+                / F.col("c1")
+                * F.col("n_prec")
+                / F.col("n_types")
+            ).alias("p_kn"),
+        )
+    )

@@ -117,3 +117,57 @@ def pca_transform(
             yield pdf
 
     return embs.mapInPandas(_proj, out_schema)
+
+
+def jl_sign_matrix(d: int, k: int, salt: str = "jl") -> list[list[float]]:
+    """Deterministic ±1/√k Rademacher projection matrix (k rows × d
+    cols) from per-cell md5 parity — the Achlioptas (2001)
+    database-friendly Johnson–Lindenstrauss construction, seeded so any
+    engine (or the DuckDB oracle) rebuilds the identical matrix from
+    (salt, d, k) alone: cell sign = parity of the first hex nibble of
+    md5('salt:i:j'). Model-sized (k·d doubles); built on the driver."""
+    import hashlib
+
+    inv = 1.0 / (k ** 0.5)
+    return [
+        [
+            inv
+            if int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -inv
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def random_projection(
+    embs: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    salt: str = "jl",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``k`` dims: append
+    ``out_col = R·v`` with the seeded Rademacher matrix embedded as an
+    array LITERAL (k·d doubles — the model, not data). Entirely
+    map-only whole-stage codegen — ``zip_with``/``aggregate`` dot
+    products, no shuffle, no Python — the cheap alternative to
+    :func:`pca_fit` when a data-dependent basis is not needed (JL:
+    pairwise distances are preserved within 1±ε for k = O(log n / ε²),
+    independent of the input dimension). Input dim is probed from one
+    row (bounded control read)."""
+    probe = embs.select(F.size(vec_col).alias("d")).first()
+    if probe is None:
+        raise ValueError("empty input")
+    d = probe["d"]
+    rows = jl_sign_matrix(d, k, salt=salt)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dots = [
+        F.aggregate(
+            F.zip_with(vec, F.lit(r), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for r in rows
+    ]
+    return embs.withColumn(out_col, F.array(*dots))

@@ -421,3 +421,63 @@ def skew_report(
         F.round("_p99", 4).alias("p99"),
     )
     return hot.unionByName(stats)
+
+
+def kmv_jaccard(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Pairwise Jaccard estimates between all group sketches in a
+    (g, pos, hv) relation from :func:`kmv_build` — the k-minimum-values
+    set-resemblance estimator (Bar-Yossef et al. 2002; Beyer et al.
+    2007): for groups A, B take S = the k smallest hashes of A ∪ B
+    (computable from the two sketches alone — every union-bottom-k hash
+    is in one of the input bottom-ks) and estimate
+
+        J(A, B) ≈ |S ∩ sketch(A) ∩ sketch(B)| / |S|
+
+    which is EXACT over the hashed distinct sets whenever |A ∪ B| ≤ k.
+    Everything here is sketch-sized: the pair frame is #groups² rows
+    (group cardinality is control-plane — sources, languages, shards),
+    each pair's union ≤ 2k hashes, and the ranking window is PARTITIONED
+    by the pair. Output: (g1, g2, union_k, j_est), g1 < g2.
+    """
+    from pyspark.sql import Window
+
+    gs = sketch.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("g1"))
+        .crossJoin(gs.select(F.col("g").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    side_a = sketch.select(F.col("g").alias("g1"), "hv")
+    side_b = sketch.select(F.col("g").alias("g2"), "hv")
+    union = (
+        pairs.join(side_a, "g1")
+        .select("g1", "g2", "hv")
+        .unionByName(pairs.join(side_b, "g2").select("g1", "g2", "hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("g1", "g2").orderBy("hv")
+    bottom = union.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= k
+    )
+    flagged = (
+        bottom.join(
+            side_a.withColumn("__a", F.lit(1)), ["g1", "hv"], "left"
+        ).join(side_b.withColumn("__b", F.lit(1)), ["g2", "hv"], "left")
+    )
+    return (
+        flagged.groupBy("g1", "g2")
+        .agg(
+            F.count("*").alias("union_k"),
+            F.sum(
+                (F.col("__a").isNotNull() & F.col("__b").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("__inter"),
+        )
+        .select(
+            "g1",
+            "g2",
+            "union_k",
+            F.round(F.col("__inter") / F.col("union_k"), 6).alias("j_est"),
+        )
+    )

@@ -673,3 +673,108 @@ def cusum(
             "cusum_neg"
         ),
     ).orderBy(group_col, index_col)
+
+
+def ewma(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per series — the classic
+    smoother  s_0 = x_0,  s_t = α·x_t + (1−α)·s_{t−1}  (pandas
+    ``ewm(adjust=False)`` semantics), rewritten into its CLOSED window
+    form so no sequential state or Python is needed (the cusum
+    discipline):
+
+        s_i = (1−α)^i · ( x_0 + α · Σ_{j=1..i} x_j·(1−α)^{−j} )
+
+    — one running sum over the PER-SERIES window (partitioned by the
+    key; never a global window) plus a first_value, all whole-stage
+    codegen. The rescale (1−α)^{−j} grows with the series length:
+    exact-double-safe to ~1500 rows per series at α = 0.3 (exponent
+    ≤ log₂(0.7^{−1500}) ≈ 770 < 1024). For series beyond that, chunk
+    the rescale (closed form within fixed-size chunks, then the same
+    recurrence over per-chunk carries — two nested passes cover 512²
+    rows) or use :func:`ewma_grouped_map`, the exact-recursion twin
+    (result-equality pinned in tests).
+
+    Output: (group, index, value, out_col). NULL values/indices are
+    dropped; ``index_col`` must be unique within a series (events.ts is,
+    per the fixture).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    decay = 1.0 - alpha
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(index_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__x").isNotNull() & F.col("__t").isNotNull())
+    if decay == 0.0:  # α = 1: no smoothing — the closed form's 0^{−j} is undefined
+        return base.select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias(index_col),
+            F.col("__x").alias(value_col),
+            F.col("__x").alias(out_col),
+        )
+    w = Window.partitionBy("__g").orderBy("__t")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    i = F.row_number().over(w) - F.lit(1)
+    tail = F.when(i == 0, F.lit(0.0)).otherwise(
+        F.col("__x") * F.pow(F.lit(decay), -i)
+    )
+    s = F.pow(F.lit(decay), i) * (
+        F.first("__x").over(wrun)
+        + F.lit(alpha) * F.sum(tail).over(wrun)
+    )
+    return base.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias(index_col),
+        F.col("__x").alias(value_col),
+        s.alias(out_col),
+    )
+
+
+def ewma_grouped_map(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exact-recursion twin of :func:`ewma` via Arrow grouped-map —
+    linear per series with no rescale, for series too long for the
+    closed form's double-exponent budget. One shuffle on the key; a
+    series must fit one executor task (the standard per-entity-series
+    assumption; the closed form is the one to reach for when it does
+    not)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    out = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(index_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__x").isNotNull() & F.col("__t").isNotNull())
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out.schema.fields
+    ) + ", `__s` double"
+
+    def _fn(pdf):
+        pdf = pdf.sort_values("__t")
+        pdf["__s"] = pdf["__x"].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return (
+        out.groupBy("__g")
+        .applyInPandas(_fn, schema)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias(index_col),
+            F.col("__x").alias(value_col),
+            F.col("__s").alias(out_col),
+        )
+    )

@@ -6330,3 +6330,173 @@ def x175(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@_declare(
+    "X176_ewma",
+    # Per-series exponential smoothing (operators/timeseries.ewma): the
+    # closed rescaled-window form of s_t = αx_t + (1−α)s_{t−1} — both
+    # engines replay the identical (1−α)^i arithmetic, so the final
+    # smoothed value per user matches to 6 decimals. Exact-recursion
+    # grouped-map twin pinned equal in tests.
+    """WITH e AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+s AS (
+  SELECT user_id, ts,
+    pow(0.7, i) * (
+      FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts)
+      + 0.3 * SUM(CASE WHEN i = 0 THEN 0.0 ELSE value * pow(0.7, -i) END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) AS s
+  FROM e)
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       ROUND(arg_max(s, ts), 6) AS final_ewma
+FROM s GROUP BY 1 ORDER BY user_id;""",
+)
+def x176(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ewma(ev, "user_id", "ts", "value", alpha=0.3)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max_by("ewma", "ts"), 6).alias("final_ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_declare(
+    "X177_resharding_report",
+    # Rendezvous-hashing movement audit (operators/routing.py): growing
+    # 8 → 9 shards moves ≈ 1/9 of keys under HRW vs ≈ 8/9 under
+    # hash-mod — the minimal-movement property, measured on the actual
+    # key population. Pure md5 arithmetic, replayed exactly.
+    """WITH k AS (SELECT DISTINCT user_id AS k FROM events),
+sa AS (SELECT k, s AS s_a FROM (
+   SELECT k, s, ROW_NUMBER() OVER (PARTITION BY k ORDER BY h DESC, s DESC) AS rn
+   FROM (SELECT k, s, ('0x' || substr(md5('hrw:' || k || ':' || s), 1, 15))::BIGINT AS h
+         FROM k, range(8) t(s))) WHERE rn = 1),
+sb AS (SELECT k, s AS s_b FROM (
+   SELECT k, s, ROW_NUMBER() OVER (PARTITION BY k ORDER BY h DESC, s DESC) AS rn
+   FROM (SELECT k, s, ('0x' || substr(md5('hrw:' || k || ':' || s), 1, 15))::BIGINT AS h
+         FROM k, range(9) t(s))) WHERE rn = 1),
+m AS (SELECT k, ('0x' || substr(md5('hrw:' || k), 1, 15))::BIGINT AS kh FROM k)
+SELECT COUNT(*)::BIGINT AS n_keys,
+  SUM((s_a <> s_b)::INT)::BIGINT AS hrw_moved,
+  ROUND(AVG((s_a <> s_b)::INT::DOUBLE), 6) AS hrw_moved_frac,
+  SUM((kh % 8 <> kh % 9)::INT)::BIGINT AS mod_moved,
+  ROUND(AVG((kh % 8 <> kh % 9)::INT::DOUBLE), 6) AS mod_moved_frac
+FROM sa JOIN sb USING (k) JOIN m USING (k);""",
+)
+def x177(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.routing import resharding_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return resharding_report(ev, "user_id", 8, 9)
+
+
+@_declare(
+    "X178_jl_projection",
+    # Seeded Johnson–Lindenstrauss projection (operators/pca.py
+    # random_projection): ±1/√k Rademacher matrix from per-cell md5
+    # parity, rebuilt identically by both engines from (salt, d, k);
+    # projected coordinates exploded to (vec_id, j, v) for hashing.
+    """WITH sg AS (
+  SELECT i, j, CASE WHEN ('0x' || substr(md5('jl:' || i || ':' || j), 1, 1))::INT % 2 = 0
+               THEN 0.25 ELSE -0.25 END AS s
+  FROM range(64) a(i), range(16) b(j)),
+v AS (SELECT vec_id, r.i - 1 AS i, embedding[r.i]::DOUBLE AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i))
+SELECT vec_id, j, ROUND(SUM(x * s), 6) AS v
+FROM v JOIN sg USING (i) GROUP BY 1, 2 ORDER BY vec_id, j;""",
+)
+def x178(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.pca import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = random_projection(emb, k=16)
+    return (
+        p.select("vec_id", F.posexplode("proj").alias("j", "v"))
+        .select(
+            "vec_id",
+            F.col("j").cast("long").alias("j"),
+            F.round("v", 6).alias("v"),
+        )
+        .orderBy("vec_id", "j")
+    )
+
+
+@_declare(
+    "X179_kmv_jaccard",
+    # Sketch-based cross-source token Jaccard (profile.kmv_jaccard):
+    # bottom-128 union resemblance between every source pair — the
+    # pairwise similarity matrix a 100 TB corpus profile computes from
+    # sketches, never from the corpora. Same tokenization + 60-bit md5
+    # space as X147, so the estimator replays exactly.
+    """WITH tok AS (SELECT source AS g, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+tf AS (SELECT g, t FROM tok WHERE t <> ''),
+h AS (SELECT DISTINCT g, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tf),
+r AS (SELECT g, hv, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS pos FROM h),
+sk AS (SELECT g, pos, hv FROM r WHERE pos <= 128),
+gs AS (SELECT DISTINCT g FROM sk),
+pr AS (SELECT a.g AS g1, b.g AS g2 FROM gs a, gs b WHERE a.g < b.g),
+un AS (SELECT DISTINCT g1, g2, hv FROM (
+   SELECT p.g1, p.g2, s.hv FROM pr p JOIN sk s ON s.g = p.g1
+   UNION ALL
+   SELECT p.g1, p.g2, s.hv FROM pr p JOIN sk s ON s.g = p.g2)),
+bt AS (SELECT g1, g2, hv, ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY hv) AS rr FROM un),
+bk AS (SELECT g1, g2, hv FROM bt WHERE rr <= 128),
+fl AS (SELECT b.g1, b.g2,
+         (sa.hv IS NOT NULL)::INT AS ia, (sb.hv IS NOT NULL)::INT AS ib
+       FROM bk b
+       LEFT JOIN sk sa ON sa.g = b.g1 AND sa.hv = b.hv
+       LEFT JOIN sk sb ON sb.g = b.g2 AND sb.hv = b.hv)
+SELECT g1, g2, COUNT(*)::BIGINT AS union_k,
+       ROUND(SUM(ia * ib)::DOUBLE / COUNT(*), 6) AS j_est
+FROM fl GROUP BY 1, 2 ORDER BY g1, g2;""",
+)
+def x179(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.profile import kmv_build, kmv_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    sk = kmv_build(toks, "t", group_col="source", k=128)
+    return kmv_jaccard(sk, k=128).orderBy("g1", "g2")
+
+
+@_declare(
+    "X180_kneser_ney",
+    # Interpolated Kneser–Ney bigram probabilities (operators/lm.py
+    # kneser_ney_bigram, Kneser & Ney 1995 / Chen & Goodman 1998) for
+    # the 20 most frequent bigrams — absolute discounting plus the
+    # continuation-count backoff, all from grouped aggregates of one
+    # bigram table.
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+bi AS (SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*)::BIGINT AS c
+       FROM t, UNNEST(range(1, len(t))) AS r(i) GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c) AS c1, COUNT(*) AS n_follow FROM bi GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS n_prec FROM bi GROUP BY 1),
+ty AS (SELECT COUNT(*)::DOUBLE AS n_types FROM bi)
+SELECT w1, w2, c,
+       ROUND(greatest(c - 0.75, 0) / c1 + 0.75 * n_follow / c1 * n_prec / n_types, 6) AS p_kn
+FROM bi JOIN ctx USING (w1) JOIN cont USING (w2), ty
+ORDER BY c DESC, w1, w2 LIMIT 20;""",
+)
+def x180(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.lm import kneser_ney_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kneser_ney_bigram(docs)
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "c", F.round("p_kn", 6).alias("p_kn"))
+    )
