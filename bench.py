@@ -292,9 +292,12 @@ def main() -> None:
     }
     # Full-fidelity record for round-over-round diffing (not driver-parsed):
     # every extra's timing, the heavy-set split, and both env snapshots.
+    # Partial (filtered) runs write a sibling file so a smoke check can
+    # never clobber the committed full-sweep snapshot.
+    snap = "BENCH_LOCAL.json" if not ONLY else "BENCH_PARTIAL.json"
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), snap),
             "w",
         ) as fh:
             json.dump(
