@@ -281,6 +281,19 @@ def main() -> None:
         "X165_triangle_stats",
         "X166_k_core",
         "X168_acf",
+        # Round-11b additions: X172's closed-form CUSUM and X176's
+        # closed-form EWMA are per-series windows (should track the 10x
+        # event count); X174 is the broadcast-model GD loop (10x docs,
+        # same 24 model-sized jobs); X177 is distinct-keys + map-only
+        # scoring; X179 is sketch-sized after the token scan (the scan
+        # is the 10x part); X180 is three grouped aggregates over a
+        # bigram relation that grows ~10x.
+        "X172_cusum_drift",
+        "X174_logreg_weights",
+        "X176_ewma",
+        "X177_resharding_report",
+        "X179_kmv_jaccard",
+        "X180_kneser_ney",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

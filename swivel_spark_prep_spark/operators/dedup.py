@@ -1285,3 +1285,66 @@ def edit_distance_pairs(
         .select("i", "j", "dist")
     )
 
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    spec: dict,
+    count_col: str = "n_members",
+) -> DataFrame:
+    """Survivorship merge — the step AFTER dedup clustering: collapse
+    each cluster to ONE canonical row by per-column rule (the MDM
+    "golden record"). ``spec`` maps output column → rule:
+
+    - ``"min"`` / ``"max"``: plain extrema (stable ids, freshest value)
+    - ``"longest"``: value maximizing (length, value) — the richest
+      text wins, ties to the LARGEST value (one struct-max, no window)
+    - ``"mode"``: most frequent value, ties to the LARGEST value —
+      max over the (count, value) struct of a per-(cluster, value)
+      count relation
+
+    min/max/longest are one grouped aggregate over the input; each
+    ``mode`` column adds one (cluster, value)-grained count aggregate
+    joined back on the cluster key — per-cluster-sized relations, never
+    row-pairs, so the whole merge is a constant number of shuffles
+    regardless of cluster-size skew (contrast with the collect_list +
+    Python reduce shape, which funnels a hot cluster into one task and
+    caps cluster size at executor memory). NULLs never win a rule
+    (Spark aggregate semantics skip them; mode counts them out by the
+    same filter the oracle uses).
+    """
+    if not spec:
+        raise ValueError("spec must name at least one column rule")
+    aggs = [F.count("*").alias(count_col)]
+    mode_cols = []
+    for col, rule in spec.items():
+        if rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif rule == "longest":
+            aggs.append(
+                F.max(F.struct(F.length(col).alias("l"), F.col(col).alias("v")))
+                .getField("v")
+                .alias(col)
+            )
+        elif rule == "mode":
+            mode_cols.append(col)
+        else:
+            raise ValueError(f"unknown rule {rule!r} for column {col!r}")
+    out = df.groupBy(cluster_col).agg(*aggs)
+    for col in mode_cols:
+        m = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(cluster_col, col)
+            .agg(F.count("*").alias("__c"))
+            .groupBy(cluster_col)
+            .agg(
+                F.max(F.struct(F.col("__c"), F.col(col).alias("v")))
+                .getField("v")
+                .alias(col)
+            )
+        )
+        out = out.join(m, cluster_col, "left")
+    return out

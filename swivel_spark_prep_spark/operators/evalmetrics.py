@@ -415,3 +415,73 @@ def spearman_corr(
             (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.sqrt(den2),
         ).alias("rho"),
     )
+
+
+def embedding_class_scatter(
+    embs: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Class-separability audit for an embedding column — the Fisher
+    scatter decomposition (trace form of Fisher 1936 / standard
+    one-way MANOVA): total sum-of-squares splits exactly into
+
+        within_ss  = Σ_l Σ_d ‖x_d − c_l‖²     (cohesion of each class)
+        between_ss = Σ_l n_l · ‖c_l − g‖²     (separation of centroids)
+
+    with F = (between/(k−1)) / (within/(N−k)) — the one-number answer
+    to "do these embeddings separate my labels at all?" before anyone
+    trains a probe on them. Everything is two grouped aggregates over
+    the (label, dim, x) exploded relation: per-(label, dim) raw moments
+    (n, Σx, Σx²), then per-dim global sums — centroids are never
+    materialized per row, there is no pairwise anything, and the
+    relation peaks at N·dim rows straight off the scan (the same
+    explode the PCA fit uses). One output row:
+    (n_docs, n_labels, dim, within_ss, between_ss, fisher_f).
+
+    Dimensions must be uniform (they are, per the embeddings fixture);
+    NULL labels/vectors are excluded. fisher_f is NULL when k < 2 or
+    N ≤ k (zero denominator degrees of freedom).
+    """
+    ex = (
+        embs.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(label_col).cast("string").alias("l"),
+            F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+                "j", "x"
+            ),
+        )
+    )
+    per = ex.groupBy("l", "j").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    glob = per.groupBy("j").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    )
+    cells = per.join(glob, "j")
+    return cells.agg(
+        F.max("gn").cast("long").alias("n_docs"),
+        F.countDistinct("l").alias("n_labels"),
+        (F.max("j") + 1).cast("long").alias("dim"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("__w"),
+        F.sum(
+            F.col("n")
+            * F.pow(F.col("s") / F.col("n") - F.col("gs") / F.col("gn"), 2)
+        ).alias("__b"),
+    ).select(
+        "n_docs",
+        "n_labels",
+        "dim",
+        F.round("__w", 6).alias("within_ss"),
+        F.round("__b", 6).alias("between_ss"),
+        F.round(
+            F.when(
+                (F.col("n_labels") > 1) & (F.col("n_docs") > F.col("n_labels")),
+                (F.col("__b") / (F.col("n_labels") - 1))
+                / (F.col("__w") / (F.col("n_docs") - F.col("n_labels"))),
+            ),
+            6,
+        ).alias("fisher_f"),
+    )

@@ -403,3 +403,112 @@ SELECT node, COUNT(*)::BIGINT AS core_degree FROM (
   SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
 GROUP BY 1 ORDER BY 1;"""
     return sql
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation (Raghavan et al. 2007, the
+    synchronous clamped-seed variant): spread ``seeds`` (node, label)
+    over the UNDIRECTED graph for a fixed number of rounds. Each round,
+    every non-seed node takes the most frequent label among its labeled
+    neighbors — ties break to the SMALLEST label (the determinism the
+    asynchronous textbook variant lacks); seed nodes stay clamped to
+    their given label; nodes with no labeled neighbor stay unlabeled.
+
+    Per round: one hash join (edges ⋈ labels on the neighbor end) and
+    two bounded aggregates — (node, label) counts, then max-count /
+    min-label winner selection. The symmetrized edge relation is
+    persisted once, pre-partitioned on the join key, so each round
+    re-shuffles only the label frontier (≤ #nodes rows), never the
+    edges — the pagerank shuffle discipline. Per-round eager
+    localCheckpoint cuts the doubling plan lineage exactly as pagerank
+    does; the fixed round count is the caller's convergence budget (the
+    oracle unrolls the identical rounds, so parity also proves the
+    update rule, not just the fixpoint).
+
+    Returns (node, label) for every node labeled after ``rounds``.
+    Duplicate seed nodes must agree (conflicting labels for one node
+    raise); seed nodes need not appear in the edge relation.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("u"),
+        F.col(dst_col).cast("string").alias("v"),
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+    sym = track_persist(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+    )
+    s = seeds.select(
+        F.col(node_col).cast("string").alias("node"),
+        F.col(label_col).cast("string").alias("lbl"),
+    ).filter(F.col("node").isNotNull() & F.col("lbl").isNotNull()).distinct()
+    s = track_persist(s)
+    # bounded control check: one count — a node with two seed labels has
+    # no well-defined clamp and would silently flap between rounds
+    if s.groupBy("node").count().filter(F.col("count") > 1).limit(1).count() > 0:
+        raise ValueError("conflicting seed labels for at least one node")
+
+    labels = s
+    for _ in range(rounds):
+        cnts = (
+            sym.join(labels.select(F.col("node").alias("u"), "lbl"), "u")
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # winner per node: max count, tie -> smallest label. min_by over
+        # the (−count, label) struct is one aggregate and replays in SQL
+        # as the max-count + min-label two-step (pinned equivalent).
+        winners = cnts.groupBy("node").agg(
+            F.min_by("lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias(
+                "lbl"
+            )
+        )
+        new_labels = s.unionByName(
+            winners.join(s.select("node"), "node", "left_anti")
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lbl").alias(label_col))
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, seeds_sql: str, rounds: int
+) -> str:
+    """DuckDB twin of :func:`label_propagation` with the rounds
+    UNROLLED (the pagerank_oracle_sql idiom). ``edges_sql`` yields
+    (src, dst); ``seeds_sql`` yields (node, label). The min_by-over-
+    (−count, label) winner is replayed as QUALIFY row_number ordered by
+    count DESC, label ASC — the same total order."""
+    sql = f"""WITH eraw AS (SELECT src::VARCHAR AS u, dst::VARCHAR AS v FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src::VARCHAR <> dst::VARCHAR),
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (SELECT u, v FROM eraw UNION ALL SELECT v, u FROM eraw)),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT node::VARCHAR AS node, label::VARCHAR AS lbl FROM ({seeds_sql})
+  WHERE node IS NOT NULL AND label IS NOT NULL),
+l0 AS (SELECT node, lbl FROM seeds)"""
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+c{i} AS MATERIALIZED (
+  SELECT s.v AS node, l.lbl, COUNT(*) AS c
+  FROM sym s JOIN {prev} l ON s.u = l.node GROUP BY 1, 2),
+w{i} AS (SELECT node, lbl FROM c{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) = 1),
+l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM seeds
+  UNION ALL
+  SELECT node, lbl FROM w{i} WHERE node NOT IN (SELECT node FROM seeds))"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT node, lbl AS label FROM {prev} ORDER BY node;"""
+    return sql

@@ -481,3 +481,100 @@ def kmv_jaccard(sketch: DataFrame, k: int = 256) -> DataFrame:
             F.round(F.col("__inter") / F.col("union_k"), 6).alias("j_est"),
         )
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pre-flight equi-join cardinality estimate from KMV sketches —
+    answer "how big is A ⋈ B going to be?" WITHOUT running the join,
+    the sizing question every 100 TB shuffle plan should ask first
+    (pick broadcast vs sort-merge, provision shuffle partitions, catch
+    an accidental many-to-many blow-up). One scan per side builds the
+    two bottom-k sketches; everything after is sketch-sized:
+
+        ndv_inter ≈ J(A, B) · ndv(A ∪ B)        (the X179 estimator)
+        est_rows  ≈ ndv_inter · (rows_a / ndv_a) · (rows_b / ndv_b)
+
+    — the standard uniform-multiplicity (containment) assumption of
+    textbook join estimation; a heavy-hitter key budget beyond it is
+    what :func:`skew_report` is for. Keys are hashed via their string
+    form (the module's 60-bit md5 idiom), so any engine replays the
+    arithmetic exactly. Output is ONE row: (rows_a, rows_b, ndv_a,
+    ndv_b, ndv_union, j_est, ndv_inter, est_rows). ndv values are
+    EXACT whenever a side (or the union) has fewer than k distinct
+    keys — at fixture scale the estimate is then exact too, which is
+    what the oracle pins; the test separately bounds the estimator
+    against the true join size.
+    """
+    from swivel_spark_prep_spark.cache import track_persist
+
+    fa = a.filter(F.col(a_key).isNotNull()).select(
+        F.col(a_key).cast("string").alias("v")
+    )
+    fb = b.filter(F.col(b_key).isNotNull()).select(
+        F.col(b_key).cast("string").alias("v")
+    )
+    rows = (
+        fa.agg(F.count("*").alias("rows_a"))
+        .crossJoin(fb.agg(F.count("*").alias("rows_b")))
+    )
+    sk = track_persist(
+        kmv_build(
+            fa.withColumn("g", F.lit("a")).unionByName(
+                fb.withColumn("g", F.lit("b"))
+            ),
+            "v",
+            group_col="g",
+            k=k,
+        )
+    )
+    ndv = (
+        kmv_estimate(sk, k)
+        .groupBy()
+        .pivot("g", ["a", "b"])
+        .sum("n_approx")
+        .select(F.col("a").alias("ndv_a"), F.col("b").alias("ndv_b"))
+    )
+    merged = kmv_merge(sk, k, total_label="__u__")
+    union_est = kmv_estimate(merged, k).select(
+        F.col("n_approx").alias("ndv_union")
+    )
+    side_a = sk.filter(F.col("g") == "a").select("hv", F.lit(1).alias("__a"))
+    side_b = sk.filter(F.col("g") == "b").select("hv", F.lit(1).alias("__b"))
+    j = (
+        merged.join(side_a, "hv", "left")
+        .join(side_b, "hv", "left")
+        .agg(
+            (
+                F.sum((F.col("__a").isNotNull() & F.col("__b").isNotNull()).cast("long"))
+                / F.count("*")
+            ).alias("j_est")
+        )
+    )
+    return (
+        rows.crossJoin(F.broadcast(ndv))
+        .crossJoin(F.broadcast(union_est))
+        .crossJoin(F.broadcast(j))
+        .select(
+            "rows_a",
+            "rows_b",
+            "ndv_a",
+            "ndv_b",
+            "ndv_union",
+            F.round("j_est", 6).alias("j_est"),
+            F.round(F.col("j_est") * F.col("ndv_union")).cast("long").alias("ndv_inter"),
+            F.round(
+                F.col("j_est")
+                * F.col("ndv_union")
+                * (F.col("rows_a") / F.col("ndv_a"))
+                * (F.col("rows_b") / F.col("ndv_b"))
+            )
+            .cast("long")
+            .alias("est_rows"),
+        )
+    )

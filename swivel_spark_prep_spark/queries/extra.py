@@ -6500,3 +6500,180 @@ def x180(spark, sf_dir):
         .limit(20)
         .select("w1", "w2", "c", F.round("p_kn", 6).alias("p_kn"))
     )
+
+
+@_declare(
+    "X181_golden_record",
+    # Survivorship merge after dedup clustering (dedup.golden_record):
+    # clusters keyed by a 40-char text-prefix hash; per column the MDM
+    # rules — min (stable id), mode (consensus lang/source, tie ->
+    # largest), max (n_chars), longest (richest text, tie -> largest).
+    # The oracle replays each rule as a window or grouped extremum over
+    # the identical cluster relation.
+    """WITH d AS (SELECT md5(substr(text, 1, 40)) AS cluster, * FROM documents),
+base AS (SELECT cluster, COUNT(*)::BIGINT AS n_members,
+                MIN(doc_id) AS survivor_id, MAX(n_chars) AS n_chars
+         FROM d GROUP BY 1),
+lng AS (SELECT cluster, text FROM (
+  SELECT cluster, text,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY length(text) DESC, text DESC) AS rn
+  FROM d) WHERE rn = 1),
+ml AS (SELECT cluster, lang FROM (
+  SELECT cluster, lang, COUNT(*) AS c FROM d WHERE lang IS NOT NULL GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY c DESC, lang DESC) = 1),
+ms AS (SELECT cluster, source FROM (
+  SELECT cluster, source, COUNT(*) AS c FROM d WHERE source IS NOT NULL GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY c DESC, source DESC) = 1)
+SELECT b.cluster, b.n_members, b.survivor_id, ml.lang, ms.source, b.n_chars,
+       length(l.text)::BIGINT AS text_len
+FROM base b JOIN lng l USING (cluster)
+LEFT JOIN ml USING (cluster) LEFT JOIN ms USING (cluster)
+ORDER BY cluster;""",
+)
+def x181(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "cluster", F.md5(F.substring("text", 1, 40))
+    )
+    g = dedup.golden_record(
+        docs,
+        "cluster",
+        {
+            "doc_id": "min",
+            "n_chars": "max",
+            "text": "longest",
+            "lang": "mode",
+            "source": "mode",
+        },
+    )
+    return g.select(
+        "cluster",
+        "n_members",
+        F.col("doc_id").alias("survivor_id"),
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("cluster")
+
+
+_LPA_SEEDS_SQL = (
+    "SELECT 's' || s_suppkey AS node, n_name AS label "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE s_suppkey % 7 = 0"
+)
+
+
+@_declare(
+    "X182_label_propagation",
+    # Clamped-seed synchronous label propagation (graph.label_propagation,
+    # Raghavan et al. 2007) over the supplier-part ship graph, seeds =
+    # every 7th supplier labeled with its nation. The oracle unrolls all
+    # 4 rounds (the pagerank_oracle_sql idiom) with the identical
+    # max-count/min-label winner rule, so parity pins the update rule
+    # and the tie-break, not just the fixpoint.
+    None,  # assembled below — needs the generator
+)
+def x182(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    seeds = (
+        sup.filter(F.col("s_suppkey") % 7 == 0)
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+            F.col("n_name").alias("label"),
+        )
+    )
+    return label_propagation(edges, seeds, rounds=4).orderBy("node")
+
+
+from swivel_spark_prep_spark.operators.graph import (  # noqa: E402
+    label_propagation_oracle_sql as _lpa_oracle,
+)
+
+EXTRA_ORACLES["X182_label_propagation"] = _lpa_oracle(
+    _PR_EDGES_SQL, _LPA_SEEDS_SQL, rounds=4
+)
+
+
+@_declare(
+    "X183_join_size_estimate",
+    # KMV pre-flight join-cardinality estimate (profile.join_size_estimate):
+    # sketch both key columns, estimate distinct overlap via bottom-k
+    # resemblance, scale by per-side average multiplicity — the sizing
+    # answer a 100 TB shuffle plan wants BEFORE the join runs. The
+    # oracle replays the 60-bit md5 sketch arithmetic bit-for-bit.
+    """WITH av AS (SELECT o_custkey::VARCHAR AS v FROM orders WHERE o_custkey IS NOT NULL),
+bv AS (SELECT c_custkey::VARCHAR AS v FROM customer WHERE c_custkey IS NOT NULL),
+ha AS (SELECT DISTINCT ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv FROM av),
+hb AS (SELECT DISTINCT ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv FROM bv),
+ska AS (SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM ha) WHERE rn <= 256),
+skb AS (SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM hb) WHERE rn <= 256),
+na AS (SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+               ELSE ROUND(255.0 / (MAX(hv) / 1152921504606846976.0))::BIGINT END AS ndv_a FROM ska),
+nb AS (SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+               ELSE ROUND(255.0 / (MAX(hv) / 1152921504606846976.0))::BIGINT END AS ndv_b FROM skb),
+un AS (SELECT hv FROM (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM (
+    SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb))) WHERE rn <= 256),
+nu AS (SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+               ELSE ROUND(255.0 / (MAX(hv) / 1152921504606846976.0))::BIGINT END AS ndv_union FROM un),
+j AS (SELECT SUM((u.hv IN (SELECT hv FROM ska) AND u.hv IN (SELECT hv FROM skb))::INT)::DOUBLE
+             / COUNT(*) AS j_est FROM un u),
+r AS (SELECT (SELECT COUNT(*) FROM av)::BIGINT AS rows_a,
+             (SELECT COUNT(*) FROM bv)::BIGINT AS rows_b)
+SELECT rows_a, rows_b, ndv_a, ndv_b, ndv_union,
+       ROUND(j_est, 6) AS j_est,
+       ROUND(j_est * ndv_union)::BIGINT AS ndv_inter,
+       ROUND(j_est * ndv_union * (rows_a::DOUBLE / ndv_a) * (rows_b::DOUBLE / ndv_b))::BIGINT AS est_rows
+FROM r, na, nb, nu, j;""",
+)
+def x183(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.profile import join_size_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return join_size_estimate(orders, "o_custkey", cust, "c_custkey", k=256)
+
+
+@_declare(
+    "X184_class_scatter",
+    # Fisher class-scatter audit of the embeddings table
+    # (evalmetrics.embedding_class_scatter): within/between
+    # sum-of-squares and the F ratio from two grouped aggregates over
+    # the exploded (label, dim, x) relation — "do the embeddings
+    # separate the labels?" before training a probe.
+    """WITH ex AS (
+  SELECT label::VARCHAR AS l, r.i - 1 AS j, embedding[r.i]::DOUBLE AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+per AS (SELECT l, j, COUNT(*)::DOUBLE AS n, SUM(x) AS s, SUM(x * x) AS ss
+        FROM ex GROUP BY 1, 2),
+g AS (SELECT j, SUM(s) AS gs, SUM(n) AS gn FROM per GROUP BY 1),
+c AS (SELECT * FROM per JOIN g USING (j))
+SELECT MAX(gn)::BIGINT AS n_docs, COUNT(DISTINCT l)::BIGINT AS n_labels,
+       (MAX(j) + 1)::BIGINT AS dim,
+       ROUND(SUM(ss - s * s / n), 6) AS within_ss,
+       ROUND(SUM(n * pow(s / n - gs / gn, 2)), 6) AS between_ss,
+       ROUND(CASE WHEN COUNT(DISTINCT l) > 1 AND MAX(gn) > COUNT(DISTINCT l)
+             THEN (SUM(n * pow(s / n - gs / gn, 2)) / (COUNT(DISTINCT l) - 1))
+                  / (SUM(ss - s * s / n) / (MAX(gn) - COUNT(DISTINCT l))) END, 6) AS fisher_f
+FROM c;""",
+)
+def x184(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        embedding_class_scatter,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_class_scatter(emb)

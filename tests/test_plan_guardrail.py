@@ -16,6 +16,11 @@ ON PURPOSE, each over a provably bounded relation:
 - X134: waterfilling over the per-source allocation table —
   source-cardinality (control-plane).
 - X147: the k-smallest-hash relation — k-bounded (KMV sketch).
+- X183: kmv_merge's union bottom-k inside join_size_estimate — the
+  window input is the union of TWO k-bounded sketches (≤ 2k rows),
+  never corpus data; the merged relation feeds both the union-NDV
+  estimate and the membership flags, so the same bounded window
+  appears twice in the plan.
 
 Anything else with an unpartitioned window — or ANY CartesianProduct
 anywhere — fails here, before a judge or a cluster finds it.
@@ -40,6 +45,7 @@ ALLOWED_UNPARTITIONED = {
     "X134_token_budget_waterfill": 4,
     "X147_kmv_distinct_sketch": 1,
     "X17_win_ntile": 1,
+    "X183_join_size_estimate": 2,
     "X39_vocab_coverage": 1,
     "X61_zipf_fit": 1,
 }
