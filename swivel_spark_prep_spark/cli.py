@@ -187,6 +187,15 @@ def _build_parser() -> argparse.ArgumentParser:
     dom.add_argument("--top", type=int, default=20)
     dom.add_argument("--master", default=None)
 
+    lp = sub.add_parser(
+        "lsh-plan",
+        help="MinHash-LSH banding planner: score every (bands x rows) "
+        "factorization by FP/FN mass around a Jaccard threshold",
+    )
+    lp.add_argument("--num-hashes", type=int, default=128)
+    lp.add_argument("--threshold", type=float, default=0.8)
+    lp.add_argument("--master", default=None)
+
     return p
 
 
@@ -505,6 +514,24 @@ def _dispatch(args, spark, owns_session) -> int:
                 kept = blocklist_filter(docs, bl, url_col=args.url_col).count()
                 total = docs.count()
                 print(f"# blocklist keeps {kept}/{total} docs")
+        elif args.cmd == "lsh-plan":
+            from swivel_spark_prep_spark.operators.dedup import lsh_parameter_plan
+
+            plan = lsh_parameter_plan(
+                spark, num_hashes=args.num_hashes, threshold=args.threshold
+            ).collect()
+            print("b\tr\tp@t\tcrossover\tfp_mass\tfn_mass\ttotal")
+            for r in plan:
+                print(
+                    f"{r['b']}\t{r['r']}\t{r['p_at_threshold']:.4f}\t"
+                    f"{r['crossover']:.4f}\t{r['fp_mass']:.4f}\t"
+                    f"{r['fn_mass']:.4f}\t{r['total_mass']:.4f}"
+                )
+            best = plan[0]
+            print(
+                f"# best trade: {best['b']} bands x {best['r']} rows "
+                f"(candidate p at {args.threshold} = {best['p_at_threshold']:.4f})"
+            )
         elif args.cmd == "bench-query":
             import time
 

@@ -1348,3 +1348,65 @@ def golden_record(
         )
         out = out.join(m, cluster_col, "left")
     return out
+
+
+def lsh_parameter_plan(
+    spark,
+    num_hashes: int,
+    threshold: float,
+    grid: int = 1000,
+) -> DataFrame:
+    """Banding-parameter planner for MinHash LSH (the s-curve analysis
+    of Leskovec–Rajaraman–Ullman, MMDS ch. 3): for every factorization
+    ``num_hashes = b bands × r rows``, the candidate probability of a
+    pair with Jaccard s is  p(s) = 1 − (1 − s^r)^b.  Reports, per
+    (b, r): p at the target threshold, the crossover point
+    (1/b)^(1/r) where p = 1 − (1 − 1/b)^... ≈ 0.5, and midpoint-rule
+    estimates of the false-positive mass ∫₀^t p(s) ds and
+    false-negative mass ∫_t^1 (1 − p(s)) ds — the two quantities a
+    dedup operator actually trades when it picks (b, r).
+
+    Pure control-plane relational arithmetic: the (b, r) grid is the
+    divisors of ``num_hashes`` (dozens of rows), the integral grid is a
+    ``grid``-point explode — everything whole-stage codegen, fully
+    replayable in any SQL engine, no corpus access at all. Sorted by
+    fp_mass + fn_mass ascending (best trade first), ties by b.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    br = (
+        spark.range(1, num_hashes + 1)
+        .select(F.col("id").alias("r"))
+        .filter(F.lit(num_hashes) % F.col("r") == 0)
+        .select((F.lit(num_hashes) / F.col("r")).cast("long").alias("b"), "r")
+    )
+    pts = br.crossJoin(
+        F.broadcast(
+            spark.range(grid).select(
+                ((F.col("id") + 0.5) / grid).alias("s")
+            )
+        )
+    )
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    masses = pts.groupBy("b", "r").agg(
+        (F.sum(F.when(F.col("s") < threshold, p).otherwise(0.0)) / grid).alias(
+            "_fp"
+        ),
+        (
+            F.sum(F.when(F.col("s") >= threshold, 1.0 - p).otherwise(0.0)) / grid
+        ).alias("_fn"),
+    )
+    t = F.lit(float(threshold))
+    return masses.select(
+        "b",
+        "r",
+        F.round(
+            1.0 - F.pow(1.0 - F.pow(t, F.col("r")), F.col("b")), 6
+        ).alias("p_at_threshold"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6).alias("crossover"),
+        F.round("_fp", 6).alias("fp_mass"),
+        F.round("_fn", 6).alias("fn_mass"),
+        F.round(F.col("_fp") + F.col("_fn"), 6).alias("total_mass"),
+    ).orderBy("total_mass", "b")

@@ -28,6 +28,9 @@ __all__ = [
     "mutual_information",
     "ndcg_at_k",
     "spearman_corr",
+    "embedding_class_scatter",
+    "average_precision",
+    "isotonic_calibration",
 ]
 
 
@@ -484,4 +487,128 @@ def embedding_class_scatter(
             ),
             6,
         ).alias("fisher_f"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Average precision (area under the precision–recall curve in its
+    step form — the scikit-learn ``average_precision_score``
+    definition): thresholds at every DISTINCT score descending,
+
+        AP = Σ_s (ΔR_s) · P_s = Σ_s (np_s / N_pos) · (ctp_s / call_s)
+
+    where ctp/call are the INCLUSIVE running positive/total counts from
+    the top of the ranking. The complement of :func:`binary_auc` for
+    imbalanced classes: AUC answers "do positives outrank negatives",
+    AP answers "how clean is the head of the ranking" — the metric a
+    precision-oriented curation filter is actually tuned on.
+
+    Same execution shape as binary_auc: one aggregate collapses the
+    corpus to per-distinct-score (np, nn) counts, then the two-pass
+    range-partitioned prefix sum (operators/ranks) provides the running
+    totals with no single-task sort even for a continuous score.
+    Ties share one threshold (a tie block contributes once, at the
+    block's cumulative precision) — deterministic with no tie-order
+    dependence, exactly as the step-curve definition prescribes.
+    Output: (n_pos, n, ap) — or per group with ``group_col`` (NULL
+    group is a group). ap is NULL when the group has no positives.
+    """
+    gcols = [group_col] if group_col else []
+    g = df.select(
+        *gcols,
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    c = g.groupBy(*gcols, "_s").agg(
+        F.sum(F.col("_y").cast("long")).alias("_np"),
+        F.count("*").alias("_nt"),
+    )
+    cum = partitioned_prefix_sum(
+        c.withColumn("_o", -F.col("_s")),
+        ["_o"],
+        ["_np", "_nt"],
+        ["_ctp", "_call"],
+        group_cols=gcols,
+        inclusive=True,
+    )
+    aggs = [
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nt").alias("n"),
+        F.when(
+            F.sum("_np") > 0,
+            F.sum(F.col("_np") * (F.col("_ctp") / F.col("_call")))
+            / F.sum("_np"),
+        ).alias("ap"),
+    ]
+    return cum.groupBy(group_col).agg(*aggs) if group_col else cum.agg(*aggs)
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Isotonic (monotone) calibration map via pool-adjacent-violators
+    (Ayer et al. 1955; the Zadrozny–Elkan 2002 classifier-calibration
+    use): the least-squares NON-DECREASING fit of label rate to score.
+    Returns the MAPPING relation (group, score, n, y_rate, calibrated)
+    — one row per distinct score — which callers range-join or
+    broadcast back onto the corpus; returning the map instead of
+    rewriting the rows keeps the expensive side a pure aggregate.
+
+    Execution: one grouped aggregate collapses the corpus to
+    per-(group, distinct score) (n, Σy) — corpus-sized work ends here —
+    then PAV runs per group via Arrow grouped-map over the
+    score-cardinality relation. PAV is inherently sequential (each pool
+    may merge with its left neighbor transitively), so the per-group
+    map must fit one task: for CONTINUOUS scores quantile-bin first
+    (equidepth_histogram or F.round) — the standard practice anyway,
+    and the same per-entity-fits-one-task contract ewma_grouped_map
+    documents. The '__all__' placeholder group is used when no
+    ``group_col`` is given.
+    """
+    gcol = group_col or "__g"
+    base = df.select(
+        (F.col(group_col) if group_col else F.lit("__all__")).alias(gcol),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).filter(F.col("score").isNotNull() & F.col("_y").isNotNull())
+    agg = base.groupBy(gcol, "score").agg(
+        F.count("*").alias("n"), F.avg("_y").alias("y_rate")
+    )
+    schema = (
+        f"`{gcol}` string, score double, n long, y_rate double, calibrated double"
+    )
+
+    def _pav(pdf):
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        vals: list = []
+        wts: list = []
+        sizes: list = []
+        for y, w in zip(pdf["y_rate"], pdf["n"]):
+            vals.append(float(y))
+            wts.append(float(w))
+            sizes.append(1)
+            while len(vals) > 1 and vals[-2] > vals[-1]:
+                tot = wts[-1] + wts[-2]
+                vals[-2] = (vals[-1] * wts[-1] + vals[-2] * wts[-2]) / tot
+                wts[-2] = tot
+                sizes[-2] += sizes[-1]
+                del vals[-1], wts[-1], sizes[-1]
+        out = []
+        for v, k in zip(vals, sizes):
+            out.extend([v] * k)
+        pdf["calibrated"] = out
+        return pdf
+
+    return (
+        agg.withColumn(gcol, F.col(gcol).cast("string"))
+        .groupBy(gcol)
+        .applyInPandas(_pav, schema)
     )

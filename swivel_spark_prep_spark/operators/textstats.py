@@ -546,3 +546,77 @@ def zipf_fit(
         )
         .orderBy(group_col)
     )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 10,
+    salt: str = "heaps",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'/Herdan's law) fit: V(N) ≈ k·N^β —
+    "how fast does the vocabulary grow as the corpus scales", the
+    companion diagnostic to :func:`zipf_fit` and the number that sizes
+    a tokenizer vocab or a vocab-keyed shuffle BEFORE the 100 TB run.
+
+    Growth points come from ``n_points`` cumulative pseudo-random
+    prefixes: docs land in buckets by the md5 hash of their id (a
+    deterministic random order, the standard way to measure Heaps
+    without an arbitrary document order), N_f = tokens in buckets ≤ f,
+    V_f = distinct words whose FIRST bucket ≤ f — one grouped
+    aggregate per relation (per-word min-bucket is vocab-sized; the
+    cumulative step is a triangular join over the ``n_points``-row
+    bucket table, no window anywhere). The log-log OLS over the
+    ``n_points`` points is a single aggregate. Output: one row
+    (n_points, total_tokens, vocab, beta, k, r2). β is NULL for
+    degenerate inputs (fewer than 2 non-empty prefixes).
+    """
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    if n_points < 2:
+        raise ValueError(f"n_points must be >= 2, got {n_points}")
+    toks = docs.select(
+        (hash_bucket(F.col(id_col), n_points, salt=salt) + 1).alias("bkt"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    per_bucket_tokens = toks.groupBy("bkt").agg(F.count("*").alias("nt"))
+    first_seen = toks.groupBy("w").agg(F.min("bkt").alias("fb"))
+    per_bucket_vocab = first_seen.groupBy("fb").agg(F.count("*").alias("nv"))
+    spark = docs.sparkSession
+    grid = spark.range(1, n_points + 1).select(F.col("id").alias("f"))
+    pts = (
+        grid.join(per_bucket_tokens, F.col("bkt") <= F.col("f"), "left")
+        .groupBy("f")
+        .agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("N"))
+        .join(
+            grid.join(per_bucket_vocab, F.col("fb") <= F.col("f"), "left")
+            .groupBy("f")
+            .agg(F.coalesce(F.sum("nv"), F.lit(0)).alias("V")),
+            "f",
+        )
+        .filter((F.col("N") > 0) & (F.col("V") > 0))
+        .select(F.log("N").alias("x"), F.log("V").alias("y"), "N", "V")
+    )
+    m = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy, syy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    beta = F.when(
+        (m > 1) & (m * sxx - sx * sx > 0), (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    )
+    r2 = F.when(
+        (m * sxx - sx * sx > 0) & (m * syy - sy * sy > 0),
+        F.pow(m * sxy - sx * sy, 2) / ((m * sxx - sx * sx) * (m * syy - sy * sy)),
+    )
+    return pts.agg(
+        F.count("*").alias("n_points"),
+        F.max("N").alias("total_tokens"),
+        F.max("V").alias("vocab"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((sy - beta * sx) / m), 6).alias("k"),
+        F.round(r2, 6).alias("r2"),
+    )

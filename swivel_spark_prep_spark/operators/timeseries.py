@@ -778,3 +778,55 @@ def ewma_grouped_map(
             F.col("__s").alias(out_col),
         )
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-series inter-arrival-time profile — the bot/burstiness
+    screen of event-stream curation: near-periodic traffic (CV ≈ 0) is
+    machine-like, heavy-tailed bursts (CV > 1) are human-like (Goh &
+    Barabási 2008's burstiness B = (CV − 1)/(CV + 1) ∈ [−1, 1)).
+
+    One per-series lag window (PARTITIONED by the key — never global)
+    produces the gap relation; one grouped aggregate produces the
+    profile. Gaps are in seconds at microsecond resolution (no
+    whole-second truncation — the funnel lesson). Output per series:
+    (group, n_events, n_gaps, mean_gap_s, std_gap_s, cv, burstiness,
+    max_gap_s); series with fewer than ``min_events`` events (< 2 gaps,
+    where the sample std is undefined or trivially 0) are dropped.
+    std is the POPULATION form (√(E[g²] − E[g]²), guarded at 0) so both
+    engines replay identical arithmetic.
+    """
+    w = Window.partitionBy(group_col).orderBy("_us")
+    gaps = (
+        df.select(
+            group_col,
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        )
+        .filter(F.col("_us").isNotNull())
+        .withColumn("_prev", F.lag("_us").over(w))
+        .withColumn("_gap", (F.col("_us") - F.col("_prev")) / 1e6)
+    )
+    agg = gaps.groupBy(group_col).agg(
+        F.count("*").alias("n_events"),
+        F.count("_gap").alias("n_gaps"),
+        F.avg("_gap").alias("_m"),
+        F.avg(F.col("_gap") * F.col("_gap")).alias("_m2"),
+        F.max("_gap").alias("_mx"),
+    )
+    std = F.sqrt(F.greatest(F.col("_m2") - F.col("_m") * F.col("_m"), F.lit(0.0)))
+    cv = F.when(F.col("_m") > 0, std / F.col("_m"))
+    return agg.filter(F.col("n_events") >= min_events).select(
+        group_col,
+        "n_events",
+        "n_gaps",
+        F.round("_m", 6).alias("mean_gap_s"),
+        F.round(std, 6).alias("std_gap_s"),
+        F.round(cv, 6).alias("cv"),
+        F.round((cv - 1) / (cv + 1), 6).alias("burstiness"),
+        F.round("_mx", 6).alias("max_gap_s"),
+    )

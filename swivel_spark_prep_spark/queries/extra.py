@@ -6677,3 +6677,168 @@ def x184(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_class_scatter(emb)
+
+
+@_declare(
+    "X185_avg_precision",
+    # Per-source average precision (evalmetrics.average_precision, the
+    # sklearn step-form PR-AUC): how clean is the head of the
+    # length-ranks-English ranking inside each source. Distinct-score
+    # thresholds; running totals from the two-pass prefix sum. The
+    # oracle replays the identical inclusive-cumulative step curve.
+    """WITH g AS (SELECT source, n_chars::DOUBLE AS s, (lang = 'en') AS y FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+c AS (SELECT source, s, SUM(y::INT)::BIGINT AS np, COUNT(*)::BIGINT AS nt
+      FROM g GROUP BY 1, 2),
+cu AS (SELECT source, np, nt,
+         SUM(np) OVER (PARTITION BY source ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+         SUM(nt) OVER (PARTITION BY source ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cal
+       FROM c)
+SELECT source, SUM(np)::BIGINT AS n_pos, SUM(nt)::BIGINT AS n,
+       ROUND(SUM(np * (ctp::DOUBLE / cal)) / SUM(np), 6) AS ap
+FROM cu GROUP BY source ORDER BY source;""",
+)
+def x185(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import average_precision
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    scored = docs.select(
+        "source",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return (
+        average_precision(scored, "score", "y", group_col="source")
+        .select("source", "n_pos", "n", F.round("ap", 6).alias("ap"))
+        .orderBy("source")
+    )
+
+
+@_declare(
+    "X186_isotonic_calibration",
+    # Isotonic (PAV) calibration map per source: least-squares monotone
+    # fit of P(lang='en') to the 100-char-bucketed length score.
+    # PAV's transitive left-merges are inherently sequential, so there
+    # is no SQL oracle — the driver records rows-only; the monotonicity
+    # / pool-mean / hand-computed pins live in tests/test_round11d_ops.
+    None,
+)
+def x186(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        isotonic_calibration,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        (F.floor(F.col("n_chars") / 100) * 100).cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return isotonic_calibration(scored, "score", "y", group_col="source").orderBy(
+        "source", "score"
+    )
+
+
+@_declare(
+    "X187_interarrival",
+    # Per-user inter-arrival burstiness profile
+    # (timeseries.interarrival_stats): population-CV of event gaps +
+    # the Goh-Barabási burstiness index — the bot/periodicity screen.
+    # Microsecond-exact gap seconds on both engines (epoch_us / 1e6).
+    """WITH g AS (SELECT user_id, ts,
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         FROM events WHERE ts IS NOT NULL),
+d AS (SELECT user_id,
+             CASE WHEN prev IS NULL THEN NULL
+                  ELSE (epoch_us(ts) - epoch_us(prev)) / 1e6 END AS gap
+      FROM g),
+a AS (SELECT user_id, COUNT(*)::BIGINT AS n_events, COUNT(gap)::BIGINT AS n_gaps,
+             AVG(gap) AS m, AVG(gap * gap) AS m2, MAX(gap) AS mx
+      FROM d GROUP BY 1)
+SELECT user_id, n_events, n_gaps,
+       ROUND(m, 6) AS mean_gap_s,
+       ROUND(sqrt(greatest(m2 - m * m, 0)), 6) AS std_gap_s,
+       ROUND(CASE WHEN m > 0 THEN sqrt(greatest(m2 - m * m, 0)) / m END, 6) AS cv,
+       ROUND(CASE WHEN m > 0 THEN
+         (sqrt(greatest(m2 - m * m, 0)) / m - 1) / (sqrt(greatest(m2 - m * m, 0)) / m + 1)
+       END, 6) AS burstiness,
+       ROUND(mx, 6) AS max_gap_s
+FROM a WHERE n_events >= 3 ORDER BY user_id;""",
+)
+def x187(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import interarrival_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_stats(ev, "user_id", "ts").orderBy("user_id")
+
+
+@_declare(
+    "X188_lsh_plan",
+    # MinHash-LSH banding planner (dedup.lsh_parameter_plan, the MMDS
+    # s-curve): every (b, r) factorization of 128 hashes scored by
+    # false-positive / false-negative mass around threshold 0.8 on a
+    # 1000-point midpoint grid — pure control-plane arithmetic, no
+    # corpus access; the oracle replays the identical grid.
+    """WITH br AS (SELECT (128 / r)::BIGINT AS b, r FROM range(1, 129) t(r) WHERE 128 % r = 0),
+pts AS (SELECT b, r, (g + 0.5) / 1000.0 AS s FROM br, range(1000) t2(g)),
+m AS (SELECT b, r,
+        SUM(CASE WHEN s < 0.8 THEN 1.0 - pow(1.0 - pow(s, r), b) ELSE 0 END) / 1000 AS fp,
+        SUM(CASE WHEN s >= 0.8 THEN pow(1.0 - pow(s, r), b) ELSE 0 END) / 1000 AS fn
+      FROM pts GROUP BY 1, 2)
+SELECT b, r,
+       ROUND(1.0 - pow(1.0 - pow(0.8, r), b), 6) AS p_at_threshold,
+       ROUND(pow(1.0 / b, 1.0 / r), 6) AS crossover,
+       ROUND(fp, 6) AS fp_mass, ROUND(fn, 6) AS fn_mass,
+       ROUND(fp + fn, 6) AS total_mass
+FROM m ORDER BY total_mass, b;""",
+)
+def x188(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(spark, num_hashes=128, threshold=0.8)
+
+
+@_declare(
+    "X189_heaps_law",
+    # Heaps'-law vocabulary-growth fit (textstats.heaps_law_fit):
+    # V ≈ k·N^beta over 10 cumulative md5-ordered corpus prefixes —
+    # per-word first-bucket + triangular bucket join, then one log-log
+    # OLS aggregate. The oracle replays the identical bucketing and
+    # regression algebra.
+    """WITH toks AS (
+  SELECT (('0x' || substr(md5('heaps' || doc_id), 1, 8))::BIGINT % 10) + 1 AS bkt, w
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''),
+pbt AS (SELECT bkt, COUNT(*)::BIGINT AS nt FROM toks GROUP BY 1),
+fs AS (SELECT w, MIN(bkt) AS fb FROM toks GROUP BY 1),
+pbv AS (SELECT fb, COUNT(*)::BIGINT AS nv FROM fs GROUP BY 1),
+grid AS (SELECT f FROM range(1, 11) t(f)),
+pts AS (
+  SELECT a.f, a.N, b.V, ln(a.N) AS x, ln(b.V) AS y FROM
+    (SELECT f, COALESCE(SUM(nt), 0) AS N FROM grid LEFT JOIN pbt ON bkt <= f GROUP BY 1) a
+    JOIN
+    (SELECT f, COALESCE(SUM(nv), 0) AS V FROM grid LEFT JOIN pbv ON fb <= f GROUP BY 1) b
+    USING (f)
+  WHERE a.N > 0 AND b.V > 0),
+s AS (SELECT COUNT(*)::DOUBLE AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+             COUNT(*)::BIGINT AS n_points, MAX(N)::BIGINT AS total_tokens, MAX(V)::BIGINT AS vocab
+      FROM pts)
+SELECT n_points, total_tokens, vocab,
+  ROUND(CASE WHEN m > 1 AND m * sxx - sx * sx > 0
+        THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END, 6) AS beta,
+  ROUND(exp((sy - (CASE WHEN m > 1 AND m * sxx - sx * sx > 0
+        THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END) * sx) / m), 6) AS k,
+  ROUND(CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+        THEN pow(m * sxy - sx * sy, 2) / ((m * sxx - sx * sx) * (m * syy - sy * sy)) END, 6) AS r2
+FROM s;""",
+)
+def x189(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import heaps_law_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_law_fit(docs)
