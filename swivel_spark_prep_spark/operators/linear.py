@@ -238,3 +238,89 @@ w{i} AS MATERIALIZED (
     sql += f"""
 SELECT bucket, ROUND(weight, 6) AS weight FROM {prev} ORDER BY bucket;"""
     return sql
+
+
+def ols_fit(
+    df: DataFrame,
+    feature_cols: list,
+    label_col: str,
+) -> DataFrame:
+    """Multi-feature ordinary least squares by SUFFICIENT STATISTICS —
+    the one-pass distributed form of the normal equations: a single
+    aggregate computes every raw moment (Σxᵢxⱼ, Σxᵢy, Σy, Σy², n) —
+    (d+1)(d+2)/2 + 2 doubles, the MODEL not the data — then the
+    (d+1)×(d+1) solve happens on the driver (numpy when available, a
+    pure-Python Gauss–Jordan otherwise; d is feature count, never
+    corpus size). R² falls out in closed form — SSE = y'y − b'X'y —
+    so there is NO second residual pass over the data.
+
+    The same sufficient-statistics shape MLlib's own linear regression
+    normal-equation solver uses; at 100 TB the aggregate is one
+    map-side-combined pass and nothing else touches the corpus.
+    Rows with any NULL feature/label are excluded. Output relation:
+    (term, value) with one row per feature, plus 'intercept', 'r2',
+    'n' — a bounded model table callers broadcast-join or collect.
+    Raises on singular designs (constant feature, duplicated column).
+    """
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("feature_cols must be non-empty")
+    cols = [F.col(c).cast("double").alias(f"_x{i}") for i, c in enumerate(feature_cols)]
+    base = df.select(*cols, F.col(label_col).cast("double").alias("_y"))
+    cond = F.col("_y").isNotNull()
+    for i in range(d):
+        cond = cond & F.col(f"_x{i}").isNotNull()
+    base = base.filter(cond)
+    # augmented design: x_d == 1 (intercept); aggregate every moment once
+    names = [f"_x{i}" for i in range(d)]
+    terms = {}
+    for i in range(d + 1):
+        xi = F.col(names[i]) if i < d else F.lit(1.0)
+        for j in range(i, d + 1):
+            xj = F.col(names[j]) if j < d else F.lit(1.0)
+            terms[f"xx_{i}_{j}"] = F.sum(xi * xj)
+        terms[f"xy_{i}"] = F.sum(xi * F.col("_y"))
+    terms["yy"] = F.sum(F.col("_y") * F.col("_y"))
+    row = base.agg(*[v.alias(k) for k, v in terms.items()]).collect()[0]
+    n = row[f"xx_{d}_{d}"]  # Σ 1·1
+    if n is None or n < d + 1:
+        raise ValueError(f"need more than {d + 1} complete rows, got {n or 0}")
+    a = [
+        [row[f"xx_{min(i, j)}_{max(i, j)}"] for j in range(d + 1)]
+        for i in range(d + 1)
+    ]
+    b = [row[f"xy_{i}"] for i in range(d + 1)]
+    try:
+        import numpy as np
+
+        beta = np.linalg.solve(np.array(a), np.array(b)).tolist()
+    except ImportError:  # pragma: no cover — numpy is baked in here
+        beta = _gauss_solve(a, b)
+    sse = row["yy"] - sum(bi * yi for bi, yi in zip(beta, b))
+    sy = b[d]  # Σ 1·y
+    sst = row["yy"] - sy * sy / n
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    out = [(feature_cols[i], float(beta[i])) for i in range(d)]
+    out.append(("intercept", float(beta[d])))
+    out.append(("r2", None if r2 is None else float(r2)))
+    out.append(("n", float(n)))
+    return df.sparkSession.createDataFrame(out, "term string, value double")
+
+
+def _gauss_solve(a: list, b: list) -> list:
+    """Partial-pivot Gauss–Jordan for the (d+1)-sized normal equations
+    — model-sized, driver-side."""
+    m = [row[:] + [bi] for row, bi in zip(a, b)]
+    k = len(m)
+    for col in range(k):
+        piv = max(range(col, k), key=lambda r: abs(m[r][col]))
+        if abs(m[piv][col]) < 1e-12:
+            raise ValueError("singular design matrix (constant/duplicate feature?)")
+        m[col], m[piv] = m[piv], m[col]
+        pv = m[col][col]
+        m[col] = [v / pv for v in m[col]]
+        for r in range(k):
+            if r != col and m[r][col] != 0.0:
+                f = m[r][col]
+                m[r] = [v - f * w for v, w in zip(m[r], m[col])]
+    return [m[r][k] for r in range(k)]

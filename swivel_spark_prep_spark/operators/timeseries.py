@@ -830,3 +830,77 @@ def interarrival_stats(
         F.round((cv - 1) / (cv + 1), 6).alias("burstiness"),
         F.round("_mx", 6).alias("max_gap_s"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 3,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    entity-scoring grid (Hughes 1994), useful far beyond marketing:
+    "which users/sources are active, busy, and heavy" is the triage
+    question of event-stream curation too.
+
+    One grouped aggregate builds the per-entity (recency_days,
+    frequency, monetary) relation; ONE more 1-row aggregate computes
+    exact interpolated percentile cutoffs ((n_tiles−1) per metric) that
+    broadcast back as a literal-free crossJoin — scores are then pure
+    codegen CASE arithmetic, no ntile, no global window (the X149
+    lesson: quantile assignment at scale is cutoffs-then-compare, not
+    a corpus-wide rank). Scores are 1..n_tiles, higher = better;
+    recency is INVERTED (recent = high). Ties sit below the cutoff
+    (score bumps only when strictly greater), so both engines replay
+    the same integer arithmetic. Output: (user, recency_days,
+    frequency, monetary, r, f, m, segment 'rfm' string).
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(us).alias("_last"),
+            F.count("*").cast("double").alias("frequency"),
+            F.coalesce(F.sum(value_col), F.lit(0.0)).alias("monetary"),
+        )
+    )
+    anchor = per.agg(F.max("_last").alias("_now"))
+    per = per.crossJoin(F.broadcast(anchor)).select(
+        "user",
+        ((F.col("_now") - F.col("_last")) / F.lit(86400e6)).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    cuts = per.agg(
+        F.percentile("recency_days", F.lit(qs)).alias("_cr"),
+        F.percentile("frequency", F.lit(qs)).alias("_cf"),
+        F.percentile("monetary", F.lit(qs)).alias("_cm"),
+    )
+    scored = per.crossJoin(F.broadcast(cuts))
+
+    def tier(col, cuts_col):
+        s = F.lit(1)
+        for i in range(len(qs)):
+            s = s + (F.col(col) > F.element_at(F.col(cuts_col), i + 1)).cast("int")
+        return s
+
+    r = (F.lit(n_tiles + 1) - tier("recency_days", "_cr")).alias("r")
+    f_ = tier("frequency", "_cf").alias("f")
+    m = tier("monetary", "_cm").alias("m")
+    return scored.select(
+        "user",
+        F.round("recency_days", 6).alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round("monetary", 6).alias("monetary"),
+        r,
+        f_,
+        m,
+    ).withColumn(
+        "segment",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")),
+    )

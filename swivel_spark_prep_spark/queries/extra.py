@@ -6842,3 +6842,137 @@ def x189(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return heaps_law_fit(docs)
+
+
+@_declare(
+    "X190_range_frame",
+    # RANGE-interval window frame (the time-based sibling of Q20's ROWS
+    # frame): per-user trailing 6-hour event count and value sum at
+    # every event — rangeBetween over epoch seconds, hash-partitioned
+    # by user, one exchange. The oracle runs the identical RANGE frame
+    # over the same epoch-second axis.
+    """WITH e AS (SELECT user_id, ts, epoch_us(ts) // 1000000 AS sec, value
+           FROM events WHERE ts IS NOT NULL)
+SELECT user_id, ts,
+       COUNT(*) OVER w AS n_6h,
+       ROUND(SUM(COALESCE(value, 0)) OVER w, 6) AS sum_6h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts;""",
+)
+def x190(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    sec = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-21600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("n_6h"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))).over(w), 6).alias(
+                "sum_6h"
+            ),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+@_declare(
+    "X191_ols_regression",
+    # Multi-feature OLS via one sufficient-statistics aggregate
+    # (linear.ols_fit): regress event value on hour-of-day and a
+    # purchase flag; the driver solves the 3x3 normal equations, the
+    # oracle solves the SAME system by Cramer's rule from the identical
+    # raw moments — coefficient-level parity including R².
+    """WITH d AS (
+  SELECT (epoch_us(ts) // 1000000 % 86400) / 3600.0 AS x0,
+         (event_type = 'purchase')::INT::DOUBLE AS x1,
+         value AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT SUM(x0*x0) AS a00, SUM(x0*x1) AS a01, SUM(x0) AS a02,
+             SUM(x1*x1) AS a11, SUM(x1) AS a12, COUNT(*)::DOUBLE AS a22,
+             SUM(x0*y) AS b0, SUM(x1*y) AS b1, SUM(y) AS b2,
+             SUM(y*y) AS yy
+      FROM d),
+s AS (SELECT *,
+        a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) + a02*(a01*a12 - a11*a02) AS det
+      FROM m),
+c AS (SELECT *,
+        (b0*(a11*a22 - a12*a12) - a01*(b1*a22 - a12*b2) + a02*(b1*a12 - a11*b2)) / det AS c0,
+        (a00*(b1*a22 - b2*a12) - b0*(a01*a22 - a12*a02) + a02*(a01*b2 - b1*a02)) / det AS c1,
+        (a00*(a11*b2 - a12*b1) - a01*(a01*b2 - a02*b1) + b0*(a01*a12 - a11*a02)) / det AS c2
+      FROM s)
+SELECT term, ROUND(value, 4) AS value FROM (
+  SELECT 'hour' AS term, c0 AS value, 1 AS o FROM c
+  UNION ALL SELECT 'is_purchase', c1, 2 FROM c
+  UNION ALL SELECT 'intercept', c2, 3 FROM c
+  UNION ALL SELECT 'r2', 1.0 - (yy - (c0*b0 + c1*b1 + c2*b2)) / (yy - b2*b2/a22), 4 FROM c
+  UNION ALL SELECT 'n', a22, 5 FROM c) ORDER BY o;""",
+)
+def x191(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import ols_fit
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        (
+            (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000) % 86400)
+            / 3600.0
+        ).alias("hour"),
+        (F.col("event_type") == "purchase").cast("double").alias("is_purchase"),
+        F.col("value").alias("y"),
+    )
+    # round to 4: LAPACK (operator) vs Cramer (oracle) solves diverge
+    # at ~1e-6 through the normal equations' condition number; the exact
+    # coefficient pins live in tests/test_round11e_ops.py
+    return ols_fit(d, ["hour", "is_purchase"], "y").select(
+        "term", F.round("value", 4).alias("value")
+    )
+
+
+@_declare(
+    "X192_rfm_segments",
+    # RFM segmentation (timeseries.rfm_segments): per-user recency /
+    # frequency / monetary, tertile cutoffs from ONE exact-percentile
+    # aggregate broadcast back — quantile assignment as
+    # cutoffs-then-compare, never a corpus-wide rank. The oracle
+    # replays quantile_cont (the same interpolated definition) and the
+    # identical strictly-greater tier arithmetic.
+    """WITH u AS (
+  SELECT user_id AS "user", max(epoch_us(ts)) AS last_us,
+         COUNT(*)::DOUBLE AS frequency, COALESCE(SUM(value), 0) AS monetary
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+a AS (SELECT max(last_us) AS now_us FROM u),
+per AS (
+  SELECT "user", (now_us - last_us) / 86400e6 AS recency_days,
+         frequency, monetary
+  FROM u, a),
+cuts AS (SELECT quantile_cont(recency_days, [1.0/3, 2.0/3]) AS cr,
+                quantile_cont(frequency, [1.0/3, 2.0/3]) AS cf,
+                quantile_cont(monetary, [1.0/3, 2.0/3]) AS cm
+         FROM per),
+sc AS (SELECT per.*,
+         4 - (1 + (recency_days > cr[1])::INT + (recency_days > cr[2])::INT) AS r,
+         1 + (frequency > cf[1])::INT + (frequency > cf[2])::INT AS f,
+         1 + (monetary > cm[1])::INT + (monetary > cm[2])::INT AS m
+       FROM per, cuts)
+SELECT "user", ROUND(recency_days, 6) AS recency_days,
+       frequency::BIGINT AS frequency, ROUND(monetary, 6) AS monetary,
+       r, f, m, r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+FROM sc ORDER BY "user";""",
+)
+def x192(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import rfm_segments
+
+    ev = load_table(spark, sf_dir, "events")
+    return rfm_segments(ev).orderBy("user")
