@@ -499,3 +499,46 @@ def gini_coefficient(
         ).alias("gini"),
     ]
     return joined.groupBy(group_col).agg(*aggs) if group_col else joined.agg(*aggs)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    2002): a release is k-anonymous iff every combination of the
+    quasi-identifier values is shared by at least k rows — the
+    pre-release privacy check that pairs with the pii_* scanners
+    (regexes find direct identifiers; this finds rows REIDENTIFIABLE by
+    joining side data on innocuous columns).
+
+    One grouped aggregate over the quasi columns (NULL is a value — a
+    NULL combo can re-identify too). Output lists the VIOLATING combos
+    (n < k; the actionable set, bounded by rows-at-risk) plus one
+    '__audit__' marker row (first quasi column = '__audit__', the rest
+    NULL) whose ``n`` is the TOTAL rows at risk — zero violator rows +
+    an '__audit__' n of 0 is the pass verdict. The grouped relation is
+    quasi-cardinality; nothing row-pairs.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    counts = df.groupBy(
+        *[F.col(c).cast("string").alias(c) for c in quasi_cols]
+    ).agg(F.count("*").alias("n"))
+    from swivel_spark_prep_spark.cache import track_persist
+
+    counts = track_persist(counts)
+    viol = counts.filter(F.col("n") < k)
+    summary = counts.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n"))), F.lit(0)
+        ).alias("n")
+    ).select(
+        F.lit("__audit__").alias(quasi_cols[0]),
+        *[F.lit(None).cast("string").alias(c) for c in quasi_cols[1:]],
+        "n",
+    )
+    return viol.select(*quasi_cols, "n").unionByName(summary)

@@ -805,3 +805,107 @@ def coverage_select(
         )
         .orderBy(*gcols, F.col(weight_col).cast("double").desc(), *key_cols)
     )
+
+
+#: cumulative Poisson(1) thresholds for the inverse-CDF weight draw —
+#: P(X <= k) for k = 0..5; mass beyond 6 (< 6e-5) is capped at 6.
+_POIS1_CDF = (
+    0.36787944117144233,  # e^-1
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    replicates: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for a mean via the
+    POISSON BOOTSTRAP (Hanley & MacGibbon 2006; Chamandy et al. 2012 —
+    the form built for one-pass distributed data): instead of resampling
+    n rows with replacement (which needs global coordination), each row
+    draws an independent Poisson(1) count per replicate — the
+    multinomial resample's limit — so replicate b's mean is
+    Σ w_rb·x_r / Σ w_rb, computable in ONE grouped aggregate after a
+    ``replicates``-way explode. Weights come from the md5 uniform of
+    (salt, id, b) through the Poisson(1) inverse CDF (capped at 6,
+    < 6e-5 tail mass), so the whole resampling plan is deterministic
+    and any engine replays it bit-for-bit.
+
+    Execution: explode is the only blow-up (rows × replicates — size it
+    via ``replicates``, it is the bootstrap's inherent cost); one
+    aggregate collapses to ``replicates`` (× groups) rows; the CI is an
+    exact percentile over that bounded relation. Output per group:
+    (mean, ci_lo, ci_hi, n, b_used) — ``b_used`` counts replicates
+    with nonzero total weight (all of them, in practice).
+    Rows with NULL value are excluded.
+    """
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gcols = [group_col] if group_col else []
+    base = df.select(
+        *gcols,
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    rep = base.select(
+        *gcols,
+        "_id",
+        "_x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(replicates)))).alias("_b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("_id"), F.col("_b"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("_w", w.cast("double"))
+        .groupBy(*gcols, "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("_sx"),
+            F.sum("_w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(*gcols, (F.col("_sx") / F.col("_sw")).alias("_m"))
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = means.groupBy(*gcols).agg(
+        F.count("*").alias("b_used"),
+        F.percentile("_m", F.lit(lo)).alias("_lo"),
+        F.percentile("_m", F.lit(hi)).alias("_hi"),
+    )
+    point = base.groupBy(*gcols).agg(
+        F.avg("_x").alias("_mean"), F.count("*").alias("n")
+    )
+    joined = (
+        point.join(ci, gcols) if gcols else point.crossJoin(F.broadcast(ci))
+    )
+    return joined.select(
+        *gcols,
+        F.round("_mean", 6).alias("mean"),
+        F.round("_lo", 6).alias("ci_lo"),
+        F.round("_hi", 6).alias("ci_hi"),
+        "n",
+        "b_used",
+    )

@@ -341,3 +341,69 @@ def expand_query_rm3(
         )
     )
     return scored.orderBy(F.desc("weight"), F.asc("term")).limit(n_terms)
+
+
+def trigram_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional-free character-trigram posting index (the pg_trgm
+    idea): one row per DISTINCT (doc, gram) over the lower-cased text.
+    Built with sequence+transform inside codegen — no UDF, no explode
+    of per-character rows before the distinct. The index is the
+    data-sized artifact substring search prefilters against; persist
+    or write it once, reuse per query.
+    """
+    t = F.lower(F.col(text_col))
+    # sequence(1, n) steps DOWN when n < 1 — guard short texts to an
+    # empty gram set explicitly
+    grams = F.when(
+        F.length(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: t.substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    ).distinct()
+
+
+def substring_search(
+    docs: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact substring search (case-insensitive ``contains``) by
+    TRIGRAM PREFILTER + verify — the scale answer to ``LIKE '%pat%'``,
+    which no engine can push below a full scan: a doc can contain the
+    pattern only if it contains EVERY trigram of the pattern, so the
+    posting index narrows the scan to candidate ids (an aggregate
+    whose group count equals the candidate count), and the exact
+    ``contains`` verify touches candidates only. Result-identical to
+    the naive filter BY CONSTRUCTION (prefilter is a superset; verify
+    is exact — the MinHash-LSH candidate/verify discipline applied to
+    substring match). Patterns shorter than 3 characters fall back to
+    the plain filter (no trigram to block on). Returns the matching
+    rows of ``docs``.
+    """
+    pat = pattern.lower()
+    if len(pat) < 3:
+        return docs.filter(F.contains(F.lower(F.col(text_col)), F.lit(pat)))
+    idx = index if index is not None else trigram_index(docs, text_col, id_col)
+    grams = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
+    cands = (
+        idx.filter(F.col("gram").isin(grams))
+        .groupBy("id")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") == len(grams))
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(cands, id_col, "left_semi").filter(
+        F.contains(F.lower(F.col(text_col)), F.lit(pat))
+    )

@@ -605,12 +605,19 @@ def heaps_law_fit(
         F.sum(F.col("x") * F.col("y")),
         F.sum(F.col("y") * F.col("y")),
     )
-    beta = F.when(
-        (m > 1) & (m * sxx - sx * sx > 0), (m * sxy - sx * sy) / (m * sxx - sx * sx)
-    )
+    # Variance guards use a RELATIVE tolerance: for a constant axis the
+    # raw m*s2 - s*s is a catastrophic cancellation whose ~1e-15-relative
+    # residue has a run-order-dependent SIGN (Spark's parallel sums) — a
+    # bare > 0 flaps between NULL and 0.0 across runs/engines. A real
+    # variance clears 1e-9 relative by many orders of magnitude.
+    varx = m * sxx - sx * sx
+    vary = m * syy - sy * sy
+    x_ok = varx > 1e-9 * m * sxx
+    y_ok = vary > 1e-9 * m * syy
+    beta = F.when((m > 1) & x_ok, (m * sxy - sx * sy) / varx)
     r2 = F.when(
-        (m * sxx - sx * sx > 0) & (m * syy - sy * sy > 0),
-        F.pow(m * sxy - sx * sy, 2) / ((m * sxx - sx * sx) * (m * syy - sy * sy)),
+        x_ok & y_ok,
+        F.pow(m * sxy - sx * sy, 2) / (varx * vary),
     )
     return pts.agg(
         F.count("*").alias("n_points"),

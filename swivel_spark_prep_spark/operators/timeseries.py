@@ -904,3 +904,49 @@ def rfm_segments(
         "segment",
         F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")),
     )
+
+
+def collapse_bursts(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Burst compaction (debounce) for event streams: within each key,
+    consecutive events closer than ``gap_seconds`` belong to one BURST
+    (the transitive chain — the gaps-and-islands formulation Q38's
+    session logic uses, at microsecond precision); the output is one
+    row per burst. The telemetry-compaction primitive: double-fires,
+    retry storms and scraper loops collapse to their first event plus
+    a burst profile.
+
+    One per-key lag window marks burst starts (gap > threshold or
+    first event), one running count over the same per-key window
+    numbers the bursts, one aggregate profiles them — all windows
+    PARTITIONED by the key. Output: (keys..., burst_id, t_start,
+    t_end, n_events, span_s). NULL timestamps are excluded.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        *key_cols, F.col(ts_col).alias("_ts"), us.alias("_us")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_us")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = float(gap_seconds) * 1e6
+    new_burst = (
+        F.col("_us") - F.lag("_us").over(w) > F.lit(gap_us)
+    ) | F.lag("_us").over(w).isNull()
+    marked = base.withColumn(
+        "burst_id", F.sum(new_burst.cast("long")).over(wrun)
+    )
+    return (
+        marked.groupBy(*key_cols, "burst_id")
+        .agg(
+            F.min("_ts").alias("t_start"),
+            F.max("_ts").alias("t_end"),
+            F.count("*").alias("n_events"),
+            F.round((F.max("_us") - F.min("_us")) / 1e6, 6).alias("span_s"),
+        )
+    )

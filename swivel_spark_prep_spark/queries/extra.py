@@ -6829,11 +6829,11 @@ s AS (SELECT COUNT(*)::DOUBLE AS m, SUM(x) AS sx, SUM(y) AS sy,
              COUNT(*)::BIGINT AS n_points, MAX(N)::BIGINT AS total_tokens, MAX(V)::BIGINT AS vocab
       FROM pts)
 SELECT n_points, total_tokens, vocab,
-  ROUND(CASE WHEN m > 1 AND m * sxx - sx * sx > 0
+  ROUND(CASE WHEN m > 1 AND m * sxx - sx * sx > 1e-9 * m * sxx
         THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END, 6) AS beta,
-  ROUND(exp((sy - (CASE WHEN m > 1 AND m * sxx - sx * sx > 0
+  ROUND(exp((sy - (CASE WHEN m > 1 AND m * sxx - sx * sx > 1e-9 * m * sxx
         THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END) * sx) / m), 6) AS k,
-  ROUND(CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+  ROUND(CASE WHEN m * sxx - sx * sx > 1e-9 * m * sxx AND m * syy - sy * sy > 1e-9 * m * syy
         THEN pow(m * sxy - sx * sy, 2) / ((m * sxx - sx * sx) * (m * syy - sy * sy)) END, 6) AS r2
 FROM s;""",
 )
@@ -6976,3 +6976,120 @@ def x192(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return rfm_segments(ev).orderBy("user")
+
+
+@_declare(
+    "X193_substring_search",
+    # Trigram-prefilter substring search (search.substring_search, the
+    # pg_trgm idea): candidates must hold EVERY pattern trigram (one
+    # posting-index aggregate), exact contains() verifies candidates
+    # only — result-identical to the naive LIKE scan by construction,
+    # which is exactly what the oracle runs.
+    """SELECT doc_id, source, n_chars FROM documents
+WHERE contains(lower(text), 'merge slow') ORDER BY doc_id;""",
+)
+def x193(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.search import substring_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        substring_search(docs, "merge slow")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "X194_bootstrap_ci",
+    # Poisson-bootstrap mean CI per event type (sampling.bootstrap_mean_ci,
+    # Chamandy et al. 2012): 100 deterministic replicates, Poisson(1)
+    # weights from the md5 uniform through the inverse CDF — the oracle
+    # replays every weight and both percentile endpoints exactly.
+    """WITH base AS (
+  SELECT event_type, event_id::VARCHAR AS id, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL),
+rep AS (SELECT event_type, id, x, b FROM base, range(1, 101) t(b)),
+wts AS (SELECT event_type, b, x,
+  CASE
+    WHEN u < 0.36787944117144233 THEN 0
+    WHEN u < 0.7357588823428847 THEN 1
+    WHEN u < 0.9196986029286058 THEN 2
+    WHEN u < 0.9810118431238462 THEN 3
+    WHEN u < 0.9963401531726563 THEN 4
+    WHEN u < 0.9994058151824183 THEN 5
+    ELSE 6 END AS w
+  FROM (SELECT *, ('0x' || substr(md5('boot:' || id || ':' || b), 1, 15))::BIGINT
+                  / 1152921504606846976.0 AS u FROM rep)),
+means AS (SELECT event_type, b, SUM(w * x) / SUM(w) AS m
+          FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
+ci AS (SELECT event_type, COUNT(*)::BIGINT AS b_used,
+              quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi
+       FROM means GROUP BY 1),
+pt AS (SELECT event_type, AVG(x) AS mean, COUNT(*)::BIGINT AS n FROM base GROUP BY 1)
+SELECT event_type, ROUND(mean, 6) AS mean, ROUND(lo, 6) AS ci_lo,
+       ROUND(hi, 6) AS ci_hi, n, b_used
+FROM pt JOIN ci USING (event_type) ORDER BY event_type;""",
+)
+def x194(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "value", "event_id", group_col="event_type", replicates=100
+    ).orderBy("event_type")
+
+
+@_declare(
+    "X195_k_anonymity",
+    # k-anonymity audit (quality.k_anonymity_audit, Sweeney 2002) on
+    # the (lang, source, n_chars) quasi-identifier: combos shared by
+    # fewer than 3 docs are re-identifiable; the '__audit__' row
+    # carries total rows at risk. One quasi-cardinality aggregate.
+    """WITH c AS (SELECT lang::VARCHAR AS lang, source::VARCHAR AS source,
+                 n_chars::VARCHAR AS n_chars, COUNT(*)::BIGINT AS n
+          FROM documents GROUP BY 1, 2, 3)
+SELECT lang, source, n_chars, n FROM c WHERE n < 3
+UNION ALL
+SELECT '__audit__', NULL, NULL,
+       COALESCE(SUM(CASE WHEN n < 3 THEN n END), 0)::BIGINT
+FROM c
+ORDER BY lang NULLS LAST, source NULLS LAST, n_chars NULLS LAST;""",
+)
+def x195(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import k_anonymity_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_anonymity_audit(docs, ["lang", "source", "n_chars"], k=3).orderBy(
+        F.asc_nulls_last("lang"),
+        F.asc_nulls_last("source"),
+        F.asc_nulls_last("n_chars"),
+    )
+
+
+@_declare(
+    "X196_collapse_bursts",
+    # Burst compaction / debounce (timeseries.collapse_bursts): events
+    # within 30 min of their predecessor chain into one burst per user
+    # (gaps-and-islands at microsecond precision); output is the burst
+    # profile. The oracle replays the identical island numbering.
+    """WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events WHERE ts IS NOT NULL),
+m AS (SELECT user_id, ts, us,
+             SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS burst_id
+      FROM e)
+SELECT user_id, burst_id, MIN(ts) AS t_start, MAX(ts) AS t_end,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND((MAX(us) - MIN(us)) / 1e6, 6) AS span_s
+FROM m GROUP BY 1, 2 ORDER BY user_id, burst_id;""",
+)
+def x196(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import collapse_bursts
+
+    ev = load_table(spark, sf_dir, "events")
+    return collapse_bursts(ev, ["user_id"], "ts", gap_seconds=1800).orderBy(
+        "user_id", "burst_id"
+    )
