@@ -31,6 +31,7 @@ __all__ = [
     "embedding_class_scatter",
     "average_precision",
     "isotonic_calibration",
+    "welch_ttest",
 ]
 
 
@@ -611,4 +612,66 @@ def isotonic_calibration(
         agg.withColumn(gcol, F.col(gcol).cast("string"))
         .groupBy(gcol)
         .applyInPandas(_pav, schema)
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic (Welch 1947) —
+    "did the mean move between these two slices" with no
+    equal-variance assumption, the safe default for A/B checks on
+    corpus metrics. ONE grouped aggregate produces both slices' raw
+    moments; everything after is scalar arithmetic on a 2-row relation
+    (sample variance from Σx² − n·x̄², the same guarded-moment form
+    the autocorrelation operator uses):
+
+        t  = (x̄_a − x̄_b) / √(s²_a/n_a + s²_b/n_b)
+        df = (s²_a/n_a + s²_b/n_b)² / Σ (s²_g/n_g)²/(n_g − 1)
+
+    Output: one row (n_a, mean_a, n_b, mean_b, mean_diff, t_stat,
+    df_welch); t/df are NULL when either slice has < 2 rows or both
+    variances are 0. The p-value is erf territory — compare |t|
+    against the t critical value for df_welch caller-side.
+    """
+    g = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("double").alias("_x")
+    ).filter(F.col("_x").isNotNull() & F.col("_g").isin([group_a, group_b]))
+    per = g.groupBy("_g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("_x").alias("m"),
+        F.sum(F.col("_x") * F.col("_x")).alias("ss"),
+    )
+    a = per.filter(F.col("_g") == group_a).select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("ss").alias("sa")
+    )
+    b = per.filter(F.col("_g") == group_b).select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("ss").alias("sb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    va = (F.col("sa") - F.col("na") * F.col("ma") * F.col("ma")) / (F.col("na") - 1)
+    vb = (F.col("sb") - F.col("nb") * F.col("mb") * F.col("mb")) / (F.col("nb") - 1)
+    se2 = va / F.col("na") + vb / F.col("nb")
+    ok = (F.col("na") > 1) & (F.col("nb") > 1) & (se2 > 0)
+    t = F.when(ok, (F.col("ma") - F.col("mb")) / F.sqrt(se2))
+    dfw = F.when(
+        ok,
+        F.pow(se2, 2)
+        / (
+            F.pow(va / F.col("na"), 2) / (F.col("na") - 1)
+            + F.pow(vb / F.col("nb"), 2) / (F.col("nb") - 1)
+        ),
+    )
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.round("ma", 6).alias("mean_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("df_welch"),
     )

@@ -542,3 +542,58 @@ def k_anonymity_audit(
         "n",
     )
     return viol.select(*quasi_cols, "n").unionByName(summary)
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995) over
+    a relation of hypotheses — the multiple-testing correction a
+    drift-screening sweep needs before paging anyone: testing 40 slices
+    at α=0.05 expects 2 false alarms; BH bounds the EXPECTED FALSE
+    DISCOVERY RATE at ``q`` instead.
+
+    Tie-safe, rank-free formulation: for each distinct p, let c(p) =
+    #hypotheses with p' ≤ p; the BH cutoff is max{p : p ≤ c(p)·q/m},
+    and every hypothesis with p ≤ cutoff is rejected — identical to
+    the textbook sorted-index rule, but computed from counting (a
+    triangular join over the DISTINCT-p relation, hypothesis-
+    cardinality — the heaps_law_fit idiom) with no window and no
+    arbitrary tie order. Input rows pass through with appended
+    (m, p_cutoff, rejected); NULL p is never rejected and not counted.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    ps = df.select(F.col(p_col).cast("double").alias("_p")).filter(
+        F.col("_p").isNotNull()
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    ps = track_persist(ps)
+    m = ps.agg(F.count("*").alias("_m"))
+    dp = ps.select(F.col("_p").alias("_pd")).distinct()
+    cnt = (
+        dp.join(ps, F.col("_p") <= F.col("_pd"), "left")
+        .groupBy("_pd")
+        .agg(F.count("_p").alias("_c"))
+    )
+    cut = (
+        cnt.crossJoin(F.broadcast(m))
+        .filter(F.col("_pd") <= F.col("_c") * q / F.col("_m"))
+        .agg(F.max("_pd").alias("_cut"))
+    )
+    return (
+        df.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "*",
+            F.col("_m").alias("m_tests"),
+            F.col("_cut").alias("p_cutoff"),
+            F.coalesce(F.col(p_col) <= F.col("_cut"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+        .drop("_m", "_cut")
+    )

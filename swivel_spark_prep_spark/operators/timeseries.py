@@ -950,3 +950,71 @@ def collapse_bursts(
             F.round((F.max("_us") - F.min("_us")) / 1e6, 6).alias("span_s"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator (Kaplan & Meier
+    1958) over a per-subject (duration, event) relation — duration =
+    observed time, event = 1 if the terminal event (churn, failure)
+    happened, 0 if the subject is CENSORED (still alive at study end;
+    the whole point of KM is that censored subjects count in the risk
+    set until their censoring time instead of being dropped):
+
+        S(t) = Π_{tᵢ ≤ t} (1 − dᵢ / nᵢ)
+
+    with dᵢ = events at tᵢ and nᵢ = subjects still at risk. Execution
+    collapses subjects to per-DISTINCT-DURATION (d, c) counts, then two
+    passes of the range-partitioned prefix sum (operators/ranks): one
+    for the at-risk counts (n = total − subjects gone strictly
+    before t), one for the running Σ ln(1 − d/n) whose exp is S —
+    value-cardinality work, no global window (the ks_test discipline).
+    A time where d = n (everyone remaining dies) drives S to exactly 0
+    from there on, via an explicit zero flag rather than ln(0).
+    Output: (duration, n_risk, d_events, survival), event times only
+    (censor-only times don't change S but DO shrink the risk set —
+    they are aggregated, just not emitted). NULL / negative durations
+    are excluded.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    base = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("_e"),
+    ).filter(F.col("t").isNotNull() & (F.col("t") >= 0) & F.col("_e").isNotNull())
+    tot = base.agg(F.count("*").alias("_tot"))
+    per = base.groupBy("t").agg(
+        F.sum("_e").alias("d"), F.count("*").alias("c")
+    )
+    cum = partitioned_prefix_sum(per, ["t"], ["c"], ["_cc"], inclusive=True)
+    risked = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("_tot") - (F.col("_cc") - F.col("c"))).alias("n"),
+    )
+    factors = risked.select(
+        "t",
+        "d",
+        "n",
+        F.when(F.col("d") < F.col("n"), F.log(1.0 - F.col("d") / F.col("n")))
+        .otherwise(F.lit(0.0))
+        .alias("_lnf"),
+        (F.col("d") >= F.col("n")).cast("int").alias("_z"),
+    )
+    surv = partitioned_prefix_sum(
+        factors, ["t"], ["_lnf", "_z"], ["_lncum", "_zcum"], inclusive=True
+    )
+    return (
+        surv.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("duration"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("d_events"),
+            F.when(F.col("_zcum") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp("_lncum"), 6))
+            .alias("survival"),
+        )
+    )

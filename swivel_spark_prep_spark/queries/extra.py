@@ -7093,3 +7093,147 @@ def x196(spark, sf_dir):
     return collapse_bursts(ev, ["user_id"], "ts", gap_seconds=1800).orderBy(
         "user_id", "burst_id"
     )
+
+
+@_declare(
+    "X197_kaplan_meier",
+    # Kaplan-Meier survival over user lifetimes (timeseries.kaplan_meier):
+    # duration = whole days between a user's first and last event,
+    # churned = last event > 14 days before corpus end (else CENSORED —
+    # the at-risk bookkeeping the naive churn rate gets wrong). Both
+    # prefix passes replayed as running windows over the distinct-
+    # duration relation.
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+mx AS (SELECT max(l) AS e FROM u),
+subj AS (SELECT floor((l - f) / 86400e6)::DOUBLE AS t,
+                ((e - l) > 14 * 86400e6)::INT AS ev
+         FROM u, mx),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM subj),
+per AS (SELECT t, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS c FROM subj GROUP BY 1),
+cum AS (SELECT *, SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM per),
+r AS (SELECT t, d, (n - (cc - c))::BIGINT AS nr FROM cum, tot),
+f2 AS (SELECT t, d, nr,
+              CASE WHEN d < nr THEN ln(1 - d::DOUBLE / nr) ELSE 0 END AS lnf,
+              (d >= nr)::INT AS z
+       FROM r),
+s AS (SELECT t, d, nr,
+             SUM(lnf) OVER w AS lncum, SUM(z) OVER w AS zcum
+      FROM f2
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t AS duration, nr AS n_risk, d AS d_events,
+       ROUND(CASE WHEN zcum > 0 THEN 0.0 ELSE exp(lncum) END, 6) AS survival
+FROM s WHERE d > 0 ORDER BY duration;""",
+)
+def x197(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(F.min(us).alias("f"), F.max(us).alias("l"))
+    mx = u.agg(F.max("l").alias("e"))
+    subj = u.crossJoin(F.broadcast(mx)).select(
+        F.floor((F.col("l") - F.col("f")) / 86400e6).cast("double").alias("t"),
+        ((F.col("e") - F.col("l")) > 14 * 86400e6).cast("int").alias("ev"),
+    )
+    return kaplan_meier(subj, "t", "ev").orderBy("duration")
+
+
+@_declare(
+    "X198_welch_ttest",
+    # Welch unequal-variance t (evalmetrics.welch_ttest): did the mean
+    # event value move between purchases and clicks — one grouped-
+    # moments aggregate, scalar algebra after; the oracle replays the
+    # identical guarded-moment variance and Welch-Satterthwaite df.
+    """WITH g AS (SELECT event_type AS t, value::DOUBLE AS x FROM events
+          WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+per AS (SELECT t, COUNT(*)::DOUBLE AS n, AVG(x) AS m, SUM(x * x) AS ss
+        FROM g GROUP BY 1),
+j AS (SELECT a.n AS na, a.m AS ma, a.ss AS sa, b.n AS nb, b.m AS mb, b.ss AS sb
+      FROM (SELECT * FROM per WHERE t = 'purchase') a,
+           (SELECT * FROM per WHERE t = 'click') b),
+c AS (SELECT *,
+        (sa - na * ma * ma) / (na - 1) AS va,
+        (sb - nb * mb * mb) / (nb - 1) AS vb
+      FROM j),
+c2 AS (SELECT *, va / na + vb / nb AS se2 FROM c)
+SELECT na::BIGINT AS n_a, ROUND(ma, 6) AS mean_a,
+       nb::BIGINT AS n_b, ROUND(mb, 6) AS mean_b,
+       ROUND(ma - mb, 6) AS mean_diff,
+       ROUND(CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+             THEN (ma - mb) / sqrt(se2) END, 6) AS t_stat,
+       ROUND(CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+             THEN pow(se2, 2) / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))
+             END, 6) AS df_welch
+FROM c2;""",
+)
+def x198(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_ttest(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X199_fdr_drift",
+    # FDR-controlled drift screening (quality.fdr_bh over per-slice KS):
+    # the X159 per-language src0-vs-src1 KS tests, converted to
+    # one-term Smirnov asymptotic p-values, then Benjamini-Hochberg at
+    # q=0.1 via the tie-safe counting rule — "which slices drifted,
+    # with the expected false-discovery rate bounded" instead of 40
+    # uncorrected alpha tests. The oracle replays CDFs, p's, and the
+    # count-based BH cutoff exactly.
+    """WITH g AS (SELECT lang, n_chars AS v,
+                 (source = 'src0')::INT AS a, (source = 'src1')::INT AS b
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            AND source IN ('src0', 'src1')),
+c AS (SELECT lang, v, SUM(a) AS ca, SUM(b) AS cb FROM g GROUP BY 1, 2),
+cu AS (SELECT lang,
+              SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cca,
+              SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS ccb
+       FROM c),
+t AS (SELECT lang, SUM(ca)::DOUBLE AS na, SUM(cb)::DOUBLE AS nb FROM c GROUP BY 1),
+ks AS (SELECT lang,
+              MAX(CASE WHEN na > 0 AND nb > 0 THEN ABS(cca / na - ccb / nb) END)
+              * SQRT(na * nb / (na + nb)) AS k
+       FROM cu JOIN t USING (lang) GROUP BY lang, na, nb),
+p AS (SELECT lang, k, LEAST(1.0, 2 * exp(-2 * k * k)) AS pv FROM ks),
+m AS (SELECT COUNT(pv)::DOUBLE AS m FROM p),
+cnt AS (SELECT pd, COUNT(*) AS c FROM
+          (SELECT DISTINCT pv AS pd FROM p WHERE pv IS NOT NULL) d
+          JOIN (SELECT pv FROM p WHERE pv IS NOT NULL) x ON x.pv <= d.pd
+        GROUP BY 1),
+cut AS (SELECT MAX(pd) AS cut FROM cnt, m WHERE pd <= c * 0.1 / m)
+SELECT lang, ROUND(k, 4) AS ks_stat, ROUND(pv, 6) AS p,
+       m::BIGINT AS m_tests, ROUND(cut, 6) AS p_cutoff,
+       COALESCE(pv <= cut, FALSE) AS rejected
+FROM p, m, cut ORDER BY lang;""",
+)
+def x199(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import fdr_bh, ks_test
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    ks = ks_test(docs, "n_chars", "source", "src0", "src1", slice_col="lang")
+    withp = ks.select(
+        "lang",
+        F.col("ks_stat").alias("k"),
+        F.least(F.lit(1.0), 2 * F.exp(-2 * F.col("ks_stat") * F.col("ks_stat"))).alias(
+            "pv"
+        ),
+    )
+    return (
+        fdr_bh(withp, "pv", q=0.1)
+        .select(
+            "lang",
+            F.round("k", 4).alias("ks_stat"),
+            F.round("pv", 6).alias("p"),
+            F.col("m_tests").cast("long").alias("m_tests"),
+            F.round("p_cutoff", 6).alias("p_cutoff"),
+            "rejected",
+        )
+        .orderBy("lang")
+    )

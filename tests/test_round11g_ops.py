@@ -1,0 +1,123 @@
+"""Round-11g extension operators (the X197–X199 family):
+
+1. kaplan_meier (operators/timeseries.py): hand-computed product-limit
+   curve with censoring; censor-only times shrink the risk set but are
+   not emitted; everyone-dies drives S to exactly 0; filtering.
+2. welch_ttest (operators/evalmetrics.py): hand-computed t and
+   Welch–Satterthwaite df; degenerate slices give NULLs.
+3. fdr_bh (operators/quality.py): the textbook BH example; tied
+   p-values share one fate (the tie-safe counting rule); nothing
+   rejectable -> cutoff NULL and zero rejections; validation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+# -------------------------------------------------------- kaplan_meier
+def test_km_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.timeseries import kaplan_meier
+
+    # durations (event): 1(e), 2(censored), 3(e), 3(e), 4(censored)
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1), (4.0, 0)], "t double, ev int"
+    )
+    rows = {r["duration"]: r for r in kaplan_meier(df, "t", "ev").collect()}
+    assert set(rows) == {1.0, 3.0}  # censor-only times not emitted
+    assert rows[1.0]["n_risk"] == 5 and rows[1.0]["d_events"] == 1
+    assert rows[1.0]["survival"] == pytest.approx(0.8)
+    # at t=3: subjects with duration < 3 are gone (1 and 2) -> n = 3
+    assert rows[3.0]["n_risk"] == 3 and rows[3.0]["d_events"] == 2
+    assert rows[3.0]["survival"] == pytest.approx(0.8 * (1 / 3), abs=1e-6)
+
+
+def test_km_everyone_dies_reaches_zero(spark):
+    from swivel_spark_prep_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "t double, ev int")
+    rows = {r["duration"]: r["survival"] for r in kaplan_meier(df, "t", "ev").collect()}
+    assert rows[1.0] == pytest.approx(0.5)
+    assert rows[2.0] == 0.0
+
+
+def test_km_filters_bad_rows(spark):
+    from swivel_spark_prep_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (-1.0, 1), (None, 1), (2.0, None)], "t double, ev int"
+    )
+    rows = kaplan_meier(df, "t", "ev").collect()
+    assert len(rows) == 1 and rows[0]["n_risk"] == 1
+
+
+# --------------------------------------------------------- welch_ttest
+def test_welch_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import welch_ttest
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("b", v) for v in (2.0, 4.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = welch_ttest(df, "x", "g", "a", "b").collect()[0]
+    # a: n=4 mean=2.5 var=5/3 ; b: n=3 mean=4 var=4
+    se2 = (5 / 3) / 4 + 4 / 3
+    t = (2.5 - 4) / math.sqrt(se2)
+    dfw = se2**2 / (((5 / 3) / 4) ** 2 / 3 + (4 / 3) ** 2 / 2)
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert r["mean_diff"] == pytest.approx(-1.5)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r["df_welch"] == pytest.approx(dfw, abs=1e-5)
+
+
+def test_welch_degenerate_null(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, x double"
+    )
+    r = welch_ttest(df, "x", "g", "a", "b").collect()[0]
+    assert r["t_stat"] is None and r["df_welch"] is None
+
+
+# -------------------------------------------------------------- fdr_bh
+def test_bh_textbook_example(spark):
+    from swivel_spark_prep_spark.operators.quality import fdr_bh
+
+    df = spark.createDataFrame(
+        [("h1", 0.01), ("h2", 0.04), ("h3", 0.03), ("h4", 0.005), ("h5", 0.2)],
+        "h string, p double",
+    )
+    got = {r["h"]: r for r in fdr_bh(df, "p", q=0.1).collect()}
+    # sorted: .005<=.02, .01<=.04, .03<=.06, .04<=.08, .2>.1 -> cutoff .04
+    assert got["h1"]["p_cutoff"] == pytest.approx(0.04)
+    assert {h for h, r in got.items() if r["rejected"]} == {"h1", "h2", "h3", "h4"}
+    assert all(r["m_tests"] == 5 for r in got.values())
+
+
+def test_bh_ties_share_fate_and_none_rejected(spark):
+    from swivel_spark_prep_spark.operators.quality import fdr_bh
+
+    # tied p = 0.05 at ranks 1,2 with m=2, q=0.1: c(0.05)=2 ->
+    # 0.05 <= 2*0.1/2 = 0.1 -> both rejected, identically
+    tie = spark.createDataFrame([("a", 0.05), ("b", 0.05)], "h string, p double")
+    got = fdr_bh(tie, "p", q=0.1).collect()
+    assert all(r["rejected"] for r in got)
+    # nothing passes -> NULL cutoff, zero rejections, NULL p not counted
+    none = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.95), ("c", None)], "h string, p double"
+    )
+    got2 = fdr_bh(none, "p", q=0.05).collect()
+    assert all(not r["rejected"] for r in got2)
+    assert all(r["p_cutoff"] is None for r in got2)
+    assert all(r["m_tests"] == 2 for r in got2)
+
+
+def test_bh_validation(spark):
+    from swivel_spark_prep_spark.operators.quality import fdr_bh
+
+    df = spark.createDataFrame([("a", 0.5)], "h string, p double")
+    with pytest.raises(ValueError):
+        fdr_bh(df, "p", q=0.0)
