@@ -7237,3 +7237,39 @@ def x199(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@_declare(
+    "X200_map_funcs",
+    # MAP-type surface (the complex-type triad's third leg next to
+    # Q29/Q30 arrays and Q31 JSON): per-user event_type->count maps via
+    # map_from_entries, then map_filter / map_keys / element_at / size
+    # — all map plumbing stays Spark-side; the oracle computes the
+    # equivalent values relationally (list_filter + list_sort), so
+    # parity pins the SEMANTICS, not the storage type.
+    """WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT user_id,
+             COUNT(*)::BIGINT AS n_types,
+             COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0) AS purchases,
+             array_to_string(list_sort(list(event_type) FILTER (WHERE n >= 5)), ',') AS heavy_types
+      FROM c GROUP BY 1)
+SELECT user_id, n_types, purchases, heavy_types FROM m ORDER BY user_id;""",
+)
+def x200(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    heavy = F.array_join(
+        F.array_sort(F.map_keys(F.map_filter("m", lambda k, v: v >= 5))), ","
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
+        heavy.alias("heavy_types"),
+    ).orderBy("user_id")
