@@ -196,6 +196,18 @@ def _build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--threshold", type=float, default=0.8)
     lp.add_argument("--master", default=None)
 
+    cp = sub.add_parser(
+        "compact",
+        help="compact a parquet table's small files into target-sized "
+        "bins (FFD plan, write-new-then-delete-old per bin)",
+    )
+    cp.add_argument("--table", required=True, help="parquet table directory")
+    cp.add_argument("--target-mb", type=float, default=128.0)
+    cp.add_argument("--small-fraction", type=float, default=0.5)
+    cp.add_argument("--dry-run", action="store_true",
+                    help="print the plan, touch nothing")
+    cp.add_argument("--master", default=None)
+
     return p
 
 
@@ -532,6 +544,29 @@ def _dispatch(args, spark, owns_session) -> int:
                 f"# best trade: {best['b']} bands x {best['r']} rows "
                 f"(candidate p at {args.threshold} = {best['p_at_threshold']:.4f})"
             )
+        elif args.cmd == "compact":
+            from swivel_spark_prep_spark.operators.compaction import (
+                compact_table,
+                list_parquet_files,
+                plan_compaction,
+            )
+
+            target = int(args.target_mb * 1024 * 1024)
+            if args.dry_run:
+                plan = plan_compaction(
+                    list_parquet_files(spark, args.table), target, args.small_fraction
+                )
+                for i, b in enumerate(plan):
+                    print(f"bin {i}: {len(b['paths'])} files, {b['bytes']} bytes")
+                print(f"# {len(plan)} bins planned (dry run)")
+            else:
+                stats = compact_table(
+                    spark, args.table, target, args.small_fraction
+                )
+                print(
+                    f"# compacted {stats['files_removed']} files into "
+                    f"{stats['files_written']} ({stats['bytes_compacted']} bytes)"
+                )
         elif args.cmd == "bench-query":
             import time
 

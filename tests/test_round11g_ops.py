@@ -121,3 +121,79 @@ def test_bh_validation(spark):
     df = spark.createDataFrame([("a", 0.5)], "h string, p double")
     with pytest.raises(ValueError):
         fdr_bh(df, "p", q=0.0)
+
+
+# ----------------------------------------------------------- compaction
+def test_ffd_plan_properties():
+    from swivel_spark_prep_spark.operators.compaction import plan_compaction
+
+    files = [(f"f{i}", s) for i, s in enumerate([90, 10, 40, 40, 30, 5, 60, 55])]
+    plan = plan_compaction(files, target_bytes=100, small_fraction=0.5)
+    # candidates: sizes < 50 -> 10, 40, 40, 30, 5; FFD: 40+40+10+5=95, 30
+    # singleton bin (30) dropped... 30 fits 95? 95+30 > 100 -> own bin,
+    # dropped as singleton
+    assert len(plan) == 1
+    assert plan[0]["bytes"] == 95 and len(plan[0]["paths"]) == 4
+    # determinism
+    assert plan == plan_compaction(files, 100, 0.5)
+    # every bin respects the cap and has >= 2 files
+    for b in plan:
+        assert b["bytes"] <= 100 and len(b["paths"]) >= 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        plan_compaction(files, 0)
+    with _pt.raises(ValueError):
+        plan_compaction(files, 100, small_fraction=0.0)
+
+
+def test_compact_table_roundtrip(spark, tmp_path):
+    """Write a fragmented table, compact, verify: same rows, fewer
+    files, originals gone, no temp dirs left, big files untouched."""
+    from swivel_spark_prep_spark.operators.compaction import (
+        compact_table,
+        list_parquet_files,
+    )
+
+    d = str(tmp_path / "t")
+    # 6 tiny single-row-group files + content marker per file
+    for i in range(6):
+        spark.range(i * 100, i * 100 + 50).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(d)
+    before_files = list_parquet_files(spark, d)
+    before_rows = sorted(r["id"] for r in spark.read.parquet(d).collect())
+    assert len(before_files) >= 4
+    target = max(s for _, s in before_files) * 4
+    stats = compact_table(spark, d, target_bytes=target, small_fraction=1.0)
+    assert stats["bins"] >= 1 and stats["files_removed"] >= 2
+    after_files = list_parquet_files(spark, d)
+    assert len(after_files) < len(before_files)
+    after_rows = sorted(r["id"] for r in spark.read.parquet(d).collect())
+    assert after_rows == before_rows  # bit-for-bit row preservation
+    assert not [f for f in __import__("os").listdir(d) if f.startswith("_compact_tmp")]
+    # idempotence-ish: a second pass finds little-to-nothing to do
+    stats2 = compact_table(spark, d, target_bytes=target, small_fraction=1.0)
+    assert stats2["files_removed"] <= stats["files_removed"]
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from swivel_spark_prep_spark import cli
+
+    d = str(tmp_path / "t2")
+    for i in range(4):
+        spark.range(i * 10, i * 10 + 5).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(d)
+    rc = cli.main(["compact", "--table", d, "--target-mb", "1",
+                   "--small-fraction", "1.0", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bins planned (dry run)" in out
+    rc = cli.main(["compact", "--table", d, "--target-mb", "1",
+                   "--small-fraction", "1.0"])
+    assert rc == 0
+    assert "# compacted" in capsys.readouterr().out
+    assert sorted(r["id"] for r in spark.read.parquet(d).collect()) == sorted(
+        list(range(0, 5)) + list(range(10, 15)) + list(range(20, 25)) + list(range(30, 35))
+    )
