@@ -171,3 +171,110 @@ def random_projection(
         for r in rows
     ]
     return embs.withColumn(out_col, F.array(*dots))
+
+
+def procrustes_drift(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Orthogonal-Procrustes drift report between two embedding
+    versions (Schönemann 1966): find the rotation R minimizing
+    ‖A·R − B‖_F over vectors shared by both tables, then measure what
+    remains — the "did the embedding space actually change, or just
+    rotate?" audit after re-training (neighborhoods are
+    rotation-invariant, so residual AFTER the best rotation is the
+    real drift; raw deltas wildly overstate it).
+
+    Execution is the pca_fit sufficient-statistics shape end to end:
+    pass 1 streams per-Arrow-batch partials of (n, AᵀB, ‖A‖², ‖B‖²) —
+    model-sized (d² + 2 doubles per batch) — the driver SVDs M = AᵀB
+    (O(d³), d ≤ thousands) into R = U·Vᵀ; pass 2 broadcasts R in the
+    UDF closure and aggregates the aligned residual. Nothing
+    corpus-sized ever reaches the driver, no shuffle in either pass
+    beyond the id join. Output: one row (n, d, rms_before, rms_after,
+    mean_cos_aligned) — rms_after ≈ 0 means pure rotation;
+    rms_after ≈ rms_before means genuine geometric drift.
+    """
+    j = a.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_a"),
+    ).join(
+        b.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_b"),
+        ),
+        "_id",
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    j = track_persist(j.select("_a", "_b"))
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xa = np.array(pdf["_a"].tolist(), dtype=np.float64)
+            xb = np.array(pdf["_b"].tolist(), dtype=np.float64)
+            row = np.concatenate(
+                (
+                    [float(len(xa))],
+                    (xa.T @ xb).ravel(),
+                    [float((xa * xa).sum()), float((xb * xb).sum())],
+                    ((xa - xb) ** 2).sum(axis=1)[None, :].sum(axis=1),
+                )
+            )
+            yield pd.DataFrame({"stats": [row.tolist()]})
+
+    rows = j.mapInPandas(_partials, "stats array<double>").collect()
+    if not rows:
+        j.unpersist()
+        raise ValueError("no shared ids between the two embedding tables")
+    total = np.zeros(len(rows[0]["stats"]))
+    for r in rows:
+        total += np.asarray(r["stats"])
+    n = total[0]
+    d = int(round(np.sqrt(len(total) - 4)))
+    m = total[1 : 1 + d * d].reshape(d, d)
+    na2, nb2, raw_sse = total[1 + d * d], total[2 + d * d], total[3 + d * d]
+    u, _, vt = np.linalg.svd(m)
+    rot = u @ vt  # the Schönemann solution for max trace(RᵀM)
+
+    rot_b = rot.tolist()
+
+    def _resid(batches):
+        import pandas as pd
+
+        rr = np.array(rot_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xa = np.array(pdf["_a"].tolist(), dtype=np.float64)
+            xb = np.array(pdf["_b"].tolist(), dtype=np.float64)
+            ar = xa @ rr
+            sse = float(((ar - xb) ** 2).sum())
+            num = (ar * xb).sum(axis=1)
+            den = np.linalg.norm(ar, axis=1) * np.linalg.norm(xb, axis=1)
+            cos = float((num / np.where(den > 0, den, 1.0)).sum())
+            yield pd.DataFrame({"stats": [[sse, cos]]})
+
+    res = np.zeros(2)
+    for r in j.mapInPandas(_resid, "stats array<double>").collect():
+        res += np.asarray(r["stats"])
+    j.unpersist()
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                d,
+                float(np.sqrt(raw_sse / n)),
+                float(np.sqrt(res[0] / n)),
+                float(res[1] / n),
+            )
+        ],
+        "n long, d int, rms_before double, rms_after double, mean_cos_aligned double",
+    )

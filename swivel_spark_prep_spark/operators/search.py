@@ -407,3 +407,41 @@ def substring_search(
     return docs.join(cands, id_col, "left_semi").filter(
         F.contains(F.lower(F.col(text_col)), F.lit(pat))
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the cheap document-tagging
+    primitive (related-content keys, index facets, quick topic
+    labels). Weights are the same tf · ln(N/df) space
+    tfidf_cosine_pairs ranks pairs in; the per-doc top-k is a window
+    PARTITIONED by the document (ties break by term, so the tag set is
+    run-deterministic). One token aggregate, one vocab-sized df
+    relation broadcast back, one per-doc window — no self-join, no
+    global sort. Output: (id, rank, term, w).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = _tokens(docs, id_col, text_col)
+    tf = toks.groupBy("term", id_col).agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    n_docs = docs.select(id_col).distinct().count()  # bounded: one long
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = tf.join(F.broadcast(dfr), "term").select(
+        F.col(id_col).alias("id"),
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "term", "w")
+    )

@@ -1018,3 +1018,100 @@ def kaplan_meier(
             .alias("survival"),
         )
     )
+
+
+def frequent_paths(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    type_col: str,
+    length: int = 3,
+    k: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k most frequent consecutive event-type sequences of
+    ``length`` steps — sequence mining's bread-and-butter ("what do
+    users actually DO, in order"), the n-gram generalization of the
+    Markov transition matrix. Per-key lag windows build each row's
+    trailing ``length``-gram (PARTITIONED by the key; ties in ts break
+    by ``tiebreak_col`` when given); one aggregate counts paths; one
+    TakeOrdered(k) ranks them (count desc, path asc — deterministic).
+    Output: (path 'a>b>c', n).
+    """
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(group_col).orderBy(*order)
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    steps = [F.lag(F.col(type_col), length - 1 - i).over(w) for i in range(length)]
+    grams = base.select(F.concat_ws(">", *steps).alias("path"), *[
+        s.alias(f"_s{i}") for i, s in enumerate(steps)
+    ])
+    cond = F.lit(True)
+    for i in range(length):
+        cond = cond & F.col(f"_s{i}").isNotNull()
+    return (
+        grams.filter(cond)
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(k)
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Seasonal-profile anomaly flags: the hour-of-day baseline (exact
+    MEDIAN per hour) with the robust modified z-score
+    0.6745·|x − med| / MAD (Iglewicz & Hoaglin 1993) — "is this value
+    unusual FOR THIS TIME OF DAY", the diurnal upgrade of the plain
+    rolling z. Two grouped aggregates over the 24-row hour relation
+    (median, then MAD — exact percentiles, one corpus pass each),
+    broadcast back; flags are pure codegen. A zero-MAD hour (constant
+    baseline) flags ANY deviation, the rolling_stats convention.
+    Output: input + (hour, med, mad, mz, is_anomaly). NULL ts/value
+    rows pass through unflagged with NULL stats.
+    """
+    hour = (
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / 1000000 / 3600)
+        % 24
+    ).cast("int")
+    base = df.withColumn("hour", hour)
+    ok = F.col("hour").isNotNull() & F.col(value_col).isNotNull()
+    med = base.filter(ok).groupBy("hour").agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    mad = (
+        base.filter(ok)
+        .join(F.broadcast(med), "hour")
+        .groupBy("hour")
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    stats = med.join(mad, "hour")
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    mz = F.when(F.col("mad") > 0, 0.6745 * dev / F.col("mad"))
+    return (
+        base.join(F.broadcast(stats), "hour", "left")
+        .withColumn("mz", mz)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                F.when(F.col("mad") > 0, F.col("mz") > z_threshold).otherwise(
+                    dev > 0
+                ),
+                F.lit(False),
+            ),
+        )
+    )

@@ -7273,3 +7273,140 @@ def x200(spark, sf_dir):
         F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
         heavy.alias("heavy_types"),
     ).orderBy("user_id")
+
+
+@_declare(
+    "X201_doc_keywords",
+    # Per-document TF-IDF keyword tags (search.doc_keywords): top-3
+    # terms per doc by tf·ln(N/df), ties by term — one per-doc window
+    # over the weighted posting relation; the oracle replays the exact
+    # weights and the same tie order. First 50 docs for bounded output.
+    """WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (SELECT term, doc_id, COUNT(*)::DOUBLE AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+w AS (SELECT doc_id AS id, tf.term, tf.tf * ln(n.n / dfr.df) AS w
+      FROM tf JOIN dfr USING (term), n),
+r AS (SELECT id, term, w,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, term ASC) AS rank
+      FROM w)
+SELECT id, rank::BIGINT AS rank, term, ROUND(w, 6) AS w
+FROM r WHERE rank <= 3 AND id < 50 ORDER BY id, rank;""",
+)
+def x201(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.search import doc_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        doc_keywords(docs, k=3)
+        .filter(F.col("id") < 50)
+        .select(
+            "id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.round("w", 6).alias("w"),
+        )
+        .orderBy("id", "rank")
+    )
+
+
+@_declare(
+    "X202_frequent_paths",
+    # Top-20 3-step event sequences (timeseries.frequent_paths): the
+    # n-gram generalization of the Markov transition matrix, per-user
+    # lag windows tie-broken by event_id; the oracle replays the same
+    # trailing-gram construction and (count desc, path) rank.
+    """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+g AS (SELECT
+        LAG(event_type, 2) OVER w AS s0,
+        LAG(event_type, 1) OVER w AS s1,
+        event_type AS s2
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT s0 || '>' || s1 || '>' || s2 AS path, COUNT(*)::BIGINT AS n
+FROM g WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20;""",
+)
+def x202(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import frequent_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent_paths(
+        ev, "user_id", "ts", "event_type", length=3, k=20, tiebreak_col="event_id"
+    )
+
+
+@_declare(
+    "X203_seasonal_anomaly",
+    # Hour-of-day seasonal anomaly profile (timeseries.seasonal_anomaly,
+    # Iglewicz-Hoaglin modified z over the diurnal median/MAD baseline),
+    # rolled up per hour; both engines replay the exact interpolated
+    # percentiles and the 0.6745 robust z.
+    """WITH b AS (SELECT (epoch_us(ts) // 1000000 // 3600 % 24)::INT AS hour, value
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+med AS (SELECT hour, quantile_cont(value, 0.5) AS med FROM b GROUP BY 1),
+mad AS (SELECT hour, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM b JOIN med USING (hour) GROUP BY 1),
+s AS (SELECT b.hour, value, med, mad,
+             CASE WHEN mad > 0 THEN 0.6745 * abs(value - med) / mad END AS mz
+      FROM b JOIN med USING (hour) JOIN mad USING (hour))
+SELECT hour, COUNT(*)::BIGINT AS n,
+       SUM((CASE WHEN mad > 0 THEN mz > 3.5 ELSE abs(value - med) > 0 END)::INT)::BIGINT AS n_anomalies,
+       ROUND(ANY_VALUE(med), 6) AS med, ROUND(ANY_VALUE(mad), 6) AS mad
+FROM s GROUP BY 1 ORDER BY hour;""",
+)
+def x203(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import seasonal_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = seasonal_anomaly(ev, "ts", "value").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    return (
+        flagged.groupBy("hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+        .orderBy("hour")
+    )
+
+
+@_declare(
+    "X204_procrustes_drift",
+    # Orthogonal-Procrustes embedding-drift audit (pca.procrustes_drift,
+    # Schonemann 1966): B is A under a deterministic signed dimension
+    # permutation — an exact orthogonal map — so the report must find
+    # rms_after ~ 0 while rms_before is large (the drift-vs-rotation
+    # distinction the raw delta gets wrong). Sufficient-stats passes +
+    # driver SVD are not SQL-expressible: rows-only at the driver, the
+    # exactness pins live in tests/test_round11h_ops.py.
+    None,
+)
+def x204(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.pca import procrustes_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 64
+    # signed rotation: dim j of B = sign_j * dim perm(j) of A, with
+    # perm = reverse and sign alternating — orthogonal by construction
+    b = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                (F.lit(1.0 if j % 2 == 0 else -1.0))
+                * F.element_at("embedding", d - j).cast("double")
+                for j in range(d)
+            ]
+        ).alias("embedding"),
+    )
+    return procrustes_drift(emb, b).select(
+        "n",
+        "d",
+        F.round("rms_before", 4).alias("rms_before"),
+        F.round("rms_after", 4).alias("rms_after"),
+        F.round("mean_cos_aligned", 4).alias("mean_cos_aligned"),
+    )

@@ -1,0 +1,159 @@
+"""Round-11h extension operators (the X201–X204 family):
+
+1. doc_keywords (operators/search.py): hand-computed TF-IDF tags; a
+   corpus-wide term (df = N) carries zero idf and never tags; ties
+   break by term; validation.
+2. frequent_paths (operators/timeseries.py): hand-built stream with a
+   known dominant path; windows never cross users; validation.
+3. seasonal_anomaly (operators/timeseries.py): planted diurnal
+   baseline — a spike off an otherwise-constant hour flags via the
+   zero-MAD convention, an in-profile value does not.
+4. procrustes_drift (operators/pca.py): exact rotation recovered
+   (rms_after ≈ 0, cos ≈ 1) while rms_before is large; identity maps
+   report zero drift both before and after; translation-free noise
+   bounds; disjoint ids raise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------- doc_keywords
+def test_doc_keywords_hand(spark):
+    from swivel_spark_prep_spark.operators.search import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = doc_keywords(docs, k=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["term"], r["w"]))
+    # 'common' has df = 3 = N -> idf 0 -> weight 0; never outranks a real term
+    top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+    assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
+    # doc 1: apple w = 2*ln(3/1); banana w = 1*ln(3/2)
+    w = {t: x for _, t, x in by_doc[1]}
+    assert w["apple"] == pytest.approx(2 * math.log(3), abs=1e-9)
+    with pytest.raises(ValueError):
+        doc_keywords(docs, k=0)
+
+
+# ------------------------------------------------------- frequent_paths
+def test_frequent_paths_hand(spark):
+    from swivel_spark_prep_spark.operators.timeseries import frequent_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def seq(u, types):
+        return [
+            (u, t0 + dt.timedelta(seconds=i), i, t)
+            for i, t in enumerate(types)
+        ]
+
+    rows = (
+        seq(1, ["a", "b", "c", "a", "b", "c"])  # a>b>c twice (+ b>c>a, c>a>b)
+        + seq(2, ["a", "b", "c"])  # a>b>c once more
+        + seq(3, ["x", "y"])  # too short for length 3
+    )
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, event_type string")
+    got = {
+        r["path"]: r["n"]
+        for r in frequent_paths(
+            df, "user_id", "ts", "event_type", length=3, k=10, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got["a>b>c"] == 3
+    assert got["b>c>a"] == 1 and got["c>a>b"] == 1
+    assert not any("x" in p or "y" in p for p in got)  # no cross-user grams
+    with pytest.raises(ValueError):
+        frequent_paths(df, "user_id", "ts", "event_type", length=1)
+
+
+# ----------------------------------------------------- seasonal_anomaly
+def test_seasonal_anomaly_planted(spark):
+    from swivel_spark_prep_spark.operators.timeseries import seasonal_anomaly
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # hour 0: constant 10.0 except one spike -> zero MAD, spike flags
+    for i in range(20):
+        rows.append((base + dt.timedelta(days=i), 10.0))
+    rows.append((base + dt.timedelta(days=20), 99.0))
+    # hour 5: well-spread values, none anomalous
+    for i in range(21):
+        rows.append((base + dt.timedelta(days=i, hours=5), float(i)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = seasonal_anomaly(df, "ts", "value").collect()
+    h0 = [r for r in got if r["hour"] == 0]
+    assert sum(r["is_anomaly"] for r in h0) == 1
+    spike = next(r for r in h0 if r["is_anomaly"])
+    assert spike["value"] == 99.0 and spike["med"] == 10.0 and spike["mad"] == 0.0
+    h5 = [r for r in got if r["hour"] == 5]
+    assert not any(r["is_anomaly"] for r in h5)
+
+
+# ----------------------------------------------------- procrustes_drift
+def _embs(spark, vecs, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_procrustes_recovers_exact_rotation(spark):
+    from swivel_spark_prep_spark.operators.pca import procrustes_drift
+
+    import numpy as np
+
+    rng = [[math.sin(i * 7 + j * 3) for j in range(8)] for i in range(40)]
+    a = np.array(rng)
+    # deterministic orthogonal map: reversal + alternating signs
+    perm = np.zeros((8, 8))
+    for j in range(8):
+        perm[7 - j, j] = 1.0 if j % 2 == 0 else -1.0
+    b = a @ perm
+    r = procrustes_drift(_embs(spark, a), _embs(spark, b)).collect()[0]
+    assert r["n"] == 40 and r["d"] == 8
+    assert r["rms_before"] > 0.5
+    assert r["rms_after"] < 1e-9
+    assert r["mean_cos_aligned"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_procrustes_identity_and_disjoint(spark):
+    from swivel_spark_prep_spark.operators.pca import procrustes_drift
+
+    vecs = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    a = _embs(spark, vecs)
+    r = procrustes_drift(a, _embs(spark, vecs)).collect()[0]
+    assert r["rms_before"] == 0.0 and r["rms_after"] < 1e-12
+    with pytest.raises(ValueError):
+        procrustes_drift(a, _embs(spark, vecs, start_id=100))
+
+
+def test_procrustes_real_drift_is_reported(spark):
+    """B = rotation(A) + independent perturbation: the residual after
+    alignment must sit near the perturbation magnitude, far above 0 —
+    a rotation cannot explain it away."""
+    from swivel_spark_prep_spark.operators.pca import procrustes_drift
+
+    import numpy as np
+
+    a = np.array([[math.cos(i + j) for j in range(4)] for i in range(60)])
+    noise = np.array(
+        [[math.sin(i * 13 + j * 5) * 0.3 for j in range(4)] for i in range(60)]
+    )
+    r = procrustes_drift(_embs(spark, a), _embs(spark, a + noise)).collect()[0]
+    rms_noise = float(np.sqrt((noise**2).sum() / len(a)))
+    assert r["rms_after"] > 0.3 * rms_noise
+    assert r["rms_after"] <= r["rms_before"] + 1e-12
