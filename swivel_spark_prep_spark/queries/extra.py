@@ -7097,18 +7097,21 @@ def x196(spark, sf_dir):
 
 @_declare(
     "X197_kaplan_meier",
-    # Kaplan-Meier survival over user lifetimes (timeseries.kaplan_meier):
-    # duration = whole days between a user's first and last event,
-    # churned = last event > 14 days before corpus end (else CENSORED —
-    # the at-risk bookkeeping the naive churn rate gets wrong). Both
-    # prefix passes replayed as running windows over the distinct-
-    # duration relation.
-    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+    # Kaplan-Meier survival over time-to-first-'error' per user
+    # (timeseries.kaplan_meier): duration = whole hours from a user's
+    # first event to their first error, CENSORED at a 48-hour
+    # observation window (~1/3 of users at every SF — real censoring,
+    # the at-risk bookkeeping a naive rate gets wrong). Both prefix
+    # passes replayed as running windows over the distinct-duration
+    # relation.
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                 min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te
           FROM events WHERE ts IS NOT NULL GROUP BY 1),
-mx AS (SELECT max(l) AS e FROM u),
-subj AS (SELECT floor((l - f) / 86400e6)::DOUBLE AS t,
-                ((e - l) > 14 * 86400e6)::INT AS ev
-         FROM u, mx),
+subj AS (SELECT
+    CASE WHEN te IS NOT NULL AND te - f <= 48 * 3600e6
+         THEN floor((te - f) / 3600e6) ELSE 48 END::DOUBLE AS t,
+    (te IS NOT NULL AND te - f <= 48 * 3600e6)::INT AS ev
+  FROM u),
 tot AS (SELECT COUNT(*)::BIGINT AS n FROM subj),
 per AS (SELECT t, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS c FROM subj GROUP BY 1),
 cum AS (SELECT *, SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
@@ -7131,11 +7134,18 @@ def x197(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    u = ev.groupBy("user_id").agg(F.min(us).alias("f"), F.max(us).alias("l"))
-    mx = u.agg(F.max("l").alias("e"))
-    subj = u.crossJoin(F.broadcast(mx)).select(
-        F.floor((F.col("l") - F.col("f")) / 86400e6).cast("double").alias("t"),
-        ((F.col("e") - F.col("l")) > 14 * 86400e6).cast("int").alias("ev"),
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("f"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    horizon = 48 * 3600e6
+    observed = F.col("te").isNotNull() & (F.col("te") - F.col("f") <= horizon)
+    subj = u.select(
+        F.when(observed, F.floor((F.col("te") - F.col("f")) / 3600e6))
+        .otherwise(F.lit(48))
+        .cast("double")
+        .alias("t"),
+        observed.cast("int").alias("ev"),
     )
     return kaplan_meier(subj, "t", "ev").orderBy("duration")
 
