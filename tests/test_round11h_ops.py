@@ -157,3 +157,72 @@ def test_procrustes_real_drift_is_reported(spark):
     rms_noise = float(np.sqrt((noise**2).sum() / len(a)))
     assert r["rms_after"] > 0.3 * rms_noise
     assert r["rms_after"] <= r["rms_before"] + 1e-12
+
+
+# ------------------------------------------------------ theil_sen_trend
+def test_theil_sen_outlier_proof(spark):
+    """y = 2t exactly, except one wild outlier: Theil-Sen still reports
+    slope 2 while the same series' OLS slope is dragged far off."""
+    from swivel_spark_prep_spark.operators.timeseries import theil_sen_trend
+
+    rows = [(1, float(t), 2.0 * t) for t in range(11)]
+    rows[5] = (1, 5.0, 500.0)  # outlier
+    df = spark.createDataFrame(rows, "g int, t double, x double")
+    r = theil_sen_trend(df, "g", "t", "x").collect()[0]
+    assert r["slope"] == pytest.approx(2.0)
+    assert r["n_points"] == 11
+    # monotone-up series: S strongly positive, z defined (n >= 10)
+    assert r["mk_s"] > 20 and r["mk_z"] > 1.5
+
+
+def test_theil_sen_flat_and_small(spark):
+    from swivel_spark_prep_spark.operators.timeseries import theil_sen_trend
+
+    rows = [(1, float(t), 7.0) for t in range(12)] + [
+        (2, 0.0, 1.0),
+        (2, 1.0, 2.0),  # only 2 points -> dropped at min_points=3
+    ]
+    df = spark.createDataFrame(rows, "g int, t double, x double")
+    got = {r["g"]: r for r in theil_sen_trend(df, "g", "t", "x").collect()}
+    assert set(got) == {1}
+    assert got[1]["slope"] == 0.0 and got[1]["mk_s"] == 0 and got[1]["mk_z"] == 0.0
+    with pytest.raises(ValueError):
+        theil_sen_trend(df, "g", "t", "x", min_points=1)
+
+
+# -------------------------------------------------------- npy source/sink
+def test_npy_roundtrip_and_stable_ids(spark, tmp_path):
+    import numpy as np
+
+    from swivel_spark_prep_spark.sources import read_npy, write_npy
+
+    d = str(tmp_path / "npy")
+    import os
+
+    os.makedirs(d)
+    a = np.arange(12, dtype=np.float64).reshape(4, 3)
+    b = np.arange(100, 106, dtype=np.float64).reshape(2, 3)
+    np.save(os.path.join(d, "b_second.npy"), b)
+    np.save(os.path.join(d, "a_first.npy"), a)
+    got = read_npy(spark, d).collect()
+    assert len(got) == 6
+    by_id = {r["vec_id"]: r for r in got}
+    # ids follow LEXICAL file order: a_first rows 0-3, b_second rows 4-5
+    assert by_id[0]["embedding"] == [0.0, 1.0, 2.0]
+    assert by_id[3]["file"].endswith("a_first.npy")
+    assert by_id[4]["embedding"] == [100.0, 101.0, 102.0]
+    # reproducible regardless of partitioning
+    again = {r["vec_id"]: r["embedding"] for r in read_npy(spark, d).collect()}
+    assert again == {k: v["embedding"] for k, v in by_id.items()}
+
+    # write side: dump, read back, same multiset of vectors
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [([float(i), float(i + 1)],) for i in range(10)], "v array<double>"
+    ).repartition(3)
+    shards = write_npy(df, "v", out)
+    assert shards >= 1
+    back = sorted(
+        tuple(r["embedding"]) for r in read_npy(spark, out).collect()
+    )
+    assert back == sorted((float(i), float(i + 1)) for i in range(10))
