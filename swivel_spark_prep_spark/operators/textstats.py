@@ -627,3 +627,70 @@ def heaps_law_fit(
         F.round(F.exp((sy - beta * sx) / m), 6).alias("k"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def token_information_gain(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_df: int = 2,
+) -> DataFrame:
+    """Feature selection for token models: information gain of each
+    token's PRESENCE about a binary label — IG(w) = H(Y) − H(Y|X_w) —
+    the classic filter ranking (Yang & Pedersen 1997) run before
+    training a hashed-feature classifier (operators/linear.py): which
+    words are worth a bucket at all.
+
+    One distinct (doc, token) aggregate → per-token (df, positives-
+    containing) counts joined against the 1-row corpus marginals; the
+    entropy algebra is pure codegen with 0·ln 0 guarded to 0. Tokens
+    with df < ``min_df`` are dropped (singleton tokens memorize, not
+    inform). Top-``k`` by (IG desc, token asc) via TakeOrdered.
+    Output: (token, df, p_pos_given_token, ig).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("boolean").cast("int").alias("_y"),
+        F.col(text_col).alias("_t"),
+    ).filter(F.col("_y").isNotNull())
+    tot = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_y").cast("double").alias("_n1"),
+    )
+    toks = base.select(
+        "_id", "_y", F.explode(F.split(F.lower("_t"), " ")).alias("w")
+    ).filter(F.col("w") != "").distinct()
+    per = toks.groupBy("w").agg(
+        F.count("*").cast("double").alias("_df"),
+        F.sum("_y").cast("double").alias("_df1"),
+    ).filter(F.col("_df") >= min_df)
+
+    def h(p):
+        # binary entropy with the 0·ln 0 = 0 convention, NULL-proof
+        safe = F.when((p > 0) & (p < 1), p)
+        return F.coalesce(
+            -safe * F.log(safe) - (1 - safe) * F.log(1 - safe), F.lit(0.0)
+        )
+
+    j = per.crossJoin(F.broadcast(tot))
+    p1 = F.col("_n1") / F.col("_n")
+    pw = F.col("_df") / F.col("_n")
+    p1w = F.col("_df1") / F.col("_df")
+    p1nw = (F.col("_n1") - F.col("_df1")) / (F.col("_n") - F.col("_df"))
+    ig = h(p1) - (pw * h(p1w) + (1 - pw) * F.when(
+        F.col("_n") > F.col("_df"), h(p1nw)
+    ).otherwise(F.lit(0.0)))
+    return (
+        j.select(
+            F.col("w").alias("token"),
+            F.col("_df").cast("long").alias("df"),
+            F.round(p1w, 6).alias("p_pos_given_token"),
+            F.round(ig, 6).alias("ig"),
+        )
+        .orderBy(F.desc("ig"), F.asc("token"))
+        .limit(k)
+    )

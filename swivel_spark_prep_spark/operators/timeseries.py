@@ -1183,3 +1183,58 @@ def theil_sen_trend(
             F.round(z, 6).alias("mk_z"),
         )
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """LINEAR multi-touch attribution — the equal-credit dual of
+    :func:`first_touch_attribution`: each user's FIRST conversion
+    splits one unit of credit equally over every touch that happened
+    strictly before it (by (ts, tiebreak) — total order, so "before"
+    is unambiguous even at equal timestamps). Users who never convert,
+    and conversions with zero prior touches, contribute nothing.
+
+    One min_by aggregate finds each user's conversion moment; one keyed
+    join + filter scopes the touch window; two grouped aggregates
+    (per-user touch count, then per-type credit sum) finish it — no
+    window, no per-user explode. Output:
+    (touch_type, credit, n_users) — Σ credit over types equals the
+    number of converting users WITH at least one prior touch (the
+    conservation law the tests pin).
+    """
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .groupBy(key_col)
+        .agg(
+            F.expr(
+                f"min_by(struct({ts_col} AS t, {tiebreak_col} AS i), "
+                f"struct({ts_col}, {tiebreak_col}))"
+            ).alias("_c")
+        )
+    )
+    touches = (
+        events.join(conv, key_col)
+        .filter(
+            F.struct(F.col(ts_col), F.col(tiebreak_col))
+            < F.struct(F.col("_c.t"), F.col("_c.i"))
+        )
+        .select(key_col, type_col)
+    )
+    per_user_type = touches.groupBy(key_col, type_col).agg(
+        F.count("*").alias("_n")
+    )
+    per_user = per_user_type.groupBy(key_col).agg(F.sum("_n").alias("_k"))
+    return (
+        per_user_type.join(per_user, key_col)
+        .groupBy(F.col(type_col).alias("touch_type"))
+        .agg(
+            F.round(F.sum(F.col("_n") / F.col("_k")), 6).alias("credit"),
+            F.countDistinct(key_col).alias("n_users"),
+        )
+    )

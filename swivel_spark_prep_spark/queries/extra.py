@@ -7453,3 +7453,73 @@ def x205(spark, sf_dir):
         "value",
     )
     return theil_sen_trend(d, "user_id", "th", "value").orderBy("user_id")
+
+
+@_declare(
+    "X206_linear_attribution",
+    # Linear multi-touch attribution (timeseries.linear_attribution):
+    # each user's FIRST purchase splits one credit unit equally over
+    # every strictly-earlier touch ((ts, event_id) total order) — the
+    # equal-credit dual of X?_first_touch. Σ credit = converting users
+    # with >= 1 prior touch (conservation pinned in tests). The oracle
+    # replays the identical window scoping and 1/k split.
+    """WITH conv AS (
+  SELECT user_id, min(ROW(ts, event_id)) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+touch AS (
+  SELECT e.user_id, e.event_type
+  FROM events e JOIN conv USING (user_id)
+  WHERE ROW(e.ts, e.event_id) < conv.c),
+put AS (SELECT user_id, event_type, COUNT(*)::DOUBLE AS n FROM touch GROUP BY 1, 2),
+pu AS (SELECT user_id, SUM(n) AS k FROM put GROUP BY 1)
+SELECT event_type AS touch_type,
+       ROUND(SUM(n / k), 6) AS credit,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM put JOIN pu USING (user_id) GROUP BY 1 ORDER BY touch_type;""",
+)
+def x206(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(ev).orderBy("touch_type")
+
+
+@_declare(
+    "X207_token_ig",
+    # Token information gain vs lang='en' (textstats.
+    # token_information_gain, Yang & Pedersen 1997): presence-based
+    # IG = H(Y) - H(Y|X_w) over distinct (doc, token), entropy algebra
+    # with guarded 0*ln0 — the feature-selection screen before hashed-
+    # feature training. The oracle replays the identical marginals and
+    # entropy arithmetic.
+    """WITH base AS (SELECT doc_id, (lang = 'en')::INT AS y, text FROM documents
+            WHERE lang IS NOT NULL),
+tot AS (SELECT COUNT(*)::DOUBLE AS n, SUM(y)::DOUBLE AS n1 FROM base),
+toks AS (SELECT DISTINCT doc_id, y, w FROM (
+  SELECT doc_id, y, unnest(string_split(lower(text), ' ')) AS w FROM base)
+  WHERE w <> ''),
+per AS (SELECT w, COUNT(*)::DOUBLE AS df, SUM(y)::DOUBLE AS df1
+        FROM toks GROUP BY 1 HAVING COUNT(*) >= 2),
+e AS (SELECT w, df, df1, n, n1,
+        df1 / df AS p1w, n1 / n AS p1, df / n AS pw,
+        (n1 - df1) / (n - df) AS p1nw
+      FROM per, tot)
+SELECT w AS token, df::BIGINT AS df, ROUND(p1w, 6) AS p_pos_given_token,
+  ROUND(
+    (CASE WHEN p1 > 0 AND p1 < 1 THEN -p1 * ln(p1) - (1 - p1) * ln(1 - p1) ELSE 0 END)
+    - pw * (CASE WHEN p1w > 0 AND p1w < 1 THEN -p1w * ln(p1w) - (1 - p1w) * ln(1 - p1w) ELSE 0 END)
+    - (1 - pw) * (CASE WHEN n > df AND p1nw > 0 AND p1nw < 1
+                  THEN -p1nw * ln(p1nw) - (1 - p1nw) * ln(1 - p1nw) ELSE 0 END),
+  6) AS ig
+FROM e ORDER BY ig DESC, token ASC LIMIT 20;""",
+)
+def x207(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import (
+        token_information_gain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    labeled = docs.withColumn("is_en", F.col("lang") == "en")
+    return token_information_gain(labeled, "is_en", k=20)

@@ -226,3 +226,76 @@ def test_npy_roundtrip_and_stable_ids(spark, tmp_path):
         tuple(r["embedding"]) for r in read_npy(spark, out).collect()
     )
     assert back == sorted((float(i), float(i + 1)) for i in range(10))
+
+
+# ---------------------------------------------------- linear_attribution
+def test_linear_attribution_hand_and_conservation(spark):
+    import datetime as dt
+
+    from swivel_spark_prep_spark.operators.timeseries import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(u, s, i, t):
+        return (u, t0 + dt.timedelta(seconds=s), i, t)
+
+    rows = [
+        # user 1: a, b, a then purchase -> credits a=2/3, b=1/3
+        e(1, 0, 1, "a"), e(1, 1, 2, "b"), e(1, 2, 3, "a"), e(1, 3, 4, "purchase"),
+        # later touches after the FIRST purchase never count
+        e(1, 4, 5, "c"), e(1, 5, 6, "purchase"),
+        # user 2: purchase with no prior touch -> contributes nothing
+        e(2, 0, 7, "purchase"),
+        # user 3: touches but never converts -> nothing
+        e(3, 0, 8, "a"), e(3, 1, 9, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, event_type string")
+    got = {r["touch_type"]: r["credit"] for r in linear_attribution(df).collect()}
+    assert got == {"a": pytest.approx(2 / 3, abs=1e-6), "b": pytest.approx(1 / 3, abs=1e-6)}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)  # 1 converting user w/ touches
+
+
+def test_linear_attribution_conservation_fixture(spark, sf_dir):
+    from swivel_spark_prep_spark.catalog import load_table
+    from swivel_spark_prep_spark.operators.timeseries import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = linear_attribution(ev).collect()
+    total = sum(r["credit"] for r in rows)
+    # number of users whose first purchase has >= 1 prior event
+    conv = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.expr("min_by(struct(ts AS t, event_id AS i), struct(ts, event_id))").alias("c")
+    )
+    n = (
+        ev.join(conv, "user_id")
+        .filter(F.struct("ts", "event_id") < F.struct("c.t", "c.i"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total == pytest.approx(n, abs=1e-3)
+
+
+# ------------------------------------------------- token_information_gain
+def test_token_ig_planted_marker(spark):
+    from swivel_spark_prep_spark.operators.textstats import (
+        token_information_gain,
+    )
+
+    rows = [(i, i % 2 == 0, ("MARKER filler" if i % 2 == 0 else "other filler"))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, y boolean, text string")
+    got = token_information_gain(df, "y", k=3).collect()
+    # 'marker' and 'other' perfectly predict the label -> IG = H(0.5) = ln 2;
+    # 'filler' appears everywhere -> IG = 0
+    import math
+
+    by_tok = {r["token"]: r for r in got}
+    assert by_tok["marker"]["ig"] == pytest.approx(math.log(2), abs=1e-6)
+    assert by_tok["marker"]["p_pos_given_token"] == 1.0
+    assert by_tok["other"]["ig"] == pytest.approx(math.log(2), abs=1e-6)
+    assert got[0]["token"] in ("marker", "other")
+    filler = token_information_gain(df, "y", k=20).filter(
+        F.col("token") == "filler"
+    ).collect()
+    assert filler and filler[0]["ig"] == 0.0
