@@ -294,6 +294,17 @@ def main() -> None:
         "X177_resharding_report",
         "X179_kmv_jaccard",
         "X180_kneser_ney",
+        # Round-11 session batches: X193 is the trigram prefilter (index
+        # build is the 10x scan; candidates stay selective), X196 the
+        # per-key islands chain, X197 the two prefix-sum passes over a
+        # 49-row duration relation (should be scan-bound), X199 the
+        # grouped-CDF KS + control-plane BH, X205 the per-key quadratic
+        # pair join (67-row series -> ~2.2k pairs/user, 10x users).
+        "X193_substring_search",
+        "X196_collapse_bursts",
+        "X197_kaplan_meier",
+        "X199_fdr_drift",
+        "X205_theil_sen",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
