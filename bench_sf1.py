@@ -294,8 +294,9 @@ def main() -> None:
         "X177_resharding_report",
         "X179_kmv_jaccard",
         "X180_kneser_ney",
-        # Round-11 session batches: X193 is the trigram prefilter (index
-        # build is the 10x scan; candidates stay selective), X196 the
+        # Round-11 session batches: X193 is the plain contains scan
+        # (the honest single-query plan; the prebuilt-index path is
+        # test-pinned result-equal), X196 the
         # per-key islands chain, X197 the two prefix-sum passes over a
         # 49-row duration relation (should be scan-bound), X199 the
         # grouped-CDF KS + control-plane BH, X205 the per-key quadratic

@@ -6980,11 +6980,13 @@ def x192(spark, sf_dir):
 
 @_declare(
     "X193_substring_search",
-    # Trigram-prefilter substring search (search.substring_search, the
-    # pg_trgm idea): candidates must hold EVERY pattern trigram (one
-    # posting-index aggregate), exact contains() verifies candidates
-    # only — result-identical to the naive LIKE scan by construction,
-    # which is exactly what the oracle runs.
+    # Substring search (search.substring_search): the single-query
+    # path IS the plain contains() scan — measured at the sf1 sweep, a
+    # one-shot inline trigram prefilter costs strictly more than the
+    # scan it would save (building grams reads every byte the scan
+    # reads). The pg_trgm index path (prebuilt trigram_index, amortized
+    # over many patterns) is result-equal by construction and pinned in
+    # tests/test_round11f_ops.py against this same oracle.
     """SELECT doc_id, source, n_chars FROM documents
 WHERE contains(lower(text), 'merge slow') ORDER BY doc_id;""",
 )

@@ -33,18 +33,31 @@ def test_trigram_index_hand(spark):
 
 @pytest.mark.parametrize("pattern", ["merge slow", "zz_nothing_zz", "ag", "data"])
 def test_substring_search_equals_naive(spark, sf_dir, pattern):
+    """BOTH paths — plain scan and prebuilt-index prefilter+verify —
+    must return exactly the naive filter's rows; the index is built
+    once and reused across all four patterns (its amortization
+    contract)."""
     from swivel_spark_prep_spark.catalog import load_table
-    from swivel_spark_prep_spark.operators.search import substring_search
+    from swivel_spark_prep_spark.operators.search import (
+        substring_search,
+        trigram_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    got = {r["doc_id"] for r in substring_search(docs, pattern).collect()}
+    if not hasattr(test_substring_search_equals_naive, "_idx"):
+        test_substring_search_equals_naive._idx = trigram_index(docs).persist()
+    idx = test_substring_search_equals_naive._idx
     want = {
         r["doc_id"]
         for r in docs.filter(
             F.contains(F.lower("text"), F.lit(pattern.lower()))
         ).collect()
     }
-    assert got == want, pattern
+    got_plain = {r["doc_id"] for r in substring_search(docs, pattern).collect()}
+    got_idx = {
+        r["doc_id"] for r in substring_search(docs, pattern, index=idx).collect()
+    }
+    assert got_plain == want and got_idx == want, pattern
 
 
 # ------------------------------------------------------ bootstrap_mean_ci
