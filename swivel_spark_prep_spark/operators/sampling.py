@@ -909,3 +909,99 @@ def bootstrap_mean_ci(
         "n",
         "b_used",
     )
+
+
+def bootstrap_diff_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    replicates: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap CI for the DIFFERENCE of two slice means
+    (the A/B uplift) via the same Poisson(1) resampling as
+    :func:`bootstrap_mean_ci` — the distribution-free companion to
+    welch_ttest: Welch answers "is the difference significant", this
+    answers "how big is it, with what uncertainty", with no normality
+    assumption. Each replicate resamples BOTH slices independently
+    (the two-sample bootstrap) and takes mean_a − mean_b; the CI is an
+    exact percentile over the ``replicates``-row relation.
+
+    One explode + ONE grouped aggregate computes both slices' weighted
+    sums per replicate (conditional sums — the slices never shuffle
+    separately); everything downstream is replicate-sized. Output: one
+    row (n_a, mean_a, n_b, mean_b, diff, ci_lo, ci_hi, b_used);
+    replicates where either slice draws zero total weight are dropped
+    (b_used counts survivors). Deterministic and engine-replayable —
+    same md5 uniform, same inverse CDF.
+    """
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull() & F.col("_g").isin([group_a, group_b]))
+    rep = base.select(
+        "_g",
+        "_id",
+        "_x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(replicates)))).alias("_b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("_id"), F.col("_b"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    is_a = (F.col("_g") == group_a).cast("double")
+    is_b = (F.col("_g") == group_b).cast("double")
+    per_rep = (
+        rep.withColumn("_w", w.cast("double"))
+        .groupBy("_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x") * is_a).alias("_sa"),
+            F.sum(F.col("_w") * is_a).alias("_wa"),
+            F.sum(F.col("_w") * F.col("_x") * is_b).alias("_sb"),
+            F.sum(F.col("_w") * is_b).alias("_wb"),
+        )
+        .filter((F.col("_wa") > 0) & (F.col("_wb") > 0))
+        .select((F.col("_sa") / F.col("_wa") - F.col("_sb") / F.col("_wb")).alias("_d"))
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = per_rep.agg(
+        F.count("*").alias("b_used"),
+        F.percentile("_d", F.lit(lo)).alias("_lo"),
+        F.percentile("_d", F.lit(hi)).alias("_hi"),
+    )
+    point = base.agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).alias("n_a"),
+        F.avg(F.when(F.col("_g") == group_a, F.col("_x"))).alias("_ma"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).alias("n_b"),
+        F.avg(F.when(F.col("_g") == group_b, F.col("_x"))).alias("_mb"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_a",
+        F.round("_ma", 6).alias("mean_a"),
+        "n_b",
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(F.col("_ma") - F.col("_mb"), 6).alias("diff"),
+        F.round("_lo", 6).alias("ci_lo"),
+        F.round("_hi", 6).alias("ci_hi"),
+        "b_used",
+    )

@@ -7525,3 +7525,52 @@ def x207(spark, sf_dir):
     )
     labeled = docs.withColumn("is_en", F.col("lang") == "en")
     return token_information_gain(labeled, "is_en", k=20)
+
+
+@_declare(
+    "X208_bootstrap_uplift",
+    # Two-sample Poisson-bootstrap uplift CI (sampling.bootstrap_diff_ci):
+    # the purchase-vs-click mean-value difference with a 95% percentile
+    # interval — the "how big, with what uncertainty" companion to
+    # X198's Welch t; the oracle replays every Poisson weight and both
+    # percentile endpoints.
+    """WITH base AS (
+  SELECT event_type AS g, event_id::VARCHAR AS id, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+rep AS (SELECT g, id, x, b FROM base, range(1, 101) t(b)),
+wts AS (SELECT g, b, x,
+  CASE
+    WHEN u < 0.36787944117144233 THEN 0
+    WHEN u < 0.7357588823428847 THEN 1
+    WHEN u < 0.9196986029286058 THEN 2
+    WHEN u < 0.9810118431238462 THEN 3
+    WHEN u < 0.9963401531726563 THEN 4
+    WHEN u < 0.9994058151824183 THEN 5
+    ELSE 6 END AS w
+  FROM (SELECT *, ('0x' || substr(md5('boot:' || id || ':' || b), 1, 15))::BIGINT
+                  / 1152921504606846976.0 AS u FROM rep)),
+per AS (SELECT b,
+          SUM(w * x * (g = 'purchase')::INT) AS sa, SUM(w * (g = 'purchase')::INT) AS wa,
+          SUM(w * x * (g = 'click')::INT) AS sb, SUM(w * (g = 'click')::INT) AS wb
+        FROM wts GROUP BY 1 HAVING SUM(w * (g = 'purchase')::INT) > 0
+                              AND SUM(w * (g = 'click')::INT) > 0),
+d AS (SELECT sa / wa - sb / wb AS d FROM per),
+ci AS (SELECT COUNT(*)::BIGINT AS b_used,
+              quantile_cont(d, 0.025) AS lo, quantile_cont(d, 0.975) AS hi FROM d),
+pt AS (SELECT SUM((g = 'purchase')::INT)::BIGINT AS n_a,
+              AVG(CASE WHEN g = 'purchase' THEN x END) AS ma,
+              SUM((g = 'click')::INT)::BIGINT AS n_b,
+              AVG(CASE WHEN g = 'click' THEN x END) AS mb
+       FROM base)
+SELECT n_a, ROUND(ma, 6) AS mean_a, n_b, ROUND(mb, 6) AS mean_b,
+       ROUND(ma - mb, 6) AS diff, ROUND(lo, 6) AS ci_lo, ROUND(hi, 6) AS ci_hi,
+       b_used
+FROM pt, ci;""",
+)
+def x208(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import bootstrap_diff_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_diff_ci(
+        ev, "value", "event_id", "event_type", "purchase", "click", replicates=100
+    )

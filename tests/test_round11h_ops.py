@@ -299,3 +299,36 @@ def test_token_ig_planted_marker(spark):
         F.col("token") == "filler"
     ).collect()
     assert filler and filler[0]["ig"] == 0.0
+
+
+# ----------------------------------------------------- bootstrap_diff_ci
+def test_bootstrap_diff_brackets_and_separates(spark):
+    from swivel_spark_prep_spark.operators.sampling import bootstrap_diff_ci
+
+    rows = [("a", i, 10.0 + (i * 37) % 5) for i in range(800)] + [
+        ("b", 10000 + i, 5.0 + (i * 23) % 5) for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x double")
+    r = bootstrap_diff_ci(df, "x", "id", "g", "a", "b", replicates=100).collect()[0]
+    assert r["ci_lo"] <= r["diff"] <= r["ci_hi"]
+    assert r["ci_lo"] > 3.0  # true uplift = 5, sd tiny -> clearly separated
+    assert r["b_used"] == 100
+    # determinism
+    r2 = bootstrap_diff_ci(df, "x", "id", "g", "a", "b", replicates=100).collect()[0]
+    assert r == r2
+
+
+def test_bootstrap_diff_no_effect_covers_zero(spark):
+    from swivel_spark_prep_spark.operators.sampling import bootstrap_diff_ci
+
+    rows = [("a", i, float((i * 37) % 100)) for i in range(1000)] + [
+        ("b", 50000 + i, float((i * 37) % 100)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x double")
+    r = bootstrap_diff_ci(df, "x", "id", "g", "a", "b", replicates=100).collect()[0]
+    assert r["ci_lo"] < 0 < r["ci_hi"]  # identical distributions
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bootstrap_diff_ci(df, "x", "id", "g", "a", "b", replicates=1)
