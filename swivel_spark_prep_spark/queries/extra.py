@@ -7005,13 +7005,18 @@ def x193(spark, sf_dir):
     "X194_bootstrap_ci",
     # Poisson-bootstrap mean CI per event type (sampling.bootstrap_mean_ci,
     # Chamandy et al. 2012): 100 deterministic replicates, Poisson(1)
-    # weights from the md5 uniform through the inverse CDF — the oracle
-    # replays every weight and both percentile endpoints exactly.
+    # weights from ONE per-row md5 uniform mixed per replicate by the
+    # golden-ratio Weyl sequence (per-cell md5 measured 23.7 s at
+    # sf0.1) — the oracle replays every weight and both percentile
+    # endpoints exactly.
     """WITH base AS (
   SELECT event_type, event_id::VARCHAR AS id, value::DOUBLE AS x
   FROM events WHERE value IS NOT NULL),
-rep AS (SELECT event_type, id, x, b FROM base, range(1, 101) t(b)),
-wts AS (SELECT event_type, b, x,
+hs AS (SELECT event_type, x,
+             ('0x' || substr(md5('boot:' || id), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS h
+      FROM base),
+wts AS (SELECT event_type, x, b,
   CASE
     WHEN u < 0.36787944117144233 THEN 0
     WHEN u < 0.7357588823428847 THEN 1
@@ -7020,8 +7025,8 @@ wts AS (SELECT event_type, b, x,
     WHEN u < 0.9963401531726563 THEN 4
     WHEN u < 0.9994058151824183 THEN 5
     ELSE 6 END AS w
-  FROM (SELECT *, ('0x' || substr(md5('boot:' || id || ':' || b), 1, 15))::BIGINT
-                  / 1152921504606846976.0 AS u FROM rep)),
+  FROM (SELECT event_type, x, fmod(h + b * 0.6180339887498949, 1.0) AS u, b
+        FROM hs, range(1, 101) t(b))),
 means AS (SELECT event_type, b, SUM(w * x) / SUM(w) AS m
           FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
 ci AS (SELECT event_type, COUNT(*)::BIGINT AS b_used,
@@ -7537,7 +7542,10 @@ def x207(spark, sf_dir):
     """WITH base AS (
   SELECT event_type AS g, event_id::VARCHAR AS id, value::DOUBLE AS x
   FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
-rep AS (SELECT g, id, x, b FROM base, range(1, 101) t(b)),
+hs AS (SELECT g, x,
+             ('0x' || substr(md5('boot:' || id), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS h
+      FROM base),
 wts AS (SELECT g, b, x,
   CASE
     WHEN u < 0.36787944117144233 THEN 0
@@ -7547,8 +7555,8 @@ wts AS (SELECT g, b, x,
     WHEN u < 0.9963401531726563 THEN 4
     WHEN u < 0.9994058151824183 THEN 5
     ELSE 6 END AS w
-  FROM (SELECT *, ('0x' || substr(md5('boot:' || id || ':' || b), 1, 15))::BIGINT
-                  / 1152921504606846976.0 AS u FROM rep)),
+  FROM (SELECT g, x, fmod(h + b * 0.6180339887498949, 1.0) AS u, b
+        FROM hs, range(1, 101) t(b))),
 per AS (SELECT b,
           SUM(w * x * (g = 'purchase')::INT) AS sa, SUM(w * (g = 'purchase')::INT) AS wa,
           SUM(w * x * (g = 'click')::INT) AS sb, SUM(w * (g = 'click')::INT) AS wb
