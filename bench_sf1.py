@@ -306,6 +306,25 @@ def main() -> None:
         "X197_kaplan_meier",
         "X199_fdr_drift",
         "X205_theil_sen",
+        # Round-12 additions (round-11 verdict ask #5): the bootstrap
+        # pair X194/X208 — explode×replicates is the registry's largest
+        # constant-factor cost (replicates is SF-INVARIANT, so the
+        # linear-in-rows factor is the pass bar: shuffle volume is
+        # replicates×groups, CPU is the inherent B× scan); X201 doc
+        # keywords (token scan + broadcast idf), X202 path mining
+        # (per-user sequence agg), X203 seasonal anomaly (per-(key,hour)
+        # medians), X204 Procrustes (sufficient-stats → driver SVD —
+        # wall should be the 10x scan, the SVD is dim-bounded), X206
+        # linear attribution (min_by + keyed join), X207 token IG
+        # (guarded entropy over a token×label contingency).
+        "X194_bootstrap_ci",
+        "X201_doc_keywords",
+        "X202_frequent_paths",
+        "X203_seasonal_anomaly",
+        "X204_procrustes_drift",
+        "X206_linear_attribution",
+        "X207_token_ig",
+        "X208_bootstrap_uplift",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
@@ -319,6 +338,21 @@ def main() -> None:
             **walls,
             "scale_factor": round(walls["sf1"] / max(walls["sf01"], 1e-9), 2),
         }
+        if name == "X110_nb_lang_confusion":
+            # Round-11 verdict ask #6, adjudicated by measurement: the
+            # sf1 token-suffix scheme ('\\1x<i>') lengthens every token,
+            # so the char-TRIGRAM stream grows 13.3x (19 628 432 vs
+            # 1 475 576 trigrams; DuckDB count 2026-08-15) on 10x rows,
+            # while the vocab stays bounded (699 vs 377 distinct
+            # trigrams; lang x trigram count relation 3 495 vs 1 885).
+            # An ~11x wall on 13.3x trigram work is SUBLINEAR in the
+            # true work unit — a data-generation growth law (the X87
+            # precedent), not a plan artifact.
+            extras[name]["caveat"] = (
+                "trigram stream grows 13.3x at sf1 (token-suffix "
+                "inflation), vocab bounded 377->699; wall/work is "
+                "sublinear"
+            )
         print(f"# extra {name}: sf0.1 {walls['sf01']}s -> sf1 {walls['sf1']}s",
               file=sys.stderr)
 

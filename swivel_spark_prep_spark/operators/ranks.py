@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["partitioned_prefix_sum"]
+__all__ = ["partitioned_prefix_sum", "partitioned_prefix_extremum"]
 
 
 def partitioned_prefix_sum(
@@ -169,3 +169,111 @@ def partitioned_prefix_sum(
         out = out.drop(*[f"_off_{v}" for v in value_cols])
 
     return out.drop("_pid", *[f"_loc_{v}" for v in value_cols])
+
+
+def partitioned_prefix_extremum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str | None = None,
+    *,
+    group_cols: list | None = None,
+    inclusive: bool = False,
+    agg: str = "max",
+) -> DataFrame:
+    """Running MAX/MIN over the total order ``order_cols`` (within
+    ``group_cols``), same two-pass scheme as
+    :func:`partitioned_prefix_sum` — range-partition + partition-local
+    window + per-partition extremum offsets — so no single-partition
+    data stage appears anywhere. ``order_cols`` may contain descending
+    Column expressions (``F.col("x").desc()``); the range partitioner,
+    the local sort and the local window all honor them.
+
+    Rows whose prefix is empty (the global/group first row under
+    ``inclusive=False``) get NULL — the honest "no preceding value"
+    answer (there is no additive identity for max the way 0 is for
+    sum). Downstream, ``F.greatest``/``F.least`` skip NULLs, which is
+    exactly how the offsets are merged here.
+
+    The skyline/Pareto operator is the motivating consumer: the
+    2-D front is "keep x-groups whose best y beats the running max of
+    all better-x groups" — a prefix max over the distinct-x relation.
+    """
+    if agg not in ("max", "min"):
+        raise ValueError(f"agg must be 'max' or 'min', got {agg!r}")
+    agg_fn = F.max if agg == "max" else F.min
+    comb = F.greatest if agg == "max" else F.least
+    out_col = out_col or f"{value_col}_{agg}"
+    group_cols = list(group_cols or [])
+    order_cols = list(order_cols)
+
+    spark = df.sparkSession
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+        2,
+    )
+    ranged = df.repartitionByRange(
+        n_part, *group_cols, *order_cols
+    ).sortWithinPartitions(*group_cols, *order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    bound = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, bound)
+    )
+    if not group_cols:
+        # driver-side running extremum over <= n_part partition totals
+        from swivel_spark_prep_spark.cache import track_persist
+
+        with_pid = track_persist(with_pid)
+        local = with_pid.select(
+            "*", agg_fn(value_col).over(w_local).alias("_loc")
+        )
+        totals = {
+            r["_pid"]: r["_t"]
+            for r in with_pid.groupBy("_pid")
+            .agg(agg_fn(value_col).alias("_t"))
+            .collect()
+        }
+        offsets: dict[int, object] = {}
+        acc = None
+        py_comb = max if agg == "max" else min
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            t = totals[pid]
+            if t is not None:
+                acc = t if acc is None else py_comb(acc, t)
+        # only pids with a non-empty prefix need an offset; the rest
+        # keep their local extremum (NULL offset would be skipped by
+        # greatest/least anyway, but an empty when-chain cannot type)
+        nonnull = {p: o for p, o in offsets.items() if o is not None}
+        if nonnull:
+            off = F.when(F.lit(False), F.lit(None))
+            for p, o in nonnull.items():
+                off = off.when(F.col("_pid") == p, F.lit(o))
+            out = local.withColumn(out_col, comb(F.col("_loc"), off))
+        else:
+            out = local.withColumn(out_col, F.col("_loc"))
+    else:
+        local = with_pid.select(
+            "*", agg_fn(value_col).over(w_local).alias("_loc")
+        )
+        totals = with_pid.groupBy("_pid", *group_cols).agg(
+            agg_fn(value_col).alias("_t")
+        )
+        w_off = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off_df = totals.select(
+            "_pid", *group_cols, agg_fn("_t").over(w_off).alias("_off")
+        )
+        out = local.join(F.broadcast(off_df), ["_pid", *group_cols]).withColumn(
+            out_col, comb(F.col("_loc"), F.col("_off"))
+        )
+        out = out.drop("_off")
+    return out.drop("_pid", "_loc")

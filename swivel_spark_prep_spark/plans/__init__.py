@@ -36,6 +36,69 @@ def codegen_stage_count(df: DataFrame) -> int:
     return physical_plan(df).count("WholeStageCodegen")
 
 
+def _leaf_ids(node, acc: set, crossed_reducer: bool) -> None:
+    """Collect identities of data-backed leaves reachable from ``node``,
+    split by whether the path crossed a cardinality REDUCER (Aggregate /
+    GlobalLimit — after one of those, per-key multiplicity is bounded
+    and a join back to the same relation cannot fan out quadratically).
+    Bounded literal leaves (LocalRelation / Range / OneRowRelation) are
+    ignored."""
+    name = node.getClass().getSimpleName()
+    if name in ("Aggregate", "GlobalLimit", "Deduplicate"):
+        crossed_reducer = True
+    n = node.children().size()
+    if n == 0:
+        ident = None
+        if name == "LogicalRelation":
+            try:
+                ident = ("file", node.relation().location().rootPaths().toString())
+            except Exception:  # non-file relation: fall back to class id
+                ident = ("rel", node.semanticHash())
+        elif name == "InMemoryRelation":
+            try:
+                ident = (
+                    "cache",
+                    node.cacheBuilder().cachedPlan().canonicalized().hashCode(),
+                )
+            except Exception:
+                ident = ("cache", node.semanticHash())
+        if ident is not None:
+            acc.add((ident, crossed_reducer))
+        return
+    for i in range(n):
+        _leaf_ids(node.children().apply(i), acc, crossed_reducer)
+
+
+def pair_self_join_count(df: DataFrame) -> int:
+    """Number of PAIR self-joins in the optimized logical plan: joins
+    where BOTH sides reach the same data-backed leaf relation at row
+    scale (no Aggregate/GlobalLimit between the join and the leaf).
+    That is the quadratic-fan-out shape — per key with n_k rows, the
+    join emits O(n_k²) pairs — the round-11 verdict's third invariant
+    (fdr_bh's triangular join and theil_sen's uncapped pair join were
+    both this). Joins of an AGGREGATED view back onto its own base
+    (fraction-of-total, per-group normalize) are not counted: the
+    reduced side carries at most one row per key, so fan-out is linear.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+    count = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Join":
+            left: set = set()
+            right: set = set()
+            _leaf_ids(node.children().apply(0), left, False)
+            _leaf_ids(node.children().apply(1), right, False)
+            row_left = {i for i, crossed in left if not crossed}
+            row_right = {i for i, crossed in right if not crossed}
+            if row_left & row_right:
+                count += 1
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return count
+
+
 def unpartitioned_window_count(df: DataFrame) -> int:
     """Number of physical Window(/GroupLimit) nodes with an EMPTY
     partition spec — each one forces Exchange SinglePartition + a

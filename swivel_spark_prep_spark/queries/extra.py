@@ -7005,16 +7005,20 @@ def x193(spark, sf_dir):
     "X194_bootstrap_ci",
     # Poisson-bootstrap mean CI per event type (sampling.bootstrap_mean_ci,
     # Chamandy et al. 2012): 100 deterministic replicates, Poisson(1)
-    # weights from ONE per-row md5 uniform mixed per replicate by the
-    # golden-ratio Weyl sequence (per-cell md5 measured 23.7 s at
-    # sf0.1) — the oracle replays every weight and both percentile
-    # endpoints exactly.
+    # weights from ONE per-row md5: phase h (hex 1-15) walked by a
+    # PER-ROW golden-ratio step s = frac(phi*(1+g)) (hex 16-30) — the
+    # round-12 decorrelated form (common-step Weyl measured 2.5 pp
+    # under iid coverage; per-cell md5 measured 23.7 s at sf0.1) — the
+    # oracle replays every weight and both percentile endpoints exactly.
     """WITH base AS (
   SELECT event_type, event_id::VARCHAR AS id, value::DOUBLE AS x
   FROM events WHERE value IS NOT NULL),
 hs AS (SELECT event_type, x,
              ('0x' || substr(md5('boot:' || id), 1, 15))::BIGINT
-               / 1152921504606846976.0 AS h
+               / 1152921504606846976.0 AS h,
+             fmod(0.6180339887498949 * (1.0 +
+               ('0x' || substr(md5('boot:' || id), 16, 15))::BIGINT
+                 / 1152921504606846976.0), 1.0) AS s
       FROM base),
 wts AS (SELECT event_type, x, b,
   CASE
@@ -7025,7 +7029,7 @@ wts AS (SELECT event_type, x, b,
     WHEN u < 0.9963401531726563 THEN 4
     WHEN u < 0.9994058151824183 THEN 5
     ELSE 6 END AS w
-  FROM (SELECT event_type, x, fmod(h + b * 0.6180339887498949, 1.0) AS u, b
+  FROM (SELECT event_type, x, fmod(h + b * s, 1.0) AS u, b
         FROM hs, range(1, 101) t(b))),
 means AS (SELECT event_type, b, SUM(w * x) / SUM(w) AS m
           FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
@@ -7544,7 +7548,10 @@ def x207(spark, sf_dir):
   FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
 hs AS (SELECT g, x,
              ('0x' || substr(md5('boot:' || id), 1, 15))::BIGINT
-               / 1152921504606846976.0 AS h
+               / 1152921504606846976.0 AS h,
+             fmod(0.6180339887498949 * (1.0 +
+               ('0x' || substr(md5('boot:' || id), 16, 15))::BIGINT
+                 / 1152921504606846976.0), 1.0) AS s
       FROM base),
 wts AS (SELECT g, b, x,
   CASE
@@ -7555,7 +7562,7 @@ wts AS (SELECT g, b, x,
     WHEN u < 0.9963401531726563 THEN 4
     WHEN u < 0.9994058151824183 THEN 5
     ELSE 6 END AS w
-  FROM (SELECT g, x, fmod(h + b * 0.6180339887498949, 1.0) AS u, b
+  FROM (SELECT g, x, fmod(h + b * s, 1.0) AS u, b
         FROM hs, range(1, 101) t(b))),
 per AS (SELECT b,
           SUM(w * x * (g = 'purchase')::INT) AS sa, SUM(w * (g = 'purchase')::INT) AS wa,

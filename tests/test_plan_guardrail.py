@@ -24,6 +24,48 @@ ON PURPOSE, each over a provably bounded relation:
 
 Anything else with an unpartitioned window — or ANY CartesianProduct
 anywhere — fails here, before a judge or a cluster finds it.
+
+THIRD INVARIANT (round-11 verdict Next #7): PAIR self-joins — joins
+where BOTH sides reach the same base relation at row scale (no
+Aggregate/Limit in between), the O(n_k²)-per-key fan-out shape that
+fdr_bh's triangular join had and theil_sen's pair join still has by
+contract. Every site below is allowlisted WITH its bound; a new
+quadratic can't land silently:
+
+- Q11: theta/range join rewritten to an equi-conjunct (bucketed) —
+  plan-tested elsewhere to carry an equi key, never BNLJ.
+- Q41 / X137: inverted-index pair counting — pairs exist only within a
+  shared-token/shingle posting, and postings are df-capped.
+- Q42: probe×corpus cosine top-k — the probe side is a LIMIT-bounded
+  query set (the detector sees the same parquet leaf on both sides).
+- X06 / X80 / X85: MinHash/pHash/audio LSH band buckets — pairs only
+  within a (band, signature) bucket.
+- X38: n-gram contamination — document grams join a BOUNDED benchmark
+  probe relation built from the same table (broadcast side).
+- X47 / X63 / X78: snapshot upsert / diff / incremental refresh —
+  keyed 1:1 joins between two versions of the same table (unique keys
+  both sides; fan-out 1).
+- X48: the composed training pipeline — its near-dup stage is X06's
+  banded join.
+- X59: incremental MinHash index — batch×index pairs only within a
+  band bucket (steady-state O(batch)).
+- X82: prefix-filter Jaccard — pairs share a rare-token prefix block.
+- X90: sorted-neighborhood rank join — window-bounded (±w ranks).
+- X112: edit-distance pigeonhole — q-gram-segment match required
+  before any pair forms (3 sites: segments, verify, dedup).
+- X130: negative sampling — per-positive k sampled candidates.
+- X132: cross-val label audit — fold×fold keyed on features, fold
+  count fixed.
+- X135: retrieval eval — results×qrels keyed per query (k-bounded
+  result lists; 3 sites for P@k/recall/NDCG legs).
+- X140: association rules — pairs within a basket, basket size capped
+  upstream.
+- X153: dup-span burden — composes X72's gram-blocked span join.
+- X165: triangle census — degree-ordered orientation bounds wedge
+  generation at O(m^1.5) (2 sites: orient, close).
+- X183: KMV join-size estimate — both sides are k-bounded sketches.
+- X205: Theil–Sen pair join — max_points-capped per key (round 12;
+  validation is executable, tests/test_round11h_ops.py).
 """
 
 from __future__ import annotations
@@ -32,6 +74,7 @@ import pytest
 
 from swivel_spark_prep_spark.cache import release_persisted
 from swivel_spark_prep_spark.plans import (
+    pair_self_join_count,
     physical_plan,
     unpartitioned_window_count,
 )
@@ -50,6 +93,34 @@ ALLOWED_UNPARTITIONED = {
     "X61_zipf_fit": 1,
 }
 
+#: name -> max allowed PAIR self-join sites (bounds documented above)
+ALLOWED_PAIR_SELF_JOINS = {
+    "Q11_join_range_theta": 1,
+    "Q41_jaccard_pairs": 1,
+    "Q42_cosine_topk": 1,
+    "X06_minhash_near_dups": 1,
+    "X112_edit_distance_pairs": 3,
+    "X130_negative_samples": 1,
+    "X132_crossval_label_audit": 1,
+    "X135_retrieval_eval": 3,
+    "X137_tfidf_cosine_pairs": 1,
+    "X140_association_rules": 1,
+    "X153_dup_span_burden": 1,
+    "X165_triangle_stats": 2,
+    "X183_join_size_estimate": 1,
+    "X205_theil_sen": 1,
+    "X38_contamination": 1,
+    "X47_upsert_snapshot": 1,
+    "X48_training_pipeline": 1,
+    "X59_incremental_near_dups": 1,
+    "X63_snapshot_diff": 1,
+    "X78_incremental_agg_refresh": 3,
+    "X80_phash_near_dups": 1,
+    "X82_prefix_filter_jaccard": 1,
+    "X85_audio_near_dups": 1,
+    "X90_sorted_neighborhood": 2,
+}
+
 _ALL = {**DECLARED_QUERIES, **EXTRA_QUERIES}
 
 
@@ -58,6 +129,7 @@ def test_no_new_global_window_or_cartesian(name, spark, sf_dir):
     try:
         df = _ALL[name](spark, sf_dir)
         uw = unpartitioned_window_count(df)
+        sj = pair_self_join_count(df)
         plan = physical_plan(df)
     finally:
         release_persisted()
@@ -66,5 +138,12 @@ def test_no_new_global_window_or_cartesian(name, spark, sf_dir):
         f"{name}: {uw} unpartitioned window(s), allowlist permits {allowed} — "
         "use partitioned_prefix_sum (operators/ranks.py) or document a "
         "bounded-relation rationale here"
+    )
+    sj_allowed = ALLOWED_PAIR_SELF_JOINS.get(name, 0)
+    assert sj <= sj_allowed, (
+        f"{name}: {sj} pair self-join(s), allowlist permits {sj_allowed} — "
+        "block/bucket the pair generation (LSH bands, pigeonhole, "
+        "prefix filter, rank windows) or cap it (X205's max_points), "
+        "then document the bound here"
     )
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
