@@ -32,6 +32,9 @@ __all__ = [
     "average_precision",
     "isotonic_calibration",
     "welch_ttest",
+    "anova_oneway",
+    "mann_whitney_u",
+    "cuped_uplift",
 ]
 
 
@@ -674,4 +677,212 @@ def welch_ttest(
         F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
         F.round(t, 6).alias("t_stat"),
         F.round(dfw, 6).alias("df_welch"),
+    )
+
+
+def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA (Fisher): does the mean differ across k slices —
+    the k-group generalization of :func:`welch_ttest` (equal-variance
+    form; for k = 2 it squares the pooled t). The decomposition
+
+        SS_between = Σ_g n_g (x̄_g − x̄)²,  SS_within = Σ_g Σ (x − x̄_g)²
+        F = (SS_between/(k−1)) / (SS_within/(N−k)),  η² = SSB/(SSB+SSW)
+
+    is computed entirely from per-group raw moments (n, Σx, Σx²): one
+    grouped aggregate to the k-row relation, one 1-row aggregate over
+    it — no second data pass, no window. η² (effect size) answers "how
+    much of the variance the slicing explains" independent of N.
+    Output: one row (k, n, ss_between, ss_within, f_stat, eta_sq);
+    f_stat NULL when k < 2, N ≤ k, or SS_within = 0 (η² still
+    reported). NULL values/groups are excluded.
+    """
+    per = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_g").isNotNull())
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum("_x").alias("_s"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_ss"),
+        )
+    )
+    tot = per.agg(
+        F.count("*").alias("k"),
+        F.sum("_n").alias("_N"),
+        F.sum("_s").alias("_S"),
+        # Σ s_g²/n_g: the between-group raw term
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("_B"),
+        F.sum("_ss").alias("_SS"),
+    )
+    ssb = F.col("_B") - F.col("_S") * F.col("_S") / F.col("_N")
+    ssw = F.col("_SS") - F.col("_B")
+    ok = (F.col("k") > 1) & (F.col("_N") > F.col("k")) & (ssw > 0)
+    fstat = F.when(
+        ok, (ssb / (F.col("k") - 1)) / (ssw / (F.col("_N") - F.col("k")))
+    )
+    eta = F.when(ssb + ssw > 0, ssb / (ssb + ssw))
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("_N").cast("long").alias("n"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney–Wilcoxon rank-sum test (Mann & Whitney 1947) — the
+    distribution-free "did this slice's values shift" companion to
+    welch_ttest (which assumes means are the story; U detects any
+    stochastic dominance), plus Cliff's δ = P(a > b) − P(a < b), the
+    rank effect size δ = 2U_a/(n_a·n_b) − 1.
+
+    Scale design: U needs only the per-group RANK SUM of the pooled
+    midranks — the midrank transform is the same value-cardinality
+    partitioned_prefix_sum pass Spearman uses (no global window), the
+    tie-correction term Σ(t³−t) is one aggregate over the distinct-
+    value relation, and everything downstream is arithmetic on a
+    2-row relation. Normal approximation with continuity correction:
+
+        z = (U_a − n_a·n_b/2 ∓ 0.5) / σ,
+        σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+
+    Output: one row (n_a, n_b, u_a, u_b, z, cliffs_delta); z NULL when
+    σ = 0 (all values tied) or either slice is empty.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull() & F.col("_g").isin([group_a, group_b]))
+    ranked = _fractional_ranks(base, "_x", "_r", None)
+    per = ranked.groupBy("_g").agg(
+        F.count("*").cast("double").alias("n"), F.sum("_r").alias("rsum")
+    )
+    a = per.filter(F.col("_g") == group_a).select(
+        F.col("n").alias("na"), F.col("rsum").alias("ra")
+    )
+    b = per.filter(F.col("_g") == group_b).select(F.col("n").alias("nb"))
+    ties = (
+        base.groupBy("_x")
+        .agg(F.count("*").cast("double").alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("tie3")
+        )
+    )
+    j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(ties))
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    ua = F.col("ra") - na * (na + 1) / 2.0
+    ub = na * nb - ua
+    mu = na * nb / 2.0
+    sig2 = (na * nb / 12.0) * ((n + 1) - F.col("tie3") / (n * (n - 1)))
+    # continuity correction toward the mean
+    cc = F.when(ua > mu, ua - mu - 0.5).when(ua < mu, ua - mu + 0.5).otherwise(
+        F.lit(0.0)
+    )
+    z = F.when((sig2 > 0) & (na > 0) & (nb > 0), cc / F.sqrt(sig2))
+    delta = F.when(na * nb > 0, 2.0 * ua / (na * nb) - 1.0)
+    return j.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ua, 6).alias("u_a"),
+        F.round(ub, 6).alias("u_b"),
+        F.round(z, 6).alias("z"),
+        F.round(delta, 6).alias("cliffs_delta"),
+    )
+
+
+def cuped_uplift(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """CUPED variance-reduced uplift (Deng, Xu, Kohavi & Walker, WSDM
+    2013): adjust the experiment metric y by a pre-experiment covariate
+    x before differencing —
+
+        θ = cov(x, y)/var(x)   (pooled, pre-assignment so unbiased),
+        ŷ_g = ȳ_g − θ·(x̄_g − x̄),   uplift = ŷ_a − ŷ_b
+
+    — cutting the uplift's variance by ρ²(x,y) (often 40–70% when x is
+    last period's value of the same metric), i.e. the same experiment
+    sensitivity at half the sample. The whole computation is raw
+    moments: ONE grouped aggregate produces both slices' (n, Σx, Σy),
+    one pooled aggregate produces θ and x̄ from (Σx, Σy, Σxx, Σxy) —
+    no second data pass, 1-row-relation arithmetic after. Output: one
+    row (n_a, n_b, mean_a, mean_b, diff_raw, theta, adj_mean_a,
+    adj_mean_b, diff_cuped, corr_xy, var_reduction = ρ²); θ/adjusted
+    fields NULL when var(x) = 0. Rows with NULL in either column are
+    excluded.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(metric_col).cast("double").alias("_y"),
+        F.col(covariate_col).cast("double").alias("_x"),
+    ).filter(
+        F.col("_y").isNotNull()
+        & F.col("_x").isNotNull()
+        & F.col("_g").isin([group_a, group_b])
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    base = track_persist(base)
+    pool = base.agg(
+        F.count("*").cast("double").alias("N"),
+        F.sum("_x").alias("Sx"),
+        F.sum("_y").alias("Sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("Sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("Syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("Sxy"),
+    )
+    per = base.groupBy("_g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("_y").alias("my"),
+        F.avg("_x").alias("mx"),
+    )
+    a = per.filter(F.col("_g") == group_a).select(
+        F.col("n").alias("na"), F.col("my").alias("mya"), F.col("mx").alias("mxa")
+    )
+    b = per.filter(F.col("_g") == group_b).select(
+        F.col("n").alias("nb"), F.col("my").alias("myb"), F.col("mx").alias("mxb")
+    )
+    j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(pool))
+    N = F.col("N")
+    vx = N * F.col("Sxx") - F.col("Sx") * F.col("Sx")
+    vy = N * F.col("Syy") - F.col("Sy") * F.col("Sy")
+    cxy = N * F.col("Sxy") - F.col("Sx") * F.col("Sy")
+    theta = F.when(vx > 0, cxy / vx)
+    xbar = F.col("Sx") / N
+    adj_a = F.col("mya") - theta * (F.col("mxa") - xbar)
+    adj_b = F.col("myb") - theta * (F.col("mxb") - xbar)
+    rho2 = F.when((vx > 0) & (vy > 0), cxy * cxy / (vx * vy))
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("mya", 6).alias("mean_a"),
+        F.round("myb", 6).alias("mean_b"),
+        F.round(F.col("mya") - F.col("myb"), 6).alias("diff_raw"),
+        F.round(theta, 6).alias("theta"),
+        F.round(adj_a, 6).alias("adj_mean_a"),
+        F.round(adj_b, 6).alias("adj_mean_b"),
+        F.round(adj_a - adj_b, 6).alias("diff_cuped"),
+        F.round(F.when(rho2.isNotNull(), F.sqrt(rho2) * F.signum(cxy)), 6).alias(
+            "corr_xy"
+        ),
+        F.round(rho2, 6).alias("var_reduction"),
     )

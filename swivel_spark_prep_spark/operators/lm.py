@@ -449,3 +449,129 @@ def kneser_ney_bigram(
             ).alias("p_kn"),
         )
     )
+
+
+def good_turing_smooth(counts: DataFrame, count_col: str) -> DataFrame:
+    """Simple Good–Turing smoothed frequencies (Gale & Sampson 1995) —
+    the classic answer to "how much probability mass belongs to events
+    seen r times, and to events never seen at all", the discounting
+    that Katz backoff and corpus-coverage estimates are built on.
+
+    Input: one row per ITEM with its observed count; everything below
+    operates on the FREQUENCY-OF-FREQUENCIES relation N_r (one row per
+    distinct count value — O(√N_tokens) rows by the pigeonhole Σr ≥
+    k²/2, so control-plane-ish but NOT driver-collected):
+
+    - Turing estimate  r*_T = (r+1)·N_{r+1}/N_r  (needs N_{r+1});
+    - Z-transform      Z_r = N_r / (0.5·(t − q)) with q/t the previous/
+      next OBSERVED r (q=0 first, t=2r−q last) — computed via
+      partitioned_prefix_extremum (exclusive prefix max below, prefix
+      min above), never a global window;
+    - LGT estimate     r*_LGT = r·(1 + 1/r)^(b+1) from the one-aggregate
+      OLS fit log Z = a + b·log r (the X191 sufficient-stats idiom);
+    - Gale–Sampson switch: use Turing for small r, switch to LGT at the
+      FIRST r where |r*_T − r*_LGT| ≤ 1.65·sd(r*_T) (or N_{r+1} is
+      absent) and stay switched — the switch point is a min-aggregate,
+      broadcast back;
+    - P0 = N_1/N unseen mass; per-r probabilities renormalized so
+      Σ N_r·p_r = 1 − P0.
+
+    Output: (r, n_r, r_star, p_r, p0) per distinct count, ordered by r.
+    All work after the first groupBy is on the N_r relation; the only
+    data-sized stage is that one hash aggregate.
+    """
+    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_extremum,
+    )
+
+    nr = (
+        counts.select(F.col(count_col).cast("long").alias("r"))
+        .filter(F.col("r").isNotNull() & (F.col("r") > 0))
+        .groupBy("r")
+        .agg(F.count("*").cast("double").alias("n_r"))
+    )
+    nr = track_persist(nr)
+    # neighboring observed counts: q = prev r (0 if none), t = next r
+    # (2r - q if none) -- two prefix-extremum passes, no global window
+    withq = partitioned_prefix_extremum(nr, ["r"], "r", "_q", agg="max")
+    witht = partitioned_prefix_extremum(
+        withq, [F.col("r").desc()], "r", "_t", agg="min"
+    )
+    q = F.coalesce(F.col("_q"), F.lit(0)).cast("double")
+    t = F.coalesce(F.col("_t").cast("double"), 2.0 * F.col("r") - q)
+    z = witht.select(
+        "r",
+        "n_r",
+        (F.col("n_r") / (0.5 * (t - q))).alias("_z"),
+    )
+    fit = z.agg(
+        F.count("*").alias("_k"),
+        F.sum(F.log("r")).alias("_sx"),
+        F.sum(F.log("_z")).alias("_sy"),
+        F.sum(F.log("r") * F.log("r")).alias("_sxx"),
+        F.sum(F.log("r") * F.log("_z")).alias("_sxy"),
+    )
+    den = F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    b = F.when(den > 0, (F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den)
+    fit = fit.select(b.alias("_b"))
+    # N_{r+1} lookup: keyed join of the AGGREGATED relation onto itself
+    # (reducer-crossed on both sides -- not a pair self-join)
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next"))
+    est = (
+        z.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "r",
+            "n_r",
+            ((F.col("r") + 1) * F.col("_n_next") / F.col("n_r")).alias("_turing"),
+            (
+                F.col("r")
+                * F.pow(1.0 + 1.0 / F.col("r"), F.col("_b") + 1.0)
+            ).alias("_lgt"),
+            F.sqrt(
+                F.pow(F.col("r") + 1, 2)
+                * F.col("_n_next")
+                / (F.col("n_r") * F.col("n_r"))
+                * (1.0 + F.col("_n_next") / F.col("n_r"))
+            ).alias("_sd"),
+        )
+    )
+    est = track_persist(est)
+    # first r where Turing and LGT agree (or Turing is undefined):
+    # switch there and stay switched
+    switch = est.filter(
+        F.col("_turing").isNull()
+        | (F.abs(F.col("_turing") - F.col("_lgt")) <= 1.65 * F.col("_sd"))
+    ).agg(F.min("r").alias("_switch_r"))
+    with_star = est.crossJoin(F.broadcast(switch)).select(
+        "r",
+        "n_r",
+        F.when(
+            F.col("r") < F.coalesce(F.col("_switch_r"), F.lit(1)),
+            F.col("_turing"),
+        )
+        .otherwise(F.col("_lgt"))
+        .alias("_rstar"),
+    )
+    norm = with_star.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("_N"),
+        F.sum(F.col("n_r") * F.col("_rstar")).alias("_mass"),
+        F.max(F.when(F.col("r") == 1, F.col("n_r"))).alias("_n1"),
+    )
+    p0 = F.coalesce(F.col("_n1") / F.col("_N"), F.lit(0.0))
+    return (
+        with_star.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.round("_rstar", 6).alias("r_star"),
+            F.round(
+                (F.col("_rstar") / F.col("_N"))
+                * ((1.0 - p0) / (F.col("_mass") / F.col("_N"))),
+                9,
+            ).alias("p_r"),
+            F.round(p0, 9).alias("p0"),
+        )
+        .orderBy("r")
+    )

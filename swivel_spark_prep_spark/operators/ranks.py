@@ -39,7 +39,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["partitioned_prefix_sum", "partitioned_prefix_extremum"]
+__all__ = [
+    "partitioned_prefix_sum",
+    "partitioned_prefix_extremum",
+    "weighted_quantile",
+]
 
 
 def partitioned_prefix_sum(
@@ -277,3 +281,80 @@ def partitioned_prefix_extremum(
         )
         out = out.drop("_off")
     return out.drop("_pid", "_loc")
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs,
+    *,
+    group_cols: list | None = None,
+) -> DataFrame:
+    """Weighted quantiles per group: the left-continuous inverse CDF
+    v(q) = min{ v : Σ_{v' ≤ v} w(v') ≥ q·W } — the quantile a
+    sample-weighted survey, an importance-weighted corpus mix, or a
+    token-budget allocation actually needs (plain percentile_/median
+    treats every row as weight 1). With all weights 1 it reduces to the
+    "lower" quantile of the unweighted values (pinned in tests).
+
+    Scale design: collapse to the per-(group, value) weight relation
+    (hash aggregate, value-cardinality), one INCLUSIVE
+    :func:`partitioned_prefix_sum` in value order for the running
+    weight, then for each requested q one filter + min-aggregate
+    against the broadcast per-group totals — no window over data, no
+    sort of the corpus, one prefix pass shared by ALL requested qs.
+    Zero/negative weights are rejected upstream of the CDF (a zero
+    weight cannot move a quantile; negatives make the CDF non-monotone
+    — refused loudly). NULL values are excluded. Output: one row per
+    (group, q): (group..., q, value).
+    """
+    qs = [qs] if isinstance(qs, (int, float)) else list(qs)
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"each q must be in (0, 1], got {qs}")
+    group_cols = list(group_cols or [])
+    base = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+    # negative weights: refuse loudly. The guard must be LOAD-BEARING —
+    # a dropped assert_true column gets pruned by Catalyst and never
+    # evaluates — so the weight itself is routed through the check:
+    # assert_true returns NULL on success, raises on violation.
+    base = base.select(
+        *group_cols,
+        "_v",
+        F.when(
+            F.assert_true(
+                F.col("_w") >= 0, F.lit("weighted_quantile: negative weight")
+            ).isNull(),
+            F.col("_w"),
+        ).alias("_w"),
+    ).filter(F.col("_w") > 0)
+    dv = base.groupBy(*group_cols, "_v").agg(F.sum("_w").alias("_wsum"))
+    cum = partitioned_prefix_sum(
+        dv,
+        ["_v"],
+        "_wsum",
+        ["_cw"],
+        group_cols=group_cols or None,
+        inclusive=True,
+    )
+    totals = dv.groupBy(*group_cols).agg(F.sum("_wsum").alias("_W"))
+    if group_cols:
+        joined = cum.join(F.broadcast(totals), group_cols)
+    else:
+        joined = cum.crossJoin(F.broadcast(totals))
+    outs = []
+    for q in qs:
+        outs.append(
+            joined.filter(F.col("_cw") >= F.lit(float(q)) * F.col("_W"))
+            .groupBy(*group_cols)
+            .agg(F.min("_v").alias("value"))
+            .select(*group_cols, F.lit(float(q)).alias("q"), "value")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

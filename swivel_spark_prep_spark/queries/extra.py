@@ -7589,3 +7589,258 @@ def x208(spark, sf_dir):
     return bootstrap_diff_ci(
         ev, "value", "event_id", "event_type", "purchase", "click", replicates=100
     )
+
+
+@_declare(
+    "X209_anova_f",
+    # One-way ANOVA over event types (evalmetrics.anova_oneway, Fisher):
+    # does mean event value differ across the k=5 types, with eta-sq
+    # effect size. Pure per-group raw moments -> 1-row arithmetic; the
+    # oracle replays the identical sufficient-stats decomposition.
+    """WITH per AS (
+  SELECT event_type AS g, COUNT(*)::DOUBLE AS n, SUM(value) AS s,
+         SUM(value * value) AS ss
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+tot AS (SELECT COUNT(*)::BIGINT AS k, SUM(n) AS N, SUM(s) AS S,
+               SUM(s * s / n) AS B, SUM(ss) AS SS FROM per)
+SELECT k, N::BIGINT AS n,
+       ROUND(B - S * S / N, 6) AS ss_between,
+       ROUND(SS - B, 6) AS ss_within,
+       ROUND(CASE WHEN k > 1 AND N > k AND SS - B > 0
+             THEN ((B - S * S / N) / (k - 1)) / ((SS - B) / (N - k)) END, 6)
+         AS f_stat,
+       ROUND(CASE WHEN SS - S * S / N > 0
+             THEN (B - S * S / N) / (SS - S * S / N) END, 6) AS eta_sq
+FROM tot;""",
+)
+def x209(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import anova_oneway
+
+    ev = load_table(spark, sf_dir, "events")
+    return anova_oneway(ev, "value", "event_type")
+
+
+@_declare(
+    "X210_mann_whitney",
+    # Mann-Whitney-Wilcoxon rank-sum (evalmetrics.mann_whitney_u) on
+    # purchase-vs-click event values + Cliff's delta effect size -- the
+    # distribution-free companion to X198's Welch t. Midranks are the
+    # value-cardinality prefix-sum pass (Spearman's transform); the
+    # oracle computes the same midranks with a window (fine at oracle
+    # scale) and the identical tie-corrected z.
+    """WITH base AS (SELECT event_type AS g, value::DOUBLE AS x FROM events
+            WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+ranked AS (SELECT g, x,
+             RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS r
+           FROM base),
+per AS (SELECT
+          SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS na,
+          SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::DOUBLE AS nb,
+          SUM(CASE WHEN g = 'purchase' THEN r END) AS ra
+        FROM ranked),
+ties AS (SELECT SUM(t * t * t - t) AS tie3
+         FROM (SELECT COUNT(*)::DOUBLE AS t FROM base GROUP BY x)),
+e AS (SELECT na, nb, ra - na * (na + 1) / 2.0 AS ua,
+             na * nb / 2.0 AS mu,
+             (na * nb / 12.0) * ((na + nb + 1)
+               - tie3 / ((na + nb) * (na + nb - 1))) AS sig2
+      FROM per, ties)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(ua, 6) AS u_a, ROUND(na * nb - ua, 6) AS u_b,
+       ROUND(CASE WHEN sig2 > 0 AND na > 0 AND nb > 0 THEN
+         (CASE WHEN ua > mu THEN ua - mu - 0.5
+               WHEN ua < mu THEN ua - mu + 0.5 ELSE 0.0 END) / sqrt(sig2)
+       END, 6) AS z,
+       ROUND(CASE WHEN na * nb > 0 THEN 2.0 * ua / (na * nb) - 1.0 END, 6)
+         AS cliffs_delta
+FROM e;""",
+)
+def x210(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X211_weighted_median",
+    # Weighted quantiles (ranks.weighted_quantile): per return-flag
+    # quartile/median/p90 of extended price weighted by quantity -- the
+    # left-continuous inverse CDF min{v : cum_w >= q*W}, one shared
+    # value-cardinality prefix-sum pass for all three qs. The oracle
+    # replays the same inverse CDF with a cumulative window.
+    """WITH dv AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                        SUM(l_quantity)::DOUBLE AS w
+                 FROM lineitem GROUP BY 1, 2),
+cum AS (SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY g) AS W
+        FROM dv),
+qs AS (SELECT unnest([0.25, 0.5, 0.9]) AS q)
+SELECT g AS l_returnflag, q, MIN(v) AS value
+FROM cum, qs WHERE cw >= q * W
+GROUP BY 1, 2 ORDER BY 1, 2;""",
+)
+def x211(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.ranks import weighted_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_quantile(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        [0.25, 0.5, 0.9],
+        group_cols=["l_returnflag"],
+    ).select(
+        F.col("l_returnflag"), "q", "value"
+    ).orderBy("l_returnflag", "q")
+
+
+@_declare(
+    "X212_cuped_uplift",
+    # CUPED variance-reduced difference (evalmetrics.cuped_uplift, Deng
+    # et al. WSDM 2013): en-vs-de mean doc length adjusted by the token
+    # count covariate (theta = cov/var pooled) -- the experiment-
+    # sensitivity op; here token count explains most of n_chars'
+    # variance, so var_reduction shows the CUPED payoff. The oracle
+    # replays the raw-moment arithmetic.
+    """WITH base AS (
+  SELECT lang AS g, n_chars::DOUBLE AS y,
+         len(string_split(text, ' '))::DOUBLE AS x
+  FROM documents WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+        AND text IS NOT NULL),
+pool AS (SELECT COUNT(*)::DOUBLE AS N, SUM(x) AS Sx, SUM(y) AS Sy,
+               SUM(x * x) AS Sxx, SUM(y * y) AS Syy, SUM(x * y) AS Sxy
+        FROM base),
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(y) AS my, AVG(x) AS mx
+        FROM base GROUP BY 1),
+j AS (SELECT a.n AS na, a.my AS mya, a.mx AS mxa,
+             b.n AS nb, b.my AS myb, b.mx AS mxb, pool.*
+      FROM (SELECT * FROM per WHERE g = 'en') a,
+           (SELECT * FROM per WHERE g = 'de') b, pool),
+e AS (SELECT *, N * Sxx - Sx * Sx AS vx, N * Syy - Sy * Sy AS vy,
+             N * Sxy - Sx * Sy AS cxy,
+             CASE WHEN N * Sxx - Sx * Sx > 0
+                  THEN (N * Sxy - Sx * Sy) / (N * Sxx - Sx * Sx) END AS theta
+      FROM j)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(mya, 6) AS mean_a, ROUND(myb, 6) AS mean_b,
+       ROUND(mya - myb, 6) AS diff_raw, ROUND(theta, 6) AS theta,
+       ROUND(mya - theta * (mxa - Sx / N), 6) AS adj_mean_a,
+       ROUND(myb - theta * (mxb - Sx / N), 6) AS adj_mean_b,
+       ROUND((mya - theta * (mxa - Sx / N))
+             - (myb - theta * (mxb - Sx / N)), 6) AS diff_cuped,
+       ROUND(CASE WHEN vx > 0 AND vy > 0
+             THEN sqrt(cxy * cxy / (vx * vy)) * sign(cxy) END, 6) AS corr_xy,
+       ROUND(CASE WHEN vx > 0 AND vy > 0
+             THEN cxy * cxy / (vx * vy) END, 6) AS var_reduction
+FROM e;""",
+)
+def x212(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import cuped_uplift
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isin(["en", "de"])
+            & F.col("n_chars").isNotNull()
+            & F.col("text").isNotNull()
+        )
+        .select(
+            "lang",
+            F.col("n_chars").cast("double").alias("y"),
+            F.size(F.split(F.col("text"), " ", -1)).cast("double").alias("x"),
+        )
+    )
+    return cuped_uplift(docs, "y", "x", "lang", "en", "de")
+
+
+@_declare(
+    "X213_pareto_front",
+    # 2-D skyline (skyline.pareto_front_2d, Borzsonyi et al. ICDE 2001):
+    # orders no other order beats on BOTH total price and recency. The
+    # engine's plan is two hash aggregates + one prefix-extremum pass +
+    # a keyed semi-join (never the quadratic block-nested-loop skyline);
+    # the oracle is the INDEPENDENT NOT-EXISTS dominance definition --
+    # a semantics check, not an arithmetic replay.
+    """SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders o
+WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM orders s
+    WHERE s.o_totalprice IS NOT NULL AND s.o_orderdate IS NOT NULL
+      AND s.o_totalprice >= o.o_totalprice AND s.o_orderdate >= o.o_orderdate
+      AND (s.o_totalprice > o.o_totalprice OR s.o_orderdate > o.o_orderdate))
+ORDER BY o_orderkey;""",
+)
+def x213(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.skyline import pareto_front_2d
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        pareto_front_2d(orders, "o_totalprice", "o_orderdate")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    )
+
+
+@_declare(
+    "X214_good_turing",
+    # Simple Good-Turing smoothing (lm.good_turing_smooth, Gale &
+    # Sampson 1995) over the whitespace-token frequency spectrum:
+    # Turing estimates in the dense low-r region, the log-log LGT fit
+    # beyond the Gale-Sampson switch, P0 unseen mass, renormalized p_r.
+    # The oracle replays the full pipeline (neighbors via lag/lead over
+    # the O(sqrt N)-row spectrum, the OLS fit, the switch-point min,
+    # the renormalization) in SQL.
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE text IS NOT NULL),
+cnt AS (SELECT w, COUNT(*)::BIGINT AS r FROM toks WHERE w <> '' GROUP BY 1),
+nr AS (SELECT r, COUNT(*)::DOUBLE AS n_r FROM cnt GROUP BY 1),
+nb AS (SELECT r, n_r,
+              COALESCE(LAG(r) OVER (ORDER BY r), 0)::DOUBLE AS q,
+              LEAD(r) OVER (ORDER BY r) AS t_raw
+       FROM nr),
+z AS (SELECT r, n_r,
+             n_r / (0.5 * (COALESCE(t_raw::DOUBLE, 2.0 * r - q) - q)) AS z
+      FROM nb),
+fit AS (SELECT CASE WHEN COUNT(*) * SUM(ln(r) * ln(r)) - SUM(ln(r)) * SUM(ln(r)) > 0
+          THEN (COUNT(*) * SUM(ln(r) * ln(z)) - SUM(ln(r)) * SUM(ln(z)))
+             / (COUNT(*) * SUM(ln(r) * ln(r)) - SUM(ln(r)) * SUM(ln(r))) END AS b
+        FROM z),
+est AS (SELECT z.r, z.n_r,
+               (z.r + 1) * n2.n_r / z.n_r AS turing,
+               z.r * pow(1.0 + 1.0 / z.r, fit.b + 1.0) AS lgt,
+               sqrt(pow(z.r + 1, 2) * n2.n_r / (z.n_r * z.n_r)
+                    * (1.0 + n2.n_r / z.n_r)) AS sd
+        FROM z LEFT JOIN nr n2 ON n2.r = z.r + 1, fit),
+sw AS (SELECT MIN(r) AS switch_r FROM est
+       WHERE turing IS NULL OR abs(turing - lgt) <= 1.65 * sd),
+star AS (SELECT r, n_r,
+                CASE WHEN r < COALESCE(switch_r, 1) THEN turing ELSE lgt END
+                  AS rstar
+         FROM est, sw),
+norm AS (SELECT SUM(r * n_r) AS N, SUM(n_r * rstar) AS mass,
+                MAX(CASE WHEN r = 1 THEN n_r END) AS n1
+         FROM star)
+SELECT r, n_r::BIGINT AS n_r, ROUND(rstar, 6) AS r_star,
+       ROUND((rstar / N) * ((1.0 - COALESCE(n1 / N, 0.0)) / (mass / N)), 9)
+         AS p_r,
+       ROUND(COALESCE(n1 / N, 0.0), 9) AS p0
+FROM star, norm ORDER BY r;""",
+)
+def x214(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.lm import good_turing_smooth
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    counts = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ", -1)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    return good_turing_smooth(counts, "c")

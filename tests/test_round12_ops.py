@@ -136,3 +136,281 @@ def test_bootstrap_per_row_step_varies(spark):
         for i in ids
     }
     assert len(steps) == 50
+
+
+# ----------------------------------------------- partitioned_prefix_extremum
+def test_prefix_extremum_matches_pandas(spark):
+    import pandas as pd
+
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_extremum,
+    )
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 1000, 500),
+            "v": rng.normal(0, 10, 500).round(3),
+            "g": rng.choice(["a", "b", "c"], 500),
+        }
+    ).drop_duplicates("k")
+    df = spark.createDataFrame(pdf)
+    # ungrouped inclusive max in k order
+    got = (
+        partitioned_prefix_extremum(df, ["k"], "v", "m", inclusive=True)
+        .orderBy("k")
+        .toPandas()
+    )
+    exp = pdf.sort_values("k").v.cummax().to_numpy()
+    assert np.allclose(got["m"].to_numpy(), exp)
+    # ungrouped EXCLUSIVE min, DESCENDING order: first row (max k) NULL
+    got2 = (
+        partitioned_prefix_extremum(
+            df, [F.col("k").desc()], "v", "m", inclusive=False, agg="min"
+        )
+        .orderBy(F.col("k").desc())
+        .toPandas()
+    )
+    sorted_desc = pdf.sort_values("k", ascending=False).v.to_numpy()
+    exp2 = np.concatenate([[np.nan], np.minimum.accumulate(sorted_desc)[:-1]])
+    assert np.isnan(got2["m"].iloc[0])
+    assert np.allclose(got2["m"].to_numpy()[1:], exp2[1:])
+    # grouped inclusive max resets per group
+    got3 = (
+        partitioned_prefix_extremum(
+            df, ["k"], "v", "m", group_cols=["g"], inclusive=True
+        )
+        .orderBy("g", "k")
+        .toPandas()
+    )
+    exp3 = (
+        pdf.sort_values(["g", "k"]).groupby("g").v.cummax().to_numpy()
+    )
+    assert np.allclose(got3["m"].to_numpy(), exp3)
+
+
+# --------------------------------------------------------- pareto_front_2d
+def _brute_front(pts, max_x=True, max_y=True):
+    def dom(s, r):
+        sx, sy = (s[0], s[1]) if max_x else (-s[0], s[1])
+        rx, ry = (r[0], r[1]) if max_x else (-r[0], r[1])
+        if not max_y:
+            sy, ry = -sy, -ry
+        return sx >= rx and sy >= ry and (sx > rx or sy > ry)
+
+    return sorted(p for p in pts if not any(dom(s, p) for s in pts if s != p))
+
+
+def test_pareto_front_matches_brute_force(spark):
+    from swivel_spark_prep_spark.operators.skyline import pareto_front_2d
+
+    rng = np.random.default_rng(5)
+    pts = [
+        (float(x), float(y))
+        for x, y in zip(
+            rng.integers(0, 40, 300), rng.integers(0, 40, 300)
+        )
+    ]
+    df = spark.createDataFrame(pts, "x double, y double")
+    for mx, my in ((True, True), (True, False), (False, True)):
+        got = sorted(
+            (r["x"], r["y"])
+            for r in pareto_front_2d(
+                df, "x", "y", maximize_x=mx, maximize_y=my
+            ).collect()
+        )
+        # exact duplicates of front points are all kept; brute force
+        # over the multiset must agree
+        exp = _brute_front(pts, mx, my)
+        assert got == exp, (mx, my)
+
+
+def test_pareto_front_keeps_duplicates_and_drops_null(spark):
+    from swivel_spark_prep_spark.operators.skyline import pareto_front_2d
+
+    df = spark.createDataFrame(
+        [(5.0, 5.0), (5.0, 5.0), (4.0, 6.0), (4.0, 4.0), (None, 9.0)],
+        "x double, y double",
+    )
+    got = sorted((r["x"], r["y"]) for r in pareto_front_2d(df, "x", "y").collect())
+    assert got == [(4.0, 6.0), (5.0, 5.0), (5.0, 5.0)]
+
+
+# ------------------------------------------------------------ anova_oneway
+def test_anova_matches_numpy(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import anova_oneway
+
+    rng = np.random.default_rng(9)
+    groups = {"a": rng.normal(0, 1, 40), "b": rng.normal(0.5, 1, 55),
+              "c": rng.normal(-0.2, 1.3, 30)}
+    rows = [(g, float(v)) for g, xs in groups.items() for v in xs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = anova_oneway(df, "x", "g").collect()[0]
+    allv = np.concatenate(list(groups.values()))
+    gm = allv.mean()
+    ssb = sum(len(x) * (x.mean() - gm) ** 2 for x in groups.values())
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in groups.values())
+    k, N = 3, len(allv)
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    assert r["k"] == 3 and r["n"] == N
+    assert r["f_stat"] == pytest.approx(f, abs=1e-5)
+    assert r["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=1e-6)
+
+
+def test_anova_degenerate(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import anova_oneway
+
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, x double")
+    r = anova_oneway(one, "x", "g").collect()[0]
+    assert r["k"] == 1 and r["f_stat"] is None
+    const = spark.createDataFrame(
+        [("a", 3.0), ("a", 3.0), ("b", 3.0)], "g string, x double"
+    )
+    r2 = anova_oneway(const, "x", "g").collect()[0]
+    assert r2["f_stat"] is None  # SSW = 0
+
+
+# ---------------------------------------------------------- mann_whitney_u
+def test_mann_whitney_matches_numpy(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import mann_whitney_u
+
+    rng = np.random.default_rng(21)
+    xa = np.round(rng.normal(0.3, 1, 60), 1)  # rounding forces ties
+    xb = np.round(rng.normal(0.0, 1, 45), 1)
+    rows = [("a", float(v)) for v in xa] + [("b", float(v)) for v in xb]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = mann_whitney_u(df, "x", "g", "a", "b").collect()[0]
+    # exact U by pair counting
+    gt = sum(1 for u in xa for v in xb if u > v)
+    eq = sum(1 for u in xa for v in xb if u == v)
+    ua = gt + 0.5 * eq
+    assert r["u_a"] == pytest.approx(ua)
+    assert r["u_b"] == pytest.approx(len(xa) * len(xb) - ua)
+    assert r["cliffs_delta"] == pytest.approx(
+        2 * ua / (len(xa) * len(xb)) - 1, abs=1e-6
+    )
+    # z via the tie-corrected normal approximation
+    pooled = np.concatenate([xa, xb])
+    n = len(pooled)
+    _, t = np.unique(pooled, return_counts=True)
+    sig2 = (len(xa) * len(xb) / 12) * ((n + 1) - ((t**3 - t).sum()) / (n * (n - 1)))
+    mu = len(xa) * len(xb) / 2
+    cc = ua - mu - 0.5 if ua > mu else ua - mu + 0.5 if ua < mu else 0.0
+    assert r["z"] == pytest.approx(cc / np.sqrt(sig2), rel=1e-5)
+
+
+def test_mann_whitney_all_tied(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0)], "g string, x double"
+    )
+    r = mann_whitney_u(df, "x", "g", "a", "b").collect()[0]
+    assert r["z"] is None and r["cliffs_delta"] == 0.0
+
+
+# ------------------------------------------------------------ cuped_uplift
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cuped_uplift
+
+    rng = np.random.default_rng(17)
+    n = 400
+    pre = rng.normal(10, 3, 2 * n)
+    noise = rng.normal(0, 1, 2 * n)
+    y = 0.8 * pre + noise
+    y[:n] += 0.5  # true uplift on slice a
+    rows = [("a" if i < n else "b", float(y[i]), float(pre[i])) for i in range(2 * n)]
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    r = cuped_uplift(df, "y", "x", "g", "a", "b").collect()[0]
+    # numpy replication
+    theta = np.cov(pre, y, bias=True)[0, 1] / pre.var()
+    adj_a = y[:n].mean() - theta * (pre[:n].mean() - pre.mean())
+    adj_b = y[n:].mean() - theta * (pre[n:].mean() - pre.mean())
+    assert r["theta"] == pytest.approx(theta, rel=1e-6)
+    assert r["diff_cuped"] == pytest.approx(adj_a - adj_b, abs=2e-6)
+    assert r["diff_raw"] == pytest.approx(y[:n].mean() - y[n:].mean(), abs=2e-6)
+    rho2 = np.corrcoef(pre, y)[0, 1] ** 2
+    assert r["var_reduction"] == pytest.approx(rho2, rel=1e-5)
+    # the point of CUPED: the adjusted diff is closer to truth when the
+    # raw diff is polluted by covariate imbalance
+    assert abs(r["diff_cuped"] - 0.5) <= abs(r["diff_raw"] - 0.5) + 0.05
+
+
+def test_cuped_constant_covariate(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cuped_uplift
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 2.0, 5.0), ("b", 3.0, 5.0)],
+        "g string, y double, x double",
+    )
+    r = cuped_uplift(df, "y", "x", "g", "a", "b").collect()[0]
+    assert r["theta"] is None and r["diff_cuped"] is None
+    assert r["diff_raw"] == pytest.approx(-1.5)
+
+
+# -------------------------------------------------------- weighted_quantile
+def test_weighted_quantile_basics(spark):
+    from swivel_spark_prep_spark.operators.ranks import weighted_quantile
+
+    # textbook: values 1..4 weights 1,1,1,7 -> median is 4
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)], "v double, w double"
+    )
+    got = {r["q"]: r["value"] for r in weighted_quantile(df, "v", "w", [0.5, 0.3, 1.0]).collect()}
+    assert got[0.5] == 4.0 and got[0.3] == 3.0 and got[1.0] == 4.0
+    # all weights 1 == "lower" unweighted quantile
+    rng = np.random.default_rng(2)
+    vals = np.sort(np.round(rng.normal(0, 5, 101), 2))
+    df2 = spark.createDataFrame([(float(v), 1.0) for v in vals], "v double, w double")
+    got2 = {r["q"]: r["value"] for r in weighted_quantile(df2, "v", "w", [0.25, 0.5, 0.9]).collect()}
+    for q in (0.25, 0.5, 0.9):
+        # lower quantile: smallest v with rank >= ceil(q*n)
+        k = int(np.ceil(q * len(vals))) - 1
+        assert got2[q] == vals[k], q
+
+
+def test_weighted_quantile_grouped_and_validation(spark):
+    from swivel_spark_prep_spark.operators.ranks import weighted_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 10.0, 3.0), ("b", 5.0, 2.0), ("b", 6.0, 1.0)],
+        "g string, v double, w double",
+    )
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in weighted_quantile(df, "v", "w", 0.5, group_cols=["g"]).collect()
+    }
+    assert got[("a", 0.5)] == 10.0 and got[("b", 0.5)] == 5.0
+    with pytest.raises(ValueError):
+        weighted_quantile(df, "v", "w", [0.0])
+    neg = spark.createDataFrame([(1.0, -2.0)], "v double, w double")
+    with pytest.raises(Exception):  # assert_true -> SparkRuntimeException
+        weighted_quantile(neg, "v", "w", 0.5).collect()
+
+
+# ------------------------------------------------------- good_turing_smooth
+def test_good_turing_properties(spark):
+    from swivel_spark_prep_spark.operators.lm import good_turing_smooth
+
+    # Zipf-ish counts: item i has count ~ C/i -> dense low-r spectrum
+    # with a long singleton tail (i > 1000 -> count 1)
+    rows = [(f"w{i}", max(1, int(1000 / i))) for i in range(1, 2000)]
+    df = spark.createDataFrame(rows, "item string, c long")
+    out = good_turing_smooth(df, "c").collect()
+    rs = [r["r"] for r in out]
+    assert rs == sorted(rs)
+    byr = {r["r"]: r for r in out}
+    n1 = byr[1]["n_r"]
+    N = sum(r["r"] * r["n_r"] for r in out)
+    assert out[0]["p0"] == pytest.approx(n1 / N, abs=1e-9)
+    # total mass: unseen + Σ n_r p_r == 1 (renormalization contract)
+    total = out[0]["p0"] + sum(r["n_r"] * r["p_r"] for r in out)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    # in the dense low-r Turing region the estimate is (r+1)N_{r+1}/N_r
+    assert byr[1]["r_star"] == pytest.approx(
+        2 * byr[2]["n_r"] / byr[1]["n_r"], rel=0.35
+    )
+    # smoothed counts are positive and increase with r overall
+    stars = [r["r_star"] for r in out]
+    assert all(s > 0 for s in stars)
+    assert stars[-1] > stars[0]
