@@ -1311,3 +1311,168 @@ def linear_attribution(
             F.countDistinct(key_col).alias("n_users"),
         )
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen
+    1978) over the same per-subject (duration, event) relation as
+    :func:`kaplan_meier`:
+
+        H(t) = Σ_{tᵢ ≤ t} dᵢ / nᵢ          (cumulative hazard)
+        Var[H(t)] = Σ_{tᵢ ≤ t} dᵢ(nᵢ−dᵢ)/nᵢ³   (Klein 1991 form)
+
+    where dᵢ = events and nᵢ = at-risk count at distinct time tᵢ.
+    H is the integral-of-rate dual of KM's product-limit S: for small
+    per-time hazards exp(−H) ≈ S, and H is the quantity additive
+    across disjoint time slices (the property rate dashboards want).
+
+    Execution is the kaplan_meier plan shape exactly: collapse subjects
+    to per-distinct-duration (d, c) counts, one inclusive prefix-sum
+    pass (operators/ranks) for the at-risk counts, a second shared
+    prefix-sum pass over BOTH the hazard increments d/n and the
+    variance increments d(n−d)/n³ — value-cardinality work, no global
+    window, no subject-level shuffle after the first aggregate.
+    Output: (duration, n_risk, d_events, cum_hazard, var_hazard),
+    event times only; censor-only times shrink the risk set but are
+    not emitted. NULL / negative durations are excluded.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    base = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("_e"),
+    ).filter(F.col("t").isNotNull() & (F.col("t") >= 0) & F.col("_e").isNotNull())
+    tot = base.agg(F.count("*").alias("_tot"))
+    per = base.groupBy("t").agg(
+        F.sum("_e").alias("d"), F.count("*").alias("c")
+    )
+    cum = partitioned_prefix_sum(per, ["t"], ["c"], ["_cc"], inclusive=True)
+    risked = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("_tot") - (F.col("_cc") - F.col("c"))).alias("n"),
+    )
+    inc = risked.select(
+        "t",
+        "d",
+        "n",
+        (F.col("d") / F.col("n")).alias("_h"),
+        (
+            F.col("d") * (F.col("n") - F.col("d"))
+            / (F.col("n") * F.col("n") * F.col("n"))
+        ).alias("_v"),
+    )
+    out = partitioned_prefix_sum(
+        inc, ["t"], ["_h", "_v"], ["_hc", "_vc"], inclusive=True
+    )
+    return out.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("d_events"),
+        F.round("_hc", 6).alias("cum_hazard"),
+        F.round("_vc", 9).alias("var_hazard"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966, Peto & Peto 1972): are
+    the survival curves of groups A and B the same? At every distinct
+    event time tᵢ with dᵢ total events and nᵢ = n_{Ai} + n_{Bi} at
+    risk, group A's expected share under H₀ is e_{Ai} = n_{Ai}·dᵢ/nᵢ
+    with hypergeometric variance
+
+        v_i = n_{Ai}·n_{Bi}·dᵢ·(nᵢ−dᵢ) / (nᵢ²·(nᵢ−1))   (0 when nᵢ ≤ 1)
+
+    and the statistic is z = (O_A − E_A)/√ΣV, chi² = z². Negative z
+    means group A had FEWER events than expected (better survival).
+
+    Scale shape: subjects collapse to per-distinct-duration
+    (d_a, c_a, d_b, c_b) conditional counts; ONE inclusive prefix-sum
+    pass (operators/ranks) over both groups' removal counts yields both
+    risk sets; per-group totals ride a 1-row broadcast; the O/E/V terms
+    reduce in a single 1-row aggregate. No global window, no
+    subject-level work after the first groupBy — the kaplan_meier /
+    ks_test discipline applied to the two-sample problem.
+    Output (1 row): n_a, n_b, observed_a, expected_a, chi2, z.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    g = F.col(group_col)
+    base = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("_e"),
+        F.when(g == group_a, F.lit(1)).when(g == group_b, F.lit(0)).alias("_a"),
+    ).filter(
+        F.col("t").isNotNull()
+        & (F.col("t") >= 0)
+        & F.col("_e").isNotNull()
+        & F.col("_a").isNotNull()
+    )
+    tot = base.agg(
+        F.sum("_a").alias("_na"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_nb"),
+    )
+    per = base.groupBy("t").agg(
+        F.sum(F.col("_e") * F.col("_a")).alias("da"),
+        F.sum(F.col("_e") * (F.lit(1) - F.col("_a"))).alias("db"),
+        F.sum("_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("cb"),
+    )
+    cum = partitioned_prefix_sum(
+        per, ["t"], ["ca", "cb"], ["_cca", "_ccb"], inclusive=True
+    )
+    risked = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "da",
+        "db",
+        (F.col("_na") - (F.col("_cca") - F.col("ca"))).alias("na"),
+        (F.col("_nb") - (F.col("_ccb") - F.col("cb"))).alias("nb"),
+    )
+    d = F.col("da") + F.col("db")
+    n = F.col("na") + F.col("nb")
+    terms = risked.filter(d > 0).select(
+        "da",
+        (F.col("na") * d / n).alias("_ea"),
+        F.when(
+            n > 1,
+            F.col("na") * F.col("nb") * d * (n - d) / (n * n * (n - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_v"),
+    )
+    stat = terms.agg(
+        F.sum("da").alias("_oa"),
+        F.sum("_ea").alias("_easum"),
+        F.sum("_v").alias("_vsum"),
+    )
+    return stat.crossJoin(F.broadcast(tot)).select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_oa").cast("long").alias("observed_a"),
+        F.round("_easum", 6).alias("expected_a"),
+        F.round(
+            F.when(
+                F.col("_vsum") > 0,
+                F.pow(F.col("_oa") - F.col("_easum"), F.lit(2)) / F.col("_vsum"),
+            ),
+            6,
+        ).alias("chi2"),
+        F.round(
+            F.when(
+                F.col("_vsum") > 0,
+                (F.col("_oa") - F.col("_easum")) / F.sqrt(F.col("_vsum")),
+            ),
+            6,
+        ).alias("z"),
+    )

@@ -7844,3 +7844,121 @@ def x214(spark, sf_dir):
         .agg(F.count("*").alias("c"))
     )
     return good_turing_smooth(counts, "c")
+
+
+@_declare(
+    "X215_nelson_aalen",
+    # Nelson-Aalen cumulative hazard (timeseries.nelson_aalen, Nelson
+    # 1972 / Aalen 1978) over X197's time-to-first-error cohort: H(t) =
+    # sum d/n with the Klein-form variance sum d(n-d)/n^3 -- the
+    # additive-rate dual of X197's product-limit S. Same two-prefix-
+    # sum-pass plan; the oracle replays both running sums as windows
+    # over the 49-row distinct-duration relation.
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                 min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+subj AS (SELECT
+    CASE WHEN te IS NOT NULL AND te - f <= 48 * 3600e6
+         THEN floor((te - f) / 3600e6) ELSE 48 END::DOUBLE AS t,
+    (te IS NOT NULL AND te - f <= 48 * 3600e6)::INT AS ev
+  FROM u),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM subj),
+per AS (SELECT t, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS c FROM subj GROUP BY 1),
+cum AS (SELECT *, SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM per),
+r AS (SELECT t, d, (n - (cc - c))::BIGINT AS nr FROM cum, tot),
+f2 AS (SELECT t, d, nr,
+              d::DOUBLE / nr AS h,
+              d::DOUBLE * (nr - d) / (nr::DOUBLE * nr * nr) AS v
+       FROM r),
+s AS (SELECT t, d, nr,
+             SUM(h) OVER w AS hc, SUM(v) OVER w AS vc
+      FROM f2
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t AS duration, nr AS n_risk, d AS d_events,
+       ROUND(hc, 6) AS cum_hazard, ROUND(vc, 9) AS var_hazard
+FROM s WHERE d > 0 ORDER BY duration;""",
+)
+def x215(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import nelson_aalen
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("f"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    horizon = 48 * 3600e6
+    observed = F.col("te").isNotNull() & (F.col("te") - F.col("f") <= horizon)
+    subj = u.select(
+        F.when(observed, F.floor((F.col("te") - F.col("f")) / 3600e6))
+        .otherwise(F.lit(48))
+        .cast("double")
+        .alias("t"),
+        observed.cast("int").alias("ev"),
+    )
+    return nelson_aalen(subj, "t", "ev").orderBy("duration")
+
+
+@_declare(
+    "X216_logrank_test",
+    # Two-sample log-rank test (timeseries.logrank_test, Mantel 1966):
+    # do odd- and even-numbered users churn to first error at the same
+    # rate? O_A - E_A with the hypergeometric variance at each distinct
+    # event time; risk sets from ONE shared prefix-sum pass over both
+    # groups' removal counts. The oracle replays the identical risk-set
+    # windows and the 1-row O/E/V reduction.
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                 min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+subj AS (SELECT
+    CASE WHEN te IS NOT NULL AND te - f <= 48 * 3600e6
+         THEN floor((te - f) / 3600e6) ELSE 48 END::DOUBLE AS t,
+    (te IS NOT NULL AND te - f <= 48 * 3600e6)::INT AS ev,
+    (user_id % 2 = 1)::INT AS a
+  FROM u),
+tot AS (SELECT SUM(a)::BIGINT AS na, SUM(1 - a)::BIGINT AS nb FROM subj),
+per AS (SELECT t,
+          SUM(ev * a)::BIGINT AS da, SUM(ev * (1 - a))::BIGINT AS db,
+          SUM(a)::BIGINT AS ca, SUM(1 - a)::BIGINT AS cb
+        FROM subj GROUP BY 1),
+cum AS (SELECT *, SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb FROM per
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+r AS (SELECT t, da, db,
+             (na - (cca - ca))::DOUBLE AS nra, (nb - (ccb - cb))::DOUBLE AS nrb
+      FROM cum, tot),
+terms AS (SELECT da,
+            nra * (da + db) / (nra + nrb) AS ea,
+            CASE WHEN nra + nrb > 1 THEN
+              nra * nrb * (da + db) * (nra + nrb - da - db)
+              / ((nra + nrb) * (nra + nrb) * (nra + nrb - 1))
+            ELSE 0.0 END AS v
+          FROM r WHERE da + db > 0),
+stat AS (SELECT SUM(da)::BIGINT AS oa, SUM(ea) AS easum, SUM(v) AS vsum
+         FROM terms)
+SELECT na AS n_a, nb AS n_b, oa AS observed_a,
+       ROUND(easum, 6) AS expected_a,
+       ROUND(CASE WHEN vsum > 0 THEN pow(oa - easum, 2) / vsum END, 6) AS chi2,
+       ROUND(CASE WHEN vsum > 0 THEN (oa - easum) / sqrt(vsum) END, 6) AS z
+FROM stat, tot;""",
+)
+def x216(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import logrank_test
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("f"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    horizon = 48 * 3600e6
+    observed = F.col("te").isNotNull() & (F.col("te") - F.col("f") <= horizon)
+    subj = u.select(
+        F.when(observed, F.floor((F.col("te") - F.col("f")) / 3600e6))
+        .otherwise(F.lit(48))
+        .cast("double")
+        .alias("t"),
+        observed.cast("int").alias("ev"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    )
+    return logrank_test(subj, "t", "ev", "grp", 1, 0)
