@@ -886,3 +886,173 @@ def cuped_uplift(
         ),
         F.round(rho2, 6).alias("var_reduction"),
     )
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-group
+    rank-based one-way ANOVA: does at least one group's value
+    distribution stochastically dominate? The distribution-free
+    companion to :func:`anova_oneway` exactly as :func:`mann_whitney_u`
+    is to :func:`welch_ttest` (and H reduces to the two-group
+    rank-sum for k = 2):
+
+        H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)
+
+    with the tie correction C = 1 − Σ(t³−t)/(N³−N), H_adj = H/C, and
+    ε² = H/(N−1) as the effect size (Kelley's epsilon-squared).
+
+    Scale shape: pooled midranks ride the same value-cardinality
+    partitioned_prefix_sum pass Spearman/Mann–Whitney use (no global
+    window); per-group rank sums are one grouped aggregate; the tie
+    term is one aggregate over the distinct-value relation; the final
+    algebra runs on a k-row relation joined to two 1-row broadcasts.
+    Output (1 row): k, n, h, h_adj, epsilon_sq — h_adj NULL when every
+    value is tied (C = 0), h NULL when N < 2 or k < 2.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull() & F.col("_g").isNotNull())
+    ranked = _fractional_ranks(base, "_x", "_r", None)
+    per = ranked.groupBy("_g").agg(
+        F.count("*").cast("double").alias("ng"), F.sum("_r").alias("rg")
+    )
+    stat = per.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").alias("N"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("rr"),
+    )
+    ties = (
+        base.groupBy("_x")
+        .agg(F.count("*").cast("double").alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("tie3")
+        )
+    )
+    j = stat.crossJoin(F.broadcast(ties))
+    N = F.col("N")
+    h = F.when(
+        (N > 1) & (F.col("k") > 1),
+        12.0 / (N * (N + 1)) * F.col("rr") - 3.0 * (N + 1),
+    )
+    corr = 1.0 - F.col("tie3") / (N * N * N - N)
+    return j.select(
+        "k",
+        N.cast("long").alias("n"),
+        F.round(h, 6).alias("h"),
+        F.round(F.when(corr > 0, h / corr), 6).alias("h_adj"),
+        F.round(F.when(N > 1, h / (N - 1)), 6).alias("epsilon_sq"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame, prob_col: str, label_col: str, bins: int = 10
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Brier 1950, Murphy
+    1973) over fixed-width forecast bins — the "is my model sharp AND
+    honest" audit behind :func:`calibration_report`'s ECE:
+
+        BS  = (1/N)·Σ (p_i − y_i)²            (exact, unbinned)
+        REL = (1/N)·Σ_k n_k (p̄_k − ō_k)²      (reliability: penalty)
+        RES = (1/N)·Σ_k n_k (ō_k − ō)²        (resolution: reward)
+        UNC = ō(1 − ō)                         (base-rate uncertainty)
+
+    The textbook identity BS = REL − RES + UNC holds exactly only when
+    forecasts are constant within a bin; the within-bin variance
+    otherwise leaks into a residual, which is REPORTED rather than
+    hidden: residual = BS − (REL − RES + UNC), so the decomposition is
+    verifiable instead of approximately-true. Out-of-[0,1] scores clamp
+    into the edge bins (the calibration_report convention).
+
+    One corpus aggregate to ``bins`` rows of raw moments
+    (n, Σp, Σy, Σ(p−y)²), one bins-row reduction — nothing after the
+    first groupBy is corpus-sized. Output (1 row): n, brier,
+    reliability, resolution, uncertainty, residual.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    p = F.col(prob_col).cast("double")
+    g = df.select(
+        p.alias("_p"), F.col(label_col).cast("int").cast("double").alias("_y")
+    ).filter(F.col("_p").isNotNull() & F.col("_y").isNotNull())
+    binned = g.select(
+        F.greatest(
+            F.lit(0), F.least(F.lit(bins - 1), F.floor(F.col("_p") * bins))
+        )
+        .cast("long")
+        .alias("_b"),
+        "_p",
+        "_y",
+    )
+    per = binned.groupBy("_b").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("_p").alias("sp"),
+        F.sum("_y").alias("sy"),
+        F.sum((F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y"))).alias(
+            "se"
+        ),
+    )
+    nk, sp, sy = F.col("n"), F.col("sp"), F.col("sy")
+    tot = per.agg(
+        F.sum("n").alias("N"),
+        F.sum("se").alias("SE"),
+        F.sum("sy").alias("SY"),
+        F.sum(nk * (sp / nk - sy / nk) * (sp / nk - sy / nk)).alias("REL"),
+        F.sum(nk * (sy / nk) * (sy / nk)).alias("SYY"),
+    )
+    N = F.col("N")
+    obar = F.col("SY") / N
+    brier = F.col("SE") / N
+    rel = F.col("REL") / N
+    # Σ n_k(ō_k − ō)² = Σ n_k ō_k² − N·ō²  (the grouped-moments form)
+    res = (F.col("SYY") - N * obar * obar) / N
+    unc = obar * (1.0 - obar)
+    return tot.select(
+        N.cast("long").alias("n"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), 6).alias("residual"),
+    )
+
+
+def mcnemar_test(df: DataFrame, a_correct_col: str, b_correct_col: str) -> DataFrame:
+    """McNemar's test (McNemar 1947) on paired classifier outcomes —
+    THE test for "is model A actually better than model B on the same
+    examples" (marginal-accuracy deltas ignore the pairing; McNemar
+    uses only the discordant pairs, where the two models disagree):
+
+        χ² = (|b − c| − 1)² / (b + c)     (Edwards continuity correction)
+
+    with b = #(A right, B wrong) and c = #(A wrong, B right). One
+    corpus aggregate to a single contingency row — nothing else.
+    Output (1 row): n, both_correct, a_only, b_only, both_wrong, chi2 —
+    chi2 NULL when there are no discordant pairs (b + c = 0).
+    """
+    a = F.col(a_correct_col).cast("boolean")
+    b = F.col(b_correct_col).cast("boolean")
+    g = df.filter(a.isNotNull() & b.isNotNull())
+    row = g.agg(
+        F.count("*").alias("n"),
+        F.sum((a & b).cast("long")).alias("both_correct"),
+        F.sum((a & ~b).cast("long")).alias("a_only"),
+        F.sum((~a & b).cast("long")).alias("b_only"),
+        F.sum((~a & ~b).cast("long")).alias("both_wrong"),
+    )
+    bb, cc = F.col("a_only"), F.col("b_only")
+    disc = bb + cc
+    # clamp |b−c|−1 at 0: with b = c the correction would otherwise
+    # manufacture χ² = 1/(b+c) out of a perfectly concordant margin
+    num = F.greatest(F.abs(bb - cc) - 1, F.lit(0))
+    chi2 = F.when(disc > 0, num * num / disc.cast("double"))
+    return row.select(
+        "n",
+        "both_correct",
+        "a_only",
+        "b_only",
+        "both_wrong",
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -7962,3 +7962,117 @@ def x216(spark, sf_dir):
         (F.col("user_id") % 2).cast("int").alias("grp"),
     )
     return logrank_test(subj, "t", "ev", "grp", 1, 0)
+
+
+@_declare(
+    "X217_kruskal_wallis",
+    # Kruskal-Wallis H (evalmetrics.kruskal_wallis, 1952): do the five
+    # event types share a value distribution? Pooled midranks via the
+    # value-cardinality prefix-sum pass, per-group rank sums, tie
+    # correction from the distinct-value relation, Kelley's epsilon-sq
+    # effect size. The oracle computes the same midranks with a window
+    # (fine at oracle scale) and the identical H / H_adj algebra.
+    """WITH base AS (SELECT event_type AS g, value::DOUBLE AS x FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL),
+ranked AS (SELECT g, x,
+             RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS r
+           FROM base),
+per AS (SELECT g, COUNT(*)::DOUBLE AS ng, SUM(r) AS rg FROM ranked GROUP BY 1),
+stat AS (SELECT COUNT(*)::BIGINT AS k, SUM(ng) AS N,
+                SUM(rg * rg / ng) AS rr FROM per),
+ties AS (SELECT SUM(t * t * t - t) AS tie3
+         FROM (SELECT COUNT(*)::DOUBLE AS t FROM base GROUP BY x)),
+e AS (SELECT k, N,
+             CASE WHEN N > 1 AND k > 1
+                  THEN 12.0 / (N * (N + 1)) * rr - 3.0 * (N + 1) END AS h,
+             1.0 - tie3 / (N * N * N - N) AS c
+      FROM stat, ties)
+SELECT k, N::BIGINT AS n, ROUND(h, 6) AS h,
+       ROUND(CASE WHEN c > 0 THEN h / c END, 6) AS h_adj,
+       ROUND(CASE WHEN N > 1 THEN h / (N - 1) END, 6) AS epsilon_sq
+FROM e;""",
+)
+def x217(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import kruskal_wallis
+
+    ev = load_table(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "value", "event_type")
+
+
+@_declare(
+    "X218_brier_decomposition",
+    # Murphy decomposition of the Brier score (evalmetrics.
+    # brier_decomposition) for X152's length-sigmoid lang='en'
+    # pseudo-model: exact BS, binned reliability/resolution,
+    # base-rate uncertainty, and the REPORTED within-bin residual
+    # (BS = REL - RES + UNC holds only for bin-constant forecasts).
+    # The oracle replays the identical 10-bin raw-moment reduction.
+    """WITH g AS (SELECT 1 / (1 + exp(-(n_chars - 350) / 60.0)) AS p,
+                 (lang = 'en')::INT::DOUBLE AS y
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+b AS (SELECT GREATEST(0, LEAST(9, FLOOR(p * 10)))::BIGINT AS bin, p, y FROM g),
+per AS (SELECT bin, COUNT(*)::DOUBLE AS n, SUM(p) AS sp, SUM(y) AS sy,
+               SUM((p - y) * (p - y)) AS se
+        FROM b GROUP BY 1),
+tot AS (SELECT SUM(n) AS N, SUM(se) AS SE, SUM(sy) AS SY,
+               SUM(n * (sp / n - sy / n) * (sp / n - sy / n)) AS REL,
+               SUM(n * (sy / n) * (sy / n)) AS SYY
+        FROM per),
+e AS (SELECT N, SE / N AS brier, REL / N AS rel,
+             (SYY - N * (SY / N) * (SY / N)) / N AS res,
+             (SY / N) * (1 - SY / N) AS unc
+      FROM tot)
+SELECT N::BIGINT AS n, ROUND(brier, 6) AS brier,
+       ROUND(rel, 6) AS reliability, ROUND(res, 6) AS resolution,
+       ROUND(unc, 6) AS uncertainty,
+       ROUND(brier - (rel - res + unc), 6) AS residual
+FROM e;""",
+)
+def x218(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import brier_decomposition
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        F.expr("1 / (1 + exp(-(n_chars - 350) / 60.0))").alias("p"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return brier_decomposition(scored, "p", "y", bins=10)
+
+
+@_declare(
+    "X219_mcnemar",
+    # McNemar's paired test (evalmetrics.mcnemar_test, 1947): are two
+    # rule classifiers for lang='en' — A: contains ' the ', B:
+    # contains ' and ' — equally accurate ON THE SAME documents?
+    # Only the discordant cells b/c enter; Edwards continuity
+    # correction clamped at 0. One contingency aggregate.
+    """WITH g AS (SELECT
+    (text LIKE '% the %') = (lang = 'en') AS ca,
+    (text LIKE '% and %') = (lang = 'en') AS cb
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+row1 AS (SELECT COUNT(*)::BIGINT AS n,
+               SUM((ca AND cb)::INT)::BIGINT AS both_correct,
+               SUM((ca AND NOT cb)::INT)::BIGINT AS a_only,
+               SUM((NOT ca AND cb)::INT)::BIGINT AS b_only,
+               SUM((NOT ca AND NOT cb)::INT)::BIGINT AS both_wrong
+        FROM g)
+SELECT n, both_correct, a_only, b_only, both_wrong,
+       ROUND(CASE WHEN a_only + b_only > 0 THEN
+         pow(GREATEST(abs(a_only - b_only) - 1, 0), 2)
+           / (a_only + b_only) END, 6) AS chi2
+FROM row1;""",
+)
+def x219(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import mcnemar_test
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    en = F.col("lang") == "en"
+    paired = docs.select(
+        (F.col("text").like("% the %") == en).alias("ca"),
+        (F.col("text").like("% and %") == en).alias("cb"),
+    )
+    return mcnemar_test(paired, "ca", "cb")

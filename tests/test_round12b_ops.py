@@ -151,3 +151,134 @@ def test_logrank_other_group_values_excluded(spark):
     with_junk = logrank_test(_subjects(spark, rows), "t", "ev", "grp", 1, 0).collect()[0]
     clean = logrank_test(_subjects(spark, COHORT), "t", "ev", "grp", 1, 0).collect()[0]
     assert with_junk == clean
+
+
+# ---- round-12 batch B: Kruskal–Wallis / Brier decomposition / McNemar
+
+
+def _kw(spark, rows):
+    from swivel_spark_prep_spark.operators.evalmetrics import kruskal_wallis
+
+    df = spark.createDataFrame(rows, "g string, x double")
+    return kruskal_wallis(df, "x", "g").collect()[0]
+
+
+def test_kruskal_wallis_matches_brute_force(spark):
+    import pandas as pd
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+        ("b", 2.0), ("b", 3.0), ("b", 7.0),
+        ("c", 4.0), ("c", 4.0), ("c", 9.0), ("c", 1.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    pdf["r"] = pdf["x"].rank(method="average")
+    N = len(pdf)
+    rr = sum(
+        grp["r"].sum() ** 2 / len(grp) for _, grp in pdf.groupby("g")
+    )
+    h = 12.0 / (N * (N + 1)) * rr - 3.0 * (N + 1)
+    tie3 = sum(t**3 - t for t in pdf.groupby("x").size())
+    h_adj = h / (1 - tie3 / (N**3 - N))
+    row = _kw(spark, rows)
+    assert row.k == 3 and row.n == N
+    assert row.h == pytest.approx(h, abs=1e-6)
+    assert row.h_adj == pytest.approx(h_adj, abs=1e-6)
+    assert row.epsilon_sq == pytest.approx(h / (N - 1), abs=1e-6)
+
+
+def test_kruskal_wallis_identical_groups_h_zero(spark):
+    vals = [1.0, 2.0, 3.0, 4.0]
+    rows = [(g, v) for g in ("a", "b", "c") for v in vals]
+    row = _kw(spark, rows)
+    assert row.h == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kruskal_wallis_all_tied_h_adj_null(spark):
+    rows = [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)]
+    row = _kw(spark, rows)
+    assert row.h_adj is None  # C = 0: every value tied
+
+
+def _brier(spark, rows, bins=10):
+    from swivel_spark_prep_spark.operators.evalmetrics import brier_decomposition
+
+    df = spark.createDataFrame(rows, "p double, y int")
+    return brier_decomposition(df, "p", "y", bins=bins).collect()[0]
+
+
+def test_brier_matches_brute_force(spark):
+    import numpy as np
+
+    rows = [
+        (0.05, 0), (0.12, 0), (0.18, 1), (0.33, 0), (0.41, 1),
+        (0.47, 0), (0.63, 1), (0.71, 1), (0.88, 1), (0.95, 1), (0.97, 0),
+    ]
+    p = np.array([r[0] for r in rows])
+    y = np.array([float(r[1]) for r in rows])
+    bs = float(np.mean((p - y) ** 2))
+    b = np.clip(np.floor(p * 10).astype(int), 0, 9)
+    rel = res = 0.0
+    obar = y.mean()
+    for k in np.unique(b):
+        m = b == k
+        rel += m.sum() * (p[m].mean() - y[m].mean()) ** 2
+        res += m.sum() * (y[m].mean() - obar) ** 2
+    rel /= len(p)
+    res /= len(p)
+    unc = obar * (1 - obar)
+    row = _brier(spark, rows)
+    assert row.n == len(rows)
+    assert row.brier == pytest.approx(bs, abs=1e-6)
+    assert row.reliability == pytest.approx(rel, abs=1e-6)
+    assert row.resolution == pytest.approx(res, abs=1e-6)
+    assert row.uncertainty == pytest.approx(unc, abs=1e-6)
+    assert row.residual == pytest.approx(bs - (rel - res + unc), abs=1e-5)
+
+
+def test_brier_perfect_forecaster_all_zero(spark):
+    rows = [(1.0, 1), (0.0, 0), (1.0, 1), (0.0, 0)]
+    row = _brier(spark, rows)
+    assert row.brier == pytest.approx(0.0)
+    assert row.reliability == pytest.approx(0.0)
+    assert row.residual == pytest.approx(0.0)
+    assert row.resolution == pytest.approx(row.uncertainty, abs=1e-9)
+
+
+def test_brier_constant_base_rate_forecast(spark):
+    """Forecasting the base rate everywhere: RES = 0 (one bin, ō_k = ō)
+    and REL = 0, so BS = UNC + residual (within-bin variance of a
+    constant forecast is 0 ⇒ residual 0 too)."""
+    rows = [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)]
+    row = _brier(spark, rows)
+    assert row.resolution == pytest.approx(0.0, abs=1e-9)
+    assert row.reliability == pytest.approx(0.0, abs=1e-9)
+    assert row.brier == pytest.approx(row.uncertainty, abs=1e-6)
+
+
+def _mcnemar(spark, rows):
+    from swivel_spark_prep_spark.operators.evalmetrics import mcnemar_test
+
+    df = spark.createDataFrame(rows, "ca boolean, cb boolean")
+    return mcnemar_test(df, "ca", "cb").collect()[0]
+
+
+def test_mcnemar_hand_counts(spark):
+    rows = (
+        [(True, True)] * 5 + [(True, False)] * 7
+        + [(False, True)] * 2 + [(False, False)] * 3
+    )
+    row = _mcnemar(spark, rows)
+    assert (row.both_correct, row.a_only, row.b_only, row.both_wrong) == (5, 7, 2, 3)
+    assert row.chi2 == pytest.approx((abs(7 - 2) - 1) ** 2 / 9.0, abs=1e-6)
+
+
+def test_mcnemar_balanced_discordance_chi2_zero(spark):
+    """b = c: the clamped continuity correction must give 0, not 1/(b+c)."""
+    rows = [(True, False)] * 4 + [(False, True)] * 4
+    assert _mcnemar(spark, rows).chi2 == pytest.approx(0.0)
+
+
+def test_mcnemar_no_discordant_pairs_null(spark):
+    rows = [(True, True)] * 3 + [(False, False)] * 2
+    assert _mcnemar(spark, rows).chi2 is None
