@@ -35,6 +35,10 @@ __all__ = [
     "anova_oneway",
     "mann_whitney_u",
     "cuped_uplift",
+    "kruskal_wallis",
+    "brier_decomposition",
+    "mcnemar_test",
+    "cochran_armitage",
 ]
 
 
@@ -1055,4 +1059,54 @@ def mcnemar_test(df: DataFrame, a_correct_col: str, b_correct_col: str) -> DataF
         "b_only",
         "both_wrong",
         F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame, score_col: str, success_col: str
+) -> DataFrame:
+    """Cochran–Armitage test for trend (Cochran 1954, Armitage 1955):
+    does a binary outcome's rate move MONOTONICALLY with an ordered
+    exposure level? The dose-response test a plain k×2 chi² cannot
+    express (chi² is order-blind; a clean upward trend and a zigzag
+    score the same). Levels enter as their numeric scores s_i:
+
+        T = Σ s_i·(r_i − n_i·p̄),    p̄ = R/N
+        Var(T) = p̄(1−p̄)·(Σ s_i²n_i − (Σ s_i n_i)²/N)
+        z = T/√Var,  χ² = z²  (1 dof)
+
+    Positive z = the success rate RISES with the score. One grouped
+    aggregate to the level-cardinality relation, one 1-row reduction —
+    nothing after the first groupBy is corpus-sized. Output (1 row):
+    k, n, successes, p_bar, z, chi2 — z NULL when Var = 0 (constant
+    outcome or a single level).
+    """
+    base = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(success_col).cast("int").cast("double").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    per = base.groupBy("_s").agg(
+        F.count("*").cast("double").alias("n"), F.sum("_y").alias("r")
+    )
+    s, nn, r = F.col("_s"), F.col("n"), F.col("r")
+    tot = per.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(nn).alias("N"),
+        F.sum(r).alias("R"),
+        F.sum(s * r).alias("sr"),
+        F.sum(s * nn).alias("sn"),
+        F.sum(s * s * nn).alias("ssn"),
+    )
+    N, R = F.col("N"), F.col("R")
+    pbar = R / N
+    t = F.col("sr") - F.col("sn") * pbar
+    var = pbar * (1.0 - pbar) * (F.col("ssn") - F.col("sn") * F.col("sn") / N)
+    z = F.when(var > 0, t / F.sqrt(var))
+    return tot.select(
+        "k",
+        N.cast("long").alias("n"),
+        R.cast("long").alias("successes"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(z, 6).alias("z"),
+        F.round(F.when(var > 0, t * t / var), 6).alias("chi2"),
     )

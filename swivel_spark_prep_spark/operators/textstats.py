@@ -694,3 +694,80 @@ def token_information_gain(
         .orderBy(F.desc("ig"), F.asc("token"))
         .limit(k)
     )
+
+
+def pairwise_distribution_distances(
+    counts: DataFrame,
+    group_col: str,
+    item_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Pairwise distances between the item distributions of every two
+    groups — the source×source companion to :func:`mixture_divergence`
+    (which compares each slice to the corpus): given a per-(group,
+    item) count relation, emit for every unordered group pair
+
+        bc        = Σ_w √(p₁(w)·p₂(w))          (Bhattacharyya coeff.)
+        hellinger = √(1 − bc)                    (Hellinger 1909 metric)
+        tv        = ½·Σ_w |p₁(w) − p₂(w)|        (total variation)
+
+    TV over the UNION support decomposes as ½(Σ_common|p₁−p₂| +
+    (1−m₁) + (1−m₂)) where m_g is group g's probability mass on the
+    COMMON items — so the common-item join carries the whole
+    computation and disjoint-support mass is recovered arithmetically,
+    never by materializing the union grid.
+
+    Scale shape: group totals are a group-cardinality broadcast; the
+    only data-sized work is one self-join of the (group, item)
+    AGGREGATE on item (fan-out per item ≤ |groups|², and |groups| is
+    bounded by contract — sources/langs, not data); the pair grid is
+    built from the group list so pairs with DISJOINT supports still
+    appear (bc = 0, tv = 1 — the absent-cell lesson). Output:
+    (g1, g2, n_common, bc, hellinger, tv), g1 < g2.
+    """
+    base = counts.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(item_col).alias("_w"),
+        F.col(count_col).cast("double").alias("_c"),
+    ).filter(F.col("_g").isNotNull() & F.col("_w").isNotNull() & (F.col("_c") > 0))
+    totals = base.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    p = base.join(F.broadcast(totals), "_g").select(
+        "_g", "_w", (F.col("_c") / F.col("_ng")).alias("_p")
+    )
+    a = p.select(
+        F.col("_g").alias("g1"), F.col("_w").alias("_w"), F.col("_p").alias("_p1")
+    )
+    b = p.select(
+        F.col("_g").alias("g2"), F.col("_w").alias("_w"), F.col("_p").alias("_p2")
+    )
+    common = (
+        a.join(b, "_w")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.sqrt(F.col("_p1") * F.col("_p2"))).alias("_bc"),
+            F.sum(F.abs(F.col("_p1") - F.col("_p2"))).alias("_sabs"),
+            F.sum("_p1").alias("_m1"),
+            F.sum("_p2").alias("_m2"),
+        )
+    )
+    ga = totals.select(F.col("_g").alias("g1"))
+    gb = totals.select(F.col("_g").alias("g2"))
+    grid = ga.crossJoin(F.broadcast(gb)).filter(F.col("g1") < F.col("g2"))
+    full = grid.join(common, ["g1", "g2"], "left")
+    bc = F.coalesce(F.col("_bc"), F.lit(0.0))
+    tv = 0.5 * (
+        F.coalesce(F.col("_sabs"), F.lit(0.0))
+        + (1.0 - F.coalesce(F.col("_m1"), F.lit(0.0)))
+        + (1.0 - F.coalesce(F.col("_m2"), F.lit(0.0)))
+    )
+    return full.select(
+        "g1",
+        "g2",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        F.round(bc, 6).alias("bc"),
+        # clamp: bc can exceed 1 by 1e-16 float noise on identical dists
+        F.round(F.sqrt(F.greatest(1.0 - bc, F.lit(0.0))), 6).alias("hellinger"),
+        F.round(tv, 6).alias("tv"),
+    )

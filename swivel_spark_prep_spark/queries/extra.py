@@ -8076,3 +8076,133 @@ def x219(spark, sf_dir):
         (F.col("text").like("% and %") == en).alias("cb"),
     )
     return mcnemar_test(paired, "ca", "cb")
+
+
+@_declare(
+    "X220_woe_iv",
+    # Weight-of-evidence / information value screen (quality.woe_iv,
+    # Siddiqi 2006): how much does doc length predict lang='en'?
+    # Equi-width bins from a 1-row min/max (pure codegen bucketing the
+    # oracle replays bit-for-bit), half-count-smoothed WOE, per-bin IV
+    # contributions + the '__iv__' total row.
+    """WITH g AS (SELECT n_chars::DOUBLE AS x, (lang = 'en')::INT::DOUBLE AS y
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM g),
+b AS (SELECT CASE WHEN hi = lo THEN 0
+             ELSE GREATEST(0, LEAST(9, FLOOR((x - lo) / ((hi - lo) / 10)))) END::BIGINT AS bin,
+             y, lo, hi
+      FROM g, rng),
+per AS (SELECT bin, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS goods,
+               SUM(1 - y)::BIGINT AS bads, FIRST(lo) AS lo0, FIRST(hi) AS hi0
+        FROM b GROUP BY 1),
+tot AS (SELECT SUM(goods)::DOUBLE AS G, SUM(bads)::DOUBLE AS B FROM per),
+rows1 AS (SELECT 'bin' AS kind, bin,
+    ROUND(lo0 + bin * ((hi0 - lo0) / 10), 6) AS lo,
+    ROUND(CASE WHEN bin = 9 THEN hi0
+          ELSE lo0 + (bin + 1) * ((hi0 - lo0) / 10) END, 6) AS hi,
+    n, goods, bads,
+    ROUND(ln((goods + 0.5) / G) - ln((bads + 0.5) / B), 6) AS woe,
+    ROUND((goods / G - bads / B)
+          * (ln((goods + 0.5) / G) - ln((bads + 0.5) / B)), 6) AS iv
+  FROM per, tot),
+s AS (SELECT '__iv__' AS kind, NULL::BIGINT AS bin, NULL::DOUBLE AS lo,
+             NULL::DOUBLE AS hi, SUM(n)::BIGINT AS n,
+             SUM(goods)::BIGINT AS goods, SUM(bads)::BIGINT AS bads,
+             NULL::DOUBLE AS woe, ROUND(SUM(iv), 6) AS iv
+      FROM rows1)
+SELECT * FROM rows1 UNION ALL SELECT * FROM s ORDER BY kind, bin;""",
+)
+def x220(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import woe_iv
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    ).select("n_chars", (F.col("lang") == "en").alias("is_en"))
+    return woe_iv(labeled, "n_chars", "is_en", bins=10).orderBy("kind", "bin")
+
+
+@_declare(
+    "X221_cochran_armitage",
+    # Cochran-Armitage trend test (evalmetrics.cochran_armitage): does
+    # the completed-order ('F') rate trend with priority 1..5? The
+    # dose-response test an order-blind k x 2 chi-square cannot ask.
+    # One grouped aggregate to 5 rows + a 1-row reduction; the oracle
+    # replays the score algebra.
+    """WITH base AS (SELECT substr(o_orderpriority, 1, 1)::DOUBLE AS s,
+                    (o_orderstatus = 'F')::INT::DOUBLE AS y
+             FROM orders
+             WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+per AS (SELECT s, COUNT(*)::DOUBLE AS n, SUM(y) AS r FROM base GROUP BY 1),
+tot AS (SELECT COUNT(*)::BIGINT AS k, SUM(n) AS N, SUM(r) AS R,
+               SUM(s * r) AS sr, SUM(s * n) AS sn, SUM(s * s * n) AS ssn
+        FROM per),
+e AS (SELECT k, N, R, R / N AS pbar, sr - sn * (R / N) AS t,
+             (R / N) * (1 - R / N) * (ssn - sn * sn / N) AS var
+      FROM tot)
+SELECT k, N::BIGINT AS n, R::BIGINT AS successes, ROUND(pbar, 6) AS p_bar,
+       ROUND(CASE WHEN var > 0 THEN t / sqrt(var) END, 6) AS z,
+       ROUND(CASE WHEN var > 0 THEN t * t / var END, 6) AS chi2
+FROM e;""",
+)
+def x221(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import cochran_armitage
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_orderstatus").isNotNull()
+    )
+    scored = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("double").alias("s"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    return cochran_armitage(scored, "s", "y")
+
+
+@_declare(
+    "X222_source_distances",
+    # Pairwise Bhattacharyya / Hellinger / total-variation distances
+    # between every two sources' unigram distributions (textstats.
+    # pairwise_distribution_distances) — the source x source companion
+    # to X122's slice-vs-corpus KL/JSD ("which two slices are
+    # interchangeable" for mix dedup). Only the common-support join is
+    # data-sized; disjoint mass is recovered arithmetically and
+    # zero-overlap pairs still appear via the group-list grid.
+    """WITH toks AS (SELECT source AS g, w FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    WHERE text IS NOT NULL AND source IS NOT NULL)
+  WHERE w <> ''),
+c AS (SELECT g, w, COUNT(*)::DOUBLE AS c FROM toks GROUP BY 1, 2),
+t AS (SELECT g, SUM(c) AS ng FROM c GROUP BY 1),
+p AS (SELECT c.g, w, c / ng AS p FROM c JOIN t USING (g)),
+common AS (SELECT a.g AS g1, b.g AS g2, COUNT(*)::BIGINT AS n_common,
+                  SUM(sqrt(a.p * b.p)) AS bc, SUM(abs(a.p - b.p)) AS sabs,
+                  SUM(a.p) AS m1, SUM(b.p) AS m2
+           FROM p a JOIN p b ON a.w = b.w AND a.g < b.g GROUP BY 1, 2),
+grid AS (SELECT a.g AS g1, b.g AS g2 FROM t a, t b WHERE a.g < b.g)
+SELECT g1, g2, COALESCE(n_common, 0) AS n_common,
+       ROUND(COALESCE(bc, 0), 6) AS bc,
+       ROUND(sqrt(GREATEST(1 - COALESCE(bc, 0), 0)), 6) AS hellinger,
+       ROUND(0.5 * (COALESCE(sabs, 0) + (1 - COALESCE(m1, 0))
+                    + (1 - COALESCE(m2, 0))), 6) AS tv
+FROM grid LEFT JOIN common USING (g1, g2) ORDER BY g1, g2;""",
+)
+def x222(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import (
+        pairwise_distribution_distances,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return pairwise_distribution_distances(counts, "source", "w", "c").orderBy(
+        "g1", "g2"
+    )

@@ -282,3 +282,165 @@ def test_mcnemar_balanced_discordance_chi2_zero(spark):
 def test_mcnemar_no_discordant_pairs_null(spark):
     rows = [(True, True)] * 3 + [(False, False)] * 2
     assert _mcnemar(spark, rows).chi2 is None
+
+
+# ---- round-12 batch C: WOE/IV, Cochran–Armitage, pairwise distances
+
+
+def test_woe_iv_matches_brute_force(spark):
+    import math as m
+
+    from swivel_spark_prep_spark.operators.quality import woe_iv
+
+    rows = [(float(x), x % 3 == 0) for x in range(1, 31)]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    out = {r.bin: r for r in woe_iv(df, "x", "y", bins=5).collect() if r.kind == "bin"}
+    lo, hi = 1.0, 30.0
+    w = (hi - lo) / 5
+    G = sum(1 for _, y in rows if y)
+    B = len(rows) - G
+    iv_tot = 0.0
+    for k in range(5):
+        xs = [
+            (x, y)
+            for x, y in rows
+            if min(4, max(0, int((x - lo) // w))) == k
+        ]
+        g = sum(1 for _, y in xs if y)
+        b = len(xs) - g
+        woe = m.log((g + 0.5) / G) - m.log((b + 0.5) / B)
+        iv = (g / G - b / B) * woe
+        iv_tot += round(iv, 6)
+        assert out[k].goods == g and out[k].bads == b
+        assert out[k].woe == pytest.approx(woe, abs=1e-6)
+        assert out[k].iv == pytest.approx(iv, abs=1e-6)
+    summary = [
+        r
+        for r in woe_iv(df, "x", "y", bins=5).collect()
+        if r.kind == "__iv__"
+    ][0]
+    assert summary.iv == pytest.approx(iv_tot, abs=1e-6)
+
+
+def test_woe_iv_constant_feature_single_bin(spark):
+    from swivel_spark_prep_spark.operators.quality import woe_iv
+
+    df = spark.createDataFrame([(5.0, True), (5.0, False)] * 3, "x double, y boolean")
+    rows = woe_iv(df, "x", "y", bins=10).collect()
+    bins = [r for r in rows if r.kind == "bin"]
+    assert len(bins) == 1 and bins[0].bin == 0
+    total = [r for r in rows if r.kind == "__iv__"][0]
+    assert total.iv == pytest.approx(0.0)  # one bin carries no information
+
+
+def test_woe_iv_uninformative_feature_iv_zero(spark):
+    from swivel_spark_prep_spark.operators.quality import woe_iv
+
+    # every bin has the same good:bad ratio → WOE identical, IV ≈ 0
+    rows = []
+    for k in range(10):
+        rows += [(k + 0.5, True), (k + 0.5, True), (k + 0.5, False)]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    total = [
+        r for r in woe_iv(df, "x", "y", bins=10).collect() if r.kind == "__iv__"
+    ][0]
+    assert abs(total.iv) < 1e-3
+
+
+def test_cochran_armitage_matches_brute_force(spark):
+    import math as m
+
+    from swivel_spark_prep_spark.operators.evalmetrics import cochran_armitage
+
+    # rate rises with the score: clear positive trend
+    cells = {1.0: (30, 3), 2.0: (30, 9), 3.0: (30, 15), 4.0: (30, 24)}
+    rows = []
+    for s, (n, r) in cells.items():
+        rows += [(s, True)] * r + [(s, False)] * (n - r)
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    row = cochran_armitage(df, "s", "y").collect()[0]
+    N = sum(n for n, _ in cells.values())
+    R = sum(r for _, r in cells.values())
+    pbar = R / N
+    t = sum(s * (r - n * pbar) for s, (n, r) in cells.items())
+    var = pbar * (1 - pbar) * (
+        sum(s * s * n for s, (n, _) in cells.items())
+        - sum(s * n for s, (n, _) in cells.items()) ** 2 / N
+    )
+    assert row.k == 4 and row.n == N and row.successes == R
+    assert row.z == pytest.approx(t / m.sqrt(var), abs=1e-6)
+    assert row.z > 3  # the planted trend is strong
+    assert row.chi2 == pytest.approx(row.z * row.z, abs=1e-4)
+
+
+def test_cochran_armitage_flat_rate_z_near_zero(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cochran_armitage
+
+    rows = []
+    for s in (1.0, 2.0, 3.0):
+        rows += [(s, True)] * 10 + [(s, False)] * 20
+    row = cochran_armitage(
+        spark.createDataFrame(rows, "s double, y boolean"), "s", "y"
+    ).collect()[0]
+    assert row.z == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cochran_armitage_constant_outcome_null(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cochran_armitage
+
+    rows = [(1.0, True), (2.0, True), (3.0, True)]
+    row = cochran_armitage(
+        spark.createDataFrame(rows, "s double, y boolean"), "s", "y"
+    ).collect()[0]
+    assert row.z is None and row.chi2 is None
+
+
+def _pairdist(spark, rows):
+    from swivel_spark_prep_spark.operators.textstats import (
+        pairwise_distribution_distances,
+    )
+
+    df = spark.createDataFrame(rows, "g string, w string, c double")
+    return {
+        (r.g1, r.g2): r
+        for r in pairwise_distribution_distances(df, "g", "w", "c").collect()
+    }
+
+
+def test_pairwise_distances_identical_distributions(spark):
+    rows = [("a", "x", 2.0), ("a", "y", 3.0), ("b", "x", 4.0), ("b", "y", 6.0)]
+    r = _pairdist(spark, rows)[("a", "b")]
+    assert r.bc == pytest.approx(1.0, abs=1e-6)
+    assert r.hellinger == pytest.approx(0.0, abs=1e-3)
+    assert r.tv == pytest.approx(0.0, abs=1e-6)
+
+
+def test_pairwise_distances_disjoint_supports(spark):
+    """Zero-overlap pair must still appear: bc = 0, hellinger = 1, tv = 1."""
+    rows = [("a", "x", 1.0), ("a", "y", 1.0), ("b", "u", 1.0), ("b", "v", 3.0)]
+    r = _pairdist(spark, rows)[("a", "b")]
+    assert r.n_common == 0
+    assert r.bc == pytest.approx(0.0)
+    assert r.hellinger == pytest.approx(1.0)
+    assert r.tv == pytest.approx(1.0)
+
+
+def test_pairwise_distances_partial_overlap_brute_force(spark):
+    import math as m
+
+    rows = [
+        ("a", "x", 1.0), ("a", "y", 3.0),
+        ("b", "y", 1.0), ("b", "z", 1.0),
+        ("c", "x", 5.0),
+    ]
+    dists = {"a": {"x": 0.25, "y": 0.75}, "b": {"y": 0.5, "z": 0.5}, "c": {"x": 1.0}}
+    got = _pairdist(spark, rows)
+    for (g1, g2), r in got.items():
+        p1, p2 = dists[g1], dists[g2]
+        keys = set(p1) | set(p2)
+        bc = sum(m.sqrt(p1.get(k, 0) * p2.get(k, 0)) for k in keys)
+        tv = 0.5 * sum(abs(p1.get(k, 0) - p2.get(k, 0)) for k in keys)
+        assert r.bc == pytest.approx(bc, abs=1e-6), (g1, g2)
+        assert r.tv == pytest.approx(tv, abs=1e-6), (g1, g2)
+        assert r.hellinger == pytest.approx(m.sqrt(1 - bc), abs=1e-6), (g1, g2)
+    assert len(got) == 3  # all pairs from the 3-group grid
