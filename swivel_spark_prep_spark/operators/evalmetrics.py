@@ -39,6 +39,7 @@ __all__ = [
     "brier_decomposition",
     "mcnemar_test",
     "cochran_armitage",
+    "fleiss_kappa",
 ]
 
 
@@ -1109,4 +1110,76 @@ def cochran_armitage(
         F.round(pbar, 6).alias("p_bar"),
         F.round(z, 6).alias("z"),
         F.round(F.when(var > 0, t * t / var), 6).alias("chi2"),
+    )
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, category_col: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among
+    a FIXED number n of raters per item (Cohen's kappa generalizes to
+    exactly two rater COLUMNS; Fleiss to n anonymous raters in rows).
+    Input: one row per (item, rating); with per-item×category counts
+    n_ij and N items:
+
+        P_i = (Σ_j n_ij² − n) / (n(n−1))       (per-item agreement)
+        P̄  = mean_i P_i,   p_j = Σ_i n_ij/(N·n),   P_e = Σ_j p_j²
+        κ  = (P̄ − P_e) / (1 − P_e)
+
+    Fleiss' formula is UNDEFINED for varying raters-per-item, so the
+    contract is executable (the heavyhitters refuse-don't-guess
+    discipline): per-item totals reduce to a 2-row min/max control
+    aggregate, and a mismatch raises ValueError rather than returning
+    a silently wrong κ. Scale shape: one groupBy to (item, category)
+    counts, one to per-item sums, one to the category-marginal
+    relation — everything downstream is category-cardinality. Output
+    (1 row): n_items, n_raters, p_bar, p_e, kappa — kappa NULL when
+    P_e = 1 (single category: agreement is vacuous).
+    """
+    g = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(category_col).cast("string").alias("_c"),
+    ).filter(F.col("_i").isNotNull() & F.col("_c").isNotNull())
+    cells = g.groupBy("_i", "_c").agg(F.count("*").cast("double").alias("_n"))
+    per_item = cells.groupBy("_i").agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_sq"),
+    )
+    # executable contract: constant raters-per-item (control aggregate,
+    # 1 row — never data)
+    chk = per_item.agg(
+        F.min("_tot").alias("_lo"), F.max("_tot").alias("_hi")
+    ).collect()[0]
+    if chk["_lo"] is None:
+        raise ValueError("fleiss_kappa: empty input")
+    if chk["_lo"] != chk["_hi"]:
+        raise ValueError(
+            "fleiss_kappa requires a constant rater count per item; got "
+            f"min={chk['_lo']:.0f} max={chk['_hi']:.0f}"
+        )
+    n = float(chk["_lo"])
+    if n < 2:
+        raise ValueError(f"fleiss_kappa needs >= 2 raters per item, got {n:.0f}")
+    pbar_df = per_item.agg(
+        F.count("*").cast("double").alias("_N"),
+        F.avg((F.col("_sq") - n) / (n * (n - 1))).alias("_pbar"),
+    )
+    pe_df = cells.groupBy("_c").agg(F.sum("_n").alias("_cj"))
+    pe = pe_df.crossJoin(F.broadcast(pbar_df)).agg(
+        F.sum(
+            (F.col("_cj") / (F.col("_N") * n))
+            * (F.col("_cj") / (F.col("_N") * n))
+        ).alias("_pe")
+    )
+    out = pbar_df.crossJoin(F.broadcast(pe))
+    return out.select(
+        F.col("_N").cast("long").alias("n_items"),
+        F.lit(int(n)).cast("long").alias("n_raters"),
+        F.round("_pbar", 6).alias("p_bar"),
+        F.round("_pe", 6).alias("p_e"),
+        F.round(
+            F.when(
+                F.col("_pe") < 1.0,
+                (F.col("_pbar") - F.col("_pe")) / (1.0 - F.col("_pe")),
+            ),
+            6,
+        ).alias("kappa"),
     )

@@ -706,3 +706,134 @@ def woe_iv(
         F.round(F.sum("iv"), 6).alias("iv"),
     )
     return rows.unionByName(summary)
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover's) distance between two slices'
+    empirical value distributions — the drift metric that, unlike
+    KS (sup gap) or PSI (binned ratio), weights HOW FAR mass moved:
+
+        W₁ = ∫ |F_a(v) − F_b(v)| dv
+           = Σ_i |F_a(v_{i−1}) − F_b(v_{i−1})| · (v_i − v_{i−1})
+
+    over the pooled distinct values v_1 < … < v_K. Scale shape: one
+    groupBy collapses both slices to the per-distinct-value count
+    relation; the CDFs at the PREDECESSOR value come from one
+    exclusive partitioned_prefix_sum pass (exclusive cum ≡ inclusive
+    cum of the previous row), the predecessor value itself from one
+    exclusive partitioned_prefix_extremum pass (running max of
+    strictly-before values IS v_{i−1} on a sorted axis) — so the gap
+    term needs no lag window, unpartitioned or otherwise; both passes
+    are value-cardinality (the ks_test discipline). Output (1 row):
+    n_a, n_b, w1 — NULL when either slice is empty.
+    """
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_extremum,
+        partitioned_prefix_sum,
+    )
+
+    g = F.col(group_col)
+    base = df.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.when(g == group_a, 1).when(g == group_b, 0).alias("_a"),
+    ).filter(F.col("_v").isNotNull() & F.col("_a").isNotNull())
+    per = base.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    cum = partitioned_prefix_sum(
+        per, ["_v"], ["_ca", "_cb"], ["_pa", "_pb"], inclusive=False
+    )
+    prev = partitioned_prefix_extremum(
+        cum, ["_v"], "_v", "_vprev", inclusive=False, agg="max"
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("double").alias("_na"),
+        F.sum("_cb").cast("double").alias("_nb"),
+    )
+    terms = prev.crossJoin(F.broadcast(tot)).select(
+        "_na",
+        "_nb",
+        F.when(
+            F.col("_vprev").isNotNull(),
+            F.abs(F.col("_pa") / F.col("_na") - F.col("_pb") / F.col("_nb"))
+            * (F.col("_v") - F.col("_vprev")),
+        ).alias("_t"),
+    )
+    return terms.agg(
+        F.first("_na").cast("long").alias("n_a"),
+        F.first("_nb").cast("long").alias("n_b"),
+        F.round(
+            F.when(
+                (F.first("_na") > 0) & (F.first("_nb") > 0),
+                F.coalesce(F.sum("_t"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("w1"),
+    )
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic (Anderson 1962), tie-
+    extended by integrating against the pooled empirical measure —
+    the whole-CDF companion to ks_test's sup-norm (CvM accumulates
+    every gap, so many small distributed discrepancies that never
+    spike past the KS sup still register):
+
+        T = (n_a·n_b / N²) · Σ_j l_j · (F_a(v_j) − F_b(v_j))²
+
+    over pooled distinct values with pooled multiplicity l_j (each of
+    the N pooled observations contributes its value's squared CDF
+    gap — for tie-free data this is exactly Anderson's Σ over sample
+    points). One groupBy to the distinct-value relation, one inclusive
+    partitioned_prefix_sum pass for both CDFs, one 1-row reduction.
+    Output (1 row): n_a, n_b, t — NULL when either slice is empty.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    g = F.col(group_col)
+    base = df.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.when(g == group_a, 1).when(g == group_b, 0).alias("_a"),
+    ).filter(F.col("_v").isNotNull() & F.col("_a").isNotNull())
+    per = base.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    cum = partitioned_prefix_sum(
+        per, ["_v"], ["_ca", "_cb"], ["_fa", "_fb"], inclusive=True
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("double").alias("_na"),
+        F.sum("_cb").cast("double").alias("_nb"),
+    )
+    gap = F.col("_fa") / F.col("_na") - F.col("_fb") / F.col("_nb")
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "_na",
+        "_nb",
+        ((F.col("_ca") + F.col("_cb")) * gap * gap).alias("_t"),
+    )
+    na, nb = F.first("_na"), F.first("_nb")
+    return terms.agg(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(
+            F.when(
+                (na > 0) & (nb > 0),
+                na * nb / ((na + nb) * (na + nb)) * F.sum("_t"),
+            ),
+            6,
+        ).alias("t"),
+    )

@@ -8206,3 +8206,112 @@ def x222(spark, sf_dir):
     return pairwise_distribution_distances(counts, "source", "w", "c").orderBy(
         "g1", "g2"
     )
+
+
+@_declare(
+    "X223_wasserstein_drift",
+    # 1-D Wasserstein-1 / earth-mover's distance (quality.
+    # wasserstein_1d) between purchase and click value distributions --
+    # the drift metric that weights HOW FAR mass moved (KS = sup gap,
+    # PSI = binned ratio; W1 = integral of the CDF gap). Predecessor
+    # values via the exclusive prefix-EXTREMUM pass, CDFs via the
+    # exclusive prefix-sum pass -- no lag window. The oracle replays
+    # both with windows over the distinct-value relation.
+    """WITH base AS (SELECT value::DOUBLE AS v, (event_type = 'purchase')::INT AS a
+             FROM events WHERE value IS NOT NULL
+                   AND event_type IN ('purchase', 'click')),
+per AS (SELECT v, SUM(a)::DOUBLE AS ca, SUM(1 - a)::DOUBLE AS cb
+        FROM base GROUP BY 1),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per),
+cum AS (SELECT v,
+          COALESCE(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS pa,
+          COALESCE(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS pb,
+          LAG(v) OVER (ORDER BY v) AS vprev
+        FROM per),
+s AS (SELECT SUM(CASE WHEN vprev IS NOT NULL
+              THEN abs(pa / na - pb / nb) * (v - vprev) END) AS w
+      FROM cum, tot)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN COALESCE(w, 0) END, 6) AS w1
+FROM tot, s;""",
+)
+def x223(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import wasserstein_1d
+
+    ev = load_table(spark, sf_dir, "events")
+    return wasserstein_1d(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X224_cramer_von_mises",
+    # Two-sample Cramer-von Mises (quality.cramer_von_mises, Anderson
+    # 1962, tie-extended against the pooled empirical measure): the
+    # whole-CDF drift companion to X157's KS sup-norm -- many small
+    # distributed gaps register even when no single gap spikes. One
+    # inclusive prefix-sum pass; the oracle replays the pooled-
+    # multiplicity weighted sum.
+    """WITH base AS (SELECT value::DOUBLE AS v, (event_type = 'purchase')::INT AS a
+             FROM events WHERE value IS NOT NULL
+                   AND event_type IN ('purchase', 'click')),
+per AS (SELECT v, SUM(a)::DOUBLE AS ca, SUM(1 - a)::DOUBLE AS cb
+        FROM base GROUP BY 1),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per),
+cum AS (SELECT v, ca, cb,
+          SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb
+        FROM per
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (SELECT SUM((ca + cb) * (fa / na - fb / nb) * (fa / na - fb / nb)) AS t
+      FROM cum, tot)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0
+             THEN na * nb / ((na + nb) * (na + nb)) * t END, 6) AS t
+FROM tot, s;""",
+)
+def x224(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import cramer_von_mises
+
+    ev = load_table(spark, sf_dir, "events")
+    return cramer_von_mises(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X225_fleiss_kappa",
+    # Fleiss' kappa (evalmetrics.fleiss_kappa, 1971) among THREE rule
+    # raters ('contains the/and/of' -> 'en' vs 'other') rating every
+    # document -- the n-rater generalization of X151's Cohen kappa,
+    # with the constant-raters-per-item contract enforced (here n = 3
+    # by construction). The oracle replays the n_ij cell algebra.
+    """WITH r AS (SELECT doc_id, unnest([
+    CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END,
+    CASE WHEN text LIKE '% and %' THEN 'en' ELSE 'other' END,
+    CASE WHEN text LIKE '% of %' THEN 'en' ELSE 'other' END]) AS c
+  FROM documents WHERE text IS NOT NULL),
+cells AS (SELECT doc_id, c, COUNT(*)::DOUBLE AS n FROM r GROUP BY 1, 2),
+per AS (SELECT doc_id, SUM(n * n) AS sq FROM cells GROUP BY 1),
+pb AS (SELECT COUNT(*)::DOUBLE AS N, AVG((sq - 3) / (3 * 2)) AS pbar FROM per),
+pe AS (SELECT SUM((cj / (N * 3)) * (cj / (N * 3))) AS pe
+       FROM (SELECT c, SUM(n) AS cj FROM cells GROUP BY 1), pb)
+SELECT N::BIGINT AS n_items, 3::BIGINT AS n_raters,
+       ROUND(pbar, 6) AS p_bar, ROUND(pe, 6) AS p_e,
+       ROUND(CASE WHEN pe < 1 THEN (pbar - pe) / (1 - pe) END, 6) AS kappa
+FROM pb, pe;""",
+)
+def x225(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import fleiss_kappa
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    en = F.lit("en")
+    other = F.lit("other")
+    ratings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.when(F.col("text").like("% the %"), en).otherwise(other),
+                F.when(F.col("text").like("% and %"), en).otherwise(other),
+                F.when(F.col("text").like("% of %"), en).otherwise(other),
+            )
+        ).alias("cat"),
+    )
+    return fleiss_kappa(ratings, "doc_id", "cat")

@@ -444,3 +444,138 @@ def test_pairwise_distances_partial_overlap_brute_force(spark):
         assert r.tv == pytest.approx(tv, abs=1e-6), (g1, g2)
         assert r.hellinger == pytest.approx(m.sqrt(1 - bc), abs=1e-6), (g1, g2)
     assert len(got) == 3  # all pairs from the 3-group grid
+
+
+# ---- round-12 batch D: Wasserstein-1, Cramér–von Mises, Fleiss kappa
+
+
+def _two_sample(spark, a_vals, b_vals):
+    rows = [(float(v), "a") for v in a_vals] + [(float(v), "b") for v in b_vals]
+    return spark.createDataFrame(rows, "v double, g string")
+
+
+def test_wasserstein_matches_brute_force(spark):
+    from swivel_spark_prep_spark.operators.quality import wasserstein_1d
+
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 6.0, 6.0]
+    row = wasserstein_1d(_two_sample(spark, a, b), "v", "g", "a", "b").collect()[0]
+    vals = sorted(set(a) | set(b))
+    w1 = 0.0
+    for i in range(1, len(vals)):
+        fa = sum(1 for x in a if x <= vals[i - 1]) / len(a)
+        fb = sum(1 for x in b if x <= vals[i - 1]) / len(b)
+        w1 += abs(fa - fb) * (vals[i] - vals[i - 1])
+    assert (row.n_a, row.n_b) == (5, 4)
+    assert row.w1 == pytest.approx(w1, abs=1e-6)
+
+
+def test_wasserstein_shift_identity(spark):
+    """W1 between X and X+c is exactly |c| — the signature EMD property
+    KS does not have (KS saturates at 1 for any disjoint shift)."""
+    from swivel_spark_prep_spark.operators.quality import wasserstein_1d
+
+    a = [1.0, 3.0, 4.0, 8.0]
+    for c in (0.5, 10.0):
+        b = [x + c for x in a]
+        row = wasserstein_1d(
+            _two_sample(spark, a, b), "v", "g", "a", "b"
+        ).collect()[0]
+        assert row.w1 == pytest.approx(c, abs=1e-6), c
+
+
+def test_wasserstein_identical_zero(spark):
+    from swivel_spark_prep_spark.operators.quality import wasserstein_1d
+
+    a = [1.0, 2.0, 9.0]
+    row = wasserstein_1d(_two_sample(spark, a, a), "v", "g", "a", "b").collect()[0]
+    assert row.w1 == pytest.approx(0.0)
+
+
+def test_cramer_von_mises_matches_brute_force(spark):
+    from swivel_spark_prep_spark.operators.quality import cramer_von_mises
+
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 6.0, 6.0]
+    row = cramer_von_mises(_two_sample(spark, a, b), "v", "g", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    pooled = a + b
+    t = sum(
+        (
+            sum(1 for x in a if x <= v) / na
+            - sum(1 for x in b if x <= v) / nb
+        )
+        ** 2
+        for v in pooled
+    )
+    want = na * nb / (na + nb) ** 2 * t
+    assert row.t == pytest.approx(want, abs=1e-6)
+
+
+def test_cramer_von_mises_identical_zero_and_disjoint_positive(spark):
+    from swivel_spark_prep_spark.operators.quality import cramer_von_mises
+
+    a = [1.0, 2.0, 3.0]
+    same = cramer_von_mises(_two_sample(spark, a, a), "v", "g", "a", "b").collect()[0]
+    assert same.t == pytest.approx(0.0)
+    b = [10.0, 11.0, 12.0]
+    far = cramer_von_mises(_two_sample(spark, a, b), "v", "g", "a", "b").collect()[0]
+    assert far.t > 0.3  # fully separated samples: large CvM
+
+
+def _ratings(spark, rows):
+    return spark.createDataFrame(rows, "item long, cat string")
+
+
+def test_fleiss_kappa_matches_published_worked_example(spark):
+    """Fleiss 1971-style hand check on a tiny table: 4 items × 3
+    raters, 2 categories; brute-force python replication."""
+    from swivel_spark_prep_spark.operators.evalmetrics import fleiss_kappa
+
+    table = {
+        1: ["x", "x", "x"],
+        2: ["x", "x", "y"],
+        3: ["y", "y", "x"],
+        4: ["y", "y", "y"],
+    }
+    rows = [(i, c) for i, cs in table.items() for c in cs]
+    row = fleiss_kappa(_ratings(spark, rows), "item", "cat").collect()[0]
+    n, N = 3, 4
+    p_i = []
+    cat_tot = {}
+    for cs in table.values():
+        counts = {c: cs.count(c) for c in set(cs)}
+        p_i.append((sum(v * v for v in counts.values()) - n) / (n * (n - 1)))
+        for c, v in counts.items():
+            cat_tot[c] = cat_tot.get(c, 0) + v
+    pbar = sum(p_i) / N
+    pe = sum((v / (N * n)) ** 2 for v in cat_tot.values())
+    kappa = (pbar - pe) / (1 - pe)
+    assert row.n_items == N and row.n_raters == n
+    assert row.p_bar == pytest.approx(pbar, abs=1e-6)
+    assert row.p_e == pytest.approx(pe, abs=1e-6)
+    assert row.kappa == pytest.approx(kappa, abs=1e-6)
+
+
+def test_fleiss_kappa_perfect_agreement_one(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import fleiss_kappa
+
+    rows = [(i, c) for i, c in ((1, "x"), (2, "y"), (3, "x")) for _ in range(3)]
+    row = fleiss_kappa(_ratings(spark, rows), "item", "cat").collect()[0]
+    assert row.kappa == pytest.approx(1.0)
+
+
+def test_fleiss_kappa_single_category_null(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import fleiss_kappa
+
+    rows = [(i, "x") for i in (1, 2, 3) for _ in range(3)]
+    row = fleiss_kappa(_ratings(spark, rows), "item", "cat").collect()[0]
+    assert row.kappa is None  # P_e = 1: vacuous
+
+
+def test_fleiss_kappa_varying_raters_raises(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import fleiss_kappa
+
+    rows = [(1, "x"), (1, "y"), (1, "x"), (2, "x"), (2, "y")]  # 3 vs 2 raters
+    with pytest.raises(ValueError, match="constant rater count"):
+        fleiss_kappa(_ratings(spark, rows), "item", "cat").collect()
