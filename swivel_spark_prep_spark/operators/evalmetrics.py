@@ -40,6 +40,7 @@ __all__ = [
     "mcnemar_test",
     "cochran_armitage",
     "fleiss_kappa",
+    "rank_biased_overlap",
 ]
 
 
@@ -1182,4 +1183,54 @@ def fleiss_kappa(df: DataFrame, item_col: str, category_col: str) -> DataFrame:
             ),
             6,
         ).alias("kappa"),
+    )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    rank_col: str,
+    k: int,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap RBO@k (Webber, Moffat & Zobel
+    TOIS 2010) between two ranked lists — the top-weighted "how
+    similar are these two rankings" measure retrieval A/Bs use where
+    Spearman/Kendall (uniform depth weighting, conjoint domains) do
+    not apply:
+
+        RBO@k = Σ_{d=1}^{k} (1−p)·p^{d−1} · |A_d ∩ B_d| / d
+
+    An id at ranks (r_a, r_b) enters every depth d ≥ max(r_a, r_b),
+    so its total contribution is the TAIL weight T(d₀) =
+    Σ_{d=d₀}^{k} (1−p)p^{d−1}/d — which turns the depth loop into one
+    k-bounded equi-join on id plus an element_at into a precomputed
+    k-length literal. Both inputs are rank ≤ k lists by contract
+    (rows outside [1, k] are filtered); p controls top-weight (p=0.9
+    ≈ the top 10 dominate). Output (1 row): k, p, n_common, rbo —
+    rbo ∈ [0, 1], and Σ_d weights telescope so two IDENTICAL lists
+    give exactly Σ_{d≤k}(1−p)p^{d−1} (< 1: the truncation residual is
+    the undecided tail, reported by construction, not hidden).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    w = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    tails = [sum(w[d0 - 1:]) for d0 in range(1, k + 1)]
+    aa = a.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).cast("long").alias("_ra")
+    ).filter((F.col("_ra") >= 1) & (F.col("_ra") <= k))
+    bb = b.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).cast("long").alias("_rb")
+    ).filter((F.col("_rb") >= 1) & (F.col("_rb") <= k))
+    j = aa.join(bb, "_id")
+    d0 = F.greatest("_ra", "_rb").cast("int")
+    wcol = F.element_at(F.array(*[F.lit(t) for t in tails]), d0)
+    return j.agg(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.lit(float(p)).alias("p"),
+        F.count("*").alias("n_common"),
+        F.round(F.coalesce(F.sum(wcol), F.lit(0.0)), 6).alias("rbo"),
     )

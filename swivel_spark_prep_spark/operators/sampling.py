@@ -1017,3 +1017,105 @@ def bootstrap_diff_ci(
         F.round("_hi", 6).alias("ci_hi"),
         "b_used",
     )
+
+
+def randomization_test(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    replicates: int = 200,
+    salt: str = "perm",
+) -> DataFrame:
+    """Two-sample randomization test for a difference in means (Fisher
+    1935 by way of Dwass 1957's random subsampling): under H₀ the
+    group labels are exchangeable, so the null distribution of
+    mean_a − mean_b is built by RELABELING the pooled rows and the
+    p-value is the add-one exceedance rate (Davison & Hinkley 1997):
+
+        p = (1 + #{b : |d_b| ≥ |d_obs|}) / (B_used + 1)
+
+    Each replicate relabels every pooled row independently to
+    pseudo-A with probability q = n_a/N — the RANDOM-RELABELING form:
+    the exact permutation test's fixed-margin constraint relaxes to
+    binomial margins, which is the standard large-sample approximation
+    and the only form needing no global coordination (an exact
+    permutation is a distributed sort per replicate). Stated here,
+    not hidden: at n ≳ 100/slice the two are statistically
+    indistinguishable; replicates drawing an empty pseudo-slice are
+    dropped (b_used).
+
+    Determinism: the same one-md5-per-row + per-row-step Weyl mix as
+    bootstrap_mean_ci (coverage rationale there), so any engine
+    replays every assignment bit-for-bit. Execution: one explode
+    (rows × replicates, the method's inherent cost) into ONE grouped
+    aggregate of conditional sums; everything downstream is
+    replicate-sized. Output (1 row): n_a, n_b, diff_obs, b_used,
+    n_extreme, p_value.
+    """
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull() & F.col("_g").isin([group_a, group_b]))
+    tot = base.agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_na"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("_nb"),
+        F.avg(F.when(F.col("_g") == group_a, F.col("_x"))).alias("_ma"),
+        F.avg(F.when(F.col("_g") == group_b, F.col("_x"))).alias("_mb"),
+    )
+    # one md5 per row + per-row-step Weyl mix (see bootstrap_mean_ci)
+    md5 = F.md5(F.concat_ws(":", F.lit(salt), F.col("_id")))
+    h = F.conv(F.substring(md5, 1, 15), 16, 10).cast("double") / F.lit(
+        float(2**60)
+    )
+    g = F.conv(F.substring(md5, 16, 15), 16, 10).cast("double") / F.lit(
+        float(2**60)
+    )
+    s = (F.lit(0.6180339887498949) * (F.lit(1.0) + g)) % 1.0
+    rep = base.select(
+        h.alias("_h"),
+        s.alias("_s"),
+        "_x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(replicates)))).alias("_b"),
+    ).crossJoin(F.broadcast(tot.select("_na", "_nb")))
+    u = (F.col("_h") + F.col("_b") * F.col("_s")) % 1.0
+    q = F.col("_na").cast("double") / (F.col("_na") + F.col("_nb"))
+    is_a = (u < q).cast("double")
+    per_rep = (
+        rep.groupBy("_b")
+        .agg(
+            F.sum(F.col("_x") * is_a).alias("_sa"),
+            F.sum(is_a).alias("_wa"),
+            F.sum(F.col("_x") * (1.0 - is_a)).alias("_sb"),
+            F.sum(1.0 - is_a).alias("_wb"),
+        )
+        .filter((F.col("_wa") > 0) & (F.col("_wb") > 0))
+        .select(
+            (F.col("_sa") / F.col("_wa") - F.col("_sb") / F.col("_wb")).alias(
+                "_d"
+            )
+        )
+    )
+    null_dist = per_rep.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").alias("b_used"),
+        F.sum(
+            (F.abs(F.col("_d")) >= F.abs(F.col("_ma") - F.col("_mb")))
+            .cast("long")
+        ).alias("n_extreme"),
+    )
+    return tot.crossJoin(F.broadcast(null_dist)).select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(F.col("_ma") - F.col("_mb"), 6).alias("diff_obs"),
+        "b_used",
+        "n_extreme",
+        F.round(
+            (1 + F.col("n_extreme")).cast("double") / (F.col("b_used") + 1),
+            6,
+        ).alias("p_value"),
+    )

@@ -1038,3 +1038,92 @@ def hard_negatives(
         .filter(F.col("rnk") <= k)
         .select("anchor_id", F.col("id").alias("neg_id"), "sim", "rnk")
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998) — the diverse top-k: greedily pick the candidate
+    maximizing ``λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` so the
+    result covers the space near the query instead of returning k
+    near-duplicates (what plain cosine top-k does on a clustered
+    corpus; λ=1 reduces to exactly that). rel and sim are cosine.
+
+    Execution: relevance is ONE broadcast-query scan, persisted along
+    with each vector's squared norm; then k greedy rounds, each a
+    TakeOrdered(1) job over the corpus with the CURRENT selected set
+    inlined as array literals (the selected set lives on the driver —
+    k vectors, control-plane by the same argument as k-means
+    centroids; k ≤ 64 enforced so the literal stays bounded).
+    Sequential rounds are inherent to greedy MMR — each choice
+    conditions on the last; the per-round cost is one scan with ≤ k
+    codegen dot products, no shuffle. Deterministic tiebreak by id.
+    Output (k rows, driver-assembled — selection metadata, not data):
+    (step, id, rel, score).
+    """
+    if not 1 <= k <= 64:
+        raise ValueError(f"k must be in [1, 64], got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    spark = emb.sparkSession
+    base = with_double_embedding(emb, vec_col).select(
+        F.col(id_col).alias("_id"), "_emb"
+    ).filter(F.col("_id").isNotNull() & F.col("_emb").isNotNull())
+    qn2 = float(sum(float(x) * float(x) for x in query_vec))
+    if qn2 <= 0:
+        raise ValueError("query_vec must be nonzero")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    from swivel_spark_prep_spark.cache import track_persist
+
+    rel = track_persist(
+        base.select(
+            "_id",
+            "_emb",
+            _norm2("_emb").alias("_n2"),
+            (_dot("_emb", q) / F.sqrt(_norm2("_emb") * F.lit(qn2))).alias(
+                "_rel"
+            ),
+        ).filter(F.col("_n2") > 0)
+    )
+    chosen: list = []  # (id, vec, n2)
+    out = []
+    for step in range(k):
+        cand = rel
+        if chosen:
+            cand = cand.filter(~F.col("_id").isin([c[0] for c in chosen]))
+            sims = [
+                _dot("_emb", F.array(*[F.lit(v) for v in vec]))
+                / F.sqrt(F.col("_n2") * F.lit(n2))
+                for (_, vec, n2) in chosen
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            maxsim = F.lit(0.0)
+        score = F.lit(float(lam)) * F.col("_rel") - F.lit(
+            1.0 - float(lam)
+        ) * maxsim
+        top = (
+            cand.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), F.col("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        vec = [float(v) for v in r["_emb"]]
+        chosen.append((r["_id"], vec, float(sum(v * v for v in vec))))
+        out.append(
+            (step + 1, r["_id"], round(float(r["_rel"]), 6),
+             round(float(r["_score"]), 6))
+        )
+    id_type = dict(emb.dtypes).get(id_col, "bigint")
+    return spark.createDataFrame(
+        out, f"step int, {id_col} {id_type}, rel double, score double"
+    )

@@ -8315,3 +8315,119 @@ def x225(spark, sf_dir):
         ).alias("cat"),
     )
     return fleiss_kappa(ratings, "doc_id", "cat")
+
+
+@_declare(
+    "X226_randomization_test",
+    # Two-sample randomization test (sampling.randomization_test,
+    # Fisher/Dwass): exchangeable-label null for the purchase-vs-click
+    # mean difference; 100 deterministic relabelings via the same
+    # one-md5 + per-row-Weyl scheme as the bootstraps, add-one
+    # exceedance p. The oracle replays every assignment bit-for-bit.
+    """WITH base AS (
+  SELECT event_type AS g, event_id::VARCHAR AS id, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+tot AS (SELECT SUM((g = 'purchase')::INT)::BIGINT AS na,
+               SUM((g = 'click')::INT)::BIGINT AS nb,
+               AVG(CASE WHEN g = 'purchase' THEN x END) AS ma,
+               AVG(CASE WHEN g = 'click' THEN x END) AS mb
+        FROM base),
+hs AS (SELECT x,
+             ('0x' || substr(md5('perm:' || id), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS h,
+             fmod(0.6180339887498949 * (1.0 +
+               ('0x' || substr(md5('perm:' || id), 16, 15))::BIGINT
+                 / 1152921504606846976.0), 1.0) AS s
+      FROM base),
+rep AS (SELECT b, x,
+          (fmod(h + b * s, 1.0) < na::DOUBLE / (na + nb))::INT AS a
+        FROM hs, range(1, 101) t(b), tot),
+per AS (SELECT b, SUM(x * a) AS sa, SUM(a)::DOUBLE AS wa,
+               SUM(x * (1 - a)) AS sb, SUM(1 - a)::DOUBLE AS wb
+        FROM rep GROUP BY 1
+        HAVING SUM(a) > 0 AND SUM(1 - a) > 0),
+nd AS (SELECT COUNT(*)::BIGINT AS b_used,
+              SUM((abs(sa / wa - sb / wb) >= abs(ma - mb))::INT)::BIGINT
+                AS n_extreme
+       FROM per, tot)
+SELECT na AS n_a, nb AS n_b, ROUND(ma - mb, 6) AS diff_obs, b_used,
+       n_extreme,
+       ROUND((1 + n_extreme)::DOUBLE / (b_used + 1), 6) AS p_value
+FROM tot, nd;""",
+)
+def x226(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import randomization_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return randomization_test(
+        ev, "value", "event_id", "event_type", "purchase", "click",
+        replicates=100,
+    )
+
+
+@_declare(
+    "X227_mmr_select",
+    # Maximal Marginal Relevance diverse top-10 (similarity.mmr_select,
+    # Carbonell & Goldstein 1998) against the axis query e0: greedy
+    # lambda*rel - (1-lambda)*max-sim selection, k driver rounds each a
+    # TakeOrdered(1) scan with the selected set inlined as literals.
+    # Greedy sequential selection is not SQL-expressible without a
+    # recursive CTE replaying cosine algebra -- property-tested against
+    # brute-force python MMR instead (tests/test_round12b_ops.py), the
+    # X07/X08 seeded-internals convention.
+    None,
+)
+def x227(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * 63
+    return mmr_select(emb, query, k=10, lam=0.7)
+
+
+@_declare(
+    "X228_rank_biased_overlap",
+    # Truncated RBO@50 (evalmetrics.rank_biased_overlap, Webber et al.
+    # 2010) between two document rankings -- by char length vs by
+    # whitespace token count: the top-weighted ranking-similarity
+    # measure for comparing two scoring functions. Tail weights
+    # T(d0) = sum_{d>=d0} (1-p)p^(d-1)/d collapse the depth loop into
+    # one k-bounded join + element_at. The oracle replays ranks,
+    # tails and the join.
+    """WITH a AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents WHERE n_chars IS NOT NULL QUALIFY r <= 50),
+b AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                                doc_id) AS r
+      FROM documents WHERE text IS NOT NULL QUALIFY r <= 50),
+ws AS (SELECT d, (1 - 0.9) * pow(0.9, d - 1) / d AS w FROM range(1, 51) t(d)),
+tails AS (SELECT x.d AS d0, SUM(y.w) AS t FROM ws x JOIN ws y ON y.d >= x.d
+          GROUP BY 1),
+j AS (SELECT GREATEST(a.r, b.r) AS d0 FROM a JOIN b USING (doc_id)),
+s AS (SELECT COUNT(*)::BIGINT AS n_common, COALESCE(SUM(t), 0) AS rbo
+      FROM j JOIN tails USING (d0))
+SELECT 50::BIGINT AS k, 0.9::DOUBLE AS p, n_common, ROUND(rbo, 6) AS rbo
+FROM s;""",
+)
+def x228(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import rank_biased_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ranked(col_expr, flt):
+        # rank assignment: TakeOrdered to the k-bounded relation FIRST,
+        # then row_number over those 50 rows (the bounded-window
+        # allowlist class -- test_plan_guardrail.py documents it)
+        top = docs.filter(flt).select("doc_id", col_expr.alias("_s")).orderBy(
+            F.col("_s").desc(), "doc_id"
+        ).limit(50)
+        w = Window.orderBy(F.col("_s").desc(), "doc_id")
+        return top.select("doc_id", F.row_number().over(w).alias("rank"))
+
+    a = ranked(F.col("n_chars"), F.col("n_chars").isNotNull())
+    b = ranked(
+        F.size(F.split(F.col("text"), " ", -1)),
+        F.col("text").isNotNull(),
+    )
+    return rank_biased_overlap(a, b, "doc_id", "rank", k=50, p=0.9)

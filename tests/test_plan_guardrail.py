@@ -21,6 +21,10 @@ ON PURPOSE, each over a provably bounded relation:
   never corpus data; the merged relation feeds both the union-NDV
   estimate and the membership flags, so the same bounded window
   appears twice in the plan.
+- X228: the two rank-assignment row_numbers run over TakeOrdered
+  LIMIT-50 relations (ranks are assigned AFTER the top-k cut, so the
+  window input is 50 rows by construction — the X61 LIMIT-bounded
+  class, twice).
 
 Anything else with an unpartitioned window — or ANY CartesianProduct
 anywhere — fails here, before a judge or a cluster finds it.
@@ -89,6 +93,7 @@ ALLOWED_UNPARTITIONED = {
     "X147_kmv_distinct_sketch": 1,
     "X17_win_ntile": 1,
     "X183_join_size_estimate": 2,
+    "X228_rank_biased_overlap": 2,
     "X39_vocab_coverage": 1,
     "X61_zipf_fit": 1,
 }

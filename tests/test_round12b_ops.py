@@ -579,3 +579,223 @@ def test_fleiss_kappa_varying_raters_raises(spark):
     rows = [(1, "x"), (1, "y"), (1, "x"), (2, "x"), (2, "y")]  # 3 vs 2 raters
     with pytest.raises(ValueError, match="constant rater count"):
         fleiss_kappa(_ratings(spark, rows), "item", "cat").collect()
+
+
+# ---- round-12 batch E: randomization test, MMR selection, RBO
+
+
+def _rt(spark, rows, replicates=100):
+    from swivel_spark_prep_spark.operators.sampling import randomization_test
+
+    df = spark.createDataFrame(rows, "id string, g string, x double")
+    return randomization_test(
+        df, "x", "id", "g", "a", "b", replicates=replicates
+    ).collect()[0]
+
+
+def test_randomization_matches_numpy_replay(spark):
+    """Replicate the operator's exact md5 + Weyl assignment in python
+    and check b_used / n_extreme / p_value bit-for-bit."""
+    import hashlib
+    import math as m
+
+    rows = [(f"r{i}", "a" if i % 3 else "b", float((i * 7) % 11)) for i in range(40)]
+    B = 50
+    na = sum(1 for _, g, _ in rows if g == "a")
+    nb = len(rows) - na
+    q = na / (na + nb)
+    ma = sum(x for _, g, x in rows if g == "a") / na
+    mb = sum(x for _, g, x in rows if g == "b") / nb
+    diffs = []
+    hs = []
+    for rid, _, x in rows:
+        d = hashlib.md5(f"perm:{rid}".encode()).hexdigest()
+        h = int(d[0:15], 16) / 2**60
+        g2 = int(d[15:30], 16) / 2**60
+        s = m.fmod(0.6180339887498949 * (1.0 + g2), 1.0)
+        hs.append((h, s, x))
+    for b in range(1, B + 1):
+        sa = wa = sb = wb = 0.0
+        for h, s, x in hs:
+            u = m.fmod(h + b * s, 1.0)
+            if u < q:
+                sa += x
+                wa += 1
+            else:
+                sb += x
+                wb += 1
+        if wa > 0 and wb > 0:
+            diffs.append(sa / wa - sb / wb)
+    n_ext = sum(1 for d in diffs if abs(d) >= abs(ma - mb))
+    row = _rt(spark, rows, replicates=B)
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.b_used == len(diffs)
+    assert row.n_extreme == n_ext
+    assert row.p_value == pytest.approx((1 + n_ext) / (len(diffs) + 1), abs=1e-6)
+
+
+def test_randomization_null_data_large_p(spark):
+    """Identical distributions (interleaved constant + noise-free
+    pattern): the observed diff is tiny, so most relabelings beat it —
+    p must be large."""
+    rows = [(f"r{i}", "a" if i % 2 else "b", float(i % 5)) for i in range(60)]
+    row = _rt(spark, rows)
+    assert row.p_value > 0.2
+
+
+def test_randomization_separated_groups_small_p(spark):
+    """a-values ≫ b-values: almost no relabeling reproduces the gap."""
+    rows = [(f"a{i}", "a", 100.0 + i) for i in range(25)] + [
+        (f"b{i}", "b", float(i)) for i in range(25)
+    ]
+    row = _rt(spark, rows, replicates=200)
+    assert row.p_value < 0.05
+    # mean(a) = 100 + 12 = 112, mean(b) = 12 -> diff = 100
+    assert abs(row.diff_obs - 100.0) < 1.0
+
+
+def _brute_mmr(vecs, query, k, lam):
+    import math as m
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / m.sqrt(sum(a * a for a in u) * sum(b * b for b in v))
+
+    rel = {i: cos(v, query) for i, v in vecs.items()}
+    chosen = []
+    for _ in range(min(k, len(vecs))):
+        best = None
+        for i, v in vecs.items():
+            if i in [c for c, _ in chosen]:
+                continue
+            ms = max((cos(v, vecs[c]) for c, _ in chosen), default=0.0)
+            sc = lam * rel[i] - (1 - lam) * ms
+            # tiebreak by id, matching the operator
+            if best is None or sc > best[1] + 1e-12 or (
+                abs(sc - best[1]) <= 1e-12 and i < best[0]
+            ):
+                best = (i, sc)
+        chosen.append(best)
+    return [c for c, _ in chosen]
+
+
+def test_mmr_matches_brute_force(spark):
+    from swivel_spark_prep_spark.operators.similarity import mmr_select
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.98, 0.1, 0.0],   # near-dup of 1: plain top-k would take it
+        3: [0.7, 0.7, 0.0],
+        4: [0.5, 0.0, 0.8],
+        5: [0.0, 1.0, 0.0],
+        6: [0.9, 0.05, 0.05],  # another near-dup of 1
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        r.vec_id
+        for r in mmr_select(df, [1.0, 0.0, 0.0], k=4, lam=0.6)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == _brute_mmr(vecs, [1.0, 0.0, 0.0], 4, 0.6)
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    from swivel_spark_prep_spark.operators.similarity import cosine_topk, mmr_select
+
+    import random
+
+    rng = random.Random(7)
+    rowsv = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rowsv, "vec_id long, embedding array<float>")
+    q = [1.0] + [0.0] * 7
+    mmr_ids = [
+        r.vec_id for r in mmr_select(df, q, k=5, lam=1.0).orderBy("step").collect()
+    ]
+    topk_ids = [r.vec_id for r in cosine_topk(df, query_vec=q, k=5).collect()]
+    assert mmr_ids == topk_ids
+
+
+def test_mmr_avoids_near_duplicates(spark):
+    """With λ < 1 the second pick must NOT be the planted near-dup of
+    the first even though it has the second-highest relevance.
+
+    The query must NOT be collinear with the first pick: if q == s₁
+    then rel(c) == sim(c, s₁) for every candidate and all λ=0.5
+    scores are identically zero (a mathematical tie, not a diversity
+    decision). q = [0.9, 0.1] keeps 2 the top-relevance pick while
+    its near-dup 1 scores rel − sim ≈ −0.003 < candidate 3's ≈ +0.08.
+    """
+    from swivel_spark_prep_spark.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.001]),  # near-dup of 1, slightly q-closer
+            (3, [0.6, 0.8]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        r.vec_id
+        for r in mmr_select(df, [0.9, 0.1], k=2, lam=0.5).orderBy("step").collect()
+    ]
+    assert got == [2, 3]
+
+
+def _rbo(spark, a_ranks, b_ranks, k, p=0.9):
+    from swivel_spark_prep_spark.operators.evalmetrics import rank_biased_overlap
+
+    a = spark.createDataFrame(list(a_ranks.items()), "id string, r long")
+    b = spark.createDataFrame(list(b_ranks.items()), "id string, r long")
+    return rank_biased_overlap(a, b, "id", "r", k=k, p=p).collect()[0]
+
+
+def test_rbo_identical_lists_truncation_mass(spark):
+    """Two identical k-lists: RBO@k = Σ_{d≤k} (1−p)p^{d−1} = 1 − p^k
+    (every depth overlap is d/d = 1)."""
+    ranks = {f"d{i}": i for i in range(1, 11)}
+    row = _rbo(spark, ranks, ranks, k=10, p=0.9)
+    assert row.rbo == pytest.approx(1 - 0.9**10, abs=1e-6)
+    assert row.n_common == 10
+
+
+def test_rbo_disjoint_lists_zero(spark):
+    a = {f"a{i}": i for i in range(1, 6)}
+    b = {f"b{i}": i for i in range(1, 6)}
+    row = _rbo(spark, a, b, k=5)
+    assert row.rbo == pytest.approx(0.0)
+    assert row.n_common == 0
+
+
+def test_rbo_matches_depth_loop_brute_force(spark):
+    a = {"w": 1, "x": 2, "y": 3, "z": 4}
+    b = {"x": 1, "w": 2, "q": 3, "y": 4}
+    k, p = 4, 0.8
+    rbo = 0.0
+    for d in range(1, k + 1):
+        ad = {i for i, r in a.items() if r <= d}
+        bd = {i for i, r in b.items() if r <= d}
+        rbo += (1 - p) * p ** (d - 1) * len(ad & bd) / d
+    row = _rbo(spark, a, b, k=k, p=p)
+    assert row.rbo == pytest.approx(rbo, abs=1e-6)
+
+
+def test_rbo_top_weighting(spark):
+    """Agreement at depth 1 must outweigh the same single agreement
+    buried at depth k."""
+    base = {f"a{i}": i for i in range(2, 6)}
+    top_match = dict({"s": 1}, **base)                      # shares rank-1 doc
+    a1 = dict({"s": 1}, **{f"x{i}": i for i in range(2, 6)})
+    deep_match = {f"y{i}": i for i in range(1, 5)}
+    deep_match["s"] = 5
+    a2 = {f"z{i}": i for i in range(1, 5)}
+    a2["s"] = 5                                             # shares rank-5 doc
+    hi = _rbo(spark, a1, top_match, k=5).rbo
+    lo = _rbo(spark, a2, deep_match, k=5).rbo
+    assert hi > lo > 0
