@@ -72,3 +72,41 @@ def persisted_scope():
                 df.unpersist()
             except Exception:
                 pass
+
+
+def checkpoint_truncate(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint PLUS size-statistics truncation — the
+    checkpoint primitive every multi-round iterative operator here
+    (bradley_terry, dawid_skene, long-horizon pagerank) must use.
+
+    ``localCheckpoint(eager=True)`` truncates the LOGICAL plan but
+    copies the optimized plan's estimated statistics into the resulting
+    LogicalRDD. An iteration whose update joins the state relation
+    twice (MM denominators, EM M-steps, rank contributions) therefore
+    SQUARES the estimated sizeInBytes every round: the BigInteger's
+    digit count doubles per iteration (measured: 56 → 131 → 280 → 577
+    → 1173 → 2364 across 6 rounds of the Bradley–Terry update), and by
+    ~iteration 25 Catalyst's SizeInBytesOnlyStatsPlanVisitor spends
+    MINUTES in BigInteger.multiply on a number with ~10^9 digits — the
+    driver hangs in planning long before any data moves.
+
+    The fix: rebuild the DataFrame from the checkpointed InternalRow
+    RDD via SparkSession.internalCreateDataFrame (JVM-side, zero data
+    movement, no Python round-trip) so the new LogicalRDD carries NO
+    inherited statistics — the stats visitor sees the conf default,
+    a constant, and per-iteration estimates stay bounded. Planner
+    effect: the state relation is treated as large (defaultSizeInBytes),
+    which only disables auto-broadcast — every explicit broadcast()
+    in the operators is unaffected. Falls back to the plain eager
+    localCheckpoint if the internal constructor is unavailable.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        jrdd = jdf.queryExecution().toRdd()
+        schema = jdf.schema()
+        fresh = spark._jsparkSession.internalCreateDataFrame(jrdd, schema, False)
+        return DataFrame(fresh, spark)
+    except Exception:
+        return ck

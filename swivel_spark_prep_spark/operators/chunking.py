@@ -187,3 +187,60 @@ def span_corruption_spec(
         (F.col("__b") * block + off).cast("long").alias("start"),
         F.lit(span_len).cast("long").alias("length"),
     )
+
+
+def sliding_window_chunks(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size sliding-window chunking with overlap — the RAG-prep
+    counterpart of :func:`cdc_chunk`: split each document into windows
+    of ``window`` tokens advancing by ``stride`` (overlap = window −
+    stride), the standard retrieval-corpus segmentation. Every token is
+    covered, the last chunk may be short, and a document with ≤ window
+    tokens yields exactly one chunk:
+
+        n_chunks = 1 + ceil(max(n − window, 0) / stride)
+        chunk k  = tokens[k·stride + 1 .. min(k·stride + window, n)]
+
+    Execution: split → ONE sequence+posexplode per document (fan-out =
+    n_chunks, the output's own cardinality — no join, no shuffle, no
+    window function; chunking is embarrassingly row-parallel) → slice +
+    array_join, all JVM codegen-or-generator expressions. Scale: output
+    rows ≈ corpus_tokens/stride regardless of document skew; a giant
+    document costs its own chunk count, never a hot partition (rows
+    stay on their input partition).
+
+    Output: (id, chunk_id, n_tokens, chunk).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got {window}/{stride}")
+    if stride > window:
+        raise ValueError(f"stride {stride} > window {window} would skip tokens")
+    toks = F.split(F.col(text_col), " ", -1)
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("_t"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    n_chunks = F.lit(1) + F.greatest(
+        F.ceil((F.col("_n") - F.lit(window)) / F.lit(float(stride))),
+        F.lit(0),
+    ).cast("int")
+    ex = base.select(
+        "id",
+        "_t",
+        "_n",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(stride) + F.lit(1)
+    piece = F.slice("_t", start, F.lit(window))
+    return ex.select(
+        "id",
+        "chunk_id",
+        F.least(F.lit(window), F.col("_n") - F.col("chunk_id") * F.lit(stride))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from swivel_spark_prep_spark.cache import track_persist
+from swivel_spark_prep_spark.cache import checkpoint_truncate, track_persist
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -668,7 +668,7 @@ def connected_components(
         # fuzzy_dedup_clusters) and every round joins it — without this
         # each iteration re-runs that pipeline (measured 5.4 s → 2.6 s
         # on X40 at sf0.1)
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_truncate)
     )
     # round 0 fused into the init: label = min over the closed
     # neighborhood. Near-dup components are cliques-with-chords, so this
@@ -677,7 +677,7 @@ def connected_components(
         nbrs.groupBy("node")
         .agg(F.min("nbr").alias("_mn"))
         .select("node", F.least("_mn", "node").alias("rep"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_truncate)
     )
     for _ in range(max_iter):
         nbr_label = nbrs.join(
@@ -687,7 +687,7 @@ def connected_components(
             labels.unionByName(nbr_label)
             .groupBy("node")
             .agg(F.min("rep").alias("rep"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_truncate)
         )
         # changed-set probe: both sides are checkpointed label tables
         # (dup-bounded, far smaller than the corpus), so the equi-join is
@@ -726,7 +726,7 @@ def _cc_star(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_truncate)
     )
     rounds = 0
     # equality probe: (row count, XOR of per-edge xxhash64) — two 1-row
@@ -755,7 +755,7 @@ def _cc_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_truncate)
         )
         # small-star: key every edge by its LARGER endpoint
         keyed = large.select(
@@ -771,7 +771,7 @@ def _cc_star(
             .filter(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_truncate)
         )
         new_sig = _sig(nxt)
         cur = nxt

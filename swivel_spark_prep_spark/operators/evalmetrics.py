@@ -41,6 +41,10 @@ __all__ = [
     "cochran_armitage",
     "fleiss_kappa",
     "rank_biased_overlap",
+    "bradley_terry",
+    "bradley_terry_oracle_sql",
+    "simplified_silhouette",
+    "conformal_interval",
 ]
 
 
@@ -1233,4 +1237,283 @@ def rank_biased_overlap(
         F.lit(float(p)).alias("p"),
         F.count("*").alias("n_common"),
         F.round(F.coalesce(F.sum(wcol), F.lit(0.0)), 6).alias("rbo"),
+    )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iterations: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bradley–Terry preference strengths via Hunter's MM algorithm
+    (Hunter, Annals of Statistics 2004) — THE model for turning pairwise
+    preference data (RLHF comparison datasets, A/B winner logs, model
+    arenas) into a per-item strength scale:  P(i beats j) =
+    p_i / (p_i + p_j),  fitted by the fixed-point update
+
+        p_i ← W_i / Σ_j n_ij / (p_i + p_j)
+
+    where W_i = total wins of i and n_ij = games between i and j,
+    then rescaled each round to mean 1 (the likelihood is scale-free;
+    a fixed scale keeps the iteration away from under/overflow and
+    makes runs comparable).
+
+    Scale design, mirroring :func:`~..graph.pagerank`: the corpus of
+    raw comparisons collapses ONCE to the (i, j, games) relation —
+    item-pair cardinality, not row cardinality — persisted and
+    re-joined against the (item, p) relation (item cardinality) each
+    round; every iteration is two equi-joins + one hash aggregate, and
+    ``localCheckpoint`` truncates the doubling plan tree exactly as in
+    pagerank. Items with zero wins converge to strength 0 in one step
+    (the MLE boundary case); a pair with games > 0 always has a winner,
+    so no denominator can hit 0 + 0.
+
+    Output (one row per item): (item, strength, wins, games).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    from swivel_spark_prep_spark.cache import checkpoint_truncate, track_persist
+
+    cmp_ = comparisons.select(
+        F.col(winner_col).cast("string").alias("_i"),
+        F.col(loser_col).cast("string").alias("_j"),
+    ).filter(
+        F.col("_i").isNotNull()
+        & F.col("_j").isNotNull()
+        & (F.col("_i") != F.col("_j"))
+    )
+    # ordered-pair win counts: item-pair cardinality from here on
+    pw = cmp_.groupBy("_i", "_j").agg(F.count("*").cast("double").alias("_w"))
+    pw = track_persist(pw)
+    # games(i, j) = w(i, j) + w(j, i), materialized for BOTH directions
+    games = track_persist(
+        pw.unionByName(
+            pw.select(
+                F.col("_j").alias("_i"), F.col("_i").alias("_j"), "_w"
+            )
+        )
+        .groupBy("_i", "_j")
+        .agg(F.sum("_w").alias("_n"))
+    )
+    wins = pw.groupBy("_i").agg(F.sum("_w").alias("_W"))
+    items = track_persist(
+        games.select("_i").distinct().join(wins, "_i", "left").select(
+            "_i",
+            F.coalesce(F.col("_W"), F.lit(0.0)).alias("_W"),
+            F.coalesce(F.col("_W"), F.lit(0.0)).cast("long").alias("_wl"),
+        )
+    )
+    # n_items for the mean-1 rescale: one long on the driver (bounded —
+    # the item relation, not the comparison corpus)
+    n_items = float(items.count())
+    if n_items == 0:
+        raise ValueError("comparison relation is empty (no valid pairs)")
+
+    p = items.select("_i", F.lit(1.0).alias("_p"))
+    for _ in range(iterations):
+        den = (
+            games.join(p.select(F.col("_i").alias("_j"), F.col("_p").alias("_pj")), "_j")
+            .join(p.select("_i", F.col("_p").alias("_pi")), "_i")
+            .groupBy("_i")
+            .agg(F.sum(F.col("_n") / (F.col("_pi") + F.col("_pj"))).alias("_den"))
+        )
+        raw = items.join(den, "_i").select(
+            "_i", (F.col("_W") / F.col("_den")).alias("_p")
+        )
+        total = raw.agg(F.sum("_p").alias("_tot"))
+        p = raw.crossJoin(F.broadcast(total)).select(
+            "_i", (F.col("_p") * F.lit(n_items) / F.col("_tot")).alias("_p")
+        )
+        # same plan-tree truncation argument as pagerank, PLUS stats
+        # truncation: p feeds the next round's den join twice, so the
+        # estimated sizeInBytes would SQUARE per round without the
+        # reset (see cache.checkpoint_truncate — the BigInteger stats
+        # hang, found at 30 iterations)
+        p = checkpoint_truncate(p)
+
+    gtot = games.groupBy("_i").agg(F.sum("_n").cast("long").alias("_g"))
+    return (
+        p.join(items.select("_i", "_wl"), "_i")
+        .join(gtot, "_i")
+        .select(
+            F.col("_i").alias("item"),
+            F.round("_p", round_to).alias("strength"),
+            F.col("_wl").alias("wins"),
+            F.col("_g").alias("games"),
+        )
+    )
+
+
+def bradley_terry_oracle_sql(
+    comparisons_sql: str,
+    iterations: int = 8,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`bradley_terry`: the identical MM update
+    unrolled into one CTE chain per iteration from the same parameters
+    — parity pins the algorithm, not a fixture by-product.
+    ``comparisons_sql`` must yield (w, l) winner/loser columns."""
+    # AS MATERIALIZED throughout: each iteration references the previous
+    # CTE multiple times; DuckDB's default inlining would re-expand the
+    # chain exponentially (the k_core_oracle_sql precedent).
+    parts = [
+        f"WITH cmp AS MATERIALIZED ({comparisons_sql})",
+        "pw AS MATERIALIZED (SELECT w AS i, l AS j, COUNT(*)::DOUBLE AS wn"
+        " FROM cmp"
+        " WHERE w IS NOT NULL AND l IS NOT NULL AND w <> l GROUP BY 1, 2)",
+        "games AS MATERIALIZED (SELECT i, j, SUM(wn) AS n FROM"
+        " (SELECT i, j, wn FROM pw UNION ALL SELECT j, i, wn FROM pw)"
+        " GROUP BY 1, 2)",
+        "wins AS MATERIALIZED (SELECT i, SUM(wn) AS w FROM pw GROUP BY 1)",
+        "items AS MATERIALIZED (SELECT DISTINCT i FROM games)",
+        "nit AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM items)",
+        "p0 AS MATERIALIZED (SELECT i, 1.0 AS p FROM items)",
+    ]
+    for t in range(1, iterations + 1):
+        prev = f"p{t - 1}"
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT g.i, SUM(g.n / (pi.p + pj.p)) AS den"
+            f" FROM games g JOIN {prev} pi ON g.i = pi.i"
+            f" JOIN {prev} pj ON g.j = pj.i GROUP BY 1)"
+        )
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT d.i, COALESCE(w.w, 0) / d.den AS p"
+            f" FROM d{t} d LEFT JOIN wins w ON d.i = w.i)"
+        )
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT i, p * (SELECT n FROM nit)"
+            f" / (SELECT SUM(p) FROM r{t}) AS p FROM r{t})"
+        )
+    last = f"p{iterations}"
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT {last}.i AS item, ROUND({last}.p, {round_to}) AS strength,
+       COALESCE(wins.w, 0)::BIGINT AS wins,
+       (SELECT SUM(n) FROM games g WHERE g.i = {last}.i)::BIGINT AS games
+FROM {last} LEFT JOIN wins ON {last}.i = wins.i;"""
+    )
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified silhouette coefficient per cluster (Hruschka et al.'s
+    centroid variant of Rousseeuw 1987): a(x) = distance to the OWN
+    cluster centroid, b(x) = min distance to any other centroid,
+    s(x) = (b − a) / max(a, b) — the O(n·k) cluster-quality score
+    (full silhouette is O(n²) pairwise and unusable at corpus scale;
+    the centroid form is what MLlib's ClusteringEvaluator computes).
+
+    Fully relational, no driver-side centroids: posexplode each vector
+    ONCE to (row, dim, val); centroids are the (label, dim) mean
+    relation (k·d rows, broadcast); per-(row, candidate-centroid)
+    squared distances come from one hash aggregate over the dim join.
+    Work = n·k·d — linear in rows for bounded k, the same shape as one
+    k-means assignment step. Rows with NULL label/vector are excluded.
+
+    Output (one row per cluster): (label, n, mean_silhouette), where
+    mean_silhouette uses s = 0 when max(a, b) = 0 (a point exactly on
+    its lone centroid).
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_pos", "_val"),
+    ).filter(F.col("_l").isNotNull())
+    cent = base.groupBy(F.col("_l").alias("_cl"), "_pos").agg(
+        F.avg("_val").alias("_m")
+    )
+    d2 = (
+        base.join(F.broadcast(cent), "_pos")
+        .groupBy("_id", "_l", "_cl")
+        .agg(F.sum((F.col("_val") - F.col("_m")) ** 2).alias("_d2"))
+    )
+    a = d2.filter(F.col("_l") == F.col("_cl")).select(
+        "_id", "_l", F.sqrt("_d2").alias("_da")
+    )
+    b = (
+        d2.filter(F.col("_l") != F.col("_cl"))
+        .groupBy("_id", "_l")
+        .agg(F.sqrt(F.min("_d2")).alias("_db"))
+    )
+    mx = F.greatest("_da", "_db")
+    s = a.join(b, ["_id", "_l"]).select(
+        "_l",
+        F.when(mx == 0, F.lit(0.0))
+        .otherwise((F.col("_db") - F.col("_da")) / mx)
+        .alias("_s"),
+    )
+    return s.groupBy(F.col("_l").alias("label")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("_s"), 6).alias("mean_silhouette"),
+    )
+
+
+def conformal_interval(
+    cal: DataFrame,
+    test: DataFrame,
+    value_col: str,
+    pred_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval (Papadopoulos et al. 2002,
+    Vovk's inductive conformal): from a CALIBRATION set's absolute
+    residuals r = |y − ŷ|, the half-width
+
+        q̂ = r_(⌈(1−α)(n_cal+1)⌉)   (the k-th smallest residual)
+
+    gives ŷ ± q̂ with finite-sample marginal coverage ≥ 1 − α for ANY
+    predictor — distribution-free. Reported against the TEST set:
+    empirical coverage = fraction of |y − ŷ| ≤ q̂.
+
+    The order statistic rides the scale-safe shape: distinct-residual
+    counts → one inclusive :func:`~..ranks.partitioned_prefix_sum` in
+    residual order → filter cum ≥ k → min (never a global sort or an
+    unpartitioned window over the corpus). k > n_cal (calibration set
+    too small for the requested α) yields the honest degenerate answer:
+    q_hat NULL, coverage 1.0 (the infinite interval).
+
+    Output (1 row): (n_cal, n_test, alpha, q_hat, coverage).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    res = cal.select(
+        F.abs(F.col(value_col) - F.col(pred_col)).alias("_r")
+    ).filter(F.col("_r").isNotNull())
+    dv = res.groupBy("_r").agg(F.count("*").cast("double").alias("_c"))
+    cum = partitioned_prefix_sum(dv, ["_r"], "_c", ["_cum"], inclusive=True)
+    n = res.agg(F.count("*").alias("_n"))
+    k = F.ceil(F.lit(1.0 - float(alpha)) * (F.col("_n") + F.lit(1)))
+    qhat = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("_cum") >= k)
+        .agg(F.min("_r").alias("_q"))
+    )
+    t = test.select(
+        F.abs(F.col(value_col) - F.col(pred_col)).alias("_r")
+    ).filter(F.col("_r").isNotNull())
+    return (
+        t.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("_n").alias("n_cal"),
+            F.count("*").alias("n_test"),
+            F.lit(float(alpha)).alias("alpha"),
+            F.round(F.max("_q"), 6).alias("q_hat"),
+            F.round(
+                F.avg(
+                    # q NULL = the infinite interval: everything covered
+                    F.when(F.col("_q").isNull(), 1.0)
+                    .when(F.col("_r") <= F.col("_q"), 1.0)
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage"),
+        )
     )

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from swivel_spark_prep_spark.cache import track_persist
+from swivel_spark_prep_spark.cache import checkpoint_truncate, track_persist
 
 
 def degree_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
@@ -167,13 +167,17 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # localCheckpoint (eager) BOTH materializes the iteration and
+        # checkpoint_truncate BOTH materializes the iteration and
         # truncates the logical plan — ranks feeds the next iteration
         # twice (dangling + contrib), so without the cut the plan tree
         # doubles per iteration and the optimizer itself OOMs long
         # before the data does. On a multi-executor cluster swap for
         # reliable checkpoint() if executor loss must be survivable.
-        ranks = new_ranks.localCheckpoint(eager=True)
+        # (checkpoint_truncate additionally resets inherited size stats:
+        # ranks feeds two joins per round, so the estimate would square
+        # per iteration and hang Catalyst in BigInteger arithmetic at
+        # high iteration counts — see cache.checkpoint_truncate)
+        ranks = checkpoint_truncate(new_ranks)
 
     return ranks.select("node", F.col("rank").alias("pagerank"))
 
@@ -349,7 +353,7 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    ce = canonical_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    ce = checkpoint_truncate(canonical_edges(edges, src_col, dst_col))
     for _ in range(max_iterations):
         deg = (
             ce.select(F.col("u").alias("n"))
@@ -476,7 +480,7 @@ def label_propagation(
         new_labels = s.unionByName(
             winners.join(s.select("node"), "node", "left_anti")
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = checkpoint_truncate(new_labels)
     return labels.select("node", F.col("lbl").alias(label_col))
 
 

@@ -837,3 +837,44 @@ def cramer_von_mises(
             6,
         ).alias("t"),
     )
+
+
+def group_influence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Leave-one-group-out influence audit — data valuation at the
+    source granularity: for each group g, how much does the global mean
+    of ``value_col`` move if g is removed?
+
+        influence(g) = mean_all − (S − S_g) / (N − n_g)
+
+    (positive = the group PULLS the corpus mean up; the exact
+    leave-one-out identity, no refitting). This is the first question
+    of corpus triage — "which source is dragging quality" — answered
+    with ONE grouped aggregate plus one broadcast 1-row total; the
+    group that IS the whole corpus gets NULL (no leave-out exists).
+
+    Output (one row per group): (group, n, mean_g, mean_without,
+    influence), influence descending-friendly (unordered relation).
+    """
+    g = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("group")
+    ).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(F.col(value_col).cast("double")).alias("_s"),
+    )
+    # _tn/_ts, not _N/_S: Spark resolves column names case-insensitively
+    # by default, so _N would collide with the per-group _n
+    tot = g.agg(F.sum("_n").alias("_tn"), F.sum("_s").alias("_ts"))
+    rest = (F.col("_ts") - F.col("_s")) / (F.col("_tn") - F.col("_n"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "group",
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_s") / F.col("_n"), 6).alias("mean_g"),
+        F.round(F.when(F.col("_tn") > F.col("_n"), rest), 6).alias("mean_without"),
+        F.round(
+            F.when(F.col("_tn") > F.col("_n"), F.col("_ts") / F.col("_tn") - rest), 6
+        ).alias("influence"),
+    )

@@ -1127,3 +1127,113 @@ def mmr_select(
     return spark.createDataFrame(
         out, f"step int, {id_col} {id_type}, rel double, score double"
     )
+
+
+def ann_hubness(
+    emb: DataFrame,
+    k: int = 10,
+    max_vectors: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "hub",
+) -> DataFrame:
+    """Hubness diagnostic for an embedding space (Radovanović, Nanopoulos
+    & Ivanović, JMLR 2010): the distribution of k-occurrences N_k(x) =
+    how many other points have x in their cosine top-k. High skew means
+    a few "hub" vectors dominate every neighbor list (ANN recall rots,
+    near-dup graphs star-collapse) and many antihubs are never
+    retrieved — THE pre-flight check before trusting cosine top-k
+    pipelines on a new embedding model.
+
+    Exact k-occurrence needs all-pairs ranks, inherently quadratic — so
+    the contract is made EXECUTABLE (the theil_sen max_points
+    precedent): when the corpus exceeds ``max_vectors`` the operator
+    measures a deterministic md5-thresholded sample (hubness is a
+    distributional property; a 2k-point sample pins the skew), and the
+    in-sample pair join is bounded at max_vectors² with the sample side
+    broadcast (≤ max_vectors rows — never a shuffled cartesian).
+
+    Output (1 row): (n_vectors, k, mean_k_occ, std_k_occ, skew_k_occ,
+    max_k_occ, antihub_frac). For n_vectors > k the mean is exactly k
+    (every anchor emits k votes); skewness is the population moment
+    ratio m3/m2^1.5 so the DuckDB oracle replays it from raw moments.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_vectors < 2:
+        raise ValueError(f"max_vectors must be >= 2, got {max_vectors}")
+    from pyspark.sql import Window
+
+    base = with_double_embedding(emb, vec_col).select(
+        F.col(id_col).alias("_id"), "_emb"
+    ).filter(F.col("_id").isNotNull() & F.col("_emb").isNotNull())
+    n_total = base.count()  # bounded: one long, sizes the sample gate
+    if n_total < 2:
+        raise ValueError("need at least 2 vectors")
+    if n_total > max_vectors:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(salt), F.col("_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**60))
+        )
+        base = base.filter(u < F.lit(float(max_vectors) / float(n_total)))
+    from swivel_spark_prep_spark.cache import track_persist
+
+    base = track_persist(
+        base.withColumn("_n2", _norm2("_emb")).filter(F.col("_n2") > 0)
+    )
+    a = base.select(
+        F.col("_id").alias("_a"), F.col("_emb").alias("_ea"), F.col("_n2").alias("_na")
+    )
+    b = base.select(
+        F.col("_id").alias("_b"), F.col("_emb").alias("_eb"), F.col("_n2").alias("_nb")
+    )
+    # sample side is <= max_vectors rows by construction: broadcast it so
+    # the pair generation is a nested-loop over a broadcast relation,
+    # never a shuffled cartesian
+    pairs = a.join(F.broadcast(b), F.col("_a") != F.col("_b")).select(
+        "_a",
+        "_b",
+        (_dot("_ea", F.col("_eb")) / F.sqrt(F.col("_na") * F.col("_nb"))).alias("_sim"),
+    )
+    w = Window.partitionBy("_a").orderBy(F.col("_sim").desc(), F.col("_b"))
+    topk = pairs.select("_a", "_b", F.row_number().over(w).alias("_rk")).filter(
+        F.col("_rk") <= k
+    )
+    occ = (
+        base.select(F.col("_id").alias("_b"))
+        .join(topk.groupBy("_b").agg(F.count("*").alias("_c")), "_b", "left")
+        .select(F.coalesce(F.col("_c"), F.lit(0)).cast("double").alias("_c"))
+    )
+    m = occ.agg(
+        F.count("*").alias("_n"),
+        F.avg("_c").alias("_m1"),
+        F.avg(F.col("_c") ** 2).alias("_m2"),
+        F.avg(F.col("_c") ** 3).alias("_m3"),
+        F.max("_c").alias("_mx"),
+        F.avg((F.col("_c") == 0).cast("double")).alias("_ah"),
+    )
+    var = F.col("_m2") - F.col("_m1") ** 2
+    return m.select(
+        F.col("_n").cast("long").alias("n_vectors"),
+        F.lit(int(k)).cast("long").alias("k"),
+        F.round("_m1", 6).alias("mean_k_occ"),
+        F.round(F.sqrt(var), 6).alias("std_k_occ"),
+        F.round(
+            F.when(
+                var > 0,
+                (F.col("_m3") - 3 * F.col("_m1") * F.col("_m2") + 2 * F.col("_m1") ** 3)
+                / var ** 1.5,
+            ),
+            6,
+        ).alias("skew_k_occ"),
+        F.col("_mx").cast("long").alias("max_k_occ"),
+        F.round("_ah", 6).alias("antihub_frac"),
+    )

@@ -771,3 +771,50 @@ def pairwise_distribution_distances(
         F.round(F.sqrt(F.greatest(1.0 - bc, F.lit(0.0))), 6).alias("hellinger"),
         F.round(tv, 6).alias("tv"),
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    group_cols: list | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade level (Flesch 1948,
+    Kincaid 1975) per group — the classic readability screens corpus
+    curation uses to bucket text by audience difficulty:
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Sy/W)
+        grade = 0.39·(W/S) + 11.8·(Sy/W) − 15.59
+
+    with W = whitespace tokens, S = sentence marks ([.!?]+ runs, min 1
+    so unpunctuated text counts as one sentence), and Sy = syllables by
+    the standard vowel-group heuristic (runs of [aeiouy] in lowercased
+    text; spaces break runs, so the per-word sum equals one whole-text
+    regexp_count). Pure codegen — three regex/size expressions + one
+    hash aggregate, no UDF, no shuffle beyond the group-by; the regexes
+    are in the Java∩RE2 subset so the DuckDB oracle replays them
+    exactly.
+
+    Output (one row per group): (group..., n_docs, avg_words,
+    mean_ease, mean_grade).
+    """
+    group_cols = list(group_cols or [])
+    lower = F.lower(F.col(text_col))
+    words = F.size(F.split(lower, " ", -1)).cast("double")
+    syll = F.regexp_count(lower, F.lit("[aeiouy]+")).cast("double")
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")), F.lit(1)
+    ).cast("double")
+    wps = words / sents
+    spw = syll / words
+    per = docs.filter(F.col(text_col).isNotNull()).select(
+        *group_cols,
+        words.alias("_w"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("_e"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("_g"),
+    ).filter(F.col("_w") > 0)
+    return per.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("_w"), 6).alias("avg_words"),
+        F.round(F.avg("_e"), 6).alias("mean_ease"),
+        F.round(F.avg("_g"), 6).alias("mean_grade"),
+    )

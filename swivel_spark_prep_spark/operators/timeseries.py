@@ -1476,3 +1476,87 @@ def logrank_test(
             6,
         ).alias("z"),
     )
+
+
+def sprt_test(
+    df: DataFrame,
+    order_cols: list,
+    success_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (Wald 1945) over an
+    ordered Bernoulli stream — the "stop the experiment as soon as the
+    evidence is in" primitive group-sequential A/B testing descends
+    from. Each observation x ∈ {0, 1} adds its log-likelihood ratio
+
+        llr(x) = x·ln(p1/p0) + (1−x)·ln((1−p1)/(1−p0))
+
+    to a running total; the test accepts H1 the first time the total
+    crosses A = ln((1−β)/α) and accepts H0 the first time it falls
+    below B = ln(β/(1−α)) (A > 0 > B, so one row can never cross both).
+
+    The sequential scan is ONE inclusive
+    :func:`~..ranks.partitioned_prefix_sum` carrying [llr, 1] (the
+    running count doubles as the observation index — no unpartitioned
+    row_number), then a single aggregate picks the earliest crossing of
+    each boundary. Output (1 row): (n_obs, cross_n, decision,
+    llr_final, a_bound, b_bound); decision ∈ {'accept_h1', 'accept_h0',
+    'continue'}, cross_n NULL when the walk never leaves (B, A).
+    """
+    for nm, v in (("p0", p0), ("p1", p1)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{nm} must be in (0, 1), got {v}")
+    if p0 == p1:
+        raise ValueError("p0 and p1 must differ")
+    for nm, v in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < v < 0.5:
+            raise ValueError(f"{nm} must be in (0, 0.5), got {v}")
+    import math
+
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    lp = math.log(p1 / p0)
+    ln_ = math.log((1.0 - p1) / (1.0 - p0))
+    a_bound = math.log((1.0 - beta) / alpha)
+    b_bound = math.log(beta / (1.0 - alpha))
+    x = F.col(success_col).cast("double")
+    base = df.select(
+        *order_cols,
+        (x * F.lit(lp) + (F.lit(1.0) - x) * F.lit(ln_)).alias("_llr"),
+        F.lit(1.0).alias("_one"),
+    ).filter(F.col("_llr").isNotNull())
+    cum = partitioned_prefix_sum(
+        base, list(order_cols), ["_llr", "_one"], ["_cum", "_n"], inclusive=True
+    )
+    return cum.agg(
+        F.count("*").alias("n_obs"),
+        F.min(F.when(F.col("_cum") >= a_bound, F.col("_n"))).alias("_n1"),
+        F.min(F.when(F.col("_cum") <= b_bound, F.col("_n"))).alias("_n0"),
+        F.round(F.sum("_llr"), 6).alias("llr_final"),
+    ).select(
+        "n_obs",
+        F.least(F.col("_n1"), F.col("_n0"))
+        .cast("long")
+        .alias("cross_n"),
+        # the both-NULL case must come first: inf <= inf would otherwise
+        # claim accept_h1 for a walk that never left (B, A)
+        F.when(
+            F.col("_n1").isNull() & F.col("_n0").isNull(), F.lit("continue")
+        )
+        .when(
+            F.col("_n1").isNotNull()
+            & (
+                F.col("_n0").isNull()
+                | (F.col("_n1") <= F.col("_n0"))
+            ),
+            F.lit("accept_h1"),
+        )
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        "llr_final",
+        F.round(F.lit(a_bound), 6).alias("a_bound"),
+        F.round(F.lit(b_bound), 6).alias("b_bound"),
+    )

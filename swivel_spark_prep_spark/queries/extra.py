@@ -8431,3 +8431,350 @@ def x228(spark, sf_dir):
         F.col("text").isNotNull(),
     )
     return rank_biased_overlap(a, b, "doc_id", "rank", k=50, p=0.9)
+
+
+# The oracle SQL is GENERATED by evalmetrics.bradley_terry_oracle_sql from
+# the same (iterations, round_to) parameters — the unrolled-CTE twin pins
+# the MM update rule itself, the pagerank/logreg precedent.
+_BT_CMP_SQL = """SELECT event_type AS w, prev AS l FROM (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+WHERE prev IS NOT NULL AND prev <> event_type"""
+
+
+@_declare(
+    "X229_bradley_terry",
+    # Bradley-Terry preference strengths (Hunter MM, 8 rounds) over
+    # "later event-type beats the one before it" comparisons: the RLHF
+    # pairwise-preference -> strength-scale operator.
+    __import__(
+        "swivel_spark_prep_spark.operators.evalmetrics", fromlist=["x"]
+    ).bradley_terry_oracle_sql(_BT_CMP_SQL, iterations=8),
+)
+def x229(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import bradley_terry
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cmp_ = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type")))
+    return bradley_terry(cmp_, "event_type", "prev", iterations=8)
+
+
+@_declare(
+    "X230_sliding_chunks",
+    # Sliding-window RAG chunker (chunking.sliding_window_chunks):
+    # 64-token windows, stride 32 — full-coverage overlap semantics
+    # (n_chunks = 1 + ceil(max(n-64,0)/32), short final chunk kept,
+    # <=64-token doc = one chunk). One sequence+posexplode per doc, no
+    # shuffle; the oracle replays split/slice/join per (doc, k).
+    """WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' '))::BIGINT AS n
+  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0),
+c AS (SELECT doc_id, tk, n,
+             unnest(range(0, 1 + CASE WHEN n > 64
+                                      THEN CAST(ceil((n - 64) / 32.0) AS BIGINT)
+                                      ELSE 0 END)) AS k
+      FROM s)
+SELECT doc_id AS id, k::INT AS chunk_id,
+       LEAST(64, n - k * 32)::BIGINT AS n_tokens,
+       array_to_string(tk[(k * 32 + 1):(k * 32 + 64)], ' ') AS chunk
+FROM c;""",
+)
+def x230(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.chunking import sliding_window_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_window_chunks(docs, window=64, stride=32)
+
+
+@_declare(
+    "X231_silhouette",
+    # Simplified (centroid) silhouette per cluster over the embeddings
+    # table's labels (evalmetrics.simplified_silhouette): O(n*k*d) via
+    # one posexplode + a broadcast (label, dim)-centroid join — the
+    # MLlib-ClusteringEvaluator shape, never O(n^2) pairwise.
+    """WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+x AS (SELECT vec_id, label, unnest(range(1, len(v) + 1)) AS pos,
+             unnest(v) AS val
+      FROM e),
+cent AS (SELECT label AS clabel, pos, AVG(val) AS m FROM x GROUP BY 1, 2),
+d AS (SELECT vec_id, label, clabel, SUM((val - m) * (val - m)) AS d2
+      FROM x JOIN cent USING (pos) GROUP BY 1, 2, 3),
+a AS (SELECT vec_id, label, sqrt(d2) AS da FROM d WHERE label = clabel),
+b AS (SELECT vec_id, label, sqrt(MIN(d2)) AS db FROM d WHERE label <> clabel
+      GROUP BY 1, 2),
+s AS (SELECT a.label,
+             CASE WHEN GREATEST(da, db) = 0 THEN 0.0
+                  ELSE (db - da) / GREATEST(da, db) END AS sil
+      FROM a JOIN b USING (vec_id, label))
+SELECT label, COUNT(*)::BIGINT AS n, ROUND(AVG(sil), 6) AS mean_silhouette
+FROM s GROUP BY label;""",
+)
+def x231(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import simplified_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simplified_silhouette(emb)
+
+
+@_declare(
+    "X232_conformal_interval",
+    # Split-conformal prediction interval (evalmetrics.conformal_interval,
+    # Papadopoulos 2002): md5-deterministic 50/25/25 train/cal/test
+    # split, per-event_type-mean predictor from train, q_hat = the
+    # ceil(0.9*(n_cal+1))-th smallest calibration residual via the
+    # prefix-sum order-statistic path, coverage on test.
+    """WITH b AS (
+  SELECT event_id, event_type, value,
+         ('0x' || substr(md5('conf:' || event_id::VARCHAR), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM events WHERE value IS NOT NULL),
+tr AS (SELECT event_type, AVG(value) AS pred FROM b WHERE u < 0.5 GROUP BY 1),
+cal AS (SELECT abs(value - pred) AS r FROM b JOIN tr USING (event_type)
+        WHERE u >= 0.5 AND u < 0.75),
+te AS (SELECT abs(value - pred) AS r FROM b JOIN tr USING (event_type)
+       WHERE u >= 0.75),
+n AS (SELECT COUNT(*)::BIGINT AS n_cal FROM cal),
+q AS (SELECT r AS q_hat FROM cal ORDER BY r
+      OFFSET (SELECT CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT) - 1 FROM n)
+      LIMIT 1)
+SELECT n_cal, (SELECT COUNT(*) FROM te)::BIGINT AS n_test, 0.1 AS alpha,
+       ROUND((SELECT q_hat FROM q), 6) AS q_hat,
+       ROUND((SELECT AVG(CASE WHEN r <= (SELECT q_hat FROM q)
+                               THEN 1.0 ELSE 0.0 END) FROM te), 6) AS coverage
+FROM n;""",
+)
+def x232(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import conformal_interval
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("conf:"), F.col("event_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    b = ev.select("event_type", "value", u.alias("_u"))
+    pred = (
+        b.filter(F.col("_u") < 0.5)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("pred"))
+    )
+    scored = b.join(F.broadcast(pred), "event_type")
+    cal = scored.filter((F.col("_u") >= 0.5) & (F.col("_u") < 0.75))
+    test = scored.filter(F.col("_u") >= 0.75)
+    return conformal_interval(cal, test, "value", "pred", alpha=0.1)
+
+
+@_declare(
+    "X233_sprt",
+    # Wald SPRT (timeseries.sprt_test) on the ts-ordered purchase
+    # indicator stream: H0 p=0.15 vs H1 p=0.25, alpha=beta=0.05. The
+    # sequential walk is one inclusive prefix-sum pass carrying
+    # [llr, 1]; the oracle's window cumsum replays it.
+    """WITH b AS (
+  SELECT ts, event_id, (event_type = 'purchase')::INT AS x FROM events),
+c AS (SELECT
+        SUM(x * 0.5108256237659907 + (1 - x) * -0.12516314295400605)
+          OVER (ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        ROW_NUMBER() OVER (ORDER BY ts, event_id) AS n,
+        x
+      FROM b)
+SELECT COUNT(*)::BIGINT AS n_obs,
+       LEAST(MIN(CASE WHEN cum >= 2.9444389791664403 THEN n END),
+             MIN(CASE WHEN cum <= -2.9444389791664403 THEN n END))::BIGINT
+         AS cross_n,
+       CASE WHEN COALESCE(MIN(CASE WHEN cum >= 2.9444389791664403 THEN n END),
+                          9223372036854775807)
+              <= COALESCE(MIN(CASE WHEN cum <= -2.9444389791664403 THEN n END),
+                          9223372036854775807)
+              AND MIN(CASE WHEN cum >= 2.9444389791664403 THEN n END) IS NOT NULL
+            THEN 'accept_h1'
+            WHEN MIN(CASE WHEN cum <= -2.9444389791664403 THEN n END) IS NOT NULL
+            THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       ROUND(SUM(x * 0.5108256237659907 + (1 - x) * -0.12516314295400605), 6)
+         AS llr_final,
+       ROUND(2.9444389791664403, 6) AS a_bound,
+       ROUND(-2.9444389791664403, 6) AS b_bound
+FROM c;""",
+)
+def x233(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import sprt_test
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "ts", "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("x"),
+    )
+    return sprt_test(
+        obs, ["ts", "event_id"], "x", p0=0.15, p1=0.25, alpha=0.05, beta=0.05
+    )
+
+
+@_declare(
+    "X234_readability",
+    # Flesch reading ease + FK grade per language
+    # (textstats.readability_scores): vowel-group syllable heuristic,
+    # [.!?]+ sentence runs (min 1), whitespace words — three portable
+    # regex/size expressions + one hash aggregate, zero UDF.
+    """WITH p AS (
+  SELECT lang,
+         len(string_split(lower(text), ' '))::DOUBLE AS w,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE AS sy,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE AS s
+  FROM documents WHERE text IS NOT NULL),
+f AS (SELECT lang, w,
+             206.835 - 1.015 * (w / s) - 84.6 * (sy / w) AS e,
+             0.39 * (w / s) + 11.8 * (sy / w) - 15.59 AS g
+      FROM p WHERE w > 0)
+SELECT lang, COUNT(*)::BIGINT AS n_docs, ROUND(AVG(w), 6) AS avg_words,
+       ROUND(AVG(e), 6) AS mean_ease, ROUND(AVG(g), 6) AS mean_grade
+FROM f GROUP BY lang;""",
+)
+def x234(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import readability_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_scores(docs, group_cols=["lang"])
+
+
+# Three deterministic rule-raters of DIFFERENT quality rating every
+# document ('contains the/and/of' -> en/other) — the X225 Fleiss cast,
+# now ADJUDICATED by Dawid-Skene EM instead of merely audited.
+_DS_RATINGS_SQL = """SELECT doc_id AS i, rt, l FROM (
+  SELECT doc_id,
+         unnest(['r_the', 'r_and', 'r_of']) AS rt,
+         unnest([
+           CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END,
+           CASE WHEN text LIKE '% and %' THEN 'en' ELSE 'other' END,
+           CASE WHEN text LIKE '% of %' THEN 'en' ELSE 'other' END]) AS l
+  FROM documents WHERE text IS NOT NULL)"""
+
+
+def _ds_ratings(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    en, other = F.lit("en"), F.lit("other")
+    pairs = F.array(
+        F.struct(F.lit("r_the").alias("rt"),
+                 F.when(F.col("text").like("% the %"), en).otherwise(other).alias("l")),
+        F.struct(F.lit("r_and").alias("rt"),
+                 F.when(F.col("text").like("% and %"), en).otherwise(other).alias("l")),
+        F.struct(F.lit("r_of").alias("rt"),
+                 F.when(F.col("text").like("% of %"), en).otherwise(other).alias("l")),
+    )
+    return docs.select("doc_id", F.explode(pairs).alias("v")).select(
+        "doc_id", F.col("v.rt").alias("rt"), F.col("v.l").alias("l")
+    )
+
+
+@_declare(
+    "X235_dawid_skene_labels",
+    # Dawid-Skene EM consensus labels (labeling.dawid_skene, 1979):
+    # 3 EM rounds, Laplace 0.01; log-space E-step with per-item max
+    # shift. The oracle replays the whole trajectory via generated
+    # MATERIALIZED CTEs.
+    __import__(
+        "swivel_spark_prep_spark.operators.labeling", fromlist=["x"]
+    ).dawid_skene_oracle_sql(_DS_RATINGS_SQL, iterations=3, mode="items"),
+)
+def x235(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.labeling import dawid_skene
+
+    return dawid_skene(_ds_ratings(spark, sf_dir), "doc_id", "rt", "l", iterations=3)
+
+
+@_declare(
+    "X236_dawid_skene_raters",
+    # Per-rater accuracy from the SAME fitted model: prior-weighted
+    # confusion diagonal — "how often is this rater right" — the
+    # weak-supervision source-quality audit.
+    __import__(
+        "swivel_spark_prep_spark.operators.labeling", fromlist=["x"]
+    ).dawid_skene_oracle_sql(_DS_RATINGS_SQL, iterations=3, mode="raters"),
+)
+def x236(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.labeling import dawid_skene_rater_quality
+
+    return dawid_skene_rater_quality(
+        _ds_ratings(spark, sf_dir), "doc_id", "rt", "l", iterations=3
+    )
+
+
+@_declare(
+    "X237_ann_hubness",
+    # Hubness diagnostic (similarity.ann_hubness, Radovanovic JMLR
+    # 2010): k-occurrence distribution of cosine top-10 over the
+    # embedding corpus (500 <= max_vectors cap -> exact, no sampling;
+    # the pair join keeps the broadcast side <= cap by contract). Both
+    # engines fold the 64-dim dot product left-to-right, so ranks are
+    # bit-reproducible.
+    """WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+b AS (SELECT id, v, list_dot_product(v, v) AS n2 FROM e
+      WHERE list_dot_product(v, v) > 0),
+p AS (SELECT a.id AS a, b2.id AS bb,
+             list_dot_product(a.v, b2.v) / sqrt(a.n2 * b2.n2) AS sim
+      FROM b a JOIN b b2 ON a.id <> b2.id),
+t AS (SELECT a, bb FROM (
+        SELECT a, bb, ROW_NUMBER() OVER (PARTITION BY a
+                                         ORDER BY sim DESC, bb) AS rk
+        FROM p) WHERE rk <= 10),
+o AS (SELECT b.id, COALESCE(c.c, 0)::DOUBLE AS c FROM b
+      LEFT JOIN (SELECT bb AS id, COUNT(*)::BIGINT AS c FROM t GROUP BY 1) c
+      USING (id)),
+m AS (SELECT COUNT(*)::BIGINT AS n, AVG(c) AS m1, AVG(c * c) AS m2,
+             AVG(c * c * c) AS m3, MAX(c) AS mx,
+             AVG((c = 0)::INT::DOUBLE) AS ah
+      FROM o)
+SELECT n AS n_vectors, 10::BIGINT AS k, ROUND(m1, 6) AS mean_k_occ,
+       ROUND(sqrt(m2 - m1 * m1), 6) AS std_k_occ,
+       ROUND(CASE WHEN m2 - m1 * m1 > 0
+             THEN (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                  / pow(m2 - m1 * m1, 1.5) END, 6) AS skew_k_occ,
+       mx::BIGINT AS max_k_occ, ROUND(ah, 6) AS antihub_frac
+FROM m;""",
+)
+def x237(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import ann_hubness
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_hubness(emb, k=10, max_vectors=2000)
+
+
+@_declare(
+    "X238_source_influence",
+    # Leave-one-group-out influence of each source on the corpus mean
+    # document length (quality.group_influence): the exact LOO
+    # identity, one grouped agg + one broadcast total — source-level
+    # data valuation.
+    """WITH g AS (
+  SELECT source AS grp, COUNT(*)::DOUBLE AS n, SUM(n_chars::DOUBLE) AS s
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+t AS (SELECT SUM(n) AS nn, SUM(s) AS ss FROM g)
+SELECT grp AS "group", n::BIGINT AS n, ROUND(s / n, 6) AS mean_g,
+       ROUND(CASE WHEN nn > n THEN (ss - s) / (nn - n) END, 6) AS mean_without,
+       ROUND(CASE WHEN nn > n
+             THEN ss / nn - (ss - s) / (nn - n) END, 6) AS influence
+FROM g, t;""",
+)
+def x238(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import group_influence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_influence(docs, "source", "n_chars")

@@ -114,6 +114,11 @@ ALLOWED_PAIR_SELF_JOINS = {
     "X165_triangle_stats": 2,
     "X183_join_size_estimate": 1,
     "X205_theil_sen": 1,
+    # X237: exact k-occurrence needs in-sample all-pairs ranks; the
+    # operator enforces a max_vectors cap (md5-thresholded sample) and
+    # broadcasts the <=cap side, so the single pair join is bounded at
+    # max_vectors^2 with no shuffled cartesian
+    "X237_ann_hubness": 1,
     "X38_contamination": 1,
     "X47_upsert_snapshot": 1,
     "X48_training_pipeline": 1,
