@@ -216,3 +216,36 @@ def test_influence_single_group_null(spark):
     df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
     row = group_influence(df, "g", "v").collect()[0]
     assert row.mean_without is None and row.influence is None
+
+
+# ---- checkpoint_truncate (the BigInteger stats-explosion fix)
+
+
+def test_checkpoint_truncate_stats_bounded(spark):
+    """The Bradley-Terry-shaped iteration (state joined twice per
+    round) must NOT inherit multiplying size statistics: without the
+    reset the estimated sizeInBytes digit count DOUBLES per round
+    (measured 56/131/280/577/1173/2364) and Catalyst hangs in
+    BigInteger.multiply by ~25 rounds. Pin: digits stay constant."""
+    from pyspark.sql import functions as F
+
+    from swivel_spark_prep_spark.cache import checkpoint_truncate
+
+    df = spark.createDataFrame([("a", "b")] * 3 + [("b", "a")], "w string, l string")
+    games = df.groupBy("w", "l").agg(F.count("*").cast("double").alias("n"))
+    p = games.select(F.col("w").alias("i"), F.lit(1.0).alias("p")).distinct()
+    digits = []
+    for _ in range(6):
+        den = (
+            games.join(p.select(F.col("i").alias("l"), F.col("p").alias("pj")), "l")
+            .join(p.select(F.col("i").alias("w"), F.col("p").alias("pi")), "w")
+            .groupBy("w")
+            .agg(F.sum(F.col("n") / (F.col("pi") + F.col("pj"))).alias("d"))
+        )
+        p = checkpoint_truncate(
+            den.select(F.col("w").alias("i"), (F.lit(1.0) / F.col("d")).alias("p"))
+        )
+        sz = p._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        digits.append(len(str(sz)))
+    assert max(digits) <= digits[0], f"stats digits grew: {digits}"
+    assert p.count() == 2  # the data survived the RDD rebuild
