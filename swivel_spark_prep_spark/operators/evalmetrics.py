@@ -45,6 +45,8 @@ __all__ = [
     "bradley_terry_oracle_sql",
     "simplified_silhouette",
     "conformal_interval",
+    "tukey_hsd",
+    "cochran_q",
 ]
 
 
@@ -1516,4 +1518,141 @@ def conformal_interval(
                 6,
             ).alias("coverage"),
         )
+    )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Tukey HSD pairwise contrasts (Tukey 1949) — the post-hoc step
+    after a significant ANOVA (anova_oneway, X209): for every group
+    pair, the mean difference and its studentized-range statistic
+
+        q = |m_a − m_b| / sqrt( MSW/2 · (1/n_a + 1/n_b) )
+
+    with MSW the pooled within-group mean square (the Tukey–Kramer
+    unequal-n form). The statistic is reported with its error df;
+    critical values of the studentized-range distribution are a table
+    lookup the caller applies (no closed form — same convention as
+    kruskal_wallis reporting H).
+
+    One grouped sufficient-stats aggregate (n, Σx, Σx²) — the corpus is
+    touched once — then the pair grid is groups², a bounded model-side
+    cross of the per-group relation (the X222 pairwise-distances
+    class). Output: (group_a, group_b, n_a, n_b, diff, se, q_stat,
+    df_within), group_a < group_b.
+    """
+    g = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).groupBy(F.col(group_col).cast("string").alias("_g")).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(F.col(value_col).cast("double")).alias("_s"),
+        F.sum(F.col(value_col).cast("double") ** 2).alias("_s2"),
+    )
+    tot = g.agg(
+        F.sum("_n").alias("_tn"),
+        F.count("*").cast("double").alias("_k"),
+        F.sum(F.col("_s2") - F.col("_s") ** 2 / F.col("_n")).alias("_ssw"),
+    )
+    a = g.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("_na"),
+        (F.col("_s") / F.col("_n")).alias("_ma"),
+    )
+    b = g.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("_nb"),
+        (F.col("_s") / F.col("_n")).alias("_mb"),
+    )
+    msw = F.col("_ssw") / (F.col("_tn") - F.col("_k"))
+    se = F.sqrt(msw / 2.0 * (1.0 / F.col("_na") + 1.0 / F.col("_nb")))
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "group_a",
+            "group_b",
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            F.round(F.col("_ma") - F.col("_mb"), 6).alias("diff"),
+            F.round(se, 6).alias("se"),
+            F.round(
+                F.when(se > 0, F.abs(F.col("_ma") - F.col("_mb")) / se), 6
+            ).alias("q_stat"),
+            (F.col("_tn") - F.col("_k")).cast("long").alias("df_within"),
+        )
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — k-treatment generalization of
+    McNemar (X219): do k binary raters/treatments have the same success
+    rate on matched items?
+
+        Q = k(k−1) Σ_j (C_j − T/k)² / (k·Σ_i R_i − Σ_i R_i²)
+
+    C_j = per-treatment successes, R_i = per-item successes, T = ΣC_j;
+    Q ~ χ²(k−1) under H0. The matched design is a CONTRACT and it is
+    enforced (the fleiss_kappa convention): every item must carry
+    exactly k distinct treatments, validated by a 2-row min/max control
+    aggregate before any statistic is computed.
+
+    Two grouped aggregates over the (item, treatment, success) relation
+    + 1-row reductions. Output (1 row): (n_items, k, q_stat, df).
+    """
+    base = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(success_col).cast("int").cast("double").alias("_x"),
+    ).filter(
+        F.col("_i").isNotNull() & F.col("_t").isNotNull() & F.col("_x").isNotNull()
+    )
+    per_item = base.groupBy("_i").agg(
+        F.countDistinct("_t").alias("_kt"),
+        F.sum("_x").alias("_r"),
+    )
+    chk = per_item.agg(
+        F.min("_kt").alias("_lo"), F.max("_kt").alias("_hi")
+    ).collect()[0]
+    if chk["_lo"] is None:
+        raise ValueError("ratings relation is empty")
+    if chk["_lo"] != chk["_hi"]:
+        raise ValueError(
+            f"cochran_q requires a constant treatment count per item, "
+            f"got min {chk['_lo']} != max {chk['_hi']}"
+        )
+    k = int(chk["_hi"])
+    if k < 2:
+        raise ValueError(f"need >= 2 treatments, got {k}")
+    # _tsum, not _T: Spark resolves names case-insensitively by default,
+    # so _T would collide with the treatment column _t in the crossJoin
+    rows = per_item.agg(
+        F.count("*").alias("_n"),
+        F.sum("_r").alias("_tsum"),
+        F.sum(F.col("_r") ** 2).alias("_r2"),
+    )
+    cols = base.groupBy("_t").agg(F.sum("_x").alias("_c"))
+    csq = cols.crossJoin(F.broadcast(rows)).agg(
+        F.sum((F.col("_c") - F.col("_tsum") / F.lit(float(k))) ** 2).alias("_cs")
+    )
+    return rows.crossJoin(F.broadcast(csq)).select(
+        F.col("_n").alias("n_items"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(
+            F.when(
+                F.lit(float(k)) * F.col("_tsum") - F.col("_r2") > 0,
+                F.lit(float(k * (k - 1)))
+                * F.col("_cs")
+                / (F.lit(float(k)) * F.col("_tsum") - F.col("_r2")),
+            ),
+            6,
+        ).alias("q_stat"),
+        F.lit(k - 1).cast("long").alias("df"),
     )

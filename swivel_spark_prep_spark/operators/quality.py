@@ -878,3 +878,43 @@ def group_influence(
             F.when(F.col("_tn") > F.col("_n"), F.col("_ts") / F.col("_tn") - rest), 6
         ).alias("influence"),
     )
+
+
+def qq_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    qs=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Quantile–quantile drift profile between two slices: the
+    left-continuous inverse-CDF quantiles of both groups at each
+    requested q, side by side with their difference — WHERE in the
+    distribution two sources diverge (tails vs body), the diagnostic a
+    scalar KS/PSI score can't give.
+
+    Rides :func:`~..ranks.weighted_quantile` (weight 1) — one
+    distinct-value collapse + one inclusive prefix-sum pass per group
+    shared by ALL qs, never a corpus sort. Output (one row per q):
+    (q, q_a, q_b, diff).
+    """
+    from swivel_spark_prep_spark.operators.ranks import weighted_quantile
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_v"),
+        F.lit(1.0).alias("_w"),
+    ).filter(F.col("_v").isNotNull())
+    qa = weighted_quantile(
+        base.filter(F.col("_g") == group_a), "_v", "_w", list(qs)
+    ).select("q", F.col("value").alias("q_a"))
+    qb = weighted_quantile(
+        base.filter(F.col("_g") == group_b), "_v", "_w", list(qs)
+    ).select("q", F.col("value").alias("q_b"))
+    return qa.join(qb, "q").select(
+        "q",
+        F.round("q_a", 6).alias("q_a"),
+        F.round("q_b", 6).alias("q_b"),
+        F.round(F.col("q_a") - F.col("q_b"), 6).alias("diff"),
+    )

@@ -818,3 +818,52 @@ def readability_scores(
         F.round(F.avg("_e"), 6).alias("mean_ease"),
         F.round(F.avg("_g"), 6).alias("mean_grade"),
     )
+
+
+def vocab_richness(
+    docs: DataFrame,
+    group_cols: list | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary richness / saturation per group — Chao1 and Good's
+    coverage (Chao 1984; Good 1953), the "how much vocabulary have we
+    NOT seen yet" estimators a corpus-mix designer reads before adding
+    more of a source:
+
+        chao1    = V + f1(f1−1) / (2(f2+1))   (bias-corrected form,
+                                               finite when f2 = 0)
+        coverage = 1 − f1/N                   (Good–Turing: unseen
+                                               probability mass ≈ f1/N)
+
+    with V = distinct tokens, N = total tokens, f1/f2 = tokens seen
+    exactly once/twice. Complements heaps_law_fit (X189): Heaps
+    extrapolates the growth CURVE, Chao1 estimates the asymptote.
+
+    One explode → one (group, token) count aggregate → one group
+    reduction; token-cardinality shuffle with map-side combine, the
+    word-count shape. Output: (group..., n_tokens, v_distinct, f1, f2,
+    chao1, coverage).
+    """
+    group_cols = list(group_cols or [])
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        *group_cols,
+        F.explode(F.split(F.lower(F.col(text_col)), " ", -1)).alias("_t"),
+    ).filter(F.col("_t") != "")
+    counts = toks.groupBy(*group_cols, "_t").agg(F.count("*").alias("_c"))
+    return counts.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count("*").alias("v_distinct"),
+        F.sum((F.col("_c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("_c") == 2).cast("long")).alias("f2"),
+        F.round(
+            F.count("*")
+            + F.sum((F.col("_c") == 1).cast("double"))
+            * (F.sum((F.col("_c") == 1).cast("double")) - 1)
+            / (2.0 * (F.sum((F.col("_c") == 2).cast("double")) + 1)),
+            6,
+        ).alias("chao1"),
+        F.round(
+            1.0 - F.sum((F.col("_c") == 1).cast("double")) / F.sum("_c"),
+            6,
+        ).alias("coverage"),
+    )

@@ -8778,3 +8778,137 @@ def x238(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return group_influence(docs, "source", "n_chars")
+
+
+@_declare(
+    "X239_tukey_hsd",
+    # Tukey-Kramer HSD pairwise contrasts (evalmetrics.tukey_hsd) over
+    # event values by type: ONE sufficient-stats aggregate, then a
+    # bounded groups^2 pair grid (the X222 class). q_stat reported with
+    # df; studentized-range critical values are a caller-side table.
+    """WITH g AS (
+  SELECT event_type::VARCHAR AS g, COUNT(*)::DOUBLE AS n,
+         SUM(value::DOUBLE) AS s, SUM(value::DOUBLE * value::DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1),
+t AS (SELECT SUM(n) AS tn, COUNT(*)::DOUBLE AS k,
+             SUM(s2 - s * s / n) AS ssw
+      FROM g)
+SELECT a.g AS group_a, b.g AS group_b,
+       a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+       ROUND(a.s / a.n - b.s / b.n, 6) AS diff,
+       ROUND(sqrt((ssw / (tn - k)) / 2 * (1 / a.n + 1 / b.n)), 6) AS se,
+       ROUND(CASE WHEN sqrt((ssw / (tn - k)) / 2 * (1 / a.n + 1 / b.n)) > 0
+             THEN abs(a.s / a.n - b.s / b.n)
+                  / sqrt((ssw / (tn - k)) / 2 * (1 / a.n + 1 / b.n)) END, 6)
+         AS q_stat,
+       (tn - k)::BIGINT AS df_within
+FROM g a JOIN g b ON a.g < b.g, t;""",
+)
+def x239(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import tukey_hsd
+
+    ev = load_table(spark, sf_dir, "events")
+    return tukey_hsd(ev, "event_type", "value")
+
+
+@_declare(
+    "X240_cochran_q",
+    # Cochran's Q (evalmetrics.cochran_q, 1950) across the three rule
+    # raters' binary 'says-en' outcomes on matched documents — the
+    # k-treatment McNemar; matched design enforced by a 2-row control
+    # aggregate.
+    """WITH r AS (
+  SELECT doc_id AS i, rt, x FROM (
+    SELECT doc_id,
+           unnest(['r_the', 'r_and', 'r_of']) AS rt,
+           unnest([(text LIKE '% the %')::INT,
+                   (text LIKE '% and %')::INT,
+                   (text LIKE '% of %')::INT])::DOUBLE AS x
+    FROM documents WHERE text IS NOT NULL)),
+per AS (SELECT i, SUM(x) AS r FROM r GROUP BY 1),
+rows_ AS (SELECT COUNT(*)::BIGINT AS n, SUM(r) AS t, SUM(r * r) AS r2
+          FROM per),
+cols_ AS (SELECT rt, SUM(x) AS c FROM r GROUP BY 1),
+cs AS (SELECT SUM((c - t / 3.0) * (c - t / 3.0)) AS cs FROM cols_, rows_)
+SELECT n AS n_items, 3::BIGINT AS k,
+       ROUND(CASE WHEN 3.0 * t - r2 > 0
+             THEN 6.0 * cs / (3.0 * t - r2) END, 6) AS q_stat,
+       2::BIGINT AS df
+FROM rows_, cs;""",
+)
+def x240(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import cochran_q
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = F.array(
+        F.struct(F.lit("r_the").alias("rt"),
+                 F.col("text").like("% the %").cast("int").alias("x")),
+        F.struct(F.lit("r_and").alias("rt"),
+                 F.col("text").like("% and %").cast("int").alias("x")),
+        F.struct(F.lit("r_of").alias("rt"),
+                 F.col("text").like("% of %").cast("int").alias("x")),
+    )
+    r = docs.select("doc_id", F.explode(pairs).alias("v")).select(
+        "doc_id", F.col("v.rt").alias("rt"), F.col("v.x").alias("x")
+    )
+    return cochran_q(r, "doc_id", "rt", "x")
+
+
+@_declare(
+    "X241_vocab_richness",
+    # Chao1 + Good's coverage per language (textstats.vocab_richness):
+    # the vocabulary-saturation estimators — Heaps (X189) extrapolates
+    # the curve, Chao1 estimates the asymptote, coverage the unseen
+    # probability mass.
+    """WITH t AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+c AS (SELECT lang, tok, COUNT(*)::BIGINT AS c FROM t WHERE tok <> ''
+      GROUP BY 1, 2)
+SELECT lang, SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS v_distinct,
+       SUM((c = 1)::INT)::BIGINT AS f1, SUM((c = 2)::INT)::BIGINT AS f2,
+       ROUND(COUNT(*) + SUM((c = 1)::INT)::DOUBLE
+             * (SUM((c = 1)::INT)::DOUBLE - 1)
+             / (2.0 * (SUM((c = 2)::INT)::DOUBLE + 1)), 6) AS chao1,
+       ROUND(1.0 - SUM((c = 1)::INT)::DOUBLE / SUM(c), 6) AS coverage
+FROM c GROUP BY lang;""",
+)
+def x241(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import vocab_richness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_richness(docs, group_cols=["lang"])
+
+
+@_declare(
+    "X242_qq_drift",
+    # Quantile-quantile drift profile purchase-vs-click (quality.
+    # qq_drift): left-continuous inverse-CDF deciles of both slices
+    # side by side — WHERE the distributions diverge. One prefix-sum
+    # pass per group shared by all nine qs.
+    """WITH b AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+dv AS (SELECT g, v, COUNT(*)::DOUBLE AS w FROM b GROUP BY 1, 2),
+cum AS (SELECT g, v,
+               SUM(w) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw
+        FROM dv),
+tot AS (SELECT g, SUM(w) AS tw FROM dv GROUP BY 1),
+qs AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q),
+pick AS (SELECT qs.q, cum.g, MIN(cum.v) AS val
+         FROM qs, cum JOIN tot USING (g)
+         WHERE cum.cw >= qs.q * tot.tw
+         GROUP BY 1, 2)
+SELECT a.q, ROUND(a.val, 6) AS q_a, ROUND(b.val, 6) AS q_b,
+       ROUND(a.val - b.val, 6) AS diff
+FROM pick a JOIN pick b USING (q)
+WHERE a.g = 'purchase' AND b.g = 'click';""",
+)
+def x242(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import qq_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return qq_drift(ev, "value", "event_type", "purchase", "click")

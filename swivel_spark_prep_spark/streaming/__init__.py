@@ -1037,3 +1037,114 @@ def stream_cusum(
         .outputMode("append")
         .start()
     )
+
+
+def stream_sprt(
+    obs_stream: DataFrame,
+    order_cols: list,
+    success_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    p0: float = 0.15,
+    p1: float = 0.25,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    retain_batches: int | None = 8,
+):
+    """Streaming Wald SPRT — the sequential test run the way it was
+    designed to run: observations arrive, the log-likelihood-ratio walk
+    extends, and the decision fires THE BATCH the boundary is crossed
+    (timeseries.sprt_test is the batch twin; parity is pinned in
+    tests). State is one row — (n_obs, cum_llr, decision, cross_n) —
+    O(1) regardless of stream length, the smallest state of any service
+    here.
+
+    Per micro-batch: order the batch by ``order_cols``, one inclusive
+    prefix-sum pass carrying [llr, 1] OFFSET by the carried cumulative,
+    earliest in-batch crossing (if still undecided), then append-style
+    snapshot under ``out_dir/batch_id=N``. A decision is STICKY: once
+    crossed, later batches only extend n_obs/cum_llr for monitoring.
+    Same conventions as the sibling services: per-batch-partitioned
+    overwrites (idempotent replay), empty batches still commit state,
+    ``retain_batches`` state-GC.
+    """
+    import math
+
+    for nm, v in (("p0", p0), ("p1", p1)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{nm} must be in (0, 1), got {v}")
+    if p0 == p1:
+        raise ValueError("p0 and p1 must differ")
+    lp = math.log(p1 / p0)
+    ln_ = math.log((1.0 - p1) / (1.0 - p0))
+    a_bound = math.log((1.0 - beta) / alpha)
+    b_bound = math.log(beta / (1.0 - alpha))
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jp))
+
+    def _apply(batch: DataFrame, batch_id: int):
+        from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+        spark = batch.sparkSession
+        prev = f"{state_dir}/sprt/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev):
+            st = spark.read.parquet(prev).collect()[0]  # 1 row by contract
+            n0, cum0 = int(st["n_obs"]), float(st["cum_llr"])
+            decision, cross_n = st["decision"], st["cross_n"]
+        else:
+            n0, cum0, decision, cross_n = 0, 0.0, "continue", None
+
+        x = F.col(success_col).cast("double")
+        base = batch.select(
+            *order_cols,
+            (x * F.lit(lp) + (F.lit(1.0) - x) * F.lit(ln_)).alias("_llr"),
+            F.lit(1.0).alias("_one"),
+        ).filter(F.col("_llr").isNotNull())
+        cum = partitioned_prefix_sum(
+            base, list(order_cols), ["_llr", "_one"], ["_c", "_n"], inclusive=True
+        ).select(
+            (F.col("_c") + F.lit(cum0)).alias("_cum"),
+            (F.col("_n") + F.lit(float(n0))).alias("_gn"),
+            "_llr",
+        )
+        agg = cum.agg(
+            F.count("*").alias("_bn"),
+            F.coalesce(F.sum("_llr"), F.lit(0.0)).alias("_bs"),
+            F.min(F.when(F.col("_cum") >= a_bound, F.col("_gn"))).alias("_n1"),
+            F.min(F.when(F.col("_cum") <= b_bound, F.col("_gn"))).alias("_n0"),
+        ).collect()[0]
+        n_total = n0 + int(agg["_bn"])
+        cum_total = cum0 + float(agg["_bs"])
+        if decision == "continue":
+            n1, nn0 = agg["_n1"], agg["_n0"]
+            if n1 is not None and (nn0 is None or n1 <= nn0):
+                decision, cross_n = "accept_h1", int(n1)
+            elif nn0 is not None:
+                decision, cross_n = "accept_h0", int(nn0)
+        row = [(n_total, cum_total, decision,
+                int(cross_n) if cross_n is not None else None,
+                float(a_bound), float(b_bound))]
+        out = spark.createDataFrame(
+            row,
+            "n_obs long, cum_llr double, decision string, cross_n long,"
+            " a_bound double, b_bound double",
+        )
+        out.write.mode("overwrite").parquet(
+            f"{state_dir}/sprt/batch_id={batch_id}"
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if retain_batches:
+            _prune_batches(
+                spark, f"{state_dir}/sprt", batch_id - retain_batches + 1
+            )
+
+    return (
+        obs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,149 @@
+"""Round-12 batch H operator pins: Tukey HSD, Cochran's Q, vocabulary
+richness (Chao1/coverage), QQ drift profile."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+# ---- tukey_hsd
+
+
+def test_tukey_worked_example(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import tukey_hsd
+
+    rows = (
+        [("a", v) for v in (1.0, 2.0, 3.0)]
+        + [("b", v) for v in (2.0, 3.0, 4.0)]
+        + [("c", v) for v in (10.0, 11.0, 12.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r.group_a, r.group_b): r for r in tukey_hsd(df, "g", "v").collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # within each group SS = 2; SSW = 6, df = 9 - 3 = 6, MSW = 1
+    se = math.sqrt(1.0 / 2.0 * (1 / 3 + 1 / 3))
+    r = got[("a", "c")]
+    assert r.df_within == 6
+    assert r.diff == pytest.approx(2.0 - 11.0, abs=1e-6)
+    assert r.se == pytest.approx(se, abs=1e-6)
+    assert r.q_stat == pytest.approx(9.0 / se, abs=1e-4)
+    assert got[("a", "b")].diff == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_tukey_pair_count(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import tukey_hsd
+
+    rows = [(f"g{i % 5}", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert tukey_hsd(df, "g", "v").count() == 10  # C(5,2)
+
+
+# ---- cochran_q
+
+
+def test_cochran_python_replay(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cochran_q
+
+    # 8 items x 3 treatments, mixed outcomes
+    mat = [
+        (1, 1, 0), (1, 1, 1), (0, 1, 0), (1, 0, 0),
+        (0, 0, 0), (1, 1, 0), (0, 1, 1), (1, 1, 1),
+    ]
+    rows = [
+        (i, f"t{j}", x)
+        for i, outcomes in enumerate(mat)
+        for j, x in enumerate(outcomes)
+    ]
+    df = spark.createDataFrame(rows, "i long, t string, x int")
+    k = 3
+    R = [sum(o) for o in mat]
+    C = [sum(o[j] for o in mat) for j in range(k)]
+    T = sum(R)
+    q = k * (k - 1) * sum((c - T / k) ** 2 for c in C) / (k * T - sum(r * r for r in R))
+    row = cochran_q(df, "i", "t", "x").collect()[0]
+    assert row.n_items == 8 and row.k == 3 and row.df == 2
+    assert row.q_stat == pytest.approx(q, abs=1e-6)
+
+
+def test_cochran_unbalanced_raises(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cochran_q
+
+    rows = [(1, "a", 1), (1, "b", 0), (2, "a", 1)]  # item 2 missing b
+    df = spark.createDataFrame(rows, "i long, t string, x int")
+    with pytest.raises(ValueError, match="constant treatment count"):
+        cochran_q(df, "i", "t", "x")
+
+
+def test_cochran_degenerate_all_ones_null(spark):
+    """All successes: denominator k*T - sum R^2 = 0 -> q_stat NULL."""
+    from swivel_spark_prep_spark.operators.evalmetrics import cochran_q
+
+    rows = [(i, t, 1) for i in range(4) for t in ("a", "b")]
+    df = spark.createDataFrame(rows, "i long, t string, x int")
+    assert cochran_q(df, "i", "t", "x").collect()[0].q_stat is None
+
+
+# ---- vocab_richness
+
+
+def test_vocab_richness_worked_example(spark):
+    from swivel_spark_prep_spark.operators.textstats import vocab_richness
+
+    df = spark.createDataFrame([("en", "a a b c")], "lang string, text string")
+    row = vocab_richness(df, group_cols=["lang"]).collect()[0]
+    assert (row.n_tokens, row.v_distinct, row.f1, row.f2) == (4, 3, 2, 1)
+    # chao1 = 3 + 2*1/(2*(1+1)) = 3.5 ; coverage = 1 - 2/4 = 0.5
+    assert row.chao1 == pytest.approx(3.5, abs=1e-6)
+    assert row.coverage == pytest.approx(0.5, abs=1e-6)
+
+
+def test_vocab_richness_no_singletons_saturated(spark):
+    from swivel_spark_prep_spark.operators.textstats import vocab_richness
+
+    df = spark.createDataFrame([("en", "x x y y")], "lang string, text string")
+    row = vocab_richness(df, group_cols=["lang"]).collect()[0]
+    assert row.f1 == 0
+    assert row.chao1 == 2.0  # no unseen mass estimated
+    assert row.coverage == 1.0
+
+
+def test_vocab_richness_groups_independent(spark):
+    from swivel_spark_prep_spark.operators.textstats import vocab_richness
+
+    df = spark.createDataFrame(
+        [("en", "a b"), ("fr", "a a")], "lang string, text string"
+    )
+    got = {r.lang: r for r in vocab_richness(df, group_cols=["lang"]).collect()}
+    assert got["en"].f1 == 2 and got["fr"].f1 == 0
+
+
+# ---- qq_drift
+
+
+def test_qq_drift_shifted_uniform(spark):
+    from swivel_spark_prep_spark.operators.quality import qq_drift
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [
+        ("b", float(v)) for v in range(101, 201)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.q: r for r in qq_drift(df, "v", "g", "a", "b").collect()}
+    assert len(got) == 9
+    for q in (0.1, 0.5, 0.9):
+        # left-continuous inverse CDF of 1..100 at q is 100q
+        assert got[q].q_a == pytest.approx(100 * q, abs=1e-9)
+        assert got[q].diff == pytest.approx(-100.0, abs=1e-9)
+
+
+def test_qq_drift_identical_zero(spark):
+    from swivel_spark_prep_spark.operators.quality import qq_drift
+
+    rows = [(g, float(v % 13)) for g in ("a", "b") for v in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert all(
+        r.diff == 0.0 for r in qq_drift(df, "v", "g", "a", "b").collect()
+    )

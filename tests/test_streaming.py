@@ -860,3 +860,74 @@ def test_near_dedup_batch_replay_is_idempotent(spark, tmp_path):
     again = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out" / "b000001")).collect()}
     assert again == first
     assert len(glob.glob(str(tmp_path / "index" / "shingles" / "b*"))) == 2
+
+
+def test_stream_sprt_matches_batch_and_is_sticky(spark, tmp_path):
+    """stream_sprt: the final snapshot must equal the batch sprt_test on
+    the concatenated stream (same decision, cross_n, cum_llr), the
+    decision must be STICKY once crossed, and state is one row/batch."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.operators.timeseries import sprt_test
+    from swivel_spark_prep_spark.streaming import stream_sprt
+
+    # batch 0 undecided, batch 1 crosses A (all successes), batch 2
+    # all failures afterwards must NOT flip the decision
+    batches = [
+        [(i, 1 if i % 2 else 0) for i in range(6)],
+        [(10 + i, 1) for i in range(12)],
+        [(30 + i, 0) for i in range(10)],
+    ]
+    schema = "t long, x int"
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    for b, rows in enumerate(batches):
+        raw = tmp_path / f"raw{b}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(raw))
+        part = glob.glob(str(raw / "part-*.parquet"))[0]
+        shutil.copy(part, str(replay / f"{b:02d}.parquet"))
+    _stamp_mtimes(str(replay))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = stream_sprt(
+        stream,
+        ["t"],
+        "x",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        p0=0.15,
+        p1=0.25,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out_dirs = sorted(glob.glob(str(tmp_path / "out" / "batch_id=*")))
+    assert len(out_dirs) == 3
+    snaps = [spark.read.parquet(d).collect()[0] for d in out_dirs]
+    assert all(len(spark.read.parquet(d).collect()) == 1 for d in out_dirs)
+
+    # batch twin over the full concatenation (order = t, so the stream
+    # order and the batch order coincide)
+    all_rows = [r for b in batches for r in b]
+    batch_row = sprt_test(
+        spark.createDataFrame(all_rows, schema), ["t"], "x", p0=0.15, p1=0.25
+    ).collect()[0]
+    final = snaps[-1]
+    assert final.n_obs == batch_row.n_obs == len(all_rows)
+    assert final.decision == batch_row.decision == "accept_h1"
+    assert final.cross_n == batch_row.cross_n
+    assert final.cum_llr == pytest.approx(batch_row.llr_final, abs=1e-6)
+    # sticky: batch-2 snapshot keeps the batch-1 decision and cross_n
+    assert snaps[0].decision == "continue" and snaps[0].cross_n is None
+    assert snaps[1].decision == "accept_h1"
+    assert snaps[2].decision == "accept_h1"
+    assert snaps[2].cross_n == snaps[1].cross_n
