@@ -1410,3 +1410,48 @@ def lsh_parameter_plan(
         F.round("_fn", 6).alias("fn_mass"),
         F.round(F.col("_fp") + F.col("_fn"), 6).alias("total_mass"),
     ).orderBy("total_mass", "b")
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source exact-duplication matrix — "which sources copy from
+    which": for every source pair (a < b), how many duplicate GROUPS
+    (identical text, by full hash) span both sources, and the pair mass
+    Σ_h c_a(h)·c_b(h) (every cross-source duplicate row pair). The
+    triage table behind corpus-mix decisions: a high (a, b) cell means
+    source b adds mostly content a already contributes.
+
+    Scale shape: the corpus collapses ONCE to the (hash, source, count)
+    relation (hash-cardinality, map-side combine); the pair generation
+    is a per-hash keyed self-join over that relation — bounded at
+    (#sources)² per hash, sources being the small dimension by
+    construction (a corpus has dozens of sources, not millions). Rows
+    with NULL text/source are excluded. Output: (source_a, source_b,
+    shared_groups, pair_mass).
+    """
+    per = (
+        docs.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .groupBy(
+            F.sha2(F.col(text_col), 256).alias("_h"),
+            F.col(source_col).alias("_s"),
+        )
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    per = track_persist(per)
+    a = per.select("_h", F.col("_s").alias("source_a"), F.col("_c").alias("_ca"))
+    b = per.select("_h", F.col("_s").alias("source_b"), F.col("_c").alias("_cb"))
+    return (
+        a.join(b, "_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("shared_groups"),
+            F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("pair_mass"),
+        )
+    )

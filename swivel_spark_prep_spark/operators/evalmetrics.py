@@ -47,6 +47,8 @@ __all__ = [
     "conformal_interval",
     "tukey_hsd",
     "cochran_q",
+    "two_proportion_test",
+    "regression_reliability",
 ]
 
 
@@ -1655,4 +1657,120 @@ def cochran_q(
             6,
         ).alias("q_stat"),
         F.lit(k - 1).cast("long").alias("df"),
+    )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-proportion z-test + per-group Wilson score intervals — the
+    workhorse conversion-rate A/B readout (pooled-variance z for the
+    difference; Wilson 1927 for the per-arm CIs, which stay inside
+    [0, 1] and behave at small n where the Wald interval collapses):
+
+        z  = (p̂_a − p̂_b) / sqrt( p̂(1−p̂)(1/n_a + 1/n_b) ),  p̂ pooled
+        CI = (p̂ + z²/2n ± z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    One grouped aggregate (the corpus is touched once), 1-row algebra
+    after. Degenerate pooled variance (all successes / all failures)
+    yields z NULL. Output (1 row): (n_a, n_b, p_a, p_b, diff, z_stat,
+    ci_a_lo, ci_a_hi, ci_b_lo, ci_b_hi).
+    """
+    x = F.col(success_col).cast("int").cast("double")
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]) & x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count("*").cast("double").alias("_n"), F.sum(x).alias("_s"))
+    )
+    zc = float(z_crit)
+
+    def side(name, tag):
+        return g.filter(F.col("_g") == name).select(
+            F.col("_n").alias(f"_n{tag}"), F.col("_s").alias(f"_s{tag}")
+        )
+
+    j = side(group_a, "a").crossJoin(F.broadcast(side(group_b, "b")))
+    pa = F.col("_sa") / F.col("_na")
+    pb = F.col("_sb") / F.col("_nb")
+    pp = (F.col("_sa") + F.col("_sb")) / (F.col("_na") + F.col("_nb"))
+    sevar = pp * (1.0 - pp) * (1.0 / F.col("_na") + 1.0 / F.col("_nb"))
+
+    def wilson(p, n):
+        z2 = zc * zc
+        center = p + z2 / (2.0 * n)
+        half = F.lit(zc) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        denom = 1.0 + z2 / n
+        return ((center - half) / denom, (center + half) / denom)
+
+    alo, ahi = wilson(pa, F.col("_na"))
+    blo, bhi = wilson(pb, F.col("_nb"))
+    return j.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(pa - pb, 6).alias("diff"),
+        F.round(F.when(sevar > 0, (pa - pb) / F.sqrt(sevar)), 6).alias("z_stat"),
+        F.round(alo, 6).alias("ci_a_lo"),
+        F.round(ahi, 6).alias("ci_a_hi"),
+        F.round(blo, 6).alias("ci_b_lo"),
+        F.round(bhi, 6).alias("ci_b_hi"),
+    )
+
+
+def regression_reliability(
+    df: DataFrame,
+    value_col: str,
+    pred_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Regression reliability diagram — calibration_report's regression
+    sibling: bucket rows by PREDICTION into ``bins`` equal-width bins
+    over the prediction range, then compare mean prediction vs mean
+    observed value per bin (a calibrated regressor tracks the diagonal;
+    systematic bias shows as a signed gap, heteroscedastic error as
+    residual-std growth). Equal-WIDTH bins from a broadcast 1-row
+    min/max — pure codegen bucketing, no quantile pass, no sort.
+
+    Output (≤ bins rows): (bin, n, mean_pred, mean_value, gap,
+    resid_std), bin ∈ [1, bins], empty bins absent.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    base = df.select(
+        F.col(value_col).cast("double").alias("_y"),
+        F.col(pred_col).cast("double").alias("_p"),
+    ).filter(F.col("_y").isNotNull() & F.col("_p").isNotNull())
+    mm = base.agg(F.min("_p").alias("_lo"), F.max("_p").alias("_hi"))
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    raw = F.when(w == 0, F.lit(1)).otherwise(
+        F.least(
+            F.lit(bins),
+            F.greatest(F.lit(1), (F.floor((F.col("_p") - F.col("_lo")) / w) + 1)),
+        )
+    )
+    r = F.col("_y") - F.col("_p")
+    return (
+        base.crossJoin(F.broadcast(mm))
+        .select(raw.cast("int").alias("bin"), "_y", "_p", r.alias("_r"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_p"), 6).alias("mean_pred"),
+            F.round(F.avg("_y"), 6).alias("mean_value"),
+            F.round(F.avg("_y") - F.avg("_p"), 6).alias("gap"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.avg(F.col("_r") ** 2) - F.avg("_r") ** 2, F.lit(0.0)
+                    )
+                ),
+                6,
+            ).alias("resid_std"),
+        )
     )

@@ -1237,3 +1237,70 @@ def ann_hubness(
         F.col("_mx").cast("long").alias("max_k_occ"),
         F.round("_ah", 6).alias("antihub_frac"),
     )
+
+
+def embedding_hygiene(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-column hygiene gate — the pre-flight audit before any
+    ANN/dedup pipeline trusts a vector column: counts of NULL vectors,
+    zero vectors, vectors with NaN/Inf components, and dimensionality
+    disagreements against the modal dimension (everything downstream
+    assumes ONE d), plus norm distribution stats over the clean rows.
+
+    Two scans: one 2-row-bounded dimension-mode aggregate (grouped by
+    size — the dimension alphabet, not the corpus), one stats aggregate
+    with the modal d broadcast in; all vector work is JVM higher-order
+    expressions, no UDF, no shuffle beyond the tiny group-by.
+
+    Output (1 row): (n_rows, n_null, n_zero, n_nonfinite, dims_mode,
+    n_dim_mismatch, norm_mean, norm_std, norm_min, norm_max).
+    """
+    base = emb.select(
+        F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    dim_mode = (
+        base.filter(F.col("_e").isNotNull())
+        .groupBy(F.size("_e").alias("_dm"))
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_dm"))
+        .limit(1)
+        .select("_dm")
+    )
+    nonfinite = F.exists("_e", lambda x: x.isNaN() | (F.abs(x) == float("inf")))
+    norm = F.sqrt(F.aggregate("_e", F.lit(0.0), lambda acc, v: acc + v * v))
+    clean_norm = F.when(F.col("_e").isNotNull() & ~nonfinite, norm)
+    var = F.avg(F.col("_cn") ** 2) - F.avg("_cn") ** 2
+    return (
+        base.crossJoin(F.broadcast(dim_mode))
+        .select(
+            F.col("_e").isNull().cast("long").alias("_isnull"),
+            F.when(F.col("_e").isNotNull(), nonfinite.cast("long"))
+            .otherwise(F.lit(0))
+            .alias("_nf"),
+            clean_norm.alias("_cn"),
+            F.when(
+                F.col("_e").isNotNull() & (F.size("_e") != F.col("_dm")), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("_dmis"),
+            "_dm",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_isnull").alias("n_null"),
+            F.coalesce(
+                F.sum((F.col("_cn") == 0).cast("long")), F.lit(0)
+            ).alias("n_zero"),
+            F.sum("_nf").alias("n_nonfinite"),
+            F.max("_dm").cast("long").alias("dims_mode"),
+            F.sum("_dmis").alias("n_dim_mismatch"),
+            F.round(F.avg("_cn"), 6).alias("norm_mean"),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("norm_std"),
+            F.round(F.min("_cn"), 6).alias("norm_min"),
+            F.round(F.max("_cn"), 6).alias("norm_max"),
+        )
+    )

@@ -8912,3 +8912,146 @@ def x242(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return qq_drift(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X243_two_proportion",
+    # Two-proportion z + Wilson CIs (evalmetrics.two_proportion_test):
+    # purchase-vs-click rate of high-value events (value > 250) — one
+    # grouped aggregate, 1-row algebra; Wilson keeps small-n CIs in
+    # [0, 1].
+    """WITH g AS (
+  SELECT event_type AS g, COUNT(*)::DOUBLE AS n,
+         SUM((value > 250)::INT)::DOUBLE AS s
+  FROM events WHERE value IS NOT NULL
+    AND event_type IN ('purchase', 'click')
+  GROUP BY 1),
+j AS (SELECT a.n AS na, a.s AS sa, b.n AS nb, b.s AS sb
+      FROM (SELECT * FROM g WHERE g = 'purchase') a,
+           (SELECT * FROM g WHERE g = 'click') b),
+c AS (SELECT *, sa / na AS pa, sb / nb AS pb,
+             (sa + sb) / (na + nb) AS pp,
+             1.959963984540054 AS z FROM j),
+w AS (SELECT *,
+        (pa + z*z/(2*na) - z*sqrt(pa*(1-pa)/na + z*z/(4*na*na))) / (1 + z*z/na) AS alo,
+        (pa + z*z/(2*na) + z*sqrt(pa*(1-pa)/na + z*z/(4*na*na))) / (1 + z*z/na) AS ahi,
+        (pb + z*z/(2*nb) - z*sqrt(pb*(1-pb)/nb + z*z/(4*nb*nb))) / (1 + z*z/nb) AS blo,
+        (pb + z*z/(2*nb) + z*sqrt(pb*(1-pb)/nb + z*z/(4*nb*nb))) / (1 + z*z/nb) AS bhi
+      FROM c)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+       ROUND(pa - pb, 6) AS diff,
+       ROUND(CASE WHEN pp * (1 - pp) * (1/na + 1/nb) > 0
+             THEN (pa - pb) / sqrt(pp * (1 - pp) * (1/na + 1/nb)) END, 6)
+         AS z_stat,
+       ROUND(alo, 6) AS ci_a_lo, ROUND(ahi, 6) AS ci_a_hi,
+       ROUND(blo, 6) AS ci_b_lo, ROUND(bhi, 6) AS ci_b_hi
+FROM w;""",
+)
+def x243(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import two_proportion_test
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return two_proportion_test(
+        ev.select("event_type", (F.col("value") > 250).alias("hi")),
+        "event_type",
+        "hi",
+        "purchase",
+        "click",
+    )
+
+
+@_declare(
+    "X244_cross_source_dups",
+    # Cross-source exact-duplication matrix (dedup.
+    # cross_source_dup_matrix): which sources copy from which — dup
+    # groups spanning source pairs + the cross row-pair mass. Pair
+    # generation is per-hash over the (hash, source, count) relation,
+    # bounded at sources^2 per group.
+    """WITH per AS (
+  SELECT text, source AS s, COUNT(*)::DOUBLE AS c
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2)
+SELECT a.s AS source_a, b.s AS source_b,
+       COUNT(*)::BIGINT AS shared_groups,
+       SUM(a.c * b.c)::BIGINT AS pair_mass
+FROM per a JOIN per b ON a.text = b.text AND a.s < b.s
+GROUP BY 1, 2;""",
+)
+def x244(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_source_dup_matrix(docs)
+
+
+@_declare(
+    "X245_regression_reliability",
+    # Regression reliability diagram (evalmetrics.
+    # regression_reliability): per-event-type mean predictor vs
+    # observed value, 10 equal-width prediction bins from a broadcast
+    # 1-row min/max — codegen bucketing, no quantile pass.
+    """WITH b AS (
+  SELECT e.value::DOUBLE AS y, p.pred FROM events e
+  JOIN (SELECT event_type, AVG(value) AS pred FROM events
+        WHERE value IS NOT NULL GROUP BY 1) p USING (event_type)
+  WHERE e.value IS NOT NULL),
+mm AS (SELECT MIN(pred) AS lo, MAX(pred) AS hi FROM b),
+r AS (SELECT y, pred,
+             CASE WHEN (hi - lo) / 10.0 = 0 THEN 1
+                  ELSE LEAST(10, GREATEST(1,
+                    CAST(floor((pred - lo) / ((hi - lo) / 10.0)) AS INT) + 1))
+             END AS bin
+      FROM b, mm)
+SELECT bin, COUNT(*)::BIGINT AS n,
+       ROUND(AVG(pred), 6) AS mean_pred, ROUND(AVG(y), 6) AS mean_value,
+       ROUND(AVG(y) - AVG(pred), 6) AS gap,
+       ROUND(sqrt(GREATEST(AVG((y - pred) * (y - pred))
+                           - AVG(y - pred) * AVG(y - pred), 0)), 6)
+         AS resid_std
+FROM r GROUP BY bin;""",
+)
+def x245(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import regression_reliability
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pred = ev.groupBy("event_type").agg(F.avg("value").alias("pred"))
+    scored = ev.join(F.broadcast(pred), "event_type")
+    return regression_reliability(scored, "value", "pred", bins=10)
+
+
+@_declare(
+    "X246_embedding_hygiene",
+    # Embedding hygiene gate (similarity.embedding_hygiene): NULL/zero/
+    # non-finite/dimension-mismatch counts + norm stats — the audit an
+    # ANN pipeline runs before trusting a new vector column. Dimension
+    # mode from a dimension-alphabet-bounded aggregate.
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+dm AS (SELECT len(v) AS dm FROM e WHERE v IS NOT NULL
+       GROUP BY 1 ORDER BY COUNT(*) DESC, len(v) LIMIT 1),
+s AS (SELECT (v IS NULL)::INT::BIGINT AS nl,
+             CASE WHEN v IS NOT NULL THEN
+               (len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0)::INT
+             ELSE 0 END::BIGINT AS nf,
+             CASE WHEN v IS NOT NULL
+                   AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+                  THEN sqrt(list_dot_product(v, v)) END AS cn,
+             CASE WHEN v IS NOT NULL AND len(v) <> dm THEN 1 ELSE 0
+             END::BIGINT AS dmis,
+             dm
+      FROM e, dm)
+SELECT COUNT(*)::BIGINT AS n_rows, SUM(nl)::BIGINT AS n_null,
+       COALESCE(SUM((cn = 0)::INT), 0)::BIGINT AS n_zero,
+       SUM(nf)::BIGINT AS n_nonfinite,
+       MAX(dm)::BIGINT AS dims_mode, SUM(dmis)::BIGINT AS n_dim_mismatch,
+       ROUND(AVG(cn), 6) AS norm_mean,
+       ROUND(sqrt(GREATEST(AVG(cn * cn) - AVG(cn) * AVG(cn), 0)), 6)
+         AS norm_std,
+       ROUND(MIN(cn), 6) AS norm_min, ROUND(MAX(cn), 6) AS norm_max
+FROM s;""",
+)
+def x246(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import embedding_hygiene
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_hygiene(emb)

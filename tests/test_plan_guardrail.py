@@ -114,6 +114,10 @@ ALLOWED_PAIR_SELF_JOINS = {
     "X165_triangle_stats": 2,
     "X183_join_size_estimate": 1,
     "X205_theil_sen": 1,
+    # X244: the dup-matrix pair join is keyed on the text hash over the
+    # (hash, source, count) relation — bounded at (#sources)^2 per hash,
+    # sources being the small dimension by construction
+    "X244_cross_source_dups": 1,
     # X237: exact k-occurrence needs in-sample all-pairs ranks; the
     # operator enforces a max_vectors cap (md5-thresholded sample) and
     # broadcasts the <=cap side, so the single pair join is bounded at

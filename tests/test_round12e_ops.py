@@ -147,3 +147,122 @@ def test_qq_drift_identical_zero(spark):
     assert all(
         r.diff == 0.0 for r in qq_drift(df, "v", "g", "a", "b").collect()
     )
+
+
+# ---- two_proportion_test
+
+
+def test_two_proportion_worked_example(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import two_proportion_test
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [("b", 0)] * 80
+    df = spark.createDataFrame(rows, "g string, x int")
+    r = two_proportion_test(df, "g", "x", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (100, 100)
+    assert r.p_a == 0.3 and r.p_b == 0.2
+    pp = 0.25
+    se = math.sqrt(pp * 0.75 * (1 / 100 + 1 / 100))
+    assert r.z_stat == pytest.approx(0.1 / se, abs=1e-5)
+    # Wilson bounds bracket the point estimates and stay in [0, 1]
+    assert 0 <= r.ci_a_lo < 0.3 < r.ci_a_hi <= 1
+    assert 0 <= r.ci_b_lo < 0.2 < r.ci_b_hi <= 1
+
+
+def test_two_proportion_degenerate_z_null(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import two_proportion_test
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 5  # all successes: pooled var 0
+    df = spark.createDataFrame(rows, "g string, x int")
+    r = two_proportion_test(df, "g", "x", "a", "b").collect()[0]
+    assert r.z_stat is None and r.diff == 0.0
+
+
+# ---- cross_source_dup_matrix
+
+
+def test_cross_source_dup_matrix_planted(spark):
+    from swivel_spark_prep_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        (1, "sa", "dup one"), (2, "sb", "dup one"), (3, "sb", "dup one"),
+        (4, "sa", "dup two"), (5, "sc", "dup two"),
+        (6, "sa", "unique a"), (7, "sb", "unique b"),
+        (8, "sa", "dup one"),  # second sa copy of group one
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.source_a, r.source_b): r for r in cross_source_dup_matrix(df).collect()}
+    # (sa, sb): group 'dup one' spans both -> 1 group, mass 2*2 = 4
+    assert got[("sa", "sb")].shared_groups == 1
+    assert got[("sa", "sb")].pair_mass == 4
+    assert got[("sa", "sc")].shared_groups == 1
+    assert got[("sa", "sc")].pair_mass == 1
+    assert ("sb", "sc") not in got  # no shared text
+
+
+def test_cross_source_dup_matrix_no_dups_empty(spark):
+    from swivel_spark_prep_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    assert cross_source_dup_matrix(df).count() == 0
+
+
+# ---- regression_reliability
+
+
+def test_regression_reliability_perfect_predictor(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import regression_reliability
+
+    rows = [(float(v), float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, "y double, p double")
+    out = regression_reliability(df, "y", "p", bins=5).collect()
+    assert len(out) == 5
+    assert all(r.gap == 0.0 and r.resid_std == 0.0 for r in out)
+    assert sum(r.n for r in out) == 100
+
+
+def test_regression_reliability_constant_bias(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import regression_reliability
+
+    rows = [(float(v) + 3.0, float(v)) for v in range(50)]
+    df = spark.createDataFrame(rows, "y double, p double")
+    out = regression_reliability(df, "y", "p", bins=4).collect()
+    assert all(r.gap == pytest.approx(3.0, abs=1e-6) for r in out)
+
+
+def test_regression_reliability_constant_pred_one_bin(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import regression_reliability
+
+    rows = [(float(v), 5.0) for v in range(10)]
+    df = spark.createDataFrame(rows, "y double, p double")
+    out = regression_reliability(df, "y", "p", bins=10).collect()
+    assert len(out) == 1 and out[0].bin == 1 and out[0].n == 10
+
+
+# ---- embedding_hygiene
+
+
+def test_embedding_hygiene_planted_defects(spark):
+    from swivel_spark_prep_spark.operators.similarity import embedding_hygiene
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, [0.0, 0.0]),          # zero vector
+        (3, None),                # NULL
+        (4, [float("nan"), 1.0]), # non-finite
+        (5, [1.0, 0.0, 0.0]),     # dim mismatch (mode = 2)
+        (6, [0.0, 2.0]),          # norm 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_hygiene(df).collect()[0]
+    assert r.n_rows == 6
+    assert r.n_null == 1
+    assert r.n_zero == 1
+    assert r.n_nonfinite == 1
+    assert r.dims_mode == 2
+    assert r.n_dim_mismatch == 1
+    # norms over clean rows: 5, 0, 2, sqrt(1)=1 (the 3-dim one still has
+    # a finite norm) -> mean of [5, 0, 1, 2]
+    assert r.norm_max == 5.0
+    assert r.norm_min == 0.0
+    assert r.norm_mean == pytest.approx(2.0, abs=1e-6)
