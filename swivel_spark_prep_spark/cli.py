@@ -208,6 +208,31 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="print the plan, touch nothing")
     cp.add_argument("--master", default=None)
 
+    ch = sub.add_parser(
+        "chunk",
+        help="sliding-window RAG chunking: split docs into overlapping "
+        "token windows (window/stride), write the chunk table",
+    )
+    ch.add_argument("--input", required=True, help="parquet with doc_id/text")
+    ch.add_argument("--output", required=True, help="output directory")
+    ch.add_argument("--window", type=int, default=256)
+    ch.add_argument("--stride", type=int, default=128)
+    ch.add_argument("--master", default=None)
+
+    la = sub.add_parser(
+        "label-aggregate",
+        help="Dawid-Skene consensus labels from (item, rater, label) "
+        "votes: write per-item labels, print per-rater quality",
+    )
+    la.add_argument("--input", required=True,
+                    help="parquet with item/rater/label columns")
+    la.add_argument("--output", required=True, help="output directory")
+    la.add_argument("--item-col", default="item")
+    la.add_argument("--rater-col", default="rater")
+    la.add_argument("--label-col", default="label")
+    la.add_argument("--iterations", type=int, default=3)
+    la.add_argument("--master", default=None)
+
     return p
 
 
@@ -566,6 +591,46 @@ def _dispatch(args, spark, owns_session) -> int:
                 print(
                     f"# compacted {stats['files_removed']} files into "
                     f"{stats['files_written']} ({stats['bytes_compacted']} bytes)"
+                )
+        elif args.cmd == "chunk":
+            from swivel_spark_prep_spark.operators.chunking import (
+                sliding_window_chunks,
+            )
+
+            docs = spark.read.parquet(args.input)
+            chunks = sliding_window_chunks(
+                docs, window=args.window, stride=args.stride
+            )
+            chunks.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            n_docs = out.select("id").distinct().count()
+            n_chunks = out.count()
+            print(
+                f"# {n_chunks} chunks from {n_docs} docs "
+                f"(window={args.window}, stride={args.stride}) -> {args.output}"
+            )
+        elif args.cmd == "label-aggregate":
+            from swivel_spark_prep_spark.operators.labeling import (
+                dawid_skene,
+                dawid_skene_rater_quality,
+            )
+
+            ratings = spark.read.parquet(args.input)
+            labels = dawid_skene(
+                ratings, args.item_col, args.rater_col, args.label_col,
+                iterations=args.iterations,
+            )
+            labels.write.mode("overwrite").parquet(args.output)
+            rq = dawid_skene_rater_quality(
+                ratings, args.item_col, args.rater_col, args.label_col,
+                iterations=args.iterations,
+            ).orderBy("rater").collect()
+            n = spark.read.parquet(args.output).count()
+            print(f"# {n} consensus labels -> {args.output}")
+            for r in rq:
+                print(
+                    f"# rater {r.rater}: n={r.n_ratings} "
+                    f"accuracy={r.accuracy}"
                 )
         elif args.cmd == "bench-query":
             import time

@@ -266,3 +266,44 @@ def test_embedding_hygiene_planted_defects(spark):
     assert r.norm_max == 5.0
     assert r.norm_min == 0.0
     assert r.norm_mean == pytest.approx(2.0, abs=1e-6)
+
+
+# ---- CLI: chunk + label-aggregate
+
+
+def test_cli_chunk(spark, tmp_path, capsys):
+    from swivel_spark_prep_spark import cli
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "chunks")
+    rc = cli.main(["chunk", "--input", src, "--output", out,
+                   "--window", "4", "--stride", "2"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "5 chunks from 2 docs" in printed  # 4 + 1
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert set(got.columns) == {"id", "chunk_id", "n_tokens", "chunk"}
+
+
+def test_cli_label_aggregate(spark, tmp_path, capsys):
+    from swivel_spark_prep_spark import cli
+
+    rows = []
+    for i in range(10):
+        true = "x" if i % 2 else "y"
+        rows += [(i, "good1", true), (i, "good2", true), (i, "bad", "x")]
+    src = str(tmp_path / "ratings")
+    spark.createDataFrame(rows, "item long, rater string, label string").write.parquet(src)
+    out = str(tmp_path / "labels")
+    rc = cli.main(["label-aggregate", "--input", src, "--output", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "10 consensus labels" in printed
+    assert "rater bad:" in printed and "rater good1:" in printed
+    got = {r.item: r.ds_label for r in spark.read.parquet(out).collect()}
+    assert all(got[i] == ("x" if i % 2 else "y") for i in range(10))
