@@ -325,6 +325,22 @@ def main() -> None:
         "X206_linear_attribution",
         "X207_token_ig",
         "X208_bootstrap_uplift",
+        # Round-12 session batches, the ops with nontrivial scale
+        # stories: X226 randomization (explode×100, the bootstrap
+        # shape); X229 Bradley-Terry (8 MM rounds over a pair relation
+        # that is event-type-bounded — wall should be the per-job floor
+        # × rounds, SF-invariant-ish); X235/X236 Dawid-Skene (3 EM
+        # rounds, ratings relation grows 10x, q/theta model-sized);
+        # X237 hubness (max_vectors cap binds at sf1 → sample-bounded,
+        # wall should NOT scale 10x); X241 vocab richness (word-count
+        # shape); X244 cross-source dup matrix (hash-relation collapse).
+        "X226_randomization_test",
+        "X229_bradley_terry",
+        "X235_dawid_skene_labels",
+        "X236_dawid_skene_raters",
+        "X237_ann_hubness",
+        "X241_vocab_richness",
+        "X244_cross_source_dups",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
@@ -338,6 +354,18 @@ def main() -> None:
             **walls,
             "scale_factor": round(walls["sf1"] / max(walls["sf01"], 1e-9), 2),
         }
+        if name == "X229_bradley_terry":
+            extras[name]["caveat"] = (
+                "pair relation is event-type-bounded: 8 MM rounds of "
+                "per-job floor dominate; ~1x wall on 10x rows is the "
+                "designed shape"
+            )
+        if name == "X237_ann_hubness":
+            extras[name]["caveat"] = (
+                "max_vectors cap binds at both SFs >= 0.1: the exact "
+                "pair stage is sample-bounded, wall is SF-invariant "
+                "by construction"
+            )
         if name == "X110_nb_lang_confusion":
             # Round-11 verdict ask #6, adjudicated by measurement: the
             # sf1 token-suffix scheme ('\\1x<i>') lengthens every token,

@@ -1774,3 +1774,61 @@ def regression_reliability(
             ).alias("resid_std"),
         )
     )
+
+
+def mde_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    alpha_z: float = 1.959963984540054,
+    power_z: float = 0.8416212335729143,
+) -> DataFrame:
+    """Minimum detectable effect from pilot data — the experiment-design
+    readout BEFORE the test runs: with the observed arm sizes and the
+    pooled variance, the smallest true difference a two-sample z-test
+    would detect at the given α (two-sided) and power:
+
+        MDE = (z_{α/2} + z_{power}) · sqrt( s²_pooled (1/n_a + 1/n_b) )
+
+    (defaults: α = 0.05, power = 0.80 — the 1.96/0.8416 pair). Reported
+    absolute and relative to the control (group_b) mean. One grouped
+    sufficient-stats aggregate; 1-row algebra after. Output (1 row):
+    (n_a, n_b, mean_a, mean_b, sd_pooled, mde_abs, mde_rel).
+    """
+    x = F.col(value_col).cast("double")
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]) & x.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(x).alias("_s"),
+            F.sum(x * x).alias("_s2"),
+        )
+    )
+
+    def side(name, tag):
+        return g.filter(F.col("_g") == name).select(
+            F.col("_n").alias(f"_n{tag}"),
+            F.col("_s").alias(f"_s{tag}"),
+            F.col("_s2").alias(f"_q{tag}"),
+        )
+
+    j = side(group_a, "a").crossJoin(F.broadcast(side(group_b, "b")))
+    ssa = F.col("_qa") - F.col("_sa") ** 2 / F.col("_na")
+    ssb = F.col("_qb") - F.col("_sb") ** 2 / F.col("_nb")
+    s2 = (ssa + ssb) / (F.col("_na") + F.col("_nb") - 2.0)
+    mde = F.lit(float(alpha_z) + float(power_z)) * F.sqrt(
+        s2 * (1.0 / F.col("_na") + 1.0 / F.col("_nb"))
+    )
+    mb = F.col("_sb") / F.col("_nb")
+    return j.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(F.col("_sa") / F.col("_na"), 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(F.sqrt(s2), 6).alias("sd_pooled"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(F.when(mb != 0, mde / F.abs(mb)), 6).alias("mde_rel"),
+    )

@@ -918,3 +918,83 @@ def qq_drift(
         F.round("q_b", 6).alias("q_b"),
         F.round(F.col("q_a") - F.col("q_b"), 6).alias("diff"),
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Optimal 1-D decision stump — the best threshold t on a score
+    separating a binary label by weighted Gini impurity (CART's split
+    criterion, Breiman 1984): evaluates EVERY distinct score as a
+    candidate "score ≤ t" split in one pass and returns the argmin.
+    This is the "is this quality score actually separating good from
+    bad documents, and where should the cut be" primitive.
+
+    Scale shape: corpus → per-distinct-score (n, positives) relation
+    (hash aggregate, score-cardinality); ONE inclusive
+    :func:`~..ranks.partitioned_prefix_sum` in score order gives every
+    left-split's (n_l, pos_l) simultaneously; totals are a broadcast
+    1-row relation; the argmin is a min-filter — no window over the
+    corpus, no per-threshold rescans (the naive form is O(n·thresholds)).
+    The all-rows-left split (t = max score) is excluded — it is not a
+    split. Ties on impurity break to the SMALLEST threshold.
+
+    Output (1 row): (threshold, n_left, n_right, pos_left, pos_right,
+    gini_split, gini_parent, gain).
+    """
+    base = df.select(
+        F.col(score_col).cast("double").alias("_v"),
+        F.col(label_col).cast("int").cast("double").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+    dv = base.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_n"), F.sum("_y").alias("_p")
+    )
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    cum = partitioned_prefix_sum(
+        dv, ["_v"], ["_n", "_p"], ["_nl", "_pl"], inclusive=True
+    )
+    tot = dv.agg(F.sum("_n").alias("_tn"), F.sum("_p").alias("_tp"))
+
+    def gini(pos, n):
+        # try_divide, not /: under ANSI mode (Spark 4 default) the
+        # optimizer may evaluate the projection alongside the nr > 0
+        # filter in one codegen stage, and the right-split division
+        # must not raise on the filtered-out all-left row
+        pr = F.try_divide(pos, n)
+        return 2.0 * pr * (1.0 - pr)
+
+    nl, pl = F.col("_nl"), F.col("_pl")
+    nr, pr_ = F.col("_tn") - nl, F.col("_tp") - pl
+    split = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(nr > 0)  # the all-left "split" is not a split
+        .select(
+            "_v",
+            nl.alias("_sn"),
+            nr.alias("_sr"),
+            pl.alias("_sp"),
+            pr_.alias("_spr"),
+            ((nl / F.col("_tn")) * gini(pl, nl)
+             + (nr / F.col("_tn")) * gini(pr_, nr)).alias("_g"),
+            gini(F.col("_tp"), F.col("_tn")).alias("_gp"),
+        )
+    )
+    best = split.agg(F.min("_g").alias("_bg"))
+    return (
+        split.crossJoin(F.broadcast(best))
+        .filter(F.col("_g") == F.col("_bg"))
+        .groupBy()
+        .agg(
+            F.min("_v").alias("threshold"),
+            F.min_by("_sn", "_v").cast("long").alias("n_left"),
+            F.min_by("_sr", "_v").cast("long").alias("n_right"),
+            F.min_by("_sp", "_v").cast("long").alias("pos_left"),
+            F.min_by("_spr", "_v").cast("long").alias("pos_right"),
+            F.round(F.min_by("_g", "_v"), 6).alias("gini_split"),
+            F.round(F.min_by("_gp", "_v"), 6).alias("gini_parent"),
+            F.round(F.min_by(F.col("_gp") - F.col("_g"), "_v"), 6).alias("gain"),
+        )
+    )

@@ -1560,3 +1560,55 @@ def sprt_test(
         F.round(F.lit(a_bound), 6).alias("a_bound"),
         F.round(F.lit(b_bound), 6).alias("b_bound"),
     )
+
+
+def markov_perplexity(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list,
+    state_col: str,
+) -> DataFrame:
+    """Empirical first-order Markov entropy rate + perplexity of the
+    per-key event streams — "how predictable is the next event given
+    the current one": the entropy of the maximum-likelihood transition
+    matrix weighted by how often each source state occurs,
+
+        H = − Σ_{ij} (c_ij / N) · ln( c_ij / c_i· ) ,  PPL = e^H
+
+    Perplexity 1 = fully deterministic sessions; perplexity = #states
+    = uniformly random. The behavioral companion to transition_matrix
+    (which reports the matrix itself).
+
+    One lag window PER KEY (partitioned — the sessionization shape),
+    one (prev, cur) count aggregate (state-alphabet² relation), then a
+    1-row reduction. Output (1 row): (n_transitions, n_states,
+    entropy_rate, perplexity).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    tr = (
+        events.select(
+            F.col(state_col).alias("_cur"),
+            F.lag(F.col(state_col)).over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull() & F.col("_cur").isNotNull())
+        .groupBy("_prev", "_cur")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    row_tot = tr.groupBy("_prev").agg(F.sum("_c").alias("_ci"))
+    ent = (
+        tr.join(row_tot, "_prev")
+        .crossJoin(F.broadcast(tr.agg(F.sum("_c").alias("_N"))))
+        .agg(
+            F.max("_N").cast("long").alias("n_transitions"),
+            F.countDistinct("_prev").alias("_np"),
+            (-F.sum(
+                F.col("_c") / F.col("_N") * F.log(F.col("_c") / F.col("_ci"))
+            )).alias("_h"),
+        )
+    )
+    return ent.select(
+        "n_transitions",
+        F.col("_np").alias("n_states"),
+        F.round("_h", 6).alias("entropy_rate"),
+        F.round(F.exp("_h"), 6).alias("perplexity"),
+    )

@@ -8754,7 +8754,11 @@ def x237(spark, sf_dir):
     from swivel_spark_prep_spark.operators.similarity import ann_hubness
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_hubness(emb, k=10, max_vectors=2000)
+    # cap 1000: the skew estimate is stable from ~1k points and the
+    # exact in-sample pair cost is cap^2 — 1000 keeps the sf0.1 wall
+    # ~4x below the 2000-cap variant (measured 29.8 -> ~7.5 s) with the
+    # sf0.01 gate (500 vectors) still exact/un-sampled
+    return ann_hubness(emb, k=10, max_vectors=1000)
 
 
 @_declare(
@@ -9055,3 +9059,108 @@ def x246(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_hygiene(emb)
+
+
+@_declare(
+    "X247_decision_stump",
+    # Optimal Gini decision stump (quality.decision_stump, CART):
+    # best "n_chars <= t" split for predicting lang='en' — every
+    # distinct score evaluated simultaneously via one inclusive
+    # prefix-sum pass; smallest-threshold tiebreak.
+    """WITH b AS (
+  SELECT n_chars::DOUBLE AS v, (lang = 'en')::INT::DOUBLE AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+dv AS (SELECT v, COUNT(*)::DOUBLE AS n, SUM(y) AS p FROM b GROUP BY 1),
+cum AS (SELECT v, SUM(n) OVER w AS nl, SUM(p) OVER w AS pl FROM dv
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)),
+tot AS (SELECT SUM(n) AS tn, SUM(p) AS tp FROM dv),
+sp AS (SELECT v, nl, tn - nl AS nr, pl, tp - pl AS pr,
+              (nl / tn) * (2 * (pl / nl) * (1 - pl / nl))
+              + ((tn - nl) / tn)
+                * (2 * ((tp - pl) / (tn - nl)) * (1 - (tp - pl) / (tn - nl)))
+                AS g,
+              2 * (tp / tn) * (1 - tp / tn) AS gp
+       FROM cum, tot WHERE tn - nl > 0),
+best AS (SELECT MIN(g) AS bg FROM sp),
+pick AS (SELECT * FROM sp, best WHERE g = bg ORDER BY v LIMIT 1)
+SELECT v AS threshold, nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+       pl::BIGINT AS pos_left, pr::BIGINT AS pos_right,
+       ROUND(g, 6) AS gini_split, ROUND(gp, 6) AS gini_parent,
+       ROUND(gp - g, 6) AS gain
+FROM pick;""",
+)
+def x247(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import decision_stump
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return decision_stump(
+        docs.select("n_chars", (F.col("lang") == "en").alias("is_en")),
+        "n_chars",
+        "is_en",
+    )
+
+
+@_declare(
+    "X248_mde_report",
+    # Minimum detectable effect from pilot data (evalmetrics.
+    # mde_report): alpha=0.05 two-sided, power=0.80 — the
+    # experiment-design readout; one sufficient-stats aggregate.
+    """WITH g AS (
+  SELECT event_type AS g, COUNT(*)::DOUBLE AS n, SUM(value) AS s,
+         SUM(value * value) AS s2
+  FROM events WHERE value IS NOT NULL
+    AND event_type IN ('purchase', 'click')
+  GROUP BY 1),
+j AS (SELECT a.n AS na, a.s AS sa, a.s2 AS qa,
+             b.n AS nb, b.s AS sb, b.s2 AS qb
+      FROM (SELECT * FROM g WHERE g = 'purchase') a,
+           (SELECT * FROM g WHERE g = 'click') b),
+c AS (SELECT *,
+        ((qa - sa * sa / na) + (qb - sb * sb / nb)) / (na + nb - 2) AS s2p
+      FROM j)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(sa / na, 6) AS mean_a, ROUND(sb / nb, 6) AS mean_b,
+       ROUND(sqrt(s2p), 6) AS sd_pooled,
+       ROUND(2.8015852181129683 * sqrt(s2p * (1 / na + 1 / nb)), 6)
+         AS mde_abs,
+       ROUND(CASE WHEN sb / nb <> 0
+             THEN 2.8015852181129683 * sqrt(s2p * (1 / na + 1 / nb))
+                  / abs(sb / nb) END, 6) AS mde_rel
+FROM c;""",
+)
+def x248(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import mde_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return mde_report(ev, "event_type", "value", "purchase", "click")
+
+
+@_declare(
+    "X249_markov_perplexity",
+    # Empirical Markov entropy rate + perplexity of per-user event
+    # streams (timeseries.markov_perplexity): how predictable is the
+    # next event type — the behavioral companion to X44's transition
+    # matrix. One per-user lag window + a states^2 count relation.
+    """WITH tr AS (
+  SELECT prev, event_type AS cur, COUNT(*)::DOUBLE AS c FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events)
+  WHERE prev IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT prev, SUM(c) AS ci FROM tr GROUP BY 1),
+n AS (SELECT SUM(c) AS nn FROM tr)
+SELECT MAX(nn)::BIGINT AS n_transitions,
+       (SELECT COUNT(DISTINCT prev) FROM tr)::BIGINT AS n_states,
+       ROUND(-SUM(c / nn * ln(c / ci)), 6) AS entropy_rate,
+       ROUND(exp(-SUM(c / nn * ln(c / ci))), 6) AS perplexity
+FROM tr JOIN rt USING (prev), n;""",
+)
+def x249(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import markov_perplexity
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_perplexity(ev, "user_id", ["ts", "event_id"], "event_type")

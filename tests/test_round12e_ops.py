@@ -307,3 +307,131 @@ def test_cli_label_aggregate(spark, tmp_path, capsys):
     assert "rater bad:" in printed and "rater good1:" in printed
     got = {r.item: r.ds_label for r in spark.read.parquet(out).collect()}
     assert all(got[i] == ("x" if i % 2 else "y") for i in range(10))
+
+
+# ---- decision_stump
+
+
+def test_stump_perfect_split(spark):
+    from swivel_spark_prep_spark.operators.quality import decision_stump
+
+    rows = [(float(v), 1) for v in range(10)] + [(float(v), 0) for v in range(10, 20)]
+    df = spark.createDataFrame(rows, "v double, y int")
+    r = decision_stump(df, "v", "y").collect()[0]
+    assert r.threshold == 9.0  # v <= 9 is all positives
+    assert r.gini_split == 0.0
+    assert r.gain == pytest.approx(0.5, abs=1e-6)
+    assert (r.n_left, r.n_right, r.pos_left, r.pos_right) == (10, 10, 10, 0)
+
+
+def test_stump_python_replay(spark):
+    from swivel_spark_prep_spark.operators.quality import decision_stump
+
+    vals = [((i * 7) % 20, 1 if (i * 3) % 5 < 2 else 0) for i in range(60)]
+    df = spark.createDataFrame(
+        [(float(v), y) for v, y in vals], "v double, y int"
+    )
+    # brute force over distinct thresholds
+    import collections
+
+    agg = collections.Counter()
+    pos = collections.Counter()
+    for v, y in vals:
+        agg[v] += 1
+        pos[v] += y
+    vs = sorted(agg)
+    tn, tp = sum(agg.values()), sum(pos.values())
+
+    def gini(p, n):
+        q = p / n
+        return 2 * q * (1 - q)
+
+    best = None
+    nl = pl = 0
+    for v in vs:
+        nl += agg[v]
+        pl += pos[v]
+        nr, pr = tn - nl, tp - pl
+        if nr == 0:
+            continue
+        g = nl / tn * gini(pl, nl) + nr / tn * gini(pr, nr)
+        if best is None or g < best[0] - 1e-12:
+            best = (g, v, nl, nr)
+    r = decision_stump(df, "v", "y").collect()[0]
+    assert r.threshold == best[1]
+    assert r.gini_split == pytest.approx(best[0], abs=1e-6)
+    assert r.n_left == best[2] and r.n_right == best[3]
+
+
+# ---- mde_report
+
+
+def test_mde_analytic(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import mde_report
+
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    a = rng.randn(200) * 2 + 10
+    b = rng.randn(300) * 2 + 10
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mde_report(df, "g", "v", "a", "b").collect()[0]
+    ssa = ((a - a.mean()) ** 2).sum()
+    ssb = ((b - b.mean()) ** 2).sum()
+    s2 = (ssa + ssb) / (200 + 300 - 2)
+    mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        s2 * (1 / 200 + 1 / 300)
+    )
+    assert r.sd_pooled == pytest.approx(math.sqrt(s2), abs=1e-4)
+    assert r.mde_abs == pytest.approx(mde, abs=1e-4)
+    assert r.mde_rel == pytest.approx(mde / abs(b.mean()), abs=1e-4)
+
+
+# ---- markov_perplexity
+
+
+def test_markov_deterministic_chain_ppl_one(spark):
+    from swivel_spark_prep_spark.operators.timeseries import markov_perplexity
+
+    # a -> b -> a -> b ... per user: next state fully determined
+    rows = [(u, t, "a" if t % 2 == 0 else "b") for u in range(3) for t in range(10)]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    r = markov_perplexity(df, "u", ["t"], "s").collect()[0]
+    assert r.perplexity == 1.0
+    assert r.entropy_rate == 0.0
+    assert r.n_transitions == 27
+
+
+def test_markov_uniform_two_states_ppl_two(spark):
+    from swivel_spark_prep_spark.operators.timeseries import markov_perplexity
+
+    # from every state, next is a or b equally often
+    seq = ["a", "a", "b", "b", "a", "b", "a", "a", "b", "b", "a", "b"]
+    # transitions: aa, ab, bb, ba, ab, ba, aa, ab, bb, ba, ab
+    # from a: aa x2, ab x4 -> not uniform; craft exactly uniform:
+    seq = ["a", "a", "b", "a", "b", "b", "a"]
+    # transitions: aa, ab, ba, ab, bb, ba -> a: {a:1, b:2}... craft simpler
+    seq = ["a", "a", "b", "b", "a", "b"]
+    # aa, ab, bb, ba, ab -> from a: a1 b2; from b: b1 a1 -> not uniform
+    # build explicitly: aa, ab, ba, bb each once
+    rows = [
+        (1, 0, "a"), (1, 1, "a"), (1, 2, "b"), (1, 3, "b"),  # aa, ab, bb
+        (2, 0, "b"), (2, 1, "a"), (2, 2, "b"),               # ba, ab
+        (3, 0, "b"), (3, 1, "a"),                            # ba
+        (4, 0, "a"), (4, 1, "b"),                            # ab... recount
+    ]
+    # transitions: u1: aa, ab, bb ; u2: ba, ab ; u3: ba ; u4: ab
+    # from a: a=1, b=3 ; from b: a=2, b=1 -> H = -(1/7 ln(1/4) + 3/7 ln(3/4)
+    #                                            + 2/7 ln(2/3) + 1/7 ln(1/3))
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    r = markov_perplexity(df, "u", ["t"], "s").collect()[0]
+    h = -(
+        1 / 7 * math.log(1 / 4)
+        + 3 / 7 * math.log(3 / 4)
+        + 2 / 7 * math.log(2 / 3)
+        + 1 / 7 * math.log(1 / 3)
+    )
+    assert r.n_transitions == 7
+    assert r.entropy_rate == pytest.approx(h, abs=1e-6)
+    assert r.perplexity == pytest.approx(math.exp(h), abs=1e-6)
