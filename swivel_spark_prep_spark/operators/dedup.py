@@ -1455,3 +1455,50 @@ def cross_source_dup_matrix(
             F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("pair_mass"),
         )
     )
+
+
+def dedup_roi_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup return-on-investment per group — what running exact
+    dedup would SAVE, sliced by source: rows and whitespace tokens
+    before vs after keeping one survivor per identical text (global
+    dedup, min-id survivor; a group is charged for every non-surviving
+    copy IT holds, so the table answers "which source's ingestion is
+    paying for duplicates"). The triage report to read BEFORE paying
+    for the heavier near-dup passes.
+
+    Two hash aggregates and one shuffled equi-join (the survivor
+    relation is hash-cardinality — NOT broadcastable at corpus scale);
+    no windows, no pair generation. Output (one row per
+    group): (group, n_rows, n_surviving, rows_saved, tokens_total,
+    tokens_surviving, tokens_saved_pct).
+    """
+    base = docs.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.sha2(F.col(text_col), 256).alias("_h"),
+        F.size(F.split(F.col(text_col), " ", -1)).cast("double").alias("_nt"),
+    )
+    surv = base.groupBy("_h").agg(F.min("_id").alias("_sid"))
+    tagged = base.join(surv, "_h").select(
+        "_g", "_nt", (F.col("_id") == F.col("_sid")).cast("int").alias("_keep")
+    )
+    return tagged.groupBy(F.col("_g").alias("group")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_keep").cast("long").alias("n_surviving"),
+        (F.count("*") - F.sum("_keep")).cast("long").alias("rows_saved"),
+        F.sum("_nt").cast("long").alias("tokens_total"),
+        F.sum(F.col("_nt") * F.col("_keep")).cast("long").alias("tokens_surviving"),
+        F.round(
+            (F.sum("_nt") - F.sum(F.col("_nt") * F.col("_keep")))
+            / F.sum("_nt")
+            * 100.0,
+            6,
+        ).alias("tokens_saved_pct"),
+    )

@@ -453,3 +453,39 @@ def doc_keywords(
         .filter(F.col("rank") <= k)
         .select("id", "rank", "term", "w")
     )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    term: str,
+    width: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) snippets — the search-result extraction
+    step: for every document containing ``term`` as a whitespace token,
+    the ±``width``-token window around its FIRST occurrence. The
+    concordance view corpus linguists and search UIs both want; pure
+    codegen (split + array_position + slice + array_join), zero
+    shuffle, linear scan.
+
+    Output: (id, pos, snippet) — pos is the 1-based token position of
+    the hit; docs without the token produce no row.
+    """
+    if width < 0:
+        raise ValueError(f"width must be >= 0, got {width}")
+    toks = F.split(F.col(text_col), " ", -1)
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        toks.alias("_t"),
+        F.array_position(toks, term).alias("pos"),
+    ).filter(F.col("pos") > 0)
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(width))
+    # window length: from start through pos + width (slice clamps at
+    # the array end)
+    length = F.col("pos") + F.lit(width) - start + F.lit(1)
+    return base.select(
+        "id",
+        "pos",
+        F.array_join(F.slice("_t", start, length), " ").alias("snippet"),
+    )

@@ -9164,3 +9164,52 @@ def x249(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return markov_perplexity(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+@_declare(
+    "X250_kwic_snippets",
+    # Keyword-in-context snippets (search.kwic_snippets): the ±3-token
+    # window around the first 'data' hit per document — codegen split/
+    # position/slice, zero shuffle.
+    """WITH t AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS tk,
+         list_position(string_split(text, ' '), 'data') AS pos
+  FROM documents WHERE text IS NOT NULL)
+SELECT id, pos::BIGINT AS pos,
+       array_to_string(
+         tk[GREATEST(1, pos - 3):(pos + 3)], ' ') AS snippet
+FROM t WHERE pos IS NOT NULL AND pos > 0;""",
+)
+def x250(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.search import kwic_snippets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kwic_snippets(docs, "data", width=3)
+
+
+@_declare(
+    "X251_dedup_roi",
+    # Exact-dedup ROI per source (dedup.dedup_roi_by_group): rows and
+    # tokens saved by global min-id-survivor exact dedup, charged to
+    # the source holding each non-surviving copy — the "is the heavy
+    # near-dup pass worth it" triage table.
+    """WITH b AS (
+  SELECT source AS g, doc_id AS id, text,
+         len(string_split(text, ' '))::DOUBLE AS nt
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+s AS (SELECT text, MIN(id) AS sid FROM b GROUP BY 1),
+t AS (SELECT g, nt, (id = sid)::INT AS keep FROM b JOIN s USING (text))
+SELECT g AS "group", COUNT(*)::BIGINT AS n_rows,
+       SUM(keep)::BIGINT AS n_surviving,
+       (COUNT(*) - SUM(keep))::BIGINT AS rows_saved,
+       SUM(nt)::BIGINT AS tokens_total,
+       SUM(nt * keep)::BIGINT AS tokens_surviving,
+       ROUND((SUM(nt) - SUM(nt * keep)) / SUM(nt) * 100.0, 6)
+         AS tokens_saved_pct
+FROM t GROUP BY g;""",
+)
+def x251(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import dedup_roi_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_roi_by_group(docs)

@@ -435,3 +435,56 @@ def test_markov_uniform_two_states_ppl_two(spark):
     assert r.n_transitions == 7
     assert r.entropy_rate == pytest.approx(h, abs=1e-6)
     assert r.perplexity == pytest.approx(math.exp(h), abs=1e-6)
+
+
+# ---- kwic_snippets
+
+
+def test_kwic_window_and_edges(spark):
+    from swivel_spark_prep_spark.operators.search import kwic_snippets
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c hit d e f"),
+            (2, "hit x y"),            # hit at position 1: left-clamped
+            (3, "no match here"),
+            (4, "p q hit"),            # right-clamped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in kwic_snippets(df, "hit", width=2).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1].pos == 4 and got[1].snippet == "b c hit d e"
+    assert got[2].pos == 1 and got[2].snippet == "hit x y"
+    assert got[4].pos == 3 and got[4].snippet == "p q hit"
+
+
+def test_kwic_first_occurrence_only(spark):
+    from swivel_spark_prep_spark.operators.search import kwic_snippets
+
+    df = spark.createDataFrame([(1, "hit a hit b")], "doc_id long, text string")
+    rows = kwic_snippets(df, "hit", width=1).collect()
+    assert len(rows) == 1 and rows[0].pos == 1
+
+
+# ---- dedup_roi_by_group
+
+
+def test_dedup_roi_planted(spark):
+    from swivel_spark_prep_spark.operators.dedup import dedup_roi_by_group
+
+    rows = [
+        (1, "sa", "dup text one"),   # survivor (min id)
+        (2, "sb", "dup text one"),   # sb pays 3 tokens
+        (3, "sb", "dup text one"),   # sb pays 3 more
+        (4, "sa", "unique a doc"),
+        (5, "sb", "unique b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.group: r for r in dedup_roi_by_group(df).collect()}
+    assert got["sa"].n_rows == 2 and got["sa"].rows_saved == 0
+    assert got["sa"].tokens_saved_pct == 0.0
+    assert got["sb"].n_rows == 3 and got["sb"].rows_saved == 2
+    assert got["sb"].tokens_total == 8  # 3 + 3 + 2
+    assert got["sb"].tokens_surviving == 2
+    assert got["sb"].tokens_saved_pct == pytest.approx(75.0, abs=1e-6)
