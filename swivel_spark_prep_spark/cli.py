@@ -233,6 +233,16 @@ def _build_parser() -> argparse.ArgumentParser:
     la.add_argument("--iterations", type=int, default=3)
     la.add_argument("--master", default=None)
 
+    ex = sub.add_parser(
+        "explain-query",
+        help="plan health report for one registered query: pushed "
+        "filters, pruned schemas, codegen spans, shuffle/join mix, "
+        "guardrail invariants",
+    )
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument("--master", default=None)
+
     return p
 
 
@@ -632,6 +642,19 @@ def _dispatch(args, spark, owns_session) -> int:
                     f"# rater {r.rater}: n={r.n_ratings} "
                     f"accuracy={r.accuracy}"
                 )
+        elif args.cmd == "explain-query":
+            import json as _json
+
+            from swivel_spark_prep_spark.plans import plan_report
+            from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
+            from swivel_spark_prep_spark.queries.extra import EXTRA_QUERIES
+
+            registry = {**DECLARED_QUERIES, **EXTRA_QUERIES}
+            if args.name not in registry:
+                print(f"unknown query {args.name}", file=sys.stderr)
+                return 2
+            rep = plan_report(registry[args.name](spark, args.sf_dir))
+            print(_json.dumps({"query": args.name, **rep}))
         elif args.cmd == "bench-query":
             import time
 

@@ -118,3 +118,60 @@ def unpartitioned_window_count(df: DataFrame) -> int:
         for i in range(node.children().size()):
             stack.append(node.children().apply(i))
     return count
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call physical-plan health report — the numbers a plan review
+    actually reads, extracted so users (and the `explain-query` CLI)
+    can audit a query without eyeballing explain output:
+
+    - ``pushed_filters``: PushedFilters entries reaching the parquet
+      scans (predicate pushdown worked)
+    - ``read_schemas``: the pruned per-scan ReadSchema strings (column
+      pruning worked — a 2-column projection must not scan 6 columns)
+    - ``codegen_stages``: WholeStageCodegen span count (JVM-side)
+    - ``exchanges``: shuffle Exchange count (each is a stage boundary)
+    - ``broadcast_joins`` / ``sortmerge_joins`` / ``hash_joins``: join
+      strategy mix (small dims should be broadcast)
+    - ``has_cartesian`` / ``unpartitioned_windows`` /
+      ``pair_self_joins``: the three guardrail invariants
+    """
+    import re
+
+    # Static analysis wants the NON-adaptive plan: under AQE the
+    # pre-execution tree is a bare AdaptiveSparkPlan skeleton with no
+    # WholeStageCodegen wrapping (stages codegen only as they run), so
+    # re-plan the same logical plan with AQE off for the report.
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # queryExecution is a lazy val per Dataset, so re-plan the same
+        # logical plan on a FRESH Dataset under the new conf
+        replanned = df.select("*")
+        plan = formatted_plan(replanned)
+        cg = replanned._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "codegen"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+    df = replanned  # downstream helpers read the non-AQE plan too
+    # noqa: the reassignment is deliberate — every helper below must see
+    # the re-planned Dataset
+    return {
+        "pushed_filters": [p for p in pushed if p.strip()],
+        "read_schemas": schemas,
+        "codegen_stages": int(m.group(1)) if m else codegen_stage_count(df),
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)),
+        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "hash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
+        "has_cartesian": "CartesianProduct" in plan,
+        "unpartitioned_windows": unpartitioned_window_count(df),
+        "pair_self_joins": pair_self_join_count(df),
+    }

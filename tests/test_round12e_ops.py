@@ -488,3 +488,32 @@ def test_dedup_roi_planted(spark):
     assert got["sb"].tokens_total == 8  # 3 + 3 + 2
     assert got["sb"].tokens_surviving == 2
     assert got["sb"].tokens_saved_pct == pytest.approx(75.0, abs=1e-6)
+
+
+# ---- plan_report + explain-query CLI
+
+
+def test_plan_report_shape(spark, sf_dir):
+    from swivel_spark_prep_spark.plans import plan_report
+    from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
+
+    rep = plan_report(DECLARED_QUERIES["Q05_join_inner_multi"](spark, sf_dir))
+    assert rep["pushed_filters"], "pushdown must reach the scans"
+    # column pruning: the customer scan must read only the 2 used cols
+    assert any("c_nationkey" in s and "c_name" not in s for s in rep["read_schemas"])
+    assert rep["broadcast_joins"] >= 2  # both dims broadcast
+    assert rep["codegen_stages"] >= 1
+    assert not rep["has_cartesian"]
+    assert rep["unpartitioned_windows"] == 0
+
+
+def test_cli_explain_query(spark, sf_dir, capsys):
+    import json
+
+    from swivel_spark_prep_spark import cli
+
+    rc = cli.main(["explain-query", "Q02_filter_pred", "--sf-dir", str(sf_dir)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "Q02_filter_pred"
+    assert out["pushed_filters"] and not out["has_cartesian"]
