@@ -49,6 +49,8 @@ __all__ = [
     "cochran_q",
     "two_proportion_test",
     "regression_reliability",
+    "mde_report",
+    "conformal_by_group",
 ]
 
 
@@ -1831,4 +1833,70 @@ def mde_report(
         F.round(F.sqrt(s2), 6).alias("sd_pooled"),
         F.round(mde, 6).alias("mde_abs"),
         F.round(F.when(mb != 0, mde / F.abs(mb)), 6).alias("mde_rel"),
+    )
+
+
+def conformal_by_group(
+    cal: DataFrame,
+    test: DataFrame,
+    group_col: str,
+    value_col: str,
+    pred_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Group-conditional split conformal — :func:`conformal_interval`
+    per slice: a MARGINAL conformal interval can hit 90% overall while
+    badly under-covering a minority slice; fitting q̂ per group (Mondrian
+    conformal, Vovk 2003) restores the guarantee group-by-group. The
+    audit table a fairness/robustness review reads.
+
+    Same scale shape as the ungrouped form, with every stage grouped:
+    per-(group, residual) counts → one GROUPED inclusive prefix-sum pass
+    → per-group k-th order statistic → coverage join. Groups whose
+    calibration slice is too small for the requested α get the honest
+    infinite interval (q_hat NULL, coverage 1). Output (one row per
+    group present in BOTH sets): (group, n_cal, n_test, q_hat,
+    coverage).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    res = cal.select(
+        F.col(group_col).alias("_g"),
+        F.abs(F.col(value_col) - F.col(pred_col)).alias("_r"),
+    ).filter(F.col("_r").isNotNull() & F.col("_g").isNotNull())
+    dv = res.groupBy("_g", "_r").agg(F.count("*").cast("double").alias("_c"))
+    cum = partitioned_prefix_sum(
+        dv, ["_r"], "_c", ["_cum"], group_cols=["_g"], inclusive=True
+    )
+    n = res.groupBy("_g").agg(F.count("*").alias("_n"))
+    k = F.ceil(F.lit(1.0 - float(alpha)) * (F.col("_n") + F.lit(1)))
+    qhat = (
+        cum.join(n, "_g")
+        .filter(F.col("_cum") >= k)
+        .groupBy("_g")
+        .agg(F.min("_r").alias("_q"))
+    )
+    t = test.select(
+        F.col(group_col).alias("_g"),
+        F.abs(F.col(value_col) - F.col(pred_col)).alias("_r"),
+    ).filter(F.col("_r").isNotNull() & F.col("_g").isNotNull())
+    return (
+        t.join(n, "_g")
+        .join(qhat, "_g", "left")
+        .groupBy(F.col("_g").alias("group"))
+        .agg(
+            F.max("_n").alias("n_cal"),
+            F.count("*").alias("n_test"),
+            F.round(F.max("_q"), 6).alias("q_hat"),
+            F.round(
+                F.avg(
+                    F.when(F.col("_q").isNull(), 1.0)
+                    .when(F.col("_r") <= F.col("_q"), 1.0)
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage"),
+        )
     )

@@ -867,3 +867,57 @@ def vocab_richness(
             6,
         ).alias("coverage"),
     )
+
+
+def boilerplate_share(
+    docs: DataFrame,
+    min_docs: int = 3,
+    group_cols: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_delim: str = ". ",
+) -> DataFrame:
+    """Boilerplate mass per group — what fraction of each source's
+    tokens live in LINES repeated across ≥ ``min_docs`` distinct
+    documents (navbars, license footers, cookie banners: the content
+    remove_common_lines strips; this measures HOW MUCH there is to
+    strip, per source, before committing to the pass).
+
+    Line = ``line_delim`` split segment. One explode → per-line
+    distinct-doc count (hash aggregate) → join the flag back → one
+    grouped ratio. Shuffles carry (line-hash, count), never documents.
+    Output (one row per group): (group..., n_lines, boiler_lines,
+    tokens_total, boiler_tokens, boiler_token_pct).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    import re as _re
+
+    group_cols = list(group_cols or [])
+    # Spark split() takes a REGEX — '. ' would mean "any char + space";
+    # escape so the delimiter is literal (DuckDB's string_split is
+    # literal, and so is this operator's contract)
+    delim_re = _re.escape(line_delim)
+    lines = docs.filter(F.col(text_col).isNotNull()).select(
+        *group_cols,
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), delim_re, -1)).alias("_l"),
+    ).filter(F.col("_l") != "")
+    counts = lines.groupBy(F.sha2(F.col("_l"), 256).alias("_h")).agg(
+        F.countDistinct("_id").alias("_docs")
+    )
+    tagged = lines.select(
+        *group_cols,
+        F.sha2(F.col("_l"), 256).alias("_h"),
+        F.size(F.split(F.col("_l"), " ", -1)).cast("double").alias("_nt"),
+    ).join(counts, "_h")
+    boiler = (F.col("_docs") >= min_docs).cast("int")
+    return tagged.groupBy(*group_cols).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(boiler).cast("long").alias("boiler_lines"),
+        F.sum("_nt").cast("long").alias("tokens_total"),
+        F.sum(F.col("_nt") * boiler).cast("long").alias("boiler_tokens"),
+        F.round(F.sum(F.col("_nt") * boiler) / F.sum("_nt") * 100.0, 6).alias(
+            "boiler_token_pct"
+        ),
+    )

@@ -9213,3 +9213,90 @@ def x251(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_roi_by_group(docs)
+
+
+@_declare(
+    "X252_conformal_by_group",
+    # Group-conditional (Mondrian) split conformal (evalmetrics.
+    # conformal_by_group): per-event-type q_hat and test coverage —
+    # the slice audit a marginal interval can't give. Same md5
+    # 50/25/25 split as X232; grouped prefix-sum order statistics.
+    """WITH b AS (
+  SELECT event_id, event_type, value,
+         ('0x' || substr(md5('conf:' || event_id::VARCHAR), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM events WHERE value IS NOT NULL),
+tr AS (SELECT event_type, AVG(value) AS pred FROM b WHERE u < 0.5 GROUP BY 1),
+cal AS (SELECT event_type AS g, abs(value - pred) AS r
+        FROM b JOIN tr USING (event_type) WHERE u >= 0.5 AND u < 0.75),
+te AS (SELECT event_type AS g, abs(value - pred) AS r
+       FROM b JOIN tr USING (event_type) WHERE u >= 0.75),
+n AS (SELECT g, COUNT(*)::BIGINT AS n_cal FROM cal GROUP BY 1),
+rk AS (SELECT g, r, ROW_NUMBER() OVER (PARTITION BY g ORDER BY r) AS rn
+       FROM cal),
+q AS (SELECT rk.g, MIN(rk.r) AS q_hat
+      FROM rk JOIN n USING (g)
+      WHERE rn >= CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+      GROUP BY 1)
+SELECT te.g AS "group", MAX(n.n_cal) AS n_cal, COUNT(*)::BIGINT AS n_test,
+       ROUND(MAX(q.q_hat), 6) AS q_hat,
+       ROUND(AVG(CASE WHEN q.q_hat IS NULL THEN 1.0
+                      WHEN te.r <= q.q_hat THEN 1.0 ELSE 0.0 END), 6)
+         AS coverage
+FROM te JOIN n USING (g) LEFT JOIN q ON te.g = q.g
+GROUP BY te.g;""",
+)
+def x252(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import conformal_by_group
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("conf:"), F.col("event_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    b = ev.select("event_type", "value", u.alias("_u"))
+    pred = (
+        b.filter(F.col("_u") < 0.5)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("pred"))
+    )
+    scored = b.join(F.broadcast(pred), "event_type")
+    cal = scored.filter((F.col("_u") >= 0.5) & (F.col("_u") < 0.75))
+    test = scored.filter(F.col("_u") >= 0.75)
+    return conformal_by_group(cal, test, "event_type", "value", "pred", alpha=0.1)
+
+
+@_declare(
+    "X253_boilerplate_share",
+    # Boilerplate mass per source (textstats.boilerplate_share): token
+    # share of '. '-delimited lines repeated across >= 3 distinct docs
+    # — sizes the remove_common_lines opportunity before running it.
+    """WITH ln AS (
+  SELECT source, doc_id, unnest(string_split(text, '. ')) AS l
+  FROM documents WHERE text IS NOT NULL),
+f AS (SELECT source, doc_id, l,
+             len(string_split(l, ' '))::DOUBLE AS nt
+      FROM ln WHERE l <> ''),
+c AS (SELECT l, COUNT(DISTINCT doc_id) AS docs FROM f GROUP BY 1),
+t AS (SELECT f.source, f.nt, (c.docs >= 3)::INT AS b
+      FROM f JOIN c USING (l))
+SELECT source, COUNT(*)::BIGINT AS n_lines,
+       SUM(b)::BIGINT AS boiler_lines,
+       SUM(nt)::BIGINT AS tokens_total,
+       SUM(nt * b)::BIGINT AS boiler_tokens,
+       ROUND(SUM(nt * b) / SUM(nt) * 100.0, 6) AS boiler_token_pct
+FROM t GROUP BY source;""",
+)
+def x253(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import boilerplate_share
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_share(docs, min_docs=3, group_cols=["source"])

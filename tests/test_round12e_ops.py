@@ -517,3 +517,70 @@ def test_cli_explain_query(spark, sf_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["query"] == "Q02_filter_pred"
     assert out["pushed_filters"] and not out["has_cartesian"]
+
+
+# ---- conformal_by_group / boilerplate_share
+
+
+def test_conformal_by_group_per_slice(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import conformal_by_group
+
+    # group a: residuals 1..9 -> q_hat = 9 at alpha=0.1 (k = 9)
+    # group b: residuals 10..18 -> q_hat = 18 (slice-specific!)
+    cal = spark.createDataFrame(
+        [("a", float(r), 0.0) for r in range(1, 10)]
+        + [("b", float(r), 0.0) for r in range(10, 19)],
+        "g string, y double, p double",
+    )
+    te = spark.createDataFrame(
+        [("a", 8.0, 0.0), ("a", 9.5, 0.0), ("b", 17.0, 0.0), ("b", 19.0, 0.0)],
+        "g string, y double, p double",
+    )
+    got = {r.group: r for r in conformal_by_group(cal, te, "g", "y", "p", 0.1).collect()}
+    assert got["a"].q_hat == 9.0 and got["b"].q_hat == 18.0
+    assert got["a"].coverage == 0.5 and got["b"].coverage == 0.5
+
+
+def test_conformal_by_group_small_slice_infinite(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import conformal_by_group
+
+    cal = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("a", 2.0, 0.0)], "g string, y double, p double"
+    )
+    te = spark.createDataFrame([("a", 100.0, 0.0)], "g string, y double, p double")
+    row = conformal_by_group(cal, te, "g", "y", "p", 0.1).collect()[0]
+    assert row.q_hat is None and row.coverage == 1.0
+
+
+def test_boilerplate_share_planted(spark):
+    from swivel_spark_prep_spark.operators.textstats import boilerplate_share
+
+    footer = "all rights reserved"
+    rows = [
+        (1, "sa", f"alpha text one. {footer}"),
+        (2, "sa", f"beta text two. {footer}"),
+        (3, "sb", f"gamma words three. {footer}"),
+        (4, "sb", "unique line only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in boilerplate_share(
+        df, min_docs=3, group_cols=["source"]
+    ).collect()}
+    # footer (3 tokens) repeats across 3 docs -> boiler in sa twice, sb once
+    assert got["sa"].boiler_lines == 2 and got["sa"].boiler_tokens == 6
+    assert got["sa"].n_lines == 4
+    assert got["sb"].boiler_lines == 1 and got["sb"].boiler_tokens == 3
+    assert got["sb"].tokens_total == 3 + 3 + 3  # gamma(3) + footer(3) + unique(3)
+
+
+def test_boilerplate_share_literal_delimiter(spark):
+    """The delimiter is LITERAL: 'x y' must not split on arbitrary
+    chars (Spark split takes a regex — the operator escapes it)."""
+    from swivel_spark_prep_spark.operators.textstats import boilerplate_share
+
+    df = spark.createDataFrame(
+        [(1, "s", "ab cd ef")], "doc_id long, source string, text string"
+    )
+    row = boilerplate_share(df, min_docs=2, group_cols=["source"]).collect()[0]
+    assert row.n_lines == 1  # no '. ' present: the whole doc is one line
+    assert row.tokens_total == 3
