@@ -1612,3 +1612,62 @@ def markov_perplexity(
         F.round("_h", 6).alias("entropy_rate"),
         F.round(F.exp("_h"), 6).alias("perplexity"),
     )
+
+
+def rolling_active_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT trailing-window distinct actives per day (rolling WAU/MAU)
+    — the dashboard metric naive plans can't compute at scale because
+    COUNT(DISTINCT) is not subtractable across a sliding frame (a
+    day-by-day window re-scans W days of raw events per output day).
+
+    The coverage-island rewrite makes it ONE pass: a key is active in
+    the window ending e iff it has an activity day in [e−W+1, e], i.e.
+    each activity day d covers e ∈ [d, d+W−1]; per key, activity days
+    with gaps ≤ W−1 merge into disjoint coverage islands (one
+    partitioned lag + running flag-sum per key), each island [s, t]
+    covers [s, t+W−1], and exploding those disjoint ranges lets a plain
+    COUNT(*) per day stand in for COUNT(DISTINCT key). Fan-out ≤ W per
+    activity day, partitioned windows only, no W-day rescans, no
+    sketches — exact.
+
+    Output: (window_end, n_active) for every day with ≥ 1 active key.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    w = int(window_days)
+    ud = events.select(
+        F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("_d")
+    ).filter(F.col("_k").isNotNull() & F.col("_d").isNotNull()).distinct()
+    win = Window.partitionBy("_k").orderBy("_d")
+    flagged = ud.select(
+        "_k",
+        "_d",
+        F.when(
+            F.lag("_d").over(win).isNull()
+            | (F.datediff("_d", F.lag("_d").over(win)) > w - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    isl = flagged.select(
+        "_k",
+        "_d",
+        F.sum("_new").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_isl"),
+    )
+    spans = isl.groupBy("_k", "_isl").agg(
+        F.min("_d").alias("_s"), F.max("_d").alias("_t")
+    )
+    covered = spans.select(
+        F.explode(
+            F.sequence(F.col("_s"), F.date_add(F.col("_t"), w - 1))
+        ).alias("window_end")
+    )
+    return covered.groupBy("window_end").agg(F.count("*").alias("n_active"))

@@ -9300,3 +9300,34 @@ def x253(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_share(docs, min_docs=3, group_cols=["source"])
+
+
+@_declare(
+    "X254_rolling_active_users",
+    # Exact trailing-7-day distinct active users per day (timeseries.
+    # rolling_active_counts): COUNT(DISTINCT) over a sliding frame is
+    # not subtractable, so the plan rewrites to per-user coverage
+    # islands + one range explode — exact, one pass, fan-out <= 7 per
+    # activity day. The oracle brute-forces the day x window range
+    # join at gate scale.
+    """WITH ud AS (
+  SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+days AS (SELECT unnest(generate_series(
+           (SELECT MIN(d) FROM ud),
+           (SELECT MAX(d) FROM ud) + INTERVAL 6 DAY,
+           INTERVAL 1 DAY))::DATE AS e)
+SELECT e::VARCHAR AS window_end, COUNT(DISTINCT u)::BIGINT AS n_active
+FROM days JOIN ud ON ud.d BETWEEN e - INTERVAL 6 DAY AND e
+GROUP BY e;""",
+)
+def x254(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import rolling_active_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    # date -> string for the driver compare (pandas dtype parity: Spark
+    # dates arrive as objects, DuckDB DATEs as datetime64 — the
+    # day-offset/string convention of the other date-emitting extras)
+    return rolling_active_counts(ev, "user_id", "ts", window_days=7).select(
+        F.col("window_end").cast("string").alias("window_end"), "n_active"
+    )

@@ -584,3 +584,50 @@ def test_boilerplate_share_literal_delimiter(spark):
     row = boilerplate_share(df, min_docs=2, group_cols=["source"]).collect()[0]
     assert row.n_lines == 1  # no '. ' present: the whole doc is one line
     assert row.tokens_total == 3
+
+
+# ---- rolling_active_counts
+
+
+def test_rolling_active_brute_force(spark):
+    import datetime as dt
+
+    from swivel_spark_prep_spark.operators.timeseries import rolling_active_counts
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1 active days 0, 2, 20; user 2 active days 5, 6; user 3 day 0
+    acts = [(1, 0), (1, 2), (1, 20), (2, 5), (2, 6), (3, 0)]
+    rows = [
+        (u, base + dt.timedelta(days=d, hours=h))
+        for (u, d) in acts
+        for h in (1, 13)  # two events per active day: distinct must dedup
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    W = 7
+    got = {
+        r.window_end.isoformat(): r.n_active
+        for r in rolling_active_counts(df, "u", "ts", window_days=W).collect()
+    }
+    # brute force
+    days = {d for _, d in acts}
+    expect = {}
+    for e in range(0, max(days) + W):
+        n = len({u for (u, d) in acts if e - W + 1 <= d <= e})
+        if n:
+            expect[(base + dt.timedelta(days=e)).date().isoformat()] = n
+    assert got == expect
+
+
+def test_rolling_active_window_one_is_daily(spark):
+    import datetime as dt
+
+    from swivel_spark_prep_spark.operators.timeseries import rolling_active_counts
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [(1, base), (2, base), (1, base + dt.timedelta(days=2))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        r.window_end.isoformat(): r.n_active
+        for r in rolling_active_counts(df, "u", "ts", window_days=1).collect()
+    }
+    assert got == {"2024-03-01": 2, "2024-03-03": 1}
