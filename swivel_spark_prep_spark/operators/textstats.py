@@ -921,3 +921,75 @@ def boilerplate_share(
             "boiler_token_pct"
         ),
     )
+
+
+def topk_term_overlap(
+    docs: DataFrame,
+    group_col: str = "lang",
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k vocabulary overlap matrix across slices — for every slice
+    pair, how much of their HEAD vocabulary (top-k terms by frequency)
+    is shared: n_common and the Jaccard of the two top-k sets. The
+    corpus-composition diagnostic behind "are these two sources/
+    languages/snapshots interchangeable or complementary" — X222's
+    distribution distances weigh the whole distribution; this isolates
+    the head, where tokenizer and mixture decisions actually bite.
+
+    Term counts collapse the corpus once (word-count shape); top-k per
+    slice is a PARTITIONED rank window over the (slice, term) count
+    relation; the pair join is keyed on term between two k-bounded
+    relations (≤ #slices·k rows each side). Ties at rank k break by
+    term (deterministic). Output (one row per unordered slice pair
+    with n_common ≥ 0 — pairs sharing nothing still appear):
+    (group_a, group_b, k, n_common, jaccard).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ", -1)).alias("_t"),
+    ).filter(F.col("_t") != "")
+    counts = toks.groupBy("_g", "_t").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("_g").orderBy(F.col("_c").desc(), F.col("_t"))
+    top = counts.select(
+        "_g", "_t", F.row_number().over(w).alias("_rk")
+    ).filter(F.col("_rk") <= k)
+    from swivel_spark_prep_spark.cache import track_persist
+
+    top = track_persist(top.select("_g", "_t"))
+    # per-slice top set SIZE (= min(k, vocab)) for the Jaccard denominator
+    sizes = top.groupBy("_g").agg(F.count("*").alias("_n"))
+    a = top.select(F.col("_g").alias("group_a"), "_t")
+    b = top.select(F.col("_g").alias("group_b"), "_t")
+    common = (
+        a.join(b, "_t")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    grid = (
+        sizes.select(F.col("_g").alias("group_a"), F.col("_n").alias("_na"))
+        .join(
+            F.broadcast(
+                sizes.select(F.col("_g").alias("group_b"), F.col("_n").alias("_nb"))
+            ),
+            F.col("group_a") < F.col("group_b"),
+        )
+    )
+    return grid.join(common, ["group_a", "group_b"], "left").select(
+        "group_a",
+        "group_b",
+        F.lit(int(k)).cast("long").alias("k"),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        F.round(
+            F.coalesce(F.col("n_common"), F.lit(0))
+            / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("n_common"), F.lit(0))),
+            6,
+        ).alias("jaccard"),
+    )

@@ -9331,3 +9331,36 @@ def x254(spark, sf_dir):
     return rolling_active_counts(ev, "user_id", "ts", window_days=7).select(
         F.col("window_end").cast("string").alias("window_end"), "n_active"
     )
+
+
+@_declare(
+    "X255_topk_term_overlap",
+    # Head-vocabulary overlap matrix across languages (textstats.
+    # topk_term_overlap): Jaccard of the top-50 term sets per slice
+    # pair — the "interchangeable or complementary" composition
+    # diagnostic; partitioned rank window + k-bounded pair join.
+    """WITH t AS (
+  SELECT lang AS g, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+c AS (SELECT g, tok, COUNT(*)::BIGINT AS c FROM t WHERE tok <> ''
+      GROUP BY 1, 2),
+top AS (SELECT g, tok FROM (
+          SELECT g, tok, ROW_NUMBER() OVER (PARTITION BY g
+                                            ORDER BY c DESC, tok) AS rk
+          FROM c) WHERE rk <= 50),
+sz AS (SELECT g, COUNT(*)::BIGINT AS n FROM top GROUP BY 1),
+cm AS (SELECT a.g AS ga, b.g AS gb, COUNT(*)::BIGINT AS n_common
+       FROM top a JOIN top b ON a.tok = b.tok AND a.g < b.g
+       GROUP BY 1, 2)
+SELECT sa.g AS group_a, sb.g AS group_b, 50::BIGINT AS k,
+       COALESCE(cm.n_common, 0) AS n_common,
+       ROUND(COALESCE(cm.n_common, 0)::DOUBLE
+             / (sa.n + sb.n - COALESCE(cm.n_common, 0)), 6) AS jaccard
+FROM sz sa JOIN sz sb ON sa.g < sb.g
+LEFT JOIN cm ON cm.ga = sa.g AND cm.gb = sb.g;""",
+)
+def x255(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import topk_term_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return topk_term_overlap(docs, group_col="lang", k=50)

@@ -114,6 +114,10 @@ ALLOWED_PAIR_SELF_JOINS = {
     "X165_triangle_stats": 2,
     "X183_join_size_estimate": 1,
     "X205_theil_sen": 1,
+    # X255: the overlap pair join is keyed on term between two rank<=k
+    # relations (the partitioned row_number cut isn't a GlobalLimit, so
+    # the detector sees row scale; actual size is <= #slices*k per side)
+    "X255_topk_term_overlap": 1,
     # X244: the dup-matrix pair join is keyed on the text hash over the
     # (hash, source, count) relation — bounded at (#sources)^2 per hash,
     # sources being the small dimension by construction

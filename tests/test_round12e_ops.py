@@ -631,3 +631,40 @@ def test_rolling_active_window_one_is_daily(spark):
         for r in rolling_active_counts(df, "u", "ts", window_days=1).collect()
     }
     assert got == {"2024-03-01": 2, "2024-03-03": 1}
+
+
+# ---- topk_term_overlap
+
+
+def test_topk_overlap_identical_and_disjoint(spark):
+    from swivel_spark_prep_spark.operators.textstats import topk_term_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y z"), ("b", "x y z"),      # identical vocab
+            ("c", "p q r"),                        # disjoint from both
+        ],
+        "lang string, text string",
+    )
+    got = {(r.group_a, r.group_b): r for r in topk_term_overlap(
+        df, group_col="lang", k=10
+    ).collect()}
+    assert got[("a", "b")].jaccard == 1.0 and got[("a", "b")].n_common == 3
+    assert got[("a", "c")].jaccard == 0.0 and got[("a", "c")].n_common == 0
+    assert got[("b", "c")].n_common == 0  # zero-overlap pairs still appear
+
+
+def test_topk_overlap_head_only(spark):
+    """k cuts the head: a term outside one slice's top-k must not count
+    even if the other slice has it."""
+    from swivel_spark_prep_spark.operators.textstats import topk_term_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("a", "top top top rare"),   # a's top-1 = 'top'
+            ("b", "rare rare other"),    # b's top-1 = 'rare'
+        ],
+        "lang string, text string",
+    )
+    row = topk_term_overlap(df, group_col="lang", k=1).collect()[0]
+    assert row.n_common == 0  # heads differ; 'rare' is not in a's top-1
