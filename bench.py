@@ -116,8 +116,8 @@ def _env_snapshot() -> dict:
     return {"load": load, "procs": sorted(busy)}
 
 
-def _duckdb_calibration() -> dict[str, float]:
-    """Median ms for four fixed BASELINE.md DuckDB queries in the current
+def _duckdb_calibration(anchors=CALIB_ANCHORS) -> dict[str, float]:
+    """Median ms for fixed BASELINE.md DuckDB queries in the current
     environment — per-round calibration anchors separating machine drift
     from genuine engine regressions (protocol: execute + full fetchall,
     same as BASELINE.md)."""
@@ -133,7 +133,7 @@ def _duckdb_calibration() -> dict[str, float]:
                 f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
             )
         out = {}
-        for name in CALIB_ANCHORS:
+        for name in anchors:
             samples = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -189,6 +189,16 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Start-of-run calibration on the three CHEAP anchors (~3 s; q41's
+    # ~30 s DuckDB run stays end-only): with only an end calibration,
+    # drift DURING the 5-min sweep — exactly where the 255-extra block
+    # lives — was invisible, and round 12 shipped three 1.7–2.8× extras
+    # regressions that took a round to adjudicate as (mostly)
+    # environment. calib_start vs calib now brackets the whole sweep.
+    calib_start = _duckdb_calibration(
+        tuple(a for a in CALIB_ANCHORS if a != "Q41_jaccard_pairs")
+    )
+
     spark = get_session(
         "swivel-spark-prep-bench",
         master=f"local[{CPUS}]",
@@ -210,7 +220,17 @@ def main() -> None:
 
     times: dict[str, float] = {}
     split: dict[str, dict[str, float]] = {}
+    loads: dict[str, float] = {}
+    env_mid: dict | None = None
     for name, fn in sorted(qmap.items()):
+        # sorted order puts every declared Q* before every X* extra, so
+        # the first X is the declared/extras block boundary — snapshot
+        # it (round-12 verdict, What's missing #2: the extras block ran
+        # 25 000+ stages into the session with no env evidence of its
+        # own, so a mid-run contention spike was indistinguishable from
+        # a plan regression).
+        if env_mid is None and name.startswith("X"):
+            env_mid = _env_snapshot()
         # cache hygiene: operators that persist intermediates (Q41, X06)
         # must not leave blocks that pressure later queries' memory/GC
         spark.catalog.clearCache()
@@ -254,6 +274,13 @@ def main() -> None:
         # methodology as every prior round's numbers — and nothing leaks
         # into the next query's memory pressure (cache.py contract).
         release_persisted()
+        # per-query 1-min load (BENCH_LOCAL only): lets a post-hoc diff
+        # localize WHICH queries ran under a transient spike instead of
+        # condemning the whole block.
+        try:
+            loads[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
         print(f"# {name}: {times[name]:.3f}s ({len(pdf)} rows)", file=sys.stderr)
 
     # last-write-wins dict build would silently drop a timing if two
@@ -310,11 +337,21 @@ def main() -> None:
         # values — compare "calib" before reading a cross-round delta as
         # a plan change; contention moves all four anchors together.
         "calib": calib,
+        "calib_start": calib_start,
         "ratio_calib": ratio_calib,
         # Contention guard: loadavg + non-descendant heavy processes at
         # start. A true flag means the wall numbers are unfit for
         # round-over-round comparison (full snapshots in BENCH_LOCAL).
         "contended": contended,
+        # Extras-block contention flag from the block-boundary snapshot
+        # (same 3.0 trip as the start gate): a true value means the
+        # X-block numbers — not the declared 44 — are unfit for
+        # round-over-round comparison.
+        "extras_contended": bool(env_mid)
+        and (
+            bool(env_mid["procs"])
+            or bool(env_mid["load"] and env_mid["load"][0] > 3.0)
+        ),
     }
     # Full-fidelity record for round-over-round diffing (not driver-parsed):
     # every extra's timing, the heavy-set split, and both env snapshots.
@@ -332,7 +369,12 @@ def main() -> None:
                     "queries": short_ids,
                     "queries_full": times,
                     "split": split,
-                    "env": {"start": env_start, "end": _env_snapshot()},
+                    "load1_after_query": loads,
+                    "env": {
+                        "start": env_start,
+                        "mid_extras": env_mid,
+                        "end": _env_snapshot(),
+                    },
                 },
                 fh,
                 indent=1,

@@ -7006,20 +7006,21 @@ def x193(spark, sf_dir):
     # Poisson-bootstrap mean CI per event type (sampling.bootstrap_mean_ci,
     # Chamandy et al. 2012): 100 deterministic replicates, Poisson(1)
     # weights from ONE per-row md5: phase h (hex 1-15) walked by a
-    # PER-ROW golden-ratio step s = frac(phi*(1+g)) (hex 16-30) — the
-    # round-12 decorrelated form (common-step Weyl measured 2.5 pp
-    # under iid coverage; per-cell md5 measured 23.7 s at sf0.1) — the
-    # oracle replays every weight and both percentile endpoints exactly.
+    # PER-ROW golden-ratio step s = frac(phi*(1+h)) DERIVED from h —
+    # the round-13 form (carrying a fresh-digit s through the explode
+    # measured 17.5 s vs 12.3 s derived, coverage statistically
+    # identical; rationale + all measurements in bootstrap_mean_ci's
+    # docstring) — the oracle replays every weight and both percentile
+    # endpoints exactly.
     """WITH base AS (
   SELECT event_type, event_id::VARCHAR AS id, value::DOUBLE AS x
   FROM events WHERE value IS NOT NULL),
-hs AS (SELECT event_type, x,
-             ('0x' || substr(md5('boot:' || id), 1, 15))::BIGINT
-               / 1152921504606846976.0 AS h,
-             fmod(0.6180339887498949 * (1.0 +
-               ('0x' || substr(md5('boot:' || id), 16, 15))::BIGINT
-                 / 1152921504606846976.0), 1.0) AS s
-      FROM base),
+hs AS (SELECT event_type, x, h,
+             fmod(0.6180339887498949 * (1.0 + h), 1.0) AS s
+      FROM (SELECT event_type, x,
+              ('0x' || substr(md5('boot:' || id), 1, 15))::BIGINT
+                / 1152921504606846976.0 AS h
+            FROM base)),
 wts AS (SELECT event_type, x, b,
   CASE
     WHEN u < 0.36787944117144233 THEN 0
@@ -7546,13 +7547,12 @@ def x207(spark, sf_dir):
     """WITH base AS (
   SELECT event_type AS g, event_id::VARCHAR AS id, value::DOUBLE AS x
   FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
-hs AS (SELECT g, x,
-             ('0x' || substr(md5('boot:' || id), 1, 15))::BIGINT
-               / 1152921504606846976.0 AS h,
-             fmod(0.6180339887498949 * (1.0 +
-               ('0x' || substr(md5('boot:' || id), 16, 15))::BIGINT
-                 / 1152921504606846976.0), 1.0) AS s
-      FROM base),
+hs AS (SELECT g, x, h,
+             fmod(0.6180339887498949 * (1.0 + h), 1.0) AS s
+      FROM (SELECT g, x,
+              ('0x' || substr(md5('boot:' || id), 1, 15))::BIGINT
+                / 1152921504606846976.0 AS h
+            FROM base)),
 wts AS (SELECT g, b, x,
   CASE
     WHEN u < 0.36787944117144233 THEN 0
@@ -8332,13 +8332,12 @@ tot AS (SELECT SUM((g = 'purchase')::INT)::BIGINT AS na,
                AVG(CASE WHEN g = 'purchase' THEN x END) AS ma,
                AVG(CASE WHEN g = 'click' THEN x END) AS mb
         FROM base),
-hs AS (SELECT x,
-             ('0x' || substr(md5('perm:' || id), 1, 15))::BIGINT
-               / 1152921504606846976.0 AS h,
-             fmod(0.6180339887498949 * (1.0 +
-               ('0x' || substr(md5('perm:' || id), 16, 15))::BIGINT
-                 / 1152921504606846976.0), 1.0) AS s
-      FROM base),
+hs AS (SELECT x, h,
+             fmod(0.6180339887498949 * (1.0 + h), 1.0) AS s
+      FROM (SELECT x,
+              ('0x' || substr(md5('perm:' || id), 1, 15))::BIGINT
+                / 1152921504606846976.0 AS h
+            FROM base)),
 rep AS (SELECT b, x,
           (fmod(h + b * s, 1.0) < na::DOUBLE / (na + nb))::INT AS a
         FROM hs, range(1, 101) t(b), tot),

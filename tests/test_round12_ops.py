@@ -35,12 +35,14 @@ _POIS1_CDF = np.array(
 
 def _weights(salt: str, ids: list, B: int) -> np.ndarray:
     """Exact numpy replication of bootstrap_mean_ci's weight draw:
-    one md5 per row; phase h from hex 1–15, per-row step s from hex
-    16–30; u = frac(h + b·s) through the Poisson(1) inverse CDF."""
+    one md5 per row; phase h from hex 1–15, per-row step
+    s = frac(φ·(1+h)) derived from h (round 13: the step is computed
+    post-explode, never carried through the Generate — measured 1.5×
+    cheaper, coverage statistically identical; see sampling.py);
+    u = frac(h + b·s) through the Poisson(1) inverse CDF."""
     digests = [hashlib.md5(f"{salt}:{i}".encode()).hexdigest() for i in ids]
     h = np.array([int(d[:15], 16) / 2.0**60 for d in digests])
-    g = np.array([int(d[15:30], 16) / 2.0**60 for d in digests])
-    s = (PHI * (1.0 + g)) % 1.0
+    s = (PHI * (1.0 + h)) % 1.0
     b = np.arange(1, B + 1)
     u = (h[:, None] + b[None, :] * s[:, None]) % 1.0
     return np.searchsorted(_POIS1_CDF, u, side="right").astype(float)
@@ -128,11 +130,11 @@ def test_bootstrap_numpy_replication_bit_parity(spark):
 
 def test_bootstrap_per_row_step_varies(spark):
     """The decorrelation mechanism itself: distinct rows get distinct
-    Weyl steps (hex 16–30 differ), so no common shift exists to add
-    coherently across rows."""
+    Weyl steps (s = frac(φ·(1+h)) and the phases h differ), so no
+    common shift exists to add coherently across rows."""
     ids = [f"id{j}" for j in range(50)]
     steps = {
-        round((PHI * (1.0 + int(hashlib.md5(f"boot:{i}".encode()).hexdigest()[15:30], 16) / 2.0**60)) % 1.0, 12)
+        round((PHI * (1.0 + int(hashlib.md5(f"boot:{i}".encode()).hexdigest()[:15], 16) / 2.0**60)) % 1.0, 12)
         for i in ids
     }
     assert len(steps) == 50

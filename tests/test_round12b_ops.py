@@ -611,8 +611,7 @@ def test_randomization_matches_numpy_replay(spark):
     for rid, _, x in rows:
         d = hashlib.md5(f"perm:{rid}".encode()).hexdigest()
         h = int(d[0:15], 16) / 2**60
-        g2 = int(d[15:30], 16) / 2**60
-        s = m.fmod(0.6180339887498949 * (1.0 + g2), 1.0)
+        s = m.fmod(0.6180339887498949 * (1.0 + h), 1.0)
         hs.append((h, s, x))
     for b in range(1, B + 1):
         sa = wa = sb = wb = 0.0
