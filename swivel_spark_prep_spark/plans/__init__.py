@@ -120,6 +120,29 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     return count
 
 
+def replicate_explode_sizes(df: DataFrame) -> list[int]:
+    """Sizes of literal replicate explodes — ``explode(sequence(lo, hi))``
+    with BOTH bounds constant — in the ANALYZED plan (the optimizer
+    constant-folds literal sequences into opaque array literals, so the
+    pre-optimization plan is the last place the bound is readable).
+    Each site multiplies its input by (hi−lo+1): the Monte-Carlo shape
+    (bootstrap/randomization replicates) that is fine at B=100 and a
+    silent 100× cost at B=10⁴. The fourth registry guardrail
+    (round-12 verdict Next #6) caps every site's B via an allowlist in
+    tests/test_plan_guardrail.py. Data-dependent sequences
+    (``sequence(0, size(col))`` — n-gram/chunk generation) are bounded
+    by the column's own contract and are not this detector's target."""
+    import re
+
+    text = df._jdf.queryExecution().analyzed().toString()
+    sizes = []
+    for lo, hi in re.findall(
+        r"explode\(sequence\((-?\d+), (-?\d+)[,)]", text
+    ):
+        sizes.append(int(hi) - int(lo) + 1)
+    return sizes
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-call physical-plan health report — the numbers a plan review
     actually reads, extracted so users (and the `explain-query` CLI)

@@ -29,6 +29,19 @@ ON PURPOSE, each over a provably bounded relation:
 Anything else with an unpartitioned window — or ANY CartesianProduct
 anywhere — fails here, before a judge or a cluster finds it.
 
+FOURTH INVARIANT (round-12 verdict Next #6): literal REPLICATE
+EXPLODES — ``explode(sequence(lo, hi))`` with constant bounds, the
+Monte-Carlo rows×B blow-up that bootstrap/randomization ops use by
+design. Each allowlisted site carries its B bound; a new op can't
+silently ship B=10⁴ (at B=100 the explode is the method's inherent
+cost; at 10⁴ it is a 100× regression wearing the same plan shape):
+
+- X194 / X208 / X226: Poisson-bootstrap / randomization replicates,
+  B=100 by declaration (sampling.py documents the measured per-B cost
+  and the round-13 derived-step form that keeps the Generate narrow).
+- X168: ACF lag explode — B = max_lag = 7, a constant-size lag window,
+  not a Monte-Carlo loop (timeseries.py).
+
 THIRD INVARIANT (round-11 verdict Next #7): PAIR self-joins — joins
 where BOTH sides reach the same base relation at row scale (no
 Aggregate/Limit in between), the O(n_k²)-per-key fan-out shape that
@@ -80,6 +93,7 @@ from swivel_spark_prep_spark.cache import release_persisted
 from swivel_spark_prep_spark.plans import (
     pair_self_join_count,
     physical_plan,
+    replicate_explode_sizes,
     unpartitioned_window_count,
 )
 from swivel_spark_prep_spark.queries.declared import DECLARED_QUERIES
@@ -139,6 +153,15 @@ ALLOWED_PAIR_SELF_JOINS = {
     "X90_sorted_neighborhood": 2,
 }
 
+#: name -> list of max allowed replicate-explode sizes, one per site
+#: (sorted descending; bounds documented above)
+ALLOWED_REPLICATE_EXPLODES = {
+    "X168_acf": [7],
+    "X194_bootstrap_ci": [100],
+    "X208_bootstrap_uplift": [100],
+    "X226_randomization_test": [100],
+}
+
 _ALL = {**DECLARED_QUERIES, **EXTRA_QUERIES}
 
 
@@ -148,6 +171,7 @@ def test_no_new_global_window_or_cartesian(name, spark, sf_dir):
         df = _ALL[name](spark, sf_dir)
         uw = unpartitioned_window_count(df)
         sj = pair_self_join_count(df)
+        rex = sorted(replicate_explode_sizes(df), reverse=True)
         plan = physical_plan(df)
     finally:
         release_persisted()
@@ -165,3 +189,11 @@ def test_no_new_global_window_or_cartesian(name, spark, sf_dir):
         "then document the bound here"
     )
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    rex_allowed = sorted(ALLOWED_REPLICATE_EXPLODES.get(name, []), reverse=True)
+    assert len(rex) <= len(rex_allowed) and all(
+        got <= cap for got, cap in zip(rex, rex_allowed)
+    ), (
+        f"{name}: replicate explode sizes {rex}, allowlist permits "
+        f"{rex_allowed} — a literal explode(sequence(lo, hi)) multiplies "
+        "the relation by B; cap B and document the bound here"
+    )
