@@ -12,12 +12,18 @@ idiomatic-Spark plan).
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, "/root/repo")
+try:  # installed package (pip install -e .) wins; fall back to the
+    # repo checkout this file sits in so the driver contract works in
+    # a bare environment too
+    import swivel_spark_prep_spark  # noqa: F401
+except ImportError:  # pragma: no cover
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from swivel_spark_prep_spark.queries.declared import (  # noqa: E402
     DECLARED_ORACLES,

@@ -233,6 +233,31 @@ def _build_parser() -> argparse.ArgumentParser:
     la.add_argument("--iterations", type=int, default=3)
     la.add_argument("--master", default=None)
 
+    cu = sub.add_parser(
+        "curate",
+        help="end-to-end curation: Gopher quality filter -> exact + "
+        "MinHash dedup -> contamination screen -> temperature mixture "
+        "-> BPE tokenize -> chunk packing -> sharded sink, with a "
+        "stage-reconciling manifest.json",
+    )
+    cu.add_argument("input", help="parquet path with (doc_id, text[, lang])")
+    cu.add_argument("output", help="output dir (data/ + manifest.json)")
+    cu.add_argument("--benchmark", default=None,
+                    help="parquet path of benchmark docs to screen against")
+    cu.add_argument("--strata-col", default="lang")
+    cu.add_argument("--min-words", type=int, default=5)
+    cu.add_argument("--min-stopwords", type=int, default=2,
+                    help="Gopher stopword rule (set 0 for non-English "
+                    "or synthetic corpora)")
+    cu.add_argument("--minhash-threshold", type=float, default=0.8)
+    cu.add_argument("--temperature", type=float, default=2.0)
+    cu.add_argument("--bpe-merges", type=int, default=100)
+    cu.add_argument("--chunk-tokens", type=int, default=512)
+    cu.add_argument("--shards", type=int, default=8)
+    cu.add_argument("--sink", choices=("parquet", "tfrecord", "avro"),
+                    default="parquet")
+    cu.add_argument("--master", default=None)
+
     ex = sub.add_parser(
         "explain-query",
         help="plan health report for one registered query: pushed "
@@ -642,6 +667,37 @@ def _dispatch(args, spark, owns_session) -> int:
                     f"# rater {r.rater}: n={r.n_ratings} "
                     f"accuracy={r.accuracy}"
                 )
+        elif args.cmd == "curate":
+            import json as _json
+
+            from swivel_spark_prep_spark.curate import curate
+
+            docs = spark.read.parquet(args.input)
+            cols = [c for c in ("doc_id", "text", args.strata_col)
+                    if c in docs.columns]
+            strata = args.strata_col if args.strata_col in docs.columns else None
+            bench = (spark.read.parquet(args.benchmark)
+                     if args.benchmark else None)
+            man = curate(
+                spark, docs.select(*cols), args.output,
+                benchmark=bench, strata_col=strata,
+                min_words=args.min_words,
+                gopher_kwargs={"min_stopwords": args.min_stopwords},
+                minhash_threshold=args.minhash_threshold,
+                temperature=args.temperature,
+                bpe_merges=args.bpe_merges,
+                chunk_tokens=args.chunk_tokens,
+                shards=args.shards, sink=args.sink,
+            )
+            print(_json.dumps(
+                {"rows_final": man["rows_final"],
+                 "total_tokens": man["total_tokens"],
+                 "n_chunks": man["n_chunks"],
+                 "reconciles": man["reconciles"],
+                 "stages": [
+                     {"stage": s["stage"], "rows_out": s["rows_out"],
+                      "dropped": s["dropped"]} for s in man["stages"]],
+                 "manifest": args.output + "/manifest.json"}))
         elif args.cmd == "explain-query":
             import json as _json
 

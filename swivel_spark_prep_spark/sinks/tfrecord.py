@@ -205,6 +205,83 @@ def write_swivel_shards(result, out_dir: str) -> int:
     return written
 
 
+def write_tfrecord_docs(df, out_dir: str, overwrite: bool = True) -> int:
+    """Distributed generic document sink: one ``part-NNNNN.tfrecord``
+    per partition, each row a tf.train.Example whose feature kinds are
+    derived from the Spark schema (integral → int64, floating → float,
+    string/binary → bytes, array thereof → the list form). Runs
+    executor-side through mapInPandas — memory is O(Arrow batch), the
+    driver collects only the row count. NULLs encode as empty feature
+    lists (the tf.train.Example convention for absent values)."""
+    import shutil
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    if overwrite:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _kind(dt) -> tuple[str, bool]:
+        name = dt.typeName()
+        if name == "array":
+            k, _ = _kind(dt.elementType)
+            return k, True
+        if name in ("long", "integer", "short", "byte", "boolean"):
+            return "int64", False
+        if name in ("double", "float"):
+            return "float", False
+        return "bytes", False
+
+    schema = df.schema
+    kinds = [(f.name, *_kind(f.dataType)) for f in schema.fields]
+
+    def _write(batches):
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.tfrecord")
+        n = 0
+        f = None  # opened lazily: empty partitions write no file
+        try:
+            for pdf in batches:
+                if f is None:
+                    f = open(path, "wb")
+                for row in pdf.itertuples(index=False):
+                    feats = {}
+                    for (name, kind, is_list), val in zip(kinds, row):
+                        if val is None or (
+                            not is_list and isinstance(val, float)
+                            and pd.isna(val)
+                        ):
+                            vals = []
+                        elif is_list:
+                            vals = list(val)
+                        elif kind == "bytes":
+                            vals = [val if isinstance(val, bytes)
+                                    else str(val).encode("utf-8")]
+                        else:
+                            vals = [val]
+                        if kind == "bytes" and is_list:
+                            vals = [v if isinstance(v, bytes)
+                                    else str(v).encode("utf-8") for v in vals]
+                        feats[name] = (kind, vals)
+                    payload = encode_example(feats)
+                    length = struct.pack("<Q", len(payload))
+                    f.write(length)
+                    f.write(struct.pack("<I", _masked_crc(length)))
+                    f.write(payload)
+                    f.write(struct.pack("<I", _masked_crc(payload)))
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
+        yield pd.DataFrame({"n": [n]})
+
+    counts = df.mapInPandas(_write, schema="n long")
+    import pyspark.sql.functions as _F
+
+    return counts.agg(_F.sum("n")).collect()[0][0] or 0
+
+
 # --- minimal protobuf wire decoding (the encoder's exact inverse) ----------
 
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:

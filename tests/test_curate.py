@@ -1,0 +1,138 @@
+"""End-to-end curation pipeline (curate.py): the manifest must
+reconcile stage-by-stage — every document entering a stage is accounted
+for as surviving or dropped-with-a-reason — and the sink must hold
+exactly rows_final documents (round-12 verdict Next #5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from swivel_spark_prep_spark.curate import curate
+
+
+def _corpus(spark):
+    """Synthetic corpus where every stage has known work to do:
+    - doc 0/1: exact duplicates (same text)
+    - doc 2/3: near duplicates (one word differs in a long text)
+    - doc 4: too short (fails Gopher word count at min_words=5)
+    - doc 5: contaminated (shares 3-grams with the benchmark)
+    - docs 6..25: unique long docs, langs imbalanced (en:fr = 16:4)
+    """
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (0, base + " alpha beta gamma delta epsilon zeta", "en"),
+        (1, base + " alpha beta gamma delta epsilon zeta", "en"),
+        (2, base + " one two three four five six seven eight nine ten", "en"),
+        (3, base + " one two three four five six seven eight nine zz", "en"),
+        (4, "way too short", "en"),
+        (5, "benchmark secret holdout question answer pair leaked into corpus somehow today", "en"),
+    ]
+    for i in range(6, 26):
+        lang = "fr" if i % 5 == 0 else "en"
+        rows.append((i, f"document {i} " + " ".join(
+            f"tok{i}w{j}" for j in range(20)), lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bench = spark.createDataFrame(
+        [(100, "benchmark secret holdout question answer pair")],
+        "doc_id long, text string",
+    )
+    return docs, bench
+
+
+@pytest.mark.parametrize("sink", ["parquet", "tfrecord", "avro"])
+def test_curate_manifest_reconciles(spark, tmp_path, sink):
+    docs, bench = _corpus(spark)
+    out = str(tmp_path / f"out_{sink}")
+    man = curate(
+        spark, docs, out, benchmark=bench, min_words=5,
+        minhash_threshold=0.7, temperature=2.0, bpe_merges=20,
+        chunk_tokens=64, shards=3, sink=sink,
+        gopher_kwargs={"min_stopwords": 0},
+    )
+    # stage-chain reconciliation: rows_out(i) == rows_in(i+1) and
+    # rows_in - dropped == rows_out within every stage
+    stages = man["stages"]
+    for s in stages:
+        assert s["rows_in"] - s["dropped"] == s["rows_out"], s
+    for a, b in zip(stages, stages[1:]):
+        assert a["rows_out"] == b["rows_in"], (a, b)
+    assert man["reconciles"] is True
+
+    by_name = {s["stage"]: s for s in stages}
+    assert by_name["ingest"]["rows_in"] == 26
+    # doc 4 fails the word-count rule
+    assert by_name["quality_gopher"]["dropped"] == 1
+    assert by_name["quality_gopher"]["drop_reasons"]["fail_word_count"] == 1
+    # docs 0/1 are byte-identical -> one survivor
+    assert by_name["exact_dedup"]["dropped"] == 1
+    # docs 2/3 are near dups at jaccard 0.7 -> one survivor
+    assert by_name["near_dup_minhash"]["dropped"] == 1
+    # doc 5 shares >= 2 distinct 3-grams with the benchmark
+    assert by_name["decontaminate"]["dropped"] >= 1
+    # temperature resample keeps the smallest stratum whole
+    assert by_name["temperature_resample"]["rows_out"] >= 4
+
+    # sink holds exactly rows_final documents
+    assert man["rows_final"] == stages[-1]["rows_out"]
+    assert man["total_tokens"] > 0 and man["n_chunks"] >= 1
+    data_dir = os.path.join(out, "data")
+    if sink == "parquet":
+        back = spark.read.parquet(data_dir)
+        assert back.count() == man["rows_final"]
+        assert {"doc_id", "text", "n_tok", "first_chunk", "shard"} <= set(
+            back.columns
+        )
+    elif sink == "tfrecord":
+        from swivel_spark_prep_spark.sinks.tfrecord import read_tfrecord
+
+        n = sum(
+            len(read_tfrecord(os.path.join(data_dir, f)))
+            for f in os.listdir(data_dir)
+        )
+        assert n == man["rows_final"]
+    else:
+        from swivel_spark_prep_spark.sources import read_avro
+
+        assert read_avro(spark, data_dir).count() == man["rows_final"]
+
+    # the manifest artifact on disk equals the returned dict
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert json.load(fh) == man
+
+
+def test_curate_skips_are_recorded(spark, tmp_path):
+    docs, _ = _corpus(spark)
+    man = curate(
+        spark, docs.select("doc_id", "text"), str(tmp_path / "o"),
+        benchmark=None, strata_col=None, min_words=5, bpe_merges=10,
+        chunk_tokens=64, shards=2, gopher_kwargs={"min_stopwords": 0},
+    )
+    by_name = {s["stage"]: s for s in man["stages"]}
+    assert "skipped" in by_name["decontaminate"]["config"]
+    assert "skipped" in by_name["temperature_resample"]["config"]
+    assert by_name["decontaminate"]["dropped"] == 0
+    assert man["reconciles"] is True
+
+
+def test_curate_cli_subcommand(spark, tmp_path):
+    """Drive the same pipeline through the CLI surface (in-process: the
+    CLI reuses the active session rather than building its own)."""
+    from swivel_spark_prep_spark.cli import main
+
+    docs, bench = _corpus(spark)
+    inp, bp = str(tmp_path / "docs.parquet"), str(tmp_path / "bench.parquet")
+    docs.write.parquet(inp)
+    bench.write.parquet(bp)
+    out = str(tmp_path / "cli_out")
+    rc = main([
+        "curate", inp, out, "--benchmark", bp, "--min-words", "5",
+        "--min-stopwords", "0", "--bpe-merges", "10",
+        "--chunk-tokens", "64", "--shards", "2",
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["reconciles"] is True and man["rows_final"] > 0
