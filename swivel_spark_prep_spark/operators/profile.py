@@ -578,3 +578,63 @@ def join_size_estimate(
             .alias("est_rows"),
         )
     )
+
+
+def json_schema_profile(
+    df: DataFrame,
+    json_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Schema profile of a JSON-in-string column: per top-level key, the
+    observed VALUE TYPE distribution — the semi-structured twin of
+    profile_table and the first audit against schema drift in event
+    streams (a producer that starts sending "42" instead of 42, or
+    null-ing a field, shows up as a new (key, type) row).
+
+    Plan: parse once to map<string,string> (one JVM from_json per row),
+    explode the map (fan-out = keys per object — the document's OWN
+    size, never corpus-squared), classify the value text by literal
+    pattern (JSON scalars keep their lexical form, so int/float/bool/
+    null are decidable by regex; nested objects/arrays keep their
+    braces), one hash aggregate. Malformed rows surface as key
+    '__invalid__' rather than vanishing. Output: (key, value_type, n
+    [, n_distinct]) per optional grouping.
+    """
+    from pyspark.sql.types import MapType, StringType
+
+    gcols = list(group_cols or [])
+    parsed = F.from_json(F.col(json_col), MapType(StringType(), StringType()))
+    rows = df.select(
+        *gcols,
+        F.when(parsed.isNull() & F.col(json_col).isNotNull(), True)
+        .otherwise(False)
+        .alias("_bad"),
+        parsed.alias("_m"),
+    )
+    kv = rows.select(
+        *gcols,
+        F.explode(
+            F.when(
+                F.col("_bad"),
+                F.create_map(F.lit("__invalid__"), F.lit(None).cast("string")),
+            ).otherwise(F.col("_m"))
+        ).alias("key", "value"),
+    )
+    v = F.col("value")
+    vtype = (
+        F.when(F.col("key") == "__invalid__", F.lit("invalid"))
+        .when(v.isNull(), F.lit("null"))
+        .when(v.rlike("^-?[0-9]+$"), F.lit("integer"))
+        .when(
+            v.rlike("^-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?$"), F.lit("number")
+        )
+        .when((v == "true") | (v == "false"), F.lit("boolean"))
+        .when(v.rlike("^\\{"), F.lit("object"))
+        .when(v.rlike("^\\["), F.lit("array"))
+        .otherwise(F.lit("string"))
+    )
+    return (
+        kv.select(*gcols, "key", vtype.alias("value_type"))
+        .groupBy(*gcols, "key", "value_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -998,3 +998,73 @@ def decision_stump(
             F.round(F.min_by(F.col("_gp") - F.col("_g"), "_v"), 6).alias("gain"),
         )
     )
+
+
+def threshold_roi(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Filter-threshold ROI curve: for each candidate threshold t, how
+    many rows (and how much ``weight_col`` mass — tokens, bytes) a
+    ``score >= t`` filter would KEEP, as counts and fractions — the
+    knob-tuning table every quality/perplexity/length filter decision
+    reads before committing a cutoff (the filter-side twin of the
+    dedup ROI audit).
+
+    Plan: one scan bins every row to the HIGHEST threshold it clears
+    (a bounded CASE chain — no per-threshold pass, no row×|T| explode),
+    one hash aggregate collapses to ≤ |T|+1 bins, and the cumulative
+    "keep at t" view is a tiny triangular join between the |T|-row
+    threshold relation and the aggregated bins (kept at t = bins with
+    bin_threshold >= t) — both sides bounded, never row scale. NULL
+    scores count as kept by no threshold. Output per threshold:
+    (threshold, n_kept, w_kept, frac_rows, frac_weight), fractions of
+    the NON-NULL total.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(set(float(t) for t in thresholds))
+    s = F.col(score_col).cast("double")
+    wcol = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    # highest cleared threshold (NULL when the score clears none)
+    bin_expr = F.lit(None).cast("double")
+    for t in ts:  # ascending: the last WHEN that fires wins via otherwise-chain
+        bin_expr = F.when(s >= F.lit(t), F.lit(t)).otherwise(bin_expr)
+    bins = (
+        df.filter(s.isNotNull())
+        .select(bin_expr.alias("_bin"), wcol.alias("_w"))
+        .groupBy("_bin")
+        .agg(F.count("*").alias("_n"), F.sum("_w").alias("_wsum"))
+    )
+    tot = bins.agg(
+        F.sum("_n").alias("_tn"), F.sum("_wsum").alias("_tw")
+    )
+    thr = (
+        df.sparkSession.createDataFrame(
+            [(t,) for t in ts], f"threshold double"
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    kept = (
+        thr.join(
+            F.broadcast(bins), F.col("_bin") >= F.col("threshold"), "left"
+        )
+        .groupBy("threshold", "_tn", "_tw")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.sum("_wsum"), F.lit(0.0)).alias("w_kept"),
+        )
+    )
+    return kept.select(
+        "threshold",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round("w_kept", 4).alias("w_kept"),
+        F.round(F.col("n_kept") / F.col("_tn"), 6).alias("frac_rows"),
+        F.round(F.col("w_kept") / F.col("_tw"), 6).alias("frac_weight"),
+    )

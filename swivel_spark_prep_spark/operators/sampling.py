@@ -671,6 +671,109 @@ def token_budget_allocation(
 
 
 
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    budget: float,
+) -> DataFrame:
+    """Minimum-variance sample-size allocation across strata (Neyman
+    1934): to estimate a population mean of ``value_col`` with a fixed
+    total sample budget, draw n_s ∝ N_s·σ_s from stratum s — more from
+    big AND noisy strata — capped at the stratum's own size::
+
+        alloc_s = min(N_s, λ·N_s·σ_s)   with Σ alloc_s = budget
+
+    The cap makes it the same WATERFILLING problem as
+    :func:`token_budget_allocation` and reuses its closed form: strata
+    sorted by saturation point r_s = N_s/(N_s·σ_s) = 1/σ_s saturate in
+    order; prefix sums over that order give λ without iteration. All
+    windows run on the per-stratum stats relation (|strata| rows —
+    control plane); corpus data is touched by ONE moment aggregate.
+
+    Zero-variance strata (σ_s = 0, including singletons) carry no share
+    — the estimator needs no samples where there is nothing to vary —
+    and surface with alloc 0, never saturated. Output per stratum:
+    (strata_col, n_rows, sd, weight, alloc, saturated) with
+    Σ alloc = min(budget, Σ_{σ>0} N_s) to float precision; ``weight``
+    is the normalized Neyman share.
+    """
+    from pyspark.sql.window import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    stats = df.filter(F.col(value_col).isNotNull()).groupBy(strata_col).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.coalesce(F.stddev_pop(F.col(value_col).cast("double")), F.lit(0.0))
+        .alias("_sd"),
+    )
+    base = stats.select(
+        strata_col, "_n", "_sd", (F.col("_n") * F.col("_sd")).alias("__p")
+    )
+    tot = base.agg(
+        F.sum(F.when(F.col("__p") > 0, F.col("_n")).otherwise(0.0)).alias("__tn"),
+        F.sum("__p").alias("__tp"),
+    )
+    b = base.crossJoin(F.broadcast(tot)).withColumn(
+        "__r",
+        F.when(F.col("__p") > 0, F.col("_n") / F.col("__p")).otherwise(
+            F.lit(float("inf"))
+        ),
+    )
+    w = Window.orderBy(F.asc("__r"), F.asc(strata_col))
+    pre = (
+        b.withColumn(
+            "__cn",
+            F.sum(F.when(F.col("__p") > 0, F.col("_n")).otherwise(0.0)).over(w),
+        )
+        .withColumn("__cp", F.sum("__p").over(w))
+        .withColumn(
+            "__sat_here",
+            F.when(
+                F.col("__p") <= 0, F.lit(False)
+            ).when(
+                F.col("__tp") - F.col("__cp") > 0,
+                F.col("__r")
+                <= (F.lit(float(budget)) - F.col("__cn"))
+                / (F.col("__tp") - F.col("__cp")),
+            ).otherwise(F.lit(float(budget)) >= F.col("__tn")),
+        )
+        .withColumn(
+            "__sat", F.min(F.col("__sat_here").cast("int")).over(w) == 1
+        )
+    )
+    lam = pre.agg(
+        (
+            (
+                F.lit(float(budget))
+                - F.coalesce(
+                    F.sum(F.when(F.col("__sat"), F.col("_n"))), F.lit(0.0)
+                )
+            )
+            / F.nullif(
+                F.first("__tp")
+                - F.coalesce(
+                    F.sum(F.when(F.col("__sat"), F.col("__p"))), F.lit(0.0)
+                ),
+                F.lit(0.0),
+            )
+        ).alias("__lam")
+    )
+    return pre.crossJoin(F.broadcast(lam)).select(
+        strata_col,
+        F.col("_n").cast("long").alias("n_rows"),
+        F.round("_sd", 6).alias("sd"),
+        F.round(F.col("__p") / F.col("__tp"), 6).alias("weight"),
+        F.round(
+            F.when(F.col("__sat"), F.col("_n")).otherwise(
+                F.coalesce(F.col("__lam") * F.col("__p"), F.lit(0.0))
+            ),
+            2,
+        ).alias("alloc"),
+        F.col("__sat").alias("saturated"),
+    )
+
+
 def priority_sample(
     df: DataFrame,
     weight_col: str,

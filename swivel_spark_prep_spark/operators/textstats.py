@@ -993,3 +993,51 @@ def topk_term_overlap(
             6,
         ).alias("jaccard"),
     )
+
+
+def encoding_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Encoding-health audit per corpus slice — the mojibake/QA gate a
+    web-scale ingest runs before any text operator sees the data:
+
+    - ``docs_replacement``: documents containing U+FFFD (the UTF-8
+      decoder's substitution for undecodable bytes — each one is a
+      document that was decoded with the wrong charset somewhere)
+    - ``ctrl_char_ratio``: C0 control characters (excluding \\t \\n \\r)
+      per character — binary-in-text and terminal-escape contamination
+    - ``non_ascii_share``: non-ASCII characters per character — not an
+      error signal but the mix statistic that catches a slice suddenly
+      switching script or losing its diacritics
+    - ``ascii_frac_docs``: fraction of pure-ASCII documents
+
+    One scan, all counters via length-difference of regexp_replace (no
+    UDF, no explode); one hash aggregate per slice.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    repl = F.length(F.regexp_replace(t, "�", "")) < n_chars
+    n_ctrl = n_chars - F.length(
+        F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    )
+    n_non_ascii = n_chars - F.length(
+        F.regexp_replace(t, "[^\\x00-\\x7F]", "")
+    )
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(repl.cast("long")).alias("docs_replacement"),
+            F.round(
+                F.sum(n_ctrl) / F.sum(n_chars), 6
+            ).alias("ctrl_char_ratio"),
+            F.round(
+                F.sum(n_non_ascii) / F.sum(n_chars), 6
+            ).alias("non_ascii_share"),
+            F.round(
+                F.avg((n_non_ascii == 0).cast("double")), 6
+            ).alias("ascii_frac_docs"),
+        )
+    )

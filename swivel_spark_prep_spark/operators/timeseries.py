@@ -1671,3 +1671,76 @@ def rolling_active_counts(
         ).alias("window_end")
     )
     return covered.groupBy("window_end").agg(F.count("*").alias("n_active"))
+
+
+def rolling_origin_splits(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 5,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation accounting for
+    time series — the backtest layout where fold k trains on everything
+    before a cutoff and tests on the next period, so no fold ever sees
+    the future (Tashman 2000's standard forecasting-evaluation scheme;
+    the time-aware replacement for the hash k-fold that would leak
+    future rows into training):
+
+        periods: [t_min, t_max] split into n_folds+1 equal slices
+        fold k (1..n_folds): train = slices 0..k-1, test = slice k
+
+    Plan: one 1-row min/max aggregate (broadcast), one scan assigns each
+    row its slice by INTEGER microsecond arithmetic — exact boundary
+    behavior, no float drift between engines — one hash aggregate
+    collapses to ≤ n_folds+1 slice counts, and the fold table is a tiny
+    (folds × slices) conditional-sum join between two bounded
+    relations. Output per fold: (fold, n_train, n_test, frac_train).
+    """
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    k = n_folds + 1
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bounds = df.filter(F.col(ts_col).isNotNull()).agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    )
+    slices = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(us.alias("_us"))
+        .crossJoin(F.broadcast(bounds))
+        # integer slice index in 0..k-1: DIV by range+1 keeps t_max in
+        # the last slice without a float boundary
+        .select(
+            ((F.col("_us") - F.col("_lo")) * k)
+            .cast("long")
+            .alias("_num"),
+            (F.col("_hi") - F.col("_lo") + 1).alias("_den"),
+        )
+        # `div` is exact BIGINT division (no double rounding at slice
+        # boundaries — must match DuckDB's integer `//` bit-for-bit)
+        .select(F.expr("_num div _den").cast("long").alias("_slice"))
+        .groupBy("_slice")
+        .agg(F.count("*").alias("_n"))
+    )
+    folds = df.sparkSession.createDataFrame(
+        [(f,) for f in range(1, n_folds + 1)], "fold int"
+    )
+    out = (
+        folds.join(F.broadcast(slices), F.col("_slice") <= F.col("fold"), "left")
+        .groupBy("fold")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_slice") < F.col("fold"), F.col("_n"))),
+                F.lit(0),
+            ).alias("n_train"),
+            F.coalesce(
+                F.sum(F.when(F.col("_slice") == F.col("fold"), F.col("_n"))),
+                F.lit(0),
+            ).alias("n_test"),
+        )
+    )
+    tot = slices.agg(F.sum("_n").alias("_tot"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(F.col("n_train") / F.col("_tot"), 6).alias("frac_train"),
+    )

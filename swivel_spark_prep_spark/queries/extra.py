@@ -9363,3 +9363,157 @@ def x255(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return topk_term_overlap(docs, group_col="lang", k=50)
+
+
+@_declare(
+    "X256_neyman_allocation",
+    # Minimum-variance sampling design (sampling.neyman_allocation,
+    # Neyman 1934): alloc_s = min(N_s, lam*N_s*sd_s) with sum = 480 over
+    # the 20 sources — the closed-form waterfill (X134's construction)
+    # on Neyman shares N_s*sd_s instead of temperature shares. Budget
+    # 480 on 20x25 strata saturates the high-variance sources and
+    # exercises both branches. The oracle replays the identical
+    # prefix-sum construction.
+    """WITH c AS (SELECT source, COUNT(*)::DOUBLE AS n,
+                  COALESCE(stddev_pop(n_chars), 0) AS sd
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+b AS (SELECT source, n, sd, n * sd AS p FROM c),
+t AS (SELECT SUM(CASE WHEN p > 0 THEN n ELSE 0 END) AS tn, SUM(p) AS tp FROM b),
+r AS (SELECT b.*, tn, tp,
+             CASE WHEN p > 0 THEN n / p ELSE 'infinity'::DOUBLE END AS rr
+      FROM b CROSS JOIN t),
+w AS (SELECT *, SUM(CASE WHEN p > 0 THEN n ELSE 0 END)
+                  OVER (ORDER BY rr, source) AS cn,
+               SUM(p) OVER (ORDER BY rr, source) AS cp FROM r),
+f AS (SELECT *, CASE WHEN p <= 0 THEN FALSE
+                     WHEN tp - cp > 0 THEN rr <= (480 - cn) / (tp - cp)
+                     ELSE 480 >= tn END AS sat_here FROM w),
+g AS (SELECT *, MIN(CASE WHEN sat_here THEN 1 ELSE 0 END)
+                  OVER (ORDER BY rr, source) = 1 AS sat FROM f),
+l AS (SELECT (480 - COALESCE(SUM(CASE WHEN sat THEN n END), 0))
+             / NULLIF(ANY_VALUE(tp) - COALESCE(SUM(CASE WHEN sat THEN p END), 0), 0) AS lam
+      FROM g)
+SELECT source, n::BIGINT AS n_rows, ROUND(sd, 6) AS sd,
+       ROUND(p / tp, 6) AS weight,
+       ROUND(CASE WHEN sat THEN n ELSE COALESCE(lam * p, 0) END, 2) AS alloc,
+       sat AS saturated
+FROM g CROSS JOIN l ORDER BY source;""",
+)
+def x256(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import neyman_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neyman_allocation(docs, "source", "n_chars", 480.0).orderBy("source")
+
+
+@_declare(
+    "X257_length_filter_roi",
+    # Filter-threshold ROI curve (quality.threshold_roi): docs + token
+    # mass a "n_chars >= t" filter keeps at each candidate cutoff — the
+    # knob-tuning table read before committing a length filter, computed
+    # as one bin pass + a bounded triangular join (never rows x |T|).
+    # The oracle computes each threshold directly.
+    """WITH d AS (SELECT n_chars::DOUBLE AS s,
+                 len(string_split(text, ' '))::DOUBLE AS w
+          FROM documents WHERE n_chars IS NOT NULL),
+t AS (SELECT COUNT(*)::DOUBLE AS tn, SUM(w) AS tw FROM d),
+thr AS (SELECT unnest([100.0, 200.0, 300.0, 400.0, 500.0]) AS threshold)
+SELECT threshold,
+       COALESCE(SUM(CASE WHEN s >= threshold THEN 1 END), 0)::BIGINT AS n_kept,
+       ROUND(COALESCE(SUM(CASE WHEN s >= threshold THEN w END), 0), 4) AS w_kept,
+       ROUND(COALESCE(SUM(CASE WHEN s >= threshold THEN 1 END), 0) / ANY_VALUE(tn), 6) AS frac_rows,
+       ROUND(COALESCE(SUM(CASE WHEN s >= threshold THEN w END), 0) / ANY_VALUE(tw), 6) AS frac_weight
+FROM thr CROSS JOIN d CROSS JOIN t GROUP BY 1 ORDER BY 1;""",
+)
+def x257(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import threshold_roi
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_w", F.size(F.split("text", " ")).cast("double")
+    )
+    return threshold_roi(
+        docs, "n_chars", [100.0, 200.0, 300.0, 400.0, 500.0], weight_col="_w"
+    ).orderBy("threshold")
+
+
+@_declare(
+    "X258_encoding_audit",
+    # Encoding-health QA per source (textstats.encoding_audit): U+FFFD
+    # documents, C0-control ratio, non-ASCII share, pure-ASCII doc
+    # fraction — the mojibake gate a web ingest runs first. One scan,
+    # length-difference counters, one aggregate; the oracle repeats the
+    # same regexp accounting (RE2 'g' flag = Spark's replace-all).
+    """SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN length(regexp_replace(text, '\\x{FFFD}', '', 'g')) < length(text)
+                THEN 1 ELSE 0 END)::BIGINT AS docs_replacement,
+       ROUND(SUM(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))
+             / SUM(length(text)), 6) AS ctrl_char_ratio,
+       ROUND(SUM(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))
+             / SUM(length(text)), 6) AS non_ascii_share,
+       ROUND(AVG(CASE WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) = length(text)
+                 THEN 1.0 ELSE 0.0 END), 6) AS ascii_frac_docs
+FROM documents GROUP BY source ORDER BY source;""",
+)
+def x258(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import encoding_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encoding_audit(docs).orderBy("source")
+
+
+@_declare(
+    "X259_json_schema_profile",
+    # Semi-structured schema profile (profile.json_schema_profile): per
+    # top-level JSON key, the observed value-type histogram — the drift
+    # audit that catches a producer switching 42 -> "42". One map parse,
+    # per-object-key explode, lexical type classification, one hash
+    # aggregate. The oracle unnests json_keys with a dynamic-path
+    # extract and applies the same lexical classifier.
+    """WITH kv AS (
+  SELECT k AS key, CAST(json_extract(props, '$.' || k) AS VARCHAR) AS v
+  FROM (SELECT unnest(json_keys(props)) AS k, props FROM events
+        WHERE props IS NOT NULL))
+SELECT key,
+       CASE WHEN v = 'null' THEN 'null'
+            WHEN regexp_full_match(v, '-?[0-9]+') THEN 'integer'
+            WHEN regexp_full_match(v, '-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?') THEN 'number'
+            WHEN v IN ('true', 'false') THEN 'boolean'
+            WHEN v LIKE '{%' THEN 'object'
+            WHEN v LIKE '[%' THEN 'array'
+            ELSE 'string' END AS value_type,
+       COUNT(*)::BIGINT AS n
+FROM kv GROUP BY 1, 2 ORDER BY 1, 2;""",
+)
+def x259(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.profile import json_schema_profile
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return json_schema_profile(ev, "props").orderBy("key", "value_type")
+
+
+@_declare(
+    "X260_rolling_origin_splits",
+    # Rolling-origin backtest accounting (timeseries.rolling_origin_splits,
+    # Tashman 2000): fold k trains on time slices 0..k-1 and tests on
+    # slice k, so no fold sees the future — the time-aware replacement
+    # for hash k-fold. Slice assignment is exact BIGINT microsecond
+    # arithmetic on both engines (no float boundary drift).
+    """WITH b AS (SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+           FROM events WHERE ts IS NOT NULL),
+s AS (SELECT ((epoch_us(ts) - lo) * 6) // (hi - lo + 1) AS slice
+      FROM events, b WHERE ts IS NOT NULL),
+c AS (SELECT slice, COUNT(*) AS n FROM s GROUP BY 1),
+t AS (SELECT SUM(n)::DOUBLE AS tot FROM c),
+f AS (SELECT unnest(range(1, 6))::INT AS fold)
+SELECT fold,
+       COALESCE(SUM(CASE WHEN slice < fold THEN n END), 0)::BIGINT AS n_train,
+       COALESCE(SUM(CASE WHEN slice = fold THEN n END), 0)::BIGINT AS n_test,
+       ROUND(COALESCE(SUM(CASE WHEN slice < fold THEN n END), 0) / ANY_VALUE(tot), 6) AS frac_train
+FROM f CROSS JOIN t LEFT JOIN c ON slice <= fold
+GROUP BY fold ORDER BY fold;""",
+)
+def x260(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import rolling_origin_splits
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_origin_splits(ev, "ts", n_folds=5).orderBy("fold")

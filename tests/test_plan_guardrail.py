@@ -15,6 +15,8 @@ ON PURPOSE, each over a provably bounded relation:
 - X61: regression over the top-1000 word ranks — LIMIT-bounded.
 - X134: waterfilling over the per-source allocation table —
   source-cardinality (control-plane).
+- X256: Neyman allocation — the same closed-form waterfill as X134,
+  windows over the per-stratum stats relation (|strata| rows).
 - X147: the k-smallest-hash relation — k-bounded (KMV sketch).
 - X183: kmv_merge's union bottom-k inside join_size_estimate — the
   window input is the union of TWO k-bounded sketches (≤ 2k rows),
@@ -104,6 +106,7 @@ ALLOWED_UNPARTITIONED = {
     "Q33_vocab_ids": 1,
     "Q35_shard_marginals": 2,
     "X134_token_budget_waterfill": 4,
+    "X256_neyman_allocation": 4,
     "X147_kmv_distinct_sketch": 1,
     "X17_win_ntile": 1,
     "X183_join_size_estimate": 2,

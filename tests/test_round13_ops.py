@@ -1,0 +1,172 @@
+"""Round-13 operators: Neyman allocation, threshold ROI, encoding
+audit, JSON schema profile, rolling-origin splits — property tests
+beyond the DuckDB-oracle parity that tests/test_llm_operators.py
+already runs at both SFs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swivel_spark_prep_spark.operators.profile import json_schema_profile
+from swivel_spark_prep_spark.operators.quality import threshold_roi
+from swivel_spark_prep_spark.operators.sampling import neyman_allocation
+from swivel_spark_prep_spark.operators.textstats import encoding_audit
+from swivel_spark_prep_spark.operators.timeseries import rolling_origin_splits
+
+
+# ------------------------------------------------------- neyman_allocation
+def _strata(spark):
+    # three strata: big+noisy, big+quiet, small+noisy, plus a
+    # zero-variance stratum
+    rows = []
+    for i in range(100):
+        rows.append(("big_noisy", float((i * 37) % 100)))
+    for i in range(100):
+        rows.append(("big_quiet", 50.0 + (i % 2)))
+    for i in range(20):
+        rows.append(("small_noisy", float((i * 53) % 100)))
+    for i in range(30):
+        rows.append(("constant", 7.0))
+    return spark.createDataFrame(rows, "s string, v double")
+
+
+def test_neyman_sums_to_budget_and_caps(spark):
+    df = _strata(spark)
+    out = {r["s"]: r for r in neyman_allocation(df, "s", "v", 120.0).collect()}
+    assert len(out) == 4
+    # allocations respect caps and sum to the budget
+    for r in out.values():
+        assert r["alloc"] <= r["n_rows"] + 1e-9
+    assert sum(r["alloc"] for r in out.values()) == pytest.approx(120.0, abs=0.05)
+    # zero-variance stratum gets nothing and never saturates
+    assert out["constant"]["alloc"] == 0.0 and not out["constant"]["saturated"]
+    # Neyman monotonicity: bigger N*sd gets more (before saturation)
+    assert out["big_noisy"]["alloc"] > out["big_quiet"]["alloc"]
+    assert out["big_noisy"]["alloc"] > out["small_noisy"]["alloc"]
+
+
+def test_neyman_saturation_branch(spark):
+    df = _strata(spark)
+    # budget exceeding every nonzero-variance stratum's size: all of
+    # them saturate at N_s (constant stays at 0)
+    out = {r["s"]: r for r in neyman_allocation(df, "s", "v", 500.0).collect()}
+    for s in ("big_noisy", "big_quiet", "small_noisy"):
+        assert out[s]["saturated"] and out[s]["alloc"] == out[s]["n_rows"]
+    assert out["constant"]["alloc"] == 0.0
+
+
+def test_neyman_rejects_bad_budget(spark):
+    with pytest.raises(ValueError):
+        neyman_allocation(_strata(spark), "s", "v", 0.0)
+
+
+# ---------------------------------------------------------- threshold_roi
+def test_threshold_roi_monotone_and_exact(spark):
+    df = spark.createDataFrame(
+        [(float(i), 10.0) for i in range(1, 11)], "score double, w double"
+    )
+    rows = threshold_roi(df, "score", [0.0, 5.0, 11.0], weight_col="w").orderBy(
+        "threshold"
+    ).collect()
+    by_t = {r["threshold"]: r for r in rows}
+    assert by_t[0.0]["n_kept"] == 10 and by_t[0.0]["frac_rows"] == 1.0
+    assert by_t[5.0]["n_kept"] == 6  # scores 5..10
+    assert by_t[11.0]["n_kept"] == 0 and by_t[11.0]["w_kept"] == 0.0
+    kept = [r["n_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+
+
+def test_threshold_roi_rejects_empty(spark):
+    df = spark.createDataFrame([(1.0,)], "score double")
+    with pytest.raises(ValueError):
+        threshold_roi(df, "score", [])
+
+
+# ---------------------------------------------------------- encoding_audit
+def test_encoding_audit_counts_exactly(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text", "a"),
+            (2, "bad � decode � here", "a"),
+            (3, "ctrl\x01\x02chars", "a"),
+            (4, "café naïve", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in encoding_audit(docs).collect()}
+    a, b = out["a"], out["b"]
+    assert a["docs_replacement"] == 1
+    # 2 control chars over the slice's total chars
+    total_a = len("clean ascii text") + len("bad � decode � here") + len(
+        "ctrl\x01\x02chars"
+    )
+    assert a["ctrl_char_ratio"] == pytest.approx(2 / total_a, abs=1e-6)
+    # slice b: 2 non-ascii chars (é, ï) in 10 chars
+    assert b["non_ascii_share"] == pytest.approx(2 / len("café naïve"), abs=1e-6)
+    assert b["ascii_frac_docs"] == 0.0 and a["ascii_frac_docs"] == pytest.approx(
+        2 / 3, abs=1e-6
+    )
+
+
+# ----------------------------------------------------- json_schema_profile
+def test_json_schema_profile_types_and_invalid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": 2.5, "c": true, "d": null, "e": "x", '
+                '"f": {"g": 1}, "h": [1,2]}'),
+            (2, '{"a": 7}'),
+            (3, "not json at all {"),
+            (4, None),
+        ],
+        "id long, js string",
+    )
+    rows = json_schema_profile(df.filter("js IS NOT NULL"), "js").collect()
+    got = {(r["key"], r["value_type"]): r["n"] for r in rows}
+    assert got[("a", "integer")] == 2
+    assert got[("b", "number")] == 1
+    assert got[("c", "boolean")] == 1
+    assert got[("d", "null")] == 1
+    assert got[("e", "string")] == 1
+    assert got[("f", "object")] == 1
+    assert got[("h", "array")] == 1
+    assert got[("__invalid__", "invalid")] == 1
+
+
+# -------------------------------------------------- rolling_origin_splits
+def test_rolling_origin_no_future_leakage(spark):
+    # 60 evenly spaced timestamps -> 6 slices of 10 each
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 28) + 1:02d} {i % 24:02d}:00:00") for i in range(60)],
+        "i long, raw string",
+    ).select("i", F.to_timestamp("raw").alias("ts"))
+    rows = rolling_origin_splits(df, "ts", n_folds=5).orderBy("fold").collect()
+    assert len(rows) == 5
+    n_train = [r["n_train"] for r in rows]
+    # expanding window: train sets strictly grow and train+test never
+    # exceeds the corpus
+    assert n_train == sorted(n_train) and n_train[0] > 0
+    for r in rows:
+        assert r["n_train"] + r["n_test"] <= 60
+        assert r["frac_train"] == pytest.approx(r["n_train"] / 60, abs=1e-6)
+    # every fold's test rows are exactly the rows after its train cut
+    assert sum(r["n_test"] for r in rows) + n_train[0] <= 60 + 1
+
+
+def test_rolling_origin_exact_uniform_slices(spark):
+    # timestamps at exactly 0..59 seconds from an epoch-aligned start:
+    # slice k covers [10k, 10(k+1)) seconds -> 10 rows each, exact
+    df = spark.createDataFrame(
+        [(i,) for i in range(60)], "i long"
+    ).select(F.timestamp_seconds(F.col("i") + 1_700_000_000).alias("ts"))
+    rows = rolling_origin_splits(df, "ts", n_folds=5).orderBy("fold").collect()
+    assert [r["n_train"] for r in rows] == [10, 20, 30, 40, 50]
+    assert [r["n_test"] for r in rows] == [10, 10, 10, 10, 10]
+
+
+def test_rolling_origin_rejects_bad_folds(spark):
+    df = spark.createDataFrame([(1,)], "i long").select(
+        F.timestamp_seconds(F.col("i")).alias("ts")
+    )
+    with pytest.raises(ValueError):
+        rolling_origin_splits(df, "ts", n_folds=0)
