@@ -1502,3 +1502,55 @@ def dedup_roi_by_group(
             6,
         ).alias("tokens_saved_pct"),
     )
+
+
+def cluster_transitivity_audit(
+    pairs: DataFrame,
+    clusters: DataFrame,
+) -> DataFrame:
+    """How much a near-dup clustering over-merges: connected components
+    take the TRANSITIVE closure of the pair graph, so a cluster of size
+    c asserts c(c−1)/2 duplicate relations while the verifier only
+    certified the edges it saw — chains (A~B, B~C but A≁C) inflate
+    clusters beyond what pairwise similarity supports. Transitivity =
+    certified edges / asserted pairs; 1.0 means every implied relation
+    was independently verified, low values mean the threshold or the
+    banding is chaining.
+
+    Inputs are the existing relations (``minhash_near_dups`` pairs,
+    ``fuzzy_dedup_clusters`` labels) — this audit adds ONLY bounded
+    aggregates: cluster sizes from one groupBy, Σ c(c−1)/2 from the
+    (≤ #clusters)-row size relation, one pair count. No new pair join
+    anywhere. Output (1 row): n_clusters, n_docs_clustered,
+    max_cluster, found_pairs, implied_pairs, transitivity.
+    """
+    sizes = (
+        clusters.groupBy("rep_id")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+    )
+    agg = sizes.agg(
+        F.count("*").alias("n_clusters"),
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_docs_clustered"),
+        F.coalesce(F.max("_c"), F.lit(0)).alias("max_cluster"),
+        F.coalesce(
+            F.sum(F.col("_c") * (F.col("_c") - 1) / 2), F.lit(0.0)
+        )
+        .cast("long")
+        .alias("implied_pairs"),
+    )
+    found = pairs.agg(F.count("*").alias("found_pairs"))
+    return agg.crossJoin(F.broadcast(found)).select(
+        "n_clusters",
+        "n_docs_clustered",
+        "max_cluster",
+        "found_pairs",
+        "implied_pairs",
+        F.round(
+            F.when(
+                F.col("implied_pairs") > 0,
+                F.col("found_pairs") / F.col("implied_pairs"),
+            ),
+            6,
+        ).alias("transitivity"),
+    )

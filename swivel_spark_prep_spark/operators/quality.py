@@ -1068,3 +1068,43 @@ def threshold_roi(
         F.round(F.col("n_kept") / F.col("_tn"), 6).alias("frac_rows"),
         F.round(F.col("w_kept") / F.col("_tw"), 6).alias("frac_weight"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    k-anonymity companion: a quasi-identifier group is re-identifying
+    in practice when everyone in it SHARES the sensitive value, however
+    large the group. Flags every quasi-group whose sensitive column
+    carries fewer than ``l`` distinct values, plus a trailing
+    ``__audit__`` row with the total rows at risk (the
+    k_anonymity_audit output convention).
+
+    One grouped aggregate (count + exact distinct per quasi-group) —
+    the distinct is per-group over the group's own rows, shuffled once
+    on the quasi key.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    g = df.groupBy(
+        *[F.col(c).cast("string").alias(c) for c in quasi_cols]
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+    )
+    risky = g.filter(F.col("n_sensitive") < l).select(
+        *quasi_cols, "n", "n_sensitive"
+    )
+    audit = risky.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+    ).select(
+        F.lit("__audit__").alias(quasi_cols[0]),
+        *[F.lit(None).cast("string").alias(c) for c in quasi_cols[1:]],
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("n_sensitive"),
+    )
+    return risky.unionAll(audit)

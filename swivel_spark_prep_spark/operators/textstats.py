@@ -1041,3 +1041,79 @@ def encoding_audit(
             ).alias("ascii_frac_docs"),
         )
     )
+
+
+def log_odds_terms(
+    docs: DataFrame,
+    slice_col: str,
+    slice_a,
+    slice_b,
+    text_col: str = "text",
+    alpha0: float = 500.0,
+    k: int = 15,
+) -> DataFrame:
+    """What words distinguish slice A from slice B — the log-odds ratio
+    with an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words"), the standard corpus-composition comparison that
+    fixes raw log-odds' small-count explosions and TF-IDF's length
+    confounds. Per word w with counts y^A_w, y^B_w and prior
+    α_w = α₀·(pooled share of w)::
+
+        δ_w = ln[(y^A_w+α_w)/(n^A+α₀−y^A_w−α_w)]
+            − ln[(y^B_w+α_w)/(n^B+α₀−y^B_w−α_w)]
+        z_w = δ_w / sqrt(1/(y^A_w+α_w) + 1/(y^B_w+α_w))
+
+    Top-k by |z| (ties by word) each direction is the readable output.
+
+    Plan: ONE tokenize-explode pass builds per-word conditional counts
+    for both slices and the pool simultaneously (conditional sums — the
+    slices never scan separately); totals fold in as a 1-row broadcast;
+    z is row-local arithmetic on the |vocab|-sized counts relation and
+    the top-k cut is a TakeOrdered. No window, no join at row scale.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.explode(
+        F.split(F.lower(F.col(text_col)), " ")
+    ).alias("w")
+    base = docs.filter(F.col(slice_col).isin([slice_a, slice_b])).select(
+        (F.col(slice_col) == slice_a).alias("_a"), toks
+    )
+    counts = base.groupBy("w").agg(
+        F.sum(F.col("_a").cast("long")).alias("_ya"),
+        F.sum((~F.col("_a")).cast("long")).alias("_yb"),
+    )
+    tot = counts.agg(
+        F.sum("_ya").cast("double").alias("_na"),
+        F.sum("_yb").cast("double").alias("_nb"),
+    )
+    c = counts.crossJoin(F.broadcast(tot))
+    aw = (
+        F.lit(float(alpha0))
+        * (F.col("_ya") + F.col("_yb"))
+        / (F.col("_na") + F.col("_nb"))
+    )
+    da = F.log(
+        (F.col("_ya") + aw)
+        / (F.col("_na") + F.lit(float(alpha0)) - F.col("_ya") - aw)
+    )
+    db = F.log(
+        (F.col("_yb") + aw)
+        / (F.col("_nb") + F.lit(float(alpha0)) - F.col("_yb") - aw)
+    )
+    var = 1.0 / (F.col("_ya") + aw) + 1.0 / (F.col("_yb") + aw)
+    scored = c.select(
+        "w",
+        F.col("_ya").alias("count_a"),
+        F.col("_yb").alias("count_b"),
+        ((da - db) / F.sqrt(var)).alias("_z"),
+    )
+    top_a = scored.orderBy(F.desc("_z"), "w").limit(k)
+    top_b = scored.orderBy(F.asc("_z"), "w").limit(k)
+    return (
+        top_a.select("*", F.lit(str(slice_a)).alias("favors"))
+        .unionAll(top_b.select("*", F.lit(str(slice_b)).alias("favors")))
+        .select(
+            "favors", "w", "count_a", "count_b", F.round("_z", 6).alias("z")
+        )
+    )

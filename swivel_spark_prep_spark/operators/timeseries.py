@@ -1744,3 +1744,40 @@ def rolling_origin_splits(
         F.col("n_test").cast("long").alias("n_test"),
         F.round(F.col("n_train") / F.col("_tot"), 6).alias("frac_train"),
     )
+
+
+def entity_entropy(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    bin_decimals: int = 1,
+) -> DataFrame:
+    """Behavioral-diversity histogram: Shannon entropy of each entity's
+    categorical distribution (event types per user, domains per
+    crawler, langs per source), bucketed so the output is bounded —
+    the "how predictable are my entities" diagnostic that separates
+    single-action bots (H = 0) from diverse organic behavior.
+
+    Entropy uses the identity H = log₂(N) − (Σ n·log₂ n)/N, which is
+    exactly 0.0 for single-category entities (the naive −Σ p·log p form
+    emits −0.0 there and float-tiny negatives elsewhere — a value-hash
+    trap between engines). Two hash aggregates (per (key, cat), then
+    per key) and one bounded-histogram aggregate; no windows, no joins
+    at row scale beyond the keyed count join.
+    """
+    c = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(key_col, cat_col)
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    per_key = c.groupBy(key_col).agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.col("_n") * F.log2("_n")).alias("_s"),
+    )
+    h = per_key.select(
+        (F.log2("_tot") - F.col("_s") / F.col("_tot")).alias("_h")
+    )
+    return (
+        h.groupBy(F.round("_h", bin_decimals).alias("h_bin"))
+        .agg(F.count("*").alias("n_entities"))
+    )

@@ -9517,3 +9517,137 @@ def x260(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_origin_splits(ev, "ts", n_folds=5).orderBy("fold")
+
+
+@_declare(
+    "X261_log_odds_terms",
+    # Fightin' Words (textstats.log_odds_terms, Monroe/Colaresi/Quinn
+    # 2008): log-odds with an informative Dirichlet prior, z-scored —
+    # what vocabulary distinguishes the en slice from the fr slice.
+    # One conditional-count explode, 1-row totals broadcast, TakeOrdered
+    # top-15 each direction. The oracle replays the identical formula.
+    """WITH base AS (
+  SELECT (lang = 'en') AS a, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE lang IN ('en', 'fr')),
+counts AS (SELECT w, SUM(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ya,
+                  SUM(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS yb
+           FROM base GROUP BY 1),
+t AS (SELECT SUM(ya)::DOUBLE AS na, SUM(yb)::DOUBLE AS nb FROM counts),
+sc AS (SELECT w, ya AS count_a, yb AS count_b,
+         (ln((ya + aw) / (na + 500.0 - ya - aw))
+          - ln((yb + aw) / (nb + 500.0 - yb - aw)))
+           / sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)) AS z
+       FROM (SELECT c.*, na, nb, 500.0 * (ya + yb) / (na + nb) AS aw
+             FROM counts c CROSS JOIN t)),
+ta AS (SELECT 'en' AS favors, w, count_a, count_b, ROUND(z, 6) AS z
+       FROM sc ORDER BY sc.z DESC, w LIMIT 15),
+tb AS (SELECT 'fr' AS favors, w, count_a, count_b, ROUND(z, 6) AS z
+       FROM sc ORDER BY sc.z ASC, w LIMIT 15)
+SELECT * FROM ta UNION ALL SELECT * FROM tb;""",
+)
+def x261(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import log_odds_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return log_odds_terms(docs, "lang", "en", "fr", k=15)
+
+
+@_declare(
+    "X262_cluster_transitivity",
+    # Near-dup cluster over-merge audit (dedup.cluster_transitivity_audit):
+    # connected components assert c(c-1)/2 relations per cluster but the
+    # verifier certified only the edges — transitivity = certified/
+    # asserted. Pure bounded aggregates over the existing pairs+clusters
+    # relations; no new pair join. Oracle: X40's recursive-CTE closure
+    # over the exact jac>=0.8 edge set (minhash recall vs that set is
+    # pinned by the X06 tests).
+    """WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+           p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3]))) AS shingles
+  FROM documents),
+inv AS (SELECT doc_id, s.sh FROM sh, UNNEST(shingles) AS s(sh)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM inv a JOIN inv b USING (sh) WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT d1, d2 FROM cand JOIN sh x ON x.doc_id=d1 JOIN sh y ON y.doc_id=d2
+  WHERE len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+        (len(x.shingles)+len(y.shingles)-len(list_intersect(x.shingles,y.shingles))) >= 0.8),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+rep AS (SELECT u AS doc_id, MIN(v) AS rep_id FROM reach GROUP BY u),
+sizes AS (SELECT rep_id, COUNT(*)::BIGINT AS c FROM rep GROUP BY 1 HAVING COUNT(*) > 1),
+agg AS (SELECT COUNT(*)::BIGINT AS n_clusters,
+               COALESCE(SUM(c), 0)::BIGINT AS n_docs_clustered,
+               COALESCE(MAX(c), 0)::BIGINT AS max_cluster,
+               COALESCE(SUM(c * (c - 1) / 2), 0)::BIGINT AS implied_pairs
+        FROM sizes),
+f AS (SELECT COUNT(*)::BIGINT AS found_pairs FROM pairs)
+SELECT n_clusters, n_docs_clustered, max_cluster, found_pairs, implied_pairs,
+       ROUND(CASE WHEN implied_pairs > 0
+             THEN found_pairs::DOUBLE / implied_pairs END, 6) AS transitivity
+FROM agg CROSS JOIN f;""",
+)
+def x262(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import (
+        cluster_transitivity_audit,
+        fuzzy_dedup_clusters,
+        minhash_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs)
+    clusters = fuzzy_dedup_clusters(docs, pairs)
+    return cluster_transitivity_audit(pairs, clusters)
+
+
+@_declare(
+    "X263_l_diversity",
+    # l-diversity audit (quality.l_diversity_audit, Machanavajjhala
+    # 2007): quasi-groups whose SENSITIVE column (source) carries < 2
+    # distinct values — homogeneous groups re-identify regardless of
+    # size, the failure k-anonymity misses. X195's output convention
+    # (__audit__ trailer with rows at risk).
+    """WITH g AS (SELECT lang::VARCHAR AS lang, n_chars::VARCHAR AS n_chars,
+                 COUNT(*)::BIGINT AS n,
+                 COUNT(DISTINCT source)::BIGINT AS n_sensitive
+          FROM documents GROUP BY 1, 2)
+SELECT lang, n_chars, n, n_sensitive FROM g WHERE n_sensitive < 2
+UNION ALL
+SELECT '__audit__', NULL,
+       COALESCE(SUM(CASE WHEN n_sensitive < 2 THEN n END), 0)::BIGINT, NULL
+FROM g
+ORDER BY lang NULLS LAST, n_chars NULLS LAST;""",
+)
+def x263(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import l_diversity_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return l_diversity_audit(docs, ["lang", "n_chars"], "source", l=2).orderBy(
+        F.asc_nulls_last("lang"), F.asc_nulls_last("n_chars")
+    )
+
+
+@_declare(
+    "X264_user_entropy",
+    # Behavioral-diversity histogram (timeseries.entity_entropy):
+    # Shannon entropy of each user's event-type mix, bucketed to 0.1
+    # bits — separates single-action bots (H=0) from organic users.
+    # Uses H = log2(N) - sum(n*log2 n)/N, exactly 0.0 for
+    # single-category entities (the -sum(p log p) form emits -0.0,
+    # a value-hash trap). Two hash aggregates + a bounded histogram.
+    """WITH c AS (SELECT user_id, event_type, COUNT(*)::DOUBLE AS n
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+k AS (SELECT user_id, SUM(n) AS tot, SUM(n * log2(n)) AS s FROM c GROUP BY 1),
+h AS (SELECT log2(tot) - s / tot AS ent FROM k)
+SELECT ROUND(ent, 1) AS h_bin, COUNT(*)::BIGINT AS n_entities
+FROM h GROUP BY 1 ORDER BY 1;""",
+)
+def x264(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import entity_entropy
+
+    ev = load_table(spark, sf_dir, "events")
+    return entity_entropy(ev, "user_id", "event_type").orderBy("h_bin")

@@ -144,6 +144,9 @@ ALLOWED_PAIR_SELF_JOINS = {
     # broadcasts the <=cap side, so the single pair join is bounded at
     # max_vectors^2 with no shuffled cartesian
     "X237_ann_hubness": 1,
+    # X262: composes X06's banded MinHash join (pairs only within a
+    # (band, signature) bucket); the audit itself adds aggregates only
+    "X262_cluster_transitivity": 1,
     "X38_contamination": 1,
     "X47_upsert_snapshot": 1,
     "X48_training_pipeline": 1,

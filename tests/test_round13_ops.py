@@ -170,3 +170,92 @@ def test_rolling_origin_rejects_bad_folds(spark):
     )
     with pytest.raises(ValueError):
         rolling_origin_splits(df, "ts", n_folds=0)
+
+
+# ----------------------------------------------------------- log_odds_terms
+def test_log_odds_planted_vocabulary(spark):
+    from swivel_spark_prep_spark.operators.textstats import log_odds_terms
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "common words here alpha alpha alpha", "A"))
+        rows.append((100 + i, "common words here beta beta beta", "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = log_odds_terms(df, "lang", "A", "B", k=3).collect()
+    fav_a = [r["w"] for r in out if r["favors"] == "A"]
+    fav_b = [r["w"] for r in out if r["favors"] == "B"]
+    assert fav_a[0] == "alpha" and fav_b[0] == "beta"
+    za = {r["w"]: r["z"] for r in out if r["favors"] == "A"}
+    zb = {r["w"]: r["z"] for r in out if r["favors"] == "B"}
+    assert za["alpha"] > 0 and zb["beta"] < 0
+    # shared vocabulary is not discriminative: |z| of 'common' far below
+    assert abs(za["alpha"]) > 5 * abs(za.get("common", zb.get("common", 0.0)))
+
+
+def test_log_odds_direction_swap_flips_sign(spark):
+    from swivel_spark_prep_spark.operators.textstats import log_odds_terms
+
+    rows = [(1, "x y z z", "A"), (2, "x y w w", "B")] * 10
+    df = spark.createDataFrame(
+        [(i, t, g) for i, (_, t, g) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+    ab = {r["w"]: r["z"] for r in log_odds_terms(df, "lang", "A", "B", k=4).collect()}
+    ba = {r["w"]: r["z"] for r in log_odds_terms(df, "lang", "B", "A", k=4).collect()}
+    for w in set(ab) & set(ba):
+        assert ab[w] == pytest.approx(-ba[w], abs=1e-9)
+
+
+# ------------------------------------------------ cluster_transitivity_audit
+def test_transitivity_chain_vs_triangle(spark):
+    from swivel_spark_prep_spark.operators.dedup import cluster_transitivity_audit
+
+    clusters = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (9, 9, True)],
+        "doc_id long, rep_id long, is_rep boolean",
+    )
+    chain = spark.createDataFrame([(1, 2, 0.9), (2, 3, 0.85)],
+                                  "d1 long, d2 long, jac double")
+    r = cluster_transitivity_audit(chain, clusters).collect()[0]
+    assert r["n_clusters"] == 1 and r["n_docs_clustered"] == 3
+    assert r["implied_pairs"] == 3 and r["found_pairs"] == 2
+    assert r["transitivity"] == pytest.approx(2 / 3, abs=1e-6)
+    triangle = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (1, 3, 0.8)], "d1 long, d2 long, jac double"
+    )
+    r2 = cluster_transitivity_audit(triangle, clusters).collect()[0]
+    assert r2["transitivity"] == 1.0
+
+
+# ----------------------------------------------------------- l_diversity
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from swivel_spark_prep_spark.operators.quality import l_diversity_audit
+
+    df = spark.createDataFrame(
+        # group (a, 1): 3 rows all sensitive 's1' -> flagged
+        # group (b, 2): 2 rows, sensitive s1/s2 -> diverse, ok
+        [("a", 1, "s1"), ("a", 1, "s1"), ("a", 1, "s1"),
+         ("b", 2, "s1"), ("b", 2, "s2")],
+        "q1 string, q2 int, sens string",
+    )
+    rows = l_diversity_audit(df, ["q1", "q2"], "sens", l=2).collect()
+    flagged = [r for r in rows if r["q1"] == "a"]
+    audit = [r for r in rows if r["q1"] == "__audit__"][0]
+    assert len(flagged) == 1 and flagged[0]["n"] == 3
+    assert flagged[0]["n_sensitive"] == 1
+    assert audit["n"] == 3
+    with pytest.raises(ValueError):
+        l_diversity_audit(df, ["q1"], "sens", l=1)
+
+
+# --------------------------------------------------------- entity_entropy
+def test_entity_entropy_exact_bins(spark):
+    from swivel_spark_prep_spark.operators.timeseries import entity_entropy
+
+    rows = []
+    rows += [(1, "a")] * 8                      # H = 0.0 exactly
+    rows += [(2, "a")] * 4 + [(2, "b")] * 4     # H = 1.0
+    rows += [(3, t) for t in "abcd" for _ in range(2)]  # H = 2.0
+    df = spark.createDataFrame(rows, "user_id long, et string")
+    out = {r["h_bin"]: r["n_entities"] for r in entity_entropy(df, "user_id", "et").collect()}
+    assert out == {0.0: 1, 1.0: 1, 2.0: 1}
