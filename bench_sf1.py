@@ -341,6 +341,20 @@ def main() -> None:
         "X237_ann_hubness",
         "X241_vocab_richness",
         "X244_cross_source_dups",
+        # Round-13 batch: X254 rolling distinct actives (coverage-island
+        # rewrite — fan-out ≤ W per activity day, wall should track the
+        # events 10x); X256 Neyman waterfill (one moment aggregate +
+        # |strata|-row control plane — near-SF-invariant beyond the
+        # scan); X257 threshold ROI (one bin pass, bounded triangular
+        # join); X260 rolling-origin splits (one µs-arithmetic scan);
+        # X261 log-odds (conditional-count explode, vocab-sized tail);
+        # X262 cluster transitivity (X06's banded join + aggregates).
+        "X254_rolling_active_users",
+        "X256_neyman_allocation",
+        "X257_length_filter_roi",
+        "X260_rolling_origin_splits",
+        "X261_log_odds_terms",
+        "X262_cluster_transitivity",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

@@ -324,3 +324,66 @@ def _gauss_solve(a: list, b: list) -> list:
                 f = m[r][col]
                 m[r] = [v - f * w for v, w in zip(m[r], m[col])]
     return [m[r][k] for r in range(k)]
+
+
+def simpsons_check(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Simpson's-paradox detector for a bivariate trend: the sign of the
+    x→y association in the POOLED data versus within each stratum —
+    the aggregation trap (Simpson 1951) where a relationship reverses
+    once a confounding stratum is controlled. Flags every stratum whose
+    OLS slope sign contradicts the pooled slope's (zero-variance strata
+    surface with NULL slope, never flagged).
+
+    One grouped moment aggregate is the only corpus pass: the pooled
+    moments are EXACTLY the column sums of the per-group moments, so
+    the pooled slope folds in as a 1-row broadcast of the same relation
+    re-aggregated — no second scan. Output per stratum:
+    (group, n, slope, pooled_slope, reversed).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    per = base.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+
+    def _slope(n, sx, sy, sxy, sxx):
+        den = n * sxx - sx * sx
+        return F.when(den > 0, (n * sxy - sx * sy) / den)
+
+    pooled = per.agg(
+        F.sum("_n").alias("_pn"),
+        F.sum("_sx").alias("_psx"),
+        F.sum("_sy").alias("_psy"),
+        F.sum("_sxy").alias("_psxy"),
+        F.sum("_sxx").alias("_psxx"),
+    ).select(
+        _slope(
+            F.col("_pn"), F.col("_psx"), F.col("_psy"),
+            F.col("_psxy"), F.col("_psxx"),
+        ).alias("_pooled")
+    )
+    g_slope = _slope(
+        F.col("_n"), F.col("_sx"), F.col("_sy"), F.col("_sxy"), F.col("_sxx")
+    )
+    return per.crossJoin(F.broadcast(pooled)).select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(g_slope, 6).alias("slope"),
+        F.round("_pooled", 6).alias("pooled_slope"),
+        F.when(
+            g_slope.isNotNull() & F.col("_pooled").isNotNull(),
+            F.signum(g_slope) * F.signum(F.col("_pooled")) < 0,
+        ).alias("reversed"),
+    )

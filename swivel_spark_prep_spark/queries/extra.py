@@ -9651,3 +9651,42 @@ def x264(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return entity_entropy(ev, "user_id", "event_type").orderBy("h_bin")
+
+
+@_declare(
+    "X265_simpsons_check",
+    # Simpson's-paradox detector (linear.simpsons_check, Simpson 1951):
+    # pooled vs per-stratum OLS slope sign for value ~ epoch-hours,
+    # stratified by event_type. ONE grouped moment aggregate; the pooled
+    # slope is the same relation re-aggregated (pooled moments = column
+    # sums of group moments), folded in as a 1-row broadcast.
+    """WITH base AS (
+  SELECT event_type AS g, epoch_us(ts) / 3.6e9 AS x, value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM base GROUP BY 1),
+pool AS (SELECT SUM(n) AS pn, SUM(sx) AS psx, SUM(sy) AS psy,
+                SUM(sxy) AS psxy, SUM(sxx) AS psxx FROM per),
+ps AS (SELECT CASE WHEN pn * psxx - psx * psx > 0
+              THEN (pn * psxy - psx * psy) / (pn * psxx - psx * psx) END AS pooled
+       FROM pool)
+SELECT g AS event_type, n::BIGINT AS n,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+       ROUND(pooled, 6) AS pooled_slope,
+       CASE WHEN n * sxx - sx * sx > 0 AND pooled IS NOT NULL
+            THEN sign(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
+                 * sign(pooled) < 0 END AS reversed
+FROM per CROSS JOIN ps ORDER BY event_type;""",
+)
+def x265(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import simpsons_check
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_hours", F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3.6e9)
+    )
+    return simpsons_check(ev, "_hours", "value", "event_type").orderBy(
+        "event_type"
+    )

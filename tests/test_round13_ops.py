@@ -259,3 +259,34 @@ def test_entity_entropy_exact_bins(spark):
     df = spark.createDataFrame(rows, "user_id long, et string")
     out = {r["h_bin"]: r["n_entities"] for r in entity_entropy(df, "user_id", "et").collect()}
     assert out == {0.0: 1, 1.0: 1, 2.0: 1}
+
+
+# ---------------------------------------------------------- simpsons_check
+def test_simpsons_planted_reversal(spark):
+    from swivel_spark_prep_spark.operators.linear import simpsons_check
+
+    rows = []
+    # within each stratum y DECREASES in x; across strata the high-x
+    # stratum has much higher y, so the pooled slope is POSITIVE —
+    # the classic Simpson construction
+    for i in range(50):
+        x = i / 50.0
+        rows.append(("low", x, 1.0 - 0.5 * x))
+        rows.append(("high", 2.0 + x, 10.0 - 0.5 * x))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in simpsons_check(df, "x", "y", "g").collect()}
+    assert out["low"]["slope"] < 0 and out["high"]["slope"] < 0
+    assert out["low"]["pooled_slope"] > 0
+    assert out["low"]["reversed"] and out["high"]["reversed"]
+
+
+def test_simpsons_no_reversal_and_degenerate(spark):
+    from swivel_spark_prep_spark.operators.linear import simpsons_check
+
+    rows = [("a", float(i), 2.0 * i) for i in range(20)]
+    rows += [("a", float(i), 2.0 * i + 1) for i in range(20)]
+    rows += [("const", 5.0, float(i)) for i in range(10)]  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in simpsons_check(df, "x", "y", "g").collect()}
+    assert out["a"]["reversed"] is False and out["a"]["slope"] > 0
+    assert out["const"]["slope"] is None and out["const"]["reversed"] is None
