@@ -1117,3 +1117,54 @@ def log_odds_terms(
             "favors", "w", "count_a", "count_b", F.round("_z", 6).alias("z")
         )
     )
+
+
+def ngram_dup_spectrum(
+    docs: DataFrame,
+    ns: tuple = (1, 2, 4, 8),
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplication spectrum: corpus-wide duplicate mass at each n-gram
+    granularity — dup_rate(n) = 1 − distinct/total over ALL n-token
+    grams. Reading the curve tells a curation pass WHERE the
+    duplication lives: high dup at n=1 is just vocabulary reuse, high
+    dup persisting to n=8 is copied passages (the signal Lee et al.'s
+    ExactSubstr dedup acts on), and the n at which the curve collapses
+    calibrates the dedup shingle size.
+
+    One exploded-gram aggregate per n (|ns| scans — the spectrum's
+    inherent cost, each a count + exact COUNT(DISTINCT) shuffled on the
+    gram); results union to a |ns|-row relation. Grams are compared as
+    STRINGS (exact — no hash-collision caveat, and any engine replays
+    it).
+    """
+    t = F.split(F.lower(F.col(text_col)), " ")
+    out = None
+    for n in ns:
+        if n < 1:
+            raise ValueError(f"every n must be >= 1, got {n}")
+        # the filter below guarantees size(t) >= n, so the sequence hi
+        # bound is >= 0 and ascending
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda p: F.array_join(F.slice(t, p + 1, n), " "),
+        )
+        one = (
+            docs.filter(F.size(t) >= n)
+            .select(F.explode(grams).alias("_g"))
+            .agg(
+                F.lit(int(n)).alias("n"),
+                F.count("*").alias("total_grams"),
+                F.countDistinct("_g").alias("distinct_grams"),
+            )
+            .select(
+                "n",
+                "total_grams",
+                "distinct_grams",
+                F.round(
+                    1.0 - F.col("distinct_grams") / F.col("total_grams"), 6
+                ).alias("dup_rate"),
+            )
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

@@ -1781,3 +1781,60 @@ def entity_entropy(
         h.groupBy(F.round("_h", bin_decimals).alias("h_bin"))
         .agg(F.count("*").alias("n_entities"))
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    key_a,
+    key_b,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged cross-correlation between two keys' daily series —
+    "does A lead B": ccf(ℓ) = corr(A(day), B(day+ℓ)) for
+    ℓ ∈ [−max_lag, max_lag]; the peak's sign of ℓ says which series
+    leads (Box & Jenkins' CCF, the two-series companion of the ACF).
+
+    Corpus data is touched by ONE daily aggregate; everything after
+    runs on the bounded per-day relation: the lag axis is a literal
+    explode of the A-side daily rows (× (2·max_lag+1), day-bounded),
+    one keyed join aligns B at day+ℓ, and Pearson corr per lag is one
+    grouped aggregate. Lags with < 3 overlapping days return NULL.
+    Output: (lag, n_days, ccf).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp")).cast("date")
+    daily = (
+        df.filter(F.col(key_col).isin([key_a, key_b]))
+        .groupBy(
+            F.col(key_col).alias("_k"), day.alias("_d")
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_v"))
+    )
+    a = daily.filter(F.col("_k") == key_a).select(
+        F.col("_d").alias("_da"), F.col("_v").alias("_va")
+    )
+    b = daily.filter(F.col("_k") == key_b).select(
+        F.col("_d").alias("_db"), F.col("_v").alias("_vb")
+    )
+    lagged = a.select(
+        "_da",
+        "_va",
+        F.explode(
+            F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+        ).alias("lag"),
+    )
+    joined = lagged.join(
+        b, F.col("_db") == F.date_add(F.col("_da"), F.col("lag")), "inner"
+    )
+    return (
+        joined.groupBy("lag")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.when(F.count("*") >= 3, F.corr("_va", "_vb")).alias("_c"),
+        )
+        .select("lag", "n_days", F.round("_c", 6).alias("ccf"))
+    )

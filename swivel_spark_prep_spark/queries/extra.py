@@ -9690,3 +9690,62 @@ def x265(spark, sf_dir):
     return simpsons_check(ev, "_hours", "value", "event_type").orderBy(
         "event_type"
     )
+
+
+@_declare(
+    "X266_ngram_dup_spectrum",
+    # Duplication spectrum (textstats.ngram_dup_spectrum): duplicate
+    # gram mass at n = 1,2,4,8 — where the corpus's duplication lives
+    # (vocabulary reuse vs copied passages) and which shingle size a
+    # dedup pass should key on. One exact COUNT(DISTINCT) aggregate per
+    # n over string grams; |ns| scans by construction.
+    """WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+g AS (
+  SELECT 1 AS n, unnest(tk) AS g FROM t WHERE len(tk) >= 1
+  UNION ALL
+  SELECT 2, unnest(list_transform(range(len(tk) - 1),
+         p -> array_to_string(tk[p+1:p+2], ' '))) FROM t WHERE len(tk) >= 2
+  UNION ALL
+  SELECT 4, unnest(list_transform(range(len(tk) - 3),
+         p -> array_to_string(tk[p+1:p+4], ' '))) FROM t WHERE len(tk) >= 4
+  UNION ALL
+  SELECT 8, unnest(list_transform(range(len(tk) - 7),
+         p -> array_to_string(tk[p+1:p+8], ' '))) FROM t WHERE len(tk) >= 8)
+SELECT n, COUNT(*)::BIGINT AS total_grams,
+       COUNT(DISTINCT g)::BIGINT AS distinct_grams,
+       ROUND(1.0 - COUNT(DISTINCT g) / COUNT(*)::DOUBLE, 6) AS dup_rate
+FROM g GROUP BY n ORDER BY n;""",
+)
+def x266(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import ngram_dup_spectrum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_dup_spectrum(docs).orderBy("n")
+
+
+@_declare(
+    "X267_cross_correlation",
+    # Lagged cross-correlation (timeseries.cross_correlation, Box &
+    # Jenkins CCF): does purchase value lead click value day-over-day.
+    # One daily aggregate touches the corpus; the +/-7-lag axis is a
+    # literal explode of the bounded A-side daily relation and Pearson
+    # per lag is one grouped aggregate (NULL under 3 overlapping days).
+    """WITH daily AS (
+  SELECT event_type AS k, date_trunc('day', ts)::DATE AS d, SUM(value) AS v
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2),
+a AS (SELECT d AS da, v AS va FROM daily WHERE k = 'purchase'),
+b AS (SELECT d AS db, v AS vb FROM daily WHERE k = 'click'),
+lagged AS (SELECT da, va, lag FROM a
+           CROSS JOIN (SELECT unnest(range(-7, 8))::INT AS lag)),
+j AS (SELECT lag, va, vb FROM lagged JOIN b ON db = da + lag)
+SELECT lag, COUNT(*)::BIGINT AS n_days,
+       ROUND(CASE WHEN COUNT(*) >= 3 THEN corr(va, vb) END, 6) AS ccf
+FROM j GROUP BY lag ORDER BY lag;""",
+)
+def x267(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    return cross_correlation(
+        ev, "ts", "value", "event_type", "purchase", "click", max_lag=7
+    ).orderBy("lag")

@@ -43,6 +43,9 @@ cost; at 10⁴ it is a 100× regression wearing the same plan shape):
   and the round-13 derived-step form that keeps the Generate narrow).
 - X168: ACF lag explode — B = max_lag = 7, a constant-size lag window,
   not a Monte-Carlo loop (timeseries.py).
+- X267: CCF lag axis — B = 2·max_lag+1 = 15, exploded on the AGGREGATED
+  per-day relation (day-bounded), never corpus rows (timeseries.py
+  cross_correlation).
 
 THIRD INVARIANT (round-11 verdict Next #7): PAIR self-joins — joins
 where BOTH sides reach the same base relation at row scale (no
@@ -166,6 +169,7 @@ ALLOWED_REPLICATE_EXPLODES = {
     "X194_bootstrap_ci": [100],
     "X208_bootstrap_uplift": [100],
     "X226_randomization_test": [100],
+    "X267_cross_correlation": [15],
 }
 
 _ALL = {**DECLARED_QUERIES, **EXTRA_QUERIES}

@@ -290,3 +290,50 @@ def test_simpsons_no_reversal_and_degenerate(spark):
     out = {r["g"]: r for r in simpsons_check(df, "x", "y", "g").collect()}
     assert out["a"]["reversed"] is False and out["a"]["slope"] > 0
     assert out["const"]["slope"] is None and out["const"]["reversed"] is None
+
+
+# -------------------------------------------------------- ngram_dup_spectrum
+def test_dup_spectrum_planted(spark):
+    from swivel_spark_prep_spark.operators.textstats import ngram_dup_spectrum
+
+    # "a a a a" is maximally duplicated at every n; a unique-word doc
+    # has zero dup at every n > 1
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a"), (2, "u1 u2 u3 u4 u5 u6 u7 u8")],
+        "doc_id long, text string",
+    )
+    out = {r["n"]: r for r in ngram_dup_spectrum(docs, ns=(1, 2, 8)).collect()}
+    # n=1: 16 grams, 9 distinct (a + u1..u8)
+    assert out[1]["total_grams"] == 16 and out[1]["distinct_grams"] == 9
+    # n=8: 1 gram per doc, both distinct -> dup 0
+    assert out[8]["total_grams"] == 2 and out[8]["dup_rate"] == 0.0
+    # dup rate falls with n
+    assert out[1]["dup_rate"] > out[2]["dup_rate"] > out[8]["dup_rate"]
+    with pytest.raises(ValueError):
+        ngram_dup_spectrum(docs, ns=(0,))
+
+
+# -------------------------------------------------------- cross_correlation
+def test_ccf_planted_lead(spark):
+    from swivel_spark_prep_spark.operators.timeseries import cross_correlation
+
+    # B(day) = A(day - 2): the CCF must peak at lag +2 exactly
+    rows = []
+    base = [5.0, 9.0, 2.0, 8.0, 1.0, 7.0, 3.0, 6.0, 4.0, 10.0,
+            2.5, 8.5, 1.5, 9.5, 0.5, 6.5]
+    for i, v in enumerate(base):
+        rows.append(("A", f"2024-03-{i+1:02d} 12:00:00", v))
+    for i, v in enumerate(base):
+        if i + 2 < 28:
+            rows.append(("B", f"2024-03-{i+3:02d} 12:00:00", v))
+    df = spark.createDataFrame(rows, "k string, raw string, v double").select(
+        "k", F.to_timestamp("raw").alias("ts"), "v"
+    )
+    out = {r["lag"]: r for r in cross_correlation(
+        df, "ts", "v", "k", "A", "B", max_lag=3).collect()}
+    assert out[2]["ccf"] == pytest.approx(1.0, abs=1e-9)
+    for lag in (-3, -2, -1, 0, 1, 3):
+        if out[lag]["ccf"] is not None:
+            assert out[lag]["ccf"] < 0.99
+    with pytest.raises(ValueError):
+        cross_correlation(df, "ts", "v", "k", "A", "B", max_lag=0)
