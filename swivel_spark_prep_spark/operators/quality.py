@@ -1108,3 +1108,75 @@ def l_diversity_audit(
         F.lit(None).cast("long").alias("n_sensitive"),
     )
     return risky.unionAll(audit)
+
+
+def psi_timeline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population-stability timeline: PSI of a value distribution per
+    epoch-aligned week AGAINST THE FIRST WEEK — the monitoring table
+    behind "when did this metric's distribution start drifting", where
+    the two-slice drift_psi answers only "do these two slices differ".
+    Bins are the baseline week's exact deciles (the PSI convention), so
+    the baseline week scores ~0 by construction; empty cells clamp to
+    1e-6 (the standard zero-count guard).
+
+    Corpus passes: one week/value scan + one baseline percentile
+    aggregate. Everything else is bounded: the (weeks × bins) scaffold
+    is a cross join of two control relations, bin assignment is an
+    in-row array fold over the broadcast edge list, PSI is one grouped
+    sum. Output per week: (week, n, psi).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from swivel_spark_prep_spark.cache import track_persist
+
+    vals = track_persist(
+        df.select(
+            F.floor(
+                F.unix_micros(F.col(ts_col).cast("timestamp")) / 604_800_000_000
+            ).alias("_w"),
+            F.col(value_col).cast("double").alias("_v"),
+        ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+    )
+    w0 = vals.agg(F.min("_w").alias("_w0"))
+    fracs = [k / n_bins for k in range(1, n_bins)]
+    edges = (
+        vals.crossJoin(F.broadcast(w0))
+        .filter(F.col("_w") == F.col("_w0"))
+        .agg(F.percentile("_v", F.array(*[F.lit(f) for f in fracs])).alias("_e"))
+    )
+    binned = vals.crossJoin(F.broadcast(edges)).select(
+        "_w",
+        F.aggregate(
+            "_e",
+            F.lit(0),
+            lambda acc, e: acc + (F.col("_v") >= e).cast("int"),
+        ).alias("_b"),
+    )
+    counts = binned.groupBy("_w", "_b").agg(F.count("*").alias("_n"))
+    weeks = counts.groupBy("_w").agg(F.sum("_n").alias("_tot"))
+    bins = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("_b"))
+    scaffold = weeks.crossJoin(F.broadcast(bins))
+    cell = scaffold.join(counts, ["_w", "_b"], "left").select(
+        "_w",
+        "_b",
+        "_tot",
+        (F.coalesce("_n", F.lit(0)) / F.col("_tot")).alias("_p"),
+    )
+    base = cell.crossJoin(F.broadcast(w0)).filter(
+        F.col("_w") == F.col("_w0")
+    ).select(F.col("_b"), F.col("_p").alias("_p0"))
+    p = F.greatest(F.col("_p"), F.lit(1e-6))
+    p0 = F.greatest(F.col("_p0"), F.lit(1e-6))
+    return (
+        cell.join(F.broadcast(base), "_b")
+        .groupBy(F.col("_w").alias("week"))
+        .agg(
+            F.first("_tot").cast("long").alias("n"),
+            F.round(F.sum((p - p0) * F.log(p / p0)), 6).alias("psi"),
+        )
+    )

@@ -1838,3 +1838,30 @@ def cross_correlation(
         )
         .select("lag", "n_days", F.round("_c", 6).alias("ccf"))
     )
+
+
+def quantile_timeline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Weekly quantile bands (p50/p90/p99 by default) per group — the
+    latency-dashboard staple, as one exact grouped percentile aggregate
+    over epoch-aligned weeks (no window, no driver state; exact
+    interpolated percentiles shuffled once on (week, group))."""
+    gcols = [group_col] if group_col else []
+    week = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / 604_800_000_000
+    ).alias("week")
+    v = F.col(value_col).cast("double")
+    aggs = [F.count("*").alias("n")] + [
+        F.round(F.percentile(v, F.lit(q)), 6).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return (
+        df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(week, *gcols)
+        .agg(*aggs)
+    )

@@ -9749,3 +9749,58 @@ def x267(spark, sf_dir):
     return cross_correlation(
         ev, "ts", "value", "event_type", "purchase", "click", max_lag=7
     ).orderBy("lag")
+
+
+@_declare(
+    "X268_psi_timeline",
+    # PSI timeline (quality.psi_timeline): weekly population-stability
+    # index of event value vs the FIRST week's exact deciles — "when
+    # did the distribution start drifting", vs X79's two-slice PSI.
+    # One scan + one baseline percentile aggregate; (weeks x bins)
+    # scaffold is control-plane. Empty cells clamp to 1e-6.
+    """WITH vals AS (
+  SELECT floor(epoch_us(ts) / 604800000000)::BIGINT AS w, value::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+w0 AS (SELECT MIN(w) AS w0 FROM vals),
+e AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+      FROM vals, w0 WHERE w = w0),
+binned AS (SELECT w, len(list_filter(edges, x -> v >= x)) AS b FROM vals, e),
+counts AS (SELECT w, b, COUNT(*)::DOUBLE AS n FROM binned GROUP BY 1, 2),
+weeks AS (SELECT w, SUM(n) AS tot FROM counts GROUP BY 1),
+bins AS (SELECT unnest(range(0, 10))::INT AS b),
+cell AS (SELECT weeks.w, bins.b, tot, COALESCE(n, 0) / tot AS p
+         FROM weeks CROSS JOIN bins LEFT JOIN counts
+           ON counts.w = weeks.w AND counts.b = bins.b),
+base AS (SELECT b, p AS p0 FROM cell, w0 WHERE w = w0)
+SELECT w AS week, ANY_VALUE(tot)::BIGINT AS n,
+       ROUND(SUM((greatest(p, 1e-6) - greatest(p0, 1e-6))
+                 * ln(greatest(p, 1e-6) / greatest(p0, 1e-6))), 6) AS psi
+FROM cell JOIN base USING (b) GROUP BY w ORDER BY w;""",
+)
+def x268(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import psi_timeline
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_timeline(ev, "ts", "value").orderBy("week")
+
+
+@_declare(
+    "X269_quantile_timeline",
+    # Weekly quantile bands (timeseries.quantile_timeline): exact
+    # p50/p90/p99 of event value per (week, event_type) — the latency
+    # dashboard table, one grouped exact-percentile aggregate.
+    """SELECT floor(epoch_us(ts) / 604800000000)::BIGINT AS week,
+       event_type, COUNT(*)::BIGINT AS n,
+       ROUND(quantile_cont(value::DOUBLE, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value::DOUBLE, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value::DOUBLE, 0.99), 6) AS p99
+FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2;""",
+)
+def x269(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import quantile_timeline
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_timeline(ev, "ts", "value", "event_type").orderBy(
+        "week", "event_type"
+    )

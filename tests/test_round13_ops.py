@@ -337,3 +337,42 @@ def test_ccf_planted_lead(spark):
             assert out[lag]["ccf"] < 0.99
     with pytest.raises(ValueError):
         cross_correlation(df, "ts", "v", "k", "A", "B", max_lag=0)
+
+
+# ------------------------------------------------------------- psi_timeline
+def test_psi_timeline_baseline_zero_and_shift_detected(spark):
+    from swivel_spark_prep_spark.operators.quality import psi_timeline
+
+    rows = []
+    # one day per week so the epoch-week assignment is unambiguous:
+    # baseline dist on Jan 1, identical dist two weeks later, a +50
+    # shift four weeks later -> PSI ~0, ~0, large
+    for i in range(200):
+        v = (i % 100) / 10.0
+        rows.append(("2024-01-01 00:00:00", v))
+        rows.append(("2024-01-15 00:00:00", v))
+        rows.append(("2024-01-29 00:00:00", v + 50))
+    df = spark.createDataFrame(rows, "raw string, value double").select(
+        F.to_timestamp("raw").alias("ts"), "value"
+    )
+    out = sorted(psi_timeline(df, "ts", "value").collect(), key=lambda r: r["week"])
+    assert out[0]["psi"] == pytest.approx(0.0, abs=1e-9)       # baseline
+    assert abs(out[1]["psi"]) < 0.05                            # same dist
+    assert out[-1]["psi"] > 1.0                                 # full shift
+    with pytest.raises(ValueError):
+        psi_timeline(df, "ts", "value", n_bins=1)
+
+
+# -------------------------------------------------------- quantile_timeline
+def test_quantile_timeline_exact(spark):
+    from swivel_spark_prep_spark.operators.timeseries import quantile_timeline
+
+    rows = [("2024-02-01 00:00:00", "a", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "raw string, g string, v double").select(
+        F.to_timestamp("raw").alias("ts"), "g", "v"
+    )
+    r = quantile_timeline(df, "ts", "v", "g").collect()[0]
+    assert r["n"] == 100
+    assert r["p50"] == pytest.approx(50.5, abs=1e-6)   # exact interpolated
+    assert r["p90"] == pytest.approx(90.1, abs=1e-6)
+    assert r["p99"] == pytest.approx(99.01, abs=1e-6)
