@@ -638,3 +638,90 @@ def json_schema_profile(
         .groupBy(*gcols, "key", "value_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+def fd_histogram(
+    df: DataFrame,
+    value_col: str,
+    max_bins: int = 200,
+) -> DataFrame:
+    """Auto-binned histogram with the Freedman–Diaconis rule (1981):
+    bin width = 2·IQR/n^(1/3) — the robust default that neither
+    over-smooths (Sturges on big n) nor lets outliers dictate the
+    shape (equal-width over the full range). Statistics (n, IQR,
+    min/max) come from ONE exact-percentile aggregate; bin assignment
+    is one in-row floor; counts are one hash aggregate. ``max_bins``
+    clamps pathological outlier ranges (clamped runs surface via the
+    returned bin width growing, never by dropping data — the top bin
+    absorbs the tail). Degenerate inputs (IQR = 0) collapse to one
+    bin. Output: (bin, lo, hi, n) with lo/hi the bin's value bounds.
+    """
+    if max_bins < 1:
+        raise ValueError(f"max_bins must be >= 1, got {max_bins}")
+    v = F.col(value_col).cast("double")
+    base = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    stats = base.agg(
+        F.count("*").alias("_n"),
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.percentile("_v", F.lit(0.75)).alias("_q3"),
+        F.percentile("_v", F.lit(0.25)).alias("_q1"),
+    ).select(
+        "_n",
+        "_lo",
+        "_hi",
+        (
+            F.lit(2.0)
+            * (F.col("_q3") - F.col("_q1"))
+            / F.pow(F.col("_n").cast("double"), 1.0 / 3.0)
+        ).alias("_w"),
+    ).select(
+        "_n",
+        "_lo",
+        "_hi",
+        F.when(
+            (F.col("_w") > 0) & (F.col("_hi") > F.col("_lo")),
+            F.least(
+                F.ceil((F.col("_hi") - F.col("_lo")) / F.col("_w")).cast(
+                    "int"
+                ),
+                F.lit(int(max_bins)),
+            ),
+        )
+        .otherwise(F.lit(1))
+        .alias("_k"),
+    )
+    binned = base.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("_v") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / F.col("_k"))
+                ).cast("int"),
+                F.col("_k") - 1,
+            ),
+        ).otherwise(F.lit(0)).alias("bin"),
+        "_lo",
+        "_hi",
+        "_k",
+    )
+    return (
+        binned.groupBy("bin", "_lo", "_hi", "_k")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(
+                F.col("_lo")
+                + F.col("bin") * (F.col("_hi") - F.col("_lo")) / F.col("_k"),
+                6,
+            ).alias("lo"),
+            F.round(
+                F.col("_lo")
+                + (F.col("bin") + 1)
+                * (F.col("_hi") - F.col("_lo"))
+                / F.col("_k"),
+                6,
+            ).alias("hi"),
+            "n",
+        )
+    )

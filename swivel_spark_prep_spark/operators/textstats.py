@@ -1168,3 +1168,51 @@ def ngram_dup_spectrum(
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill (1975) estimator of the power-law tail index over the top-k
+    order statistics: ξ = (1/k)·Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎), α = 1/ξ — the
+    robust tail-heaviness measure that complements the regression-based
+    Zipf fit (zipf_fit regresses ALL ranks and is biased by the
+    distribution's body; Hill reads only the tail it claims to
+    measure). α ≈ 1 is the Zipf regime for token frequencies.
+
+    Plan: TakeOrdered(k+1) by (value desc, then a total tiebreak) is
+    the only reduction — a k-bounded relation; the estimator is one
+    aggregate over it (x₍ₖ₊₁₎ folds in as the relation's own min).
+    Output (1 row): k, x_k1, xi, alpha.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    top = (
+        df.select(F.col(value_col).cast("double").alias("_x"))
+        .filter(F.col("_x") > 0)
+        .orderBy(F.desc("_x"))
+        .limit(k + 1)
+    )
+    xk1 = top.agg(F.min("_x").alias("_xk1"), F.count("*").alias("_m"))
+    return (
+        top.crossJoin(F.broadcast(xk1))
+        .filter(F.col("_x") > F.col("_xk1"))
+        .agg(
+            F.lit(int(k)).alias("k"),
+            F.first("_xk1").alias("x_k1"),
+            F.round(
+                F.sum(F.log(F.col("_x") / F.col("_xk1"))) / F.lit(float(k)),
+                6,
+            ).alias("xi"),
+        )
+        .select(
+            "k",
+            "x_k1",
+            "xi",
+            F.round(F.when(F.col("xi") > 0, 1.0 / F.col("xi")), 6).alias(
+                "alpha"
+            ),
+        )
+    )

@@ -9804,3 +9804,68 @@ def x269(spark, sf_dir):
     return quantile_timeline(ev, "ts", "value", "event_type").orderBy(
         "week", "event_type"
     )
+
+
+@_declare(
+    "X270_hill_tail_index",
+    # Hill (1975) tail-index estimator over the top-100 token
+    # frequencies (textstats.hill_tail_index): xi = mean ln(x_i/x_k1),
+    # alpha = 1/xi — the order-statistics tail measure complementing
+    # X61's regression Zipf fit. Ties AT the boundary value are
+    # excluded by the x > x_k1 filter while the divisor stays k (the
+    # standard ties variant) — the value multiset of a top-(k+1) cut is
+    # tie-order-invariant, so any engine replays it. TakeOrdered(101)
+    # is the only reduction.
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+c AS (SELECT w, COUNT(*)::DOUBLE AS x FROM t GROUP BY 1),
+top AS (SELECT x FROM c ORDER BY x DESC LIMIT 101),
+m AS (SELECT MIN(x) AS xk1 FROM top),
+s AS (SELECT ANY_VALUE(xk1) AS x_k1,
+             ROUND(SUM(ln(x / xk1)) / 100.0, 6) AS xi
+      FROM top, m WHERE x > xk1)
+SELECT 100::INT AS k, x_k1, xi,
+       ROUND(CASE WHEN xi > 0 THEN 1.0 / xi END, 6) AS alpha
+FROM s;""",
+)
+def x270(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import hill_tail_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return hill_tail_index(counts, "cnt", k=100)
+
+
+@_declare(
+    "X271_fd_histogram",
+    # Freedman-Diaconis auto-binned histogram (profile.fd_histogram,
+    # 1981): bin width 2*IQR/n^(1/3) from ONE exact-percentile
+    # aggregate, bins capped at 200; X62's fixed-bin histogram with the
+    # statistically-defensible width choice. The oracle replays the
+    # identical width/bin arithmetic.
+    """WITH base AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+st0 AS (SELECT COUNT(*)::BIGINT AS n, MIN(v) AS lo, MAX(v) AS hi,
+               quantile_cont(v, 0.75) AS q3, quantile_cont(v, 0.25) AS q1
+        FROM base),
+st1 AS (SELECT n, lo, hi, 2.0 * (q3 - q1) / pow(n, 1.0 / 3.0) AS w FROM st0),
+st AS (SELECT n, lo, hi,
+              CASE WHEN w > 0 AND hi > lo
+                   THEN least(ceil((hi - lo) / w)::INT, 200) ELSE 1 END AS k
+       FROM st1),
+b AS (SELECT CASE WHEN hi > lo
+             THEN least(floor((v - lo) / ((hi - lo) / k))::INT, k - 1)
+             ELSE 0 END AS bin, lo, hi, k
+      FROM base, st)
+SELECT bin, ROUND(lo + bin * (hi - lo) / k, 6) AS lo,
+       ROUND(lo + (bin + 1) * (hi - lo) / k, 6) AS hi,
+       COUNT(*)::BIGINT AS n
+FROM b GROUP BY bin, lo, hi, k ORDER BY bin;""",
+)
+def x271(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.profile import fd_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return fd_histogram(ev, "value").orderBy("bin")

@@ -376,3 +376,41 @@ def test_quantile_timeline_exact(spark):
     assert r["p50"] == pytest.approx(50.5, abs=1e-6)   # exact interpolated
     assert r["p90"] == pytest.approx(90.1, abs=1e-6)
     assert r["p99"] == pytest.approx(99.01, abs=1e-6)
+
+
+# --------------------------------------------------------- hill_tail_index
+def test_hill_recovers_planted_pareto(spark):
+    from swivel_spark_prep_spark.operators.textstats import hill_tail_index
+
+    # deterministic Pareto(alpha=2) grid: x = u^(-1/2), u on a uniform
+    # grid in (0,1) -> Hill over the top tail must estimate xi ~ 0.5
+    rows = [(float((i + 0.5) / 5000) ** -0.5,) for i in range(5000)]
+    df = spark.createDataFrame(rows, "x double")
+    r = hill_tail_index(df, "x", k=200).collect()[0]
+    assert r["xi"] == pytest.approx(0.5, rel=0.15)
+    assert r["alpha"] == pytest.approx(2.0, rel=0.15)
+    with pytest.raises(ValueError):
+        hill_tail_index(df, "x", k=1)
+
+
+# ------------------------------------------------------------ fd_histogram
+def test_fd_histogram_partitions_all_rows(spark):
+    from swivel_spark_prep_spark.operators.profile import fd_histogram
+
+    df = spark.createDataFrame([(float(i % 1000),) for i in range(5000)], "v double")
+    rows = fd_histogram(df, "v").orderBy("bin").collect()
+    assert sum(r["n"] for r in rows) == 5000
+    # FD on uniform 0..999, n=5000: width = 2*500/17.1 ~ 58 -> ~18 bins
+    assert 5 <= len(rows) <= 50
+    # bins tile the range contiguously
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] == pytest.approx(b["lo"], abs=1e-6)
+    assert rows[0]["lo"] == 0.0 and rows[-1]["hi"] == pytest.approx(999.0, abs=1e-6)
+
+
+def test_fd_histogram_degenerate_constant(spark):
+    from swivel_spark_prep_spark.operators.profile import fd_histogram
+
+    df = spark.createDataFrame([(7.0,)] * 50, "v double")
+    rows = fd_histogram(df, "v").collect()
+    assert len(rows) == 1 and rows[0]["n"] == 50 and rows[0]["bin"] == 0
