@@ -1900,3 +1900,104 @@ def conformal_by_group(
             ).alias("coverage"),
         )
     )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Jarque–Bera normality statistic per group (Jarque & Bera 1980):
+    JB = n/6·(S² + K²/4) from sample skewness S and EXCESS kurtosis K —
+    the moment-based normality screen run before reaching for a t-test
+    (compare JB to χ²₂: 5.99 at α=0.05). Reported as the statistic plus
+    its ingredients (the repo's no-erf convention — compare to the
+    critical value, don't fabricate a p).
+
+    One grouped aggregate of raw power sums Σx..Σx⁴; central moments,
+    S, K and JB are row-local arithmetic on the |groups|-row relation.
+    Groups with n < 8 or zero variance report NULL JB (the moment
+    estimates are meaningless there).
+    """
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("double")
+    s = df.filter(x.isNotNull()).groupBy(*gcols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * x).alias("_s2"),
+        F.sum(x * x * x).alias("_s3"),
+        F.sum(x * x * x * x).alias("_s4"),
+    )
+    n = F.col("_n")
+    m = F.col("_s1") / n
+    m2 = F.col("_s2") / n - m * m
+    m3 = F.col("_s3") / n - 3 * m * F.col("_s2") / n + 2 * m * m * m
+    m4 = (
+        F.col("_s4") / n
+        - 4 * m * F.col("_s3") / n
+        + 6 * m * m * F.col("_s2") / n
+        - 3 * m * m * m * m
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3.0
+    ok = (n >= 8) & (m2 > 0)
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return s.select(
+        *gcols,
+        n.cast("long").alias("n"),
+        F.round(F.when(ok, skew), 6).alias("skewness"),
+        F.round(F.when(ok, kurt), 6).alias("kurtosis_excess"),
+        F.round(F.when(ok, jb), 6).alias("jb"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown–Forsythe variance-equality test (1974): the one-way ANOVA
+    F computed on z = |x − median_group| — the robust Levene variant
+    that gates "can I pool variances" before an equal-variance test,
+    without normality assumptions (medians, not means, absorb skew).
+
+    Two corpus passes by necessity (the median must exist before z
+    does): one grouped EXACT percentile aggregate (broadcast back — the
+    group relation is control-plane), one moments aggregate over z; the
+    F statistic is 1-row arithmetic. Output: (k, n, f_stat, df1, df2).
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_x")
+    )
+    med = base.groupBy("_g").agg(F.percentile("_x", F.lit(0.5)).alias("_med"))
+    z = base.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_x") - F.col("_med")).alias("_z")
+    )
+    per = z.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_z").alias("_s"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_ss"),
+    )
+    tot = per.agg(
+        F.count("*").alias("_k"),
+        F.sum("_n").alias("_N"),
+        F.sum("_s").alias("_S"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("_B"),
+        F.sum("_ss").alias("_SS"),
+    )
+    k = F.col("_k").cast("double")
+    nn = F.col("_N")
+    ssb = F.col("_B") - F.col("_S") * F.col("_S") / nn
+    ssw = F.col("_SS") - F.col("_B")
+    f = F.when(
+        (k > 1) & (nn > k) & (ssw > 0),
+        (ssb / (k - 1)) / (ssw / (nn - k)),
+    )
+    return tot.select(
+        F.col("_k").cast("long").alias("k"),
+        nn.cast("long").alias("n"),
+        F.round(f, 6).alias("f_stat"),
+        (F.col("_k") - 1).cast("long").alias("df1"),
+        (nn - k).cast("long").alias("df2"),
+    )

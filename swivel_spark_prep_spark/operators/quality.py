@@ -1047,7 +1047,7 @@ def threshold_roi(
     )
     thr = (
         df.sparkSession.createDataFrame(
-            [(t,) for t in ts], f"threshold double"
+            [(t,) for t in ts], "threshold double"
         )
         .crossJoin(F.broadcast(tot))
     )

@@ -9869,3 +9869,62 @@ def x271(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return fd_histogram(ev, "value").orderBy("bin")
+
+
+@_declare(
+    "X272_jarque_bera",
+    # Jarque-Bera normality screen per event type (evalmetrics.
+    # jarque_bera, 1980): JB = n/6*(S^2 + K^2/4) from one raw-power-sum
+    # aggregate; compare to chi2_2 = 5.99 (no-erf convention). The
+    # oracle replays the identical central-moment arithmetic.
+    """WITH s AS (SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(value) AS s1,
+                 SUM(value*value) AS s2, SUM(value*value*value) AS s3,
+                 SUM(value*value*value*value) AS s4
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+m AS (SELECT event_type, n, s1/n AS m1,
+             s2/n - (s1/n)*(s1/n) AS m2,
+             s3/n - 3*(s1/n)*s2/n + 2*pow(s1/n, 3) AS m3,
+             s4/n - 4*(s1/n)*s3/n + 6*pow(s1/n, 2)*s2/n - 3*pow(s1/n, 4) AS m4
+      FROM s),
+j AS (SELECT event_type, n, m3 / pow(m2, 1.5) AS sk, m4/(m2*m2) - 3.0 AS ku,
+             (n >= 8 AND m2 > 0) AS ok
+      FROM m)
+SELECT event_type, n::BIGINT AS n,
+       ROUND(CASE WHEN ok THEN sk END, 6) AS skewness,
+       ROUND(CASE WHEN ok THEN ku END, 6) AS kurtosis_excess,
+       ROUND(CASE WHEN ok THEN n/6.0*(sk*sk + ku*ku/4.0) END, 6) AS jb
+FROM j ORDER BY event_type;""",
+)
+def x272(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import jarque_bera
+
+    ev = load_table(spark, sf_dir, "events")
+    return jarque_bera(ev, "value", "event_type").orderBy("event_type")
+
+
+@_declare(
+    "X273_brown_forsythe",
+    # Brown-Forsythe variance-equality test (evalmetrics.brown_forsythe,
+    # 1974): ANOVA F on z = |x - median_group| — the robust Levene
+    # variant gating "can I pool variances". Exact grouped medians
+    # (percentile aggregate, broadcast back) + one moments pass.
+    """WITH base AS (SELECT event_type AS g, value::DOUBLE AS x
+            FROM events WHERE value IS NOT NULL),
+med AS (SELECT g, quantile_cont(x, 0.5) AS md FROM base GROUP BY 1),
+z AS (SELECT base.g, abs(x - md) AS z FROM base JOIN med USING (g)),
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, SUM(z) AS s, SUM(z*z) AS ss
+        FROM z GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn, SUM(s) AS st,
+               SUM(s*s/n) AS b, SUM(ss) AS sst FROM per)
+SELECT k::BIGINT AS k, nn::BIGINT AS n,
+       ROUND(CASE WHEN k > 1 AND nn > k AND sst - b > 0
+             THEN ((b - st*st/nn) / (k - 1)) / ((sst - b) / (nn - k)) END, 6)
+         AS f_stat,
+       (k - 1)::BIGINT AS df1, (nn - k)::BIGINT AS df2
+FROM tot;""",
+)
+def x273(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import brown_forsythe
+
+    ev = load_table(spark, sf_dir, "events")
+    return brown_forsythe(ev, "value", "event_type")

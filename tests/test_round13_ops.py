@@ -414,3 +414,40 @@ def test_fd_histogram_degenerate_constant(spark):
     df = spark.createDataFrame([(7.0,)] * 50, "v double")
     rows = fd_histogram(df, "v").collect()
     assert len(rows) == 1 and rows[0]["n"] == 50 and rows[0]["bin"] == 0
+
+
+# -------------------------------------------------------------- jarque_bera
+def test_jarque_bera_uniform_vs_spike(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import jarque_bera
+
+    rows = [("unif", (i + 0.5) / 1000.0) for i in range(1000)]
+    rows += [("spike", 0.0)] * 990 + [("spike", 100.0)] * 10
+    rows += [("tiny", 1.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in jarque_bera(df, "v", "g").collect()}
+    # uniform: skew 0, excess kurtosis -1.2 -> JB = n/6 * (1.2^2/4) = 60
+    assert out["unif"]["skewness"] == pytest.approx(0.0, abs=1e-6)
+    assert out["unif"]["kurtosis_excess"] == pytest.approx(-1.2, abs=0.01)
+    assert out["unif"]["jb"] == pytest.approx(60.0, rel=0.02)
+    # the spike is wildly non-normal
+    assert out["spike"]["jb"] > 1000
+    # n<8 refuses
+    assert out["tiny"]["jb"] is None
+
+
+# ----------------------------------------------------------- brown_forsythe
+def test_brown_forsythe_detects_variance_difference(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import brown_forsythe
+
+    same = [("a", float(i % 10)) for i in range(200)]
+    same += [("b", float((i + 3) % 10)) for i in range(200)]
+    df_same = spark.createDataFrame(same, "g string, v double")
+    r_same = brown_forsythe(df_same, "v", "g").collect()[0]
+    assert r_same["f_stat"] < 2.0  # identical spreads -> small F
+
+    diff = [("a", float(i % 10)) for i in range(200)]
+    diff += [("b", float((i % 10) * 20)) for i in range(200)]
+    df_diff = spark.createDataFrame(diff, "g string, v double")
+    r_diff = brown_forsythe(df_diff, "v", "g").collect()[0]
+    assert r_diff["f_stat"] > 100
+    assert r_diff["k"] == 2 and r_diff["df1"] == 1 and r_diff["df2"] == 398
