@@ -439,13 +439,27 @@ def main() -> None:
                 " zero at cluster scale"
             ),
             "engine_constant_class": (
-                "Q18 (3 sorts of 150k rows, same plan shape both engines),"
-                " Q30 (array_sort/distinct per row), Q31 (JSON parse per"
-                " row: get_json_object 1.8 s == from_json 1.8 s == Spark-4"
-                " variant 2.1 s at sf1 — the parser, not the plan) are"
-                " data-cost-bound with the right plan; the gap is"
-                " vectorized-engine constants, parallelized away on a"
-                " real cluster where DuckDB cannot follow"
+                "Q18 (3 sorts of 150k rows, same plan shape both engines)"
+                " and Q31 (JSON parse per row: get_json_object 1.8 s =="
+                " from_json 1.8 s == Spark-4 variant 2.1 s at sf1 — the"
+                " parser, not the plan) are data-cost-bound with the"
+                " right plan; the gap is vectorized-engine constants,"
+                " parallelized away on a real cluster where DuckDB"
+                " cannot follow"
+            ),
+            "q30_remeasure_r13": (
+                "round-12 Next #3 experiment, quiet box (load 1.3), same"
+                " protocol: Q30 1.190 s vs DuckDB twin 0.364 s = 3.3x,"
+                " NOT the once-recorded 17.9x — the 5.17 s was"
+                " environment. Component isolation (noop sink): split+"
+                "size 0.39 s, +contains/first 0.42 s, sorted40 pipeline"
+                " alone 0.28 s, all-projections 0.53 s, +global orderBy"
+                " 1.21 s — the per-row array work the old note blamed is"
+                " ~0.3 s of the 1.2 s; the ORDER BY doc_id sort dominates"
+                " and is the query contract. Alternatives tried and"
+                " rejected: explode+re-agg (adds a shuffle), prefix"
+                " pruning before split (already what substring(text,1,40)"
+                " does). Q30 leaves the engine_constant class."
             ),
             "q06_rewrite": (
                 "aggregate pushdown below the join (count orders per key"

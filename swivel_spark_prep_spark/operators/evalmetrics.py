@@ -2001,3 +2001,48 @@ def brown_forsythe(
         (F.col("_k") - 1).cast("long").alias("df1"),
         (nn - k).cast("long").alias("df2"),
     )
+
+
+def chi2_residuals(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Standardized (adjusted) Pearson residuals per contingency cell
+    (Haberman 1973): r = (O − E)/√(E·(1−p_row)·(1−p_col)) — the
+    drill-down behind a significant χ² independence test (X160 says
+    THAT the table deviates; this says WHICH cells, with |r| > 2 the
+    conventional flag). One cell-count aggregate; margins re-aggregate
+    the bounded cell relation and broadcast back.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .agg(F.count("*").cast("double").alias("_o"))
+    )
+    row_m = cells.groupBy("a").agg(F.sum("_o").alias("_ra"))
+    col_m = cells.groupBy("b").agg(F.sum("_o").alias("_cb"))
+    tot = cells.agg(F.sum("_o").alias("_n"))
+    j = (
+        cells.join(F.broadcast(row_m), "a")
+        .join(F.broadcast(col_m), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    denom = F.sqrt(
+        e
+        * (1.0 - F.col("_ra") / F.col("_n"))
+        * (1.0 - F.col("_cb") / F.col("_n"))
+    )
+    return j.select(
+        "a",
+        "b",
+        F.col("_o").cast("long").alias("observed"),
+        F.round(e, 6).alias("expected"),
+        F.round(
+            F.when(denom > 0, (F.col("_o") - e) / denom), 6
+        ).alias("std_residual"),
+    )

@@ -1180,3 +1180,66 @@ def psi_timeline(
             F.round(F.sum((p - p0) * F.log(p / p0)), 6).alias("psi"),
         )
     )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    points: int = 10,
+) -> DataFrame:
+    """Lorenz curve of value concentration across keys — the table
+    behind the Gini coefficient (gini_coefficient reports the single
+    number; this reports the curve a capacity plan actually reads:
+    "the bottom 80% of users hold 34% of the value"). Point p is the
+    cumulative value share held by the poorest fraction ≤ p of keys
+    (keys sorted by total ascending, ties broken by key).
+
+    Plan: one keyed total aggregate, ONE two-pass range-partitioned
+    prefix sum (ranks.partitioned_prefix_sum — no single-task window)
+    for cumulative value and count, then bucket-max + a bounded
+    (points × points) running-max join on the ≤ points-row relation
+    to carry steps across empty buckets. Output: (p, cum_value_share).
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    if points < 2:
+        raise ValueError(f"points must be >= 2, got {points}")
+    totals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_v"))
+        .withColumn("_one", F.lit(1.0))
+    )
+    pre = partitioned_prefix_sum(
+        totals,
+        ["_v", "_k"],
+        ["_v", "_one"],
+        ["_cv", "_cn"],
+        inclusive=True,
+    )
+    tot = totals.agg(
+        F.sum("_v").alias("_tv"), F.count("*").cast("double").alias("_tn")
+    )
+    shares = pre.crossJoin(F.broadcast(tot)).select(
+        F.ceil(F.col("_cn") / F.col("_tn") * points).cast("int").alias("_b"),
+        (F.col("_cv") / F.col("_tv")).alias("_vs"),
+        (F.col("_cn") / F.col("_tn")).alias("_ps"),
+    )
+    # within bucket b, the row with max population share is the Lorenz
+    # point at p = b/points (its pop share is <= b/points by the ceil)
+    bucket = shares.groupBy("_b").agg(
+        F.max_by("_vs", "_ps").alias("_vs")
+    )
+    grid = df.sparkSession.range(1, points + 1).select(
+        F.col("id").cast("int").alias("_g")
+    )
+    return (
+        grid.join(F.broadcast(bucket), F.col("_b") <= F.col("_g"), "left")
+        .groupBy("_g")
+        .agg(F.coalesce(F.max_by("_vs", "_b"), F.lit(0.0)).alias("_share"))
+        .select(
+            F.round(F.col("_g") / F.lit(float(points)), 6).alias("p"),
+            F.round("_share", 6).alias("cum_value_share"),
+        )
+    )

@@ -1865,3 +1865,52 @@ def quantile_timeline(
         .groupBy(week, *gcols)
         .agg(*aggs)
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    step_col: str,
+    step_a,
+    step_b,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Transition-latency distribution between two funnel steps: for
+    every key that performed step B at-or-after its FIRST step A, the
+    exact quantiles of (first B after first A) − (first A) in seconds —
+    the "how long does conversion take" companion to the step-count
+    funnel (X51/X145 report how many convert; this reports how fast).
+
+    Two keyed min-aggregates and one keyed join (the B scan filters on
+    ts ≥ t_A before its aggregate, so no per-key fan-out); the quantile
+    cut is one exact-percentile aggregate. Output (1 row): n_started,
+    n_converted plus one column per requested quantile (lat_p50 …).
+    """
+    a = (
+        df.filter(F.col(step_col) == step_a)
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.min(F.col(ts_col).cast("timestamp")).alias("_ta"))
+    )
+    b_events = df.filter(F.col(step_col) == step_b).select(
+        F.col(key_col).alias("_k"), F.col(ts_col).cast("timestamp").alias("_tb")
+    )
+    b = (
+        b_events.join(a, "_k")
+        .filter(F.col("_tb") >= F.col("_ta"))
+        .groupBy("_k")
+        .agg(F.first("_ta").alias("_ta"), F.min("_tb").alias("_tb"))
+    )
+    lat = b.select(
+        (
+            (F.unix_micros("_tb") - F.unix_micros("_ta")) / 1_000_000.0
+        ).alias("_lat")
+    )
+    started = a.agg(F.count("*").alias("n_started"))
+    aggs = [F.count("*").alias("n_converted")] + [
+        F.round(F.percentile("_lat", F.lit(q)), 6).alias(
+            f"lat_p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return started.crossJoin(F.broadcast(lat.agg(*aggs)))

@@ -9928,3 +9928,102 @@ def x273(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return brown_forsythe(ev, "value", "event_type")
+
+
+@_declare(
+    "X274_funnel_latency",
+    # Funnel transition-latency distribution (timeseries.funnel_latency):
+    # exact p50/p90/p99 of (first purchase at-or-after first signup) -
+    # (first signup), seconds — X51 counts conversions, this times them.
+    # Two keyed min-aggregates + one keyed join, no per-key fan-out.
+    """WITH a AS (SELECT user_id, MIN(ts) AS ta FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+b AS (SELECT e.user_id, ANY_VALUE(ta) AS ta, MIN(ts) AS tb
+      FROM events e JOIN a USING (user_id)
+      WHERE event_type = 'purchase' AND ts >= ta GROUP BY 1),
+lat AS (SELECT (epoch_us(tb) - epoch_us(ta)) / 1000000.0 AS lat FROM b)
+SELECT (SELECT COUNT(*)::BIGINT FROM a) AS n_started,
+       COUNT(lat)::BIGINT AS n_converted,
+       ROUND(quantile_cont(lat, 0.5), 6) AS lat_p50,
+       ROUND(quantile_cont(lat, 0.9), 6) AS lat_p90,
+       ROUND(quantile_cont(lat, 0.99), 6) AS lat_p99
+FROM lat;""",
+)
+def x274(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_latency(ev, "ts", "user_id", "event_type", "signup", "purchase")
+
+
+@_declare(
+    "X275_chi2_residuals",
+    # Standardized Pearson residuals per contingency cell (evalmetrics.
+    # chi2_residuals, Haberman 1973): X160 says THAT (event_type x
+    # weekday) deviates; this says WHICH cells, |r| > 2 flagging. One
+    # cell-count aggregate + broadcast margins.
+    """WITH cells AS (
+  SELECT event_type::VARCHAR AS a, isodow(ts)::VARCHAR AS b,
+         COUNT(*)::DOUBLE AS o
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+rm AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+cm AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+t AS (SELECT SUM(o) AS n FROM cells)
+SELECT a, b, o::BIGINT AS observed,
+       ROUND(ra * cb / n, 6) AS expected,
+       ROUND(CASE WHEN ra * cb / n * (1 - ra / n) * (1 - cb / n) > 0
+             THEN (o - ra * cb / n)
+                  / sqrt(ra * cb / n * (1 - ra / n) * (1 - cb / n)) END, 6)
+         AS std_residual
+FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t
+ORDER BY a, b;""",
+)
+def x275(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import chi2_residuals
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("timestamp")).alias("_dow"),
+        )
+        # ISO weekday (Mon=1..Sun=7) to match the oracle's isodow
+        .select(
+            "event_type",
+            F.when(F.col("_dow") == 1, F.lit(7))
+            .otherwise(F.col("_dow") - 1)
+            .alias("dow"),
+        )
+    )
+    return chi2_residuals(ev, "event_type", "dow").orderBy("a", "b")
+
+
+@_declare(
+    "X276_lorenz_curve",
+    # Lorenz concentration curve (quality.lorenz_curve): cumulative
+    # value share of the poorest <= p fraction of users — the table
+    # behind X162's Gini number. One keyed total + ONE two-pass
+    # range-partitioned prefix sum + bounded bucket-max; no single-task
+    # window at any size.
+    """WITH totals AS (
+  SELECT user_id AS k, SUM(value) AS v FROM events
+  WHERE value IS NOT NULL GROUP BY 1),
+pre AS (SELECT v, SUM(v) OVER (ORDER BY v, k) AS cv,
+               ROW_NUMBER() OVER (ORDER BY v, k) AS cn
+        FROM totals),
+t AS (SELECT SUM(v) AS tv, COUNT(*)::DOUBLE AS tn FROM totals),
+shares AS (SELECT CEIL(cn / tn * 10)::INT AS b, cv / tv AS vs, cn / tn AS ps
+           FROM pre, t),
+bucket AS (SELECT b, arg_max(vs, ps) AS vs FROM shares GROUP BY 1),
+grid AS (SELECT unnest(range(1, 11))::INT AS g)
+SELECT ROUND(g / 10.0, 6) AS p,
+       ROUND(COALESCE(arg_max(vs, b), 0.0), 6) AS cum_value_share
+FROM grid LEFT JOIN bucket ON b <= g
+GROUP BY g ORDER BY p;""",
+)
+def x276(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import lorenz_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    return lorenz_curve(ev, "user_id", "value", points=10).orderBy("p")

@@ -451,3 +451,73 @@ def test_brown_forsythe_detects_variance_difference(spark):
     r_diff = brown_forsythe(df_diff, "v", "g").collect()[0]
     assert r_diff["f_stat"] > 100
     assert r_diff["k"] == 2 and r_diff["df1"] == 1 and r_diff["df2"] == 398
+
+
+# ------------------------------------------------------------ funnel_latency
+def test_funnel_latency_exact(spark):
+    from swivel_spark_prep_spark.operators.timeseries import funnel_latency
+
+    rows = [
+        (1, "a", "2024-01-01 00:00:00"),   # converts in 100s
+        (1, "b", "2024-01-01 00:01:40"),
+        (2, "a", "2024-01-01 00:00:00"),   # converts in 200s (first b AFTER a)
+        (2, "b", "2024-01-01 00:03:20"),
+        (2, "b", "2024-01-01 00:10:00"),   # later b ignored (min)
+        (3, "b", "2024-01-01 00:00:00"),   # b BEFORE its a -> not converted
+        (3, "a", "2024-01-01 00:05:00"),
+        (4, "a", "2024-01-01 00:00:00"),   # never converts
+    ]
+    df = spark.createDataFrame(rows, "u long, step string, raw string").select(
+        "u", "step", F.to_timestamp("raw").alias("ts")
+    )
+    r = funnel_latency(df, "ts", "u", "step", "a", "b",
+                       quantiles=(0.5,)).collect()[0]
+    assert r["n_started"] == 4 and r["n_converted"] == 2
+    assert r["lat_p50"] == pytest.approx(150.0, abs=1e-6)  # median of 100, 200
+
+
+# ------------------------------------------------------------ chi2_residuals
+def test_chi2_residuals_planted_association(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import chi2_residuals
+
+    rows = [("x", "1")] * 80 + [("x", "2")] * 20
+    rows += [("y", "1")] * 20 + [("y", "2")] * 80
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {(r["a"], r["b"]): r for r in chi2_residuals(df, "a", "b").collect()}
+    # diagonal cells over-represented, off-diagonal under — symmetric
+    assert out[("x", "1")]["std_residual"] > 2
+    assert out[("x", "2")]["std_residual"] < -2
+    assert out[("x", "1")]["std_residual"] == pytest.approx(
+        -out[("x", "2")]["std_residual"], abs=1e-6
+    )
+    assert out[("x", "1")]["expected"] == pytest.approx(50.0, abs=1e-6)
+
+
+def test_chi2_residuals_independent_are_small(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import chi2_residuals
+
+    rows = [(a, b) for a in "xy" for b in "12" for _ in range(50)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    for r in chi2_residuals(df, "a", "b").collect():
+        assert abs(r["std_residual"]) < 1e-9
+
+
+# --------------------------------------------------------------- lorenz_curve
+def test_lorenz_uniform_is_diagonal_and_concentrated_bows(spark):
+    from swivel_spark_prep_spark.operators.quality import lorenz_curve
+
+    # 100 keys each holding value 1 -> Lorenz = diagonal
+    uni = spark.createDataFrame(
+        [(i, 1.0) for i in range(100)], "k long, v double"
+    )
+    pts = {r["p"]: r["cum_value_share"] for r in lorenz_curve(uni, "k", "v").collect()}
+    for p, s in pts.items():
+        assert s == pytest.approx(p, abs=1e-6)
+    # one key holds everything -> curve is 0 until the last point
+    conc = spark.createDataFrame(
+        [(i, 0.000001 if i else 1000.0) for i in range(100)], "k long, v double"
+    )
+    pts2 = {r["p"]: r["cum_value_share"] for r in lorenz_curve(conc, "k", "v").collect()}
+    assert pts2[0.5] < 0.001 and pts2[1.0] == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        lorenz_curve(uni, "k", "v", points=1)
