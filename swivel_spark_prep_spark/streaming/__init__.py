@@ -1148,3 +1148,92 @@ def stream_sprt(
         .outputMode("append")
         .start()
     )
+
+
+def stream_rolling_actives(
+    events_stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_days: int = 7,
+    retain_batches: int | None = 8,
+):
+    """Streaming exact trailing-window distinct actives (rolling
+    WAU/MAU) — the live twin of the batch coverage-island operator
+    (timeseries.rolling_active_counts). Per micro-batch:
+
+    1. the batch collapses to its distinct (key, activity-day) pairs;
+    2. union with batch N−1's pair state, distinct again (re-seen
+       pairs are free), then EVICT days older than 2·window_days
+       behind the newest day — a pair with day d influences only
+       window-ends e ∈ [d, d+W−1], so nothing the live tail can still
+       need is dropped;
+    3. the audited batch operator itself runs ON THE STATE RELATION
+       (composition, not reimplementation) and the rows for the live
+       tail e ∈ (max_day − W, max_day] are snapshotted under
+       ``out_dir/batch_id=N``.
+
+    State per batch = the distinct active pairs of the last 2W days —
+    bounded by 2W × daily-actives, never corpus history. Output rows
+    are EXACT for every emitted window-end (parity with the batch
+    operator is test-pinned); window-ends older than the live tail are
+    the batch operator's job over the archive. Same conventions as the
+    sibling services: per-batch-partitioned overwrites (idempotent
+    replay), empty batches still commit state, ``retain_batches``
+    state-GC. Returns the started StreamingQuery.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    from swivel_spark_prep_spark.operators.timeseries import (
+        rolling_active_counts,
+    )
+
+    w = int(window_days)
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jp))
+
+    def _apply(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        pairs = (
+            batch.select(
+                F.col(key_col).alias("k"),
+                F.to_date(F.col(ts_col)).alias("d"),
+            )
+            .filter(F.col("k").isNotNull() & F.col("d").isNotNull())
+            .distinct()
+        )
+        prev = f"{state_dir}/pairs/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev):
+            pairs = spark.read.parquet(prev).unionByName(pairs).distinct()
+        horizon = pairs.agg(F.max("d").alias("_m"))
+        pairs = pairs.crossJoin(F.broadcast(horizon)).filter(
+            F.col("d") > F.date_sub(F.col("_m"), 2 * w)
+        ).select("k", "d")
+        pairs.write.mode("overwrite").parquet(
+            f"{state_dir}/pairs/batch_id={batch_id}"
+        )
+        state = spark.read.parquet(f"{state_dir}/pairs/batch_id={batch_id}")
+        m = state.agg(F.max("d").alias("_m"))
+        out = (
+            rolling_active_counts(state, "k", "d", window_days=w)
+            .crossJoin(F.broadcast(m))
+            .filter(F.col("window_end") > F.date_sub(F.col("_m"), w))
+            .select("window_end", "n_active")
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if retain_batches:
+            _prune_batches(
+                spark, f"{state_dir}/pairs", batch_id - retain_batches + 1
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

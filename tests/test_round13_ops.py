@@ -521,3 +521,78 @@ def test_lorenz_uniform_is_diagonal_and_concentrated_bows(spark):
     assert pts2[0.5] < 0.001 and pts2[1.0] == pytest.approx(1.0, abs=1e-6)
     with pytest.raises(ValueError):
         lorenz_curve(uni, "k", "v", points=1)
+
+
+# ------------------------------------------------------ stream_rolling_actives
+def test_stream_rolling_actives_matches_batch_tail(spark, tmp_path):
+    """Final snapshot must equal the batch coverage-island operator on
+    the full history, restricted to the live tail (window_end within W
+    of the newest day) — including keys whose activity arrived in
+    earlier micro-batches and days old enough to have crossed the 2W
+    eviction horizon mid-stream."""
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.operators.timeseries import (
+        rolling_active_counts,
+    )
+    from swivel_spark_prep_spark.streaming import stream_rolling_actives
+
+    full = spark.range(0, 1200).select(
+        (F.col("id") % 37).alias("k"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-03-"),
+                F.lpad(((F.col("id") * 7) % 20 + 1).cast("string"), 2, "0"),
+                F.lit(" 12:00:00"),
+            )
+        ).alias("ts"),
+        F.col("id"),
+    )
+    stage, drops = tmp_path / "stage", tmp_path / "drops"
+    drops.mkdir()
+    for i in range(3):
+        part = full.filter(F.col("id") % 3 == i).select("k", "ts")
+        part.coalesce(1).write.parquet(str(stage / f"b{i}"))
+        f = glob.glob(str(stage / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(drops / f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops))
+    )
+    q = stream_rolling_actives(
+        stream, "k", "ts",
+        str(tmp_path / "state"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        window_days=7,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(str(tmp_path / "out" / "batch_id=*"))
+    )
+    got = {
+        str(r.window_end): r.n_active
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / f"batch_id={last}")
+        ).collect()
+    }
+    batch_full = rolling_active_counts(full, "k", "ts", window_days=7)
+    m = "2024-03-20"
+    want = {
+        str(r.window_end): r.n_active
+        for r in batch_full.filter(
+            F.col("window_end") > F.date_sub(F.lit(m).cast("date"), 7)
+        ).collect()
+    }
+    assert got == want and len(got) >= 7
+    # state is day-horizon bounded: pairs only within 2W of the max day
+    state = spark.read.parquet(
+        str(tmp_path / "state" / "pairs" / f"batch_id={last}")
+    )
+    assert state.agg(F.min("d")).collect()[0][0] >= __import__(
+        "datetime"
+    ).date(2024, 3, 7)
