@@ -2046,3 +2046,54 @@ def chi2_residuals(
             F.when(denom > 0, (F.col("_o") - e) / denom), 6
         ).alias("std_residual"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation — the x↔y association with the
+    confounder z held fixed (the correlation analogue of X265's
+    Simpson check; a strong r_xy that collapses when z is partialled
+    out was z's doing all along)::
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+
+    ONE moments aggregate computes all three Pearson correlations
+    (rows with any NULL among x,y,z are excluded — the correlations
+    must share a sample for the identity to hold); the partial is
+    1-row arithmetic. Degenerate inputs (either conditioning
+    correlation = ±1, or any zero variance) return NULL partial.
+    Output (1 row): n, r_xy, r_xz, r_yz, r_xy_given_z.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull() & z.isNotNull()
+    ).select(x.alias("_x"), y.alias("_y"), z.alias("_z"))
+    s = base.agg(
+        F.count("*").alias("n"),
+        F.corr("_x", "_y").alias("_rxy"),
+        F.corr("_x", "_z").alias("_rxz"),
+        F.corr("_y", "_z").alias("_ryz"),
+    )
+    den = F.sqrt(
+        (1.0 - F.col("_rxz") * F.col("_rxz"))
+        * (1.0 - F.col("_ryz") * F.col("_ryz"))
+    )
+    return s.select(
+        "n",
+        F.round("_rxy", 6).alias("r_xy"),
+        F.round("_rxz", 6).alias("r_xz"),
+        F.round("_ryz", 6).alias("r_yz"),
+        F.round(
+            F.when(
+                den > 0,
+                (F.col("_rxy") - F.col("_rxz") * F.col("_ryz")) / den,
+            ),
+            6,
+        ).alias("r_xy_given_z"),
+    )

@@ -1216,3 +1216,78 @@ def hill_tail_index(
             ),
         )
     )
+
+
+def topk_coverage(
+    docs: DataFrame,
+    ks: tuple = (10, 100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-truncation planning table: what share of all token
+    OCCURRENCES the top-k most frequent types cover, at a grid of k —
+    the number that justifies (or indicts) a vocab cut like the swivel
+    prep's shard-size truncation (Q32/Q33's min_count is a count
+    threshold; this reads the same decision in coverage terms).
+
+    One token-count aggregate, ONE two-pass range-partitioned prefix
+    sum over the vocab relation in (count desc, token) order — never a
+    single-task window — then a bounded bucket-max per grid point
+    (each type is bucketed to the smallest grid k that includes its
+    rank; a (|ks| × |ks|) running-max join carries steps across empty
+    buckets). Output per k: (k, types, coverage) — ``types`` =
+    min(k, vocab size) actually available.
+    """
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_sum,
+    )
+
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"ks must be positive, got {ks}")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w")
+        )
+        .groupBy("_w")
+        .agg(F.count("*").cast("double").alias("_c"))
+        .withColumn("_one", F.lit(1.0))
+    )
+    pre = partitioned_prefix_sum(
+        counts,
+        [F.desc("_c"), F.asc("_w")],
+        ["_c", "_one"],
+        ["_cc", "_rk"],
+        inclusive=True,
+    )
+    tot = counts.agg(F.sum("_c").alias("_t"), F.count("*").alias("_v"))
+    bucket_expr = F.lit(None).cast("int")
+    for k in reversed(ks):  # smallest grid k >= rank wins
+        bucket_expr = F.when(F.col("_rk") <= k, F.lit(k)).otherwise(
+            bucket_expr
+        )
+    shares = pre.select(
+        bucket_expr.alias("_b"),
+        F.col("_cc").alias("_cum"),
+        F.col("_rk").alias("_rk"),
+    ).filter(F.col("_b").isNotNull())
+    bucket = shares.groupBy("_b").agg(
+        F.max_by("_cum", "_rk").alias("_cum"),
+        F.max("_rk").alias("_types"),
+    )
+    grid = docs.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    return (
+        grid.join(F.broadcast(bucket), F.col("_b") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.max_by("_types", "_b"), F.lit(0.0))
+            .cast("long")
+            .alias("types"),
+            F.coalesce(F.max_by("_cum", "_b"), F.lit(0.0)).alias("_cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "types",
+            F.round(F.col("_cum") / F.col("_t"), 6).alias("coverage"),
+        )
+    )

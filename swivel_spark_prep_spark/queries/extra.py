@@ -10027,3 +10027,70 @@ def x276(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return lorenz_curve(ev, "user_id", "value", points=10).orderBy("p")
+
+
+@_declare(
+    "X277_partial_correlation",
+    # First-order partial correlation (evalmetrics.partial_correlation):
+    # value <-> json-k association with hour-of-day partialled out —
+    # X265's Simpson check in correlation form. ONE moments aggregate
+    # (three Pearson corrs share the NULL-complete sample).
+    """WITH base AS (
+  SELECT value::DOUBLE AS x,
+         CAST(json_extract(props, '$.k') AS DOUBLE) AS y,
+         (epoch_us(ts) % 86400000000) / 3600000000.0 AS z
+  FROM events
+  WHERE value IS NOT NULL AND props IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT COUNT(*)::BIGINT AS n, corr(x, y) AS rxy, corr(x, z) AS rxz,
+             corr(y, z) AS ryz
+      FROM base WHERE y IS NOT NULL)
+SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+       ROUND(ryz, 6) AS r_yz,
+       ROUND(CASE WHEN (1 - rxz*rxz) * (1 - ryz*ryz) > 0
+             THEN (rxy - rxz*ryz) / sqrt((1 - rxz*rxz) * (1 - ryz*ryz)) END, 6)
+         AS r_xy_given_z
+FROM s;""",
+)
+def x277(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import partial_correlation
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("double").alias("y"),
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) % 86_400_000_000)
+            / 3_600_000_000.0
+        ).alias("z"),
+    )
+    return partial_correlation(ev, "x", "y", "z")
+
+
+@_declare(
+    "X278_topk_coverage",
+    # Vocabulary-truncation coverage curve (textstats.topk_coverage):
+    # share of token occurrences the top-k types cover at k = 10/100/
+    # 1000/10000 — the coverage reading of the swivel vocab cut. One
+    # count aggregate + ONE two-pass prefix sum in (count desc, token)
+    # order + bounded bucket-max.
+    """WITH c AS (SELECT w, COUNT(*)::DOUBLE AS c FROM
+            (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          GROUP BY 1),
+pre AS (SELECT w, c, SUM(c) OVER (ORDER BY c DESC, w) AS cc,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM c),
+t AS (SELECT SUM(c) AS tt, COUNT(*) AS v FROM c),
+b AS (SELECT CASE WHEN rk <= 10 THEN 10 WHEN rk <= 100 THEN 100
+                  WHEN rk <= 1000 THEN 1000 WHEN rk <= 10000 THEN 10000 END AS b,
+             cc, rk
+      FROM pre WHERE rk <= 10000),
+bk AS (SELECT b, arg_max(cc, rk) AS cum, MAX(rk) AS types FROM b GROUP BY 1),
+grid AS (SELECT unnest([10, 100, 1000, 10000])::INT AS k)
+SELECT k, COALESCE(arg_max(types, b), 0)::BIGINT AS types,
+       ROUND(COALESCE(arg_max(cum, b), 0.0) / ANY_VALUE(tt), 6) AS coverage
+FROM grid LEFT JOIN bk ON b <= k CROSS JOIN t
+GROUP BY k ORDER BY k;""",
+)
+def x278(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import topk_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return topk_coverage(docs).orderBy("k")

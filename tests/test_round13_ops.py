@@ -596,3 +596,50 @@ def test_stream_rolling_actives_matches_batch_tail(spark, tmp_path):
     assert state.agg(F.min("d")).collect()[0][0] >= __import__(
         "datetime"
     ).date(2024, 3, 7)
+
+
+# -------------------------------------------------------- partial_correlation
+def test_partial_correlation_removes_confounder(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        partial_correlation,
+    )
+
+    # x and y are both driven by z plus independent deterministic
+    # noise: raw r_xy is strongly positive, partialling z removes it
+    rows = []
+    for i in range(500):
+        z = (i % 100) / 10.0
+        nx = ((i * 7919) % 97) / 97.0 - 0.5
+        ny = ((i * 6271) % 89) / 89.0 - 0.5
+        rows.append((z + nx, z + ny, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert r["r_xy"] > 0.9
+    assert abs(r["r_xy_given_z"]) < 0.15
+    # perfectly collinear conditioning -> NULL
+    df2 = spark.createDataFrame(
+        [(float(i), float(2 * i), float(i)) for i in range(50)],
+        "x double, y double, z double",
+    )
+    assert partial_correlation(df2, "x", "y", "z").collect()[0][
+        "r_xy_given_z"
+    ] is None
+
+
+# ----------------------------------------------------------- topk_coverage
+def test_topk_coverage_exact_on_planted_zipf(spark):
+    from swivel_spark_prep_spark.operators.textstats import topk_coverage
+
+    # 'a' x 60, 'b' x 30, then 20 singletons -> top-1 covers 60/110,
+    # top-2 covers 90/110, top-100 covers everything
+    text = " ".join(["a"] * 60 + ["b"] * 30 + [f"s{i}" for i in range(20)])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r["k"]: r for r in topk_coverage(df, ks=(1, 2, 100)).collect()}
+    assert out[1]["coverage"] == pytest.approx(60 / 110, abs=1e-6)
+    assert out[2]["coverage"] == pytest.approx(90 / 110, abs=1e-6)
+    assert out[100]["coverage"] == 1.0 and out[100]["types"] == 22
+    assert [out[k]["coverage"] for k in (1, 2, 100)] == sorted(
+        out[k]["coverage"] for k in (1, 2, 100)
+    )
+    with pytest.raises(ValueError):
+        topk_coverage(df, ks=(0,))
