@@ -268,3 +268,79 @@ SELECT diag.rt AS rater, MAX(nr.n_ratings) AS n_ratings,
 FROM diag JOIN pi{t} ON diag.c = pi{t}.c JOIN nr ON nr.rt = diag.rt
 GROUP BY diag.rt;"""
     )
+
+
+def icc_2_1(
+    ratings: DataFrame,
+    item_col: str,
+    rater_col: str,
+    value_col: str,
+) -> DataFrame:
+    """ICC(2,1) — intraclass correlation, two-way random effects,
+    single rater, absolute agreement (Shrout & Fleiss 1979): the
+    CONTINUOUS-label reliability companion to the categorical
+    agreement family (Cohen κ X151, Fleiss κ X225, Dawid–Skene
+    X235/X236). Requires a complete item × rater matrix::
+
+        ICC(2,1) = (MSR − MSE) /
+                   (MSR + (k−1)·MSE + k·(MSC − MSE)/n)
+
+    with the mean squares from the two-way ANOVA decomposition
+    SS_total = SS_items + SS_raters + SS_error. Plan: one scan for the
+    cell moments, item means re-aggregate to an n-row relation, rater
+    means to a k-row relation; every SS is an aggregate, the ICC is
+    1-row arithmetic. Completeness is VALIDATED (n·k must equal the
+    cell count — a ragged matrix silently biases the decomposition,
+    so it raises instead). Output: (n_items, k_raters, msr, msc, mse,
+    icc2_1).
+    """
+    x = F.col(value_col).cast("double")
+    base = ratings.select(
+        F.col(item_col).alias("_i"), F.col(rater_col).alias("_r"), x.alias("_x")
+    ).filter(F.col("_x").isNotNull())
+    dims = base.agg(
+        F.countDistinct("_i").alias("_n"),
+        F.countDistinct("_r").alias("_k"),
+        F.count("*").alias("_cells"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_ss"),
+    ).collect()[0]
+    n, k, cells = dims["_n"], dims["_k"], dims["_cells"]
+    if n * k != cells:
+        raise ValueError(
+            f"icc_2_1 needs a complete item x rater matrix: "
+            f"{n} items x {k} raters != {cells} cells"
+        )
+    if n < 2 or k < 2:
+        raise ValueError(f"need >= 2 items and >= 2 raters, got {n} x {k}")
+    grand = dims["_s"] / cells
+    ss_total = dims["_ss"] - cells * grand * grand
+    item_means = base.groupBy("_i").agg(F.avg("_x").alias("_mi"))
+    ss_rows = (
+        item_means.agg(
+            F.sum((F.col("_mi") - grand) * (F.col("_mi") - grand)).alias("v")
+        ).collect()[0]["v"]
+        * k
+    )
+    rater_means = base.groupBy("_r").agg(F.avg("_x").alias("_mr"))
+    ss_cols = (
+        rater_means.agg(
+            F.sum((F.col("_mr") - grand) * (F.col("_mr") - grand)).alias("v")
+        ).collect()[0]["v"]
+        * n
+    )
+    ss_err = ss_total - ss_rows - ss_cols
+    msr = ss_rows / (n - 1)
+    msc = ss_cols / (k - 1)
+    mse = ss_err / ((n - 1) * (k - 1))
+    denom = msr + (k - 1) * mse + k * (msc - mse) / n
+    icc = (msr - mse) / denom if denom > 0 else None
+    spark = ratings.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(n), int(k), round(msr, 6), round(msc, 6), round(mse, 6),
+            round(icc, 6) if icc is not None else None,
+        )],
+        "n_items long, k_raters long, msr double, msc double, mse double, "
+        "icc2_1 double",
+    )

@@ -1226,3 +1226,41 @@ def randomization_test(
             6,
         ).alias("p_value"),
     )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kish effective sample size of a weighted dataset (Kish 1965):
+    ESS = (Σw)²/Σw² — how many equal-weight rows the weighted set is
+    worth. The audit that belongs NEXT TO every importance-weighting
+    step (DSIR X121, temperature X58, raking X104): weights that
+    concentrate on a few rows silently shrink the data, and
+    ess_ratio = ESS/n is the fraction of the corpus that statistically
+    survives the weighting. One grouped moments aggregate; NULL and
+    non-positive weights are excluded (and counted, so the exclusion
+    is visible). Output per group: (n, n_excluded, ess, ess_ratio).
+    """
+    w = F.col(weight_col).cast("double")
+    gcols = [group_col] if group_col else []
+    base = df.select(*gcols, w.alias("_w"))
+    agg = base.groupBy(*gcols).agg(
+        F.sum((F.col("_w") > 0).cast("long")).alias("n"),
+        F.sum(
+            (F.col("_w").isNull() | (F.col("_w") <= 0)).cast("long")
+        ).alias("n_excluded"),
+        F.sum(F.when(F.col("_w") > 0, F.col("_w"))).alias("_s"),
+        F.sum(
+            F.when(F.col("_w") > 0, F.col("_w") * F.col("_w"))
+        ).alias("_s2"),
+    )
+    ess = F.when(F.col("_s2") > 0, F.col("_s") * F.col("_s") / F.col("_s2"))
+    return agg.select(
+        *gcols,
+        "n",
+        "n_excluded",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+    )

@@ -10094,3 +10094,82 @@ def x278(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return topk_coverage(docs).orderBy("k")
+
+
+@_declare(
+    "X279_effective_sample_size",
+    # Kish effective sample size per source (sampling.effective_sample_
+    # size, 1965): ESS = (sum w)^2 / sum w^2 with w = n_chars — the
+    # audit that belongs next to every importance-weighting step (DSIR,
+    # temperature, raking): ess_ratio is the fraction of the corpus the
+    # weighting statistically keeps. One grouped moments aggregate.
+    """SELECT source,
+       SUM(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END)::BIGINT AS n,
+       SUM(CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_excluded,
+       ROUND(pow(SUM(CASE WHEN n_chars > 0 THEN n_chars::DOUBLE END), 2)
+             / SUM(CASE WHEN n_chars > 0 THEN n_chars::DOUBLE * n_chars END), 6)
+         AS ess,
+       ROUND(pow(SUM(CASE WHEN n_chars > 0 THEN n_chars::DOUBLE END), 2)
+             / SUM(CASE WHEN n_chars > 0 THEN n_chars::DOUBLE * n_chars END)
+             / SUM(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END), 6) AS ess_ratio
+FROM documents GROUP BY source ORDER BY source;""",
+)
+def x279(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import effective_sample_size
+
+    docs = load_table(spark, sf_dir, "documents")
+    return effective_sample_size(docs, "n_chars", "source").orderBy("source")
+
+
+@_declare(
+    "X280_icc_reliability",
+    # ICC(2,1) absolute-agreement reliability (labeling.icc_2_1, Shrout
+    # & Fleiss 1979) on a complete 3-rater continuous score matrix
+    # (deterministic per-doc scores: chars, 5x tokens, alpha chars) —
+    # the continuous-label companion to Cohen/Fleiss kappa and
+    # Dawid-Skene. Control-plane: SS terms are 1-row aggregates.
+    """WITH r AS (
+  SELECT doc_id AS i, 'r_chars' AS r, length(text)::DOUBLE AS x FROM documents
+  UNION ALL
+  SELECT doc_id, 'r_tok5', len(string_split(text, ' ')) * 5.0 FROM documents
+  UNION ALL
+  SELECT doc_id, 'r_alpha', length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+  FROM documents),
+d AS (SELECT COUNT(DISTINCT i)::BIGINT AS n, COUNT(DISTINCT r)::BIGINT AS k,
+             COUNT(*)::DOUBLE AS cells, SUM(x) AS s, SUM(x*x) AS ss FROM r),
+im AS (SELECT i, AVG(x) AS mi FROM r GROUP BY 1),
+rm AS (SELECT r, AVG(x) AS mr FROM r GROUP BY 1),
+t AS (SELECT n, k, ss - cells * pow(s / cells, 2) AS ss_total,
+             (SELECT SUM(pow(mi - s / cells, 2)) FROM im, d) * k AS ss_rows,
+             (SELECT SUM(pow(mr - s / cells, 2)) FROM rm, d) * n AS ss_cols
+      FROM d),
+ms AS (SELECT n, k, ss_rows / (n - 1) AS msr, ss_cols / (k - 1) AS msc,
+              (ss_total - ss_rows - ss_cols) / ((n - 1) * (k - 1)) AS mse
+       FROM t)
+SELECT n AS n_items, k AS k_raters, ROUND(msr, 6) AS msr,
+       ROUND(msc, 6) AS msc, ROUND(mse, 6) AS mse,
+       ROUND(CASE WHEN msr + (k - 1) * mse + k * (msc - mse) / n > 0
+             THEN (msr - mse) / (msr + (k - 1) * mse + k * (msc - mse) / n)
+             END, 6) AS icc2_1
+FROM ms;""",
+)
+def x280(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.labeling import icc_2_1
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scores = F.array(
+        F.struct(F.lit("r_chars").alias("r"),
+                 F.length("text").cast("double").alias("x")),
+        F.struct(F.lit("r_tok5").alias("r"),
+                 (F.size(F.split(F.col("text"), " ")) * 5.0).alias("x")),
+        F.struct(F.lit("r_alpha").alias("r"),
+                 F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+                 .cast("double").alias("x")),
+    )
+    ratings = docs.select("doc_id", F.explode(scores).alias("v")).select(
+        "doc_id", F.col("v.r").alias("r"), F.col("v.x").alias("x")
+    )
+    return icc_2_1(ratings, "doc_id", "r", "x")

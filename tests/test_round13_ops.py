@@ -643,3 +643,46 @@ def test_topk_coverage_exact_on_planted_zipf(spark):
     )
     with pytest.raises(ValueError):
         topk_coverage(df, ks=(0,))
+
+
+# --------------------------------------------------- effective_sample_size
+def test_ess_uniform_vs_concentrated(spark):
+    from swivel_spark_prep_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    rows = [("uni", 1.0)] * 100
+    rows += [("conc", 1000.0)] + [("conc", 0.001)] * 99
+    rows += [("mixed", 0.0), ("mixed", None), ("mixed", 2.0), ("mixed", 2.0)]
+    df = spark.createDataFrame(rows, "g string, w double")
+    out = {r["g"]: r for r in effective_sample_size(df, "w", "g").collect()}
+    assert out["uni"]["ess"] == pytest.approx(100.0, abs=1e-6)
+    assert out["uni"]["ess_ratio"] == pytest.approx(1.0, abs=1e-6)
+    # one dominant weight -> ESS collapses toward 1
+    assert out["conc"]["ess"] < 1.01
+    # zero/NULL weights excluded and counted
+    assert out["mixed"]["n"] == 2 and out["mixed"]["n_excluded"] == 2
+    assert out["mixed"]["ess"] == pytest.approx(2.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------- icc_2_1
+def test_icc_perfect_and_shifted_agreement(spark):
+    from swivel_spark_prep_spark.operators.labeling import icc_2_1
+
+    # identical raters -> ICC(2,1) = 1
+    rows = [(i, r, float(i % 17)) for i in range(40) for r in ("a", "b", "c")]
+    df = spark.createDataFrame(rows, "i long, r string, x double")
+    perfect = icc_2_1(df, "i", "r", "x").collect()[0]
+    assert perfect["icc2_1"] == pytest.approx(1.0, abs=1e-9)
+    # a constant rater offset is ABSOLUTE disagreement: ICC(2,1) drops
+    rows2 = [
+        (i, r, float(i % 17) + {"a": 0.0, "b": 8.0, "c": 16.0}[r])
+        for i in range(40)
+        for r in ("a", "b", "c")
+    ]
+    df2 = spark.createDataFrame(rows2, "i long, r string, x double")
+    shifted = icc_2_1(df2, "i", "r", "x").collect()[0]
+    assert shifted["icc2_1"] < 0.5
+    # ragged matrix refuses
+    with pytest.raises(ValueError):
+        icc_2_1(df.filter("NOT (i = 0 AND r = 'a')"), "i", "r", "x")
