@@ -256,6 +256,9 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--shards", type=int, default=8)
     cu.add_argument("--sink", choices=("parquet", "tfrecord", "avro"),
                     default="parquet")
+    cu.add_argument("--keep-rejects", action="store_true",
+                    help="write per-stage dropped doc ids + evidence "
+                    "under <output>/rejects/<stage>/")
     cu.add_argument("--master", default=None)
 
     ex = sub.add_parser(
@@ -688,6 +691,7 @@ def _dispatch(args, spark, owns_session) -> int:
                 bpe_merges=args.bpe_merges,
                 chunk_tokens=args.chunk_tokens,
                 shards=args.shards, sink=args.sink,
+                keep_rejects=args.keep_rejects,
             )
             print(_json.dumps(
                 {"rows_final": man["rows_final"],

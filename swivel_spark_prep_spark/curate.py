@@ -61,6 +61,14 @@ def _stage(manifest: list, name: str, rows_in: int, rows_out: int,
     manifest.append(entry)
 
 
+def _write_rejects(enabled: bool, out_dir: str, stage: str,
+                   df: DataFrame) -> None:
+    if enabled:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "rejects", stage)
+        )
+
+
 def curate(
     spark: SparkSession,
     docs: DataFrame,
@@ -82,9 +90,19 @@ def curate(
     shards: int = 8,
     sink: str = "parquet",
     gopher_kwargs: dict | None = None,
+    keep_rejects: bool = False,
 ) -> dict[str, Any]:
     """Run the full curation pipeline; write the packed corpus to
     ``out_dir`` and ``manifest.json`` beside it; return the manifest.
+
+    ``keep_rejects=True`` additionally writes, under
+    ``out_dir/rejects/<stage>/``, the id of every document each stage
+    dropped plus the stage's own evidence (the failed Gopher rule
+    booleans; the surviving duplicate's id for both dedup stages; the
+    contamination/resample drop is the id alone) — the triage trail a
+    curation run needs when someone asks "why did my document
+    disappear". Costs one extra write (and for exact-dedup one
+    anti-join) per dropping stage; counts stay manifest-only when off.
 
     ``benchmark=None`` skips the contamination stage (recorded in the
     manifest as skipped, not silently absent); ``strata_col=None`` or
@@ -112,6 +130,7 @@ def curate(
         "chunk_tokens": chunk_tokens,
         "shards": shards,
         "sink": sink,
+        "keep_rejects": keep_rejects,
     }
 
     cur = track_persist(docs.select(id_col, text_col, *(
@@ -126,6 +145,10 @@ def curate(
                             min_words=min_words, **(gopher_kwargs or {}))
     kept = track_persist(scored.filter("gopher_pass").select(*cur.columns))
     n_q = kept.count()
+    _write_rejects(
+        keep_rejects, out_dir, "quality_gopher",
+        scored.filter(~F.col("gopher_pass")).select(id_col, *GOPHER_RULES),
+    )
     reasons_row = scored.filter(~F.col("gopher_pass")).agg(*[
         F.sum((~F.col(r)).cast("long")).alias(r) for r in GOPHER_RULES
     ]).collect()[0]
@@ -141,6 +164,16 @@ def curate(
     kept = track_persist(dedup.exact_dedup(cur, content_col=text_col,
                                            key_col=id_col))
     n_e = kept.count()
+    if keep_rejects:
+        h = F.md5(F.col(text_col))
+        survivors = kept.select(h.alias("_h"), F.col(id_col).alias("kept_id"))
+        dropped = (
+            cur.join(kept.select(id_col), id_col, "left_anti")
+            .select(F.col(id_col), h.alias("_h"))
+            .join(survivors, "_h")
+            .select(id_col, "kept_id")
+        )
+        _write_rejects(True, out_dir, "exact_dedup", dropped)
     _stage(manifest, "exact_dedup", n, n_e, {"key": "md5(text)"},
            {"exact_duplicate": n - n_e})
     cur.unpersist()
@@ -156,6 +189,12 @@ def curate(
     clusters = dedup.fuzzy_dedup_clusters(cur, pairs, doc_col=id_col)
     removals = clusters.filter(~F.col("is_rep")).select(
         F.col("doc_id").alias("__rm_id")
+    )
+    _write_rejects(
+        keep_rejects, out_dir, "near_dup_minhash",
+        clusters.filter(~F.col("is_rep")).select(
+            F.col("doc_id").alias(id_col), F.col("rep_id").alias("kept_id")
+        ),
     )
     # anti join keyed on id; the removal set is bounded by the duplicate
     # count, so AQE broadcasts it when small — not forced, in case a
@@ -177,6 +216,10 @@ def curate(
             text_col=text_col, doc_col=id_col,
         ))
         n_c = kept.count()
+        _write_rejects(
+            keep_rejects, out_dir, "decontaminate",
+            cur.join(kept.select(id_col), id_col, "left_anti").select(id_col),
+        )
         _stage(manifest, "decontaminate", n, n_c, cfg_all["contamination"],
                {"benchmark_overlap": n - n_c})
         cur.unpersist()
@@ -189,6 +232,10 @@ def curate(
         kept = track_persist(sampling.temperature_resample(
             cur, strata_col, id_col, temperature=temperature))
         n_t = kept.count()
+        _write_rejects(
+            keep_rejects, out_dir, "temperature_resample",
+            cur.join(kept.select(id_col), id_col, "left_anti").select(id_col),
+        )
         _stage(manifest, "temperature_resample", n, n_t,
                {"temperature": temperature, "strata_col": strata_col},
                {"mixture_downsample": n - n_t})

@@ -136,3 +136,35 @@ def test_curate_cli_subcommand(spark, tmp_path):
     with open(os.path.join(out, "manifest.json")) as fh:
         man = json.load(fh)
     assert man["reconciles"] is True and man["rows_final"] > 0
+
+
+def test_curate_keep_rejects_reconciles(spark, tmp_path):
+    """rejects/<stage>/ row counts must equal the manifest's dropped
+    counts, every rejected id must come from the stage's input, and
+    both dedup stages must name a surviving kept_id that is NOT itself
+    rejected."""
+    docs, bench = _corpus(spark)
+    out = str(tmp_path / "rej")
+    man = curate(
+        spark, docs, out, benchmark=bench, min_words=5,
+        minhash_threshold=0.7, temperature=2.0, bpe_merges=10,
+        chunk_tokens=64, shards=2, gopher_kwargs={"min_stopwords": 0},
+        keep_rejects=True,
+    )
+    by_name = {s["stage"]: s for s in man["stages"]}
+    for stage in ("quality_gopher", "exact_dedup", "near_dup_minhash",
+                  "decontaminate", "temperature_resample"):
+        dropped = by_name[stage]["dropped"]
+        path = os.path.join(out, "rejects", stage)
+        rej = spark.read.parquet(path)
+        assert rej.count() == dropped, stage
+    # quality rejects carry the rule booleans; doc 4 failed word count
+    q = spark.read.parquet(os.path.join(out, "rejects", "quality_gopher"))
+    row = q.collect()[0]
+    assert row["doc_id"] == 4 and row["ok_word_count"] is False
+    # dedup rejects carry a surviving kept_id
+    for stage in ("exact_dedup", "near_dup_minhash"):
+        rej = spark.read.parquet(os.path.join(out, "rejects", stage)).collect()
+        for r in rej:
+            assert r["kept_id"] != r["doc_id"]
+    assert man["config"]["keep_rejects"] is True
