@@ -1554,3 +1554,59 @@ def cluster_transitivity_audit(
             6,
         ).alias("transitivity"),
     )
+
+
+def near_dup_threshold_sweep(
+    docs: DataFrame,
+    thresholds: tuple = (0.8, 0.85, 0.9, 0.95),
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-threshold tuning table: near-dup pair counts and affected-
+    document counts at a grid of Jaccard thresholds, from ONE LSH +
+    exact-verify pass — the "what would each cutoff actually remove"
+    read before committing a threshold (the dedup twin of the
+    quality-filter ROI curve). The shingle/signature/banding work is
+    shared across the grid; candidates are verified once at the
+    SMALLEST grid threshold and binned, so adding grid points is free.
+
+    Grid floor: with the default banding (b=16, r=4) LSH recall at
+    jac 0.8 is 1−(1−0.8⁴)¹⁶ ≈ 0.9997 and rises toward 1 above it, so
+    counts at ≥ 0.8 match the exact pair relation (the same guarantee
+    X06's oracle equality rests on); thresholds below ~0.7 would
+    undercount and are refused. Output per threshold:
+    (threshold, n_pairs, n_docs).
+    """
+    ts = sorted(set(float(t) for t in thresholds))
+    if not ts or ts[0] < 0.7:
+        raise ValueError(
+            f"grid must stay >= 0.7 (LSH recall floor with b=16/r=4), got {ts}"
+        )
+    pairs = minhash_near_dups(
+        docs, n=n, num_hashes=num_hashes, num_bands=num_bands,
+        jaccard_threshold=ts[0], text_col=text_col, doc_col=doc_col,
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    pairs = track_persist(pairs)
+    grid = docs.sparkSession.createDataFrame(
+        [(t,) for t in ts], "threshold double"
+    )
+    per_t = (
+        grid.join(F.broadcast(pairs), F.col("jac") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(F.count(F.col("jac")).alias("n_pairs"))
+    )
+    docs_t = (
+        grid.join(F.broadcast(pairs), F.col("jac") >= F.col("threshold"), "left")
+        .select(
+            "threshold",
+            F.explode_outer(F.array("d1", "d2")).alias("_d"),
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("_d").alias("n_docs"))
+    )
+    return per_t.join(docs_t, "threshold")

@@ -1291,3 +1291,69 @@ def topk_coverage(
             F.round(F.col("_cum") / F.col("_t"), 6).alias("coverage"),
         )
     )
+
+
+def vocab_churn(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary churn between two corpus snapshots: how many word
+    TYPES are exclusive to each side, how much of each side's token
+    MASS those exclusive types carry, and the type-set Jaccard — the
+    snapshot diff that catches a crawl whose vocabulary silently
+    rotated even when the size didn't (new spam vocab in, old domain
+    vocab out).
+
+    One token-count aggregate per side, one full-outer join on the
+    type (vocab-sized, hash-shuffled once), one 1-row rollup. Output
+    (1 row): types_a, types_b, types_both, types_only_a, types_only_b,
+    mass_only_a, mass_only_b, type_jaccard.
+    """
+
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(
+                F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w")
+            )
+            .groupBy("_w")
+            .agg(F.count("*").cast("double").alias(name))
+        )
+
+    j = counts(docs_a, "_ca").join(counts(docs_b, "_cb"), "_w", "full_outer")
+    return j.agg(
+        F.sum((F.col("_ca").isNotNull()).cast("long")).alias("types_a"),
+        F.sum((F.col("_cb").isNotNull()).cast("long")).alias("types_b"),
+        F.sum(
+            (F.col("_ca").isNotNull() & F.col("_cb").isNotNull()).cast("long")
+        ).alias("types_both"),
+        F.sum(
+            (F.col("_ca").isNotNull() & F.col("_cb").isNull()).cast("long")
+        ).alias("types_only_a"),
+        F.sum(
+            (F.col("_cb").isNotNull() & F.col("_ca").isNull()).cast("long")
+        ).alias("types_only_b"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("_cb").isNull(), F.col("_ca"))), F.lit(0.0)
+            )
+            / F.sum(F.coalesce("_ca", F.lit(0.0))),
+            6,
+        ).alias("mass_only_a"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("_ca").isNull(), F.col("_cb"))), F.lit(0.0)
+            )
+            / F.sum(F.coalesce("_cb", F.lit(0.0))),
+            6,
+        ).alias("mass_only_b"),
+        F.round(
+            F.sum(
+                (F.col("_ca").isNotNull() & F.col("_cb").isNotNull()).cast(
+                    "long"
+                )
+            )
+            / F.count("*"),
+            6,
+        ).alias("type_jaccard"),
+    )

@@ -10173,3 +10173,85 @@ def x280(spark, sf_dir):
         "doc_id", F.col("v.r").alias("r"), F.col("v.x").alias("x")
     )
     return icc_2_1(ratings, "doc_id", "r", "x")
+
+
+@_declare(
+    "X281_dedup_threshold_sweep",
+    # Dedup-threshold tuning table (dedup.near_dup_threshold_sweep):
+    # pair + affected-doc counts at jac >= 0.8/0.85/0.9/0.95 from ONE
+    # shared LSH + exact-verify pass (recall >= 0.9997 at the 0.8 grid
+    # floor — the same guarantee X06's oracle equality rests on). The
+    # oracle bins the exact all-pairs relation.
+    """WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+           p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3])) AS shingles
+  FROM documents),
+inv AS (SELECT doc_id, s.sh FROM sh, UNNEST(shingles) AS s(sh)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM inv a JOIN inv b USING (sh) WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT d1, d2,
+         len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+         (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+  FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2),
+grid AS (SELECT unnest([0.8, 0.85, 0.9, 0.95]) AS threshold),
+np AS (SELECT threshold,
+              COALESCE(SUM(CASE WHEN jac >= threshold THEN 1 END), 0)::BIGINT
+                AS n_pairs
+       FROM grid LEFT JOIN pairs ON TRUE GROUP BY 1),
+pd AS (SELECT jac, unnest([d1, d2]) AS d FROM pairs),
+nd AS (SELECT threshold,
+              COUNT(DISTINCT CASE WHEN jac >= threshold THEN d END)::BIGINT
+                AS n_docs
+       FROM grid LEFT JOIN pd ON TRUE GROUP BY 1)
+SELECT threshold, n_pairs, n_docs
+FROM np JOIN nd USING (threshold) ORDER BY threshold;""",
+)
+def x281(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import near_dup_threshold_sweep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_threshold_sweep(docs).orderBy("threshold")
+
+
+@_declare(
+    "X282_vocab_churn",
+    # Vocabulary churn between snapshot halves (textstats.vocab_churn):
+    # exclusive types per side, the token MASS those exclusives carry,
+    # and the type-set Jaccard — the corpus-snapshot diff that catches
+    # a silently rotating vocabulary. Halves split by doc_id parity
+    # (stable). One count aggregate per side + one vocab-keyed
+    # full-outer join + a 1-row rollup.
+    """WITH ca AS (SELECT w, COUNT(*)::DOUBLE AS ca FROM
+          (SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+cb AS (SELECT w, COUNT(*)::DOUBLE AS cb FROM
+          (SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+j AS (SELECT ca.w AS wa, cb.w AS wb, ca, cb
+      FROM ca FULL OUTER JOIN cb ON ca.w = cb.w)
+SELECT SUM(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS types_a,
+       SUM(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS types_b,
+       SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS types_both,
+       SUM(CASE WHEN ca IS NOT NULL AND cb IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS types_only_a,
+       SUM(CASE WHEN cb IS NOT NULL AND ca IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS types_only_b,
+       ROUND(COALESCE(SUM(CASE WHEN cb IS NULL THEN ca END), 0)
+             / SUM(COALESCE(ca, 0)), 6) AS mass_only_a,
+       ROUND(COALESCE(SUM(CASE WHEN ca IS NULL THEN cb END), 0)
+             / SUM(COALESCE(cb, 0)), 6) AS mass_only_b,
+       ROUND(SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
+             / COUNT(*)::DOUBLE, 6) AS type_jaccard
+FROM j;""",
+)
+def x282(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import vocab_churn
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_churn(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

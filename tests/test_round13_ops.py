@@ -686,3 +686,43 @@ def test_icc_perfect_and_shifted_agreement(spark):
     # ragged matrix refuses
     with pytest.raises(ValueError):
         icc_2_1(df.filter("NOT (i = 0 AND r = 'a')"), "i", "r", "x")
+
+
+# ------------------------------------------------- near_dup_threshold_sweep
+def test_threshold_sweep_monotone_and_matches_single(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.dedup import (
+        minhash_near_dups,
+        near_dup_threshold_sweep,
+    )
+
+    docs = __import__(
+        "swivel_spark_prep_spark.catalog", fromlist=["x"]
+    ).load_table(spark, sf_dir, "documents")
+    rows = near_dup_threshold_sweep(docs).orderBy("threshold").collect()
+    pairs = [r["n_pairs"] for r in rows]
+    dcs = [r["n_docs"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert dcs == sorted(dcs, reverse=True)
+    # the 0.8 grid point must equal the single-threshold operator
+    single = minhash_near_dups(docs, jaccard_threshold=0.8).count()
+    assert rows[0]["n_pairs"] == single
+    with pytest.raises(ValueError):
+        near_dup_threshold_sweep(docs, thresholds=(0.5,))
+
+
+# ---------------------------------------------------------------- vocab_churn
+def test_vocab_churn_planted(spark):
+    from swivel_spark_prep_spark.operators.textstats import vocab_churn
+
+    a = spark.createDataFrame(
+        [(1, "shared shared alpha alpha alpha")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "shared beta")], "doc_id long, text string"
+    )
+    r = vocab_churn(a, b).collect()[0]
+    assert r["types_a"] == 2 and r["types_b"] == 2 and r["types_both"] == 1
+    assert r["types_only_a"] == 1 and r["types_only_b"] == 1
+    assert r["mass_only_a"] == pytest.approx(3 / 5, abs=1e-6)  # alpha x3 of 5
+    assert r["mass_only_b"] == pytest.approx(1 / 2, abs=1e-6)
+    assert r["type_jaccard"] == pytest.approx(1 / 3, abs=1e-6)
