@@ -21,6 +21,8 @@ per-key row budget is the caller's lever (choose ``step_seconds``).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1914,3 +1916,109 @@ def funnel_latency(
         for q in quantiles
     ]
     return started.crossJoin(F.broadcast(lat.agg(*aggs)))
+
+
+def circular_stats(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Circular statistics of time-of-day (Fisher, *Statistical
+    Analysis of Circular Data*): treat the daily clock as the unit
+    circle (θ = 2π·seconds/86400) and report the mean direction as an
+    hour, the mean resultant length R̄ ∈ [0,1] (0 = uniform over the
+    day, 1 = everything at one instant) and the Rayleigh statistic
+    z = n·R̄² (compare to −ln α: z > 3 rejects uniformity at α≈0.05) —
+    the correct "when does this event happen" summary where a linear
+    mean of hours would average 23:00 and 01:00 to noon.
+
+    One grouped aggregate of Σcos θ / Σsin θ; everything else is
+    row-local arithmetic on the group relation.
+    """
+    gcols = [group_col] if group_col else []
+    sec = (
+        F.unix_micros(F.col(ts_col).cast("timestamp")) % 86_400_000_000
+    ) / 1_000_000.0
+    theta = sec / 86_400.0 * (2.0 * math.pi)
+    agg = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*gcols, F.cos(theta).alias("_c"), F.sin(theta).alias("_s"))
+        .groupBy(*gcols)
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum("_c").alias("_sc"),
+            F.sum("_s").alias("_ss"),
+        )
+    )
+    r = F.sqrt(F.col("_sc") * F.col("_sc") + F.col("_ss") * F.col("_ss")) / F.col("_n")
+    mu = F.atan2(F.col("_ss"), F.col("_sc"))
+    mean_hour = (
+        F.when(mu < 0, mu + 2.0 * math.pi).otherwise(mu)
+        / (2.0 * math.pi)
+        * 24.0
+    )
+    return agg.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n"),
+        F.round(mean_hour, 6).alias("mean_hour"),
+        F.round(r, 6).alias("resultant"),
+        F.round(F.col("_n") * r * r, 6).alias("rayleigh_z"),
+    )
+
+
+def ks_uniform_time_of_day(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov test of time-of-day against
+    Uniform[0,1) — the distributional complement of circular_stats'
+    first-moment Rayleigh test (Rayleigh misses symmetric bimodality;
+    KS does not): D = max over the sorted sample of
+    max(r/n − x₍ᵣ₎, x₍ᵣ₎ − (r−1)/n), exact.
+
+    Ranks come from the two-pass range-partitioned prefix sum
+    (grouped), never a single-task window; D is one grouped max.
+    Output per group: (n, d_stat, sqrt_n_d) — compare √n·D to 1.36
+    (α=0.05) / 1.63 (α=0.01).
+    """
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_sum,
+    )
+
+    gcols = [group_col] if group_col else []
+    x = (
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) % 86_400_000_000)
+        / 86_400_000_000.0
+    )
+    base = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*gcols, x.alias("_x"))
+        .withColumn("_one", F.lit(1.0))
+    )
+    ranked = partitioned_prefix_sum(
+        base, ["_x"], ["_one"], ["_r"], group_cols=gcols, inclusive=True
+    )
+    tot = base.groupBy(*gcols).agg(F.count("*").cast("double").alias("_n"))
+    j = (
+        ranked.join(F.broadcast(tot), gcols)
+        if gcols
+        else ranked.crossJoin(F.broadcast(tot))
+    )
+    d = F.greatest(
+        F.col("_r") / F.col("_n") - F.col("_x"),
+        F.col("_x") - (F.col("_r") - 1) / F.col("_n"),
+    )
+    return (
+        j.groupBy(*gcols)
+        .agg(
+            F.first("_n").cast("long").alias("n"),
+            F.max(d).alias("_d"),
+        )
+        .select(
+            *gcols,
+            "n",
+            F.round("_d", 6).alias("d_stat"),
+            F.round(F.sqrt(F.col("n")) * F.col("_d"), 6).alias("sqrt_n_d"),
+        )
+    )

@@ -10255,3 +10255,61 @@ def x282(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+@_declare(
+    "X283_circular_stats",
+    # Circular time-of-day statistics per event type (timeseries.
+    # circular_stats, Fisher): mean direction as an hour, resultant
+    # length, Rayleigh z = n*R^2 — the correct "when does this happen"
+    # summary (a linear mean averages 23:00 and 01:00 to noon). One
+    # grouped sum of cos/sin.
+    """WITH base AS (
+  SELECT event_type, (epoch_us(ts) % 86400000000) / 1000000.0
+           / 86400.0 * 2 * pi() AS th
+  FROM events WHERE ts IS NOT NULL),
+a AS (SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(cos(th)) AS sc,
+             SUM(sin(th)) AS ss
+      FROM base GROUP BY 1)
+SELECT event_type, n::BIGINT AS n,
+       ROUND(CASE WHEN atan2(ss, sc) < 0 THEN atan2(ss, sc) + 2 * pi()
+             ELSE atan2(ss, sc) END / (2 * pi()) * 24.0, 6) AS mean_hour,
+       ROUND(sqrt(sc * sc + ss * ss) / n, 6) AS resultant,
+       ROUND(n * pow(sqrt(sc * sc + ss * ss) / n, 2), 6) AS rayleigh_z
+FROM a ORDER BY event_type;""",
+)
+def x283(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import circular_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return circular_stats(ev, "ts", "event_type").orderBy("event_type")
+
+
+@_declare(
+    "X284_ks_uniform_tod",
+    # One-sample KS of time-of-day vs Uniform[0,1) per event type
+    # (timeseries.ks_uniform_time_of_day): exact D via grouped
+    # prefix-sum ranks (the Rayleigh test's distributional complement —
+    # it catches symmetric bimodality Rayleigh misses). Compare
+    # sqrt(n)*D to 1.36 (alpha .05).
+    """WITH base AS (
+  SELECT event_type AS g, (epoch_us(ts) % 86400000000) / 86400000000.0 AS x
+  FROM events WHERE ts IS NOT NULL),
+r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM base)
+SELECT g AS event_type, ANY_VALUE(n)::BIGINT AS n,
+       ROUND(MAX(greatest(rk / n::DOUBLE - x, x - (rk - 1) / n::DOUBLE)), 6)
+         AS d_stat,
+       ROUND(sqrt(ANY_VALUE(n))
+             * MAX(greatest(rk / n::DOUBLE - x, x - (rk - 1) / n::DOUBLE)), 6)
+         AS sqrt_n_d
+FROM r GROUP BY g ORDER BY g;""",
+)
+def x284(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        ks_uniform_time_of_day,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_uniform_time_of_day(ev, "ts", "event_type").orderBy("event_type")

@@ -726,3 +726,44 @@ def test_vocab_churn_planted(spark):
     assert r["mass_only_a"] == pytest.approx(3 / 5, abs=1e-6)  # alpha x3 of 5
     assert r["mass_only_b"] == pytest.approx(1 / 2, abs=1e-6)
     assert r["type_jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+# -------------------------------------------------------------- circular_stats
+def test_circular_stats_wraps_midnight(spark):
+    from swivel_spark_prep_spark.operators.timeseries import circular_stats
+
+    # events at 23:00 and 01:00: circular mean is midnight (0h or 24h),
+    # never noon; concentration high
+    rows = [("w", f"2024-01-0{d} 23:00:00") for d in range(1, 6)]
+    rows += [("w", f"2024-01-0{d} 01:00:00") for d in range(1, 6)]
+    rows += [("u", f"2024-01-01 {h:02d}:00:00") for h in range(24)]
+    df = spark.createDataFrame(rows, "g string, raw string").select(
+        "g", F.to_timestamp("raw").alias("ts")
+    )
+    out = {r["g"]: r for r in circular_stats(df, "ts", "g").collect()}
+    wrap = out["w"]["mean_hour"]
+    assert min(wrap, 24 - wrap) < 0.01
+    assert out["w"]["resultant"] > 0.9
+    # 24 evenly spaced hours: resultant ~ 0, Rayleigh accepts uniformity
+    assert out["u"]["resultant"] < 1e-6 and out["u"]["rayleigh_z"] < 0.01
+
+
+# ------------------------------------------------------- ks_uniform_time_of_day
+def test_ks_uniform_detects_clustering(spark):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        ks_uniform_time_of_day,
+    )
+
+    # uniform minutes over the day vs everything in one hour
+    rows = [("u", f"2024-01-01 {(i * 7) % 24:02d}:{(i * 13) % 60:02d}:00")
+            for i in range(200)]
+    rows += [("c", f"2024-01-01 09:{i % 60:02d}:{(i * 7) % 60:02d}")
+             for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, raw string").select(
+        "g", F.to_timestamp("raw").alias("ts")
+    )
+    out = {r["g"]: r for r in ks_uniform_time_of_day(df, "ts", "g").collect()}
+    assert out["u"]["sqrt_n_d"] < 1.36    # accept uniformity
+    assert out["c"]["sqrt_n_d"] > 5.0     # reject hard
+    # all mass inside one hour starting 09:00 -> CDF gap ~ 1 - 10/24 ≈ 0.58
+    assert out["c"]["d_stat"] > 0.55
