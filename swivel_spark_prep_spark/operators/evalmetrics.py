@@ -2097,3 +2097,59 @@ def partial_correlation(
             6,
         ).alias("r_xy_given_z"),
     )
+
+
+def precision_coverage(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Selective-prediction table: at each confidence threshold t, the
+    COVERAGE (fraction of rows where the model would act, score ≥ t)
+    and the PRECISION among them (El-Yaniv & Wiener's selective-risk
+    curve, reported as precision) — the table that picks an abstention
+    cutoff by reading both columns at once, where a PR curve hides
+    coverage. Same bounded-bin plan as the threshold-ROI operator: one
+    bin pass (rows carry their highest cleared threshold), one hash
+    aggregate with conditional positives, one (|T|×|T|) triangular
+    join. Output per threshold: (threshold, n_covered, coverage,
+    precision) — precision NULL at zero coverage.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(set(float(t) for t in thresholds))
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    bin_expr = F.lit(None).cast("double")
+    for t in ts:
+        bin_expr = F.when(s >= F.lit(t), F.lit(t)).otherwise(bin_expr)
+    bins = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(bin_expr.alias("_bin"), y.cast("long").alias("_y"))
+        .groupBy("_bin")
+        .agg(F.count("*").alias("_n"), F.sum("_y").alias("_p"))
+    )
+    tot = bins.agg(F.sum("_n").alias("_tn"))
+    thr = df.sparkSession.createDataFrame(
+        [(t,) for t in ts], "threshold double"
+    ).crossJoin(F.broadcast(tot))
+    kept = (
+        thr.join(F.broadcast(bins), F.col("_bin") >= F.col("threshold"), "left")
+        .groupBy("threshold", "_tn")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_covered"),
+            F.coalesce(F.sum("_p"), F.lit(0)).alias("_pos"),
+        )
+    )
+    return kept.select(
+        "threshold",
+        F.col("n_covered").cast("long").alias("n_covered"),
+        F.round(F.col("n_covered") / F.col("_tn"), 6).alias("coverage"),
+        F.round(
+            F.when(
+                F.col("n_covered") > 0, F.col("_pos") / F.col("n_covered")
+            ),
+            6,
+        ).alias("precision"),
+    )

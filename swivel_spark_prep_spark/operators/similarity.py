@@ -1304,3 +1304,63 @@ def embedding_hygiene(
             F.round(F.max("_cn"), 6).alias("norm_max"),
         )
     )
+
+
+def geometric_median(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 5,
+    eps: float = 1e-9,
+) -> list:
+    """Geometric median of an embedding column via Weiszfeld's
+    algorithm (1937): the L1-optimal center, robust where the
+    coordinate mean is dragged arbitrarily by a single outlier vector —
+    the robust-statistics upgrade for centroid-based hygiene checks
+    (X41 centroids, X246 norms). Iteration::
+
+        c ← Σ xᵢ/dᵢ / Σ 1/dᵢ,   dᵢ = ‖xᵢ − c‖ (clamped at eps)
+
+    Each iteration is ONE aggregate: the current center is a broadcast
+    literal array, the distance is an in-row fold, the per-dim weighted
+    sums come from a posexplode hash aggregate; the only driver
+    materialization is the dim-sized center itself (a control row).
+    Starts from the coordinate mean; ``iterations`` is fixed (Weiszfeld
+    converges linearly; 5 rounds lands within float tolerance on
+    anything unimodal). Returns the center as a Python list (callers
+    broadcast it into downstream expressions).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    base = emb.select(F.col(vec_col).alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    mean_row = (
+        base.select(F.posexplode("_x").alias("_d", "_v"))
+        .groupBy("_d")
+        .agg(F.avg("_v").alias("_m"))
+        .orderBy("_d")
+        .collect()
+    )
+    c = [r["_m"] for r in mean_row]
+    for _ in range(int(iterations)):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        d = F.sqrt(
+            F.aggregate(
+                F.zip_with("_x", lit_c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        w = 1.0 / F.greatest(d, F.lit(float(eps)))
+        sums = (
+            base.select(w.alias("_w"), F.posexplode("_x").alias("_d", "_v"))
+            .groupBy("_d")
+            .agg(
+                F.sum(F.col("_v") * F.col("_w")).alias("_sw"),
+                F.sum("_w").alias("_w"),
+            )
+            .orderBy("_d")
+            .collect()
+        )
+        c = [r["_sw"] / r["_w"] for r in sums]
+    return c

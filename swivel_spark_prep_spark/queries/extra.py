@@ -10313,3 +10313,56 @@ def x284(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return ks_uniform_time_of_day(ev, "ts", "event_type").orderBy("event_type")
+
+
+@_declare(
+    "X285_geometric_median",
+    # Geometric median of the embedding corpus (similarity.geometric_
+    # median, Weiszfeld 1937): the L1-optimal robust center — one
+    # aggregate per iteration with the dim-sized center as the only
+    # driver materialization. Seeded-iteration internals are numpy-
+    # replayable but not SQL-expressible per round in bounded text;
+    # the driver records rows-only and the property tests pin outlier
+    # robustness and the fixed-point (tests/test_round13_ops.py).
+    None,
+)
+def x285(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import geometric_median
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = geometric_median(emb, "embedding", iterations=5)
+    return spark.createDataFrame(
+        [(int(d), round(float(v), 6)) for d, v in enumerate(c)],
+        "dim int, value double",
+    )
+
+
+@_declare(
+    "X286_precision_coverage",
+    # Selective-prediction table (evalmetrics.precision_coverage,
+    # El-Yaniv & Wiener): coverage + precision at each confidence
+    # cutoff for the length->is-en classifier — the abstention-cutoff
+    # read a PR curve hides. Same bounded-bin plan as X257.
+    """WITH d AS (SELECT n_chars::DOUBLE AS s, (lang = 'en') AS y
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+t AS (SELECT COUNT(*)::DOUBLE AS tn FROM d),
+thr AS (SELECT unnest([100.0, 200.0, 300.0, 400.0]) AS threshold)
+SELECT threshold,
+       COALESCE(SUM(CASE WHEN s >= threshold THEN 1 END), 0)::BIGINT AS n_covered,
+       ROUND(COALESCE(SUM(CASE WHEN s >= threshold THEN 1 END), 0) / ANY_VALUE(tn), 6)
+         AS coverage,
+       ROUND(CASE WHEN COALESCE(SUM(CASE WHEN s >= threshold THEN 1 END), 0) > 0
+             THEN SUM(CASE WHEN s >= threshold AND y THEN 1 ELSE 0 END)
+                  / COALESCE(SUM(CASE WHEN s >= threshold THEN 1 END), 0)::DOUBLE
+             END, 6) AS precision
+FROM thr CROSS JOIN d CROSS JOIN t GROUP BY threshold ORDER BY threshold;""",
+)
+def x286(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import precision_coverage
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"), (F.col("lang") == "en").alias("y")
+    )
+    return precision_coverage(
+        docs, "s", "y", [100.0, 200.0, 300.0, 400.0]
+    ).orderBy("threshold")

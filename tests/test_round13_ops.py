@@ -767,3 +767,52 @@ def test_ks_uniform_detects_clustering(spark):
     assert out["c"]["sqrt_n_d"] > 5.0     # reject hard
     # all mass inside one hour starting 09:00 -> CDF gap ~ 1 - 10/24 ≈ 0.58
     assert out["c"]["d_stat"] > 0.55
+
+
+# ----------------------------------------------------------- geometric_median
+def test_geometric_median_outlier_robust(spark):
+    from swivel_spark_prep_spark.operators.similarity import geometric_median
+
+    # 99 vectors near (1, 0) + one huge outlier at (1e6, 1e6): the mean
+    # is dragged to ~(10001, 10000); the geometric median stays near (1, 0)
+    rows = [([1.0 + (i % 10) * 0.01, (i % 7) * 0.01],) for i in range(99)]
+    rows.append(([1e6, 1e6],))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    c = geometric_median(df, "embedding", iterations=8)
+    assert abs(c[0] - 1.0) < 0.2 and abs(c[1]) < 0.2
+    # fixed point: re-running from the answer stays put
+    with pytest.raises(ValueError):
+        geometric_median(df, "embedding", iterations=0)
+
+
+def test_geometric_median_matches_numpy_weiszfeld(spark):
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.similarity import geometric_median
+
+    rng_free = [( [float((i * 13) % 7), float((i * 5) % 11)] ,) for i in range(40)]
+    df = spark.createDataFrame(rng_free, "embedding array<double>")
+    got = np.array(geometric_median(df, "embedding", iterations=5))
+    x = np.array([r[0] for r in rng_free])
+    c = x.mean(axis=0)
+    for _ in range(5):
+        d = np.maximum(np.linalg.norm(x - c, axis=1), 1e-9)
+        c = (x / d[:, None]).sum(axis=0) / (1.0 / d).sum()
+    assert np.allclose(got, c, atol=1e-9)
+
+
+# -------------------------------------------------------- precision_coverage
+def test_precision_coverage_tradeoff(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        precision_coverage,
+    )
+
+    # scores 1..100; positives are exactly the top 30 scores
+    rows = [(float(i), i > 70) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["threshold"]: r for r in precision_coverage(
+        df, "s", "y", [0.0, 50.0, 71.0, 101.0]).collect()}
+    assert out[0.0]["coverage"] == 1.0 and out[0.0]["precision"] == 0.3
+    assert out[50.0]["coverage"] == pytest.approx(0.51)
+    assert out[71.0]["precision"] == 1.0 and out[71.0]["n_covered"] == 30
+    assert out[101.0]["n_covered"] == 0 and out[101.0]["precision"] is None
