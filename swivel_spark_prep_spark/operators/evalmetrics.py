@@ -2153,3 +2153,107 @@ def precision_coverage(
             6,
         ).alias("precision"),
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    count_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Index of dispersion / Poissonness check (Fisher): for count data,
+    D = (n−1)·s²/x̄ is χ²ₙ₋₁ under a Poisson model, so
+    var_mean_ratio = s²/x̄ ≈ 1 means Poisson, > 1 overdispersion
+    (burstiness, contagion — model with negative binomial), < 1
+    underdispersion (regularity). The modeling pre-check before any
+    per-entity count is treated as Poisson. One grouped moments
+    aggregate; groups with n < 2 or x̄ = 0 report NULL.
+    Output per group: (n, mean, var_mean_ratio, dispersion_d).
+    """
+    x = F.col(count_col).cast("double")
+    gcols = [group_col] if group_col else []
+    s = df.filter(x.isNotNull()).groupBy(*gcols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_ss"),
+    )
+    n, mean = F.col("_n"), F.col("_s") / F.col("_n")
+    var = (F.col("_ss") - F.col("_n") * mean * mean) / (F.col("_n") - 1)
+    ok = (n >= 2) & (mean > 0)
+    return s.select(
+        *gcols,
+        n.cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.when(ok, var / mean), 6).alias("var_mean_ratio"),
+        F.round(F.when(ok, (n - 1) * var / mean), 6).alias("dispersion_d"),
+    )
+
+
+def james_stein_means(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-group means (James & Stein 1961,
+    Efron & Morris 1975's batting-average form): small noisy groups
+    borrow strength from the grand mean instead of publishing their raw
+    extremes — the estimator for any "quality score per source" table
+    where group sizes vary wildly. Per group g::
+
+        B_g = σ²/n_g / (σ²/n_g + τ²)          (shrinkage weight)
+        shrunk_g = B_g·x̄̄ + (1 − B_g)·x̄_g
+
+    with σ² the pooled within-group variance and τ² the method-of-
+    moments between-group variance (clamped at 0 when the observed
+    spread is within noise — everything collapses to the grand mean).
+    One grouped moments aggregate; the pooled/between pieces are 1-row
+    re-aggregates broadcast back. Output per group:
+    (group, n, mean_raw, shrinkage, mean_shrunk).
+    """
+    x = F.col(value_col).cast("double")
+    per = df.filter(x.isNotNull()).groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(x).alias("_m"),
+        F.coalesce(F.var_samp(x), F.lit(0.0)).alias("_v"),
+    )
+    tot = per.agg(
+        F.count("*").alias("_k"),
+        F.sum("_n").alias("_ntot"),
+        F.sum(F.col("_n") * F.col("_m")).alias("_sm"),
+        # pooled within-group variance: Σ(n_g−1)v_g / Σ(n_g−1)
+        (
+            F.sum((F.col("_n") - 1) * F.col("_v"))
+            / F.nullif(F.sum(F.col("_n") - 1), F.lit(0.0))
+        ).alias("_s2"),
+    ).select(
+        "_k", "_ntot", "_s2", (F.col("_sm") / F.col("_ntot")).alias("_gm")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    # between-group variance (method of moments): observed variance of
+    # group means minus their sampling noise, clamped at 0
+    between = j.agg(
+        F.greatest(
+            F.sum(
+                F.col("_n")
+                * (F.col("_m") - F.col("_gm"))
+                * (F.col("_m") - F.col("_gm"))
+            )
+            / F.first("_ntot")
+            - F.first("_s2") * F.first("_k") / F.first("_ntot"),
+            F.lit(0.0),
+        ).alias("_tau2")
+    )
+    out = j.crossJoin(F.broadcast(between))
+    b = F.when(
+        (F.col("_s2") / F.col("_n") + F.col("_tau2")) > 0,
+        (F.col("_s2") / F.col("_n"))
+        / (F.col("_s2") / F.col("_n") + F.col("_tau2")),
+    ).otherwise(F.lit(1.0))
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 6).alias("mean_raw"),
+        F.round(b, 6).alias("shrinkage"),
+        F.round(b * F.col("_gm") + (1 - b) * F.col("_m"), 6).alias(
+            "mean_shrunk"
+        ),
+    )

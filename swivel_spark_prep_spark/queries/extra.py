@@ -10366,3 +10366,67 @@ def x286(spark, sf_dir):
     return precision_coverage(
         docs, "s", "y", [100.0, 200.0, 300.0, 400.0]
     ).orderBy("threshold")
+
+
+@_declare(
+    "X287_dispersion_index",
+    # Poissonness pre-check (evalmetrics.dispersion_index, Fisher): is
+    # "events per user" Poisson or overdispersed (bursty -> negative
+    # binomial), per event type. Counts relation from one aggregate,
+    # moments from a second — both grouped, no windows.
+    """WITH c AS (SELECT event_type AS g, user_id, COUNT(*)::DOUBLE AS x
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+s AS (SELECT g, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+      FROM c GROUP BY 1)
+SELECT g AS event_type, n::BIGINT AS n, ROUND(sx / n, 6) AS mean,
+       ROUND(CASE WHEN n >= 2 AND sx > 0
+             THEN ((sxx - sx*sx/n) / (n - 1)) / (sx / n) END, 6)
+         AS var_mean_ratio,
+       ROUND(CASE WHEN n >= 2 AND sx > 0
+             THEN (n - 1) * ((sxx - sx*sx/n) / (n - 1)) / (sx / n) END, 6)
+         AS dispersion_d
+FROM s ORDER BY event_type;""",
+)
+def x287(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import dispersion_index
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    return dispersion_index(counts, "cnt", "event_type").orderBy("event_type")
+
+
+@_declare(
+    "X288_james_stein",
+    # Empirical-Bayes shrinkage of per-source mean document length
+    # (evalmetrics.james_stein_means, Efron-Morris form): noisy small
+    # sources borrow strength from the grand mean. Pooled sigma^2 and
+    # moment tau^2 are 1-row re-aggregates; the oracle replays the
+    # identical decomposition.
+    """WITH per AS (SELECT source AS g, COUNT(*)::DOUBLE AS n, AVG(n_chars) AS m,
+                   COALESCE(var_samp(n_chars), 0) AS v
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn, SUM(n * m) / SUM(n) AS gm,
+               SUM((n - 1) * v) / NULLIF(SUM(n - 1), 0) AS s2 FROM per),
+btw AS (SELECT greatest(SUM(n * (m - gm) * (m - gm)) / ANY_VALUE(nn)
+                        - ANY_VALUE(s2) * ANY_VALUE(k) / ANY_VALUE(nn), 0)
+          AS tau2
+        FROM per CROSS JOIN tot)
+SELECT g AS source, n::BIGINT AS n, ROUND(m, 6) AS mean_raw,
+       ROUND(CASE WHEN s2 / n + tau2 > 0
+             THEN (s2 / n) / (s2 / n + tau2) ELSE 1.0 END, 6) AS shrinkage,
+       ROUND(CASE WHEN s2 / n + tau2 > 0
+             THEN (s2 / n) / (s2 / n + tau2) ELSE 1.0 END * gm
+             + (1 - CASE WHEN s2 / n + tau2 > 0
+                    THEN (s2 / n) / (s2 / n + tau2) ELSE 1.0 END) * m, 6)
+         AS mean_shrunk
+FROM per CROSS JOIN tot CROSS JOIN btw ORDER BY source;""",
+)
+def x288(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import james_stein_means
+
+    docs = load_table(spark, sf_dir, "documents")
+    return james_stein_means(docs, "n_chars", "source").orderBy("source")

@@ -816,3 +816,49 @@ def test_precision_coverage_tradeoff(spark):
     assert out[50.0]["coverage"] == pytest.approx(0.51)
     assert out[71.0]["precision"] == 1.0 and out[71.0]["n_covered"] == 30
     assert out[101.0]["n_covered"] == 0 and out[101.0]["precision"] is None
+
+
+# ----------------------------------------------------------- dispersion_index
+def test_dispersion_poisson_vs_bursty(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import dispersion_index
+
+    # near-constant counts (underdispersed) vs bursty (overdispersed)
+    rows = [("reg", float(5 + (i % 2))) for i in range(200)]
+    rows += [("burst", 0.0)] * 180 + [("burst", 50.0)] * 20
+    df = spark.createDataFrame(rows, "g string, c double")
+    out = {r["g"]: r for r in dispersion_index(df, "c", "g").collect()}
+    assert out["reg"]["var_mean_ratio"] < 0.1
+    assert out["burst"]["var_mean_ratio"] > 5.0
+
+
+# --------------------------------------------------------- james_stein_means
+def test_james_stein_shrinks_small_groups_more(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import james_stein_means
+
+    rows = []
+    # two big groups define real between-group spread; a 3-row outlier
+    # group must be pulled toward the grand mean harder than big groups
+    for i in range(300):
+        rows.append(("big_lo", 10.0 + (i % 7)))
+        rows.append(("big_hi", 30.0 + (i % 7)))
+    rows += [("tiny", 90.0), ("tiny", 95.0), ("tiny", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in james_stein_means(df, "v", "g").collect()}
+    assert out["tiny"]["shrinkage"] > out["big_lo"]["shrinkage"]
+    # shrunk mean moves toward the grand mean, never past it
+    gm = (300 * out["big_lo"]["mean_raw"] + 300 * out["big_hi"]["mean_raw"]
+          + 3 * out["tiny"]["mean_raw"]) / 603
+    assert gm < out["tiny"]["mean_shrunk"] < out["tiny"]["mean_raw"]
+    # big groups barely move
+    assert abs(out["big_lo"]["mean_shrunk"] - out["big_lo"]["mean_raw"]) < 0.5
+
+
+def test_james_stein_collapses_when_no_real_spread(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import james_stein_means
+
+    # identical distributions per group: tau2 clamps to 0 -> shrinkage 1
+    rows = [(f"g{i % 5}", float((i * 13) % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = james_stein_means(df, "v", "g").collect()
+    for r in out:
+        assert r["shrinkage"] > 0.8
