@@ -1357,3 +1357,61 @@ def vocab_churn(
             6,
         ).alias("type_jaccard"),
     )
+
+
+def topk_rank_movers(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Head-vocabulary movement between two snapshots: every term in
+    either side's top-k frequency ranking, with both ranks and the
+    movement — the monitoring table behind "what changed in the head"
+    (X255's overlap matrix says HOW MUCH the heads differ; this names
+    the terms and directions). ``status``: moved (both sides),
+    entered (B only), exited (A only).
+
+    Per side: one token-count aggregate + TakeOrdered(k) by (count
+    desc, term) + a rank over that k-row relation (the X61/X228
+    LIMIT-bounded window class); the join is top-k × top-k, ≤ 2k rows
+    out. Output: (term, rank_a, rank_b, delta, status), worst movers
+    first (ties by term).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    def ranked(d: DataFrame, name: str) -> DataFrame:
+        counts = (
+            d.select(
+                F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w")
+            )
+            .groupBy("_w")
+            .agg(F.count("*").alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("_w"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("_c"), F.asc("_w"))
+        return counts.select(
+            "_w", F.row_number().over(w).cast("long").alias(name)
+        )
+    a = ranked(docs_a, "rank_a")
+    b = ranked(docs_b, "rank_b")
+    j = a.join(b, "_w", "full_outer")
+    return j.select(
+        F.col("_w").alias("term"),
+        "rank_a",
+        "rank_b",
+        (F.col("rank_a") - F.col("rank_b")).alias("delta"),
+        F.when(
+            F.col("rank_a").isNotNull() & F.col("rank_b").isNotNull(),
+            F.lit("moved"),
+        )
+        .when(F.col("rank_a").isNull(), F.lit("entered"))
+        .otherwise(F.lit("exited"))
+        .alias("status"),
+    ).orderBy(
+        F.desc(F.coalesce(F.abs(F.col("rank_a") - F.col("rank_b")), F.lit(int(k)))),
+        F.asc("term"),
+    )

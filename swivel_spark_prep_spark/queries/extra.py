@@ -10430,3 +10430,37 @@ def x288(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return james_stein_means(docs, "n_chars", "source").orderBy("source")
+
+
+@_declare(
+    "X289_rank_movers",
+    # Head-vocabulary movers between snapshot halves (textstats.
+    # topk_rank_movers): each top-50 term's rank on both sides with the
+    # movement and entered/exited status — names what X255's overlap
+    # number hides. Two TakeOrdered(k) cuts + a <= 2k-row join.
+    """WITH ca AS (SELECT w, COUNT(*)::BIGINT AS c FROM
+          (SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 0) GROUP BY 1
+        ORDER BY c DESC, w LIMIT 50),
+cb AS (SELECT w, COUNT(*)::BIGINT AS c FROM
+          (SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 1) GROUP BY 1
+        ORDER BY c DESC, w LIMIT 50),
+ra AS (SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w)::BIGINT AS rank_a FROM ca),
+rb AS (SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w)::BIGINT AS rank_b FROM cb)
+SELECT COALESCE(ra.w, rb.w) AS term, rank_a, rank_b,
+       rank_a - rank_b AS delta,
+       CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL THEN 'moved'
+            WHEN rank_a IS NULL THEN 'entered' ELSE 'exited' END AS status
+FROM ra FULL OUTER JOIN rb ON ra.w = rb.w
+ORDER BY COALESCE(abs(rank_a - rank_b), 50) DESC, term;""",
+)
+def x289(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import topk_rank_movers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return topk_rank_movers(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=50,
+    )

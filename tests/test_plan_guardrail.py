@@ -27,6 +27,8 @@ ON PURPOSE, each over a provably bounded relation:
   LIMIT-50 relations (ranks are assigned AFTER the top-k cut, so the
   window input is 50 rows by construction — the X61 LIMIT-bounded
   class, twice).
+- X289: same shape as X228 — two row_numbers over TakeOrdered LIMIT-50
+  head-vocabulary relations (rank movers between snapshots).
 
 Anything else with an unpartitioned window — or ANY CartesianProduct
 anywhere — fails here, before a judge or a cluster finds it.
@@ -114,6 +116,7 @@ ALLOWED_UNPARTITIONED = {
     "X17_win_ntile": 1,
     "X183_join_size_estimate": 2,
     "X228_rank_biased_overlap": 2,
+    "X289_rank_movers": 2,
     "X39_vocab_coverage": 1,
     "X61_zipf_fit": 1,
 }

@@ -862,3 +862,24 @@ def test_james_stein_collapses_when_no_real_spread(spark):
     out = james_stein_means(df, "v", "g").collect()
     for r in out:
         assert r["shrinkage"] > 0.8
+
+
+# ------------------------------------------------------------ topk_rank_movers
+def test_rank_movers_planted(spark):
+    from swivel_spark_prep_spark.operators.textstats import topk_rank_movers
+
+    a = spark.createDataFrame(
+        [(1, "x x x y y z w")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "y y y x x q")], "doc_id long, text string"
+    )
+    rows = topk_rank_movers(a, b, k=3).collect()
+    by_term = {r["term"]: r for r in rows}
+    # x: rank 1 -> 2 (delta -1); y: 2 -> 1 (delta +1)
+    assert by_term["x"]["delta"] == -1 and by_term["y"]["delta"] == 1
+    assert by_term["q"]["status"] == "entered" and by_term["q"]["rank_a"] is None
+    # ties at count 1 break alphabetically: 'w' (not 'z') takes A's rank 3
+    assert by_term["w"]["status"] == "exited" and "z" not in by_term
+    with pytest.raises(ValueError):
+        topk_rank_movers(a, b, k=0)
