@@ -145,3 +145,84 @@ def novelty_scores(
             ).alias("novelty"),
         )
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    train_frac: float = 0.8,
+    salt: str = "",
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Train/test LEAKAGE audit for a hash split: how many documents on
+    one side have an exact or near duplicate on the other — the
+    contamination mode dedup-then-split prevents and split-then-dedup
+    silently ships (an eval doc whose twin sits in training scores as
+    memorization, not generalization).
+
+    Exact leakage: one md5-grouped aggregate flags every digest present
+    on BOTH sides (no pair join). Near-dup leakage: the existing
+    MinHash-LSH pair relation filtered to cross-split pairs — banded,
+    never all-pairs. Uses the same deterministic md5 split as
+    sampling.hash_split, so the audit reproduces the split it audits.
+    Output (1 row): n_train, n_test, exact_cross_digests,
+    exact_cross_docs, neardup_cross_pairs.
+    """
+    from swivel_spark_prep_spark.operators.dedup import minhash_near_dups
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0,1), got {train_frac}")
+    n = 1_000_000
+    is_train = hash_bucket(F.col(doc_col), n, salt) < F.lit(
+        int(round(train_frac * n))
+    )
+    tagged = docs.select(
+        F.col(doc_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        is_train.alias("_tr"),
+    )
+    sides = tagged.agg(
+        F.sum(F.col("_tr").cast("long")).alias("n_train"),
+        F.sum((~F.col("_tr")).cast("long")).alias("n_test"),
+    )
+    exact = (
+        tagged.groupBy(F.md5("_t").alias("_h"))
+        .agg(
+            F.count("*").alias("_c"),
+            F.sum(F.col("_tr").cast("long")).alias("_ctr"),
+        )
+        .filter((F.col("_ctr") > 0) & (F.col("_ctr") < F.col("_c")))
+        .agg(
+            F.count("*").alias("exact_cross_digests"),
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("exact_cross_docs"),
+        )
+    )
+    pairs = minhash_near_dups(
+        docs, jaccard_threshold=jaccard_threshold,
+        text_col=text_col, doc_col=doc_col,
+    )
+    t1 = tagged.select(F.col("_id").alias("d1"), F.col("_tr").alias("_tr1"))
+    t2 = tagged.select(F.col("_id").alias("d2"), F.col("_tr").alias("_tr2"))
+    cross = (
+        pairs.join(t1, "d1")
+        .join(t2, "d2")
+        .filter(F.col("_tr1") != F.col("_tr2"))
+        .agg(F.count("*").alias("neardup_cross_pairs"))
+    )
+    return (
+        sides.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(cross))
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("exact_cross_digests").cast("long").alias(
+                "exact_cross_digests"
+            ),
+            F.col("exact_cross_docs").cast("long").alias("exact_cross_docs"),
+            F.col("neardup_cross_pairs").cast("long").alias(
+                "neardup_cross_pairs"
+            ),
+        )
+    )

@@ -10464,3 +10464,124 @@ def x289(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1),
         k=50,
     )
+
+
+@_declare(
+    "X290_split_leakage",
+    # Train/test leakage audit (contamination.split_leakage_audit): docs
+    # with an exact or near duplicate ACROSS the 80/20 hash split — the
+    # contamination split-then-dedup silently ships. Exact side is one
+    # md5-group aggregate (no pair join); near-dup side filters the
+    # banded LSH pair relation to cross-split pairs. The oracle replays
+    # the md5 split and the exact jac>=0.8 pair relation.
+    """WITH tagged AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 1000000
+           < 800000 AS tr
+  FROM documents),
+sides AS (SELECT SUM(tr::INT)::BIGINT AS n_train,
+                 SUM((NOT tr)::INT)::BIGINT AS n_test FROM tagged),
+ex AS (SELECT COUNT(*)::BIGINT AS exact_cross_digests,
+              COALESCE(SUM(c), 0)::BIGINT AS exact_cross_docs
+       FROM (SELECT md5(text) AS h, COUNT(*) AS c, SUM(tr::INT) AS ctr
+             FROM tagged GROUP BY 1)
+       WHERE ctr > 0 AND ctr < c),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(string_split(text,' ')) - 2),
+           p -> string_split(text,' ')[p+1] || ' ' || string_split(text,' ')[p+2] || ' ' || string_split(text,' ')[p+3])) AS shingles
+  FROM documents),
+inv AS (SELECT doc_id, s.sh FROM sh, UNNEST(shingles) AS s(sh)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM inv a JOIN inv b USING (sh) WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT d1, d2 FROM cand JOIN sh x ON x.doc_id=d1 JOIN sh y ON y.doc_id=d2
+  WHERE len(list_intersect(x.shingles,y.shingles))::DOUBLE /
+        (len(x.shingles)+len(y.shingles)-len(list_intersect(x.shingles,y.shingles))) >= 0.8),
+nd AS (SELECT COUNT(*)::BIGINT AS neardup_cross_pairs
+       FROM pairs JOIN tagged a ON a.doc_id = d1 JOIN tagged b ON b.doc_id = d2
+       WHERE a.tr <> b.tr)
+SELECT n_train, n_test, exact_cross_digests, exact_cross_docs,
+       neardup_cross_pairs
+FROM sides CROSS JOIN ex CROSS JOIN nd;""",
+)
+def x290(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.contamination import (
+        split_leakage_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage_audit(docs, train_frac=0.8)
+
+
+@_declare(
+    "X291_aa_test",
+    # A/A calibration check (the harness-validation experiment every
+    # A/B platform runs first): split users by an independent hash salt
+    # into two pseudo-arms and run Welch's t on event value — a healthy
+    # pipeline shows |t| small; a big |t| means the assignment, the
+    # metric, or the variance model is broken. Pure composition of
+    # hash_bucket + the sufficient-stats Welch arithmetic.
+    """WITH armed AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5('aa' || user_id::VARCHAR), 1, 8)) AS BIGINT)
+              % 1000000 < 500000 THEN 'a' ELSE 'b' END AS arm,
+         value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+s AS (SELECT arm, COUNT(*)::DOUBLE AS n, AVG(x) AS m, var_samp(x) AS v
+      FROM armed GROUP BY 1),
+w AS (SELECT
+        MAX(CASE WHEN arm = 'a' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'a' THEN m END) AS ma,
+        MAX(CASE WHEN arm = 'a' THEN v END) AS va,
+        MAX(CASE WHEN arm = 'b' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'b' THEN m END) AS mb,
+        MAX(CASE WHEN arm = 'b' THEN v END) AS vb
+      FROM s)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(ma - mb, 6) AS diff,
+       ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       ROUND(pow(va / na + vb / nb, 2)
+             / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 6)
+         AS df_welch
+FROM w;""",
+)
+def x291(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    armed = ev.select(
+        F.when(
+            hash_bucket(F.col("user_id"), 1_000_000, "aa") < 500_000, "a"
+        ).otherwise("b").alias("arm"),
+        F.col("value").cast("double").alias("x"),
+    )
+    s = armed.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == "a", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "a", F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("arm") == "a", F.col("v"))).alias("va"),
+        F.max(F.when(F.col("arm") == "b", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "b", F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("arm") == "b", F.col("v"))).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma") - F.col("mb"), 6).alias("diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

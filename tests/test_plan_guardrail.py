@@ -153,6 +153,10 @@ ALLOWED_PAIR_SELF_JOINS = {
     # X262: composes X06's banded MinHash join (pairs only within a
     # (band, signature) bucket); the audit itself adds aggregates only
     "X262_cluster_transitivity": 1,
+    # X290: X06's banded join appears twice in the detector's walk (the
+    # candidate join + the exact-verify side both reach the shingle
+    # relation); the leakage filter itself is keyed on doc id, fan-out 1
+    "X290_split_leakage": 2,
     "X38_contamination": 1,
     "X47_upsert_snapshot": 1,
     "X48_training_pipeline": 1,

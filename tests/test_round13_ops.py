@@ -883,3 +883,47 @@ def test_rank_movers_planted(spark):
     assert by_term["w"]["status"] == "exited" and "z" not in by_term
     with pytest.raises(ValueError):
         topk_rank_movers(a, b, k=0)
+
+
+# --------------------------------------------------------- split_leakage_audit
+def test_split_leakage_detects_cross_split_twins(spark):
+    from swivel_spark_prep_spark.operators.contamination import (
+        split_leakage_audit,
+    )
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    base = ("the quick brown fox jumps over the lazy dog near the old river "
+            "bank today with extra words")
+    # find two ids that land on OPPOSITE sides of the 80/20 md5 split,
+    # then give them identical text — guaranteed cross-split exact dup
+    probe = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    ).select("doc_id", (hash_bucket(F.col("doc_id"), 1_000_000) < 800_000)
+             .alias("tr")).collect()
+    train_id = next(r.doc_id for r in probe if r.tr)
+    test_id = next(r.doc_id for r in probe if not r.tr)
+    rows = [(train_id, base), (test_id, base)]
+    free = [i for i in range(100, 140)]
+    for j, i in enumerate(free):
+        rows.append((i, f"unique doc {i} " + " ".join(
+            f"u{i}w{k}" for k in range(15))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = split_leakage_audit(docs).collect()[0]
+    assert r["exact_cross_digests"] == 1 and r["exact_cross_docs"] == 2
+    # the identical pair is also a near-dup pair across the split
+    assert r["neardup_cross_pairs"] >= 1
+    assert r["n_train"] + r["n_test"] == len(rows)
+    with pytest.raises(ValueError):
+        split_leakage_audit(docs, train_frac=1.0)
+
+
+def test_split_leakage_clean_after_dedup_then_split(spark):
+    from swivel_spark_prep_spark.operators.contamination import (
+        split_leakage_audit,
+    )
+
+    rows = [(i, f"distinct doc {i} " + " ".join(f"d{i}w{k}" for k in range(15)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = split_leakage_audit(docs).collect()[0]
+    assert r["exact_cross_docs"] == 0 and r["neardup_cross_pairs"] == 0
