@@ -2257,3 +2257,274 @@ def james_stein_means(
             "mean_shrunk"
         ),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata (Mantel &
+    Haenszel 1959) — the constructive follow-up to a Simpson's-paradox
+    detection: instead of reporting the confounded marginal odds ratio,
+    pool the per-stratum 2×2 tables into one stratification-adjusted
+    estimate,
+
+        OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ)
+
+    with the Robins–Breslow–Greenland (1986) variance of log OR_MH
+    (valid under both sparse-strata and large-strata asymptotics)::
+
+        Var = ΣPR/(2R²) + Σ(PS+QR)/(2RS) + ΣQS/(2S²)
+        P=(a+d)/n, Q=(b+c)/n, R=ad/n, S=bc/n, R=ΣRᵢ, S=ΣSᵢ
+
+    Scale design: the whole computation is ONE grouped conditional-sum
+    aggregate (stratum → a,b,c,d) followed by a 1-row re-aggregate
+    broadcast back onto the per-stratum relation — no joins on data,
+    no windows. ``exposed_col``/``outcome_col`` are boolean columns.
+    Output per stratum: (stratum, a, b, c, d, or_stratum) plus the
+    pooled (or_mh, se_log_or, or_lo95, or_hi95) repeated on every row.
+    """
+    e = F.col(exposed_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    per = (
+        df.filter(e.isNotNull() & o.isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.sum((e & o).cast("double")).alias("a"),
+            F.sum((e & ~o).cast("double")).alias("b"),
+            F.sum((~e & o).cast("double")).alias("c"),
+            F.sum((~e & ~o).cast("double")).alias("d"),
+        )
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    rr = F.col("a") * F.col("d") / n
+    ss = F.col("b") * F.col("c") / n
+    p = (F.col("a") + F.col("d")) / n
+    q = (F.col("b") + F.col("c")) / n
+    pooled = per.agg(
+        F.sum(rr).alias("_r"),
+        F.sum(ss).alias("_s"),
+        F.sum(p * rr).alias("_pr"),
+        F.sum(p * ss + q * rr).alias("_psqr"),
+        F.sum(q * ss).alias("_qs"),
+    ).select(
+        (F.col("_r") / F.nullif(F.col("_s"), F.lit(0.0))).alias("_ormh"),
+        F.sqrt(
+            F.col("_pr") / (2 * F.col("_r") * F.col("_r"))
+            + F.col("_psqr") / (2 * F.col("_r") * F.col("_s"))
+            + F.col("_qs") / (2 * F.col("_s") * F.col("_s"))
+        ).alias("_se"),
+    )
+    out = per.crossJoin(F.broadcast(pooled))
+    return out.select(
+        "stratum",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.round(
+            F.col("a") * F.col("d")
+            / F.nullif(F.col("b") * F.col("c"), F.lit(0.0)),
+            6,
+        ).alias("or_stratum"),
+        F.round("_ormh", 6).alias("or_mh"),
+        F.round("_se", 6).alias("se_log_or"),
+        F.round(F.exp(F.log("_ormh") - 1.959964 * F.col("_se")), 6).alias(
+            "or_lo95"
+        ),
+        F.round(F.exp(F.log("_ormh") + 1.959964 * F.col("_se")), 6).alias(
+            "or_hi95"
+        ),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test for k related treatments over n blocks
+    (Friedman 1937) plus Kendall's coefficient of concordance
+    W = χ²_F / (n(k−1)) — the repeated-measures complement to
+    Kruskal–Wallis: each block (user, rater, day) ranks the k
+    treatments internally, so between-block level shifts cancel by
+    construction. Only COMPLETE blocks (all k treatments present
+    after the (block, treatment) pre-aggregate) enter the test.
+
+        χ²_F = 12/(nk(k+1)) · ΣⱼR²ⱼ − 3n(k+1)
+
+    with midranks for ties (rank − 1 + (t+1)/2 via the per-block RANK
+    window plus a tied-count window; the plain statistic is reported
+    without the tie-correction denominator — ties across a block's k
+    cells are rare when the cell measure is a continuous mean).
+
+    Scale design: ranks use windows partitioned by BLOCK (millions of
+    small partitions, never a global sort); completeness is a count
+    window over the same partition against the broadcast global k;
+    everything after is a k-row aggregate. Output per treatment:
+    (treatment, n_blocks, rank_sum, mean_rank) with (k, chi2_f,
+    kendall_w) repeated.
+    """
+    cell = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(block_col).alias("_b"), F.col(treatment_col).alias("_t")
+        )
+        .agg(F.avg(F.col(value_col).cast("double")).alias("_x"))
+    )
+    kglob = cell.agg(F.countDistinct("_t").cast("double").alias("_k"))
+    wb = Window.partitionBy("_b")
+    complete = (
+        cell.withColumn("_nt", F.count("*").over(wb))
+        .crossJoin(F.broadcast(kglob))
+        .filter(F.col("_nt") == F.col("_k"))
+    )
+    w_rank = Window.partitionBy("_b").orderBy("_x")
+    w_tie = Window.partitionBy("_b", "_x")
+    ranked = complete.select(
+        "_t",
+        "_k",
+        (
+            F.rank().over(w_rank).cast("double")
+            - 1
+            + (F.count("*").over(w_tie).cast("double") + 1) / 2
+        ).alias("_r"),
+    )
+    per = ranked.groupBy("_t", "_k").agg(
+        F.count("*").cast("double").alias("_n"), F.sum("_r").alias("_rs")
+    )
+    stats = per.agg(
+        F.first("_n").alias("_nb"),
+        F.first("_k").alias("_kk"),
+        F.sum(F.col("_rs") * F.col("_rs")).alias("_rs2"),
+    ).select(
+        "_nb",
+        "_kk",
+        (
+            12.0 / (F.col("_nb") * F.col("_kk") * (F.col("_kk") + 1))
+            * F.col("_rs2")
+            - 3 * F.col("_nb") * (F.col("_kk") + 1)
+        ).alias("_chi2"),
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("_t").alias("treatment"),
+            F.col("_n").cast("long").alias("n_blocks"),
+            F.round("_rs", 6).alias("rank_sum"),
+            F.round(F.col("_rs") / F.col("_n"), 6).alias("mean_rank"),
+            F.col("_kk").cast("long").alias("k"),
+            F.round("_chi2", 6).alias("chi2_f"),
+            F.round(
+                F.col("_chi2") / (F.col("_nb") * (F.col("_kk") - 1)), 6
+            ).alias("kendall_w"),
+        )
+    )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (total value
+    per event, revenue per session, tokens per request) where the
+    randomization/iid unit is the USER, not the event — the estimator
+    every A/B platform needs because events within a user are
+    correlated and the naive per-event SE is anti-conservative
+    (Deng, Knoblich & Lu, KDD 2018). With per-unit totals
+    (yᵢ = Σ value, xᵢ = #events), R = ΣY/ΣX = ȳ/x̄ and
+
+        Var(R) ≈ (S²_y − 2R·S_yx + R²·S²_x) / (n·x̄²)
+
+    Scale design: one groupBy(unit) aggregate, then one (grouped)
+    moments aggregate with var_samp/covar_samp — two shuffles total,
+    no windows, no per-unit state on the driver. Output per group:
+    (n_units, n_events, ratio, se, lo95, hi95).
+    """
+    gcols = [group_col] if group_col else []
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(unit_col).alias("_u"))
+        .agg(
+            F.sum(F.col(value_col).cast("double")).alias("_y"),
+            F.count("*").cast("double").alias("_x"),
+        )
+    )
+    m = per.groupBy(*gcols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_x").alias("_sx"),
+        F.var_samp("_y").alias("_vy"),
+        F.var_samp("_x").alias("_vx"),
+        F.covar_samp("_y", "_x").alias("_cyx"),
+    )
+    r = F.col("_sy") / F.col("_sx")
+    xbar = F.col("_sx") / F.col("_n")
+    var = (
+        (F.col("_vy") - 2 * r * F.col("_cyx") + r * r * F.col("_vx"))
+        / (F.col("_n") * xbar * xbar)
+    )
+    se = F.when(var >= 0, F.sqrt(var))
+    return m.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n_units"),
+        F.col("_sx").cast("long").alias("n_events"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - 1.959964 * se, 6).alias("lo95"),
+        F.round(r + 1.959964 * se, 6).alias("hi95"),
+    )
+
+
+def g_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """G-test (log-likelihood-ratio) of independence over a two-way
+    contingency table (Sokal & Rohlf; Woolf 1957) — the information-
+    theoretic twin of chi2_independence: G = 2·Σ O·ln(O/E) equals
+    2N·I(A;B) in nats, so it is additive across table partitions
+    (chi² is not) and better behaved when expected counts are small
+    but observed are 0 (0·ln0 terms vanish exactly). Same χ²_{df}
+    reference distribution, df = (r−1)(c−1).
+
+    Scale design: identical shape to chi2_independence — one grouped
+    cell count, marginals as two re-aggregates joined back on the
+    bounded label relations, one scalar re-aggregate. Zero cells
+    contribute 0 (only realized cells appear in the grouped relation,
+    matching the 0·ln0 limit). Output one row:
+    (n, r_levels, c_levels, df, g_stat, mi_nats).
+    """
+    base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    cells = base.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count("*").cast("double").alias("_o"))
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = cells.agg(F.sum("_o").alias("_n"))
+    j = (
+        cells.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    return (
+        j.agg(
+            F.first("_n").alias("n"),
+            F.countDistinct("_a").alias("r_levels"),
+            F.countDistinct("_b").alias("c_levels"),
+            F.sum(2 * F.col("_o") * F.log(F.col("_o") / e)).alias("_g"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("r_levels").cast("long").alias("r_levels"),
+            F.col("c_levels").cast("long").alias("c_levels"),
+            ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+            .cast("long")
+            .alias("df"),
+            F.round("_g", 6).alias("g_stat"),
+            F.round(F.col("_g") / (2 * F.col("n")), 6).alias("mi_nats"),
+        )
+    )

@@ -1243,3 +1243,218 @@ def lorenz_curve(
             F.round("_share", 6).alias("cum_value_share"),
         )
     )
+
+
+def inequality_indices(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Theil-T, Theil-L (mean log deviation) and Atkinson(ε=1)
+    inequality indices per group (Theil 1967; Atkinson 1970) — the
+    decomposable complements to the Gini/Lorenz pair already in the
+    repo: Theil-T is additively decomposable into within/between-group
+    terms (Gini is not), and Atkinson(1) = 1 − geomean/mean has a
+    direct "share of the metric you could discard at equal welfare"
+    reading for corpus-concentration audits.
+
+        T = E[(x/μ)·ln(x/μ)]     L = E[ln(μ/x)]     A₁ = 1 − e^{−L}
+
+    Scale design: ONE grouped aggregate over (Σx, Σln x, Σx·ln x, n) —
+    the indices are pure arithmetic on those four sufficient statistics
+    (T = Σx·lnx/Σx − ln μ, L = ln μ − Σlnx/n), so there is no second
+    pass and no window. Rows with x ≤ 0 are excluded (log domain);
+    their count is reported. Output per group:
+    (n, n_nonpos, mean, theil_t, theil_l, atkinson_1).
+    """
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("double")
+    agg = df.filter(x.isNotNull()).groupBy(*gcols).agg(
+        F.sum((x <= 0).cast("long")).alias("_np"),
+        F.count(F.when(x > 0, 1)).cast("double").alias("_n"),
+        F.sum(F.when(x > 0, x)).alias("_sx"),
+        F.sum(F.when(x > 0, F.log(x))).alias("_sl"),
+        F.sum(F.when(x > 0, x * F.log(x))).alias("_sxl"),
+    )
+    mu = F.col("_sx") / F.col("_n")
+    t = F.col("_sxl") / F.col("_sx") - F.log(mu)
+    el = F.log(mu) - F.col("_sl") / F.col("_n")
+    return agg.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_np").alias("n_nonpos"),
+        F.round(mu, 6).alias("mean"),
+        F.round(t, 6).alias("theil_t"),
+        F.round(el, 6).alias("theil_l"),
+        F.round(1 - F.exp(-el), 6).alias("atkinson_1"),
+    )
+
+
+def empirical_bernstein_bounds(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    delta: float = 0.05,
+) -> DataFrame:
+    """Per-group empirical-Bernstein confidence bound on the mean
+    (Maurer & Pontil 2009, Thm 4) — the variance-adaptive alternative
+    to Hoeffding for "is this source's quality mean really above the
+    bar": for n iid samples in a range of width R, with probability
+    ≥ 1 − δ,
+
+        |x̄ − μ| ≤ √(2·V·ln(2/δ)/n) + 7·R·ln(2/δ)/(3(n−1))
+
+    where V is the SAMPLE variance — low-variance groups get bounds
+    near the √V CLT rate instead of Hoeffding's range-driven R/√n.
+    The observed per-group range is used as the plug-in R (reported,
+    so callers with an a-priori range can rescale).
+
+    Scale design: one grouped moments aggregate (n, mean, var, min,
+    max); the bound is row arithmetic. Groups with n < 2 report NULL
+    bounds. Output per group: (n, mean, sd, range_r, bound, lo, hi).
+    """
+    import math
+
+    if not 0.0 < delta < 1.0:
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("double")
+    ln2d = math.log(2.0 / delta)
+    agg = df.filter(x.isNotNull()).groupBy(*gcols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(x).alias("_m"),
+        F.var_samp(x).alias("_v"),
+        (F.max(x) - F.min(x)).alias("_r"),
+    )
+    bound = F.when(
+        F.col("_n") >= 2,
+        F.sqrt(2 * F.col("_v") * ln2d / F.col("_n"))
+        + 7 * F.col("_r") * ln2d / (3 * (F.col("_n") - 1)),
+    )
+    return agg.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 6).alias("mean"),
+        F.round(F.sqrt("_v"), 6).alias("sd"),
+        F.round("_r", 6).alias("range_r"),
+        F.round(bound, 6).alias("bound"),
+        F.round(F.col("_m") - bound, 6).alias("lo"),
+        F.round(F.col("_m") + bound, 6).alias("hi"),
+    )
+
+
+def holm_adjust(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm step-down multiple-testing adjustment (Holm 1979) — the
+    FAMILY-WISE error companion to fdr_bh: BH bounds the expected
+    false-discovery RATE (fine for screening), Holm bounds the
+    probability of ANY false alarm (what an on-call page needs),
+    uniformly more powerful than plain Bonferroni at the same
+    guarantee. Adjusted p for the i-th smallest p-value:
+
+        p̃᷒ᵢ = max_{j≤i} min(1, (m − j + 1)·pⱼ)
+
+    Tie-safe, rank-free formulation (same design as fdr_bh): j is the
+    COMPETITION rank = 1 + #p' < p (exclusive prefix count over the
+    distinct-p relation), so every member of a tied block shares the
+    largest factor (m − j + 1) — conservative and independent of any
+    arbitrary tie order; the running max is an inclusive prefix max in
+    distinct-p order. Both prefixes ride partitioned_prefix_sum /
+    the same range-partitioned pass — no single-task window, no
+    triangular join. Input rows pass through with (m_tests,
+    p_holm, rejected) appended; NULL p is never rejected.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    dp = (
+        df.select(F.col(p_col).cast("double").alias("_pd"))
+        .filter(F.col("_pd").isNotNull())
+        .groupBy("_pd")
+        .agg(F.count("*").alias("_t"))
+    )
+    # exclusive prefix count -> competition rank j = _c + 1
+    cnt = partitioned_prefix_sum(dp, ["_pd"], "_t", ["_c"], inclusive=False)
+    m = dp.agg(F.sum("_t").cast("double").alias("_m"))
+    stepped = cnt.crossJoin(F.broadcast(m)).select(
+        "_pd",
+        F.least(
+            F.lit(1.0), (F.col("_m") - F.col("_c")) * F.col("_pd")
+        ).alias("_step"),
+    )
+    # the step-down envelope is an inclusive prefix MAX in distinct-p
+    # order — _prefix_max below is the prefix-sum two-pass scheme with
+    # max in place of sum (driver-side carry over #partitions scalars)
+    env = _prefix_max(stepped, "_pd", "_step", "_holm")
+    out = df.crossJoin(F.broadcast(m.select(F.col("_m").cast("long").alias("m_tests"))))
+    j = out.join(
+        env.select(F.col("_pd").alias(p_col + "__k"), "_holm"),
+        F.col(p_col).cast("double") == F.col(p_col + "__k"),
+        "left",
+    ).drop(p_col + "__k")
+    return j.select(
+        *df.columns,
+        "m_tests",
+        F.round("_holm", 6).alias("p_holm"),
+        F.coalesce(F.col("_holm") <= alpha, F.lit(False)).alias("rejected"),
+    )
+
+
+def _prefix_max(df: DataFrame, order_col: str, value_col: str, out_col: str) -> DataFrame:
+    """Inclusive running MAX over a total order without a global
+    single-partition window: range-partition by the order column, take
+    the local running max per partition, then add the cross-partition
+    carry — computed DRIVER-SIDE over #partitions scalars (never data),
+    the exact scheme ranks.partitioned_prefix_sum uses for its sums, so
+    the plan carries no unpartitioned window and no single-task stage.
+    """
+    from swivel_spark_prep_spark.cache import track_persist
+
+    spark = df.sparkSession
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+        2,
+    )
+    ranged = df.repartitionByRange(n_part, order_col).sortWithinPartitions(
+        order_col
+    )
+    with_pid = track_persist(ranged.withColumn("_pid", F.spark_partition_id()))
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn("_lmax", F.max(value_col).over(w_local))
+    # cross-partition carry: max over all EARLIER partitions' maxima —
+    # #partitions numbers folded on the driver (control plane, not data)
+    heads = {
+        r["_pid"]: r["_pmax"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.max(value_col).alias("_pmax"))
+        .collect()
+    }
+    carries, acc = {}, None
+    for pid in sorted(heads):
+        carries[pid] = acc
+        v = heads[pid]
+        acc = v if acc is None or (v is not None and v > acc) else acc
+    carry_expr = F.coalesce(
+        *[
+            F.when(F.col("_pid") == p, F.lit(c))
+            for p, c in carries.items()
+            if c is not None
+        ]
+        or [F.lit(None).cast("double")],
+        F.lit(None).cast("double"),
+    )
+    return (
+        local.withColumn(
+            out_col, F.greatest(F.col("_lmax"), F.coalesce(carry_expr, F.col("_lmax")))
+        )
+        .drop("_pid", "_lmax", value_col)
+    )

@@ -1364,3 +1364,73 @@ def geometric_median(
         )
         c = [r["_sw"] / r["_w"] for r in sums]
     return c
+
+
+def margin_neighbors(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+) -> DataFrame:
+    """Margin-based neighbor mining (Artetxe & Schwenk, ACL 2019 —
+    the BUCC/CCMatrix parallel-corpus mining criterion): split the
+    collection into sources A (even id) and targets B (odd id); for
+    each x∈A score candidates y∈B by the RATIO margin
+
+        margin(x,y) = cos(x,y) / ((avgₖ(x→B) + avgₖ(y→A)) / 2)
+
+    where avgₖ is the mean similarity to the k nearest neighbors in
+    the OTHER set — raw cosine is incomparable across hubs (some
+    vectors are near everything), the margin normalizes by each
+    side's local density, which is why mined bitext quality jumps
+    versus absolute-threshold mining. Returns each source's best
+    candidate: (x, y, sim, margin).
+
+    Scale design: the pair relation reuses the blocked-matmul
+    primitive (_blocked_pair_sims: grid of aggregated block pairs,
+    dense BLAS per task, never a row-scale self-join); the avgₖ
+    normalizers are top-k windows PARTITIONED by x / by y; the final
+    argmax is a row_number per x. This is the exact baseline — at
+    corpus scale the pair relation is replaced by ANN candidates
+    (ann_topk / ivf_topk) and the same margin arithmetic applies
+    unchanged.
+    """
+    pairs = _blocked_pair_sims(emb, block_size, id_col, vec_col, None, None)
+    cross = pairs.filter((F.col("i") % 2) != (F.col("j") % 2)).select(
+        F.when(F.col("i") % 2 == 0, F.col("i")).otherwise(F.col("j")).alias("x"),
+        F.when(F.col("i") % 2 == 0, F.col("j")).otherwise(F.col("i")).alias("y"),
+        "sim",
+    )
+    from pyspark.sql.window import Window
+
+    wx = Window.partitionBy("x").orderBy(F.desc("sim"), "y")
+    wy = Window.partitionBy("y").orderBy(F.desc("sim"), "x")
+    ax = (
+        cross.withColumn("_rn", F.row_number().over(wx))
+        .filter(F.col("_rn") <= k)
+        .groupBy("x")
+        .agg(F.avg("sim").alias("_ax"))
+    )
+    ay = (
+        cross.withColumn("_rn", F.row_number().over(wy))
+        .filter(F.col("_rn") <= k)
+        .groupBy("y")
+        .agg(F.avg("sim").alias("_ay"))
+    )
+    m = (
+        cross.join(ax, "x")
+        .join(ay, "y")
+        .withColumn("margin", F.col("sim") / ((F.col("_ax") + F.col("_ay")) / 2))
+    )
+    wbest = Window.partitionBy("x").orderBy(F.desc("margin"), "y")
+    return (
+        m.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "x",
+            "y",
+            F.round("sim", 4).alias("sim"),
+            F.round("margin", 4).alias("margin"),
+        )
+    )

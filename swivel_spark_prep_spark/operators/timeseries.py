@@ -2022,3 +2022,188 @@ def ks_uniform_time_of_day(
             F.round(F.sqrt(F.col("n")) * F.col("_d"), 6).alias("sqrt_n_d"),
         )
     )
+
+
+def ad_uniform_time_of_day(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """One-sample Anderson–Darling test of time-of-day against
+    Uniform[0,1) (Anderson & Darling 1954) — the tail-weighted
+    complement to ks_uniform_time_of_day: KS weighs all quantiles
+    equally, A² up-weights the tails by 1/(F(1−F)), so it catches
+    "traffic dies only in a narrow night window" shapes KS smooths
+    over. Compare A² to 2.492 (α=.05) / 3.878 (α=.01).
+
+    Tie-stable rank-free formulation: the textbook
+
+        A² = −n − (1/n)·Σᵢ(2i−1)[ln u₍ᵢ₎ + ln(1−u₍ₙ₊₁₋ᵢ₎)]
+
+    regroups per DISTINCT u with tied count t and exclusive prefix
+    count s as Σ over distinct u of (2st+t²)·ln u + (2t(n−s)−t²)·
+    ln(1−u) — algebraically identical for any tie order, computed from
+    one distinct-value aggregate + the range-partitioned prefix count
+    (partitioned_prefix_sum, no global window). u is clamped to
+    [ε, 1−ε] (ε = 1e−12) for the log domain. Output per group:
+    (n, a2_stat).
+    """
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_sum,
+    )
+
+    gcols = [group_col] if group_col else []
+    eps = 1e-12
+    u_raw = (
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) % 86_400_000_000)
+        / 86_400_000_000.0
+    )
+    u = F.least(F.lit(1.0 - eps), F.greatest(F.lit(eps), u_raw))
+    dv = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*gcols, u.alias("_u"))
+        .groupBy(*gcols, "_u")
+        .agg(F.count("*").cast("double").alias("_t"))
+    )
+    cnt = partitioned_prefix_sum(
+        dv, ["_u"], "_t", ["_s"], group_cols=gcols, inclusive=False
+    )
+    tot = dv.groupBy(*gcols).agg(F.sum("_t").alias("_n"))
+    j = (
+        cnt.join(F.broadcast(tot), gcols)
+        if gcols
+        else cnt.crossJoin(F.broadcast(tot))
+    )
+    s, t, n = F.col("_s"), F.col("_t"), F.col("_n")
+    contrib = (2 * s * t + t * t) * F.log("_u") + (
+        2 * t * (n - s) - t * t
+    ) * F.log(1 - F.col("_u"))
+    return (
+        j.groupBy(*gcols)
+        .agg(
+            F.first("_n").cast("long").alias("n"),
+            F.sum(contrib).alias("_sc"),
+        )
+        .select(
+            *gcols,
+            "n",
+            F.round(-F.col("n") - F.col("_sc") / F.col("n"), 6).alias(
+                "a2_stat"
+            ),
+        )
+    )
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    return_period: int = 100,
+) -> DataFrame:
+    """Extreme-value tail fit by block maxima (Gumbel 1958; the
+    Fisher–Tippett type-I member of the GEV family): take DAILY maxima
+    of the metric, fit Gumbel(μ, β) by the method of moments
+
+        β = s·√6/π        μ = m − γ·β   (γ = 0.5772156649 Euler)
+
+    and report the T-block return level μ − β·ln(−ln(1−1/T)) — "the
+    daily-max value exceeded about once per T days", the right
+    monitoring statistic for latency/size spikes where means and even
+    p99s are blind. Method of moments (not MLE) keeps the fit a pure
+    two-aggregate plan; for monitoring-grade alarms the MoM/MLE gap is
+    far inside block-sampling noise.
+
+    Scale design: groupBy(group, day)·max → groupBy(group) moments —
+    two shuffles of shrinking relations, no windows. Groups need ≥ 2
+    blocks for s; others report NULLs. Output per group:
+    (n_blocks, max_mean, max_sd, mu, beta, ret_level).
+    """
+    import math
+
+    if return_period < 2:
+        raise ValueError(f"return_period must be >= 2, got {return_period}")
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("double")
+    blocks = (
+        df.filter(x.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(F.max(x).alias("_mx"))
+    )
+    agg = blocks.groupBy(*gcols).agg(
+        F.count("*").cast("double").alias("_nb"),
+        F.avg("_mx").alias("_m"),
+        F.stddev_samp("_mx").alias("_s"),
+    )
+    beta = F.col("_s") * math.sqrt(6.0) / math.pi
+    mu = F.col("_m") - 0.5772156649015329 * beta
+    ret = mu - beta * math.log(-math.log(1.0 - 1.0 / return_period))
+    return agg.select(
+        *gcols,
+        F.col("_nb").cast("long").alias("n_blocks"),
+        F.round("_m", 6).alias("max_mean"),
+        F.round("_s", 6).alias("max_sd"),
+        F.round(mu, 6).alias("mu"),
+        F.round(beta, 6).alias("beta"),
+        F.round(ret, 6).alias("ret_level"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    order_tiebreak: str | None = None,
+    delta: float = 0.0,
+    lam: float = 100.0,
+) -> DataFrame:
+    """Page–Hinkley upward mean-shift detector (Page 1954; Hinkley
+    1971) — the running-mean-referenced cousin of CUSUM already in the
+    repo: CUSUM needs a target mean supplied a priori; PH self-
+    references the expanding-window mean, so it detects "the stream
+    drifted above where it has been so far" with no calibration
+    input. Per group in (ts, tiebreak) order::
+
+        mₜ = mean(x₁..xₜ)          (expanding)
+        Uₜ = Σᵢ≤ₜ (xᵢ − mᵢ − δ)
+        PHₜ = Uₜ − min_{s≤t} U_s    → alarm when PHₜ > λ
+
+    Scale design: three stacked windows, all PARTITIONED by the group
+    (expanding avg, expanding sum, expanding min) — ordered by
+    (ts, tiebreak) for determinism under equal timestamps. This is the
+    one operator class where a per-key sequential scan is the
+    definition; the partitioned window IS the scale-correct plan
+    (millions of keys parallelize; a single global stream would use
+    the streaming twin instead). Output per group:
+    (n, max_ph, n_alarms, first_alarm_ts).
+    """
+    gcols = [group_col] if group_col else []
+    ocols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(ts_col).isNotNull()).select(
+        *gcols, F.col(ts_col).alias("_ts"),
+        *([F.col(order_tiebreak).alias("_tb")] if order_tiebreak else []),
+        x.alias("_x"),
+    )
+    obcols = [F.col("_ts")] + ([F.col("_tb")] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(*obcols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = base.withColumn(
+        "_term", F.col("_x") - F.avg("_x").over(w) - F.lit(delta)
+    )
+    cum = stepped.withColumn("_u", F.sum("_term").over(w))
+    ph = cum.withColumn("_ph", F.col("_u") - F.min("_u").over(w))
+    return ph.groupBy(*gcols).agg(
+        F.count("*").alias("n"),
+        F.round(F.max("_ph"), 6).alias("max_ph"),
+        F.sum((F.col("_ph") > lam).cast("long")).alias("n_alarms"),
+        F.min(F.when(F.col("_ph") > lam, F.col("_ts"))).alias(
+            "first_alarm_ts"
+        ),
+    )

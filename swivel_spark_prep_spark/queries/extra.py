@@ -10585,3 +10585,427 @@ def x291(spark, sf_dir):
             6,
         ).alias("df_welch"),
     )
+
+
+@_declare(
+    "X292_ad_uniform_tod",
+    # Anderson-Darling one-sample test of time-of-day vs Uniform[0,1)
+    # per event type (timeseries.ad_uniform_time_of_day): the
+    # tail-weighted complement to X284's KS — A2 up-weights the tails
+    # by 1/(F(1-F)). Tie-stable rank-free form: per distinct u with
+    # tied count t and exclusive prefix count s the (2i-1) weights
+    # regroup to (2st+t^2)ln(u) + (2t(n-s)-t^2)ln(1-u); the oracle
+    # replays the same regrouped sum. Compare a2 to 2.492 (alpha .05).
+    """WITH base AS (
+  SELECT event_type AS g,
+         least(1 - 1e-12, greatest(1e-12,
+           (epoch_us(ts) % 86400000000) / 86400000000.0)) AS u
+  FROM events WHERE ts IS NOT NULL),
+dv AS (SELECT g, u, COUNT(*)::DOUBLE AS t FROM base GROUP BY 1, 2),
+pc AS (SELECT g, u, t,
+              COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY u
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+              SUM(t) OVER (PARTITION BY g) AS n
+       FROM dv)
+SELECT g AS event_type, ANY_VALUE(n)::BIGINT AS n,
+       ROUND(-ANY_VALUE(n)
+             - SUM((2*s*t + t*t) * ln(u) + (2*t*(n - s) - t*t) * ln(1 - u))
+               / ANY_VALUE(n), 6) AS a2_stat
+FROM pc GROUP BY g ORDER BY g;""",
+)
+def x292(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        ad_uniform_time_of_day,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ad_uniform_time_of_day(ev, "ts", "event_type").orderBy("event_type")
+
+
+@_declare(
+    "X293_mantel_haenszel",
+    # Mantel-Haenszel stratification-adjusted pooled odds ratio
+    # (evalmetrics.mantel_haenszel) with the Robins-Breslow-Greenland
+    # SE — the constructive follow-up to X265's Simpson detector:
+    # exposure = an independent md5 hash arm on user_id (salt 'mh'),
+    # outcome = value > 50, strata = event_type. One grouped
+    # conditional-sum aggregate + a broadcast 1-row pooled relation.
+    """WITH b AS (
+  SELECT event_type AS stratum,
+         CAST(('0x' || substr(md5('mh' || user_id::VARCHAR), 1, 8)) AS BIGINT)
+           % 1000000 < 500000 AS e,
+         value > 50.0 AS o
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+per AS (SELECT stratum,
+               SUM((e AND o)::INT)::DOUBLE AS a,
+               SUM((e AND NOT o)::INT)::DOUBLE AS bb,
+               SUM((NOT e AND o)::INT)::DOUBLE AS c,
+               SUM((NOT e AND NOT o)::INT)::DOUBLE AS d
+        FROM b GROUP BY 1),
+pool AS (SELECT SUM(a*d/(a+bb+c+d)) AS r, SUM(bb*c/(a+bb+c+d)) AS s,
+                SUM((a+d)/(a+bb+c+d) * a*d/(a+bb+c+d)) AS pr,
+                SUM((a+d)/(a+bb+c+d) * bb*c/(a+bb+c+d)
+                    + (bb+c)/(a+bb+c+d) * a*d/(a+bb+c+d)) AS psqr,
+                SUM((bb+c)/(a+bb+c+d) * bb*c/(a+bb+c+d)) AS qs
+         FROM per),
+pm AS (SELECT r / NULLIF(s, 0) AS ormh,
+              sqrt(pr/(2*r*r) + psqr/(2*r*s) + qs/(2*s*s)) AS se
+       FROM pool)
+SELECT stratum, a::BIGINT AS a, bb::BIGINT AS b, c::BIGINT AS c, d::BIGINT AS d,
+       ROUND(a*d / NULLIF(bb*c, 0), 6) AS or_stratum,
+       ROUND(ormh, 6) AS or_mh, ROUND(se, 6) AS se_log_or,
+       ROUND(exp(ln(ormh) - 1.959964*se), 6) AS or_lo95,
+       ROUND(exp(ln(ormh) + 1.959964*se), 6) AS or_hi95
+FROM per CROSS JOIN pm ORDER BY stratum;""",
+)
+def x293(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import mantel_haenszel
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    armed = ev.select(
+        F.col("event_type"),
+        (hash_bucket(F.col("user_id"), 1_000_000, "mh") < 500_000).alias(
+            "exposed"
+        ),
+        (F.col("value") > 50.0).alias("outcome"),
+    )
+    return mantel_haenszel(armed, "event_type", "exposed", "outcome").orderBy(
+        "stratum"
+    )
+
+
+@_declare(
+    "X294_friedman_test",
+    # Friedman rank test + Kendall's W over k=5 related treatments
+    # (evalmetrics.friedman_test): each user ranks the event types by
+    # mean value internally, so between-user level shifts cancel —
+    # the repeated-measures complement to X217's Kruskal-Wallis. Only
+    # complete blocks enter; midranks for ties. Windows are
+    # partitioned by BLOCK (user), never global.
+    """WITH cell AS (SELECT user_id AS b, event_type AS t, AVG(value) AS x
+              FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1, 2),
+k AS (SELECT COUNT(DISTINCT t)::DOUBLE AS k FROM cell),
+complete AS (SELECT c.* FROM cell c
+             JOIN (SELECT b FROM cell GROUP BY b
+                   HAVING COUNT(*) = (SELECT k FROM k)) ok USING (b)),
+r AS (SELECT b, t,
+             RANK() OVER (PARTITION BY b ORDER BY x) - 1
+             + (COUNT(*) OVER (PARTITION BY b, x) + 1) / 2.0 AS rk
+      FROM complete),
+per AS (SELECT t, COUNT(*)::DOUBLE AS n, SUM(rk) AS rs FROM r GROUP BY 1),
+st AS (SELECT ANY_VALUE(n) AS nb, (SELECT k FROM k) AS kk,
+              SUM(rs*rs) AS rs2 FROM per),
+ch AS (SELECT nb, kk,
+              12.0/(nb*kk*(kk+1))*rs2 - 3*nb*(kk+1) AS chi2 FROM st)
+SELECT t AS treatment, n::BIGINT AS n_blocks, ROUND(rs, 6) AS rank_sum,
+       ROUND(rs/n, 6) AS mean_rank, kk::BIGINT AS k,
+       ROUND(chi2, 6) AS chi2_f, ROUND(chi2/(nb*(kk-1)), 6) AS kendall_w
+FROM per CROSS JOIN ch ORDER BY treatment;""",
+)
+def x294(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import friedman_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return friedman_test(ev, "user_id", "event_type", "value").orderBy(
+        "treatment"
+    )
+
+
+@_declare(
+    "X295_ratio_metric_ci",
+    # Delta-method CI for the per-event value ratio with USER as the
+    # iid unit (evalmetrics.ratio_metric_ci; Deng/Knoblich/Lu KDD'18):
+    # events within a user are correlated, so the naive per-event SE
+    # is anti-conservative — the delta method corrects with per-user
+    # (sum, count) covariances. Two shrinking aggregates, no windows.
+    """WITH per AS (SELECT event_type AS g, user_id AS u,
+                    SUM(value) AS y, COUNT(*)::DOUBLE AS x
+             FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1, 2),
+m AS (SELECT g, COUNT(*)::DOUBLE AS n, SUM(y) AS sy, SUM(x) AS sx,
+             var_samp(y) AS vy, var_samp(x) AS vx, covar_samp(y, x) AS cyx
+      FROM per GROUP BY 1),
+c AS (SELECT g, n, sx, sy, sy/sx AS r,
+             (vy - 2*(sy/sx)*cyx + (sy/sx)*(sy/sx)*vx)
+               / (n * (sx/n) * (sx/n)) AS v
+      FROM m)
+SELECT g AS event_type, n::BIGINT AS n_units, sx::BIGINT AS n_events,
+       ROUND(r, 6) AS ratio,
+       ROUND(CASE WHEN v >= 0 THEN sqrt(v) END, 6) AS se,
+       ROUND(r - 1.959964 * CASE WHEN v >= 0 THEN sqrt(v) END, 6) AS lo95,
+       ROUND(r + 1.959964 * CASE WHEN v >= 0 THEN sqrt(v) END, 6) AS hi95
+FROM c ORDER BY event_type;""",
+)
+def x295(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import ratio_metric_ci
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return ratio_metric_ci(ev, "user_id", "value", "event_type").orderBy(
+        "event_type"
+    )
+
+
+@_declare(
+    "X296_g_test",
+    # G-test (log-likelihood-ratio) of lang x source independence
+    # (evalmetrics.g_test): the information-theoretic twin of X160's
+    # chi2 — G = 2N*I(A;B) nats, additive across table partitions,
+    # exact 0*ln0 handling. Same plan shape as chi2_independence.
+    """WITH cells AS (SELECT lang AS a, source AS b, COUNT(*)::DOUBLE AS o
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM cells),
+j AS (SELECT a, b, o, ra, cb, n
+      FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+SELECT ANY_VALUE(n)::BIGINT AS n,
+       COUNT(DISTINCT a)::BIGINT AS r_levels,
+       COUNT(DISTINCT b)::BIGINT AS c_levels,
+       ((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1))::BIGINT AS df,
+       ROUND(SUM(2 * o * ln(o * n / (ra * cb))), 6) AS g_stat,
+       ROUND(SUM(2 * o * ln(o * n / (ra * cb))) / (2 * ANY_VALUE(n)), 6)
+         AS mi_nats
+FROM j;""",
+)
+def x296(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import g_test
+
+    docs = load_table(spark, sf_dir, "documents")
+    return g_test(docs, "lang", "source")
+
+
+@_declare(
+    "X297_inequality_indices",
+    # Theil-T / Theil-L / Atkinson(1) inequality of document length per
+    # source (quality.inequality_indices): the DECOMPOSABLE complements
+    # to X162's Gini and X276's Lorenz — all three indices are pure
+    # arithmetic on one grouped (n, sum x, sum ln x, sum x ln x)
+    # sufficient-statistics aggregate, so there is no second pass.
+    """WITH a AS (SELECT source,
+                  SUM((n_chars <= 0)::INT)::BIGINT AS np,
+                  COUNT(CASE WHEN n_chars > 0 THEN 1 END)::DOUBLE AS n,
+                  SUM(CASE WHEN n_chars > 0 THEN n_chars END)::DOUBLE AS sx,
+                  SUM(CASE WHEN n_chars > 0 THEN ln(n_chars) END) AS sl,
+                  SUM(CASE WHEN n_chars > 0 THEN n_chars * ln(n_chars) END)
+                    AS sxl
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+SELECT source, n::BIGINT AS n, np AS n_nonpos, ROUND(sx/n, 6) AS mean,
+       ROUND(sxl/sx - ln(sx/n), 6) AS theil_t,
+       ROUND(ln(sx/n) - sl/n, 6) AS theil_l,
+       ROUND(1 - exp(-(ln(sx/n) - sl/n)), 6) AS atkinson_1
+FROM a ORDER BY source;""",
+)
+def x297(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import inequality_indices
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inequality_indices(docs, "n_chars", "source").orderBy("source")
+
+
+@_declare(
+    "X299_gumbel_maxima",
+    # Gumbel extreme-value fit on daily block maxima of event value per
+    # type (timeseries.gumbel_block_maxima; Fisher-Tippett type I,
+    # method of moments): beta = s*sqrt(6)/pi, mu = m - gamma*beta, and
+    # the 100-day return level — the tail-monitoring statistic means
+    # and p99s are blind to. Two shrinking aggregates, no windows.
+    """WITH b AS (SELECT event_type AS g, CAST(ts AS DATE) AS day, MAX(value) AS mx
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+a AS (SELECT g, COUNT(*)::DOUBLE AS nb, AVG(mx) AS m, stddev_samp(mx) AS s
+      FROM b GROUP BY 1)
+SELECT g AS event_type, nb::BIGINT AS n_blocks,
+       ROUND(m, 6) AS max_mean, ROUND(s, 6) AS max_sd,
+       ROUND(m - 0.5772156649015329 * (s*sqrt(6)/pi()), 6) AS mu,
+       ROUND(s*sqrt(6)/pi(), 6) AS beta,
+       ROUND(m - 0.5772156649015329 * (s*sqrt(6)/pi())
+             - (s*sqrt(6)/pi()) * ln(-ln(1.0 - 1.0/100)), 6) AS ret_level
+FROM a ORDER BY event_type;""",
+)
+def x299(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        gumbel_block_maxima,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return gumbel_block_maxima(
+        ev, "ts", "value", "event_type", return_period=100
+    ).orderBy("event_type")
+
+
+@_declare(
+    "X300_bernstein_bounds",
+    # Per-source empirical-Bernstein mean bound (quality.
+    # empirical_bernstein_bounds; Maurer-Pontil 2009 Thm 4, delta=.05):
+    # variance-adaptive — low-variance sources get sqrt(V)-rate CLT-like
+    # bounds instead of Hoeffding's range-driven R/sqrt(n). One grouped
+    # moments aggregate; observed range as the plug-in R (reported).
+    """WITH a AS (SELECT source, COUNT(*)::DOUBLE AS n, AVG(n_chars) AS m,
+                  var_samp(n_chars) AS v,
+                  (MAX(n_chars) - MIN(n_chars))::DOUBLE AS r
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+b AS (SELECT source, n, m, v, r,
+             CASE WHEN n >= 2
+                  THEN sqrt(2*v*ln(2.0/0.05)/n) + 7*r*ln(2.0/0.05)/(3*(n-1))
+             END AS bound
+      FROM a)
+SELECT source, n::BIGINT AS n, ROUND(m, 6) AS mean, ROUND(sqrt(v), 6) AS sd,
+       ROUND(r, 6) AS range_r, ROUND(bound, 6) AS bound,
+       ROUND(m - bound, 6) AS lo, ROUND(m + bound, 6) AS hi
+FROM b ORDER BY source;""",
+)
+def x300(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import (
+        empirical_bernstein_bounds,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return empirical_bernstein_bounds(docs, "n_chars", "source", delta=0.05).orderBy(
+        "source"
+    )
+
+
+@_declare(
+    "X301_page_hinkley",
+    # Page-Hinkley upward mean-shift detector per event type
+    # (timeseries.page_hinkley; Page 1954): self-referenced against the
+    # expanding mean — no a-priori target like X172's CUSUM needs.
+    # Three stacked windows, all partitioned by event_type, ordered by
+    # (ts, event_id) for determinism under equal timestamps; lambda=100.
+    """WITH b AS (SELECT event_type AS g, ts, event_id, value::DOUBLE AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+t1 AS (SELECT g, ts, event_id, x,
+              x - AVG(x) OVER (PARTITION BY g ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS term
+       FROM b),
+t2 AS (SELECT g, ts, event_id,
+              SUM(term) OVER (PARTITION BY g ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+       FROM t1),
+t3 AS (SELECT g, ts,
+              u - MIN(u) OVER (PARTITION BY g ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+       FROM t2)
+SELECT g AS event_type, COUNT(*)::BIGINT AS n, ROUND(MAX(ph), 6) AS max_ph,
+       SUM((ph > 100.0)::INT)::BIGINT AS n_alarms,
+       MIN(CASE WHEN ph > 100.0 THEN ts END) AS first_alarm_ts
+FROM t3 GROUP BY g ORDER BY g;""",
+)
+def x301(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import page_hinkley
+
+    ev = load_table(spark, sf_dir, "events")
+    return page_hinkley(
+        ev, "ts", "value", "event_type", order_tiebreak="event_id", lam=100.0
+    ).orderBy("event_type")
+
+
+@_declare(
+    "X302_holm_adjust",
+    # Holm step-down FWER adjustment over the X199 per-language KS
+    # drift p-values (quality.holm_adjust; Holm 1979) — BH (X199)
+    # bounds the false-discovery RATE for screening; Holm bounds the
+    # probability of ANY false page. Tie-safe competition-rank
+    # formulation; both prefixes (count and step-down max envelope)
+    # ride the range-partitioned two-pass scheme, no global window.
+    """WITH g AS (SELECT lang, n_chars AS v,
+                 (source = 'src0')::INT AS a, (source = 'src1')::INT AS b
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            AND source IN ('src0', 'src1')),
+c AS (SELECT lang, v, SUM(a) AS ca, SUM(b) AS cb FROM g GROUP BY 1, 2),
+cu AS (SELECT lang,
+              SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cca,
+              SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS ccb
+       FROM c),
+t AS (SELECT lang, SUM(ca)::DOUBLE AS na, SUM(cb)::DOUBLE AS nb FROM c GROUP BY 1),
+ks AS (SELECT lang,
+              MAX(CASE WHEN na > 0 AND nb > 0 THEN ABS(cca / na - ccb / nb) END)
+              * SQRT(na * nb / (na + nb)) AS k
+       FROM cu JOIN t USING (lang) GROUP BY lang, na, nb),
+p AS (SELECT lang, k, LEAST(1.0, 2 * exp(-2 * k * k)) AS pv FROM ks),
+m AS (SELECT COUNT(pv)::DOUBLE AS m FROM p),
+dp AS (SELECT pv AS pd, COUNT(*)::DOUBLE AS t FROM p WHERE pv IS NOT NULL
+       GROUP BY 1),
+st AS (SELECT pd,
+              LEAST(1.0, (m.m - COALESCE((SELECT SUM(d2.t) FROM dp d2
+                                          WHERE d2.pd < dp.pd), 0)) * pd)
+                AS step
+       FROM dp, m),
+env AS (SELECT pd, MAX(step) OVER (ORDER BY pd
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS holm FROM st)
+SELECT lang, ROUND(k, 4) AS ks_stat, ROUND(pv, 6) AS p,
+       m.m::BIGINT AS m_tests, ROUND(env.holm, 6) AS p_holm,
+       COALESCE(env.holm <= 0.05, FALSE) AS rejected
+FROM p LEFT JOIN env ON p.pv = env.pd CROSS JOIN m ORDER BY lang;""",
+)
+def x302(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import holm_adjust, ks_test
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    ks = ks_test(docs, "n_chars", "source", "src0", "src1", slice_col="lang")
+    withp = ks.select(
+        "lang",
+        F.col("ks_stat").alias("k"),
+        F.least(
+            F.lit(1.0), 2 * F.exp(-2 * F.col("ks_stat") * F.col("ks_stat"))
+        ).alias("pv"),
+    )
+    return (
+        holm_adjust(withp, "pv", alpha=0.05)
+        .select(
+            "lang",
+            F.round("k", 4).alias("ks_stat"),
+            F.round("pv", 6).alias("p"),
+            F.col("m_tests").cast("long").alias("m_tests"),
+            "p_holm",
+            "rejected",
+        )
+        .orderBy("lang")
+    )
+
+
+@_declare(
+    "X298_margin_neighbors",
+    # Margin-based neighbor mining (similarity.margin_neighbors;
+    # Artetxe-Schwenk ACL'19 ratio margin, the CCMatrix bitext-mining
+    # criterion): even vec_ids are sources, odd are targets; each
+    # source's best target by cos normalized by both sides' k=4
+    # local-density averages. Exact baseline on the blocked-matmul
+    # pair primitive; the oracle replays the quadratic directly.
+    """WITH p AS (
+  SELECT a.vec_id AS x, b.vec_id AS y,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+ax AS (SELECT x, AVG(sim) AS akx FROM (
+         SELECT x, sim, ROW_NUMBER() OVER (PARTITION BY x
+           ORDER BY sim DESC, y) AS rn FROM p) t
+       WHERE rn <= 4 GROUP BY x),
+ay AS (SELECT y, AVG(sim) AS aky FROM (
+         SELECT y, sim, ROW_NUMBER() OVER (PARTITION BY y
+           ORDER BY sim DESC, x) AS rn FROM p) t
+       WHERE rn <= 4 GROUP BY y),
+m AS (SELECT p.x, p.y, p.sim, p.sim / ((ax.akx + ay.aky) / 2) AS margin
+      FROM p JOIN ax USING (x) JOIN ay USING (y)),
+best AS (SELECT x, y, sim, margin,
+                ROW_NUMBER() OVER (PARTITION BY x
+                  ORDER BY margin DESC, y) AS rn FROM m)
+SELECT x, y, ROUND(sim, 4) AS sim, ROUND(margin, 4) AS margin
+FROM best WHERE rn = 1 ORDER BY x;""",
+)
+def x298(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.margin_neighbors(emb, k=4).orderBy("x")
