@@ -2528,3 +2528,299 @@ def g_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.round(F.col("_g") / (2 * F.col("n")), 6).alias("mi_nats"),
         )
     )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    p_col: str,
+    y_col: str,
+    tiebreak_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit test for a probability model
+    (Hosmer & Lemeshow 1980) — the hypothesis-test companion to the
+    X152 reliability diagram / ECE: group rows into ``bins``
+    EQUAL-COUNT "deciles of risk" by predicted probability and compare
+    observed vs expected positives per bin,
+
+        HL = Σ_b [(O_b−E_b)²/E_b + ((n_b−O_b)−(n_b−E_b))²/(n_b−E_b)]
+
+    ~ χ²(bins−2) under calibration. ECE averages the gap (a metric);
+    HL says whether the gap is explainable by binomial noise (a test).
+
+    Scale design: equal-count binning needs a global rank — computed
+    with the range-partitioned prefix count (partitioned_prefix_sum
+    over (p, tiebreak), unique by construction), never ntile's global
+    window; bin = floor((rank−1)·bins/n). One grouped aggregate after.
+    Output per bin: (bin, n, obs_pos, exp_pos) with (hl_stat, df)
+    repeated.
+    """
+    if bins < 3:
+        raise ValueError(f"bins must be >= 3, got {bins}")
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_sum,
+    )
+
+    base = df.select(
+        F.col(p_col).cast("double").alias("_p"),
+        F.col(y_col).cast("boolean").cast("int").cast("double").alias("_y"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).filter(F.col("_p").isNotNull() & F.col("_y").isNotNull())
+    ranked = partitioned_prefix_sum(
+        base.withColumn("_one", F.lit(1.0)),
+        ["_p", "_tb"],
+        "_one",
+        ["_r"],
+        inclusive=True,
+    )
+    tot = base.agg(F.count("*").cast("double").alias("_n"))
+    binned = ranked.crossJoin(F.broadcast(tot)).select(
+        F.floor((F.col("_r") - 1) * bins / F.col("_n")).alias("bin"),
+        "_p",
+        "_y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("double").alias("_nb"),
+        F.sum("_y").alias("_o1"),
+        F.sum("_p").alias("_e1"),
+    )
+    o0 = F.col("_nb") - F.col("_o1")
+    e0 = F.col("_nb") - F.col("_e1")
+    contrib = (F.col("_o1") - F.col("_e1")) * (
+        F.col("_o1") - F.col("_e1")
+    ) / F.col("_e1") + (o0 - e0) * (o0 - e0) / e0
+    stats = per.agg(F.sum(contrib).alias("_hl"))
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("_nb").cast("long").alias("n"),
+            F.col("_o1").cast("long").alias("obs_pos"),
+            F.round("_e1", 6).alias("exp_pos"),
+            F.round("_hl", 6).alias("hl_stat"),
+            F.lit(bins - 2).cast("long").alias("df"),
+        )
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 1970/2004) —
+    the agreement coefficient that, unlike X225's Fleiss kappa, allows
+    a VARYING number of raters per item (raters who skip items, the
+    normal state of a labeling queue). Coincidence-matrix form:
+
+        D_o = (1/n)·Σᵢ (mᵢ² − Σ_c n_ic²)/(mᵢ−1)
+        D_e = (n² − Σ_c n_c²)/(n(n−1))        α = 1 − D_o/D_e
+
+    with mᵢ ratings on item i, n = Σmᵢ total ratings; items with
+    mᵢ < 2 contribute nothing (no pairable values) and are excluded.
+
+    Scale design: one grouped cell count (item, category), one
+    per-item re-aggregate, two 1-row totals — the same plan family as
+    fleiss_kappa with the constant-raters contract removed. Output:
+    (n_items, n_ratings, d_o, d_e, alpha).
+    """
+    cells = (
+        df.filter(F.col(item_col).isNotNull() & F.col(category_col).isNotNull())
+        .groupBy(F.col(item_col).alias("_i"), F.col(category_col).alias("_c"))
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    per_item = cells.groupBy("_i").agg(
+        F.sum("_n").alias("_m"), F.sum(F.col("_n") * F.col("_n")).alias("_sq")
+    ).filter(F.col("_m") >= 2)
+    obs = per_item.agg(
+        F.count("*").alias("_items"),
+        F.sum("_m").alias("_ntot"),
+        F.sum(
+            (F.col("_m") * F.col("_m") - F.col("_sq")) / (F.col("_m") - 1)
+        ).alias("_do_num"),
+    )
+    pairable = per_item.select("_i")
+    per_cat = (
+        cells.join(pairable, "_i")
+        .groupBy("_c")
+        .agg(F.sum("_n").alias("_nc"))
+        .agg(F.sum(F.col("_nc") * F.col("_nc")).alias("_sq_c"))
+    )
+    j = obs.crossJoin(F.broadcast(per_cat))
+    n = F.col("_ntot")
+    d_o = F.col("_do_num") / n
+    d_e = (n * n - F.col("_sq_c")) / (n * (n - 1))
+    return j.select(
+        F.col("_items").cast("long").alias("n_items"),
+        n.cast("long").alias("n_ratings"),
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.round(1 - d_o / d_e, 6).alias("alpha"),
+    )
+
+
+def bowker_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Bowker's test of symmetry (Bowker 1948) — McNemar's k×k
+    generalization, over a paired categorical square table (here:
+    first vs last state per unit): under symmetry n_ij ≈ n_ji for
+    every off-diagonal pair, and
+
+        B = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji)  ~ χ²(df)
+
+    with df = #pairs having n_ij + n_ji > 0 — "do units drift between
+    states in a preferred DIRECTION, or just churn symmetrically",
+    the significance layer over X114's transition matrix.
+
+    Scale design: one grouped cell count, then a full-outer self-join
+    of the two triangular halves keyed on the (bounded, k²-sized)
+    label pairs — never row-scale data. Output per pair:
+    (from_type, to_type, n_fwd, n_rev, contrib) with (df, bowker_stat)
+    repeated.
+    """
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    fwd = cells.filter(F.col("_a") < F.col("_b")).select(
+        F.col("_a").alias("from_type"),
+        F.col("_b").alias("to_type"),
+        F.col("_n").alias("_nf"),
+    )
+    rev = cells.filter(F.col("_a") > F.col("_b")).select(
+        F.col("_b").alias("from_type"),
+        F.col("_a").alias("to_type"),
+        F.col("_n").alias("_nr"),
+    )
+    pairs = (
+        fwd.join(rev, ["from_type", "to_type"], "full_outer")
+        .na.fill({"_nf": 0.0, "_nr": 0.0})
+        .withColumn(
+            "_ctr",
+            F.when(
+                F.col("_nf") + F.col("_nr") > 0,
+                (F.col("_nf") - F.col("_nr"))
+                * (F.col("_nf") - F.col("_nr"))
+                / (F.col("_nf") + F.col("_nr")),
+            ),
+        )
+    )
+    stats = pairs.agg(
+        F.sum(F.col("_ctr").isNotNull().cast("long")).alias("_df"),
+        F.sum("_ctr").alias("_b"),
+    )
+    return pairs.crossJoin(F.broadcast(stats)).select(
+        "from_type",
+        "to_type",
+        F.col("_nf").cast("long").alias("n_fwd"),
+        F.col("_nr").cast("long").alias("n_rev"),
+        F.round("_ctr", 6).alias("contrib"),
+        F.col("_df").cast("long").alias("df"),
+        F.round("_b", 6).alias("bowker_stat"),
+    )
+
+
+def yuen_trimmed_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    tiebreak_col: str,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-mean t-test (Yuen 1974) between two slices — the
+    heavy-tail-robust member of the two-sample family (welch_ttest
+    assumes means matter and tails behave; mann_whitney_u gives up on
+    means entirely; Yuen tests TRIMMED means with winsorized
+    variances, keeping the mean interpretation while capping tail
+    leverage). With per-group trim count g = ⌊trim·n⌋, h = n − 2g:
+
+        d = s²_win·(n−1)/(h(h−1)),  t = (x̄_t,a − x̄_t,b)/√(d_a+d_b)
+
+    Welch–Satterthwaite df on the d's.
+
+    Scale design: the trim cut is an ORDER STATISTIC — ranks come
+    from the range-partitioned grouped prefix count over a unique
+    (value, tiebreak) order (no global window); the winsorization
+    bounds are the min/max of the kept range (one aggregate); the
+    winsorized variance is var_samp over the clamped column; the
+    final t is arithmetic on a 2-row relation. Output one row:
+    (n_a, n_b, h_a, h_b, tmean_a, tmean_b, diff, t_stat, df_yuen).
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_sum,
+    )
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_x"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).filter(F.col("_x").isNotNull() & F.col("_g").isin([group_a, group_b]))
+    ranked = partitioned_prefix_sum(
+        base.withColumn("_one", F.lit(1.0)),
+        ["_x", "_tb"],
+        "_one",
+        ["_r"],
+        group_cols=["_g"],
+        inclusive=True,
+    )
+    tot = base.groupBy("_g").agg(F.count("*").cast("double").alias("_n"))
+    j = ranked.join(F.broadcast(tot), "_g").withColumn(
+        "_gt", F.floor(F.lit(trim) * F.col("_n")).cast("double")
+    )
+    kept = j.filter(
+        (F.col("_r") > F.col("_gt")) & (F.col("_r") <= F.col("_n") - F.col("_gt"))
+    )
+    cuts = kept.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_h"),
+        F.avg("_x").alias("_tm"),
+        F.min("_x").alias("_lo"),
+        F.max("_x").alias("_hi"),
+    )
+    wz = j.join(F.broadcast(cuts), "_g").select(
+        "_g",
+        "_n",
+        "_h",
+        "_tm",
+        F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("_x"))).alias(
+            "_w"
+        ),
+    )
+    per = wz.groupBy("_g").agg(
+        F.first("_n").alias("_n"),
+        F.first("_h").alias("_h"),
+        F.first("_tm").alias("_tm"),
+        F.var_samp("_w").alias("_sw2"),
+    )
+
+    def side(tag, g):
+        return [
+            F.max(F.when(F.col("_g") == g, F.col(c))).alias(f"{c}{tag}")
+            for c in ["_n", "_h", "_tm", "_sw2"]
+        ]
+
+    w = per.agg(*side("a", group_a), *side("b", group_b))
+    da = (
+        F.col("_sw2a") * (F.col("_na") - 1) / (F.col("_ha") * (F.col("_ha") - 1))
+    )
+    db = (
+        F.col("_sw2b") * (F.col("_nb") - 1) / (F.col("_hb") * (F.col("_hb") - 1))
+    )
+    t = (F.col("_tma") - F.col("_tmb")) / F.sqrt(da + db)
+    dfy = (da + db) * (da + db) / (
+        da * da / (F.col("_ha") - 1) + db * db / (F.col("_hb") - 1)
+    )
+    return w.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_ha").cast("long").alias("h_a"),
+        F.col("_hb").cast("long").alias("h_b"),
+        F.round("_tma", 6).alias("tmean_a"),
+        F.round("_tmb", 6).alias("tmean_b"),
+        F.round(F.col("_tma") - F.col("_tmb"), 6).alias("diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfy, 6).alias("df_yuen"),
+    )

@@ -387,3 +387,300 @@ def simpsons_check(
             F.signum(g_slope) * F.signum(F.col("_pooled")) < 0,
         ).alias("reversed"),
     )
+
+
+def _simple_ols(df: DataFrame, x_col: str, y_col: str, gcols: list) -> DataFrame:
+    """Per-group simple-OLS sufficient statistics and closed-form
+    coefficients (slope/intercept): one grouped moments aggregate —
+    the shared first pass of the regression-diagnostics family
+    (breusch_pagan / durbin_watson / cooks_distance_topk / chow_test).
+    Returns per group: (_n, _mx, _my, _sxx, _sxy, _syy, _b, _a)."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.filter(x.isNotNull() & y.isNotNull()).groupBy(*gcols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(x).alias("_mx"),
+        F.avg(y).alias("_my"),
+        F.sum(x * x).alias("_xx"),
+        F.sum(x * y).alias("_xy"),
+        F.sum(y * y).alias("_yy"),
+    )
+    sxx = F.col("_xx") - F.col("_n") * F.col("_mx") * F.col("_mx")
+    sxy = F.col("_xy") - F.col("_n") * F.col("_mx") * F.col("_my")
+    syy = F.col("_yy") - F.col("_n") * F.col("_my") * F.col("_my")
+    return agg.select(
+        *gcols,
+        "_n",
+        "_mx",
+        "_my",
+        sxx.alias("_sxx"),
+        sxy.alias("_sxy"),
+        syy.alias("_syy"),
+        (sxy / F.nullif(sxx, F.lit(0.0))).alias("_b"),
+        (
+            F.col("_my") - (sxy / F.nullif(sxx, F.lit(0.0))) * F.col("_mx")
+        ).alias("_a"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test (Breusch & Pagan 1979,
+    Koenker's studentized LM form) for the per-group simple regression
+    y ~ x: regress the SQUARED residuals on x; LM = n·R²_aux ~ χ²₁
+    under homoscedasticity. The check that decides whether X191-style
+    OLS standard errors can be trusted — heteroscedastic residuals
+    (e.g. variance growing with the hour of day) silently break them.
+
+    Scale design: two sequential grouped moments aggregates — pass 1
+    fits the coefficients (closed form, _simple_ols), broadcast back;
+    pass 2 computes corr(e², x) from conditional sums (for a single
+    regressor R²_aux = corr²). No windows, no driver math. Output per
+    group: (n, slope, intercept, lm_stat) — compare to 3.841 (α=.05).
+    """
+    gcols = [group_col] if group_col else []
+    coefs = _simple_ols(df, x_col, y_col, gcols).select(
+        *gcols, "_a", "_b"
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    j = (
+        base.join(F.broadcast(coefs), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(coefs))
+    )
+    e2 = (y - F.col("_a") - F.col("_b") * x) * (
+        y - F.col("_a") - F.col("_b") * x
+    )
+    out = j.groupBy(*gcols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.first("_b").alias("_slope"),
+        F.first("_a").alias("_icpt"),
+        F.corr(e2, x).alias("_r"),
+    )
+    return out.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n"),
+        F.round("_slope", 6).alias("slope"),
+        F.round("_icpt", 6).alias("intercept"),
+        F.round(F.col("_n") * F.col("_r") * F.col("_r"), 6).alias("lm_stat"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str,
+    group_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic (Durbin & Watson
+    1950) of the per-group simple-regression residuals in time order:
+    DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² ∈ [0,4]; ≈2 means independent residuals,
+    →0 positive autocorrelation (the regression is missing a temporal
+    structure; its SEs are fictions), →4 negative. The time-series
+    sibling of breusch_pagan in the diagnostics family.
+
+    Scale design: pass 1 closed-form coefficients broadcast back;
+    pass 2 one lag window PARTITIONED by group ordered by
+    (ts, tiebreak) + one grouped aggregate. Output per group:
+    (n, dw_stat).
+    """
+    gcols = [group_col] if group_col else []
+    coefs = _simple_ols(df, x_col, y_col, gcols).select(*gcols, "_a", "_b")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull() & F.col(ts_col).isNotNull()
+    )
+    j = (
+        base.join(F.broadcast(coefs), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(coefs))
+    )
+    from pyspark.sql.window import Window
+
+    ocols = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*gcols).orderBy(*ocols)
+    e = (y - F.col("_a") - F.col("_b") * x).alias("_e")
+    keep = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    lagged = j.select(*gcols, *keep, e).withColumn(
+        "_ep", F.lag("_e").over(w)
+    )
+    return (
+        lagged.groupBy(*gcols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("_e") - F.col("_ep")) * (F.col("_e") - F.col("_ep"))
+            ).alias("_num"),
+            F.sum(F.col("_e") * F.col("_e")).alias("_den"),
+        )
+        .select(
+            *gcols,
+            "n",
+            F.round(F.col("_num") / F.nullif(F.col("_den"), F.lit(0.0)), 6).alias(
+                "dw_stat"
+            ),
+        )
+    )
+
+
+def cooks_distance_topk(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most influential observations per group by Cook's distance
+    (Cook 1977) under the simple regression y ~ x — "which single rows
+    are steering this fit": with leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx and
+    s² = SSR/(n−2),
+
+        Dᵢ = eᵢ²·hᵢ / (p·s²·(1−hᵢ)²),   p = 2
+
+    Points with D > 4/n are the classic review set; the top-k cut keeps
+    the output bounded regardless of corpus size.
+
+    Scale design: coefficients + Sxx + SSR all come from the ONE
+    closed-form moments pass (SSR = Syy − b·Sxy, no residual re-scan
+    for s²); pass 2 computes each row's D in codegen and takes the
+    per-group top-k via a partitioned row_number. Output:
+    (group, id, x, y, leverage, cooks_d).
+    """
+    gcols = [group_col] if group_col else []
+    coefs = _simple_ols(df, x_col, y_col, gcols)
+    prm = coefs.select(
+        *gcols,
+        "_a",
+        "_b",
+        "_n",
+        "_mx",
+        "_sxx",
+        ((F.col("_syy") - F.col("_b") * F.col("_sxy")) / (F.col("_n") - 2)).alias(
+            "_s2"
+        ),
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    j = (
+        base.join(F.broadcast(prm), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(prm))
+    )
+    h = 1 / F.col("_n") + (x - F.col("_mx")) * (x - F.col("_mx")) / F.col("_sxx")
+    e = y - F.col("_a") - F.col("_b") * x
+    d = (e * e * h) / (2 * F.col("_s2") * (1 - h) * (1 - h))
+    scored = j.select(
+        *gcols,
+        F.col(id_col),
+        x.alias("x"),
+        y.alias("y"),
+        h.alias("_h"),
+        d.alias("_d"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*gcols).orderBy(F.desc("_d"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            *gcols,
+            id_col,
+            F.round("x", 6).alias("x"),
+            F.round("y", 6).alias("y"),
+            F.round("_h", 6).alias("leverage"),
+            F.round("_d", 6).alias("cooks_d"),
+        )
+    )
+
+
+def chow_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Chow structural-break test (Chow 1960) at each group's temporal
+    midpoint: fit y ~ x pooled, then separately on the first and second
+    halves of the time range, and test whether the two regimes share
+    coefficients,
+
+        F = ((SSR_p − SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k)),  k = 2
+
+    — the regression-level complement to the CUSUM/Page–Hinkley mean
+    detectors: those find WHERE the level moved; Chow says whether the
+    RELATIONSHIP (slope) changed across the split.
+
+    Scale design: the midpoint needs one (min,max) pass broadcast
+    back; all three SSRs come from ONE conditional-moments aggregate
+    (SSR = Syy − Sxy²/Sxx per regime, closed form) — no residual
+    re-scan, no windows. Output per group: (n, n_1, n_2, f_stat).
+    """
+    gcols = [group_col] if group_col else []
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull() & F.col(ts_col).isNotNull()
+    )
+    mid = base.groupBy(*gcols).agg(
+        ((F.min(t) + F.max(t)) / 2).alias("_mid")
+    )
+    j = (
+        base.join(F.broadcast(mid), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(mid))
+    )
+    first = t <= F.col("_mid")
+
+    def _moments(cond, tag):
+        c = cond.cast("double")
+        return [
+            F.sum(c).alias(f"_n{tag}"),
+            F.sum(F.when(cond, x)).alias(f"_sx{tag}"),
+            F.sum(F.when(cond, y)).alias(f"_sy{tag}"),
+            F.sum(F.when(cond, x * x)).alias(f"_xx{tag}"),
+            F.sum(F.when(cond, x * y)).alias(f"_xy{tag}"),
+            F.sum(F.when(cond, y * y)).alias(f"_yy{tag}"),
+        ]
+
+    agg = j.groupBy(*gcols).agg(
+        *_moments(F.lit(True), "p"), *_moments(first, "1"), *_moments(~first, "2")
+    )
+
+    def _ssr(tag):
+        n = F.col(f"_n{tag}")
+        sxx = F.col(f"_xx{tag}") - F.col(f"_sx{tag}") * F.col(f"_sx{tag}") / n
+        sxy = F.col(f"_xy{tag}") - F.col(f"_sx{tag}") * F.col(f"_sy{tag}") / n
+        syy = F.col(f"_yy{tag}") - F.col(f"_sy{tag}") * F.col(f"_sy{tag}") / n
+        return syy - sxy * sxy / F.nullif(sxx, F.lit(0.0))
+
+    ssr_p, ssr_1, ssr_2 = _ssr("p"), _ssr("1"), _ssr("2")
+    fstat = F.when(
+        (F.col("_n1") >= 3) & (F.col("_n2") >= 3),
+        ((ssr_p - ssr_1 - ssr_2) / 2)
+        / ((ssr_1 + ssr_2) / (F.col("_np") - 4)),
+    )
+    return agg.select(
+        *gcols,
+        F.col("_np").cast("long").alias("n"),
+        F.col("_n1").cast("long").alias("n_1"),
+        F.col("_n2").cast("long").alias("n_2"),
+        F.round(fstat, 6).alias("f_stat"),
+    )

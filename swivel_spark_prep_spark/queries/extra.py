@@ -11009,3 +11009,387 @@ FROM best WHERE rn = 1 ORDER BY x;""",
 def x298(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.margin_neighbors(emb, k=4).orderBy("x")
+
+
+def _hour_x():
+    return (
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000) % 86400)
+        / 3600.0
+    )
+
+
+@_declare(
+    "X303_hosmer_lemeshow",
+    # Hosmer-Lemeshow GOF test over X152's length-sigmoid pseudo-
+    # probability for lang='en' (evalmetrics.hosmer_lemeshow): ECE
+    # averages the calibration gap, HL tests whether it exceeds
+    # binomial noise — equal-count deciles of risk via the range-
+    # partitioned prefix rank (never ntile's global window).
+    """WITH g AS (SELECT 1/(1+exp(-(n_chars-350)/60.0)) AS p,
+                 (lang='en')::INT::DOUBLE AS y, doc_id
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+r AS (SELECT p, y, ROW_NUMBER() OVER (ORDER BY p, doc_id) AS rk,
+             COUNT(*) OVER () AS n FROM g),
+b AS (SELECT CAST(FLOOR((rk-1)*10/n::DOUBLE) AS BIGINT) AS bin, p, y FROM r),
+per AS (SELECT bin, COUNT(*)::DOUBLE AS nb, SUM(y) AS o1, SUM(p) AS e1
+        FROM b GROUP BY 1),
+st AS (SELECT SUM((o1-e1)*(o1-e1)/e1
+                  + ((nb-o1)-(nb-e1))*((nb-o1)-(nb-e1))/(nb-e1)) AS hl
+       FROM per)
+SELECT bin, nb::BIGINT AS n, o1::BIGINT AS obs_pos, ROUND(e1, 6) AS exp_pos,
+       ROUND(hl, 6) AS hl_stat, 8::BIGINT AS df
+FROM per CROSS JOIN st ORDER BY bin;""",
+)
+def x303(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import hosmer_lemeshow
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    scored = docs.select(
+        (1 / (1 + F.exp(-(F.col("n_chars") - 350) / 60.0))).alias("p"),
+        (F.col("lang") == "en").alias("y"),
+        "doc_id",
+    )
+    return hosmer_lemeshow(scored, "p", "y", "doc_id", bins=10).orderBy("bin")
+
+
+@_declare(
+    "X304_breusch_pagan",
+    # Breusch-Pagan heteroscedasticity test per event type
+    # (linear.breusch_pagan, Koenker LM form) for value ~ hour-of-day:
+    # decides whether X191-style OLS standard errors are trustworthy.
+    # Two sequential moments aggregates; LM = n*corr(e^2, x)^2.
+    """WITH d AS (
+  SELECT event_type AS g, (epoch_us(ts) // 1000000 % 86400)/3600.0 AS x,
+         value::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(x) AS mx, AVG(y) AS my,
+             SUM(x*x) AS xx, SUM(x*y) AS xy, SUM(y*y) AS yy FROM d GROUP BY 1),
+c AS (SELECT g, (xy - n*mx*my)/NULLIF(xx - n*mx*mx, 0) AS b,
+             my - (xy - n*mx*my)/NULLIF(xx - n*mx*mx, 0)*mx AS a FROM m),
+e AS (SELECT d.g, (y - a - b*x)*(y - a - b*x) AS e2, x, b, a
+      FROM d JOIN c ON d.g = c.g),
+o AS (SELECT g, COUNT(*)::DOUBLE AS n, ANY_VALUE(b) AS b, ANY_VALUE(a) AS a,
+             corr(e2, x) AS r FROM e GROUP BY g)
+SELECT g AS event_type, n::BIGINT AS n, ROUND(b, 6) AS slope,
+       ROUND(a, 6) AS intercept, ROUND(n*r*r, 6) AS lm_stat
+FROM o ORDER BY event_type;""",
+)
+def x304(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import breusch_pagan
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        F.col("event_type"), _hour_x().alias("hour"), F.col("value")
+    )
+    return breusch_pagan(d, "hour", "value", "event_type").orderBy(
+        "event_type"
+    )
+
+
+@_declare(
+    "X305_durbin_watson",
+    # Durbin-Watson serial-correlation check of the value ~ hour
+    # residuals per event type in (ts, event_id) order
+    # (linear.durbin_watson): DW ~ 2 means independent residuals;
+    # the time-series sibling of X304 in the diagnostics family.
+    """WITH d AS (
+  SELECT event_type AS g, (epoch_us(ts) // 1000000 % 86400)/3600.0 AS x,
+         value::DOUBLE AS y, ts, event_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(x) AS mx, AVG(y) AS my,
+             SUM(x*x) AS xx, SUM(x*y) AS xy FROM d GROUP BY 1),
+c AS (SELECT g, (xy - n*mx*my)/NULLIF(xx - n*mx*mx, 0) AS b,
+             my - (xy - n*mx*my)/NULLIF(xx - n*mx*mx, 0)*mx AS a FROM m),
+e AS (SELECT d.g, ts, event_id, (y - a - b*x) AS e
+      FROM d JOIN c ON d.g = c.g),
+l AS (SELECT g, e, LAG(e) OVER (PARTITION BY g ORDER BY ts, event_id) AS ep
+      FROM e)
+SELECT g AS event_type, COUNT(*)::BIGINT AS n,
+       ROUND(SUM((e-ep)*(e-ep)) / NULLIF(SUM(e*e), 0), 6) AS dw_stat
+FROM l GROUP BY g ORDER BY g;""",
+)
+def x305(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import durbin_watson
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        F.col("event_type"),
+        _hour_x().alias("hour"),
+        F.col("value"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    return durbin_watson(
+        d, "hour", "value", "ts", "event_type", tiebreak_col="event_id"
+    ).orderBy("event_type")
+
+
+@_declare(
+    "X306_cooks_distance",
+    # Top-5 most influential events per type by Cook's distance under
+    # value ~ hour (linear.cooks_distance_topk): leverage and SSR come
+    # from the ONE closed-form moments pass (no residual re-scan);
+    # the top-k cut keeps output bounded at any corpus size.
+    """WITH d AS (
+  SELECT event_type AS g, (epoch_us(ts) // 1000000 % 86400)/3600.0 AS x,
+         value::DOUBLE AS y, event_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(x) AS mx, AVG(y) AS my,
+             SUM(x*x) AS xx, SUM(x*y) AS xy, SUM(y*y) AS yy FROM d GROUP BY 1),
+c AS (SELECT g, n, mx, (xx - n*mx*mx) AS sxx,
+             (xy - n*mx*my)/NULLIF(xx - n*mx*mx, 0) AS b,
+             my - (xy - n*mx*my)/NULLIF(xx - n*mx*mx, 0)*mx AS a,
+             ((yy - n*my*my) - (xy - n*mx*my)/NULLIF(xx - n*mx*mx, 0)
+                               *(xy - n*mx*my)) / (n - 2) AS s2
+      FROM m),
+s AS (SELECT d.g, event_id, x, y,
+             1/n + (x-mx)*(x-mx)/sxx AS h,
+             (y - a - b*x) AS e, s2
+      FROM d JOIN c ON d.g = c.g),
+r AS (SELECT g, event_id, x, y, h,
+             e*e*h/(2*s2*(1-h)*(1-h)) AS dd,
+             ROW_NUMBER() OVER (PARTITION BY g
+               ORDER BY e*e*h/(2*s2*(1-h)*(1-h)) DESC, event_id) AS rn
+      FROM s)
+SELECT g AS event_type, event_id, ROUND(x, 6) AS x, ROUND(y, 6) AS y,
+       ROUND(h, 6) AS leverage, ROUND(dd, 6) AS cooks_d
+FROM r WHERE rn <= 5 ORDER BY event_type, cooks_d DESC, event_id;""",
+)
+def x306(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import cooks_distance_topk
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        F.col("event_type"),
+        _hour_x().alias("hour"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+    return cooks_distance_topk(
+        d, "hour", "value", "event_id", "event_type", k=5
+    ).orderBy("event_type", F.desc("cooks_d"), "event_id")
+
+
+@_declare(
+    "X307_chow_test",
+    # Chow structural-break test at each event type's temporal midpoint
+    # (linear.chow_test): did the value ~ hour RELATIONSHIP change
+    # between the two halves of the time range — the regression-level
+    # complement to the CUSUM / Page-Hinkley level detectors. All
+    # three regime SSRs from ONE conditional-moments aggregate.
+    """WITH d AS (
+  SELECT event_type AS g, epoch_us(ts)/1000000.0 AS t,
+         (epoch_us(ts) // 1000000 % 86400)/3600.0 AS x, value::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+mid AS (SELECT g, (MIN(t)+MAX(t))/2 AS mid FROM d GROUP BY 1),
+j AS (SELECT d.*, mid FROM d JOIN mid USING (g)),
+a AS (SELECT g,
+        COUNT(*)::DOUBLE AS np, SUM(x) AS sxp, SUM(y) AS syp,
+        SUM(x*x) AS xxp, SUM(x*y) AS xyp, SUM(y*y) AS yyp,
+        SUM((t <= mid)::INT)::DOUBLE AS n1,
+        SUM(CASE WHEN t <= mid THEN x END) AS sx1,
+        SUM(CASE WHEN t <= mid THEN y END) AS sy1,
+        SUM(CASE WHEN t <= mid THEN x*x END) AS xx1,
+        SUM(CASE WHEN t <= mid THEN x*y END) AS xy1,
+        SUM(CASE WHEN t <= mid THEN y*y END) AS yy1,
+        SUM((t > mid)::INT)::DOUBLE AS n2,
+        SUM(CASE WHEN t > mid THEN x END) AS sx2,
+        SUM(CASE WHEN t > mid THEN y END) AS sy2,
+        SUM(CASE WHEN t > mid THEN x*x END) AS xx2,
+        SUM(CASE WHEN t > mid THEN x*y END) AS xy2,
+        SUM(CASE WHEN t > mid THEN y*y END) AS yy2
+      FROM j GROUP BY 1),
+f AS (SELECT g, np, n1, n2,
+        (yyp - syp*syp/np) - (xyp - sxp*syp/np)*(xyp - sxp*syp/np)
+          / NULLIF(xxp - sxp*sxp/np, 0) AS ssrp,
+        (yy1 - sy1*sy1/n1) - (xy1 - sx1*sy1/n1)*(xy1 - sx1*sy1/n1)
+          / NULLIF(xx1 - sx1*sx1/n1, 0) AS ssr1,
+        (yy2 - sy2*sy2/n2) - (xy2 - sx2*sy2/n2)*(xy2 - sx2*sy2/n2)
+          / NULLIF(xx2 - sx2*sx2/n2, 0) AS ssr2
+      FROM a)
+SELECT g AS event_type, np::BIGINT AS n, n1::BIGINT AS n_1, n2::BIGINT AS n_2,
+       ROUND(CASE WHEN n1 >= 3 AND n2 >= 3
+             THEN ((ssrp - ssr1 - ssr2)/2) / ((ssr1 + ssr2)/(np - 4)) END, 6)
+         AS f_stat
+FROM f ORDER BY event_type;""",
+)
+def x307(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import chow_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        F.col("event_type"), _hour_x().alias("hour"), F.col("value"), F.col("ts")
+    )
+    return chow_test(d, "hour", "value", "ts", "event_type").orderBy(
+        "event_type"
+    )
+
+
+@_declare(
+    "X308_bowker_symmetry",
+    # Bowker's test of symmetry over each user's (first, last) event
+    # type (evalmetrics.bowker_test; McNemar's kxk generalization):
+    # do users drift between states in a preferred DIRECTION or churn
+    # symmetrically — the significance layer over X114's transition
+    # matrix. First/last via min_by/max_by (hash agg, no window).
+    """WITH o AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rf,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rl
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL),
+fl AS (SELECT user_id,
+              MAX(CASE WHEN rf = 1 THEN event_type END) AS a,
+              MAX(CASE WHEN rl = 1 THEN event_type END) AS b
+       FROM o GROUP BY 1),
+cells AS (SELECT a, b, COUNT(*)::DOUBLE AS n FROM fl GROUP BY 1, 2),
+fwd AS (SELECT a AS f, b AS t2, n AS nf FROM cells WHERE a < b),
+rev AS (SELECT b AS f, a AS t2, n AS nr FROM cells WHERE a > b),
+p AS (SELECT COALESCE(fwd.f, rev.f) AS from_type,
+             COALESCE(fwd.t2, rev.t2) AS to_type,
+             COALESCE(nf, 0) AS nf, COALESCE(nr, 0) AS nr
+      FROM fwd FULL OUTER JOIN rev ON fwd.f = rev.f AND fwd.t2 = rev.t2),
+pc AS (SELECT *, CASE WHEN nf + nr > 0
+                      THEN (nf-nr)*(nf-nr)/(nf+nr) END AS ctr FROM p),
+st AS (SELECT COUNT(ctr)::BIGINT AS df, SUM(ctr) AS bstat FROM pc)
+SELECT from_type, to_type, nf::BIGINT AS n_fwd, nr::BIGINT AS n_rev,
+       ROUND(ctr, 6) AS contrib, df, ROUND(bstat, 6) AS bowker_stat
+FROM pc CROSS JOIN st ORDER BY from_type, to_type;""",
+)
+def x308(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import bowker_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    fl = ev.groupBy("user_id").agg(
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("first_t"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("last_t"),
+    )
+    return bowker_test(fl, "first_t", "last_t").orderBy(
+        "from_type", "to_type"
+    )
+
+
+@_declare(
+    "X309_krippendorff_alpha",
+    # Krippendorff's alpha, nominal (evalmetrics.krippendorff_alpha):
+    # X225's three rule raters plus a FOURTH ('contains in') who only
+    # rates documents with n_chars > 300 — the varying-raters-per-item
+    # case Fleiss kappa cannot handle; coincidence-matrix form.
+    """WITH r AS (
+  SELECT doc_id, CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END AS c
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN text LIKE '% and %' THEN 'en' ELSE 'other' END
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN text LIKE '% of %' THEN 'en' ELSE 'other' END
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN text LIKE '% in %' THEN 'en' ELSE 'other' END
+  FROM documents WHERE text IS NOT NULL AND n_chars > 300),
+cells AS (SELECT doc_id, c, COUNT(*)::DOUBLE AS n FROM r GROUP BY 1, 2),
+pi AS (SELECT doc_id, SUM(n) AS m, SUM(n*n) AS sq FROM cells GROUP BY 1
+       HAVING SUM(n) >= 2),
+obs AS (SELECT COUNT(*)::BIGINT AS items, SUM(m) AS ntot,
+               SUM((m*m - sq)/(m - 1)) AS don FROM pi),
+pc AS (SELECT SUM(nc*nc) AS sqc FROM
+         (SELECT c, SUM(n) AS nc FROM cells JOIN pi USING (doc_id)
+          GROUP BY c) t)
+SELECT items AS n_items, ntot::BIGINT AS n_ratings,
+       ROUND(don/ntot, 6) AS d_o,
+       ROUND((ntot*ntot - sqc)/(ntot*(ntot - 1)), 6) AS d_e,
+       ROUND(1 - (don/ntot) / ((ntot*ntot - sqc)/(ntot*(ntot - 1))), 6)
+         AS alpha
+FROM obs CROSS JOIN pc;""",
+)
+def x309(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        krippendorff_alpha,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+
+    def rater(pat):
+        return F.when(F.col("text").like(f"% {pat} %"), "en").otherwise(
+            "other"
+        )
+
+    ratings = (
+        docs.select("doc_id", rater("the").alias("c"))
+        .unionAll(docs.select("doc_id", rater("and").alias("c")))
+        .unionAll(docs.select("doc_id", rater("of").alias("c")))
+        .unionAll(
+            docs.filter(F.col("n_chars") > 300).select(
+                "doc_id", rater("in").alias("c")
+            )
+        )
+    )
+    return krippendorff_alpha(ratings, "doc_id", "c")
+
+
+@_declare(
+    "X310_yuen_trimmed_t",
+    # Yuen's 20%-trimmed-mean t-test of src0 vs src1 document length
+    # (evalmetrics.yuen_trimmed_t): the heavy-tail-robust member of
+    # the two-sample family — trimmed means with winsorized variances.
+    # The trim cut is a grouped order statistic via the range-
+    # partitioned prefix rank (unique (value, doc_id) order).
+    """WITH b AS (SELECT source AS g, n_chars::DOUBLE AS x, doc_id
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IN ('src0', 'src1')),
+r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS n FROM b),
+j AS (SELECT *, FLOOR(0.2*n) AS gt FROM r),
+kept AS (SELECT g, x FROM j WHERE rk > gt AND rk <= n - gt),
+cuts AS (SELECT g, COUNT(*)::DOUBLE AS h, AVG(x) AS tm,
+                MIN(x) AS lo, MAX(x) AS hi FROM kept GROUP BY 1),
+wz AS (SELECT j.g, j.n::DOUBLE AS n, c.h, c.tm,
+              GREATEST(c.lo, LEAST(c.hi, j.x)) AS w
+       FROM j JOIN cuts c ON j.g = c.g),
+per AS (SELECT g, ANY_VALUE(n) AS n, ANY_VALUE(h) AS h, ANY_VALUE(tm) AS tm,
+               var_samp(w) AS sw2 FROM wz GROUP BY 1),
+w2 AS (SELECT
+        MAX(CASE WHEN g = 'src0' THEN n END) AS na,
+        MAX(CASE WHEN g = 'src0' THEN h END) AS ha,
+        MAX(CASE WHEN g = 'src0' THEN tm END) AS tma,
+        MAX(CASE WHEN g = 'src0' THEN sw2 END) AS sw2a,
+        MAX(CASE WHEN g = 'src1' THEN n END) AS nb,
+        MAX(CASE WHEN g = 'src1' THEN h END) AS hb,
+        MAX(CASE WHEN g = 'src1' THEN tm END) AS tmb,
+        MAX(CASE WHEN g = 'src1' THEN sw2 END) AS sw2b
+       FROM per),
+dd AS (SELECT *, sw2a*(na - 1)/(ha*(ha - 1)) AS da,
+              sw2b*(nb - 1)/(hb*(hb - 1)) AS db FROM w2)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, ha::BIGINT AS h_a,
+       hb::BIGINT AS h_b, ROUND(tma, 6) AS tmean_a, ROUND(tmb, 6) AS tmean_b,
+       ROUND(tma - tmb, 6) AS diff,
+       ROUND((tma - tmb)/sqrt(da + db), 6) AS t_stat,
+       ROUND((da + db)*(da + db)
+             / (da*da/(ha - 1) + db*db/(hb - 1)), 6) AS df_yuen
+FROM dd;""",
+)
+def x310(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import yuen_trimmed_t
+
+    docs = load_table(spark, sf_dir, "documents")
+    return yuen_trimmed_t(
+        docs, "n_chars", "source", "src0", "src1", "doc_id", trim=0.2
+    )
