@@ -672,10 +672,13 @@ def chow_test(
         return syy - sxy * sxy / F.nullif(sxx, F.lit(0.0))
 
     ssr_p, ssr_1, ssr_2 = _ssr("p"), _ssr("1"), _ssr("2")
+    # ssr_1 + ssr_2 = 0 means both regimes fit PERFECTLY — F is
+    # unbounded and reported NULL (the break, if any, is visible in the
+    # coefficients themselves at that point)
     fstat = F.when(
         (F.col("_n1") >= 3) & (F.col("_n2") >= 3),
         ((ssr_p - ssr_1 - ssr_2) / 2)
-        / ((ssr_1 + ssr_2) / (F.col("_np") - 4)),
+        / (F.nullif(ssr_1 + ssr_2, F.lit(0.0)) / (F.col("_np") - 4)),
     )
     return agg.select(
         *gcols,

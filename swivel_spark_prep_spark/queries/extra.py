@@ -11217,7 +11217,8 @@ f AS (SELECT g, np, n1, n2,
       FROM a)
 SELECT g AS event_type, np::BIGINT AS n, n1::BIGINT AS n_1, n2::BIGINT AS n_2,
        ROUND(CASE WHEN n1 >= 3 AND n2 >= 3
-             THEN ((ssrp - ssr1 - ssr2)/2) / ((ssr1 + ssr2)/(np - 4)) END, 6)
+             THEN ((ssrp - ssr1 - ssr2)/2)
+                  / (NULLIF(ssr1 + ssr2, 0)/(np - 4)) END, 6)
          AS f_stat
 FROM f ORDER BY event_type;""",
 )
