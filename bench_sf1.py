@@ -355,6 +355,23 @@ def main() -> None:
         "X260_rolling_origin_splits",
         "X261_log_odds_terms",
         "X262_cluster_transitivity",
+        # Round-13 continuation batch, scaling stories: X292 AD test
+        # (distinct-value aggregate + grouped prefix count — word-count
+        # shape); X301 Page-Hinkley (three stacked per-key windows —
+        # shuffle tracks events 10x, partition count 10x at constant
+        # depth); X303 Hosmer-Lemeshow (global prefix rank two-pass +
+        # one bin aggregate); X310 Yuen (grouped prefix ranks + two
+        # moments passes — the order-statistic class at 10x).
+        # X298 margin mining is deliberately NOT in this batch: its
+        # exact blocked-matmul pair relation grows ~100x at 10x vectors
+        # (1.25e9 pairs at ~50k embeddings) — the documented exact-
+        # baseline cost; the at-scale path swaps in ANN candidates
+        # (X08/X11) with the same margin arithmetic, so the sf1 number
+        # would bench the quadratic we already tell users not to run.
+        "X292_ad_uniform_tod",
+        "X301_page_hinkley",
+        "X303_hosmer_lemeshow",
+        "X310_yuen_trimmed_t",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

@@ -2824,3 +2824,53 @@ def yuen_trimmed_t(
         F.round(t, 6).alias("t_stat"),
         F.round(dfy, 6).alias("df_yuen"),
     )
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    probs: tuple = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974; Firpo 2007's estimand):
+    the per-quantile difference q_p(A) − q_p(B) between two arms — the
+    distributional view a mean-difference test flattens: a treatment
+    that helps the p90 and hurts the p25 nets to "no effect" in a
+    t-test and shows plainly here.
+
+    Scale design: ONE grouped exact-percentile aggregate per arm
+    (Spark's `percentile` with a probability ARRAY — a single pass
+    however many quantiles), pivoted to a 1-row relation, exploded
+    back out to one row per probability. Output:
+    (p, q_a, q_b, qte).
+    """
+    probs = [float(p) for p in probs]
+    if not probs or not all(0.0 < p < 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1), got {probs}")
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(arm_col).isin([group_a, group_b])
+    ).select(F.col(arm_col).alias("_g"), x.alias("_x"))
+    plist = ", ".join(repr(p) for p in probs)
+    per = base.groupBy("_g").agg(
+        F.expr(f"percentile(_x, array({plist}))").alias("_qs")
+    )
+    w = per.agg(
+        F.max(F.when(F.col("_g") == group_a, F.col("_qs"))).alias("_qa"),
+        F.max(F.when(F.col("_g") == group_b, F.col("_qs"))).alias("_qb"),
+    )
+    exploded = w.select(
+        F.posexplode(F.lit(probs).cast("array<double>")).alias("_i", "p"),
+        "_qa",
+        "_qb",
+    )
+    return exploded.select(
+        "p",
+        F.round(F.col("_qa")[F.col("_i")], 6).alias("q_a"),
+        F.round(F.col("_qb")[F.col("_i")], 6).alias("q_b"),
+        F.round(
+            F.col("_qa")[F.col("_i")] - F.col("_qb")[F.col("_i")], 6
+        ).alias("qte"),
+    )

@@ -1415,3 +1415,61 @@ def topk_rank_movers(
         F.desc(F.coalesce(F.abs(F.col("rank_a") - F.col("rank_b")), F.lit(int(k)))),
         F.asc("term"),
     )
+
+
+def chapman_vocab_estimate(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chapman capture–recapture estimate of TOTAL vocabulary size
+    (Chapman 1951; Seber's variance) from two independent corpus
+    samples — the mark-recapture complement to Chao1 (X241): Chao1
+    extrapolates from within-sample singleton structure, Chapman from
+    CROSS-sample overlap, so disagreement between the two flags a
+    violated assumption (heterogeneous type probabilities — always
+    true of Zipfian text, which is why both carry a "lower bound in
+    practice" reading). With n₁/n₂ distinct types per sample and m
+    shared:
+
+        N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+        Var = (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))
+
+    Scale design: two distinct-type aggregates + one type-keyed inner
+    join on the (vocabulary-sized, not corpus-sized) distinct
+    relations, then 1-row arithmetic. Output: (n_types_a, n_types_b,
+    m_shared, union_observed, chapman_n, se).
+    """
+    def types(df):
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w")
+            )
+            .filter(F.col("_w") != "")
+            .distinct()
+        )
+
+    ta, tb = types(docs_a), types(docs_b)
+    n1 = ta.agg(F.count("*").cast("double").alias("_n1"))
+    n2 = tb.agg(F.count("*").cast("double").alias("_n2"))
+    m = ta.join(tb, "_w").agg(F.count("*").cast("double").alias("_m"))
+    j = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    chapman = (F.col("_n1") + 1) * (F.col("_n2") + 1) / (F.col("_m") + 1) - 1
+    var = (
+        (F.col("_n1") + 1)
+        * (F.col("_n2") + 1)
+        * (F.col("_n1") - F.col("_m"))
+        * (F.col("_n2") - F.col("_m"))
+        / ((F.col("_m") + 1) * (F.col("_m") + 1) * (F.col("_m") + 2))
+    )
+    return j.select(
+        F.col("_n1").cast("long").alias("n_types_a"),
+        F.col("_n2").cast("long").alias("n_types_b"),
+        F.col("_m").cast("long").alias("m_shared"),
+        (F.col("_n1") + F.col("_n2") - F.col("_m")).cast("long").alias(
+            "union_observed"
+        ),
+        F.round(chapman, 6).alias("chapman_n"),
+        F.round(F.sqrt(var), 6).alias("se"),
+    )

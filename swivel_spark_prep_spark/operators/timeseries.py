@@ -2207,3 +2207,431 @@ def page_hinkley(
             "first_alarm_ts"
         ),
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013 usage;
+    the estimand itself is ∫₀^τ S(t)dt over the Kaplan–Meier curve) —
+    the single-number survival summary that stays valid when hazards
+    cross and medians are unreachable: "average event-free time over
+    the first τ units".
+
+    No lead()/next-time window is needed: with KM's jump sizes
+    δᵢ = S(tᵢ₋₁)·dᵢ/nᵢ the area identity
+
+        ∫₀^τ S dt = τ − Σ_{tᵢ ≤ τ} δᵢ·(τ − tᵢ)
+
+    turns the integral into ONE aggregate over the event-time relation
+    — S(tᵢ₋₁) is the EXCLUSIVE running product the KM machinery
+    already computes (inclusive prefix minus own term). Same range-
+    partitioned prefix passes as kaplan_meier, plus one 1-row
+    aggregate. Output: (tau, n_subjects, n_events_used, rmst).
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    base = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("_e"),
+    ).filter(F.col("t").isNotNull() & (F.col("t") >= 0) & F.col("_e").isNotNull())
+    tot = base.agg(F.count("*").alias("_tot"))
+    per = base.groupBy("t").agg(
+        F.sum("_e").alias("d"), F.count("*").alias("c")
+    )
+    cum = partitioned_prefix_sum(per, ["t"], ["c"], ["_cc"], inclusive=True)
+    risked = cum.crossJoin(F.broadcast(tot)).select(
+        "t", "d", (F.col("_tot") - (F.col("_cc") - F.col("c"))).alias("n"),
+        "_tot",
+    )
+    factors = risked.select(
+        "t",
+        "d",
+        "n",
+        "_tot",
+        F.when(F.col("d") < F.col("n"), F.log(1.0 - F.col("d") / F.col("n")))
+        .otherwise(F.lit(0.0))
+        .alias("_lnf"),
+        (F.col("d") >= F.col("n")).cast("int").alias("_z"),
+    )
+    surv = partitioned_prefix_sum(
+        factors, ["t"], ["_lnf", "_z"], ["_lncum", "_zcum"], inclusive=True
+    )
+    s_prev = F.when(
+        (F.col("_zcum") - F.col("_z")) > 0, F.lit(0.0)
+    ).otherwise(F.exp(F.col("_lncum") - F.col("_lnf")))
+    delta = s_prev * F.col("d") / F.col("n")
+    # aggregate FIRST, then attach n_subjects: a cohort with zero events
+    # before tau has an EMPTY event relation and must still report
+    # rmst = tau (S ≡ 1), not a NULL row
+    area = surv.filter((F.col("d") > 0) & (F.col("t") <= tau)).agg(
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_events_used"),
+        F.coalesce(
+            F.sum(delta * (F.lit(float(tau)) - F.col("t"))), F.lit(0.0)
+        ).alias("_lost"),
+    )
+    return area.crossJoin(F.broadcast(tot)).select(
+        F.lit(float(tau)).alias("tau"),
+        F.col("_tot").cast("long").alias("n_subjects"),
+        "n_events_used",
+        F.round(F.lit(float(tau)) - F.col("_lost"), 6).alias("rmst"),
+    )
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+) -> DataFrame:
+    """Aalen–Johansen cumulative-incidence estimator for COMPETING
+    risks (Aalen & Johansen 1978), two causes + censoring: when a
+    subject can exit by either of two terminal events (churned vs
+    converted; failed vs completed), 1 − KM-per-cause OVERCOUNTS
+    (it treats the competing event as censoring, inflating both
+    curves past summing to 1). The AJ estimator is the honest one:
+
+        CIF_k(t) = Σ_{tᵢ≤t} S(tᵢ₋₁) · d_{k,i} / nᵢ
+
+    with S the ALL-CAUSE KM survival. ``cause_col``: 0 = censored,
+    1 / 2 = the two causes.
+
+    Execution: per-distinct-time (d₁, d₂, c) counts, the KM prefix
+    passes for n and S(tᵢ₋₁), then ONE more prefix pass accumulating
+    both causes' increments — value-cardinality work throughout, no
+    global window. Output per event time: (duration, n_risk, d_cause1,
+    d_cause2, cif_cause1, cif_cause2); CIF₁+CIF₂ ≤ 1 by construction.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    base = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(cause_col).cast("int").alias("_k"),
+    ).filter(
+        F.col("t").isNotNull() & (F.col("t") >= 0) & F.col("_k").isin([0, 1, 2])
+    )
+    tot = base.agg(F.count("*").alias("_tot"))
+    per = base.groupBy("t").agg(
+        F.sum((F.col("_k") == 1).cast("long")).alias("d1"),
+        F.sum((F.col("_k") == 2).cast("long")).alias("d2"),
+        F.count("*").alias("c"),
+    )
+    cum = partitioned_prefix_sum(per, ["t"], ["c"], ["_cc"], inclusive=True)
+    risked = cum.crossJoin(F.broadcast(tot)).select(
+        "t", "d1", "d2", "c",
+        (F.col("_tot") - (F.col("_cc") - F.col("c"))).alias("n"),
+    )
+    d = F.col("d1") + F.col("d2")
+    factors = risked.select(
+        "t",
+        "d1",
+        "d2",
+        "n",
+        F.when(d < F.col("n"), F.log(1.0 - d / F.col("n")))
+        .otherwise(F.lit(0.0))
+        .alias("_lnf"),
+        (d >= F.col("n")).cast("int").alias("_z"),
+    )
+    surv = partitioned_prefix_sum(
+        factors, ["t"], ["_lnf", "_z"], ["_lncum", "_zcum"], inclusive=True
+    )
+    s_prev = F.when(
+        (F.col("_zcum") - F.col("_z")) > 0, F.lit(0.0)
+    ).otherwise(F.exp(F.col("_lncum") - F.col("_lnf")))
+    inc = surv.select(
+        "t",
+        "d1",
+        "d2",
+        "n",
+        (s_prev * F.col("d1") / F.col("n")).alias("_i1"),
+        (s_prev * F.col("d2") / F.col("n")).alias("_i2"),
+    )
+    cifs = partitioned_prefix_sum(
+        inc, ["t"], ["_i1", "_i2"], ["_c1", "_c2"], inclusive=True
+    )
+    return (
+        cifs.filter(F.col("d1") + F.col("d2") > 0)
+        .select(
+            F.col("t").alias("duration"),
+            F.col("n").alias("n_risk"),
+            F.col("d1").alias("d_cause1"),
+            F.col("d2").alias("d_cause2"),
+            F.round("_c1", 6).alias("cif_cause1"),
+            F.round("_c2", 6).alias("cif_cause2"),
+        )
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on DAILY aggregates (Mann
+    1945; Kendall's S with the tie-corrected variance) — the
+    distribution-free "is this metric drifting" companion to X205's
+    Theil–Sen slope (same pair structure; MK gives the significance,
+    Theil–Sen the magnitude): S = Σ_{i<j} sign(x̄ⱼ − x̄ᵢ) over day
+    pairs, Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, z with the
+    ±1 continuity correction.
+
+    Scale design: the pair join runs on the per-(group, day)
+    AGGREGATED relation — bounded by the calendar, never corpus rows
+    (the X267 daily-relation discipline); the tie term is one grouped
+    re-aggregate of the daily means. Output per group:
+    (n_days, s_stat, var_s, z).
+    """
+    gcols = [group_col] if group_col else []
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(*gcols, F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("_x"))
+    )
+    a = daily.select(*gcols, F.col("_day").alias("_d1"), F.col("_x").alias("_x1"))
+    b = daily.select(
+        *[F.col(g).alias(f"_g2_{g}") for g in gcols],
+        F.col("_day").alias("_d2"),
+        F.col("_x").alias("_x2"),
+    )
+    if gcols:
+        pairs = a.join(
+            b,
+            (F.col(gcols[0]) == F.col(f"_g2_{gcols[0]}"))
+            & (F.col("_d1") < F.col("_d2")),
+        )
+    else:
+        pairs = a.join(b, F.col("_d1") < F.col("_d2"))
+    s = pairs.groupBy(*gcols).agg(
+        F.sum(F.signum(F.col("_x2") - F.col("_x1"))).alias("_s")
+    )
+    nd = daily.groupBy(*gcols).agg(F.count("*").cast("double").alias("_n"))
+    ties = (
+        daily.groupBy(*gcols, "_x")
+        .agg(F.count("*").cast("double").alias("_t"))
+        .groupBy(*gcols)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tc")
+        )
+    )
+    j = (
+        s.join(nd, gcols).join(ties, gcols)
+        if gcols
+        else s.crossJoin(nd).crossJoin(ties)
+    )
+    n = F.col("_n")
+    var = (n * (n - 1) * (2 * n + 5) - F.col("_tc")) / 18.0
+    cc = (
+        F.when(F.col("_s") > 0, F.col("_s") - 1)
+        .when(F.col("_s") < 0, F.col("_s") + 1)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        *gcols,
+        n.cast("long").alias("n_days"),
+        F.col("_s").cast("long").alias("s_stat"),
+        F.round(var, 6).alias("var_s"),
+        F.round(F.when(var > 0, cc / F.sqrt(var)), 6).alias("z"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Hour-of-day seasonal-strength score (the STL strength measure of
+    Hyndman & Athanasopoulos, F_s = max(0, 1 − Var(remainder)/Var(x)),
+    with the seasonal component estimated as the per-hour mean) — the
+    one-number answer to "does this metric have a daily rhythm", the
+    summary statistic over the same decomposition X203's anomaly
+    flags use pointwise.
+
+    Scale design: one grouped (group, hour) means pass joined back
+    broadcast (≤ 24·|groups| rows), one moments pass — no windows.
+    Output per group: (n, var_total, var_resid, strength).
+    """
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("double")
+    hour = F.floor(
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000) % 86400
+        / 3600
+    ).alias("_h")
+    base = df.filter(x.isNotNull() & F.col(ts_col).isNotNull()).select(
+        *gcols, hour, x.alias("_x")
+    )
+    prof = base.groupBy(*gcols, "_h").agg(F.avg("_x").alias("_hm"))
+    j = base.join(F.broadcast(prof), [*gcols, "_h"])
+    out = j.groupBy(*gcols).agg(
+        F.count("*").alias("n"),
+        F.var_pop("_x").alias("_vt"),
+        F.var_pop(F.col("_x") - F.col("_hm")).alias("_vr"),
+    )
+    return out.select(
+        *gcols,
+        "n",
+        F.round("_vt", 6).alias("var_total"),
+        F.round("_vr", 6).alias("var_resid"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.col("_vr") / F.nullif(F.col("_vt"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("strength"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the above/below-
+    median sign sequence in time order (Wald & Wolfowitz 1940) — the
+    assumption checker the i.i.d.-presuming tests in this repo lean
+    on: too FEW runs = positive serial dependence (clustering), too
+    MANY = alternation. With n₊ above and n₋ below the per-group
+    median (exact-equal values excluded):
+
+        E[R] = 2n₊n₋/n + 1
+        Var  = 2n₊n₋(2n₊n₋ − n) / (n²(n−1))
+
+    Scale design: the median is one exact grouped percentile, signs
+    are codegen, the run count is ONE lag window partitioned by the
+    group. Output per group: (n_plus, n_minus, runs, z).
+    """
+    gcols = [group_col] if group_col else []
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(ts_col).isNotNull()).select(
+        *gcols,
+        F.col(ts_col).alias("_ts"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+        x.alias("_x"),
+    )
+    med = base.groupBy(*gcols).agg(
+        F.expr("percentile(_x, 0.5)").alias("_med")
+    )
+    j = (
+        base.join(F.broadcast(med), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(med))
+    )
+    signed = j.filter(F.col("_x") != F.col("_med")).withColumn(
+        "_s", (F.col("_x") > F.col("_med")).cast("int")
+    )
+    ocols = [F.col("_ts")] + ([F.col("_tb")] if tiebreak_col else [])
+    w = Window.partitionBy(*gcols).orderBy(*ocols)
+    runs = signed.withColumn("_prev", F.lag("_s").over(w))
+    agg = runs.groupBy(*gcols).agg(
+        F.sum("_s").cast("double").alias("_np"),
+        F.sum(1 - F.col("_s")).cast("double").alias("_nm"),
+        (
+            1
+            + F.sum(
+                (F.col("_prev").isNotNull() & (F.col("_s") != F.col("_prev")))
+                .cast("long")
+            )
+        ).alias("_r"),
+    )
+    n = F.col("_np") + F.col("_nm")
+    er = 2 * F.col("_np") * F.col("_nm") / n + 1
+    vr = (
+        2
+        * F.col("_np")
+        * F.col("_nm")
+        * (2 * F.col("_np") * F.col("_nm") - n)
+        / (n * n * (n - 1))
+    )
+    return agg.select(
+        *gcols,
+        F.col("_np").cast("long").alias("n_plus"),
+        F.col("_nm").cast("long").alias("n_minus"),
+        F.col("_r").cast("long").alias("runs"),
+        F.round(
+            F.when(vr > 0, (F.col("_r") - er) / F.sqrt(vr)), 6
+        ).alias("z"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test (Ljung & Box 1978) on an
+    evenly-indexed series per group: Q = n(n+2)·Σ_{k≤h} r²ₖ/(n−k) ~
+    χ²(h) under no autocorrelation — the one-number roll-up of the
+    X168 ACF table ("is there ANY structure in the first h lags").
+    Uses the textbook FIXED-MEAN estimator rₖ = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) /
+    Σ(xₜ−x̄)² (Pearson-per-lag, X168's variant, is not what the χ²
+    reference distribution assumes).
+
+    Scale design: one grouped (n, mean, ss) pass broadcast back, the
+    lag axis as the tiny exploded literal (the X168 shape, B = max_lag),
+    one hash join on (group, index+lag), one grouped aggregate.
+    Output per group: (n, h, q_stat).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    s = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(index_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_t").isNotNull() & F.col("_x").isNotNull())
+    stats = s.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_x").alias("_m"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    ).select(
+        "_g",
+        "_n",
+        "_m",
+        (F.col("_sxx") - F.col("_n") * F.col("_m") * F.col("_m")).alias("_ss"),
+    )
+    c = s.join(F.broadcast(stats), "_g").select(
+        "_g", "_t", (F.col("_x") - F.col("_m")).alias("_c"), "_n", "_ss"
+    )
+    lagged = c.select(
+        "_g",
+        "_c",
+        "_n",
+        "_ss",
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
+        (F.col("_t") + F.col("lag")).alias("_tj"),
+    )
+    pairs = lagged.join(
+        c.select("_g", F.col("_t").alias("_tj"), F.col("_c").alias("_c2")),
+        ["_g", "_tj"],
+    )
+    rk = pairs.groupBy("_g", "lag").agg(
+        F.first("_n").alias("_n"),
+        (F.sum(F.col("_c") * F.col("_c2")) / F.first("_ss")).alias("_r"),
+    )
+    return (
+        rk.groupBy("_g")
+        .agg(
+            F.first("_n").cast("long").alias("n"),
+            F.count("*").cast("long").alias("h"),
+            F.round(
+                F.first("_n")
+                * (F.first("_n") + 2)
+                * F.sum(
+                    F.col("_r") * F.col("_r") / (F.col("_n") - F.col("lag"))
+                ),
+                6,
+            ).alias("q_stat"),
+        )
+        .select(F.col("_g").alias(group_col), "n", "h", "q_stat")
+    )

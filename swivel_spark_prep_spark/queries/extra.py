@@ -11394,3 +11394,358 @@ def x310(spark, sf_dir):
     return yuen_trimmed_t(
         docs, "n_chars", "source", "src0", "src1", "doc_id", trim=0.2
     )
+
+
+@_declare(
+    "X311_rmst",
+    # Restricted mean survival time over X197's time-to-first-error
+    # cohort at tau=24h (timeseries.rmst): the single-number survival
+    # summary that stays valid when hazards cross. No lead() window —
+    # the KM jump identity integral = tau - sum(delta_i*(tau-t_i)) with
+    # delta_i = S(t_{i-1})*d_i/n_i from the EXCLUSIVE prefix product.
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                 min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+subj AS (SELECT
+    CASE WHEN te IS NOT NULL AND te - f <= 48 * 3600e6
+         THEN floor((te - f) / 3600e6) ELSE 48 END::DOUBLE AS t,
+    (te IS NOT NULL AND te - f <= 48 * 3600e6)::INT AS ev
+  FROM u),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM subj),
+per AS (SELECT t, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS c FROM subj GROUP BY 1),
+cum AS (SELECT *, SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM per),
+r AS (SELECT t, d, (n - (cc - c))::BIGINT AS nr FROM cum, tot),
+f2 AS (SELECT t, d, nr,
+              CASE WHEN d < nr THEN ln(1 - d::DOUBLE / nr) ELSE 0 END AS lnf,
+              (d >= nr)::INT AS z
+       FROM r),
+s AS (SELECT t, d, nr, lnf, z,
+             SUM(lnf) OVER w AS lncum, SUM(z) OVER w AS zcum
+      FROM f2
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT 24.0 AS tau, (SELECT n FROM tot) AS n_subjects,
+       SUM(d)::BIGINT AS n_events_used,
+       ROUND(24.0 - SUM((CASE WHEN zcum - z > 0 THEN 0.0
+                              ELSE exp(lncum - lnf) END)
+                        * d::DOUBLE / nr * (24.0 - t)), 6) AS rmst
+FROM s WHERE d > 0 AND t <= 24.0;""",
+)
+def x311(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import rmst
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("f"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    horizon = 48 * 3600e6
+    observed = F.col("te").isNotNull() & (F.col("te") - F.col("f") <= horizon)
+    subj = u.select(
+        F.when(observed, F.floor((F.col("te") - F.col("f")) / 3600e6))
+        .otherwise(F.lit(48))
+        .cast("double")
+        .alias("t"),
+        observed.cast("int").alias("ev"),
+    )
+    return rmst(subj, "t", "ev", tau=24.0)
+
+
+@_declare(
+    "X312_aalen_johansen",
+    # Aalen-Johansen cumulative incidence under COMPETING risks
+    # (timeseries.aalen_johansen): first 'error' (cause 1) vs first
+    # 'purchase' (cause 2) per user, censored at 48h — 1-KM-per-cause
+    # overcounts here; AJ charges each increment against the all-cause
+    # survival. Ties go to cause 1 by the equality check order.
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                 min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS t1,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+subj AS (SELECT
+    CASE WHEN ts_ IS NOT NULL AND ts_ - f <= 48 * 3600e6
+         THEN floor((ts_ - f) / 3600e6) ELSE 48 END::DOUBLE AS t,
+    CASE WHEN ts_ IS NOT NULL AND ts_ - f <= 48 * 3600e6
+         THEN CASE WHEN t1 = ts_ THEN 1 ELSE 2 END ELSE 0 END AS k
+  FROM (SELECT *, least(t1, t2) AS ts_ FROM u)),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM subj),
+per AS (SELECT t, SUM((k = 1)::INT)::BIGINT AS d1,
+               SUM((k = 2)::INT)::BIGINT AS d2, COUNT(*)::BIGINT AS c
+        FROM subj GROUP BY 1),
+cum AS (SELECT *, SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM per),
+r AS (SELECT t, d1, d2, (n - (cc - c))::BIGINT AS nr FROM cum, tot),
+f2 AS (SELECT t, d1, d2, nr,
+              CASE WHEN d1 + d2 < nr THEN ln(1 - (d1 + d2)::DOUBLE / nr)
+                   ELSE 0 END AS lnf,
+              (d1 + d2 >= nr)::INT AS z
+       FROM r),
+s AS (SELECT *, SUM(lnf) OVER w AS lncum, SUM(z) OVER w AS zcum FROM f2
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+inc AS (SELECT t, d1, d2, nr,
+               (CASE WHEN zcum - z > 0 THEN 0.0 ELSE exp(lncum - lnf) END)
+                 * d1::DOUBLE / nr AS i1,
+               (CASE WHEN zcum - z > 0 THEN 0.0 ELSE exp(lncum - lnf) END)
+                 * d2::DOUBLE / nr AS i2
+        FROM s),
+ci AS (SELECT t, d1, d2, nr, SUM(i1) OVER w AS c1, SUM(i2) OVER w AS c2
+       FROM inc
+       WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t AS duration, nr AS n_risk, d1 AS d_cause1, d2 AS d_cause2,
+       ROUND(c1, 6) AS cif_cause1, ROUND(c2, 6) AS cif_cause2
+FROM ci WHERE d1 + d2 > 0 ORDER BY duration;""",
+)
+def x312(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import aalen_johansen
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("f"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("t1"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t2"),
+    )
+    tstar = F.least(F.col("t1"), F.col("t2"))
+    horizon = 48 * 3600e6
+    observed = tstar.isNotNull() & (tstar - F.col("f") <= horizon)
+    subj = u.select(
+        F.when(observed, F.floor((tstar - F.col("f")) / 3600e6))
+        .otherwise(F.lit(48))
+        .cast("double")
+        .alias("t"),
+        F.when(
+            observed, F.when(F.col("t1") == tstar, 1).otherwise(2)
+        )
+        .otherwise(0)
+        .alias("k"),
+    )
+    return aalen_johansen(subj, "t", "k").orderBy("duration")
+
+
+@_declare(
+    "X313_mann_kendall",
+    # Mann-Kendall monotonic-trend test on daily mean value per event
+    # type (timeseries.mann_kendall): the significance companion to
+    # X205's Theil-Sen slope. Pair join on the calendar-BOUNDED daily
+    # relation (X267's discipline); tie-corrected variance; +-1
+    # continuity correction.
+    """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d, AVG(value) AS x
+               FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
+p AS (SELECT a.g, sign(b.x - a.x) AS sg
+      FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d),
+s AS (SELECT g, SUM(sg) AS s FROM p GROUP BY 1),
+nd AS (SELECT g, COUNT(*)::DOUBLE AS n FROM daily GROUP BY 1),
+tc AS (SELECT g, SUM(t*(t-1)*(2*t+5)) AS tc FROM
+         (SELECT g, x, COUNT(*)::DOUBLE AS t FROM daily GROUP BY 1, 2) q
+       GROUP BY 1),
+j AS (SELECT s.g, s.s, nd.n, (nd.n*(nd.n-1)*(2*nd.n+5) - tc.tc)/18.0 AS v
+      FROM s JOIN nd USING (g) JOIN tc USING (g))
+SELECT g AS event_type, n::BIGINT AS n_days, s::BIGINT AS s_stat,
+       ROUND(v, 6) AS var_s,
+       ROUND(CASE WHEN v > 0 THEN
+             (CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1
+                   ELSE 0 END) / sqrt(v) END, 6) AS z
+FROM j ORDER BY event_type;""",
+)
+def x313(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import mann_kendall
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_kendall(ev, "ts", "value", "event_type").orderBy("event_type")
+
+
+@_declare(
+    "X314_seasonal_strength",
+    # Hour-of-day seasonal strength per event type
+    # (timeseries.seasonal_strength; Hyndman's STL strength measure
+    # F_s = max(0, 1 - Var(remainder)/Var(x)) with per-hour means as
+    # the seasonal component) — the one-number "does this metric have
+    # a daily rhythm" over the same decomposition X203 flags pointwise.
+    """WITH b AS (SELECT event_type AS g,
+                 floor((epoch_us(ts) // 1000000 % 86400) / 3600) AS h,
+                 value::DOUBLE AS x
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+prof AS (SELECT g, h, AVG(x) AS hm FROM b GROUP BY 1, 2),
+j AS (SELECT b.g, b.x, b.x - prof.hm AS r
+      FROM b JOIN prof ON b.g = prof.g AND b.h = prof.h),
+o AS (SELECT g, COUNT(*)::BIGINT AS n, var_pop(x) AS vt, var_pop(r) AS vr
+      FROM j GROUP BY 1)
+SELECT g AS event_type, n, ROUND(vt, 6) AS var_total,
+       ROUND(vr, 6) AS var_resid,
+       ROUND(greatest(0, 1 - vr / NULLIF(vt, 0)), 6) AS strength
+FROM o ORDER BY event_type;""",
+)
+def x314(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import seasonal_strength
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_strength(ev, "ts", "value", "event_type").orderBy(
+        "event_type"
+    )
+
+
+@_declare(
+    "X315_runs_test",
+    # Wald-Wolfowitz runs test of the above/below-median sign sequence
+    # per event type in (ts, event_id) order (timeseries.runs_test):
+    # the serial-independence checker under the iid-presuming tests —
+    # too few runs = clustering, too many = alternation.
+    """WITH b AS (SELECT event_type AS g, ts, event_id, value::DOUBLE AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+med AS (SELECT g, quantile_cont(x, 0.5) AS med FROM b GROUP BY 1),
+sgn AS (SELECT b.g, ts, event_id, (x > med)::INT AS s
+        FROM b JOIN med ON b.g = med.g WHERE x <> med),
+l AS (SELECT g, s, LAG(s) OVER (PARTITION BY g ORDER BY ts, event_id) AS p
+      FROM sgn),
+a AS (SELECT g, SUM(s)::DOUBLE AS np, SUM(1 - s)::DOUBLE AS nm,
+             1 + SUM((p IS NOT NULL AND s <> p)::INT) AS r FROM l GROUP BY 1),
+c AS (SELECT g, np, nm, r,
+             2*np*nm/(np+nm) + 1 AS er,
+             2*np*nm*(2*np*nm - (np+nm))
+               / ((np+nm)*(np+nm)*((np+nm) - 1)) AS vr FROM a)
+SELECT g AS event_type, np::BIGINT AS n_plus, nm::BIGINT AS n_minus,
+       r::BIGINT AS runs,
+       ROUND(CASE WHEN vr > 0 THEN (r - er)/sqrt(vr) END, 6) AS z
+FROM c ORDER BY event_type;""",
+)
+def x315(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import runs_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return runs_test(
+        ev, "ts", "value", "event_type", tiebreak_col="event_id"
+    ).orderBy("event_type")
+
+
+@_declare(
+    "X316_ljung_box",
+    # Ljung-Box portmanteau whiteness test on the daily-mean series per
+    # event type, h=7 (timeseries.ljung_box): the one-number roll-up of
+    # X168's ACF table using the textbook fixed-mean estimator the
+    # chi2(h) reference assumes. Lag axis = the X168 exploded-literal
+    # shape (B=7) on the day-bounded relation.
+    """WITH daily AS (SELECT event_type AS g, (epoch_us(ts) // 86400000000) AS t,
+                 AVG(value) AS x
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+st AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(x) AS m,
+              SUM(x*x) - COUNT(*)::DOUBLE*AVG(x)*AVG(x) AS ss
+       FROM daily GROUP BY 1),
+c AS (SELECT daily.g, t, x - m AS cx, n, ss FROM daily JOIN st USING (g)),
+lagax AS (SELECT g, cx, n, ss, u.lag, t + u.lag AS tj
+          FROM c, UNNEST([1, 2, 3, 4, 5, 6, 7]) AS u(lag)),
+p AS (SELECT a.g, a.lag, a.n, a.ss, a.cx, b.cx AS cy
+      FROM lagax a JOIN c b ON a.g = b.g AND a.tj = b.t),
+rk AS (SELECT g, lag, ANY_VALUE(n) AS n,
+              SUM(cx*cy) / ANY_VALUE(ss) AS r FROM p GROUP BY 1, 2)
+SELECT g AS event_type, ANY_VALUE(n)::BIGINT AS n, COUNT(*)::BIGINT AS h,
+       ROUND(ANY_VALUE(n)*(ANY_VALUE(n) + 2)*SUM(r*r/(n - lag)), 6) AS q_stat
+FROM rk GROUP BY g ORDER BY g;""",
+)
+def x316(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import ljung_box
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).alias("day"),
+    ).agg(F.avg("value").alias("xbar"))
+    return ljung_box(daily, "event_type", "day", "xbar", max_lag=7).orderBy(
+        "event_type"
+    )
+
+
+@_declare(
+    "X317_chapman_vocab",
+    # Chapman capture-recapture estimate of total vocabulary from the
+    # doc_id-parity halves (textstats.chapman_vocab_estimate): the
+    # mark-recapture complement to X241's Chao1 — disagreement between
+    # the two flags heterogeneous type probabilities (Zipf's reality:
+    # both read as lower bounds).
+    """WITH ta AS (SELECT DISTINCT w FROM
+          (SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0) q
+        WHERE w <> ''),
+tb AS (SELECT DISTINCT w FROM
+          (SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1) q
+        WHERE w <> ''),
+n1 AS (SELECT COUNT(*)::DOUBLE AS n1 FROM ta),
+n2 AS (SELECT COUNT(*)::DOUBLE AS n2 FROM tb),
+m AS (SELECT COUNT(*)::DOUBLE AS m FROM ta JOIN tb USING (w))
+SELECT n1::BIGINT AS n_types_a, n2::BIGINT AS n_types_b, m::BIGINT AS m_shared,
+       (n1 + n2 - m)::BIGINT AS union_observed,
+       ROUND((n1+1)*(n2+1)/(m+1) - 1, 6) AS chapman_n,
+       ROUND(sqrt((n1+1)*(n2+1)*(n1-m)*(n2-m)
+                  / ((m+1)*(m+1)*(m+2))), 6) AS se
+FROM n1, n2, m;""",
+)
+def x317(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import (
+        chapman_vocab_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chapman_vocab_estimate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+@_declare(
+    "X318_quantile_effects",
+    # Quantile treatment effects between two md5-hash pseudo-arms
+    # (evalmetrics.quantile_treatment_effects; Doksum 1974): per-
+    # quantile arm differences at p in {.25,.5,.75,.9} — the
+    # distributional view a t-test flattens. One exact-percentile-
+    # array aggregate per arm.
+    """WITH armed AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5('qte' || user_id::VARCHAR), 1, 8)) AS BIGINT)
+              % 1000000 < 500000 THEN 'a' ELSE 'b' END AS g,
+         value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+q AS (SELECT g, quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.5) AS q2,
+             quantile_cont(x, 0.75) AS q3, quantile_cont(x, 0.9) AS q4
+      FROM armed GROUP BY 1),
+w AS (SELECT MAX(CASE WHEN g = 'a' THEN q1 END) AS a1,
+             MAX(CASE WHEN g = 'a' THEN q2 END) AS a2,
+             MAX(CASE WHEN g = 'a' THEN q3 END) AS a3,
+             MAX(CASE WHEN g = 'a' THEN q4 END) AS a4,
+             MAX(CASE WHEN g = 'b' THEN q1 END) AS b1,
+             MAX(CASE WHEN g = 'b' THEN q2 END) AS b2,
+             MAX(CASE WHEN g = 'b' THEN q3 END) AS b3,
+             MAX(CASE WHEN g = 'b' THEN q4 END) AS b4
+      FROM q)
+SELECT 0.25 AS p, ROUND(a1, 6) AS q_a, ROUND(b1, 6) AS q_b,
+       ROUND(a1 - b1, 6) AS qte FROM w
+UNION ALL SELECT 0.5, ROUND(a2, 6), ROUND(b2, 6), ROUND(a2 - b2, 6) FROM w
+UNION ALL SELECT 0.75, ROUND(a3, 6), ROUND(b3, 6), ROUND(a3 - b3, 6) FROM w
+UNION ALL SELECT 0.9, ROUND(a4, 6), ROUND(b4, 6), ROUND(a4 - b4, 6) FROM w
+ORDER BY p;""",
+)
+def x318(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        quantile_treatment_effects,
+    )
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    armed = ev.select(
+        F.when(
+            hash_bucket(F.col("user_id"), 1_000_000, "qte") < 500_000, "a"
+        )
+        .otherwise("b")
+        .alias("arm"),
+        F.col("value"),
+    )
+    return quantile_treatment_effects(
+        armed, "arm", "value", "a", "b"
+    ).orderBy("p")

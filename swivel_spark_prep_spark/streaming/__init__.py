@@ -1237,3 +1237,159 @@ def stream_rolling_actives(
         .outputMode("append")
         .start()
     )
+
+
+def stream_page_hinkley(
+    events_stream: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tiebreak_col: str | None = None,
+    delta: float = 0.0,
+    lam: float = 100.0,
+    retain_batches: int | None = 8,
+):
+    """Streaming Page–Hinkley upward mean-shift detector — the live
+    twin of :func:`timeseries.page_hinkley` and the self-calibrating
+    companion to :func:`stream_cusum`: CUSUM needs an a-priori
+    in-control mean; PH references the EXPANDING mean of everything
+    seen so far, so a fresh series needs zero calibration input.
+
+    State is one row of five doubles + three counters per group —
+    (n, sum_x, u, u_min, max_ph, n_alarms, first_alarm_ts) — O(1) per
+    series like CUSUM. The carry is exact: within a batch the running
+    mean at global position n0+i is (s0 + prefixsum_i(x))/(n0+i), the
+    walk is Uₜ = u0 + prefixsum(term), and the reference minimum is
+    least(u_min0, runningmin(U)); all three are the per-group windows
+    the batch operator already uses, offset by the carried scalars, so
+    the final snapshot is arithmetic-identical to the batch operator
+    on the concatenated stream (parity pinned in tests).
+
+    Per batch: one snapshot row per group lands under
+    ``out_dir/batch_id=N`` (idempotent overwrite), end-of-batch state
+    under ``state_dir/ph/batch_id=N`` with absent groups carried
+    forward. Rows are ordered by (ts, tiebreak) within each group.
+    """
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jp))
+
+    state_schema = (
+        "g string, n long, s double, u double, umin double,"
+        " max_ph double, n_alarms long, first_alarm_ts timestamp"
+    )
+
+    def _apply(batch: DataFrame, batch_id: int):
+        from pyspark.sql.window import Window
+
+        spark = batch.sparkSession
+        rows = batch.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(ts_col).alias("t"),
+            *([F.col(tiebreak_col).alias("tb")] if tiebreak_col else []),
+            F.col(value_col).cast("double").alias("x"),
+        ).filter(F.col("x").isNotNull() & F.col("t").isNotNull())
+
+        prev_path = f"{state_dir}/ph/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev_path):
+            prev = spark.read.parquet(prev_path)
+        else:
+            prev = spark.createDataFrame([], state_schema)
+
+        ocols = [F.col("t")] + ([F.col("tb")] if tiebreak_col else [])
+        w = (
+            Window.partitionBy("g")
+            .orderBy(*ocols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        j = rows.join(
+            F.broadcast(prev.select("g", "n", "s", "u", "umin")), "g", "left"
+        ).select(
+            "g",
+            "t",
+            *(["tb"] if tiebreak_col else []),
+            "x",
+            F.coalesce("n", F.lit(0)).alias("n0"),
+            F.coalesce("s", F.lit(0.0)).alias("s0"),
+            F.coalesce("u", F.lit(0.0)).alias("u0"),
+            "umin",
+        )
+        stepped = (
+            j.withColumn("_cn", F.count("*").over(w))
+            .withColumn("_cs", F.sum("x").over(w))
+            .withColumn(
+                "_term",
+                F.col("x")
+                - (F.col("s0") + F.col("_cs")) / (F.col("n0") + F.col("_cn"))
+                - F.lit(delta),
+            )
+        )
+        walk = stepped.withColumn(
+            "_u", F.col("u0") + F.sum("_term").over(w)
+        ).withColumn(
+            "_rmin",
+            F.least(
+                F.coalesce(F.col("umin"), F.min("_u").over(w)),
+                F.min("_u").over(w),
+            ),
+        ).withColumn("_ph", F.col("_u") - F.col("_rmin"))
+        upd = walk.groupBy("g").agg(
+            (F.max("n0") + F.count("*")).alias("n"),
+            (F.max("s0") + F.sum("x")).alias("s"),
+            (F.max("u0") + F.sum("_term")).alias("u"),
+            F.min("_rmin").alias("umin"),
+            F.max("_ph").alias("batch_max_ph"),
+            F.sum((F.col("_ph") > lam).cast("long")).alias("batch_alarms"),
+            F.min(F.when(F.col("_ph") > lam, F.col("t"))).alias(
+                "batch_first_alarm"
+            ),
+        )
+        merged = (
+            prev.alias("p")
+            .join(upd.alias("u"), "g", "full_outer")
+            .select(
+                "g",
+                F.coalesce("u.n", "p.n").alias("n"),
+                F.coalesce("u.s", "p.s").alias("s"),
+                F.coalesce("u.u", "p.u").alias("u"),
+                F.coalesce("u.umin", "p.umin").alias("umin"),
+                F.greatest(
+                    F.coalesce("p.max_ph", F.lit(0.0)),
+                    F.coalesce("u.batch_max_ph", F.lit(0.0)),
+                ).alias("max_ph"),
+                (
+                    F.coalesce("p.n_alarms", F.lit(0))
+                    + F.coalesce("u.batch_alarms", F.lit(0))
+                ).alias("n_alarms"),
+                F.coalesce("p.first_alarm_ts", "u.batch_first_alarm").alias(
+                    "first_alarm_ts"
+                ),
+            )
+        )
+        out = merged.select(
+            F.col("g").alias(group_col),
+            "n",
+            F.round("max_ph", 6).alias("max_ph"),
+            "n_alarms",
+            "first_alarm_ts",
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/ph/batch_id={batch_id}"
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if retain_batches:
+            _prune_batches(
+                spark, f"{state_dir}/ph", batch_id - retain_batches + 1
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -177,6 +177,10 @@ ALLOWED_REPLICATE_EXPLODES = {
     "X208_bootstrap_uplift": [100],
     "X226_randomization_test": [100],
     "X267_cross_correlation": [15],
+    # X316: Ljung-Box lag axis — B = max_lag = 7, the X168 ACF shape,
+    # exploded on the AGGREGATED per-day relation, never corpus rows
+    # (timeseries.ljung_box).
+    "X316_ljung_box": [7],
 }
 
 _ALL = {**DECLARED_QUERIES, **EXTRA_QUERIES}

@@ -931,3 +931,97 @@ def test_stream_sprt_matches_batch_and_is_sticky(spark, tmp_path):
     assert snaps[1].decision == "accept_h1"
     assert snaps[2].decision == "accept_h1"
     assert snaps[2].cross_n == snaps[1].cross_n
+
+
+def test_stream_page_hinkley_matches_batch_and_carries_groups(spark, tmp_path):
+    """stream_page_hinkley: the final snapshot must equal the batch
+    page_hinkley on the concatenated stream per group (n, max_ph,
+    n_alarms, first_alarm_ts); a group absent from a later batch is
+    carried forward unchanged; state is one row per group."""
+    import datetime
+    import glob
+    import shutil
+
+    from swivel_spark_prep_spark.operators.timeseries import page_hinkley
+    from swivel_spark_prep_spark.streaming import stream_page_hinkley
+
+    base = datetime.datetime(2024, 3, 1)
+
+    def ts(i):
+        return base + datetime.timedelta(minutes=i)
+
+    # 'shift' ramps up mid-stream (alarms in batch 1); 'flat' is
+    # stationary and absent from batch 2 entirely (carry-forward)
+    batches = [
+        [("shift", ts(i), i, 10.0) for i in range(60)]
+        + [("flat", ts(i), 1000 + i, 5.0) for i in range(60)],
+        [("shift", ts(60 + i), 60 + i, 40.0) for i in range(60)]
+        + [("flat", ts(60 + i), 1060 + i, 5.0) for i in range(20)],
+        [("shift", ts(120 + i), 120 + i, 40.0) for i in range(30)],
+    ]
+    schema = "g string, t timestamp, id long, x double"
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    for b, rows in enumerate(batches):
+        raw = tmp_path / f"raw{b}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(raw))
+        part = glob.glob(str(raw / "part-*.parquet"))[0]
+        shutil.copy(part, str(replay / f"{b:02d}.parquet"))
+    _stamp_mtimes(str(replay))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = stream_page_hinkley(
+        stream,
+        "g",
+        "t",
+        "x",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        tiebreak_col="id",
+        lam=50.0,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out_dirs = sorted(glob.glob(str(tmp_path / "out" / "batch_id=*")))
+    assert len(out_dirs) == 3
+    final = {r["g"]: r for r in spark.read.parquet(out_dirs[-1]).collect()}
+
+    all_rows = [r for b in batches for r in b]
+    batch = {
+        r["g"]: r
+        for r in page_hinkley(
+            spark.createDataFrame(all_rows, schema),
+            "t",
+            "x",
+            "g",
+            order_tiebreak="id",
+            lam=50.0,
+        ).collect()
+    }
+    for g in ("shift", "flat"):
+        assert final[g]["n"] == batch[g]["n"]
+        assert final[g]["max_ph"] == pytest.approx(batch[g]["max_ph"], abs=1e-6)
+        assert final[g]["n_alarms"] == batch[g]["n_alarms"]
+        assert final[g]["first_alarm_ts"] == batch[g]["first_alarm_ts"]
+    assert batch["shift"]["n_alarms"] > 0
+    assert batch["flat"]["n_alarms"] == 0
+    # carry-forward: 'flat' appears in the batch-2 snapshot although the
+    # batch contained no 'flat' rows, with batch-1-end statistics
+    snap1 = {r["g"]: r for r in spark.read.parquet(out_dirs[1]).collect()}
+    snap2 = {r["g"]: r for r in spark.read.parquet(out_dirs[2]).collect()}
+    assert snap2["flat"]["n"] == snap1["flat"]["n"] == 80
+    # state: one row per group per batch
+    st = spark.read.parquet(
+        sorted(glob.glob(str(tmp_path / "state" / "ph" / "batch_id=*")))[-1]
+    )
+    assert st.count() == 2
