@@ -2874,3 +2874,204 @@ def quantile_treatment_effects(
             F.col("_qa")[F.col("_i")] - F.col("_qb")[F.col("_i")], 6
         ).alias("qte"),
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Difference-in-differences with the paired-delta formulation
+    (Card & Krueger 1994's design; SE per Bertrand et al.'s
+    unit-clustering advice applied to the 2×2 case): per unit present
+    in BOTH periods, Δᵤ = ȳᵤ,post − ȳᵤ,pre; the estimate is
+    mean(Δ_A) − mean(Δ_B) with the two-sample SE over unit deltas —
+    clustering at the unit automatically, which the naive four-cell
+    variance gets wrong when a unit contributes many events.
+    ``period_col`` must be boolean-like (false = pre, true = post);
+    units missing a period are excluded (and counted).
+
+    Scale design: one (unit, period) aggregate, one conditional pivot
+    per unit, one grouped moments pass — no windows. Output one row:
+    (n_a, n_b, n_dropped, delta_a, delta_b, did, se, t_stat).
+    """
+    per = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(arm_col).isin([group_a, group_b])
+        )
+        .groupBy(
+            F.col(unit_col).alias("_u"),
+            F.col(arm_col).alias("_g"),
+            F.col(period_col).cast("boolean").alias("_p"),
+        )
+        .agg(F.avg(F.col(value_col).cast("double")).alias("_m"))
+    )
+    unit = per.groupBy("_u", "_g").agg(
+        F.max(F.when(F.col("_p"), F.col("_m"))).alias("_post"),
+        F.max(F.when(~F.col("_p"), F.col("_m"))).alias("_pre"),
+    )
+    both = unit.withColumn("_d", F.col("_post") - F.col("_pre"))
+    stats = both.groupBy("_g").agg(
+        F.count("*").alias("_ntot"),
+        F.count("_d").cast("double").alias("_n"),
+        F.avg("_d").alias("_md"),
+        F.var_samp("_d").alias("_vd"),
+    )
+
+    def side(tag, g):
+        return [
+            F.max(F.when(F.col("_g") == g, F.col(c))).alias(f"{c}{tag}")
+            for c in ["_ntot", "_n", "_md", "_vd"]
+        ]
+
+    w = stats.agg(*side("a", group_a), *side("b", group_b))
+    se = F.sqrt(
+        F.col("_vda") / F.col("_na") + F.col("_vdb") / F.col("_nb")
+    )
+    did = F.col("_mda") - F.col("_mdb")
+    return w.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        (
+            F.col("_ntota") + F.col("_ntotb") - F.col("_na") - F.col("_nb")
+        ).cast("long").alias("n_dropped"),
+        F.round("_mda", 6).alias("delta_a"),
+        F.round("_mdb", 6).alias("delta_b"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Brunner–Munzel test (Brunner & Munzel 2000) — the rank test to
+    reach for when Mann–Whitney's homoscedasticity-under-H₀ assumption
+    is itself in doubt (unequal variances AND unequal shapes): tests
+    P(X<Y) + ½P(X=Y) = ½ using combined-vs-within midrank placements,
+
+        W = n_a·n_b·(R̄_b − R̄_a) / (N·√(n_a·S²_a + n_b·S²_b))
+
+    S²_g = var over group g of (combined midrank − within-group
+    midrank), with Satterthwaite df. p̂ = (R̄_b − (n_b+1)/2)/n_a is the
+    stochastic-superiority estimate itself.
+
+    Scale design: TWO _fractional_ranks passes (pooled + per-group),
+    both the distinct-value prefix-sum shape — no global window; the
+    statistic is arithmetic on a 2-row moments relation. Output one
+    row: (n_a, n_b, p_hat, bm_stat, df_bm).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull() & F.col("_g").isin([group_a, group_b]))
+    pooled = _fractional_ranks(base, "_x", "_rc", None)
+    both = _fractional_ranks(pooled, "_x", "_rw", "_g")
+    per = both.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_rc").alias("_rbar"),
+        F.var_samp(F.col("_rc") - F.col("_rw")).alias("_s2"),
+    )
+
+    def side(tag, g):
+        return [
+            F.max(F.when(F.col("_g") == g, F.col(c))).alias(f"{c}{tag}")
+            for c in ["_n", "_rbar", "_s2"]
+        ]
+
+    w = per.agg(*side("a", group_a), *side("b", group_b))
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    num = na * nb * (F.col("_rbarb") - F.col("_rbara"))
+    den = n * F.sqrt(na * F.col("_s2a") + nb * F.col("_s2b"))
+    # complete separation: both placement variances are 0 and the
+    # Satterthwaite ratio is 0/0 — report NULL df (and NULL W: the
+    # statistic is unbounded; p_hat = 0 or 1 carries the answer)
+    dfden = (
+        F.pow(na * F.col("_s2a"), 2) / (na - 1)
+        + F.pow(nb * F.col("_s2b"), 2) / (nb - 1)
+    )
+    dfb = F.when(
+        dfden > 0,
+        F.pow(na * F.col("_s2a") + nb * F.col("_s2b"), 2) / dfden,
+    )
+    return w.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round((F.col("_rbarb") - (nb + 1) / 2) / na, 6).alias("p_hat"),
+        F.round(F.when(den > 0, num / den), 6).alias("bm_stat"),
+        F.round(dfb, 6).alias("df_bm"),
+    )
+
+
+def quantile_order_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    p: float = 0.5,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Distribution-free confidence interval for a quantile from ORDER
+    STATISTICS (the binomial argument, normal-approximated ranks;
+    Conover's nonparametric interval) — the bootstrap-free way to put
+    error bars on a median/p90: the interval [x₍ᵣ₎, x₍ₛ₎] with
+
+        r = max(1, ⌊np − z·√(np(1−p))⌋)
+        s = min(n, ⌈np + z·√(np(1−p))⌉ + 1)
+
+    covers the true quantile with ≈ the nominal confidence, for ANY
+    continuous distribution, at zero replicates (X194's bootstrap pays
+    a 100× scan for the same answer on the median).
+
+    Scale design: ranks via the grouped distinct-value prefix count
+    (inclusive span [lo, hi] per distinct value handles ties); the
+    bound values are conditional min/max aggregates at the computed
+    ranks — two shuffles total. Output per group:
+    (n, p, lo_rank, hi_rank, q, lo, hi).
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    gcols = [group_col] if group_col else []
+    base = df.select(
+        *gcols, F.col(value_col).cast("double").alias("_x")
+    ).filter(F.col("_x").isNotNull())
+    dv = base.groupBy(*gcols, "_x").agg(F.count("*").alias("_t"))
+    cum = partitioned_prefix_sum(
+        dv, ["_x"], "_t", ["_hi"], group_cols=gcols or None, inclusive=True
+    ).withColumn("_lo", F.col("_hi") - F.col("_t") + 1)
+    tot = base.groupBy(*gcols).agg(F.count("*").cast("double").alias("_n"))
+    j = (
+        cum.join(F.broadcast(tot), gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(tot))
+    )
+    n = F.col("_n")
+    half = F.lit(z) * F.sqrt(n * p * (1 - p))
+    r = F.greatest(F.lit(1.0), F.floor(n * p - half).cast("double"))
+    s = F.least(n, (F.ceil(n * p + half) + 1).cast("double"))
+    qrank = F.ceil(n * p).cast("double")
+    covers = lambda rank: (F.col("_lo") <= rank) & (rank <= F.col("_hi"))  # noqa: E731
+    out = j.groupBy(*gcols).agg(
+        F.first("_n").cast("long").alias("n"),
+        F.lit(float(p)).alias("p"),
+        F.max(r).cast("long").alias("lo_rank"),
+        F.max(s).cast("long").alias("hi_rank"),
+        F.round(
+            F.min(F.when(covers(qrank), F.col("_x"))), 6
+        ).alias("q"),
+        F.round(F.min(F.when(covers(r), F.col("_x"))), 6).alias("lo"),
+        F.round(F.min(F.when(covers(s), F.col("_x"))), 6).alias("hi"),
+    )
+    return out

@@ -1264,3 +1264,85 @@ def effective_sample_size(
         F.round(ess, 6).alias("ess"),
         F.round(ess / F.col("n"), 6).alias("ess_ratio"),
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    key_col: str,
+    n_folds: int = 5,
+    salt: str = "te",
+) -> DataFrame:
+    """Out-of-fold target encoding (the K-fold leakage guard of
+    Micci-Barreca 2001's mean encoding, as every gradient-boosting
+    pipeline ships it): encode a high-cardinality category by the mean
+    target of OTHER folds' rows — a row must never see its own label
+    through its own feature, or the encoder memorizes the training set
+    (the leakage X132's audit detects; this op is the constructive
+    fix). For a row in fold f of category c:
+
+        enc = (S_c − S_{c,f}) / (N_c − N_{c,f})
+
+    falling back to the global mean when the category has no
+    out-of-fold rows (singleton categories). Folds are the
+    deterministic md5 hash_bucket on ``key_col`` (salted), so the
+    encoding is reproducible and the oracle can replay it.
+
+    Scale design: ONE (category, fold) aggregate (bounded by
+    |categories|·K, broadcastable) + a 1-row global mean; the encode
+    is a broadcast join + arithmetic — the corpus is scanned once and
+    never reshuffled. Output: input rows + (fold, target_enc).
+    """
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    y = F.col(target_col).cast("double")
+    folded = df.withColumn(
+        "fold", hash_bucket(F.col(key_col), n_folds, salt).cast("int")
+    )
+    cf = folded.filter(y.isNotNull()).groupBy(
+        F.col(category_col).alias("_c"), F.col("fold").alias("_f")
+    ).agg(F.count("*").cast("double").alias("_n"), F.sum(y).alias("_s"))
+    ctot = cf.groupBy("_c").agg(
+        F.sum("_n").alias("_nc"), F.sum("_s").alias("_sc")
+    )
+    gmean = cf.agg((F.sum("_s") / F.sum("_n")).alias("_gm"))
+    lookup = (
+        cf.join(F.broadcast(ctot), "_c")
+        .crossJoin(F.broadcast(gmean))
+        .select(
+            "_c",
+            "_f",
+            F.when(
+                F.col("_nc") > F.col("_n"),
+                (F.col("_sc") - F.col("_s")) / (F.col("_nc") - F.col("_n")),
+            )
+            .otherwise(F.col("_gm"))
+            .alias("_oof"),
+        )
+    )
+    # fallbacks: a (category, fold) cell with NO labeled rows excludes
+    # nothing -> the full category mean; an entirely unlabeled (or
+    # unseen) category -> the global mean
+    catmean = ctot.select(
+        F.col("_c").alias("_c2"), (F.col("_sc") / F.col("_nc")).alias("_cm")
+    )
+    return (
+        folded.join(
+            F.broadcast(lookup),
+            (F.col(category_col) == F.col("_c"))
+            & (F.col("fold") == F.col("_f")),
+            "left",
+        )
+        .join(
+            F.broadcast(catmean),
+            F.col(category_col) == F.col("_c2"),
+            "left",
+        )
+        .crossJoin(F.broadcast(gmean))
+        .withColumn(
+            "target_enc",
+            F.coalesce(F.col("_oof"), F.col("_cm"), F.col("_gm")),
+        )
+        .drop("_c", "_f", "_c2", "_oof", "_cm", "_gm")
+    )

@@ -2635,3 +2635,85 @@ def ljung_box(
         )
         .select(F.col("_g").alias(group_col), "n", "h", "q_stat")
     )
+
+
+def logrank_k(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """k-group log-rank test, Peto's approximate form (Peto & Peto
+    1972; the χ² = Σ(O_g−E_g)²/E_g roll-up R's survdiff prints next to
+    its exact-covariance statistic) — "do ANY of these k cohorts'
+    survival curves differ", the omnibus the two-sample logrank_test
+    can't ask. At every distinct event time, each group's expected
+    events under H₀ is its at-risk share of the total deaths,
+    e_{g,i} = n_{g,i}·dᵢ/nᵢ; the approximation is conservative (true
+    χ² ≥ this one needs the full (k−1)² covariance — a driver-side
+    inversion this relational form deliberately avoids; for k = 2 use
+    logrank_test's exact variance).
+
+    Scale design: subjects collapse to per-(group, time) counts; each
+    group's risk set is ONE grouped prefix pass (group_cols=[g]); the
+    per-time totals join back on the distinct-time key; O/E reduce per
+    group. Output per group: (group, n, observed, expected, oe_ratio)
+    with (chi2, df) repeated.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("_e"),
+    ).filter(
+        F.col("t").isNotNull() & (F.col("t") >= 0) & F.col("_e").isNotNull()
+    )
+    per = base.groupBy("_g", "t").agg(
+        F.sum("_e").alias("d"), F.count("*").alias("c")
+    )
+    # DENSIFY to the global time grid before the prefix pass: a group
+    # with no removal at some death time is still AT RISK there — the
+    # sparse per-(group, time) relation would silently drop it from
+    # that time's denominator (k × |distinct times| rows, the same
+    # densification survdiff does)
+    grid = per.select("_g").distinct().crossJoin(per.select("t").distinct())
+    dense = grid.join(per, ["_g", "t"], "left").na.fill(
+        {"d": 0, "c": 0}
+    )
+    cum = partitioned_prefix_sum(
+        dense, ["t"], ["c"], ["_cc"], group_cols=["_g"], inclusive=True
+    )
+    gt = per.groupBy("_g").agg(F.sum("c").alias("_ng"))
+    risked = cum.join(F.broadcast(gt), "_g").select(
+        "_g", "t", "d",
+        (F.col("_ng") - (F.col("_cc") - F.col("c"))).alias("_nr"),
+    )
+    # per-time totals over ALL groups — only times with deaths matter
+    tots = risked.groupBy("t").agg(
+        F.sum("d").alias("_dt"), F.sum("_nr").alias("_nt")
+    ).filter(F.col("_dt") > 0)
+    j = risked.join(tots, "t")
+    oe = j.groupBy("_g").agg(
+        F.sum("d").cast("double").alias("_o"),
+        F.sum(F.col("_nr") * F.col("_dt") / F.col("_nt")).alias("_ex"),
+    )
+    stats = oe.agg(
+        F.sum(
+            (F.col("_o") - F.col("_ex"))
+            * (F.col("_o") - F.col("_ex"))
+            / F.col("_ex")
+        ).alias("_chi2"),
+        (F.count("*") - 1).alias("_df"),
+    )
+    out = oe.join(F.broadcast(gt.withColumnRenamed("_g", "_g2")),
+                  F.col("_g") == F.col("_g2")).crossJoin(F.broadcast(stats))
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_ng").cast("long").alias("n"),
+        F.col("_o").cast("long").alias("observed"),
+        F.round("_ex", 6).alias("expected"),
+        F.round(F.col("_o") / F.col("_ex"), 6).alias("oe_ratio"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.col("_df").cast("long").alias("df"),
+    )

@@ -11749,3 +11749,250 @@ def x318(spark, sf_dir):
     return quantile_treatment_effects(
         armed, "arm", "value", "a", "b"
     ).orderBy("p")
+
+
+@_declare(
+    "X319_did_estimate",
+    # Difference-in-differences with paired per-user deltas
+    # (evalmetrics.did_estimate): md5 pseudo-arms x (before/after the
+    # global time midpoint); SE over unit deltas clusters at the user
+    # automatically — the 2x2 four-cell variance is wrong when users
+    # contribute many events.
+    """WITH b AS (
+  SELECT user_id, value::DOUBLE AS x, epoch_us(ts) AS us,
+         CASE WHEN CAST(('0x' || substr(md5('did' || user_id::VARCHAR), 1, 8)) AS BIGINT)
+              % 1000000 < 500000 THEN 'a' ELSE 'b' END AS g
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+mid AS (SELECT (MIN(us) + MAX(us))/2 AS mid FROM b),
+per AS (SELECT user_id AS u, g, us > mid AS p, AVG(x) AS m
+        FROM b, mid GROUP BY 1, 2, 3),
+unit AS (SELECT u, g, MAX(CASE WHEN p THEN m END) AS post,
+                MAX(CASE WHEN NOT p THEN m END) AS pre FROM per GROUP BY 1, 2),
+st AS (SELECT g, COUNT(*)::DOUBLE AS ntot, COUNT(post - pre)::DOUBLE AS n,
+              AVG(post - pre) AS md, var_samp(post - pre) AS vd
+       FROM unit GROUP BY 1),
+w AS (SELECT
+        MAX(CASE WHEN g = 'a' THEN ntot END) AS ntota,
+        MAX(CASE WHEN g = 'a' THEN n END) AS na,
+        MAX(CASE WHEN g = 'a' THEN md END) AS mda,
+        MAX(CASE WHEN g = 'a' THEN vd END) AS vda,
+        MAX(CASE WHEN g = 'b' THEN ntot END) AS ntotb,
+        MAX(CASE WHEN g = 'b' THEN n END) AS nb,
+        MAX(CASE WHEN g = 'b' THEN md END) AS mdb,
+        MAX(CASE WHEN g = 'b' THEN vd END) AS vdb
+      FROM st)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       (ntota + ntotb - na - nb)::BIGINT AS n_dropped,
+       ROUND(mda, 6) AS delta_a, ROUND(mdb, 6) AS delta_b,
+       ROUND(mda - mdb, 6) AS did,
+       ROUND(sqrt(vda/na + vdb/nb), 6) AS se,
+       ROUND((mda - mdb)/sqrt(vda/na + vdb/nb), 6) AS t_stat
+FROM w;""",
+)
+def x319(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import did_estimate
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = ev.agg(((F.min(us) + F.max(us)) / 2).alias("_mid"))
+    armed = ev.crossJoin(F.broadcast(mid)).select(
+        F.col("user_id"),
+        F.when(
+            hash_bucket(F.col("user_id"), 1_000_000, "did") < 500_000, "a"
+        )
+        .otherwise("b")
+        .alias("arm"),
+        (us > F.col("_mid")).alias("period"),
+        F.col("value"),
+    )
+    return did_estimate(armed, "user_id", "arm", "period", "value", "a", "b")
+
+
+@_declare(
+    "X320_logrank_k",
+    # k-group log-rank (Peto's chi2 = sum (O-E)^2/E approximation) over
+    # time-to-first-error cohorts keyed by each user's FIRST event type
+    # (timeseries.logrank_k): the omnibus "do ANY cohorts' survival
+    # curves differ" X216's two-sample test can't ask. Risk sets via
+    # one grouped prefix pass per cohort.
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                 min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+ft AS (SELECT user_id, event_type AS g FROM (
+         SELECT user_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events WHERE ts IS NOT NULL) q WHERE rn = 1),
+subj AS (SELECT ft.g,
+    CASE WHEN te IS NOT NULL AND te - f <= 48 * 3600e6
+         THEN floor((te - f) / 3600e6) ELSE 48 END::DOUBLE AS t,
+    (te IS NOT NULL AND te - f <= 48 * 3600e6)::INT AS ev
+  FROM u JOIN ft USING (user_id)),
+per AS (SELECT g, t, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS c
+        FROM subj GROUP BY 1, 2),
+grid AS (SELECT gg.g, tt0.t FROM (SELECT DISTINCT g FROM per) gg
+         CROSS JOIN (SELECT DISTINCT t FROM per) tt0),
+dense AS (SELECT grid.g, grid.t, COALESCE(d, 0) AS d, COALESCE(c, 0) AS c
+          FROM grid LEFT JOIN per ON grid.g = per.g AND grid.t = per.t),
+cum AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM dense),
+gt AS (SELECT g, SUM(c)::BIGINT AS ng FROM per GROUP BY 1),
+r AS (SELECT cum.g, t, d, (ng - (cc - c)) AS nr FROM cum JOIN gt USING (g)),
+tt AS (SELECT t, SUM(d) AS dt, SUM(nr) AS nt FROM r GROUP BY 1
+       HAVING SUM(d) > 0),
+j AS (SELECT r.g, r.d, r.nr, tt.dt, tt.nt FROM r JOIN tt USING (t)),
+oe AS (SELECT g, SUM(d)::DOUBLE AS o, SUM(nr*dt/nt) AS ex FROM j GROUP BY 1),
+st AS (SELECT SUM((o - ex)*(o - ex)/ex) AS chi2,
+              (COUNT(*) - 1)::BIGINT AS df FROM oe)
+SELECT oe.g AS first_t, gt.ng AS n, o::BIGINT AS observed,
+       ROUND(ex, 6) AS expected, ROUND(o/ex, 6) AS oe_ratio,
+       ROUND(chi2, 6) AS chi2, df
+FROM oe JOIN gt USING (g) CROSS JOIN st ORDER BY first_t;""",
+)
+def x320(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import logrank_k
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("f"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    ft = ev.groupBy("user_id").agg(
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("first_t")
+    )
+    horizon = 48 * 3600e6
+    observed = F.col("te").isNotNull() & (F.col("te") - F.col("f") <= horizon)
+    subj = u.join(ft, "user_id").select(
+        "first_t",
+        F.when(observed, F.floor((F.col("te") - F.col("f")) / 3600e6))
+        .otherwise(F.lit(48))
+        .cast("double")
+        .alias("t"),
+        observed.cast("int").alias("ev"),
+    )
+    return logrank_k(subj, "t", "ev", "first_t").orderBy("first_t")
+
+
+@_declare(
+    "X321_brunner_munzel",
+    # Brunner-Munzel test of src0 vs src1 document length
+    # (evalmetrics.brunner_munzel): the rank test for when Mann-
+    # Whitney's equal-shape-under-H0 assumption is itself in doubt;
+    # combined-vs-within midrank placements, Satterthwaite df. Two
+    # _fractional_ranks prefix passes, no global window.
+    """WITH b AS (SELECT source AS g, n_chars::DOUBLE AS x
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IN ('src0', 'src1')),
+rc AS (SELECT g, x,
+              RANK() OVER (ORDER BY x) - 1
+                + (COUNT(*) OVER (PARTITION BY x) + 1)/2.0 AS rcm,
+              RANK() OVER (PARTITION BY g ORDER BY x) - 1
+                + (COUNT(*) OVER (PARTITION BY g, x) + 1)/2.0 AS rwm
+       FROM b),
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(rcm) AS rbar,
+               var_samp(rcm - rwm) AS s2 FROM rc GROUP BY 1),
+w AS (SELECT
+        MAX(CASE WHEN g = 'src0' THEN n END) AS na,
+        MAX(CASE WHEN g = 'src0' THEN rbar END) AS rbara,
+        MAX(CASE WHEN g = 'src0' THEN s2 END) AS s2a,
+        MAX(CASE WHEN g = 'src1' THEN n END) AS nb,
+        MAX(CASE WHEN g = 'src1' THEN rbar END) AS rbarb,
+        MAX(CASE WHEN g = 'src1' THEN s2 END) AS s2b
+      FROM per)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND((rbarb - (nb + 1)/2)/na, 6) AS p_hat,
+       ROUND(CASE WHEN (na + nb)*sqrt(na*s2a + nb*s2b) > 0
+             THEN na*nb*(rbarb - rbara)
+                  / ((na + nb)*sqrt(na*s2a + nb*s2b)) END, 6) AS bm_stat,
+       ROUND(CASE WHEN pow(na*s2a, 2)/(na - 1) + pow(nb*s2b, 2)/(nb - 1) > 0
+             THEN pow(na*s2a + nb*s2b, 2)
+                  / (pow(na*s2a, 2)/(na - 1) + pow(nb*s2b, 2)/(nb - 1))
+             END, 6) AS df_bm
+FROM w;""",
+)
+def x321(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import brunner_munzel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return brunner_munzel(docs, "n_chars", "source", "src0", "src1")
+
+
+@_declare(
+    "X322_quantile_order_ci",
+    # Distribution-free order-statistic CI for the per-type median
+    # value (evalmetrics.quantile_order_ci; binomial rank argument,
+    # Conover): error bars on a quantile at ZERO replicates — X194's
+    # bootstrap pays a 100x scan for the same answer on the median.
+    # Ranks via grouped distinct-value prefix spans (ties handled).
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS x
+           FROM events WHERE value IS NOT NULL),
+dv AS (SELECT g, x, COUNT(*)::BIGINT AS t FROM b GROUP BY 1, 2),
+cum AS (SELECT g, x, t, SUM(t) OVER (PARTITION BY g ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hispan
+        FROM dv),
+c2 AS (SELECT *, hispan - t + 1 AS lospan FROM cum),
+tot AS (SELECT g, COUNT(*)::DOUBLE AS n FROM b GROUP BY 1),
+j AS (SELECT c2.*, n FROM c2 JOIN tot USING (g)),
+rr AS (SELECT *,
+              greatest(1.0, floor(n*0.5 - 1.959964*sqrt(n*0.5*0.5))) AS r,
+              least(n, ceil(n*0.5 + 1.959964*sqrt(n*0.5*0.5)) + 1) AS s,
+              ceil(n*0.5) AS qr FROM j)
+SELECT g AS event_type, ANY_VALUE(n)::BIGINT AS n, 0.5::DOUBLE AS p,
+       MAX(r)::BIGINT AS lo_rank, MAX(s)::BIGINT AS hi_rank,
+       ROUND(MIN(CASE WHEN lospan <= qr AND qr <= hispan THEN x END), 6) AS q,
+       ROUND(MIN(CASE WHEN lospan <= r AND r <= hispan THEN x END), 6) AS lo,
+       ROUND(MIN(CASE WHEN lospan <= s AND s <= hispan THEN x END), 6) AS hi
+FROM rr GROUP BY g ORDER BY g;""",
+)
+def x322(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import quantile_order_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_order_ci(ev, "value", "event_type", p=0.5).orderBy(
+        "event_type"
+    )
+
+
+@_declare(
+    "X323_target_encode_oof",
+    # Out-of-fold target encoding of lang by mean n_chars, K=5
+    # deterministic md5 folds (sampling.target_encode_oof; Micci-
+    # Barreca 2001 with the K-fold leakage guard): a row never sees
+    # its own label through its own feature — the constructive fix for
+    # the leakage X132's audit detects. Verified at the (category,
+    # fold) grain (the encoding is constant within a cell).
+    """WITH folded AS (
+  SELECT lang AS c, n_chars::DOUBLE AS y,
+         (CAST(('0x' || substr(md5('te' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+          % 5)::INT AS fold
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+cf AS (SELECT c, fold, COUNT(*)::DOUBLE AS n, SUM(y) AS s
+       FROM folded GROUP BY 1, 2),
+ct AS (SELECT c, SUM(n) AS nc, SUM(s) AS sc FROM cf GROUP BY 1),
+gm AS (SELECT SUM(s)/SUM(n) AS gm FROM cf),
+enc AS (SELECT cf.c, cf.fold,
+               CASE WHEN nc > n THEN (sc - s)/(nc - n) ELSE gm END AS e,
+               n FROM cf JOIN ct USING (c) CROSS JOIN gm)
+SELECT c AS lang, fold, ROUND(e, 6) AS target_enc, n::BIGINT AS n_rows
+FROM enc ORDER BY lang, fold;""",
+)
+def x323(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import target_encode_oof
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    enc = target_encode_oof(docs, "lang", "n_chars", "doc_id", 5, "te")
+    return (
+        enc.groupBy("lang", "fold")
+        .agg(
+            F.round(F.min("target_enc"), 6).alias("target_enc"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("lang", "fold")
+    )
