@@ -271,6 +271,22 @@ def _build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ex.add_argument("--master", default=None)
 
+    sv = sub.add_parser(
+        "survival-report",
+        help="Kaplan-Meier curve + RMST + (with --by) k-group log-rank "
+        "over a (duration, event[, group]) parquet",
+    )
+    sv.add_argument("--input", required=True, help="parquet table")
+    sv.add_argument("--duration", default="duration")
+    sv.add_argument("--event", default="event")
+    sv.add_argument("--by", default=None, help="optional cohort column")
+    sv.add_argument(
+        "--tau", type=float, default=None,
+        help="RMST horizon (default: max observed duration)",
+    )
+    sv.add_argument("--output", default=None, help="optional parquet dir for the KM curve")
+    sv.add_argument("--master", default=None)
+
     return p
 
 
@@ -715,6 +731,38 @@ def _dispatch(args, spark, owns_session) -> int:
                 return 2
             rep = plan_report(registry[args.name](spark, args.sf_dir))
             print(_json.dumps({"query": args.name, **rep}))
+        elif args.cmd == "survival-report":
+            import json as _json
+
+            from swivel_spark_prep_spark.operators.timeseries import (
+                kaplan_meier,
+                logrank_k,
+                rmst,
+            )
+
+            df = spark.read.parquet(args.input)
+            tau = args.tau
+            if tau is None:
+                tau = float(
+                    df.agg(F.max(F.col(args.duration).cast("double"))).collect()[0][0]
+                )
+            km = kaplan_meier(df, args.duration, args.event)
+            if args.output:
+                km.write.mode("overwrite").parquet(args.output)
+            curve = km.orderBy("duration").collect()
+            rep = {
+                "n_event_times": len(curve),
+                "final_survival": curve[-1]["survival"] if curve else 1.0,
+                "rmst": rmst(df, args.duration, args.event, tau).collect()[0].asDict(),
+            }
+            if args.by:
+                rep["logrank_k"] = [
+                    r.asDict()
+                    for r in logrank_k(df, args.duration, args.event, args.by)
+                    .orderBy(args.by)
+                    .collect()
+                ]
+            print(_json.dumps(rep, default=str))
         elif args.cmd == "bench-query":
             import time
 

@@ -1473,3 +1473,46 @@ def chapman_vocab_estimate(
         F.round(chapman, 6).alias("chapman_n"),
         F.round(F.sqrt(var), 6).alias("se"),
     )
+
+
+def script_mix_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Mixed-script / confusables exposure audit per slice — the
+    homoglyph-spoofing gate (Unicode TR39's threat model: Latin text
+    salted with Cyrillic/Greek lookalikes defeats exact dedup and
+    keyword filters while reading identically): count each document's
+    letters per script block (Latin, Cyrillic, Greek, CJK) via
+    length-difference regexp counters, flag documents mixing ≥ 2
+    scripts, and report the slice-level exposure.
+
+    Scale design: pure codegen regexp arithmetic (the encoding_audit
+    shape) — one scan, one grouped aggregate, zero shuffles beyond the
+    final rollup. Output per group: (n_docs, mixed_docs, mixed_share,
+    latin_docs, cyrillic_docs, greek_docs, cjk_docs).
+    """
+    t = F.col(text_col)
+
+    def n_of(pattern):
+        return F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+
+    scripts = {
+        "latin": "[A-Za-z]",
+        "cyrillic": "[\\x{0400}-\\x{04FF}]",
+        "greek": "[\\x{0370}-\\x{03FF}]",
+        "cjk": "[\\x{4E00}-\\x{9FFF}]",
+    }
+    flags = [(n_of(p) > 0).cast("int").alias(f"_{k}") for k, p in scripts.items()]
+    base = df.filter(t.isNotNull()).select(F.col(group_col), *flags)
+    nmix = sum(F.col(f"_{k}") for k in scripts)
+    return base.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((nmix >= 2).cast("long")).alias("mixed_docs"),
+        F.round(F.avg((nmix >= 2).cast("double")), 6).alias("mixed_share"),
+        F.sum("_latin").alias("latin_docs"),
+        F.sum("_cyrillic").alias("cyrillic_docs"),
+        F.sum("_greek").alias("greek_docs"),
+        F.sum("_cjk").alias("cjk_docs"),
+    )

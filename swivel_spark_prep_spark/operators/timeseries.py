@@ -2717,3 +2717,60 @@ def logrank_k(
         F.round("_chi2", 6).alias("chi2"),
         F.col("_df").cast("long").alias("df"),
     )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-rule sessionization summary (the GA/Adobe 30-minute-timeout
+    convention): split each key's event stream into sessions wherever
+    the inter-event gap exceeds ``gap_minutes``, then report the
+    engagement table — session count, bounce rate (single-event
+    sessions), and exact p50/p90 of per-session event counts and
+    durations. The batch twin of the streaming sessionizer's
+    bookkeeping, reduced to the numbers a dashboard wants.
+
+    Scale design: one lag window + one running-sum window, both
+    PARTITIONED by the key (the sessionization shape), one
+    (key, session) aggregate, one exact-percentile rollup. Output one
+    row: (n_keys, n_sessions, n_events, bounce_rate, p50_events,
+    p50_duration_s, p90_duration_s).
+    """
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be > 0, got {gap_minutes}")
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    )
+    ocols = [F.col("_us")] + ([F.col("_tb")] if tiebreak_col else [])
+    w = Window.partitionBy("_k").orderBy(*ocols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = base.withColumn(
+        "_new",
+        F.coalesce(
+            (F.col("_us") - F.lag("_us").over(w)) > gap_us, F.lit(True)
+        ).cast("long"),
+    ).withColumn("_sid", F.sum("_new").over(wsum))
+    per = marked.groupBy("_k", "_sid").agg(
+        F.count("*").alias("_ne"),
+        ((F.max("_us") - F.min("_us")) / 1e6).alias("_dur"),
+    )
+    return per.agg(
+        F.countDistinct("_k").alias("n_keys"),
+        F.count("*").alias("n_sessions"),
+        F.sum("_ne").alias("n_events"),
+        F.round(F.avg((F.col("_ne") == 1).cast("double")), 6).alias(
+            "bounce_rate"
+        ),
+        F.expr("percentile(_ne, 0.5)").alias("p50_events"),
+        F.round(F.expr("percentile(_dur, 0.5)"), 6).alias("p50_duration_s"),
+        F.round(F.expr("percentile(_dur, 0.9)"), 6).alias("p90_duration_s"),
+    )

@@ -11996,3 +11996,68 @@ def x323(spark, sf_dir):
         )
         .orderBy("lang", "fold")
     )
+
+
+@_declare(
+    "X324_session_stats",
+    # Gap-rule sessionization summary (timeseries.session_stats; the
+    # 30-minute-timeout convention): sessions per user via lag-gap
+    # windows, bounce rate, exact p50/p90 session length and duration
+    # — the engagement table over the same per-key windows the
+    # streaming sessionizer uses.
+    """WITH b AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+m AS (SELECT k, us,
+             COALESCE(us - LAG(us) OVER (PARTITION BY k ORDER BY us, event_id)
+                      > 30*60*1000000, TRUE)::INT AS new
+      FROM b),
+sid AS (SELECT k, us, SUM(new) OVER (PARTITION BY k ORDER BY us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM (SELECT k, us, new FROM m) q),
+per AS (SELECT k, sid, COUNT(*) AS ne, (MAX(us) - MIN(us))/1e6 AS dur
+        FROM sid GROUP BY 1, 2)
+SELECT COUNT(DISTINCT k)::BIGINT AS n_keys, COUNT(*)::BIGINT AS n_sessions,
+       SUM(ne)::BIGINT AS n_events,
+       ROUND(AVG((ne = 1)::INT::DOUBLE), 6) AS bounce_rate,
+       quantile_cont(ne, 0.5) AS p50_events,
+       ROUND(quantile_cont(dur, 0.5), 6) AS p50_duration_s,
+       ROUND(quantile_cont(dur, 0.9), 6) AS p90_duration_s
+FROM per;""",
+)
+def x324(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(
+        ev, "user_id", "ts", gap_minutes=30.0, tiebreak_col="event_id"
+    )
+
+
+@_declare(
+    "X325_script_mix_audit",
+    # Mixed-script / homoglyph exposure per source (textstats.
+    # script_mix_audit; Unicode TR39 threat model): Latin text salted
+    # with Cyrillic/Greek lookalikes defeats exact dedup and keyword
+    # filters — length-difference regexp counters, one scan.
+    """SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(((length(text) > length(regexp_replace(text, '[A-Za-z]', '', 'g')))::INT
+          + (length(text) > length(regexp_replace(text, '[\\x{0400}-\\x{04FF}]', '', 'g')))::INT
+          + (length(text) > length(regexp_replace(text, '[\\x{0370}-\\x{03FF}]', '', 'g')))::INT
+          + (length(text) > length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')))::INT
+          >= 2)::INT)::BIGINT AS mixed_docs,
+       ROUND(AVG(((length(text) > length(regexp_replace(text, '[A-Za-z]', '', 'g')))::INT
+          + (length(text) > length(regexp_replace(text, '[\\x{0400}-\\x{04FF}]', '', 'g')))::INT
+          + (length(text) > length(regexp_replace(text, '[\\x{0370}-\\x{03FF}]', '', 'g')))::INT
+          + (length(text) > length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')))::INT
+          >= 2)::INT::DOUBLE), 6) AS mixed_share,
+       SUM((length(text) > length(regexp_replace(text, '[A-Za-z]', '', 'g')))::INT)::BIGINT AS latin_docs,
+       SUM((length(text) > length(regexp_replace(text, '[\\x{0400}-\\x{04FF}]', '', 'g')))::INT)::BIGINT AS cyrillic_docs,
+       SUM((length(text) > length(regexp_replace(text, '[\\x{0370}-\\x{03FF}]', '', 'g')))::INT)::BIGINT AS greek_docs,
+       SUM((length(text) > length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')))::INT)::BIGINT AS cjk_docs
+FROM documents WHERE text IS NOT NULL GROUP BY source ORDER BY source;""",
+)
+def x325(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import script_mix_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return script_mix_audit(docs, "text", "source").orderBy("source")

@@ -420,3 +420,71 @@ def test_margin_neighbors_matches_numpy_replay(spark):
         got_y, got_m = got[a]
         assert got_y == best
         assert abs(got_m - round(margins[best], 4)) < 2e-4
+
+
+# --------------------------------------------------- survival-report CLI
+def test_cli_survival_report(spark, tmp_path, capsys):
+    import json
+
+    from swivel_spark_prep_spark import cli
+
+    rows = [("a", 2.0, 1), ("a", 6.0, 1), ("a", 10.0, 0), ("a", 10.0, 0),
+            ("b", 1.0, 1), ("b", 2.0, 1), ("b", 3.0, 1), ("b", 10.0, 0)]
+    src = str(tmp_path / "cohort")
+    spark.createDataFrame(rows, "g string, duration double, event int").write.parquet(src)
+    out = str(tmp_path / "km")
+    rc = cli.main(["survival-report", "--input", src, "--by", "g",
+                   "--tau", "10.0", "--output", out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_event_times"] == 4  # pooled event times 1,2,3,6
+    assert rep["rmst"]["tau"] == 10.0
+    assert 0 < rep["rmst"]["rmst"] < 10.0
+    ks = {r["g"]: r for r in rep["logrank_k"]}
+    assert ks["b"]["observed"] == 3 and ks["a"]["observed"] == 2
+    assert rep["logrank_k"][0]["df"] == 1
+    assert spark.read.parquet(out).count() == 4
+
+
+# -------------------------------------------------------- session_stats
+def test_session_stats_hand_counts(spark):
+    import datetime
+
+    from swivel_spark_prep_spark.operators.timeseries import session_stats
+
+    b = datetime.datetime(2024, 5, 1)
+
+    def at(minute):
+        return b + datetime.timedelta(minutes=minute)
+
+    # user 1: two sessions (gap 45 > 30): [0,10,20] and [65]
+    # user 2: one bounce session: [0]
+    rows = [(1, at(0), 1), (1, at(10), 2), (1, at(20), 3), (1, at(65), 4),
+            (2, at(0), 5)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long")
+    r = session_stats(df, "u", "ts", gap_minutes=30.0, tiebreak_col="id").collect()[0]
+    assert r["n_keys"] == 2 and r["n_sessions"] == 3 and r["n_events"] == 5
+    assert abs(r["bounce_rate"] - 2 / 3) < 1e-6
+    assert r["p50_events"] == 1.0  # session sizes 3,1,1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        session_stats(df, "u", "ts", gap_minutes=0)
+
+
+# ------------------------------------------------------ script_mix_audit
+def test_script_mix_flags_homoglyph_salting(spark):
+    from swivel_spark_prep_spark.operators.textstats import script_mix_audit
+
+    rows = [
+        ("clean", "plain english text only"),
+        ("clean", "another ascii document"),
+        # Latin salted with Cyrillic а (U+0430) and Greek ο (U+03BF)
+        ("spoofy", "pаypal lοgin verify account"),
+        ("spoofy", "中文 mixed with english"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in script_mix_audit(df).collect()}
+    assert out["clean"]["mixed_docs"] == 0 and out["clean"]["mixed_share"] == 0.0
+    assert out["spoofy"]["mixed_docs"] == 2 and out["spoofy"]["mixed_share"] == 1.0
+    assert out["spoofy"]["cyrillic_docs"] == 1 and out["spoofy"]["cjk_docs"] == 1
