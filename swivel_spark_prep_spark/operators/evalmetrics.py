@@ -3075,3 +3075,88 @@ def quantile_order_ci(
         F.round(F.min(F.when(covers(s), F.col("_x"))), 6).alias("hi"),
     )
     return out
+
+
+def negative_binomial_fit(
+    df: DataFrame,
+    count_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Negative-binomial fit of per-entity counts by the method of
+    moments (the Gamma-Poisson overdispersion model; Greenwood & Yule
+    1920) — the constructive follow-up to dispersion_index's
+    "var/mean ≫ 1" verdict: r = m²/(v−m), p = m/v, plus the predicted
+    zero fraction (r/(r+m))^r next to the observed one — if NB can't
+    even match the zeros, reach for a zero-inflated model. Groups with
+    v ≤ m (no overdispersion) report NULL r/p — Poisson suffices.
+
+    Scale design: one grouped moments aggregate; everything after is
+    row arithmetic. Output per group: (n, mean, var, r, p, zero_obs,
+    zero_nb).
+    """
+    x = F.col(count_col).cast("double")
+    agg = df.filter(x.isNotNull()).groupBy(
+        *( [group_col] if group_col else [] )
+    ).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(x).alias("_m"),
+        F.var_samp(x).alias("_v"),
+        F.avg((x == 0).cast("double")).alias("_z"),
+    )
+    m, v = F.col("_m"), F.col("_v")
+    r = F.when(v > m, m * m / (v - m))
+    return agg.select(
+        *([group_col] if group_col else []),
+        F.col("_n").cast("long").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(v, 6).alias("var"),
+        F.round(r, 6).alias("r"),
+        F.round(F.when(v > m, m / v), 6).alias("p"),
+        F.round("_z", 6).alias("zero_obs"),
+        F.round(F.pow(r / (r + m), r), 6).alias("zero_nb"),
+    )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951) over k item columns scored per subject — the "do these k
+    quality signals measure one construct" check before averaging them
+    into a single score:
+
+        α = k/(k−1) · (1 − Σᵢvar(itemᵢ) / var(Σᵢitemᵢ))
+
+    α near 1 = the items co-vary (one construct); near 0 = they are
+    independent signals and their mean is not a scale.
+
+    Scale design: one aggregate computing every item variance and the
+    total-score variance in a single pass — no reshaping, no windows.
+    Output one row: (n_items, n_subjects, sum_item_var, total_var,
+    alpha).
+    """
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError(f"need >= 2 items, got {k}")
+    items = [F.col(c).cast("double") for c in item_cols]
+    total = sum(items[1:], items[0])
+    cond = items[0].isNotNull()
+    for it in items[1:]:
+        cond = cond & it.isNotNull()
+    agg = df.filter(cond).agg(
+        F.count("*").alias("_n"),
+        *[F.var_samp(it).alias(f"_v{i}") for i, it in enumerate(items)],
+        F.var_samp(total).alias("_vt"),
+    )
+    sv = sum(F.col(f"_v{i}") for i in range(k))
+    return agg.select(
+        F.lit(k).cast("long").alias("n_items"),
+        F.col("_n").cast("long").alias("n_subjects"),
+        F.round(sv, 6).alias("sum_item_var"),
+        F.round("_vt", 6).alias("total_var"),
+        F.round(
+            F.when(
+                F.col("_vt") > 0,
+                (F.lit(k) / (k - 1)) * (1 - sv / F.col("_vt")),
+            ),
+            6,
+        ).alias("alpha"),
+    )

@@ -1346,3 +1346,75 @@ def target_encode_oof(
         )
         .drop("_c", "_f", "_c2", "_oof", "_cm", "_gm")
     )
+
+
+def post_stratified_mean(
+    population: DataFrame,
+    sample: DataFrame,
+    stratum_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Post-stratified mean estimator with design-effect diagnostics
+    (Holt & Smith 1979): reweight a sample's per-stratum means by the
+    POPULATION stratum shares — the estimator that repairs a sample
+    whose stratum mix drifted from the corpus it claims to represent
+    (the static counterpart of raking, exact when there is one
+    stratification variable):
+
+        ŷ_post = Σ W_s·ȳ_s,   V̂_post = Σ W_s²·v_s/n_s
+        deff   = V̂_post / V̂_srs
+
+    deff < 1 quantifies the precision BOUGHT by post-stratification;
+    strata present in the population but absent from the sample are
+    reported (their weight is unrepresented, the estimator's blind
+    spot).
+
+    Scale design: two grouped moment aggregates (population shares,
+    sample stats) joined on the bounded stratum relation + one 1-row
+    rollup. Output one row: (n_sample, n_strata, n_missing_strata,
+    missing_weight, ybar_srs, ybar_post, se_post, deff).
+    """
+    y = F.col(value_col).cast("double")
+    pop = population.filter(F.col(stratum_col).isNotNull()).groupBy(
+        F.col(stratum_col).alias("_s")
+    ).agg(F.count("*").cast("double").alias("_np"))
+    popw = pop.crossJoin(
+        F.broadcast(pop.agg(F.sum("_np").alias("_ntot")))
+    ).select("_s", (F.col("_np") / F.col("_ntot")).alias("_w"))
+    samp = (
+        sample.filter(F.col(stratum_col).isNotNull() & y.isNotNull())
+        .groupBy(F.col(stratum_col).alias("_s"))
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.avg(y).alias("_m"),
+            F.var_samp(y).alias("_v"),
+        )
+    )
+    j = popw.join(samp, "_s", "left")
+    srs = sample.filter(y.isNotNull()).agg(
+        F.count("*").cast("double").alias("_nsrs"),
+        F.avg(y).alias("_msrs"),
+        F.var_samp(y).alias("_vsrs"),
+    )
+    out = j.agg(
+        F.sum("_n").alias("_ns"),
+        F.count("*").alias("_k"),
+        F.sum(F.col("_m").isNull().cast("long")).alias("_miss"),
+        F.sum(F.when(F.col("_m").isNull(), F.col("_w"))).alias("_missw"),
+        F.sum(F.col("_w") * F.col("_m")).alias("_ypost"),
+        F.sum(
+            F.col("_w") * F.col("_w") * F.col("_v") / F.col("_n")
+        ).alias("_vpost"),
+    ).crossJoin(F.broadcast(srs))
+    return out.select(
+        F.col("_ns").cast("long").alias("n_sample"),
+        F.col("_k").cast("long").alias("n_strata"),
+        F.col("_miss").cast("long").alias("n_missing_strata"),
+        F.round(F.coalesce("_missw", F.lit(0.0)), 6).alias("missing_weight"),
+        F.round("_msrs", 6).alias("ybar_srs"),
+        F.round("_ypost", 6).alias("ybar_post"),
+        F.round(F.sqrt("_vpost"), 6).alias("se_post"),
+        F.round(
+            F.col("_vpost") / (F.col("_vsrs") / F.col("_nsrs")), 6
+        ).alias("deff"),
+    )

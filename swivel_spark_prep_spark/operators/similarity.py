@@ -1434,3 +1434,63 @@ def margin_neighbors(
             F.round("margin", 4).alias("margin"),
         )
     )
+
+
+def mahalanobis_outliers(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k embedding outliers by DIAGONAL-covariance Mahalanobis
+    distance, d² = Σⱼ(xⱼ−μⱼ)²/σ²ⱼ — the per-dimension-standardized
+    outlier score a plain L2-to-centroid misses (one high-variance
+    dimension swamps L2; Mahalanobis whitens it away). Diagonal Σ by
+    design: the full-covariance inverse is a dim² driver object and
+    the embedding-hygiene use case (find the garbage vectors before
+    they poison k-means/SemDeDup seeds) doesn't need cross-dimension
+    rotation. Under approximate normality d² ~ χ²(dim), so
+    d² ≫ dim + 3·√(2·dim) is the classic review cut (reported as a
+    column, not a filter — the top-k stays inspectable either way).
+
+    Scale design: per-dimension moments via ONE posexplode + groupBy
+    (dim groups; map-side partial aggregation collapses executor-side,
+    so the tiny group count is not a skew problem), broadcast the
+    dim-row stats back, d² as a second posexplode-join-sum, top-k via
+    TakeOrdered. Zero-variance dimensions contribute 0 (constant
+    dims carry no outlier signal). Output: (id, d2, chi2_cut).
+    """
+    base = with_double_embedding(emb, vec_col).select(
+        F.col(id_col).alias("_id"), "_emb"
+    )
+    ex = base.select("_id", F.posexplode("_emb").alias("_j", "_x"))
+    stats = ex.groupBy("_j").agg(
+        F.avg("_x").alias("_mu"), F.var_pop("_x").alias("_s2")
+    )
+    dim = stats.agg(F.count("*").cast("double").alias("_d"))
+    d2 = (
+        ex.join(F.broadcast(stats), "_j")
+        .groupBy("_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_s2") > 0,
+                    (F.col("_x") - F.col("_mu"))
+                    * (F.col("_x") - F.col("_mu"))
+                    / F.col("_s2"),
+                ).otherwise(F.lit(0.0))
+            ).alias("_d2")
+        )
+    )
+    return (
+        d2.crossJoin(F.broadcast(dim))
+        .orderBy(F.desc("_d2"), "_id")
+        .limit(k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.round("_d2", 6).alias("d2"),
+            F.round(
+                F.col("_d") + 3 * F.sqrt(2 * F.col("_d")), 6
+            ).alias("chi2_cut"),
+        )
+    )

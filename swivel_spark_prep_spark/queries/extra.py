@@ -12061,3 +12061,149 @@ def x325(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return script_mix_audit(docs, "text", "source").orderBy("source")
+
+
+@_declare(
+    "X326_negative_binomial",
+    # Negative-binomial MoM fit of per-user purchase counts among ALL
+    # active users (evalmetrics.negative_binomial_fit; Gamma-Poisson):
+    # the constructive follow-up to X287's dispersion verdict — r, p,
+    # and predicted-vs-observed zero fraction (zeros come from the
+    # users x type grid, so absent-type users count).
+    """WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+cnt AS (SELECT user_id, COUNT(*)::DOUBLE AS c FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY 1),
+full_ AS (SELECT COALESCE(c, 0) AS c FROM users LEFT JOIN cnt USING (user_id)),
+a AS (SELECT COUNT(*)::DOUBLE AS n, AVG(c) AS m, var_samp(c) AS v,
+             AVG((c = 0)::INT::DOUBLE) AS z FROM full_)
+SELECT n::BIGINT AS n, ROUND(m, 6) AS mean, ROUND(v, 6) AS var,
+       ROUND(CASE WHEN v > m THEN m*m/(v - m) END, 6) AS r,
+       ROUND(CASE WHEN v > m THEN m/v END, 6) AS p,
+       ROUND(z, 6) AS zero_obs,
+       ROUND(CASE WHEN v > m THEN pow((m*m/(v-m)) / (m*m/(v-m) + m), m*m/(v-m)) END, 6)
+         AS zero_nb
+FROM a;""",
+)
+def x326(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        negative_binomial_fit,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    users = ev.select("user_id").distinct()
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    grid = users.join(cnt, "user_id", "left").select(
+        F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    return negative_binomial_fit(grid, "c")
+
+
+@_declare(
+    "X327_post_stratified",
+    # Post-stratified mean of n_chars by lang over a deterministic 10%
+    # doc sample (sampling.post_stratified_mean; Holt-Smith): reweight
+    # sample stratum means by POPULATION shares — repairs a sample
+    # whose lang mix drifted; deff quantifies the precision bought.
+    """WITH pop AS (SELECT lang AS s, COUNT(*)::DOUBLE AS np FROM documents
+            WHERE lang IS NOT NULL GROUP BY 1),
+popw AS (SELECT s, np / SUM(np) OVER () AS w FROM pop),
+samp0 AS (SELECT lang AS s, n_chars::DOUBLE AS y FROM documents
+          WHERE CAST(('0x' || substr(md5('ps' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                % 1000000 < 100000),
+samp AS (SELECT s, COUNT(*)::DOUBLE AS n, AVG(y) AS m, var_samp(y) AS v
+         FROM samp0 WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+srs AS (SELECT COUNT(*)::DOUBLE AS nsrs, AVG(y) AS msrs, var_samp(y) AS vsrs
+        FROM samp0 WHERE y IS NOT NULL),
+j AS (SELECT popw.s, w, n, m, v FROM popw LEFT JOIN samp USING (s)),
+o AS (SELECT SUM(n) AS ns, COUNT(*)::BIGINT AS k,
+             SUM((m IS NULL)::INT)::BIGINT AS miss,
+             COALESCE(SUM(CASE WHEN m IS NULL THEN w END), 0) AS missw,
+             SUM(w*m) AS ypost, SUM(w*w*v/n) AS vpost
+      FROM j)
+SELECT ns::BIGINT AS n_sample, k AS n_strata, miss AS n_missing_strata,
+       ROUND(missw, 6) AS missing_weight,
+       ROUND(msrs, 6) AS ybar_srs, ROUND(ypost, 6) AS ybar_post,
+       ROUND(sqrt(vpost), 6) AS se_post,
+       ROUND(vpost / (vsrs / nsrs), 6) AS deff
+FROM o CROSS JOIN srs;""",
+)
+def x327(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.sampling import (
+        hash_sample,
+        post_stratified_mean,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pop = docs.filter(F.col("lang").isNotNull())
+    samp = hash_sample(docs, "doc_id", 0.1, salt="ps")
+    return post_stratified_mean(pop, samp, "lang", "n_chars")
+
+
+@_declare(
+    "X328_cronbach_alpha",
+    # Cronbach's alpha over four rule-rater 'en' indicators per doc
+    # (evalmetrics.cronbach_alpha): do the k quality signals measure
+    # one construct, the check before averaging them into one score.
+    # One single-pass aggregate (item variances + total-score variance).
+    """WITH it AS (SELECT
+    (text LIKE '% the %')::INT::DOUBLE AS i1,
+    (text LIKE '% and %')::INT::DOUBLE AS i2,
+    (text LIKE '% of %')::INT::DOUBLE AS i3,
+    (text LIKE '% in %')::INT::DOUBLE AS i4
+  FROM documents WHERE text IS NOT NULL),
+a AS (SELECT COUNT(*)::BIGINT AS n,
+             var_samp(i1) AS v1, var_samp(i2) AS v2,
+             var_samp(i3) AS v3, var_samp(i4) AS v4,
+             var_samp(i1 + i2 + i3 + i4) AS vt FROM it)
+SELECT 4::BIGINT AS n_items, n AS n_subjects,
+       ROUND(v1 + v2 + v3 + v4, 6) AS sum_item_var,
+       ROUND(vt, 6) AS total_var,
+       ROUND(CASE WHEN vt > 0
+             THEN (4.0/3.0) * (1 - (v1 + v2 + v3 + v4)/vt) END, 6) AS alpha
+FROM a;""",
+)
+def x328(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import cronbach_alpha
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    it = docs.select(
+        *[
+            F.col("text").like(f"% {w} %").cast("int").alias(f"i{n}")
+            for n, w in enumerate(["the", "and", "of", "in"], 1)
+        ]
+    )
+    return cronbach_alpha(it, ["i1", "i2", "i3", "i4"])
+
+
+@_declare(
+    "X329_mahalanobis_outliers",
+    # Top-10 embedding outliers by diagonal-covariance Mahalanobis
+    # distance (similarity.mahalanobis_outliers): per-dimension
+    # standardization catches the garbage vectors a plain L2-to-
+    # centroid misses; chi2(dim) review cut reported alongside.
+    """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 generate_subscripts(embedding, 1) AS j
+          FROM embeddings),
+st AS (SELECT j, AVG(x) AS mu, var_pop(x) AS s2 FROM e GROUP BY 1),
+dim AS (SELECT COUNT(*)::DOUBLE AS d FROM st),
+d2 AS (SELECT vec_id,
+              SUM(CASE WHEN s2 > 0 THEN (x - mu)*(x - mu)/s2 ELSE 0 END) AS d2
+       FROM e JOIN st USING (j) GROUP BY 1)
+SELECT vec_id, ROUND(d2, 6) AS d2,
+       ROUND(d + 3*sqrt(2*d), 6) AS chi2_cut
+FROM d2 CROSS JOIN dim
+ORDER BY d2 DESC, vec_id LIMIT 10;""",
+)
+def x329(spark, sf_dir):
+    from swivel_spark_prep_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mahalanobis_outliers(emb, k=10)

@@ -139,3 +139,95 @@ def test_target_encode_fallbacks(spark):
     assert out[5]["target_enc"] is not None  # null-target row still encoded
     with pytest.raises(ValueError):
         target_encode_oof(df, "cat", "y", "id", n_folds=1)
+
+
+# ------------------------------------------------- negative_binomial_fit
+def test_nb_fit_formulas_and_poisson_null(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        negative_binomial_fit,
+    )
+
+    rows = [(0.0,)] * 60 + [(1.0,)] * 20 + [(5.0,)] * 20
+    df = spark.createDataFrame(rows, "c double")
+    r = negative_binomial_fit(df, "c").collect()[0]
+    m = 1.2
+    v = (60 * m**2 + 20 * (1 - m) ** 2 + 20 * (5 - m) ** 2) / 99
+    assert abs(r["mean"] - m) < 1e-6 and abs(r["var"] - round(v, 6)) < 1e-5
+    assert abs(r["r"] - round(m * m / (v - m), 6)) < 1e-5
+    assert r["zero_obs"] == 0.6
+    # equidispersed (variance ~ mean): NB degenerates, NULL r
+    pois = spark.createDataFrame([(1.0,), (1.0,), (1.0,)], "c double")
+    assert negative_binomial_fit(pois, "c").collect()[0]["r"] is None
+
+
+# --------------------------------------------------- post_stratified_mean
+def test_post_stratified_repairs_drifted_mix(spark):
+    from swivel_spark_prep_spark.operators.sampling import (
+        post_stratified_mean,
+    )
+
+    pop = spark.createDataFrame(
+        [("a", 0.0)] * 50 + [("b", 0.0)] * 50, "s string, y double"
+    )
+    # drifted sample: 90% stratum a (mean 10), 10% stratum b (mean 20)
+    samp = spark.createDataFrame(
+        [("a", 10.0 + (i % 3 - 1)) for i in range(90)]
+        + [("b", 20.0 + (i % 2) * 2 - 1) for i in range(10)],
+        "s string, y double",
+    )
+    r = post_stratified_mean(pop, samp, "s", "y").collect()[0]
+    assert abs(r["ybar_srs"] - 11.0) < 1e-9
+    assert abs(r["ybar_post"] - 15.0) < 1e-9
+    assert r["n_missing_strata"] == 0 and r["missing_weight"] == 0.0
+    # a population stratum absent from the sample is surfaced
+    pop2 = spark.createDataFrame(
+        [("a", 0.0)] * 50 + [("b", 0.0)] * 25 + [("c", 0.0)] * 25,
+        "s string, y double",
+    )
+    r2 = post_stratified_mean(pop2, samp, "s", "y").collect()[0]
+    assert r2["n_missing_strata"] == 1 and abs(r2["missing_weight"] - 0.25) < 1e-9
+
+
+# --------------------------------------------------------- cronbach_alpha
+def test_cronbach_perfect_vs_independent(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cronbach_alpha
+
+    # identical items -> alpha = 1
+    rows = [(float(i % 2), float(i % 2), float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "i1 double, i2 double, i3 double")
+    assert cronbach_alpha(df, ["i1", "i2", "i3"]).collect()[0]["alpha"] == 1.0
+    # independent items -> alpha near 0 (can be negative)
+    rows2 = [
+        (float(i % 2), float((i // 2) % 2), float((i // 4) % 2))
+        for i in range(64)
+    ]
+    df2 = spark.createDataFrame(rows2, "i1 double, i2 double, i3 double")
+    a = cronbach_alpha(df2, ["i1", "i2", "i3"]).collect()[0]["alpha"]
+    assert abs(a) < 0.2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cronbach_alpha(df, ["i1"])
+
+
+# --------------------------------------------------- mahalanobis_outliers
+def test_mahalanobis_whitens_per_dimension(spark):
+    from swivel_spark_prep_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    # dim0 noisy (sd ~ 10), dim1 tight (sd ~ 0.1). Two planted deviants
+    # of equal L2 size 15: the dim1 deviant must outrank the dim0 one.
+    rows = [(i, [float((i * 37) % 21 - 10), float(((i * 13) % 21 - 10) / 100.0)])
+            for i in range(100)]
+    rows.append((1000, [15.0, 0.0]))   # big in the NOISY dim
+    rows.append((1001, [0.0, 15.0]))   # big in the TIGHT dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mahalanobis_outliers(df, k=3).collect()
+    assert out[0]["vec_id"] == 1001
+    d2 = {r["vec_id"]: r["d2"] for r in out}
+    # the tight-dim deviant dominates even though the outlier itself
+    # inflates that dimension's variance (masking caps the gap at ~17x
+    # here; without masking it would be ~10^4x)
+    assert 1000 in d2 and d2[1001] > 10 * d2[1000]
+    assert all(r["chi2_cut"] == out[0]["chi2_cut"] for r in out)
