@@ -287,6 +287,20 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--output", default=None, help="optional parquet dir for the KM curve")
     sv.add_argument("--master", default=None)
 
+    ab = sub.add_parser(
+        "ab-report",
+        help="A/B readout over a (unit, arm, value) parquet: Welch t, "
+        "Mann-Whitney U, quantile treatment effects, per-arm "
+        "delta-method ratio CIs — one JSON line",
+    )
+    ab.add_argument("--input", required=True, help="parquet table")
+    ab.add_argument("--unit", default="unit")
+    ab.add_argument("--arm", default="arm")
+    ab.add_argument("--value", default="value")
+    ab.add_argument("--arm-a", default="a")
+    ab.add_argument("--arm-b", default="b")
+    ab.add_argument("--master", default=None)
+
     return p
 
 
@@ -762,6 +776,46 @@ def _dispatch(args, spark, owns_session) -> int:
                     .orderBy(args.by)
                     .collect()
                 ]
+            print(_json.dumps(rep, default=str))
+        elif args.cmd == "ab-report":
+            import json as _json
+
+            from swivel_spark_prep_spark.operators.evalmetrics import (
+                mann_whitney_u,
+                quantile_treatment_effects,
+                ratio_metric_ci,
+                welch_ttest,
+            )
+
+            df = spark.read.parquet(args.input)
+            a, b = args.arm_a, args.arm_b
+            rep = {
+                "welch": welch_ttest(df, args.value, args.arm, a, b)
+                .collect()[0]
+                .asDict(),
+                "mann_whitney": mann_whitney_u(df, args.value, args.arm, a, b)
+                .collect()[0]
+                .asDict(),
+                "qte": [
+                    r.asDict()
+                    for r in quantile_treatment_effects(
+                        df, args.arm, args.value, a, b
+                    )
+                    .orderBy("p")
+                    .collect()
+                ],
+                "ratio_by_arm": [
+                    r.asDict()
+                    for r in ratio_metric_ci(
+                        df.filter(F.col(args.arm).isin([a, b])),
+                        args.unit,
+                        args.value,
+                        args.arm,
+                    )
+                    .orderBy(args.arm)
+                    .collect()
+                ],
+            }
             print(_json.dumps(rep, default=str))
         elif args.cmd == "bench-query":
             import time

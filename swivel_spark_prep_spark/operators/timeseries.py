@@ -2405,7 +2405,9 @@ def mann_kendall(
             & (F.col("_d1") < F.col("_d2")),
         )
     else:
-        pairs = a.join(b, F.col("_d1") < F.col("_d2"))
+        # no group key: broadcast the calendar-bounded right side so
+        # the range condition plans as BNLJ, never CartesianProduct
+        pairs = a.join(F.broadcast(b), F.col("_d1") < F.col("_d2"))
     s = pairs.groupBy(*gcols).agg(
         F.sum(F.signum(F.col("_x2") - F.col("_x1"))).alias("_s")
     )
@@ -2773,4 +2775,234 @@ def session_stats(
         F.expr("percentile(_ne, 0.5)").alias("p50_events"),
         F.round(F.expr("percentile(_dur, 0.5)"), 6).alias("p50_duration_s"),
         F.round(F.expr("percentile(_dur, 0.9)"), 6).alias("p90_duration_s"),
+    )
+
+
+def pacf3(
+    df: DataFrame,
+    group_col: str,
+    index_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 by the Durbin–Levinson
+    recursion in closed form (Box & Jenkins' AR-order identification
+    tool): the ACF of an AR(p) process tails off forever, the PACF
+    CUTS OFF after lag p — so "which lag does the PACF die at" is the
+    model-order read the raw ACF table (X168/ljung_box's input) cannot
+    give. With fixed-mean autocorrelations r₁,r₂,r₃:
+
+        φ₁₁ = r₁
+        φ₂₂ = (r₂ − r₁²) / (1 − r₁²)
+        φ₃₃ via the k=3 Durbin–Levinson step (φ₂₁ = r₁(1−r₂)/(1−r₁²))
+
+    Scale design: the three rₖ come from ONE lag-exploded join (the
+    X168 shape, B = 3) pivoted to a 1-row-per-group relation; the
+    recursion is pure arithmetic. ±1.96/√n is the usual cutoff band
+    (reported). Output per group: (n, r1, r2, r3, pacf1, pacf2,
+    pacf3, band).
+    """
+    s = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(index_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_t").isNotNull() & F.col("_x").isNotNull())
+    stats = s.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_x").alias("_m"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    ).select(
+        "_g", "_n", "_m",
+        (F.col("_sxx") - F.col("_n") * F.col("_m") * F.col("_m")).alias("_ss"),
+    )
+    c = s.join(F.broadcast(stats), "_g").select(
+        "_g", "_t", (F.col("_x") - F.col("_m")).alias("_c"), "_n", "_ss"
+    )
+    lagged = c.select(
+        "_g",
+        "_c",
+        "_n",
+        "_ss",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag"),
+        (F.col("_t") + F.col("lag")).alias("_tj"),
+    )
+    pairs = lagged.join(
+        c.select("_g", F.col("_t").alias("_tj"), F.col("_c").alias("_c2")),
+        ["_g", "_tj"],
+    )
+    rk = pairs.groupBy("_g", "lag").agg(
+        F.first("_n").alias("_n"),
+        (F.sum(F.col("_c") * F.col("_c2")) / F.first("_ss")).alias("_r"),
+    )
+    w = rk.groupBy("_g").agg(
+        F.first("_n").alias("_n"),
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("_r"))).alias(f"_r{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    r1, r2, r3 = F.col("_r1"), F.col("_r2"), F.col("_r3")
+    p11 = r1
+    den2 = 1 - r1 * r1
+    p22 = F.when(den2 != 0, (r2 - r1 * r1) / den2)
+    p21 = F.when(den2 != 0, r1 * (1 - r2) / den2)
+    den3 = 1 - p21 * r1 - p22 * r2
+    p33 = F.when(den3 != 0, (r3 - p21 * r2 - p22 * r1) / den3)
+    return w.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r3, 6).alias("r3"),
+        F.round(p11, 6).alias("pacf1"),
+        F.round(p22, 6).alias("pacf2"),
+        F.round(p33, 6).alias("pacf3"),
+        F.round(1.959964 / F.sqrt("_n"), 6).alias("band"),
+    )
+
+
+def kendall_tau_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_col: str,
+    series_a,
+    series_b,
+    group_label: str = "tau_b",
+) -> DataFrame:
+    """Kendall's tau-b between two DAILY series (Kendall 1945, with
+    the tie correction): do the two metrics move together day-over-day
+    — the rank-robust association the Pearson CCF (X267) overstates
+    under heavy tails. Days present in both series are paired; over
+    day pairs i<j:
+
+        τ_b = (C − D) / √((n₀−n₁)(n₀−n₂)),  n₀ = n(n−1)/2
+
+    with C/D concordant/discordant counts and n₁/n₂ the tied-pair
+    masses of each series.
+
+    Scale design: daily aggregation first, then the pair join on the
+    calendar-BOUNDED paired-day relation (the X313 Mann–Kendall
+    discipline); tie masses come from per-value re-aggregates of the
+    same bounded relation. Output one row: (n_days, concordant,
+    discordant, tau_b, z) — z via the standard normal approximation
+    √(9n(n−1))·τ/√(2(2n+5)).
+    """
+    day = F.to_date(F.col(ts_col))
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(series_col).isin([series_a, series_b])
+    ).groupBy(day.alias("_d"), F.col(series_col).alias("_s")).agg(
+        F.avg(F.col(value_col).cast("double")).alias("_x")
+    )
+    paired = (
+        base.filter(F.col("_s") == series_a)
+        .select(F.col("_d"), F.col("_x").alias("_xa"))
+        .join(
+            base.filter(F.col("_s") == series_b).select(
+                F.col("_d"), F.col("_x").alias("_xb")
+            ),
+            "_d",
+        )
+    )
+    a = paired.select(
+        F.col("_d").alias("_d1"), F.col("_xa").alias("_a1"), F.col("_xb").alias("_b1")
+    )
+    b = paired.select(
+        F.col("_d").alias("_d2"), F.col("_xa").alias("_a2"), F.col("_xb").alias("_b2")
+    )
+    # the right side is calendar-bounded — broadcast it so the range
+    # pair condition plans as a BroadcastNestedLoopJoin over a bounded
+    # relation, never a CartesianProduct stage
+    pr = a.join(F.broadcast(b), F.col("_d1") < F.col("_d2"))
+    sgn = F.signum(F.col("_a2") - F.col("_a1")) * F.signum(
+        F.col("_b2") - F.col("_b1")
+    )
+    cd = pr.agg(
+        F.sum((sgn > 0).cast("long")).alias("_c"),
+        F.sum((sgn < 0).cast("long")).alias("_dd"),
+    )
+    n = paired.agg(F.count("*").cast("double").alias("_n"))
+    t1 = paired.groupBy("_xa").agg(F.count("*").cast("double").alias("_t")).agg(
+        F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("_n1")
+    )
+    t2 = paired.groupBy("_xb").agg(F.count("*").cast("double").alias("_t")).agg(
+        F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("_n2")
+    )
+    j = (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
+    n0 = F.col("_n") * (F.col("_n") - 1) / 2
+    tau = (F.col("_c") - F.col("_dd")) / F.sqrt(
+        (n0 - F.col("_n1")) * (n0 - F.col("_n2"))
+    )
+    z = (
+        3 * (F.col("_c") - F.col("_dd"))
+        / F.sqrt(
+            F.col("_n") * (F.col("_n") - 1) * (2 * F.col("_n") + 5) / 2
+        )
+    )
+    return j.select(
+        F.col("_n").cast("long").alias("n_days"),
+        F.col("_c").alias("concordant"),
+        F.col("_dd").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Two-period Poisson rate-change test (the normal approximation
+    of the exact conditional binomial test; Przyborowski & Wilenski
+    1940's problem): did the EVENT RATE change between the first and
+    second half of the time range — the counting-process complement to
+    the value-level Chow/PH detectors, for "did traffic itself move".
+    With counts c₁/c₂ over exposures t₁/t₂ (µs):
+
+        z = (λ̂₁ − λ̂₂) / √(c₁/t₁² + c₂/t₂²),   λ̂ᵢ = cᵢ/tᵢ
+
+    Scale design: one (min,max) pass broadcast back, one conditional-
+    count aggregate — no windows, no joins on data. Output per group:
+    (n, c_1, c_2, rate_ratio, z).
+    """
+    gcols = [group_col] if group_col else []
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        *gcols, t.alias("_us")
+    )
+    rng = base.groupBy(*gcols).agg(
+        F.min("_us").alias("_lo"), F.max("_us").alias("_hi")
+    )
+    j = (
+        base.join(F.broadcast(rng), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(rng))
+    )
+    mid = (F.col("_lo") + F.col("_hi")) / 2
+    agg = j.groupBy(*gcols).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("_us") <= mid).cast("long")).cast("double").alias("_c1"),
+        F.sum((F.col("_us") > mid).cast("long")).cast("double").alias("_c2"),
+        F.first((mid - F.col("_lo"))).alias("_t1"),
+        F.first((F.col("_hi") - mid)).alias("_t2"),
+    )
+    l1 = F.col("_c1") / F.col("_t1")
+    l2 = F.col("_c2") / F.col("_t2")
+    se = F.sqrt(
+        F.col("_c1") / (F.col("_t1") * F.col("_t1"))
+        + F.col("_c2") / (F.col("_t2") * F.col("_t2"))
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        F.col("_c1").cast("long").alias("c_1"),
+        F.col("_c2").cast("long").alias("c_2"),
+        F.round(l1 / F.nullif(l2, F.lit(0.0)), 6).alias("rate_ratio"),
+        F.round(F.when(se > 0, (l1 - l2) / se), 6).alias("z"),
     )

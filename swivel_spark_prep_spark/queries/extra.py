@@ -12207,3 +12207,121 @@ def x329(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.mahalanobis_outliers(emb, k=10)
+
+
+@_declare(
+    "X330_pacf",
+    # Partial autocorrelation at lags 1-3 of the daily-mean series per
+    # event type (timeseries.pacf3; Durbin-Levinson closed form): the
+    # AR-order identification read the raw ACF can't give — PACF cuts
+    # off after lag p. One lag-exploded join (X168 shape, B=3) pivoted
+    # to a 1-row recursion.
+    """WITH daily AS (SELECT event_type AS g, (epoch_us(ts) // 86400000000) AS t,
+                 AVG(value) AS x
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+st AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(x) AS m,
+              SUM(x*x) - COUNT(*)::DOUBLE*AVG(x)*AVG(x) AS ss
+       FROM daily GROUP BY 1),
+c AS (SELECT daily.g, t, x - m AS cx, n, ss FROM daily JOIN st USING (g)),
+lagax AS (SELECT g, cx, n, ss, u.lag, t + u.lag AS tj
+          FROM c, UNNEST([1, 2, 3]) AS u(lag)),
+p AS (SELECT a.g, a.lag, a.n, a.cx, a.ss, b.cx AS cy
+      FROM lagax a JOIN c b ON a.g = b.g AND a.tj = b.t),
+rk AS (SELECT g, lag, ANY_VALUE(n) AS n, SUM(cx*cy)/ANY_VALUE(ss) AS r
+       FROM p GROUP BY 1, 2),
+w AS (SELECT g, ANY_VALUE(n) AS n,
+             MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN r END) AS r3 FROM rk GROUP BY 1),
+q AS (SELECT *, r1 AS p11,
+             CASE WHEN 1 - r1*r1 <> 0 THEN (r2 - r1*r1)/(1 - r1*r1) END AS p22,
+             CASE WHEN 1 - r1*r1 <> 0 THEN r1*(1 - r2)/(1 - r1*r1) END AS p21
+      FROM w)
+SELECT g AS event_type, n::BIGINT AS n, ROUND(r1, 6) AS r1,
+       ROUND(r2, 6) AS r2, ROUND(r3, 6) AS r3,
+       ROUND(p11, 6) AS pacf1, ROUND(p22, 6) AS pacf2,
+       ROUND(CASE WHEN 1 - p21*r1 - p22*r2 <> 0
+             THEN (r3 - p21*r2 - p22*r1)/(1 - p21*r1 - p22*r2) END, 6)
+         AS pacf3,
+       ROUND(1.959964/sqrt(n), 6) AS band
+FROM q ORDER BY event_type;""",
+)
+def x330(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import pacf3
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).alias("day"),
+    ).agg(F.avg("value").alias("xbar"))
+    return pacf3(daily, "event_type", "day", "xbar").orderBy("event_type")
+
+
+@_declare(
+    "X331_kendall_tau_daily",
+    # Kendall's tau-b between the daily purchase and click mean-value
+    # series (timeseries.kendall_tau_daily): rank-robust day-over-day
+    # association the Pearson CCF (X267) overstates under heavy tails;
+    # pair join on the calendar-bounded paired-day relation (X313
+    # discipline), tie-corrected denominator.
+    """WITH base AS (SELECT CAST(ts AS DATE) AS d, event_type AS s, AVG(value) AS x
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+                AND event_type IN ('purchase', 'click') GROUP BY 1, 2),
+paired AS (SELECT a.d, a.x AS xa, b.x AS xb
+           FROM (SELECT d, x FROM base WHERE s = 'purchase') a
+           JOIN (SELECT d, x FROM base WHERE s = 'click') b USING (d)),
+pr AS (SELECT sign(b.xa - a.xa)*sign(b.xb - a.xb) AS sg
+       FROM paired a JOIN paired b ON a.d < b.d),
+cd AS (SELECT SUM((sg > 0)::INT)::BIGINT AS c,
+              SUM((sg < 0)::INT)::BIGINT AS dd FROM pr),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM paired),
+t1 AS (SELECT COALESCE(SUM(t*(t-1)/2), 0) AS n1 FROM
+         (SELECT xa, COUNT(*)::DOUBLE AS t FROM paired GROUP BY 1) q),
+t2 AS (SELECT COALESCE(SUM(t*(t-1)/2), 0) AS n2 FROM
+         (SELECT xb, COUNT(*)::DOUBLE AS t FROM paired GROUP BY 1) q)
+SELECT n::BIGINT AS n_days, c AS concordant, dd AS discordant,
+       ROUND((c - dd)/sqrt((n*(n-1)/2 - n1)*(n*(n-1)/2 - n2)), 6) AS tau_b,
+       ROUND(3*(c - dd)/sqrt(n*(n-1)*(2*n+5)/2), 6) AS z
+FROM cd, n, t1, t2;""",
+)
+def x331(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import kendall_tau_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return kendall_tau_daily(
+        ev, "ts", "value", "event_type", "purchase", "click"
+    )
+
+
+@_declare(
+    "X332_poisson_rate_test",
+    # Two-period Poisson rate-change test per event type
+    # (timeseries.poisson_rate_test): did the EVENT RATE itself move
+    # between the halves of the time range — the counting-process
+    # complement to the value-level Chow/Page-Hinkley detectors. One
+    # (min,max) pass broadcast back + one conditional-count aggregate.
+    """WITH b AS (SELECT event_type AS g, epoch_us(ts) AS us
+           FROM events WHERE ts IS NOT NULL),
+rng AS (SELECT g, MIN(us) AS lo, MAX(us) AS hi FROM b GROUP BY 1),
+j AS (SELECT b.g, us, lo, hi, (lo + hi)/2 AS mid FROM b JOIN rng USING (g)),
+a AS (SELECT g, COUNT(*)::BIGINT AS n,
+             SUM((us <= mid)::INT)::DOUBLE AS c1,
+             SUM((us > mid)::INT)::DOUBLE AS c2,
+             ANY_VALUE(mid - lo) AS t1, ANY_VALUE(hi - mid) AS t2
+      FROM j GROUP BY 1)
+SELECT g AS event_type, n, c1::BIGINT AS c_1, c2::BIGINT AS c_2,
+       ROUND((c1/t1)/NULLIF(c2/t2, 0), 6) AS rate_ratio,
+       ROUND(CASE WHEN sqrt(c1/(t1*t1) + c2/(t2*t2)) > 0
+             THEN (c1/t1 - c2/t2)/sqrt(c1/(t1*t1) + c2/(t2*t2)) END, 6) AS z
+FROM a ORDER BY event_type;""",
+)
+def x332(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import poisson_rate_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_rate_test(ev, "ts", "event_type").orderBy("event_type")

@@ -181,6 +181,9 @@ ALLOWED_REPLICATE_EXPLODES = {
     # exploded on the AGGREGATED per-day relation, never corpus rows
     # (timeseries.ljung_box).
     "X316_ljung_box": [7],
+    # X330: PACF lag axis — B = 3 (Durbin-Levinson needs r1..r3), same
+    # aggregated-relation shape (timeseries.pacf3).
+    "X330_pacf": [3],
 }
 
 _ALL = {**DECLARED_QUERIES, **EXTRA_QUERIES}

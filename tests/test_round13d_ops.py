@@ -231,3 +231,94 @@ def test_mahalanobis_whitens_per_dimension(spark):
     # here; without masking it would be ~10^4x)
     assert 1000 in d2 and d2[1001] > 10 * d2[1000]
     assert all(r["chi2_cut"] == out[0]["chi2_cut"] for r in out)
+
+
+# ---------------------------------------------------------- ab-report CLI
+def test_cli_ab_report(spark, tmp_path, capsys):
+    import json
+
+    from swivel_spark_prep_spark import cli
+
+    rows = []
+    for u in range(40):
+        arm = "a" if u % 2 == 0 else "b"
+        lift = 5.0 if arm == "a" else 0.0
+        for i in range(3):
+            rows.append((u, arm, 10.0 + (u % 7) + lift + i * 0.1))
+    src = str(tmp_path / "ab")
+    spark.createDataFrame(rows, "unit long, arm string, value double").write.parquet(src)
+    rc = cli.main(["ab-report", "--input", src])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["welch"]["n_a"] == 60 and rep["welch"]["n_b"] == 60
+    assert rep["welch"]["t_stat"] > 2  # planted +5 lift
+    assert rep["mann_whitney"]["cliffs_delta"] > 0.5
+    assert [q["p"] for q in rep["qte"]] == [0.25, 0.5, 0.75, 0.9]
+    assert all(q["qte"] >= 4.0 for q in rep["qte"])
+    arms = {r["arm"]: r for r in rep["ratio_by_arm"]}
+    assert arms["a"]["n_units"] == 20 and arms["b"]["n_units"] == 20
+    assert arms["a"]["ratio"] > arms["b"]["ratio"]
+
+
+# ---------------------------------------------------------------- pacf3
+def test_pacf_ar1_signature(spark):
+    from swivel_spark_prep_spark.operators.timeseries import pacf3
+
+    # AR(1)-like deterministic series: x_t = 0.8*x_{t-1} + bounded
+    # pseudo-noise; PACF must be large at lag 1 and ~0 at lags 2-3.
+    import random
+
+    rng = random.Random(7)
+    rows, x = [], 0.0
+    for t in range(400):
+        x = 0.8 * x + (rng.random() - 0.5)
+        rows.append(("s", t, x))
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    r = pacf3(df, "g", "t", "x").collect()[0]
+    assert r["pacf1"] > 0.6
+    assert abs(r["pacf2"]) < r["band"] * 2
+    assert abs(r["pacf3"]) < r["band"] * 2
+    assert abs(r["r1"] - r["pacf1"]) < 1e-12  # phi_11 = r1 by definition
+
+
+# -------------------------------------------------------- kendall_tau_daily
+def test_kendall_tau_monotone_and_inverse(spark):
+    import datetime
+
+    from swivel_spark_prep_spark.operators.timeseries import kendall_tau_daily
+
+    b = datetime.datetime(2024, 2, 1)
+    rows = []
+    for d in range(20):
+        ts = b + datetime.timedelta(days=d)
+        rows.append((ts, "p", float(d)))          # increasing
+        rows.append((ts, "c", float(100 - d)))    # decreasing
+    df = spark.createDataFrame(rows, "ts timestamp, s string, x double")
+    r = kendall_tau_daily(df, "ts", "x", "s", "p", "c").collect()[0]
+    assert r["n_days"] == 20
+    assert r["tau_b"] == -1.0 and r["concordant"] == 0
+    r2 = kendall_tau_daily(df, "ts", "x", "s", "p", "p").collect()[0]
+    assert r2["tau_b"] == 1.0 and r2["discordant"] == 0
+
+
+# -------------------------------------------------------- poisson_rate_test
+def test_poisson_rate_detects_ramp(spark):
+    import datetime
+
+    from swivel_spark_prep_spark.operators.timeseries import poisson_rate_test
+
+    b = datetime.datetime(2024, 2, 1)
+    rows = []
+    # 'ramp': 100 events in the first half-range, 400 in the second;
+    # 'flat': uniform spacing
+    for i in range(100):
+        rows.append(("ramp", b + datetime.timedelta(minutes=i * 10)))
+    for i in range(400):
+        rows.append(("ramp", b + datetime.timedelta(minutes=1000 + i * 2.5)))
+    for i in range(500):
+        rows.append(("flat", b + datetime.timedelta(minutes=i * 4)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["g"]: r for r in poisson_rate_test(df, "ts", "g").collect()}
+    assert out["ramp"]["z"] < -5 and out["ramp"]["rate_ratio"] < 0.5
+    assert abs(out["flat"]["z"]) < 2
+    assert out["flat"]["c_1"] + out["flat"]["c_2"] == 500
