@@ -1494,3 +1494,47 @@ def mahalanobis_outliers(
             ).alias("chi2_cut"),
         )
     )
+
+
+def anisotropy_score(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space anisotropy diagnostic (Ethayarajh 2019's
+    expected-pairwise-cosine, computed in closed form): for unit-scale
+    comparisons the expected cosine between two RANDOM vectors equals
+    ‖μ‖²-over-mean-norm structure — an isotropic (direction-uniform)
+    space scores ≈ 0, a collapsed "cone" space scores near 1, and cone
+    collapse silently breaks every cosine-threshold op downstream
+    (near-dup thresholds, SemDeDup epsilon, ANN recall). Reported:
+
+        anisotropy = ‖μ‖² / E[‖x‖²]   (μ = mean embedding)
+
+    plus mean/std of per-vector norms (the other hygiene axis: norm
+    spread ruins dot-product ranking). Exactly zero requires centered
+    data; the score IS the centering audit.
+
+    Scale design: per-dimension means via one posexplode aggregate
+    (dim groups, map-side combine), norms via one codegen aggregate —
+    no pair sampling, no joins beyond a 1-row broadcast. Output one
+    row: (n, dim, mean_norm, sd_norm, anisotropy).
+    """
+    base = with_double_embedding(emb, vec_col).select("_emb")
+    ex = base.select(F.posexplode("_emb").alias("_j", "_x"))
+    mu = ex.groupBy("_j").agg(F.avg("_x").alias("_m"))
+    mu2 = mu.agg(F.sum(F.col("_m") * F.col("_m")).alias("_mu2"),
+                 F.count("*").cast("long").alias("_dim"))
+    norms = base.select(_norm2("_emb").alias("_n2"))
+    agg = norms.agg(
+        F.count("*").alias("_n"),
+        F.avg("_n2").alias("_en2"),
+        F.avg(F.sqrt("_n2")).alias("_mn"),
+        F.stddev_samp(F.sqrt("_n2")).alias("_sn"),
+    )
+    return agg.crossJoin(F.broadcast(mu2)).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_dim").alias("dim"),
+        F.round("_mn", 6).alias("mean_norm"),
+        F.round("_sn", 6).alias("sd_norm"),
+        F.round(F.col("_mu2") / F.col("_en2"), 6).alias("anisotropy"),
+    )

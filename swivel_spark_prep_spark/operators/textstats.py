@@ -1516,3 +1516,52 @@ def script_mix_audit(
         F.sum("_greek").alias("greek_docs"),
         F.sum("_cjk").alias("cjk_docs"),
     )
+
+
+def novelty_timeline(
+    df: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    bucket: str = "week",
+) -> DataFrame:
+    """Vocabulary-novelty timeline: per time bucket, the share of token
+    MASS whose type first appeared in that bucket — the freshness curve
+    between X189's global Heaps fit (one exponent, no time axis) and
+    X282's two-snapshot churn (one pair, no trajectory). A healthy
+    growing corpus decays smoothly; a cliff means an ingest source
+    switched on, a flatline at ~0 means the pipeline is re-crawling
+    what it already has.
+
+    Scale design: tokenize once; each type's FIRST bucket is one
+    min-aggregate over the (type, bucket) relation (vocabulary-sized);
+    joining it back to the per-bucket type-mass relation is
+    vocabulary-keyed. No windows, no pair joins. Output per bucket:
+    (bucket, n_tokens, new_types, new_token_mass, novelty_share).
+    """
+    if bucket not in ("day", "week", "month"):
+        raise ValueError(f"bucket must be day/week/month, got {bucket}")
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("date")
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(b.alias("_b"), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w"))
+        .filter(F.col("_w") != "")
+    )
+    per = toks.groupBy("_b", "_w").agg(F.count("*").alias("_c"))
+    first = per.groupBy("_w").agg(F.min("_b").alias("_fb"))
+    j = per.join(first, "_w")
+    out = j.groupBy("_b").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.sum((F.col("_b") == F.col("_fb")).cast("long")).alias("new_types"),
+        F.sum(F.when(F.col("_b") == F.col("_fb"), F.col("_c")).otherwise(F.lit(0))).alias(
+            "new_token_mass"
+        ),
+    )
+    return out.select(
+        F.col("_b").alias("bucket"),
+        "n_tokens",
+        "new_types",
+        "new_token_mass",
+        F.round(F.col("new_token_mass") / F.col("n_tokens"), 6).alias(
+            "novelty_share"
+        ),
+    )

@@ -3006,3 +3006,77 @@ def poisson_rate_test(
         F.round(l1 / F.nullif(l2, F.lit(0.0)), 6).alias("rate_ratio"),
         F.round(F.when(se > 0, (l1 - l2) / se), 6).alias("z"),
     )
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    group_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Goh–Barabási burstiness and memory of event streams (Goh &
+    Barabási 2008): from each key's inter-event times,
+
+        B = (σ − μ) / (σ + μ) ∈ (−1, 1)
+        M = corr(Δᵢ, Δᵢ₊₁)
+
+    B ≈ −1 is a metronome, 0 Poisson, →1 extreme bursts; M > 0 means
+    long gaps follow long gaps (sessions), M < 0 alternation. The
+    (B, M) pair separates mechanisms a rate or dispersion number
+    conflates — bots (B≈−1) vs humans (B>0, M>0) in the same QPS.
+
+    Scale design: one lag window per key for Δ, a second for the
+    (Δᵢ, Δᵢ₊₁) pairs, one grouped moments aggregate (corr from raw
+    moments with a zero-variance guard — ANSI-safe). Output per group:
+    (n_keys, n_gaps, mean_gap_s, b_burst, m_memory).
+    """
+    gcols = [group_col] if group_col else []
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(key_col).alias("_k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    )
+    ocols = [F.col("_us")] + ([F.col("_tb")] if tiebreak_col else [])
+    w = Window.partitionBy(*gcols, "_k").orderBy(*ocols)
+    gaps = base.withColumn(
+        "_d", (F.col("_us") - F.lag("_us").over(w)) / 1e6
+    ).filter(F.col("_d").isNotNull())
+    pairs = gaps.withColumn("_dn", F.lead("_d").over(w))
+    agg = pairs.groupBy(*gcols).agg(
+        F.countDistinct("_k").alias("n_keys"),
+        F.count("*").alias("n_gaps"),
+        F.avg("_d").alias("_mu"),
+        F.stddev_samp("_d").alias("_sd"),
+        F.count("_dn").cast("double").alias("_np"),
+        F.sum(F.when(F.col("_dn").isNotNull(), F.col("_d"))).alias("_sx"),
+        F.sum("_dn").alias("_sy"),
+        F.sum(F.when(F.col("_dn").isNotNull(), F.col("_d") * F.col("_d"))).alias("_sxx"),
+        F.sum(F.col("_dn") * F.col("_dn")).alias("_syy"),
+        F.sum(F.col("_d") * F.col("_dn")).alias("_sxy"),
+    )
+    den2 = (F.col("_np") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * (
+        F.col("_np") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    m = F.when(
+        den2 > 0,
+        (F.col("_np") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / F.sqrt(den2),
+    )
+    return agg.select(
+        *gcols,
+        "n_keys",
+        "n_gaps",
+        F.round("_mu", 6).alias("mean_gap_s"),
+        F.round(
+            F.when(
+                (F.col("_sd") + F.col("_mu")) > 0,
+                (F.col("_sd") - F.col("_mu")) / (F.col("_sd") + F.col("_mu")),
+            ),
+            6,
+        ).alias("b_burst"),
+        F.round(m, 6).alias("m_memory"),
+    )

@@ -12325,3 +12325,112 @@ def x332(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return poisson_rate_test(ev, "ts", "event_type").orderBy("event_type")
+
+
+@_declare(
+    "X333_novelty_timeline",
+    # Weekly vocabulary-novelty curve (textstats.novelty_timeline):
+    # share of token mass whose TYPE first appeared that week — the
+    # freshness trajectory between X189's global Heaps fit and X282's
+    # two-snapshot churn; a cliff = new ingest source, ~0 = re-crawl.
+    # Documents carry no timestamp, so the audit runs on the event
+    # stream's joined week via doc_id % user-activity... instead the
+    # deterministic stand-in: week = doc_id bucketed into 8 pseudo-
+    # weeks (ingest order proxy), replayed identically by the oracle.
+    """WITH docs2 AS (SELECT doc_id, text,
+                 DATE '2024-01-01' + INTERVAL ((doc_id % 8) * 7) DAY AS ts
+          FROM documents WHERE text IS NOT NULL),
+toks AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS b,
+                unnest(string_split(lower(text), ' ')) AS w
+         FROM docs2),
+per AS (SELECT b, w, COUNT(*)::BIGINT AS c FROM toks WHERE w <> ''
+        GROUP BY 1, 2),
+f AS (SELECT w, MIN(b) AS fb FROM per GROUP BY 1),
+j AS (SELECT per.b, per.c, (per.b = f.fb)::INT AS isnew
+      FROM per JOIN f USING (w))
+SELECT b::VARCHAR AS bucket, SUM(c)::BIGINT AS n_tokens,
+       SUM(isnew)::BIGINT AS new_types,
+       SUM(CASE WHEN isnew = 1 THEN c ELSE 0 END)::BIGINT AS new_token_mass,
+       ROUND(SUM(CASE WHEN isnew = 1 THEN c ELSE 0 END)::DOUBLE / SUM(c), 6)
+         AS novelty_share
+FROM j GROUP BY b ORDER BY bucket;""",
+)
+def x333(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import novelty_timeline
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    staged = docs.withColumn(
+        "ts",
+        F.date_add(F.lit("2024-01-01").cast("date"), ((F.col("doc_id") % 8) * 7).cast("int")),
+    )
+    out = novelty_timeline(staged, "ts", "text", bucket="week")
+    # string bucket: the driver's dtype check treats Spark date (object)
+    # vs DuckDB DATE (datetime64) as a mismatch
+    return out.withColumn("bucket", F.col("bucket").cast("string")).orderBy(
+        "bucket"
+    )
+
+
+@_declare(
+    "X334_anisotropy",
+    # Embedding-space anisotropy (similarity.anisotropy_score;
+    # Ethayarajh 2019's expected pairwise cosine in closed form
+    # ||mu||^2 / E||x||^2): cone collapse silently breaks every
+    # cosine-threshold op downstream; norm spread ruins dot ranking.
+    """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 generate_subscripts(embedding, 1) AS j
+          FROM embeddings),
+mu AS (SELECT j, AVG(x) AS m FROM e GROUP BY 1),
+m2 AS (SELECT SUM(m*m) AS mu2, COUNT(*)::BIGINT AS dim FROM mu),
+nm AS (SELECT vec_id, SUM(x*x) AS n2 FROM e GROUP BY 1),
+a AS (SELECT COUNT(*)::BIGINT AS n, AVG(n2) AS en2,
+             AVG(sqrt(n2)) AS mn, stddev_samp(sqrt(n2)) AS sn FROM nm)
+SELECT n, dim, ROUND(mn, 6) AS mean_norm, ROUND(sn, 6) AS sd_norm,
+       ROUND(mu2/en2, 6) AS anisotropy
+FROM a CROSS JOIN m2;""",
+)
+def x334(spark, sf_dir):
+    from swivel_spark_prep_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.anisotropy_score(emb)
+
+
+@_declare(
+    "X335_burstiness",
+    # Goh-Barabasi burstiness B = (sd-mu)/(sd+mu) and memory M =
+    # corr(gap_i, gap_{i+1}) of per-user event streams by type
+    # (timeseries.burstiness): the (B, M) pair separates bots
+    # (B~-1) from humans (B>0, M>0) at identical rates.
+    """WITH b AS (SELECT event_type AS g, user_id AS k, epoch_us(ts) AS us, event_id
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+gaps AS (SELECT g, k, us, event_id,
+                (us - LAG(us) OVER (PARTITION BY g, k ORDER BY us, event_id))/1e6 AS d
+         FROM b),
+fl AS (SELECT g, k, us, event_id, d FROM gaps WHERE d IS NOT NULL),
+pairs AS (SELECT g, k, d,
+                 LEAD(d) OVER (PARTITION BY g, k ORDER BY us, event_id) AS dn
+          FROM fl),
+a AS (SELECT g, COUNT(DISTINCT k)::BIGINT AS n_keys, COUNT(*)::BIGINT AS n_gaps,
+             AVG(d) AS mu, stddev_samp(d) AS sd,
+             COUNT(dn)::DOUBLE AS np,
+             SUM(CASE WHEN dn IS NOT NULL THEN d END) AS sx, SUM(dn) AS sy,
+             SUM(CASE WHEN dn IS NOT NULL THEN d*d END) AS sxx,
+             SUM(dn*dn) AS syy, SUM(d*dn) AS sxy
+      FROM pairs GROUP BY 1)
+SELECT g AS event_type, n_keys, n_gaps, ROUND(mu, 6) AS mean_gap_s,
+       ROUND(CASE WHEN sd + mu > 0 THEN (sd - mu)/(sd + mu) END, 6) AS b_burst,
+       ROUND(CASE WHEN (np*sxx - sx*sx)*(np*syy - sy*sy) > 0
+             THEN (np*sxy - sx*sy)/sqrt((np*sxx - sx*sx)*(np*syy - sy*sy))
+             END, 6) AS m_memory
+FROM a ORDER BY event_type;""",
+)
+def x335(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import burstiness
+
+    ev = load_table(spark, sf_dir, "events")
+    return burstiness(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    ).orderBy("event_type")

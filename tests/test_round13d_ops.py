@@ -322,3 +322,78 @@ def test_poisson_rate_detects_ramp(spark):
     assert out["ramp"]["z"] < -5 and out["ramp"]["rate_ratio"] < 0.5
     assert abs(out["flat"]["z"]) < 2
     assert out["flat"]["c_1"] + out["flat"]["c_2"] == 500
+
+
+# -------------------------------------------------------- novelty_timeline
+def test_novelty_first_bucket_is_all_new_and_recrawl_is_zero(spark):
+    import datetime
+
+    from swivel_spark_prep_spark.operators.textstats import novelty_timeline
+
+    w0 = datetime.date(2024, 1, 1)   # a Monday
+    w1 = datetime.date(2024, 1, 8)
+    w2 = datetime.date(2024, 1, 15)
+    rows = [
+        (w0, "alpha beta gamma"),
+        (w1, "alpha beta delta"),      # delta is new
+        (w2, "alpha beta gamma delta"),  # pure re-crawl
+    ]
+    df = spark.createDataFrame(rows, "ts date, text string")
+    out = {str(r["bucket"]): r for r in
+           novelty_timeline(df, "ts", "text", "week").collect()}
+    assert out[str(w0)]["novelty_share"] == 1.0
+    assert abs(out[str(w1)]["novelty_share"] - 1 / 3) < 1e-6
+    assert out[str(w2)]["novelty_share"] == 0.0 and out[str(w2)]["new_types"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        novelty_timeline(df, "ts", "text", "hour")
+
+
+# ------------------------------------------------------- anisotropy_score
+def test_anisotropy_cone_vs_symmetric(spark):
+    from swivel_spark_prep_spark.operators.similarity import anisotropy_score
+
+    # cone: all vectors near one direction -> anisotropy near 1
+    cone = [(i, [10.0, 0.1 * (i % 5 - 2)]) for i in range(50)]
+    r = anisotropy_score(
+        spark.createDataFrame(cone, "vec_id long, embedding array<double>")
+    ).collect()[0]
+    assert r["anisotropy"] > 0.95 and r["dim"] == 2
+    # symmetric: +/- pairs cancel the mean -> anisotropy 0
+    sym = [(i, [1.0, 2.0]) for i in range(25)] + [
+        (100 + i, [-1.0, -2.0]) for i in range(25)
+    ]
+    r2 = anisotropy_score(
+        spark.createDataFrame(sym, "vec_id long, embedding array<double>")
+    ).collect()[0]
+    assert r2["anisotropy"] == 0.0
+    assert r2["sd_norm"] == 0.0  # all norms equal
+
+
+# ------------------------------------------------------------- burstiness
+def test_burstiness_metronome_vs_bursty(spark):
+    import datetime
+
+    from swivel_spark_prep_spark.operators.timeseries import burstiness
+
+    b = datetime.datetime(2024, 3, 1)
+    rows = []
+    # metronome: constant 60 s gaps -> sd 0 -> B = -1
+    for i in range(60):
+        rows.append(("tick", 1, b + datetime.timedelta(seconds=60 * i), i))
+    # bursty with memory: mostly 1-second gaps plus one contiguous run
+    # of six 2000-second gaps (heavy tail -> sigma >> mu -> B > 0;
+    # the huge gaps adjoin each other -> positive lag-1 memory)
+    t = 0.0
+    for i in range(120):
+        gap = 2000.0 if 100 <= i < 106 else 1.0
+        t += gap
+        rows.append(("burst", 1, b + datetime.timedelta(seconds=t), 1000 + i))
+    df = spark.createDataFrame(rows, "g string, k long, ts timestamp, id long")
+    out = {r["g"]: r for r in burstiness(df, "k", "ts", "g", "id").collect()}
+    assert out["tick"]["b_burst"] == -1.0
+    assert out["tick"]["m_memory"] is None  # zero variance -> NULL corr
+    assert out["burst"]["b_burst"] > 0.5
+    assert out["burst"]["m_memory"] > 0.5  # long gaps follow long gaps
+    assert out["tick"]["mean_gap_s"] == 60.0
