@@ -3160,3 +3160,228 @@ def cronbach_alpha(df: DataFrame, item_cols: list) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+def variance_decomposition(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way variance decomposition: η² = SSB/SST (share of variance
+    explained by the grouping) and ICC(1) via the ANOVA estimator with
+    Donner's n₀ correction for unequal group sizes — "how much does
+    SOURCE explain about this metric" in one number, the effect-size
+    companion to X209's F-test (which only says the means differ,
+    not by how much of the variance):
+
+        n₀   = (N − Σn²_g/N) / (k−1)
+        ICC1 = (MSB − MSW) / (MSB + (n₀−1)·MSW)
+
+    Scale design: one grouped moments pass + one 1-row rollup — the
+    anova_oneway plan shape with the effect sizes added. Output one
+    row: (k, n, eta2, msb, msw, n0, icc1).
+    """
+    x = F.col(value_col).cast("double")
+    per = df.filter(x.isNotNull()).groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(x).alias("_m"),
+        F.coalesce(F.var_samp(x), F.lit(0.0)).alias("_v"),
+    )
+    tot = per.agg(
+        F.count("*").cast("double").alias("_k"),
+        F.sum("_n").alias("_nn"),
+        (F.sum(F.col("_n") * F.col("_m")) / F.sum("_n")).alias("_gm"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_sn2"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    agg = j.agg(
+        F.first("_k").alias("_k"),
+        F.first("_nn").alias("_nn"),
+        F.first("_sn2").alias("_sn2"),
+        F.sum(
+            F.col("_n")
+            * (F.col("_m") - F.col("_gm"))
+            * (F.col("_m") - F.col("_gm"))
+        ).alias("_ssb"),
+        F.sum((F.col("_n") - 1) * F.col("_v")).alias("_ssw"),
+    )
+    k, n = F.col("_k"), F.col("_nn")
+    msb = F.col("_ssb") / (k - 1)
+    msw = F.col("_ssw") / (n - k)
+    n0 = (n - F.col("_sn2") / n) / (k - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    return agg.select(
+        k.cast("long").alias("k"),
+        n.cast("long").alias("n"),
+        F.round(
+            F.col("_ssb") / F.nullif(F.col("_ssb") + F.col("_ssw"), F.lit(0.0)),
+            6,
+        ).alias("eta2"),
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(n0, 6).alias("n0"),
+        F.round(icc, 6).alias("icc1"),
+    )
+
+
+def beta_binomial_shrink(
+    df: DataFrame,
+    success_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-group PROPORTIONS via the
+    beta-binomial ANOVA estimator (Kleinman 1973's moment route):
+    the rates twin of james_stein_means — a 3-document source with a
+    100% pass rate should not outrank a 10 000-document source at 96%.
+    The intraclass correlation of the 0/1 outcome gives the prior
+    weight M = (1−ρ)/ρ (ANOVA MoM with Donner's n₀), and
+
+        rate_shrunk = (x_g + M·p̄) / (n_g + M)
+
+    — small groups collapse toward the pooled rate, big groups keep
+    their own. ρ ≤ 0 (no between-group signal) collapses everything
+    to p̄ exactly.
+
+    Scale design: one grouped conditional-count pass + two 1-row
+    rollups (the variance_decomposition machinery on a binary
+    outcome). Output per group: (n, successes, rate_raw, prior_m,
+    rate_shrunk).
+    """
+    y = F.col(success_col).cast("boolean").cast("int").cast("double")
+    per = df.filter(y.isNotNull()).groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(y).alias("_x"),
+        F.avg(y).alias("_m"),
+        F.coalesce(F.var_samp(y), F.lit(0.0)).alias("_v"),
+    )
+    tot = per.agg(
+        F.count("*").cast("double").alias("_k"),
+        F.sum("_n").alias("_nn"),
+        (F.sum("_x") / F.sum("_n")).alias("_pbar"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_sn2"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    rho = j.agg(
+        F.first("_k").alias("_k"),
+        F.first("_nn").alias("_nn"),
+        F.first("_sn2").alias("_sn2"),
+        F.sum(
+            F.col("_n")
+            * (F.col("_m") - F.col("_pbar"))
+            * (F.col("_m") - F.col("_pbar"))
+        ).alias("_ssb"),
+        F.sum((F.col("_n") - 1) * F.col("_v")).alias("_ssw"),
+    ).select(
+        "*",
+        (F.col("_ssb") / (F.col("_k") - 1)).alias("_msb"),
+        (F.col("_ssw") / (F.col("_nn") - F.col("_k"))).alias("_msw"),
+        (
+            (F.col("_nn") - F.col("_sn2") / F.col("_nn"))
+            / (F.col("_k") - 1)
+        ).alias("_n0"),
+    ).select(
+        "*",
+        (
+            (F.col("_msb") - F.col("_msw"))
+            / (F.col("_msb") + (F.col("_n0") - 1) * F.col("_msw"))
+        ).alias("_rho"),
+    )
+    out = j.crossJoin(F.broadcast(rho.select("_rho")))
+    m_prior = F.when(
+        F.col("_rho") > 0, (1 - F.col("_rho")) / F.col("_rho")
+    )
+    shrunk = F.when(
+        m_prior.isNotNull(),
+        (F.col("_x") + m_prior * F.col("_pbar")) / (F.col("_n") + m_prior),
+    ).otherwise(F.col("_pbar"))
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_x").cast("long").alias("successes"),
+        F.round("_m", 6).alias("rate_raw"),
+        F.round(m_prior, 6).alias("prior_m"),
+        F.round(shrunk, 6).alias("rate_shrunk"),
+    )
+
+
+def qini_curve(
+    df: DataFrame,
+    treated_col: str,
+    outcome_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    deciles: int = 10,
+) -> DataFrame:
+    """Qini uplift curve by score decile (Radcliffe 2007) — THE
+    evaluation table for a targeting model: rank units by the score
+    (descending), and at each cumulative decile report the incremental
+    conversions versus what the control group's rate predicts,
+
+        qini(d) = conv_T(d) − conv_C(d) · N_T(d)/N_C(d)
+
+    A useless score tracks the random diagonal; a good one front-loads
+    the area. (Deciles of the SCORE, uplift measured against the
+    concurrent control — not a model fit, a bookkeeping identity.)
+
+    Scale design: the global score rank is the range-partitioned
+    prefix count over (−score, tiebreak) (never ntile's single
+    window); per-decile conditional sums + one cumulative pass over
+    the 10-row relation. Output per cumulative decile: (decile,
+    n_treated, n_control, conv_treated, conv_control, qini,
+    qini_random).
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    base = df.select(
+        F.col(treated_col).cast("boolean").alias("_t"),
+        F.col(outcome_col).cast("boolean").cast("int").alias("_y"),
+        (-F.col(score_col).cast("double")).alias("_ns"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull() & F.col("_ns").isNotNull())
+    ranked = partitioned_prefix_sum(
+        base.withColumn("_one", F.lit(1.0)),
+        ["_ns", "_tb"],
+        "_one",
+        ["_r"],
+        inclusive=True,
+    )
+    tot = base.agg(F.count("*").cast("double").alias("_n"))
+    binned = ranked.crossJoin(F.broadcast(tot)).select(
+        F.floor((F.col("_r") - 1) * deciles / F.col("_n")).alias("_d"),
+        "_t",
+        "_y",
+    )
+    per = binned.groupBy("_d").agg(
+        F.sum(F.col("_t").cast("long")).alias("_nt"),
+        F.sum((~F.col("_t")).cast("long")).alias("_nc"),
+        F.sum(F.when(F.col("_t"), F.col("_y")).otherwise(F.lit(0))).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), F.col("_y")).otherwise(F.lit(0))).alias("_cc"),
+    )
+    cum = partitioned_prefix_sum(
+        per, ["_d"], ["_nt", "_nc", "_ct", "_cc"],
+        ["_cnt", "_cnc", "_cct", "_ccc"], inclusive=True,
+    )
+    glob = per.agg(
+        F.sum("_ct").alias("_gt"),
+        F.sum("_cc").alias("_gc"),
+        F.sum("_nt").alias("_gnt"),
+        F.sum("_nc").alias("_gnc"),
+    )
+    j = cum.crossJoin(F.broadcast(glob))
+    qini = F.col("_cct") - F.col("_ccc") * F.col("_cnt") / F.nullif(
+        F.col("_cnc").cast("double"), F.lit(0.0)
+    )
+    rand = (
+        (F.col("_gt") - F.col("_gc") * F.col("_gnt") / F.col("_gnc"))
+        * (F.col("_d") + 1)
+        / deciles
+    )
+    return j.select(
+        (F.col("_d") + 1).cast("long").alias("decile"),
+        F.col("_cnt").cast("long").alias("n_treated"),
+        F.col("_cnc").cast("long").alias("n_control"),
+        F.col("_cct").cast("long").alias("conv_treated"),
+        F.col("_ccc").cast("long").alias("conv_control"),
+        F.round(qini, 6).alias("qini"),
+        F.round(rand, 6).alias("qini_random"),
+    )

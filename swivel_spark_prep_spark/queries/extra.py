@@ -12434,3 +12434,133 @@ def x335(spark, sf_dir):
     return burstiness(
         ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
     ).orderBy("event_type")
+
+
+@_declare(
+    "X336_variance_decomposition",
+    # One-way variance decomposition of n_chars by source
+    # (evalmetrics.variance_decomposition): eta^2 = SSB/SST plus
+    # ICC(1) with Donner's n0 for unequal groups — the effect-size
+    # companion to X209's F ("how much does source explain", not just
+    # "do the means differ").
+    """WITH per AS (SELECT source AS g, COUNT(*)::DOUBLE AS n, AVG(n_chars) AS m,
+                   COALESCE(var_samp(n_chars), 0) AS v
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn,
+               SUM(n*m)/SUM(n) AS gm, SUM(n*n) AS sn2 FROM per),
+a AS (SELECT ANY_VALUE(k) AS k, ANY_VALUE(nn) AS nn, ANY_VALUE(sn2) AS sn2,
+             SUM(n*(m - gm)*(m - gm)) AS ssb,
+             SUM((n - 1)*v) AS ssw
+      FROM per CROSS JOIN tot),
+b AS (SELECT *, ssb/(k - 1) AS msb, ssw/(nn - k) AS msw,
+             (nn - sn2/nn)/(k - 1) AS n0 FROM a)
+SELECT k::BIGINT AS k, nn::BIGINT AS n,
+       ROUND(ssb/NULLIF(ssb + ssw, 0), 6) AS eta2,
+       ROUND(msb, 6) AS msb, ROUND(msw, 6) AS msw, ROUND(n0, 6) AS n0,
+       ROUND((msb - msw)/(msb + (n0 - 1)*msw), 6) AS icc1
+FROM b;""",
+)
+def x336(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        variance_decomposition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return variance_decomposition(docs, "n_chars", "source")
+
+
+@_declare(
+    "X337_beta_binomial_shrink",
+    # Empirical-Bayes shrinkage of per-source 'contains the' rates
+    # (evalmetrics.beta_binomial_shrink; Kleinman moment route): the
+    # PROPORTIONS twin of X288 — prior weight M = (1-rho)/rho from the
+    # binary-outcome ICC, rate_shrunk = (x + M*pbar)/(n + M).
+    """WITH b AS (SELECT source AS g, (text LIKE '% the %')::INT::DOUBLE AS y
+           FROM documents WHERE text IS NOT NULL),
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, SUM(y) AS x, AVG(y) AS m,
+               COALESCE(var_samp(y), 0) AS v FROM b GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn, SUM(x)/SUM(n) AS pbar,
+               SUM(n*n) AS sn2 FROM per),
+a AS (SELECT ANY_VALUE(k) AS k, ANY_VALUE(nn) AS nn, ANY_VALUE(sn2) AS sn2,
+             ANY_VALUE(pbar) AS pbar,
+             SUM(n*(m - pbar)*(m - pbar)) AS ssb, SUM((n - 1)*v) AS ssw
+      FROM per CROSS JOIN tot),
+r AS (SELECT pbar,
+             ((ssb/(k - 1)) - (ssw/(nn - k)))
+               / ((ssb/(k - 1)) + ((nn - sn2/nn)/(k - 1) - 1)*(ssw/(nn - k)))
+               AS rho
+      FROM a)
+SELECT g AS source, n::BIGINT AS n, x::BIGINT AS successes,
+       ROUND(m, 6) AS rate_raw,
+       ROUND(CASE WHEN rho > 0 THEN (1 - rho)/rho END, 6) AS prior_m,
+       ROUND(CASE WHEN rho > 0
+             THEN (x + ((1 - rho)/rho)*pbar)/(n + (1 - rho)/rho)
+             ELSE pbar END, 6) AS rate_shrunk
+FROM per CROSS JOIN r ORDER BY source;""",
+)
+def x337(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        beta_binomial_shrink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    b = docs.select(
+        "source", F.col("text").like("% the %").alias("hit")
+    )
+    return beta_binomial_shrink(b, "hit", "source").orderBy("source")
+
+
+@_declare(
+    "X338_qini_curve",
+    # Qini uplift curve by targeting-score decile (evalmetrics.
+    # qini_curve; Radcliffe): per-user treated = md5 arm, outcome =
+    # made a purchase, score = total event value; incremental
+    # conversions vs the concurrent control at each cumulative decile,
+    # with the random-targeting diagonal. Global score rank via the
+    # range-partitioned prefix count, never ntile.
+    """WITH u AS (SELECT user_id,
+                 CAST(('0x' || substr(md5('up' || user_id::VARCHAR), 1, 8)) AS BIGINT)
+                   % 1000000 < 500000 AS t,
+                 MAX((event_type = 'purchase')::INT) AS y,
+                 SUM(value) AS score
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+r AS (SELECT t, y, ROW_NUMBER() OVER (ORDER BY -score, user_id) AS rk,
+             COUNT(*) OVER () AS n FROM u),
+bnd AS (SELECT CAST(FLOOR((rk - 1)*10/n::DOUBLE) AS BIGINT) AS d, t, y FROM r),
+per AS (SELECT d, SUM(t::INT)::BIGINT AS nt, SUM((NOT t)::INT)::BIGINT AS nc,
+               SUM(CASE WHEN t THEN y ELSE 0 END)::BIGINT AS ct,
+               SUM(CASE WHEN NOT t THEN y ELSE 0 END)::BIGINT AS cc
+        FROM bnd GROUP BY 1),
+cum AS (SELECT d, SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+               SUM(ct) OVER w AS cct, SUM(cc) OVER w AS ccc
+        FROM per WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+g AS (SELECT SUM(ct) AS gt, SUM(cc) AS gc, SUM(nt) AS gnt, SUM(nc) AS gnc FROM per)
+SELECT (d + 1)::BIGINT AS decile, cnt::BIGINT AS n_treated,
+       cnc::BIGINT AS n_control, cct::BIGINT AS conv_treated,
+       ccc::BIGINT AS conv_control,
+       ROUND(cct - ccc*cnt/NULLIF(cnc::DOUBLE, 0), 6) AS qini,
+       ROUND((gt - gc*gnt/gnc::DOUBLE)*(d + 1)/10.0, 6) AS qini_random
+FROM cum CROSS JOIN g ORDER BY decile;""",
+)
+def x338(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import qini_curve
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        (hash_bucket(F.col("user_id"), 1_000_000, "up") < 500_000).alias(
+            "treated"
+        ),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+        F.sum("value").alias("score"),
+    )
+    return qini_curve(
+        u, "treated", "converted", "score", "user_id", deciles=10
+    ).orderBy("decile")

@@ -397,3 +397,80 @@ def test_burstiness_metronome_vs_bursty(spark):
     assert out["burst"]["b_burst"] > 0.5
     assert out["burst"]["m_memory"] > 0.5  # long gaps follow long gaps
     assert out["tick"]["mean_gap_s"] == 60.0
+
+
+# ------------------------------------------------ variance_decomposition
+def test_variance_decomposition_extremes(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        variance_decomposition,
+    )
+
+    # groups fully determine the value -> eta2 = 1, ICC -> 1
+    det = [("a", 1.0)] * 30 + [("b", 5.0)] * 30 + [("c", 9.0)] * 30
+    r = variance_decomposition(
+        spark.createDataFrame(det, "g string, x double"), "x", "g"
+    ).collect()[0]
+    assert r["eta2"] == 1.0 and r["icc1"] > 0.99
+    assert r["n0"] == 30.0  # equal groups: n0 = group size
+    # identical distributions across groups -> eta2 ~ 0
+    mix = [(g, float(i % 10)) for g in "abc" for i in range(30)]
+    r2 = variance_decomposition(
+        spark.createDataFrame(mix, "g string, x double"), "x", "g"
+    ).collect()[0]
+    assert r2["eta2"] < 0.01 and r2["icc1"] < 0.05
+
+
+# ------------------------------------------------- beta_binomial_shrink
+def test_beta_binomial_small_group_shrinks_more(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        beta_binomial_shrink,
+    )
+
+    rows = []
+    rows += [("big_lo", i < 100) for i in range(1000)]   # 10%
+    rows += [("big_hi", i < 900) for i in range(1000)]   # 90%
+    rows += [("tiny", True) for _ in range(3)]           # 100% on n=3
+    df = spark.createDataFrame(rows, "g string, y boolean")
+    out = {r["g"]: r for r in beta_binomial_shrink(df, "y", "g").collect()}
+    pbar = (100 + 900 + 3) / 2003
+    # tiny's perfect rate is pulled hard toward the pool; big groups move little
+    assert out["tiny"]["rate_shrunk"] < out["tiny"]["rate_raw"] == 1.0
+    assert abs(out["big_hi"]["rate_shrunk"] - 0.9) < 0.02
+    assert abs(out["big_lo"]["rate_shrunk"] - 0.1) < 0.02
+    assert (out["tiny"]["rate_raw"] - out["tiny"]["rate_shrunk"]) > (
+        out["big_hi"]["rate_raw"] - out["big_hi"]["rate_shrunk"]
+    )
+    # no between-group signal -> everything collapses to pbar
+    null = [("a", i % 2 == 0) for i in range(100)] + [
+        ("b", i % 2 == 0) for i in range(100)
+    ]
+    nr = beta_binomial_shrink(
+        spark.createDataFrame(null, "g string, y boolean"), "y", "g"
+    ).collect()
+    assert all(r["rate_shrunk"] == 0.5 for r in nr)
+
+
+# --------------------------------------------------------------- qini_curve
+def test_qini_perfect_score_beats_random(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import qini_curve
+
+    rows = []
+    # treated units convert iff score > 150 (top quartile); control
+    # never converts: all uplift lives in the top deciles
+    for i in range(200):
+        score = float(i)
+        treated = i % 2 == 0
+        converted = treated and score > 150
+        rows.append((i, treated, converted, score))
+    df = spark.createDataFrame(rows, "id long, t boolean, y boolean, s double")
+    out = qini_curve(df, "t", "y", "s", "id").orderBy("decile").collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    # monotone non-decreasing cumulative counts
+    assert all(
+        out[i]["n_treated"] <= out[i + 1]["n_treated"] for i in range(9)
+    )
+    # early deciles: every treated unit above the cut converts -> qini
+    # far above the random diagonal
+    assert out[2]["qini"] > out[2]["qini_random"] * 1.5
+    # final decile equals the global uplift = random diagonal endpoint
+    assert abs(out[-1]["qini"] - out[-1]["qini_random"]) < 1e-6
