@@ -3385,3 +3385,145 @@ def qini_curve(
         F.round(qini, 6).alias("qini"),
         F.round(rand, 6).alias("qini_random"),
     )
+
+
+def pocock_monitor(
+    df: DataFrame,
+    ts_col: str,
+    arm_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    looks: int = 5,
+    bound: float = 2.413,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Group-sequential monitoring with the Pocock boundary (Pocock
+    1977): split the accrual-ordered sample into ``looks`` equal
+    interim analyses and test the two-arm mean difference at EACH look
+    against the constant Pocock critical value (2.413 = the K=5,
+    α=.05 two-sided constant; pass the right constant for other K) —
+    the peeking-with-a-license design: testing 5 times at 1.96 inflates
+    type-I error to ~14%, the Pocock bound holds it at 5%.
+
+    Scale design: the accrual rank is the range-partitioned prefix
+    count over (ts, tiebreak); per-look conditional moments + ONE
+    cumulative pass over the looks-row relation; z is arithmetic.
+    Output per look (cumulative): (look, n_a, n_b, z, crossed,
+    pocock_bound) plus first_crossed_look repeated.
+    """
+    if looks < 2:
+        raise ValueError(f"looks must be >= 2, got {looks}")
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    x = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(ts_col).alias("_ts"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+        F.when(F.col(arm_col) == group_a, 1)
+        .when(F.col(arm_col) == group_b, 0)
+        .alias("_a"),
+        x.alias("_x"),
+    ).filter(F.col("_a").isNotNull() & F.col("_x").isNotNull() & F.col("_ts").isNotNull())
+    order = ["_ts"] + (["_tb"] if tiebreak_col else [])
+    ranked = partitioned_prefix_sum(
+        base.withColumn("_one", F.lit(1.0)), order, "_one", ["_r"], inclusive=True
+    )
+    tot = base.agg(F.count("*").cast("double").alias("_n"))
+    binned = ranked.crossJoin(F.broadcast(tot)).select(
+        F.floor((F.col("_r") - 1) * looks / F.col("_n")).alias("_l"),
+        "_a",
+        "_x",
+    )
+    per = binned.groupBy("_l").agg(
+        F.sum(F.col("_a").cast("double")).alias("_na"),
+        F.sum(1 - F.col("_a").cast("double")).alias("_nb"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_x"))).alias("_sa"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_x"))).alias("_sb"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_x") * F.col("_x"))).alias("_qa"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_x") * F.col("_x"))).alias("_qb"),
+    )
+    cum = partitioned_prefix_sum(
+        per,
+        ["_l"],
+        ["_na", "_nb", "_sa", "_sb", "_qa", "_qb"],
+        ["_cna", "_cnb", "_csa", "_csb", "_cqa", "_cqb"],
+        inclusive=True,
+    )
+    ma = F.col("_csa") / F.col("_cna")
+    mb = F.col("_csb") / F.col("_cnb")
+    va = (F.col("_cqa") - F.col("_cna") * ma * ma) / (F.col("_cna") - 1)
+    vb = (F.col("_cqb") - F.col("_cnb") * mb * mb) / (F.col("_cnb") - 1)
+    se = F.sqrt(va / F.col("_cna") + vb / F.col("_cnb"))
+    z = F.when(se > 0, (ma - mb) / se)
+    scored = cum.select(
+        (F.col("_l") + 1).cast("long").alias("look"),
+        F.col("_cna").cast("long").alias("n_a"),
+        F.col("_cnb").cast("long").alias("n_b"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > bound, F.lit(False)).alias("crossed"),
+        F.lit(float(bound)).alias("pocock_bound"),
+    )
+    first = scored.agg(
+        F.min(F.when(F.col("crossed"), F.col("look"))).alias(
+            "first_crossed_look"
+        )
+    )
+    return scored.crossJoin(F.broadcast(first))
+
+
+def risk_table(
+    df: DataFrame,
+    exposed_col: str,
+    outcome_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """2×2 risk table with the three standard epidemiological effect
+    measures and their CIs — risk difference (Wald), risk ratio
+    (Katz log), odds ratio (Woolf log) — the one-stop readout for a
+    binary exposure × binary outcome where each measure answers a
+    different question (absolute impact / relative risk / case-control
+    compatibility):
+
+        RD = p₁−p₀ ± z·√(p₁q₁/n₁ + p₀q₀/n₀)
+        ln RR ± z·√(1/a − 1/n₁ + 1/c − 1/n₀)
+        ln OR ± z·√(1/a + 1/b + 1/c + 1/d)
+
+    Scale design: ONE conditional-count aggregate; everything else is
+    1-row arithmetic. Output one row: (a, b, c, d, rd, rd_lo, rd_hi,
+    rr, rr_lo, rr_hi, odds_ratio, or_lo, or_hi); ratio CIs NULL on
+    zero cells (the honest answer — use exact methods there).
+    """
+    e = F.col(exposed_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    agg = df.filter(e.isNotNull() & o.isNotNull()).agg(
+        F.sum((e & o).cast("double")).alias("a"),
+        F.sum((e & ~o).cast("double")).alias("b"),
+        F.sum((~e & o).cast("double")).alias("c"),
+        F.sum((~e & ~o).cast("double")).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n1, n0 = a + b, c + d
+    p1, p0 = a / n1, c / n0
+    rd = p1 - p0
+    rd_se = F.sqrt(p1 * (1 - p1) / n1 + p0 * (1 - p0) / n0)
+    pos = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    rr = p1 / p0
+    rr_se = F.sqrt(1 / a - 1 / n1 + 1 / c - 1 / n0)
+    orr = (a * d) / (b * c)
+    or_se = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    return agg.select(
+        a.cast("long").alias("a"),
+        b.cast("long").alias("b"),
+        c.cast("long").alias("c"),
+        d.cast("long").alias("d"),
+        F.round(rd, 6).alias("rd"),
+        F.round(rd - z * rd_se, 6).alias("rd_lo"),
+        F.round(rd + z * rd_se, 6).alias("rd_hi"),
+        F.round(F.when(pos, rr), 6).alias("rr"),
+        F.round(F.when(pos, F.exp(F.log(rr) - z * rr_se)), 6).alias("rr_lo"),
+        F.round(F.when(pos, F.exp(F.log(rr) + z * rr_se)), 6).alias("rr_hi"),
+        F.round(F.when(pos, orr), 6).alias("odds_ratio"),
+        F.round(F.when(pos, F.exp(F.log(orr) - z * or_se)), 6).alias("or_lo"),
+        F.round(F.when(pos, F.exp(F.log(orr) + z * or_se)), 6).alias("or_hi"),
+    )

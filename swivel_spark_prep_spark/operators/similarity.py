@@ -1538,3 +1538,53 @@ def anisotropy_score(
         F.round("_sn", 6).alias("sd_norm"),
         F.round(F.col("_mu2") / F.col("_en2"), 6).alias("anisotropy"),
     )
+
+
+def dim_correlation_pairs(
+    emb: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-correlated embedding dimension PAIRS — the redundancy
+    audit next to anisotropy_score: two dimensions with |r| → 1 carry
+    one dimension of information at two dimensions of storage/compute
+    cost, the "should we PCA/whiten before indexing" read (Matryoshka
+    truncation and PQ codebooks both degrade under correlated dims).
+
+    Scale design: the (dim × dim) moment matrix from ONE pass — each
+    row contributes its dim² products via a posexplode self-zip
+    (bounded by dim², never by n), grouped into the dim²-row moments
+    relation; Pearson per pair is arithmetic, top-k a TakeOrdered.
+    Output: (dim_i, dim_j, r, n).
+    """
+    base = with_double_embedding(emb, vec_col).select("_emb")
+    ex = base.select(F.posexplode("_emb").alias("_i", "_x"), F.col("_emb"))
+    pairs = ex.select(
+        "_i", "_x", F.posexplode("_emb").alias("_j", "_y")
+    ).filter(F.col("_i") < F.col("_j"))
+    m = pairs.groupBy("_i", "_j").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    den2 = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * (
+        F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    r = F.when(
+        den2 > 0,
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / F.sqrt(den2),
+    )
+    return (
+        m.select(
+            F.col("_i").alias("dim_i"),
+            F.col("_j").alias("dim_j"),
+            F.round(r, 6).alias("r"),
+            F.col("_n").cast("long").alias("n"),
+        )
+        .orderBy(F.desc(F.abs(F.col("r"))), "dim_i", "dim_j")
+        .limit(k)
+    )

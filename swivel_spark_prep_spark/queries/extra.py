@@ -12564,3 +12564,144 @@ def x338(spark, sf_dir):
     return qini_curve(
         u, "treated", "converted", "score", "user_id", deciles=10
     ).orderBy("decile")
+
+
+@_declare(
+    "X339_pocock_monitor",
+    # Group-sequential monitoring with the Pocock K=5 boundary
+    # (evalmetrics.pocock_monitor): five accrual-ordered interim looks
+    # at the md5-arm mean difference, each tested at 2.413 — peeking
+    # with a license (five 1.96 tests inflate alpha to ~14%). Accrual
+    # rank via the range-partitioned prefix count; one cumulative pass
+    # over the 5-row look relation.
+    """WITH b AS (
+  SELECT ts, event_id,
+         (CAST(('0x' || substr(md5('aa' || user_id::VARCHAR), 1, 8)) AS BIGINT)
+          % 1000000 < 500000)::INT AS a,
+         value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+r AS (SELECT a, x, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rk,
+             COUNT(*) OVER () AS n FROM b),
+lk AS (SELECT CAST(FLOOR((rk - 1)*5/n::DOUBLE) AS BIGINT) AS l, a, x FROM r),
+per AS (SELECT l, SUM(a)::DOUBLE AS na, SUM(1 - a)::DOUBLE AS nb,
+               SUM(CASE WHEN a = 1 THEN x END) AS sa,
+               SUM(CASE WHEN a = 0 THEN x END) AS sb,
+               SUM(CASE WHEN a = 1 THEN x*x END) AS qa,
+               SUM(CASE WHEN a = 0 THEN x*x END) AS qb
+        FROM lk GROUP BY 1),
+cum AS (SELECT l, SUM(na) OVER w AS cna, SUM(nb) OVER w AS cnb,
+               SUM(sa) OVER w AS csa, SUM(sb) OVER w AS csb,
+               SUM(qa) OVER w AS cqa, SUM(qb) OVER w AS cqb
+        FROM per WINDOW w AS (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+zc AS (SELECT l, cna, cnb,
+              (csa/cna - csb/cnb)
+                / sqrt(((cqa - cna*(csa/cna)*(csa/cna))/(cna - 1))/cna
+                       + ((cqb - cnb*(csb/cnb)*(csb/cnb))/(cnb - 1))/cnb) AS z
+       FROM cum),
+sc AS (SELECT (l + 1)::BIGINT AS look, cna::BIGINT AS n_a, cnb::BIGINT AS n_b,
+              ROUND(z, 6) AS z, COALESCE(abs(z) > 2.413, FALSE) AS crossed,
+              2.413::DOUBLE AS pocock_bound
+       FROM zc),
+fc AS (SELECT MIN(CASE WHEN crossed THEN look END) AS first_crossed_look FROM sc)
+SELECT sc.*, fc.first_crossed_look FROM sc CROSS JOIN fc ORDER BY look;""",
+)
+def x339(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import pocock_monitor
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    armed = ev.select(
+        "ts",
+        "event_id",
+        F.when(
+            hash_bucket(F.col("user_id"), 1_000_000, "aa") < 500_000, "a"
+        )
+        .otherwise("b")
+        .alias("arm"),
+        F.col("value"),
+    )
+    return pocock_monitor(
+        armed, "ts", "arm", "value", "a", "b", looks=5,
+        tiebreak_col="event_id",
+    ).orderBy("look")
+
+
+@_declare(
+    "X340_dim_correlation",
+    # Top-5 most-correlated embedding dimension pairs
+    # (similarity.dim_correlation_pairs): the redundancy audit next to
+    # X334's anisotropy — |r|->1 dims carry one dimension of signal at
+    # two dimensions of cost; dim^2 moment matrix from one pass.
+    """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings),
+p AS (SELECT a.i AS i, b.i AS j, a.x AS x, b.x AS y
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i),
+m AS (SELECT i, j, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM p GROUP BY 1, 2),
+r AS (SELECT i, j, n,
+             CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0
+                  THEN (n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
+             END AS r
+      FROM m)
+SELECT i AS dim_i, j AS dim_j, ROUND(r, 6) AS r, n::BIGINT AS n
+FROM r ORDER BY abs(r) DESC, dim_i, dim_j LIMIT 5;""",
+)
+def x340(spark, sf_dir):
+    from swivel_spark_prep_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.dim_correlation_pairs(emb, k=5)
+
+
+@_declare(
+    "X341_risk_table",
+    # 2x2 risk table with RD (Wald), RR (Katz log) and OR (Woolf log)
+    # CIs (evalmetrics.risk_table): exposure = md5 arm on user_id,
+    # outcome = value > 50 — the unstratified companion to X293's
+    # Mantel-Haenszel; one conditional-count aggregate.
+    """WITH b AS (
+  SELECT CAST(('0x' || substr(md5('mh' || user_id::VARCHAR), 1, 8)) AS BIGINT)
+           % 1000000 < 500000 AS e,
+         value > 50.0 AS o
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+t AS (SELECT SUM((e AND o)::INT)::DOUBLE AS a, SUM((e AND NOT o)::INT)::DOUBLE AS bb,
+             SUM((NOT e AND o)::INT)::DOUBLE AS c, SUM((NOT e AND NOT o)::INT)::DOUBLE AS d
+      FROM b),
+w AS (SELECT *, a + bb AS n1, c + d AS n0, a/(a + bb) AS p1, c/(c + d) AS p0,
+             (a > 0 AND bb > 0 AND c > 0 AND d > 0) AS pos FROM t),
+x AS (SELECT *,
+        sqrt(p1*(1 - p1)/n1 + p0*(1 - p0)/n0) AS rdse,
+        sqrt(1/a - 1/n1 + 1/c - 1/n0) AS rrse,
+        sqrt(1/a + 1/bb + 1/c + 1/d) AS orse FROM w)
+SELECT a::BIGINT AS a, bb::BIGINT AS b, c::BIGINT AS c, d::BIGINT AS d,
+       ROUND(p1 - p0, 6) AS rd,
+       ROUND(p1 - p0 - 1.959964*rdse, 6) AS rd_lo,
+       ROUND(p1 - p0 + 1.959964*rdse, 6) AS rd_hi,
+       ROUND(CASE WHEN pos THEN p1/p0 END, 6) AS rr,
+       ROUND(CASE WHEN pos THEN exp(ln(p1/p0) - 1.959964*rrse) END, 6) AS rr_lo,
+       ROUND(CASE WHEN pos THEN exp(ln(p1/p0) + 1.959964*rrse) END, 6) AS rr_hi,
+       ROUND(CASE WHEN pos THEN (a*d)/(bb*c) END, 6) AS odds_ratio,
+       ROUND(CASE WHEN pos THEN exp(ln((a*d)/(bb*c)) - 1.959964*orse) END, 6) AS or_lo,
+       ROUND(CASE WHEN pos THEN exp(ln((a*d)/(bb*c)) + 1.959964*orse) END, 6) AS or_hi
+FROM x;""",
+)
+def x341(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import risk_table
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    b = ev.select(
+        (hash_bucket(F.col("user_id"), 1_000_000, "mh") < 500_000).alias(
+            "exposed"
+        ),
+        (F.col("value") > 50.0).alias("outcome"),
+    )
+    return risk_table(b, "exposed", "outcome")

@@ -474,3 +474,87 @@ def test_qini_perfect_score_beats_random(spark):
     assert out[2]["qini"] > out[2]["qini_random"] * 1.5
     # final decile equals the global uplift = random diagonal endpoint
     assert abs(out[-1]["qini"] - out[-1]["qini_random"]) < 1e-6
+
+
+# ------------------------------------------------------- pocock_monitor
+def test_pocock_crossing_and_alpha_discipline(spark):
+    import datetime
+
+    from swivel_spark_prep_spark.operators.evalmetrics import pocock_monitor
+
+    b = datetime.datetime(2024, 4, 1)
+    rows = []
+    # arm 'a' shifted +3 throughout: z grows with accrual and crosses
+    for i in range(500):
+        ts = b + datetime.timedelta(minutes=i)
+        arm = "a" if i % 2 == 0 else "b"
+        val = 10.0 + (i % 7) + (3.0 if arm == "a" else 0.0)
+        rows.append((ts, i, arm, val))
+    df = spark.createDataFrame(rows, "ts timestamp, id long, arm string, x double")
+    out = pocock_monitor(
+        df, "ts", "arm", "x", "a", "b", looks=5, tiebreak_col="id"
+    ).orderBy("look").collect()
+    assert [r["look"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[-1]["crossed"] and out[0]["first_crossed_look"] is not None
+    # cumulative ns are monotone and end at the full sample
+    assert out[-1]["n_a"] == 250 and out[-1]["n_b"] == 250
+    # a 1.96-peeker would call look 1; the Pocock bound demands 2.413
+    assert all(r["pocock_bound"] == 2.413 for r in out)
+    # null: identical arms never cross
+    null = [(b + datetime.timedelta(minutes=i), i,
+             "a" if i % 2 == 0 else "b", 10.0 + (i % 7)) for i in range(500)]
+    nout = pocock_monitor(
+        spark.createDataFrame(null, "ts timestamp, id long, arm string, x double"),
+        "ts", "arm", "x", "a", "b", looks=5, tiebreak_col="id",
+    ).collect()
+    assert all(not r["crossed"] for r in nout)
+    assert nout[0]["first_crossed_look"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pocock_monitor(df, "ts", "arm", "x", "a", "b", looks=1)
+
+
+# -------------------------------------------------- dim_correlation_pairs
+def test_dim_correlation_finds_planted_redundancy(spark):
+    from swivel_spark_prep_spark.operators.similarity import (
+        dim_correlation_pairs,
+    )
+
+    rows = []
+    for i in range(100):
+        base = float((i * 37) % 50)
+        noise = float((i * 13) % 11)
+        # dim0 and dim2 are exact copies; dim1 independent-ish
+        rows.append((i, [base, noise, base, float((i * 7) % 23)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dim_correlation_pairs(df, k=2).collect()
+    assert (out[0]["dim_i"], out[0]["dim_j"]) == (0, 2)
+    assert out[0]["r"] == 1.0
+    assert abs(out[1]["r"]) < 0.9
+
+
+# -------------------------------------------------------------- risk_table
+def test_risk_table_hand_2x2(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import risk_table
+
+    rows = (
+        [(True, True)] * 30 + [(True, False)] * 70
+        + [(False, True)] * 10 + [(False, False)] * 90
+    )
+    df = spark.createDataFrame(rows, "e boolean, o boolean")
+    r = risk_table(df, "e", "o").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (30, 70, 10, 90)
+    assert abs(r["rd"] - 0.2) < 1e-9
+    assert abs(r["rr"] - 3.0) < 1e-9
+    assert abs(r["odds_ratio"] - (30 * 90) / (70 * 10)) < 1e-6
+    assert r["rd_lo"] < 0.2 < r["rd_hi"]
+    assert r["rr_lo"] < 3.0 < r["rr_hi"]
+    # zero cell -> ratio CIs NULL, RD still defined
+    z = spark.createDataFrame(
+        [(True, True)] * 10 + [(False, True)] * 0 + [(False, False)] * 10,
+        "e boolean, o boolean",
+    )
+    rz = risk_table(z, "e", "o").collect()[0]
+    assert rz["rr"] is None and rz["odds_ratio"] is None
+    assert rz["rd"] == 1.0
