@@ -53,16 +53,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # "What's missing #1").  Cohort history:
 #   rounds 1–12: X01–X06 (first six by registration order)
 #   round 13:    X237, X244, X252, X254, X255 (oracled) + X99 (sketch,
-#                rows-only — HLL internals DuckDB cannot replay)
+#                rows-only — a cohort-choice mistake: the driver can
+#                only record no_oracle for it, wasting the slot)
+#   round 14:    X261, X293, X311, X320, X333, X338 — ALL oracled, all
+#                never driver-verified before (round-13 verdict Next #1;
+#                rows-only sketches stay pytest-side where their
+#                property bounds live)
 # Every extra not in the cohort is still DuckDB-oracle-checked at both
 # sf0.001 and sf0.01 by tests/test_llm_operators.py on every pytest run.
 _GATE_COHORT = [
-    "X237_ann_hubness",
-    "X244_cross_source_dups",
-    "X252_conformal_by_group",
-    "X254_rolling_active_users",
-    "X255_topk_term_overlap",
-    "X99_hll_rollup",
+    "X261_log_odds_terms",
+    "X293_mantel_haenszel",
+    "X311_rmst",
+    "X320_logrank_k",
+    "X333_novelty_timeline",
+    "X338_qini_curve",
 ]
 
 

@@ -757,9 +757,17 @@ def _dispatch(args, spark, owns_session) -> int:
             df = spark.read.parquet(args.input)
             tau = args.tau
             if tau is None:
-                tau = float(
-                    df.agg(F.max(F.col(args.duration).cast("double"))).collect()[0][0]
-                )
+                max_dur = df.agg(
+                    F.max(F.col(args.duration).cast("double"))
+                ).collect()[0][0]
+                if max_dur is None or max_dur <= 0.0:
+                    print(
+                        "survival-report: no usable rows "
+                        f"(max({args.duration}) is {max_dur}); nothing to report",
+                        file=sys.stderr,
+                    )
+                    return 2
+                tau = float(max_dur)
             km = kaplan_meier(df, args.duration, args.event)
             if args.output:
                 km.write.mode("overwrite").parquet(args.output)

@@ -1372,7 +1372,8 @@ def post_stratified_mean(
     Scale design: two grouped moment aggregates (population shares,
     sample stats) joined on the bounded stratum relation + one 1-row
     rollup. Output one row: (n_sample, n_strata, n_missing_strata,
-    missing_weight, ybar_srs, ybar_post, se_post, deff).
+    n_sample_only_strata, missing_weight, ybar_srs, ybar_post,
+    se_post, deff).
     """
     y = F.col(value_col).cast("double")
     pop = population.filter(F.col(stratum_col).isNotNull()).groupBy(
@@ -1390,7 +1391,12 @@ def post_stratified_mean(
             F.var_samp(y).alias("_v"),
         )
     )
-    j = popw.join(samp, "_s", "left")
+    # Full outer: population strata missing from the sample are the
+    # estimator's blind spot (n_missing_strata), while SAMPLE-only
+    # strata (absent from the population) carry zero post-strat weight
+    # but must still be counted — n_sample is the unjoined sample size,
+    # so the two denominators (n_sample vs ybar_srs/deff) agree.
+    j = popw.join(samp, "_s", "full")
     srs = sample.filter(y.isNotNull()).agg(
         F.count("*").cast("double").alias("_nsrs"),
         F.avg(y).alias("_msrs"),
@@ -1398,8 +1404,11 @@ def post_stratified_mean(
     )
     out = j.agg(
         F.sum("_n").alias("_ns"),
-        F.count("*").alias("_k"),
-        F.sum(F.col("_m").isNull().cast("long")).alias("_miss"),
+        F.sum(F.col("_w").isNotNull().cast("long")).alias("_k"),
+        F.sum(
+            (F.col("_w").isNotNull() & F.col("_m").isNull()).cast("long")
+        ).alias("_miss"),
+        F.sum(F.col("_w").isNull().cast("long")).alias("_sonly"),
         F.sum(F.when(F.col("_m").isNull(), F.col("_w"))).alias("_missw"),
         F.sum(F.col("_w") * F.col("_m")).alias("_ypost"),
         F.sum(
@@ -1410,6 +1419,7 @@ def post_stratified_mean(
         F.col("_ns").cast("long").alias("n_sample"),
         F.col("_k").cast("long").alias("n_strata"),
         F.col("_miss").cast("long").alias("n_missing_strata"),
+        F.col("_sonly").cast("long").alias("n_sample_only_strata"),
         F.round(F.coalesce("_missw", F.lit(0.0)), 6).alias("missing_weight"),
         F.round("_msrs", 6).alias("ybar_srs"),
         F.round("_ypost", 6).alias("ybar_post"),

@@ -12007,13 +12007,13 @@ def x323(spark, sf_dir):
     # streaming sessionizer uses.
     """WITH b AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-m AS (SELECT k, us,
+m AS (SELECT k, us, event_id,
              COALESCE(us - LAG(us) OVER (PARTITION BY k ORDER BY us, event_id)
                       > 30*60*1000000, TRUE)::INT AS new
       FROM b),
-sid AS (SELECT k, us, SUM(new) OVER (PARTITION BY k ORDER BY us
+sid AS (SELECT k, us, SUM(new) OVER (PARTITION BY k ORDER BY us, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM (SELECT k, us, new FROM m) q),
+        FROM (SELECT k, us, event_id, new FROM m) q),
 per AS (SELECT k, sid, COUNT(*) AS ne, (MAX(us) - MIN(us))/1e6 AS dur
         FROM sid GROUP BY 1, 2)
 SELECT COUNT(DISTINCT k)::BIGINT AS n_keys, COUNT(*)::BIGINT AS n_sessions,
@@ -12120,13 +12120,15 @@ samp AS (SELECT s, COUNT(*)::DOUBLE AS n, AVG(y) AS m, var_samp(y) AS v
          FROM samp0 WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY 1),
 srs AS (SELECT COUNT(*)::DOUBLE AS nsrs, AVG(y) AS msrs, var_samp(y) AS vsrs
         FROM samp0 WHERE y IS NOT NULL),
-j AS (SELECT popw.s, w, n, m, v FROM popw LEFT JOIN samp USING (s)),
-o AS (SELECT SUM(n) AS ns, COUNT(*)::BIGINT AS k,
-             SUM((m IS NULL)::INT)::BIGINT AS miss,
+j AS (SELECT w, n, m, v FROM popw FULL JOIN samp USING (s)),
+o AS (SELECT SUM(n) AS ns, SUM((w IS NOT NULL)::INT)::BIGINT AS k,
+             SUM((w IS NOT NULL AND m IS NULL)::INT)::BIGINT AS miss,
+             SUM((w IS NULL)::INT)::BIGINT AS sonly,
              COALESCE(SUM(CASE WHEN m IS NULL THEN w END), 0) AS missw,
              SUM(w*m) AS ypost, SUM(w*w*v/n) AS vpost
       FROM j)
 SELECT ns::BIGINT AS n_sample, k AS n_strata, miss AS n_missing_strata,
+       sonly AS n_sample_only_strata,
        ROUND(missw, 6) AS missing_weight,
        ROUND(msrs, 6) AS ybar_srs, ROUND(ypost, 6) AS ybar_post,
        ROUND(sqrt(vpost), 6) AS se_post,

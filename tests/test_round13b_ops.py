@@ -446,6 +446,22 @@ def test_cli_survival_report(spark, tmp_path, capsys):
     assert spark.read.parquet(out).count() == 4
 
 
+def test_cli_survival_report_no_usable_rows(spark, tmp_path, capsys):
+    """All-null durations (or an empty cohort) must exit 2 with a clear
+    message, not crash in float(None) or rmst(tau<=0) — round-13
+    ADVICE item (cli.py survival-report guard)."""
+    from swivel_spark_prep_spark import cli
+
+    src = str(tmp_path / "empty_cohort")
+    spark.createDataFrame(
+        [(None, 1), (None, 0)], "duration double, event int"
+    ).write.parquet(src)
+    rc = cli.main(["survival-report", "--input", src,
+                   "--duration", "duration", "--event", "event"])
+    assert rc == 2
+    assert "no usable rows" in capsys.readouterr().err
+
+
 # -------------------------------------------------------- session_stats
 def test_session_stats_hand_counts(spark):
     import datetime

@@ -186,6 +186,21 @@ def test_post_stratified_repairs_drifted_mix(spark):
     )
     r2 = post_stratified_mean(pop2, samp, "s", "y").collect()[0]
     assert r2["n_missing_strata"] == 1 and abs(r2["missing_weight"] - 0.25) < 1e-9
+    # a SAMPLE stratum absent from the population is counted, not
+    # silently dropped: n_sample covers all sampled rows and the
+    # stratum is surfaced in n_sample_only_strata
+    samp3 = spark.createDataFrame(
+        [("a", 10.0 + (i % 3 - 1)) for i in range(90)]
+        + [("b", 20.0 + (i % 2) * 2 - 1) for i in range(10)]
+        + [("zz", 99.0), ("zz", 101.0)],
+        "s string, y double",
+    )
+    r3 = post_stratified_mean(pop, samp3, "s", "y").collect()[0]
+    assert r3["n_sample"] == 102
+    assert r3["n_sample_only_strata"] == 1
+    assert r3["n_strata"] == 2 and r3["n_missing_strata"] == 0
+    # post-stratified mean still uses only population weights
+    assert abs(r3["ybar_post"] - 15.0) < 1e-9
 
 
 # --------------------------------------------------------- cronbach_alpha
