@@ -581,6 +581,11 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    intra_method: str = "exact",
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 24,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     technique): cluster the embedding space, find intra-cluster cosine
@@ -604,6 +609,18 @@ def semantic_dedup(
     :func:`ivf_assign` (driver-bounded k-means sample); pass ``assigned``
     (id, _emb, list_id) to use precomputed or exactly-replayable
     assignments — X68 pins parity that way.
+
+    ``intra_method`` picks the intra-cluster pair stage:
+    ``"exact"`` (default) is one dense c×c matmul per cluster —
+    right while the SemDeDup nlist-scales-with-corpus contract keeps
+    c bounded. ``"lsh"`` is the escape hatch for a cluster too big
+    for a c×c matrix: candidate pairs must ALSO share a
+    random-hyperplane LSH bucket (same :func:`ann_index` as
+    ann_topk), so pair work is per-(cluster, table, bucket) and the
+    dominance rule is applied relationally (loser side of each
+    candidate near-dup pair anti-joined out). Approximation errs
+    only toward KEEPING (a missed pair removes nobody); with enough
+    tables the two paths are equal on a fixture (test-pinned).
     """
     from swivel_spark_prep_spark.cache import track_persist
 
@@ -626,6 +643,55 @@ def semantic_dedup(
         .withColumn("_pri", F.round("cent_sim", 6))
         .select("list_id", "id", "_emb", "cent_sim", "_pri")
     )  # (closes track_persist)
+    if intra_method == "lsh":
+        thr = float(threshold)
+        idx = ann_index(
+            cs, dim, num_planes, num_tables, seed, id_col="id", vec_col="_emb"
+        )
+        meta = cs.select("id", "list_id", "_pri")
+        ia = idx.join(meta, "id").select(
+            F.col("id").alias("i"),
+            F.col("_emb").alias("ea"),
+            F.col("list_id").alias("la"),
+            F.col("_pri").alias("pa"),
+            "table_idx",
+            "bucket",
+        )
+        ib = idx.join(meta, "id").select(
+            F.col("id").alias("j"),
+            F.col("_emb").alias("eb"),
+            F.col("list_id").alias("lb"),
+            F.col("_pri").alias("pb"),
+            "table_idx",
+            "bucket",
+        )
+        cand = (
+            ia.join(ib, ["table_idx", "bucket"])
+            .filter((F.col("la") == F.col("lb")) & (F.col("i") < F.col("j")))
+            .dropDuplicates(["i", "j"])
+            .withColumn(
+                "sim", _dot("ea", "eb") / F.sqrt(_norm2("ea") * _norm2("eb"))
+            )
+            .filter(F.col("sim") >= thr)
+        )
+        # of each candidate near-dup pair, the side with lexicographically
+        # LARGER (_pri, id) is dominated — identical rule to _dom below
+        removed = cand.select(
+            F.when(
+                (F.col("pa") < F.col("pb"))
+                | ((F.col("pa") == F.col("pb")) & (F.col("i") < F.col("j"))),
+                F.col("j"),
+            )
+            .otherwise(F.col("i"))
+            .alias("id")
+        ).distinct()
+        return cs.join(removed, "id", "left_anti").select(
+            F.col("id").alias(id_col), "list_id", "cent_sim"
+        )
+    if intra_method != "exact":
+        raise ValueError(
+            f"intra_method must be 'exact' or 'lsh', got {intra_method!r}"
+        )
     # per-cluster pair stage as ONE numpy matmul per cluster group
     # (applyInPandas): the row-pair self-join computed 64-dim dots with
     # interpreted higher-order functions — c² · d interpreted ops per
@@ -1366,42 +1432,12 @@ def geometric_median(
     return c
 
 
-def margin_neighbors(
-    emb: DataFrame,
-    k: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    block_size: int = 2048,
-) -> DataFrame:
-    """Margin-based neighbor mining (Artetxe & Schwenk, ACL 2019 —
-    the BUCC/CCMatrix parallel-corpus mining criterion): split the
-    collection into sources A (even id) and targets B (odd id); for
-    each x∈A score candidates y∈B by the RATIO margin
-
-        margin(x,y) = cos(x,y) / ((avgₖ(x→B) + avgₖ(y→A)) / 2)
-
-    where avgₖ is the mean similarity to the k nearest neighbors in
-    the OTHER set — raw cosine is incomparable across hubs (some
-    vectors are near everything), the margin normalizes by each
-    side's local density, which is why mined bitext quality jumps
-    versus absolute-threshold mining. Returns each source's best
-    candidate: (x, y, sim, margin).
-
-    Scale design: the pair relation reuses the blocked-matmul
-    primitive (_blocked_pair_sims: grid of aggregated block pairs,
-    dense BLAS per task, never a row-scale self-join); the avgₖ
-    normalizers are top-k windows PARTITIONED by x / by y; the final
-    argmax is a row_number per x. This is the exact baseline — at
-    corpus scale the pair relation is replaced by ANN candidates
-    (ann_topk / ivf_topk) and the same margin arithmetic applies
-    unchanged.
-    """
-    pairs = _blocked_pair_sims(emb, block_size, id_col, vec_col, None, None)
-    cross = pairs.filter((F.col("i") % 2) != (F.col("j") % 2)).select(
-        F.when(F.col("i") % 2 == 0, F.col("i")).otherwise(F.col("j")).alias("x"),
-        F.when(F.col("i") % 2 == 0, F.col("j")).otherwise(F.col("i")).alias("y"),
-        "sim",
-    )
+def _margin_from_pairs(cross: DataFrame, k: int) -> DataFrame:
+    """The Artetxe–Schwenk margin arithmetic over a (x, y, sim) pair
+    relation — SHARED by the exact and ANN candidate paths of
+    :func:`margin_neighbors`, so swapping the candidate generator
+    cannot change the scoring: avgₖ normalizers are top-k windows
+    partitioned by x / by y, the final argmax a row_number per x."""
     from pyspark.sql.window import Window
 
     wx = Window.partitionBy("x").orderBy(F.desc("sim"), "y")
@@ -1434,6 +1470,63 @@ def margin_neighbors(
             F.round("margin", 4).alias("margin"),
         )
     )
+
+
+def margin_neighbors(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+    method: str = "exact",
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Margin-based neighbor mining (Artetxe & Schwenk, ACL 2019 —
+    the BUCC/CCMatrix parallel-corpus mining criterion): split the
+    collection into sources A (even id) and targets B (odd id); for
+    each x∈A score candidates y∈B by the RATIO margin
+
+        margin(x,y) = cos(x,y) / ((avgₖ(x→B) + avgₖ(y→A)) / 2)
+
+    where avgₖ is the mean similarity to the k nearest neighbors in
+    the OTHER set — raw cosine is incomparable across hubs (some
+    vectors are near everything), the margin normalizes by each
+    side's local density, which is why mined bitext quality jumps
+    versus absolute-threshold mining. Returns each source's best
+    candidate: (x, y, sim, margin).
+
+    Scale design: ``method="exact"`` reuses the blocked-matmul
+    primitive (_blocked_pair_sims: grid of aggregated block pairs,
+    dense BLAS per task, never a row-scale self-join) — the exact
+    baseline. ``method="ann"`` is the corpus-scale path: the pair
+    relation is the random-hyperplane LSH candidate set (the same
+    :func:`ann_index` that powers ann_topk, self-joined on
+    (table_idx, bucket) — pairs only within buckets, never all-pairs)
+    and the IDENTICAL margin arithmetic (:func:`_margin_from_pairs`)
+    applies unchanged; with enough tables the two paths are equal on
+    a fixture (test-pinned) and the recall-at-k property bounds the
+    approximation. Normalizer caveat: under ANN each side's avgₖ is
+    over its k best CANDIDATES, the standard FAISS-mined practice.
+    """
+    if method == "exact":
+        pairs = _blocked_pair_sims(emb, block_size, id_col, vec_col, None, None)
+    elif method == "ann":
+        # all LSH-cobucketed pairs (threshold −1 keeps every candidate);
+        # sim is exact cosine on candidates, as in ann_topk's re-rank
+        pairs = cosine_near_dups_lsh(
+            emb, -1.0, dim, num_planes, num_tables, seed, id_col, vec_col
+        )
+    else:
+        raise ValueError(f"method must be 'exact' or 'ann', got {method!r}")
+    cross = pairs.filter((F.col("i") % 2) != (F.col("j") % 2)).select(
+        F.when(F.col("i") % 2 == 0, F.col("i")).otherwise(F.col("j")).alias("x"),
+        F.when(F.col("i") % 2 == 0, F.col("j")).otherwise(F.col("i")).alias("y"),
+        "sim",
+    )
+    return _margin_from_pairs(cross, k)
 
 
 def mahalanobis_outliers(
