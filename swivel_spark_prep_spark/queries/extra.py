@@ -3440,8 +3440,41 @@ def x103(spark, sf_dir):
     )
 
 
-@_declare("X104_raking_weights", None)  # driver-side IPF on the bounded
-# cell table — marginal-match properties pinned in tests/test_llm_operators.py
+def _ipf_sql(iters: int = 40) -> str:
+    """Unrolled-iteration DuckDB twin for X104 (round-13 verdict
+    Next #4): each IPF sweep is a row pass then a column pass, both
+    set-wise (within a pass every category's factor reads only its own
+    cells, so the Python per-category loop and the windowed SQL are the
+    same map). raking_weights early-stops at delta < 1e-12; the twin
+    just runs 40 fixed sweeps — past convergence every factor is
+    1 ± 1e-12, invisible at ROUND(,6). MATERIALIZED stops DuckDB
+    inlining the chain exponentially."""
+    srcs = "[" + ", ".join(f"'src{i}'" for i in range(20)) + "]"
+    s = f"""WITH cells AS (SELECT lang AS a, source AS b, COUNT(*)::DOUBLE AS n
+       FROM documents GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS t FROM cells),
+ta AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS a,
+       CAST(0.2 AS DOUBLE) AS sa),
+tb AS (SELECT unnest({srcs}) AS b, CAST(0.05 AS DOUBLE) AS sb),
+w0 AS (SELECT a, b, n, 1.0 AS w FROM cells)"""
+    prev = "w0"
+    for i in range(1, iters + 1):
+        s += f""",
+r{i} AS MATERIALIZED (SELECT a, b, n,
+         w * ((sa * t) / SUM(n * w) OVER (PARTITION BY a)) AS w
+         FROM {prev} JOIN ta USING (a) CROSS JOIN tot),
+c{i} AS MATERIALIZED (SELECT a, b, n,
+         w * ((sb * t) / SUM(n * w) OVER (PARTITION BY b)) AS w
+         FROM r{i} JOIN tb USING (b) CROSS JOIN tot)"""
+        prev = f"c{i}"
+    return s + f"""
+SELECT a AS lang, b AS source, ROUND(w, 6) AS weight
+FROM {prev} ORDER BY lang, source;"""
+
+
+@_declare("X104_raking_weights", _ipf_sql())  # driver-side IPF on the
+# bounded cell table; 40 unrolled set-wise sweeps as the DuckDB twin —
+# marginal-match properties additionally pinned in tests/test_llm_operators.py
 def x104(spark, sf_dir):
     from swivel_spark_prep_spark.operators.sampling import raking_weights
 
@@ -8364,17 +8397,46 @@ def x226(spark, sf_dir):
     )
 
 
+def _mmr_sql(k: int = 10, lam: float = 0.7) -> str:
+    """Unrolled-stage DuckDB twin for X227 (round-13 verdict Next #4):
+    each greedy MMR round is one CTE — argmax of λ·rel − (1−λ)·max-sim
+    over the not-yet-selected corpus, the selected set accumulated by
+    UNION ALL. repr() literals so 1−λ is the IDENTICAL double Spark
+    uses (1.0 − 0.7 ≠ 0.3 in binary), cast because a bare DuckDB
+    decimal literal would round through DECIMAL first."""
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    oml_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    s = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS n2
+       FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+rel AS MATERIALIZED (SELECT vec_id, v, n2, v[1] / sqrt(n2) AS rel
+       FROM e WHERE n2 > 0),
+s1 AS (SELECT vec_id, v, n2, rel, 1 AS step, {lam_s} * rel AS score
+       FROM rel ORDER BY score DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT * FROM s1)"""
+    for t in range(2, k + 1):
+        s += f""",
+s{t} AS (SELECT r.vec_id, r.v, r.n2, r.rel, {t} AS step,
+       {lam_s} * r.rel - {oml_s} * (SELECT MAX(list_dot_product(r.v, s.v)
+           / sqrt(r.n2 * s.n2)) FROM sel{t - 1} s) AS score
+       FROM rel r WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+       ORDER BY score DESC, r.vec_id LIMIT 1),
+sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+    return s + f"""
+SELECT step, vec_id, ROUND(rel, 6) AS rel, ROUND(score, 6) AS score
+FROM sel{k} ORDER BY step;"""
+
+
 @_declare(
     "X227_mmr_select",
     # Maximal Marginal Relevance diverse top-10 (similarity.mmr_select,
     # Carbonell & Goldstein 1998) against the axis query e0: greedy
     # lambda*rel - (1-lambda)*max-sim selection, k driver rounds each a
     # TakeOrdered(1) scan with the selected set inlined as literals.
-    # Greedy sequential selection is not SQL-expressible without a
-    # recursive CTE replaying cosine algebra -- property-tested against
-    # brute-force python MMR instead (tests/test_round12b_ops.py), the
-    # X07/X08 seeded-internals convention.
-    None,
+    # The k greedy rounds unroll into a generated DuckDB twin
+    # (_mmr_sql, one CTE per round); brute-force python MMR is
+    # additionally pinned in tests/test_round12b_ops.py.
+    _mmr_sql(),
 )
 def x227(spark, sf_dir):
     from swivel_spark_prep_spark.operators.similarity import mmr_select
@@ -10315,16 +10377,39 @@ def x284(spark, sf_dir):
     return ks_uniform_time_of_day(ev, "ts", "event_type").orderBy("event_type")
 
 
+def _weiszfeld_sql(iters: int = 5) -> str:
+    """Unrolled-iteration DuckDB twin for X285 (the X174 GD-trajectory
+    convention, round-13 verdict Next #4): the 5 FIXED Weiszfeld rounds
+    from the coordinate mean are each two CTEs — per-row distance to
+    the previous center, then the per-dim weighted mean. Generated
+    because the SQL is mechanical in the iteration index."""
+    s = """WITH e AS (SELECT vec_id AS rid, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE embedding IS NOT NULL),
+x AS (SELECT rid, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS val FROM e),
+c0 AS (SELECT d, AVG(val) AS c FROM x GROUP BY d)"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        s += f""",
+d{i} AS (SELECT rid, sqrt(SUM((val - c) * (val - c))) AS dist
+         FROM x JOIN {prev} USING (d) GROUP BY rid),
+w{i} AS (SELECT rid, 1.0 / greatest(dist, 1e-9) AS w FROM d{i}),
+c{i} AS (SELECT d, SUM(val * w) / SUM(w) AS c
+         FROM x JOIN w{i} USING (rid) GROUP BY d)"""
+        prev = f"c{i}"
+    return s + f"""
+SELECT (d - 1)::INT AS dim, ROUND(c, 6) AS value FROM {prev} ORDER BY dim;"""
+
+
 @_declare(
     "X285_geometric_median",
     # Geometric median of the embedding corpus (similarity.geometric_
     # median, Weiszfeld 1937): the L1-optimal robust center — one
     # aggregate per iteration with the dim-sized center as the only
-    # driver materialization. Seeded-iteration internals are numpy-
-    # replayable but not SQL-expressible per round in bounded text;
-    # the driver records rows-only and the property tests pin outlier
-    # robustness and the fixed-point (tests/test_round13_ops.py).
-    None,
+    # driver materialization. The 5 fixed iterations from the
+    # coordinate mean unroll into a generated DuckDB twin
+    # (_weiszfeld_sql); outlier robustness and the fixed-point are
+    # additionally property-pinned (tests/test_round13_ops.py).
+    _weiszfeld_sql(),
 )
 def x285(spark, sf_dir):
     from swivel_spark_prep_spark.operators.similarity import geometric_median
