@@ -362,16 +362,51 @@ def main() -> None:
         # depth); X303 Hosmer-Lemeshow (global prefix rank two-pass +
         # one bin aggregate); X310 Yuen (grouped prefix ranks + two
         # moments passes — the order-statistic class at 10x).
-        # X298 margin mining is deliberately NOT in this batch: its
-        # exact blocked-matmul pair relation grows ~100x at 10x vectors
-        # (1.25e9 pairs at ~50k embeddings) — the documented exact-
-        # baseline cost; the at-scale path swaps in ANN candidates
-        # (X08/X11) with the same margin arithmetic, so the sf1 number
-        # would bench the quadratic we already tell users not to run.
+        # X298's registered EXACT query is deliberately NOT in this
+        # batch: its blocked-matmul pair relation grows ~100x at 10x
+        # vectors — the documented exact-baseline cost; the at-scale
+        # path (margin_neighbors(method="ann"), executable since round
+        # 14) is benched separately below as X298_margin_ann.
         "X292_ad_uniform_tod",
         "X301_page_hinkley",
         "X303_hosmer_lemeshow",
         "X310_yuen_trimmed_t",
+        # Round-14 batch (round-13 verdict Next #2): the round-13
+        # tier's heaviest ops by BENCH_LOCAL sf0.1 wall, plus every new
+        # op touching corpus-scale relations. Scale stories: X285 is 5
+        # Weiszfeld barriers each ONE posexplode aggregate (job floor ×
+        # 5 + a 10x scan); X266's gram relation grows ~10x (suffixed
+        # tokens keep cross-copy grams disjoint); X320/X311/X312 are
+        # the survival prefix-count family (densified grid bounded by
+        # distinct event times × groups); X338/X323 are grouped prefix
+        # sums over 10x rows; X339 is range-partitioned prefix counts
+        # with a 1-row broadcast control; X322/X269 are order-statistic
+        # two-passes; X330 is Durbin-Levinson on a lag-bounded ACF
+        # (scan-bound); X302/X321/X310 grouped moments/ranks; X331 is
+        # the broadcast-bounded daily Kendall pair join; X281 sweeps
+        # the MinHash banding at 4 thresholds (4x X06's banded join);
+        # X290 is X06's join + an anti-join; X268 per-window PSI
+        # (bounded bins x 10x rows); X278 top-k coverage (vocab-tail
+        # join); X293 Mantel-Haenszel (bounded strata contingencies).
+        "X266_ngram_dup_spectrum",
+        "X268_psi_timeline",
+        "X269_quantile_timeline",
+        "X278_topk_coverage",
+        "X281_dedup_threshold_sweep",
+        "X285_geometric_median",
+        "X290_split_leakage",
+        "X293_mantel_haenszel",
+        "X302_holm_adjust",
+        "X311_rmst",
+        "X312_aalen_johansen",
+        "X320_logrank_k",
+        "X321_brunner_munzel",
+        "X322_quantile_order_ci",
+        "X323_target_encode_oof",
+        "X330_pacf",
+        "X331_kendall_tau_daily",
+        "X338_qini_curve",
+        "X339_pocock_monitor",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
@@ -414,6 +449,85 @@ def main() -> None:
             )
         print(f"# extra {name}: sf0.1 {walls['sf01']}s -> sf1 {walls['sf1']}s",
               file=sys.stderr)
+
+    # X298's at-scale path, executable since round 14: LSH candidates
+    # (method="ann") through the SAME margin arithmetic. num_planes
+    # grows with the corpus (bucket count 2^planes) so per-bucket pair
+    # work stays bounded — THAT is the knob a 100 TB run turns, and the
+    # measured pair here is the evidence it works: the exact path would
+    # be ~100x sf0.1's pair count at sf1.
+    from swivel_spark_prep_spark.operators.similarity import margin_neighbors
+
+    walls = {}
+    for tag, d in (("sf01", SRC), ("sf1", DST)):
+        spark.catalog.clearCache()
+        emb_df = spark.read.parquet(f"{d}/embeddings.parquet")
+        t0 = time.perf_counter()
+        margin_neighbors(
+            emb_df, k=4, method="ann", dim=64, num_planes=10, num_tables=8
+        ).write.mode("overwrite").format("noop").save()
+        walls[tag] = round(time.perf_counter() - t0, 3)
+        release_persisted()
+    extras["X298_margin_ann"] = {
+        **walls,
+        "scale_factor": round(walls["sf1"] / max(walls["sf01"], 1e-9), 2),
+        "caveat": (
+            "margin_neighbors(method='ann', planes=10, tables=8): LSH "
+            "candidate pairs + shared margin arithmetic; sublinear "
+            "factor expected (the LSH floor dominates sf0.1); the "
+            "registered exact query is quadratic in pairs by contract "
+            "and excluded above"
+        ),
+    }
+    print(f"# extra X298_margin_ann: sf0.1 {walls['sf01']}s -> "
+          f"sf1 {walls['sf1']}s", file=sys.stderr)
+
+    # End-to-end `curate` scale smoke (round-13 verdict Next #5): the
+    # full chain (Gopher -> exact dedup -> MinHash -> contamination ->
+    # temperature mix -> BPE -> packing -> sharded parquet sink) timed
+    # at BOTH SFs, with the stage-by-stage manifest reconciliation
+    # ASSERTED — the product story gets a measured wall, not just a
+    # fixture test. The benchmark relation is a deterministic 50-doc
+    # slice so the contamination stage executes for real.
+    # min_stopwords=0 matches the fixture tests: the synthetic corpus
+    # has no English stopwords, so the default Gopher stopword rule
+    # would zero the corpus at ingest and the smoke would be vacuous
+    # (every other Gopher rule still runs and drops real rows).
+    import shutil
+
+    from swivel_spark_prep_spark.curate import curate as run_curate
+
+    curate_out = {}
+    for tag, d in (("sf01", SRC), ("sf1", DST)):
+        docs_df = spark.read.parquet(f"{d}/documents.parquet")
+        bench_df = docs_df.orderBy("doc_id").limit(50)
+        dest = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scratch", f"curate_{tag}",
+        )
+        shutil.rmtree(dest, ignore_errors=True)
+        t0 = time.perf_counter()
+        man = run_curate(
+            spark, docs_df, dest, benchmark=bench_df,
+            gopher_kwargs={"min_stopwords": 0},
+        )
+        wall = round(time.perf_counter() - t0, 3)
+        assert man["reconciles"], f"curate manifest broken at {tag}: {man}"
+        curate_out[tag] = {
+            "wall_s": wall,
+            "reconciles": man["reconciles"],
+            "rows_in": man["stages"][0]["rows_in"],
+            "rows_packed": man["stages"][-1]["rows_out"],
+            "stages": {
+                s["stage"]: s["rows_out"] for s in man["stages"]
+            },
+        }
+        release_persisted()
+        print(f"# curate {tag}: {wall}s, reconciles={man['reconciles']}",
+              file=sys.stderr)
+    curate_out["scale_factor"] = round(
+        curate_out["sf1"]["wall_s"] / max(curate_out["sf01"]["wall_s"], 1e-9), 2
+    )
 
     os.environ["SPARK_GRAFT_SF_DIR"] = DST  # calib anchors read this? no —
     # bench._duckdb_calibration reads its module-level SF_DIR (sf0.1):
@@ -508,6 +622,7 @@ def main() -> None:
         "result_rows": {short(n): rows[n] for n in sorted(rows)},
         "split": split,
         "extras_scaling": extras,
+        "curate": curate_out,
         "calib_sf01": calib,
         "env": {"start": env_start, "end": _env_snapshot()},
         "contended": contended,

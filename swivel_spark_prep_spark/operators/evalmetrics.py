@@ -3527,3 +3527,334 @@ def risk_table(
         F.round(F.when(pos, F.exp(F.log(orr) - z * or_se)), 6).alias("or_lo"),
         F.round(F.when(pos, F.exp(F.log(orr) + z * or_se)), 6).alias("or_hi"),
     )
+
+
+def bartlett_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity (Bartlett 1937) — the
+    higher-power, normality-assuming complement to the robust
+    Brown–Forsythe (X273): with k groups of sample variance s²ⱼ,
+
+        χ² = [(N−k)·ln s²_pooled − Σ(nⱼ−1)·ln s²ⱼ] / C
+        C  = 1 + (Σ 1/(nⱼ−1) − 1/(N−k)) / (3(k−1))
+
+    against χ²(k−1). Groups with fewer than two rows or zero variance
+    carry no variance information and are excluded (scipy's contract);
+    k counts the groups actually tested.
+
+    Scale design: ONE grouped moments aggregate + a 1-row rollup — the
+    cheapest test in the family (no median pass, no ranks). Output one
+    row: (k, n, chi2, df).
+    """
+    x = F.col(value_col).cast("double")
+    per = (
+        df.filter(x.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.var_samp(x).alias("_v"),
+        )
+        .filter((F.col("_n") >= 2) & (F.col("_v") > 0))
+    )
+    tot = per.agg(
+        F.count("*").alias("_k"),
+        F.sum("_n").alias("_N"),
+        F.sum((F.col("_n") - 1) * F.col("_v")).alias("_sv"),
+        F.sum((F.col("_n") - 1) * F.log("_v")).alias("_slnv"),
+        F.sum(1.0 / (F.col("_n") - 1)).alias("_sinv"),
+    )
+    k = F.col("_k").cast("double")
+    nn = F.col("_N")
+    sp2 = F.col("_sv") / (nn - k)
+    c = 1.0 + (F.col("_sinv") - 1.0 / (nn - k)) / (3.0 * (k - 1.0))
+    chi2 = F.when(
+        (k > 1) & (nn > k) & (sp2 > 0),
+        ((nn - k) * F.log(sp2) - F.col("_slnv")) / c,
+    )
+    return tot.select(
+        F.col("_k").cast("long").alias("k"),
+        nn.cast("long").alias("n"),
+        F.round(chi2, 6).alias("chi2"),
+        (k - 1).cast("long").alias("df"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mood's median test (Mood 1950): do k groups share a common
+    median? Classify every row as above / not-above the GRAND median
+    and χ²-test the resulting 2×k contingency against the margins —
+    the bluntest but most outlier-proof of the k-sample location
+    tests (only the sign of x − median matters).
+
+    Scale design: one 1-row exact-percentile aggregate (broadcast),
+    one conditional-count grouped aggregate, one rollup; χ² is
+    arithmetic over the k-row relation. Output one row:
+    (k, n, grand_median, chi2, df).
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_x")
+    )
+    med = base.agg(F.percentile("_x", F.lit(0.5)).alias("_med"))
+    per = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("_g")
+        .agg(
+            F.max("_med").alias("_med"),
+            F.sum((F.col("_x") > F.col("_med")).cast("double")).alias("_a"),
+            F.count("*").cast("double").alias("_n"),
+        )
+    )
+    # the expected counts need the GLOBAL margins, so χ² is a second
+    # 1-row pass over the k-row per-group relation joined to them
+    # (χ² = Σⱼ [(aⱼ−Eaⱼ)²/Eaⱼ + (bⱼ−Ebⱼ)²/Ebⱼ], E from margins).
+    # The left side's (_a, _n) are renamed first: the margin aggregate
+    # shares per's lineage, and Spark 4's resolver flags the bare
+    # names ambiguous across the self-derived cross join.
+    per2 = per.select(
+        "_med", F.col("_a").alias("_pa"), F.col("_n").alias("_pn")
+    )
+    chi = (
+        per2.crossJoin(
+            F.broadcast(
+                per.agg(
+                    F.sum("_a").alias("_A"), F.sum("_n").alias("_N")
+                )
+            )
+        )
+        .select(
+            "_med",
+            (F.col("_pn") * F.col("_A") / F.col("_N")).alias("_ea"),
+            (F.col("_pn") * (F.col("_N") - F.col("_A")) / F.col("_N")).alias(
+                "_eb"
+            ),
+            F.col("_pa").alias("_a"),
+            (F.col("_pn") - F.col("_pa")).alias("_b"),
+            F.col("_pn").alias("_n"),
+        )
+        .agg(
+            F.count("*").alias("_k"),
+            F.max("_med").alias("_gm"),
+            F.sum("_n").alias("_N"),
+            F.sum(
+                F.when(
+                    (F.col("_ea") > 0) & (F.col("_eb") > 0),
+                    (F.col("_a") - F.col("_ea"))
+                    * (F.col("_a") - F.col("_ea"))
+                    / F.col("_ea")
+                    + (F.col("_b") - F.col("_eb"))
+                    * (F.col("_b") - F.col("_eb"))
+                    / F.col("_eb"),
+                )
+            ).alias("_chi2"),
+        )
+    )
+    return chi.select(
+        F.col("_k").cast("long").alias("k"),
+        F.col("_N").cast("long").alias("n"),
+        F.round("_gm", 6).alias("grand_median"),
+        F.round("_chi2", 6).alias("chi2"),
+        (F.col("_k") - 1).cast("long").alias("df"),
+    )
+
+
+def ordinal_association(
+    df: DataFrame,
+    ord_a: str,
+    ord_b: str,
+) -> DataFrame:
+    """Ordinal-by-ordinal association from a bounded contingency table:
+    Goodman–Kruskal γ (1954), Somers' D(b|a), and Kendall τ-b — the
+    three standard concordance readings of the same (C, D) pair
+    counts, each answering a different tie question (γ ignores ties,
+    Somers' D penalizes ties in the dependent, τ-b penalizes both):
+
+        C/D = Σ over cell pairs (i<i', j<j' / j>j') of nᵢⱼ·nᵢ'ⱼ'
+        γ = (C−D)/(C+D),  D(b|a) = (C−D)/(n₀−n_a),
+        τ-b = (C−D)/√((n₀−n_a)(n₀−n_b)),  n₀ = n(n−1)/2
+
+    with n_a/n_b the tied-pair counts from the row/column margins.
+    Inputs must already be ordinal-coded (bounded small integer
+    classes — bin first; never feed raw continuous columns).
+
+    Scale design: ONE contingency hash aggregate collapses the corpus
+    to a bounded cell relation; the C/D double sum is a broadcast
+    nested-loop join of that bounded relation with itself (cells², not
+    rows² — the whole point); margins and the statistics are rollup
+    arithmetic. Output one row: (n, n_cells, concordant, discordant,
+    gamma, somers_d_ba, tau_b).
+    """
+    a = F.col(ord_a).cast("long")
+    b = F.col(ord_b).cast("long")
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    cells = track_persist(cells)
+    c1 = cells.select(
+        F.col("_a").alias("_a1"), F.col("_b").alias("_b1"),
+        F.col("_n").alias("_n1"),
+    )
+    c2 = cells.select(
+        F.col("_a").alias("_a2"), F.col("_b").alias("_b2"),
+        F.col("_n").alias("_n2"),
+    )
+    pairs = c1.join(
+        F.broadcast(c2), F.col("_a1") < F.col("_a2")
+    ).agg(
+        F.sum(
+            F.when(F.col("_b1") < F.col("_b2"), F.col("_n1") * F.col("_n2"))
+        ).alias("_C"),
+        F.sum(
+            F.when(F.col("_b1") > F.col("_b2"), F.col("_n1") * F.col("_n2"))
+        ).alias("_D"),
+    )
+    marg = cells.agg(
+        F.sum("_n").alias("_N"),
+        F.count("*").alias("_cells"),
+    )
+    ta = (
+        cells.groupBy("_a").agg(F.sum("_n").alias("_na"))
+        .agg(F.sum(F.col("_na") * (F.col("_na") - 1) / 2.0).alias("_ta"))
+    )
+    tb = (
+        cells.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+        .agg(F.sum(F.col("_nb") * (F.col("_nb") - 1) / 2.0).alias("_tb"))
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    cc = F.coalesce(F.col("_C"), F.lit(0.0))
+    dd = F.coalesce(F.col("_D"), F.lit(0.0))
+    n0 = F.col("_N") * (F.col("_N") - 1) / 2.0
+    gamma = F.when(cc + dd > 0, (cc - dd) / (cc + dd))
+    somers = F.when(n0 - F.col("_ta") > 0, (cc - dd) / (n0 - F.col("_ta")))
+    taub = F.when(
+        (n0 - F.col("_ta")) * (n0 - F.col("_tb")) > 0,
+        (cc - dd) / F.sqrt((n0 - F.col("_ta")) * (n0 - F.col("_tb"))),
+    )
+    return out.select(
+        F.col("_N").cast("long").alias("n"),
+        F.col("_cells").cast("long").alias("n_cells"),
+        cc.cast("long").alias("concordant"),
+        dd.cast("long").alias("discordant"),
+        F.round(gamma, 6).alias("gamma"),
+        F.round(somers, 6).alias("somers_d_ba"),
+        F.round(taub, 6).alias("tau_b"),
+    )
+
+
+def vif3(
+    df: DataFrame,
+    col1: str,
+    col2: str,
+    col3: str,
+) -> DataFrame:
+    """Variance inflation factors for a THREE-feature design — the
+    multicollinearity gate before anyone trusts X174-style regression
+    weights: VIFᵢ = 1/(1−R²ᵢ) from regressing feature i on the other
+    two, which for three standardized features is closed-form from the
+    pairwise correlations via the inverse-correlation-matrix diagonal:
+
+        det = 1 + 2·r₁₂r₁₃r₂₃ − r₁₂² − r₁₃² − r₂₃²
+        VIF₁ = (1−r₂₃²)/det   (and cyclically)
+
+    VIF > 5–10 = the coefficient's variance is inflated that many
+    times by collinearity. Three features keep the inverse closed-form
+    and the output self-explanatory; the general-p path is the same
+    one-pass Gram matrix with a dim-bounded driver inverse (the
+    X103 PCA convention).
+
+    Scale design: ONE moments aggregate (9 sums) over rows where all
+    three are present; everything else is 1-row arithmetic. det ≤ 0
+    (numerically singular) yields NULL VIFs — the honest answer.
+    Output one row: (n, r12, r13, r23, vif1, vif2, vif3, det).
+    """
+    x1 = F.col(col1).cast("double")
+    x2 = F.col(col2).cast("double")
+    x3 = F.col(col3).cast("double")
+    base = df.filter(
+        x1.isNotNull() & x2.isNotNull() & x3.isNotNull()
+    ).select(x1.alias("_1"), x2.alias("_2"), x3.alias("_3"))
+    agg = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.corr("_1", "_2").alias("_r12"),
+        F.corr("_1", "_3").alias("_r13"),
+        F.corr("_2", "_3").alias("_r23"),
+    )
+    r12, r13, r23 = F.col("_r12"), F.col("_r13"), F.col("_r23")
+    det = (
+        1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23
+    )
+    pos = det > 1e-12
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(r12, 6).alias("r12"),
+        F.round(r13, 6).alias("r13"),
+        F.round(r23, 6).alias("r23"),
+        F.round(F.when(pos, (1.0 - r23 * r23) / det), 6).alias("vif1"),
+        F.round(F.when(pos, (1.0 - r13 * r13) / det), 6).alias("vif2"),
+        F.round(F.when(pos, (1.0 - r12 * r12) / det), 6).alias("vif3"),
+        F.round(det, 6).alias("det"),
+    )
+
+
+def obrien_fleming_monitor(
+    df: DataFrame,
+    ts_col: str,
+    arm_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    looks: int = 5,
+    c: float = 2.04,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Group-sequential monitoring with the O'Brien–Fleming boundary
+    (O'Brien & Fleming 1979) — the conservative-early companion to the
+    Pocock monitor (X339): the critical value SHRINKS as information
+    accrues, bound(look ℓ) = c·√(K/ℓ) with c the K-look α=.05 OBF
+    constant (2.04 for K=5) — near-unspendable early (first-look bound
+    4.56 at K=5), ≈ the fixed-sample 1.96 at the end, which is why OBF
+    is the default in confirmatory trials while Pocock suits ops
+    monitoring.
+
+    Execution: reuses the pocock machinery verbatim (range-partitioned
+    accrual ranks, cumulative per-look moments) and re-scores the
+    per-look z against the decaying bound — the z column pocock
+    already emits IS the information path. Output per look:
+    (look, n_a, n_b, z, crossed, obf_bound) + first_crossed_look.
+    """
+    base = pocock_monitor(
+        df, ts_col, arm_col, value_col, group_a, group_b,
+        looks=looks, bound=c, tiebreak_col=tiebreak_col,
+    ).select("look", "n_a", "n_b", "z")
+    bound = F.round(
+        F.lit(float(c)) * F.sqrt(F.lit(float(looks)) / F.col("look")), 6
+    )
+    scored = base.select(
+        "look",
+        "n_a",
+        "n_b",
+        "z",
+        F.coalesce(F.abs(F.col("z")) > bound, F.lit(False)).alias("crossed"),
+        bound.alias("obf_bound"),
+    )
+    first = scored.agg(
+        F.min(F.when(F.col("crossed"), F.col("look"))).alias(
+            "first_crossed_look"
+        )
+    )
+    return scored.crossJoin(F.broadcast(first))

@@ -575,3 +575,65 @@ def good_turing_smooth(counts: DataFrame, count_col: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+def dunning_llr_collocations(
+    train: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by Dunning's log-likelihood ratio (Dunning
+    1993) — the G² complement to PMI (X117): PMI over-rewards rare
+    pairs (two hapaxes that co-occur once get a huge score); G²
+    weights the evidence by COUNT, so "of the" beats a one-off typo
+    pair. Over the adjacent-bigram event table (N = total bigram
+    tokens, k₁· / k·₁ the positional marginals):
+
+        G² = 2·Σ_cell O·ln(O/E),  E_cell from the margins,
+
+    summed over the 2×2 (w1?, w2?) contingency each bigram induces;
+    zero cells contribute 0 (lim x·ln x = 0).
+
+    Scale design: the bigram/marginal relations are train_bigram_lm's
+    hash aggregates (vocab-sized, Zipf-bounded); two vocab-keyed joins
+    attach the margins, a 1-row broadcast attaches N; G² is row
+    arithmetic and the result is one TakeOrdered(k) — no new shuffle
+    shape beyond the X180 Kneser–Ney plan. Output: (w1, w2, c, g2),
+    ordered g2 desc with (w1, w2) tiebreak.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _, bi, _ = train_bigram_lm(train, text_col)
+    left = bi.groupBy("w1").agg(F.sum("c").alias("_c1"))
+    right = bi.groupBy("w2").agg(F.sum("c").alias("_c2"))
+    total = bi.agg(F.sum("c").cast("double").alias("_N"))
+
+    def _term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    scored = (
+        bi.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    k11 = F.col("c").cast("double")
+    k12 = F.col("_c1") - k11
+    k21 = F.col("_c2") - k11
+    nn = F.col("_N")
+    k22 = nn - F.col("_c1") - F.col("_c2") + k11
+    r1 = F.col("_c1").cast("double")
+    r2 = nn - r1
+    c1 = F.col("_c2").cast("double")
+    c2 = nn - c1
+    g2 = 2.0 * (
+        _term(k11, r1 * c1 / nn)
+        + _term(k12, r1 * c2 / nn)
+        + _term(k21, r2 * c1 / nn)
+        + _term(k22, r2 * c2 / nn)
+    )
+    return (
+        scored.withColumn("_g2", g2)
+        .orderBy(F.col("_g2").desc(), "w1", "w2")
+        .limit(k)
+        .select("w1", "w2", "c", F.round("_g2", 6).alias("g2"))
+    )

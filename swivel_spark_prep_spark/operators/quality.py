@@ -1458,3 +1458,68 @@ def _prefix_max(df: DataFrame, order_col: str, value_col: str, out_col: str) -> 
         )
         .drop("_pid", "_lmax", value_col)
     )
+
+
+def missingness_audit(
+    df: DataFrame,
+    cols: list[str] | tuple[str, ...],
+) -> DataFrame:
+    """Pairwise missingness structure over a BOUNDED column set — the
+    "is the data missing together?" audit that separates benign random
+    nulls from a broken upstream join or a source that never fills two
+    fields at once (MCAR vs structured-missingness triage):
+
+    for every unordered column pair (a < b by the given order):
+        null_a, null_b, both_null, and the null-overlap Jaccard
+        both/(null_a + null_b − both) — 1.0 means the two columns are
+        missing in lockstep, NULL when neither column has any nulls.
+
+    Scale design: ONE aggregate computes all k + k(k−1)/2 counters in
+    a single scan (map-side partials; k is bounded — audit columns,
+    not the whole schema); the per-pair rows come from exploding a
+    LITERAL k²-bounded struct array over the 1-row result. Output:
+    (col_a, col_b, n_rows, null_a, null_b, both_null, null_jaccard),
+    one row per pair, ordered.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need at least two columns, got {cols}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in {cols}")
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_m_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a).isNull() & F.col(b).isNull()).cast("long")
+                ).alias(f"_mm_{a}_{b}")
+            )
+    one = df.agg(*aggs)
+    pair_structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            na, nb = F.col(f"_m_{a}"), F.col(f"_m_{b}")
+            both = F.col(f"_mm_{a}_{b}")
+            union = na + nb - both
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("_n").alias("n_rows"),
+                    na.alias("null_a"),
+                    nb.alias("null_b"),
+                    both.alias("both_null"),
+                    F.round(
+                        F.when(union > 0, both.cast("double") / union), 6
+                    ).alias("null_jaccard"),
+                )
+            )
+    return (
+        one.select(F.explode(F.array(*pair_structs)).alias("_p"))
+        .select("_p.*")
+        .orderBy("col_a", "col_b")
+    )

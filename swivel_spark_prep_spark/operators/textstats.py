@@ -1565,3 +1565,79 @@ def novelty_timeline(
             "novelty_share"
         ),
     )
+
+
+def cross_source_ngram_overlap(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source n-gram overlap with the REST of the corpus — the
+    self-BLEU-style diversity read (Zhu et al. 2018's texygen metric,
+    reduced to its distributed core): for each source, what share of
+    its DISTINCT word n-grams also appears in at least one other
+    source? High overlap = the source adds little new phrasing (a
+    mirror, a template farm); low = genuinely novel text worth its
+    tokens in a training mix.
+
+    Scale design: explode n-grams (whitespace tokens, positional
+    slices — fan-out ≤ tokens per doc, the word-count shape), distinct
+    (source, gram) — one shuffle keyed by the pair; the per-gram
+    source count is a second hash aggregate on the gram (vocab-sized,
+    Zipf-bounded); one broadcast-joinable rollup per source. Never a
+    source×source pair relation: the "other sources" test is
+    source_count ≥ 2 on the gram table, so the work is linear in
+    distinct grams however many sources exist. Output: (source,
+    n_grams, shared_grams, overlap_ratio), ordered by source.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    ).select(
+        F.col(source_col).alias("_src"),
+        F.split(F.col(text_col), " ").alias("_t"),
+    )
+    # arrays_zip the n shifted slices, then explode — one Generate
+    zipped = toks.select(
+        "_src",
+        F.explode(
+            F.arrays_zip(
+                *[
+                    F.expr(f"slice(_t, {i + 1}, size(_t) - {n - 1})").alias(
+                        f"_w{i}"
+                    )
+                    for i in range(n)
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        "_src",
+        F.concat_ws(
+            " ", *[F.col(f"_p._w{i}") for i in range(n)]
+        ).alias("_g"),
+    )
+    sg = zipped.distinct()
+    gcount = sg.groupBy("_g").agg(F.count("*").alias("_nsrc"))
+    return (
+        sg.join(gcount, "_g")
+        .groupBy("_src")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_nsrc") >= 2).cast("long")).alias("shared_grams"),
+        )
+        .select(
+            F.col("_src").alias("source"),
+            "n_grams",
+            "shared_grams",
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.col("shared_grams").cast("double") / F.col("n_grams"),
+                ),
+                6,
+            ).alias("overlap_ratio"),
+        )
+        .orderBy("source")
+    )

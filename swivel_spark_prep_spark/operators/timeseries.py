@@ -3080,3 +3080,156 @@ def burstiness(
         ).alias("b_burst"),
         F.round(m, 6).alias("m_memory"),
     )
+
+
+def periodogram(
+    df: DataFrame,
+    ts_col: str,
+    periods_hours: list[float] | tuple[float, ...] = (24.0, 12.0, 168.0, 6.0),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Discrete-Fourier power at a handful of CANDIDATE periods — the
+    classical periodogram probe ("is there a daily / half-daily /
+    weekly cycle in this event stream?", Schuster 1898) evaluated at
+    the named periods instead of the full frequency grid, because a
+    data pipeline asks about calendar harmonics, not arbitrary bins:
+
+        P(T) = (A² + B²)·2/m,   A = Σ (cᵗ − c̄)·cos(2πt/T),
+                                B = Σ (cᵗ − c̄)·sin(2πt/T)
+
+    over the bucketed count series cᵗ (t = absolute epoch-hour index,
+    so no min-timestamp join is needed — a phase shift never moves
+    power). Convention: the series is the OBSERVED buckets, centered
+    by the observed-bucket mean; zero-count buckets are excluded (on
+    dense event data there are none, and the convention is replayed
+    verbatim by the oracle).
+
+    Scale design: one bucketing hash aggregate over the events (the
+    word-count shape), one 1-row mean broadcast, then ONE aggregate
+    per candidate period via a bounded literal-array explode (|periods|
+    ≤ a handful — control-plane fan-out, not data fan-out). Output:
+    (period_hours, n_buckets, power), strongest calendar harmonic on
+    top of a daily-patterned stream.
+    """
+    if not periods_hours:
+        raise ValueError("periods_hours must be non-empty")
+    if any(p <= 0 for p in periods_hours):
+        raise ValueError(f"periods must be positive, got {periods_hours}")
+    step = int(bucket_seconds)
+    buck = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.floor(epoch_seconds(ts_col) / step).alias("_t")
+        )
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    mean = buck.agg(
+        F.avg("_c").alias("_mu"), F.count("*").cast("double").alias("_m")
+    )
+    pers = F.array(*[F.lit(float(p)) for p in periods_hours])
+    # period in BUCKETS: period_hours·3600/bucket_seconds
+    exploded = (
+        buck.crossJoin(F.broadcast(mean))
+        .select(
+            "_t",
+            (F.col("_c") - F.col("_mu")).alias("_d"),
+            "_m",
+            F.explode(pers).alias("_p"),
+        )
+        .withColumn(
+            "_theta",
+            2.0 * math.pi * F.col("_t") / (F.col("_p") * 3600.0 / step),
+        )
+    )
+    return (
+        exploded.groupBy("_p")
+        .agg(
+            F.sum(F.col("_d") * F.cos("_theta")).alias("_a"),
+            F.sum(F.col("_d") * F.sin("_theta")).alias("_b"),
+            F.max("_m").alias("_mm"),
+        )
+        .select(
+            F.col("_p").alias("period_hours"),
+            F.col("_mm").cast("long").alias("n_buckets"),
+            F.round(
+                (F.col("_a") * F.col("_a") + F.col("_b") * F.col("_b"))
+                * 2.0
+                / F.col("_mm"),
+                6,
+            ).alias("power"),
+        )
+        .orderBy("period_hours")
+    )
+
+
+def kaplan_meier_ci(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Kaplan–Meier survival WITH the Greenwood (1926) variance band —
+    the CI the bare KM curve (X197) is missing when two cohorts'
+    curves cross and someone asks whether the gap is real:
+
+        Var Ŝ(t) = Ŝ(t)² · Σ_{tᵢ ≤ t} dᵢ / (nᵢ·(nᵢ − dᵢ))
+
+    with the plain (linear) band Ŝ ± z·se clamped to [0, 1]. Same
+    execution as kaplan_meier — per-distinct-duration counts, then
+    range-partitioned prefix sums (one extra summed column carries the
+    Greenwood term; no extra pass) — value-cardinality work, no global
+    window. After the time where d = n (everyone remaining fails) the
+    survival is exactly 0 and se/band are NULL (the variance term is
+    undefined there — the honest output). Output: (duration, n_risk,
+    d_events, survival, se, lo, hi), event times only.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    base = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("_e"),
+    ).filter(F.col("t").isNotNull() & (F.col("t") >= 0) & F.col("_e").isNotNull())
+    tot = base.agg(F.count("*").alias("_tot"))
+    per = base.groupBy("t").agg(
+        F.sum("_e").alias("d"), F.count("*").alias("c")
+    )
+    cum = partitioned_prefix_sum(per, ["t"], ["c"], ["_cc"], inclusive=True)
+    risked = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("_tot") - (F.col("_cc") - F.col("c"))).alias("n"),
+    )
+    factors = risked.select(
+        "t",
+        "d",
+        "n",
+        F.when(F.col("d") < F.col("n"), F.log(1.0 - F.col("d") / F.col("n")))
+        .otherwise(F.lit(0.0))
+        .alias("_lnf"),
+        F.when(
+            F.col("d") < F.col("n"),
+            F.col("d") / (F.col("n") * (F.col("n") - F.col("d"))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_gw"),
+        (F.col("d") >= F.col("n")).cast("int").alias("_z"),
+    )
+    surv = partitioned_prefix_sum(
+        factors,
+        ["t"],
+        ["_lnf", "_gw", "_z"],
+        ["_lncum", "_gwcum", "_zcum"],
+        inclusive=True,
+    )
+    s = F.exp("_lncum")
+    se = s * F.sqrt("_gwcum")
+    alive = F.col("_zcum") == 0
+    return surv.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.when(alive, F.round(s, 6)).otherwise(F.lit(0.0)).alias("survival"),
+        F.when(alive, F.round(se, 6)).alias("se"),
+        F.when(alive, F.round(F.greatest(s - z * se, F.lit(0.0)), 6)).alias("lo"),
+        F.when(alive, F.round(F.least(s + z * se, F.lit(1.0)), 6)).alias("hi"),
+    )

@@ -12792,3 +12792,456 @@ def x341(spark, sf_dir):
         (F.col("value") > 50.0).alias("outcome"),
     )
     return risk_table(b, "exposed", "outcome")
+
+
+# ----------------------------------------------------------------- round 14
+
+
+@_declare(
+    "X342_periodogram",
+    # DFT power at the calendar harmonics (timeseries.periodogram,
+    # Schuster 1898): is the event stream daily / half-daily / weekly
+    # periodic? One hourly-bucket hash aggregate, a 1-row mean
+    # broadcast, one cos/sin aggregate per candidate period (bounded
+    # literal fan-out). Power rounded at 3 (large-magnitude sums:
+    # cross-engine float-order noise ~1e-7 absolute).
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS t,
+             COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+m AS (SELECT AVG(c) AS mu, COUNT(*)::DOUBLE AS mm FROM b),
+p AS (SELECT unnest([24.0, 12.0, 168.0, 6.0]) AS ph),
+e AS (SELECT ph, c - mu AS d, mm, 2 * pi() * t / ph AS theta
+      FROM b CROSS JOIN m CROSS JOIN p),
+agg AS (SELECT ph, SUM(d * cos(theta)) AS a, SUM(d * sin(theta)) AS bb,
+               MAX(mm) AS mm
+        FROM e GROUP BY 1)
+SELECT ph AS period_hours, mm::BIGINT AS n_buckets,
+       ROUND((a * a + bb * bb) * 2.0 / mm, 3) AS power
+FROM agg ORDER BY period_hours;""",
+)
+def x342(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import periodogram
+
+    ev = load_table(spark, sf_dir, "events")
+    out = periodogram(ev, "ts", (24.0, 12.0, 168.0, 6.0))
+    # power re-rounded at 3 in the query (see oracle comment); the
+    # operator's own 6-digit rounding is a no-op input to this
+    return out.select(
+        "period_hours", "n_buckets", F.round("power", 3).alias("power")
+    )
+
+
+@_declare(
+    "X343_ngram_overlap",
+    # Per-source bigram overlap with the rest of the corpus
+    # (textstats.cross_source_ngram_overlap; the self-BLEU diversity
+    # read): share of each source's DISTINCT bigrams appearing in >= 2
+    # sources. Distinct (source, gram) -> gram-keyed source counts ->
+    # per-source rollup; never a source x source pair relation.
+    """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+sg AS (SELECT DISTINCT source,
+              unnest(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])) AS gr
+       FROM t),
+gc AS (SELECT gr, COUNT(*) AS nsrc FROM sg GROUP BY 1)
+SELECT source, COUNT(*)::BIGINT AS n_grams,
+       SUM((nsrc >= 2)::INT)::BIGINT AS shared_grams,
+       ROUND(CASE WHEN COUNT(*) > 0
+             THEN SUM((nsrc >= 2)::INT)::DOUBLE / COUNT(*) END, 6)
+         AS overlap_ratio
+FROM sg JOIN gc USING (gr) GROUP BY source ORDER BY source;""",
+)
+def x343(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import (
+        cross_source_ngram_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_source_ngram_overlap(docs, n=2)
+
+
+@_declare(
+    "X344_missingness_audit",
+    # Pairwise missingness structure (quality.missingness_audit): the
+    # MCAR-vs-structured triage. The fixtures are fully dense, so the
+    # query plants deterministic hash-keyed nulls — lang/source nulls
+    # share a salt (nested, lockstep missingness, Jaccard 2/3 by
+    # construction), n_chars nulls use an independent salt — and the
+    # audit must recover exactly that structure. ONE aggregate holds
+    # all 3 + 3 counters; rows come from a literal struct-array explode.
+    """WITH d AS (SELECT
+      CASE WHEN CAST(('0x' || substr(md5('ma' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                % 1000000 < 150000 THEN NULL ELSE lang END AS lang_n,
+      CASE WHEN CAST(('0x' || substr(md5('ma' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                % 1000000 < 100000 THEN NULL ELSE source END AS source_n,
+      CASE WHEN CAST(('0x' || substr(md5('mb' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                % 1000000 < 100000 THEN NULL ELSE n_chars END AS chars_n
+    FROM documents),
+a AS (SELECT COUNT(*)::BIGINT AS n,
+             SUM((lang_n IS NULL)::INT)::BIGINT AS ml,
+             SUM((source_n IS NULL)::INT)::BIGINT AS ms,
+             SUM((chars_n IS NULL)::INT)::BIGINT AS mc,
+             SUM((lang_n IS NULL AND source_n IS NULL)::INT)::BIGINT AS mls,
+             SUM((lang_n IS NULL AND chars_n IS NULL)::INT)::BIGINT AS mlc,
+             SUM((source_n IS NULL AND chars_n IS NULL)::INT)::BIGINT AS msc
+      FROM d)
+SELECT * FROM (
+  SELECT 'chars_n' AS col_a, 'lang_n' AS col_b, n AS n_rows, mc AS null_a,
+         ml AS null_b, mlc AS both_null,
+         ROUND(CASE WHEN mc + ml - mlc > 0
+               THEN mlc::DOUBLE / (mc + ml - mlc) END, 6) AS null_jaccard
+  FROM a
+  UNION ALL
+  SELECT 'chars_n', 'source_n', n, mc, ms, msc,
+         ROUND(CASE WHEN mc + ms - msc > 0
+               THEN msc::DOUBLE / (mc + ms - msc) END, 6) FROM a
+  UNION ALL
+  SELECT 'lang_n', 'source_n', n, ml, ms, mls,
+         ROUND(CASE WHEN ml + ms - mls > 0
+               THEN mls::DOUBLE / (ml + ms - mls) END, 6) FROM a
+) ORDER BY col_a, col_b;""",
+)
+def x344(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import missingness_audit
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.when(
+            hash_bucket(F.col("doc_id"), 1_000_000, "ma") < 150_000,
+            F.lit(None),
+        )
+        .otherwise(F.col("lang"))
+        .alias("lang_n"),
+        F.when(
+            hash_bucket(F.col("doc_id"), 1_000_000, "ma") < 100_000,
+            F.lit(None),
+        )
+        .otherwise(F.col("source"))
+        .alias("source_n"),
+        F.when(
+            hash_bucket(F.col("doc_id"), 1_000_000, "mb") < 100_000,
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("chars_n"),
+    )
+    return missingness_audit(planted, ["chars_n", "lang_n", "source_n"])
+
+
+@_declare(
+    "X345_bartlett",
+    # Bartlett's variance-homogeneity chi2 (evalmetrics.bartlett_test,
+    # 1937) over event values by type — the normality-assuming,
+    # higher-power complement to X273's Brown-Forsythe. ONE grouped
+    # moments aggregate + a 1-row rollup.
+    """WITH per AS (SELECT event_type AS g, COUNT(*)::DOUBLE AS n,
+             var_samp(value::DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1 HAVING COUNT(*) >= 2 AND var_samp(value::DOUBLE) > 0),
+tot AS (SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn,
+               SUM((n - 1) * v) AS sv, SUM((n - 1) * ln(v)) AS slnv,
+               SUM(1.0 / (n - 1)) AS sinv
+        FROM per)
+SELECT k::BIGINT AS k, nn::BIGINT AS n,
+       ROUND(CASE WHEN k > 1 AND nn > k AND sv / (nn - k) > 0
+             THEN ((nn - k) * ln(sv / (nn - k)) - slnv)
+                  / (1.0 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1.0)))
+             END, 6) AS chi2,
+       (k - 1)::BIGINT AS df
+FROM tot;""",
+)
+def x345(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import bartlett_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return bartlett_test(ev, "value", "event_type")
+
+
+@_declare(
+    "X346_mood_median",
+    # Mood's median test (evalmetrics.mood_median_test, 1950): classify
+    # every event value against the GRAND median, chi2 the 2 x k
+    # contingency — the outlier-proof k-sample location test. One
+    # 1-row exact-percentile broadcast + one conditional-count
+    # aggregate.
+    """WITH base AS (SELECT event_type AS g, value::DOUBLE AS x FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL),
+gm AS (SELECT quantile_cont(x, 0.5) AS med FROM base),
+per AS (SELECT g, MAX(med) AS med,
+               SUM((x > med)::INT)::DOUBLE AS a, COUNT(*)::DOUBLE AS n
+        FROM base CROSS JOIN gm GROUP BY 1),
+marg AS (SELECT SUM(a) AS at, SUM(n) AS nt FROM per)
+SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS n,
+       ROUND(MAX(med), 6) AS grand_median,
+       ROUND(SUM(CASE WHEN n * at / nt > 0 AND n * (nt - at) / nt > 0
+             THEN (a - n * at / nt) * (a - n * at / nt) / (n * at / nt)
+                + ((n - a) - n * (nt - at) / nt)
+                  * ((n - a) - n * (nt - at) / nt) / (n * (nt - at) / nt)
+             END), 6) AS chi2,
+       (COUNT(*) - 1)::BIGINT AS df
+FROM per CROSS JOIN marg;""",
+)
+def x346(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import mood_median_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return mood_median_test(ev, "value", "event_type")
+
+
+@_declare(
+    "X347_ordinal_association",
+    # Goodman-Kruskal gamma / Somers' D / Kendall tau-b from one
+    # bounded contingency (evalmetrics.ordinal_association): doc length
+    # class (fixed 200/400/600-char cuts) vs whitespace-token class
+    # (fixed 50/100/150 cuts) — the concordance triple over cells^2
+    # (broadcast nested loop over the bounded cell relation), never
+    # rows^2.
+    """WITH o AS (SELECT
+      CASE WHEN n_chars < 200 THEN 1 WHEN n_chars < 400 THEN 2
+           WHEN n_chars < 600 THEN 3 ELSE 4 END AS a,
+      CASE WHEN len(string_split(text, ' ')) < 50 THEN 1
+           WHEN len(string_split(text, ' ')) < 100 THEN 2
+           WHEN len(string_split(text, ' ')) < 150 THEN 3 ELSE 4 END AS b
+    FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+cells AS (SELECT a, b, COUNT(*)::DOUBLE AS n FROM o GROUP BY 1, 2),
+cd AS (SELECT
+         COALESCE(SUM(CASE WHEN c1.b < c2.b THEN c1.n * c2.n END), 0) AS cc,
+         COALESCE(SUM(CASE WHEN c1.b > c2.b THEN c1.n * c2.n END), 0) AS dd
+       FROM cells c1 JOIN cells c2 ON c1.a < c2.a),
+marg AS (SELECT SUM(n) AS nn, COUNT(*)::BIGINT AS ncells FROM cells),
+ta AS (SELECT SUM(na * (na - 1) / 2.0) AS t FROM
+        (SELECT SUM(n) AS na FROM cells GROUP BY a)),
+tb AS (SELECT SUM(nb * (nb - 1) / 2.0) AS t FROM
+        (SELECT SUM(n) AS nb FROM cells GROUP BY b))
+SELECT nn::BIGINT AS n, ncells AS n_cells,
+       cc::BIGINT AS concordant, dd::BIGINT AS discordant,
+       ROUND(CASE WHEN cc + dd > 0 THEN (cc - dd) / (cc + dd) END, 6) AS gamma,
+       ROUND(CASE WHEN nn * (nn - 1) / 2.0 - ta.t > 0
+             THEN (cc - dd) / (nn * (nn - 1) / 2.0 - ta.t) END, 6)
+         AS somers_d_ba,
+       ROUND(CASE WHEN (nn * (nn - 1) / 2.0 - ta.t)
+                       * (nn * (nn - 1) / 2.0 - tb.t) > 0
+             THEN (cc - dd) / sqrt((nn * (nn - 1) / 2.0 - ta.t)
+                                   * (nn * (nn - 1) / 2.0 - tb.t)) END, 6)
+         AS tau_b
+FROM cd CROSS JOIN marg CROSS JOIN ta CROSS JOIN tb;""",
+)
+def x347(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        ordinal_association,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    nt = F.size(F.split(F.col("text"), " "))
+    coded = docs.select(
+        F.when(F.col("n_chars") < 200, 1)
+        .when(F.col("n_chars") < 400, 2)
+        .when(F.col("n_chars") < 600, 3)
+        .otherwise(4)
+        .alias("la"),
+        F.when(nt < 50, 1).when(nt < 100, 2).when(nt < 150, 3).otherwise(4)
+        .alias("tb"),
+    )
+    return ordinal_association(coded, "la", "tb")
+
+
+@_declare(
+    "X348_km_greenwood",
+    # Kaplan-Meier with the Greenwood variance band (timeseries.
+    # kaplan_meier_ci, Greenwood 1926) on X197's time-to-first-error
+    # cohort: same two prefix passes, one extra summed column carries
+    # Var S = S^2 * sum d/(n(n-d)); plain band clamped to [0,1], NULL
+    # once the curve hits exact 0.
+    """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                 min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+subj AS (SELECT
+    CASE WHEN te IS NOT NULL AND te - f <= 48 * 3600e6
+         THEN floor((te - f) / 3600e6) ELSE 48 END::DOUBLE AS t,
+    (te IS NOT NULL AND te - f <= 48 * 3600e6)::INT AS ev
+  FROM u),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM subj),
+per AS (SELECT t, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS c FROM subj GROUP BY 1),
+cum AS (SELECT *, SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM per),
+r AS (SELECT t, d, (n - (cc - c))::BIGINT AS nr FROM cum, tot),
+f2 AS (SELECT t, d, nr,
+              CASE WHEN d < nr THEN ln(1 - d::DOUBLE / nr) ELSE 0 END AS lnf,
+              CASE WHEN d < nr THEN d::DOUBLE / (nr * (nr - d)::DOUBLE)
+                   ELSE 0 END AS gw,
+              (d >= nr)::INT AS z
+       FROM r),
+s AS (SELECT t, d, nr, SUM(lnf) OVER w AS lncum, SUM(gw) OVER w AS gwcum,
+             SUM(z) OVER w AS zcum
+      FROM f2
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t AS duration, nr AS n_risk, d AS d_events,
+       ROUND(CASE WHEN zcum > 0 THEN 0.0 ELSE exp(lncum) END, 6) AS survival,
+       ROUND(CASE WHEN zcum = 0
+             THEN exp(lncum) * sqrt(gwcum) END, 6) AS se,
+       ROUND(CASE WHEN zcum = 0 THEN greatest(
+             exp(lncum) - 1.959964 * exp(lncum) * sqrt(gwcum), 0.0) END, 6)
+         AS lo,
+       ROUND(CASE WHEN zcum = 0 THEN least(
+             exp(lncum) + 1.959964 * exp(lncum) * sqrt(gwcum), 1.0) END, 6)
+         AS hi
+FROM s WHERE d > 0 ORDER BY duration;""",
+)
+def x348(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import kaplan_meier_ci
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("f"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    horizon = 48 * 3600e6
+    observed = F.col("te").isNotNull() & (F.col("te") - F.col("f") <= horizon)
+    subj = u.select(
+        F.when(observed, F.floor((F.col("te") - F.col("f")) / 3600e6))
+        .otherwise(F.lit(48))
+        .cast("double")
+        .alias("t"),
+        observed.cast("int").alias("ev"),
+    )
+    return kaplan_meier_ci(subj, "t", "ev").orderBy("duration")
+
+
+@_declare(
+    "X349_vif",
+    # Variance inflation factors for the (quantity, price, discount)
+    # design (evalmetrics.vif3): closed-form inverse-correlation
+    # diagonal from ONE moments pass — the multicollinearity gate
+    # before trusting regression weights.
+    """WITH a AS (SELECT corr(l_quantity::DOUBLE, l_extendedprice::DOUBLE) AS r12,
+             corr(l_quantity::DOUBLE, l_discount::DOUBLE) AS r13,
+             corr(l_extendedprice::DOUBLE, l_discount::DOUBLE) AS r23,
+             COUNT(*)::BIGINT AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL
+        AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+d AS (SELECT *, 1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13
+               - r23 * r23 AS det FROM a)
+SELECT n, ROUND(r12, 6) AS r12, ROUND(r13, 6) AS r13, ROUND(r23, 6) AS r23,
+       ROUND(CASE WHEN det > 1e-12 THEN (1.0 - r23 * r23) / det END, 6) AS vif1,
+       ROUND(CASE WHEN det > 1e-12 THEN (1.0 - r13 * r13) / det END, 6) AS vif2,
+       ROUND(CASE WHEN det > 1e-12 THEN (1.0 - r12 * r12) / det END, 6) AS vif3,
+       ROUND(det, 6) AS det
+FROM d;""",
+)
+def x349(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import vif3
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return vif3(li, "l_quantity", "l_extendedprice", "l_discount")
+
+
+@_declare(
+    "X350_dunning_llr",
+    # Top-20 collocations by Dunning's G2 log-likelihood ratio
+    # (lm.dunning_llr_collocations, Dunning 1993) — the count-weighted
+    # complement to X117's PMI: the bigram/margin relations are
+    # train_bigram_lm's hash aggregates, G2 is row arithmetic over the
+    # 2x2 each bigram induces, one TakeOrdered(20).
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents
+           WHERE text IS NOT NULL),
+bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+              unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+       FROM t),
+bi AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM bg GROUP BY 1, 2),
+l AS (SELECT w1, SUM(c) AS c1 FROM bi GROUP BY 1),
+r AS (SELECT w2, SUM(c) AS c2 FROM bi GROUP BY 1),
+nt AS (SELECT SUM(c) AS nn FROM bi),
+sc AS (SELECT bi.w1, bi.w2, bi.c,
+              2.0 * (
+                CASE WHEN bi.c > 0 THEN bi.c * ln(bi.c / (c1 * c2 / nn)) ELSE 0 END
+              + CASE WHEN c1 - bi.c > 0 THEN (c1 - bi.c)
+                     * ln((c1 - bi.c) / (c1 * (nn - c2) / nn)) ELSE 0 END
+              + CASE WHEN c2 - bi.c > 0 THEN (c2 - bi.c)
+                     * ln((c2 - bi.c) / ((nn - c1) * c2 / nn)) ELSE 0 END
+              + CASE WHEN nn - c1 - c2 + bi.c > 0 THEN (nn - c1 - c2 + bi.c)
+                     * ln((nn - c1 - c2 + bi.c)
+                          / ((nn - c1) * (nn - c2) / nn)) ELSE 0 END
+              ) AS g2
+       FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nt)
+SELECT w1, w2, c::BIGINT AS c, ROUND(g2, 6) AS g2
+FROM sc ORDER BY g2 DESC, w1, w2 LIMIT 20;""",
+)
+def x350(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.lm import dunning_llr_collocations
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    out = dunning_llr_collocations(docs, k=20)
+    return out.select("w1", "w2", F.col("c").cast("long").alias("c"), "g2")
+
+
+@_declare(
+    "X351_obf_monitor",
+    # O'Brien-Fleming group-sequential monitor (evalmetrics.
+    # obrien_fleming_monitor, 1979) on X339's md5-arm accrual: the
+    # decaying boundary c*sqrt(K/look) (4.56 early, ~2.04 late at K=5)
+    # — conservative-early where Pocock spends alpha evenly; the same
+    # prefix machinery re-scored.
+    """WITH b AS (
+  SELECT ts, event_id,
+         (CAST(('0x' || substr(md5('aa' || user_id::VARCHAR), 1, 8)) AS BIGINT)
+          % 1000000 < 500000)::INT AS a,
+         value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+r AS (SELECT a, x, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rk,
+             COUNT(*) OVER () AS n FROM b),
+lk AS (SELECT CAST(FLOOR((rk - 1)*5/n::DOUBLE) AS BIGINT) AS l, a, x FROM r),
+per AS (SELECT l, SUM(a)::DOUBLE AS na, SUM(1 - a)::DOUBLE AS nb,
+               SUM(CASE WHEN a = 1 THEN x END) AS sa,
+               SUM(CASE WHEN a = 0 THEN x END) AS sb,
+               SUM(CASE WHEN a = 1 THEN x*x END) AS qa,
+               SUM(CASE WHEN a = 0 THEN x*x END) AS qb
+        FROM lk GROUP BY 1),
+cum AS (SELECT l, SUM(na) OVER w AS cna, SUM(nb) OVER w AS cnb,
+               SUM(sa) OVER w AS csa, SUM(sb) OVER w AS csb,
+               SUM(qa) OVER w AS cqa, SUM(qb) OVER w AS cqb
+        FROM per WINDOW w AS (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+zc AS (SELECT l, cna, cnb,
+              ROUND((csa/cna - csb/cnb)
+                / sqrt(((cqa - cna*(csa/cna)*(csa/cna))/(cna - 1))/cna
+                       + ((cqb - cnb*(csb/cnb)*(csb/cnb))/(cnb - 1))/cnb), 6) AS z
+       FROM cum),
+sc AS (SELECT (l + 1)::BIGINT AS look, cna::BIGINT AS n_a, cnb::BIGINT AS n_b,
+              z, COALESCE(abs(z) > ROUND(2.04 * sqrt(5.0 / (l + 1)), 6), FALSE)
+                AS crossed,
+              ROUND(2.04 * sqrt(5.0 / (l + 1)), 6) AS obf_bound
+       FROM zc),
+fc AS (SELECT MIN(CASE WHEN crossed THEN look END) AS first_crossed_look FROM sc)
+SELECT sc.*, fc.first_crossed_look FROM sc CROSS JOIN fc ORDER BY look;""",
+)
+def x351(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        obrien_fleming_monitor,
+    )
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    armed = ev.select(
+        "ts",
+        "event_id",
+        F.when(
+            hash_bucket(F.col("user_id"), 1_000_000, "aa") < 500_000, "a"
+        )
+        .otherwise("b")
+        .alias("arm"),
+        "value",
+    )
+    return obrien_fleming_monitor(
+        armed, "ts", "arm", "value", "a", "b",
+        looks=5, c=2.04, tiebreak_col="event_id",
+    ).orderBy("look")

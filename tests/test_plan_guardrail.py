@@ -90,6 +90,10 @@ quadratic can't land silently:
 - X183: KMV join-size estimate — both sides are k-bounded sketches.
 - X205: Theil–Sen pair join — max_points-capped per key (round 12;
   validation is executable, tests/test_round11h_ops.py).
+- X347: ordinal-association concordance — the self-join is over the
+  CONTINGENCY CELL relation (bounded ordinal classes², 16 cells here,
+  broadcast side), never over rows; the corpus collapses to cells in
+  one hash aggregate first.
 """
 
 from __future__ import annotations
@@ -157,6 +161,9 @@ ALLOWED_PAIR_SELF_JOINS = {
     # candidate join + the exact-verify side both reach the shingle
     # relation); the leakage filter itself is keyed on doc id, fan-out 1
     "X290_split_leakage": 2,
+    # X347: concordance double sum — cells x cells (bounded ordinal
+    # classes squared), broadcast nested loop, never rows x rows
+    "X347_ordinal_association": 1,
     "X38_contamination": 1,
     "X47_upsert_snapshot": 1,
     "X48_training_pipeline": 1,

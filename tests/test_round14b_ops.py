@@ -1,0 +1,318 @@
+"""Round-14 tranche property pins (X342–X351): classical-test
+completeness + corpus diagnostics. Each operator's SURVEY row names
+these pins; the DuckDB oracle parity for the same ten queries runs
+automatically in tests/test_llm_operators.py at both SFs."""
+import datetime
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ periodogram
+def test_periodogram_finds_planted_daily_cycle(spark):
+    from swivel_spark_prep_spark.operators.timeseries import periodogram
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for t in range(240):  # 10 days of hourly buckets
+        n = 10 + round(5 * math.cos(2 * math.pi * t / 24))
+        for _ in range(n):
+            rows.append((b + datetime.timedelta(hours=t, minutes=1), eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "ts timestamp, id long")
+    out = {
+        r["period_hours"]: r["power"]
+        for r in periodogram(df, "ts", (24.0, 12.0, 6.0, 5.0)).collect()
+    }
+    # the planted 24 h harmonic dwarfs every other probe
+    assert out[24.0] > 50 * max(out[12.0], out[6.0], out[5.0])
+    with pytest.raises(ValueError):
+        periodogram(df, "ts", ())
+    with pytest.raises(ValueError):
+        periodogram(df, "ts", (24.0, -1.0))
+
+
+# -------------------------------------------------------- kaplan_meier_ci
+def test_km_greenwood_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        kaplan_meier,
+        kaplan_meier_ci,
+    )
+
+    rows = [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 1)]
+    df = spark.createDataFrame(rows, "t double, e int")
+    out = {r["duration"]: r for r in kaplan_meier_ci(df, "t", "e").collect()}
+    # t=1: n=4, d=1 -> S=.75, gw=1/12, se=.75*sqrt(1/12)
+    assert out[1.0]["survival"] == 0.75
+    assert abs(out[1.0]["se"] - 0.75 * math.sqrt(1 / 12)) < 1e-6
+    # t=2: n=3, d=1 -> S=.5, gw=1/12+1/6=.25, se=.5*.5=.25
+    assert out[2.0]["survival"] == 0.5 and out[2.0]["se"] == 0.25
+    assert out[2.0]["lo"] == round(0.5 - 1.959964 * 0.25, 6)
+    assert out[2.0]["hi"] == round(0.5 + 1.959964 * 0.25, 6)
+    # t=4: last subject fails -> exact 0, variance undefined
+    assert out[4.0]["survival"] == 0.0
+    assert out[4.0]["se"] is None and out[4.0]["lo"] is None
+    # the survival column IS kaplan_meier's (same machinery)
+    km = {r["duration"]: r["survival"] for r in kaplan_meier(df, "t", "e").collect()}
+    assert {d: r["survival"] for d, r in out.items()} == km
+
+
+# ---------------------------------------------------------- bartlett_test
+def test_bartlett_matches_closed_form(spark):
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.evalmetrics import bartlett_test
+
+    ga = [float(x % 5) for x in range(40)]          # var ~2
+    gb = [float(3 * (x % 5)) for x in range(60)]    # var ~18
+    df = spark.createDataFrame(
+        [("a", v) for v in ga] + [("b", v) for v in gb],
+        "g string, x double",
+    )
+    r = bartlett_test(df, "x", "g").collect()[0]
+    va, vb = np.var(ga, ddof=1), np.var(gb, ddof=1)
+    n1, n2 = len(ga), len(gb)
+    nn, k = n1 + n2, 2
+    sp2 = ((n1 - 1) * va + (n2 - 1) * vb) / (nn - k)
+    num = (nn - k) * math.log(sp2) - (
+        (n1 - 1) * math.log(va) + (n2 - 1) * math.log(vb)
+    )
+    c = 1 + (1 / (n1 - 1) + 1 / (n2 - 1) - 1 / (nn - k)) / (3 * (k - 1))
+    assert abs(r["chi2"] - num / c) < 1e-6
+    assert r["k"] == 2 and r["n"] == 100 and r["df"] == 1
+    # equal variances -> chi2 ~ 0
+    df2 = spark.createDataFrame(
+        [("a", float(x % 5)) for x in range(40)]
+        + [("b", float(x % 5)) for x in range(40)],
+        "g string, x double",
+    )
+    assert abs(bartlett_test(df2, "x", "g").collect()[0]["chi2"]) < 1e-9
+    # single-row and constant groups are excluded from k
+    df3 = spark.createDataFrame(
+        [("a", float(x % 5)) for x in range(40)]
+        + [("c", 7.0)] * 10 + [("d", 1.0)],
+        "g string, x double",
+    )
+    assert bartlett_test(df3, "x", "g").collect()[0]["k"] == 1
+
+
+# ------------------------------------------------------- mood_median_test
+def test_mood_median_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import mood_median_test
+
+    # g1 entirely below / g2 entirely above the grand median:
+    # a1=0, a2=10, E=5 each -> chi2 = 4 * 25/5 = 20
+    df = spark.createDataFrame(
+        [("g1", float(i)) for i in range(1, 11)]
+        + [("g2", float(i)) for i in range(11, 21)],
+        "g string, x double",
+    )
+    r = mood_median_test(df, "x", "g").collect()[0]
+    assert r["chi2"] == 20.0 and r["df"] == 1 and r["n"] == 20
+    assert r["grand_median"] == 10.5
+    # identical groups -> chi2 == 0
+    df2 = spark.createDataFrame(
+        [("g1", float(i)) for i in range(10)]
+        + [("g2", float(i)) for i in range(10)],
+        "g string, x double",
+    )
+    assert mood_median_test(df2, "x", "g").collect()[0]["chi2"] == 0.0
+
+
+# --------------------------------------------------- ordinal_association
+def test_ordinal_association_extremes_and_brute_force(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        ordinal_association,
+    )
+
+    # perfect concordance -> gamma = somers = 1, tau_b = 1
+    perf = spark.createDataFrame(
+        [(c, c) for c in (1, 2, 3) for _ in range(5)], "a int, b int"
+    )
+    r = ordinal_association(perf, "a", "b").collect()[0]
+    assert r["gamma"] == 1.0 and r["somers_d_ba"] == 1.0 and r["tau_b"] == 1.0
+    # perfect discordance -> -1
+    disc = spark.createDataFrame(
+        [(c, 4 - c) for c in (1, 2, 3) for _ in range(5)], "a int, b int"
+    )
+    assert ordinal_association(disc, "a", "b").collect()[0]["gamma"] == -1.0
+    # brute-force parity on a mixed table
+    rows = [(i % 3 + 1, (i * 7 + i // 4) % 3 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = ordinal_association(df, "a", "b").collect()[0]
+    C = D = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            da = rows[i][0] - rows[j][0]
+            db = rows[i][1] - rows[j][1]
+            if da * db > 0:
+                C += 1
+            elif da * db < 0:
+                D += 1
+    assert got["concordant"] == C and got["discordant"] == D
+    n = len(rows)
+    n0 = n * (n - 1) / 2
+    from collections import Counter
+
+    ta = sum(v * (v - 1) / 2 for v in Counter(a for a, _ in rows).values())
+    tb = sum(v * (v - 1) / 2 for v in Counter(b for _, b in rows).values())
+    assert abs(got["gamma"] - (C - D) / (C + D)) < 1e-6
+    assert abs(got["somers_d_ba"] - (C - D) / (n0 - ta)) < 1e-6
+    assert abs(got["tau_b"] - (C - D) / math.sqrt((n0 - ta) * (n0 - tb))) < 1e-6
+
+
+# -------------------------------------------------------------------- vif3
+def test_vif_flags_planted_collinearity(spark):
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.evalmetrics import vif3
+
+    rng = [(float(i % 13), float((i * 7) % 11)) for i in range(200)]
+    rows = [(x1, x2, x1 + x2 + 0.01 * ((i * 3) % 5)) for i, (x1, x2) in enumerate(rng)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double")
+    r = vif3(df, "x1", "x2", "x3").collect()[0]
+    assert r["vif3"] > 50  # x3 is (almost) x1 + x2
+    # numpy cross-check: VIF3 = 1/(1 - R2 of x3 ~ x1 + x2)
+    a = np.array(rows)
+    X = np.column_stack([np.ones(len(a)), a[:, 0], a[:, 1]])
+    beta, *_ = np.linalg.lstsq(X, a[:, 2], rcond=None)
+    resid = a[:, 2] - X @ beta
+    r2 = 1 - resid.var() / a[:, 2].var()
+    assert abs(r["vif3"] - 1 / (1 - r2)) / r["vif3"] < 1e-3
+    # near-orthogonal features -> VIFs ~ 1
+    ortho = spark.createDataFrame(
+        [(float(i % 7), float((i * 5) % 13), float((i * 11) % 17))
+         for i in range(300)],
+        "x1 double, x2 double, x3 double",
+    )
+    ro = vif3(ortho, "x1", "x2", "x3").collect()[0]
+    assert 0.9 < ro["vif1"] < 1.2 and 0.9 < ro["vif3"] < 1.2
+
+
+# ------------------------------------------------------ missingness_audit
+def test_missingness_audit_recovers_structure(spark):
+    from swivel_spark_prep_spark.operators.quality import missingness_audit
+
+    # u,v null in lockstep on rows 0-9; w null on rows 5-14 (half overlap)
+    rows = []
+    for i in range(40):
+        u = None if i < 10 else float(i)
+        v = None if i < 10 else float(i * 2)
+        w = None if 5 <= i < 15 else float(i * 3)
+        rows.append((u, v, w))
+    df = spark.createDataFrame(rows, "u double, v double, w double")
+    out = {(r["col_a"], r["col_b"]): r for r in missingness_audit(df, ["u", "v", "w"]).collect()}
+    uv = out[("u", "v")]
+    assert uv["both_null"] == 10 and uv["null_jaccard"] == 1.0
+    uw = out[("u", "w")]
+    assert uw["both_null"] == 5 and abs(uw["null_jaccard"] - 5 / 15) < 1e-6
+    assert all(r["n_rows"] == 40 for r in out.values())
+    with pytest.raises(ValueError):
+        missingness_audit(df, ["u"])
+    with pytest.raises(ValueError):
+        missingness_audit(df, ["u", "u"])
+
+
+# --------------------------------------------- cross_source_ngram_overlap
+def test_ngram_overlap_hand_corpus(spark):
+    from swivel_spark_prep_spark.operators.textstats import (
+        cross_source_ngram_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "b c d", "B"), (3, "x y z", "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in cross_source_ngram_overlap(docs, 2).collect()}
+    assert out["A"]["n_grams"] == 2 and out["A"]["shared_grams"] == 1
+    assert out["A"]["overlap_ratio"] == 0.5
+    assert out["B"]["overlap_ratio"] == 0.5
+    assert out["C"]["shared_grams"] == 0 and out["C"]["overlap_ratio"] == 0.0
+    # unigram mode: shared vocabulary
+    uni = {r["source"]: r for r in cross_source_ngram_overlap(docs, 1).collect()}
+    assert uni["A"]["n_grams"] == 3 and uni["A"]["shared_grams"] == 2  # b, c
+    with pytest.raises(ValueError):
+        cross_source_ngram_overlap(docs, 0)
+
+
+# --------------------------------------------------- dunning_llr_collocations
+def test_dunning_llr_brute_force_and_ranking(spark):
+    from swivel_spark_prep_spark.operators.lm import dunning_llr_collocations
+
+    # "strong collocation" appears often and exclusively; filler words
+    # co-occur by chance
+    texts = ["strong collocation filler one", "strong collocation filler two",
+             "strong collocation three filler", "one two three filler"] * 5
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = dunning_llr_collocations(docs, k=5).collect()
+    assert (out[0]["w1"], out[0]["w2"]) == ("strong", "collocation")
+    # brute-force G2 replay of the top row
+    from collections import Counter
+
+    bigrams = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            bigrams[(w[i], w[i + 1])] += 1
+    N = sum(bigrams.values())
+    c1 = sum(c for (a, _), c in bigrams.items() if a == "strong")
+    c2 = sum(c for (_, b), c in bigrams.items() if b == "collocation")
+    k11 = bigrams[("strong", "collocation")]
+
+    def term(o, e):
+        return o * math.log(o / e) if o > 0 else 0.0
+
+    g2 = 2 * (
+        term(k11, c1 * c2 / N)
+        + term(c1 - k11, c1 * (N - c2) / N)
+        + term(c2 - k11, (N - c1) * c2 / N)
+        + term(N - c1 - c2 + k11, (N - c1) * (N - c2) / N)
+    )
+    assert abs(out[0]["g2"] - g2) < 1e-5
+    with pytest.raises(ValueError):
+        dunning_llr_collocations(docs, k=0)
+
+
+# ------------------------------------------------- obrien_fleming_monitor
+def test_obf_bounds_and_conservatism(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        obrien_fleming_monitor,
+        pocock_monitor,
+    )
+
+    b = datetime.datetime(2024, 4, 1)
+    rows = []
+    for i in range(500):
+        ts = b + datetime.timedelta(minutes=i)
+        arm = "a" if i % 2 == 0 else "b"
+        val = 10.0 + (i % 7) + (1.2 if arm == "a" else 0.0)
+        rows.append((ts, i, arm, val))
+    df = spark.createDataFrame(rows, "ts timestamp, id long, arm string, x double")
+    out = obrien_fleming_monitor(
+        df, "ts", "arm", "x", "a", "b", looks=5, tiebreak_col="id"
+    ).orderBy("look").collect()
+    # the decaying boundary, exactly
+    for r in out:
+        assert r["obf_bound"] == round(2.04 * math.sqrt(5 / r["look"]), 6)
+    assert out[0]["obf_bound"] > 4.5 and out[-1]["obf_bound"] == 2.04
+    # same z path as pocock (shared machinery)
+    poc = pocock_monitor(
+        df, "ts", "arm", "x", "a", "b", looks=5, tiebreak_col="id"
+    ).orderBy("look").collect()
+    assert [r["z"] for r in out] == [r["z"] for r in poc]
+    # a moderate effect: pocock (flat 2.413) calls it no later than OBF
+    pfirst = poc[0]["first_crossed_look"]
+    ofirst = out[0]["first_crossed_look"]
+    if pfirst is not None and ofirst is not None:
+        assert pfirst <= ofirst
+    # null arms never cross the OBF boundary either
+    null = [(b + datetime.timedelta(minutes=i), i,
+             "a" if i % 2 == 0 else "b", 10.0 + (i % 7)) for i in range(500)]
+    nout = obrien_fleming_monitor(
+        spark.createDataFrame(null, "ts timestamp, id long, arm string, x double"),
+        "ts", "arm", "x", "a", "b", looks=5, tiebreak_col="id",
+    ).collect()
+    assert all(not r["crossed"] for r in nout)
