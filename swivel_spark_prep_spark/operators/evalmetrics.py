@@ -3858,3 +3858,76 @@ def obrien_fleming_monitor(
         )
     )
     return scored.crossJoin(F.broadcast(first))
+
+
+def theils_u(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(b|a) (Theil 1970) — the
+    DIRECTIONAL categorical-association reading the symmetric pair
+    (X160 χ², X161 MI) can't give: what fraction of b's entropy does
+    knowing a remove?
+
+        U(b|a) = (H(b) − H(b|a)) / H(b) ∈ [0, 1]
+
+    0 = a says nothing about b, 1 = a determines b — and U(b|a) ≠
+    U(a|b) in general, which is the point (source may determine lang
+    while lang barely narrows source).
+
+    Scale design: ONE contingency hash aggregate (bounded cells), the
+    margins as two grouped rollups of it, entropies as 1-row
+    arithmetic; NULL when H(b) = 0 (b is constant — the coefficient is
+    undefined, not 1). Output one row: (n, h_b, h_b_given_a, u_b_a).
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cells = base.groupBy("_a", "_b").agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    cells = track_persist(cells)
+    na = cells.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    tot = cells.agg(F.sum("_n").alias("_N"))
+    # H(b|a) = −Σ_ab (n_ab/N)·ln(n_ab/n_a). The cell count is renamed
+    # first: na/tot share cells' lineage and Spark 4's resolver flags
+    # the bare _n ambiguous across the self-derived joins.
+    cells2 = cells.select("_a", "_b", F.col("_n").alias("_cn"))
+    hba = (
+        cells2.join(F.broadcast(na), "_a")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("_cn") / F.col("_N"))
+                * F.log(F.col("_cn") / F.col("_na"))
+            ).alias("_hba")
+        )
+    )
+    hb = (
+        cells.groupBy("_b")
+        .agg(F.sum("_n").alias("_nb"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("_nb") / F.col("_N"))
+                * F.log(F.col("_nb") / F.col("_N"))
+            ).alias("_hb"),
+            F.max("_N").alias("_N2"),
+        )
+    )
+    out = hb.crossJoin(F.broadcast(hba))
+    return out.select(
+        F.col("_N2").cast("long").alias("n"),
+        F.round("_hb", 6).alias("h_b"),
+        F.round("_hba", 6).alias("h_b_given_a"),
+        F.round(
+            F.when(
+                F.col("_hb") > 0,
+                (F.col("_hb") - F.col("_hba")) / F.col("_hb"),
+            ),
+            6,
+        ).alias("u_b_a"),
+    )

@@ -1523,3 +1523,103 @@ def missingness_audit(
         .select("_p.*")
         .orderBy("col_a", "col_b")
     )
+
+
+def shard_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Partition-key load-balance audit — the question asked BEFORE
+    repartitioning 100 TB by a key: if this relation is hashed into
+    ``n_shards`` buckets on ``key_col``, how skewed do the bucket
+    loads come out? Straggler math is unforgiving: a shuffle's wall
+    is its max shard, so imbalance = max/mean IS the slowdown factor
+    versus a perfect spread.
+
+    Scale design: ONE hash aggregate over md5 buckets (the engine's
+    deterministic hash_bucket), one 1-row rollup; empty shards enter
+    the mean/variance through the n_shards denominator (no shard
+    relation is materialized). Output one row: (n_shards, used_shards,
+    n_rows, max_load, mean_load, imbalance, cv) — cv is the
+    POPULATION coefficient of variation over all n_shards loads.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from swivel_spark_prep_spark.operators.sampling import hash_bucket
+
+    loads = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(hash_bucket(F.col(key_col), n_shards, salt).alias("_b"))
+        .agg(F.count("*").cast("double").alias("_l"))
+    )
+    ns = float(n_shards)
+    agg = loads.agg(
+        F.count("*").alias("_used"),
+        F.sum("_l").alias("_rows"),
+        F.max("_l").alias("_max"),
+        F.sum(F.col("_l") * F.col("_l")).alias("_sq"),
+    )
+    mean = F.col("_rows") / ns
+    var = F.col("_sq") / ns - mean * mean
+    return agg.select(
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.col("_used").cast("long").alias("used_shards"),
+        F.col("_rows").cast("long").alias("n_rows"),
+        F.col("_max").cast("long").alias("max_load"),
+        F.round(mean, 6).alias("mean_load"),
+        F.round(
+            F.when(mean > 0, F.col("_max") / mean), 6
+        ).alias("imbalance"),
+        F.round(
+            F.when(mean > 0, F.sqrt(F.greatest(var, F.lit(0.0))) / mean), 6
+        ).alias("cv"),
+    )
+
+
+def join_fanout_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join fan-out audit — "will this join explode?" answered from
+    the KEY DISTRIBUTIONS before anyone runs the join: for every
+    left key, how many right rows match? The output row size of
+    left ⋈ right is Σ_k n_left(k)·n_right(k); a handful of hot keys
+    routinely carry most of it (the skew that AQE's skew-join split
+    exists for), and match_rate exposes silent referential drift.
+
+    Scale design: one grouped count per side, ONE keyed join of the
+    two KEY relations (distinct keys, not rows), exact percentiles
+    over the per-key fan-out, all in a final 1-row rollup. Output:
+    (n_left_keys, matched_keys, match_rate, output_rows, fo_mean,
+    fo_p50, fo_p90, fo_p99, fo_max).
+    """
+    lk = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("_k"))
+        .agg(F.count("*").cast("double").alias("_nl"))
+    )
+    rk = (
+        right.filter(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("_k"))
+        .agg(F.count("*").cast("double").alias("_nr"))
+    )
+    j = lk.join(rk, "_k", "left").select(
+        "_nl", F.coalesce("_nr", F.lit(0.0)).alias("_fo")
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_left_keys"),
+        F.sum((F.col("_fo") > 0).cast("long")).alias("matched_keys"),
+        F.round(F.avg((F.col("_fo") > 0).cast("double")), 6).alias(
+            "match_rate"
+        ),
+        F.sum(F.col("_nl") * F.col("_fo")).cast("long").alias("output_rows"),
+        F.round(F.avg("_fo"), 6).alias("fo_mean"),
+        F.percentile("_fo", F.lit(0.5)).alias("fo_p50"),
+        F.percentile("_fo", F.lit(0.9)).alias("fo_p90"),
+        F.percentile("_fo", F.lit(0.99)).alias("fo_p99"),
+        F.max("_fo").cast("long").alias("fo_max"),
+    )

@@ -6,7 +6,7 @@ replay it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword-overlap
@@ -1640,4 +1640,94 @@ def cross_source_ngram_overlap(
             ).alias("overlap_ratio"),
         )
         .orderBy("source")
+    )
+
+
+def head_token_profile_similarity(
+    docs: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise source similarity over HEAD-token usage profiles — the
+    style fingerprint stopword-profiling uses in authorship analysis
+    (Mosteller & Wallace 1964's function-word insight), corpus-neutral
+    by construction: the profile dimensions are the corpus's own top-k
+    tokens, each source becomes its usage distribution over exactly
+    those k, and sources are compared by cosine. Two template farms
+    land near 1.0 even when their content words differ; a genuinely
+    different register stands out.
+
+    Scale design: token counts are the word-count shape; the head
+    vocabulary is one TakeOrdered(k) (broadcast); per-(source, token)
+    counts are a second hash aggregate FILTERED to the k head tokens;
+    the pair stage joins the (sources × k)-bounded profile relation
+    with itself ON TOKEN (allowlisted — ≤ k·|sources|² terms, sources
+    being the small dimension), never rows². Output:
+    (source_a, source_b, cosine), one row per unordered pair SHARING
+    at least one head token — a pair with fully disjoint head usage
+    has cosine 0 and is simply absent (the token-keyed join never
+    materializes the zero cells, which is the point at many sources).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    ).select(
+        F.col(source_col).alias("_src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    )
+    head = (
+        toks.groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), "_w")
+        .limit(k)
+        .select("_w")
+    )
+    prof = (
+        toks.join(F.broadcast(head), "_w")
+        .groupBy("_src", "_w")
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    from swivel_spark_prep_spark.cache import track_persist
+
+    prof = track_persist(
+        prof.withColumn(
+            "_p",
+            F.col("_n")
+            / F.sum("_n").over(Window.partitionBy("_src")),
+        )
+    )
+    norm = prof.groupBy("_src").agg(
+        F.sqrt(F.sum(F.col("_p") * F.col("_p"))).alias("_nrm")
+    )
+    a = prof.select(
+        F.col("_src").alias("_sa"), "_w", F.col("_p").alias("_pa")
+    )
+    b = prof.select(
+        F.col("_src").alias("_sb"), "_w", F.col("_p").alias("_pb")
+    )
+    dots = (
+        a.join(b, "_w")
+        .filter(F.col("_sa") < F.col("_sb"))
+        .groupBy("_sa", "_sb")
+        .agg(F.sum(F.col("_pa") * F.col("_pb")).alias("_dot"))
+    )
+    na = norm.select(F.col("_src").alias("_sa"), F.col("_nrm").alias("_na"))
+    nb = norm.select(F.col("_src").alias("_sb"), F.col("_nrm").alias("_nb"))
+    return (
+        dots.join(F.broadcast(na), "_sa")
+        .join(F.broadcast(nb), "_sb")
+        .select(
+            F.col("_sa").alias("source_a"),
+            F.col("_sb").alias("source_b"),
+            F.round(
+                F.when(
+                    F.col("_na") * F.col("_nb") > 0,
+                    F.col("_dot") / (F.col("_na") * F.col("_nb")),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -3233,3 +3233,180 @@ def kaplan_meier_ci(
         F.when(alive, F.round(F.greatest(s - z * se, F.lit(0.0)), 6)).alias("lo"),
         F.when(alive, F.round(F.least(s + z * se, F.lit(1.0)), 6)).alias("hi"),
     )
+
+
+def coherence(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    type_x,
+    type_y,
+    periods_hours: list[float] | tuple[float, ...] = (24.0, 12.0, 168.0, 6.0),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Magnitude-squared coherence between two event streams at the
+    calendar harmonics — "do purchases and clicks share the same daily
+    rhythm, in phase?" The cross-spectral companion of
+    :func:`periodogram`: with Cₓ/Sₓ the cos/sin sums of stream x's
+    mean-centered hourly counts (same for y),
+
+        coh(T) = [(CₓC_y + SₓS_y)² + (SₓC_y − CₓS_y)²]
+                 / [(Cₓ²+Sₓ²)·(C_y²+S_y²)]   ∈ [0, 1]
+
+    1 = a fixed linear phase relation at that period, 0 = unrelated.
+    Convention (replayed by the oracle): the bucket grid is every hour
+    where EITHER stream has an event; the absent stream counts 0
+    there; each stream is centered by its mean over that grid.
+
+    Scale design: ONE conditional-count bucketing aggregate builds
+    both series in a single pass; 1-row means broadcast; one cos/sin
+    aggregate per candidate period (bounded literal fan-out). Output:
+    (period_hours, n_buckets, coherence, power_x, power_y).
+    """
+    if not periods_hours:
+        raise ValueError("periods_hours must be non-empty")
+    if any(p <= 0 for p in periods_hours):
+        raise ValueError(f"periods must be positive, got {periods_hours}")
+    step = int(bucket_seconds)
+    buck = (
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(type_col).isin([type_x, type_y])
+        )
+        .groupBy(F.floor(epoch_seconds(ts_col) / step).alias("_t"))
+        .agg(
+            F.sum((F.col(type_col) == type_x).cast("double")).alias("_cx"),
+            F.sum((F.col(type_col) == type_y).cast("double")).alias("_cy"),
+        )
+    )
+    mean = buck.agg(
+        F.avg("_cx").alias("_mx"),
+        F.avg("_cy").alias("_my"),
+        F.count("*").cast("double").alias("_m"),
+    )
+    pers = F.array(*[F.lit(float(p)) for p in periods_hours])
+    exploded = (
+        buck.crossJoin(F.broadcast(mean))
+        .select(
+            "_t",
+            (F.col("_cx") - F.col("_mx")).alias("_dx"),
+            (F.col("_cy") - F.col("_my")).alias("_dy"),
+            "_m",
+            F.explode(pers).alias("_p"),
+        )
+        .withColumn(
+            "_theta",
+            2.0 * math.pi * F.col("_t") / (F.col("_p") * 3600.0 / step),
+        )
+    )
+    agg = exploded.groupBy("_p").agg(
+        F.sum(F.col("_dx") * F.cos("_theta")).alias("_ax"),
+        F.sum(F.col("_dx") * F.sin("_theta")).alias("_bx"),
+        F.sum(F.col("_dy") * F.cos("_theta")).alias("_ay"),
+        F.sum(F.col("_dy") * F.sin("_theta")).alias("_by"),
+        F.max("_m").alias("_mm"),
+    )
+    px = F.col("_ax") * F.col("_ax") + F.col("_bx") * F.col("_bx")
+    py = F.col("_ay") * F.col("_ay") + F.col("_by") * F.col("_by")
+    co = F.col("_ax") * F.col("_ay") + F.col("_bx") * F.col("_by")
+    quad = F.col("_bx") * F.col("_ay") - F.col("_ax") * F.col("_by")
+    return agg.select(
+        F.col("_p").alias("period_hours"),
+        F.col("_mm").cast("long").alias("n_buckets"),
+        F.round(
+            F.when(px * py > 0, (co * co + quad * quad) / (px * py)), 6
+        ).alias("coherence"),
+        F.round(px * 2.0 / F.col("_mm"), 3).alias("power_x"),
+        F.round(py * 2.0 / F.col("_mm"), 3).alias("power_y"),
+    ).orderBy("period_hours")
+
+
+def markov_stationary(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    iters: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Stationary distribution + entropy rate of the per-key event-type
+    Markov chain — "what does steady-state user behavior look like,
+    and how predictable is it?" Transition counts come from per-key
+    consecutive event pairs; P is the row-normalized k×k matrix
+    (k = event types, bounded); π is the power-iteration fixed point
+    from the uniform start, run a FIXED ``iters`` rounds (ergodic
+    chains converge geometrically; 20 is float-tolerance on anything
+    mixing), and the entropy rate is H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ
+    (Shannon 1948).
+
+    Scale design: the data-sized work is ONE lag window PARTITIONED by
+    key + one hash aggregate; the power iteration runs DRIVER-SIDE on
+    the collected k²-bounded transition table (k event types, never
+    rows — the X104 raking convention for bounded control tables,
+    which also sidesteps Spark's ambiguous-self-join check on a
+    20-deep iterated join lineage). States with no outgoing
+    transitions keep their mass (self-loop convention, replayed by the
+    oracle). Output per state: (state, stationary_prob, row_entropy)
+    + the 1-row entropy_rate repeated.
+    """
+    import math as _math
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    )
+    steps = (
+        base.withColumn("_nxt", F.lead(type_col).over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(F.col(type_col).alias("_cur"), F.col("_nxt"))
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    cells = steps.collect()  # k² rows — control-plane by construction
+    if not cells:
+        return df.sparkSession.createDataFrame(
+            [],
+            "state string, stationary_prob double, row_entropy double, "
+            "entropy_rate double",
+        )
+    out_n: dict = {}
+    for r in cells:
+        out_n.setdefault(r["_cur"], {})[r["_nxt"]] = r["_n"]
+    states = sorted(
+        {r["_cur"] for r in cells} | {r["_nxt"] for r in cells}, key=str
+    )
+    p = {
+        s: {t: n / sum(row.values()) for t, n in row.items()}
+        for s, row in out_n.items()
+    }
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(int(iters)):
+        nxt = {s: 0.0 for s in states}
+        for s, mass in pi.items():
+            row = p.get(s)
+            if row is None:
+                nxt[s] += mass  # absorbing: self-loop
+            else:
+                for t, pr in row.items():
+                    nxt[t] += mass * pr
+        pi = nxt
+    rowh = {
+        s: -sum(pr * _math.log(pr) for pr in p[s].values()) if s in p else 0.0
+        for s in states
+    }
+    rate = sum(pi[s] * rowh[s] for s in states)
+    rows = [
+        (str(s), round(pi[s], 6), round(rowh[s], 6), round(rate, 6))
+        for s in states
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "state string, stationary_prob double, row_entropy double, "
+        "entropy_rate double",
+    )

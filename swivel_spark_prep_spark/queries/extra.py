@@ -13245,3 +13245,227 @@ def x351(spark, sf_dir):
         armed, "ts", "arm", "value", "a", "b",
         looks=5, c=2.04, tiebreak_col="event_id",
     ).orderBy("look")
+
+
+@_declare(
+    "X352_theils_u",
+    # Theil's uncertainty coefficient U(value-bin | event_type)
+    # (evalmetrics.theils_u, 1970): the DIRECTIONAL categorical
+    # association X160/X161 can't give — what share of the value-bin
+    # entropy does the event type remove? One bounded contingency +
+    # margin rollups.
+    """WITH base AS (SELECT event_type AS a,
+             CASE WHEN value < 25 THEN 1 WHEN value < 50 THEN 2
+                  WHEN value < 75 THEN 3 ELSE 4 END AS b
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+cells AS (SELECT a, b, COUNT(*)::DOUBLE AS n FROM base GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS nn FROM cells),
+na AS (SELECT a, SUM(n) AS na FROM cells GROUP BY 1),
+hba AS (SELECT SUM(-(n / nn) * ln(n / na)) AS hba
+        FROM cells JOIN na USING (a) CROSS JOIN tot),
+hb AS (SELECT SUM(-(nb / nn) * ln(nb / nn)) AS hb, MAX(nn) AS n2
+       FROM (SELECT b, SUM(n) AS nb FROM cells GROUP BY 1) CROSS JOIN tot)
+SELECT n2::BIGINT AS n, ROUND(hb, 6) AS h_b, ROUND(hba, 6) AS h_b_given_a,
+       ROUND(CASE WHEN hb > 0 THEN (hb - hba) / hb END, 6) AS u_b_a
+FROM hb CROSS JOIN hba;""",
+)
+def x352(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import theils_u
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    binned = ev.select(
+        F.col("event_type").alias("et"),
+        F.when(F.col("value") < 25, 1)
+        .when(F.col("value") < 50, 2)
+        .when(F.col("value") < 75, 3)
+        .otherwise(4)
+        .alias("vb"),
+    )
+    return theils_u(binned, "et", "vb")
+
+
+@_declare(
+    "X353_coherence",
+    # Magnitude-squared coherence between the purchase and click
+    # hourly streams at the calendar harmonics (timeseries.coherence):
+    # do the two streams share a daily rhythm IN PHASE? One
+    # conditional-count bucketing aggregate builds both series;
+    # bounded literal period fan-out; coherence in [0,1] rounded 6,
+    # raw powers rounded 3 (the X342 convention).
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS t,
+             SUM((event_type = 'purchase')::INT)::DOUBLE AS cx,
+             SUM((event_type = 'click')::INT)::DOUBLE AS cy
+      FROM events WHERE ts IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY 1),
+m AS (SELECT AVG(cx) AS mx, AVG(cy) AS my, COUNT(*)::DOUBLE AS mm FROM b),
+p AS (SELECT unnest([24.0, 12.0, 168.0, 6.0]) AS ph),
+e AS (SELECT ph, cx - mx AS dx, cy - my AS dy, mm,
+             2 * pi() * t / ph AS theta
+      FROM b CROSS JOIN m CROSS JOIN p),
+agg AS (SELECT ph, SUM(dx * cos(theta)) AS ax, SUM(dx * sin(theta)) AS bx,
+               SUM(dy * cos(theta)) AS ay, SUM(dy * sin(theta)) AS by,
+               MAX(mm) AS mm
+        FROM e GROUP BY 1)
+SELECT ph AS period_hours, mm::BIGINT AS n_buckets,
+       ROUND(CASE WHEN (ax*ax + bx*bx) * (ay*ay + by*by) > 0
+             THEN ((ax*ay + bx*by)*(ax*ay + bx*by)
+                   + (bx*ay - ax*by)*(bx*ay - ax*by))
+                  / ((ax*ax + bx*bx) * (ay*ay + by*by)) END, 6) AS coherence,
+       ROUND((ax*ax + bx*bx) * 2.0 / mm, 3) AS power_x,
+       ROUND((ay*ay + by*by) * 2.0 / mm, 3) AS power_y
+FROM agg ORDER BY period_hours;""",
+)
+def x353(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import coherence
+
+    ev = load_table(spark, sf_dir, "events")
+    return coherence(
+        ev, "ts", "event_type", "purchase", "click", (24.0, 12.0, 168.0, 6.0)
+    )
+
+
+def _markov_sql(iters: int = 20) -> str:
+    """Unrolled power-iteration DuckDB twin for X354 (the X104/X227
+    generated-SQL convention): every iteration is one LEFT JOIN +
+    grouped sum over the k²-bounded transition relation, MATERIALIZED
+    against exponential CTE inlining; absorbing states keep their
+    mass via the COALESCE self-loop, exactly as the operator does."""
+    s = """WITH b AS (SELECT user_id, event_type, ts, event_id FROM events
+       WHERE ts IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL),
+sq AS (SELECT event_type AS cur,
+              LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS nxt
+       FROM b),
+t AS (SELECT cur, nxt, COUNT(*)::DOUBLE AS n FROM sq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2),
+p AS MATERIALIZED (SELECT cur, nxt,
+       n / SUM(n) OVER (PARTITION BY cur) AS p FROM t),
+st AS (SELECT DISTINCT s FROM
+        (SELECT cur AS s FROM p UNION ALL SELECT nxt FROM p)),
+kk AS (SELECT COUNT(*)::DOUBLE AS k FROM st),
+pi0 AS MATERIALIZED (SELECT s, 1.0 / k AS pi FROM st CROSS JOIN kk)"""
+    prev = "pi0"
+    for i in range(1, iters + 1):
+        s += f""",
+pi{i} AS MATERIALIZED (SELECT COALESCE(p.nxt, q.s) AS s,
+        SUM(q.pi * COALESCE(p.p, 1.0)) AS pi
+        FROM {prev} q LEFT JOIN p ON q.s = p.cur GROUP BY 1)"""
+        prev = f"pi{i}"
+    return s + f""",
+rowh AS (SELECT cur, SUM(-p * ln(p)) AS h FROM p GROUP BY 1),
+o AS (SELECT q.s AS state, q.pi AS piv, COALESCE(h, 0.0) AS hrow
+      FROM {prev} q LEFT JOIN rowh ON q.s = rowh.cur),
+rate AS (SELECT SUM(piv * hrow) AS r FROM o)
+SELECT state, ROUND(piv, 6) AS stationary_prob, ROUND(hrow, 6) AS row_entropy,
+       ROUND(r, 6) AS entropy_rate
+FROM o CROSS JOIN rate ORDER BY state;"""
+
+
+@_declare(
+    "X354_markov_stationary",
+    # Stationary behavior mix + entropy rate of the per-user
+    # event-type Markov chain (timeseries.markov_stationary, Shannon
+    # 1948): transitions from ONE per-key lag window + hash aggregate;
+    # the 20 power-iteration rounds run driver-side on the collected
+    # k²-bounded transition table (the X104 raking convention); the
+    # oracle unrolls the identical iterations (_markov_sql).
+    _markov_sql(),
+)
+def x354(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import markov_stationary
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_stationary(
+        ev, "user_id", "ts", "event_type", iters=20, tiebreak_col="event_id"
+    )
+
+
+@_declare(
+    "X355_head_token_profiles",
+    # Pairwise source similarity over top-30 head-token usage profiles
+    # (textstats.head_token_profile_similarity; the Mosteller-Wallace
+    # function-word fingerprint): TakeOrdered(30) head vocabulary,
+    # per-source distribution over exactly those tokens, cosine per
+    # source pair — the pair join is (sources x 30)-bounded, keyed on
+    # token (allowlisted), never rows².
+    """WITH toks AS (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+       FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+head AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1)
+         ORDER BY c DESC, w LIMIT 30),
+prof0 AS (SELECT src, toks.w, COUNT(*)::DOUBLE AS n
+          FROM toks JOIN head USING (w) GROUP BY 1, 2),
+prof AS (SELECT src, w, n / SUM(n) OVER (PARTITION BY src) AS p FROM prof0),
+nrm AS (SELECT src, sqrt(SUM(p * p)) AS nrm FROM prof GROUP BY 1),
+dots AS (SELECT a.src AS sa, b.src AS sb, SUM(a.p * b.p) AS dot
+         FROM prof a JOIN prof b USING (w)
+         WHERE a.src < b.src GROUP BY 1, 2)
+SELECT sa AS source_a, sb AS source_b,
+       ROUND(CASE WHEN na.nrm * nb.nrm > 0
+             THEN dot / (na.nrm * nb.nrm) END, 6) AS cosine
+FROM dots JOIN nrm na ON na.src = sa JOIN nrm nb ON nb.src = sb
+ORDER BY source_a, source_b;""",
+)
+def x355(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import (
+        head_token_profile_similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return head_token_profile_similarity(docs, k=30)
+
+
+@_declare(
+    "X356_shard_skew",
+    # Partition-key load-balance audit for hashing orders by customer
+    # into 32 shards (quality.shard_skew_audit): a shuffle's wall is
+    # its max shard, so imbalance = max/mean IS the straggler factor.
+    # One md5-bucket aggregate + a 1-row rollup; empty shards enter
+    # through the n_shards denominator.
+    """WITH l AS (SELECT CAST(('0x' || substr(md5('sk' || o_custkey::VARCHAR), 1, 8))
+                    AS BIGINT) % 32 AS b, COUNT(*)::DOUBLE AS l
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+a AS (SELECT COUNT(*)::BIGINT AS used, SUM(l) AS nr, MAX(l) AS mx,
+             SUM(l * l) AS sq FROM l)
+SELECT 32::BIGINT AS n_shards, used AS used_shards, nr::BIGINT AS n_rows,
+       mx::BIGINT AS max_load, ROUND(nr / 32.0, 6) AS mean_load,
+       ROUND(CASE WHEN nr > 0 THEN mx / (nr / 32.0) END, 6) AS imbalance,
+       ROUND(CASE WHEN nr > 0 THEN
+             sqrt(greatest(sq / 32.0 - (nr / 32.0) * (nr / 32.0), 0.0))
+             / (nr / 32.0) END, 6) AS cv
+FROM a;""",
+)
+def x356(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import shard_skew_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return shard_skew_audit(orders, "o_custkey", n_shards=32, salt="sk")
+
+
+@_declare(
+    "X357_join_fanout",
+    # Join fan-out audit for orders ⋈ lineitem on the order key
+    # (quality.join_fanout_audit): per-left-key match counts, exact
+    # fan-out percentiles, match rate, and the exact output-row count
+    # — the "will this join explode" read from the KEY relations, one
+    # grouped count per side + one keyed join of distinct keys.
+    """WITH lk AS (SELECT o_orderkey AS k, COUNT(*)::DOUBLE AS nl FROM orders
+           WHERE o_orderkey IS NOT NULL GROUP BY 1),
+rk AS (SELECT l_orderkey AS k, COUNT(*)::DOUBLE AS nr FROM lineitem
+       WHERE l_orderkey IS NOT NULL GROUP BY 1),
+j AS (SELECT nl, COALESCE(nr, 0) AS fo FROM lk LEFT JOIN rk USING (k))
+SELECT COUNT(*)::BIGINT AS n_left_keys,
+       SUM((fo > 0)::INT)::BIGINT AS matched_keys,
+       ROUND(AVG((fo > 0)::INT::DOUBLE), 6) AS match_rate,
+       SUM(nl * fo)::BIGINT AS output_rows, ROUND(AVG(fo), 6) AS fo_mean,
+       quantile_cont(fo, 0.5) AS fo_p50, quantile_cont(fo, 0.9) AS fo_p90,
+       quantile_cont(fo, 0.99) AS fo_p99, MAX(fo)::BIGINT AS fo_max
+FROM j;""",
+)
+def x357(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import join_fanout_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_fanout_audit(orders, li, "o_orderkey", "l_orderkey")

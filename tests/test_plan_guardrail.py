@@ -164,6 +164,10 @@ ALLOWED_PAIR_SELF_JOINS = {
     # X347: concordance double sum — cells x cells (bounded ordinal
     # classes squared), broadcast nested loop, never rows x rows
     "X347_ordinal_association": 1,
+    # X355: head-token profile cosine — the pair join is over the
+    # (sources x 30 head tokens)-bounded PROFILE relation keyed on
+    # token, sources being the small dimension; never rows x rows
+    "X355_head_token_profiles": 1,
     "X38_contamination": 1,
     "X47_upsert_snapshot": 1,
     "X48_training_pipeline": 1,

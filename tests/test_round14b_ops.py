@@ -1,5 +1,5 @@
-"""Round-14 tranche property pins (X342–X351): classical-test
-completeness + corpus diagnostics. Each operator's SURVEY row names
+"""Round-14 tranche property pins (X342–X357): classical-test
+completeness, corpus diagnostics, and scale-engineering audits. Each operator's SURVEY row names
 these pins; the DuckDB oracle parity for the same ten queries runs
 automatically in tests/test_llm_operators.py at both SFs."""
 import datetime
@@ -316,3 +316,135 @@ def test_obf_bounds_and_conservatism(spark):
         "ts", "arm", "x", "a", "b", looks=5, tiebreak_col="id",
     ).collect()
     assert all(not r["crossed"] for r in nout)
+
+
+# ---------------------------------------------------------------- theils_u
+def test_theils_u_determined_vs_independent(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import theils_u
+
+    # b = f(a): knowing a removes ALL of b's entropy -> U = 1
+    det = spark.createDataFrame(
+        [(a, a * 10) for a in (1, 2, 3) for _ in range(7)], "a int, b int"
+    )
+    assert theils_u(det, "a", "b").collect()[0]["u_b_a"] == 1.0
+    # independent uniform grid -> U = 0 exactly (cells = margins product)
+    ind = spark.createDataFrame(
+        [(a, b) for a in (1, 2) for b in (1, 2, 3) for _ in range(5)],
+        "a int, b int",
+    )
+    assert theils_u(ind, "a", "b").collect()[0]["u_b_a"] == 0.0
+    # constant b -> H(b)=0 -> NULL, not 1
+    const = spark.createDataFrame([(a, 9) for a in (1, 2, 3)], "a int, b int")
+    assert theils_u(const, "a", "b").collect()[0]["u_b_a"] is None
+
+
+# --------------------------------------------------------------- coherence
+def test_coherence_phase_locked_streams(spark):
+    from swivel_spark_prep_spark.operators.timeseries import coherence
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for t in range(240):
+        nx = 8 + round(4 * math.cos(2 * math.pi * t / 24))
+        # y: same 24h cycle shifted 12h (anti-phase) — a FIXED phase
+        # relation, which is exactly what coherence = 1 means
+        ny = 8 + round(4 * math.cos(2 * math.pi * (t + 12) / 24))
+        for _ in range(nx):
+            rows.append((b + datetime.timedelta(hours=t), eid, "x")); eid += 1
+        for _ in range(ny):
+            rows.append((b + datetime.timedelta(hours=t), eid, "y")); eid += 1
+    df = spark.createDataFrame(rows, "ts timestamp, id long, et string")
+    out = {r["period_hours"]: r for r in
+           coherence(df, "ts", "et", "x", "y", (24.0, 5.0)).collect()}
+    assert out[24.0]["coherence"] > 0.99
+    assert out[24.0]["power_x"] > 100 * max(out[5.0]["power_x"], 1e-9)
+    with pytest.raises(ValueError):
+        coherence(df, "ts", "et", "x", "y", ())
+
+
+# ------------------------------------------------------- markov_stationary
+def test_markov_stationary_hand_chains(spark):
+    from swivel_spark_prep_spark.operators.timeseries import markov_stationary
+
+    b = datetime.datetime(2024, 1, 1)
+    # alternating a,b,a,b,... : P(a->b)=P(b->a)=1, pi=(.5,.5), H rate 0
+    rows = [(1, b + datetime.timedelta(minutes=i), i,
+             "a" if i % 2 == 0 else "b") for i in range(21)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long, et string")
+    out = {r["state"]: r for r in
+           markov_stationary(df, "u", "ts", "et", tiebreak_col="id").collect()}
+    assert out["a"]["stationary_prob"] == 0.5
+    assert out["b"]["stationary_prob"] == 0.5
+    assert out["a"]["row_entropy"] == 0.0 and out["a"]["entropy_rate"] == 0.0
+    # absorbing state: a -> b, b never leaves -> pi(b) ~ 1
+    rows2 = [(1, b, 0, "a"), (1, b + datetime.timedelta(minutes=1), 1, "b")]
+    out2 = {r["state"]: r for r in
+            markov_stationary(
+                spark.createDataFrame(
+                    rows2, "u long, ts timestamp, id long, et string"
+                ), "u", "ts", "et", tiebreak_col="id").collect()}
+    assert out2["b"]["stationary_prob"] > 0.999
+    assert out2["a"]["stationary_prob"] < 1e-3
+    with pytest.raises(ValueError):
+        markov_stationary(df, "u", "ts", "et", iters=0)
+    # empty input -> empty relation, not a crash
+    empty = spark.createDataFrame([], "u long, ts timestamp, id long, et string")
+    assert markov_stationary(empty, "u", "ts", "et").count() == 0
+
+
+# ------------------------------------------- head_token_profile_similarity
+def test_head_profiles_clones_and_disjoint(spark):
+    from swivel_spark_prep_spark.operators.textstats import (
+        head_token_profile_similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc", "A"), (2, "aa bb aa cc", "B"),
+         (3, "xx yy zz xx", "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): r["cosine"]
+           for r in head_token_profile_similarity(docs, k=10).collect()}
+    assert out[("A", "B")] == 1.0      # identical usage profiles
+    # zero-overlap pairs are absent by convention (token-keyed join
+    # never materializes the zero cells)
+    assert ("A", "C") not in out and ("B", "C") not in out
+    with pytest.raises(ValueError):
+        head_token_profile_similarity(docs, k=0)
+
+
+# --------------------------------------------------------- shard_skew_audit
+def test_shard_skew_hot_key_and_uniform(spark):
+    from swivel_spark_prep_spark.operators.quality import shard_skew_audit
+
+    # one key = one shard carries everything: imbalance = n_shards,
+    # population cv over loads (N,0,0,0) = sqrt(3)
+    hot = spark.createDataFrame([(7,)] * 100, "k long")
+    r = shard_skew_audit(hot, "k", n_shards=4).collect()[0]
+    assert r["used_shards"] == 1 and r["n_rows"] == 100
+    assert r["imbalance"] == 4.0
+    assert abs(r["cv"] - math.sqrt(3)) < 1e-6
+    # many distinct keys spread out: every shard used, imbalance small
+    uni = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+    r2 = shard_skew_audit(uni, "k", n_shards=4).collect()[0]
+    assert r2["used_shards"] == 4
+    assert 1.0 <= r2["imbalance"] < 1.2
+    with pytest.raises(ValueError):
+        shard_skew_audit(hot, "k", n_shards=0)
+
+
+# -------------------------------------------------------- join_fanout_audit
+def test_join_fanout_hand_fixture(spark):
+    from swivel_spark_prep_spark.operators.quality import join_fanout_audit
+
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame(
+        [(1,), (1,), (3,), (3,), (3,), (3,), (3,)], "k long"
+    )
+    r = join_fanout_audit(left, right, "k", "k").collect()[0]
+    assert r["n_left_keys"] == 3 and r["matched_keys"] == 2
+    assert abs(r["match_rate"] - 2 / 3) < 1e-6
+    assert r["output_rows"] == 7  # 1*2 + 1*0 + 1*5
+    assert r["fo_p50"] == 2.0 and r["fo_max"] == 5
+    assert abs(r["fo_mean"] - 7 / 3) < 1e-6
