@@ -301,6 +301,25 @@ def _build_parser() -> argparse.ArgumentParser:
     ab.add_argument("--arm-b", default="b")
     ab.add_argument("--master", default=None)
 
+    pf = sub.add_parser(
+        "preflight",
+        help="pre-shuffle scale audits: shard-skew of hashing --input "
+        "by --key into --shards buckets, plus (with --join-input) the "
+        "join fan-out distribution against --join-key — one JSON line",
+    )
+    pf.add_argument("--input", required=True, help="parquet table")
+    pf.add_argument("--key", required=True, help="partition/join key column")
+    pf.add_argument("--shards", type=int, default=200)
+    pf.add_argument(
+        "--join-input", default=None,
+        help="optional right-side parquet for the fan-out audit",
+    )
+    pf.add_argument(
+        "--join-key", default=None,
+        help="right-side key column (default: --key)",
+    )
+    pf.add_argument("--master", default=None)
+
     return p
 
 
@@ -824,6 +843,26 @@ def _dispatch(args, spark, owns_session) -> int:
                     .collect()
                 ],
             }
+            print(_json.dumps(rep, default=str))
+        elif args.cmd == "preflight":
+            import json as _json
+
+            from swivel_spark_prep_spark.operators.quality import (
+                join_fanout_audit,
+                shard_skew_audit,
+            )
+
+            df = spark.read.parquet(args.input)
+            rep = {
+                "shard_skew": shard_skew_audit(
+                    df, args.key, n_shards=args.shards
+                ).collect()[0].asDict()
+            }
+            if args.join_input:
+                right = spark.read.parquet(args.join_input)
+                rep["join_fanout"] = join_fanout_audit(
+                    df, right, args.key, args.join_key or args.key
+                ).collect()[0].asDict()
             print(_json.dumps(rep, default=str))
         elif args.cmd == "bench-query":
             import time

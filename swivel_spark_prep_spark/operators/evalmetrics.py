@@ -3931,3 +3931,151 @@ def theils_u(
             6,
         ).alias("u_b_a"),
     )
+
+
+def cuzick_trend(
+    df: DataFrame,
+    value_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Cuzick's nonparametric trend test across ORDERED groups (Cuzick
+    1985) — the dose-response question Kruskal–Wallis can't answer
+    (KW sees "some group differs"; Cuzick sees "values RISE with the
+    group score"): with ordinal group scores sⱼ and pooled midranks
+    Rᵢ,
+
+        L = Σᵢ s(gᵢ)·Rᵢ,   E[L] = (N+1)/2·Σ nⱼsⱼ,
+        Var[L] = (N+1)/12·(N·Σ nⱼsⱼ² − (Σ nⱼsⱼ)²),
+        z = (L − E)/√Var
+
+    Midranks handle ties in the values; the classical variance (no tie
+    correction) is used and replayed verbatim by the oracle — with
+    continuous values the correction is negligible, and the convention
+    is what matters for parity.
+
+    Scale design: one _fractional_ranks prefix pass (the BM/MWU
+    machinery — no global window), one grouped count, 1-row
+    arithmetic. Output one row: (n, k, l_stat, e_l, z).
+    """
+    base = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_s").isNotNull() & F.col("_x").isNotNull())
+    ranked = _fractional_ranks(base, "_x", "_r", None)
+    stats = ranked.agg(
+        F.count("*").cast("double").alias("_N"),
+        F.sum(F.col("_s") * F.col("_r")).alias("_L"),
+    )
+    per = base.groupBy("_s").agg(F.count("*").cast("double").alias("_n"))
+    marg = per.agg(
+        F.count("*").alias("_k"),
+        F.sum(F.col("_n") * F.col("_s")).alias("_ns"),
+        F.sum(F.col("_n") * F.col("_s") * F.col("_s")).alias("_ns2"),
+    )
+    out = stats.crossJoin(F.broadcast(marg))
+    nn = F.col("_N")
+    e = (nn + 1) / 2.0 * F.col("_ns")
+    var = (nn + 1) / 12.0 * (nn * F.col("_ns2") - F.col("_ns") * F.col("_ns"))
+    return out.select(
+        nn.cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        F.round("_L", 6).alias("l_stat"),
+        F.round(e, 6).alias("e_l"),
+        F.round(
+            F.when(var > 0, (F.col("_L") - e) / F.sqrt(var)), 6
+        ).alias("z"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: float = 0.05,
+) -> DataFrame:
+    """Per-group winsorized moments (Winsor via Tukey 1962; Yuen's
+    X310 companion — trimming DELETES the tails, winsorizing CLAMPS
+    them, keeping n and giving a mean/sd usable downstream where
+    row counts must reconcile): values below the group's p-quantile
+    (above the 1−p) are set to that quantile, then plain moments.
+
+    Scale design: one grouped EXACT-percentile aggregate (broadcast —
+    the group relation is control-plane), one clamped moments pass.
+    Output per group: (group, n, lo_cap, hi_cap, win_mean, win_std),
+    ordered.
+    """
+    if not 0.0 <= p < 0.5:
+        raise ValueError(f"p must be in [0, 0.5), got {p}")
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_x")
+    )
+    caps = base.groupBy("_g").agg(
+        F.percentile("_x", F.lit(float(p))).alias("_lo"),
+        F.percentile("_x", F.lit(1.0 - float(p))).alias("_hi"),
+    )
+    clamped = base.join(F.broadcast(caps), "_g").select(
+        "_g",
+        "_lo",
+        "_hi",
+        F.least(F.greatest(F.col("_x"), F.col("_lo")), F.col("_hi")).alias(
+            "_w"
+        ),
+    )
+    return (
+        clamped.groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.max("_lo"), 6).alias("lo_cap"),
+            F.round(F.max("_hi"), 6).alias("hi_cap"),
+            F.round(F.avg("_w"), 6).alias("win_mean"),
+            F.round(F.stddev_samp("_w"), 6).alias("win_std"),
+        )
+        .select(F.col("_g").alias("group"), "n", "lo_cap", "hi_cap",
+                "win_mean", "win_std")
+        .orderBy("group")
+    )
+
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Grubbs' maximum-normed-residual statistic (Grubbs 1950): the
+    single-most-extreme observation's distance from the mean in sd
+    units, G = max|xᵢ − x̄|/s, plus the offending value — the
+    classical "is my worst point an outlier" screen (compare G to the
+    t-based critical value for the chosen α; the statistic and the
+    suspect are the distributed part, the lookup is a constant).
+
+    Scale design: one moments aggregate (broadcast), one max_by scan —
+    no sort, no window. Deterministic suspect: ties on |deviation|
+    break toward the SMALLEST value (min_by on (-dev, x)). Output one
+    row: (n, mean, std, g_stat, suspect_value).
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("_x"))
+    mom = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_x").alias("_m"),
+        F.stddev_samp("_x").alias("_s"),
+    )
+    dev = base.crossJoin(F.broadcast(mom)).select(
+        "_x", "_n", "_m", "_s", F.abs(F.col("_x") - F.col("_m")).alias("_d")
+    )
+    top = dev.agg(
+        F.max("_n").alias("_n"),
+        F.max("_m").alias("_m"),
+        F.max("_s").alias("_s"),
+        F.max("_d").alias("_dmax"),
+        F.min_by("_x", F.struct(-F.col("_d"), F.col("_x"))).alias("_sus"),
+    )
+    return top.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 6).alias("mean"),
+        F.round("_s", 6).alias("std"),
+        F.round(
+            F.when(F.col("_s") > 0, F.col("_dmax") / F.col("_s")), 6
+        ).alias("g_stat"),
+        F.round("_sus", 6).alias("suspect_value"),
+    )

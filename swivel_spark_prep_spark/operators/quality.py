@@ -1623,3 +1623,58 @@ def join_fanout_audit(
         F.percentile("_fo", F.lit(0.99)).alias("fo_p99"),
         F.max("_fo").cast("long").alias("fo_max"),
     )
+
+
+def fdr_by(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Yekutieli FDR control under ARBITRARY dependence
+    (Benjamini & Yekutieli 2001) — fdr_bh's guarantee assumes
+    independent or positively-dependent tests; when the p-values share
+    data (overlapping windows, nested slices) BY keeps the same FDR
+    bound by paying the harmonic-number price: reject below the
+    largest p with p ≤ c(p)·q/(m·H_m), H_m = Σ_{i≤m} 1/i (≈ ln m +
+    0.577 — roughly a log-m power cut versus BH).
+
+    Scale design: identical prefix-count plan to fdr_bh (distinct-p
+    relation, range-partitioned running count, never a triangular
+    join); H_m is computed from the single collected test count —
+    one scalar, control-plane. Input rows pass through with
+    (m_tests, h_m, p_cutoff, rejected) appended; NULL p never rejects.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    dp = (
+        df.select(F.col(p_col).cast("double").alias("_pd"))
+        .filter(F.col("_pd").isNotNull())
+        .groupBy("_pd")
+        .agg(F.count("*").alias("_n"))
+    )
+    cnt = partitioned_prefix_sum(
+        dp, ["_pd"], "_n", ["_c"], inclusive=True
+    ).select("_pd", "_c")
+    m_row = dp.agg(F.sum("_n").alias("_m")).collect()[0]
+    m_val = int(m_row["_m"] or 0)
+    h_m = sum(1.0 / i for i in range(1, m_val + 1)) if m_val else 0.0
+    cut = cnt.filter(
+        F.col("_pd") <= F.col("_c") * q / (float(m_val) * h_m)
+        if m_val
+        else F.lit(False)
+    ).agg(F.max("_pd").alias("_cut"))
+    return (
+        df.crossJoin(F.broadcast(cut))
+        .select(
+            "*",
+            F.lit(m_val).cast("long").alias("m_tests"),
+            F.round(F.lit(h_m), 6).alias("h_m"),
+            F.col("_cut").alias("p_cutoff"),
+            F.coalesce(F.col(p_col) <= F.col("_cut"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+        .drop("_cut")
+    )

@@ -13469,3 +13469,150 @@ def x357(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return join_fanout_audit(orders, li, "o_orderkey", "l_orderkey")
+
+
+@_declare(
+    "X358_cuzick_trend",
+    # Cuzick's trend test across ordered time-of-day buckets
+    # (evalmetrics.cuzick_trend, 1985): does event value RISE with the
+    # 6-hour bucket score — the dose-response read Kruskal-Wallis
+    # (X217) can't give. One midrank prefix pass + 1-row arithmetic;
+    # classical no-tie-correction variance, replayed verbatim.
+    """WITH b AS (SELECT (EXTRACT(hour FROM ts) // 6)::DOUBLE AS s,
+             value::DOUBLE AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+r AS (SELECT s, x, RANK() OVER (ORDER BY x) - 1
+             + (COUNT(*) OVER (PARTITION BY x) + 1)/2.0 AS rk FROM b),
+st AS (SELECT COUNT(*)::DOUBLE AS nn, SUM(s * rk) AS l FROM r),
+per AS (SELECT s, COUNT(*)::DOUBLE AS n FROM b GROUP BY 1),
+marg AS (SELECT COUNT(*)::BIGINT AS k, SUM(n * s) AS ns,
+                SUM(n * s * s) AS ns2 FROM per)
+SELECT nn::BIGINT AS n, k, ROUND(l, 6) AS l_stat,
+       ROUND((nn + 1) / 2.0 * ns, 6) AS e_l,
+       ROUND(CASE WHEN (nn + 1) / 12.0 * (nn * ns2 - ns * ns) > 0
+             THEN (l - (nn + 1) / 2.0 * ns)
+                  / sqrt((nn + 1) / 12.0 * (nn * ns2 - ns * ns)) END, 6) AS z
+FROM st CROSS JOIN marg;""",
+)
+def x358(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import cuzick_trend
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        F.floor(F.hour("ts") / 6).cast("double").alias("tod"),
+        "value",
+    )
+    return cuzick_trend(scored, "value", "tod")
+
+
+@_declare(
+    "X359_winsorized_stats",
+    # Per-event-type winsorized moments at p=0.05 (evalmetrics.
+    # winsorized_stats): clamp instead of trim — n is preserved, the
+    # tails stop dominating the mean/sd. One grouped exact-percentile
+    # aggregate (broadcast) + one clamped moments pass.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS x FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+caps AS (SELECT g, quantile_cont(x, 0.05) AS lo, quantile_cont(x, 0.95) AS hi
+         FROM b GROUP BY 1),
+w AS (SELECT b.g, lo, hi, LEAST(GREATEST(x, lo), hi) AS wv
+      FROM b JOIN caps USING (g))
+SELECT g AS "group", COUNT(*)::BIGINT AS n, ROUND(MAX(lo), 6) AS lo_cap,
+       ROUND(MAX(hi), 6) AS hi_cap, ROUND(AVG(wv), 6) AS win_mean,
+       ROUND(stddev_samp(wv), 6) AS win_std
+FROM w GROUP BY g ORDER BY "group";""",
+)
+def x359(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import winsorized_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorized_stats(ev, "value", "event_type", p=0.05)
+
+
+@_declare(
+    "X360_grubbs",
+    # Grubbs' maximum-normed-residual outlier screen over event values
+    # (evalmetrics.grubbs_test, 1950): G = max|x - mean|/sd plus the
+    # suspect value — one moments broadcast + one min_by scan, no sort.
+    """WITH b AS (SELECT value::DOUBLE AS x FROM events WHERE value IS NOT NULL),
+m AS (SELECT COUNT(*)::DOUBLE AS n, AVG(x) AS mu, stddev_samp(x) AS s FROM b),
+d AS (SELECT x, n, mu, s, ABS(x - mu) AS dev FROM b CROSS JOIN m),
+mx AS (SELECT MAX(dev) AS dmax FROM d)
+SELECT MAX(n)::BIGINT AS n, ROUND(MAX(mu), 6) AS mean, ROUND(MAX(s), 6) AS std,
+       ROUND(CASE WHEN MAX(s) > 0 THEN MAX(dev) / MAX(s) END, 6) AS g_stat,
+       ROUND(MIN(CASE WHEN dev = dmax THEN x END), 6) AS suspect_value
+FROM d CROSS JOIN mx;""",
+)
+def x360(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import grubbs_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return grubbs_test(ev, "value")
+
+
+@_declare(
+    "X361_fdr_by",
+    # Benjamini-Yekutieli FDR under arbitrary dependence over the SAME
+    # per-language KS drift p-values Holm adjusts in X302 (quality.
+    # fdr_by, 2001): the harmonic-number price for dependent tests —
+    # identical prefix-count plan to fdr_bh, H_m from the single
+    # collected test count (one scalar, control-plane).
+    """WITH g AS (SELECT lang, n_chars AS v,
+                 (source = 'src0')::INT AS a, (source = 'src1')::INT AS b
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            AND source IN ('src0', 'src1')),
+c AS (SELECT lang, v, SUM(a) AS ca, SUM(b) AS cb FROM g GROUP BY 1, 2),
+cu AS (SELECT lang,
+              SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cca,
+              SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS ccb
+       FROM c),
+t AS (SELECT lang, SUM(ca)::DOUBLE AS na, SUM(cb)::DOUBLE AS nb FROM c GROUP BY 1),
+ks AS (SELECT lang,
+              MAX(CASE WHEN na > 0 AND nb > 0 THEN ABS(cca / na - ccb / nb) END)
+              * SQRT(na * nb / (na + nb)) AS k
+       FROM cu JOIN t USING (lang) GROUP BY lang, na, nb),
+p AS (SELECT lang, k, LEAST(1.0, 2 * exp(-2 * k * k)) AS pv FROM ks),
+m AS (SELECT COUNT(pv)::BIGINT AS m FROM p),
+h AS (SELECT SUM(u) AS hm FROM (SELECT unnest(list_transform(
+        range(1, (SELECT m FROM m) + 1), x -> 1.0 / x)) AS u)),
+dp AS (SELECT pv AS pd, COUNT(*)::DOUBLE AS t FROM p WHERE pv IS NOT NULL
+       GROUP BY 1),
+cn AS (SELECT pd, SUM(t) OVER (ORDER BY pd
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM dp),
+cut AS (SELECT MAX(pd) AS cut FROM cn CROSS JOIN m CROSS JOIN h
+        WHERE pd <= c * 0.05 / (m.m * h.hm))
+SELECT lang, ROUND(k, 4) AS ks_stat, ROUND(pv, 6) AS p,
+       m.m AS m_tests, ROUND(h.hm, 6) AS h_m, cut.cut AS p_cutoff,
+       COALESCE(pv <= cut.cut, FALSE) AS rejected
+FROM p CROSS JOIN m CROSS JOIN h CROSS JOIN cut ORDER BY lang;""",
+)
+def x361(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import fdr_by, ks_test
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    ks = ks_test(docs, "n_chars", "source", "src0", "src1", slice_col="lang")
+    withp = ks.select(
+        "lang",
+        F.col("ks_stat").alias("k"),
+        F.least(
+            F.lit(1.0), 2 * F.exp(-2 * F.col("ks_stat") * F.col("ks_stat"))
+        ).alias("pv"),
+    )
+    return (
+        fdr_by(withp, "pv", q=0.05)
+        .select(
+            "lang",
+            F.round("k", 4).alias("ks_stat"),
+            F.round("pv", 6).alias("p"),
+            "m_tests",
+            "h_m",
+            "p_cutoff",
+            "rejected",
+        )
+        .orderBy("lang")
+    )

@@ -448,3 +448,115 @@ def test_join_fanout_hand_fixture(spark):
     assert r["output_rows"] == 7  # 1*2 + 1*0 + 1*5
     assert r["fo_p50"] == 2.0 and r["fo_max"] == 5
     assert abs(r["fo_mean"] - 7 / 3) < 1e-6
+
+
+# ------------------------------------------------------------ preflight CLI
+def test_cli_preflight(spark, tmp_path, capsys):
+    import json
+
+    from swivel_spark_prep_spark import cli
+
+    left = str(tmp_path / "fact")
+    right = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(i % 5,) for i in range(100)], "k long"
+    ).write.parquet(left)
+    spark.createDataFrame(
+        [(k,) for k in (0, 1, 2) for _ in range(3)], "k long"
+    ).write.parquet(right)
+    rc = cli.main([
+        "preflight", "--input", left, "--key", "k", "--shards", "8",
+        "--join-input", right, "--join-key", "k",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["shard_skew"]["n_rows"] == 100
+    assert rep["shard_skew"]["n_shards"] == 8
+    assert rep["join_fanout"]["n_left_keys"] == 5
+    assert rep["join_fanout"]["matched_keys"] == 3
+    assert rep["join_fanout"]["output_rows"] == 180  # 3 keys x 20 x 3
+
+
+# ------------------------------------------------------------ cuzick_trend
+def test_cuzick_trend_direction_and_null(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import cuzick_trend
+
+    # values rise with the score -> strongly positive z
+    up = spark.createDataFrame(
+        [(float(s), float(s * 10 + i)) for s in (0, 1, 2) for i in range(20)],
+        "s double, x double",
+    )
+    r = cuzick_trend(up, "x", "s").collect()[0]
+    assert r["z"] > 5 and r["k"] == 3 and r["n"] == 60
+    # perfectly separated and DESCENDING -> mirrored z
+    down = spark.createDataFrame(
+        [(float(s), float(-s * 10 + i)) for s in (0, 1, 2) for i in range(20)],
+        "s double, x double",
+    )
+    r2 = cuzick_trend(down, "x", "s").collect()[0]
+    assert abs(r2["z"] + r["z"]) < 1e-6
+    # exchangeable groups -> L == E[L] exactly (identical rank mix)
+    flat = spark.createDataFrame(
+        [(float(s), float(i % 7)) for s in (0, 1, 2) for i in range(21)],
+        "s double, x double",
+    )
+    r3 = cuzick_trend(flat, "x", "s").collect()[0]
+    assert abs(r3["l_stat"] - r3["e_l"]) < 1e-6
+
+
+# --------------------------------------------------------- winsorized_stats
+def test_winsorized_clamps_outlier(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import winsorized_stats
+
+    # one wild outlier among 100: plain mean is dragged (~10 050),
+    # the winsorized mean is not — the 0.95 quantile sits inside the
+    # normal range so the clamp actually bites
+    rows = [("g", float(i % 50)) for i in range(99)] + [("g", 1e6)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = winsorized_stats(df, "x", "g", p=0.05).collect()[0]
+    assert r["n"] == 100
+    assert r["win_mean"] < 50  # plain mean would be ~10 024
+    assert r["hi_cap"] < 100 and r["lo_cap"] >= 0.0
+    with pytest.raises(ValueError):
+        winsorized_stats(df, "x", "g", p=0.5)
+
+
+# ---------------------------------------------------------------- grubbs
+def test_grubbs_finds_planted_outlier(spark):
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.evalmetrics import grubbs_test
+
+    vals = [float(i % 10) for i in range(50)] + [500.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = grubbs_test(df, "x").collect()[0]
+    assert r["suspect_value"] == 500.0
+    g = max(abs(np.array(vals) - np.mean(vals))) / np.std(vals, ddof=1)
+    assert abs(r["g_stat"] - g) < 1e-6
+    # constant column -> NULL G
+    const = spark.createDataFrame([(3.0,)] * 10, "x double")
+    assert grubbs_test(const, "x").collect()[0]["g_stat"] is None
+
+
+# ----------------------------------------------------------------- fdr_by
+def test_fdr_by_harmonic_price_vs_bh(spark):
+    from swivel_spark_prep_spark.operators.quality import fdr_bh, fdr_by
+
+    # 10 p-values; the middling ones pass BH but fail BY's stricter cut
+    ps = [0.001, 0.002, 0.015, 0.02, 0.03, 0.2, 0.4, 0.6, 0.8, 0.9]
+    df = spark.createDataFrame([(p,) for p in ps], "pv double")
+    bh = {r["pv"]: r["rejected"] for r in fdr_bh(df, "pv", q=0.05).collect()}
+    by_rows = fdr_by(df, "pv", q=0.05).collect()
+    by = {r["pv"]: r["rejected"] for r in by_rows}
+    hm = sum(1.0 / i for i in range(1, 11))
+    assert by_rows[0]["h_m"] == round(hm, 6)
+    assert by_rows[0]["m_tests"] == 10
+    # BY rejections are a subset of BH's (strictly more conservative)
+    assert all(bh[p] for p in ps if by[p])
+    assert sum(by.values()) < sum(bh.values())
+    # the BY cutoff is exactly the BH rule at q/H_m
+    bh_scaled = {r["pv"]: r["rejected"]
+                 for r in fdr_bh(df, "pv", q=0.05 / hm).collect()}
+    assert by == bh_scaled
+    with pytest.raises(ValueError):
+        fdr_by(df, "pv", q=1.5)
