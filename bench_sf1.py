@@ -407,6 +407,37 @@ def main() -> None:
         "X331_kendall_tau_daily",
         "X338_qini_curve",
         "X339_pocock_monitor",
+        # Round-14 tranche (X342-X361), all of it: every op touches a
+        # corpus-scale relation. Scale stories: X342/X353 are the
+        # bucketing-aggregate + bounded-period fan-out (wall should
+        # track the events scan); X343/X350/X355 ride gram/bigram
+        # relations that grow ~10x under the suffix scheme; X348 is
+        # the KM prefix family; X351 the accrual prefix machinery;
+        # X354's lag window is the 10x-partitions-constant-depth
+        # shape; X358's midrank pass is the order-statistic class;
+        # X361 composes X302's KS relation + the BH prefix plan;
+        # X344/X345/X346/X347/X349/X352/X356/X357/X359/X360 are
+        # single-scan moments/contingency shapes (scan-bound).
+        "X342_periodogram",
+        "X343_ngram_overlap",
+        "X344_missingness_audit",
+        "X345_bartlett",
+        "X346_mood_median",
+        "X347_ordinal_association",
+        "X348_km_greenwood",
+        "X349_vif",
+        "X350_dunning_llr",
+        "X351_obf_monitor",
+        "X352_theils_u",
+        "X353_coherence",
+        "X354_markov_stationary",
+        "X355_head_token_profiles",
+        "X356_shard_skew",
+        "X357_join_fanout",
+        "X358_cuzick_trend",
+        "X359_winsorized_stats",
+        "X360_grubbs",
+        "X361_fdr_by",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
