@@ -13616,3 +13616,72 @@ def x361(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _ad_ksample_sql(groups=("click", "error", "purchase", "signup", "view")) -> str:
+    """Generated DuckDB twin for X362 (Scholz–Stephens k-sample AD):
+    the distinct-value window replay of A²ₐₖₙ plus the paper's exact
+    variance — harmonic prefix over range(N) and the O(N) identity
+    g = Σⱼ (H_{N−1} − H_{N−j})/j as a self-join on the harmonic
+    relation. k conditional-count columns are generated per group."""
+    k = len(groups)
+    fcols = ", ".join(
+        f"SUM((g = '{g}')::INT)::DOUBLE AS f{i}" for i, g in enumerate(groups)
+    )
+    cumcols = ", ".join(
+        f"SUM(f{i}) OVER w AS cf{i}" for i in range(k)
+    )
+    ncols = ", ".join(f"SUM(f{i}) AS n{i}" for i in range(k))
+    sterms = ", ".join(
+        f"""SUM(CASE WHEN (cl - l/2)*(N - (cl - l/2)) - N*l/4 > 0
+        THEN (l/N)*pow(N*(cf{i} - f{i}/2) - n{i}*(cl - l/2), 2)
+             / ((cl - l/2)*(N - (cl - l/2)) - N*l/4) ELSE 0 END) AS s{i}"""
+        for i in range(k)
+    )
+    a2sum = " + ".join(f"s{i}/n{i}" for i in range(k))
+    hcap = " + ".join(f"1.0/n{i}" for i in range(k))
+    return f"""WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l, {fcols} FROM b GROUP BY 1),
+cum AS (SELECT *, SUM(l) OVER w AS cl, {cumcols} FROM cells
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT SUM(l) AS N, {ncols} FROM cells),
+s AS (SELECT {sterms} FROM cum CROSS JOIN tot),
+a2 AS (SELECT (N - 1)/N*({a2sum}) AS a2, ({hcap}) AS hcap
+       FROM s CROSS JOIN tot),
+har AS (SELECT i, SUM(1.0/i) OVER (ORDER BY i) AS H
+        FROM (SELECT unnest(range(1, (SELECT N::BIGINT FROM tot) + 1)) AS i)),
+hn AS (SELECT H AS h FROM har WHERE i = (SELECT N::BIGINT FROM tot) - 1),
+gg AS (SELECT SUM((hn.h - h2.H)/j.i) AS g
+       FROM har j JOIN har h2 ON h2.i = (SELECT N::BIGINT FROM tot) - j.i
+       CROSS JOIN hn
+       WHERE j.i BETWEEN 2 AND (SELECT N::BIGINT FROM tot) - 1),
+vv AS (SELECT
+  (((4*g - 6)*({k} - 1) + (10 - 6*g)*hcap) * N*N*N
+   + ((2*g - 4)*{k}*{k} + 8*h*{k} + (2*g - 14*h - 4)*hcap - 8*h + 4*g - 6) * N*N
+   + ((6*h + 2*g - 2)*{k}*{k} + (4*h - 4*g + 6)*{k} + (2*h - 6)*hcap + 4*h) * N
+   + ((2*h + 6)*{k}*{k} - 4*h*{k}))
+  / ((N - 1)*(N - 2)*(N - 3)) AS var
+  FROM a2 CROSS JOIN hn CROSS JOIN gg CROSS JOIN tot)
+SELECT {k}::BIGINT AS k, N::BIGINT AS n, ROUND(a2, 6) AS a2,
+       ROUND(CASE WHEN var > 0 THEN sqrt(var) END, 6) AS sigma,
+       ROUND(CASE WHEN var > 0 THEN (a2 - ({k} - 1))/sqrt(var) END, 6)
+         AS t_stat
+FROM a2 CROSS JOIN vv CROSS JOIN tot;"""
+
+
+@_declare(
+    "X362_ad_ksample",
+    # k-sample Anderson-Darling over event values by type (evalmetrics.
+    # ad_ksample; Scholz-Stephens 1987 tie-adjusted A2akN + their exact
+    # variance): the tail-weighted k-sample comparison that sees mixture
+    # shifts KS dilutes. One distinct-value aggregate carrying k
+    # conditional-count COLUMNS, one range-partitioned prefix pass,
+    # sigma/T from O(N) driver-side harmonic scalars.
+    _ad_ksample_sql(),
+)
+def x362(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import ad_ksample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ad_ksample(ev, "value", "event_type")

@@ -1,7 +1,8 @@
-"""Round-14 tranche property pins (X342–X357): classical-test
-completeness, corpus diagnostics, and scale-engineering audits. Each operator's SURVEY row names
-these pins; the DuckDB oracle parity for the same ten queries runs
-automatically in tests/test_llm_operators.py at both SFs."""
+"""Round-14 tranche property pins (X342–X362): classical-test
+completeness, corpus diagnostics, and scale-engineering audits. Each
+operator's SURVEY row names these pins; the DuckDB oracle parity for
+the same queries runs automatically in tests/test_llm_operators.py at
+both SFs."""
 import datetime
 import math
 
@@ -560,3 +561,33 @@ def test_fdr_by_harmonic_price_vs_bh(spark):
     assert by == bh_scaled
     with pytest.raises(ValueError):
         fdr_by(df, "pv", q=1.5)
+
+
+# --------------------------------------------------------------- ad_ksample
+def test_ad_ksample_scholz_stephens_published_example(spark):
+    """The paper's worked four-sample example (Scholz & Stephens 1987,
+    water-quality data): A2akN = 8.3926, sigma = 1.2038, T = 4.48 —
+    the exact published values, midrank/tie-adjusted version."""
+    from swivel_spark_prep_spark.operators.evalmetrics import ad_ksample
+
+    t1 = [38.7, 41.5, 43.8, 44.5, 45.5, 46.0, 47.7, 58.0]
+    t2 = [39.2, 39.3, 39.7, 41.4, 41.8, 42.9, 43.3, 45.8]
+    t3 = [34.0, 35.0, 39.0, 40.0, 43.0, 43.0, 44.0, 45.0]
+    t4 = [34.0, 34.8, 34.8, 35.4, 37.2, 37.8, 41.2, 42.8]
+    rows = [(f"g{i}", v) for i, s in enumerate([t1, t2, t3, t4]) for v in s]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = ad_ksample(df, "x", "g").collect()[0]
+    assert r["k"] == 4 and r["n"] == 32
+    assert abs(r["a2"] - 8.3926) < 5e-4
+    assert abs(r["sigma"] - 1.2038) < 5e-4
+    assert abs(r["t_stat"] - 4.4798) < 5e-4
+    # identical samples -> A2 near 0, T well negative (no evidence)
+    same = spark.createDataFrame(
+        [(g, float(i % 10)) for g in ("a", "b") for i in range(30)],
+        "g string, x double",
+    )
+    r2 = ad_ksample(same, "x", "g").collect()[0]
+    assert r2["t_stat"] < 0
+    with pytest.raises(ValueError):
+        ad_ksample(spark.createDataFrame([("a", 1.0)], "g string, x double"),
+                   "x", "g")
