@@ -438,6 +438,10 @@ def main() -> None:
         "X359_winsorized_stats",
         "X360_grubbs",
         "X361_fdr_by",
+        # X362's distinct-value relation tracks distinct event values
+        # (~10x under the shift scheme); the prefix pass is the
+        # order-statistic class, sigma is O(N) driver scalars.
+        "X362_ad_ksample",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
