@@ -442,6 +442,12 @@ def main() -> None:
         # (~10x under the shift scheme); the prefix pass is the
         # order-statistic class, sigma is O(N) driver scalars.
         "X362_ad_ksample",
+        # X363/X365 are bounded-literal-explode aggregate shapes over
+        # the events scan; X364 is the KM prefix family minus the
+        # risk-set shrinkage.
+        "X363_haar_energy",
+        "X364_mcf_recurrent",
+        "X365_chow_sweep",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

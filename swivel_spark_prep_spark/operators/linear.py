@@ -687,3 +687,95 @@ def chow_test(
         F.col("_n2").cast("long").alias("n_2"),
         F.round(fstat, 6).alias("f_stat"),
     )
+
+
+def chow_sweep(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str,
+    fractions: tuple = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
+) -> DataFrame:
+    """Chow break-point SWEEP (Quandt 1960's sup-F idea over a bounded
+    candidate grid): :func:`chow_test` asks "did the y~x relationship
+    change at the midpoint"; this asks WHERE — the same F statistic
+    evaluated at each candidate time fraction, with the argmax flagged.
+    A bounded grid (not every observation) keeps the scan single-pass
+    and the multiple-testing story honest: sup-F critical values
+    (Andrews 1993) are grid-size constants the caller looks up.
+
+    Scale design: one (min,max) pass broadcast back; ONE
+    conditional-moments aggregate per candidate via a bounded literal
+    explode (|fractions| rows per input row — the X342 period-probe
+    shape); F is row arithmetic on the |fractions|-row relation and
+    the argmax a 1-row broadcast. Output per candidate: (frac, n_1,
+    n_2, f_stat) + best_frac (max F, ties toward the earlier break).
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(not 0.0 < f < 1.0 for f in fractions):
+        raise ValueError(f"fractions must be in (0, 1), got {fractions}")
+    y = F.col(y_col).cast("double")
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    # x_col == ts_col is the trend-break sweep (y ~ t with a break in
+    # trend); TIMESTAMP_NTZ needs the two-step cast either way
+    x = t if x_col == ts_col else F.col(x_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull() & F.col(ts_col).isNotNull()
+    ).select(x.alias("_x"), y.alias("_y"), t.alias("_t"))
+    rng = base.agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+    fr = F.array(*[F.lit(float(f)) for f in sorted(fractions)])
+    e = (
+        base.crossJoin(F.broadcast(rng))
+        .select("_x", "_y", "_t", "_lo", "_hi", F.explode(fr).alias("_f"))
+        .withColumn(
+            "_cut", F.col("_lo") + F.col("_f") * (F.col("_hi") - F.col("_lo"))
+        )
+    )
+    first = F.col("_t") <= F.col("_cut")
+
+    def _moments(cond, tag):
+        xx, yy = F.col("_x"), F.col("_y")
+        return [
+            F.sum(cond.cast("double")).alias(f"_n{tag}"),
+            F.sum(F.when(cond, xx)).alias(f"_sx{tag}"),
+            F.sum(F.when(cond, yy)).alias(f"_sy{tag}"),
+            F.sum(F.when(cond, xx * xx)).alias(f"_xx{tag}"),
+            F.sum(F.when(cond, xx * yy)).alias(f"_xy{tag}"),
+            F.sum(F.when(cond, yy * yy)).alias(f"_yy{tag}"),
+        ]
+
+    agg = e.groupBy("_f").agg(
+        *_moments(F.lit(True), "p"),
+        *_moments(first, "1"),
+        *_moments(~first, "2"),
+    )
+
+    def _ssr(tag):
+        n = F.col(f"_n{tag}")
+        sxx = F.col(f"_xx{tag}") - F.col(f"_sx{tag}") * F.col(f"_sx{tag}") / n
+        sxy = F.col(f"_xy{tag}") - F.col(f"_sx{tag}") * F.col(f"_sy{tag}") / n
+        syy = F.col(f"_yy{tag}") - F.col(f"_sy{tag}") * F.col(f"_sy{tag}") / n
+        return syy - sxy * sxy / F.nullif(sxx, F.lit(0.0))
+
+    ssr_p, ssr_1, ssr_2 = _ssr("p"), _ssr("1"), _ssr("2")
+    fstat = F.when(
+        (F.col("_n1") >= 3) & (F.col("_n2") >= 3),
+        ((ssr_p - ssr_1 - ssr_2) / 2)
+        / (F.nullif(ssr_1 + ssr_2, F.lit(0.0)) / (F.col("_np") - 4)),
+    )
+    scored = agg.select(
+        F.round("_f", 6).alias("frac"),
+        F.col("_n1").cast("long").alias("n_1"),
+        F.col("_n2").cast("long").alias("n_2"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+    best = scored.agg(
+        F.min_by(
+            "frac", F.struct(-F.coalesce(F.col("f_stat"), F.lit(-1.0)),
+                             F.col("frac"))
+        ).alias("best_frac")
+    )
+    return (
+        scored.crossJoin(F.broadcast(best)).orderBy("frac")
+    )

@@ -3410,3 +3410,128 @@ def markov_stationary(
         "state string, stationary_prob double, row_entropy double, "
         "entropy_rate double",
     )
+
+
+def haar_energy(
+    df: DataFrame,
+    ts_col: str,
+    levels: int = 6,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Haar wavelet detail energy by dyadic scale (Haar 1910, the
+    multi-resolution variance decomposition) — "at WHAT timescale is
+    this event stream bursty?": level s contrasts adjacent 2^(s−1)-hour
+    half-blocks, so a stream with hour-scale spikes loads level 1, a
+    diurnal swing loads level 4–5 (16–32 h blocks straddle the cycle).
+    The complement of :func:`periodogram`: the periodogram asks about
+    NAMED periods, the Haar spectrum localizes energy by scale without
+    naming one. Per level s (absolute hour index t, count cₜ):
+
+        d(parent) = Σ_{t in block} sign(t)·cₜ,  sign = ±1 by bit s−1
+        E_s = Σ_parents d²/2^s
+
+    Convention (replayed by the oracle): observed buckets only —
+    zero-count hours contribute nothing to any block sum.
+
+    Scale design: ONE bucketing hash aggregate, then one aggregate
+    over a bounded literal level explode (|levels| ≤ a handful);
+    parent/sign are integer arithmetic. Output per level:
+    (level, block_hours, n_blocks, energy, energy_share).
+    """
+    if not 1 <= levels <= 20:
+        raise ValueError(f"levels must be in [1, 20], got {levels}")
+    step = int(bucket_seconds)
+    buck = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.floor(epoch_seconds(ts_col) / step).alias("_t"))
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    lv = F.array(*[F.lit(int(s)) for s in range(1, levels + 1)])
+    e = buck.select("_t", "_c", F.explode(lv).alias("_s"))
+    two_s = F.pow(F.lit(2.0), F.col("_s"))
+    two_s1 = F.pow(F.lit(2.0), F.col("_s") - 1)
+    parent = F.floor(F.col("_t") / two_s)
+    sign = F.when(
+        F.floor(F.col("_t") / two_s1) % 2 == 1, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    blocks = (
+        e.groupBy("_s", parent.alias("_p"))
+        .agg(F.sum(sign * F.col("_c")).alias("_d"))
+        .groupBy("_s")
+        .agg(
+            F.count("*").alias("_nb"),
+            F.sum(F.col("_d") * F.col("_d")).alias("_e2"),
+        )
+    )
+    tot = blocks.agg(
+        F.sum(F.col("_e2") / F.pow(F.lit(2.0), F.col("_s"))).alias("_tot")
+    )
+    return (
+        blocks.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_s").cast("long").alias("level"),
+            F.pow(F.lit(2.0), F.col("_s")).cast("long").alias("block_hours"),
+            F.col("_nb").cast("long").alias("n_blocks"),
+            F.round(F.col("_e2") / F.pow(F.lit(2.0), F.col("_s")), 3).alias(
+                "energy"
+            ),
+            F.round(
+                F.when(
+                    F.col("_tot") > 0,
+                    F.col("_e2")
+                    / F.pow(F.lit(2.0), F.col("_s"))
+                    / F.col("_tot"),
+                ),
+                6,
+            ).alias("energy_share"),
+        )
+        .orderBy("level")
+    )
+
+
+def mcf_recurrent(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Mean cumulative function for RECURRENT events (Nelson 2003's
+    reliability MCF): expected cumulative events PER KEY by time — the
+    recurrent-events answer where Kaplan–Meier (first event only,
+    X197) throws away every repeat. Fixed-observation-window
+    convention (all keys at risk for the whole corpus window —
+    documented and replayed by the oracle; staggered-entry risk sets
+    are the kaplan_meier family's territory):
+
+        MCF(t) = Σ_{tᵢ ≤ t} dᵢ/n,   Var = Σ dᵢ/n²  (Poisson-style)
+
+    over event-time buckets (days by default). Scale design: one
+    bucketing hash aggregate + one distinct-key count (broadcast) +
+    one range-partitioned prefix pass — the KM plan minus the risk-set
+    shrinkage. Output per bucket: (bucket, d_events, mcf, se).
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    step = int(bucket_seconds)
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    )
+    nkeys = base.agg(
+        F.countDistinct(key_col).cast("double").alias("_nk")
+    )
+    per = base.groupBy(
+        F.floor(epoch_seconds(ts_col) / step).alias("_b")
+    ).agg(F.count("*").cast("double").alias("_d"))
+    cum = partitioned_prefix_sum(per, ["_b"], ["_d"], ["_cd"], inclusive=True)
+    return (
+        cum.crossJoin(F.broadcast(nkeys))
+        .select(
+            F.col("_b").cast("long").alias("bucket"),
+            F.col("_d").cast("long").alias("d_events"),
+            F.round(F.col("_cd") / F.col("_nk"), 6).alias("mcf"),
+            F.round(
+                F.sqrt(F.col("_cd")) / F.col("_nk"), 6
+            ).alias("se"),
+        )
+        .orderBy("bucket")
+    )

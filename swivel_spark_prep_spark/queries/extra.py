@@ -13685,3 +13685,112 @@ def x362(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return ad_ksample(ev, "value", "event_type")
+
+
+@_declare(
+    "X363_haar_energy",
+    # Haar detail energy by dyadic scale over the hourly event stream
+    # (timeseries.haar_energy): at WHAT timescale is the stream bursty
+    # — the scale-localized complement of X342's named-period
+    # periodogram. One bucketing aggregate + a bounded level explode;
+    # observed-buckets convention replayed.
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS t,
+             COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+e AS (SELECT t, c, unnest([1, 2, 3, 4, 5, 6]) AS s FROM b),
+blocks AS (SELECT s, CAST(FLOOR(t / pow(2.0, s)) AS BIGINT) AS p,
+           SUM((CASE WHEN CAST(FLOOR(t / pow(2.0, s - 1)) AS BIGINT) % 2 = 1
+                THEN 1.0 ELSE -1.0 END) * c) AS d
+           FROM e GROUP BY 1, 2),
+lv AS (SELECT s, COUNT(*)::BIGINT AS nb, SUM(d * d) AS e2 FROM blocks GROUP BY 1),
+tot AS (SELECT SUM(e2 / pow(2.0, s)) AS tot FROM lv)
+SELECT s::BIGINT AS level, CAST(pow(2.0, s) AS BIGINT) AS block_hours,
+       nb AS n_blocks, ROUND(e2 / pow(2.0, s), 3) AS energy,
+       ROUND(CASE WHEN tot > 0 THEN e2 / pow(2.0, s) / tot END, 6)
+         AS energy_share
+FROM lv CROSS JOIN tot ORDER BY level;""",
+)
+def x363(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import haar_energy
+
+    ev = load_table(spark, sf_dir, "events")
+    return haar_energy(ev, "ts", levels=6)
+
+
+@_declare(
+    "X364_mcf_recurrent",
+    # Mean cumulative function for recurrent events per user by day
+    # (timeseries.mcf_recurrent, Nelson's reliability MCF): expected
+    # cumulative events PER KEY — the recurrent-events read KM throws
+    # away. Fixed-window risk set; one bucketing aggregate + distinct
+    # keys broadcast + one prefix pass.
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bk
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+nk AS (SELECT COUNT(DISTINCT user_id)::DOUBLE AS nk FROM events
+       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+per AS (SELECT bk, COUNT(*)::DOUBLE AS d FROM b GROUP BY 1),
+cum AS (SELECT bk, d, SUM(d) OVER (ORDER BY bk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd FROM per)
+SELECT bk AS bucket, d::BIGINT AS d_events, ROUND(cd / nk, 6) AS mcf,
+       ROUND(sqrt(cd) / nk, 6) AS se
+FROM cum CROSS JOIN nk ORDER BY bucket;""",
+)
+def x364(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import mcf_recurrent
+
+    ev = load_table(spark, sf_dir, "events")
+    return mcf_recurrent(ev, "user_id", "ts")
+
+
+@_declare(
+    "X365_chow_sweep",
+    # Chow break-point sweep (Quandt sup-F over a bounded fraction
+    # grid; linear.chow_sweep): WHERE does the value-vs-time trend
+    # regime change — X307 tests the midpoint, this scans 7 candidates
+    # in one conditional-moments aggregate (bounded literal explode)
+    # and flags the argmax.
+    """WITH b AS (SELECT epoch(ts) AS x, value::DOUBLE AS y, epoch(ts) AS t
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+rng AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM b),
+e AS (SELECT x, y, t, lo + f * (hi - lo) AS cut, f
+      FROM b CROSS JOIN rng
+      CROSS JOIN (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS f)),
+agg AS (SELECT f,
+  SUM(1.0) AS np, SUM(x) AS sxp, SUM(y) AS syp, SUM(x*x) AS xxp,
+  SUM(x*y) AS xyp, SUM(y*y) AS yyp,
+  SUM((t <= cut)::INT::DOUBLE) AS n1,
+  SUM(CASE WHEN t <= cut THEN x END) AS sx1,
+  SUM(CASE WHEN t <= cut THEN y END) AS sy1,
+  SUM(CASE WHEN t <= cut THEN x*x END) AS xx1,
+  SUM(CASE WHEN t <= cut THEN x*y END) AS xy1,
+  SUM(CASE WHEN t <= cut THEN y*y END) AS yy1,
+  SUM((t > cut)::INT::DOUBLE) AS n2,
+  SUM(CASE WHEN t > cut THEN x END) AS sx2,
+  SUM(CASE WHEN t > cut THEN y END) AS sy2,
+  SUM(CASE WHEN t > cut THEN x*x END) AS xx2,
+  SUM(CASE WHEN t > cut THEN x*y END) AS xy2,
+  SUM(CASE WHEN t > cut THEN y*y END) AS yy2
+  FROM e GROUP BY 1),
+sc AS (SELECT ROUND(f, 6) AS frac, n1::BIGINT AS n_1, n2::BIGINT AS n_2,
+  ROUND(CASE WHEN n1 >= 3 AND n2 >= 3 THEN
+    (((yyp - syp*syp/np) - (xyp - sxp*syp/np)*(xyp - sxp*syp/np)
+        / NULLIF(xxp - sxp*sxp/np, 0)
+      - ((yy1 - sy1*sy1/n1) - (xy1 - sx1*sy1/n1)*(xy1 - sx1*sy1/n1)
+          / NULLIF(xx1 - sx1*sx1/n1, 0))
+      - ((yy2 - sy2*sy2/n2) - (xy2 - sx2*sy2/n2)*(xy2 - sx2*sy2/n2)
+          / NULLIF(xx2 - sx2*sx2/n2, 0))) / 2)
+    / (NULLIF(((yy1 - sy1*sy1/n1) - (xy1 - sx1*sy1/n1)*(xy1 - sx1*sy1/n1)
+          / NULLIF(xx1 - sx1*sx1/n1, 0))
+      + ((yy2 - sy2*sy2/n2) - (xy2 - sx2*sy2/n2)*(xy2 - sx2*sy2/n2)
+          / NULLIF(xx2 - sx2*sx2/n2, 0)), 0) / (np - 4)) END, 6) AS f_stat
+  FROM agg),
+best AS (SELECT MIN(frac) AS best_frac FROM sc
+         WHERE COALESCE(f_stat, -1.0) =
+               (SELECT MAX(COALESCE(f_stat, -1.0)) FROM sc))
+SELECT sc.*, best.best_frac FROM sc CROSS JOIN best ORDER BY frac;""",
+)
+def x365(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.linear import chow_sweep
+
+    ev = load_table(spark, sf_dir, "events")
+    return chow_sweep(ev, "ts", "value", "ts")

@@ -1,4 +1,4 @@
-"""Round-14 tranche property pins (X342–X362): classical-test
+"""Round-14 tranche property pins (X342–X365): classical-test
 completeness, corpus diagnostics, and scale-engineering audits. Each
 operator's SURVEY row names these pins; the DuckDB oracle parity for
 the same queries runs automatically in tests/test_llm_operators.py at
@@ -591,3 +591,75 @@ def test_ad_ksample_scholz_stephens_published_example(spark):
     with pytest.raises(ValueError):
         ad_ksample(spark.createDataFrame([("a", 1.0)], "g string, x double"),
                    "x", "g")
+
+
+# --------------------------------------------------------------- haar_energy
+def test_haar_energy_localizes_burst_scale(spark):
+    from swivel_spark_prep_spark.operators.timeseries import haar_energy
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 16-hour square wave: 8 hours of 20 events, 8 hours of 2 —
+    # adjacent 8-hour half-blocks differ maximally at level 4
+    # (block_hours 16); level-1 half-blocks (adjacent hours) are
+    # mostly equal
+    for t in range(256):
+        n = 20 if (t // 8) % 2 == 0 else 2
+        for _ in range(n):
+            rows.append((b + datetime.timedelta(hours=t), eid)); eid += 1
+    df = spark.createDataFrame(rows, "ts timestamp, id long")
+    out = {r["level"]: r for r in haar_energy(df, "ts", levels=6).collect()}
+    assert out[4]["block_hours"] == 16
+    shares = {l: out[l]["energy_share"] for l in out}
+    assert max(shares, key=shares.get) == 4
+    assert shares[4] > 0.8
+    assert abs(sum(shares.values()) - 1.0) < 1e-5
+    with pytest.raises(ValueError):
+        haar_energy(df, "ts", levels=0)
+
+
+# ------------------------------------------------------------ mcf_recurrent
+def test_mcf_recurrent_hand_counts(spark):
+    from swivel_spark_prep_spark.operators.timeseries import mcf_recurrent
+
+    b = datetime.datetime(2024, 1, 1)
+    # 4 users; day 0: 4 events, day 1: 2, day 2: 6 -> MCF 1, 1.5, 3
+    rows = []
+    eid = 0
+    for day, per_user in [(0, [1, 1, 1, 1]), (1, [2, 0, 0, 0]),
+                          (2, [3, 1, 1, 1])]:
+        for u, k in enumerate(per_user):
+            for _ in range(k):
+                rows.append((u, b + datetime.timedelta(days=day, minutes=eid % 60), eid))
+                eid += 1
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long")
+    out = {r["bucket"]: r for r in mcf_recurrent(df, "u", "ts").collect()}
+    buckets = sorted(out)
+    assert [out[bk]["d_events"] for bk in buckets] == [4, 2, 6]
+    assert [out[bk]["mcf"] for bk in buckets] == [1.0, 1.5, 3.0]
+    assert out[buckets[-1]]["se"] == round(math.sqrt(12) / 4, 6)
+
+
+# ------------------------------------------------------------- chow_sweep
+def test_chow_sweep_finds_planted_trend_break(spark):
+    from swivel_spark_prep_spark.operators.linear import chow_sweep
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = []
+    # slope 1 for the first 60% of the window, slope -4 after: the
+    # sup-F candidate nearest the break (0.6) must win
+    for i in range(500):
+        ts = b + datetime.timedelta(minutes=i)
+        y = float(i) if i < 300 else 300.0 - 4.0 * (i - 300)
+        rows.append((ts, y + (i % 5) * 0.1))
+    df = spark.createDataFrame(rows, "ts timestamp, y double")
+    out = chow_sweep(df, "ts", "y", "ts").collect()
+    assert len(out) == 7
+    assert out[0]["best_frac"] == 0.6
+    by_frac = {r["frac"]: r["f_stat"] for r in out}
+    assert by_frac[0.6] > 10 * by_frac[0.2]
+    with pytest.raises(ValueError):
+        chow_sweep(df, "ts", "y", "ts", fractions=())
+    with pytest.raises(ValueError):
+        chow_sweep(df, "ts", "y", "ts", fractions=(0.0, 0.5))
