@@ -23,6 +23,32 @@ from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
 
+#: Default cap for :func:`bounded_distinct` — generous for any real
+#: group/label/shard vocabulary, tiny next to corpus row counts.
+BOUNDED_DISTINCT_CAP = 10_000
+
+
+def bounded_distinct(df: DataFrame, col: str, cap: int = BOUNDED_DISTINCT_CAP):
+    """Collect the distinct values of a *k-bounded* control-plane column
+    (group labels, bucket ids, shard keys) — and RAISE instead of
+    silently flooding the driver when the column turns out not to be
+    bounded (the classic miscall: a value column passed where a group
+    column was expected).
+
+    The plan fetches at most ``cap + 1`` rows (``distinct().limit()``),
+    so driver memory is bounded by the cap regardless of the column's
+    true cardinality — the guard itself costs O(cap), never O(rows).
+    Returns the values as a plain list (unsorted; callers sort).
+    """
+    rows = df.select(col).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"bounded_distinct: column {col!r} exceeds {cap} distinct "
+            "values — not a bounded control-plane vocabulary (pass a "
+            "group/label column, or raise cap deliberately)"
+        )
+    return [r[col] for r in rows]
+
 
 def track_persist(df: DataFrame) -> DataFrame:
     """persist() a DataFrame and register it for later release."""

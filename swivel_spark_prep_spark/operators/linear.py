@@ -120,11 +120,12 @@ def logreg_fit(
         raise ValueError("no labeled documents")
     # Weight-vector support == feature-bucket support (absent bucket ==
     # weight 0, exactly as the relational form kept it). Bounded collect:
-    # ≤ dim+1 longs — the model, not the data.
-    support = sorted(
-        r["bucket"]
-        for r in feats.select("bucket").distinct().collect()
-    )
+    # ≤ dim+1 longs — the model, not the data. bounded_distinct raises
+    # past the cap (a model literal beyond 2^16 buckets would not fit a
+    # broadcast array literal anyway) instead of flooding the driver.
+    from swivel_spark_prep_spark.cache import bounded_distinct
+
+    support = sorted(bounded_distinct(feats, "bucket", cap=65536))
     lo = support[0]
     idx = {b: i for i, b in enumerate(support)}
     dense = lo == support[-1] - len(support) + 1  # contiguous bucket range

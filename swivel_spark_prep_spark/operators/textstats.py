@@ -1605,9 +1605,14 @@ def cross_source_ngram_overlap(
         F.explode(
             F.arrays_zip(
                 *[
-                    F.expr(f"slice(_t, {i + 1}, size(_t) - {n - 1})").alias(
-                        f"_w{i}"
-                    )
+                    # greatest(…, 0): docs shorter than n−1 tokens
+                    # would otherwise hand slice() a negative length
+                    # (runtime error for n ≥ 3); the DuckDB twin's
+                    # range(1, len(w)) is empty-safe the same way
+                    F.expr(
+                        f"slice(_t, {i + 1}, "
+                        f"greatest(size(_t) - {n - 1}, 0))"
+                    ).alias(f"_w{i}")
                     for i in range(n)
                 ]
             )

@@ -3451,8 +3451,12 @@ def haar_energy(
     two_s = F.pow(F.lit(2.0), F.col("_s"))
     two_s1 = F.pow(F.lit(2.0), F.col("_s") - 1)
     parent = F.floor(F.col("_t") / two_s)
+    # pmod, not %: for pre-1970 timestamps the bucket index is negative
+    # and dividend-sign % would return −1/0 — sign constantly −1, the
+    # detail coefficient degenerating into a plain block sum (round-14
+    # advisory; the oracle twin uses the matching ((x%2)+2)%2)
     sign = F.when(
-        F.floor(F.col("_t") / two_s1) % 2 == 1, F.lit(1.0)
+        F.pmod(F.floor(F.col("_t") / two_s1), F.lit(2)) == 1, F.lit(1.0)
     ).otherwise(F.lit(-1.0))
     blocks = (
         e.groupBy("_s", parent.alias("_p"))

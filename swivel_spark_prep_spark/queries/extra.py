@@ -13677,7 +13677,8 @@ FROM a2 CROSS JOIN vv CROSS JOIN tot;"""
     # variance): the tail-weighted k-sample comparison that sees mixture
     # shifts KS dilutes. One distinct-value aggregate carrying k
     # conditional-count COLUMNS, one range-partitioned prefix pass,
-    # sigma/T from O(N) driver-side harmonic scalars.
+    # sigma/T from O(1)-driver harmonic scalars (exact running sums
+    # below N=1e4, one distributed range aggregate above).
     _ad_ksample_sql(),
 )
 def x362(spark, sf_dir):
@@ -13699,7 +13700,8 @@ def x362(spark, sf_dir):
       FROM events WHERE ts IS NOT NULL GROUP BY 1),
 e AS (SELECT t, c, unnest([1, 2, 3, 4, 5, 6]) AS s FROM b),
 blocks AS (SELECT s, CAST(FLOOR(t / pow(2.0, s)) AS BIGINT) AS p,
-           SUM((CASE WHEN CAST(FLOOR(t / pow(2.0, s - 1)) AS BIGINT) % 2 = 1
+           SUM((CASE WHEN ((CAST(FLOOR(t / pow(2.0, s - 1)) AS BIGINT)
+                            % 2) + 2) % 2 = 1
                 THEN 1.0 ELSE -1.0 END) * c) AS d
            FROM e GROUP BY 1, 2),
 lv AS (SELECT s, COUNT(*)::BIGINT AS nb, SUM(d * d) AS e2 FROM blocks GROUP BY 1),

@@ -1,0 +1,172 @@
+"""Round-15 pins: the X362 O(1)-driver sigma machinery (round-14
+verdict "What's wrong #1"), the bounded_distinct guard, and the two
+round-14 advisory fixes (n>=3 ngram slice, haar pmod for pre-1970
+buckets). DuckDB oracle parity for the same queries still runs in
+tests/test_llm_operators.py at both SFs."""
+import datetime
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ _ad_g / _harmonic
+def test_harmonic_exact_asymptotic_boundary():
+    """Euler–Maclaurin agrees with the exact partial sum to >=13
+    significant digits straddling the switch point."""
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        _HARMONIC_EXACT_MAX,
+        _harmonic,
+    )
+
+    for m in (_HARMONIC_EXACT_MAX, _HARMONIC_EXACT_MAX + 1, 500, 10_000):
+        exact = sum(1.0 / i for i in range(1, m + 1))
+        assert abs(_harmonic(m) - exact) / exact < 1e-13
+
+
+def test_ad_g_exact_vs_distributed_boundary(spark):
+    """The driver-exact running-sum path (N <= 1e4) and the distributed
+    spark.range aggregate agree to >=10 significant digits at the
+    boundary — the round-14 verdict's required agreement pin."""
+    from swivel_spark_prep_spark.operators import evalmetrics as em
+
+    n = em._AD_G_EXACT_MAX  # exact path at n, distributed just above
+    g_exact = em._ad_g(spark, n)
+    # force the distributed path at the SAME n by lowering the switch
+    old = em._AD_G_EXACT_MAX
+    try:
+        em._AD_G_EXACT_MAX = n - 1
+        g_dist = em._ad_g(spark, n)
+    finally:
+        em._AD_G_EXACT_MAX = old
+    assert abs(g_dist - g_exact) / abs(g_exact) < 1e-10
+    # and g converges toward pi^2/6 from below as N grows (sanity)
+    assert 1.0 < g_exact < math.pi ** 2 / 6
+
+
+def test_ad_ksample_large_n_uses_distributed_sigma(spark):
+    """Above the threshold the sigma path allocates nothing O(N) on the
+    driver; the statistic still matches a driver-exact replay."""
+    from swivel_spark_prep_spark.operators import evalmetrics as em
+
+    n_side = 6000  # N = 12000 > _AD_G_EXACT_MAX -> distributed g
+    rows = [("a", float(i % 97)) for i in range(n_side)] + [
+        ("b", float((i * 7) % 101)) for i in range(n_side)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = em.ad_ksample(df, "x", "g").collect()[0]
+    assert r["n"] == 2 * n_side and r["sigma"] is not None
+    # replay sigma with the exact O(N) reference arithmetic
+    har = [0.0] * (r["n"] + 1)
+    for i in range(1, r["n"] + 1):
+        har[i] = har[i - 1] + 1.0 / i
+    h = har[r["n"] - 1]
+    g = sum(
+        (har[r["n"] - 1] - har[r["n"] - j]) / j for j in range(2, r["n"])
+    )
+    k, nn, hh = 2, r["n"], 1.0 / n_side + 1.0 / n_side
+    a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * hh
+    b = (2 * g - 4) * k * k + 8 * h * k + (2 * g - 14 * h - 4) * hh \
+        - 8 * h + 4 * g - 6
+    c = (6 * h + 2 * g - 2) * k * k + (4 * h - 4 * g + 6) * k \
+        + (2 * h - 6) * hh + 4 * h
+    d = (2 * h + 6) * k * k - 4 * h * k
+    var = (a * nn**3 + b * nn**2 + c * nn + d) / (
+        (nn - 1) * (nn - 2) * (nn - 3)
+    )
+    assert abs(r["sigma"] - math.sqrt(var)) < 5e-7  # output rounds at 6dp
+
+
+def test_ad_ksample_degenerate_n_yields_null_sigma(spark):
+    """N <= 3 degenerates the variance denominator — NULL sigma/t like
+    every sibling test, never ZeroDivisionError (round-14 advisory)."""
+    from swivel_spark_prep_spark.operators.evalmetrics import ad_ksample
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "g string, x double"
+    )
+    r = ad_ksample(df, "x", "g").collect()[0]
+    assert r["n"] == 2 and r["sigma"] is None and r["t_stat"] is None
+
+
+# ------------------------------------------------------- bounded_distinct
+def test_bounded_distinct_guard(spark):
+    from swivel_spark_prep_spark.cache import bounded_distinct
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    assert sorted(bounded_distinct(df, "g", cap=10)) == list(range(7))
+    with pytest.raises(ValueError, match="exceeds 50 distinct"):
+        bounded_distinct(df, "v", cap=50)
+
+
+def test_ad_ksample_unbounded_group_column_raises(spark):
+    """The k-bounded contract is now machine-enforced: a value column
+    miscalled as the group column raises instead of flooding the
+    driver (round-14 verdict "What's wrong #2")."""
+    from swivel_spark_prep_spark.operators.evalmetrics import ad_ksample
+
+    df = spark.range(5000).select(
+        F.col("id").cast("string").alias("g"),
+        (F.col("id") % 10).cast("double").alias("x"),
+    )
+    with pytest.raises(ValueError, match="bounded_distinct"):
+        ad_ksample(df, "x", "g")
+
+
+# ---------------------------------------------- cross_source_ngram_overlap
+def test_ngram_overlap_trigram_short_docs_safe(spark):
+    """n >= 3 with documents shorter than n-1 tokens used to hand
+    slice() a negative length (runtime crash); now those docs simply
+    contribute zero n-grams, matching the DuckDB twin's empty-safe
+    range (round-14 advisory)."""
+    from swivel_spark_prep_spark.operators.textstats import (
+        cross_source_ngram_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a"),                # 1 token < n-1: zero trigrams
+            ("s1", "a b"),              # 2 tokens: zero trigrams
+            ("s1", "a b c d"),          # trigrams: "a b c", "b c d"
+            ("s2", "a b c"),            # trigram: "a b c" (shared)
+        ],
+        "source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in cross_source_ngram_overlap(df, n=3).collect()
+    }
+    assert out["s1"]["n_grams"] == 2 and out["s1"]["shared_grams"] == 1
+    assert out["s2"]["n_grams"] == 1 and out["s2"]["shared_grams"] == 1
+
+
+# ---------------------------------------------------------- haar_energy
+def test_haar_energy_pre_1970_sign_not_degenerate(spark):
+    """Negative bucket indices (pre-1970 timestamps): pmod keeps the
+    Haar half-block sign alternating, so equal counts in sibling
+    half-blocks cancel exactly (the buggy dividend-sign % made sign
+    constantly -1 and d collapsed to a block sum; round-14 advisory)."""
+    from swivel_spark_prep_spark.operators.timeseries import haar_energy
+
+    b = datetime.datetime(1969, 12, 31, 0, 0)  # buckets t = -24 … -1
+    rows = []
+    eid = 0
+    for t in range(24):
+        for _ in range(5):  # constant rate: every detail coeff cancels
+            rows.append((b + datetime.timedelta(hours=t, minutes=1), eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "ts timestamp, id long")
+    out = {r["level"]: r["energy"] for r in haar_energy(df, "ts", levels=3).collect()}
+    assert out[1] == 0.0 and out[2] == 0.0
+    # and a planted period-2 alternation shows up at level 1 only
+    rows2 = []
+    for t in range(24):
+        for _ in range(5 + 3 * (t % 2)):
+            rows2.append((b + datetime.timedelta(hours=t, minutes=1), eid))
+            eid += 1
+    df2 = spark.createDataFrame(rows2, "ts timestamp, id long")
+    out2 = {r["level"]: r["energy"] for r in haar_energy(df2, "ts", levels=3).collect()}
+    assert out2[1] > 0 and out2[1] > 10 * out2[2]
