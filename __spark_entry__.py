@@ -59,15 +59,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #                never driver-verified before (round-13 verdict Next #1;
 #                rows-only sketches stay pytest-side where their
 #                property bounds live)
+# round 15:    X104, X227, X285 (the three ops oracled in round 14 via
+#              GENERATED unrolled-SQL twins — their first driver
+#              verification) + X347, X354, X357 from the round-14
+#              tier (round-14 verdict Next #3).
 # Every extra not in the cohort is still DuckDB-oracle-checked at both
 # sf0.001 and sf0.01 by tests/test_llm_operators.py on every pytest run.
 _GATE_COHORT = [
-    "X261_log_odds_terms",
-    "X293_mantel_haenszel",
-    "X311_rmst",
-    "X320_logrank_k",
-    "X333_novelty_timeline",
-    "X338_qini_curve",
+    "X104_raking_weights",
+    "X227_mmr_select",
+    "X285_geometric_median",
+    "X347_ordinal_association",
+    "X354_markov_stationary",
+    "X357_join_fanout",
 ]
 
 
