@@ -440,7 +440,9 @@ def main() -> None:
         "X361_fdr_by",
         # X362's distinct-value relation tracks distinct event values
         # (~10x under the shift scheme); the prefix pass is the
-        # order-statistic class, sigma is O(N) driver scalars.
+        # order-statistic class, sigma is O(1)-driver harmonic scalars
+        # (exact below N=1e4, one distributed range aggregate above —
+        # at sf1 the distributed path is the one exercised).
         "X362_ad_ksample",
         # X363/X365 are bounded-literal-explode aggregate shapes over
         # the events scan; X364 is the KM prefix family minus the
@@ -448,6 +450,44 @@ def main() -> None:
         "X363_haar_energy",
         "X364_mcf_recurrent",
         "X365_chow_sweep",
+        # Round-15 batch (round-14 verdict "What's missing #1"): the 17
+        # legacy extras whose sf0.1 wall exceeds 2 s but had no sf1
+        # point. Scale stories: X175 composes X174's 24-GD-barrier fit
+        # with held-out scoring (per-job floor × iterations, model
+        # broadcast — wall should move far less than 10x); X142 is a
+        # per-key gap explode + interpolation join (fan-out bounded by
+        # gap length); X73/X94/X77 are source/sink round-trips (scan +
+        # write bound); X139 is the iterative personalized-PageRank
+        # push (10x edges); X227's MMR rounds ride a candidates×selected
+        # bounded pair join (k² pairs, 10x candidate scan); X182 is
+        # iterative label prop over the 10x co-session graph; X132 is
+        # k-fold explode × label audit aggregates (fold count fixed);
+        # X67's BPE merge loop is vocab-bounded (merges fixed, pair
+        # relation tracks the 10x token scan); X85's banded audio
+        # fingerprint join rides disjoint-key buckets; X40 chains X06's
+        # banded join with connected components (bounded iterations);
+        # X16 is a RANGE frame window (per-key sort at 10x); X75's CDC
+        # chunker is a rolling-hash scan; X242's QQ drift is the
+        # order-statistic two-pass; X72's dup-ngram spans is the
+        # heaviest dedup op (gram relation ~10x, fingerprint shuffle);
+        # X74's winnowing selects per-window minima then buckets.
+        "X16_win_range_frame",
+        "X40_dedup_clusters",
+        "X67_bpe_byte_complete",
+        "X72_dup_ngram_spans",
+        "X73_bloom_semi_join",
+        "X74_winnow_near_dups",
+        "X75_cdc_chunk_dedup",
+        "X77_avro_roundtrip",
+        "X85_audio_near_dups",
+        "X94_warc_roundtrip",
+        "X132_crossval_label_audit",
+        "X139_personalized_pagerank",
+        "X142_resample_interpolate",
+        "X175_logreg_eval",
+        "X182_label_propagation",
+        "X227_mmr_select",
+        "X242_qq_drift",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

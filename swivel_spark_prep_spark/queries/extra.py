@@ -6755,10 +6755,34 @@ def x185(spark, sf_dir):
     "X186_isotonic_calibration",
     # Isotonic (PAV) calibration map per source: least-squares monotone
     # fit of P(lang='en') to the 100-char-bucketed length score.
-    # PAV's transitive left-merges are inherently sequential, so there
-    # is no SQL oracle — the driver records rows-only; the monotonicity
-    # / pool-mean / hand-computed pins live in tests/test_round11d_ops.
-    None,
+    # PAV's transitive left-merges are sequential, but the FIT ITSELF
+    # has the classical min-max closed form (Robertson-Wright-Dykstra
+    # 1988, eq. 1.9-1.13): fit_i = max_{s<=i} min_{t>=i} wavg(s..t),
+    # SQL-expressible from prefix sums with an O(m^3) index join —
+    # m = distinct scores per group (<= a handful of 100-char buckets
+    # here), so the replay is control-plane-sized. Oracled since round
+    # 15 (round-14 verdict "What's missing #3"); the monotonicity /
+    # pool-mean / hand-computed pins stay in tests/test_round11d_ops.
+    """WITH b AS (SELECT source, (FLOOR(n_chars / 100) * 100)::DOUBLE AS score,
+                  (lang = 'en')::INT AS y
+           FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+agg AS (SELECT source, score, COUNT(*)::BIGINT AS n, AVG(y::DOUBLE) AS y_rate
+        FROM b GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score) AS i,
+             SUM(n) OVER (PARTITION BY source ORDER BY score) AS w,
+             SUM(n * y_rate) OVER (PARTITION BY source ORDER BY score) AS c
+      FROM agg),
+p AS (SELECT s.source, s.i AS si, t.i AS ti,
+             (t.c - (s.c - s.n * s.y_rate)) / (t.w - (s.w - s.n)) AS a
+      FROM r s JOIN r t ON t.source = s.source AND t.i >= s.i),
+mn AS (SELECT p.source AS src, p.si, i.i AS ix, MIN(p.a) AS m
+       FROM r i JOIN p ON p.source = i.source AND p.si <= i.i AND p.ti >= i.i
+       GROUP BY 1, 2, 3),
+iso AS (SELECT src, ix, MAX(m) AS calibrated FROM mn GROUP BY 1, 2)
+SELECT r.source, r.score, r.n, r.y_rate, iso.calibrated
+FROM r JOIN iso ON iso.src = r.source AND iso.ix = r.i
+ORDER BY source, score;""",
 )
 def x186(spark, sf_dir):
     from swivel_spark_prep_spark.operators.evalmetrics import (
