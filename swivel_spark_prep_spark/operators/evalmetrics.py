@@ -51,6 +51,8 @@ __all__ = [
     "regression_reliability",
     "mde_report",
     "conformal_by_group",
+    "jonckheere_terpstra",
+    "ansari_bradley",
 ]
 
 
@@ -4285,4 +4287,196 @@ def ad_ksample(
             round(t, 6) if t is not None else None,
         )],
         "k long, n long, a2 double, sigma double, t_stat double",
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative across k
+    groups (Terpstra 1952, Jonckheere 1954; tie-corrected null
+    variance per Hollander–Wolfe 1999 §6.2): does the value tend to
+    INCREASE along the group ordering — the k-sample trend question
+    Kruskal–Wallis (any difference) and Cuzick (rank-sum scores, X358)
+    approach differently. JT is the sum of pairwise Mann–Whitney
+    counts over ordered group pairs a < b (ties count half):
+
+        JT = Σ_{a<b} Σ_v f_b(v)·(C_a(v⁻) + f_a(v)/2)
+
+    standardized with E = (N² − Σnᵢ²)/4 and the tie-corrected variance
+    (their eq. 6.19; tie multiplicities tⱼ are the pooled per-distinct-
+    value counts):
+
+        σ² = A/72 + B/(36N(N−1)(N−2)) + C/(8N(N−1))
+        A  = N(N−1)(2N+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σtⱼ(tⱼ−1)(2tⱼ+5)
+        B  = Σnᵢ(nᵢ−1)(nᵢ−2) · Σtⱼ(tⱼ−1)(tⱼ−2)
+        C  = Σnᵢ(nᵢ−1) · Σtⱼ(tⱼ−1)
+
+    Group ORDER is the ascending sort of the group labels (document
+    your label scheme accordingly — e.g. dose_1 < dose_2 < dose_3).
+
+    Scale design: the ad_ksample shape exactly — bounded group
+    vocabulary (bounded_distinct), ONE distinct-value hash aggregate
+    carrying k conditional-count COLUMNS, one range-partitioned prefix
+    pass, then ONE aggregate producing every pairwise U term plus the
+    tie-polynomial sums; all remaining arithmetic is k-bounded scalars
+    on a 1-row control relation. Never a per-group window, never a
+    rows×rows pair join. Output one row:
+    (k, n, jt, mean, sigma, z) — sigma/z NULL when the variance
+    degenerates (all values tied, or N < 2).
+    """
+    import math as _math
+
+    from swivel_spark_prep_spark.cache import bounded_distinct
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_v")
+    )
+    groups = sorted(bounded_distinct(base, "_g", cap=1000))
+    k = len(groups)
+    if k < 2:
+        raise ValueError(f"need >= 2 groups, got {k}")
+    aggs = [F.count("*").cast("double").alias("_l")]
+    for i, g in enumerate(groups):
+        aggs.append(F.sum((F.col("_g") == g).cast("double")).alias(f"_f{i}"))
+    cells = base.groupBy("_v").agg(*aggs)
+    cum = partitioned_prefix_sum(
+        cells,
+        ["_v"],
+        [f"_f{i}" for i in range(k)],
+        [f"_c{i}" for i in range(k)],
+        inclusive=False,
+    )
+    terms = []
+    for a in range(k):
+        for b in range(a + 1, k):
+            terms.append(
+                F.sum(
+                    F.col(f"_f{b}")
+                    * (F.col(f"_c{a}") + F.col(f"_f{a}") / 2.0)
+                ).alias(f"_u{a}_{b}")
+            )
+    l = F.col("_l")
+    sums = cum.agg(
+        *[F.sum(f"_f{i}").alias(f"_n{i}") for i in range(k)],
+        F.sum(l * (l - 1) * (2 * l + 5)).alias("_t1"),
+        F.sum(l * (l - 1) * (l - 2)).alias("_t2"),
+        F.sum(l * (l - 1)).alias("_t3"),
+        *terms,
+    )
+    row = sums.collect()[0]  # 1-row control relation
+    ns = [float(row[f"_n{i}"]) for i in range(k)]
+    n = sum(ns)
+    jt = sum(
+        float(row[f"_u{a}_{b}"])
+        for a in range(k)
+        for b in range(a + 1, k)
+    )
+    mean = (n * n - sum(v * v for v in ns)) / 4.0
+    a_poly = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(v * (v - 1) * (2 * v + 5) for v in ns)
+        - float(row["_t1"])
+    )
+    b_poly = sum(v * (v - 1) * (v - 2) for v in ns) * float(row["_t2"])
+    c_poly = sum(v * (v - 1) for v in ns) * float(row["_t3"])
+    var = None
+    if n > 2:
+        var = (
+            a_poly / 72.0
+            + b_poly / (36.0 * n * (n - 1) * (n - 2))
+            + c_poly / (8.0 * n * (n - 1))
+        )
+    sigma = _math.sqrt(var) if var and var > 0 else None
+    z = (jt - mean) / sigma if sigma else None
+    return df.sparkSession.createDataFrame(
+        [(
+            k,
+            int(n),
+            round(jt, 6),
+            round(mean, 6),
+            round(sigma, 6) if sigma else None,
+            round(z, 6) if z is not None else None,
+        )],
+        "k long, n long, jt double, mean double, sigma double, z double",
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Ansari–Bradley rank test for a SCALE (dispersion) difference
+    between two samples (Ansari & Bradley 1960; conditional-on-ties
+    normal approximation per Conover 1999 §5.3): did the SPREAD of the
+    metric change, center aside — the variance-shift companion to
+    Mann–Whitney's location shift, rank-robust where Bartlett (X345)
+    assumes normality. Midrank scores fold the pooled ranking at its
+    center, so extreme observations get SMALL scores:
+
+        s(v) = min(r(v), N + 1 − r(v)),  r = midrank
+        AB   = Σ_{i∈A} s_i
+        E    = n_a·s̄,
+        Var  = n_a·n_b·(N·Σl·s² − (Σl·s)²) / (N²(N−1))
+
+    (the conditional moments given the observed tie pattern — exact
+    whatever the ties, no lookup tables needed at these N).
+
+    Scale design: the binary_auc shape — ONE distinct-value aggregate
+    with two conditional-count columns, one range-partitioned prefix
+    pass for midranks, ONE moments aggregate; everything after is
+    scalar arithmetic on a 1-row relation. Output one row:
+    (n_a, n_b, ab_stat, mean, sigma, z) — sigma/z NULL when the score
+    variance degenerates (all values tied or N < 2); z < 0 means
+    sample A is MORE dispersed (small folded scores).
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("_g"), x.alias("_v"))
+    cells = base.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_l"),
+        F.sum((F.col("_g") == group_a).cast("double")).alias("_fa"),
+        F.sum((F.col("_g") == group_b).cast("double")).alias("_fb"),
+    )
+    cum = partitioned_prefix_sum(
+        cells, ["_v"], ["_l"], ["_cl"], inclusive=False
+    )
+    tot = cells.agg(F.sum("_l").alias("_N"))
+    j = cum.crossJoin(F.broadcast(tot))
+    r = F.col("_cl") + (F.col("_l") + 1.0) / 2.0  # pooled midrank
+    s = F.least(r, F.col("_N") + 1.0 - r)  # folded AB score
+    m = j.agg(
+        F.max("_N").alias("n"),
+        F.sum("_fa").alias("na"),
+        F.sum("_fb").alias("nb"),
+        F.sum(F.col("_fa") * s).alias("ab"),
+        F.sum(F.col("_l") * s).alias("ls"),
+        F.sum(F.col("_l") * s * s).alias("ls2"),
+    )
+    nn, na, nb = F.col("n"), F.col("na"), F.col("nb")
+    mean = na * F.col("ls") / nn
+    var = (
+        na * nb * (nn * F.col("ls2") - F.col("ls") * F.col("ls"))
+        / (nn * nn * F.nullif((nn - 1.0), F.lit(0.0)))
+    )
+    sig = F.when(var > 0, F.sqrt(var))
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round("ab", 6).alias("ab_stat"),
+        F.round(mean, 6).alias("mean"),
+        F.round(sig, 6).alias("sigma"),
+        F.round(
+            F.when(sig > 0, (F.col("ab") - mean) / sig), 6
+        ).alias("z"),
     )

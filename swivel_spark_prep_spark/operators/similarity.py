@@ -1681,3 +1681,190 @@ def dim_correlation_pairs(
         .orderBy(F.desc(F.abs(F.col("r"))), "dim_i", "dim_j")
         .limit(k)
     )
+
+
+def _pair_moment_cells(base: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Per-dimension-pair second-moment sufficient statistics for the
+    MMD/CKA family: one pass producing, for every (i, j) dim pair,
+    Σxᵢxⱼ / Σyᵢyⱼ / Σxᵢyⱼ as a d²-row CELL relation (idx = i·d + j).
+
+    Scale design: the per-row fan-out is the d² struct array (d = the
+    embedding dimension, SF-INVARIANT — 4096 cells at d=64), and Spark
+    partial-aggregates the explode inside the same stage, so shuffle
+    volume is #tasks × d² rows — the word-count shape, never
+    rows × rows. CPU is the inherent n·d² FLOPs of forming a Gram
+    matrix. The cell relation is model-sized; downstream arithmetic is
+    control-plane.
+    """
+    zs = F.arrays_zip(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    arr = F.flatten(
+        F.transform(
+            zs,
+            lambda a: F.transform(
+                zs,
+                lambda b: F.struct(
+                    (a["x"] * b["x"]).alias("xx"),
+                    (a["y"] * b["y"]).alias("yy"),
+                    (a["x"] * b["y"]).alias("xy"),
+                ),
+            ),
+        )
+    )
+    return (
+        base.select(F.posexplode(arr).alias("_i", "_s"))
+        .groupBy("_i")
+        .agg(
+            F.sum("_s.xx").alias("sxx"),
+            F.sum("_s.yy").alias("syy"),
+            F.sum("_s.xy").alias("sxy"),
+        )
+    )
+
+
+def mmd_quadratic(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample kernel MMD² with the quadratic kernel k(x,y) = (x·y)²
+    (Gretton et al. 2012, biased V-statistic): did the embedding
+    DISTRIBUTION shift between two slices — sensitive to covariance/
+    shape changes the centroid distance (linear-kernel MMD) cannot see.
+    For the quadratic kernel the population MMD² collapses to
+
+        MMD² = ‖E_A[xxᵀ] − E_B[xxᵀ]‖²_F
+
+    — the Frobenius distance between the two second-moment matrices —
+    so the WHOLE two-sample statistic comes from d²-cell sufficient
+    statistics and needs NO pairwise kernel evaluations (the textbook
+    estimator is O(n²) in vectors; this form is O(n·d²) map-side work
+    with a d²-row shuffle, exact, not an approximation).
+
+    Scale design: one conditional-count aggregate for group sizes, one
+    d²-cell pass per group (conditional sums share a single scan), one
+    aggregate over the 2×d² cells. Output one row:
+    (n_a, n_b, d, mmd2) — mmd2 NULL when either slice is empty.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select((F.col(group_col) == group_a).alias("_ga"), v.alias("_x"))
+    counts = base.agg(
+        F.sum(F.col("_ga").cast("long")).alias("_na"),
+        F.sum((~F.col("_ga")).cast("long")).alias("_nb"),
+        F.max(F.size("_x")).alias("_d"),
+    )
+    arr = F.flatten(
+        F.transform(
+            "_x", lambda a: F.transform(F.col("_x"), lambda b: a * b)
+        )
+    )
+    cells = (
+        base.select("_ga", F.posexplode(arr).alias("_i", "_v"))
+        .groupBy("_i")
+        .agg(
+            F.sum(F.when(F.col("_ga"), F.col("_v"))).alias("_sa"),
+            F.sum(F.when(~F.col("_ga"), F.col("_v"))).alias("_sb"),
+        )
+    )
+    j = cells.crossJoin(F.broadcast(counts))
+    diff = F.col("_sa") / F.col("_na") - F.col("_sb") / F.col("_nb")
+    return j.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max("_d").cast("int").alias("d"),
+        F.round(
+            F.when(
+                (F.max("_na") > 0) & (F.max("_nb") > 0),
+                F.sum(diff * diff),
+            ),
+            6,
+        ).alias("mmd2"),
+    )
+
+
+def cka_quantization_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Linear CKA between the embedding corpus and its int8-dequantized
+    self (Kornblith et al. 2019, eq. 1 with the linear kernel): how
+    much of the REPRESENTATIONAL STRUCTURE survives quantization —
+    scale/rotation-insensitive where X50's per-dimension error units
+    are not (a uniformly shrunk space has large L2 error but CKA = 1).
+
+        CKA = ‖C_xy‖²_F / (‖C_xx‖_F · ‖C_yy‖_F),
+        C_ab = E[a bᵀ] − E[a]E[b]ᵀ  (column-centered cross-covariance)
+
+    Quantization is the in-repo int8 contract (quantize_int8 →
+    dequantize: scale = max|v|/127, floor(x/scale + 0.5) — bit-exact
+    across engines, X50's oracle convention).
+
+    Scale design: one d-row mean aggregate + one d²-cell sufficient-
+    statistics pass (_pair_moment_cells — partial-aggregated explode,
+    shuffle = #tasks × d² rows), then the centered Frobenius sums are
+    ONE aggregate over the cell relation with the two d-row mean
+    relations broadcast in. Nothing corpus-sized leaves the executors;
+    no pairwise vector work. Output one row: (n, d, cka).
+    """
+    from swivel_spark_prep_spark.operators import similarity as _self
+
+    q = _self.dequantize(_self.quantize_int8(df.filter(F.col(vec_col).isNotNull()), col=vec_col))
+    base = q.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_x"),
+        F.col("deq").alias("_y"),
+    )
+    counts = base.agg(
+        F.count("*").alias("_n"), F.max(F.size("_x")).alias("_d")
+    )
+    means = (
+        base.select(
+            F.posexplode(
+                F.arrays_zip(F.col("_x").alias("x"), F.col("_y").alias("y"))
+            ).alias("_k", "_s")
+        )
+        .groupBy("_k")
+        .agg(F.sum("_s.x").alias("_sx"), F.sum("_s.y").alias("_sy"))
+    )
+    cells = _pair_moment_cells(base, "_x", "_y")
+    d = F.col("_d").cast("long")
+    j = (
+        cells.crossJoin(F.broadcast(counts))
+        .join(
+            F.broadcast(means.select(
+                F.col("_k").alias("_ki"),
+                F.col("_sx").alias("_sxi"),
+                F.col("_sy").alias("_syi"),
+            )),
+            F.floor(F.col("_i") / d) == F.col("_ki"),
+        )
+        .join(
+            F.broadcast(means.select(
+                F.col("_k").alias("_kj"),
+                F.col("_sx").alias("_sxj"),
+                F.col("_sy").alias("_syj"),
+            )),
+            F.pmod(F.col("_i"), d) == F.col("_kj"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    cxx = F.col("sxx") / n - (F.col("_sxi") / n) * (F.col("_sxj") / n)
+    cyy = F.col("syy") / n - (F.col("_syi") / n) * (F.col("_syj") / n)
+    cxy = F.col("sxy") / n - (F.col("_sxi") / n) * (F.col("_syj") / n)
+    agg = j.agg(
+        F.max("_n").alias("n"),
+        F.max("_d").cast("int").alias("d"),
+        F.sum(cxy * cxy).alias("_fxy"),
+        F.sum(cxx * cxx).alias("_fxx"),
+        F.sum(cyy * cyy).alias("_fyy"),
+    )
+    den = F.sqrt(F.col("_fxx")) * F.sqrt(F.col("_fyy"))
+    return agg.select(
+        "n",
+        "d",
+        F.round(
+            F.when(den > 0, F.col("_fxy") / den), 6
+        ).alias("cka"),
+    )

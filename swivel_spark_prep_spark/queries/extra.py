@@ -13820,3 +13820,197 @@ def x365(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return chow_sweep(ev, "ts", "value", "ts")
+
+
+def _jt_sql(groups=("click", "error", "purchase", "signup", "view")) -> str:
+    """Generated DuckDB twin for X366 (Jonckheere-Terpstra): the same
+    distinct-value/exclusive-prefix replay as _ad_ksample_sql, with the
+    k(k-1)/2 pairwise U terms and the tie-polynomial sums generated
+    from the group tuple. Every U term is a sum of integer x half-
+    integer products < 2^53, so both engines compute jt/mean EXACTLY
+    (no float-order noise despite the ~1e9 magnitudes); the var/z
+    expressions mirror the Spark operator's evaluation order so the
+    single IEEE divisions round identically."""
+    k = len(groups)
+    fcols = ", ".join(
+        f"SUM((g = '{gv}')::INT)::DOUBLE AS f{i}" for i, gv in enumerate(groups)
+    )
+    cumcols = ", ".join(
+        f"COALESCE(SUM(f{i}) OVER w, 0) AS c{i}" for i in range(k)
+    )
+    uterms = ", ".join(
+        f"SUM(f{b} * (c{a} + f{a} / 2)) AS u{a}_{b}"
+        for a in range(k)
+        for b in range(a + 1, k)
+    )
+    nsums = ", ".join(f"SUM(f{i}) AS n{i}" for i in range(k))
+    ntot = " + ".join(f"n{i}" for i in range(k))
+    jtsum = " + ".join(
+        f"u{a}_{b}" for a in range(k) for b in range(a + 1, k)
+    )
+    nsq = " + ".join(f"n{i} * n{i}" for i in range(k))
+    gp1 = " + ".join(f"n{i} * (n{i} - 1) * (2 * n{i} + 5)" for i in range(k))
+    gp2 = " + ".join(f"n{i} * (n{i} - 1) * (n{i} - 2)" for i in range(k))
+    gp3 = " + ".join(f"n{i} * (n{i} - 1)" for i in range(k))
+    return f"""WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l, {fcols} FROM b GROUP BY 1),
+cum AS (SELECT *, {cumcols} FROM cells
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+s AS (SELECT {nsums},
+             SUM(l * (l - 1) * (2 * l + 5)) AS t1,
+             SUM(l * (l - 1) * (l - 2)) AS t2,
+             SUM(l * (l - 1)) AS t3,
+             {uterms}
+      FROM cum),
+f AS (SELECT ({ntot}) AS N, ({jtsum}) AS jt, ({nsq}) AS nsq,
+             ({gp1}) AS gp1, ({gp2}) AS gp2, ({gp3}) AS gp3,
+             t1, t2, t3 FROM s),
+v AS (SELECT N, jt, (N * N - nsq) / 4 AS mean,
+             CASE WHEN N > 2 THEN
+               (N * (N - 1) * (2 * N + 5) - gp1 - t1) / 72
+               + gp2 * t2 / (36 * N * (N - 1) * (N - 2))
+               + gp3 * t3 / (8 * N * (N - 1)) END AS var
+      FROM f)
+SELECT {k}::BIGINT AS k, N::BIGINT AS n, ROUND(jt, 6) AS jt,
+       ROUND(mean, 6) AS mean,
+       ROUND(CASE WHEN var > 0 THEN sqrt(var) END, 6) AS sigma,
+       ROUND(CASE WHEN var > 0 THEN (jt - mean) / sqrt(var) END, 6) AS z
+FROM v;"""
+
+
+@_declare(
+    "X366_jonckheere_terpstra",
+    # Jonckheere-Terpstra ordered-alternative k-sample test over event
+    # values by type (evalmetrics.jonckheere_terpstra; Terpstra 1952 /
+    # Jonckheere 1954, Hollander-Wolfe tie-corrected variance): does
+    # the metric TREND along the (lexical) group order - the pairwise-U
+    # complement to Cuzick's rank-sum scores (X358). One distinct-value
+    # aggregate with k conditional-count columns, one range-partitioned
+    # prefix pass, one aggregate for all k(k-1)/2 U terms + tie sums;
+    # jt/mean are exact half-integer sums in both engines.
+    _jt_sql(),
+)
+def x366(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        jonckheere_terpstra,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return jonckheere_terpstra(ev, "value", "event_type")
+
+
+@_declare(
+    "X367_ansari_bradley",
+    # Ansari-Bradley rank dispersion test, purchase vs click values
+    # (evalmetrics.ansari_bradley; Ansari-Bradley 1960, conditional
+    # tie-exact moments per Conover): did the SPREAD move, center
+    # aside - the rank-robust companion to Bartlett (X345) on the same
+    # two-sample cut as the CvM location screen (X224). Folded midrank
+    # scores from one distinct-value aggregate + one prefix pass + one
+    # moments aggregate; scores are exact half-integers so the AB sum
+    # carries no float-order noise.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l,
+                 SUM((g = 'purchase')::INT)::DOUBLE AS fa,
+                 SUM((g = 'click')::INT)::DOUBLE AS fb
+          FROM b GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM cells),
+tot AS (SELECT SUM(l) AS N FROM cells),
+sc AS (SELECT fa, fb, l,
+              least(cl + (l + 1) / 2, N + 1 - (cl + (l + 1) / 2)) AS s
+       FROM cum CROSS JOIN tot),
+m AS (SELECT MAX(N) AS n, SUM(fa) AS na, SUM(fb) AS nb,
+             SUM(fa * s) AS ab, SUM(l * s) AS ls, SUM(l * s * s) AS ls2
+      FROM sc CROSS JOIN tot),
+v AS (SELECT n, na, nb, ab, na * ls / n AS mean,
+             na * nb * (n * ls2 - ls * ls) / (n * n * NULLIF(n - 1, 0)) AS var
+      FROM m)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, ROUND(ab, 6) AS ab_stat,
+       ROUND(mean, 6) AS mean,
+       ROUND(CASE WHEN var > 0 THEN sqrt(var) END, 6) AS sigma,
+       ROUND(CASE WHEN var > 0 THEN (ab - mean) / sqrt(var) END, 6) AS z
+FROM v;""",
+)
+def x367(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import ansari_bradley
+
+    ev = load_table(spark, sf_dir, "events")
+    return ansari_bradley(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X368_mmd_quadratic",
+    # Quadratic-kernel two-sample MMD between embedding labels 0/1
+    # (similarity.mmd_quadratic; Gretton et al. 2012): distribution
+    # shift beyond the centroid - for k(x,y)=(x.y)^2 the V-statistic
+    # collapses EXACTLY to ||E_A[xx^T] - E_B[xx^T]||_F^2, so the whole
+    # test is d^2-cell sufficient statistics (partial-aggregated
+    # explode, shuffle = tasks x d^2) - no O(n^2) kernel matrix ever.
+    """WITH e AS (SELECT label = 0 AS ga, embedding::DOUBLE[] AS x
+      FROM embeddings WHERE embedding IS NOT NULL AND label IN (0, 1)),
+n AS (SELECT SUM(ga::INT)::DOUBLE AS na, SUM((NOT ga)::INT)::DOUBLE AS nb,
+             MAX(len(x)) AS d FROM e),
+idx AS (SELECT unnest(range(1, (SELECT d FROM n)::BIGINT + 1)) AS i),
+p AS (SELECT ga, (i.i - 1) * (SELECT d FROM n)::BIGINT + (j.i - 1) AS cell,
+             x[i.i] * x[j.i] AS v
+      FROM e CROSS JOIN idx i CROSS JOIN idx j),
+c AS (SELECT cell, SUM(CASE WHEN ga THEN v END) AS sa,
+             SUM(CASE WHEN NOT ga THEN v END) AS sb
+      FROM p GROUP BY 1)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, d::INT AS d,
+       ROUND(CASE WHEN na > 0 AND nb > 0
+             THEN SUM((sa / na - sb / nb) * (sa / na - sb / nb)) END, 6) AS mmd2
+FROM c CROSS JOIN n GROUP BY na, nb, d;""",
+)
+def x368(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import mmd_quadratic
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmd_quadratic(emb, "embedding", "label", 0, 1)
+
+
+@_declare(
+    "X369_cka_quantization",
+    # Linear CKA between the embeddings and their int8-dequantized
+    # selves (similarity.cka_quantization_audit; Kornblith et al.
+    # 2019): how much representational STRUCTURE quantization keeps -
+    # scale-insensitive where X50's error units are not. Same d^2-cell
+    # sufficient-statistics pass as X368 + a d-row mean relation
+    # broadcast into the centered Frobenius sums; the int8 arithmetic
+    # is X50's bit-exact floor convention on both engines.
+    """WITH e0 AS (SELECT embedding::DOUBLE[] AS x,
+             list_max(list_transform(embedding, u -> abs(u::DOUBLE))) / 127.0 AS scale
+      FROM embeddings WHERE embedding IS NOT NULL),
+e AS (SELECT x, list_transform(x, u ->
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE floor(u / scale + 0.5) * scale END) AS y FROM e0),
+n AS (SELECT COUNT(*)::DOUBLE AS n, MAX(len(x)) AS d FROM e),
+idx AS (SELECT unnest(range(1, (SELECT d FROM n)::BIGINT + 1)) AS i),
+m AS (SELECT i.i AS k, SUM(x[i.i]) AS sx, SUM(y[i.i]) AS sy
+      FROM e CROSS JOIN idx i GROUP BY 1),
+p AS (SELECT i.i AS ki, j.i AS kj,
+             SUM(x[i.i] * x[j.i]) AS sxx, SUM(y[i.i] * y[j.i]) AS syy,
+             SUM(x[i.i] * y[j.i]) AS sxy
+      FROM e CROSS JOIN idx i CROSS JOIN idx j GROUP BY 1, 2),
+cc AS (SELECT sxx / n - (mi.sx / n) * (mj.sx / n) AS cxx,
+              syy / n - (mi.sy / n) * (mj.sy / n) AS cyy,
+              sxy / n - (mi.sx / n) * (mj.sy / n) AS cxy
+       FROM p JOIN m mi ON mi.k = p.ki JOIN m mj ON mj.k = p.kj CROSS JOIN n),
+f AS (SELECT SUM(cxy * cxy) AS fxy, SUM(cxx * cxx) AS fxx,
+             SUM(cyy * cyy) AS fyy FROM cc)
+SELECT n::BIGINT AS n, d::INT AS d,
+       ROUND(CASE WHEN sqrt(fxx) * sqrt(fyy) > 0
+             THEN fxy / (sqrt(fxx) * sqrt(fyy)) END, 6) AS cka
+FROM f CROSS JOIN n;""",
+)
+def x369(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.similarity import (
+        cka_quantization_audit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cka_quantization_audit(emb, "embedding")

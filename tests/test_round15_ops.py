@@ -170,3 +170,155 @@ def test_haar_energy_pre_1970_sign_not_degenerate(spark):
     df2 = spark.createDataFrame(rows2, "ts timestamp, id long")
     out2 = {r["level"]: r["energy"] for r in haar_energy(df2, "ts", levels=3).collect()}
     assert out2[1] > 0 and out2[1] > 10 * out2[2]
+
+
+# ------------------------------------------------------ jonckheere_terpstra
+def _jt_brute(samples):
+    """Brute-force JT + tie-corrected moments (Hollander-Wolfe)."""
+    import collections
+
+    jt = 0.0
+    for a in range(len(samples)):
+        for b in range(a + 1, len(samples)):
+            for x in samples[a]:
+                for y in samples[b]:
+                    jt += 1.0 if x < y else (0.5 if x == y else 0.0)
+    ns = [len(s) for s in samples]
+    n = sum(ns)
+    pooled = [x for s in samples for x in s]
+    ties = collections.Counter(pooled).values()
+    mean = (n * n - sum(v * v for v in ns)) / 4.0
+    a_p = (n * (n - 1) * (2 * n + 5)
+           - sum(v * (v - 1) * (2 * v + 5) for v in ns)
+           - sum(t * (t - 1) * (2 * t + 5) for t in ties))
+    b_p = (sum(v * (v - 1) * (v - 2) for v in ns)
+           * sum(t * (t - 1) * (t - 2) for t in ties))
+    c_p = (sum(v * (v - 1) for v in ns)
+           * sum(t * (t - 1) for t in ties))
+    var = (a_p / 72.0 + b_p / (36.0 * n * (n - 1) * (n - 2))
+           + c_p / (8.0 * n * (n - 1)))
+    return jt, mean, var
+
+
+def test_jonckheere_terpstra_brute_force_and_direction(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        jonckheere_terpstra,
+    )
+
+    # tied, interleaved samples — exercises the tie corrections
+    s = [[1.0, 3.0, 3.0, 5.0], [2.0, 3.0, 6.0, 6.0], [4.0, 6.0, 7.0, 7.0]]
+    rows = [(f"g{i}", v) for i, smp in enumerate(s) for v in smp]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = jonckheere_terpstra(df, "x", "g").collect()[0]
+    jt, mean, var = _jt_brute(s)
+    assert r["jt"] == jt and r["mean"] == mean
+    assert abs(r["sigma"] - var ** 0.5) < 1e-6
+    # strictly increasing trend across groups -> strongly positive z
+    up = [(f"g{i}", float(10 * i + j)) for i in range(3) for j in range(20)]
+    z_up = jonckheere_terpstra(
+        spark.createDataFrame(up, "g string, x double"), "x", "g"
+    ).collect()[0]["z"]
+    assert z_up > 5
+    with pytest.raises(ValueError):
+        jonckheere_terpstra(
+            spark.createDataFrame([("a", 1.0)], "g string, x double"),
+            "x", "g",
+        )
+
+
+# ---------------------------------------------------------- ansari_bradley
+def test_ansari_bradley_brute_force_and_direction(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import ansari_bradley
+
+    a = [1.0, 4.0, 4.0, 9.0, 12.0]
+    b = [5.0, 6.0, 6.0, 7.0, 8.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = ansari_bradley(df, "x", "g", "a", "b").collect()[0]
+    # brute-force midrank folded scores
+    pooled = sorted(a + b)
+    n = len(pooled)
+    import collections
+
+    ranks = {}
+    i = 0
+    for v, cnt in sorted(collections.Counter(pooled).items()):
+        ranks[v] = i + (cnt + 1) / 2.0
+        i += cnt
+    s = {v: min(rk, n + 1 - rk) for v, rk in ranks.items()}
+    ab = sum(s[v] for v in a)
+    ls = sum(s[v] for v in pooled)
+    ls2 = sum(s[v] ** 2 for v in pooled)
+    na, nb = float(len(a)), float(len(b))
+    mean = na * ls / n
+    var = na * nb * (n * ls2 - ls * ls) / (n * n * (n - 1))
+    assert r["ab_stat"] == ab and r["mean"] == round(mean, 6)
+    assert abs(r["sigma"] - var ** 0.5) < 1e-6
+    # sample a spans the extremes (more dispersed) -> small scores -> z < 0
+    assert r["z"] < 0
+    # scale-shifted twin: b wider than a -> z > 0
+    r2 = ansari_bradley(df, "x", "g", "b", "a").collect()[0]
+    assert r2["z"] > 0
+
+
+# ------------------------------------------------------------ mmd_quadratic
+def test_mmd_quadratic_matches_numpy_and_detects_shift(spark):
+    """MMD2 == ||E_A[xx^T] - E_B[xx^T]||_F^2 (numpy replay), zero for
+    identical slices, and larger under a planted covariance change."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.similarity import mmd_quadratic
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(40, 8)
+    b = rng.randn(40, 8) * 2.0  # planted scale (covariance) shift
+    rows = [("a", v.tolist()) for v in a] + [("b", v.tolist()) for v in b]
+    df = spark.createDataFrame(rows, "g string, v array<double>")
+    r = mmd_quadratic(df, "v", "g", "a", "b").collect()[0]
+    ma, mb = (a.T @ a) / len(a), (b.T @ b) / len(b)
+    want = float(((ma - mb) ** 2).sum())
+    assert r["n_a"] == 40 and r["n_b"] == 40 and r["d"] == 8
+    assert abs(r["mmd2"] - want) < 1e-6
+    # identical slices -> exactly zero
+    same = spark.createDataFrame(
+        [("a", v.tolist()) for v in a] + [("b", v.tolist()) for v in a],
+        "g string, v array<double>",
+    )
+    assert mmd_quadratic(same, "v", "g", "a", "b").collect()[0]["mmd2"] == 0.0
+    # same distribution scores far below the planted shift
+    c = rng.randn(40, 8)
+    null = spark.createDataFrame(
+        [("a", v.tolist()) for v in a] + [("b", v.tolist()) for v in c],
+        "g string, v array<double>",
+    )
+    r0 = mmd_quadratic(null, "v", "g", "a", "b").collect()[0]
+    assert r0["mmd2"] < r["mmd2"] / 3
+
+
+# ------------------------------------------------------ cka_quantization
+def test_cka_quantization_lossless_and_structure(spark):
+    """Integer vectors with max|v| = 127 quantize losslessly (scale=1)
+    -> CKA exactly 1; real float vectors stay near 1 (int8 keeps the
+    structure) and the statistic is scale-insensitive by construction."""
+    import numpy as np
+
+    from swivel_spark_prep_spark.operators.similarity import (
+        cka_quantization_audit,
+    )
+
+    rng = np.random.RandomState(11)
+    ints = rng.randint(-127, 128, size=(30, 6)).astype(float)
+    ints[0, 0] = 127.0  # pin scale = 1 for at least one row's max
+    df = spark.createDataFrame(
+        [(v.tolist(),) for v in ints], "embedding array<double>"
+    )
+    r = cka_quantization_audit(df).collect()[0]
+    # every row whose max|v| divides its entries evenly is exact; with
+    # integer entries and scale = max/127 the reconstruction error is
+    # <= scale/2 ~ tiny relative to the structure: CKA ~ 1
+    assert r["n"] == 30 and r["d"] == 6 and r["cka"] > 0.999
+    floats = rng.randn(50, 6)
+    df2 = spark.createDataFrame(
+        [(v.tolist(),) for v in floats], "embedding array<double>"
+    )
+    assert cka_quantization_audit(df2).collect()[0]["cka"] > 0.99
