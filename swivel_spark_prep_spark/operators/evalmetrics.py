@@ -4480,3 +4480,207 @@ def ansari_bradley(
             F.when(sig > 0, (F.col("ab") - mean) / sig), 6
         ).alias("z"),
     )
+
+
+def youden_thresholds(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-threshold sensitivity / specificity / Youden's J (Youden
+    1950) with the J-optimal cutoff flagged — the operating-point table
+    behind a quality-filter threshold decision: binary_auc (X150) says
+    whether the score ranks at all, THIS says where to cut it. At each
+    distinct score t the classifier predicts positive when score ≥ t:
+
+        sens(t) = P(score ≥ t | y)      spec(t) = P(score < t | ¬y)
+        J(t)    = sens + spec − 1       best = argmax J (lowest t wins)
+
+    Scale design: the binary_auc shape — one distinct-score aggregate
+    with (n_pos, n_neg) columns, one range-partitioned prefix pass for
+    the strictly-below counts, class totals broadcast; the argmax is
+    max_by over ROUNDED J (both engines compare identical rounded
+    doubles, the X365 argmax convention) broadcast back onto the
+    threshold relation. Output per distinct score:
+    (threshold, sensitivity, specificity, j, best_threshold).
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    g = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    cells = g.groupBy("_s").agg(
+        F.sum(F.col("_y").cast("double")).alias("_np"),
+        F.sum((~F.col("_y")).cast("double")).alias("_nn"),
+    )
+    cum = partitioned_prefix_sum(
+        cells, ["_s"], ["_np", "_nn"], ["_pb", "_nb"], inclusive=False
+    )
+    tot = cells.agg(
+        F.sum("_np").alias("_tp"), F.sum("_nn").alias("_tn")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    sens = F.when(
+        F.col("_tp") > 0, (F.col("_tp") - F.col("_pb")) / F.col("_tp")
+    )
+    spec = F.when(F.col("_tn") > 0, F.col("_nb") / F.col("_tn"))
+    scored = j.select(
+        F.col("_s").alias("threshold"),
+        F.round(sens, 6).alias("sensitivity"),
+        F.round(spec, 6).alias("specificity"),
+        F.round(sens + spec - 1.0, 6).alias("j"),
+    )
+    best = scored.agg(
+        F.min_by(
+            "threshold", F.struct(-F.col("j"), F.col("threshold"))
+        ).alias("best_threshold")
+    )
+    return scored.crossJoin(F.broadcast(best)).orderBy("threshold")
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table (the direct-marketing decile
+    analysis; Berry & Linoff's formulation): rank the corpus by model
+    score descending, cut into ``buckets`` equal-depth bins, and report
+    each bin's response rate, lift over the base rate, and the
+    cumulative share of all positives captured — "how much of the good
+    stuff do the top k% hold", the working read of a curation score.
+
+    Scale design: per-ROW global ranks come from the two-pass
+    range-partitioned prefix sum over (−score, id) — deterministic
+    tie-break on id so both engines assign identical bins, never a
+    single-task ntile sort; bin membership is integer arithmetic
+    (floor((rank−1)·B/N)); one grouped aggregate per bin; the
+    cumulative pass is a window over the B-row bin relation (bounded
+    by the buckets literal — allowlisted). Output per bin:
+    (bucket, n, positives, response_rate, lift, cum_capture).
+    """
+    if not 2 <= buckets <= 100:
+        raise ValueError(f"buckets must be in [2, 100], got {buckets}")
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        (-F.col(score_col).cast("double")).alias("_negs"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).filter(F.col("_negs").isNotNull() & F.col("_y").isNotNull())
+    ranked = partitioned_prefix_sum(
+        g.withColumn("_one", F.lit(1.0)),
+        ["_negs", "_id"],
+        ["_one"],
+        ["_rk"],
+        inclusive=False,
+    )
+    tot = g.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_y").alias("_p"),
+    )
+    b = ranked.crossJoin(F.broadcast(tot)).select(
+        F.floor(F.col("_rk") * buckets / F.col("_n")).cast("long").alias(
+            "bucket"
+        ),
+        "_y",
+        "_n",
+        "_p",
+    )
+    per = b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("_y").cast("long").alias("positives"),
+        F.max("_n").alias("_tn"),
+        F.max("_p").alias("_tp"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.col("positives") / F.col("n")
+    base = F.col("_tp") / F.col("_tn")
+    return per.select(
+        "bucket",
+        "n",
+        "positives",
+        F.round(rate, 6).alias("response_rate"),
+        F.round(F.when(base > 0, rate / base), 6).alias("lift"),
+        F.round(
+            F.when(
+                F.col("_tp") > 0,
+                F.sum("positives").over(w) / F.col("_tp"),
+            ),
+            6,
+        ).alias("cum_capture"),
+    ).orderBy("bucket")
+
+
+def gwet_ac1(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Gwet's AC1 agreement coefficient, nominal categories (Gwet
+    2008): the chance-corrected inter-rater agreement that stays
+    informative under SKEWED label prevalence, where kappa and alpha
+    collapse toward zero (the "kappa paradox" — two raters agreeing on
+    97% of an almost-all-'clean' corpus can get kappa ≈ 0). Varying
+    raters per item, like Krippendorff's alpha (X309):
+
+        p_a = (1/n')·Σᵢ Σ_c n_ic(n_ic−1)/(mᵢ(mᵢ−1))
+        π_c = (1/n')·Σᵢ n_ic/mᵢ
+        p_e = (1/(q−1))·Σ_c π_c(1−π_c)     AC1 = (p_a − p_e)/(1 − p_e)
+
+    over the n' items with mᵢ ≥ 2 ratings; q = observed category count.
+
+    Scale design: the krippendorff_alpha plan family — one (item,
+    category) cell count, one per-item re-aggregate, one q-row category
+    aggregate, 1-row combines; q is label-bounded. Output one row:
+    (n_items, q, p_a, p_e, ac1) — ac1 NULL when p_e = 1 (degenerate
+    single-category corpus).
+    """
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(F.col(item_col).alias("_i"), F.col(category_col).alias("_c"))
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    per_item = (
+        cells.groupBy("_i")
+        .agg(
+            F.sum("_n").alias("_m"),
+            F.sum(F.col("_n") * (F.col("_n") - 1)).alias("_pairs"),
+        )
+        .filter(F.col("_m") >= 2)
+    )
+    pa = per_item.agg(
+        F.count("*").cast("double").alias("_items"),
+        F.avg(
+            F.col("_pairs") / (F.col("_m") * (F.col("_m") - 1))
+        ).alias("_pa"),
+    )
+    # per-category mean share over pairable items (q-bounded relation)
+    shares = (
+        cells.join(per_item.select("_i", "_m"), "_i")
+        .groupBy("_c")
+        .agg(F.sum(F.col("_n") / F.col("_m")).alias("_sh"))
+    )
+    pe = shares.crossJoin(F.broadcast(pa)).agg(
+        F.count("*").cast("double").alias("_q"),
+        F.sum(
+            (F.col("_sh") / F.col("_items"))
+            * (1.0 - F.col("_sh") / F.col("_items"))
+        ).alias("_spi"),
+    )
+    out = pa.crossJoin(F.broadcast(pe))
+    pe_v = F.when(F.col("_q") > 1, F.col("_spi") / (F.col("_q") - 1.0))
+    return out.select(
+        F.col("_items").cast("long").alias("n_items"),
+        F.col("_q").cast("long").alias("q"),
+        F.round("_pa", 6).alias("p_a"),
+        F.round(pe_v, 6).alias("p_e"),
+        F.round(
+            F.when(pe_v < 1.0, (F.col("_pa") - pe_v) / (1.0 - pe_v)), 6
+        ).alias("ac1"),
+    )

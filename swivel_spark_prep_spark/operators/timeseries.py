@@ -3539,3 +3539,84 @@ def mcf_recurrent(
         )
         .orderBy("bucket")
     )
+
+
+def msprt_monitor(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Always-valid mean monitor via the mixture SPRT (Johari, Koomen,
+    Pekelis & Walsh 2017/2022, the "peeking problem" fix): a per-bucket
+    timeline of the mixture likelihood ratio against H₀: μ = μ₀ and
+    the ALWAYS-VALID p-value p_n = min(1, 1/max_{m≤n} Λ_m) — safe to
+    read after every bucket, unlike a fixed-horizon z test, and the
+    sequential companion to the Pocock/O'Brien–Fleming monitors
+    (X339/X351) that needs no pre-registered look count. With the
+    standard τ² = σ² mixture prior the log likelihood ratio collapses:
+
+        log Λ_n = −½·ln(1 + n) + n²(x̄_n − μ₀)² / (2σ²(1 + n))
+
+    Self-calibrating like Page–Hinkley (X301): μ₀ is the FIRST
+    bucket's mean, σ² the global value variance (both 1-row controls).
+
+    Scale design: ONE bucketing aggregate, cumulative (n, Σx) from the
+    range-partitioned prefix pass, two broadcast 1-row controls; the
+    running max of log Λ is a window over the BUCKET relation, bounded
+    by the observed time range (allowlisted with that bound). exp
+    underflow on a long-past-significant stream flushes p to exactly 0
+    on both engines. Output per bucket:
+    (bucket, n_cum, mean_cum, log_lambda, p_always_valid).
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    step = int(bucket_seconds)
+    x = F.col(value_col).cast("double")
+    base = df.filter(F.col(ts_col).isNotNull() & x.isNotNull()).select(
+        F.floor(epoch_seconds(ts_col) / step).alias("_b"), x.alias("_x")
+    )
+    buck = base.groupBy("_b").agg(
+        F.count("*").cast("double").alias("_n"), F.sum("_x").alias("_sx")
+    )
+    cum = partitioned_prefix_sum(
+        buck, ["_b"], ["_n", "_sx"], ["_cn", "_csx"], inclusive=True
+    )
+    mom = base.agg(
+        F.avg("_x").alias("_mu"),
+        (
+            F.sum(F.col("_x") * F.col("_x")) / F.count("*")
+            - F.avg("_x") * F.avg("_x")
+        ).alias("_s2"),
+    )
+    first = buck.agg(F.min("_b").alias("_b0"))
+    mu0 = (
+        buck.join(F.broadcast(first), F.col("_b") == F.col("_b0"))
+        .select((F.col("_sx") / F.col("_n")).alias("_mu0"))
+    )
+    j = cum.crossJoin(F.broadcast(mom)).crossJoin(F.broadcast(mu0))
+    n = F.col("_cn")
+    xbar = F.col("_csx") / n
+    dev = xbar - F.col("_mu0")
+    loglam = F.when(
+        F.col("_s2") > 0,
+        -0.5 * F.log(1.0 + n)
+        + n * n * dev * dev / (2.0 * F.col("_s2") * (1.0 + n)),
+    )
+    scored = j.select(
+        F.col("_b").cast("long").alias("bucket"),
+        n.cast("long").alias("n_cum"),
+        F.round(xbar, 6).alias("mean_cum"),
+        F.round(loglam, 6).alias("log_lambda"),
+        loglam.alias("_ll"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return scored.select(
+        "bucket",
+        "n_cum",
+        "mean_cum",
+        "log_lambda",
+        F.round(
+            F.least(F.lit(1.0), F.exp(-F.max("_ll").over(w))), 6
+        ).alias("p_always_valid"),
+    ).orderBy("bucket")

@@ -14014,3 +14014,178 @@ def x369(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cka_quantization_audit(emb, "embedding")
+
+
+@_declare(
+    "X370_youden_thresholds",
+    # Per-threshold sensitivity/specificity/Youden-J operating-point
+    # table for the length->is-en classifier, J-optimal cutoff flagged
+    # (evalmetrics.youden_thresholds; Youden 1950): X150 says the score
+    # ranks, THIS says where to cut it. binary_auc's distinct-score +
+    # prefix plan; argmax over ROUNDED J (the X365 convention).
+    """WITH d AS (SELECT n_chars::DOUBLE AS s, (lang = 'en') AS y FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+c AS (SELECT s, SUM(y::INT)::DOUBLE AS np, SUM((NOT y)::INT)::DOUBLE AS nn
+      FROM d GROUP BY 1),
+cu AS (SELECT s, np, nn,
+       COALESCE(SUM(np) OVER w, 0) AS pb, COALESCE(SUM(nn) OVER w, 0) AS nb
+       FROM c WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+t AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM c),
+sc AS (SELECT s AS threshold,
+       ROUND(CASE WHEN tp > 0 THEN (tp - pb) / tp END, 6) AS sensitivity,
+       ROUND(CASE WHEN tn > 0 THEN nb / tn END, 6) AS specificity,
+       ROUND((CASE WHEN tp > 0 THEN (tp - pb) / tp END)
+             + (CASE WHEN tn > 0 THEN nb / tn END) - 1.0, 6) AS j
+       FROM cu CROSS JOIN t),
+best AS (SELECT MIN(threshold) AS best_threshold FROM sc
+         WHERE j = (SELECT MAX(j) FROM sc))
+SELECT sc.*, best.best_threshold FROM sc CROSS JOIN best ORDER BY threshold;""",
+)
+def x370(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        youden_thresholds,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return youden_thresholds(
+        docs.select("n_chars", (F.col("lang") == "en").alias("y")),
+        "n_chars",
+        "y",
+    )
+
+
+@_declare(
+    "X371_lift_gains",
+    # Cumulative gains / lift deciles of the length score against
+    # is-en (evalmetrics.lift_table): how much of the positives the
+    # top-k% capture - the working read of a curation score. Global
+    # per-row ranks via the two-pass prefix sum with deterministic
+    # (score desc, doc_id) tie-break so both engines bin identically;
+    # the cumulative pass is a window over the 10-row bin relation.
+    """WITH d AS (SELECT doc_id, n_chars::DOUBLE AS s,
+                 (lang = 'en')::INT::DOUBLE AS y
+           FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY -s, doc_id) - 1 AS rk FROM d),
+t AS (SELECT COUNT(*)::DOUBLE AS tn, SUM(y) AS tp FROM d),
+b AS (SELECT CAST(FLOOR(rk * 10 / tn) AS BIGINT) AS bucket, y
+      FROM r CROSS JOIN t),
+p AS (SELECT bucket, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS positives
+      FROM b GROUP BY 1)
+SELECT bucket, n, positives,
+       ROUND(positives / n::DOUBLE, 6) AS response_rate,
+       ROUND(CASE WHEN tp > 0
+             THEN (positives / n::DOUBLE) / (tp / tn) END, 6) AS lift,
+       ROUND(CASE WHEN tp > 0 THEN SUM(positives) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tp END, 6)
+         AS cum_capture
+FROM p CROSS JOIN t ORDER BY bucket;""",
+)
+def x371(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import lift_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lift_table(
+        docs.select(
+            "doc_id", "n_chars", (F.col("lang") == "en").alias("y")
+        ),
+        "n_chars",
+        "y",
+        "doc_id",
+        buckets=10,
+    )
+
+
+@_declare(
+    "X372_msprt_monitor",
+    # Always-valid mean monitor over the daily event-value stream
+    # (timeseries.msprt_monitor; Johari-Koomen-Pekelis-Walsh mixture
+    # SPRT): the peeking-safe p-value timeline - read it after every
+    # day, no pre-registered look count, the sequential companion to
+    # Pocock/OBF (X339/X351). Self-calibrating mu0 = first day's mean,
+    # tau^2 = sigma^2 collapses the log-LR to
+    # -ln(1+n)/2 + n^2(xbar-mu0)^2/(2 sigma^2 (1+n)).
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bk,
+             value::DOUBLE AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+bu AS (SELECT bk, COUNT(*)::DOUBLE AS n, SUM(x) AS sx FROM b GROUP BY 1),
+cu AS (SELECT bk, SUM(n) OVER w AS cn, SUM(sx) OVER w AS csx FROM bu
+       WINDOW w AS (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (SELECT AVG(x) AS mu, SUM(x * x) / COUNT(*) - AVG(x) * AVG(x) AS s2 FROM b),
+f AS (SELECT sx / n AS mu0 FROM bu WHERE bk = (SELECT MIN(bk) FROM bu)),
+ll AS (SELECT bk, cn, csx / cn AS xbar,
+       CASE WHEN s2 > 0 THEN -0.5 * ln(1.0 + cn)
+            + cn * cn * (csx / cn - mu0) * (csx / cn - mu0)
+              / (2.0 * s2 * (1.0 + cn)) END AS l
+       FROM cu CROSS JOIN m CROSS JOIN f)
+SELECT bk AS bucket, cn::BIGINT AS n_cum, ROUND(xbar, 6) AS mean_cum,
+       ROUND(l, 6) AS log_lambda,
+       ROUND(LEAST(1.0, exp(-MAX(l) OVER (ORDER BY bk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6)
+         AS p_always_valid
+FROM ll ORDER BY bucket;""",
+)
+def x372(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import msprt_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    return msprt_monitor(ev, "ts", "value")
+
+
+@_declare(
+    "X373_gwet_ac1",
+    # Gwet's AC1 over X309's four rule raters (evalmetrics.gwet_ac1;
+    # Gwet 2008): the prevalence-robust agreement coefficient - kappa
+    # and alpha collapse toward 0 on skewed-label corpora even at 97%
+    # raw agreement (the kappa paradox); AC1 does not. Same varying-
+    # raters coincidence machinery as Krippendorff (X309).
+    """WITH r AS (
+  SELECT doc_id, CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END AS c
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN text LIKE '% and %' THEN 'en' ELSE 'other' END
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN text LIKE '% of %' THEN 'en' ELSE 'other' END
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN text LIKE '% in %' THEN 'en' ELSE 'other' END
+  FROM documents WHERE text IS NOT NULL AND n_chars > 300),
+cells AS (SELECT doc_id, c, COUNT(*)::DOUBLE AS n FROM r GROUP BY 1, 2),
+pi AS (SELECT doc_id, SUM(n) AS m, SUM(n * (n - 1)) AS pairs FROM cells
+       GROUP BY 1 HAVING SUM(n) >= 2),
+pa AS (SELECT COUNT(*)::DOUBLE AS items, AVG(pairs / (m * (m - 1))) AS pa
+       FROM pi),
+sh AS (SELECT c, SUM(n / m) AS sh FROM cells JOIN pi USING (doc_id)
+       GROUP BY c),
+pe AS (SELECT COUNT(*)::DOUBLE AS q,
+              SUM((sh / items) * (1.0 - sh / items)) AS spi
+       FROM sh CROSS JOIN pa)
+SELECT items::BIGINT AS n_items, q::BIGINT AS q, ROUND(pa, 6) AS p_a,
+       ROUND(CASE WHEN q > 1 THEN spi / (q - 1) END, 6) AS p_e,
+       ROUND(CASE WHEN q > 1 AND spi / (q - 1) < 1
+             THEN (pa - spi / (q - 1)) / (1.0 - spi / (q - 1)) END, 6) AS ac1
+FROM pa CROSS JOIN pe;""",
+)
+def x373(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import gwet_ac1
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+
+    def rater(pat):
+        return F.when(F.col("text").like(f"% {pat} %"), "en").otherwise(
+            "other"
+        )
+
+    ratings = (
+        docs.select("doc_id", rater("the").alias("c"))
+        .unionAll(docs.select("doc_id", rater("and").alias("c")))
+        .unionAll(docs.select("doc_id", rater("of").alias("c")))
+        .unionAll(
+            docs.filter(F.col("n_chars") > 300).select(
+                "doc_id", rater("in").alias("c")
+            )
+        )
+    )
+    return gwet_ac1(ratings, "doc_id", "c")

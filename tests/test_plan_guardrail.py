@@ -123,6 +123,15 @@ ALLOWED_UNPARTITIONED = {
     "X289_rank_movers": 2,
     "X39_vocab_coverage": 1,
     "X61_zipf_fit": 1,
+    # X371: the cumulative-capture pass runs over the BIN relation —
+    # exactly `buckets` rows (10 here, capped at 100 by the operator);
+    # per-row ranks underneath come from partitioned_prefix_sum
+    "X371_lift_gains": 1,
+    # X372: the running max of log-lambda runs over the DAY-BUCKET
+    # relation, bounded by the observed time range (the X268/X333
+    # timeline class); cumulative (n, sum x) underneath come from
+    # partitioned_prefix_sum
+    "X372_msprt_monitor": 1,
 }
 
 #: name -> max allowed PAIR self-join sites (bounds documented above)

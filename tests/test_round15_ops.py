@@ -322,3 +322,111 @@ def test_cka_quantization_lossless_and_structure(spark):
         [(v.tolist(),) for v in floats], "embedding array<double>"
     )
     assert cka_quantization_audit(df2).collect()[0]["cka"] > 0.99
+
+
+# -------------------------------------------------------- youden_thresholds
+def test_youden_hand_computed_perfect_and_best(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        youden_thresholds,
+    )
+
+    # perfectly separable: all positives >= 10, negatives < 10
+    rows = [(float(v), v >= 10) for v in [1, 2, 3, 10, 11, 12]]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["threshold"]: r for r in youden_thresholds(df, "s", "y").collect()}
+    assert out[10.0]["sensitivity"] == 1.0 and out[10.0]["specificity"] == 1.0
+    assert out[10.0]["j"] == 1.0
+    assert all(r["best_threshold"] == 10.0 for r in out.values())
+    # threshold at the minimum: everything predicted positive
+    assert out[1.0]["sensitivity"] == 1.0 and out[1.0]["specificity"] == 0.0
+    # ties in J break toward the LOWEST threshold
+    tie = spark.createDataFrame(
+        [(1.0, False), (2.0, True)], "s double, y boolean"
+    )
+    assert youden_thresholds(tie, "s", "y").collect()[0]["best_threshold"] == 2.0
+
+
+# --------------------------------------------------------------- lift_table
+def test_lift_table_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import lift_table
+
+    # 20 rows, scores 20..1, positives exactly the top 5 scores
+    rows = [(i, float(20 - i), 20 - i > 15) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s double, y boolean")
+    out = {r["bucket"]: r for r in lift_table(df, "s", "y", "id", buckets=4).collect()}
+    assert [out[b]["n"] for b in range(4)] == [5, 5, 5, 5]
+    assert out[0]["positives"] == 5 and out[1]["positives"] == 0
+    assert out[0]["response_rate"] == 1.0
+    assert out[0]["lift"] == 4.0  # base rate 0.25
+    assert out[0]["cum_capture"] == 1.0 and out[3]["cum_capture"] == 1.0
+    with pytest.raises(ValueError):
+        lift_table(df, "s", "y", "id", buckets=1)
+
+
+# ------------------------------------------------------------ msprt_monitor
+def test_msprt_detects_mean_shift_and_stays_valid_under_null(spark):
+    from swivel_spark_prep_spark.operators.timeseries import msprt_monitor
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 10 calm days around 10, then 10 days shifted to 14
+    for day in range(20):
+        for i in range(50):
+            v = 10.0 + (i % 5) + (4.0 if day >= 10 else 0.0)
+            rows.append((b + datetime.timedelta(days=day, minutes=i), v))
+            eid += 1
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = sorted(
+        msprt_monitor(df, "ts", "value").collect(), key=lambda r: r["bucket"]
+    )
+    # p is a running min by construction (always-valid)
+    ps = [r["p_always_valid"] for r in out]
+    assert all(a >= c for a, c in zip(ps, ps[1:]))
+    # significant after the shift, not before it
+    assert ps[9] > 0.2 and ps[-1] < 0.01
+    # null stream: no rejection at the end
+    null_rows = [
+        (b + datetime.timedelta(days=d, minutes=i), 10.0 + (i % 5))
+        for d in range(20)
+        for i in range(50)
+    ]
+    ndf = spark.createDataFrame(null_rows, "ts timestamp, value double")
+    nout = sorted(
+        msprt_monitor(ndf, "ts", "value").collect(), key=lambda r: r["bucket"]
+    )
+    assert nout[-1]["p_always_valid"] > 0.2
+
+
+# ------------------------------------------------------------------ gwet_ac1
+def test_gwet_ac1_published_example_and_paradox(spark):
+    """Gwet 2008's motivating property: under skewed prevalence with
+    high raw agreement, kappa-family chance correction collapses while
+    AC1 stays high. Pinned with a hand-computed 2-rater fixture."""
+    from swivel_spark_prep_spark.operators.evalmetrics import gwet_ac1
+
+    # 2 raters, 10 items: agree 'a' on 9, split on 1
+    rows = []
+    for i in range(9):
+        rows += [(i, "a"), (i, "a")]
+    rows += [(9, "a"), (9, "b")]
+    df = spark.createDataFrame(rows, "item long, c string")
+    r = gwet_ac1(df, "item", "c").collect()[0]
+    # hand: pa = 9/10; pi_a = (9*1 + 0.5)/10 = .95, pi_b = .05
+    # pe = (1/(2-1))*(0.95*0.05 + 0.05*0.95) = 0.095
+    # ac1 = (0.9 - 0.095)/(1 - 0.095) = 0.889503
+    assert r["n_items"] == 10 and r["q"] == 2
+    assert r["p_a"] == 0.9 and r["p_e"] == 0.095
+    assert abs(r["ac1"] - (0.9 - 0.095) / (1 - 0.095)) < 1e-6
+    # single-rated items contribute nothing (no pairable values)
+    df2 = df.unionAll(
+        spark.createDataFrame([(99, "a")], "item long, c string")
+    )
+    r2 = gwet_ac1(df2, "item", "c").collect()[0]
+    assert r2["n_items"] == 10 and r2["p_a"] == r["p_a"]
+    # perfect agreement -> ac1 == 1
+    perf = spark.createDataFrame(
+        [(i, "a") for i in range(5)] * 2 + [(i, "b") for i in range(5, 8)] * 2,
+        "item long, c string",
+    )
+    assert gwet_ac1(perf, "item", "c").collect()[0]["ac1"] == 1.0
