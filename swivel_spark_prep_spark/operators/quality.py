@@ -1683,3 +1683,68 @@ def fdr_by(
         )
         .drop("_cut")
     )
+
+
+def hellinger_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bin_width: float = 100.0,
+) -> DataFrame:
+    """Per-slice distribution distance to the POOLED corpus via the
+    Bhattacharyya coefficient (Bhattacharyya 1943) and Hellinger
+    distance — the bounded, symmetric companion to PSI (X-psi family):
+    PSI explodes on near-empty bins (log-ratio), Hellinger is stable
+    (√p·√q) and lives in [0, 1], so slices are comparable on one
+    scale. Over fixed-width value bins b:
+
+        BC_s = Σ_b √(p_sb · q_b)        (q = pooled corpus shares)
+        H_s  = √(1 − BC_s)              D_B = −ln BC_s
+
+    Scale design: ONE (slice, bin) hash aggregate; pooled bin shares
+    are a second bin-bounded aggregate broadcast onto it; bins the
+    slice lacks contribute 0 to BC, so the inner join is exact. Output
+    per slice: (group, n, bc, hellinger, bhattacharyya_d), ordered by
+    group; bhattacharyya_d NULL when BC = 0 (disjoint supports).
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        (F.floor(x / F.lit(float(bin_width))) * F.lit(float(bin_width))).alias(
+            "_b"
+        ),
+    )
+    cells = base.groupBy("_g", "_b").agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    # Spark-4 resolver: aggregates DERIVED from cells get renamed
+    # columns before joining back (the mood_median/theils_u pattern —
+    # AMBIGUOUS_REFERENCE otherwise)
+    gtot = cells.groupBy("_g").agg(F.sum("_n").alias("_gn")).select(
+        F.col("_g").alias("_gg"), "_gn"
+    )
+    pooled = cells.groupBy("_b").agg(F.sum("_n").alias("_bn")).select(
+        F.col("_b").alias("_bb"), "_bn"
+    )
+    ptot = pooled.agg(F.sum("_bn").alias("_tot"))
+    j = (
+        cells.join(F.broadcast(gtot), F.col("_g") == F.col("_gg"))
+        .join(F.broadcast(pooled), F.col("_b") == F.col("_bb"))
+        .crossJoin(F.broadcast(ptot))
+    )
+    bc = F.sum(
+        F.sqrt((F.col("_n") / F.col("_gn")) * (F.col("_bn") / F.col("_tot")))
+    )
+    agg = j.groupBy("_g").agg(
+        F.max("_gn").alias("_gn2"), bc.alias("_bc")
+    )
+    bcc = F.least(F.lit(1.0), F.col("_bc"))  # float guard: BC <= 1
+    return agg.select(
+        F.col("_g").alias("group"),
+        F.col("_gn2").cast("long").alias("n"),
+        F.round("_bc", 6).alias("bc"),
+        F.round(F.sqrt(1.0 - bcc), 6).alias("hellinger"),
+        F.round(F.when(F.col("_bc") > 0, -F.log("_bc")), 6).alias(
+            "bhattacharyya_d"
+        ),
+    ).orderBy("group")

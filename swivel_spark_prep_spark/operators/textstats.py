@@ -1736,3 +1736,73 @@ def head_token_profile_similarity(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def schnabel_vocab_estimate(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Multi-occasion capture–recapture vocabulary estimate (Schnabel
+    1938, the Chapman-corrected form N̂ = ΣCₜMₜ/(ΣRₜ+1) per Krebs):
+    treat each source as a sampling OCCASION over the shared token
+    population — how big is the true vocabulary the union is drawing
+    from, and how much does each new source re-capture? The k-source
+    generalization of the two-sample Chapman estimate
+    (chapman_vocab_estimate): more occasions, tighter estimate,
+    per-occasion recapture diagnostics for free. Occasions are the
+    ascending sort of the group labels.
+
+    Scale design: tokens → per-(token) FIRST occasion (one min
+    aggregate) + distinct (occasion, token) presence; per-occasion
+    Cₜ/Rₜ are one grouped aggregate each, Mₜ is an exclusive prefix
+    over the OCCASION relation (group-label-bounded, so the windows
+    are control-plane); N̂ is a 1-row broadcast back onto the occasion
+    table. Output per occasion:
+    (group, c_t, m_t, r_t, n_hat) ordered by group.
+    """
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    pres = toks.select("_g", "_w").distinct()
+    first = pres.groupBy("_w").agg(F.min("_g").alias("_f"))
+    per = (
+        pres.join(first, "_w")
+        .groupBy("_g")
+        .agg(
+            F.count("*").cast("double").alias("_c"),
+            F.sum((F.col("_f") < F.col("_g")).cast("double")).alias("_r"),
+            F.sum((F.col("_f") == F.col("_g")).cast("double")).alias(
+                "_new"
+            ),
+        )
+    )
+    w = Window.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    occ = per.select(
+        "_g",
+        "_c",
+        "_r",
+        F.coalesce(F.sum("_new").over(w), F.lit(0.0)).alias("_m"),
+    )
+    tot = occ.agg(
+        (
+            F.sum(F.col("_c") * F.col("_m"))
+            / (F.sum("_r") + 1.0)
+        ).alias("_nhat")
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_g").alias("group"),
+            F.col("_c").cast("long").alias("c_t"),
+            F.col("_m").cast("long").alias("m_t"),
+            F.col("_r").cast("long").alias("r_t"),
+            F.round("_nhat", 6).alias("n_hat"),
+        )
+        .orderBy("group")
+    )

@@ -3620,3 +3620,218 @@ def msprt_monitor(
             F.least(F.lit(1.0), F.exp(-F.max("_ll").over(w))), 6
         ).alias("p_always_valid"),
     ).orderBy("bucket")
+
+
+def runs_test(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily event-rate sequence (Wald
+    & Wolfowitz 1940): is the above/below-median pattern RANDOM, or
+    does it clump (regime persistence, batch backfills) / alternate
+    (overcorrecting load balancer)? The classic nonparametric
+    randomness screen — CUSUM/Page–Hinkley ask "did the level move",
+    this asks "is the sequence exchangeable at all". Buckets equal to
+    the median are dropped (the standard dichotomization); runs R over
+    the retained sequence is judged against
+
+        E[R] = 2n₁n₂/n + 1
+        Var  = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))
+
+    Scale design: ONE bucketing aggregate; the median is an exact
+    percentile over the BUCKET relation (time-range-bounded); the
+    run-boundary count is one lag window over the same bounded
+    relation (allowlisted, the timeline class). Output one row:
+    (n_days, n_above, n_below, runs, mean, sigma, z) — sigma/z NULL
+    when either side is empty or n < 2.
+    """
+    step = int(bucket_seconds)
+    buck = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.floor(epoch_seconds(ts_col) / step).alias("_b"))
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    med = buck.agg(F.percentile("_c", F.lit(0.5)).alias("_med"))
+    s = (
+        buck.crossJoin(F.broadcast(med))
+        .filter(F.col("_c") != F.col("_med"))
+        .select("_b", (F.col("_c") > F.col("_med")).alias("_s"))
+    )
+    w = Window.orderBy("_b")
+    flips = s.select(
+        "_s",
+        F.when(
+            F.lag("_s").over(w).isNotNull()
+            & (F.lag("_s").over(w) != F.col("_s")),
+            1.0,
+        ).otherwise(0.0).alias("_flip"),
+    )
+    agg = flips.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(F.col("_s").cast("double")).alias("_n1"),
+        F.sum((~F.col("_s")).cast("double")).alias("_n2"),
+        (F.sum("_flip") + 1.0).alias("_r"),
+    )
+    n, n1, n2 = F.col("_n"), F.col("_n1"), F.col("_n2")
+    ok = (n1 > 0) & (n2 > 0) & (n > 1)
+    mean = F.when(ok, 2.0 * n1 * n2 / n + 1.0)
+    var = F.when(
+        ok,
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0)),
+    )
+    sig = F.when(var > 0, F.sqrt(var))
+    return agg.select(
+        n.cast("long").alias("n_days"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        F.col("_r").cast("long").alias("runs"),
+        F.round(mean, 6).alias("mean"),
+        F.round(sig, 6).alias("sigma"),
+        F.round(F.when(sig > 0, (F.col("_r") - mean) / sig), 6).alias("z"),
+    )
+
+
+def turning_point_test(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Turning-point randomness test on the hourly rate sequence
+    (Kendall's classic; Brockwell & Davis 1991 §1.6): count interior
+    local extrema — a point is a turn when (cₜ−cₜ₋₁)(cₜ₊₁−cₜ) < 0
+    (flat shoulders don't count, the strict-product convention) — and
+    judge against the iid null
+
+        E[T] = 2(n−2)/3,   Var = (16n − 29)/90.
+
+    Too FEW turns = trend/persistence, too MANY = alternation
+    (negative autocorrelation) — the complement of runs_test at a
+    finer timescale.
+
+    Scale design: ONE bucketing aggregate; lag+lead share a single
+    window over the BUCKET relation (time-range-bounded, allowlisted).
+    Output one row: (n_buckets, turning_points, mean, sigma, z) —
+    sigma/z NULL when n < 4.
+    """
+    step = int(bucket_seconds)
+    buck = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.floor(epoch_seconds(ts_col) / step).alias("_b"))
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    w = Window.orderBy("_b")
+    t = buck.select(
+        "_c",
+        F.lag("_c").over(w).alias("_p"),
+        F.lead("_c").over(w).alias("_nx"),
+    )
+    turn = (
+        F.col("_p").isNotNull()
+        & F.col("_nx").isNotNull()
+        & (
+            (F.col("_c") - F.col("_p")) * (F.col("_nx") - F.col("_c"))
+            < 0
+        )
+    )
+    agg = t.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(turn.cast("double")).alias("_t"),
+    )
+    n = F.col("_n")
+    ok = n >= 4
+    mean = F.when(ok, 2.0 * (n - 2.0) / 3.0)
+    var = F.when(ok, (16.0 * n - 29.0) / 90.0)
+    sig = F.when(var > 0, F.sqrt(var))
+    return agg.select(
+        n.cast("long").alias("n_buckets"),
+        F.col("_t").cast("long").alias("turning_points"),
+        F.round(mean, 6).alias("mean"),
+        F.round(sig, 6).alias("sigma"),
+        F.round(F.when(sig > 0, (F.col("_t") - mean) / sig), 6).alias("z"),
+    )
+
+
+def seasonal_trend_strength(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    period: int = 24,
+    half_window: int = 12,
+) -> DataFrame:
+    """Trend and seasonal STRENGTH of the bucketed rate series (Wang,
+    Smith & Hyndman 2006's time-series characteristics; the `feasts`
+    STL-lite decomposition): a centered ±``half_window`` moving
+    average is the trend T, per-phase (hour-of-day) means of the
+    detrended series are the seasonal S, and
+
+        F_trend    = max(0, 1 − Var(R)/Var(c − S))
+        F_seasonal = max(0, 1 − Var(R)/Var(c − T))
+
+    with R = c − T − S. One number each for "does this stream trend"
+    and "how seasonal is it" — the quantitative sequel to X342's
+    which-period periodogram.
+
+    Scale design: ONE bucketing aggregate; the moving average is a
+    RANGE window over the BUCKET relation (time-range-bounded,
+    allowlisted — gaps handled identically by both engines since RANGE
+    is on the bucket index, not row position); seasonal means are one
+    period-bounded grouped aggregate joined back; strengths are one
+    moments aggregate. Output one row:
+    (n_buckets, var_remainder, trend_strength, seasonal_strength).
+    """
+    step = int(bucket_seconds)
+    if period < 2 or half_window < 1:
+        raise ValueError("period >= 2 and half_window >= 1 required")
+    buck = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.floor(epoch_seconds(ts_col) / step).alias("_b"))
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    w = (
+        Window.orderBy("_b")
+        .rangeBetween(-int(half_window), int(half_window))
+    )
+    dt = buck.select(
+        "_b", "_c", (F.col("_c") - F.avg("_c").over(w)).alias("_d")
+    )
+    seas = dt.groupBy(F.pmod(F.col("_b"), F.lit(period)).alias("_h")).agg(
+        F.avg("_d").alias("_s")
+    )
+    jj = dt.join(
+        F.broadcast(seas), F.pmod(F.col("_b"), F.lit(period)) == F.col("_h")
+    ).select(
+        "_c",
+        "_d",
+        (F.col("_d") - F.col("_s")).alias("_r"),  # remainder
+        (F.col("_c") - F.col("_s")).alias("_cs"),  # deseasonalized
+    )
+    # explicit population moments (Σx²/n − mean²) rather than var_pop:
+    # both engines then share the exact expression tree, so the only
+    # cross-engine noise is sum order (guarded-moment convention)
+    def _vp(c):
+        return (
+            F.sum(F.col(c) * F.col(c)) / F.count("*")
+            - F.avg(c) * F.avg(c)
+        )
+
+    agg = jj.agg(
+        F.count("*").cast("double").alias("_n"),
+        _vp("_r").alias("_vr"),
+        _vp("_cs").alias("_vcs"),
+        _vp("_d").alias("_vd"),
+    )
+    ft = F.when(
+        F.col("_vcs") > 0,
+        F.greatest(F.lit(0.0), 1.0 - F.col("_vr") / F.col("_vcs")),
+    )
+    fs = F.when(
+        F.col("_vd") > 0,
+        F.greatest(F.lit(0.0), 1.0 - F.col("_vr") / F.col("_vd")),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.round("_vr", 6).alias("var_remainder"),
+        F.round(ft, 6).alias("trend_strength"),
+        F.round(fs, 6).alias("seasonal_strength"),
+    )

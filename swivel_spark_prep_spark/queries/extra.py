@@ -14189,3 +14189,178 @@ def x373(spark, sf_dir):
         )
     )
     return gwet_ac1(ratings, "doc_id", "c")
+
+
+@_declare(
+    "X374_runs_test",
+    # Wald-Wolfowitz runs test on daily event rates vs their median
+    # (timeseries.runs_test; Wald-Wolfowitz 1940): is the above/below
+    # pattern exchangeable at all - clumping (backfills, regimes) or
+    # alternation (overcorrection), the question CUSUM's level-shift
+    # lens misses. Median-tied days dropped (standard dichotomization);
+    # one bucketing aggregate + bounded-relation percentile + lag.
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bk,
+             COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+md AS (SELECT quantile_cont(c, 0.5) AS med FROM b),
+s AS (SELECT bk, c > med AS s FROM b CROSS JOIN md WHERE c <> med),
+fl AS (SELECT s, CASE WHEN LAG(s) OVER (ORDER BY bk) IS NOT NULL
+                        AND LAG(s) OVER (ORDER BY bk) <> s
+                 THEN 1.0 ELSE 0.0 END AS flip FROM s),
+a AS (SELECT COUNT(*)::DOUBLE AS n, SUM(s::INT)::DOUBLE AS n1,
+             SUM((NOT s)::INT)::DOUBLE AS n2, SUM(flip) + 1.0 AS r FROM fl),
+v AS (SELECT n, n1, n2, r,
+             CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+                  THEN 2.0 * n1 * n2 / n + 1.0 END AS mean,
+             CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+                  THEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                       / (n * n * (n - 1.0)) END AS var
+      FROM a)
+SELECT n::BIGINT AS n_days, n1::BIGINT AS n_above, n2::BIGINT AS n_below,
+       r::BIGINT AS runs, ROUND(mean, 6) AS mean,
+       ROUND(CASE WHEN var > 0 THEN sqrt(var) END, 6) AS sigma,
+       ROUND(CASE WHEN var > 0 THEN (r - mean) / sqrt(var) END, 6) AS z
+FROM v;""",
+)
+def x374(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import runs_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return runs_test(ev, "ts")
+
+
+@_declare(
+    "X375_turning_points",
+    # Kendall turning-point randomness test on the hourly rate
+    # (timeseries.turning_point_test; Brockwell-Davis 1.6): count
+    # interior local extrema vs E=2(n-2)/3, Var=(16n-29)/90 - too few
+    # = persistence, too many = alternation; strict-product ties
+    # convention. One bucketing aggregate + one lag/lead window over
+    # the bounded bucket relation.
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bk,
+             COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+t AS (SELECT c, LAG(c) OVER w AS p, LEAD(c) OVER w AS nx FROM b
+      WINDOW w AS (ORDER BY bk)),
+a AS (SELECT COUNT(*)::DOUBLE AS n,
+             SUM(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                        AND (c - p) * (nx - c) < 0
+                 THEN 1.0 ELSE 0.0 END) AS tp FROM t),
+v AS (SELECT n, tp,
+             CASE WHEN n >= 4 THEN 2.0 * (n - 2.0) / 3.0 END AS mean,
+             CASE WHEN n >= 4 THEN (16.0 * n - 29.0) / 90.0 END AS var
+      FROM a)
+SELECT n::BIGINT AS n_buckets, tp::BIGINT AS turning_points,
+       ROUND(mean, 6) AS mean,
+       ROUND(CASE WHEN var > 0 THEN sqrt(var) END, 6) AS sigma,
+       ROUND(CASE WHEN var > 0 THEN (tp - mean) / sqrt(var) END, 6) AS z
+FROM v;""",
+)
+def x375(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        turning_point_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return turning_point_test(ev, "ts")
+
+
+@_declare(
+    "X376_hellinger_drift",
+    # Per-source Hellinger/Bhattacharyya distance to the pooled length
+    # distribution (quality.hellinger_drift; Bhattacharyya 1943): the
+    # bounded [0,1] drift scale PSI's log-ratio blows up on near-empty
+    # bins - every source comparable on one axis. One (source, bin)
+    # aggregate + broadcast pooled shares.
+    """WITH b AS (SELECT source AS g, FLOOR(n_chars / 100.0) * 100.0 AS bin
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+cells AS (SELECT g, bin, COUNT(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+gt AS (SELECT g, SUM(n) AS gn FROM cells GROUP BY 1),
+pl AS (SELECT bin, SUM(n) AS bn FROM cells GROUP BY 1),
+tt AS (SELECT SUM(bn) AS tot FROM pl),
+a AS (SELECT cells.g, MAX(gn) AS gn,
+             SUM(sqrt((n / gn) * (bn / tot))) AS bc
+      FROM cells JOIN gt ON gt.g = cells.g JOIN pl ON pl.bin = cells.bin
+      CROSS JOIN tt GROUP BY 1)
+SELECT g AS "group", gn::BIGINT AS n, ROUND(bc, 6) AS bc,
+       ROUND(sqrt(1.0 - LEAST(1.0, bc)), 6) AS hellinger,
+       ROUND(CASE WHEN bc > 0 THEN -ln(bc) END, 6) AS bhattacharyya_d
+FROM a ORDER BY "group";""",
+)
+def x376(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import hellinger_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hellinger_drift(docs, "n_chars", "source")
+
+
+@_declare(
+    "X377_schnabel_vocab",
+    # Multi-occasion capture-recapture vocabulary estimate across
+    # sources (textstats.schnabel_vocab_estimate; Schnabel 1938,
+    # Chapman-corrected): each source is a sampling occasion over the
+    # shared token population - the k-source generalization of the
+    # Chapman two-sample estimate, with per-occasion recapture
+    # diagnostics. Token scan + per-token min-source; occasion table is
+    # source-bounded control plane.
+    """WITH t AS (SELECT source AS g, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+pres AS (SELECT DISTINCT g, w FROM t WHERE w <> ''),
+fst AS (SELECT w, MIN(g) AS f FROM pres GROUP BY 1),
+per AS (SELECT g, COUNT(*)::DOUBLE AS c,
+               SUM((f < g)::INT)::DOUBLE AS r,
+               SUM((f = g)::INT)::DOUBLE AS nw
+        FROM pres JOIN fst USING (w) GROUP BY 1),
+occ AS (SELECT g, c, r,
+               COALESCE(SUM(nw) OVER (ORDER BY g
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+        FROM per),
+nh AS (SELECT SUM(c * m) / (SUM(r) + 1.0) AS nhat FROM occ)
+SELECT g AS "group", c::BIGINT AS c_t, m::BIGINT AS m_t, r::BIGINT AS r_t,
+       ROUND(nhat, 6) AS n_hat
+FROM occ CROSS JOIN nh ORDER BY "group";""",
+)
+def x377(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import (
+        schnabel_vocab_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return schnabel_vocab_estimate(docs)
+
+
+@_declare(
+    "X378_seasonal_strength",
+    # Trend/seasonal strength of the hourly rate (timeseries.
+    # seasonal_trend_strength; Wang-Smith-Hyndman 2006, the feasts
+    # STL-lite): +-12h moving-average trend, hour-of-day seasonal
+    # means, strengths = 1 - Var(R)/Var(deseasonalized|detrended) -
+    # the quantitative sequel to X342's which-period periodogram.
+    # RANGE window on the bucket index so gaps bucket identically.
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bk,
+             COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+dt AS (SELECT bk, c, c - AVG(c) OVER (ORDER BY bk
+         RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS d FROM b),
+se AS (SELECT bk % 24 AS h, AVG(d) AS s FROM dt GROUP BY 1),
+j AS (SELECT c, d, d - s AS r, c - s AS cs
+      FROM dt JOIN se ON dt.bk % 24 = se.h),
+a AS (SELECT COUNT(*)::DOUBLE AS n,
+             SUM(r * r) / COUNT(*) - AVG(r) * AVG(r) AS vr,
+             SUM(cs * cs) / COUNT(*) - AVG(cs) * AVG(cs) AS vcs,
+             SUM(d * d) / COUNT(*) - AVG(d) * AVG(d) AS vd
+      FROM j)
+SELECT n::BIGINT AS n_buckets, ROUND(vr, 6) AS var_remainder,
+       ROUND(CASE WHEN vcs > 0
+             THEN greatest(0.0, 1.0 - vr / vcs) END, 6) AS trend_strength,
+       ROUND(CASE WHEN vd > 0
+             THEN greatest(0.0, 1.0 - vr / vd) END, 6) AS seasonal_strength
+FROM a;""",
+)
+def x378(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        seasonal_trend_strength,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_trend_strength(ev, "ts")

@@ -132,6 +132,21 @@ ALLOWED_UNPARTITIONED = {
     # timeline class); cumulative (n, sum x) underneath come from
     # partitioned_prefix_sum
     "X372_msprt_monitor": 1,
+    # X374/X375/X378: lag / lag+lead / ±12-RANGE moving average over
+    # the DAY- or HOUR-BUCKET relation — time-range-bounded, the same
+    # timeline class as X372 (corpus rows are collapsed by the
+    # bucketing aggregate before any window)
+    "X374_runs_test": 1,
+    "X375_turning_points": 1,
+    # X378 counts 2: the single ±12-RANGE moving average's subtree is
+    # duplicated by Catalyst on both sides of the dt⋈seasonal join
+    # (seasonal derives FROM dt) — one logical window, bucket-bounded
+    "X378_seasonal_strength": 2,
+    # X377: the exclusive prefix of newly-seen token counts runs over
+    # the OCCASION relation — exactly one row per source (≤ the group
+    # vocabulary), control-plane by construction; counts 2 because the
+    # N̂ 1-row aggregate re-reads the same windowed subtree
+    "X377_schnabel_vocab": 2,
 }
 
 #: name -> max allowed PAIR self-join sites (bounds documented above)

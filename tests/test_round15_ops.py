@@ -430,3 +430,131 @@ def test_gwet_ac1_published_example_and_paradox(spark):
         "item long, c string",
     )
     assert gwet_ac1(perf, "item", "c").collect()[0]["ac1"] == 1.0
+
+
+# ------------------------------------------------------------------ runs_test
+def test_runs_test_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.timeseries import runs_test
+
+    b = datetime.datetime(2024, 1, 1)
+    # 12 days: 6 high then 6 low -> 2 runs (strong clumping, z < 0)
+    rows = []
+    for d in range(12):
+        for _ in range(20 if d < 6 else 5):
+            rows.append((b + datetime.timedelta(days=d, minutes=1),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = runs_test(df, "ts").collect()[0]
+    assert r["n_days"] == 12 and r["n_above"] == 6 and r["n_below"] == 6
+    assert r["runs"] == 2
+    # E[R] = 2*36/12 + 1 = 7, Var = 72*(72-12)/(144*11)
+    assert r["mean"] == 7.0
+    assert abs(r["sigma"] - math.sqrt(72 * 60 / (144 * 11))) < 1e-6
+    assert r["z"] < -2
+    # perfect alternation -> R = n, z > 0
+    rows2 = []
+    for d in range(12):
+        for _ in range(20 if d % 2 == 0 else 5):
+            rows2.append((b + datetime.timedelta(days=d, minutes=1),))
+    r2 = runs_test(spark.createDataFrame(rows2, "ts timestamp"), "ts").collect()[0]
+    assert r2["runs"] == 12 and r2["z"] > 2
+
+
+# -------------------------------------------------------- turning_point_test
+def test_turning_points_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        turning_point_test,
+    )
+
+    b = datetime.datetime(2024, 1, 1)
+    # monotone ramp: zero turning points, z strongly negative
+    rows = []
+    for t in range(30):
+        for _ in range(t + 1):
+            rows.append((b + datetime.timedelta(hours=t, minutes=1),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = turning_point_test(df, "ts").collect()[0]
+    assert r["n_buckets"] == 30 and r["turning_points"] == 0
+    assert r["mean"] == round(2 * 28 / 3, 6)
+    assert abs(r["sigma"] - math.sqrt((16 * 30 - 29) / 90)) < 1e-6
+    assert r["z"] < -4
+    # sawtooth: every interior point is a turn
+    rows2 = []
+    for t in range(30):
+        for _ in range(10 if t % 2 == 0 else 3):
+            rows2.append((b + datetime.timedelta(hours=t, minutes=1),))
+    r2 = turning_point_test(
+        spark.createDataFrame(rows2, "ts timestamp"), "ts"
+    ).collect()[0]
+    assert r2["turning_points"] == 28 and r2["z"] > 2
+
+
+# ----------------------------------------------------------- hellinger_drift
+def test_hellinger_identical_and_disjoint(spark):
+    from swivel_spark_prep_spark.operators.quality import hellinger_drift
+
+    # slice identical to pooled -> BC=1, H=0 (single source IS the pool)
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [10, 120, 250, 250]], "g string, x double"
+    )
+    r = hellinger_drift(df, "x", "g").collect()[0]
+    assert r["bc"] == 1.0 and r["hellinger"] == 0.0
+    assert r["bhattacharyya_d"] == 0.0
+    # two disjoint slices: each overlaps the pool only on its own half
+    # -> BC = sqrt(1/2) for equal-size slices, H = sqrt(1 - BC)
+    d2 = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 510.0), ("b", 520.0)],
+        "g string, x double",
+    )
+    out = {r["group"]: r for r in hellinger_drift(d2, "x", "g").collect()}
+    want_bc = math.sqrt(0.5)
+    for g in ("a", "b"):
+        assert abs(out[g]["bc"] - want_bc) < 1e-6
+        assert abs(out[g]["hellinger"] - math.sqrt(1 - want_bc)) < 1e-6
+
+
+# ------------------------------------------------------- schnabel_vocab
+def test_schnabel_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.textstats import (
+        schnabel_vocab_estimate,
+    )
+
+    # occasions s1: {a b c d}, s2: {c d e f}, s3: {a e g}
+    docs = spark.createDataFrame(
+        [("s1", "a b c d"), ("s2", "c d e f"), ("s3", "a e g")],
+        "source string, text string",
+    )
+    out = {r["group"]: r for r in schnabel_vocab_estimate(docs).collect()}
+    assert out["s1"]["c_t"] == 4 and out["s1"]["m_t"] == 0 and out["s1"]["r_t"] == 0
+    assert out["s2"]["c_t"] == 4 and out["s2"]["m_t"] == 4 and out["s2"]["r_t"] == 2
+    assert out["s3"]["c_t"] == 3 and out["s3"]["m_t"] == 6 and out["s3"]["r_t"] == 2
+    # N_hat = (4*0 + 4*4 + 3*6)/(0+2+2+1) = 34/5
+    assert abs(out["s1"]["n_hat"] - 34 / 5) < 1e-6
+
+
+# ------------------------------------------------- seasonal_trend_strength
+def test_seasonal_strength_separates_regimes(spark):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        seasonal_trend_strength,
+    )
+
+    b = datetime.datetime(2024, 1, 1)
+
+    def series(fn, days=10):
+        rows = []
+        for t in range(24 * days):
+            for _ in range(max(1, fn(t))):
+                rows.append((b + datetime.timedelta(hours=t, minutes=1),))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    seasonal = seasonal_trend_strength(
+        series(lambda t: 10 + round(6 * math.cos(2 * math.pi * t / 24))), "ts"
+    ).collect()[0]
+    trending = seasonal_trend_strength(
+        series(lambda t: 3 + t // 12), "ts"
+    ).collect()[0]
+    assert seasonal["seasonal_strength"] > 0.8
+    assert seasonal["seasonal_strength"] > seasonal["trend_strength"] + 0.3
+    assert trending["trend_strength"] > 0.8
+    assert trending["trend_strength"] > trending["seasonal_strength"]
+    with pytest.raises(ValueError):
+        seasonal_trend_strength(series(lambda t: 1), "ts", period=1)
