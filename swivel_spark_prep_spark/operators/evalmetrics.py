@@ -4684,3 +4684,94 @@ def gwet_ac1(
             F.when(pe_v < 1.0, (F.col("_pa") - pe_v) / (1.0 - pe_v)), 6
         ).alias("ac1"),
     )
+
+
+def power_divergence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    lambda_: float = 2.0 / 3.0,
+) -> DataFrame:
+    """Cressie–Read power-divergence test of independence on a
+    contingency table (Cressie & Read 1984): the one-parameter family
+    that CONTAINS Pearson's χ² (λ=1) and the likelihood-ratio G²
+    (λ→0), with λ=⅔ their recommended compromise — more stable than
+    χ² under sparse cells, less anticonservative than G². All three
+    are reported from ONE densified grid so the practitioner sees
+    whether the conclusion is λ-sensitive:
+
+        CR(λ) = 2/(λ(λ+1)) · Σ O[(O/E)^λ − 1],  E = rowtot·coltot/N
+
+    (empty cells contribute 0 to CR/G² and E to χ², the standard
+    conventions).
+
+    Scale design: the corpus collapses to the (row, col) CELL relation
+    in one hash aggregate; marginals are two cell-bounded aggregates;
+    the FULL grid is their broadcast cross join left-joined with the
+    observed cells — everything after the first aggregate is
+    label-bounded control plane. Output one row:
+    (n, n_rows, n_cols, dof, chi2, g2, cressie_read).
+    """
+    if lambda_ <= 0 or abs(lambda_ - 1.0) < 1e-12:
+        raise ValueError(
+            f"lambda_ must be in (0, 1) U (1, inf), got {lambda_}"
+            " (chi2 and g2 are already reported)"
+        )
+    base = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).select(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+    cells = base.groupBy("_r", "_c").agg(
+        F.count("*").cast("double").alias("_o")
+    )
+    rm = cells.groupBy("_r").agg(F.sum("_o").alias("_rt")).select(
+        F.col("_r").alias("_rr"), "_rt"
+    )
+    cm = cells.groupBy("_c").agg(F.sum("_o").alias("_ct")).select(
+        F.col("_c").alias("_cc"), "_ct"
+    )
+    nt = cells.agg(F.sum("_o").alias("_n"))
+    grid = (
+        F.broadcast(rm)
+        .crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(nt))
+        .join(
+            cells,
+            (F.col("_rr") == F.col("_r")) & (F.col("_cc") == F.col("_c")),
+            "left",
+        )
+        .select(
+            "_rr",
+            "_cc",
+            "_n",
+            F.coalesce(F.col("_o"), F.lit(0.0)).alias("_ob"),
+            (F.col("_rt") * F.col("_ct") / F.col("_n")).alias("_e"),
+        )
+    )
+    lam = float(lambda_)
+    o, e = F.col("_ob"), F.col("_e")
+    agg = grid.agg(
+        F.max("_n").alias("n"),
+        F.count_distinct("_rr").alias("_nr"),
+        F.count_distinct("_cc").alias("_nc"),
+        F.sum((o - e) * (o - e) / e).alias("_chi2"),
+        F.sum(F.when(o > 0, 2.0 * o * F.log(o / e)).otherwise(0.0)).alias(
+            "_g2"
+        ),
+        F.sum(
+            F.when(
+                o > 0,
+                2.0 / (lam * (lam + 1.0))
+                * o
+                * (F.pow(o / e, F.lit(lam)) - 1.0),
+            ).otherwise(0.0)
+        ).alias("_cr"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("_nr").cast("long").alias("n_rows"),
+        F.col("_nc").cast("long").alias("n_cols"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round("_g2", 6).alias("g2"),
+        F.round("_cr", 6).alias("cressie_read"),
+    )

@@ -3835,3 +3835,78 @@ def seasonal_trend_strength(
         F.round(ft, 6).alias("trend_strength"),
         F.round(fs, 6).alias("seasonal_strength"),
     )
+
+
+def kuiper_watson_uniformity(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """CIRCULAR uniformity tests of time-of-day: Kuiper's V (Kuiper
+    1960) and Watson's U² (Watson 1961) — the rotation-invariant
+    versions of KS and Cramér–von Mises. ks_uniform_time_of_day (X284)
+    depends on where midnight cuts the circle: a peak straddling 00:00
+    splits into two edge bumps KS half-sees; V = D⁺ + D⁻ and
+    U² = W² − n(x̄ − ½)² are invariant to the cut point, the correct
+    form for anything that wraps (hours, weekdays, phases).
+
+        V  = max(r/n − u₍ᵣ₎) + max(u₍ᵣ₎ − (r−1)/n)
+        V* = V·(√n + 0.155 + 0.24/√n)          (Stephens 1970)
+        W² = 1/(12n) + Σ(u₍ᵣ₎ − (2r−1)/(2n))²
+        U² = W² − n(ū − ½)²
+
+    Reject uniformity at α=.05 when V* > 1.747 or U² > 0.187.
+
+    Both statistics depend only on the SET of ranks within a tie block,
+    so the per-row prefix ranks are tie-stable (the X284 argument).
+
+    Scale design: identical to ks_uniform_time_of_day — one grouped
+    range-partitioned prefix pass for ranks, one grouped aggregate for
+    the maxima/sums. Output per group: (n, kuiper_v, kuiper_stat,
+    watson_u2).
+    """
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_sum,
+    )
+
+    gcols = [group_col] if group_col else []
+    x = (
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) % 86_400_000_000)
+        / 86_400_000_000.0
+    )
+    base = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*gcols, x.alias("_x"))
+        .withColumn("_one", F.lit(1.0))
+    )
+    ranked = partitioned_prefix_sum(
+        base, ["_x"], ["_one"], ["_r"], group_cols=gcols, inclusive=True
+    )
+    tot = base.groupBy(*gcols).agg(F.count("*").cast("double").alias("_n"))
+    j = (
+        ranked.join(F.broadcast(tot), gcols)
+        if gcols
+        else ranked.crossJoin(F.broadcast(tot))
+    )
+    n = F.col("_n")
+    wterm = F.col("_x") - (2.0 * F.col("_r") - 1.0) / (2.0 * n)
+    agg = j.groupBy(*gcols).agg(
+        F.first("_n").alias("_nn"),
+        F.max(F.col("_r") / n - F.col("_x")).alias("_dp"),
+        F.max(F.col("_x") - (F.col("_r") - 1.0) / n).alias("_dm"),
+        F.sum(wterm * wterm).alias("_sw"),
+        F.avg("_x").alias("_xb"),
+    )
+    nn = F.col("_nn")
+    v = F.col("_dp") + F.col("_dm")
+    w2 = 1.0 / (12.0 * nn) + F.col("_sw")
+    u2 = w2 - nn * (F.col("_xb") - 0.5) * (F.col("_xb") - 0.5)
+    return agg.select(
+        *gcols,
+        nn.cast("long").alias("n"),
+        F.round(v, 6).alias("kuiper_v"),
+        F.round(
+            v * (F.sqrt(nn) + 0.155 + 0.24 / F.sqrt(nn)), 6
+        ).alias("kuiper_stat"),
+        F.round(u2, 6).alias("watson_u2"),
+    )

@@ -14364,3 +14364,89 @@ def x378(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return seasonal_trend_strength(ev, "ts")
+
+
+@_declare(
+    "X379_circular_uniformity",
+    # Kuiper V + Watson U^2 time-of-day uniformity per event type
+    # (timeseries.kuiper_watson_uniformity; Kuiper 1960 / Watson 1961,
+    # Stephens 1970 modification): the ROTATION-INVARIANT KS/CvM - a
+    # peak straddling midnight splits into edge bumps X284's KS
+    # half-sees; V and U^2 are invariant to the cut point. Same
+    # grouped prefix-rank plan as X284; tie-stable by the rank-set
+    # argument.
+    """WITH base AS (
+  SELECT event_type AS g, (epoch_us(ts) % 86400000000) / 86400000000.0 AS x
+  FROM events WHERE ts IS NOT NULL),
+r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM base),
+a AS (SELECT g, ANY_VALUE(n)::DOUBLE AS n,
+             MAX(rk / n::DOUBLE - x) AS dp,
+             MAX(x - (rk - 1) / n::DOUBLE) AS dm,
+             SUM((x - (2.0 * rk - 1.0) / (2.0 * n)) * (x - (2.0 * rk - 1.0) / (2.0 * n))) AS sw,
+             AVG(x) AS xb
+      FROM r GROUP BY g)
+SELECT g AS event_type, n::BIGINT AS n,
+       ROUND(dp + dm, 6) AS kuiper_v,
+       ROUND((dp + dm) * (sqrt(n) + 0.155 + 0.24 / sqrt(n)), 6) AS kuiper_stat,
+       ROUND(1.0 / (12.0 * n) + sw - n * (xb - 0.5) * (xb - 0.5), 6) AS watson_u2
+FROM a ORDER BY event_type;""",
+)
+def x379(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        kuiper_watson_uniformity,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kuiper_watson_uniformity(ev, "ts", "event_type").orderBy(
+        "event_type"
+    )
+
+
+@_declare(
+    "X380_power_divergence",
+    # Cressie-Read power divergence (lambda=2/3) + chi2 + G2 on the
+    # event_type x user-parity contingency (evalmetrics.
+    # power_divergence; Cressie-Read 1984): the one-parameter family
+    # containing both classics - report all three so the practitioner
+    # sees lambda-sensitivity under sparse cells. Corpus collapses to
+    # the cell relation first; densified grid is broadcast control
+    # plane.
+    """WITH b AS (SELECT event_type AS r, (user_id % 2)::VARCHAR AS c FROM events
+       WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+cells AS (SELECT r, c, COUNT(*)::DOUBLE AS o FROM b GROUP BY 1, 2),
+rm AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
+cm AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+nt AS (SELECT SUM(o) AS n FROM cells),
+grid AS (SELECT rm.r, cm.c, n, COALESCE(o, 0.0) AS ob, rt * ct / n AS e
+         FROM rm CROSS JOIN cm CROSS JOIN nt
+         LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+a AS (SELECT MAX(n) AS n, COUNT(DISTINCT r)::BIGINT AS nr,
+             COUNT(DISTINCT c)::BIGINT AS nc,
+             SUM((ob - e) * (ob - e) / e) AS chi2,
+             SUM(CASE WHEN ob > 0 THEN 2.0 * ob * ln(ob / e) ELSE 0.0 END) AS g2,
+             SUM(CASE WHEN ob > 0 THEN 2.0 / (0.6666666666666666 * (0.6666666666666666 + 1.0))
+                 * ob * (pow(ob / e, 0.6666666666666666) - 1.0) ELSE 0.0 END) AS cr
+      FROM grid)
+SELECT n::BIGINT AS n, nr AS n_rows, nc AS n_cols,
+       (nr - 1) * (nc - 1) AS dof,
+       ROUND(chi2, 6) AS chi2, ROUND(g2, 6) AS g2,
+       ROUND(cr, 6) AS cressie_read
+FROM a;""",
+)
+def x380(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        power_divergence,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return power_divergence(
+        ev.select(
+            "event_type", (F.col("user_id") % 2).cast("string").alias("par")
+        ),
+        "event_type",
+        "par",
+    )

@@ -558,3 +558,81 @@ def test_seasonal_strength_separates_regimes(spark):
     assert trending["trend_strength"] > trending["seasonal_strength"]
     with pytest.raises(ValueError):
         seasonal_trend_strength(series(lambda t: 1), "ts", period=1)
+
+
+# ------------------------------------------------- kuiper_watson_uniformity
+def test_kuiper_watson_rotation_invariance_and_detection(spark):
+    """The defining property KS lacks: rotating every phase by a
+    constant leaves V and U^2 unchanged; a planted midnight-straddling
+    peak scores the same as the identical peak at noon."""
+    from swivel_spark_prep_spark.operators.timeseries import (
+        kuiper_watson_uniformity,
+    )
+
+    b = datetime.datetime(2024, 1, 1)
+
+    def mk(offset_hours):
+        rows = []
+        for d in range(20):
+            for m in range(60):  # one dense hour per day at the offset
+                rows.append(
+                    (b + datetime.timedelta(days=d, hours=offset_hours,
+                                            minutes=m % 60),)
+                )
+            for h in range(24):  # thin uniform background
+                rows.append((b + datetime.timedelta(days=d, hours=h,
+                                                    minutes=7),))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    noon = kuiper_watson_uniformity(mk(12), "ts").collect()[0]
+    # same peak straddling midnight (23:30-00:30 via offset 23.5h)
+    midn = kuiper_watson_uniformity(mk(23.5), "ts").collect()[0]
+    assert abs(noon["kuiper_v"] - midn["kuiper_v"]) < 0.02
+    assert abs(noon["watson_u2"] - midn["watson_u2"]) < 0.05
+    # both detect the peak decisively
+    assert noon["kuiper_stat"] > 1.747 and noon["watson_u2"] > 0.187
+    # uniform stream: both stats stay below the critical values
+    uni = spark.createDataFrame(
+        [(b + datetime.timedelta(days=d, hours=h, minutes=m),)
+         for d in range(5) for h in range(24) for m in (11, 37)],
+        "ts timestamp",
+    )
+    r0 = kuiper_watson_uniformity(uni, "ts").collect()[0]
+    assert r0["kuiper_stat"] < 1.747 and r0["watson_u2"] < 0.187
+
+
+# ----------------------------------------------------------- power_divergence
+def test_power_divergence_matches_brute_force(spark):
+    import math as m
+
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        power_divergence,
+    )
+
+    # hand table: rows a/b, cols x/y with an EMPTY (b, y) cell
+    counts = {("a", "x"): 30, ("a", "y"): 10, ("b", "x"): 20}
+    rows = [(r, c) for (r, c), k in counts.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = power_divergence(df, "r", "c").collect()[0]
+    n = 60.0
+    rt = {"a": 40.0, "b": 20.0}
+    ct = {"x": 50.0, "y": 10.0}
+    chi2 = g2 = cr = 0.0
+    lam = 2.0 / 3.0
+    for r in rt:
+        for c in ct:
+            e = rt[r] * ct[c] / n
+            o = float(counts.get((r, c), 0))
+            chi2 += (o - e) ** 2 / e
+            if o > 0:
+                g2 += 2 * o * m.log(o / e)
+                cr += 2.0 / (lam * (lam + 1)) * o * ((o / e) ** lam - 1)
+    assert out["n"] == 60 and out["dof"] == 1
+    assert abs(out["chi2"] - chi2) < 1e-6
+    assert abs(out["g2"] - g2) < 1e-6
+    assert abs(out["cressie_read"] - cr) < 1e-6
+    # CR(2/3) sits between G2 and chi2 for this table
+    lo, hi = sorted([out["g2"], out["chi2"]])
+    assert lo <= out["cressie_read"] <= hi
+    with pytest.raises(ValueError):
+        power_divergence(df, "r", "c", lambda_=1.0)
