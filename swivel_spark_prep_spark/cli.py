@@ -320,6 +320,21 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pf.add_argument("--master", default=None)
 
+    tr = sub.add_parser(
+        "trend-report",
+        help="stream-health randomness/trend readout over a timestamped "
+        "parquet: Wald-Wolfowitz runs + Kendall turning points + "
+        "trend/seasonal strength + (with --value) the mSPRT "
+        "always-valid mean monitor's final p — one JSON line",
+    )
+    tr.add_argument("--input", required=True, help="parquet table")
+    tr.add_argument("--ts", default="ts", help="timestamp column")
+    tr.add_argument(
+        "--value", default=None,
+        help="optional metric column for the mSPRT monitor",
+    )
+    tr.add_argument("--master", default=None)
+
     return p
 
 
@@ -863,6 +878,47 @@ def _dispatch(args, spark, owns_session) -> int:
                 rep["join_fanout"] = join_fanout_audit(
                     df, right, args.key, args.join_key or args.key
                 ).collect()[0].asDict()
+            print(_json.dumps(rep, default=str))
+        elif args.cmd == "trend-report":
+            import json as _json
+
+            from swivel_spark_prep_spark.operators.timeseries import (
+                msprt_monitor,
+                runs_test,
+                seasonal_trend_strength,
+                turning_point_test,
+            )
+
+            df = spark.read.parquet(args.input)
+            n_rows = df.filter(F.col(args.ts).isNotNull()).count()
+            if n_rows == 0:
+                print(
+                    f"trend-report: no rows with non-null {args.ts}; "
+                    "nothing to report",
+                    file=sys.stderr,
+                )
+                return 2
+            rep = {
+                "n_rows": n_rows,
+                "runs": runs_test(df, args.ts).collect()[0].asDict(),
+                "turning_points": turning_point_test(df, args.ts)
+                .collect()[0]
+                .asDict(),
+                "strength": seasonal_trend_strength(df, args.ts)
+                .collect()[0]
+                .asDict(),
+            }
+            if args.value:
+                tl = (
+                    msprt_monitor(df, args.ts, args.value)
+                    .orderBy("bucket")
+                    .collect()
+                )
+                if tl:
+                    rep["msprt_final"] = tl[-1].asDict()
+                    rep["msprt_min_p"] = min(
+                        r["p_always_valid"] for r in tl
+                    )
             print(_json.dumps(rep, default=str))
         elif args.cmd == "bench-query":
             import time

@@ -636,3 +636,37 @@ def test_power_divergence_matches_brute_force(spark):
     assert lo <= out["cressie_read"] <= hi
     with pytest.raises(ValueError):
         power_divergence(df, "r", "c", lambda_=1.0)
+
+
+# ----------------------------------------------------------- trend-report CLI
+def test_cli_trend_report(spark, tmp_path, capsys):
+    import json
+
+    from swivel_spark_prep_spark import cli
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = []
+    n_rows = 0
+    for d in range(16):
+        # the RATE doubles and the VALUE shifts at day 8: runs sees the
+        # rate pattern (2 runs), the mSPRT sees the mean shift
+        for i in range(20 if d < 8 else 40):
+            v = 10.0 + (i % 3) + (5.0 if d >= 8 else 0.0)
+            rows.append((b + datetime.timedelta(days=d, minutes=i), v))
+            n_rows += 1
+    src = str(tmp_path / "stream")
+    spark.createDataFrame(rows, "ts timestamp, value double").write.parquet(src)
+    rc = cli.main(["trend-report", "--input", src, "--value", "value"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_rows"] == n_rows
+    assert rep["runs"]["n_days"] == 16 and rep["runs"]["runs"] == 2
+    assert rep["turning_points"]["n_buckets"] >= 16
+    assert 0.0 <= rep["strength"]["trend_strength"] <= 1.0
+    # the planted day-8 level shift is decisively flagged by the mSPRT
+    assert rep["msprt_min_p"] < 0.01
+    assert rep["msprt_final"]["p_always_valid"] < 0.01
+    # empty input -> rc 2 (the survival-report guard convention)
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame([], "ts timestamp, value double").write.parquet(empty)
+    assert cli.main(["trend-report", "--input", empty]) == 2
