@@ -1393,3 +1393,138 @@ def stream_page_hinkley(
         .outputMode("append")
         .start()
     )
+
+
+def stream_msprt(
+    obs_stream: DataFrame,
+    order_cols: list,
+    value_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    mu0: float,
+    sigma2: float,
+    alpha: float = 0.05,
+    retain_batches: int | None = 8,
+):
+    """Streaming mixture-SPRT always-valid mean monitor (Johari–Koomen–
+    Pekelis–Walsh; timeseries.msprt_monitor is the batch twin) — the
+    peeking-safe p-value maintained the way it is meant to be read:
+    after EVERY observation, no look schedule. Against H₀: μ = ``mu0``
+    with known variance ``sigma2`` and the standard τ² = σ² mixture
+    prior the log likelihood ratio at n observations with running sum s
+    collapses to
+
+        log Λ(n, s) = −½·ln(1+n) + n²(s/n − μ₀)²/(2σ²(1+n))
+
+    and p_n = min(1, exp(−max_{m≤n} log Λ_m)). Unlike the batch twin
+    (which self-calibrates μ₀/σ² from the data and evaluates at bucket
+    ends), the service takes the baseline EXPLICITLY — the deployment
+    shape: monitor production against a frozen calibration — and
+    evaluates the max at every observation, so its p is ≤ the batch
+    twin's bucket-end p by construction.
+
+    State is one row — (n_obs, sum_x, max_log_lambda, rejected,
+    cross_n) — O(1) regardless of stream length, the stream_sprt
+    class. Rejection at ``alpha`` is STICKY (always-valid p is a
+    running min; once ≤ α it stays ≤ α). Per micro-batch: one
+    inclusive prefix-sum pass OFFSET by the carried (n, s), per-row
+    log Λ, one aggregate for the batch max + earliest crossing;
+    per-batch-partitioned overwrites (idempotent replay), empty
+    batches still commit state, ``retain_batches`` state-GC.
+    """
+    import math
+
+    if sigma2 <= 0:
+        raise ValueError(f"sigma2 must be > 0, got {sigma2}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    thresh = -math.log(alpha)  # reject when max log-lambda >= -ln(alpha)
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jp))
+
+    def _apply(batch: DataFrame, batch_id: int):
+        from swivel_spark_prep_spark.operators.ranks import (
+            partitioned_prefix_sum,
+        )
+
+        spark = batch.sparkSession
+        prev = f"{state_dir}/msprt/batch_id={batch_id - 1}"
+        if batch_id > 0 and _exists(spark, prev):
+            st = spark.read.parquet(prev).collect()[0]  # 1 row by contract
+            n0, s0 = int(st["n_obs"]), float(st["sum_x"])
+            mx0 = (
+                float(st["max_log_lambda"])
+                if st["max_log_lambda"] is not None
+                else float("-inf")
+            )  # None = no observations yet (empty leading batches)
+            rejected, cross_n = bool(st["rejected"]), st["cross_n"]
+        else:
+            n0, s0, mx0 = 0, 0.0, float("-inf")
+            rejected, cross_n = False, None
+
+        x = F.col(value_col).cast("double")
+        base = batch.select(
+            *order_cols, x.alias("_x"), F.lit(1.0).alias("_one")
+        ).filter(F.col("_x").isNotNull())
+        cum = partitioned_prefix_sum(
+            base, list(order_cols), ["_x", "_one"], ["_cs", "_cn"],
+            inclusive=True,
+        ).select(
+            (F.col("_cs") + F.lit(s0)).alias("_s"),
+            (F.col("_cn") + F.lit(float(n0))).alias("_n"),
+            "_x",
+        )
+        n, s = F.col("_n"), F.col("_s")
+        dev = s / n - F.lit(float(mu0))
+        ll = (
+            -0.5 * F.log(1.0 + n)
+            + n * n * dev * dev / (2.0 * F.lit(float(sigma2)) * (1.0 + n))
+        )
+        agg = cum.select(ll.alias("_ll"), "_n", "_x").agg(
+            F.count("*").alias("_bn"),
+            F.coalesce(F.sum("_x"), F.lit(0.0)).alias("_bs"),
+            F.max("_ll").alias("_bmax"),
+            F.min(
+                F.when(F.col("_ll") >= F.lit(thresh), F.col("_n"))
+            ).alias("_cross"),
+        ).collect()[0]
+        n_total = n0 + int(agg["_bn"])
+        s_total = s0 + float(agg["_bs"])
+        mx = mx0
+        if agg["_bmax"] is not None:
+            mx = max(mx, float(agg["_bmax"]))
+        if not rejected and agg["_cross"] is not None:
+            rejected, cross_n = True, int(agg["_cross"])
+        p = min(1.0, math.exp(-mx)) if mx > float("-inf") else 1.0
+        row = [(
+            n_total,
+            s_total,
+            mx if mx > float("-inf") else None,
+            round(p, 6),
+            rejected,
+            int(cross_n) if cross_n is not None else None,
+        )]
+        out = spark.createDataFrame(
+            row,
+            "n_obs long, sum_x double, max_log_lambda double,"
+            " p_always_valid double, rejected boolean, cross_n long",
+        )
+        out.write.mode("overwrite").parquet(
+            f"{state_dir}/msprt/batch_id={batch_id}"
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if retain_batches:
+            _prune_batches(
+                spark, f"{state_dir}/msprt", batch_id - retain_batches + 1
+            )
+
+    return (
+        obs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -670,3 +670,94 @@ def test_cli_trend_report(spark, tmp_path, capsys):
     empty = str(tmp_path / "empty")
     spark.createDataFrame([], "ts timestamp, value double").write.parquet(empty)
     assert cli.main(["trend-report", "--input", empty]) == 2
+
+
+# -------------------------------------------------------------- stream_msprt
+def test_stream_msprt_always_valid_and_sticky(spark, tmp_path):
+    """stream_msprt: the running max of log-lambda across micro-batches
+    equals the single-pass max over the concatenated stream (so p is
+    identical), rejection is sticky once p <= alpha, and state is one
+    row per batch."""
+    import glob
+    import math
+    import shutil
+
+    from swivel_spark_prep_spark.streaming import stream_msprt
+
+    mu0, sigma2 = 10.0, 4.0
+    # batch 0 on-baseline, batch 1 strongly shifted (rejects),
+    # batch 2 back on baseline (decision must stick, p must not rise)
+    batches = [
+        [(i, 10.0 + (i % 3) - 1.0) for i in range(30)],
+        [(100 + i, 16.0 + (i % 3)) for i in range(40)],
+        [(200 + i, 10.0 + (i % 3) - 1.0) for i in range(30)],
+    ]
+    schema = "t long, x double"
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    for b, rows in enumerate(batches):
+        raw = tmp_path / f"raw{b}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(raw))
+        part = glob.glob(str(raw / "part-*.parquet"))[0]
+        shutil.copy(part, str(replay / f"{b:02d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = stream_msprt(
+        stream,
+        ["t"],
+        "x",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        mu0=mu0,
+        sigma2=sigma2,
+        alpha=0.05,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snaps = [
+        spark.read.parquet(str(tmp_path / "out" / f"batch_id={b}"))
+        .collect()[0]
+        for b in range(3)
+    ]
+    # single-pass reference over the concatenated stream (batches
+    # arrive in order; within a batch order_cols sorts by t)
+    all_rows = []
+    for rows in batches:
+        all_rows.extend(v for _, v in sorted(rows))
+    s = 0.0
+    mx = float("-inf")
+    first_cross = None
+    for i, v in enumerate(all_rows, start=1):
+        s += v
+        dev = s / i - mu0
+        ll = -0.5 * math.log(1 + i) + i * i * dev * dev / (
+            2 * sigma2 * (1 + i)
+        )
+        if ll >= -math.log(0.05) and first_cross is None:
+            first_cross = i
+        mx = max(mx, ll)
+    assert snaps[2]["n_obs"] == len(all_rows)
+    assert abs(snaps[2]["max_log_lambda"] - mx) < 1e-9
+    assert snaps[2]["p_always_valid"] == round(min(1.0, math.exp(-mx)), 6)
+    # batch 0: on-baseline, not rejected; batch 1 rejects at first_cross
+    assert not snaps[0]["rejected"] and snaps[0]["p_always_valid"] > 0.05
+    assert snaps[1]["rejected"] and snaps[1]["cross_n"] == first_cross
+    # sticky through the back-on-baseline batch; p never rises
+    assert snaps[2]["rejected"] and snaps[2]["cross_n"] == first_cross
+    assert (
+        snaps[0]["p_always_valid"]
+        >= snaps[1]["p_always_valid"]
+        >= snaps[2]["p_always_valid"]
+    )
+    # one-row state per batch
+    st = spark.read.parquet(str(tmp_path / "state" / "msprt" / "batch_id=2"))
+    assert st.count() == 1
