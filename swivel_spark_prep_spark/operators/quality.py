@@ -1748,3 +1748,52 @@ def hellinger_drift(
             "bhattacharyya_d"
         ),
     ).orderBy("group")
+
+
+def concentration_profile(
+    df: DataFrame,
+    group_col: str,
+    slice_col: str,
+) -> DataFrame:
+    """Per-slice concentration of a categorical mix (Herfindahl 1950 /
+    Hirschman 1945; inverse-Simpson "effective number" per Hill 1973):
+    within each ``slice_col`` (e.g. language), how concentrated is the
+    ``group_col`` mix (e.g. source)? HHI = Σ shares², effective number
+    = 1/HHI ("this lang effectively draws from 3.2 sources"), top-1
+    share for the headline — the one-line diversification read behind
+    a mixture decision, on an absolute scale PSI/entropy are not.
+
+    Scale design: one (slice, group) cell aggregate; slice totals
+    re-aggregate the cell relation and broadcast back; one slice-row
+    output. Output per slice:
+    (slice, n, n_groups, hhi, effective_groups, top_share).
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(slice_col).isNotNull()
+    ).select(
+        F.col(slice_col).alias("_sl"), F.col(group_col).alias("_g")
+    )
+    cells = base.groupBy("_sl", "_g").agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    tots = cells.groupBy("_sl").agg(F.sum("_n").alias("_t")).select(
+        F.col("_sl").alias("_sl2"), "_t"
+    )
+    j = cells.join(F.broadcast(tots), F.col("_sl") == F.col("_sl2"))
+    share = F.col("_n") / F.col("_t")
+    agg = j.groupBy("_sl").agg(
+        F.max("_t").alias("_tt"),
+        F.count("*").alias("_k"),
+        F.sum(share * share).alias("_hhi"),
+        F.max(share).alias("_top"),
+    )
+    return agg.select(
+        F.col("_sl").alias("slice"),
+        F.col("_tt").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("n_groups"),
+        F.round("_hhi", 6).alias("hhi"),
+        F.round(
+            F.when(F.col("_hhi") > 0, 1.0 / F.col("_hhi")), 6
+        ).alias("effective_groups"),
+        F.round("_top", 6).alias("top_share"),
+    ).orderBy("slice")

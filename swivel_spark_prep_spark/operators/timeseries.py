@@ -3910,3 +3910,166 @@ def kuiper_watson_uniformity(
         ).alias("kuiper_stat"),
         F.round(u2, 6).alias("watson_u2"),
     )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Permutation entropy of the bucketed rate series, order m = 3
+    (Bandt & Pompe 2002): the entropy of ORDINAL PATTERNS — which of
+    the 6 rank orderings each (cₜ, cₜ₊₁, cₜ₊₂) window realizes — the
+    model-free complexity scale between clockwork (one pattern,
+    H = 0) and white noise (uniform patterns, H = ln 6). Regular
+    pipelines sit low; an H_norm near 1 says the rate carries no
+    exploitable short-range structure. Ties break by position (the
+    stable-sort convention of the paper): rank of element i counts
+    earlier elements ≤ it and later elements < it.
+
+    Scale design: ONE bucketing aggregate; the two leads share one
+    window over the BUCKET relation (time-range-bounded, allowlisted);
+    pattern classification is pure comparisons; one 6-row pattern
+    aggregate + a 1-row entropy reduction. Output one row:
+    (n_windows, distinct_patterns, entropy, h_norm).
+    """
+    import math as _math
+
+    step = int(bucket_seconds)
+    buck = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.floor(epoch_seconds(ts_col) / step).alias("_b"))
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    w = Window.orderBy("_b")
+    t = buck.select(
+        F.col("_c").alias("_a"),
+        F.lead("_c", 1).over(w).alias("_m"),
+        F.lead("_c", 2).over(w).alias("_z"),
+    ).filter(F.col("_m").isNotNull() & F.col("_z").isNotNull())
+    a, b, c = F.col("_a"), F.col("_m"), F.col("_z")
+    # stable ranks: earlier element wins ties
+    ra = (b < a).cast("int") + (c < a).cast("int")
+    rb = (a <= b).cast("int") + (c < b).cast("int")
+    rc = (a <= c).cast("int") + (b <= c).cast("int")
+    pat = t.select((ra * 9 + rb * 3 + rc).alias("_p"))
+    cnt = pat.groupBy("_p").agg(F.count("*").cast("double").alias("_k"))
+    tot = cnt.agg(F.sum("_k").alias("_n"))
+    h = (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("_n").alias("_nw"),
+            F.count("*").alias("_np"),
+            (-F.sum(
+                (F.col("_k") / F.col("_n"))
+                * F.log(F.col("_k") / F.col("_n"))
+            )).alias("_h"),
+        )
+    )
+    return h.select(
+        F.col("_nw").cast("long").alias("n_windows"),
+        F.col("_np").cast("long").alias("distinct_patterns"),
+        F.round("_h", 6).alias("entropy"),
+        F.round(F.col("_h") / F.lit(_math.log(6.0)), 6).alias("h_norm"),
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    scales: tuple = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent via rescaled-range analysis over dyadic blocks
+    (Hurst 1951; Mandelbrot & Wallis 1969): long-range memory of the
+    rate series — H ≈ ½ is memoryless, H → 1 is persistent (load
+    ramps, retry storms that FEED themselves), H < ½ anti-persistent.
+    Per block of ``s`` consecutive hour-buckets: R = range of the
+    within-block cumulative deviations from the block mean, S = block
+    σ; H is the log-log slope of E[R/S] against s.
+
+    Scale design: one bucketing aggregate; the block machinery is
+    PARTITIONED windows (partition = (scale, block) — never a global
+    window); the scale axis is a bounded literal explode (|scales| ≤ a
+    handful, the haar_energy shape); incomplete trailing blocks and
+    S = 0 blocks are excluded; the OLS slope is one reduction over the
+    |scales|-row relation. Output per scale:
+    (scale, n_blocks, mean_rs, hurst) with the slope broadcast.
+    """
+    import math as _math
+
+    if len(scales) < 2 or any(int(s) < 4 for s in scales):
+        raise ValueError(f"need >= 2 scales, each >= 4, got {scales!r}")
+    step = int(bucket_seconds)
+    buck = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.floor(epoch_seconds(ts_col) / step).alias("_b"))
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    lv = F.array(*[F.lit(int(s)) for s in scales])
+    e = buck.select("_b", "_c", F.explode(lv).alias("_s"))
+    blk = F.floor(F.col("_b") / F.col("_s"))
+    # per-(scale, block) running cumulative of deviations needs the
+    # block mean first: two partitioned passes over the bucket relation
+    stats = e.groupBy("_s", blk.alias("_k")).agg(
+        F.count("*").alias("_n"),
+        F.avg("_c").alias("_m"),
+        (
+            F.sum(F.col("_c") * F.col("_c")) / F.count("*")
+            - F.avg("_c") * F.avg("_c")
+        ).alias("_v"),
+    )
+    dev = (
+        e.join(
+            F.broadcast(stats.select(
+                F.col("_s").alias("_s2"),
+                F.col("_k").alias("_k2"),
+                "_n",
+                "_m",
+                "_v",
+            )),
+            (F.col("_s") == F.col("_s2")) & (blk == F.col("_k2")),
+        )
+        .filter((F.col("_n") == F.col("_s")) & (F.col("_v") > 0))
+        .select(
+            "_s",
+            F.col("_k2").alias("_k"),
+            "_b",
+            (F.col("_c") - F.col("_m")).alias("_d"),
+            "_v",
+        )
+    )
+    wb = Window.partitionBy("_s", "_k").orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dev.select(
+        "_s", "_k", "_v", F.sum("_d").over(wb).alias("_y")
+    )
+    rs = cum.groupBy("_s", "_k").agg(
+        ((F.max("_y") - F.min("_y")) / F.sqrt(F.max("_v"))).alias("_rs")
+    )
+    per = rs.groupBy("_s").agg(
+        F.count("*").alias("n_blocks"), F.avg("_rs").alias("_mrs")
+    )
+    fit = per.filter(F.col("_mrs") > 0).agg(
+        F.count("*").cast("double").alias("_np"),
+        F.sum(F.log("_s")).alias("_sx"),
+        F.sum(F.log("_mrs")).alias("_sy"),
+        F.sum(F.log("_s") * F.log("_s")).alias("_sxx"),
+        F.sum(F.log("_s") * F.log("_mrs")).alias("_sxy"),
+    )
+    slope = F.when(
+        F.col("_np") * F.col("_sxx") - F.col("_sx") * F.col("_sx") > 0,
+        (F.col("_np") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.col("_np") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
+    )
+    return (
+        per.crossJoin(F.broadcast(fit.select(slope.alias("_h"))))
+        .select(
+            F.col("_s").cast("long").alias("scale"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.round("_mrs", 6).alias("mean_rs"),
+            F.round("_h", 6).alias("hurst"),
+        )
+        .orderBy("scale")
+    )

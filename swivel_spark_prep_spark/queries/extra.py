@@ -14450,3 +14450,102 @@ def x380(spark, sf_dir):
         "event_type",
         "par",
     )
+
+
+@_declare(
+    "X381_permutation_entropy",
+    # Permutation entropy (order 3) of the hourly rate (timeseries.
+    # permutation_entropy; Bandt-Pompe 2002): entropy of ordinal
+    # patterns - the model-free complexity scale between clockwork
+    # (H=0) and white noise (H_norm=1); stable-sort tie convention.
+    # One bucketing aggregate + one lead window over the bounded
+    # bucket relation + a 6-row pattern aggregate.
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bk,
+             COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+t AS (SELECT c AS a, LEAD(c, 1) OVER w AS m, LEAD(c, 2) OVER w AS z FROM b
+      WINDOW w AS (ORDER BY bk)),
+p AS (SELECT ((m < a)::INT + (z < a)::INT) * 9
+             + ((a <= m)::INT + (z < m)::INT) * 3
+             + ((a <= z)::INT + (m <= z)::INT) AS pt
+      FROM t WHERE m IS NOT NULL AND z IS NOT NULL),
+c AS (SELECT pt, COUNT(*)::DOUBLE AS k FROM p GROUP BY 1),
+n AS (SELECT SUM(k) AS n FROM c)
+SELECT n::BIGINT AS n_windows, COUNT(*)::BIGINT AS distinct_patterns,
+       ROUND(-SUM((k / n) * ln(k / n)), 6) AS entropy,
+       ROUND(-SUM((k / n) * ln(k / n)) / ln(6.0), 6) AS h_norm
+FROM c CROSS JOIN n GROUP BY n;""",
+)
+def x381(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return permutation_entropy(ev, "ts")
+
+
+@_declare(
+    "X382_concentration_profile",
+    # Source-concentration per language (quality.concentration_profile;
+    # Herfindahl/Hirschman, Hill-1973 effective number): HHI, inverse-
+    # Simpson effective source count, top-1 share - the absolute-scale
+    # diversification read behind a mixture decision. One cell
+    # aggregate + broadcast slice totals.
+    """WITH b AS (SELECT lang AS sl, source AS g FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL),
+cells AS (SELECT sl, g, COUNT(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+t AS (SELECT sl, SUM(n) AS tt FROM cells GROUP BY 1),
+a AS (SELECT cells.sl, MAX(tt) AS tt, COUNT(*)::BIGINT AS k,
+             SUM((n / tt) * (n / tt)) AS hhi, MAX(n / tt) AS top
+      FROM cells JOIN t ON t.sl = cells.sl GROUP BY 1)
+SELECT sl AS slice, tt::BIGINT AS n, k AS n_groups, ROUND(hhi, 6) AS hhi,
+       ROUND(CASE WHEN hhi > 0 THEN 1.0 / hhi END, 6) AS effective_groups,
+       ROUND(top, 6) AS top_share
+FROM a ORDER BY slice;""",
+)
+def x382(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import (
+        concentration_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return concentration_profile(docs, "source", "lang")
+
+
+@_declare(
+    "X383_hurst_rs",
+    # Hurst exponent via rescaled-range over dyadic hour blocks
+    # (timeseries.hurst_rs; Hurst 1951, Mandelbrot-Wallis 1969):
+    # long-range memory of the rate - H~0.5 memoryless, H->1
+    # persistent retry-storm territory. Partitioned block windows
+    # only; bounded scale explode; full-block + positive-variance
+    # filter; log-log OLS over the scale relation.
+    """WITH b AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bk,
+             COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+e AS (SELECT bk, c, unnest([8, 16, 32, 64]) AS s FROM b),
+st AS (SELECT s, CAST(FLOOR(bk / s) AS BIGINT) AS k, COUNT(*)::BIGINT AS n,
+              AVG(c) AS m, SUM(c * c) / COUNT(*) - AVG(c) * AVG(c) AS v
+       FROM e GROUP BY 1, 2),
+d AS (SELECT e.s, st.k, e.bk, e.c - st.m AS dd, st.v
+      FROM e JOIN st ON st.s = e.s AND st.k = CAST(FLOOR(e.bk / e.s) AS BIGINT)
+      WHERE st.n = e.s AND st.v > 0),
+cu AS (SELECT s, k, v, SUM(dd) OVER (PARTITION BY s, k ORDER BY bk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y FROM d),
+rs AS (SELECT s, k, (MAX(y) - MIN(y)) / sqrt(MAX(v)) AS r FROM cu GROUP BY 1, 2),
+per AS (SELECT s, COUNT(*)::BIGINT AS n_blocks, AVG(r) AS mrs FROM rs GROUP BY 1),
+fit AS (SELECT COUNT(*)::DOUBLE AS np, SUM(ln(s)) AS sx, SUM(ln(mrs)) AS sy,
+               SUM(ln(s) * ln(s)) AS sxx, SUM(ln(s) * ln(mrs)) AS sxy
+        FROM per WHERE mrs > 0)
+SELECT s::BIGINT AS scale, n_blocks, ROUND(mrs, 6) AS mean_rs,
+       ROUND(CASE WHEN np * sxx - sx * sx > 0
+             THEN (np * sxy - sx * sy) / (np * sxx - sx * sx) END, 6)
+         AS hurst
+FROM per CROSS JOIN fit ORDER BY scale;""",
+)
+def x383(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import hurst_rs
+
+    ev = load_table(spark, sf_dir, "events")
+    return hurst_rs(ev, "ts")

@@ -142,6 +142,10 @@ ALLOWED_UNPARTITIONED = {
     # duplicated by Catalyst on both sides of the dt⋈seasonal join
     # (seasonal derives FROM dt) — one logical window, bucket-bounded
     "X378_seasonal_strength": 2,
+    # X381: the order-3 lead window runs over the HOUR-BUCKET relation
+    # (timeline class); counts 2 because the total-windows 1-row
+    # aggregate re-reads the same windowed subtree (one logical window)
+    "X381_permutation_entropy": 2,
     # X377: the exclusive prefix of newly-seen token counts runs over
     # the OCCASION relation — exactly one row per source (≤ the group
     # vocabulary), control-plane by construction; counts 2 because the

@@ -761,3 +761,83 @@ def test_stream_msprt_always_valid_and_sticky(spark, tmp_path):
     # one-row state per batch
     st = spark.read.parquet(str(tmp_path / "state" / "msprt" / "batch_id=2"))
     assert st.count() == 1
+
+
+# ------------------------------------------------------ permutation_entropy
+def test_permutation_entropy_regimes(spark):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    b = datetime.datetime(2024, 1, 1)
+
+    def series(fn, hours=240):
+        rows = []
+        for t in range(hours):
+            for _ in range(max(1, fn(t))):
+                rows.append((b + datetime.timedelta(hours=t, minutes=1),))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    # strictly increasing ramp: ONE ordinal pattern -> H = 0
+    ramp = permutation_entropy(series(lambda t: t + 1), "ts").collect()[0]
+    assert ramp["distinct_patterns"] == 1 and ramp["entropy"] == 0.0
+    # period-3 sawtooth 1,5,3,1,5,3,...: exactly 3 patterns, each 1/3
+    saw = permutation_entropy(
+        series(lambda t: [1, 5, 3][t % 3]), "ts"
+    ).collect()[0]
+    assert saw["distinct_patterns"] == 3
+    # 238 windows split 80/79/79 across the 3 patterns -> within 1e-3
+    assert abs(saw["entropy"] - math.log(3)) < 1e-3
+    assert abs(saw["h_norm"] - math.log(3) / math.log(6)) < 1e-3
+    # pseudo-noise (md5-keyed): all 6 patterns, h_norm near 1
+    import hashlib
+
+    def h(t):
+        return 5 + int(hashlib.md5(str(t).encode()).hexdigest()[:4], 16) % 17
+
+    noise = permutation_entropy(series(h), "ts").collect()[0]
+    assert noise["distinct_patterns"] == 6 and noise["h_norm"] > 0.9
+
+
+# --------------------------------------------------------------- hurst_rs
+def test_hurst_rs_separates_persistence(spark):
+    from swivel_spark_prep_spark.operators.timeseries import hurst_rs
+
+    b = datetime.datetime(2024, 1, 1)
+
+    def series(vals):
+        rows = []
+        for t, v in enumerate(vals):
+            for _ in range(max(1, int(v))):
+                rows.append((b + datetime.timedelta(hours=t, minutes=1),))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    # persistent: slow 64-hour square wave -> within-block drift, H high
+    persistent = [20 if (t // 64) % 2 == 0 else 5 for t in range(512)]
+    # anti-persistent: strict alternation -> H low
+    alternating = [20 if t % 2 == 0 else 5 for t in range(512)]
+    hp = hurst_rs(series(persistent), "ts").collect()[0]["hurst"]
+    ha = hurst_rs(series(alternating), "ts").collect()[0]["hurst"]
+    assert hp > ha + 0.3
+    assert ha < 0.35
+    with pytest.raises(ValueError):
+        hurst_rs(series(alternating), "ts", scales=(8,))
+
+
+# ------------------------------------------------------ concentration_profile
+def test_concentration_profile_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.quality import (
+        concentration_profile,
+    )
+
+    rows = (
+        [("en", "s1")] * 50 + [("en", "s2")] * 30 + [("en", "s3")] * 20
+        + [("de", "s1")] * 100  # fully concentrated
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {r["slice"]: r for r in concentration_profile(df, "source", "lang").collect()}
+    want = 0.5 ** 2 + 0.3 ** 2 + 0.2 ** 2
+    assert abs(out["en"]["hhi"] - want) < 1e-6
+    assert abs(out["en"]["effective_groups"] - 1 / want) < 1e-4
+    assert out["en"]["top_share"] == 0.5 and out["en"]["n_groups"] == 3
+    assert out["de"]["hhi"] == 1.0 and out["de"]["effective_groups"] == 1.0
