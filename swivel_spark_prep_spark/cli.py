@@ -884,7 +884,7 @@ def _dispatch(args, spark, owns_session) -> int:
 
             from swivel_spark_prep_spark.operators.timeseries import (
                 msprt_monitor,
-                runs_test,
+                rate_runs_test,
                 seasonal_trend_strength,
                 turning_point_test,
             )
@@ -900,7 +900,7 @@ def _dispatch(args, spark, owns_session) -> int:
                 return 2
             rep = {
                 "n_rows": n_rows,
-                "runs": runs_test(df, args.ts).collect()[0].asDict(),
+                "runs": rate_runs_test(df, args.ts).collect()[0].asDict(),
                 "turning_points": turning_point_test(df, args.ts)
                 .collect()[0]
                 .asDict(),

@@ -3622,19 +3622,20 @@ def msprt_monitor(
     ).orderBy("bucket")
 
 
-def runs_test(
+def rate_runs_test(
     df: DataFrame,
     ts_col: str,
     bucket_seconds: int = 86400,
 ) -> DataFrame:
-    """Wald–Wolfowitz runs test on the daily event-rate sequence (Wald
+    """Wald–Wolfowitz runs test on the daily event-RATE sequence (Wald
     & Wolfowitz 1940): is the above/below-median pattern RANDOM, or
     does it clump (regime persistence, batch backfills) / alternate
-    (overcorrecting load balancer)? The classic nonparametric
-    randomness screen — CUSUM/Page–Hinkley ask "did the level move",
-    this asks "is the sequence exchangeable at all". Buckets equal to
-    the median are dropped (the standard dichotomization); runs R over
-    the retained sequence is judged against
+    (overcorrecting load balancer)? The bucketed-rate companion to
+    :func:`runs_test` (X315), which tests a VALUE series per group —
+    this one asks whether the ARRIVAL VOLUME is exchangeable, the
+    question CUSUM/Page–Hinkley's level-shift lens misses. Buckets
+    equal to the median are dropped (the standard dichotomization);
+    runs R over the retained sequence is judged against
 
         E[R] = 2n₁n₂/n + 1
         Var  = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))

@@ -14192,9 +14192,11 @@ def x373(spark, sf_dir):
 
 
 @_declare(
-    "X374_runs_test",
-    # Wald-Wolfowitz runs test on daily event rates vs their median
-    # (timeseries.runs_test; Wald-Wolfowitz 1940): is the above/below
+    "X374_rate_runs_test",
+    # Wald-Wolfowitz runs test on daily event RATES vs their median
+    # (timeseries.rate_runs_test; Wald-Wolfowitz 1940) - the bucketed-
+    # rate companion to X315's per-group VALUE runs test: is the
+    # above/below
     # pattern exchangeable at all - clumping (backfills, regimes) or
     # alternation (overcorrection), the question CUSUM's level-shift
     # lens misses. Median-tied days dropped (standard dichotomization);
@@ -14223,10 +14225,10 @@ SELECT n::BIGINT AS n_days, n1::BIGINT AS n_above, n2::BIGINT AS n_below,
 FROM v;""",
 )
 def x374(spark, sf_dir):
-    from swivel_spark_prep_spark.operators.timeseries import runs_test
+    from swivel_spark_prep_spark.operators.timeseries import rate_runs_test
 
     ev = load_table(spark, sf_dir, "events")
-    return runs_test(ev, "ts")
+    return rate_runs_test(ev, "ts")
 
 
 @_declare(

@@ -136,7 +136,7 @@ ALLOWED_UNPARTITIONED = {
     # the DAY- or HOUR-BUCKET relation — time-range-bounded, the same
     # timeline class as X372 (corpus rows are collapsed by the
     # bucketing aggregate before any window)
-    "X374_runs_test": 1,
+    "X374_rate_runs_test": 1,
     "X375_turning_points": 1,
     # X378 counts 2: the single ±12-RANGE moving average's subtree is
     # duplicated by Catalyst on both sides of the dt⋈seasonal join

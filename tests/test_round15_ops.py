@@ -433,8 +433,8 @@ def test_gwet_ac1_published_example_and_paradox(spark):
 
 
 # ------------------------------------------------------------------ runs_test
-def test_runs_test_hand_computed(spark):
-    from swivel_spark_prep_spark.operators.timeseries import runs_test
+def test_rate_runs_test_hand_computed(spark):
+    from swivel_spark_prep_spark.operators.timeseries import rate_runs_test
 
     b = datetime.datetime(2024, 1, 1)
     # 12 days: 6 high then 6 low -> 2 runs (strong clumping, z < 0)
@@ -443,7 +443,7 @@ def test_runs_test_hand_computed(spark):
         for _ in range(20 if d < 6 else 5):
             rows.append((b + datetime.timedelta(days=d, minutes=1),))
     df = spark.createDataFrame(rows, "ts timestamp")
-    r = runs_test(df, "ts").collect()[0]
+    r = rate_runs_test(df, "ts").collect()[0]
     assert r["n_days"] == 12 and r["n_above"] == 6 and r["n_below"] == 6
     assert r["runs"] == 2
     # E[R] = 2*36/12 + 1 = 7, Var = 72*(72-12)/(144*11)
@@ -455,7 +455,7 @@ def test_runs_test_hand_computed(spark):
     for d in range(12):
         for _ in range(20 if d % 2 == 0 else 5):
             rows2.append((b + datetime.timedelta(days=d, minutes=1),))
-    r2 = runs_test(spark.createDataFrame(rows2, "ts timestamp"), "ts").collect()[0]
+    r2 = rate_runs_test(spark.createDataFrame(rows2, "ts timestamp"), "ts").collect()[0]
     assert r2["runs"] == 12 and r2["z"] > 2
 
 
