@@ -488,6 +488,35 @@ def main() -> None:
         "X182_label_propagation",
         "X227_mmr_select",
         "X242_qq_drift",
+        # Round-15 tranche (X366-X383), every op touching a corpus-
+        # scale relation. Scale stories: X366/X367 ride the X362
+        # distinct-value + prefix shape (cells track distinct event
+        # values ~10x); X368/X369 are d^2-cell sufficient-statistics
+        # passes (explode partial-aggregates map-side - wall should be
+        # the 10x vector scan); X370/X371 are the binary_auc prefix
+        # class; X372/X374/X375/X378/X381 are bucketing aggregates +
+        # bounded bucket-relation windows (scan-bound); X376/X380/X382
+        # are cell-relation aggregates; X377 is a distinct-token scan
+        # + source-bounded occasion table; X379 the X284 prefix-rank
+        # shape; X383 partitioned block windows over the bucket
+        # relation.
+        "X366_jonckheere_terpstra",
+        "X367_ansari_bradley",
+        "X368_mmd_quadratic",
+        "X369_cka_quantization",
+        "X370_youden_thresholds",
+        "X371_lift_gains",
+        "X372_msprt_monitor",
+        "X374_rate_runs_test",
+        "X375_turning_points",
+        "X376_hellinger_drift",
+        "X377_schnabel_vocab",
+        "X378_seasonal_strength",
+        "X379_circular_uniformity",
+        "X380_power_divergence",
+        "X381_permutation_entropy",
+        "X382_concentration_profile",
+        "X383_hurst_rs",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
