@@ -1806,3 +1806,78 @@ def schnabel_vocab_estimate(
         )
         .orderBy("group")
     )
+
+
+def lexical_richness_classics(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The classical length-robust lexical-richness quartet per group —
+    the authorship/stylometry constants that, unlike raw type-token
+    ratio, are (approximately) invariant to corpus SIZE, so two
+    sources of very different volume are comparable on one scale
+    (Tweedie & Baayen 1998's survey is the standard reference):
+
+        Yule's K    = 10⁴·(Σ_m m²·V_m − N) / N²        (Yule 1944)
+        Sichel's S  = V₂ / V                            (Sichel 1975)
+        Honoré's R  = 100·ln N / (1 − V₁/V)             (Honoré 1979)
+        Brunet's W  = N^(V^−0.165)                      (Brunet 1978)
+
+    with N tokens, V types, V_m types occurring exactly m times. K is
+    the repeat-rate (high = template/boilerplate-heavy text — a cheap
+    quality screen); S and R read the hapax/dis-legomena structure
+    vocab_richness (X241) estimates saturation from.
+
+    Scale design: the word-count shape — one token scan to per-(group,
+    token) counts, one frequency-SPECTRUM re-aggregate (group, m, V_m —
+    Zipf-bounded), one group-row reduction. Output per group:
+    (group, n_tokens, v_types, v1, v2, yule_k, sichel_s, honore_r,
+    brunet_w); R NULL when every type is a hapax (V₁ = V), the
+    convention for its pole.
+    """
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    counts = toks.groupBy("_g", "_w").agg(F.count("*").alias("_m"))
+    spectrum = counts.groupBy("_g", "_m").agg(
+        F.count("*").cast("double").alias("_vm")
+    )
+    m = F.col("_m").cast("double")
+    agg = spectrum.groupBy("_g").agg(
+        F.sum(m * F.col("_vm")).alias("_n"),
+        F.sum("_vm").alias("_v"),
+        F.sum(F.when(F.col("_m") == 1, F.col("_vm")).otherwise(0.0)).alias(
+            "_v1"
+        ),
+        F.sum(F.when(F.col("_m") == 2, F.col("_vm")).otherwise(0.0)).alias(
+            "_v2"
+        ),
+        F.sum(m * m * F.col("_vm")).alias("_smm"),
+    )
+    n, v = F.col("_n"), F.col("_v")
+    return agg.select(
+        F.col("_g").alias("group"),
+        n.cast("long").alias("n_tokens"),
+        v.cast("long").alias("v_types"),
+        F.col("_v1").cast("long").alias("v1"),
+        F.col("_v2").cast("long").alias("v2"),
+        F.round(
+            F.when(n > 0, 1e4 * (F.col("_smm") - n) / (n * n)), 6
+        ).alias("yule_k"),
+        F.round(F.when(v > 0, F.col("_v2") / v), 6).alias("sichel_s"),
+        F.round(
+            F.when(
+                (v > 0) & (F.col("_v1") < v) & (n > 1),
+                100.0 * F.log(n) / (1.0 - F.col("_v1") / v),
+            ),
+            6,
+        ).alias("honore_r"),
+        F.round(
+            F.when((n > 1) & (v > 0), F.pow(n, F.pow(v, F.lit(-0.165)))),
+            6,
+        ).alias("brunet_w"),
+    ).orderBy("group")

@@ -14551,3 +14551,40 @@ def x383(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return hurst_rs(ev, "ts")
+
+
+@_declare(
+    "X384_lexical_richness",
+    # Classical length-robust lexical-richness quartet per language
+    # (textstats.lexical_richness_classics; Yule 1944 K, Sichel 1975 S,
+    # Honore 1979 R, Brunet 1978 W - Tweedie-Baayen's survey): the
+    # size-invariant repeat-rate/hapax constants that make sources of
+    # very different volume comparable - K doubles as a cheap
+    # template/boilerplate screen. Word-count shape: token scan ->
+    # frequency spectrum -> group-row reduction.
+    """WITH t AS (SELECT lang AS g, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+c AS (SELECT g, w, COUNT(*)::BIGINT AS m FROM t WHERE w <> '' GROUP BY 1, 2),
+sp AS (SELECT g, m, COUNT(*)::DOUBLE AS vm FROM c GROUP BY 1, 2),
+a AS (SELECT g, SUM(m * vm) AS n, SUM(vm) AS v,
+             SUM(CASE WHEN m = 1 THEN vm ELSE 0.0 END) AS v1,
+             SUM(CASE WHEN m = 2 THEN vm ELSE 0.0 END) AS v2,
+             SUM(m * m * vm) AS smm
+      FROM sp GROUP BY 1)
+SELECT g AS "group", n::BIGINT AS n_tokens, v::BIGINT AS v_types,
+       v1::BIGINT AS v1, v2::BIGINT AS v2,
+       ROUND(CASE WHEN n > 0 THEN 1e4 * (smm - n) / (n * n) END, 6) AS yule_k,
+       ROUND(CASE WHEN v > 0 THEN v2 / v END, 6) AS sichel_s,
+       ROUND(CASE WHEN v > 0 AND v1 < v AND n > 1
+             THEN 100.0 * ln(n) / (1.0 - v1 / v) END, 6) AS honore_r,
+       ROUND(CASE WHEN n > 1 AND v > 0 THEN pow(n, pow(v, -0.165)) END, 6)
+         AS brunet_w
+FROM a ORDER BY "group";""",
+)
+def x384(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import (
+        lexical_richness_classics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_richness_classics(docs, "lang")

@@ -841,3 +841,40 @@ def test_concentration_profile_hand_computed(spark):
     assert abs(out["en"]["effective_groups"] - 1 / want) < 1e-4
     assert out["en"]["top_share"] == 0.5 and out["en"]["n_groups"] == 3
     assert out["de"]["hhi"] == 1.0 and out["de"]["effective_groups"] == 1.0
+
+
+# ------------------------------------------------- lexical_richness_classics
+def test_lexical_richness_hand_computed(spark):
+    """Hand-computed spectrum: tokens a a a b b c -> N=6, V=3,
+    V1={c}, V2={b}; K = 1e4*(9+4+1-6)/36, S = 1/3,
+    R = 100 ln 6/(1-1/3), W = 6^(3^-0.165)."""
+    from swivel_spark_prep_spark.operators.textstats import (
+        lexical_richness_classics,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "a a a b"), ("en", "b c")], "lang string, text string"
+    )
+    r = lexical_richness_classics(df, "lang").collect()[0]
+    assert r["n_tokens"] == 6 and r["v_types"] == 3
+    assert r["v1"] == 1 and r["v2"] == 1
+    assert abs(r["yule_k"] - 1e4 * (14 - 6) / 36) < 1e-4
+    assert abs(r["sichel_s"] - 1 / 3) < 1e-6
+    assert abs(r["honore_r"] - 100 * math.log(6) / (1 - 1 / 3)) < 1e-4
+    assert abs(r["brunet_w"] - 6 ** (3 ** -0.165)) < 1e-4
+    # all-hapax group: R hits its pole -> NULL, everything else defined
+    hap = spark.createDataFrame(
+        [("de", "x y z")], "lang string, text string"
+    )
+    r2 = lexical_richness_classics(hap, "lang").collect()[0]
+    assert r2["honore_r"] is None and r2["sichel_s"] == 0.0
+    # repeat-heavy text scores HIGHER K than diverse text (the screen)
+    rep = lexical_richness_classics(
+        spark.createDataFrame([("en", "the the the the a a")],
+                              "lang string, text string"), "lang"
+    ).collect()[0]
+    div = lexical_richness_classics(
+        spark.createDataFrame([("en", "one two three four five six")],
+                              "lang string, text string"), "lang"
+    ).collect()[0]
+    assert rep["yule_k"] > div["yule_k"]
