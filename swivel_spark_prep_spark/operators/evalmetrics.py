@@ -4336,7 +4336,13 @@ def jonckheere_terpstra(
     base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("_g"), x.alias("_v")
     )
-    groups = sorted(bounded_distinct(base, "_g", cap=1000))
+    # cap=50, NOT the generic 1000: this op generates k(k-1)/2 pairwise-U
+    # aggregate COLUMNS, so k=1000 would ask Catalyst to analyze ~500k
+    # expressions — a planner/codegen blow-up long before any data-plane
+    # issue. JT's contract is small ordered k (doses, tiers, severity
+    # levels); k=50 → 1,225 columns, comfortably inside planner limits,
+    # and past the cap the failure is a clear raise, not a planner hang.
+    groups = sorted(bounded_distinct(base, "_g", cap=50))
     k = len(groups)
     if k < 2:
         raise ValueError(f"need >= 2 groups, got {k}")

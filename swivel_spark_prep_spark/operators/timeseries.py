@@ -1987,8 +1987,14 @@ def ks_uniform_time_of_day(
     )
 
     gcols = [group_col] if group_col else []
+    # pmod, not %: dividend-sign modulo yields a NEGATIVE time-of-day
+    # fraction for pre-1970 timestamps; pmod wraps negative epochs
+    # correctly (matches the twin's ((x % m) + m) % m form)
     x = (
-        (F.unix_micros(F.col(ts_col).cast("timestamp")) % 86_400_000_000)
+        F.pmod(
+            F.unix_micros(F.col(ts_col).cast("timestamp")),
+            F.lit(86_400_000_000),
+        )
         / 86_400_000_000.0
     )
     base = (
@@ -3871,8 +3877,14 @@ def kuiper_watson_uniformity(
     )
 
     gcols = [group_col] if group_col else []
+    # pmod, not %: dividend-sign modulo yields a NEGATIVE time-of-day
+    # fraction for pre-1970 timestamps; pmod wraps negative epochs
+    # correctly (matches the twin's ((x % m) + m) % m form)
     x = (
-        (F.unix_micros(F.col(ts_col).cast("timestamp")) % 86_400_000_000)
+        F.pmod(
+            F.unix_micros(F.col(ts_col).cast("timestamp")),
+            F.lit(86_400_000_000),
+        )
         / 86_400_000_000.0
     )
     base = (

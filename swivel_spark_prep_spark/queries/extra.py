@@ -10379,7 +10379,8 @@ def x283(spark, sf_dir):
     # it catches symmetric bimodality Rayleigh misses). Compare
     # sqrt(n)*D to 1.36 (alpha .05).
     """WITH base AS (
-  SELECT event_type AS g, (epoch_us(ts) % 86400000000) / 86400000000.0 AS x
+  SELECT event_type AS g, (((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+             / 86400000000.0 AS x
   FROM events WHERE ts IS NOT NULL),
 r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rk,
              COUNT(*) OVER (PARTITION BY g) AS n
@@ -14344,9 +14345,9 @@ def x377(spark, sf_dir):
       FROM events WHERE ts IS NOT NULL GROUP BY 1),
 dt AS (SELECT bk, c, c - AVG(c) OVER (ORDER BY bk
          RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS d FROM b),
-se AS (SELECT bk % 24 AS h, AVG(d) AS s FROM dt GROUP BY 1),
+se AS (SELECT ((bk % 24) + 24) % 24 AS h, AVG(d) AS s FROM dt GROUP BY 1),
 j AS (SELECT c, d, d - s AS r, c - s AS cs
-      FROM dt JOIN se ON dt.bk % 24 = se.h),
+      FROM dt JOIN se ON ((dt.bk % 24) + 24) % 24 = se.h),
 a AS (SELECT COUNT(*)::DOUBLE AS n,
              SUM(r * r) / COUNT(*) - AVG(r) * AVG(r) AS vr,
              SUM(cs * cs) / COUNT(*) - AVG(cs) * AVG(cs) AS vcs,
@@ -14378,7 +14379,8 @@ def x378(spark, sf_dir):
     # grouped prefix-rank plan as X284; tie-stable by the rank-set
     # argument.
     """WITH base AS (
-  SELECT event_type AS g, (epoch_us(ts) % 86400000000) / 86400000000.0 AS x
+  SELECT event_type AS g, (((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+             / 86400000000.0 AS x
   FROM events WHERE ts IS NOT NULL),
 r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rk,
              COUNT(*) OVER (PARTITION BY g) AS n

@@ -13,10 +13,13 @@ Format, from the public spec: each record is
 ``gzip`` mode writes each record as its OWN gzip member concatenated
 into the file — the Common Crawl convention (spec annex: "record-at-
 time compression"), which is what keeps a .warc.gz splittable by
-member boundary. The parser auto-detects gzip by magic and hands the
-whole multi-member stream to ``gzip.decompress`` (one C-level pass —
-member boundaries are irrelevant to the record walk, which is driven
-by Content-Length over the concatenated plaintext).
+member boundary. The parser auto-detects gzip by magic and streams the
+multi-member container through ``gzip.GzipFile`` in 8 KB chunks (the
+LINEAR path — see ``_gunzip_members``; both the per-member
+``decompressobj`` walk and ``gzip.decompress`` are measured-quadratic
+on concatenated members). Member boundaries are irrelevant to the
+record walk, which is driven by Content-Length over the concatenated
+plaintext.
 """
 
 from __future__ import annotations
@@ -88,8 +91,12 @@ def _gunzip_members(blob: bytes) -> bytes:
     try:
         with _gzip.GzipFile(fileobj=io.BytesIO(blob)) as fh:
             return fh.read()
-    except (EOFError, zlib.error) as e:
-        raise ValueError(f"truncated gzip member in WARC file: {e}") from e
+    except (EOFError, zlib.error, _gzip.BadGzipFile) as e:
+        # BadGzipFile is an OSError, NOT a zlib.error subclass — it is
+        # raised for trailing garbage after a valid member, a bad magic
+        # number, or a CRC mismatch, and must map to the parser's
+        # documented ValueError like every other malformed-container path
+        raise ValueError(f"malformed gzip member in WARC file: {e}") from e
 
 
 def parse_warc_bytes(blob: bytes) -> list[dict]:

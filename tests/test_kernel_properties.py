@@ -286,6 +286,13 @@ def test_warc_detects_corruption():
     with pytest.raises(ValueError):
         wk.parse_warc_bytes(wk.gzip_member(rec)[:-3])  # truncated member
     with pytest.raises(ValueError):
+        # trailing garbage after a valid member raises gzip.BadGzipFile
+        # (an OSError, NOT a zlib.error subclass) — must map to the
+        # parser's documented ValueError like every malformed path
+        wk.parse_warc_bytes(wk.gzip_member(rec) + b"NOTGZIP")
+    with pytest.raises(ValueError):
+        wk.parse_warc_bytes(b"\x1f\x8bGARBAGE")  # bad member header
+    with pytest.raises(ValueError):
         wk.encode_record("r", "<i>", "d", b"", [("X", "bad\r\nheader")])
     with pytest.raises(ValueError):
         wk.encode_record("r", "<urn:evil\r\nContent-Length: 0>", "d", b"")
