@@ -63,15 +63,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #              GENERATED unrolled-SQL twins — their first driver
 #              verification) + X347, X354, X357 from the round-14
 #              tier (round-14 verdict Next #3).
+# round 16:    X366, X370, X371, X377, X380, X384 — the round-15
+#              tranche's never-driver-verified oracled extras, exactly
+#              the picks named by the round-15 verdict (Next #2).
 # Every extra not in the cohort is still DuckDB-oracle-checked at both
 # sf0.001 and sf0.01 by tests/test_llm_operators.py on every pytest run.
 _GATE_COHORT = [
-    "X104_raking_weights",
-    "X227_mmr_select",
-    "X285_geometric_median",
-    "X347_ordinal_association",
-    "X354_markov_stationary",
-    "X357_join_fanout",
+    "X366_jonckheere_terpstra",
+    "X370_youden_thresholds",
+    "X371_lift_gains",
+    "X377_schnabel_vocab",
+    "X380_power_divergence",
+    "X384_lexical_richness",
 ]
 
 
