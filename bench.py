@@ -283,6 +283,74 @@ def main() -> None:
             pass
         print(f"# {name}: {times[name]:.3f}s ({len(pdf)} rows)", file=sys.stderr)
 
+    # --- extras self-adjudication pass (round-15 verdict, Next #1) ---
+    # The driver's one-shot-per-extra sweep produced 66 apparent >1.4×
+    # regressions on byte-identical code in round 15 (X347: 0.44 s
+    # committed vs 3.78 s driver, load1 ≈ 2.6) that the judge cleared by
+    # hand against the committed sweep. Make the sweep self-adjudicating:
+    # any extra whose wall exceeds 1.5× its committed BENCH_LOCAL history
+    # (plus a 0.2 s absolute guard so floor-scale noise doesn't trigger
+    # re-runs) is re-measured in-run — median of 3 fresh timed runs (2
+    # when the first wall was >5 s, to bound sweep cost) — and BOTH
+    # numbers ship with the per-op load so a transient spike can never
+    # masquerade as a plan regression again. verdict: "env" when the
+    # re-measure lands back inside 1.5× history, "real" otherwise.
+    hist: dict[str, float] = {}
+    if not ONLY:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_LOCAL.json",
+                )
+            ) as fh:
+                _prior = json.load(fh)
+            # history is only comparable at the SAME scale factor — an
+            # sf1 sweep read against sf0.1 history would trip (and
+            # re-measure) every extra
+            sf_now = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+            if str(_prior.get("sf")) == sf_now:
+                hist = _prior.get("queries_full", {}) or {}
+        except (OSError, ValueError):
+            pass
+    remeasured: dict[str, dict] = {}
+    for name in sorted(times):
+        if not name.startswith("X"):
+            continue
+        h = hist.get(name)
+        if not h or times[name] <= 1.5 * h or times[name] - h < 0.2:
+            continue
+        spark.catalog.clearCache()
+        qfn = qmap[name]
+        qfn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        release_persisted()
+        rs = []
+        for _ in range(2 if times[name] > 5.0 else 3):
+            t0 = time.perf_counter()
+            qfn(spark, SF_DIR).toArrow().to_pandas(
+                self_destruct=True, split_blocks=True
+            )
+            rs.append(time.perf_counter() - t0)
+        release_persisted()
+        med = round(statistics.median(rs), 4)
+        try:
+            load_re = round(os.getloadavg()[0], 2)
+        except OSError:
+            load_re = None
+        remeasured[name.split("_", 1)[0]] = {
+            "first": round(times[name], 3),
+            "re": round(med, 3),
+            "hist": round(h, 3),
+            "load1_first": loads.get(name),
+            "load1_re": load_re,
+            "verdict": "env" if med <= 1.5 * h else "real",
+        }
+        print(
+            f"# remeasured {name}: first {times[name]:.3f}s -> re {med:.3f}s "
+            f"(hist {h:.3f}s, {remeasured[name.split('_', 1)[0]]['verdict']})",
+            file=sys.stderr,
+        )
+
     # last-write-wins dict build would silently drop a timing if two
     # registered names ever shared a short prefix — fail loudly instead
     short_ids = {n.split("_", 1)[0]: round(t, 3) for n, t in times.items()}
@@ -355,6 +423,25 @@ def main() -> None:
         # post-hoc localization, self-load caveat applied.
         "extras_contended": bool(env_mid) and bool(env_mid["procs"]),
     }
+    if not ONLY:
+        # Compact self-adjudication map on stdout: short-ID →
+        # [first, remeasured, committed-history] plus an env/real verdict
+        # char. Capped at the 40 worst first/hist ratios so the line can
+        # never overflow the driver's stdout-tail capture (the full map
+        # with loads is in BENCH_LOCAL.json).
+        worst = sorted(
+            remeasured.items(),
+            key=lambda kv: -(kv[1]["first"] / kv[1]["hist"]),
+        )
+        payload["remeasured"] = {
+            k: [v["first"], v["re"], v["hist"], v["verdict"][0]]
+            for k, v in worst[:40]
+        }
+        if len(worst) > 40:
+            payload["remeasured_truncated"] = len(worst) - 40
+        payload["remeasured_real"] = sorted(
+            k for k, v in remeasured.items() if v["verdict"] == "real"
+        )
     # Full-fidelity record for round-over-round diffing (not driver-parsed):
     # every extra's timing, the heavy-set split, and both env snapshots.
     # Partial (filtered) runs write a sibling file so a smoke check can
@@ -371,6 +458,7 @@ def main() -> None:
                     "queries": short_ids,
                     "queries_full": times,
                     "split": split,
+                    "remeasured_full": remeasured if not ONLY else {},
                     "load1_after_query": loads,
                     "env": {
                         "start": env_start,
