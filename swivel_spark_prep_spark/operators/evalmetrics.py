@@ -53,6 +53,14 @@ __all__ = [
     "conformal_by_group",
     "jonckheere_terpstra",
     "ansari_bradley",
+    "chatterjee_xi",
+    "cucconi_test",
+    "lepage_test",
+    "bws_test",
+    "fligner_killeen",
+    "acklam_probit_sql",
+    "page_trend",
+    "quade_test",
 ]
 
 
@@ -4780,4 +4788,600 @@ def power_divergence(
         F.round("_chi2", 6).alias("chi2"),
         F.round("_g2", 6).alias("g2"),
         F.round("_cr", 6).alias("cressie_read"),
+    )
+
+
+def chatterjee_xi(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Chatterjee's rank correlation ξ (Chatterjee, JASA 2021, eq. 1.5
+    — the tie-general form): does Y look like a FUNCTION of X — 0 for
+    independence, →1 for any measurable functional dependence, where
+    Pearson/Spearman only see monotone trends. With rows sorted by X
+    and r_i = #{j: y_j ≤ y_i}, l_i = #{j: y_j ≥ y_i}:
+
+        ξ = 1 − n·Σ_{i<n} |r_{i+1} − r_i| / (2·Σ_i l_i (n − l_i))
+
+    X-ties are broken by ascending Y (the paper breaks them uniformly
+    at random; a deterministic rule keeps the statistic reproducible
+    and lets the DuckDB twin replay it bit-for-bit — documented bias:
+    within equal X the Y-ranks are locally sorted, nudging ξ upward at
+    heavy X-tie rates).
+
+    Scale design: adjacent-pair sums need NO global window — rows
+    collapse to distinct (x, y) cells (within-cell adjacent rows have
+    identical r, contributing 0), the cell sequence index and the
+    y-rank counts are two range-partitioned prefix passes, and the
+    "next cell" is a hash self-join on index+1. Output one row:
+    (n, xi) — xi NULL when every y is tied (denominator 0).
+    """
+    base = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    tot = base.agg(F.count("*").cast("double").alias("_n"))
+    ycells = base.groupBy("_y").agg(F.count("*").cast("double").alias("_cy"))
+    ycum = partitioned_prefix_sum(
+        ycells, ["_y"], ["_cy"], ["_yb"], inclusive=False
+    )
+    cells = base.groupBy("_x", "_y").agg(
+        F.count("*").cast("double").alias("_c"),
+        F.lit(1.0).alias("_one"),
+    )
+    idx = partitioned_prefix_sum(
+        cells, ["_x", "_y"], ["_one"], ["_k"], inclusive=True
+    )
+    ranked = idx.join(ycum.select("_y", "_yb", "_cy"), "_y").crossJoin(
+        F.broadcast(tot)
+    )
+    r = F.col("_yb") + F.col("_cy")  # #{y_j <= y_i}
+    l = F.col("_n") - F.col("_yb")  # #{y_j >= y_i}
+    ranked = ranked.select(
+        "_k", "_c", r.alias("_r"), l.alias("_l"), "_n"
+    )
+    left = ranked.select(F.col("_k").alias("_ka"), F.col("_r").alias("_r1"))
+    right = ranked.select(
+        (F.col("_k") - 1).alias("_ka"), F.col("_r").alias("_r2")
+    )
+    num = left.join(right, "_ka").agg(
+        F.sum(F.abs(F.col("_r2") - F.col("_r1"))).alias("_num")
+    )
+    den = ranked.agg(
+        F.max("_n").alias("_nn"),
+        F.sum(F.col("_c") * F.col("_l") * (F.col("_n") - F.col("_l"))).alias(
+            "_den"
+        ),
+    )
+    j = den.crossJoin(F.broadcast(num))
+    xi = F.when(
+        F.col("_den") > 0,
+        1.0 - F.col("_nn") * F.coalesce(F.col("_num"), F.lit(0.0))
+        / (2.0 * F.col("_den")),
+    )
+    return j.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.round(xi, 6).alias("xi"),
+    )
+
+
+def cucconi_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cucconi test for a JOINT location–scale shift between two
+    samples (Cucconi 1968; moments per Marozzi 2009): one statistic
+    covering the Lepage question with squared ranks instead of a
+    two-test sum — U from the squared pooled ranks of sample B, V from
+    the squared contrary ranks, combined through their exact null
+    correlation ρ:
+
+        U = (6·Σ_{j∈B} R_j² − n(N+1)(2N+1)) / √(mn(N+1)(2N+1)(8N+11)/5)
+        V = same with (N+1−R_j)²
+        ρ = 2(N²−4)/((2N+1)(8N+11)) − 1
+        C = (U² + V² − 2ρUV) / (2(1−ρ²))        (~Exp(1) under H₀)
+
+    Ties take pooled midranks (the standard practical convention; the
+    classical moments assume continuity and are replayed verbatim).
+
+    Scale design: the ansari_bradley shape — ONE distinct-value
+    aggregate with two conditional-count columns, one range-partitioned
+    prefix pass for midranks, ONE moments aggregate, then 1-row scalar
+    arithmetic. Output: (n_a, n_b, u, v, rho, c_stat) — NULL u/v/c
+    when either slice is empty or N < 3.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("_g"), x.alias("_v"))
+    cells = base.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_l"),
+        F.sum((F.col("_g") == group_a).cast("double")).alias("_fa"),
+        F.sum((F.col("_g") == group_b).cast("double")).alias("_fb"),
+    )
+    cum = partitioned_prefix_sum(cells, ["_v"], ["_l"], ["_cl"], inclusive=False)
+    tot = cells.agg(F.sum("_l").alias("_N"))
+    j = cum.crossJoin(F.broadcast(tot))
+    r = F.col("_cl") + (F.col("_l") + 1.0) / 2.0
+    cr = F.col("_N") + 1.0 - r
+    m = j.agg(
+        F.max("_N").alias("nn"),
+        F.sum("_fa").alias("na"),
+        F.sum("_fb").alias("nb"),
+        F.sum(F.col("_fb") * r * r).alias("sr2"),
+        F.sum(F.col("_fb") * cr * cr).alias("scr2"),
+    )
+    nn, na, nb = F.col("nn"), F.col("na"), F.col("nb")
+    cen = nb * (nn + 1.0) * (2.0 * nn + 1.0)
+    den2 = na * nb * (nn + 1.0) * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0
+    u = F.when(den2 > 0, (6.0 * F.col("sr2") - cen) / F.sqrt(den2))
+    v = F.when(den2 > 0, (6.0 * F.col("scr2") - cen) / F.sqrt(den2))
+    rho = 2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0
+    c = F.when(
+        (den2 > 0) & (1.0 - rho * rho > 0),
+        (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho)),
+    )
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, 6).alias("u"),
+        F.round(v, 6).alias("v"),
+        F.round(rho, 6).alias("rho"),
+        F.round(c, 6).alias("c_stat"),
+    )
+
+
+def lepage_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Lepage test for a joint location–scale alternative (Lepage
+    1971): D = z_W² + z_AB², the squared standardized Wilcoxon rank
+    sum (location) plus the squared standardized Ansari–Bradley sum
+    (scale) — ~χ²₂ under H₀; the classical two-component complement to
+    Cucconi's squared-rank statistic. Wilcoxon uses the tie-corrected
+    variance (no continuity correction — Lepage's D is defined on the
+    uncorrected z); Ansari–Bradley uses the conditional tie-exact
+    moments (Conover 1999 §5.3), both over pooled midranks.
+
+    Scale design: BOTH component statistics come from the SAME single
+    distinct-value aggregate + one range-partitioned prefix pass (the
+    ansari_bradley cells), then one moments aggregate and 1-row
+    arithmetic. Output: (n_a, n_b, z_w, z_ab, d_stat) — each z NULL
+    when its variance degenerates; d NULL unless both exist.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("_g"), x.alias("_v"))
+    cells = base.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_l"),
+        F.sum((F.col("_g") == group_a).cast("double")).alias("_fa"),
+        F.sum((F.col("_g") == group_b).cast("double")).alias("_fb"),
+    )
+    cum = partitioned_prefix_sum(cells, ["_v"], ["_l"], ["_cl"], inclusive=False)
+    tot = cells.agg(F.sum("_l").alias("_N"))
+    j = cum.crossJoin(F.broadcast(tot))
+    r = F.col("_cl") + (F.col("_l") + 1.0) / 2.0
+    s = F.least(r, F.col("_N") + 1.0 - r)
+    l = F.col("_l")
+    m = j.agg(
+        F.max("_N").alias("nn"),
+        F.sum("_fa").alias("na"),
+        F.sum("_fb").alias("nb"),
+        F.sum(F.col("_fa") * r).alias("w"),
+        F.sum(F.col("_fa") * s).alias("ab"),
+        F.sum(l * s).alias("ls"),
+        F.sum(l * s * s).alias("ls2"),
+        F.sum(l * l * l - l).alias("tie3"),
+    )
+    nn, na, nb = F.col("nn"), F.col("na"), F.col("nb")
+    ew = na * (nn + 1.0) / 2.0
+    vw = (
+        na * nb / 12.0
+        * ((nn + 1.0) - F.col("tie3") / F.nullif(nn * (nn - 1.0), F.lit(0.0)))
+    )
+    zw = F.when(vw > 0, (F.col("w") - ew) / F.sqrt(vw))
+    eab = na * F.col("ls") / nn
+    vab = (
+        na * nb * (nn * F.col("ls2") - F.col("ls") * F.col("ls"))
+        / (nn * nn * F.nullif(nn - 1.0, F.lit(0.0)))
+    )
+    zab = F.when(vab > 0, (F.col("ab") - eab) / F.sqrt(vab))
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(zw, 6).alias("z_w"),
+        F.round(zab, 6).alias("z_ab"),
+        F.round(zw * zw + zab * zab, 6).alias("d_stat"),
+    )
+
+
+def bws_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Baumgartner–Weiß–Schindler two-sample test (Baumgartner, Weiß &
+    Schindler, Biometrics 1998): a rank analogue of Cramér–von Mises
+    with the variance-normalizing weight 1/(t(1−t)) that restores
+    power in the TAILS, where CvM and Wilcoxon go blind. With R_i the
+    pooled (mid)rank of the i-th ordered observation of sample A
+    (size m, other size n, N = m+n):
+
+        B_A = (1/m) Σ_{i=1..m} (R_i − (N/m)·i)²
+                     / ( (i/(m+1))·(1 − i/(m+1)) · n·N/m )
+        B   = (B_A + B_B)/2        (reject at α=.05 when B ≳ 2.493)
+
+    Ties: pooled midranks; the per-sample index i within a tied run is
+    an arbitrary assignment of consecutive integers, and the SUM over
+    the run is invariant to that assignment, so the statistic is
+    deterministic.
+
+    Scale design: one distinct-value aggregate + one range-partitioned
+    prefix pass gives each tied run its pooled midrank and per-sample
+    start offset; the run then explodes to one row PER OBSERVATION
+    (sequence(start+1, start+count) — corpus-LINEAR, one output row per
+    input row, never a pair blow-up), and B_A/B_B are one aggregate.
+    Output: (n_a, n_b, b_a, b_b, b_stat) — NULL when either slice is
+    empty.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("_g"), x.alias("_v"))
+    cells = base.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_l"),
+        F.sum((F.col("_g") == group_a).cast("double")).alias("_fa"),
+        F.sum((F.col("_g") == group_b).cast("double")).alias("_fb"),
+    )
+    cum = partitioned_prefix_sum(
+        cells, ["_v"], ["_l", "_fa", "_fb"], ["_cl", "_ca", "_cb"],
+        inclusive=False,
+    )
+    tot = cells.agg(
+        F.sum("_l").alias("_N"),
+        F.sum("_fa").alias("_m"),
+        F.sum("_fb").alias("_nb2"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    r = F.col("_cl") + (F.col("_l") + 1.0) / 2.0  # pooled midrank
+    # one exploded row per observation of each sample within the run:
+    # i walks start+1 .. start+count (corpus-linear replicate explode)
+    per = []
+    for fcol, scol, msize, osize in (
+        ("_fa", "_ca", "_m", "_nb2"),
+        ("_fb", "_cb", "_nb2", "_m"),
+    ):
+        e = (
+            j.filter(F.col(fcol) > 0)
+            .select(
+                F.lit(fcol == "_fa").alias("_is_a"),
+                r.alias("_r"),
+                F.col(msize).alias("_sm"),
+                F.col(osize).alias("_so"),
+                F.col("_N").alias("_nn"),
+                F.explode(
+                    F.sequence(
+                        (F.col(scol) + 1).cast("long"),
+                        (F.col(scol) + F.col(fcol)).cast("long"),
+                    )
+                ).alias("_i"),
+            )
+        )
+        per.append(e)
+    rows = per[0].unionByName(per[1])
+    i = F.col("_i").cast("double")
+    sm, so, nn = F.col("_sm"), F.col("_so"), F.col("_nn")
+    t = i / (sm + 1.0)
+    term = (
+        (F.col("_r") - nn / sm * i) * (F.col("_r") - nn / sm * i)
+        / F.nullif(t * (1.0 - t) * so * nn / sm, F.lit(0.0))
+    )
+    agg = rows.agg(
+        F.max(F.when(F.col("_is_a"), sm)).alias("na"),
+        F.max(F.when(~F.col("_is_a"), sm)).alias("nb"),
+        (F.sum(F.when(F.col("_is_a"), term))
+         / F.nullif(F.max(F.when(F.col("_is_a"), sm)), F.lit(0.0))).alias("ba"),
+        (F.sum(F.when(~F.col("_is_a"), term))
+         / F.nullif(F.max(F.when(~F.col("_is_a"), sm)), F.lit(0.0))).alias("bb"),
+    )
+    return agg.select(
+        F.coalesce(F.col("na"), F.lit(0.0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("nb"), F.lit(0.0)).cast("long").alias("n_b"),
+        F.round("ba", 6).alias("b_a"),
+        F.round("bb", 6).alias("b_b"),
+        F.round((F.col("ba") + F.col("bb")) / 2.0, 6).alias("b_stat"),
+    )
+
+
+# Acklam's rational approximation to the inverse normal CDF (Peter
+# Acklam, 2002 — the widely-reimplemented public algorithm; |relative
+# error| < 1.15e-9 over (0,1)). Only the UPPER half p ∈ (0.5, 1) is
+# implemented — fligner_killeen feeds p = 0.5 + r/(2(N+1)) — so the
+# lower-tail branch is omitted. The coefficients and the exact
+# operation ORDER are mirrored verbatim in the generated DuckDB twin
+# (queries/extra.py) so both engines produce the identical double.
+_ACKLAM_A = (
+    -3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+    1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00,
+)
+_ACKLAM_B = (
+    -5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+    6.680131188771972e+01, -1.328068155288572e+01,
+)
+_ACKLAM_C = (
+    -7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+    -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00,
+)
+_ACKLAM_D = (
+    7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+    3.754408661907416e+00,
+)
+_ACKLAM_P_HIGH = 0.97575  # 1 - p_low: central/upper-tail switch point
+
+
+def _acklam_probit(p):
+    """Φ⁻¹(p) for a Column p strictly in (0.5, 1) — see _ACKLAM_*."""
+    a1, a2, a3, a4, a5, a6 = _ACKLAM_A
+    b1, b2, b3, b4, b5 = _ACKLAM_B
+    c1, c2, c3, c4, c5, c6 = _ACKLAM_C
+    d1, d2, d3, d4 = _ACKLAM_D
+    q = p - 0.5
+    rr = q * q
+    central = (
+        (((((a1 * rr + a2) * rr + a3) * rr + a4) * rr + a5) * rr + a6) * q
+        / (((((b1 * rr + b2) * rr + b3) * rr + b4) * rr + b5) * rr + 1.0)
+    )
+    qq = F.sqrt(-2.0 * F.log(1.0 - p))
+    upper = -(
+        ((((c1 * qq + c2) * qq + c3) * qq + c4) * qq + c5) * qq + c6
+    ) / ((((d1 * qq + d2) * qq + d3) * qq + d4) * qq + 1.0)
+    return F.when(p <= _ACKLAM_P_HIGH, central).otherwise(upper)
+
+
+def acklam_probit_sql(expr: str) -> str:
+    """The identical Acklam upper-half probit as a DuckDB SQL scalar
+    over ``expr`` (a double expression string) — repr() float literals
+    and the same operation order as _acklam_probit, so both engines
+    compute the identical IEEE double."""
+    a1, a2, a3, a4, a5, a6 = (repr(x) for x in _ACKLAM_A)
+    b1, b2, b3, b4, b5 = (repr(x) for x in _ACKLAM_B)
+    c1, c2, c3, c4, c5, c6 = (repr(x) for x in _ACKLAM_C)
+    d1, d2, d3, d4 = (repr(x) for x in _ACKLAM_D)
+    p = f"({expr})"
+    q = f"({p} - 0.5)"
+    rr = f"({q} * {q})"
+    central = (
+        f"(((((({a1} * {rr} + {a2}) * {rr} + {a3}) * {rr} + {a4}) * {rr} "
+        f"+ {a5}) * {rr} + {a6}) * {q} "
+        f"/ ((((({b1} * {rr} + {b2}) * {rr} + {b3}) * {rr} + {b4}) * {rr} "
+        f"+ {b5}) * {rr} + 1.0))"
+    )
+    qq = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    upper = (
+        f"(-((((({c1} * {qq} + {c2}) * {qq} + {c3}) * {qq} + {c4}) * {qq} "
+        f"+ {c5}) * {qq} + {c6}) "
+        f"/ (((({d1} * {qq} + {d2}) * {qq} + {d3}) * {qq} + {d4}) * {qq} "
+        f"+ 1.0))"
+    )
+    return f"(CASE WHEN {p} <= {repr(_ACKLAM_P_HIGH)} THEN {central} ELSE {upper} END)"
+
+
+def fligner_killeen(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Fligner–Killeen k-sample scale test (Fligner & Killeen 1976;
+    the median-centered normal-scores form of Conover, Johnson &
+    Johnson 1981 — R's fligner.test): are the group DISPERSIONS equal —
+    the rank-robust k-group generalization of Ansari–Bradley (X367),
+    and the variance-homogeneity screen that, unlike Bartlett (X345),
+    survives heavy tails. Each value is centered by its GROUP median,
+    the absolute deviations are pooled and midranked, mapped through
+    normal scores a = Φ⁻¹(½ + r/(2(N+1))) (Acklam probit — identical
+    double arithmetic in the DuckDB twin), and
+
+        X² = Σ_g n_g (ā_g − ā)² / s²,   s² = Σ(a − ā)²/(N−1)   (~χ²ₖ₋₁)
+
+    Scale design: group medians are ONE grouped exact-percentile
+    aggregate (broadcast back); midranks are the distinct-value
+    aggregate + range-partitioned prefix pass; scores attach to rows
+    by a hash join on the deviation value; the statistic is one k-row
+    grouped aggregate against 1-row broadcast moments. Output:
+    (k, n, fk_stat, dof) — fk NULL when the score variance is 0.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_x")
+    )
+    med = base.groupBy("_g").agg(F.median("_x").alias("_med"))
+    u = base.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_x") - F.col("_med")).alias("_u")
+    )
+    cells = u.groupBy("_u").agg(F.count("*").cast("double").alias("_l"))
+    cum = partitioned_prefix_sum(cells, ["_u"], ["_l"], ["_cl"], inclusive=False)
+    tot = cells.agg(F.sum("_l").alias("_N"))
+    scored = cum.crossJoin(F.broadcast(tot))
+    r = F.col("_cl") + (F.col("_l") + 1.0) / 2.0
+    p = 0.5 + r / (2.0 * (F.col("_N") + 1.0))
+    scored = scored.select("_u", _acklam_probit(p).alias("_a"))
+    rows = u.join(scored, "_u")
+    per = rows.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_ng"), F.sum("_a").alias("_sa")
+    )
+    overall = rows.agg(
+        F.count("*").cast("double").alias("_nn"),
+        F.sum("_a").alias("_ta"),
+        F.sum(F.col("_a") * F.col("_a")).alias("_ta2"),
+    )
+    j = per.crossJoin(F.broadcast(overall))
+    abar = F.col("_ta") / F.col("_nn")
+    gbar = F.col("_sa") / F.col("_ng")
+    agg = j.agg(
+        F.count("*").cast("long").alias("k"),
+        F.max("_nn").alias("_n"),
+        F.sum(F.col("_ng") * (gbar - abar) * (gbar - abar)).alias("_num"),
+        F.max(
+            (F.col("_ta2") - F.col("_nn") * abar * abar)
+            / F.nullif(F.col("_nn") - 1.0, F.lit(0.0))
+        ).alias("_s2"),
+    )
+    return agg.select(
+        "k",
+        F.col("_n").cast("long").alias("n"),
+        F.round(
+            F.when(F.col("_s2") > 0, F.col("_num") / F.col("_s2")), 6
+        ).alias("fk_stat"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    value_col: str,
+    block_col: str,
+    treat_col: str,
+) -> DataFrame:
+    """Page's L trend test (Page 1963) for an ORDERED alternative
+    across k treatments within b blocks — the within-block companion
+    to Cuzick (X358): does the value RISE along the treatment order
+    consistently across blocks, where Friedman (X287's family) only
+    asks "any difference". Treatments are scored 1..k by ascending
+    treatment label; within each block values take midranks;
+
+        L = Σ_j score_j · R_j,   R_j = Σ_blocks rank_j
+        E[L] = b·k(k+1)²/4,  Var[L] = b·k²(k+1)(k²−1)/144
+
+    (classical no-tie variance, replayed verbatim — the X358
+    convention). Only COMPLETE blocks (all k treatments present)
+    enter, so every block contributes the same rank mass.
+
+    Scale design: blocks stay a relation (never collected); the
+    treatment vocabulary is k-bounded (bounded_distinct); within-block
+    midranks ride the grouped value-cardinality prefix pass; L is one
+    aggregate. Output: (n_blocks, k, l_stat, e_l, z) — z NULL when
+    b = 0 or k < 2.
+    """
+    from swivel_spark_prep_spark.cache import bounded_distinct
+
+    base = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treat_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_t").isNotNull())
+    treats = sorted(bounded_distinct(base, "_t", cap=50))
+    k = len(treats)
+    if k < 2:
+        raise ValueError(f"need >= 2 ordered treatments, got {k}")
+    score = F.create_map(
+        *[F.lit(x) for pair in ((t, i + 1) for i, t in enumerate(treats))
+          for x in pair]
+    )
+    complete = (
+        base.groupBy("_b")
+        .agg(F.countDistinct("_t").alias("_kt"))
+        .filter(F.col("_kt") == k)
+        .select("_b")
+    )
+    grid = base.join(complete, "_b")
+    ranked = _fractional_ranks(grid, "_v", "_r", "_b")
+    agg = ranked.agg(
+        (F.countDistinct("_b")).cast("double").alias("_bb"),
+        F.sum(score[F.col("_t")] * F.col("_r")).alias("_l"),
+    )
+    bb = F.col("_bb")
+    kk = F.lit(float(k))
+    el = bb * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    var = bb * kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0
+    return agg.select(
+        bb.cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.round("_l", 6).alias("l_stat"),
+        F.round(el, 6).alias("e_l"),
+        F.round(
+            F.when(var > 0, (F.col("_l") - el) / F.sqrt(var)), 6
+        ).alias("z"),
+    )
+
+
+def quade_test(
+    df: DataFrame,
+    value_col: str,
+    block_col: str,
+    treat_col: str,
+) -> DataFrame:
+    """Quade test (Quade 1979) for k related treatments over b blocks —
+    Friedman weighted by how much each block DISCRIMINATES: blocks are
+    ranked by their within-block RANGE (Q_i = midrank of max−min), each
+    within-block rank is centered and weighted S_ij = Q_i(r_ij −
+    (k+1)/2), and
+
+        F = (b−1)·B / (A − B),  A = ΣΣ S_ij²,  B = (1/b)·Σ_j S_j²
+
+    with F ~ F(k−1, (b−1)(k−1)) under H₀ (conventional A = B
+    degenerate case → NULL). More powerful than Friedman when block
+    scales differ — exactly the shape of per-day activity data. Only
+    COMPLETE blocks enter (the page_trend convention).
+
+    Scale design: within-block midranks and the block-range midranks
+    are both value-cardinality prefix passes (blocks never collected);
+    A and the per-treatment sums are single aggregates over the grid
+    relation (treatment vocabulary k-bounded). Output:
+    (n_blocks, k, f_stat).
+    """
+    from swivel_spark_prep_spark.cache import bounded_distinct
+
+    base = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treat_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_t").isNotNull())
+    treats = sorted(bounded_distinct(base, "_t", cap=50))
+    k = len(treats)
+    if k < 2:
+        raise ValueError(f"need >= 2 treatments, got {k}")
+    complete = (
+        base.groupBy("_b")
+        .agg(F.countDistinct("_t").alias("_kt"))
+        .filter(F.col("_kt") == k)
+        .select("_b")
+    )
+    grid = base.join(complete, "_b")
+    ranked = _fractional_ranks(grid, "_v", "_r", "_b")
+    ranges = grid.groupBy("_b").agg(
+        (F.max("_v") - F.min("_v")).alias("_rg")
+    )
+    qranks = _fractional_ranks(ranges, "_rg", "_q", None).select("_b", "_q")
+    s = ranked.join(qranks, "_b").select(
+        "_t",
+        (F.col("_q") * (F.col("_r") - (k + 1) / 2.0)).alias("_s"),
+    )
+    per_t = s.groupBy("_t").agg(F.sum("_s").alias("_sj"))
+    atot = s.agg(
+        F.sum(F.col("_s") * F.col("_s")).alias("_a"),
+        (F.count("*") / F.lit(float(k))).alias("_bb"),
+    )
+    j = per_t.crossJoin(F.broadcast(atot))
+    agg = j.agg(
+        F.max("_bb").alias("_bb"),
+        F.max("_a").alias("_a"),
+        (F.sum(F.col("_sj") * F.col("_sj")) / F.max("_bb")).alias("_bsum"),
+    )
+    bb, a, bsum = F.col("_bb"), F.col("_a"), F.col("_bsum")
+    fstat = F.when(a - bsum > 0, (bb - 1.0) * bsum / (a - bsum))
+    return agg.select(
+        bb.cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(fstat, 6).alias("f_stat"),
     )

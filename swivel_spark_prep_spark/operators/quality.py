@@ -1797,3 +1797,102 @@ def concentration_profile(
         ).alias("effective_groups"),
         F.round("_top", 6).alias("top_share"),
     ).orderBy("slice")
+
+
+def energy_distance(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample energy distance (Székely & Rizzo 2004) between two
+    slices' value distributions:
+
+        E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|
+        T = (m·n/N)·E                     (the energy TEST statistic)
+
+    E is a metric on distributions (0 iff equal), rotation- and
+    shift-sensitive where KS saturates and W₁ (wasserstein_1d) ignores
+    tail emphasis — the third drift lens over the same two-slice cut.
+
+    The textbook estimator is O(m·n) pairwise work; in 1-D every
+    double sum collapses against the sorted axis: for each distinct
+    value v with counts (f_a, f_b) and EXCLUSIVE prefix sums of
+    (count, count·value),
+
+        ΣΣ|x−y| = Σ_v f_a(v)·[ (v·cb_v − cbv_v) + (abv_v − v·ab_v) ]
+
+    with cb/cbv the below-v count/value mass of the other sample and
+    ab/abv the above-v mass (ties contribute |v−v| = 0). Same for the
+    within-sample sums. Exact, not an approximation.
+
+    Scale design: the wasserstein_1d shape — ONE distinct-value
+    aggregate with two conditional counts, ONE range-partitioned
+    exclusive prefix pass over four value columns, ONE aggregate;
+    everything after is 1-row arithmetic. Output:
+    (n_a, n_b, e_dist, t_stat) — NULL when either slice is empty.
+    """
+    from swivel_spark_prep_spark.operators.ranks import (
+        partitioned_prefix_sum,
+    )
+
+    g = F.col(group_col)
+    base = df.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.when(g == group_a, 1.0).when(g == group_b, 0.0).alias("_a"),
+    ).filter(F.col("_v").isNotNull() & F.col("_a").isNotNull())
+    per = base.groupBy("_v").agg(
+        F.sum("_a").alias("_fa"),
+        F.sum(1.0 - F.col("_a")).alias("_fb"),
+    )
+    per = per.select(
+        "_v", "_fa", "_fb",
+        (F.col("_fa") * F.col("_v")).alias("_fav"),
+        (F.col("_fb") * F.col("_v")).alias("_fbv"),
+    )
+    cum = partitioned_prefix_sum(
+        per,
+        ["_v"],
+        ["_fa", "_fb", "_fav", "_fbv"],
+        ["_ca", "_cb", "_cav", "_cbv"],
+        inclusive=False,
+    )
+    tot = per.agg(
+        F.sum("_fa").alias("_na"),
+        F.sum("_fb").alias("_nb"),
+        F.sum("_fav").alias("_ta"),
+        F.sum("_fbv").alias("_tb"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    v = F.col("_v")
+
+    def _cross(fcol, cb, cbv, totb, totbv, fb):
+        # Σ over pairs (this-sample row at v, other-sample rows) of |v−w|
+        below = v * F.col(cb) - F.col(cbv)
+        above = (
+            (F.col(totbv) - F.col(cbv) - F.col(fb) * v)
+            - v * (F.col(totb) - F.col(cb) - F.col(fb))
+        )
+        return F.sum(F.col(fcol) * (below + above))
+
+    agg = j.agg(
+        F.max("_na").alias("na"),
+        F.max("_nb").alias("nb"),
+        _cross("_fa", "_cb", "_cbv", "_nb", "_tb", "_fb").alias("sab"),
+        _cross("_fa", "_ca", "_cav", "_na", "_ta", "_fa").alias("saa"),
+        _cross("_fb", "_cb", "_cbv", "_nb", "_tb", "_fb").alias("sbb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    e = F.when(
+        (na > 0) & (nb > 0),
+        2.0 * F.col("sab") / (na * nb)
+        - F.col("saa") / (na * na)
+        - F.col("sbb") / (nb * nb),
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(e, 6).alias("e_dist"),
+        F.round(e * na * nb / (na + nb), 6).alias("t_stat"),
+    )

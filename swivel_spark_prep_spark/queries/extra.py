@@ -14590,3 +14590,371 @@ def x384(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return lexical_richness_classics(docs, "lang")
+
+
+@_declare(
+    "X385_chatterjee_xi",
+    # Chatterjee's rank correlation xi of event value against
+    # time-of-day (evalmetrics.chatterjee_xi; Chatterjee JASA 2021,
+    # tie-general form): 0 for independence, ->1 for ANY functional
+    # dependence - sees the nonmonotone daily shapes Spearman (X83's
+    # family) averages away. X-ties break by ascending Y
+    # (deterministic; documented). Distinct-(x,y)-cell sequence +
+    # y-rank prefix pass + a hash join on index+1 - no global window.
+    """WITH b AS (SELECT (((epoch_us(ts) % 86400000000) + 86400000000)
+                  % 86400000000) / 1000000.0 AS x, value::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM b),
+yc AS (SELECT y, COUNT(*)::DOUBLE AS cy FROM b GROUP BY 1),
+ycum AS (SELECT y, cy, COALESCE(SUM(cy) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS yb
+         FROM yc),
+cells AS (SELECT x, y, COUNT(*)::DOUBLE AS c FROM b GROUP BY 1, 2),
+idx AS (SELECT x, y, c, ROW_NUMBER() OVER (ORDER BY x, y) AS k FROM cells),
+rk AS (SELECT k, c, yb + cy AS r, n - yb AS l, n
+       FROM idx JOIN ycum USING (y) CROSS JOIN n),
+num AS (SELECT COALESCE(SUM(ABS(b2.r - b1.r)), 0) AS num
+        FROM rk b1 JOIN rk b2 ON b2.k = b1.k + 1),
+den AS (SELECT MAX(n) AS nn, SUM(c * l * (n - l)) AS den FROM rk)
+SELECT nn::BIGINT AS n,
+       ROUND(CASE WHEN den > 0 THEN 1.0 - nn * num / (2.0 * den) END, 6) AS xi
+FROM den CROSS JOIN num;""",
+)
+def x385(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import chatterjee_xi
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    tod = (
+        F.pmod(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            F.lit(86_400_000_000),
+        )
+        / 1_000_000.0
+    )
+    return chatterjee_xi(ev.select(tod.alias("tod"), "value"), "tod", "value")
+
+
+@_declare(
+    "X386_cucconi",
+    # Cucconi joint location-scale test, purchase vs click values
+    # (evalmetrics.cucconi_test; Cucconi 1968, moments per Marozzi
+    # 2009): squared ranks + squared contrary ranks combined through
+    # their exact null correlation - ONE statistic for the shift+
+    # spread question X367 (Ansari) and Mann-Whitney each see half of.
+    # Midrank ties; classical moments replayed verbatim. Same
+    # cells+prefix+1-row-arithmetic shape as X367.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l,
+                 SUM((g = 'purchase')::INT)::DOUBLE AS fa,
+                 SUM((g = 'click')::INT)::DOUBLE AS fb
+          FROM b GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM cells),
+tot AS (SELECT SUM(l) AS N FROM cells),
+sc AS (SELECT fa, fb, cl + (l + 1.0) / 2.0 AS r,
+              N + 1.0 - (cl + (l + 1.0) / 2.0) AS cr, N
+       FROM cum CROSS JOIN tot),
+m AS (SELECT MAX(N) AS nn, SUM(fa) AS na, SUM(fb) AS nb,
+             SUM(fb * r * r) AS sr2, SUM(fb * cr * cr) AS scr2
+      FROM sc),
+s AS (SELECT nn, na, nb,
+             nb * (nn + 1.0) * (2.0 * nn + 1.0) AS cen,
+             na * nb * (nn + 1.0) * (2.0 * nn + 1.0) * (8.0 * nn + 11.0)
+                 / 5.0 AS den2,
+             2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0))
+                 - 1.0 AS rho,
+             sr2, scr2 FROM m),
+uv AS (SELECT *,
+              CASE WHEN den2 > 0 THEN (6.0 * sr2 - cen) / sqrt(den2) END AS uu,
+              CASE WHEN den2 > 0 THEN (6.0 * scr2 - cen) / sqrt(den2) END AS vv
+       FROM s)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(uu, 6) AS u, ROUND(vv, 6) AS v, ROUND(rho, 6) AS rho,
+       ROUND(CASE WHEN den2 > 0 AND 1.0 - rho * rho > 0
+             THEN (uu * uu + vv * vv - 2.0 * rho * uu * vv)
+                  / (2.0 * (1.0 - rho * rho)) END, 6) AS c_stat
+FROM uv;""",
+)
+def x386(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import cucconi_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return cucconi_test(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X387_lepage",
+    # Lepage location-scale test, purchase vs click values
+    # (evalmetrics.lepage_test; Lepage 1971): D = z_Wilcoxon^2 +
+    # z_AnsariBradley^2 ~ chi2_2 - the classical two-component
+    # complement to X386's squared-rank Cucconi. Both components from
+    # ONE distinct-value aggregate + one prefix pass; Wilcoxon
+    # variance tie-corrected, AB moments conditional tie-exact.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l,
+                 SUM((g = 'purchase')::INT)::DOUBLE AS fa,
+                 SUM((g = 'click')::INT)::DOUBLE AS fb
+          FROM b GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM cells),
+tot AS (SELECT SUM(l) AS N FROM cells),
+sc AS (SELECT fa, fb, l, cl + (l + 1.0) / 2.0 AS r,
+              least(cl + (l + 1.0) / 2.0, N + 1.0 - (cl + (l + 1.0) / 2.0))
+                  AS s, N
+       FROM cum CROSS JOIN tot),
+m AS (SELECT MAX(N) AS nn, SUM(fa) AS na, SUM(fb) AS nb,
+             SUM(fa * r) AS w, SUM(fa * s) AS ab,
+             SUM(l * s) AS ls, SUM(l * s * s) AS ls2,
+             SUM(l * l * l - l) AS tie3
+      FROM sc),
+z AS (SELECT nn, na, nb,
+             CASE WHEN na * nb / 12.0 * ((nn + 1.0)
+                    - tie3 / NULLIF(nn * (nn - 1.0), 0)) > 0
+                  THEN (w - na * (nn + 1.0) / 2.0)
+                       / sqrt(na * nb / 12.0 * ((nn + 1.0)
+                              - tie3 / NULLIF(nn * (nn - 1.0), 0))) END AS zw,
+             CASE WHEN na * nb * (nn * ls2 - ls * ls)
+                       / (nn * nn * NULLIF(nn - 1.0, 0)) > 0
+                  THEN (ab - na * ls / nn)
+                       / sqrt(na * nb * (nn * ls2 - ls * ls)
+                              / (nn * nn * NULLIF(nn - 1.0, 0))) END AS zab
+      FROM m)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(zw, 6) AS z_w, ROUND(zab, 6) AS z_ab,
+       ROUND(zw * zw + zab * zab, 6) AS d_stat
+FROM z;""",
+)
+def x387(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import lepage_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return lepage_test(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X388_bws",
+    # Baumgartner-Weiss-Schindler two-sample test, purchase vs click
+    # (evalmetrics.bws_test; Biometrics 1998): the 1/(t(1-t))-weighted
+    # rank CvM that keeps power in the TAILS where Wilcoxon/CvM go
+    # blind. Pooled midranks; per-sample index within a tied run is
+    # arbitrary but the run SUM is invariant. Spark explodes each tied
+    # run to one row per observation (corpus-LINEAR); the twin uses
+    # the equivalent per-row window form.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+r AS (SELECT g, v,
+             RANK() OVER (ORDER BY v) - 1
+               + (COUNT(*) OVER (PARTITION BY v) + 1) / 2.0 AS r,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS i,
+             (COUNT(*) OVER (PARTITION BY g))::DOUBLE AS sm,
+             (COUNT(*) OVER ())::DOUBLE AS nn
+      FROM b),
+t AS (SELECT g, sm,
+             (r - nn / sm * i) * (r - nn / sm * i)
+             / NULLIF((i / (sm + 1.0)) * (1.0 - i / (sm + 1.0))
+                      * (nn - sm) * nn / sm, 0) AS term
+      FROM r),
+per AS (SELECT g, MAX(sm) AS sm, SUM(term) / NULLIF(MAX(sm), 0) AS bg
+        FROM t GROUP BY 1)
+SELECT COALESCE(MAX(CASE WHEN g = 'purchase' THEN sm END), 0)::BIGINT AS n_a,
+       COALESCE(MAX(CASE WHEN g = 'click' THEN sm END), 0)::BIGINT AS n_b,
+       ROUND(MAX(CASE WHEN g = 'purchase' THEN bg END), 6) AS b_a,
+       ROUND(MAX(CASE WHEN g = 'click' THEN bg END), 6) AS b_b,
+       ROUND((MAX(CASE WHEN g = 'purchase' THEN bg END)
+              + MAX(CASE WHEN g = 'click' THEN bg END)) / 2.0, 6) AS b_stat
+FROM per;""",
+)
+def x388(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import bws_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return bws_test(ev, "value", "event_type", "purchase", "click")
+
+
+def _x389_oracle() -> str:
+    """Generated Fligner–Killeen twin: the normal-scores transform is
+    the SAME Acklam probit (coefficients + operation order) the Spark
+    op compiles — see evalmetrics.acklam_probit_sql — so both engines
+    produce the identical IEEE double for every score."""
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        acklam_probit_sql,
+    )
+
+    probit = acklam_probit_sql(
+        "0.5 + (cl + (l + 1.0) / 2.0) / (2.0 * (N + 1.0))"
+    )
+    return f"""WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+med AS (SELECT g, quantile_cont(v, 0.5) AS md FROM b GROUP BY 1),
+u AS (SELECT b.g, ABS(v - md) AS u FROM b JOIN med USING (g)),
+cells AS (SELECT u, COUNT(*)::DOUBLE AS l FROM u GROUP BY 1),
+cum AS (SELECT u, l, COALESCE(SUM(l) OVER (ORDER BY u
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM cells),
+tot AS (SELECT SUM(l) AS N FROM cells),
+sc AS (SELECT u, {probit} AS a FROM cum CROSS JOIN tot),
+rws AS (SELECT g, a FROM u JOIN sc USING (u)),
+per AS (SELECT g, COUNT(*)::DOUBLE AS ng, SUM(a) AS sa FROM rws GROUP BY 1),
+ov AS (SELECT COUNT(*)::DOUBLE AS nn, SUM(a) AS ta, SUM(a * a) AS ta2
+       FROM rws),
+fin AS (SELECT COUNT(*)::BIGINT AS k, MAX(nn) AS nn,
+               SUM(ng * (sa / ng - ta / nn) * (sa / ng - ta / nn)) AS num,
+               MAX((ta2 - nn * (ta / nn) * (ta / nn))
+                   / NULLIF(nn - 1.0, 0)) AS s2
+        FROM per CROSS JOIN ov)
+SELECT k, nn::BIGINT AS n,
+       ROUND(CASE WHEN s2 > 0 THEN num / s2 END, 6) AS fk_stat,
+       (k - 1)::BIGINT AS dof
+FROM fin;"""
+
+
+@_declare(
+    "X389_fligner_killeen",
+    # Fligner-Killeen k-sample scale test over all event types
+    # (evalmetrics.fligner_killeen; Fligner-Killeen 1976, the
+    # median-centered normal-scores form of Conover et al. 1981 - R's
+    # fligner.test): the rank-robust k-group variance-homogeneity
+    # screen Bartlett (X345) can't give under heavy tails. Normal
+    # scores via the Acklam probit, GENERATED into the twin with
+    # identical coefficients and operation order (repr() literals).
+    _x389_oracle(),
+)
+def x389(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import fligner_killeen
+
+    ev = load_table(spark, sf_dir, "events")
+    return fligner_killeen(ev, "value", "event_type")
+
+
+@_declare(
+    "X390_energy_distance",
+    # Szekely-Rizzo two-sample energy distance, purchase vs click
+    # (quality.energy_distance; Szekely-Rizzo 2004): E = 2E|X-Y| -
+    # E|X-X'| - E|Y-Y'|, a metric on distributions - the third drift
+    # lens next to KS (sup) and W1 (X225's family): weights tail mass
+    # where W1 saturates. The O(mn) double sums collapse EXACTLY
+    # against the sorted axis via exclusive prefix sums of
+    # (count, count*value) - the wasserstein_1d shape, one cells pass.
+    """WITH b AS (SELECT value::DOUBLE AS v, (event_type = 'purchase') AS ia
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('purchase', 'click')),
+per AS (SELECT v, SUM(ia::INT)::DOUBLE AS fa,
+               SUM((NOT ia)::INT)::DOUBLE AS fb FROM b GROUP BY 1),
+p2 AS (SELECT v, fa, fb, fa * v AS fav, fb * v AS fbv FROM per),
+cum AS (SELECT *, COALESCE(SUM(fa) OVER w, 0) AS ca,
+               COALESCE(SUM(fb) OVER w, 0) AS cb,
+               COALESCE(SUM(fav) OVER w, 0) AS cav,
+               COALESCE(SUM(fbv) OVER w, 0) AS cbv
+        FROM p2 WINDOW w AS (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+tot AS (SELECT SUM(fa) AS na, SUM(fb) AS nb, SUM(fav) AS ta,
+               SUM(fbv) AS tb FROM p2),
+agg AS (SELECT MAX(na) AS na, MAX(nb) AS nb,
+  SUM(fa * ((v * cb - cbv) + ((tb - cbv - fb * v) - v * (nb - cb - fb))))
+      AS sab,
+  SUM(fa * ((v * ca - cav) + ((ta - cav - fa * v) - v * (na - ca - fa))))
+      AS saa,
+  SUM(fb * ((v * cb - cbv) + ((tb - cbv - fb * v) - v * (nb - cb - fb))))
+      AS sbb
+  FROM cum CROSS JOIN tot),
+e AS (SELECT na, nb,
+             CASE WHEN na > 0 AND nb > 0
+                  THEN 2.0 * sab / (na * nb) - saa / (na * na)
+                       - sbb / (nb * nb) END AS ed
+      FROM agg)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(ed, 6) AS e_dist,
+       ROUND(ed * na * nb / (na + nb), 6) AS t_stat
+FROM e;""",
+)
+def x390(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.quality import energy_distance
+
+    ev = load_table(spark, sf_dir, "events")
+    return energy_distance(ev, "value", "event_type", "purchase", "click")
+
+
+@_declare(
+    "X391_page_trend",
+    # Page's L ordered trend across time-of-day buckets within day
+    # blocks (evalmetrics.page_trend; Page 1963): does activity RISE
+    # through the day CONSISTENTLY across days - the within-block
+    # sequel to Cuzick (X358, which pools all days into one ranking).
+    # Only complete blocks enter; classical no-tie variance replayed
+    # verbatim (the X358 convention); within-block midranks.
+    """WITH g AS (SELECT CAST(ts AS DATE) AS d,
+             (EXTRACT(hour FROM ts) // 6)::INT AS t, COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+kk AS (SELECT COUNT(DISTINCT t)::DOUBLE AS k FROM g),
+comp AS (SELECT d FROM g GROUP BY d
+         HAVING COUNT(DISTINCT t) = (SELECT k FROM kk)),
+gg AS (SELECT g.* FROM g JOIN comp USING (d)),
+r AS (SELECT d, t, RANK() OVER (PARTITION BY d ORDER BY c) - 1
+             + (COUNT(*) OVER (PARTITION BY d, c) + 1) / 2.0 AS r FROM gg),
+a AS (SELECT COUNT(DISTINCT d)::DOUBLE AS bb, SUM((t + 1) * r) AS l FROM r)
+SELECT bb::BIGINT AS n_blocks, (SELECT k FROM kk)::BIGINT AS k,
+       ROUND(l, 6) AS l_stat,
+       ROUND(bb * k * (k + 1.0) * (k + 1.0) / 4.0, 6) AS e_l,
+       ROUND(CASE WHEN bb * k * k * (k + 1.0) * (k * k - 1.0) / 144.0 > 0
+             THEN (l - bb * k * (k + 1.0) * (k + 1.0) / 4.0)
+                  / sqrt(bb * k * k * (k + 1.0) * (k * k - 1.0) / 144.0)
+             END, 6) AS z
+FROM a CROSS JOIN kk;""",
+)
+def x391(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import page_trend
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    grid = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("tod"),
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    return page_trend(grid, "cnt", "day", "tod")
+
+
+@_declare(
+    "X392_quade",
+    # Quade test over the same day x time-of-day grid
+    # (evalmetrics.quade_test; Quade 1979): Friedman weighted by each
+    # block's RANGE rank - blocks that discriminate more count more,
+    # the right weighting when per-day scales differ. Complete blocks
+    # only; within-block midranks; block-range midranks across blocks.
+    """WITH g AS (SELECT CAST(ts AS DATE) AS d,
+             (EXTRACT(hour FROM ts) // 6)::INT AS t, COUNT(*)::DOUBLE AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+kk AS (SELECT COUNT(DISTINCT t)::DOUBLE AS k FROM g),
+comp AS (SELECT d FROM g GROUP BY d
+         HAVING COUNT(DISTINCT t) = (SELECT k FROM kk)),
+gg AS (SELECT g.* FROM g JOIN comp USING (d)),
+r AS (SELECT d, t, c, RANK() OVER (PARTITION BY d ORDER BY c) - 1
+             + (COUNT(*) OVER (PARTITION BY d, c) + 1) / 2.0 AS r FROM gg),
+rg AS (SELECT d, MAX(c) - MIN(c) AS rg FROM gg GROUP BY 1),
+q AS (SELECT d, RANK() OVER (ORDER BY rg) - 1
+             + (COUNT(*) OVER (PARTITION BY rg) + 1) / 2.0 AS q FROM rg),
+s AS (SELECT r.t, q.q * (r.r - ((SELECT k FROM kk) + 1.0) / 2.0) AS s
+      FROM r JOIN q USING (d)),
+pt AS (SELECT t, SUM(s) AS sj FROM s GROUP BY 1),
+at AS (SELECT SUM(s * s) AS a, COUNT(*) / (SELECT k FROM kk) AS bb FROM s),
+fin AS (SELECT MAX(bb) AS bb, MAX(a) AS a,
+               SUM(sj * sj) / MAX(bb) AS bsum
+        FROM pt CROSS JOIN at)
+SELECT bb::BIGINT AS n_blocks, (SELECT k FROM kk)::BIGINT AS k,
+       ROUND(CASE WHEN a - bsum > 0
+             THEN (bb - 1.0) * bsum / (a - bsum) END, 6) AS f_stat
+FROM fin;""",
+)
+def x392(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import quade_test
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    grid = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("tod"),
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    return quade_test(grid, "cnt", "day", "tod")

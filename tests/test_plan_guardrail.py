@@ -206,6 +206,10 @@ ALLOWED_PAIR_SELF_JOINS = {
     "X82_prefix_filter_jaccard": 1,
     "X85_audio_near_dups": 1,
     "X90_sorted_neighborhood": 2,
+    # X385: adjacent-pair join on the distinct-(x,y) cell SEQUENCE
+    # INDEX (k joined to k+1) — equi-join with fan-out exactly 1, output
+    # K−1 rows for K cells; LINEAR by construction, never rows×rows
+    "X385_chatterjee_xi": 1,
 }
 
 #: name -> list of max allowed replicate-explode sizes, one per site

@@ -182,3 +182,345 @@ def test_read_warc_malformed_member_is_valueerror(spark, tmp_path):
 
     with pytest.raises(Exception, match="malformed gzip member"):
         read_warc(spark, str(p)).collect()
+
+
+# ===================================================== round-16 tranche pins
+def test_chatterjee_xi_brute_force(spark):
+    """Tie-general ξ replays the paper's formula exactly on data with
+    both x- and y-ties (deterministic x-tie break by ascending y)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (float(rng.randint(0, 9)), float(rng.randint(0, 5))) for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    from swivel_spark_prep_spark.operators.evalmetrics import chatterjee_xi
+
+    got = chatterjee_xi(df, "x", "y").collect()[0]
+    n = len(rows)
+    order = sorted(range(n), key=lambda i: (rows[i][0], rows[i][1]))
+    ys = [rows[i][1] for i in range(n)]
+    r = [sum(1 for y in ys if y <= rows[i][1]) for i in order]
+    l = [sum(1 for y in ys if y >= rows[i][1]) for i in order]
+    num = sum(abs(r[i + 1] - r[i]) for i in range(n - 1))
+    den = sum(li * (n - li) for li in l)
+    assert got["n"] == n
+    # the operator rounds to 6 decimals (oracle convention)
+    assert got["xi"] == round(1 - n * num / (2 * den), 6)
+
+
+def test_chatterjee_xi_detects_nonmonotone_dependence(spark):
+    """ξ ≈ 1 for an exact function of x (even nonmonotone), ≈ 0 for an
+    x-independent y — the property Spearman cannot deliver."""
+    import math as m
+
+    rows = [(i / 100.0, m.sin(6.0 * i / 100.0)) for i in range(400)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    from swivel_spark_prep_spark.operators.evalmetrics import chatterjee_xi
+
+    assert chatterjee_xi(df, "x", "y").collect()[0]["xi"] > 0.9
+    # independent y: RNG draws (a lattice like (i*c) % m is locally
+    # linear in i and ξ rightly detects it — seen in review)
+    import random
+
+    rng = random.Random(0)
+    indep = [(i / 100.0, rng.random()) for i in range(400)]
+    df2 = spark.createDataFrame(indep, "x double, y double")
+    assert abs(chatterjee_xi(df2, "x", "y").collect()[0]["xi"]) < 0.2
+
+
+def test_cucconi_brute_force(spark):
+    import math as m
+    import random
+
+    rng = random.Random(5)
+    a = [rng.gauss(0, 1) for _ in range(25)]
+    b = [rng.gauss(0.4, 2.0) for _ in range(20)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import cucconi_test
+
+    got = cucconi_test(df, "v", "g", "a", "b").collect()[0]
+    pooled = sorted(a + b)
+    N, mm, nn = 45, 25, 20
+    R = [pooled.index(v) + 1 for v in b]  # continuous draws: no ties
+    s = sum(rr * rr for rr in R)
+    sc = sum((N + 1 - rr) ** 2 for rr in R)
+    den2 = mm * nn * (N + 1) * (2 * N + 1) * (8 * N + 11) / 5
+    u = (6 * s - nn * (N + 1) * (2 * N + 1)) / m.sqrt(den2)
+    v = (6 * sc - nn * (N + 1) * (2 * N + 1)) / m.sqrt(den2)
+    rho = 2 * (N * N - 4) / ((2 * N + 1) * (8 * N + 11)) - 1
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert got["u"] == pytest.approx(u, abs=1e-6)
+    assert got["v"] == pytest.approx(v, abs=1e-6)
+    assert got["c_stat"] == pytest.approx(c, abs=1e-6)
+
+
+def test_lepage_components_match_constituents(spark):
+    """Lepage's z_AB equals ansari_bradley's z on the same cut, and D
+    is exactly the sum of squared components."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("a", float(rng.randint(0, 30))) for _ in range(40)] + [
+        ("b", float(rng.randint(5, 50))) for _ in range(35)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        ansari_bradley,
+        lepage_test,
+    )
+
+    got = lepage_test(df, "v", "g", "a", "b").collect()[0]
+    ab = ansari_bradley(df, "v", "g", "a", "b").collect()[0]
+    assert got["z_ab"] == pytest.approx(ab["z"], abs=1e-9)
+    assert got["d_stat"] == pytest.approx(
+        got["z_w"] ** 2 + got["z_ab"] ** 2, abs=1e-5
+    )
+
+
+def test_bws_brute_force_with_ties(spark):
+    """BWS replays the 1998 formula; tied runs sum invariantly over
+    the arbitrary within-run index assignment."""
+    import random
+
+    rng = random.Random(11)
+    a = [float(rng.randint(0, 15)) for _ in range(30)]
+    b = [float(rng.randint(3, 20)) for _ in range(25)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import bws_test
+
+    got = bws_test(df, "v", "g", "a", "b").collect()[0]
+    pooled = sorted(a + b)
+
+    def midrank(v):
+        import bisect
+
+        lo = bisect.bisect_left(pooled, v)
+        hi = bisect.bisect_right(pooled, v)
+        return (lo + hi + 1) / 2
+
+    def bstat(sample, other):
+        mm, nn = len(sample), len(sample) + len(other)
+        tot = 0.0
+        for i, v in enumerate(sorted(sample), start=1):
+            t = i / (mm + 1)
+            tot += (midrank(v) - nn / mm * i) ** 2 / (
+                t * (1 - t) * len(other) * nn / mm
+            )
+        return tot / mm
+
+    ba, bb = bstat(a, b), bstat(b, a)
+    assert got["b_a"] == pytest.approx(ba, abs=1e-6)
+    assert got["b_b"] == pytest.approx(bb, abs=1e-6)
+    assert got["b_stat"] == pytest.approx((ba + bb) / 2, abs=1e-6)
+
+
+def test_acklam_probit_accuracy_and_sql_twin(spark):
+    """The Spark probit matches an erf-bisection inverse to Acklam's
+    published 1.15e-9 relative bound — including both sides of the
+    central/tail branch switch — and the GENERATED SQL twin produces
+    the bit-identical double in DuckDB."""
+    import math as m
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        _acklam_probit,
+        acklam_probit_sql,
+    )
+
+    ps = [0.5001, 0.6, 0.75, 0.9, 0.97574, 0.97575, 0.97576, 0.999,
+          0.9999999]
+    pdf = spark.createDataFrame([(p,) for p in ps], "p double")
+    spark_vals = [
+        r["a"]
+        for r in pdf.select(_acklam_probit(F.col("p")).alias("a"))
+        .orderBy("p")
+        .collect()
+    ]
+
+    def phi(z):
+        return 0.5 * (1 + m.erf(z / m.sqrt(2)))
+
+    for p, v in zip(sorted(ps), spark_vals):
+        lo, hi = 0.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if phi(mid) < p:
+                lo = mid
+            else:
+                hi = mid
+        assert abs(v - lo) < 1.5e-9 * max(1.0, lo), (p, v, lo)
+    con = duckdb.connect()
+    sql = acklam_probit_sql("p")
+    duck_vals = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS p)", [p]).fetchone()[0]
+        for p in sorted(ps)
+    ]
+    assert spark_vals == duck_vals  # bit-identical doubles
+    con.close()
+
+
+def test_fligner_killeen_brute_force(spark):
+    import math as m
+    import random
+
+    rng = random.Random(13)
+    groups = {
+        "g1": [rng.gauss(0, 1) for _ in range(30)],
+        "g2": [rng.gauss(0, 3) for _ in range(25)],
+        "g3": [rng.gauss(1, 1) for _ in range(20)],
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import fligner_killeen
+
+    got = fligner_killeen(df, "v", "g").collect()[0]
+
+    def median(vs):
+        s = sorted(vs)
+        n = len(s)
+        return (s[n // 2 - 1] + s[n // 2]) / 2 if n % 2 == 0 else s[n // 2]
+
+    def phi(z):
+        return 0.5 * (1 + m.erf(z / m.sqrt(2)))
+
+    def probit(p):
+        lo, hi = 0.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if phi(mid) < p:
+                lo = mid
+            else:
+                hi = mid
+        return lo
+
+    us = [(g, abs(v - median(vs))) for g, vs in groups.items() for v in vs]
+    uvals = sorted(u for _, u in us)
+    import bisect
+
+    nn = len(us)
+    scores = {}
+    allv = []
+    for g, u in us:
+        r = (bisect.bisect_left(uvals, u) + bisect.bisect_right(uvals, u) + 1) / 2
+        a = probit(0.5 + r / (2 * (nn + 1)))
+        scores.setdefault(g, []).append(a)
+        allv.append(a)
+    abar = sum(allv) / nn
+    s2 = sum((v - abar) ** 2 for v in allv) / (nn - 1)
+    stat = sum(
+        len(v) * ((sum(v) / len(v)) - abar) ** 2 for v in scores.values()
+    ) / s2
+    assert got["k"] == 3 and got["n"] == nn and got["dof"] == 2
+    assert got["fk_stat"] == pytest.approx(stat, abs=1e-4)
+    # dispersion-shifted g2 should make the screen fire (chi2_2 95% ≈ 6)
+    assert got["fk_stat"] > 6.0
+
+
+def test_energy_distance_brute_force_and_metric_zero(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    a = rng.normal(0, 1, 40)
+    b = rng.normal(1, 2, 35)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.quality import energy_distance
+
+    got = energy_distance(df, "v", "g", "a", "b").collect()[0]
+    e = (
+        2 * np.abs(a[:, None] - b[None, :]).mean()
+        - np.abs(a[:, None] - a[None, :]).mean()
+        - np.abs(b[:, None] - b[None, :]).mean()
+    )
+    assert got["e_dist"] == pytest.approx(e, abs=1e-6)
+    assert got["t_stat"] == pytest.approx(e * 40 * 35 / 75, abs=1e-4)
+    # identical distributions → E = 0 exactly (metric property)
+    same = [("a", float(v)) for v in a] + [("b", float(v)) for v in a]
+    df2 = spark.createDataFrame(same, "g string, v double")
+    got2 = energy_distance(df2, "v", "g", "a", "b").collect()[0]
+    assert got2["e_dist"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_page_trend_brute_force_and_perfect_trend(spark):
+    import math as m
+    import random
+
+    rng = random.Random(19)
+    k, blocks = 4, 15
+    rows = []
+    for b in range(blocks):
+        for t in range(k):
+            rows.append((f"b{b:02d}", t, float(t * 0.7 + rng.gauss(0, 0.5))))
+    df = spark.createDataFrame(rows, "b string, t int, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import page_trend
+
+    got = page_trend(df, "v", "b", "t").collect()[0]
+    rj = [0.0] * k
+    for b in range(blocks):
+        vs = [r[2] for r in rows if r[0] == f"b{b:02d}"]
+        for t in range(k):
+            rj[t] += sorted(vs).index(vs[t]) + 1
+    lstat = sum((t + 1) * rj[t] for t in range(k))
+    el = blocks * k * (k + 1) ** 2 / 4
+    var = blocks * k * k * (k + 1) * (k * k - 1) / 144
+    assert got["l_stat"] == pytest.approx(lstat, abs=1e-9)
+    assert got["z"] == pytest.approx((lstat - el) / m.sqrt(var), abs=1e-6)
+    # a perfect monotone trend attains the maximum L = b·Σ j²
+    perfect = [
+        (f"b{b}", t, float(t)) for b in range(6) for t in range(k)
+    ]
+    dfp = spark.createDataFrame(perfect, "b string, t int, v double")
+    lmax = 6 * sum((j + 1) ** 2 for j in range(k))
+    assert page_trend(dfp, "v", "b", "t").collect()[0]["l_stat"] == lmax
+
+
+def test_page_trend_drops_incomplete_blocks(spark):
+    rows = [("b0", 0, 1.0), ("b0", 1, 2.0), ("b1", 0, 1.0)]
+    df = spark.createDataFrame(rows, "b string, t int, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import page_trend
+
+    got = page_trend(df, "v", "b", "t").collect()[0]
+    assert got["n_blocks"] == 1  # b1 lacks treatment 1 → dropped
+
+
+def test_quade_brute_force(spark):
+    import random
+
+    rng = random.Random(23)
+    k, blocks = 4, 12
+    rows = []
+    for b in range(blocks):
+        scale = rng.uniform(0.5, 3.0)
+        for t in range(k):
+            rows.append(
+                (f"b{b:02d}", t, float(scale * (t + rng.gauss(0, 0.8))))
+            )
+    df = spark.createDataFrame(rows, "b string, t int, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import quade_test
+
+    got = quade_test(df, "v", "b", "t").collect()[0]
+    bl = {}
+    for b, t, v in rows:
+        bl.setdefault(b, []).append((t, v))
+    ranges = {b: max(v for _, v in rs) - min(v for _, v in rs)
+              for b, rs in bl.items()}
+    rv = sorted(ranges.values())
+    q = {b: rv.index(r) + 1 for b, r in ranges.items()}  # floats: no ties
+    a = 0.0
+    sj = {}
+    for b, rs in bl.items():
+        vs = [v for _, v in rs]
+        for t, v in rs:
+            s = q[b] * (sorted(vs).index(v) + 1 - (k + 1) / 2)
+            a += s * s
+            sj[t] = sj.get(t, 0.0) + s
+    bterm = sum(s * s for s in sj.values()) / blocks
+    f = (blocks - 1) * bterm / (a - bterm)
+    assert got["n_blocks"] == blocks and got["k"] == k
+    assert got["f_stat"] == pytest.approx(f, abs=1e-6)
