@@ -517,6 +517,63 @@ def main() -> None:
         "X381_permutation_entropy",
         "X382_concentration_profile",
         "X383_hurst_rs",
+        # Round-16 mid-band batch (round-15 verdict Next #3): the 16
+        # heaviest extras in the previously-unmeasured 1-2.7 s sf0.1
+        # band, heaviest first by committed BENCH_LOCAL wall. Scale
+        # stories: X69's trigram-LM scoring and X214's Good-Turing
+        # spectrum ride gram relations that grow ~10x under the token
+        # suffixes (linear factors are the bar, X110's precedent);
+        # X211 is the weighted two-pass order-statistic class; X56/
+        # X52/X67's BPE passes are vocab-bounded merge loops over a
+        # 10x token scan; X76's k-means is fixed-iteration Lloyd over
+        # 10x vectors (model broadcast); X49 is the iterative BOM
+        # expansion (bounded depth); X10/X59/X06/X80/X112/X107 are
+        # the banded/blocked near-dup family — pairs only within
+        # buckets whose sizes the sf1 key-shift keeps constant, so
+        # candidate pairs grow ~10x, never ~100x; X48 chains the
+        # swivel prep pipeline (shard keying bounded); X252 is the
+        # grouped conformal order-statistic pass; X70's PQ probe is
+        # codebook-bounded (scan + ADC table).
+        "X06_minhash_near_dups",
+        "X10_embedding_near_dups",
+        "X48_training_pipeline",
+        "X49_recursive_cte",
+        "X52_bpe_tokenize",
+        "X56_bpe_vocab",
+        "X59_incremental_near_dups",
+        "X69_lm_perplexity",
+        "X70_pq_topk",
+        "X76_kmeans_clusters",
+        "X80_phash_near_dups",
+        "X107_containment_pairs",
+        "X112_edit_distance_pairs",
+        "X211_weighted_median",
+        "X214_good_turing",
+        "X252_conformal_by_group",
+        # Round-16 tranche (X385-X392), every op: X385's cell-sequence
+        # adjacency join is fan-out-1 over a distinct-(x,y) relation
+        # that grows ~10x (values disjoint across copies); X386/X387/
+        # X389 are the distinct-value + prefix rank class; X388
+        # explodes tied runs to one row per observation (corpus-
+        # linear by construction); X390 is the wasserstein prefix
+        # shape; X391/X392 are day-bucket grid aggregates + bounded
+        # block windows (scan-bound).
+        "X385_chatterjee_xi",
+        "X386_cucconi",
+        "X387_lepage",
+        "X388_bws",
+        "X389_fligner_killeen",
+        "X390_energy_distance",
+        "X391_page_trend",
+        "X392_quade",
+        # X393/X394 are calendar-bounded beyond the daily-count scan;
+        # X395 is two per-user min_by/max_by aggregates + a label-
+        # bounded contingency; X396's fold is executor-local per doc
+        # (wall should track the 10x token scan).
+        "X393_kpss",
+        "X394_cox_stuart",
+        "X395_weighted_kappa",
+        "X396_mtld",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
@@ -590,6 +647,41 @@ def main() -> None:
         ),
     }
     print(f"# extra X298_margin_ann: sf0.1 {walls['sf01']}s -> "
+          f"sf1 {walls['sf1']}s", file=sys.stderr)
+
+    # X369's at-scale path, executable since round 16 (round-15 verdict
+    # Next #4): the SAME CKA sufficient statistics as per-Arrow-batch
+    # BLAS partials over mapInPandas instead of the JVM d²-cell explode
+    # — the knob to turn when the explode's codegen constant dominates
+    # (at sf1 the explode pass is ~41 s of loop work over 20k×4096
+    # cells). Output equality with the explode path is pinned at both
+    # smoke SFs in test_round16_ops.
+    from swivel_spark_prep_spark.operators.similarity import (
+        cka_quantization_audit,
+    )
+
+    walls = {}
+    for tag, d in (("sf01", SRC), ("sf1", DST)):
+        spark.catalog.clearCache()
+        emb_df = spark.read.parquet(f"{d}/embeddings.parquet")
+        t0 = time.perf_counter()
+        cka_quantization_audit(emb_df, method="pandas").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        walls[tag] = round(time.perf_counter() - t0, 3)
+        release_persisted()
+    extras["X369_cka_pandas"] = {
+        **walls,
+        "scale_factor": round(walls["sf1"] / max(walls["sf01"], 1e-9), 2),
+        "caveat": (
+            "cka_quantization_audit(method='pandas'): identical "
+            "sufficient statistics via Arrow-batch BLAS partials — the "
+            "executable alternative when the registered explode plan's "
+            "JVM constant dominates; factor is the 10x vector scan + "
+            "n·d² BLAS work"
+        ),
+    }
+    print(f"# extra X369_cka_pandas: sf0.1 {walls['sf01']}s -> "
           f"sf1 {walls['sf1']}s", file=sys.stderr)
 
     # End-to-end `curate` scale smoke (round-13 verdict Next #5): the

@@ -61,6 +61,7 @@ __all__ = [
     "acklam_probit_sql",
     "page_trend",
     "quade_test",
+    "weighted_kappa",
 ]
 
 
@@ -5384,4 +5385,104 @@ def quade_test(
         bb.cast("long").alias("n_blocks"),
         F.lit(k).cast("long").alias("k"),
         F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    weights: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels (Cohen 1968): chance-
+    corrected agreement where near-misses earn partial credit —
+
+        κ_w = (p_o,w − p_e,w) / (1 − p_e,w),
+        w_ij = 1 − (i−j)²/(k−1)²   (quadratic; "linear" = 1 − |i−j|/(k−1))
+
+    with i, j the 0-based ordinal index of each category in ascending
+    label order (the convention both engines share). Quadratic-weighted
+    kappa is the standard metric for ordinal rater agreement (and the
+    Kaggle QWK); plain kappa (cohens_kappa) treats a one-step miss like
+    a worst-case miss.
+
+    Scale design: one (a, b)-cell aggregate, two k-row marginal
+    aggregates, and the chance term is the k×k broadcast cross of the
+    marginals — all bounded by the label vocabulary (bounded_distinct,
+    raises past the cap). Output one row: (k, n, po_w, pe_w, kappa_w)
+    — kappa NULL when p_e,w = 1 (degenerate marginals).
+    """
+    from swivel_spark_prep_spark.cache import bounded_distinct
+
+    if weights not in ("quadratic", "linear"):
+        raise ValueError(f"unknown weights {weights!r}")
+    base = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    cats = sorted(
+        set(bounded_distinct(base, "_a", cap=1000))
+        | set(bounded_distinct(base, "_b", cap=1000))
+    )
+    k = len(cats)
+    if k < 2:
+        raise ValueError(f"need >= 2 ordinal categories, got {k}")
+    idx = F.create_map(
+        *[F.lit(x) for pair in ((c, i) for i, c in enumerate(cats))
+          for x in pair]
+    )
+
+    def w(di):
+        if weights == "quadratic":
+            return 1.0 - (di * di) / float((k - 1) * (k - 1))
+        return 1.0 - F.abs(di) / float(k - 1)
+
+    cells = base.groupBy("_a", "_b").agg(F.count("*").cast("double").alias("_n"))
+    cells = cells.select(
+        idx[F.col("_a")].cast("double").alias("_i"),
+        idx[F.col("_b")].cast("double").alias("_j"),
+        "_n",
+    )
+    # every branch below derives from `cells`; Spark 4's resolver throws
+    # AMBIGUOUS_REFERENCE when a df is joined with aggregates derived
+    # from itself — rename each branch's columns before joining (the
+    # mood_median_test/theils_u convention)
+    tot = cells.agg(F.sum("_n").alias("_N"))
+    po = cells.select(
+        F.col("_i").alias("_pi"),
+        F.col("_j").alias("_pj"),
+        F.col("_n").alias("_pn"),
+    ).crossJoin(F.broadcast(tot)).agg(
+        F.max("_N").alias("_N"),
+        (
+            F.sum(w(F.col("_pi") - F.col("_pj")) * F.col("_pn")) / F.max("_N")
+        ).alias("_po"),
+    )
+    ma = cells.groupBy("_i").agg(F.sum("_n").alias("_ra"))
+    mb = cells.groupBy("_j").agg(F.sum("_n").alias("_cb"))
+    pe = (
+        ma.select(F.col("_i").alias("_mi"), "_ra")
+        .crossJoin(  # k×k marginal cross, label-bounded
+            F.broadcast(mb.select(F.col("_j").alias("_mj"), "_cb"))
+        )
+        .crossJoin(F.broadcast(tot.select(F.col("_N").alias("_N2"))))
+        .agg(
+            (
+                F.sum(
+                    w(F.col("_mi") - F.col("_mj")) * F.col("_ra") * F.col("_cb")
+                )
+                / (F.max("_N2") * F.max("_N2"))
+            ).alias("_pe")
+        )
+    )
+    j = po.crossJoin(F.broadcast(pe))
+    kap = F.when(
+        1.0 - F.col("_pe") > 0,
+        (F.col("_po") - F.col("_pe")) / (1.0 - F.col("_pe")),
+    )
+    return j.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("_N").cast("long").alias("n"),
+        F.round("_po", 6).alias("po_w"),
+        F.round("_pe", 6).alias("pe_w"),
+        F.round(kap, 6).alias("kappa_w"),
     )

@@ -1881,3 +1881,95 @@ def lexical_richness_classics(
             6,
         ).alias("brunet_w"),
     ).orderBy("group")
+
+
+def mtld(
+    df: DataFrame,
+    group_col: str | None = "lang",
+) -> DataFrame:
+    """MTLD — the Measure of Textual Lexical Diversity (McCarthy &
+    Jarvis 2010), per group: mean factor length at the canonical 0.72
+    type-token-ratio threshold, averaged over a forward and a backward
+    pass. THE length-robust sequential diversity metric — unlike raw
+    TTR (collapses with length) or X384's frequency-spectrum constants
+    (order-blind), MTLD sees local repetition structure: boilerplate
+    with a diverse vocabulary overall still produces short factors.
+
+    Per document and direction: walk the tokens keeping a running
+    factor TTR = types/tokens; when TTR drops below 0.72 count a
+    factor and reset; the trailing partial factor contributes
+    (1 − TTR_end)/(1 − 0.72). MTLD_dir = n_tokens/factors (NULL when
+    factors = 0, e.g. an all-unique short text); doc MTLD = the
+    two-direction mean.
+
+    Scale design: the walk is a per-document ``F.aggregate`` fold over
+    the token array — executor-local, zero shuffle, accumulator
+    bounded by the current factor's type set (factors reset at TTR
+    0.72, so the set stays small regardless of document length); the
+    group report is one aggregate. The DuckDB twin replays the
+    identical fold as a recursive CTE joined to a (doc, tokens) base
+    table. Output per group: (group, n_docs, mean_tokens, mean_mtld)
+    — mean over docs with a defined MTLD.
+    """
+    gcols = [group_col] if group_col else []
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    base = (
+        df.filter(F.col("text").isNotNull())
+        .filter(F.lit(True) if not gcols else F.col(group_col).isNotNull())
+        .select(*gcols, toks.alias("_ws"))
+        .filter(F.size("_ws") > 0)
+    )
+
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+
+    def _fold(arr):
+        def step(acc, w):
+            ns = F.when(
+                F.array_contains(acc["seen"], w), acc["seen"]
+            ).otherwise(F.array_append(acc["seen"], w))
+            tf2 = acc["tf"] + F.lit(1)
+            trip = (F.size(ns).cast("double") / tf2) < 0.72
+            return F.struct(
+                F.when(trip, empty).otherwise(ns).alias("seen"),
+                F.when(trip, F.lit(0)).otherwise(tf2).alias("tf"),
+                F.when(trip, acc["fac"] + 1.0).otherwise(acc["fac"]).alias(
+                    "fac"
+                ),
+            )
+
+        def finish(acc):
+            partial = F.coalesce(
+                (
+                    1.0
+                    - F.size(acc["seen"]).cast("double")
+                    / F.nullif(acc["tf"].cast("double"), F.lit(0.0))
+                )
+                / (1.0 - 0.72),
+                F.lit(0.0),
+            )
+            return acc["fac"] + partial
+
+        init = F.struct(
+            empty.alias("seen"), F.lit(0).alias("tf"), F.lit(0.0).alias("fac")
+        )
+        return F.aggregate(arr, init, step, finish)
+
+    n = F.size("_ws").cast("double")
+    per = base.select(
+        *gcols,
+        n.alias("_n"),
+        (n / F.nullif(_fold(F.col("_ws")), F.lit(0.0))).alias("_mf"),
+        (n / F.nullif(_fold(F.reverse(F.col("_ws"))), F.lit(0.0))).alias(
+            "_mb"
+        ),
+    )
+    out = per.groupBy(*gcols).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("_n"), 6).alias("mean_tokens"),
+        F.round(F.avg((F.col("_mf") + F.col("_mb")) / 2.0), 6).alias(
+            "mean_mtld"
+        ),
+    )
+    if gcols:
+        return out.withColumnRenamed(group_col, "group").orderBy("group")
+    return out

@@ -4086,3 +4086,170 @@ def hurst_rs(
         )
         .orderBy("scale")
     )
+
+
+def kpss_test(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """KPSS level-stationarity test on the DAILY event-count series
+    (Kwiatkowski, Phillips, Schmidt & Shin 1992): is the rate
+    stationary around a constant level — the null is STATIONARITY,
+    complementing Mann–Kendall/Hurst (X205/X383) whose nulls are
+    no-trend/no-memory. Over the zero-filled daily calendar y_1..y_T
+    with e_t = y_t − ȳ and partial sums S_t:
+
+        η = T⁻² Σ S_t²,
+        s² = γ₀ + 2 Σ_{l=1..q} (1 − l/(q+1)) γ_l   (Bartlett kernel),
+        γ_l = T⁻¹ Σ_{t>l} e_t e_{t−l},
+        KPSS = η / s²,   q = ⌊4 (T/100)^0.25⌋   (the paper's lag rule)
+
+    Reject level-stationarity at 5% when KPSS > 0.463 (their table 1).
+
+    Scale design: the corpus collapses to the per-day count relation
+    (calendar-bounded); the calendar densifies via one
+    explode(sequence) on a 1-row bounds relation (B = span days); S_t
+    is one range-partitioned prefix pass; the q lag autocovariances
+    come from ONE explode(sequence(1, q)) (fan-out q ≤ ~8 at any
+    realistic span) + a hash self-join on the shifted day index —
+    everything after is a 1-row reduction. Output:
+    (t, q, eta, lrv, kpss_stat) — NULL stat when the series is
+    constant (s² = 0).
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(F.count("*").cast("double").alias("_y"))
+    )
+    row = daily.agg(F.min("_day").alias("d0"), F.max("_day").alias("d1")).collect()[
+        0
+    ]  # 1-row control relation (calendar bounds)
+    if row["d0"] is None:
+        raise ValueError("no timestamped rows")
+    t_span = (row["d1"] - row["d0"]).days + 1
+    q = int(4 * (t_span / 100.0) ** 0.25)
+    cal = (
+        daily.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(row["d0"]), F.lit(row["d1"]))
+            ).alias("_day")
+        )
+    )
+    grid = (
+        cal.join(daily, "_day", "left")
+        .select(
+            F.datediff(F.col("_day"), F.lit(row["d0"])).cast("long").alias("_t"),
+            F.coalesce(F.col("_y"), F.lit(0.0)).alias("_y"),
+        )
+    )
+    tt = float(t_span)
+    ybar = grid.agg((F.sum("_y") / tt).alias("_m"))
+    e = grid.crossJoin(F.broadcast(ybar)).select(
+        "_t", (F.col("_y") - F.col("_m")).alias("_e")
+    )
+    s = partitioned_prefix_sum(e, ["_t"], ["_e"], ["_s"], inclusive=True)
+    base = s.agg(
+        (F.sum(F.col("_s") * F.col("_s")) / (tt * tt)).alias("_eta"),
+        (F.sum(F.col("_e") * F.col("_e")) / tt).alias("_g0"),
+    )
+    if q >= 1:
+        lagged = e.select(
+            "_t",
+            F.col("_e").alias("_e1"),
+            F.explode(F.sequence(F.lit(1), F.lit(q))).alias("_l"),
+        )
+        right = e.select((F.col("_t")).alias("_t2"), F.col("_e").alias("_e2"))
+        gl = (
+            lagged.join(right, lagged["_t"] - lagged["_l"] == right["_t2"])
+            .groupBy("_l")
+            .agg((F.sum(F.col("_e1") * F.col("_e2")) / tt).alias("_g"))
+        )
+        wsum = gl.agg(
+            F.sum(
+                2.0 * (1.0 - F.col("_l") / (q + 1.0)) * F.col("_g")
+            ).alias("_w")
+        )
+        base = base.crossJoin(F.broadcast(wsum))
+    else:
+        base = base.withColumn("_w", F.lit(0.0))
+    lrv = F.col("_g0") + F.coalesce(F.col("_w"), F.lit(0.0))
+    return base.select(
+        F.lit(t_span).cast("long").alias("t"),
+        F.lit(q).cast("long").alias("q"),
+        F.round("_eta", 6).alias("eta"),
+        F.round(lrv, 6).alias("lrv"),
+        F.round(F.when(lrv > 0, F.col("_eta") / lrv), 6).alias("kpss_stat"),
+    )
+
+
+def cox_stuart(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Cox–Stuart trend sign test on the daily event-count series (Cox
+    & Stuart 1955): pair day i with day i+c (c = ⌈T/2⌉, middle day
+    dropped when T is odd), count up-moves vs down-moves, binomial
+    normal approximation WITHOUT continuity correction (documented;
+    both engines replay the same z):
+
+        S⁺ = #{y_{i+c} > y_i},  S⁻ = #{<},  n′ = S⁺ + S⁻  (ties drop)
+        z  = (S⁺ − n′/2) / √(n′/4)
+
+    The assumption-light "is it drifting at all" screen — needs no
+    rank machinery at all, which also makes it the cheapest member of
+    the trend family (X205 Theil–Sen / mann_kendall / X383 Hurst).
+
+    Scale design: per-day counts (calendar-bounded), zero-filled via
+    one explode(sequence) densify, ONE hash self-join on the shifted
+    day index, one aggregate. Output: (t, n_pairs, s_plus, s_minus, z)
+    — z NULL when every pair ties (n′ = 0).
+    """
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(F.count("*").cast("double").alias("_y"))
+    )
+    row = daily.agg(F.min("_day").alias("d0"), F.max("_day").alias("d1")).collect()[
+        0
+    ]  # 1-row control relation (calendar bounds)
+    if row["d0"] is None:
+        raise ValueError("no timestamped rows")
+    t_span = (row["d1"] - row["d0"]).days + 1
+    c = (t_span + 1) // 2  # ceil(T/2): odd T drops the middle day
+    cal = (
+        daily.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(row["d0"]), F.lit(row["d1"]))
+            ).alias("_day")
+        )
+    )
+    grid = (
+        cal.join(daily, "_day", "left")
+        .select(
+            F.datediff(F.col("_day"), F.lit(row["d0"])).cast("long").alias("_t"),
+            F.coalesce(F.col("_y"), F.lit(0.0)).alias("_y"),
+        )
+    )
+    a = grid.select(F.col("_t").alias("_ta"), F.col("_y").alias("_ya"))
+    b = grid.select((F.col("_t") - c).alias("_tb"), F.col("_y").alias("_yb"))
+    pairs = a.join(b, F.col("_ta") == F.col("_tb")).filter(
+        F.col("_ta") < t_span - c
+    )
+    agg = pairs.agg(
+        F.sum((F.col("_yb") > F.col("_ya")).cast("double")).alias("_sp"),
+        F.sum((F.col("_yb") < F.col("_ya")).cast("double")).alias("_sm"),
+    )
+    sp, sm = F.col("_sp"), F.col("_sm")
+    npair = sp + sm
+    z = F.when(npair > 0, (sp - npair / 2.0) / F.sqrt(npair / 4.0))
+    return agg.select(
+        F.lit(t_span).cast("long").alias("t"),
+        npair.cast("long").alias("n_pairs"),
+        sp.cast("long").alias("s_plus"),
+        sm.cast("long").alias("s_minus"),
+        F.round(z, 6).alias("z"),
+    )

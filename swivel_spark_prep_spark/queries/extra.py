@@ -14958,3 +14958,211 @@ def x392(spark, sf_dir):
         F.floor(F.hour("ts") / 6).cast("int").alias("tod"),
     ).agg(F.count("*").cast("double").alias("cnt"))
     return quade_test(grid, "cnt", "day", "tod")
+
+
+@_declare(
+    "X393_kpss",
+    # KPSS level-stationarity of the daily event rate
+    # (timeseries.kpss_test; Kwiatkowski-Phillips-Schmidt-Shin 1992):
+    # the null is STATIONARITY - the complement to Mann-Kendall/Hurst
+    # whose nulls are no-trend/no-memory. Zero-filled calendar, prefix
+    # partial sums, Bartlett-kernel long-run variance at the paper's
+    # q = floor(4(T/100)^0.25) lag rule; KPSS > 0.463 rejects at 5%.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::DOUBLE AS t FROM daily),
+qq AS (SELECT t, FLOOR(4.0 * POW(t / 100.0, 0.25))::BIGINT AS q FROM bd),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+mb AS (SELECT SUM(y) / (SELECT t FROM qq) AS ybar FROM grid),
+e AS (SELECT tt, y - ybar AS e FROM grid CROSS JOIN mb),
+s AS (SELECT tt, e, SUM(e) OVER (ORDER BY tt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st FROM e),
+base AS (SELECT SUM(st * st) / ((SELECT t FROM qq) * (SELECT t FROM qq))
+             AS eta,
+         SUM(e * e) / (SELECT t FROM qq) AS g0 FROM s),
+ll AS (SELECT unnest(range(1, (SELECT q FROM qq) + 1)) AS l),
+gl AS (SELECT ll.l, SUM(e1.e * e2.e) / (SELECT t FROM qq) AS g
+       FROM ll CROSS JOIN e e1 JOIN e e2 ON e1.tt - ll.l = e2.tt
+       GROUP BY ll.l),
+ws AS (SELECT SUM(2.0 * (1.0 - l / ((SELECT q FROM qq) + 1.0)) * g) AS w
+       FROM gl)
+SELECT (SELECT t FROM qq)::BIGINT AS t, (SELECT q FROM qq) AS q,
+       ROUND(eta, 6) AS eta,
+       ROUND(g0 + COALESCE(w, 0.0), 6) AS lrv,
+       ROUND(CASE WHEN g0 + COALESCE(w, 0.0) > 0
+             THEN eta / (g0 + COALESCE(w, 0.0)) END, 6) AS kpss_stat
+FROM base CROSS JOIN ws;""",
+)
+def x393(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import kpss_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return kpss_test(ev, "ts")
+
+
+@_declare(
+    "X394_cox_stuart",
+    # Cox-Stuart trend sign test on the daily rate (timeseries.
+    # cox_stuart, 1955): pair day i with day i+ceil(T/2), count
+    # up/down moves, binomial z (no continuity correction, both
+    # engines replay it) - the assumption-light cheapest member of
+    # the trend family; needs no ranks at all.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cc AS (SELECT t, (t + 1) // 2 AS c FROM bd),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+pairs AS (SELECT a.y AS ya, b.y AS yb
+          FROM grid a JOIN grid b
+            ON a.tt + (SELECT c FROM cc) = b.tt),
+agg AS (SELECT SUM((yb > ya)::INT)::DOUBLE AS sp,
+               SUM((yb < ya)::INT)::DOUBLE AS sm FROM pairs)
+SELECT (SELECT t FROM cc)::BIGINT AS t,
+       (sp + sm)::BIGINT AS n_pairs, sp::BIGINT AS s_plus,
+       sm::BIGINT AS s_minus,
+       ROUND(CASE WHEN sp + sm > 0
+             THEN (sp - (sp + sm) / 2.0) / sqrt((sp + sm) / 4.0) END, 6) AS z
+FROM agg;""",
+)
+def x394(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import cox_stuart
+
+    ev = load_table(spark, sf_dir, "events")
+    return cox_stuart(ev, "ts")
+
+
+@_declare(
+    "X395_weighted_kappa",
+    # Quadratic-weighted Cohen's kappa between each user's FIRST and
+    # LAST time-of-day bucket (evalmetrics.weighted_kappa; Cohen
+    # 1968): ordinal agreement with partial credit for near-misses -
+    # did users keep their daypart, the ordinal sequel to X308's
+    # categorical symmetry test. Ordinal index = rank in ascending
+    # bucket order (both engines); k x k marginal cross is
+    # label-bounded.
+    """WITH o AS (SELECT user_id,
+                  (EXTRACT(hour FROM ts) // 6)::INT AS bk,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rf,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rl
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+fl AS (SELECT user_id,
+              MAX(CASE WHEN rf = 1 THEN bk END) AS a,
+              MAX(CASE WHEN rl = 1 THEN bk END) AS b
+       FROM o GROUP BY 1),
+cats AS (SELECT DISTINCT v FROM
+           (SELECT a AS v FROM fl UNION SELECT b AS v FROM fl)),
+ci AS (SELECT v, (ROW_NUMBER() OVER (ORDER BY v) - 1)::DOUBLE AS i
+       FROM cats),
+kk AS (SELECT COUNT(*)::BIGINT AS k FROM cats),
+cells AS (SELECT ia.i AS i, ib.i AS j, COUNT(*)::DOUBLE AS n
+          FROM fl JOIN ci ia ON fl.a = ia.v JOIN ci ib ON fl.b = ib.v
+          GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS N FROM cells),
+po AS (SELECT SUM((1.0 - (i - j) * (i - j)
+                   / (((SELECT k FROM kk) - 1) * ((SELECT k FROM kk) - 1)))
+                  * n) / (SELECT N FROM tot) AS po FROM cells),
+ma AS (SELECT i, SUM(n) AS ra FROM cells GROUP BY 1),
+mb AS (SELECT j, SUM(n) AS cb FROM cells GROUP BY 1),
+pe AS (SELECT SUM((1.0 - (ma.i - mb.j) * (ma.i - mb.j)
+                   / (((SELECT k FROM kk) - 1) * ((SELECT k FROM kk) - 1)))
+                  * ra * cb)
+              / ((SELECT N FROM tot) * (SELECT N FROM tot)) AS pe
+       FROM ma CROSS JOIN mb)
+SELECT (SELECT k FROM kk) AS k, (SELECT N FROM tot)::BIGINT AS n,
+       ROUND(po, 6) AS po_w, ROUND(pe, 6) AS pe_w,
+       ROUND(CASE WHEN 1.0 - pe > 0 THEN (po - pe) / (1.0 - pe) END, 6)
+         AS kappa_w
+FROM po CROSS JOIN pe;""",
+)
+def x395(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import weighted_kappa
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    bk = F.floor(F.hour("ts") / 6).cast("int")
+    fl = ev.select("user_id", "ts", "event_id", bk.alias("bk")).groupBy(
+        "user_id"
+    ).agg(
+        F.expr("min_by(bk, struct(ts, event_id))").alias("first_bk"),
+        F.expr("max_by(bk, struct(ts, event_id))").alias("last_bk"),
+    )
+    return weighted_kappa(fl, "first_bk", "last_bk", weights="quadratic")
+
+
+@_declare(
+    "X396_mtld",
+    # MTLD lexical diversity per language (textstats.mtld; McCarthy-
+    # Jarvis 2010): mean factor length at the canonical 0.72 TTR
+    # threshold, forward+backward averaged - the ORDER-SENSITIVE
+    # diversity read X384's frequency-spectrum constants can't give
+    # (local boilerplate shortens factors even when the global
+    # vocabulary is diverse). Spark: per-doc F.aggregate fold
+    # (executor-local, zero shuffle); twin: the identical fold as a
+    # recursive CTE against the (doc, tokens) base table.
+    """WITH RECURSIVE tl AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+tn AS (SELECT doc_id, lang, ws, len(ws) AS n FROM tl WHERE len(ws) > 0),
+fw AS (
+  SELECT doc_id, 0 AS pos, []::VARCHAR[] AS seen, 0 AS tf, 0.0 AS fac FROM tn
+  UNION ALL
+  SELECT doc_id, pos + 1,
+         CASE WHEN len(ns)::DOUBLE / (tf + 1) < 0.72
+              THEN []::VARCHAR[] ELSE ns END,
+         CASE WHEN len(ns)::DOUBLE / (tf + 1) < 0.72 THEN 0 ELSE tf + 1 END,
+         CASE WHEN len(ns)::DOUBLE / (tf + 1) < 0.72
+              THEN fac + 1.0 ELSE fac END
+  FROM (SELECT fw.doc_id, fw.pos, fw.tf, fw.fac,
+               CASE WHEN list_contains(fw.seen, t.ws[fw.pos + 1]) THEN fw.seen
+                    ELSE list_append(fw.seen, t.ws[fw.pos + 1]) END AS ns
+        FROM fw JOIN tn t USING (doc_id) WHERE fw.pos < t.n) s
+),
+bw AS (
+  SELECT doc_id, 0 AS pos, []::VARCHAR[] AS seen, 0 AS tf, 0.0 AS fac FROM tn
+  UNION ALL
+  SELECT doc_id, pos + 1,
+         CASE WHEN len(ns)::DOUBLE / (tf + 1) < 0.72
+              THEN []::VARCHAR[] ELSE ns END,
+         CASE WHEN len(ns)::DOUBLE / (tf + 1) < 0.72 THEN 0 ELSE tf + 1 END,
+         CASE WHEN len(ns)::DOUBLE / (tf + 1) < 0.72
+              THEN fac + 1.0 ELSE fac END
+  FROM (SELECT bw.doc_id, bw.pos, bw.tf, bw.fac,
+               CASE WHEN list_contains(bw.seen, t.ws[t.n - bw.pos])
+                    THEN bw.seen
+                    ELSE list_append(bw.seen, t.ws[t.n - bw.pos]) END AS ns
+        FROM bw JOIN tn t USING (doc_id) WHERE bw.pos < t.n) s
+),
+ff AS (SELECT f.doc_id,
+              f.fac + COALESCE((1.0 - len(f.seen)::DOUBLE / NULLIF(f.tf, 0))
+                               / (1.0 - 0.72), 0.0) AS facs
+       FROM fw f JOIN tn USING (doc_id) WHERE f.pos = tn.n),
+bb AS (SELECT b.doc_id,
+              b.fac + COALESCE((1.0 - len(b.seen)::DOUBLE / NULLIF(b.tf, 0))
+                               / (1.0 - 0.72), 0.0) AS facs
+       FROM bw b JOIN tn USING (doc_id) WHERE b.pos = tn.n),
+per AS (SELECT tn.lang, tn.n::DOUBLE AS n,
+               (tn.n::DOUBLE / NULLIF(ff.facs, 0)
+                + tn.n::DOUBLE / NULLIF(bb.facs, 0)) / 2.0 AS m
+        FROM tn JOIN ff USING (doc_id) JOIN bb USING (doc_id))
+SELECT lang AS "group", COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(n), 6) AS mean_tokens, ROUND(AVG(m), 6) AS mean_mtld
+FROM per GROUP BY lang ORDER BY "group";""",
+)
+def x396(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.textstats import mtld
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mtld(docs, "lang")

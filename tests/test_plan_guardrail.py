@@ -227,6 +227,11 @@ ALLOWED_REPLICATE_EXPLODES = {
     # X330: PACF lag axis — B = 3 (Durbin-Levinson needs r1..r3), same
     # aggregated-relation shape (timeseries.pacf3).
     "X330_pacf": [3],
+    # X393: KPSS Bartlett-kernel lag axis — B = q = ⌊4(T/100)^0.25⌋
+    # (2 at the fixtures' ~30-day span, ≤ 8 below ~45 YEARS of days),
+    # exploded on the AGGREGATED per-day relation, never corpus rows
+    # (timeseries.kpss_test; the X168/X316 ACF shape).
+    "X393_kpss": [8],
 }
 
 _ALL = {**DECLARED_QUERIES, **EXTRA_QUERIES}

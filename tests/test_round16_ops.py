@@ -524,3 +524,180 @@ def test_quade_brute_force(spark):
     f = (blocks - 1) * bterm / (a - bterm)
     assert got["n_blocks"] == blocks and got["k"] == k
     assert got["f_stat"] == pytest.approx(f, abs=1e-6)
+
+
+# ============================================ second round-16 tranche pins
+def test_kpss_brute_force(spark):
+    """KPSS replays the 1992 formulas on a hand-walkable series; a
+    strong deterministic trend must exceed the 0.463 critical value, a
+    white-noise series must not."""
+    import datetime
+    import random
+
+    rng = random.Random(29)
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    daily = []
+    for t in range(40):
+        c = 5 + t  # strong trend: count grows every day
+        daily.append(float(c))
+        for i in range(c):
+            rows.append(
+                (datetime.datetime.combine(base, datetime.time(12))
+                 + datetime.timedelta(days=t, seconds=i),)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import kpss_test
+
+    got = kpss_test(df, "ts").collect()[0]
+    tt = 40
+    q = int(4 * (tt / 100.0) ** 0.25)
+    ybar = sum(daily) / tt
+    e = [y - ybar for y in daily]
+    s = []
+    acc = 0.0
+    for v in e:
+        acc += v
+        s.append(acc)
+    eta = sum(v * v for v in s) / (tt * tt)
+    g0 = sum(v * v for v in e) / tt
+    lrv = g0
+    for lag in range(1, q + 1):
+        gl = sum(e[t] * e[t - lag] for t in range(lag, tt)) / tt
+        lrv += 2.0 * (1.0 - lag / (q + 1.0)) * gl
+    assert got["t"] == tt and got["q"] == q
+    assert got["eta"] == pytest.approx(eta, abs=1e-4)
+    assert got["lrv"] == pytest.approx(lrv, abs=1e-4)
+    assert got["kpss_stat"] == pytest.approx(eta / lrv, abs=1e-4)
+    assert got["kpss_stat"] > 0.463  # trend → reject level-stationarity
+
+
+def test_kpss_stationary_series_passes(spark):
+    import datetime
+    import random
+
+    rng = random.Random(31)
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for t in range(60):
+        for i in range(rng.randint(8, 12)):  # stationary noise
+            rows.append(
+                (datetime.datetime.combine(base, datetime.time(6))
+                 + datetime.timedelta(days=t, seconds=i),)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import kpss_test
+
+    got = kpss_test(df, "ts").collect()[0]
+    assert got["kpss_stat"] < 0.463
+
+
+def test_cox_stuart_brute_force(spark):
+    import datetime
+    import math as m
+    import random
+
+    rng = random.Random(37)
+    base = datetime.date(2024, 3, 1)
+    daily = [rng.randint(1, 20) for _ in range(21)]  # odd T: middle drops
+    rows = []
+    for t, c in enumerate(daily):
+        for i in range(c):
+            rows.append(
+                (datetime.datetime.combine(base, datetime.time(9))
+                 + datetime.timedelta(days=t, seconds=i),)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import cox_stuart
+
+    got = cox_stuart(df, "ts").collect()[0]
+    tt = 21
+    c = (tt + 1) // 2  # 11
+    pairs = [(daily[i], daily[i + c]) for i in range(tt - c)]  # 10 pairs
+    sp = sum(1 for a, b in pairs if b > a)
+    sm = sum(1 for a, b in pairs if b < a)
+    assert got["t"] == tt
+    assert got["n_pairs"] == sp + sm
+    assert got["s_plus"] == sp and got["s_minus"] == sm
+    if sp + sm:
+        z = (sp - (sp + sm) / 2.0) / m.sqrt((sp + sm) / 4.0)
+        assert got["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_weighted_kappa_brute_force_and_perfect(spark):
+    """QWK replays Cohen 1968 on a contingency with an absent middle
+    category (index = rank in sorted order, NOT the raw value) and is
+    exactly 1 on perfect agreement."""
+    rows = [(0, 0)] * 5 + [(0, 3)] * 2 + [(3, 3)] * 4 + [(3, 1)] * 3 + [
+        (1, 1)
+    ] * 6 + [(1, 0)] * 1
+    df = spark.createDataFrame(rows, "a int, b int")
+    from swivel_spark_prep_spark.operators.evalmetrics import weighted_kappa
+
+    got = weighted_kappa(df, "a", "b").collect()[0]
+    cats = sorted({a for a, _ in rows} | {b for _, b in rows})  # [0,1,3]
+    k = len(cats)
+    idx = {c: i for i, c in enumerate(cats)}
+    n = len(rows)
+
+    def w(i, j):
+        return 1.0 - (i - j) ** 2 / float((k - 1) ** 2)
+
+    po = sum(w(idx[a], idx[b]) for a, b in rows) / n
+    ra = {i: sum(1 for a, _ in rows if idx[a] == i) for i in range(k)}
+    cb = {j: sum(1 for _, b in rows if idx[b] == j) for j in range(k)}
+    pe = sum(
+        w(i, j) * ra[i] * cb[j] for i in range(k) for j in range(k)
+    ) / (n * n)
+    kap = (po - pe) / (1 - pe)
+    assert got["k"] == k and got["n"] == n
+    assert got["po_w"] == pytest.approx(po, abs=1e-6)
+    assert got["pe_w"] == pytest.approx(pe, abs=1e-6)
+    assert got["kappa_w"] == pytest.approx(kap, abs=1e-6)
+    perfect = spark.createDataFrame(
+        [(i % 4, i % 4) for i in range(40)], "a int, b int"
+    )
+    assert weighted_kappa(perfect, "a", "b").collect()[0]["kappa_w"] == 1.0
+
+
+def test_weighted_kappa_rejects_unknown_weights(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import weighted_kappa
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="unknown weights"):
+        weighted_kappa(df, "a", "b", weights="cubic")
+
+
+def test_mtld_brute_force_and_length_robustness(spark):
+    """MTLD replays the McCarthy–Jarvis walk exactly, and doubling a
+    text (concatenating it with itself) must NOT double the score —
+    the length-robustness property raw TTR fails."""
+    from swivel_spark_prep_spark.operators.textstats import mtld
+
+    def py_dir(ws):
+        seen, tf, fac = set(), 0, 0.0
+        for w in ws:
+            seen.add(w)
+            tf += 1
+            if len(seen) / tf < 0.72:
+                fac += 1.0
+                seen, tf = set(), 0
+        partial = ((1 - len(seen) / tf) / (1 - 0.72)) if tf > 0 else 0.0
+        f = fac + partial
+        return len(ws) / f if f > 0 else None
+
+    text = ("the cat sat on the mat and the dog ran to the cat "
+            "then the mat moved and the dog sat still again") * 2
+    ws = [w for w in text.lower().split(" ") if w]
+    fwd, bwd = py_dir(ws), py_dir(list(reversed(ws)))
+    df = spark.createDataFrame([("en", text)], "lang string, text string")
+    got = mtld(df).collect()[0]
+    assert got["n_docs"] == 1
+    assert got["mean_mtld"] == pytest.approx((fwd + bwd) / 2, abs=1e-6)
+    doubled = spark.createDataFrame(
+        [("en", text + " " + text)], "lang string, text string"
+    )
+    g2 = mtld(doubled).collect()[0]
+    # length-robust: the doubled text's MTLD stays within 35% of the
+    # original (raw TTR would halve)
+    assert abs(g2["mean_mtld"] - got["mean_mtld"]) / got["mean_mtld"] < 0.35
