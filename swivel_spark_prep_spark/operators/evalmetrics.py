@@ -5486,3 +5486,153 @@ def weighted_kappa(
         F.round("_pe", 6).alias("pe_w"),
         F.round(kap, 6).alias("kappa_w"),
     )
+
+
+def mood_dispersion(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mood's squared-rank dispersion test (Mood 1954): are two samples
+    equally SPREAD about the common center — the squared-deviation
+    cousin of Ansari–Bradley (X367: triangular scores) and the scale
+    half of Lepage (X387), with scores that weight extreme ranks
+    quadratically. With pooled midranks R_i over N = m + n values:
+
+        T = Σ_{i∈A} (R_i − (N+1)/2)²
+        E[T]   = m (N² − 1) / 12
+        Var[T] = m n (N + 1)(N² − 4) / 180
+        z = (T − E) / √Var
+
+    Ties take pooled midranks; the classical no-tie moments are
+    replayed verbatim by both engines (the cucconi_test convention).
+    Midrank scores are exact multiples of 1/4 in doubles, so T carries
+    no float-ordering noise.
+
+    Scale design: the ansari_bradley shape — ONE distinct-value
+    aggregate with conditional-count columns, one range-partitioned
+    prefix pass for midranks, ONE moments aggregate, 1-row scalar
+    arithmetic. Output: (n_a, n_b, t_stat, z) — NULL z when either
+    slice is empty or N < 3 (Var = 0).
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("_g"), x.alias("_v"))
+    cells = base.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_l"),
+        F.sum((F.col("_g") == group_a).cast("double")).alias("_fa"),
+        F.sum((F.col("_g") == group_b).cast("double")).alias("_fb"),
+    )
+    cum = partitioned_prefix_sum(cells, ["_v"], ["_l"], ["_cl"], inclusive=False)
+    tot = cells.agg(F.sum("_l").alias("_N"))
+    j = cum.crossJoin(F.broadcast(tot))
+    r = F.col("_cl") + (F.col("_l") + 1.0) / 2.0
+    sc = (r - (F.col("_N") + 1.0) / 2.0) * (r - (F.col("_N") + 1.0) / 2.0)
+    m = j.agg(
+        F.max("_N").alias("nn"),
+        F.sum("_fa").alias("na"),
+        F.sum("_fb").alias("nb"),
+        F.sum(F.col("_fa") * sc).alias("t"),
+    )
+    nn, na, nb = F.col("nn"), F.col("na"), F.col("nb")
+    et = na * (nn * nn - 1.0) / 12.0
+    vt = na * nb * (nn + 1.0) * (nn * nn - 4.0) / 180.0
+    z = F.when(vt > 0, (F.col("t") - et) / F.sqrt(vt))
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(F.col("t"), 6).alias("t_stat"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def dagostino_k2(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test (D'Agostino 1970
+    skewness transform; Anscombe & Glynn 1983 kurtosis transform;
+    D'Agostino, Belanger & D'Agostino 1990 for the combination): are
+    the values plausibly Gaussian — the moment-based complement to the
+    ECDF screens (Kuiper/Watson X379, KS X157). From population central
+    moments m₂..m₄ (g1 = m₃/m₂^1.5, b2 = m₄/m₂²):
+
+      skewness: Y = g1 √((n+1)(n+3)/(6(n−2))),
+                β₂ = 3(n²+27n−70)(n+1)(n+3) / ((n−2)(n+5)(n+7)(n+9)),
+                W² = −1+√(2(β₂−1)), δ = 1/√(ln W), α = √(2/(W²−1)),
+                Z₁ = δ ln(Y/α + √((Y/α)²+1))
+      kurtosis: E = 3(n−1)/(n+1),
+                V = 24n(n−2)(n−3)/((n+1)²(n+3)(n+5)), x = (b2−E)/√V,
+                √β₁ = 6(n²−5n+2)/((n+7)(n+9)) ·
+                      √(6(n+3)(n+5)/(n(n−2)(n−3))),
+                A = 6 + 8/√β₁ (2/√β₁ + √(1+4/β₁)),
+                Z₂ = ((1−2/(9A)) − ∛((1−2/A)/(1+x√(2/(A−4))))) / √(2/(9A))
+      K² = Z₁² + Z₂²   (~χ²₂ under normality)
+
+    Every step is closed-form scalar arithmetic replayed in the same
+    order by both engines (CBRT is sign-preserving in both); the only
+    data passes are the two moment aggregates.
+
+    Scale design: ONE mean aggregate, one broadcast-mean central-moment
+    aggregate, then 1-row arithmetic — nothing but scans. Output:
+    (n, g1, b2, z_skew, z_kurt, k2) — NULL transforms when n < 8
+    (below which the skewness W² ≤ 1 and δ is undefined — the same
+    bound scipy enforces), m₂ = 0, or the Z₂ denominator
+    1 + x√(2/(A−4)) hits 0.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("_v"))
+    mean = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_v") / F.count("*")).alias("_m"),
+    )
+    d = F.col("_v") - F.col("_m")
+    mom = base.crossJoin(F.broadcast(mean)).agg(
+        F.max("_n").alias("n"),
+        (F.sum(d * d) / F.max("_n")).alias("m2"),
+        (F.sum(d * d * d) / F.max("_n")).alias("m3"),
+        (F.sum(d * d * d * d) / F.max("_n")).alias("m4"),
+    )
+    n, m2 = F.col("n"), F.col("m2")
+    ok = (n >= 8) & (m2 > 0)
+    g1 = F.when(ok, F.col("m3") / F.pow(m2, 1.5))
+    b2 = F.when(ok, F.col("m4") / (m2 * m2))
+    y = g1 * F.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = -1.0 + F.sqrt(2.0 * (beta2 - 1.0))
+    # at n = 7, beta2 = 3 EXACTLY, so w2 = 1 makes both ln(W) and w2-1
+    # degenerate; nullif-guard them (ANSI throws on the division even
+    # when the result only feeds the n>=8-gated NULL branch)
+    delta = 1.0 / F.sqrt(F.nullif(0.5 * F.log(w2), F.lit(0.0)))
+    alpha = F.sqrt(2.0 / F.nullif(w2 - 1.0, F.lit(0.0)))
+    z1 = delta * F.log(y / alpha + F.sqrt((y / alpha) * (y / alpha) + 1.0))
+    eb2 = 3.0 * (n - 1.0) / (n + 1.0)
+    vb2 = (
+        24.0 * n * (n - 2.0) * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    xx = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+        * F.sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0)))
+    )
+    aa = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    z2den = 1.0 + xx * F.sqrt(2.0 / (aa - 4.0))
+    z2 = (
+        (1.0 - 2.0 / (9.0 * aa))
+        - F.cbrt((1.0 - 2.0 / aa) / F.nullif(z2den, F.lit(0.0)))
+    ) / F.sqrt(2.0 / (9.0 * aa))
+    return mom.select(
+        n.cast("long").alias("n"),
+        F.round(g1, 6).alias("g1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(z1, 6).alias("z_skew"),
+        F.round(z2, 6).alias("z_kurt"),
+        F.round(z1 * z1 + z2 * z2, 6).alias("k2"),
+    )

@@ -4253,3 +4253,441 @@ def cox_stuart(
         sm.cast("long").alias("s_minus"),
         F.round(z, 6).alias("z"),
     )
+
+
+def _zero_filled_daily(df: DataFrame, ts_col: str):
+    """Shared scaffold for the daily-series test family (KPSS/Cox–Stuart/
+    Pettitt/Buishand/SNHT/Bartels/variance-ratio): collapse the corpus to
+    per-day counts, fetch the 1-row calendar bounds, and densify onto the
+    zero-filled day grid. Returns ``(grid(_t BIGINT 0-based, _y DOUBLE),
+    t_span)``. The grid is calendar-bounded (B = span days), so every
+    downstream pass runs over a relation whose size is independent of the
+    corpus row count."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(F.count("*").cast("double").alias("_y"))
+    )
+    row = daily.agg(F.min("_day").alias("d0"), F.max("_day").alias("d1")).collect()[
+        0
+    ]  # 1-row control relation (calendar bounds)
+    if row["d0"] is None:
+        raise ValueError("no timestamped rows")
+    t_span = (row["d1"] - row["d0"]).days + 1
+    cal = daily.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(row["d0"]), F.lit(row["d1"]))).alias("_day")
+    )
+    grid = cal.join(daily, "_day", "left").select(
+        F.datediff(F.col("_day"), F.lit(row["d0"])).cast("long").alias("_t"),
+        F.coalesce(F.col("_y"), F.lit(0.0)).alias("_y"),
+    )
+    return grid, t_span
+
+
+def _daily_midranks(grid: DataFrame):
+    """Midranks of the zero-filled daily series, the distinct-value way:
+    ONE distinct-value aggregate over the (at most span-sized) grid, one
+    range-partitioned prefix pass for the cumulative tie-block offsets,
+    then a broadcast value→midrank map joined back — no unpartitioned
+    window anywhere. Returns the grid with an ``_r`` midrank column."""
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    cells = grid.groupBy(F.col("_y").alias("_v")).agg(
+        F.count("*").cast("double").alias("_l")
+    )
+    cum = partitioned_prefix_sum(cells, ["_v"], ["_l"], ["_cl"], inclusive=False)
+    ranks = cum.select(
+        "_v", (F.col("_cl") + (F.col("_l") + 1.0) / 2.0).alias("_r")
+    )
+    return grid.join(
+        F.broadcast(ranks), grid["_y"] == ranks["_v"]
+    ).select("_t", "_y", "_r")
+
+
+def pettitt_test(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Pettitt change-point test on the daily event-count series
+    (Pettitt 1979): the rank-based CUSUM for a single unknown shift in
+    level — WHERE did the rate change, complementing KPSS (X393, "is it
+    stationary at all") and Cox–Stuart (X394, "is it drifting"). Over
+    the zero-filled daily series y_1..y_T with pooled midranks r_i:
+
+        U_t = 2 Σ_{i≤t} r_i − t(T+1)          (t = 1..T−1)
+        K   = max_t |U_t|,   τ = smallest t attaining it
+        p  ≈ min(1, 2 exp(−6K² / (T³ + T²)))   (Pettitt's approximation)
+
+    With midranks 2·Σr_i is an exact integer, so K, τ and the argmax
+    are exact in doubles — no cross-engine float-ordering risk.
+
+    Scale design: the corpus collapses to the calendar-bounded day grid
+    (_zero_filled_daily); midranks are ONE distinct-value aggregate +
+    one prefix pass + a broadcast map join (_daily_midranks); U_t is one
+    more range-partitioned prefix pass; K/τ is a 1-row reduction plus an
+    exact-integer equality filter. Output: (t, tau, k_stat, p_value) —
+    NULL tau/k/p when T < 2.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    grid, t_span = _zero_filled_daily(df, ts_col)
+    ranked = _daily_midranks(grid)
+    w = partitioned_prefix_sum(ranked, ["_t"], ["_r"], ["_w"], inclusive=True)
+    tt = float(t_span)
+    u = w.filter(F.col("_t") < t_span - 1).select(
+        (F.col("_t") + 1).alias("_t1"),
+        F.round(2.0 * F.col("_w") - (F.col("_t") + 1) * (tt + 1.0)).alias("_u"),
+    )
+    kk = u.agg(F.max(F.abs(F.col("_u"))).alias("_k"))
+    tau = (
+        u.crossJoin(F.broadcast(kk))
+        .filter(F.abs(F.col("_u")) == F.col("_k"))
+        .agg(F.min("_t1").alias("_tau"), F.max("_k").alias("_k"))
+    )
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-6.0 * F.col("_k") * F.col("_k") / (tt**3 + tt**2)),
+    )
+    return tau.select(
+        F.lit(t_span).cast("long").alias("t"),
+        F.col("_tau").cast("long").alias("tau"),
+        F.col("_k").cast("long").alias("k_stat"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def buishand_range(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Buishand range test for homogeneity of the daily event rate
+    (Buishand 1982): the rescaled-adjusted-partial-sums screen — a
+    level shift anywhere makes the cumulative departure from the mean
+    excurse far from zero. Over the zero-filled daily series:
+
+        S_k = Σ_{i≤k} (y_i − ȳ),   S_k** = S_k / D,
+        D   = √(Σ (y_i − ȳ)² / T)      (Buishand's population σ̂)
+        R   = max_k S_k** − min_k S_k**   (k = 1..T; S_T = 0 exactly,
+                                           so the zero level is always
+                                           in range)
+        R/√T is referenced against Buishand's Table 1 (≈1.27 at 5%
+        for large T).
+
+    Scale design: calendar-bounded day grid, one broadcast mean/σ̂
+    join, ONE range-partitioned prefix pass, one 1-row min/max
+    reduction. Output: (t, r_range, r_stat) — NULL when σ̂ = 0
+    (constant series).
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    grid, t_span = _zero_filled_daily(df, ts_col)
+    tt = float(t_span)
+    mom = grid.agg(
+        (F.sum("_y") / tt).alias("_m"),
+        (F.sum(F.col("_y") * F.col("_y")) / tt).alias("_m2"),
+    ).select("_m", F.sqrt(F.col("_m2") - F.col("_m") * F.col("_m")).alias("_d"))
+    e = grid.crossJoin(F.broadcast(mom)).select(
+        "_t", (F.col("_y") - F.col("_m")).alias("_e"), "_d"
+    )
+    s = partitioned_prefix_sum(e, ["_t"], ["_e"], ["_s"], inclusive=True)
+    agg = s.agg(
+        F.max("_d").alias("_d"),
+        F.max("_s").alias("_mx"),
+        F.min("_s").alias("_mn"),
+    )
+    rng = F.when(
+        F.col("_d") > 0, (F.col("_mx") - F.col("_mn")) / F.col("_d")
+    )
+    return agg.select(
+        F.lit(t_span).cast("long").alias("t"),
+        F.round(rng, 6).alias("r_range"),
+        F.round(rng / F.sqrt(F.lit(tt)), 6).alias("r_stat"),
+    )
+
+
+def snht_test(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Standard Normal Homogeneity Test on the daily event-count series
+    (Alexandersson 1986): for every split point k, compare the
+    standardized means of the two segments —
+
+        T(k) = k z̄₁² + (T−k) z̄₂²,   k = 1..T−1
+        z̄₁ = (mean(y_1..y_k) − ȳ)/s,  z̄₂ = (mean(y_{k+1}..y_T) − ȳ)/s
+        s   = sample standard deviation (÷(T−1), the convention in the
+              published implementations; documented — both engines
+              replay it)
+        T0  = max_k T(k),  k_max = its argmax
+
+    The argmax compares ROUND(T(k), 6) with smallest-k tie-break in
+    BOTH engines, so the selection is deterministic at the same
+    precision the suite hashes at.
+
+    Scale design: calendar-bounded day grid, broadcast moments join,
+    ONE range-partitioned prefix pass for the segment sums, then a
+    1-row struct-max reduction. Output: (t, k_max, t0) — NULL when
+    s = 0 or T < 2.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    grid, t_span = _zero_filled_daily(df, ts_col)
+    tt = float(t_span)
+    if t_span < 2:
+        return grid.agg(
+            F.lit(t_span).cast("long").alias("t"),
+            F.lit(None).cast("long").alias("k_max"),
+            F.lit(None).cast("double").alias("t0"),
+        )
+    mom = grid.agg(
+        (F.sum("_y") / tt).alias("_m"), F.sum("_y").alias("_tot")
+    )
+    sd = grid.crossJoin(F.broadcast(mom)).agg(
+        F.max("_m").alias("_m"),
+        F.max("_tot").alias("_tot"),
+        F.sqrt(
+            F.sum((F.col("_y") - F.col("_m")) * (F.col("_y") - F.col("_m")))
+            / (tt - 1.0)
+        ).alias("_sd"),
+    )
+    p = partitioned_prefix_sum(grid, ["_t"], ["_y"], ["_p"], inclusive=True)
+    k = p.filter(F.col("_t") < t_span - 1).crossJoin(F.broadcast(sd)).select(
+        (F.col("_t") + 1).alias("_k"), "_p", "_m", "_tot", "_sd"
+    )
+    kf = F.col("_k").cast("double")
+    z1 = (F.col("_p") / kf - F.col("_m")) / F.col("_sd")
+    z2 = ((F.col("_tot") - F.col("_p")) / (tt - kf) - F.col("_m")) / F.col("_sd")
+    tk = kf * z1 * z1 + (tt - kf) * z2 * z2
+    rel = k.filter(F.col("_sd") > 0).select(
+        "_k", F.round(tk, 6).alias("_tk")
+    )
+    agg = rel.agg(
+        F.max(F.struct(F.col("_tk"), (-F.col("_k")).alias("_nk"))).alias("_mx")
+    )
+    return agg.select(
+        F.lit(t_span).cast("long").alias("t"),
+        (-F.col("_mx._nk")).cast("long").alias("k_max"),
+        F.col("_mx._tk").alias("t0"),
+    )
+
+
+def bartels_rank(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Bartels rank test of randomness on the daily event-count series
+    (Bartels 1982): the rank version of von Neumann's successive-
+    difference ratio — trends and positive autocorrelation push it
+    below 2, rapid alternation above. With pooled midranks r_t of the
+    zero-filled daily series and r̄ = (T+1)/2 (exact under midranks):
+
+        RVN = Σ_{t<T} (r_t − r_{t+1})² / Σ_t (r_t − r̄)²
+        z   = (RVN − 2) / √Var,
+        Var = 4(T−2)(5T²−2T−9) / (5T(T+1)(T−1)²)   (Bartels' no-tie
+              asymptotic variance, replayed verbatim by both engines)
+
+    Midrank sums of squares are exact multiples of 1/4 in doubles, so
+    RVN's numerator and denominator carry no float-ordering noise.
+
+    Scale design: calendar-bounded day grid, midranks via ONE
+    distinct-value aggregate + prefix pass + broadcast map
+    (_daily_midranks), successive differences via ONE hash self-join on
+    the shifted day index (the cox_stuart shape — no window at all),
+    then a 1-row reduction. Output: (t, rvn, z) — NULL when the series
+    is constant (denominator 0) or T < 3.
+    """
+    grid, t_span = _zero_filled_daily(df, ts_col)
+    ranked = _daily_midranks(grid)
+    tt = float(t_span)
+    a = ranked.select(F.col("_t").alias("_ta"), F.col("_r").alias("_ra"))
+    b = ranked.select((F.col("_t") - 1).alias("_tb"), F.col("_r").alias("_rb"))
+    nm = (
+        a.join(b, F.col("_ta") == F.col("_tb"))
+        .agg(
+            F.sum(
+                (F.col("_ra") - F.col("_rb")) * (F.col("_ra") - F.col("_rb"))
+            ).alias("_nm")
+        )
+    )
+    rbar = (tt + 1.0) / 2.0
+    d = ranked.agg(
+        F.sum((F.col("_r") - rbar) * (F.col("_r") - rbar)).alias("_d")
+    )
+    j = nm.crossJoin(F.broadcast(d))
+    rvn = F.when(F.col("_d") > 0, F.col("_nm") / F.col("_d"))
+    var = (
+        4.0 * (tt - 2.0) * (5.0 * tt * tt - 2.0 * tt - 9.0)
+        / (5.0 * tt * (tt + 1.0) * (tt - 1.0) * (tt - 1.0))
+    )
+    z = F.when(
+        (F.col("_d") > 0) & F.lit(t_span >= 3),
+        (rvn - 2.0) / F.sqrt(F.lit(var)),
+    )
+    return j.select(
+        F.lit(t_span).cast("long").alias("t"),
+        F.round(rvn, 6).alias("rvn"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    ts_col: str,
+    q: int = 5,
+) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test on the daily event-count series
+    (Lo & MacKinlay 1988): treat cumulative events as the level series,
+    so daily counts y_1..y_n are its increments, and ask whether the
+    variance of overlapping q-day sums is q× the 1-day variance — the
+    random-walk diagnostic; VR > 1 flags positive persistence (bursty
+    rate), VR < 1 mean-reversion:
+
+        μ  = Σ y_t / n
+        σ₁² = Σ (y_t − μ)² / (n − 1)
+        σq² = Σ_{t=q..n} (P_t − P_{t−q} − qμ)² / (q (n−q+1) (1 − q/n))
+              (P = inclusive prefix sums, P_0 = 0; Lo–MacKinlay's
+               overlapping, bias-corrected estimator)
+        VR = σq²/σ₁²,  z = (VR − 1)/√φ,  φ = 2(2q−1)(q−1)/(3 q n)
+              (their homoskedastic asymptotic)
+
+    Scale design: calendar-bounded day grid, ONE range-partitioned
+    prefix pass, the rolling q-sum via ONE hash self-join on the
+    q-shifted day index (plus a literal P_0 = 0 row unioned on the
+    driver side — 1 row), one moments aggregate, 1-row arithmetic.
+    Output: (n, q, vr, z) — NULL when n ≤ q or σ₁² = 0.
+    """
+    from swivel_spark_prep_spark.operators.ranks import partitioned_prefix_sum
+
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    grid, t_span = _zero_filled_daily(df, ts_col)
+    nn = float(t_span)
+    mean = grid.agg((F.sum("_y") / nn).alias("_m"))
+    mom = (
+        grid.crossJoin(F.broadcast(mean))
+        .agg(
+            F.max("_m").alias("_m"),
+            F.sum(
+                (F.col("_y") - F.col("_m")) * (F.col("_y") - F.col("_m"))
+            ).alias("_ss"),
+        )
+    )
+    p = partitioned_prefix_sum(grid, ["_t"], ["_y"], ["_p"], inclusive=True)
+    p1 = p.select((F.col("_t") + 1).alias("_t1"), "_p")
+    zero = grid.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("_t1"), F.lit(0.0).alias("_p")
+    )
+    pall = p1.unionByName(zero)
+    a = pall.select(F.col("_t1").alias("_ta"), F.col("_p").alias("_pa"))
+    b = pall.select((F.col("_t1") + q).alias("_tb"), F.col("_p").alias("_pb"))
+    roll = a.join(b, F.col("_ta") == F.col("_tb")).crossJoin(F.broadcast(mom))
+    dev = F.col("_pa") - F.col("_pb") - q * F.col("_m")
+    agg = roll.agg(
+        F.sum(dev * dev).alias("_sq"), F.max("_ss").alias("_ss")
+    )
+    m_corr = q * (nn - q + 1.0) * (1.0 - q / nn)
+    sig1 = F.col("_ss") / (nn - 1.0)
+    sigq = F.col("_sq") / F.lit(m_corr)
+    vr = F.when((F.lit(t_span > q)) & (sig1 > 0), sigq / sig1)
+    phi = 2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q * nn)  # > 0 for q >= 2
+    z = (vr - 1.0) / F.sqrt(F.lit(phi))
+    return agg.select(
+        F.lit(t_span).cast("long").alias("n"),
+        F.lit(q).cast("long").alias("q"),
+        F.round(vr, 6).alias("vr"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def spatial_autocorr(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Moran's I and Geary's C over the (day × hour-of-day) activity
+    lattice (Moran 1950; Geary 1954): is event intensity CLUSTERED in
+    time-of-week space — do busy cells sit next to busy cells (I > −1/
+    (n−1), C < 1) or alternate? The lattice is the zero-filled day ×
+    24-hour count grid; the weight matrix is binary rook adjacency
+    (day±1 at the same hour, hour±1 on the same day, no wrap), with
+    every undirected edge counted once and the symmetric doubling
+    folded into the closed forms:
+
+        I = n Σ_E z_i z_j / (|E| Σ z²)
+        C = (n−1) Σ_E (z_i − z_j)² / (2 |E| Σ z²)
+
+    (z = cell count − mean; E = undirected rook edges; equivalent to
+    the textbook W-form with S0 = 2|E|.)
+
+    Scale design: the corpus collapses to the calendar×24-bounded cell
+    grid; adjacency is TWO hash self-joins on shifted cell indices
+    (fan-out ≤ 1 each — never a cartesian), then one 1-row reduction
+    each for moments and edge sums. Output: (n_cells, n_edges,
+    moran_i, geary_c) — NULL stats on a constant lattice.
+    """
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.to_date(F.col(ts_col)).alias("_day"),
+            F.hour(F.col(ts_col)).cast("long").alias("_h"),
+        )
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    row = daily.agg(F.min("_day").alias("d0"), F.max("_day").alias("d1")).collect()[
+        0
+    ]  # 1-row control relation (calendar bounds)
+    if row["d0"] is None:
+        raise ValueError("no timestamped rows")
+    span = (row["d1"] - row["d0"]).days + 1
+    cal = daily.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(row["d0"]), F.lit(row["d1"]))).alias("_day"),
+    )
+    hours = daily.sparkSession.range(24).select(F.col("id").alias("_h"))
+    grid = (
+        cal.crossJoin(F.broadcast(hours))  # bounded: span × 24 cells (BNLJ)
+        .join(daily, ["_day", "_h"], "left")
+        .select(
+            F.datediff(F.col("_day"), F.lit(row["d0"])).cast("long").alias("_d"),
+            "_h",
+            F.coalesce(F.col("_c"), F.lit(0.0)).alias("_c"),
+        )
+    )
+    n = float(span * 24)
+    mom = grid.agg((F.sum("_c") / n).alias("_m"))
+    zg = grid.crossJoin(F.broadcast(mom)).select(
+        "_d", "_h", (F.col("_c") - F.col("_m")).alias("_z")
+    )
+    a = zg.select(
+        F.col("_d").alias("_da"), F.col("_h").alias("_ha"), F.col("_z").alias("_za")
+    )
+    bd = zg.select(
+        (F.col("_d") - 1).alias("_da"), F.col("_h").alias("_ha"),
+        F.col("_z").alias("_zb"),
+    )
+    bh = zg.select(
+        F.col("_d").alias("_da"), (F.col("_h") - 1).alias("_ha"),
+        F.col("_z").alias("_zb"),
+    )
+    edges = a.join(bd, ["_da", "_ha"]).unionByName(a.join(bh, ["_da", "_ha"]))
+    es = edges.agg(
+        F.count("*").cast("double").alias("_ne"),
+        F.sum(F.col("_za") * F.col("_zb")).alias("_szz"),
+        F.sum(
+            (F.col("_za") - F.col("_zb")) * (F.col("_za") - F.col("_zb"))
+        ).alias("_sd2"),
+    )
+    den = zg.agg(F.sum(F.col("_z") * F.col("_z")).alias("_den"))
+    j = es.crossJoin(F.broadcast(den))
+    moran = F.when(
+        (F.col("_den") > 0) & (F.col("_ne") > 0),
+        n * F.col("_szz") / (F.col("_ne") * F.col("_den")),
+    )
+    geary = F.when(
+        (F.col("_den") > 0) & (F.col("_ne") > 0),
+        (n - 1.0) * F.col("_sd2") / (2.0 * F.col("_ne") * F.col("_den")),
+    )
+    return j.select(
+        F.lit(int(n)).cast("long").alias("n_cells"),
+        F.col("_ne").cast("long").alias("n_edges"),
+        F.round(moran, 6).alias("moran_i"),
+        F.round(geary, 6).alias("geary_c"),
+    )

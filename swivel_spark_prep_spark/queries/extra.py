@@ -15166,3 +15166,355 @@ def x396(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return mtld(docs, "lang")
+
+
+@_declare(
+    "X397_pettitt",
+    # Pettitt change-point test on the daily rate (timeseries.
+    # pettitt_test; Pettitt 1979): rank-based CUSUM for a single
+    # unknown level shift - WHERE did the rate change, after X393
+    # (KPSS) says it is not stationary. U_t = 2*sum(midranks<=t) -
+    # t(T+1) is an exact INTEGER under midranks, so K/tau/argmax are
+    # float-noise-free; p ~ min(1, 2exp(-6K^2/(T^3+T^2))).
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+rk AS (SELECT tt, RANK() OVER (ORDER BY y)
+                  + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS r
+       FROM grid),
+w AS (SELECT tt, SUM(r) OVER (ORDER BY tt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w FROM rk),
+u AS (SELECT tt + 1 AS t1,
+             ROUND(2.0 * w - (tt + 1) * ((SELECT t FROM bd) + 1.0)) AS u
+      FROM w WHERE tt < (SELECT t FROM bd) - 1),
+kk AS (SELECT MAX(ABS(u)) AS k FROM u),
+tu AS (SELECT MIN(t1) AS tau FROM u
+       WHERE ABS(u) = (SELECT k FROM kk))
+SELECT (SELECT t FROM bd) AS t, (SELECT tau FROM tu)::BIGINT AS tau,
+       (SELECT k FROM kk)::BIGINT AS k_stat,
+       ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * (SELECT k FROM kk)
+                                  * (SELECT k FROM kk)
+             / (POW((SELECT t FROM bd)::DOUBLE, 3)
+                + POW((SELECT t FROM bd)::DOUBLE, 2)))), 6) AS p_value;""",
+)
+def x397(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import pettitt_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return pettitt_test(ev, "ts")
+
+
+@_declare(
+    "X398_buishand_range",
+    # Buishand range homogeneity test on the daily rate (timeseries.
+    # buishand_range; Buishand 1982): rescaled adjusted partial sums -
+    # a level shift anywhere pushes the cumulative departure far from
+    # zero; R/sqrt(T) vs Buishand's Table 1 (~1.27 at 5%). Population
+    # sigma-hat (/T), k = 1..T with S_T = 0 closing the range.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+mm AS (SELECT SUM(y) / (SELECT t FROM bd) AS m,
+              SUM(y * y) / (SELECT t FROM bd) AS m2 FROM grid),
+dd AS (SELECT m, sqrt(m2 - m * m) AS d FROM mm),
+s AS (SELECT tt, SUM(y - (SELECT m FROM dd)) OVER (ORDER BY tt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM grid),
+ag AS (SELECT MAX(s) AS mx, MIN(s) AS mn FROM s)
+SELECT (SELECT t FROM bd) AS t,
+       ROUND(CASE WHEN (SELECT d FROM dd) > 0
+             THEN (mx - mn) / (SELECT d FROM dd) END, 6) AS r_range,
+       ROUND(CASE WHEN (SELECT d FROM dd) > 0
+             THEN (mx - mn) / (SELECT d FROM dd)
+                  / sqrt((SELECT t FROM bd)::DOUBLE) END, 6) AS r_stat
+FROM ag;""",
+)
+def x398(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import buishand_range
+
+    ev = load_table(spark, sf_dir, "events")
+    return buishand_range(ev, "ts")
+
+
+@_declare(
+    "X399_snht",
+    # Standard Normal Homogeneity Test on the daily rate (timeseries.
+    # snht_test; Alexandersson 1986): max over split points of
+    # k*z1bar^2 + (T-k)*z2bar^2 - the parametric change-point
+    # complement to X397's rank CUSUM. Sample sd (/(T-1)); the argmax
+    # compares ROUND(T(k),6) with smallest-k tie-break in BOTH
+    # engines.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+mm AS (SELECT SUM(y) AS tot, SUM(y) / (SELECT t FROM bd) AS m FROM grid),
+sd AS (SELECT m, tot,
+              sqrt(SUM((y - m) * (y - m)) / ((SELECT t FROM bd) - 1.0)) AS sd
+       FROM grid CROSS JOIN mm GROUP BY m, tot),
+p AS (SELECT tt, SUM(y) OVER (ORDER BY tt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM grid),
+tk AS (SELECT tt + 1 AS k,
+              ROUND((tt + 1.0)
+                    * ((p / (tt + 1.0) - m) / sd)
+                    * ((p / (tt + 1.0) - m) / sd)
+                    + ((SELECT t FROM bd) - (tt + 1.0))
+                    * (((tot - p) / ((SELECT t FROM bd) - (tt + 1.0)) - m)
+                       / sd)
+                    * (((tot - p) / ((SELECT t FROM bd) - (tt + 1.0)) - m)
+                       / sd), 6) AS tk
+       FROM p CROSS JOIN sd
+       WHERE tt < (SELECT t FROM bd) - 1 AND sd > 0)
+SELECT (SELECT t FROM bd) AS t, k::BIGINT AS k_max, tk AS t0
+FROM tk ORDER BY tk DESC, k ASC LIMIT 1;""",
+)
+def x399(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import snht_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return snht_test(ev, "ts")
+
+
+@_declare(
+    "X400_bartels_rank",
+    # Bartels rank test of randomness on the daily rate (timeseries.
+    # bartels_rank; Bartels 1982): the rank von Neumann successive-
+    # difference ratio - trend/persistence pushes RVN below 2,
+    # alternation above; Bartels' no-tie variance replayed verbatim.
+    # Midrank squares are exact quarters, so RVN is float-noise-free.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+rk AS (SELECT tt, RANK() OVER (ORDER BY y)
+                  + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS r
+       FROM grid),
+nm AS (SELECT SUM((a.r - b.r) * (a.r - b.r)) AS nm
+       FROM rk a JOIN rk b ON a.tt + 1 = b.tt),
+dd AS (SELECT SUM((r - ((SELECT t FROM bd) + 1.0) / 2.0)
+                  * (r - ((SELECT t FROM bd) + 1.0) / 2.0)) AS d FROM rk)
+SELECT (SELECT t FROM bd) AS t,
+       ROUND(CASE WHEN d > 0 THEN nm / d END, 6) AS rvn,
+       ROUND(CASE WHEN d > 0 AND (SELECT t FROM bd) >= 3
+             THEN (nm / d - 2.0)
+                  / sqrt(4.0 * ((SELECT t FROM bd) - 2.0)
+                         * (5.0 * (SELECT t FROM bd) * (SELECT t FROM bd)
+                            - 2.0 * (SELECT t FROM bd) - 9.0)
+                         / (5.0 * (SELECT t FROM bd)
+                            * ((SELECT t FROM bd) + 1.0)
+                            * ((SELECT t FROM bd) - 1.0)
+                            * ((SELECT t FROM bd) - 1.0))) END, 6) AS z
+FROM nm CROSS JOIN dd;""",
+)
+def x400(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import bartels_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    return bartels_rank(ev, "ts")
+
+
+@_declare(
+    "X401_mood_dispersion",
+    # Mood squared-rank dispersion test, view vs signup values
+    # (evalmetrics.mood_dispersion; Mood 1954): are the two event
+    # streams equally SPREAD - quadratic extreme-rank scores, the
+    # squared-deviation cousin of X367 (Ansari) and the scale half of
+    # X387 (Lepage). Midrank ties; classical no-tie moments replayed
+    # verbatim; midrank scores exact in doubles.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IN ('view', 'signup')),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l,
+                 SUM((g = 'view')::INT)::DOUBLE AS fa,
+                 SUM((g = 'signup')::INT)::DOUBLE AS fb
+          FROM b GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM cells),
+tot AS (SELECT SUM(l) AS N FROM cells),
+sc AS (SELECT fa, fb,
+              (cl + (l + 1.0) / 2.0 - (N + 1.0) / 2.0)
+              * (cl + (l + 1.0) / 2.0 - (N + 1.0) / 2.0) AS s, N
+       FROM cum CROSS JOIN tot),
+m AS (SELECT MAX(N) AS nn, SUM(fa) AS na, SUM(fb) AS nb,
+             SUM(fa * s) AS t FROM sc)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(t, 6) AS t_stat,
+       ROUND(CASE WHEN na * nb * (nn + 1.0) * (nn * nn - 4.0) / 180.0 > 0
+             THEN (t - na * (nn * nn - 1.0) / 12.0)
+                  / sqrt(na * nb * (nn + 1.0) * (nn * nn - 4.0) / 180.0)
+             END, 6) AS z
+FROM m;""",
+)
+def x401(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import mood_dispersion
+
+    ev = load_table(spark, sf_dir, "events")
+    return mood_dispersion(ev, "value", "event_type", "view", "signup")
+
+
+@_declare(
+    "X402_variance_ratio",
+    # Lo-MacKinlay variance ratio on the daily rate, q = 5
+    # (timeseries.variance_ratio; Lo & MacKinlay 1988): cumulative
+    # events as the level series, so daily counts are its increments -
+    # is the 5-day-sum variance 5x the daily variance? VR > 1 =
+    # bursty persistence; overlapping bias-corrected estimator,
+    # homoskedastic z.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+mm AS (SELECT SUM(y) / (SELECT t FROM bd) AS m FROM grid),
+ss AS (SELECT SUM((y - (SELECT m FROM mm)) * (y - (SELECT m FROM mm)))
+           AS ss FROM grid),
+p AS (SELECT tt + 1 AS t1, SUM(y) OVER (ORDER BY tt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM grid
+      UNION ALL SELECT 0, 0.0),
+rl AS (SELECT SUM((a.p - b.p - 5.0 * (SELECT m FROM mm))
+                  * (a.p - b.p - 5.0 * (SELECT m FROM mm))) AS sq
+       FROM p a JOIN p b ON a.t1 = b.t1 + 5),
+fin AS (SELECT (SELECT t FROM bd) AS n, sq, (SELECT ss FROM ss) AS ss
+        FROM rl)
+SELECT n AS n, 5::BIGINT AS q,
+       ROUND(CASE WHEN n > 5 AND ss / (n - 1.0) > 0
+             THEN (sq / (5.0 * (n - 5 + 1.0) * (1.0 - 5.0 / n)))
+                  / (ss / (n - 1.0)) END, 6) AS vr,
+       ROUND((CASE WHEN n > 5 AND ss / (n - 1.0) > 0
+             THEN (sq / (5.0 * (n - 5 + 1.0) * (1.0 - 5.0 / n)))
+                  / (ss / (n - 1.0)) END - 1.0)
+             / sqrt(2.0 * 9.0 * 4.0 / (3.0 * 5.0 * n)), 6) AS z
+FROM fin;""",
+)
+def x402(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import variance_ratio
+
+    ev = load_table(spark, sf_dir, "events")
+    return variance_ratio(ev, "ts", q=5)
+
+
+@_declare(
+    "X403_spatial_autocorr",
+    # Moran's I + Geary's C over the day x hour-of-day activity
+    # lattice (timeseries.spatial_autocorr; Moran 1950, Geary 1954):
+    # is intensity CLUSTERED in time-of-week space - rook adjacency
+    # (day+-1 same hour, hour+-1 same day, no wrap), undirected edges
+    # once with the symmetric doubling folded into the closed forms.
+    """WITH cell AS (SELECT CAST(ts AS DATE) AS d,
+                EXTRACT(hour FROM ts)::BIGINT AS h, COUNT(*)::DOUBLE AS c
+       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS sp FROM cell),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+hrs AS (SELECT unnest(range(0, 24))::BIGINT AS h),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS di, hrs.h AS h,
+                COALESCE(c, 0.0) AS c
+         FROM cal CROSS JOIN hrs CROSS JOIN bd
+         LEFT JOIN cell ON cell.d = cal.d AND cell.h = hrs.h),
+nn AS (SELECT (sp * 24)::DOUBLE AS n FROM bd),
+mm AS (SELECT SUM(c) / (SELECT n FROM nn) AS m FROM grid),
+zg AS (SELECT di, h, c - (SELECT m FROM mm) AS z FROM grid),
+ed AS (SELECT a.z AS za, b.z AS zb FROM zg a JOIN zg b
+         ON a.di + 1 = b.di AND a.h = b.h
+       UNION ALL
+       SELECT a.z, b.z FROM zg a JOIN zg b
+         ON a.di = b.di AND a.h + 1 = b.h),
+es AS (SELECT COUNT(*)::DOUBLE AS ne, SUM(za * zb) AS szz,
+              SUM((za - zb) * (za - zb)) AS sd2 FROM ed),
+dn AS (SELECT SUM(z * z) AS den FROM zg)
+SELECT (SELECT n FROM nn)::BIGINT AS n_cells, ne::BIGINT AS n_edges,
+       ROUND(CASE WHEN den > 0 AND ne > 0
+             THEN (SELECT n FROM nn) * szz / (ne * den) END, 6) AS moran_i,
+       ROUND(CASE WHEN den > 0 AND ne > 0
+             THEN ((SELECT n FROM nn) - 1.0) * sd2 / (2.0 * ne * den)
+             END, 6) AS geary_c
+FROM es CROSS JOIN dn;""",
+)
+def x403(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import spatial_autocorr
+
+    ev = load_table(spark, sf_dir, "events")
+    return spatial_autocorr(ev, "ts")
+
+
+@_declare(
+    "X404_dagostino_k2",
+    # D'Agostino-Pearson K^2 omnibus normality on event values
+    # (evalmetrics.dagostino_k2; D'Agostino 1970, Anscombe-Glynn 1983,
+    # D'Agostino-Belanger-D'Agostino 1990): moment-based normality -
+    # the complement to the ECDF screens (X157 KS, X379 Kuiper).
+    # Population central moments; every transform is closed-form
+    # scalar math replayed in the same order; sign-preserving CBRT in
+    # both engines.
+    """WITH b AS (SELECT value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL),
+mn AS (SELECT COUNT(*)::DOUBLE AS n, SUM(v) / COUNT(*) AS m FROM b),
+mo AS (SELECT MAX(n) AS n,
+              SUM((v - m) * (v - m)) / MAX(n) AS m2,
+              SUM((v - m) * (v - m) * (v - m)) / MAX(n) AS m3,
+              SUM((v - m) * (v - m) * (v - m) * (v - m)) / MAX(n) AS m4
+       FROM b CROSS JOIN mn),
+gb AS (SELECT n,
+              CASE WHEN n >= 8 AND m2 > 0 THEN m3 / POW(m2, 1.5) END AS g1,
+              CASE WHEN n >= 8 AND m2 > 0 THEN m4 / (m2 * m2) END AS b2
+       FROM mo),
+sk AS (SELECT n, g1, b2,
+              g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS y,
+              3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+              / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) AS beta2
+       FROM gb),
+sk2 AS (SELECT *, -1.0 + sqrt(2.0 * (beta2 - 1.0)) AS w2 FROM sk),
+sk3 AS (SELECT *, 1.0 / sqrt(0.5 * ln(w2)) AS delta,
+               sqrt(2.0 / (w2 - 1.0)) AS alpha FROM sk2),
+z1t AS (SELECT n, g1, b2,
+               delta * ln(y / alpha
+                          + sqrt((y / alpha) * (y / alpha) + 1.0)) AS z1
+        FROM sk3),
+ku AS (SELECT n, g1, b2, z1,
+              (b2 - 3.0 * (n - 1.0) / (n + 1.0))
+              / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+                     / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)))
+                AS xx,
+              6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+              * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                     / (n * (n - 2.0) * (n - 3.0))) AS sb1
+       FROM z1t),
+ku2 AS (SELECT *, 6.0 + 8.0 / sb1
+               * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa FROM ku),
+z2t AS (SELECT n, g1, b2, z1,
+               ((1.0 - 2.0 / (9.0 * aa))
+                - cbrt((1.0 - 2.0 / aa)
+                       / NULLIF(1.0 + xx * sqrt(2.0 / (aa - 4.0)), 0.0)))
+               / sqrt(2.0 / (9.0 * aa)) AS z2
+        FROM ku2)
+SELECT n::BIGINT AS n, ROUND(g1, 6) AS g1, ROUND(b2, 6) AS b2,
+       ROUND(z1, 6) AS z_skew, ROUND(z2, 6) AS z_kurt,
+       ROUND(z1 * z1 + z2 * z2, 6) AS k2
+FROM z2t;""",
+)
+def x404(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import dagostino_k2
+
+    ev = load_table(spark, sf_dir, "events")
+    return dagostino_k2(ev, "value")

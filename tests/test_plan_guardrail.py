@@ -210,6 +210,13 @@ ALLOWED_PAIR_SELF_JOINS = {
     # INDEX (k joined to k+1) — equi-join with fan-out exactly 1, output
     # K−1 rows for K cells; LINEAR by construction, never rows×rows
     "X385_chatterjee_xi": 1,
+    # X400: successive-difference join on the zero-filled DAY GRID
+    # (t joined to t+1, the cox_stuart shifted-index shape) — fan-out
+    # exactly 1 over the calendar-bounded relation (B = span days)
+    "X400_bartels_rank": 1,
+    # X402: rolling q-sum join on the day-grid prefix relation
+    # (t joined to t+q, q = 5) — fan-out exactly 1, calendar-bounded
+    "X402_variance_ratio": 1,
 }
 
 #: name -> list of max allowed replicate-explode sizes, one per site

@@ -701,3 +701,340 @@ def test_mtld_brute_force_and_length_robustness(spark):
     # length-robust: the doubled text's MTLD stays within 35% of the
     # original (raw TTR would halve)
     assert abs(g2["mean_mtld"] - got["mean_mtld"]) / got["mean_mtld"] < 0.35
+
+
+# ----------------------------------------------- X397-X404 round-16 tranche 3
+def _daily_rows(counts, base=None):
+    """One timestamp row per event: day t gets counts[t] rows."""
+    import datetime
+
+    base = base or datetime.date(2024, 3, 1)
+    rows = []
+    for t, c in enumerate(counts):
+        for i in range(int(c)):
+            rows.append(
+                (datetime.datetime.combine(base, datetime.time(12))
+                 + datetime.timedelta(days=t, seconds=i),)
+            )
+    return rows
+
+
+def _midranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    r = [0.0] * len(vals)
+    i = 0
+    while i < len(vals):
+        j = i
+        while j + 1 < len(vals) and vals[order[j + 1]] == vals[order[i]]:
+            j += 1
+        for k in range(i, j + 1):
+            r[order[k]] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    return r
+
+
+def test_pettitt_brute_force_and_step_change(spark):
+    """Pettitt's rank formula must equal the textbook double-sum
+    U_t = ΣΣ sign(y_j − y_i) (they coincide under midranks), and a
+    planted level shift must put τ at the true change point with a
+    tiny p."""
+    import math
+    import random
+
+    rng = random.Random(41)
+    counts = [rng.randint(5, 15) for _ in range(20)]
+    df = spark.createDataFrame(_daily_rows(counts), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import pettitt_test
+
+    got = pettitt_test(df, "ts").collect()[0]
+    T = len(counts)
+    U = [
+        sum(
+            (counts[j] > counts[i]) - (counts[j] < counts[i])
+            for i in range(t + 1)
+            for j in range(t + 1, T)
+        )
+        for t in range(T - 1)
+    ]
+    K = max(abs(u) for u in U)
+    tau = next(i + 1 for i, u in enumerate(U) if abs(u) == K)
+    p = min(1.0, 2.0 * math.exp(-6.0 * K * K / (T**3 + T**2)))
+    assert got["t"] == T and got["k_stat"] == K and got["tau"] == tau
+    assert got["p_value"] == pytest.approx(p, abs=1e-6)
+
+    step = [10] * 15 + [30] * 15  # shift after day 15
+    got2 = pettitt_test(
+        spark.createDataFrame(_daily_rows(step), "ts timestamp"), "ts"
+    ).collect()[0]
+    assert got2["tau"] == 15 and got2["p_value"] < 0.001
+
+
+def test_buishand_and_snht_brute_force(spark):
+    """Both homogeneity screens replay their textbook formulas, and on
+    a planted shift SNHT's argmax lands on the true split."""
+    import math
+    import random
+
+    rng = random.Random(43)
+    counts = [rng.randint(5, 25) for _ in range(24)]
+    df = spark.createDataFrame(_daily_rows(counts), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import (
+        buishand_range,
+        snht_test,
+    )
+
+    T = len(counts)
+    m = sum(counts) / T
+    sd_pop = math.sqrt(sum((y - m) ** 2 for y in counts) / T)
+    acc, S = 0.0, []
+    for y in counts:
+        acc += y - m
+        S.append(acc)
+    rng_b = (max(S) - min(S)) / sd_pop
+    got_b = buishand_range(df, "ts").collect()[0]
+    assert got_b["r_range"] == pytest.approx(rng_b, abs=1e-6)
+    assert got_b["r_stat"] == pytest.approx(rng_b / math.sqrt(T), abs=1e-6)
+
+    sd_smp = math.sqrt(sum((y - m) ** 2 for y in counts) / (T - 1))
+    tks = []
+    for k in range(1, T):
+        z1 = (sum(counts[:k]) / k - m) / sd_smp
+        z2 = (sum(counts[k:]) / (T - k) - m) / sd_smp
+        tks.append(k * z1 * z1 + (T - k) * z2 * z2)
+    t0 = max(tks)
+    got_s = snht_test(df, "ts").collect()[0]
+    assert got_s["t0"] == pytest.approx(t0, abs=1e-6)
+    assert got_s["k_max"] == tks.index(t0) + 1
+
+    step = [8] * 10 + [20] * 14
+    got2 = snht_test(
+        spark.createDataFrame(_daily_rows(step), "ts timestamp"), "ts"
+    ).collect()[0]
+    assert got2["k_max"] == 10  # true split point
+
+
+def test_bartels_rank_brute_force_and_directions(spark):
+    """RVN replays the rank von Neumann ratio; a monotone trend sits
+    far below 2 (positive persistence), strict alternation far above."""
+    import math
+    import random
+
+    rng = random.Random(47)
+    counts = [rng.randint(5, 30) for _ in range(25)]
+    df = spark.createDataFrame(_daily_rows(counts), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import bartels_rank
+
+    r = _midranks([float(c) for c in counts])
+    T = len(counts)
+    rvn = sum((r[t] - r[t + 1]) ** 2 for t in range(T - 1)) / sum(
+        (v - (T + 1) / 2.0) ** 2 for v in r
+    )
+    var = (
+        4.0 * (T - 2) * (5.0 * T * T - 2 * T - 9)
+        / (5.0 * T * (T + 1) * (T - 1) * (T - 1))
+    )
+    got = bartels_rank(df, "ts").collect()[0]
+    assert got["rvn"] == pytest.approx(rvn, abs=1e-6)
+    assert got["z"] == pytest.approx((rvn - 2.0) / math.sqrt(var), abs=1e-6)
+
+    trend = bartels_rank(
+        spark.createDataFrame(_daily_rows(range(5, 35)), "ts timestamp"), "ts"
+    ).collect()[0]
+    assert trend["rvn"] < 1.0 and trend["z"] < -3  # persistence
+    alt = bartels_rank(
+        spark.createDataFrame(
+            _daily_rows([5 if t % 2 else 30 for t in range(30)]), "ts timestamp"
+        ),
+        "ts",
+    ).collect()[0]
+    assert alt["rvn"] > 3.0 and alt["z"] > 3  # alternation
+
+
+def test_variance_ratio_brute_force_and_persistence(spark):
+    """VR replays Lo–MacKinlay's overlapping estimator; a blocky
+    persistent series has VR(5) >> 1, an alternating one << 1."""
+    import math
+    import random
+
+    rng = random.Random(53)
+    counts = [rng.randint(5, 25) for _ in range(30)]
+    df = spark.createDataFrame(_daily_rows(counts), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import variance_ratio
+
+    q, n = 5, len(counts)
+    mu = sum(counts) / n
+    P = [0.0]
+    for y in counts:
+        P.append(P[-1] + y)
+    sq = sum((P[t] - P[t - q] - q * mu) ** 2 for t in range(q, n + 1))
+    sigq = sq / (q * (n - q + 1) * (1 - q / n))
+    sig1 = sum((y - mu) ** 2 for y in counts) / (n - 1)
+    vr = sigq / sig1
+    z = (vr - 1.0) / math.sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * n))
+    got = variance_ratio(df, "ts", q=5).collect()[0]
+    assert got["n"] == n and got["q"] == q
+    assert got["vr"] == pytest.approx(vr, abs=1e-6)
+    assert got["z"] == pytest.approx(z, abs=1e-6)
+
+    blocky = [10] * 10 + [40] * 10 + [10] * 10 + [40] * 10
+    vb = variance_ratio(
+        spark.createDataFrame(_daily_rows(blocky), "ts timestamp"), "ts"
+    ).collect()[0]
+    assert vb["vr"] > 1.5  # persistent blocks
+    alt = [5 if t % 2 else 30 for t in range(40)]
+    va = variance_ratio(
+        spark.createDataFrame(_daily_rows(alt), "ts timestamp"), "ts"
+    ).collect()[0]
+    assert va["vr"] < 0.5  # mean reversion
+
+    with pytest.raises(ValueError, match="q must be"):
+        variance_ratio(df, "ts", q=1)
+
+
+def test_spatial_autocorr_brute_force_and_patterns(spark):
+    """Moran/Geary replay the numpy lattice brute force, and planted
+    patterns point the right way: day-banded intensity clusters
+    (I > 0, C < 1), hour-checkerboard alternates (I < 0, C > 1)."""
+    import datetime
+    import random
+
+    rng = random.Random(59)
+    base = datetime.date(2024, 3, 1)
+
+    def build(counts_fn, days):
+        rows = []
+        grid = {}
+        for t in range(days):
+            for h in range(24):
+                c = counts_fn(t, h)
+                grid[(t, h)] = float(c)
+                for i in range(c):
+                    rows.append(
+                        (datetime.datetime.combine(base, datetime.time(h, 30))
+                         + datetime.timedelta(days=t, seconds=i),)
+                    )
+        return rows, grid
+
+    rows, grid = build(lambda t, h: rng.randint(0, 6), 5)
+    df = spark.createDataFrame(rows, "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import spatial_autocorr
+
+    got = spatial_autocorr(df, "ts").collect()[0]
+    days = 5
+    n = days * 24
+    m = sum(grid.values()) / n
+    z = {k: v - m for k, v in grid.items()}
+    edges = [((t, h), (t + 1, h)) for t in range(days - 1) for h in range(24)]
+    edges += [((t, h), (t, h + 1)) for t in range(days) for h in range(23)]
+    den = sum(v * v for v in z.values())
+    szz = sum(z[a] * z[b] for a, b in edges)
+    sd2 = sum((z[a] - z[b]) ** 2 for a, b in edges)
+    ne = len(edges)
+    assert got["n_cells"] == n and got["n_edges"] == ne
+    assert got["moran_i"] == pytest.approx(n * szz / (ne * den), abs=1e-6)
+    assert got["geary_c"] == pytest.approx(
+        (n - 1) * sd2 / (2.0 * ne * den), abs=1e-6
+    )
+
+    rows_b, _ = build(lambda t, h: 12 if t % 4 < 2 else 1, 8)  # day bands
+    band = spatial_autocorr(
+        spark.createDataFrame(rows_b, "ts timestamp"), "ts"
+    ).collect()[0]
+    assert band["moran_i"] > 0.3 and band["geary_c"] < 0.7
+
+    rows_c, _ = build(lambda t, h: 10 if (t + h) % 2 else 1, 6)  # checkerboard
+    chk = spatial_autocorr(
+        spark.createDataFrame(rows_c, "ts timestamp"), "ts"
+    ).collect()[0]
+    assert chk["moran_i"] < -0.5 and chk["geary_c"] > 1.5
+
+
+def test_mood_dispersion_brute_force_and_direction(spark):
+    """Mood's T replays the squared-rank brute force with midrank
+    ties, and the wider-spread sample drives z positive."""
+    import math
+    import random
+
+    rng = random.Random(61)
+    a = [round(10 + 6 * (rng.random() - 0.5), 1) for _ in range(40)]  # wide
+    b = [round(10 + 2 * (rng.random() - 0.5), 1) for _ in range(35)]  # narrow
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import mood_dispersion
+
+    got = mood_dispersion(df, "v", "g", "a", "b").collect()[0]
+    vals = a + b
+    r = _midranks(vals)
+    N = len(vals)
+    m_n = len(a)
+    t_stat = sum(
+        (r[i] - (N + 1) / 2.0) ** 2 for i in range(m_n)
+    )
+    E = m_n * (N * N - 1) / 12.0
+    V = m_n * len(b) * (N + 1) * (N * N - 4) / 180.0
+    assert got["n_a"] == m_n and got["n_b"] == len(b)
+    assert got["t_stat"] == pytest.approx(t_stat, abs=1e-6)
+    assert got["z"] == pytest.approx((t_stat - E) / math.sqrt(V), abs=1e-6)
+    assert got["z"] > 2  # sample a is wider → extreme ranks → large T
+
+
+def test_dagostino_k2_brute_force_and_gates(spark):
+    """K² replays the published three-paper transform chain exactly
+    (pinned against an independent float walk), a symmetric light-
+    tailed sample keeps K² small, and n < 8 gates to NULL."""
+    import math
+    import random
+
+    rng = random.Random(67)
+    skewed = [round(math.exp(rng.gauss(0, 0.8)), 4) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in skewed], "v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import dagostino_k2
+
+    got = dagostino_k2(df, "v").collect()[0]
+    n = len(skewed)
+    m = sum(skewed) / n
+    m2 = sum((v - m) ** 2 for v in skewed) / n
+    m3 = sum((v - m) ** 3 for v in skewed) / n
+    m4 = sum((v - m) ** 4 for v in skewed) / n
+    g1 = m3 / m2**1.5
+    b2 = m4 / (m2 * m2)
+    y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w2 = -1 + math.sqrt(2 * (beta2 - 1))
+    delta = 1 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2.0 / (w2 - 1))
+    z1 = delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1))
+    eb2 = 3.0 * (n - 1) / (n + 1)
+    vb2 = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    xx = (b2 - eb2) / math.sqrt(vb2)
+    sb1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2.0) * (n - 3)))
+    )
+    aa = 6.0 + 8.0 / sb1 * (2.0 / sb1 + math.sqrt(1 + 4.0 / (sb1 * sb1)))
+    den = 1 + xx * math.sqrt(2 / (aa - 4.0))
+    z2 = (
+        (1 - 2 / (9.0 * aa))
+        - math.copysign(abs((1 - 2.0 / aa) / den) ** (1 / 3.0), den)
+    ) / math.sqrt(2 / (9.0 * aa))
+    assert got["n"] == n
+    assert got["g1"] == pytest.approx(g1, abs=1e-6)
+    assert got["b2"] == pytest.approx(b2, abs=1e-6)
+    assert got["z_skew"] == pytest.approx(z1, abs=1e-5)
+    assert got["z_kurt"] == pytest.approx(z2, abs=1e-5)
+    assert got["k2"] == pytest.approx(z1 * z1 + z2 * z2, rel=1e-5)
+    assert got["k2"] > 20  # lognormal is decisively non-normal
+
+    flat = [(-1.0,), (-0.5,), (0.0,), (0.5,), (1.0,)] * 20
+    near = dagostino_k2(
+        spark.createDataFrame(flat, "v double"), "v"
+    ).collect()[0]
+    assert near["z_skew"] == pytest.approx(0.0, abs=1e-6)  # exact symmetry
+
+    tiny = dagostino_k2(
+        spark.createDataFrame([(float(i),) for i in range(7)], "v double"), "v"
+    ).collect()[0]
+    assert tiny["n"] == 7 and tiny["k2"] is None and tiny["g1"] is None
