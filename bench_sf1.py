@@ -574,6 +574,22 @@ def main() -> None:
         "X394_cox_stuart",
         "X395_weighted_kappa",
         "X396_mtld",
+        # Round-16 tranche 3 (X397-X404): X397/X398/X399/X400/X402 are
+        # the calendar-bounded daily-grid class (corpus collapses to
+        # per-day counts; prefix passes + fan-out-1 shifted joins over
+        # the span-days relation — wall should track the 10x event
+        # scan, everything after is span-bounded); X401 is the
+        # ansari/cucconi distinct-value cells class; X403's lattice is
+        # span x 24 cells (two fan-out-1 shifted joins over it); X404
+        # is two moment aggregates + 1-row scalar math (scan-bound).
+        "X397_pettitt",
+        "X398_buishand_range",
+        "X399_snht",
+        "X400_bartels_rank",
+        "X401_mood_dispersion",
+        "X402_variance_ratio",
+        "X403_spatial_autocorr",
+        "X404_dagostino_k2",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}
@@ -613,6 +629,27 @@ def main() -> None:
                 "trigram stream grows 13.3x at sf1 (token-suffix "
                 "inflation), vocab bounded 377->699; wall/work is "
                 "sublinear"
+            )
+        if name == "X52_bpe_tokenize":
+            # Round-16 adjudication (same growth law as X110): chars
+            # grow 13.3x at sf1 (19 728 432 vs 1 485 576; DuckDB count
+            # 2026-08-16) while tokens grow exactly 10x — BPE merges
+            # work per char, so ~12x wall over 13.3x work is sublinear.
+            extras[name]["caveat"] = (
+                "char stream grows 13.3x at sf1 (token-suffix "
+                "inflation; tokens exactly 10x) and BPE works per "
+                "char - wall/work is sublinear (the X110 adjudication)"
+            )
+        if name == "X67_bpe_byte_complete":
+            extras[name]["caveat"] = (
+                "same 13.3x char-stream growth as X52; ~10x wall over "
+                "13.3x byte-level work is sublinear"
+            )
+        if name == "X132_crossval_label_audit":
+            extras[name]["caveat"] = (
+                "pair join keyed on text hash; dup-group sizes are "
+                "scale-invariant in the fixtures so candidate pairs "
+                "grow ~10x - wall is rows-linear"
             )
         print(f"# extra {name}: sf0.1 {walls['sf01']}s -> sf1 {walls['sf1']}s",
               file=sys.stderr)
