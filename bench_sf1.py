@@ -590,6 +590,19 @@ def main() -> None:
         "X402_variance_ratio",
         "X403_spatial_autocorr",
         "X404_dagostino_k2",
+        # Round-16 tranche 4 (X405-X410): X405/X409 are the
+        # distinct-value cells class (one aggregate + prefix +
+        # closed-form scores / fan-out-1 adjacency); X406's pair
+        # relation is weekend-days x weekday-days (calendar-bounded
+        # BNLJ); X407 reduces to the label-bounded k x k contingency;
+        # X408 is cells+prefix ECDF + scalar polynomial; X410 is two
+        # hash aggregates over the 10x value scan (scan-bound).
+        "X405_siegel_tukey",
+        "X406_hodges_lehmann",
+        "X407_stuart_maxwell",
+        "X408_lilliefors",
+        "X409_runs_two_sample",
+        "X410_brown_forsythe",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

@@ -15,6 +15,8 @@ arithmetic (no sampling), so DuckDB oracles replay the formulas exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -5635,4 +5637,373 @@ def dagostino_k2(
         F.round(z1, 6).alias("z_skew"),
         F.round(z2, 6).alias("z_kurt"),
         F.round(z1 * z1 + z2 * z2, 6).alias("k2"),
+    )
+
+
+def siegel_tukey(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Siegel–Tukey dispersion test (Siegel & Tukey 1960): rank the
+    pooled sample from the OUTSIDE IN — 1 to the lowest value, 2 and 3
+    to the two highest, 4 and 5 to the next two lowest, and so on — so
+    a Wilcoxon sum on the zig-zag scores compares spreads while reusing
+    the Wilcoxon null. The third member of the suite's scale-test
+    family (X367 Ansari triangular scores, X401 Mood squared scores).
+    Conventions, replayed verbatim by both engines: no observation is
+    dropped at odd N (scores 1..N are always assigned); tied values
+    average their positional scores; the conditional tie-exact linear-
+    rank moments (Conover) standardize T:
+
+        E[T]   = n_a Σ l·s / N
+        Var[T] = n_a n_b (N Σ l·s² − (Σ l·s)²) / (N² (N−1))
+
+    The tie-averaged score of a value block occupying sorted positions
+    lo..hi is computed in CLOSED FORM (split the range at ⌈N/2⌉; each
+    side is an arithmetic sum minus an odd/even count — exact integer
+    arithmetic in doubles), so no per-observation explode is needed.
+
+    Scale design: the ansari_bradley shape — ONE distinct-value
+    aggregate, one range-partitioned prefix pass, closed-form block
+    scores, ONE moments aggregate, 1-row arithmetic. Output:
+    (n_a, n_b, t_stat, z) — NULL z when a slice is empty or N < 2.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("_g"), x.alias("_v"))
+    cells = base.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_l"),
+        F.sum((F.col("_g") == group_a).cast("double")).alias("_fa"),
+        F.sum((F.col("_g") == group_b).cast("double")).alias("_fb"),
+    )
+    cum = partitioned_prefix_sum(cells, ["_v"], ["_l"], ["_cl"], inclusive=False)
+    tot = cells.agg(F.sum("_l").alias("_N"))
+    j = cum.crossJoin(F.broadcast(tot))
+    nn_ = F.col("_N")
+    lo = F.col("_cl") + 1.0
+    hi = F.col("_cl") + F.col("_l")
+    c = F.floor(nn_ / 2.0).cast("double")  # each half holds ⌊N/2⌋ ranks
+    # bottom segment [lo, min(hi, c)]: score(p) = 2p − (p odd)
+    b_hi = F.least(hi, c)
+    n_odd = F.floor((b_hi + 1.0) / 2.0) - F.floor(lo / 2.0)
+    sum_b = F.when(
+        b_hi >= lo, (lo + b_hi) * (b_hi - lo + 1.0) - n_odd
+    ).otherwise(F.lit(0.0))
+    # top segment [max(lo, N−c+1), hi] in depth q = N+1−p:
+    # score = 2q − (q even)
+    t_lo = F.greatest(lo, nn_ - c + 1.0)
+    q_lo = nn_ + 1.0 - hi
+    q_hi = nn_ + 1.0 - t_lo
+    n_even = F.floor(q_hi / 2.0) - F.floor((q_lo - 1.0) / 2.0)
+    sum_t = F.when(
+        hi >= t_lo, (q_lo + q_hi) * (q_hi - q_lo + 1.0) - n_even
+    ).otherwise(F.lit(0.0))
+    # odd N leaves a single middle position (N+1)/2 on neither side —
+    # it is visited LAST and always carries score N
+    mid_p = (nn_ + 1.0) / 2.0
+    sum_m = F.when(
+        (F.pmod(nn_, F.lit(2.0)) == 1.0) & (lo <= mid_p) & (mid_p <= hi),
+        nn_,
+    ).otherwise(F.lit(0.0))
+    s = (sum_b + sum_t + sum_m) / F.col("_l")
+    m = j.agg(
+        F.max("_N").alias("nn"),
+        F.sum("_fa").alias("na"),
+        F.sum("_fb").alias("nb"),
+        F.sum(F.col("_fa") * s).alias("t"),
+        F.sum(F.col("_l") * s).alias("ls"),
+        F.sum(F.col("_l") * s * s).alias("ls2"),
+    )
+    nn, na, nb = F.col("nn"), F.col("na"), F.col("nb")
+    et = na * F.col("ls") / nn
+    vt = (
+        na * nb * (nn * F.col("ls2") - F.col("ls") * F.col("ls"))
+        / (nn * nn * F.nullif(nn - 1.0, F.lit(0.0)))
+    )
+    z = F.when(vt > 0, (F.col("t") - et) / F.sqrt(vt))
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(F.col("t"), 6).alias("t_stat"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def runs_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Wald–Wolfowitz two-sample runs test (1940): pool both samples,
+    sort by value, count maximal runs of same-group labels — ANY
+    distributional difference (location, scale, shape) shortens runs.
+    The omnibus complement to the targeted rank tests; the time-order
+    runs screens (X315/X374) test randomness of ONE sequence, this
+    tests identity of TWO distributions. Tie convention, documented
+    and replayed by both engines: within a tied value block the
+    group-a observations sort before group-b (sort key (value, group
+    slot)), so runs are deterministic. Classical moments:
+
+        E[R] = 1 + 2mn/N,  Var[R] = 2mn(2mn − N) / (N² (N−1))
+
+    Scale design: the run count NEVER materializes the sorted sequence
+    — a block of f_a a's then f_b b's contributes 1 internal
+    transition when both are present, and block boundaries contribute
+    (last label ≠ next first label), so R = 1 + Σ internal + Σ
+    boundary comes from the distinct-value cells + ONE fan-out-1
+    adjacency join on the exclusive prefix count (next block's offset
+    equals this block's offset + length). Output: (n_a, n_b, runs, z)
+    — NULL z when a slice is empty or Var = 0.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("_g"), x.alias("_v"))
+    cells = base.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_l"),
+        F.sum((F.col("_g") == group_a).cast("double")).alias("_fa"),
+        F.sum((F.col("_g") == group_b).cast("double")).alias("_fb"),
+    )
+    cum = partitioned_prefix_sum(cells, ["_v"], ["_l"], ["_cl"], inclusive=False)
+    has_a = F.col("_fa") > 0
+    has_b = F.col("_fb") > 0
+    blocks = cum.select(
+        "_cl",
+        (F.col("_cl") + F.col("_l")).alias("_end"),
+        (has_a & has_b).cast("double").alias("_internal"),
+        F.when(has_b, F.lit("b")).otherwise(F.lit("a")).alias("_last"),
+        F.when(has_a, F.lit("a")).otherwise(F.lit("b")).alias("_first"),
+    )
+    nxt = blocks.select(
+        F.col("_cl").alias("_ncl"), F.col("_first").alias("_nfirst")
+    )
+    adj = blocks.join(nxt, F.col("_end") == F.col("_ncl"))
+    bnd = adj.agg(
+        F.sum((F.col("_last") != F.col("_nfirst")).cast("double")).alias("_bd")
+    )
+    m = cum.agg(
+        F.sum("_l").alias("nn"),
+        F.sum("_fa").alias("na"),
+        F.sum("_fb").alias("nb"),
+        F.sum(((F.col("_fa") > 0) & (F.col("_fb") > 0)).cast("double")).alias(
+            "_int"
+        ),
+    ).crossJoin(F.broadcast(bnd))
+    nn, na, nb = F.col("nn"), F.col("na"), F.col("nb")
+    runs = F.when(
+        nn > 0, 1.0 + F.col("_int") + F.coalesce(F.col("_bd"), F.lit(0.0))
+    )
+    er = 1.0 + 2.0 * na * nb / nn
+    vr = (
+        2.0 * na * nb * (2.0 * na * nb - nn)
+        / (nn * nn * F.nullif(nn - 1.0, F.lit(0.0)))
+    )
+    z = F.when((na > 0) & (nb > 0) & (vr > 0), (runs - er) / F.sqrt(vr))
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        runs.cast("long").alias("runs"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+#: Zelen & Severo (Abramowitz–Stegun 26.2.17) Φ approximation
+#: coefficients — |error| < 7.5e-8, far inside the suite's round-6
+#: comparison; the DuckDB twins replay the identical literals.
+_PHI_B = (0.319381530, -0.356563782, 1.781477937,
+          -1.821255978, 1.330274429)
+_PHI_P = 0.2316419
+
+
+def _norm_cdf(x):
+    """Standard normal CDF as a Column expression (Zelen–Severo
+    polynomial; sign-folded). Same operation order as the SQL twin."""
+    ax = F.abs(x)
+    k = 1.0 / (1.0 + _PHI_P * ax)
+    poly = (
+        _PHI_B[0] * k
+        + _PHI_B[1] * k * k
+        + _PHI_B[2] * k * k * k
+        + _PHI_B[3] * k * k * k * k
+        + _PHI_B[4] * k * k * k * k * k
+    )
+    upper = 1.0 - F.exp(-ax * ax / 2.0) / math.sqrt(2.0 * math.pi) * poly
+    return F.when(x >= 0, upper).otherwise(1.0 - upper)
+
+
+def lilliefors_test(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Lilliefors normality test (Lilliefors 1967): the KS statistic
+    against a normal with MEAN AND SD ESTIMATED FROM THE SAMPLE (the
+    case vanilla KS tables are wrong for) — the ECDF-based complement
+    to X404's moment-based K²:
+
+        D = max_x max( F̂(x) − Φ(z), Φ(z) − F̂(x⁻) ),  z = (x − x̄)/s
+        (s = sample sd, ÷(n−1), Lilliefors' convention; reference
+        points ≈ 0.886/√n at 5% via the Dallal–Wilkinson approximation)
+
+    Φ uses the Zelen–Severo polynomial (|ε| < 7.5e-8) with identical
+    literals and operation order in both engines.
+
+    Scale design: two moment aggregates (broadcast mean), ONE
+    distinct-value aggregate + one prefix pass for the two-sided ECDF,
+    a 1-row max reduction. Output: (n, mean, sd, d_stat) — NULL when
+    n < 2 or s = 0.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("_v"))
+    mean = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_v") / F.count("*")).alias("_m"),
+    )
+    mom = base.crossJoin(F.broadcast(mean)).agg(
+        F.max("_n").alias("_n"),
+        F.max("_m").alias("_m"),
+        F.sqrt(
+            F.sum((F.col("_v") - F.col("_m")) * (F.col("_v") - F.col("_m")))
+            / F.nullif(F.max("_n") - 1.0, F.lit(0.0))
+        ).alias("_s"),
+    )
+    cells = base.groupBy("_v").agg(F.count("*").cast("double").alias("_l"))
+    cum = partitioned_prefix_sum(cells, ["_v"], ["_l"], ["_cl"], inclusive=False)
+    jj = cum.crossJoin(F.broadcast(mom))
+    phi = _norm_cdf((F.col("_v") - F.col("_m")) / F.col("_s"))
+    d_hi = (F.col("_cl") + F.col("_l")) / F.col("_n") - phi
+    d_lo = phi - F.col("_cl") / F.col("_n")
+    agg = jj.filter(F.col("_s") > 0).agg(
+        F.max("_n").alias("_n"),
+        F.max("_m").alias("_m"),
+        F.max("_s").alias("_s"),
+        F.max(F.greatest(d_hi, d_lo)).alias("_d"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 6).alias("mean"),
+        F.round("_s", 6).alias("sd"),
+        F.round("_d", 6).alias("d_stat"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown–Forsythe test for equality of group variances (Brown &
+    Forsythe 1974): one-way ANOVA on |x − median_g| — Levene's test
+    with the MEDIAN center, the robust default (insensitive to heavy
+    tails that break the mean-centered original). The k-sample
+    parametric sibling of X389's rank-based Fligner–Killeen:
+
+        w_ig = |x_ig − med_g|
+        F = [Σ n_g (w̄_g − w̄)² / (k−1)] / [Σ (w_ig − w̄_g)² / (N−k)]
+
+    Scale design: per-group exact MEDIAN (one hash aggregate),
+    broadcast medians join, ONE per-group moments aggregate, ONE
+    k-bounded reduction. Output: (k, n, df1, df2, f_stat) — NULL F
+    when k < 2, N ≤ k, or the within-group spread is 0.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_v")
+    )
+    med = base.groupBy("_g").agg(F.median("_v").alias("_med"))
+    w = base.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_med")).alias("_w")
+    )
+    per = w.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_ng"),
+        F.sum("_w").alias("_sw"),
+        F.sum(F.col("_w") * F.col("_w")).alias("_sw2"),
+    )
+    m = per.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("_ng").alias("nn"),
+        F.sum("_sw").alias("sw"),
+        F.sum(F.col("_sw") * F.col("_sw") / F.col("_ng")).alias("sbar2"),
+        F.sum("_sw2").alias("sw2"),
+    )
+    k, nn = F.col("k"), F.col("nn")
+    gbar2 = F.col("sw") * F.col("sw") / nn
+    between = F.col("sbar2") - gbar2
+    within = F.col("sw2") - F.col("sbar2")
+    f = F.when(
+        (k > 1) & (nn > k) & (within > 0),
+        (between / (k - 1.0)) / (within / (nn - k)),
+    )
+    return m.select(
+        k.cast("long").alias("k"),
+        nn.cast("long").alias("n"),
+        (k - 1.0).cast("long").alias("df1"),
+        (nn - k).cast("long").alias("df2"),
+        F.round(f, 6).alias("f_stat"),
+    )
+
+
+def stuart_maxwell(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    cap: int = 32,
+) -> DataFrame:
+    """Stuart–Maxwell test of marginal homogeneity for a paired k×k
+    contingency (Stuart 1955; Maxwell 1970): did the CATEGORY
+    DISTRIBUTION shift between the two readings — the k-category
+    generalization of McNemar (X308's symmetry test asks about
+    individual cell flips; this asks about the margins):
+
+        d_i = row_i − col_i   (first k−1 categories)
+        V_ii = row_i + col_i − 2 n_ii,  V_ij = −(n_ij + n_ji)
+        χ² = d′ V⁻¹ d   (~χ²_{k−1} under marginal homogeneity)
+
+    Scale design: the corpus reduces to the label-bounded k×k cell
+    table (cap ≤ {cap} categories enforced via bounded_distinct — a
+    clear raise, never an unbounded collect); the (k−1)-dim solve runs
+    driver-side on that control relation (the X104 raking convention).
+    Output: (k, n, dof, chi2) — NULL χ² when V is singular (e.g.
+    perfect agreement); raises when either column exceeds the cap.
+    """
+    import numpy as np
+
+    from swivel_spark_prep_spark.cache import bounded_distinct
+
+    spark = df.sparkSession
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cats = sorted(
+        set(bounded_distinct(base, "_a", cap=cap))
+        | set(bounded_distinct(base, "_b", cap=cap))
+    )
+    k = len(cats)
+    idx = {c: i for i, c in enumerate(cats)}
+    cells = base.groupBy("_a", "_b").count().collect()  # ≤ cap² control rows
+    n_mat = np.zeros((k, k))
+    for r in cells:
+        n_mat[idx[r["_a"]], idx[r["_b"]]] = r["count"]
+    n_tot = int(n_mat.sum())
+    chi2 = None
+    if k >= 2:
+        rows, cols = n_mat.sum(axis=1), n_mat.sum(axis=0)
+        d = (rows - cols)[: k - 1]
+        v = np.zeros((k - 1, k - 1))
+        for i in range(k - 1):
+            v[i, i] = rows[i] + cols[i] - 2.0 * n_mat[i, i]
+            for jx in range(k - 1):
+                if jx != i:
+                    v[i, jx] = -(n_mat[i, jx] + n_mat[jx, i])
+        try:
+            chi2 = round(float(d @ np.linalg.solve(v, d)), 6)
+        except np.linalg.LinAlgError:
+            chi2 = None
+    return spark.createDataFrame(
+        [(k, n_tot, k - 1, chi2)], "k long, n long, dof long, chi2 double"
     )

@@ -15518,3 +15518,296 @@ def x404(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return dagostino_k2(ev, "value")
+
+
+@_declare(
+    "X405_siegel_tukey",
+    # Siegel-Tukey outside-in rank dispersion test, purchase vs error
+    # values (evalmetrics.siegel_tukey; Siegel & Tukey 1960): 1 to the
+    # lowest, 2-3 to the two highest, 4-5 to the next two lowest... -
+    # a Wilcoxon on zig-zag scores compares SPREADS on the Wilcoxon
+    # null. No observation dropped at odd N (the single middle
+    # position is visited last and carries score N); tie-averaged
+    # block scores in CLOSED FORM (arithmetic sums minus odd/even
+    # counts - exact integers, zero explode); conditional tie-exact
+    # moments.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IN ('purchase', 'error')),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l,
+                 SUM((g = 'purchase')::INT)::DOUBLE AS fa,
+                 SUM((g = 'error')::INT)::DOUBLE AS fb
+          FROM b GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM cells),
+tot AS (SELECT SUM(l) AS N FROM cells),
+sc AS (SELECT fa, fb, l, N, cl + 1.0 AS lo, cl + l AS hi,
+              FLOOR(N / 2.0) AS c
+       FROM cum CROSS JOIN tot),
+s1 AS (SELECT fa, fb, l, N,
+         CASE WHEN LEAST(hi, c) >= lo
+           THEN (lo + LEAST(hi, c)) * (LEAST(hi, c) - lo + 1.0)
+                - (FLOOR((LEAST(hi, c) + 1.0) / 2.0) - FLOOR(lo / 2.0))
+           ELSE 0.0 END
+         + CASE WHEN hi >= GREATEST(lo, N - c + 1.0)
+           THEN ((N + 1.0 - hi) + (N + 1.0 - GREATEST(lo, N - c + 1.0)))
+                * ((N + 1.0 - GREATEST(lo, N - c + 1.0))
+                   - (N + 1.0 - hi) + 1.0)
+                - (FLOOR((N + 1.0 - GREATEST(lo, N - c + 1.0)) / 2.0)
+                   - FLOOR(((N + 1.0 - hi) - 1.0) / 2.0))
+           ELSE 0.0 END
+         + CASE WHEN N::BIGINT % 2 = 1 AND lo <= (N + 1.0) / 2.0
+                     AND (N + 1.0) / 2.0 <= hi
+           THEN N ELSE 0.0 END AS ssum
+       FROM sc),
+s2 AS (SELECT fa, fb, l, ssum / l AS s FROM s1),
+m AS (SELECT MAX(N) AS nn, SUM(fa) AS na, SUM(fb) AS nb,
+             SUM(fa * s) AS t, SUM(l * s) AS ls, SUM(l * s * s) AS ls2
+      FROM s2 CROSS JOIN tot)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, ROUND(t, 6) AS t_stat,
+       ROUND(CASE WHEN na * nb * (nn * ls2 - ls * ls)
+                       / (nn * nn * (nn - 1.0)) > 0
+             THEN (t - na * ls / nn)
+                  / sqrt(na * nb * (nn * ls2 - ls * ls)
+                         / (nn * nn * (nn - 1.0))) END, 6) AS z
+FROM m;""",
+)
+def x405(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import siegel_tukey
+
+    ev = load_table(spark, sf_dir, "events")
+    return siegel_tukey(ev, "value", "event_type", "purchase", "error")
+
+
+@_declare(
+    "X406_hodges_lehmann",
+    # Hodges-Lehmann shift estimate, weekend vs weekday daily counts
+    # (timeseries.hodges_lehmann_shift; Hodges & Lehmann 1963): median
+    # of ALL pairwise differences - the robust "how much busier" number
+    # the rank tests' yes/no answers pair with. Pair relation is
+    # calendar-bounded (weekend-days x weekday-days), weekday side
+    # broadcast; exact interpolated MEDIAN both engines (Q17
+    # convention).
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT cal.d AS d, COALESCE(y, 0.0) AS y
+         FROM cal LEFT JOIN daily ON daily.d = cal.d),
+wd AS (SELECT y AS ya FROM grid WHERE NOT (ISODOW(d) IN (6, 7))),
+we AS (SELECT y AS yb FROM grid WHERE ISODOW(d) IN (6, 7)),
+cnt AS (SELECT SUM(CASE WHEN ISODOW(d) IN (6, 7) THEN 0 ELSE 1 END)::BIGINT
+               AS na,
+               SUM(CASE WHEN ISODOW(d) IN (6, 7) THEN 1 ELSE 0 END)::BIGINT
+               AS nb
+        FROM grid),
+p AS (SELECT yb - ya AS dd FROM we CROSS JOIN wd),
+a AS (SELECT COUNT(*)::BIGINT AS np, MEDIAN(dd) AS hl FROM p)
+SELECT na AS n_a, nb AS n_b, np AS n_pairs, ROUND(hl, 6) AS hl_shift
+FROM a CROSS JOIN cnt;""",
+)
+def x406(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        hodges_lehmann_shift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return hodges_lehmann_shift(ev, "ts")
+
+
+@_declare(
+    "X407_stuart_maxwell",
+    # Stuart-Maxwell marginal homogeneity between each user's FIRST
+    # and LAST time-of-day bucket (evalmetrics.stuart_maxwell; Stuart
+    # 1955, Maxwell 1970): did the daypart DISTRIBUTION shift - the
+    # k-category McNemar, the margins question next to X395's ordinal
+    # agreement and X308's cell symmetry. Spark solves the bounded
+    # (k-1)-dim system driver-side (X104 convention); the twin replays
+    # the k=4 case as the closed-form 3x3 adjugate quadratic form.
+    """WITH o AS (SELECT user_id,
+                  (EXTRACT(hour FROM ts) // 6)::INT AS bk,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rf,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rl
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+fl AS (SELECT user_id,
+              MAX(CASE WHEN rf = 1 THEN bk END) AS a,
+              MAX(CASE WHEN rl = 1 THEN bk END) AS b
+       FROM o GROUP BY 1),
+cells AS (SELECT a, b, COUNT(*)::DOUBLE AS n FROM fl GROUP BY 1, 2),
+mr AS (SELECT a AS i, SUM(n) AS r FROM cells GROUP BY 1),
+mc AS (SELECT b AS i, SUM(n) AS c FROM cells GROUP BY 1),
+g AS (SELECT ii.i, COALESCE(r, 0) AS r, COALESCE(c, 0) AS c,
+             COALESCE((SELECT n FROM cells
+                       WHERE a = ii.i AND b = ii.i), 0) AS nii
+      FROM (SELECT unnest(range(0, 4))::INT AS i) ii
+      LEFT JOIN mr ON mr.i = ii.i LEFT JOIN mc ON mc.i = ii.i),
+pw AS (SELECT
+  COALESCE((SELECT n FROM cells WHERE a = 0 AND b = 1), 0)
+  + COALESCE((SELECT n FROM cells WHERE a = 1 AND b = 0), 0) AS s01,
+  COALESCE((SELECT n FROM cells WHERE a = 0 AND b = 2), 0)
+  + COALESCE((SELECT n FROM cells WHERE a = 2 AND b = 0), 0) AS s02,
+  COALESCE((SELECT n FROM cells WHERE a = 1 AND b = 2), 0)
+  + COALESCE((SELECT n FROM cells WHERE a = 2 AND b = 1), 0) AS s12),
+dv AS (SELECT
+  (SELECT r - c FROM g WHERE i = 0) AS d0,
+  (SELECT r - c FROM g WHERE i = 1) AS d1,
+  (SELECT r - c FROM g WHERE i = 2) AS d2,
+  (SELECT r + c - 2 * nii FROM g WHERE i = 0) AS v00,
+  (SELECT r + c - 2 * nii FROM g WHERE i = 1) AS v11,
+  (SELECT r + c - 2 * nii FROM g WHERE i = 2) AS v22,
+  -(SELECT s01 FROM pw) AS v01,
+  -(SELECT s02 FROM pw) AS v02,
+  -(SELECT s12 FROM pw) AS v12),
+fin AS (SELECT
+  v00 * (v11 * v22 - v12 * v12) - v01 * (v01 * v22 - v12 * v02)
+  + v02 * (v01 * v12 - v11 * v02) AS det,
+  d0 * d0 * (v11 * v22 - v12 * v12) + d1 * d1 * (v00 * v22 - v02 * v02)
+  + d2 * d2 * (v00 * v11 - v01 * v01)
+  + 2 * d0 * d1 * (v02 * v12 - v01 * v22)
+  + 2 * d0 * d2 * (v01 * v12 - v02 * v11)
+  + 2 * d1 * d2 * (v01 * v02 - v00 * v12) AS quad
+  FROM dv),
+nt AS (SELECT SUM(n)::BIGINT AS n FROM cells)
+SELECT 4::BIGINT AS k, (SELECT n FROM nt) AS n, 3::BIGINT AS dof,
+       ROUND(CASE WHEN det <> 0 THEN quad / det END, 6) AS chi2
+FROM fin;""",
+)
+def x407(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import stuart_maxwell
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    bk = F.floor(F.hour("ts") / 6).cast("int")
+    fl = ev.select("user_id", "ts", "event_id", bk.alias("bk")).groupBy(
+        "user_id"
+    ).agg(
+        F.expr("min_by(bk, struct(ts, event_id))").alias("first_bk"),
+        F.expr("max_by(bk, struct(ts, event_id))").alias("last_bk"),
+    )
+    return stuart_maxwell(fl, "first_bk", "last_bk")
+
+
+@_declare(
+    "X408_lilliefors",
+    # Lilliefors normality test on event values (evalmetrics.
+    # lilliefors_test; Lilliefors 1967): KS against a normal with mean
+    # and sd ESTIMATED from the sample - the ECDF complement to X404's
+    # moment-based K2. Phi via the Zelen-Severo polynomial (|err| <
+    # 7.5e-8), identical literals and operation order both engines;
+    # sample sd (n-1).
+    """WITH b AS (SELECT value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL),
+mn AS (SELECT COUNT(*)::DOUBLE AS n, SUM(v) / COUNT(*) AS m FROM b),
+mo AS (SELECT MAX(n) AS n, MAX(m) AS m,
+              sqrt(SUM((v - m) * (v - m)) / NULLIF(MAX(n) - 1.0, 0.0)) AS s
+       FROM b CROSS JOIN mn),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l FROM b GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM cells),
+ph AS (SELECT cl, l, n, m, s,
+              ABS((v - m) / s) AS ax,
+              ((v - m) / s >= 0) AS pos
+       FROM cum CROSS JOIN mo WHERE s > 0),
+up AS (SELECT cl, l, n, pos,
+              1.0 - EXP(-ax * ax / 2.0) / sqrt(2.0 * pi())
+              * (0.319381530 * kk + -0.356563782 * kk * kk
+                 + 1.781477937 * kk * kk * kk
+                 + -1.821255978 * kk * kk * kk * kk
+                 + 1.330274429 * kk * kk * kk * kk * kk) AS u
+       FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * ax) AS kk FROM ph)),
+dd AS (SELECT n,
+              GREATEST((cl + l) / n - phi, phi - cl / n) AS d
+       FROM (SELECT cl, l, n,
+                    CASE WHEN pos THEN u ELSE 1.0 - u END AS phi FROM up)),
+mo2 AS (SELECT MAX(m) AS m, MAX(s) AS s FROM mo)
+SELECT (SELECT MAX(n) FROM dd)::BIGINT AS n,
+       ROUND((SELECT m FROM mo2), 6) AS mean,
+       ROUND((SELECT s FROM mo2), 6) AS sd,
+       ROUND(MAX(d), 6) AS d_stat
+FROM dd;""",
+)
+def x408(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import lilliefors_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return lilliefors_test(ev, "value")
+
+
+@_declare(
+    "X409_runs_two_sample",
+    # Wald-Wolfowitz TWO-SAMPLE runs test, click vs error values
+    # (evalmetrics.runs_two_sample; 1940): pool, sort by value, count
+    # label runs - any distributional difference shortens them; the
+    # omnibus screen next to the targeted rank tests. Tie convention
+    # replayed by both engines: group-a sorts before group-b within a
+    # tied block; run count composed from distinct-value cells + ONE
+    # fan-out-1 adjacency join, never a sorted sequence.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+cells AS (SELECT v, COUNT(*)::DOUBLE AS l,
+                 SUM((g = 'click')::INT)::DOUBLE AS fa,
+                 SUM((g = 'error')::INT)::DOUBLE AS fb
+          FROM b GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM cells),
+blocks AS (SELECT cl, cl + l AS endp,
+                  ((fa > 0) AND (fb > 0))::INT AS internal,
+                  CASE WHEN fb > 0 THEN 'b' ELSE 'a' END AS lastl,
+                  CASE WHEN fa > 0 THEN 'a' ELSE 'b' END AS firstl
+           FROM cum),
+bnd AS (SELECT SUM((a.lastl <> x.firstl)::INT)::DOUBLE AS bd
+        FROM blocks a JOIN blocks x ON a.endp = x.cl),
+m AS (SELECT SUM(l) AS nn, SUM(fa) AS na, SUM(fb) AS nb,
+             SUM(((fa > 0) AND (fb > 0))::INT)::DOUBLE AS it FROM cum)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       (1.0 + it + COALESCE(bd, 0.0))::BIGINT AS runs,
+       ROUND(CASE WHEN na > 0 AND nb > 0
+                  AND 2.0 * na * nb * (2.0 * na * nb - nn)
+                      / (nn * nn * (nn - 1.0)) > 0
+             THEN ((1.0 + it + COALESCE(bd, 0.0))
+                   - (1.0 + 2.0 * na * nb / nn))
+                  / sqrt(2.0 * na * nb * (2.0 * na * nb - nn)
+                         / (nn * nn * (nn - 1.0))) END, 6) AS z
+FROM m CROSS JOIN bnd;""",
+)
+def x409(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import runs_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return runs_two_sample(ev, "value", "event_type", "click", "error")
+
+
+@_declare(
+    "X410_brown_forsythe",
+    # Brown-Forsythe equality-of-variances across all event types
+    # (evalmetrics.brown_forsythe; 1974): one-way ANOVA on |x -
+    # median_g| - Levene with the robust MEDIAN center, the k-sample
+    # parametric sibling of X389's rank-based Fligner-Killeen. Exact
+    # interpolated group MEDIAN both engines (Q17 convention).
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+md AS (SELECT g, MEDIAN(v) AS med FROM b GROUP BY 1),
+w AS (SELECT b.g, ABS(v - med) AS w FROM b JOIN md USING (g)),
+per AS (SELECT g, COUNT(*)::DOUBLE AS ng, SUM(w) AS sw,
+               SUM(w * w) AS sw2 FROM w GROUP BY 1),
+m AS (SELECT COUNT(*)::DOUBLE AS k, SUM(ng) AS nn, SUM(sw) AS sw,
+             SUM(sw * sw / ng) AS sbar2, SUM(sw2) AS sw2 FROM per)
+SELECT k::BIGINT AS k, nn::BIGINT AS n, (k - 1)::BIGINT AS df1,
+       (nn - k)::BIGINT AS df2,
+       ROUND(CASE WHEN k > 1 AND nn > k AND sw2 - sbar2 > 0
+             THEN ((sbar2 - sw * sw / nn) / (k - 1.0))
+                  / ((sw2 - sbar2) / (nn - k)) END, 6) AS f_stat
+FROM m;""",
+)
+def x410(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import brown_forsythe
+
+    ev = load_table(spark, sf_dir, "events")
+    return brown_forsythe(ev, "value", "event_type")

@@ -217,6 +217,11 @@ ALLOWED_PAIR_SELF_JOINS = {
     # X402: rolling q-sum join on the day-grid prefix relation
     # (t joined to t+q, q = 5) — fan-out exactly 1, calendar-bounded
     "X402_variance_ratio": 1,
+    # X409: block-adjacency join on the distinct-VALUE cells relation
+    # (next block's prefix offset = this block's offset + length) —
+    # fan-out exactly 1, value-cardinality-bounded; the run count
+    # never materializes the sorted sequence
+    "X409_runs_two_sample": 1,
 }
 
 #: name -> list of max allowed replicate-explode sizes, one per site

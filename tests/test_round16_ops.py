@@ -1038,3 +1038,278 @@ def test_dagostino_k2_brute_force_and_gates(spark):
         spark.createDataFrame([(float(i),) for i in range(7)], "v double"), "v"
     ).collect()[0]
     assert tiny["n"] == 7 and tiny["k2"] is None and tiny["g1"] is None
+
+
+# ----------------------------------------------- X405-X410 round-16 tranche 4
+def _siegel_tukey_scores(n):
+    """Textbook outside-in rank assignment (1 lowest; 2,3 two highest;
+    4,5 next two lowest; ...) — positional scores a(p), p = 1..n."""
+    a = [0.0] * (n + 1)
+    for p in range(1, n + 1):
+        q = n + 1 - p
+        if n % 2 == 1 and p == (n + 1) // 2:
+            a[p] = n  # odd N: the lone middle position is visited last
+        elif p <= n // 2:
+            a[p] = 2 * p if p % 2 == 0 else 2 * p - 1
+        else:
+            a[p] = 2 * q if q % 2 == 1 else 2 * q - 1
+    return a[1:]
+
+
+def test_siegel_tukey_score_formula_is_the_textbook_zigzag():
+    """The closed-form segment sums reproduce the visit-order
+    assignment for odd and even n — every score 1..n used once."""
+    for n in (1, 2, 3, 4, 5, 6, 7, 10, 11):
+        scores = _siegel_tukey_scores(n)
+        assert sorted(scores) == list(range(1, n + 1))
+        # visit order: bottom 1; top 2; bottom 2; top 2; ...
+        expect = {}
+        lo_p, hi_p, nxt, take, side = 1, n, 1, 1, "b"
+        while lo_p <= hi_p:
+            for _ in range(take):
+                if lo_p > hi_p:
+                    break
+                if side == "b":
+                    expect[lo_p] = nxt
+                    lo_p += 1
+                else:
+                    expect[hi_p] = nxt
+                    hi_p -= 1
+                nxt += 1
+            side = "t" if side == "b" else "b"
+            take = 2
+        assert [expect[p] for p in range(1, n + 1)] == scores
+
+
+def test_siegel_tukey_brute_force_and_direction(spark):
+    """Operator T/z replay the tie-averaged brute force, and the
+    wider-spread sample gets the SMALL outside-in scores (z < 0)."""
+    import math
+    import random
+
+    rng = random.Random(71)
+    a = [round(10 + 8 * (rng.random() - 0.5), 1) for _ in range(45)]  # wide
+    b = [round(10 + 2 * (rng.random() - 0.5), 1) for _ in range(40)]  # narrow
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import siegel_tukey
+
+    got = siegel_tukey(df, "v", "g", "a", "b").collect()[0]
+    vals = sorted(a + b)
+    n = len(vals)
+    pos = _siegel_tukey_scores(n)
+    # tie-average positional scores
+    score = {}
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and vals[j + 1] == vals[i]:
+            j += 1
+        m = sum(pos[i:j + 1]) / (j - i + 1)
+        score[vals[i]] = m
+        i = j + 1
+    t_stat = sum(score[v] for v in a)
+    ls = sum(score[v] for v in vals)
+    ls2 = sum(score[v] ** 2 for v in vals)
+    na, nb = len(a), len(b)
+    et = na * ls / n
+    vt = na * nb * (n * ls2 - ls * ls) / (n * n * (n - 1))
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["t_stat"] == pytest.approx(t_stat, abs=1e-6)
+    assert got["z"] == pytest.approx((t_stat - et) / math.sqrt(vt), abs=1e-6)
+    assert got["z"] < -2  # wide sample holds the extremes → small scores
+
+
+def test_hodges_lehmann_brute_force(spark):
+    """HL shift equals the brute median of all pairwise differences,
+    including even-pair-count interpolation, on a planted
+    weekend-heavy series."""
+    import datetime
+
+    base = datetime.date(2024, 3, 4)  # a Monday
+    counts = []
+    for t in range(21):  # 3 full weeks
+        d = base + datetime.timedelta(days=t)
+        counts.append(20 if d.isoweekday() in (6, 7) else 10 + (t % 3))
+    df = spark.createDataFrame(_daily_rows(counts, base), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import (
+        hodges_lehmann_shift,
+    )
+
+    got = hodges_lehmann_shift(df, "ts").collect()[0]
+    wd = [c for t, c in enumerate(counts)
+          if (base + datetime.timedelta(days=t)).isoweekday() not in (6, 7)]
+    we = [c for t, c in enumerate(counts)
+          if (base + datetime.timedelta(days=t)).isoweekday() in (6, 7)]
+    diffs = sorted(b - a for b in we for a in wd)
+    np_ = len(diffs)
+    med = (diffs[np_ // 2] if np_ % 2
+           else (diffs[np_ // 2 - 1] + diffs[np_ // 2]) / 2)
+    assert got["n_a"] == len(wd) and got["n_b"] == len(we)
+    assert got["n_pairs"] == np_
+    assert got["hl_shift"] == pytest.approx(med, abs=1e-6)
+    assert got["hl_shift"] > 5  # weekends planted busier
+
+
+def test_stuart_maxwell_brute_force_and_null(spark):
+    """χ² equals the numpy solve on a hand-built paired table; a
+    perfectly symmetric flow has identical margins → χ² = 0."""
+    import numpy as np
+
+    pairs = (
+        [(0, 1)] * 8 + [(1, 0)] * 2 + [(1, 2)] * 5 + [(2, 1)] * 5
+        + [(0, 0)] * 4 + [(2, 2)] * 3 + [(2, 0)] * 1
+    )
+    df = spark.createDataFrame(pairs, "a int, b int")
+    from swivel_spark_prep_spark.operators.evalmetrics import stuart_maxwell
+
+    got = stuart_maxwell(df, "a", "b").collect()[0]
+    nm = np.zeros((3, 3))
+    for a, b in pairs:
+        nm[a, b] += 1
+    rs, cs = nm.sum(1), nm.sum(0)
+    d = (rs - cs)[:2]
+    v = np.zeros((2, 2))
+    for i in range(2):
+        v[i, i] = rs[i] + cs[i] - 2 * nm[i, i]
+        for j in range(2):
+            if j != i:
+                v[i, j] = -(nm[i, j] + nm[j, i])
+    want = float(d @ np.linalg.solve(v, d))
+    assert got["k"] == 3 and got["dof"] == 2 and got["n"] == len(pairs)
+    assert got["chi2"] == pytest.approx(want, abs=1e-6)
+
+    sym = [(0, 1)] * 5 + [(1, 0)] * 5 + [(1, 2)] * 3 + [(2, 1)] * 3
+    got2 = stuart_maxwell(
+        spark.createDataFrame(sym, "a int, b int"), "a", "b"
+    ).collect()[0]
+    assert got2["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_stuart_maxwell_rejects_unbounded_category_column(spark):
+    from swivel_spark_prep_spark.operators.evalmetrics import stuart_maxwell
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    with pytest.raises(ValueError, match="bounded_distinct"):
+        stuart_maxwell(df, "a", "b", cap=16)
+
+
+def test_lilliefors_brute_force_and_directions(spark):
+    """D replays the two-sided ECDF-vs-polynomial-Φ brute force; a
+    genuine Gaussian sample sits under the 5% reference point
+    0.886/√n, a uniform sample far above it."""
+    import math
+    import random
+
+    rng = random.Random(73)
+    gauss = [rng.gauss(5, 2) for _ in range(400)]
+    df = spark.createDataFrame([(v,) for v in gauss], "v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import lilliefors_test
+
+    got = lilliefors_test(df, "v").collect()[0]
+    n = len(gauss)
+    m = sum(gauss) / n
+    s = math.sqrt(sum((v - m) ** 2 for v in gauss) / (n - 1))
+
+    def phi(x):
+        ax = abs(x)
+        k = 1.0 / (1.0 + 0.2316419 * ax)
+        poly = (0.319381530 * k - 0.356563782 * k**2 + 1.781477937 * k**3
+                - 1.821255978 * k**4 + 1.330274429 * k**5)
+        up = 1.0 - math.exp(-ax * ax / 2.0) / math.sqrt(2 * math.pi) * poly
+        return up if x >= 0 else 1.0 - up
+
+    sv = sorted(set(gauss))
+    cnt = {v: gauss.count(v) for v in sv}
+    d = 0.0
+    cl = 0
+    for v in sv:
+        p = phi((v - m) / s)
+        d = max(d, (cl + cnt[v]) / n - p, p - cl / n)
+        cl += cnt[v]
+    assert got["n"] == n
+    assert got["mean"] == pytest.approx(m, abs=1e-6)
+    assert got["sd"] == pytest.approx(s, abs=1e-6)
+    assert got["d_stat"] == pytest.approx(d, abs=1e-6)
+    assert got["d_stat"] < 0.886 / math.sqrt(n)  # Gaussian → accept
+
+    unif = [(rng.random() * 10,) for _ in range(400)]
+    got2 = lilliefors_test(
+        spark.createDataFrame(unif, "v double"), "v"
+    ).collect()[0]
+    assert got2["d_stat"] > 0.886 / math.sqrt(400)  # uniform → reject
+
+
+def test_runs_two_sample_brute_force_and_separation(spark):
+    """The cells-composed run count equals the explicit sorted-sequence
+    count under the documented tie convention, and fully separated
+    samples collapse to 2 runs (decisive z < 0)."""
+    import math
+    import random
+
+    rng = random.Random(79)
+    a = [round(rng.random() * 20, 0) for _ in range(50)]  # coarse → ties
+    b = [round(rng.random() * 20, 0) for _ in range(45)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import runs_two_sample
+
+    got = runs_two_sample(df, "v", "g", "a", "b").collect()[0]
+    seq = sorted(rows, key=lambda r: (r[1], 0 if r[0] == "a" else 1))
+    labels = [r[0] for r in seq]
+    runs = 1 + sum(
+        1 for i in range(1, len(labels)) if labels[i] != labels[i - 1]
+    )
+    na, nb = len(a), len(b)
+    nn = na + nb
+    er = 1 + 2 * na * nb / nn
+    vr = 2 * na * nb * (2 * na * nb - nn) / (nn * nn * (nn - 1))
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["runs"] == runs
+    assert got["z"] == pytest.approx((runs - er) / math.sqrt(vr), abs=1e-6)
+
+    sep = [("a", float(i)) for i in range(30)] + [
+        ("b", float(100 + i)) for i in range(30)
+    ]
+    got2 = runs_two_sample(
+        spark.createDataFrame(sep, "g string, v double"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert got2["runs"] == 2 and got2["z"] < -7
+
+
+def test_brown_forsythe_brute_force_and_direction(spark):
+    """F replays the |x − median_g| ANOVA brute force, and a group with
+    triple the spread drives F decisively above 1."""
+    import random
+    import statistics
+
+    rng = random.Random(83)
+    g1 = [10 + 2 * (rng.random() - 0.5) for _ in range(60)]
+    g2 = [10 + 2 * (rng.random() - 0.5) for _ in range(55)]
+    g3 = [10 + 12 * (rng.random() - 0.5) for _ in range(50)]  # wide
+    rows = ([("g1", v) for v in g1] + [("g2", v) for v in g2]
+            + [("g3", v) for v in g3])
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import brown_forsythe
+
+    got = brown_forsythe(df, "v", "g").collect()[0]
+    groups = {"g1": g1, "g2": g2, "g3": g3}
+    W = {g: [abs(v - statistics.median(xs)) for v in xs]
+         for g, xs in groups.items()}
+    k = len(W)
+    nn = sum(len(w) for w in W.values())
+    allw = [w for ws in W.values() for w in ws]
+    wbar = sum(allw) / nn
+    between = sum(
+        len(ws) * (sum(ws) / len(ws) - wbar) ** 2 for ws in W.values()
+    )
+    within = sum(
+        sum((w - sum(ws) / len(ws)) ** 2 for w in ws) for ws in W.values()
+    )
+    f = (between / (k - 1)) / (within / (nn - k))
+    assert got["k"] == k and got["n"] == nn
+    assert got["df1"] == k - 1 and got["df2"] == nn - k
+    assert got["f_stat"] == pytest.approx(f, abs=1e-6)
+    assert got["f_stat"] > 10  # planted heteroscedasticity
