@@ -603,6 +603,17 @@ def main() -> None:
         "X408_lilliefors",
         "X409_runs_two_sample",
         "X410_brown_forsythe",
+        # Round-16 tranche 5 (X411-X416): X411/X412/X413 ride the
+        # per-user paired-halves aggregate (user-bounded relation);
+        # X414 is the cells+prefix midrank class with a k-row
+        # broadcast pair join; X415/X416 are single grouped moment
+        # aggregates (scan-bound).
+        "X411_lin_ccc",
+        "X412_deming_regression",
+        "X413_bland_altman",
+        "X414_dunn_posthoc",
+        "X415_cohens_d",
+        "X416_welch_anova",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

@@ -6007,3 +6007,372 @@ def stuart_maxwell(
     return spark.createDataFrame(
         [(k, n_tot, k - 1, chi2)], "k long, n long, dof long, chi2 double"
     )
+
+
+def lin_ccc(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989): how well
+    do paired readings fall on the 45° line through the origin —
+    agreement, not mere correlation (Pearson's r forgives scale and
+    location shifts; CCC charges for them):
+
+        ρ_c = 2 s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+
+    with POPULATION moments (÷n, Lin's definition). The estimation
+    half of the agreement trio with Bland–Altman limits (interval) and
+    Deming regression (structural line).
+
+    Scale design: one mean aggregate + one broadcast-mean central-
+    moment aggregate — nothing but scans. Output: (n, mean_x, mean_y,
+    ccc) — NULL when n = 0 or both spreads and the location gap are 0.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    mean = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_x") / F.count("*")).alias("_mx"),
+        (F.sum("_y") / F.count("*")).alias("_my"),
+    )
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_y") - F.col("_my")
+    mom = base.crossJoin(F.broadcast(mean)).agg(
+        F.max("_n").alias("n"),
+        F.max("_mx").alias("mx"),
+        F.max("_my").alias("my"),
+        (F.sum(dx * dx) / F.max("_n")).alias("sxx"),
+        (F.sum(dy * dy) / F.max("_n")).alias("syy"),
+        (F.sum(dx * dy) / F.max("_n")).alias("sxy"),
+    )
+    gap = F.col("mx") - F.col("my")
+    den = F.col("sxx") + F.col("syy") + gap * gap
+    ccc = F.when(den > 0, 2.0 * F.col("sxy") / den)
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("mx", 6).alias("mean_x"),
+        F.round("my", 6).alias("mean_y"),
+        F.round(ccc, 6).alias("ccc"),
+    )
+
+
+def deming_regression(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    delta: float = 1.0,
+) -> DataFrame:
+    """Deming errors-in-variables regression (Deming 1943; Adcock
+    1878): the structural line when BOTH variables carry noise — OLS
+    attenuates the slope toward 0 by the x-noise share; Deming splits
+    the orthogonal residual by the error-variance ratio δ (δ = 1 is
+    orthogonal regression). Closed form from population moments:
+
+        β = (s_yy − δ s_xx + √((s_yy − δ s_xx)² + 4 δ s_xy²)) / (2 s_xy)
+        α = ȳ − β x̄
+
+    The structural member of the agreement trio (CCC, Bland–Altman).
+
+    Scale design: one mean aggregate + one broadcast-mean moment
+    aggregate, 1-row arithmetic. Output: (n, slope, intercept) — NULL
+    when s_xy = 0 (the closed form degenerates; a vertical/horizontal
+    structural line has no finite unique β).
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    mean = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_x") / F.count("*")).alias("_mx"),
+        (F.sum("_y") / F.count("*")).alias("_my"),
+    )
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_y") - F.col("_my")
+    mom = base.crossJoin(F.broadcast(mean)).agg(
+        F.max("_n").alias("n"),
+        F.max("_mx").alias("mx"),
+        F.max("_my").alias("my"),
+        (F.sum(dx * dx) / F.max("_n")).alias("sxx"),
+        (F.sum(dy * dy) / F.max("_n")).alias("syy"),
+        (F.sum(dx * dy) / F.max("_n")).alias("sxy"),
+    )
+    diff = F.col("syy") - delta * F.col("sxx")
+    beta = F.when(
+        F.col("sxy") != 0,
+        (diff + F.sqrt(diff * diff + 4.0 * delta * F.col("sxy") * F.col("sxy")))
+        / (2.0 * F.col("sxy")),
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(beta, 6).alias("slope"),
+        F.round(F.col("my") - beta * F.col("mx"), 6).alias("intercept"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Bland–Altman limits of agreement (Bland & Altman 1986): the
+    interval answer to "do two measurements agree" — bias = mean of
+    the paired differences d = y − x, limits = bias ± 1.96 s_d (s_d =
+    sample sd, ÷(n−1), their convention), plus the observed fraction
+    outside the limits (≈ 5% under normality — a cheap calibration
+    read). The interval member of the agreement trio (CCC, Deming).
+
+    Scale design: one mean aggregate, one broadcast-mean sd aggregate,
+    one broadcast-limits counting pass — three scans, no shuffle
+    beyond the 1-row reductions. Output: (n, bias, sd_diff, loa_lo,
+    loa_hi, pct_outside) — NULL limits when n < 2.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        (y - x).alias("_d")
+    )
+    mean = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_d") / F.count("*")).alias("_b"),
+    )
+    mom = base.crossJoin(F.broadcast(mean)).agg(
+        F.max("_n").alias("n"),
+        F.max("_b").alias("b"),
+        F.sqrt(
+            F.sum((F.col("_d") - F.col("_b")) * (F.col("_d") - F.col("_b")))
+            / F.nullif(F.max("_n") - 1.0, F.lit(0.0))
+        ).alias("s"),
+    )
+    out = base.crossJoin(F.broadcast(mom)).agg(
+        F.max("n").alias("n"),
+        F.max("b").alias("b"),
+        F.max("s").alias("s"),
+        (
+            F.sum(
+                (F.abs(F.col("_d") - F.col("b")) > 1.96 * F.col("s"))
+                .cast("double")
+            )
+            / F.max("n")
+        ).alias("pct"),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("b", 6).alias("bias"),
+        F.round("s", 6).alias("sd_diff"),
+        F.round(F.col("b") - 1.96 * F.col("s"), 6).alias("loa_lo"),
+        F.round(F.col("b") + 1.96 * F.col("s"), 6).alias("loa_hi"),
+        F.round("pct", 6).alias("pct_outside"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after Kruskal–Wallis (Dunn
+    1964): WHICH groups differ once the omnibus KW (X-series) says
+    some do — pairwise z's on pooled mean midranks with the shared tie
+    correction:
+
+        z_ij = (R̄_i − R̄_j) / √( (N(N+1)/12 − T/(12(N−1))) (1/n_i + 1/n_j) )
+        T = Σ_ties (t³ − t)
+
+    (Raw z's; apply your own Bonferroni/Holm across the k(k−1)/2 rows
+    — the suite reports evidence, not decisions.)
+
+    Scale design: pooled midranks via ONE distinct-value aggregate +
+    one prefix pass (the ansari cells), ONE k-row group-stats
+    aggregate, then a k²-bounded self-join of the k-row relation
+    (i < j) — pairs of GROUPS, never of rows. Output: one row per
+    pair (g1, g2, n_1, n_2, mean_rank_1, mean_rank_2, z), ordered by
+    (g1, g2) — z NULL when the pair variance degenerates.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), x.alias("_v")
+    )
+    cells = base.groupBy("_v", "_g").agg(
+        F.count("*").cast("double").alias("_f")
+    )
+    vcells = cells.groupBy("_v").agg(F.sum("_f").alias("_l"))
+    cum = partitioned_prefix_sum(vcells, ["_v"], ["_l"], ["_cl"], inclusive=False)
+    r = F.col("_cl") + (F.col("_l") + 1.0) / 2.0
+    ranked = cells.join(cum, "_v").select(
+        "_g", "_f", r.alias("_r")
+    )
+    gstats = ranked.groupBy("_g").agg(
+        F.sum("_f").alias("_ng"),
+        (F.sum(F.col("_f") * F.col("_r")) / F.sum("_f")).alias("_mr"),
+    )
+    tie = cum.agg(
+        F.sum("_l").alias("_N"),
+        F.sum(F.col("_l") * F.col("_l") * F.col("_l") - F.col("_l")).alias(
+            "_T"
+        ),
+    )
+    a = gstats.select(
+        F.col("_g").alias("g1"), F.col("_ng").alias("_n1"),
+        F.col("_mr").alias("_r1"),
+    )
+    b = gstats.select(
+        F.col("_g").alias("g2"), F.col("_ng").alias("_n2"),
+        F.col("_mr").alias("_r2"),
+    )
+    pairs = (
+        # k²-bounded GROUP pairs; broadcast so the keyless non-equi
+        # join plans as BNLJ, never a shuffled cartesian
+        a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(tie))
+    )
+    nn = F.col("_N")
+    var = (
+        (nn * (nn + 1.0) / 12.0 - F.col("_T") / (12.0 * F.nullif(nn - 1.0, F.lit(0.0))))
+        * (1.0 / F.col("_n1") + 1.0 / F.col("_n2"))
+    )
+    z = F.when(var > 0, (F.col("_r1") - F.col("_r2")) / F.sqrt(var))
+    return pairs.select(
+        "g1",
+        "g2",
+        F.col("_n1").cast("long").alias("n_1"),
+        F.col("_n2").cast("long").alias("n_2"),
+        F.round("_r1", 6).alias("mean_rank_1"),
+        F.round("_r2", 6).alias("mean_rank_2"),
+        F.round(z, 6).alias("z"),
+    ).orderBy("g1", "g2")
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cohen's d and Hedges' g standardized mean difference (Cohen
+    1969; Hedges 1981): the effect-size companion to the suite's
+    two-sample p-value machinery — HOW BIG is the shift in pooled-sd
+    units, with Hedges' exact-ratio small-sample correction
+    approximated the standard way:
+
+        d = (x̄_a − x̄_b) / s_p,
+        s_p² = ((n_a−1) s_a² + (n_b−1) s_b²) / (n_a + n_b − 2)
+        g = J·d,  J = 1 − 3/(4(n_a+n_b−2) − 1)
+
+    Scale design: one grouped moment aggregate (mean + sum-of-squares
+    per slice via broadcast means), 1-row arithmetic. Output:
+    (n_a, n_b, d, g) — NULL when either slice has < 2 rows or s_p = 0.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(F.col(group_col).alias("_g"), x.alias("_v"))
+    per = base.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_v").alias("_m"),
+        F.coalesce(
+            F.var_samp("_v"), F.lit(0.0)
+        ).alias("_s2"),
+    )
+    m = per.agg(
+        F.max(F.when(F.col("_g") == group_a, F.col("_n"))).alias("na"),
+        F.max(F.when(F.col("_g") == group_b, F.col("_n"))).alias("nb"),
+        F.max(F.when(F.col("_g") == group_a, F.col("_m"))).alias("ma"),
+        F.max(F.when(F.col("_g") == group_b, F.col("_m"))).alias("mb"),
+        F.max(F.when(F.col("_g") == group_a, F.col("_s2"))).alias("sa2"),
+        F.max(F.when(F.col("_g") == group_b, F.col("_s2"))).alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    dof = na + nb - 2.0
+    sp = F.sqrt(
+        ((na - 1.0) * F.col("sa2") + (nb - 1.0) * F.col("sb2"))
+        / F.nullif(dof, F.lit(0.0))
+    )
+    d = F.when(
+        (na >= 2) & (nb >= 2) & (sp > 0), (F.col("ma") - F.col("mb")) / sp
+    )
+    jj = 1.0 - 3.0 / (4.0 * dof - 1.0)
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(d, 6).alias("d"),
+        F.round(jj * d, 6).alias("g"),
+    )
+
+
+def welch_anova(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951): the k-group
+    mean comparison that does NOT assume equal variances — the
+    k-sample sequel to welch_ttest, and the omnibus X410's
+    Brown–Forsythe variance test decides you need:
+
+        w_g = n_g/s_g²,  W = Σ w_g,  x̄_w = Σ w_g x̄_g / W
+        A = Σ w_g (x̄_g − x̄_w)² / (k−1)
+        B = 2(k−2)/(k²−1) · Σ (1 − w_g/W)² / (n_g − 1)
+        F* = A / (1 + B),   df1 = k−1,
+        df2 = (k²−1) / (3 Σ (1 − w_g/W)² / (n_g − 1))
+
+    Scale design: ONE grouped moment aggregate, one k-bounded weight
+    aggregate (two passes because x̄_w feeds the deviations —
+    broadcast), 1-row arithmetic. Output: (k, n, f_stat, df1, df2) —
+    NULL when k < 2 or any group has n < 2 or zero variance.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_v")
+    )
+    per = base.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_v").alias("_m"),
+        F.var_samp("_v").alias("_s2"),
+    )
+    ok_per = (F.col("_n") > 1) & (F.col("_s2") > 0)
+    w = per.select(
+        "_n", "_m", "_s2",
+        F.when(ok_per, F.col("_n") / F.col("_s2")).alias("_w"),
+    )
+    tot = w.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("_n").alias("nn"),
+        F.sum("_w").alias("W"),
+        F.sum(F.col("_w") * F.col("_m")).alias("wm"),
+        F.min(ok_per.cast("int")).alias("allok"),
+    )
+    j = w.crossJoin(F.broadcast(tot))
+    xw = F.col("wm") / F.col("W")
+    m = j.agg(
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+        F.max("allok").alias("allok"),
+        F.sum(F.col("_w") * (F.col("_m") - xw) * (F.col("_m") - xw)).alias(
+            "A0"
+        ),
+        F.sum(
+            (1.0 - F.col("_w") / F.col("W"))
+            * (1.0 - F.col("_w") / F.col("W"))
+            / (F.col("_n") - 1.0)
+        ).alias("S"),
+    )
+    k = F.col("k")
+    ok = (k > 1) & (F.col("allok") == 1)
+    a = F.col("A0") / (k - 1.0)
+    b = 2.0 * (k - 2.0) / (k * k - 1.0) * F.col("S")
+    f = F.when(ok, a / (1.0 + b))
+    df2 = F.when(ok, (k * k - 1.0) / (3.0 * F.col("S")))
+    return m.select(
+        k.cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(f, 6).alias("f_stat"),
+        (k - 1.0).cast("long").alias("df1"),
+        F.round(df2, 6).alias("df2"),
+    )

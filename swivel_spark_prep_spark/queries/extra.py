@@ -15811,3 +15811,249 @@ def x410(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return brown_forsythe(ev, "value", "event_type")
+
+
+#: X411-X413 share one paired relation: per-user mean event value in
+#: the first vs second CALENDAR half of the corpus (integer day
+#: arithmetic both engines — no fractional-second boundary risk).
+_PAIRED_HALVES_SQL = """WITH e AS (SELECT user_id, ts, value::DOUBLE AS v
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL),
+bb AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+       FROM e),
+per AS (SELECT user_id,
+          AVG(CASE WHEN (CAST(ts AS DATE) - (SELECT d0 FROM bb))
+                < FLOOR((((SELECT d1 FROM bb) - (SELECT d0 FROM bb)) + 1)
+                        / 2.0) THEN v END) AS x,
+          AVG(CASE WHEN (CAST(ts AS DATE) - (SELECT d0 FROM bb))
+                >= FLOOR((((SELECT d1 FROM bb) - (SELECT d0 FROM bb)) + 1)
+                         / 2.0) THEN v END) AS y
+        FROM e GROUP BY 1),
+pp AS (SELECT x, y FROM per WHERE x IS NOT NULL AND y IS NOT NULL)"""
+
+
+def _paired_halves(spark, sf_dir):
+    """Per-user (first-half mean value, second-half mean value) pairs —
+    the shared input of the agreement trio X411/X412/X413. The calendar
+    midpoint is a 1-row broadcast (never collected); the split is
+    integer day arithmetic, replayed identically by the SQL twin."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("_d0"),
+        F.max(F.to_date("ts")).alias("_d1"),
+    )
+    j = ev.crossJoin(F.broadcast(b))
+    half = F.floor(
+        (F.datediff(F.col("_d1"), F.col("_d0")) + 1) / 2.0
+    )
+    in_first = F.datediff(F.to_date("ts"), F.col("_d0")) < half
+    per = j.groupBy("user_id").agg(
+        F.avg(F.when(in_first, F.col("value"))).alias("x"),
+        F.avg(F.when(~in_first, F.col("value"))).alias("y"),
+    )
+    return per.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+
+@_declare(
+    "X411_lin_ccc",
+    # Lin's concordance correlation between each user's first-half and
+    # second-half mean event value (evalmetrics.lin_ccc; Lin 1989):
+    # agreement with the 45-degree line, not mere correlation -
+    # Pearson forgives scale/location shifts, CCC charges for them.
+    # Population moments; the estimation member of the agreement trio
+    # (X412 Deming line, X413 Bland-Altman interval).
+    _PAIRED_HALVES_SQL + """,
+mn AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) / COUNT(*) AS mx,
+              SUM(y) / COUNT(*) AS my FROM pp),
+mo AS (SELECT MAX(n) AS n, MAX(mx) AS mx, MAX(my) AS my,
+              SUM((x - mx) * (x - mx)) / MAX(n) AS sxx,
+              SUM((y - my) * (y - my)) / MAX(n) AS syy,
+              SUM((x - mx) * (y - my)) / MAX(n) AS sxy
+       FROM pp CROSS JOIN mn)
+SELECT n::BIGINT AS n, ROUND(mx, 6) AS mean_x, ROUND(my, 6) AS mean_y,
+       ROUND(CASE WHEN sxx + syy + (mx - my) * (mx - my) > 0
+             THEN 2.0 * sxy / (sxx + syy + (mx - my) * (mx - my)) END, 6)
+         AS ccc
+FROM mo;""",
+)
+def x411(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import lin_ccc
+
+    return lin_ccc(_paired_halves(spark, sf_dir), "x", "y")
+
+
+@_declare(
+    "X412_deming_regression",
+    # Deming errors-in-variables line through the same paired halves
+    # (evalmetrics.deming_regression; Deming 1943, delta = 1 =
+    # orthogonal): the structural slope when BOTH halves carry noise -
+    # OLS would attenuate toward 0 by the x-noise share. Closed form
+    # from population moments; the line member of the agreement trio.
+    _PAIRED_HALVES_SQL + """,
+mn AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) / COUNT(*) AS mx,
+              SUM(y) / COUNT(*) AS my FROM pp),
+mo AS (SELECT MAX(n) AS n, MAX(mx) AS mx, MAX(my) AS my,
+              SUM((x - mx) * (x - mx)) / MAX(n) AS sxx,
+              SUM((y - my) * (y - my)) / MAX(n) AS syy,
+              SUM((x - mx) * (y - my)) / MAX(n) AS sxy
+       FROM pp CROSS JOIN mn),
+bt AS (SELECT n, mx, my,
+              CASE WHEN sxy <> 0
+                THEN (syy - 1.0 * sxx
+                      + sqrt((syy - 1.0 * sxx) * (syy - 1.0 * sxx)
+                             + 4.0 * 1.0 * sxy * sxy)) / (2.0 * sxy)
+              END AS beta
+       FROM mo)
+SELECT n::BIGINT AS n, ROUND(beta, 6) AS slope,
+       ROUND(my - beta * mx, 6) AS intercept
+FROM bt;""",
+)
+def x412(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        deming_regression,
+    )
+
+    return deming_regression(_paired_halves(spark, sf_dir), "x", "y")
+
+
+@_declare(
+    "X413_bland_altman",
+    # Bland-Altman limits of agreement over the same paired halves
+    # (evalmetrics.bland_altman; 1986): bias +- 1.96 sample-sd of the
+    # paired differences, plus the observed outside-limits fraction
+    # (~5% under normality - a free calibration read). The interval
+    # member of the agreement trio.
+    _PAIRED_HALVES_SQL + """,
+dd AS (SELECT y - x AS d FROM pp),
+mn AS (SELECT COUNT(*)::DOUBLE AS n, SUM(d) / COUNT(*) AS b FROM dd),
+mo AS (SELECT MAX(n) AS n, MAX(b) AS b,
+              sqrt(SUM((d - b) * (d - b))
+                   / NULLIF(MAX(n) - 1.0, 0.0)) AS s
+       FROM dd CROSS JOIN mn),
+oc AS (SELECT MAX(n) AS n, MAX(b) AS b, MAX(s) AS s,
+              SUM((ABS(d - b) > 1.96 * s)::INT)::DOUBLE / MAX(n) AS pct
+       FROM dd CROSS JOIN mo)
+SELECT n::BIGINT AS n, ROUND(b, 6) AS bias, ROUND(s, 6) AS sd_diff,
+       ROUND(b - 1.96 * s, 6) AS loa_lo, ROUND(b + 1.96 * s, 6) AS loa_hi,
+       ROUND(pct, 6) AS pct_outside
+FROM oc;""",
+)
+def x413(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import bland_altman
+
+    return bland_altman(_paired_halves(spark, sf_dir), "x", "y")
+
+
+@_declare(
+    "X414_dunn_posthoc",
+    # Dunn's post-hoc pairwise z's across ALL event types after
+    # Kruskal-Wallis (evalmetrics.dunn_posthoc; Dunn 1964): WHICH
+    # groups differ once the omnibus says some do - pooled mean
+    # midranks, shared tie correction, raw z per group pair (k^2-
+    # bounded rows; apply your own Bonferroni/Holm downstream).
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+cells AS (SELECT v, g, COUNT(*)::DOUBLE AS f FROM b GROUP BY 1, 2),
+vc AS (SELECT v, SUM(f) AS l FROM cells GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM vc),
+rk AS (SELECT cells.g, cells.f, cum.cl + (cum.l + 1.0) / 2.0 AS r
+       FROM cells JOIN cum USING (v)),
+gs AS (SELECT g, SUM(f) AS ng, SUM(f * r) / SUM(f) AS mr
+       FROM rk GROUP BY 1),
+tie AS (SELECT SUM(l) AS N, SUM(l * l * l - l) AS T FROM cum)
+SELECT a.g AS g1, x.g AS g2, a.ng::BIGINT AS n_1, x.ng::BIGINT AS n_2,
+       ROUND(a.mr, 6) AS mean_rank_1, ROUND(x.mr, 6) AS mean_rank_2,
+       ROUND(CASE WHEN (N * (N + 1.0) / 12.0 - T / (12.0 * (N - 1.0)))
+                       * (1.0 / a.ng + 1.0 / x.ng) > 0
+             THEN (a.mr - x.mr)
+                  / sqrt((N * (N + 1.0) / 12.0 - T / (12.0 * (N - 1.0)))
+                         * (1.0 / a.ng + 1.0 / x.ng)) END, 6) AS z
+FROM gs a JOIN gs x ON a.g < x.g CROSS JOIN tie
+ORDER BY g1, g2;""",
+)
+def x414(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import dunn_posthoc
+
+    ev = load_table(spark, sf_dir, "events")
+    return dunn_posthoc(ev, "value", "event_type")
+
+
+@_declare(
+    "X415_cohens_d",
+    # Cohen's d + Hedges' g, purchase vs view values (evalmetrics.
+    # cohens_d; Cohen 1969, Hedges 1981): HOW BIG is the shift in
+    # pooled-sd units - the effect-size companion to the two-sample
+    # p-value machinery; standard J = 1 - 3/(4 df - 1) small-sample
+    # correction.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(v) AS m,
+               COALESCE(VAR_SAMP(v), 0.0) AS s2 FROM b GROUP BY 1),
+m AS (SELECT MAX(CASE WHEN g = 'purchase' THEN n END) AS na,
+             MAX(CASE WHEN g = 'view' THEN n END) AS nb,
+             MAX(CASE WHEN g = 'purchase' THEN m END) AS ma,
+             MAX(CASE WHEN g = 'view' THEN m END) AS mb,
+             MAX(CASE WHEN g = 'purchase' THEN s2 END) AS sa2,
+             MAX(CASE WHEN g = 'view' THEN s2 END) AS sb2
+      FROM per),
+dd AS (SELECT na, nb,
+              CASE WHEN na >= 2 AND nb >= 2
+                    AND sqrt(((na - 1.0) * sa2 + (nb - 1.0) * sb2)
+                             / NULLIF(na + nb - 2.0, 0.0)) > 0
+                THEN (ma - mb)
+                     / sqrt(((na - 1.0) * sa2 + (nb - 1.0) * sb2)
+                            / NULLIF(na + nb - 2.0, 0.0)) END AS d,
+              1.0 - 3.0 / (4.0 * (na + nb - 2.0) - 1.0) AS jj
+       FROM m)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, ROUND(d, 6) AS d,
+       ROUND(jj * d, 6) AS g
+FROM dd;""",
+)
+def x415(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import cohens_d
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohens_d(ev, "value", "event_type", "purchase", "view")
+
+
+@_declare(
+    "X416_welch_anova",
+    # Welch's heteroscedastic one-way ANOVA across all event types
+    # (evalmetrics.welch_anova; Welch 1951): the k-group mean
+    # comparison WITHOUT equal variances - the k-sample sequel to
+    # welch_ttest, reached for exactly when X410's Brown-Forsythe
+    # variance test rejects; Satterthwaite-style df2.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(v) AS m, VAR_SAMP(v) AS s2
+        FROM b GROUP BY 1),
+w AS (SELECT n, m, s2,
+             CASE WHEN n > 1 AND s2 > 0 THEN n / s2 END AS w FROM per),
+tot AS (SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn, SUM(w) AS wsum,
+               SUM(w * m) AS wm,
+               MIN((n > 1 AND s2 > 0)::INT) AS allok FROM w),
+m AS (SELECT MAX(k) AS k, MAX(nn) AS nn, MAX(allok) AS allok,
+             SUM(w.w * (m - wm / wsum) * (m - wm / wsum)) AS A0,
+             SUM((1.0 - w.w / wsum) * (1.0 - w.w / wsum) / (n - 1.0)) AS S
+      FROM w CROSS JOIN tot)
+SELECT k::BIGINT AS k, nn::BIGINT AS n,
+       ROUND(CASE WHEN k > 1 AND allok = 1
+             THEN (A0 / (k - 1.0))
+                  / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * S) END, 6)
+         AS f_stat,
+       (k - 1)::BIGINT AS df1,
+       ROUND(CASE WHEN k > 1 AND allok = 1
+             THEN (k * k - 1.0) / (3.0 * S) END, 6) AS df2
+FROM m;""",
+)
+def x416(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import welch_anova
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_anova(ev, "value", "event_type")

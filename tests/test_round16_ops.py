@@ -1313,3 +1313,189 @@ def test_brown_forsythe_brute_force_and_direction(spark):
     assert got["df1"] == k - 1 and got["df2"] == nn - k
     assert got["f_stat"] == pytest.approx(f, abs=1e-6)
     assert got["f_stat"] > 10  # planted heteroscedasticity
+
+
+# ----------------------------------------------- X411-X416 round-16 tranche 5
+def test_lin_ccc_properties(spark):
+    """CCC = 1 on perfect agreement, penalizes a pure location shift
+    that leaves Pearson r at 1, and replays the moment formula."""
+    rows = [(float(i), float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    from swivel_spark_prep_spark.operators.evalmetrics import lin_ccc
+
+    assert lin_ccc(df, "x", "y").collect()[0]["ccc"] == pytest.approx(1.0)
+
+    shifted = spark.createDataFrame(
+        [(float(i), float(i) + 5) for i in range(1, 21)], "x double, y double"
+    )
+    got = lin_ccc(shifted, "x", "y").collect()[0]
+    # r = 1 but CCC = sxx·2/(2sxx + 25): brute
+    import statistics
+
+    xs = list(range(1, 21))
+    sxx = statistics.pvariance(xs)
+    want = 2 * sxx / (2 * sxx + 25.0)
+    assert got["ccc"] == pytest.approx(want, abs=1e-6)
+    assert got["ccc"] < 0.8  # the shift costs agreement
+
+
+def test_deming_recovers_structural_slope_and_beats_ols(spark):
+    """With equal noise on both axes, Deming(δ=1) recovers a planted
+    slope-2 line that OLS attenuates; closed form pinned by brute."""
+    import math
+    import random
+
+    rng = random.Random(89)
+    pts = []
+    for _ in range(500):
+        t = rng.random() * 10
+        pts.append((t + rng.gauss(0, 1), 2 * t + rng.gauss(0, 1)))
+    df = spark.createDataFrame(pts, "x double, y double")
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        deming_regression,
+    )
+
+    got = deming_regression(df, "x", "y").collect()[0]
+    n = len(pts)
+    mx = sum(p[0] for p in pts) / n
+    my = sum(p[1] for p in pts) / n
+    sxx = sum((p[0] - mx) ** 2 for p in pts) / n
+    syy = sum((p[1] - my) ** 2 for p in pts) / n
+    sxy = sum((p[0] - mx) * (p[1] - my) for p in pts) / n
+    beta = (syy - sxx + math.sqrt((syy - sxx) ** 2 + 4 * sxy**2)) / (2 * sxy)
+    assert got["slope"] == pytest.approx(beta, abs=1e-6)
+    assert got["intercept"] == pytest.approx(my - beta * mx, abs=1e-6)
+    ols = sxy / sxx
+    assert abs(got["slope"] - 2.0) < abs(ols - 2.0)  # OLS attenuates
+    assert 1.8 < got["slope"] < 2.2
+
+
+def test_bland_altman_brute_and_calibration(spark):
+    """Limits replay the brute force, and on Gaussian differences the
+    outside fraction sits near the nominal 5%."""
+    import math
+    import random
+
+    rng = random.Random(97)
+    pts = [(v := rng.random() * 50, v + 3 + rng.gauss(0, 2))
+           for _ in range(2000)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    from swivel_spark_prep_spark.operators.evalmetrics import bland_altman
+
+    got = bland_altman(df, "x", "y").collect()[0]
+    ds = [y - x for x, y in pts]
+    n = len(ds)
+    b = sum(ds) / n
+    s = math.sqrt(sum((d - b) ** 2 for d in ds) / (n - 1))
+    pct = sum(1 for d in ds if abs(d - b) > 1.96 * s) / n
+    assert got["bias"] == pytest.approx(b, abs=1e-6)
+    assert got["sd_diff"] == pytest.approx(s, abs=1e-6)
+    assert got["loa_lo"] == pytest.approx(b - 1.96 * s, abs=1e-6)
+    assert got["loa_hi"] == pytest.approx(b + 1.96 * s, abs=1e-6)
+    assert got["pct_outside"] == pytest.approx(pct, abs=1e-9)
+    assert 0.02 < got["pct_outside"] < 0.08  # ≈5% under normality
+    assert 2.5 < got["bias"] < 3.5  # planted offset
+
+
+def test_dunn_posthoc_brute_and_separated_group(spark):
+    """Pairwise z's replay the tie-corrected formula, every unordered
+    pair appears exactly once, and a shifted group is flagged against
+    both others."""
+    import math
+    import random
+
+    rng = random.Random(101)
+    rows = (
+        [("a", round(rng.random() * 10, 1)) for _ in range(60)]
+        + [("b", round(rng.random() * 10, 1)) for _ in range(55)]
+        + [("c", round(rng.random() * 10 + 15, 1)) for _ in range(50)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import dunn_posthoc
+
+    got = {(r["g1"], r["g2"]): r for r in dunn_posthoc(df, "v", "g").collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    vals = [v for _, v in rows]
+    r = _midranks(vals)
+    N = len(vals)
+    from collections import Counter
+
+    T = sum(t**3 - t for t in Counter(vals).values())
+    stats = {}
+    for g in ("a", "b", "c"):
+        idx = [i for i, (gg, _) in enumerate(rows) if gg == g]
+        stats[g] = (len(idx), sum(r[i] for i in idx) / len(idx))
+    for (g1, g2), row in got.items():
+        n1, r1 = stats[g1]
+        n2, r2 = stats[g2]
+        var = (N * (N + 1) / 12.0 - T / (12.0 * (N - 1))) * (1 / n1 + 1 / n2)
+        assert row["z"] == pytest.approx((r1 - r2) / math.sqrt(var), abs=1e-6)
+        assert row["n_1"] == n1 and row["n_2"] == n2
+    assert abs(got[("a", "b")]["z"]) < 2  # same distribution
+    assert got[("a", "c")]["z"] < -5 and got[("b", "c")]["z"] < -5
+
+
+def test_cohens_d_brute_and_known_effect(spark):
+    """d replays the pooled-sd formula; a planted 1-sd shift reads
+    d ≈ 1 with g < d (the small-sample shrink)."""
+    import math
+    import random
+
+    rng = random.Random(103)
+    a = [rng.gauss(10, 2) for _ in range(80)]
+    b = [rng.gauss(8, 2) for _ in range(70)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import cohens_d
+
+    got = cohens_d(df, "v", "g", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    sa2 = sum((v - ma) ** 2 for v in a) / (na - 1)
+    sb2 = sum((v - mb) ** 2 for v in b) / (nb - 1)
+    sp = math.sqrt(((na - 1) * sa2 + (nb - 1) * sb2) / (na + nb - 2))
+    d = (ma - mb) / sp
+    jj = 1 - 3.0 / (4 * (na + nb - 2) - 1)
+    assert got["d"] == pytest.approx(d, abs=1e-6)
+    assert got["g"] == pytest.approx(jj * d, abs=1e-6)
+    assert 0.6 < got["d"] < 1.4 and abs(got["g"]) < abs(got["d"])
+
+
+def test_welch_anova_brute_and_robustness(spark):
+    """F* replays Welch's 1951 formulas, and unlike classic ANOVA it
+    is calibrated when variances differ wildly but means agree."""
+    import math
+    import random
+
+    rng = random.Random(107)
+    rows = (
+        [("a", rng.gauss(10, 1)) for _ in range(100)]
+        + [("b", rng.gauss(10, 6)) for _ in range(40)]
+        + [("c", rng.gauss(10, 0.3)) for _ in range(200)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import welch_anova
+
+    got = welch_anova(df, "v", "g").collect()[0]
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    W = wm = 0.0
+    per = {}
+    for g, xs in groups.items():
+        ng = len(xs)
+        m = sum(xs) / ng
+        s2 = sum((v - m) ** 2 for v in xs) / (ng - 1)
+        w = ng / s2
+        W += w
+        wm += w * m
+        per[g] = (ng, m, s2, w)
+    k = len(per)
+    xw = wm / W
+    a0 = sum(w * (m - xw) ** 2 for ng, m, s2, w in per.values())
+    s_ = sum((1 - w / W) ** 2 / (ng - 1) for ng, m, s2, w in per.values())
+    f = (a0 / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * s_)
+    assert got["k"] == k and got["df1"] == k - 1
+    assert got["f_stat"] == pytest.approx(f, abs=1e-6)
+    assert got["df2"] == pytest.approx((k * k - 1) / (3 * s_), abs=1e-4)
+    assert got["f_stat"] < 4  # equal means → no rejection despite 20x var
