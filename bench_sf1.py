@@ -614,6 +614,14 @@ def main() -> None:
         "X414_dunn_posthoc",
         "X415_cohens_d",
         "X416_welch_anova",
+        # Round-16 tranche 6 (X417-X420): X417/X419 are grouped-
+        # moment / cells+prefix classes; X418's stratum pair join is
+        # (span/7)^2-bounded; X420's frequency explode is
+        # floor(span/2) x the aggregated day grid (calendar-bounded).
+        "X417_games_howell",
+        "X418_seasonal_mann_kendall",
+        "X419_conover_squared_ranks",
+        "X420_spectral_entropy",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

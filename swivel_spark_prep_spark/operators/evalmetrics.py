@@ -6376,3 +6376,129 @@ def welch_anova(
         (k - 1.0).cast("long").alias("df1"),
         F.round(df2, 6).alias("df2"),
     )
+
+
+def games_howell(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Games–Howell post-hoc pairwise comparisons (Games & Howell
+    1976): WHICH group means differ when variances are UNEQUAL — the
+    heteroscedastic sibling of Tukey's HSD and the pairwise follow-up
+    to welch_anova (X416), as Dunn (X414) is to Kruskal–Wallis:
+
+        q_ij  = (m_i − m_j) / √((s_i²/n_i + s_j²/n_j) / 2)
+        df_ij = (v_i + v_j)² / (v_i²/(n_i−1) + v_j²/(n_j−1)),
+                v_g = s_g²/n_g   (Welch–Satterthwaite per pair)
+
+    (Raw signed q and df; refer q to the studentized-range table
+    downstream — the suite reports evidence, not decisions.)
+
+    Scale design: ONE grouped moment aggregate, then a k²-bounded
+    broadcast BNLJ self-pairing of the k-row stats relation — pairs
+    of GROUPS, never rows. Output: one row per pair (g1, g2, n_1,
+    n_2, diff, q_stat, df), ordered — NULL q/df when either side has
+    n < 2 or zero variance.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), x.alias("_v")
+    )
+    per = base.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_v").alias("_m"),
+        F.var_samp("_v").alias("_s2"),
+    )
+    a = per.select(
+        F.col("_g").alias("g1"), F.col("_n").alias("_n1"),
+        F.col("_m").alias("_m1"), F.col("_s2").alias("_v1s"),
+    )
+    b = per.select(
+        F.col("_g").alias("g2"), F.col("_n").alias("_n2"),
+        F.col("_m").alias("_m2"), F.col("_s2").alias("_v2s"),
+    )
+    # k²-bounded GROUP pairs; broadcast → BNLJ, never a cartesian
+    pairs = a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
+    ok = (
+        (F.col("_n1") > 1) & (F.col("_n2") > 1)
+        & (F.col("_v1s") > 0) & (F.col("_v2s") > 0)
+    )
+    v1 = F.col("_v1s") / F.col("_n1")
+    v2 = F.col("_v2s") / F.col("_n2")
+    diff = F.col("_m1") - F.col("_m2")
+    q = F.when(ok, diff / F.sqrt((v1 + v2) / 2.0))
+    dof = F.when(
+        ok,
+        (v1 + v2) * (v1 + v2)
+        / (v1 * v1 / (F.col("_n1") - 1.0) + v2 * v2 / (F.col("_n2") - 1.0)),
+    )
+    return pairs.select(
+        "g1",
+        "g2",
+        F.col("_n1").cast("long").alias("n_1"),
+        F.col("_n2").cast("long").alias("n_2"),
+        F.round(diff, 6).alias("diff"),
+        F.round(q, 6).alias("q_stat"),
+        F.round(dof, 6).alias("df"),
+    ).orderBy("g1", "g2")
+
+
+def conover_squared_ranks(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Conover squared-ranks k-sample test for equal variances
+    (Conover 1980 §5.3): pooled ranks of |x − x̄_g| SQUARED — the
+    rank-based k-sample scale test between X389's normal-scores
+    Fligner–Killeen and X410's parametric Brown–Forsythe:
+
+        u = |x − x̄_g|,  R = pooled midrank of u,  S_g = Σ_g R²
+        S̄ = Σ R²/N,  D² = (Σ R⁴ − N S̄²)/(N−1)
+        T = (Σ_g S_g²/n_g − N S̄²) / D²    (~χ²_{k−1})
+
+    Midrank powers are exact in doubles (integer/quarter-integer
+    sums), so T carries no float-ordering noise.
+
+    Scale design: one grouped mean aggregate (broadcast), ONE
+    distinct-|deviation|-value aggregate + one prefix pass for pooled
+    midranks, one k-bounded group reduction, 1-row arithmetic.
+    Output: (k, n, t_stat) — NULL when D² = 0 (all deviations tied).
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), x.alias("_v")
+    )
+    means = base.groupBy("_g").agg(F.avg("_v").alias("_m"))
+    u = base.join(F.broadcast(means), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_m")).alias("_u")
+    )
+    cells = u.groupBy("_u", "_g").agg(F.count("*").cast("double").alias("_f"))
+    vcells = cells.groupBy("_u").agg(F.sum("_f").alias("_l"))
+    cum = partitioned_prefix_sum(vcells, ["_u"], ["_l"], ["_cl"], inclusive=False)
+    r = F.col("_cl") + (F.col("_l") + 1.0) / 2.0
+    ranked = cells.join(cum, "_u").select("_g", "_f", r.alias("_r"))
+    gs = ranked.groupBy("_g").agg(
+        F.sum("_f").alias("_ng"),
+        F.sum(F.col("_f") * F.col("_r") * F.col("_r")).alias("_sg"),
+    )
+    gtot = gs.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.col("_sg") * F.col("_sg") / F.col("_ng")).alias("ssq"),
+    )
+    mom = cum.agg(
+        F.sum("_l").alias("nn"),
+        F.sum(F.col("_l") * r * r).alias("r2"),
+        F.sum(F.col("_l") * r * r * r * r).alias("r4"),
+    )
+    j = gtot.crossJoin(F.broadcast(mom))
+    nn = F.col("nn")
+    sbar = F.col("r2") / nn
+    d2 = (F.col("r4") - nn * sbar * sbar) / F.nullif(nn - 1.0, F.lit(0.0))
+    t = F.when(d2 > 0, (F.col("ssq") - nn * sbar * sbar) / d2)
+    return j.select(
+        F.col("k").cast("long").alias("k"),
+        nn.cast("long").alias("n"),
+        F.round(t, 6).alias("t_stat"),
+    )

@@ -4749,3 +4749,162 @@ def hodges_lehmann_shift(
         F.col("_np").alias("n_pairs"),
         F.round("_hl", 6).alias("hl_shift"),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test on the daily event-count
+    series with day-of-week strata (Hirsch & Slack 1984, the
+    no-serial-correlation form): Kendall's S computed WITHIN each
+    weekday (Mondays against Mondays, …) and summed — a weekly cycle
+    no longer masquerades as (or masks) a monotone trend, the failure
+    mode of running plain mann_kendall on seasonal data:
+
+        S′ = Σ_g S_g,
+        Var′ = Σ_g [n_g(n_g−1)(2n_g+5) − Σ_t t(t−1)(2t+5)] / 18
+        z = (S′ ∓ 1)/√Var′   (the mann_kendall continuity convention)
+
+    Scale design: the corpus collapses to the zero-filled calendar-day
+    grid; the pair join is equi-keyed on the STRATUM with a range
+    filter inside it — per-stratum pairs are (span/7)² and
+    calendar-bounded; ties re-aggregate the per-(stratum, value)
+    relation. Output: (t, n_seasons, s_stat, var_s, z).
+    """
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(F.count("*").cast("double").alias("_y"))
+    )
+    row = daily.agg(F.min("_day").alias("d0"), F.max("_day").alias("d1")).collect()[
+        0
+    ]  # 1-row control relation (calendar bounds)
+    if row["d0"] is None:
+        raise ValueError("no timestamped rows")
+    t_span = (row["d1"] - row["d0"]).days + 1
+    cal = daily.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(row["d0"]), F.lit(row["d1"]))).alias("_day")
+    )
+    grid = cal.join(daily, "_day", "left").select(
+        F.dayofweek("_day").alias("_s"),
+        F.datediff(F.col("_day"), F.lit(row["d0"])).cast("long").alias("_t"),
+        F.coalesce(F.col("_y"), F.lit(0.0)).alias("_y"),
+    )
+    a = grid.select(
+        F.col("_s").alias("_sa"), F.col("_t").alias("_ta"),
+        F.col("_y").alias("_ya"),
+    )
+    b = grid.select(
+        F.col("_s").alias("_sb"), F.col("_t").alias("_tb"),
+        F.col("_y").alias("_yb"),
+    )
+    pairs = a.join(
+        b, (F.col("_sa") == F.col("_sb")) & (F.col("_ta") < F.col("_tb"))
+    )
+    s = pairs.agg(F.sum(F.signum(F.col("_yb") - F.col("_ya"))).alias("_S"))
+    pern = grid.groupBy("_s").agg(F.count("*").cast("double").alias("_ng"))
+    ties = (
+        grid.groupBy("_s", "_y")
+        .agg(F.count("*").cast("double").alias("_tc"))
+        .groupBy("_s")
+        .agg(
+            F.sum(
+                F.col("_tc") * (F.col("_tc") - 1.0) * (2.0 * F.col("_tc") + 5.0)
+            ).alias("_tt")
+        )
+    )
+    var = (
+        pern.join(ties, "_s")
+        .select(
+            (
+                (
+                    F.col("_ng") * (F.col("_ng") - 1.0)
+                    * (2.0 * F.col("_ng") + 5.0)
+                    - F.col("_tt")
+                )
+                / 18.0
+            ).alias("_vg"),
+        )
+        .agg(F.sum("_vg").alias("_V"), F.count("*").cast("long").alias("_k"))
+    )
+    j = s.crossJoin(F.broadcast(var))
+    cc = (
+        F.when(F.col("_S") > 0, F.col("_S") - 1)
+        .when(F.col("_S") < 0, F.col("_S") + 1)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.lit(t_span).cast("long").alias("t"),
+        F.col("_k").alias("n_seasons"),
+        F.col("_S").cast("long").alias("s_stat"),
+        F.round("_V", 6).alias("var_s"),
+        F.round(F.when(F.col("_V") > 0, cc / F.sqrt(F.col("_V"))), 6).alias(
+            "z"
+        ),
+    )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Normalized spectral entropy of the daily event-count series
+    (Shannon entropy of the full-grid periodogram; Inouye et al. 1991;
+    the "forecastability" feature of the tsfeatures/catch22
+    literature): how CONCENTRATED is the rate's power spectrum —
+    0 = one pure cycle carries everything, 1 = white-noise flat. The
+    whole-spectrum complement to X342's named-period periodogram probe
+    and X378's seasonal strength:
+
+        P_k = A_k² + B_k²  (k = 1..⌊T/2⌋, Fourier grid, mean-centered)
+        H = −Σ p_k ln p_k / ln M,   p_k = P_k / Σ P
+
+    Scale design: corpus → calendar-bounded day grid; the frequency
+    axis is ONE explode(sequence(1, ⌊T/2⌋)) over the AGGREGATED grid
+    (B = ⌊span/2⌋ — span²/2 cells, ~6.7M at a CENTURY of days, never
+    corpus rows), then one grouped trig aggregate per frequency and a
+    1-row entropy reduction. Output: (t, m, entropy) — NULL when the
+    series is constant (ΣP = 0) or M < 2.
+    """
+    grid, t_span = _zero_filled_daily(df, ts_col)
+    m = t_span // 2
+    tt = float(t_span)
+    if m < 2:
+        return grid.agg(
+            F.lit(t_span).cast("long").alias("t"),
+            F.lit(m).cast("long").alias("m"),
+            F.lit(None).cast("double").alias("entropy"),
+        )
+    mean = grid.agg((F.sum("_y") / tt).alias("_mu"))
+    e = grid.crossJoin(F.broadcast(mean)).select(
+        "_t",
+        (F.col("_y") - F.col("_mu")).alias("_e"),
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("_k"),
+    )
+    theta = 2.0 * math.pi * F.col("_k") * F.col("_t") / tt
+    pk = e.groupBy("_k").agg(
+        F.sum(F.col("_e") * F.cos(theta)).alias("_a"),
+        F.sum(F.col("_e") * F.sin(theta)).alias("_b"),
+    ).select(
+        (F.col("_a") * F.col("_a") + F.col("_b") * F.col("_b")).alias("_p")
+    )
+    # H = −Σ (P/tot)·ln(P/tot) = ln(tot) − (Σ P ln P)/tot — ONE
+    # aggregate, no join of pk back onto its own total (which would
+    # duplicate the frequency-explode subtree on both branches)
+    h = pk.agg(
+        F.sum("_p").alias("_tot"),
+        F.sum(
+            F.when(F.col("_p") > 0, F.col("_p") * F.log(F.col("_p")))
+        ).alias("_spl"),
+    )
+    ent = F.when(
+        F.col("_tot") > 0,
+        (F.log(F.col("_tot")) - F.col("_spl") / F.col("_tot"))
+        / math.log(float(m)),
+    )
+    return h.select(
+        F.lit(t_span).cast("long").alias("t"),
+        F.lit(m).cast("long").alias("m"),
+        F.round(ent, 6).alias("entropy"),
+    )

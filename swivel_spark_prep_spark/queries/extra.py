@@ -16057,3 +16057,163 @@ def x416(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return welch_anova(ev, "value", "event_type")
+
+
+@_declare(
+    "X417_games_howell",
+    # Games-Howell post-hoc pairwise comparisons across all event
+    # types (evalmetrics.games_howell; 1976): which MEANS differ under
+    # unequal variances - the heteroscedastic Tukey HSD, the pairwise
+    # follow-up to X416's Welch ANOVA as X414 (Dunn) is to
+    # Kruskal-Wallis. Raw signed q + Welch-Satterthwaite df per pair;
+    # k^2-bounded group pairs.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, AVG(v) AS m, VAR_SAMP(v) AS s2
+        FROM b GROUP BY 1)
+SELECT a.g AS g1, x.g AS g2, a.n::BIGINT AS n_1, x.n::BIGINT AS n_2,
+       ROUND(a.m - x.m, 6) AS diff,
+       ROUND(CASE WHEN a.n > 1 AND x.n > 1 AND a.s2 > 0 AND x.s2 > 0
+             THEN (a.m - x.m)
+                  / sqrt((a.s2 / a.n + x.s2 / x.n) / 2.0) END, 6) AS q_stat,
+       ROUND(CASE WHEN a.n > 1 AND x.n > 1 AND a.s2 > 0 AND x.s2 > 0
+             THEN (a.s2 / a.n + x.s2 / x.n) * (a.s2 / a.n + x.s2 / x.n)
+                  / ((a.s2 / a.n) * (a.s2 / a.n) / (a.n - 1.0)
+                     + (x.s2 / x.n) * (x.s2 / x.n) / (x.n - 1.0)) END, 6)
+         AS df
+FROM per a JOIN per x ON a.g < x.g
+ORDER BY g1, g2;""",
+)
+def x417(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import games_howell
+
+    ev = load_table(spark, sf_dir, "events")
+    return games_howell(ev, "value", "event_type")
+
+
+@_declare(
+    "X418_seasonal_mann_kendall",
+    # Seasonal Mann-Kendall with day-of-week strata (timeseries.
+    # seasonal_mann_kendall; Hirsch-Slack 1984): Kendall's S within
+    # each weekday, summed - a weekly cycle can no longer masquerade
+    # as (or mask) a monotone trend, the failure mode of plain MK
+    # (X205 family) on seasonal data. Per-stratum tie-corrected
+    # variances summed; the mann_kendall continuity-correction
+    # convention.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT ISODOW(cal.d) AS s, (cal.d - bd.d0)::BIGINT AS tt,
+                COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+sp AS (SELECT SUM(SIGN(b.y - a.y)) AS S
+       FROM grid a JOIN grid b ON a.s = b.s AND a.tt < b.tt),
+pn AS (SELECT s, COUNT(*)::DOUBLE AS ng FROM grid GROUP BY 1),
+ti AS (SELECT s, SUM(tc * (tc - 1.0) * (2.0 * tc + 5.0)) AS tie3
+       FROM (SELECT s, y, COUNT(*)::DOUBLE AS tc FROM grid GROUP BY 1, 2)
+       GROUP BY 1),
+vv AS (SELECT SUM((ng * (ng - 1.0) * (2.0 * ng + 5.0) - tie3) / 18.0) AS V,
+              COUNT(*)::BIGINT AS k
+       FROM pn JOIN ti USING (s))
+SELECT (SELECT t FROM bd) AS t, k AS n_seasons, S::BIGINT AS s_stat,
+       ROUND(V, 6) AS var_s,
+       ROUND(CASE WHEN V > 0
+             THEN (CASE WHEN S > 0 THEN S - 1
+                        WHEN S < 0 THEN S + 1 ELSE 0 END) / sqrt(V)
+             END, 6) AS z
+FROM sp CROSS JOIN vv;""",
+)
+def x418(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        seasonal_mann_kendall,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_mann_kendall(ev, "ts")
+
+
+@_declare(
+    "X419_conover_squared_ranks",
+    # Conover squared-ranks k-sample variance test across event types
+    # (evalmetrics.conover_squared_ranks; Conover 1980): pooled
+    # midranks of |x - mean_g|, SQUARED - the rank-based k-sample
+    # scale test between X389's normal scores and X410's parametric
+    # median-ANOVA; midrank powers exact in doubles.
+    """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+md AS (SELECT g, AVG(v) AS m FROM b GROUP BY 1),
+u AS (SELECT b.g, ABS(v - m) AS u FROM b JOIN md USING (g)),
+cells AS (SELECT u, g, COUNT(*)::DOUBLE AS f FROM u GROUP BY 1, 2),
+vc AS (SELECT u, SUM(f) AS l FROM cells GROUP BY 1),
+cum AS (SELECT *, COALESCE(SUM(l) OVER (ORDER BY u
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+        FROM vc),
+rk AS (SELECT cells.g, cells.f, cum.cl + (cum.l + 1.0) / 2.0 AS r
+       FROM cells JOIN cum USING (u)),
+gs AS (SELECT g, SUM(f) AS ng, SUM(f * r * r) AS sg FROM rk GROUP BY 1),
+gt AS (SELECT COUNT(*)::DOUBLE AS k, SUM(sg * sg / ng) AS ssq FROM gs),
+mo AS (SELECT SUM(l) AS nn,
+              SUM(l * (cl + (l + 1.0) / 2.0) * (cl + (l + 1.0) / 2.0)) AS r2,
+              SUM(l * (cl + (l + 1.0) / 2.0) * (cl + (l + 1.0) / 2.0)
+                    * (cl + (l + 1.0) / 2.0) * (cl + (l + 1.0) / 2.0)) AS r4
+       FROM cum)
+SELECT k::BIGINT AS k, nn::BIGINT AS n,
+       ROUND(CASE WHEN (r4 - nn * (r2 / nn) * (r2 / nn)) / (nn - 1.0) > 0
+             THEN (ssq - nn * (r2 / nn) * (r2 / nn))
+                  / ((r4 - nn * (r2 / nn) * (r2 / nn)) / (nn - 1.0))
+             END, 6) AS t_stat
+FROM gt CROSS JOIN mo;""",
+)
+def x419(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        conover_squared_ranks,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return conover_squared_ranks(ev, "value", "event_type")
+
+
+@_declare(
+    "X420_spectral_entropy",
+    # Normalized spectral entropy of the daily rate (timeseries.
+    # spectral_entropy; Inouye 1991 / the tsfeatures forecastability
+    # measure): Shannon entropy of the full-Fourier-grid periodogram -
+    # 0 = one pure cycle, 1 = white noise; the whole-spectrum
+    # complement to X342's named-period probe and X378's seasonal
+    # strength. Frequency axis = one bounded explode over the
+    # AGGREGATED day grid.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+qq AS (SELECT t, CAST(FLOOR(t / 2.0) AS BIGINT) AS m FROM bd),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+mm AS (SELECT SUM(y) / (SELECT t FROM qq) AS mu FROM grid),
+e AS (SELECT tt, y - (SELECT mu FROM mm) AS e FROM grid),
+ll AS (SELECT unnest(range(1, (SELECT m FROM qq) + 1)) AS k),
+pk AS (SELECT ll.k,
+              SUM(e.e * cos(2.0 * pi() * ll.k * e.tt
+                            / (SELECT t FROM qq))) AS a,
+              SUM(e.e * sin(2.0 * pi() * ll.k * e.tt
+                            / (SELECT t FROM qq))) AS b
+       FROM ll CROSS JOIN e GROUP BY ll.k),
+pw AS (SELECT a * a + b * b AS p FROM pk),
+h AS (SELECT SUM(p) AS tot,
+             SUM(CASE WHEN p > 0 THEN p * ln(p) END) AS spl FROM pw)
+SELECT (SELECT t FROM qq) AS t, (SELECT m FROM qq) AS m,
+       ROUND(CASE WHEN tot > 0
+             THEN (ln(tot) - spl / tot) / ln((SELECT m FROM qq)) END, 6)
+         AS entropy
+FROM h;""",
+)
+def x420(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import spectral_entropy
+
+    ev = load_table(spark, sf_dir, "events")
+    return spectral_entropy(ev, "ts")

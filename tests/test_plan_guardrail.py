@@ -244,6 +244,12 @@ ALLOWED_REPLICATE_EXPLODES = {
     # exploded on the AGGREGATED per-day relation, never corpus rows
     # (timeseries.kpss_test; the X168/X316 ACF shape).
     "X393_kpss": [8],
+    # X420: spectral-entropy Fourier-frequency axis — B = ⌊span/2⌋
+    # (15 at the fixtures' 30-day span), exploded on the AGGREGATED
+    # zero-filled day grid, never corpus rows; worst case span²/2
+    # cells (~6.7M at a century of days) — calendar-bounded
+    # (timeseries.spectral_entropy).
+    "X420_spectral_entropy": [16],
 }
 
 _ALL = {**DECLARED_QUERIES, **EXTRA_QUERIES}

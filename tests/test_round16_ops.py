@@ -1499,3 +1499,162 @@ def test_welch_anova_brute_and_robustness(spark):
     assert got["f_stat"] == pytest.approx(f, abs=1e-6)
     assert got["df2"] == pytest.approx((k * k - 1) / (3 * s_), abs=1e-4)
     assert got["f_stat"] < 4  # equal means → no rejection despite 20x var
+
+
+# ----------------------------------------------- X417-X420 round-16 tranche 6
+def test_games_howell_brute_and_heteroscedastic_flag(spark):
+    """Pairwise q/df replay the Welch–Satterthwaite brute force, and a
+    shifted group is flagged while an equal-mean high-variance group
+    is not (the case Tukey's HSD miscalibrates)."""
+    import math
+    import random
+
+    rng = random.Random(109)
+    a = [rng.gauss(10, 1) for _ in range(90)]
+    b = [rng.gauss(10, 5) for _ in range(40)]   # same mean, 5x sd
+    c = [rng.gauss(13, 1) for _ in range(80)]   # shifted
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [
+        ("c", v) for v in c
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import games_howell
+
+    got = {(r["g1"], r["g2"]): r for r in
+           games_howell(df, "v", "g").collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    groups = {"a": a, "b": b, "c": c}
+    for (g1, g2), row in got.items():
+        x, y = groups[g1], groups[g2]
+        nx, ny = len(x), len(y)
+        mx, my = sum(x) / nx, sum(y) / ny
+        vx = sum((v - mx) ** 2 for v in x) / (nx - 1) / nx
+        vy = sum((v - my) ** 2 for v in y) / (ny - 1) / ny
+        q = (mx - my) / math.sqrt((vx + vy) / 2)
+        dof = (vx + vy) ** 2 / (vx**2 / (nx - 1) + vy**2 / (ny - 1))
+        assert row["q_stat"] == pytest.approx(q, abs=1e-6)
+        assert row["df"] == pytest.approx(dof, abs=1e-4)
+        assert row["diff"] == pytest.approx(mx - my, abs=1e-6)
+    assert abs(got[("a", "b")]["q_stat"]) < 3   # equal means
+    assert abs(got[("a", "c")]["q_stat"]) > 10  # shifted
+
+
+def test_seasonal_mann_kendall_sees_through_weekly_cycle(spark):
+    """A pure weekly cycle reads S′ = 0 (plain MK would not); adding a
+    trend on top is detected; the per-stratum formula replays a brute
+    double loop."""
+    import datetime
+    import math
+
+    base = datetime.date(2024, 3, 4)  # a Monday
+    cycle = [10, 12, 14, 16, 18, 30, 35]  # weekly pattern, no trend
+    counts = [cycle[t % 7] for t in range(28)]
+    df = spark.createDataFrame(_daily_rows(counts, base), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import (
+        seasonal_mann_kendall,
+    )
+
+    got = seasonal_mann_kendall(df, "ts").collect()[0]
+    assert got["s_stat"] == 0 and got["n_seasons"] == 7
+
+    trended = [cycle[t % 7] + t for t in range(28)]
+    got2 = seasonal_mann_kendall(
+        spark.createDataFrame(_daily_rows(trended, base), "ts timestamp"),
+        "ts",
+    ).collect()[0]
+    # brute per-stratum replay
+    S, V = 0, 0.0
+    for s in range(7):
+        ys = [trended[t] for t in range(28) if t % 7 == s]
+        ng = len(ys)
+        S += sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(ng) for j in range(i + 1, ng)
+        )
+        V += ng * (ng - 1) * (2 * ng + 5) / 18.0  # no ties planted
+    cc = S - 1 if S > 0 else (S + 1 if S < 0 else 0)
+    assert got2["s_stat"] == S
+    assert got2["var_s"] == pytest.approx(V, abs=1e-6)
+    assert got2["z"] == pytest.approx(cc / math.sqrt(V), abs=1e-6)
+    assert got2["z"] > 3  # strictly increasing within every stratum
+
+
+def test_conover_squared_ranks_brute_and_direction(spark):
+    """T replays the squared-midrank brute force and fires on a planted
+    scale difference while staying small under equal spreads."""
+    import random
+
+    rng = random.Random(113)
+    a = [10 + 2 * (rng.random() - 0.5) for _ in range(70)]
+    b = [20 + 2 * (rng.random() - 0.5) for _ in range(65)]  # shift only
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        conover_squared_ranks,
+    )
+
+    got = conover_squared_ranks(df, "v", "g").collect()[0]
+    groups = {"a": a, "b": b}
+    us, labels = [], []
+    for g, xs in groups.items():
+        m = sum(xs) / len(xs)
+        for v in xs:
+            us.append(abs(v - m))
+            labels.append(g)
+    r = _midranks(us)
+    N = len(us)
+    r2 = [v * v for v in r]
+    sbar = sum(r2) / N
+    d2 = (sum(v**4 for v in r) - N * sbar * sbar) / (N - 1)
+    ssq = 0.0
+    for g in groups:
+        idx = [i for i, l in enumerate(labels) if l == g]
+        sg = sum(r2[i] for i in idx)
+        ssq += sg * sg / len(idx)
+    t = (ssq - N * sbar * sbar) / d2
+    assert got["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert got["t_stat"] < 4  # location shift alone is invisible
+
+    wide = [("a", 10 + 1 * (rng.random() - 0.5)) for _ in range(70)] + [
+        ("b", 10 + 10 * (rng.random() - 0.5)) for _ in range(65)
+    ]
+    got2 = conover_squared_ranks(
+        spark.createDataFrame(wide, "g string, v double"), "v", "g"
+    ).collect()[0]
+    assert got2["t_stat"] > 20  # 10x spread fires
+
+
+def test_spectral_entropy_brute_and_extremes(spark):
+    """Entropy replays the DFT brute force; a pure weekly sinusoid
+    concentrates the spectrum (low H), white noise flattens it
+    (high H)."""
+    import math
+    import random
+
+    rng = random.Random(127)
+    counts = [max(1, round(20 + 15 * math.sin(2 * math.pi * t / 7)))
+              for t in range(28)]  # near-pure 7-day cycle
+    df = spark.createDataFrame(_daily_rows(counts), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import spectral_entropy
+
+    got = spectral_entropy(df, "ts").collect()[0]
+    T = len(counts)
+    m = T // 2
+    y = [float(c) for c in counts]
+    mu = sum(y) / T
+    e = [v - mu for v in y]
+    P = []
+    for k in range(1, m + 1):
+        a = sum(e[t] * math.cos(2 * math.pi * k * t / T) for t in range(T))
+        b = sum(e[t] * math.sin(2 * math.pi * k * t / T) for t in range(T))
+        P.append(a * a + b * b)
+    tot = sum(P)
+    h = -sum(p / tot * math.log(p / tot) for p in P if p > 0) / math.log(m)
+    assert got["t"] == T and got["m"] == m
+    assert got["entropy"] == pytest.approx(h, abs=1e-6)
+    assert got["entropy"] < 0.35  # concentrated spectrum
+
+    noise = [rng.randint(5, 40) for _ in range(60)]
+    got2 = spectral_entropy(
+        spark.createDataFrame(_daily_rows(noise), "ts timestamp"), "ts"
+    ).collect()[0]
+    assert got2["entropy"] > 0.75  # flat spectrum
