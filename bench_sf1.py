@@ -622,6 +622,11 @@ def main() -> None:
         "X418_seasonal_mann_kendall",
         "X419_conover_squared_ranks",
         "X420_spectral_entropy",
+        # Round-16 tranche 7 (X421-X422): both are calendar-bounded
+        # day-grid aggregates (two fan-out-1 shifted joins / order-
+        # statistic min-max passes) - wall tracks the 10x event scan.
+        "X421_forecast_baselines",
+        "X422_dixon_q",
     ):
         fn = EXTRA_QUERIES[name]
         walls = {}

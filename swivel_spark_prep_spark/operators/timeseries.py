@@ -4908,3 +4908,110 @@ def spectral_entropy(
         F.lit(m).cast("long").alias("m"),
         F.round(ent, 6).alias("entropy"),
     )
+
+
+def forecast_baselines(
+    df: DataFrame,
+    ts_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """One-step forecast-baseline evaluation on the daily event-count
+    series (Hyndman & Koehler 2006 for MASE; Theil's U₂ in ratio
+    form): score the NAIVE (carry yesterday) and SEASONAL-NAIVE (carry
+    last week) forecasts — the floor every real model must beat, and
+    the denominators the scaled metrics are defined against:
+
+        e1_t = y_t − y_{t−1},   e7_t = y_t − y_{t−s}   (t ≥ s, the
+              common window, so the two are directly comparable)
+        MASE(snaive) = MAE(e7)/MAE(e1)     (scaled by the naive MAE —
+              < 1 means the weekly carry beats the daily carry)
+        U₂(snaive)   = RMSE(e7)/RMSE(e1)   (the relative-RMSE form)
+
+    Scale design: calendar-bounded day grid, TWO fan-out-1 hash
+    self-joins on the shifted day index (lag 1 and lag s — the
+    cox_stuart shape), one moments aggregate, 1-row arithmetic.
+    Output: (n_eval, mae_naive, rmse_naive, mae_snaive, rmse_snaive,
+    mase_snaive, u2_snaive) — NULL scaled metrics when the naive
+    errors are all 0.
+    """
+    if season < 2:
+        raise ValueError("season must be >= 2")
+    grid, t_span = _zero_filled_daily(df, ts_col)
+    a = grid.select(F.col("_t").alias("_ta"), F.col("_y").alias("_ya"))
+    l1 = grid.select((F.col("_t") + 1).alias("_t1"), F.col("_y").alias("_y1"))
+    ls = grid.select(
+        (F.col("_t") + season).alias("_ts"), F.col("_y").alias("_ys")
+    )
+    j = (
+        a.filter(F.col("_ta") >= season)
+        .join(l1, F.col("_ta") == F.col("_t1"))
+        .join(ls, F.col("_ta") == F.col("_ts"))
+    )
+    e1 = F.col("_ya") - F.col("_y1")
+    e7 = F.col("_ya") - F.col("_ys")
+    m = j.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.abs(e1)).alias("mae1"),
+        F.sqrt(F.avg(e1 * e1)).alias("rmse1"),
+        F.avg(F.abs(e7)).alias("mae7"),
+        F.sqrt(F.avg(e7 * e7)).alias("rmse7"),
+    )
+    mase = F.when(F.col("mae1") > 0, F.col("mae7") / F.col("mae1"))
+    u2 = F.when(F.col("rmse1") > 0, F.col("rmse7") / F.col("rmse1"))
+    return m.select(
+        F.col("n").cast("long").alias("n_eval"),
+        F.round("mae1", 6).alias("mae_naive"),
+        F.round("rmse1", 6).alias("rmse_naive"),
+        F.round("mae7", 6).alias("mae_snaive"),
+        F.round("rmse7", 6).alias("rmse_snaive"),
+        F.round(mase, 6).alias("mase_snaive"),
+        F.round(u2, 6).alias("u2_snaive"),
+    )
+
+
+def dixon_q(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Dixon's Q test statistics for the daily event-count series
+    (Dixon 1950, the r₁₀ ratio): is the most extreme day an OUTLIER —
+    gap-to-range ratios at both ends of the sorted series, the
+    classical small-n screen (daily spans are exactly its design
+    regime, n ≲ 30; reference ≈ 0.29 at 5% for n = 30):
+
+        Q_low  = (x₍₂₎ − x₍₁₎) / (x₍ₙ₎ − x₍₁₎)
+        Q_high = (x₍ₙ₎ − x₍ₙ₋₁₎) / (x₍ₙ₎ − x₍₁₎)
+
+    Order statistics honor duplicates: a doubled minimum makes
+    x₍₂₎ = x₍₁₎ (Q_low = 0), not the next distinct value.
+
+    Scale design: one min/max/count aggregate, one broadcast second-
+    order-statistic aggregate (min above the min, max below the max),
+    1-row arithmetic — the day grid never sorts. Output: (t, q_low,
+    q_high, q_max) — NULL when the series is constant (range 0).
+    """
+    grid, t_span = _zero_filled_daily(df, ts_col)
+    ext = grid.agg(
+        F.min("_y").alias("_mn"),
+        F.max("_y").alias("_mx"),
+    )
+    j = grid.crossJoin(F.broadcast(ext))
+    sec = j.agg(
+        F.max("_mn").alias("mn"),
+        F.max("_mx").alias("mx"),
+        F.sum((F.col("_y") == F.col("_mn")).cast("long")).alias("cmn"),
+        F.sum((F.col("_y") == F.col("_mx")).cast("long")).alias("cmx"),
+        F.min(F.when(F.col("_y") > F.col("_mn"), F.col("_y"))).alias("mn2"),
+        F.max(F.when(F.col("_y") < F.col("_mx"), F.col("_y"))).alias("mx2"),
+    )
+    x2 = F.when(F.col("cmn") > 1, F.col("mn")).otherwise(F.col("mn2"))
+    xn1 = F.when(F.col("cmx") > 1, F.col("mx")).otherwise(F.col("mx2"))
+    rng = F.col("mx") - F.col("mn")
+    ql = F.when(rng > 0, (x2 - F.col("mn")) / rng)
+    qh = F.when(rng > 0, (F.col("mx") - xn1) / rng)
+    return sec.select(
+        F.lit(t_span).cast("long").alias("t"),
+        F.round(ql, 6).alias("q_low"),
+        F.round(qh, 6).alias("q_high"),
+        F.round(F.greatest(ql, qh), 6).alias("q_max"),
+    )

@@ -16217,3 +16217,91 @@ def x420(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return spectral_entropy(ev, "ts")
+
+
+@_declare(
+    "X421_forecast_baselines",
+    # Naive vs seasonal-naive one-step forecast evaluation on the
+    # daily rate (timeseries.forecast_baselines; Hyndman-Koehler 2006
+    # MASE, Theil's U2 ratio form): the floor every real model must
+    # beat and the denominator the scaled metrics are defined
+    # against - MASE < 1 means the weekly carry beats the daily
+    # carry. Common evaluation window t >= 7.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT (cal.d - bd.d0)::BIGINT AS tt, COALESCE(y, 0.0) AS y
+         FROM cal CROSS JOIN bd LEFT JOIN daily ON daily.d = cal.d),
+j AS (SELECT a.y AS ya, l1.y AS y1, ls.y AS ys
+      FROM grid a
+      JOIN grid l1 ON a.tt = l1.tt + 1
+      JOIN grid ls ON a.tt = ls.tt + 7
+      WHERE a.tt >= 7),
+m AS (SELECT COUNT(*)::DOUBLE AS n,
+             AVG(ABS(ya - y1)) AS mae1, sqrt(AVG((ya - y1) * (ya - y1)))
+               AS rmse1,
+             AVG(ABS(ya - ys)) AS mae7, sqrt(AVG((ya - ys) * (ya - ys)))
+               AS rmse7
+      FROM j)
+SELECT n::BIGINT AS n_eval, ROUND(mae1, 6) AS mae_naive,
+       ROUND(rmse1, 6) AS rmse_naive, ROUND(mae7, 6) AS mae_snaive,
+       ROUND(rmse7, 6) AS rmse_snaive,
+       ROUND(CASE WHEN mae1 > 0 THEN mae7 / mae1 END, 6) AS mase_snaive,
+       ROUND(CASE WHEN rmse1 > 0 THEN rmse7 / rmse1 END, 6) AS u2_snaive
+FROM m;""",
+)
+def x421(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import (
+        forecast_baselines,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return forecast_baselines(ev, "ts", season=7)
+
+
+@_declare(
+    "X422_dixon_q",
+    # Dixon's Q gap-to-range outlier screen on the daily rate
+    # (timeseries.dixon_q; Dixon 1950, r10): is the most extreme day
+    # an outlier - the classical small-n test whose design regime
+    # (n <= ~30) is exactly a daily span; duplicate extremes make the
+    # gap 0, honored by both engines' order-statistic arithmetic.
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*)::DOUBLE AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bd AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+              ((MAX(d) - MIN(d)) + 1)::BIGINT AS t FROM daily),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bd),
+grid AS (SELECT COALESCE(y, 0.0) AS y
+         FROM cal LEFT JOIN daily ON daily.d = cal.d),
+ext AS (SELECT MIN(y) AS mn, MAX(y) AS mx FROM grid),
+sec AS (SELECT MAX(mn) AS mn, MAX(mx) AS mx,
+               SUM((y = mn)::INT)::BIGINT AS cmn,
+               SUM((y = mx)::INT)::BIGINT AS cmx,
+               MIN(CASE WHEN y > mn THEN y END) AS mn2,
+               MAX(CASE WHEN y < mx THEN y END) AS mx2
+        FROM grid CROSS JOIN ext)
+SELECT (SELECT t FROM bd) AS t,
+       ROUND(CASE WHEN mx - mn > 0
+             THEN ((CASE WHEN cmn > 1 THEN mn ELSE mn2 END) - mn)
+                  / (mx - mn) END, 6) AS q_low,
+       ROUND(CASE WHEN mx - mn > 0
+             THEN (mx - (CASE WHEN cmx > 1 THEN mx ELSE mx2 END))
+                  / (mx - mn) END, 6) AS q_high,
+       ROUND(GREATEST(
+         CASE WHEN mx - mn > 0
+              THEN ((CASE WHEN cmn > 1 THEN mn ELSE mn2 END) - mn)
+                   / (mx - mn) END,
+         CASE WHEN mx - mn > 0
+              THEN (mx - (CASE WHEN cmx > 1 THEN mx ELSE mx2 END))
+                   / (mx - mn) END), 6) AS q_max
+FROM sec;""",
+)
+def x422(spark, sf_dir):
+    from swivel_spark_prep_spark.operators.timeseries import dixon_q
+
+    ev = load_table(spark, sf_dir, "events")
+    return dixon_q(ev, "ts")

@@ -1658,3 +1658,72 @@ def test_spectral_entropy_brute_and_extremes(spark):
         spark.createDataFrame(_daily_rows(noise), "ts timestamp"), "ts"
     ).collect()[0]
     assert got2["entropy"] > 0.75  # flat spectrum
+
+
+# ----------------------------------------------- X421-X422 round-16 tranche 7
+def test_forecast_baselines_brute_and_seasonal_win(spark):
+    """Metrics replay the shifted-difference brute force, and on a
+    strongly weekly series the seasonal-naive beats the naive
+    (MASE < 1, U₂ < 1) while on a random walk it does not."""
+    import math
+    import random
+
+    rng = random.Random(131)
+    cycle = [10, 12, 30, 16, 18, 45, 35]
+    weekly = [cycle[t % 7] + rng.randint(0, 2) for t in range(35)]
+    df = spark.createDataFrame(_daily_rows(weekly), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import (
+        forecast_baselines,
+    )
+
+    got = forecast_baselines(df, "ts", season=7).collect()[0]
+    T = len(weekly)
+    e1 = [weekly[t] - weekly[t - 1] for t in range(7, T)]
+    e7 = [weekly[t] - weekly[t - 7] for t in range(7, T)]
+    mae1 = sum(abs(e) for e in e1) / len(e1)
+    rmse1 = math.sqrt(sum(e * e for e in e1) / len(e1))
+    mae7 = sum(abs(e) for e in e7) / len(e7)
+    rmse7 = math.sqrt(sum(e * e for e in e7) / len(e7))
+    assert got["n_eval"] == T - 7
+    assert got["mae_naive"] == pytest.approx(mae1, abs=1e-6)
+    assert got["rmse_naive"] == pytest.approx(rmse1, abs=1e-6)
+    assert got["mae_snaive"] == pytest.approx(mae7, abs=1e-6)
+    assert got["rmse_snaive"] == pytest.approx(rmse7, abs=1e-6)
+    assert got["mase_snaive"] == pytest.approx(mae7 / mae1, abs=1e-6)
+    assert got["u2_snaive"] == pytest.approx(rmse7 / rmse1, abs=1e-6)
+    assert got["mase_snaive"] < 0.5  # weekly carry wins on weekly data
+
+    walk = [20]
+    for _ in range(34):
+        walk.append(max(1, walk[-1] + rng.randint(-3, 3)))
+    got2 = forecast_baselines(
+        spark.createDataFrame(_daily_rows(walk), "ts timestamp"), "ts"
+    ).collect()[0]
+    assert got2["mase_snaive"] > 1  # on a walk the daily carry wins
+
+    with pytest.raises(ValueError, match="season must be"):
+        forecast_baselines(df, "ts", season=1)
+
+
+def test_dixon_q_brute_and_duplicate_extremes(spark):
+    """Q ratios replay the sorted-gap brute force; a planted spike
+    dominates Q_high; a DOUBLED minimum zeroes Q_low (the duplicate
+    order-statistic rule)."""
+    counts = [12, 14, 11, 15, 13, 12, 14, 13, 15, 40]  # one spike
+    df = spark.createDataFrame(_daily_rows(counts), "ts timestamp")
+    from swivel_spark_prep_spark.operators.timeseries import dixon_q
+
+    got = dixon_q(df, "ts").collect()[0]
+    s = sorted(counts)
+    ql = (s[1] - s[0]) / (s[-1] - s[0])
+    qh = (s[-1] - s[-2]) / (s[-1] - s[0])
+    assert got["q_low"] == pytest.approx(ql, abs=1e-6)
+    assert got["q_high"] == pytest.approx(qh, abs=1e-6)
+    assert got["q_max"] == pytest.approx(max(ql, qh), abs=1e-6)
+    assert got["q_high"] > 0.7  # the spike is an extreme outlier
+
+    dup_min = [5, 5, 9, 11, 10, 12, 9, 13]  # doubled minimum
+    got2 = dixon_q(
+        spark.createDataFrame(_daily_rows(dup_min), "ts timestamp"), "ts"
+    ).collect()[0]
+    assert got2["q_low"] == 0.0
