@@ -595,14 +595,14 @@ def main() -> None:
         # closed-form scores / fan-out-1 adjacency); X406's pair
         # relation is weekend-days x weekday-days (calendar-bounded
         # BNLJ); X407 reduces to the label-bounded k x k contingency;
-        # X408 is cells+prefix ECDF + scalar polynomial; X410 is two
-        # hash aggregates over the 10x value scan (scan-bound).
+        # X408 is cells+prefix ECDF + scalar polynomial; X410 is one
+        # grouped moment aggregate over the 10x value scan (scan-bound).
         "X405_siegel_tukey",
         "X406_hodges_lehmann",
         "X407_stuart_maxwell",
         "X408_lilliefors",
         "X409_runs_two_sample",
-        "X410_brown_forsythe",
+        "X410_variance_screen",
         # Round-16 tranche 5 (X411-X416): X411/X412/X413 ride the
         # per-user paired-halves aggregate (user-bounded relation);
         # X414 is the cells+prefix midrank class with a k-row

@@ -5559,7 +5559,9 @@ def dagostino_k2(
     skewness transform; Anscombe & Glynn 1983 kurtosis transform;
     D'Agostino, Belanger & D'Agostino 1990 for the combination): are
     the values plausibly Gaussian — the moment-based complement to the
-    ECDF screens (Kuiper/Watson X379, KS X157). From population central
+    ECDF screens (Kuiper/Watson X379, KS X157), and the finite-sample-
+    calibrated sibling of X272's Jarque–Bera (JB uses the raw g1²/g2²
+    asymptotics; K² transforms each to a z first). From population central
     moments m₂..m₄ (g1 = m₃/m₂^1.5, b2 = m₄/m₂²):
 
       skewness: Y = g1 √((n+1)(n+3)/(6(n−2))),
@@ -5892,59 +5894,59 @@ def lilliefors_test(
     )
 
 
-def brown_forsythe(
+def cochran_c_hartley(
     df: DataFrame,
     value_col: str,
     group_col: str,
 ) -> DataFrame:
-    """Brown–Forsythe test for equality of group variances (Brown &
-    Forsythe 1974): one-way ANOVA on |x − median_g| — Levene's test
-    with the MEDIAN center, the robust default (insensitive to heavy
-    tails that break the mean-centered original). The k-sample
-    parametric sibling of X389's rank-based Fligner–Killeen:
+    """Cochran's C and Hartley's F-max variance-outlier screens
+    (Cochran 1941; Hartley 1950): is ONE group's variance an outlier —
+    the single-culprit question the global k-sample tests (X273
+    Brown–Forsythe, X389 Fligner–Killeen, X419 Conover) deliberately
+    average away:
 
-        w_ig = |x_ig − med_g|
-        F = [Σ n_g (w̄_g − w̄)² / (k−1)] / [Σ (w_ig − w̄_g)² / (N−k)]
+        C     = max_g s_g² / Σ_g s_g²     (reference tables assume a
+                balanced design; with unequal n_g this is the standard
+                screening read — documented, both engines replay it)
+        F_max = max_g s_g² / min_g s_g²
 
-    Scale design: per-group exact MEDIAN (one hash aggregate),
-    broadcast medians join, ONE per-group moments aggregate, ONE
-    k-bounded reduction. Output: (k, n, df1, df2, f_stat) — NULL F
-    when k < 2, N ≤ k, or the within-group spread is 0.
+    Sample variances (÷(n_g−1)). The classic lab-practice pair: C
+    flags one inflated variance against the pool, F-max the extreme
+    ratio.
+
+    Scale design: ONE grouped moment aggregate, one k-bounded
+    reduction, 1-row arithmetic. Output: (k, n, n_min, n_max,
+    cochran_c, hartley_fmax) — NULL stats when k < 2, any group has
+    n < 2, or the smallest variance is 0 (F-max) / Σs² = 0 (C).
     """
     x = F.col(value_col).cast("double")
     base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("_g"), x.alias("_v")
     )
-    med = base.groupBy("_g").agg(F.median("_v").alias("_med"))
-    w = base.join(F.broadcast(med), "_g").select(
-        "_g", F.abs(F.col("_v") - F.col("_med")).alias("_w")
-    )
-    per = w.groupBy("_g").agg(
-        F.count("*").cast("double").alias("_ng"),
-        F.sum("_w").alias("_sw"),
-        F.sum(F.col("_w") * F.col("_w")).alias("_sw2"),
+    per = base.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.var_samp("_v").alias("_s2"),
     )
     m = per.agg(
         F.count("*").cast("double").alias("k"),
-        F.sum("_ng").alias("nn"),
-        F.sum("_sw").alias("sw"),
-        F.sum(F.col("_sw") * F.col("_sw") / F.col("_ng")).alias("sbar2"),
-        F.sum("_sw2").alias("sw2"),
+        F.sum("_n").alias("nn"),
+        F.min("_n").alias("nmin"),
+        F.max("_n").alias("nmax"),
+        F.max("_s2").alias("smax"),
+        F.min("_s2").alias("smin"),
+        F.sum("_s2").alias("ssum"),
     )
-    k, nn = F.col("k"), F.col("nn")
-    gbar2 = F.col("sw") * F.col("sw") / nn
-    between = F.col("sbar2") - gbar2
-    within = F.col("sw2") - F.col("sbar2")
-    f = F.when(
-        (k > 1) & (nn > k) & (within > 0),
-        (between / (k - 1.0)) / (within / (nn - k)),
-    )
+    k = F.col("k")
+    ok = (k > 1) & (F.col("nmin") > 1)
+    c = F.when(ok & (F.col("ssum") > 0), F.col("smax") / F.col("ssum"))
+    fmax = F.when(ok & (F.col("smin") > 0), F.col("smax") / F.col("smin"))
     return m.select(
         k.cast("long").alias("k"),
-        nn.cast("long").alias("n"),
-        (k - 1.0).cast("long").alias("df1"),
-        (nn - k).cast("long").alias("df2"),
-        F.round(f, 6).alias("f_stat"),
+        F.col("nn").cast("long").alias("n"),
+        F.col("nmin").cast("long").alias("n_min"),
+        F.col("nmax").cast("long").alias("n_max"),
+        F.round(c, 6).alias("cochran_c"),
+        F.round(fmax, 6).alias("hartley_fmax"),
     )
 
 
@@ -6313,7 +6315,7 @@ def welch_anova(
 ) -> DataFrame:
     """Welch's heteroscedastic one-way ANOVA (Welch 1951): the k-group
     mean comparison that does NOT assume equal variances — the
-    k-sample sequel to welch_ttest, and the omnibus X410's
+    k-sample sequel to welch_ttest, and the omnibus X273's
     Brown–Forsythe variance test decides you need:
 
         w_g = n_g/s_g²,  W = Σ w_g,  x̄_w = Σ w_g x̄_g / W
@@ -6452,7 +6454,7 @@ def conover_squared_ranks(
     """Conover squared-ranks k-sample test for equal variances
     (Conover 1980 §5.3): pooled ranks of |x − x̄_g| SQUARED — the
     rank-based k-sample scale test between X389's normal-scores
-    Fligner–Killeen and X410's parametric Brown–Forsythe:
+    Fligner–Killeen and X273's parametric Brown–Forsythe:
 
         u = |x − x̄_g|,  R = pooled midrank of u,  S_g = Σ_g R²
         S̄ = Σ R²/N,  D² = (Σ R⁴ − N S̄²)/(N−1)

@@ -15785,32 +15785,35 @@ def x409(spark, sf_dir):
 
 
 @_declare(
-    "X410_brown_forsythe",
-    # Brown-Forsythe equality-of-variances across all event types
-    # (evalmetrics.brown_forsythe; 1974): one-way ANOVA on |x -
-    # median_g| - Levene with the robust MEDIAN center, the k-sample
-    # parametric sibling of X389's rank-based Fligner-Killeen. Exact
-    # interpolated group MEDIAN both engines (Q17 convention).
+    "X410_variance_screen",
+    # Cochran's C + Hartley's F-max variance-outlier screens across
+    # event types (evalmetrics.cochran_c_hartley; Cochran 1941,
+    # Hartley 1950): is ONE group's variance an outlier - the
+    # single-culprit question the global k-sample tests (X273/X389/
+    # X419) average away. Sample variances; unbalanced-n screening
+    # read documented, replayed by both engines.
     """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
        WHERE value IS NOT NULL AND event_type IS NOT NULL),
-md AS (SELECT g, MEDIAN(v) AS med FROM b GROUP BY 1),
-w AS (SELECT b.g, ABS(v - med) AS w FROM b JOIN md USING (g)),
-per AS (SELECT g, COUNT(*)::DOUBLE AS ng, SUM(w) AS sw,
-               SUM(w * w) AS sw2 FROM w GROUP BY 1),
-m AS (SELECT COUNT(*)::DOUBLE AS k, SUM(ng) AS nn, SUM(sw) AS sw,
-             SUM(sw * sw / ng) AS sbar2, SUM(sw2) AS sw2 FROM per)
-SELECT k::BIGINT AS k, nn::BIGINT AS n, (k - 1)::BIGINT AS df1,
-       (nn - k)::BIGINT AS df2,
-       ROUND(CASE WHEN k > 1 AND nn > k AND sw2 - sbar2 > 0
-             THEN ((sbar2 - sw * sw / nn) / (k - 1.0))
-                  / ((sw2 - sbar2) / (nn - k)) END, 6) AS f_stat
+per AS (SELECT g, COUNT(*)::DOUBLE AS n, VAR_SAMP(v) AS s2
+        FROM b GROUP BY 1),
+m AS (SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn, MIN(n) AS nmin,
+             MAX(n) AS nmax, MAX(s2) AS smax, MIN(s2) AS smin,
+             SUM(s2) AS ssum FROM per)
+SELECT k::BIGINT AS k, nn::BIGINT AS n, nmin::BIGINT AS n_min,
+       nmax::BIGINT AS n_max,
+       ROUND(CASE WHEN k > 1 AND nmin > 1 AND ssum > 0
+             THEN smax / ssum END, 6) AS cochran_c,
+       ROUND(CASE WHEN k > 1 AND nmin > 1 AND smin > 0
+             THEN smax / smin END, 6) AS hartley_fmax
 FROM m;""",
 )
 def x410(spark, sf_dir):
-    from swivel_spark_prep_spark.operators.evalmetrics import brown_forsythe
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        cochran_c_hartley,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    return brown_forsythe(ev, "value", "event_type")
+    return cochran_c_hartley(ev, "value", "event_type")
 
 
 #: X411-X413 share one paired relation: per-user mean event value in
@@ -16027,7 +16030,7 @@ def x415(spark, sf_dir):
     # Welch's heteroscedastic one-way ANOVA across all event types
     # (evalmetrics.welch_anova; Welch 1951): the k-group mean
     # comparison WITHOUT equal variances - the k-sample sequel to
-    # welch_ttest, reached for exactly when X410's Brown-Forsythe
+    # welch_ttest, reached for exactly when X273's Brown-Forsythe
     # variance test rejects; Satterthwaite-style df2.
     """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
        WHERE value IS NOT NULL AND event_type IS NOT NULL),
@@ -16140,7 +16143,7 @@ def x418(spark, sf_dir):
     # Conover squared-ranks k-sample variance test across event types
     # (evalmetrics.conover_squared_ranks; Conover 1980): pooled
     # midranks of |x - mean_g|, SQUARED - the rank-based k-sample
-    # scale test between X389's normal scores and X410's parametric
+    # scale test between X389's normal scores and X273's parametric
     # median-ANOVA; midrank powers exact in doubles.
     """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
        WHERE value IS NOT NULL AND event_type IS NOT NULL),

@@ -1280,8 +1280,10 @@ def test_runs_two_sample_brute_force_and_separation(spark):
 
 
 def test_brown_forsythe_brute_force_and_direction(spark):
-    """F replays the |x − median_g| ANOVA brute force, and a group with
-    triple the spread drives F decisively above 1."""
+    """Full brute-force pin for X273's brown_forsythe (the round-13 op
+    had only a direction pin; the round-16 dup-def cleanup donated this
+    replay): F matches the |x − median_g| ANOVA exactly, and a group
+    with triple the spread drives F decisively above 1."""
     import random
     import statistics
 
@@ -1727,3 +1729,49 @@ def test_dixon_q_brute_and_duplicate_extremes(spark):
         spark.createDataFrame(_daily_rows(dup_min), "ts timestamp"), "ts"
     ).collect()[0]
     assert got2["q_low"] == 0.0
+
+
+def test_cochran_c_hartley_brute_and_outlier_flag(spark):
+    """C and F-max replay the grouped-variance brute force; one
+    inflated-variance group dominates both, equal spreads keep
+    C ≈ 1/k and F-max ≈ 1; tiny groups gate to NULL."""
+    import random
+
+    rng = random.Random(137)
+    groups = {
+        "a": [10 + 2 * (rng.random() - 0.5) for _ in range(60)],
+        "b": [10 + 2 * (rng.random() - 0.5) for _ in range(55)],
+        "c": [10 + 14 * (rng.random() - 0.5) for _ in range(50)],  # outlier
+    }
+    rows = [(g, v) for g, xs in groups.items() for v in xs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from swivel_spark_prep_spark.operators.evalmetrics import (
+        cochran_c_hartley,
+    )
+
+    got = cochran_c_hartley(df, "v", "g").collect()[0]
+    s2 = {}
+    for g, xs in groups.items():
+        m = sum(xs) / len(xs)
+        s2[g] = sum((v - m) ** 2 for v in xs) / (len(xs) - 1)
+    smax, smin, ssum = max(s2.values()), min(s2.values()), sum(s2.values())
+    assert got["k"] == 3 and got["n"] == len(rows)
+    assert got["n_min"] == 50 and got["n_max"] == 60
+    assert got["cochran_c"] == pytest.approx(smax / ssum, abs=1e-6)
+    assert got["hartley_fmax"] == pytest.approx(smax / smin, abs=1e-6)
+    assert got["cochran_c"] > 0.8  # one group carries the variance pool
+    assert got["hartley_fmax"] > 20
+
+    flat = [(g, 10 + 2 * (rng.random() - 0.5))
+            for g in ("a", "b", "c") for _ in range(40)]
+    got2 = cochran_c_hartley(
+        spark.createDataFrame(flat, "g string, v double"), "v", "g"
+    ).collect()[0]
+    assert 0.25 < got2["cochran_c"] < 0.45  # ≈ 1/k under equal spread
+    assert got2["hartley_fmax"] < 2
+
+    tiny = [("a", 1.0), ("b", 2.0), ("b", 3.0)]  # group a has n = 1
+    got3 = cochran_c_hartley(
+        spark.createDataFrame(tiny, "g string, v double"), "v", "g"
+    ).collect()[0]
+    assert got3["cochran_c"] is None and got3["hartley_fmax"] is None
