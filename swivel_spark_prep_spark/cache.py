@@ -50,6 +50,30 @@ def bounded_distinct(df: DataFrame, col: str, cap: int = BOUNDED_DISTINCT_CAP):
     return [r[col] for r in rows]
 
 
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Round-robin repartition a NARROW relation up to the session's
+    default parallelism before CPU-heavy per-row expansion (a wide
+    explode, shingling/hashing, interpreted higher-order-function
+    evaluation, a broadcast-nested-loop probe).
+
+    Why (guide §2.5, input skew): the fixture tables are single-file
+    single-row-group parquet, so every scan arrives as ONE input split —
+    and AQE coalesces small post-shuffle relations back to one partition
+    — leaving everything upstream of the first wide exchange on one core
+    of the 32 available. The repartition moves only the NARROW
+    pre-expansion rows (cheap) and parallelizes the expansion, which is
+    where the CPU is. Unconditional rather than width-probed: checking
+    the current width via ``df.rdd`` forces a full plan-to-RDD
+    conversion (the zorder anti-pattern), and on an already-wide input
+    the extra round-robin exchange of narrow rows is noise next to the
+    work it rebalances. Scale-adaptive by construction —
+    ``defaultParallelism`` follows the master/core count, never a
+    constant tuned to this sandbox.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * max(1, multiplier)
+    return df.repartition(target)
+
+
 def track_persist(df: DataFrame) -> DataFrame:
     """persist() a DataFrame and register it for later release."""
     df = df.persist()

@@ -18,19 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from swivel_spark_prep_spark.cache import checkpoint_truncate, track_persist
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a narrow input up to full parallelism before CPU-heavy
-    per-row work (shingling / hashing are compute-bound, and a single
-    parquet file scans as one task). Unconditional: probing the current
-    width via ``df.rdd`` forces a full plan-to-RDD conversion (the zorder
-    anti-pattern), and the one-off round-robin shuffle of raw text is
-    noise next to the higher-order-function evaluation it parallelizes —
-    AQE coalesces it back down when the input is already wide."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target)
+from swivel_spark_prep_spark.cache import (
+    checkpoint_truncate,
+    fan_out as _spread,  # promoted to cache.fan_out in round 16 so every
+    # operator family shares the single-input-split fan-out (rationale
+    # and scale argument live on cache.fan_out)
+    track_persist,
+)
 
 
 # --- exact dedup -----------------------------------------------------------

@@ -5360,15 +5360,23 @@ def quade_test(
         .filter(F.col("_kt") == k)
         .select("_b")
     )
-    grid = base.join(complete, "_b")
+    from swivel_spark_prep_spark.cache import track_persist
+
+    # persisted: `grid` feeds the within-block rank pass AND the block
+    # ranges; `s` feeds the per-treatment sums AND the A roll-up — each
+    # re-derivation would re-run the complete-block join + prefix passes
+    # and double the plan per consumer (guide §5)
+    grid = track_persist(base.join(complete, "_b"))
     ranked = _fractional_ranks(grid, "_v", "_r", "_b")
     ranges = grid.groupBy("_b").agg(
         (F.max("_v") - F.min("_v")).alias("_rg")
     )
     qranks = _fractional_ranks(ranges, "_rg", "_q", None).select("_b", "_q")
-    s = ranked.join(qranks, "_b").select(
-        "_t",
-        (F.col("_q") * (F.col("_r") - (k + 1) / 2.0)).alias("_s"),
+    s = track_persist(
+        ranked.join(qranks, "_b").select(
+            "_t",
+            (F.col("_q") * (F.col("_r") - (k + 1) / 2.0)).alias("_s"),
+        )
     )
     per_t = s.groupBy("_t").agg(F.sum("_s").alias("_sj"))
     atot = s.agg(

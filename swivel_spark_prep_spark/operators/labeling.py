@@ -52,7 +52,11 @@ def _em(
         raise ValueError("iterations must be >= 0")
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (zero cells break the log E-step)")
-    from swivel_spark_prep_spark.cache import checkpoint_truncate, track_persist
+    from swivel_spark_prep_spark.cache import (
+        checkpoint_truncate,
+        fan_out,
+        track_persist,
+    )
 
     r = ratings.select(
         F.col(item_col).alias("_i"),
@@ -61,7 +65,10 @@ def _em(
     ).filter(
         F.col("_i").isNotNull() & F.col("_r").isNotNull() & F.col("_l").isNotNull()
     )
-    r = track_persist(r)
+    # fan_out before the persist: every EM half-step streams this cached
+    # relation into joins + hash aggregates; a single-split scan would
+    # leave each round's map side on one core (guide §2.5)
+    r = track_persist(fan_out(r))
     classes = track_persist(r.select(F.col("_l").alias("_c")).distinct())
     n_classes = classes.count()  # bounded: the label alphabet
     if n_classes == 0:

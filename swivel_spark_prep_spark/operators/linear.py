@@ -52,7 +52,12 @@ def hashed_word_features(
     give the shared high-frequency tokens outsized curvature and GD
     oscillates; measured on the fixture: raw counts diverge at lr 0.5
     while binary+intercept converges at lr 1.0)."""
-    toks = docs.select(
+    from swivel_spark_prep_spark.cache import fan_out
+
+    # fan_out before the tokenize explode + md5 bucketing (guide §2.5):
+    # the single-file corpus scans as one task, so featurization — the
+    # setup CPU of every fit/score — otherwise runs on one core
+    toks = fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
     ).filter(F.col("w") != "")
@@ -108,10 +113,18 @@ def logreg_fit(
         )
     # Densify once: (id, y, bs, cs) with arrays in a fixed (cached)
     # order so per-doc float sums are reproducible across iterations.
+    # fan_out AFTER the agg (array contents untouched): AQE coalesces
+    # the tiny groupBy output to one partition, which would run every
+    # iteration's margin/residual/gradient evaluation — 24 sequential
+    # jobs, the whole fit — on one core (guide §2.5).
+    from swivel_spark_prep_spark.cache import fan_out
+
     docvecs = track_persist(
-        feats.groupBy("id", "y").agg(
-            F.collect_list("bucket").alias("bs"),
-            F.collect_list("cnt").alias("cs"),
+        fan_out(
+            feats.groupBy("id", "y").agg(
+                F.collect_list("bucket").alias("bs"),
+                F.collect_list("cnt").alias("cs"),
+            )
         )
     )
     n = docvecs.count()  # bounded: one long (also materializes the cache)

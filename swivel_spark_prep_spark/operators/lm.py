@@ -169,9 +169,12 @@ def nb_char_trigram_classifier(
         f" i -> substring({text_col}, i, 3)) "
         f"ELSE cast(array() as array<string>) END"
     )
-    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.cache import fan_out, track_persist
 
-    tr = train.select(
+    # fan_out before the trigram explode (guide §2.5): the single-file
+    # corpus scans as one task, and the ~|chars|-way Generate is the
+    # training pass's whole CPU — one core otherwise
+    tr = fan_out(train).select(
         F.col(label_col).alias("_y"), F.explode(tris).alias("_t")
     )
     # persisted: counts feeds the label totals, the vocab size, and the
@@ -201,7 +204,8 @@ def nb_char_trigram_classifier(
     import math
 
     ids = score.select(id_col).distinct()
-    sc = score.select(F.col(id_col), F.explode(tris).alias("_t"))
+    # same fan-out for the scoring-side explode
+    sc = fan_out(score).select(F.col(id_col), F.explode(tris).alias("_t"))
     # vocab crossJoins the SCORING rows: a trigram absent from training
     # must still smooth against the true V, not a left-join NULL
     joined = sc.join(model, "_t", "left").crossJoin(F.broadcast(vocab))

@@ -346,15 +346,33 @@ def weighted_quantile(
         joined = cum.join(F.broadcast(totals), group_cols)
     else:
         joined = cum.crossJoin(F.broadcast(totals))
-    outs = []
-    for q in qs:
-        outs.append(
-            joined.filter(F.col("_cw") >= F.lit(float(q)) * F.col("_W"))
-            .groupBy(*group_cols)
-            .agg(F.min("_v").alias("value"))
-            .select(*group_cols, F.lit(float(q)).alias("q"), "value")
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    # ALL qs from ONE aggregate (round-16 optimization): the previous
+    # form ran filter + min-aggregate once per q and unioned the
+    # results, so the whole CDF lineage (collapse + prefix pass) was
+    # replicated — and re-executed — |qs| times per call (measured: a
+    # 9-q call over the same relation carried 9 copies of the prefix
+    # pass in the plan; qq_drift's two calls made it 18). A conditional
+    # min per q over the SAME prefix relation is the identical
+    # left-continuous inverse CDF — min over {v : cw ≥ q·W} — computed
+    # in one pass, then unpivoted to the same (group..., q, value) rows.
+    agg = joined.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cw") >= F.lit(float(q)) * F.col("_W"), F.col("_v")
+                )
+            ).alias(f"_q_{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"), F.col(f"_q_{i}").alias("value")
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return agg.select(*group_cols, F.explode(pairs).alias("_p")).select(
+        *group_cols, F.col("_p.q").alias("q"), F.col("_p.value").alias("value")
+    )

@@ -992,7 +992,15 @@ def bootstrap_mean_ci(
     h = F.conv(F.substring(md5, 1, 15), 16, 10).cast("double") / F.lit(
         float(2**60)
     )
-    rep = base.select(
+    # fan_out ONLY the replicate branch (guide §2.5, input skew): the
+    # single-file scan is one task, so the ×replicates Generate and the
+    # Poisson inverse-CDF when-chain — the op's whole CPU — otherwise
+    # run on one core. The point-estimate branch below stays un-fanned
+    # (a plain scan+aggregate needs no second exchange). Measured sf0.1
+    # (X194, 100k events × 100 replicates): 10.3 s → see OPTIMIZATION_r16.
+    from swivel_spark_prep_spark.cache import fan_out
+
+    rep = fan_out(base).select(
         *gcols,
         h.alias("_h"),
         "_x",
@@ -1080,7 +1088,11 @@ def bootstrap_diff_ci(
     h = F.conv(F.substring(md5, 1, 15), 16, 10).cast("double") / F.lit(
         float(2**60)
     )
-    rep = base.select(
+    # fan_out only the replicate branch — same single-input-split
+    # rationale as bootstrap_mean_ci (the point branch stays un-fanned)
+    from swivel_spark_prep_spark.cache import fan_out
+
+    rep = fan_out(base).select(
         "_g",
         h.alias("_h"),
         "_x",
@@ -1184,7 +1196,12 @@ def randomization_test(
     h = F.conv(F.substring(md5, 1, 15), 16, 10).cast("double") / F.lit(
         float(2**60)
     )
-    rep = base.select(
+    # fan_out only the replicate branch — same single-input-split
+    # rationale as bootstrap_mean_ci (the observed-stats branch stays
+    # un-fanned)
+    from swivel_spark_prep_spark.cache import fan_out
+
+    rep = fan_out(base).select(
         h.alias("_h"),
         "_x",
         F.explode(F.sequence(F.lit(1), F.lit(int(replicates)))).alias("_b"),

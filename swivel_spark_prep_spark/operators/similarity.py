@@ -1144,11 +1144,14 @@ def mmr_select(
     qn2 = float(sum(float(x) * float(x) for x in query_vec))
     if qn2 <= 0:
         raise ValueError("query_vec must be nonzero")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    from swivel_spark_prep_spark.cache import track_persist
+    q = F.lit([float(x) for x in query_vec])
+    from swivel_spark_prep_spark.cache import fan_out, track_persist
 
+    # fan_out before the persist: each greedy round scans this relation
+    # evaluating up to k interpreted dot products per row — on the raw
+    # single-split scan all of that ran on one core (guide §2.5)
     rel = track_persist(
-        base.select(
+        fan_out(base).select(
             "_id",
             "_emb",
             _norm2("_emb").alias("_n2"),
@@ -1163,8 +1166,10 @@ def mmr_select(
         cand = rel
         if chosen:
             cand = cand.filter(~F.col("_id").isin([c[0] for c in chosen]))
+            # per-chosen array literals as REFERENCES (F.lit(list)), not
+            # dim inlined scalars — smaller expression trees per round
             sims = [
-                _dot("_emb", F.array(*[F.lit(v) for v in vec]))
+                _dot("_emb", F.lit([float(v) for v in vec]))
                 / F.sqrt(F.col("_n2") * F.lit(n2))
                 for (_, vec, n2) in chosen
             ]
@@ -1250,10 +1255,15 @@ def ann_hubness(
             / F.lit(float(2**60))
         )
         base = base.filter(u < F.lit(float(max_vectors) / float(n_total)))
-    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.cache import fan_out, track_persist
 
+    # fan_out before the persist (guide §2.5): the sample arrives as ONE
+    # scan task, so the max_vectors² interpreted dot products of the
+    # broadcast nested-loop probe below would otherwise all evaluate on
+    # one core. The cached relation keeps the fanned width, so the probe
+    # side parallelizes; the broadcast build side is unaffected.
     base = track_persist(
-        base.withColumn("_n2", _norm2("_emb")).filter(F.col("_n2") > 0)
+        fan_out(base.withColumn("_n2", _norm2("_emb")).filter(F.col("_n2") > 0))
     )
     a = base.select(
         F.col("_id").alias("_a"), F.col("_emb").alias("_ea"), F.col("_n2").alias("_na")
@@ -1397,19 +1407,29 @@ def geometric_median(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    base = emb.select(F.col(vec_col).alias("_x")).filter(
-        F.col("_x").isNotNull()
-    )
+    from swivel_spark_prep_spark.cache import fan_out
+
+    # persist the fanned vector relation ONCE: the mean init plus every
+    # Weiszfeld round re-reads it (iterations+1 consumers — without the
+    # persist each round re-scans the parquet single-split and evaluates
+    # the interpreted distance fold on one core; guide §2.5/§5). The
+    # dim-sized collects below are sorted DRIVER-side — an orderBy before
+    # a dim-row collect added a range exchange + sort stage per round.
+    base = fan_out(
+        emb.select(F.col(vec_col).alias("_x")).filter(F.col("_x").isNotNull())
+    ).persist()
     mean_row = (
         base.select(F.posexplode("_x").alias("_d", "_v"))
         .groupBy("_d")
         .agg(F.avg("_v").alias("_m"))
-        .orderBy("_d")
         .collect()
     )
-    c = [r["_m"] for r in mean_row]
+    c = [r["_m"] for r in sorted(mean_row, key=lambda r: r["_d"])]
     for _ in range(int(iterations)):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        # one array-literal REFERENCE (not dim inlined scalar literals):
+        # keeps the generated code identical across rounds so the Janino
+        # cache hits instead of recompiling per iteration (guide §4)
+        lit_c = F.lit([float(v) for v in c])
         d = F.sqrt(
             F.aggregate(
                 F.zip_with("_x", lit_c, lambda a, b: (a - b) * (a - b)),
@@ -1425,10 +1445,12 @@ def geometric_median(
                 F.sum(F.col("_v") * F.col("_w")).alias("_sw"),
                 F.sum("_w").alias("_w"),
             )
-            .orderBy("_d")
             .collect()
         )
-        c = [r["_sw"] / r["_w"] for r in sums]
+        c = [
+            r["_sw"] / r["_w"] for r in sorted(sums, key=lambda r: r["_d"])
+        ]
+    base.unpersist()
     return c
 
 

@@ -2677,8 +2677,16 @@ def logrank_k(
     ).filter(
         F.col("t").isNotNull() & (F.col("t") >= 0) & F.col("_e").isNotNull()
     )
-    per = base.groupBy("_g", "t").agg(
-        F.sum("_e").alias("d"), F.count("*").alias("c")
+    from swivel_spark_prep_spark.cache import track_persist
+
+    # persisted: `per` feeds the grid twice, the densify join and the
+    # group totals — four consumers, each of which would otherwise
+    # re-run the corpus aggregate (Spark has no common-subplan reuse;
+    # guide §5). k × |distinct times| rows, bounded.
+    per = track_persist(
+        base.groupBy("_g", "t").agg(
+            F.sum("_e").alias("d"), F.count("*").alias("c")
+        )
     )
     # DENSIFY to the global time grid before the prefix pass: a group
     # with no removal at some death time is still AT RISK there — the
@@ -2693,18 +2701,27 @@ def logrank_k(
         dense, ["t"], ["c"], ["_cc"], group_cols=["_g"], inclusive=True
     )
     gt = per.groupBy("_g").agg(F.sum("c").alias("_ng"))
-    risked = cum.join(F.broadcast(gt), "_g").select(
-        "_g", "t", "d",
-        (F.col("_ng") - (F.col("_cc") - F.col("c"))).alias("_nr"),
+    # persisted: `risked` (with the whole prefix-pass lineage behind it)
+    # feeds both the per-time totals and the O/E join — without the
+    # persist the window pass runs twice and the physical plan carries
+    # the full lineage 4× (measured 4685-line explain at HEAD)
+    risked = track_persist(
+        cum.join(F.broadcast(gt), "_g").select(
+            "_g", "t", "d",
+            (F.col("_ng") - (F.col("_cc") - F.col("c"))).alias("_nr"),
+        )
     )
     # per-time totals over ALL groups — only times with deaths matter
     tots = risked.groupBy("t").agg(
         F.sum("d").alias("_dt"), F.sum("_nr").alias("_nt")
     ).filter(F.col("_dt") > 0)
     j = risked.join(tots, "t")
-    oe = j.groupBy("_g").agg(
-        F.sum("d").cast("double").alias("_o"),
-        F.sum(F.col("_nr") * F.col("_dt") / F.col("_nt")).alias("_ex"),
+    # persisted: k rows, feeds both the chi² roll-up and the output join
+    oe = track_persist(
+        j.groupBy("_g").agg(
+            F.sum("d").cast("double").alias("_o"),
+            F.sum(F.col("_nr") * F.col("_dt") / F.col("_nt")).alias("_ex"),
+        )
     )
     stats = oe.agg(
         F.sum(
