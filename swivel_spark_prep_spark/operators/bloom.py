@@ -51,6 +51,11 @@ def build_bloom(
             for i in range(n_hashes)
         ]
     )
+    # Arrow fetch, not collect(): the word relation is up to n_bits/64
+    # rows (131k at the default size) and row-based collect() pays a
+    # per-row pickle on exactly the op's critical path — the columnar
+    # transfer + one vectorized scatter is the same bytes at a fraction
+    # of the driver cost (guide §6, Arrow for driver transfers).
     words = (
         keys.select(F.explode(pos).alias("p"))
         .select(
@@ -63,11 +68,14 @@ def build_bloom(
         )
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
-        .collect()
+        .toArrow()
     )
     bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
-    for r in words:
-        bitmap[r["w"]] = np.uint64(r["bits"] % (1 << 64))
+    w = words.column("w").to_numpy(zero_copy_only=False)
+    # .view, not astype: reinterpret the int64 bit pattern exactly —
+    # the same mod-2^64 wrap the row path computed arithmetically
+    bits = words.column("bits").to_numpy(zero_copy_only=False).view(np.uint64)
+    bitmap[w] = bits
     return bitmap
 
 

@@ -1338,19 +1338,26 @@ def bradley_terry(
             .groupBy("_i")
             .agg(F.sum(F.col("_n") / (F.col("_pi") + F.col("_pj"))).alias("_den"))
         )
-        raw = items.join(den, "_i").select(
-            "_i", (F.col("_W") / F.col("_den")).alias("_p")
+        # checkpoint RAW, not p (round 16): the old form checkpointed p,
+        # so the den-join lineage executed TWICE per round — once
+        # building the `total` broadcast and once inside the checkpoint.
+        # Materializing raw runs the expensive games ⋈ p ⋈ p aggregate
+        # once; `total` is then a tiny aggregate over the materialized
+        # relation and p stays a lazy rescale on top of it (guide §1.2
+        # "don't compute things twice"). The plan-tree/stats truncation
+        # argument (pagerank; the BigInteger stats hang at 30
+        # iterations) still holds: each round's chain roots at a fresh
+        # checkpoint, so neither depth nor estimated sizeInBytes can
+        # compound across rounds.
+        raw = checkpoint_truncate(
+            items.join(den, "_i").select(
+                "_i", (F.col("_W") / F.col("_den")).alias("_p")
+            )
         )
         total = raw.agg(F.sum("_p").alias("_tot"))
         p = raw.crossJoin(F.broadcast(total)).select(
             "_i", (F.col("_p") * F.lit(n_items) / F.col("_tot")).alias("_p")
         )
-        # same plan-tree truncation argument as pagerank, PLUS stats
-        # truncation: p feeds the next round's den join twice, so the
-        # estimated sizeInBytes would SQUARE per round without the
-        # reset (see cache.checkpoint_truncate — the BigInteger stats
-        # hang, found at 30 iterations)
-        p = checkpoint_truncate(p)
 
     gtot = games.groupBy("_i").agg(F.sum("_n").cast("long").alias("_g"))
     return (
@@ -1502,9 +1509,16 @@ def conformal_interval(
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    res = cal.select(
-        F.abs(F.col(value_col) - F.col(pred_col)).alias("_r")
-    ).filter(F.col("_r").isNotNull())
+    from swivel_spark_prep_spark.cache import track_persist
+
+    # persisted: the calibration residual relation feeds BOTH the
+    # distinct-residual counts and the n_cal count — without the persist
+    # the calibration scan + residual projection runs twice (guide §5)
+    res = track_persist(
+        cal.select(
+            F.abs(F.col(value_col) - F.col(pred_col)).alias("_r")
+        ).filter(F.col("_r").isNotNull())
+    )
     dv = res.groupBy("_r").agg(F.count("*").cast("double").alias("_c"))
     cum = partitioned_prefix_sum(dv, ["_r"], "_c", ["_cum"], inclusive=True)
     n = res.agg(F.count("*").alias("_n"))

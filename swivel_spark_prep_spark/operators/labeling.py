@@ -91,7 +91,12 @@ def _em(
 
     def m_step(qrel):
         pri = qrel.groupBy("_c").agg(F.avg("_q").alias("_p"))
-        tn = (
+        # persisted: tn feeds BOTH its own denominator roll-up and the
+        # theta join — without the persist the corpus-sized r ⋈ q
+        # aggregate runs twice per reference (guide §5), and the
+        # E-step's own double-references below compound that to ~8×
+        # per iteration. (r, l, c)-relation sized, bounded.
+        tn = track_persist(
             r.join(qrel, "_i")
             .groupBy("_r", "_l", "_c")
             .agg(F.sum("_q").alias("_s"))
@@ -109,7 +114,12 @@ def _em(
 
     for _ in range(iterations):
         pri, _tn, _td, th = m_step(q)
-        s = (
+        # persisted: s feeds the per-item max AND the softmax join; e
+        # feeds the normalizer AND the q join — each an agg-over-self +
+        # re-join pattern that doubles its upstream (which here includes
+        # the corpus-sized r ⋈ th aggregate) without the persist
+        # (guide §5). (item, class)-relation sized, bounded.
+        s = track_persist(
             r.join(th, ["_r", "_l"])
             .groupBy("_i", "_c")
             .agg(F.sum(F.log("_th")).alias("_sl"))
@@ -117,7 +127,11 @@ def _em(
             .select("_i", "_c", (F.col("_sl") + F.log("_p")).alias("_s"))
         )
         mx = s.groupBy("_i").agg(F.max("_s").alias("_mx"))
-        e = s.join(mx, "_i").select("_i", "_c", F.exp(F.col("_s") - F.col("_mx")).alias("_e"))
+        e = track_persist(
+            s.join(mx, "_i").select(
+                "_i", "_c", F.exp(F.col("_s") - F.col("_mx")).alias("_e")
+            )
+        )
         z = e.groupBy("_i").agg(F.sum("_e").alias("_z"))
         q = e.join(z, "_i").select("_i", "_c", (F.col("_e") / F.col("_z")).alias("_q"))
         # q feeds the next round's M-step twice (priors + theta): cut

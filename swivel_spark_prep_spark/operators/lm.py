@@ -274,11 +274,16 @@ def nb_crossval_audit(
     """
     from pyspark.sql.window import Window
 
-    from swivel_spark_prep_spark.cache import track_persist
+    from swivel_spark_prep_spark.cache import fan_out, track_persist
     from swivel_spark_prep_spark.operators.sampling import kfold_assign
 
-    base = kfold_assign(
-        docs.select(id_col, label_col, text_col), id_col, k=k, salt=salt
+    # fan_out before the trigram explode (guide §2.5): the single-file
+    # corpus scans as one task, so the persisted trigram stream — the
+    # audit's whole map-side CPU — would otherwise materialize on one core
+    base = fan_out(
+        kfold_assign(
+            docs.select(id_col, label_col, text_col), id_col, k=k, salt=salt
+        )
     )
     tris = F.expr(
         f"CASE WHEN length({text_col}) >= 3 THEN "

@@ -1462,6 +1462,13 @@ def _margin_from_pairs(cross: DataFrame, k: int) -> DataFrame:
     partitioned by x / by y, the final argmax a row_number per x."""
     from pyspark.sql.window import Window
 
+    from swivel_spark_prep_spark.cache import track_persist
+
+    # persisted: the pair relation feeds THREE consumers (both avgₖ
+    # normalizers and the margin join) — without the persist the
+    # candidate generator behind it (the blocked-matmul grid or the LSH
+    # bucket join) executes three times per query (guide §5)
+    cross = track_persist(cross)
     wx = Window.partitionBy("x").orderBy(F.desc("sim"), "y")
     wy = Window.partitionBy("y").orderBy(F.desc("sim"), "x")
     ax = (

@@ -1132,42 +1132,66 @@ def ngram_dup_spectrum(
     ExactSubstr dedup acts on), and the n at which the curve collapses
     calibrates the dedup shingle size.
 
-    One exploded-gram aggregate per n (|ns| scans — the spectrum's
-    inherent cost, each a count + exact COUNT(DISTINCT) shuffled on the
-    gram); results union to a |ns|-row relation. Grams are compared as
-    STRINGS (exact — no hash-collision caveat, and any engine replays
-    it).
+    ONE tokenize + explode pass for ALL n (round-16: the previous form
+    ran one scan + tokenize + aggregate per n, so the corpus was read
+    and split |ns| times and the per-n branches each generated their
+    grams inside the one scan task of the single-file input — guide
+    §1.2 "don't compute things twice" + §2.5 input skew): every token
+    array emits its (n, gram) pairs for every requested n in a single
+    flattened generate, and one grouped count + exact COUNT(DISTINCT)
+    aggregate produces the whole spectrum. A literal ns-grid left join
+    preserves the old per-n output row even for an n no document
+    reaches (total 0, dup_rate NULL), exactly as the per-n aggregates
+    did. Grams are compared as STRINGS (exact — no hash-collision
+    caveat, and any engine replays it).
     """
+    from swivel_spark_prep_spark.cache import fan_out
+
     t = F.split(F.lower(F.col(text_col)), " ")
-    out = None
     for n in ns:
         if n < 1:
             raise ValueError(f"every n must be >= 1, got {n}")
-        # the filter below guarantees size(t) >= n, so the sequence hi
-        # bound is >= 0 and ascending
+    empty = F.array().cast("array<struct<n:int,_g:string>>")
+
+    def _tagged(n: int):
+        # helper-scope closure (a one-param lambda: PySpark derives the
+        # HOF's lambda arity from the Python signature, so the n binding
+        # cannot ride a default arg)
         grams = F.transform(
             F.sequence(F.lit(0), F.size(t) - n),
-            lambda p: F.array_join(F.slice(t, p + 1, n), " "),
+            lambda p: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(t, p + 1, n), " ").alias("_g"),
+            ),
         )
-        one = (
-            docs.filter(F.size(t) >= n)
-            .select(F.explode(grams).alias("_g"))
-            .agg(
-                F.lit(int(n)).alias("n"),
-                F.count("*").alias("total_grams"),
-                F.countDistinct("_g").alias("distinct_grams"),
-            )
-            .select(
-                "n",
-                "total_grams",
-                "distinct_grams",
-                F.round(
-                    1.0 - F.col("distinct_grams") / F.col("total_grams"), 6
-                ).alias("dup_rate"),
-            )
+        # the when-guard replaces the old per-n filter: size(t) >= n
+        # keeps the sequence hi bound >= 0 and ascending; the otherwise
+        # branch is never evaluated for qualifying rows
+        return F.when(F.size(t) >= n, grams).otherwise(empty)
+
+    # unique n values generate grams ONCE (a duplicate entry in ns must
+    # not double the counts — the old per-n aggregates never did); the
+    # output grid below still carries ns as given, duplicates included
+    tagged = [_tagged(int(n)) for n in dict.fromkeys(ns)]
+    grouped = (
+        fan_out(docs)
+        .select(F.explode(F.flatten(F.array(*tagged))).alias("_s"))
+        .select(F.col("_s.n").alias("n"), F.col("_s._g").alias("_g"))
+        .groupBy("n")
+        .agg(
+            F.count("*").alias("_tot"),
+            F.countDistinct("_g").alias("_dst"),
         )
-        out = one if out is None else out.unionAll(one)
-    return out
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(int(n),) for n in ns], "n int"
+    )
+    return grid.join(grouped, "n", "left").select(
+        "n",
+        F.coalesce(F.col("_tot"), F.lit(0)).alias("total_grams"),
+        F.coalesce(F.col("_dst"), F.lit(0)).alias("distinct_grams"),
+        F.round(1.0 - F.col("_dst") / F.col("_tot"), 6).alias("dup_rate"),
+    )
 
 
 def hill_tail_index(
@@ -1244,8 +1268,17 @@ def topk_coverage(
     ks = sorted(set(int(k) for k in ks))
     if not ks or ks[0] < 1:
         raise ValueError(f"ks must be positive, got {ks}")
-    counts = (
-        docs.select(
+    from swivel_spark_prep_spark.cache import fan_out, track_persist
+
+    # fan_out before the tokenize explode (guide §2.5: the single-file
+    # corpus scans as ONE task, so tokenization — the op's map-side CPU
+    # — otherwise runs on one core); persist the vocab relation because
+    # it feeds THREE executions without it: the prefix sum's range
+    # sampling pass, its shuffle write, and the totals aggregate
+    # (guide §5 — Spark has no common-subplan reuse).
+    counts = track_persist(
+        fan_out(docs)
+        .select(
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w")
         )
         .groupBy("_w")
@@ -1911,10 +1944,16 @@ def mtld(
     table. Output per group: (group, n_docs, mean_tokens, mean_mtld)
     — mean over docs with a defined MTLD.
     """
+    from swivel_spark_prep_spark.cache import fan_out
+
     gcols = [group_col] if group_col else []
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    # fan_out before the per-doc interpreted fold (guide §2.5): the
+    # single-file corpus scans as ONE task and the two MTLD walks are
+    # interpreted HOF evaluation — the op's whole CPU on one core
     base = (
-        df.filter(F.col("text").isNotNull())
+        fan_out(df)
+        .filter(F.col("text").isNotNull())
         .filter(F.lit(True) if not gcols else F.col(group_col).isNotNull())
         .select(*gcols, toks.alias("_ws"))
         .filter(F.size("_ws") > 0)

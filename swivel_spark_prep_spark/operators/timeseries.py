@@ -425,8 +425,14 @@ def resample_interpolate(
     # epoch_seconds, not unix_timestamp: bucket assignment must be
     # timezone-free and identical to resample_ffill's (and the oracle's
     # epoch()) on any session
+    from swivel_spark_prep_spark.cache import track_persist
+
     b = (F.floor(epoch_seconds(ts_col) / bucket_seconds)).cast("long")
-    obs = (
+    # persisted: obs feeds BOTH the span aggregate and the grid join —
+    # without the persist the corpus bucket-mean aggregate runs twice
+    # (Spark has no common-subplan reuse; guide §5). Bucket-relation
+    # sized, bounded by distinct (key, bucket).
+    obs = track_persist(
         events.select(F.col(key_col).alias("__k"), b.alias("__b"),
                       F.col(value_col).alias("__v"))
         .groupBy("__k", "__b")

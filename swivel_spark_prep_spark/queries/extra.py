@@ -14014,7 +14014,12 @@ def x369(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cka_quantization_audit(emb, "embedding")
+    # method="pandas" (round-16, guide §4.2): the BLAS-partials
+    # sufficient-statistics path — one (1+2d+3d²)-double row per Arrow
+    # batch instead of the n·d² exploded-cell pass whose JVM generate
+    # constant dominated this query's wall (equality with the explode
+    # path is pinned at both SFs in test_round16_ops).
+    return cka_quantization_audit(emb, "embedding", method="pandas")
 
 
 @_declare(
