@@ -840,11 +840,19 @@ def duplicate_ngram_spans(
     at 2⁻⁶⁴ per pair they are negligible, and equality with the
     raw-string path is test-pinned on the fixtures).
     """
-    toks = docs.select(
+    # fan_out before the gram posexplode (round 16, guide §2.5): the
+    # single-file corpus scans as one task, so gram generation — the
+    # op's map-side CPU — otherwise runs on one core
+    toks = _spread(docs).select(
         F.col(id_col),
         F.split(F.col(text_col), " ").alias("t"),
     ).select(id_col, "t", F.size("t").alias("n_tok"))
-    grams = toks.select(
+    # persisted (round 16, guide §5): grams feeds BOTH the duplicate-
+    # gram aggregate and the left_semi position join — without the
+    # persist the tokenize + posexplode gram stream (the dominant
+    # map-side work) executes twice. Narrow (id, n_tok, pos, int64)
+    # rows; MEMORY_AND_DISK spills gracefully at scale.
+    grams = track_persist(toks.select(
         id_col,
         "n_tok",
         F.posexplode(
@@ -861,7 +869,7 @@ def duplicate_ngram_spans(
         "n_tok",
         (F.col("pos0") + 1).alias("pos"),
         (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("g"),
-    )
+    ))
     dup = (
         grams.groupBy("g")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
@@ -920,7 +928,11 @@ def winnow_fingerprints(
     k-grams) keep their single global minimum. Returns ``(id_col,
     fp_pos, fp_hash)`` — one row per selected fingerprint.
     """
-    toks = docs.select(
+    # fan_out before the gram explode + per-gram md5 (round 16, guide
+    # §2.5): the single-file corpus scans as one task, so the hashing —
+    # the op's map-side CPU — otherwise runs on one core before the
+    # window shuffle
+    toks = _spread(docs).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("t")
     )
     grams = toks.select(
@@ -978,16 +990,24 @@ def winnow_near_dups(
     avoids, solved the same way: cap the bucket). Returns ``(i, j,
     n_shared)`` with i < j.
     """
-    fp = (
+    # persisted (round 16, guide §5): fp feeds BOTH the doc-frequency
+    # aggregate and the stop-fingerprint semi join, and rare feeds BOTH
+    # sides of the pair join — without the persists the whole winnowing
+    # pipeline (gram explode + per-gram md5 + two windows) executes up
+    # to four times per call. Both relations are (doc, hash)-distinct
+    # sized, bounded by the fingerprint density ~2/(w+1).
+    fp = track_persist(
         winnow_fingerprints(docs, k, w, id_col, text_col)
         .select(F.col(id_col).alias("d"), "fp_hash")
         .distinct()
     )
     df_freq = fp.groupBy("fp_hash").agg(F.count("*").alias("nd"))
-    rare = fp.join(
-        df_freq.filter(F.col("nd") <= max_doc_freq).select("fp_hash"),
-        "fp_hash",
-        "left_semi",
+    rare = track_persist(
+        fp.join(
+            df_freq.filter(F.col("nd") <= max_doc_freq).select("fp_hash"),
+            "fp_hash",
+            "left_semi",
+        )
     )
     a = rare.select(F.col("d").alias("i"), "fp_hash")
     b = rare.select(F.col("d").alias("j"), "fp_hash")
@@ -1229,13 +1249,20 @@ def edit_distance_pairs(
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")
     d = max_distance
     min_long = q * (d + 1)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(string_col).alias("_s"),
-        F.length(string_col).alias("_len"),
-    ).filter(F.col("_s").isNotNull())
+    # persisted (round 16, guide §5): base feeds FIVE consumers (long/
+    # short split, the short band's partner side, both verify sides) and
+    # grams feeds both halves of the candidate self-join — without the
+    # persists the corpus scan runs five times and the q-gram explode
+    # twice. Both narrow: (id, string, len) and (id, len, q-char gram).
+    base = track_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(string_col).alias("_s"),
+            F.length(string_col).alias("_len"),
+        ).filter(F.col("_s").isNotNull())
+    )
     longs = base.filter(F.col("_len") >= min_long)
-    grams = longs.select(
+    grams = track_persist(longs.select(
         "_id",
         "_len",
         F.explode(
@@ -1246,7 +1273,7 @@ def edit_distance_pairs(
                 )
             )
         ).alias("_g"),
-    )
+    ))
     ga = grams.select(F.col("_id").alias("i"), F.col("_len").alias("_la"), "_g")
     gb = grams.select(F.col("_id").alias("j"), F.col("_len").alias("_lb"), "_g")
     cand_long = (

@@ -894,11 +894,17 @@ def qq_drift(
     distribution two sources diverge (tails vs body), the diagnostic a
     scalar KS/PSI score can't give.
 
-    Rides :func:`~..ranks.weighted_quantile` (weight 1) — one
-    distinct-value collapse + one inclusive prefix-sum pass per group
-    shared by ALL qs, never a corpus sort. Output (one row per q):
+    Rides :func:`~..ranks.weighted_quantile` (weight 1) in ONE grouped
+    call for BOTH slices (round 16, guide §1.2: the previous form ran
+    one ungrouped call per group, so the corpus scan + distinct-value
+    collapse + prefix pass executed twice; ``group_cols=["_g"]`` computes
+    the identical per-group inverse CDF in a single pass). A literal
+    q-grid left join reproduces the ungrouped call's output exactly —
+    one row per requested q per side, value NULL when that group has no
+    rows, duplicates in ``qs`` carried as given. Output (one row per q):
     (q, q_a, q_b, diff).
     """
+    from swivel_spark_prep_spark.cache import track_persist
     from swivel_spark_prep_spark.operators.ranks import weighted_quantile
 
     base = df.select(
@@ -906,12 +912,36 @@ def qq_drift(
         F.col(value_col).alias("_v"),
         F.lit(1.0).alias("_w"),
     ).filter(F.col("_v").isNotNull())
-    qa = weighted_quantile(
-        base.filter(F.col("_g") == group_a), "_v", "_w", list(qs)
-    ).select("q", F.col("value").alias("q_a"))
-    qb = weighted_quantile(
-        base.filter(F.col("_g") == group_b), "_v", "_w", list(qs)
-    ).select("q", F.col("value").alias("q_b"))
+    qlist = list(qs)
+    # persisted: the (group, q, value) relation is <= 2*|qs| rows and
+    # feeds both side-filters below — without it the corpus CDF lineage
+    # would still execute twice (guide §5)
+    both = track_persist(
+        weighted_quantile(
+            base.filter(F.col("_g").isin(group_a, group_b)),
+            "_v",
+            "_w",
+            list(dict.fromkeys(qlist)),
+            group_cols=["_g"],
+        )
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qlist], "q double"
+    )
+    qa = grid.join(
+        both.filter(F.col("_g") == group_a).select(
+            "q", F.col("value").alias("q_a")
+        ),
+        "q",
+        "left",
+    )
+    qb = grid.join(
+        both.filter(F.col("_g") == group_b).select(
+            "q", F.col("value").alias("q_b")
+        ),
+        "q",
+        "left",
+    )
     return qa.join(qb, "q").select(
         "q",
         F.round("q_a", 6).alias("q_a"),

@@ -9684,8 +9684,14 @@ def x262(spark, sf_dir):
         minhash_near_dups,
     )
 
+    from swivel_spark_prep_spark.cache import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dups(docs)
+    # persisted (round 16, guide §5): pairs feeds BOTH the connected-
+    # components closure inside fuzzy_dedup_clusters AND the audit's
+    # found_pairs count — without the persist the whole MinHash
+    # candidate+verify pipeline executes twice. Dup-bounded relation.
+    pairs = track_persist(minhash_near_dups(docs))
     clusters = fuzzy_dedup_clusters(docs, pairs)
     return cluster_transitivity_audit(pairs, clusters)
 
