@@ -42,10 +42,22 @@ def _leaf_ids(node, acc: set, crossed_reducer: bool) -> None:
     GlobalLimit — after one of those, per-key multiplicity is bounded
     and a join back to the same relation cannot fan out quadratically).
     Bounded literal leaves (LocalRelation / Range / OneRowRelation) are
-    ignored."""
+    ignored. InMemoryRelation leaves are NOT treated as opaque: the walk
+    descends into the cached physical plan, continuing the reducer
+    tracking, so persisting a subtree never changes what the guardrail
+    counts — an aggregated view joined back to its base stays exempt
+    whether or not the aggregate sits inside a cache."""
     name = node.getClass().getSimpleName()
     if name in ("Aggregate", "GlobalLimit", "Deduplicate"):
         crossed_reducer = True
+    if name == "InMemoryRelation":
+        try:
+            _phys_leaf_ids(
+                node.cacheBuilder().cachedPlan(), acc, crossed_reducer
+            )
+        except Exception:  # opaque cache: fall back to plan-hash identity
+            acc.add((("cache", node.semanticHash()), crossed_reducer))
+        return
     n = node.children().size()
     if n == 0:
         ident = None
@@ -54,19 +66,57 @@ def _leaf_ids(node, acc: set, crossed_reducer: bool) -> None:
                 ident = ("file", node.relation().location().rootPaths().toString())
             except Exception:  # non-file relation: fall back to class id
                 ident = ("rel", node.semanticHash())
-        elif name == "InMemoryRelation":
-            try:
-                ident = (
-                    "cache",
-                    node.cacheBuilder().cachedPlan().canonicalized().hashCode(),
-                )
-            except Exception:
-                ident = ("cache", node.semanticHash())
         if ident is not None:
             acc.add((ident, crossed_reducer))
         return
     for i in range(n):
         _leaf_ids(node.children().apply(i), acc, crossed_reducer)
+
+
+#: physical counterparts of the logical reducers above (the cached plan
+#: inside an InMemoryRelation is a SparkPlan, not a logical plan)
+_PHYS_REDUCERS = (
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+    "GlobalLimitExec",
+    "CollectLimitExec",
+    "TakeOrderedAndProjectExec",
+)
+
+
+def _phys_leaf_ids(node, acc: set, crossed_reducer: bool) -> None:
+    """`_leaf_ids` over a PHYSICAL plan — used to see through
+    InMemoryRelation into its cached plan. File scans map to the same
+    ("file", rootPaths) identity the logical walk produces, so a join of
+    a cached projection of table T against T itself still matches."""
+    name = node.getClass().getSimpleName()
+    if name in _PHYS_REDUCERS:
+        crossed_reducer = True
+    if name == "AdaptiveSparkPlanExec":
+        _phys_leaf_ids(node.inputPlan(), acc, crossed_reducer)
+        return
+    if name == "ReusedExchangeExec":
+        _phys_leaf_ids(node.child(), acc, crossed_reducer)
+        return
+    if name == "InMemoryTableScanExec":  # nested cache: keep descending
+        _phys_leaf_ids(
+            node.relation().cacheBuilder().cachedPlan(), acc, crossed_reducer
+        )
+        return
+    n = node.children().size()
+    if n == 0:
+        if name == "FileSourceScanExec":
+            try:
+                ident = ("file", node.relation().location().rootPaths().toString())
+            except Exception:
+                ident = ("rel", node.canonicalized().hashCode())
+            acc.add((ident, crossed_reducer))
+        # LocalTableScanExec / RangeExec / RDDScanExec of literals are
+        # the bounded leaves the logical walk ignores too
+        return
+    for i in range(n):
+        _phys_leaf_ids(node.children().apply(i), acc, crossed_reducer)
 
 
 def pair_self_join_count(df: DataFrame) -> int:

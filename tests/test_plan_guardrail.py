@@ -187,8 +187,10 @@ ALLOWED_PAIR_SELF_JOINS = {
     "X262_cluster_transitivity": 1,
     # X290: X06's banded join appears twice in the detector's walk (the
     # candidate join + the exact-verify side both reach the shingle
-    # relation); the leakage filter itself is keyed on doc id, fan-out 1
-    "X290_split_leakage": 2,
+    # relation); the leakage filter itself is keyed on doc id, fan-out 1.
+    # +1 in round 16 from cache-descent (see X59/X90 note): the same
+    # banded join visible once more through a persisted projection.
+    "X290_split_leakage": 3,
     # X347: concordance double sum — cells x cells (bounded ordinal
     # classes squared), broadcast nested loop, never rows x rows
     "X347_ordinal_association": 1,
@@ -199,13 +201,20 @@ ALLOWED_PAIR_SELF_JOINS = {
     "X38_contamination": 1,
     "X47_upsert_snapshot": 1,
     "X48_training_pipeline": 1,
-    "X59_incremental_near_dups": 1,
+    # X59/X90: +1 each in round 16 — the detector now sees THROUGH
+    # InMemoryRelation (persisting a subtree must not change the count),
+    # and two cached projections of the same parquet file now resolve to
+    # the same source where their opaque cache identities never matched.
+    # The newly-visible joins are the SAME banded/windowed pair
+    # generators documented above, not new shapes: X59's batch x index
+    # band-bucket join, X90's +-w rank-window join.
+    "X59_incremental_near_dups": 2,
     "X63_snapshot_diff": 1,
     "X78_incremental_agg_refresh": 3,
     "X80_phash_near_dups": 1,
     "X82_prefix_filter_jaccard": 1,
     "X85_audio_near_dups": 1,
-    "X90_sorted_neighborhood": 2,
+    "X90_sorted_neighborhood": 3,
     # X385: adjacent-pair join on the distinct-(x,y) cell SEQUENCE
     # INDEX (k joined to k+1) — equi-join with fan-out exactly 1, output
     # K−1 rows for K cells; LINEAR by construction, never rows×rows
