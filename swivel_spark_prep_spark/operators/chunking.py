@@ -41,8 +41,13 @@ def cdc_chunk(
     """Explode documents into content-defined chunks: ``(id_col,
     chunk_idx, chunk_text, chunk_hash)``. Docs shorter than ``window``
     tokens form a single chunk."""
+    from swivel_spark_prep_spark.cache import fan_out
+
     w, d = window, divisor
-    toks = docs.select(
+    # fan_out before the per-token md5 + Horner HOFs (round 16, guide
+    # §2.5): the single-file corpus scans as one task, so the chunking
+    # CPU — the op's whole cost — otherwise runs on one core
+    toks = fan_out(docs).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("t")
     ).withColumn("n", F.size("t"))
     hashed = toks.withColumn(
@@ -102,7 +107,19 @@ def cdc_dedup_stats(
     dup_frac)`` where a chunk instance is duplicated when its hash
     occurs in ≥ ``min_docs`` distinct documents — the storage-dedup
     ratio a CDC-chunked corpus store would achieve on this data."""
-    ch = cdc_chunk(docs, window, divisor, id_col, text_col)
+    from swivel_spark_prep_spark.cache import track_persist
+
+    # persisted NARROW (round 16, guide §5): the stats only ever read
+    # (id, chunk_hash), and the relation feeds THREE consumers (the
+    # duplicate aggregate, the semi join, the per-doc totals) — without
+    # the persist the whole CDC chunking pipeline (per-token md5 +
+    # Horner rolling hash) executes three times; projecting away
+    # chunk_text first keeps the cached footprint to two hash columns.
+    ch = track_persist(
+        cdc_chunk(docs, window, divisor, id_col, text_col).select(
+            id_col, "chunk_hash"
+        )
+    )
     dup = (
         ch.groupBy("chunk_hash")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))

@@ -388,7 +388,14 @@ def _fractional_ranks(
     strictly-below counts (value cardinality, never corpus size, and no
     single-partition stage), one hash join back. NULL values get NULL
     ranks (excluded upstream)."""
+    from swivel_spark_prep_spark.cache import track_persist
+
     gcols = [group_col] if group_col else []
+    # persisted (round 16, guide §5): df feeds BOTH the per-value count
+    # aggregate and the rank join-back below, so its lineage — often a
+    # corpus scan, sometimes a whole previous rank pass (spearman chains
+    # two) — would otherwise execute twice per call.
+    df = track_persist(df)
     counts = df.groupBy(*gcols, val_col).agg(F.count("*").alias("__cnt"))
     cum = partitioned_prefix_sum(
         counts,
@@ -4838,14 +4845,24 @@ def chatterjee_xi(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
-    tot = base.agg(F.count("*").cast("double").alias("_n"))
-    ycells = base.groupBy("_y").agg(F.count("*").cast("double").alias("_cy"))
+    # ONE corpus aggregate (round 16, guide §1.2): the previous form
+    # also aggregated base for the total count and the per-y counts —
+    # three corpus scans where one suffices, because both derive from
+    # the persisted distinct-(x, y) cell relation (Σ _c and a cell-sized
+    # groupBy). The persist additionally feeds both prefix passes from
+    # the cache (guide §5); everything downstream is cell-bounded.
+    from swivel_spark_prep_spark.cache import track_persist
+
+    cells = track_persist(
+        base.groupBy("_x", "_y").agg(
+            F.count("*").cast("double").alias("_c"),
+            F.lit(1.0).alias("_one"),
+        )
+    )
+    tot = cells.agg(F.sum("_c").alias("_n"))
+    ycells = cells.groupBy("_y").agg(F.sum("_c").alias("_cy"))
     ycum = partitioned_prefix_sum(
         ycells, ["_y"], ["_cy"], ["_yb"], inclusive=False
-    )
-    cells = base.groupBy("_x", "_y").agg(
-        F.count("*").cast("double").alias("_c"),
-        F.lit(1.0).alias("_one"),
     )
     idx = partitioned_prefix_sum(
         cells, ["_x", "_y"], ["_one"], ["_k"], inclusive=True
@@ -4855,8 +4872,10 @@ def chatterjee_xi(
     )
     r = F.col("_yb") + F.col("_cy")  # #{y_j <= y_i}
     l = F.col("_n") - F.col("_yb")  # #{y_j >= y_i}
-    ranked = ranked.select(
-        "_k", "_c", r.alias("_r"), l.alias("_l"), "_n"
+    # persisted: ranked feeds THREE consumers (both adjacent-pair join
+    # sides and the denominator aggregate); cell-relation sized.
+    ranked = track_persist(
+        ranked.select("_k", "_c", r.alias("_r"), l.alias("_l"), "_n")
     )
     left = ranked.select(F.col("_k").alias("_ka"), F.col("_r").alias("_r1"))
     right = ranked.select(
