@@ -1599,10 +1599,15 @@ def x52(spark, sf_dir):
     # Deterministic subword (BPE) tokenization with a fixed 10-merge
     # table: per-document token count + the first 4 tokens. Entirely
     # whole-stage codegen (two regexp_replace + 10 literal replaces) —
-    # no Python, no shuffle; linear in corpus bytes at 100 TB. Trained
-    # merge tables come from bpe.train_bpe (bounded-driver word table);
-    # the fixed table keeps the oracle replayable.
-    docs = load_table(spark, sf_dir, "documents")
+    # no Python; linear in corpus bytes at 100 TB. Trained merge tables
+    # come from bpe.train_bpe (bounded-driver word table); the fixed
+    # table keeps the oracle replayable. fan_out before the replace
+    # chain (round 16, guide §2.5): the single-split fixture scan pinned
+    # the whole codegen chain to one core; the round-robin exchange
+    # moves only (doc_id, text) rows. Interleaved A/B: 1.44 -> 0.72 s.
+    from swivel_spark_prep_spark.cache import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         _bpe.bpe_encode(docs, _bpe.DEMO_MERGES)
         .select(
@@ -1721,9 +1726,13 @@ SELECT (ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) - 1)::BIGINT AS id,
 FROM v ORDER BY id LIMIT 100;""",
 )
 def x56(spark, sf_dir):
+    from swivel_spark_prep_spark.cache import fan_out
     from swivel_spark_prep_spark.operators.swivel import assign_ids
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out before the tokenize+explode (round 16, guide §2.5): the
+    # single-split fixture scan pinned the BPE replace chain and the
+    # explode to one core. Interleaved A/B: 2.17 -> 1.36 s.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     vocab = (
         docs.select(
             F.explode(
@@ -2217,11 +2226,17 @@ FROM t ORDER BY doc_id;""",
 )
 def x67(spark, sf_dir):
     # The byte-complete twin of X52: same codegen replace-chain shape
-    # (piece transform + literal replaces — no Python, no shuffle,
-    # linear in corpus bytes), now over the FULL byte stream. n_byte_tok
-    # counts escape tokens, proving punctuation genuinely lands in the
-    # token stream instead of vanishing at the pre-tokenizer.
-    docs = load_table(spark, sf_dir, "documents").select(
+    # (piece transform + literal replaces — no Python, linear in corpus
+    # bytes), now over the FULL byte stream. n_byte_tok counts escape
+    # tokens, proving punctuation genuinely lands in the token stream
+    # instead of vanishing at the pre-tokenizer. fan_out before the
+    # chain (round 16, guide §2.5): the byte-complete chain is the
+    # longest codegen span in the registry and the single-split fixture
+    # scan pinned all of it to one core. Interleaved A/B:
+    # 3.73 -> 0.74 s.
+    from swivel_spark_prep_spark.cache import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.replace(
             F.replace(F.col("text"), F.lit(" "), F.lit(", ")),
@@ -7297,13 +7312,19 @@ def x199(spark, sf_dir):
         F.col("lang").isNotNull()
     )
     ks = ks_test(docs, "n_chars", "source", "src0", "src1", slice_col="lang")
-    withp = ks.select(
+    # persist the lang-count-sized p-value relation (round 16, guide
+    # §5): fdr_bh consumes its input three times (distinct-p counts,
+    # the m total, the final join-back) and each re-ran the whole
+    # per-slice KS pipeline. Interleaved A/B: 2.50 -> 1.95 s.
+    from swivel_spark_prep_spark.cache import track_persist
+
+    withp = track_persist(ks.select(
         "lang",
         F.col("ks_stat").alias("k"),
         F.least(F.lit(1.0), 2 * F.exp(-2 * F.col("ks_stat") * F.col("ks_stat"))).alias(
             "pv"
         ),
-    )
+    ))
     return (
         fdr_bh(withp, "pv", q=0.1)
         .select(
@@ -11071,13 +11092,18 @@ def x302(spark, sf_dir):
         F.col("lang").isNotNull()
     )
     ks = ks_test(docs, "n_chars", "source", "src0", "src1", slice_col="lang")
-    withp = ks.select(
+    # persist the lang-count-sized p-value relation (round 16, guide
+    # §5): holm_adjust, like fdr_bh (X199), consumes its input three
+    # times and each re-ran the per-slice KS pipeline.
+    from swivel_spark_prep_spark.cache import track_persist
+
+    withp = track_persist(ks.select(
         "lang",
         F.col("ks_stat").alias("k"),
         F.least(
             F.lit(1.0), 2 * F.exp(-2 * F.col("ks_stat") * F.col("ks_stat"))
         ).alias("pv"),
-    )
+    ))
     return (
         holm_adjust(withp, "pv", alpha=0.05)
         .select(
@@ -12670,7 +12696,13 @@ def x338(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
     )
-    u = ev.groupBy("user_id").agg(
+    # persist the per-user relation (round 16, guide §5): qini_curve
+    # consumes it through both the global-rank prefix sum and the total
+    # count, re-running the events scan + groupBy per consumer.
+    # Interleaved A/B: 2.35 -> 2.10 s.
+    from swivel_spark_prep_spark.cache import track_persist
+
+    u = track_persist(ev.groupBy("user_id").agg(
         (hash_bucket(F.col("user_id"), 1_000_000, "up") < 500_000).alias(
             "treated"
         ),
@@ -12678,7 +12710,7 @@ def x338(spark, sf_dir):
             "converted"
         ),
         F.sum("value").alias("score"),
-    )
+    ))
     return qini_curve(
         u, "treated", "converted", "score", "user_id", deciles=10
     ).orderBy("decile")
@@ -12732,7 +12764,13 @@ def x339(spark, sf_dir):
         & F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
     )
-    armed = ev.select(
+    # persist the narrow armed relation (round 16, guide §5): the
+    # monitor's accrual rank (prefix sum) and its total count diverge
+    # BEFORE any exchange, so the events scan ran twice. Interleaved
+    # A/B: 3.43 -> 2.75 s.
+    from swivel_spark_prep_spark.cache import track_persist
+
+    armed = track_persist(ev.select(
         "ts",
         "event_id",
         F.when(
@@ -12741,7 +12779,7 @@ def x339(spark, sf_dir):
         .otherwise("b")
         .alias("arm"),
         F.col("value"),
-    )
+    ))
     return pocock_monitor(
         armed, "ts", "arm", "value", "a", "b", looks=5,
         tiebreak_col="event_id",
@@ -13262,7 +13300,11 @@ def x351(spark, sf_dir):
         & F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
     )
-    armed = ev.select(
+    # persist the narrow armed relation (round 16, guide §5): same
+    # pre-exchange divergence as X339. Interleaved A/B: 3.32 -> 2.56 s.
+    from swivel_spark_prep_spark.cache import track_persist
+
+    armed = track_persist(ev.select(
         "ts",
         "event_id",
         F.when(
@@ -13271,7 +13313,7 @@ def x351(spark, sf_dir):
         .otherwise("b")
         .alias("arm"),
         "value",
-    )
+    ))
     return obrien_fleming_monitor(
         armed, "ts", "arm", "value", "a", "b",
         looks=5, c=2.04, tiebreak_col="event_id",
