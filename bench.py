@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import statistics
 import sys
 import time
@@ -22,6 +23,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 ONLY = [a for a in sys.argv[1:] if not a.startswith("-")]
+
+# Round-16 postmortem: BOTH driver bench runs hit the harness timeout
+# (rc 124) before the one-line JSON printed — 422 extras × 4 executions
+# plus an unbounded re-measure pass no longer fit the driver budget, so
+# the round shipped zero driver-verified perf data despite green
+# correctness. The fix (round-16 verdict, Next #1) is a wall-clock
+# deadline measured from process start: the declared Q* block and
+# calibration ALWAYS complete (sorted() puts Q* before X*), remaining
+# X* extras past the deadline are skipped and reported, the re-measure
+# pass is capped by a time budget and a trip count, and the JSON line
+# prints UNCONDITIONALLY — including on SIGTERM (the signal timeout(1)
+# sends before SIGKILL). A local full sweep sets the deadline high
+# (e.g. SPARK_GRAFT_BENCH_DEADLINE_S=86400) to record every extra in
+# BENCH_LOCAL.json; the driver default keeps the run inside its budget.
+DEADLINE_S = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "1200"))
+REMEASURE_BUDGET_S = 60.0
+REMEASURE_MAX_TRIPS = 10
+# Round-16 verdict Next #8: opt-in per-timed-run persist release so the
+# warm-cache-median vs single-shot protocols can be compared once and a
+# choice documented (OPTIMIZATION_r17.md).
+RELEASE_PER_RUN = bool(os.environ.get("SPARK_GRAFT_RELEASE_PER_RUN"))
+
+
+class _Term(Exception):
+    """Raised by the SIGTERM handler so the finally-path can still print."""
+
+
+def _raise_term(signum, frame):  # pragma: no cover - signal path
+    raise _Term()
 
 
 # One anchor per workload class: hash agg (Q13), window frame (Q20),
@@ -170,6 +200,8 @@ def _wait_quiescent(threshold: float, timeout_s: float = 300.0) -> None:
 
 
 def main() -> None:
+    t0_wall = time.monotonic()
+
     from swivel_spark_prep_spark.session import get_session
     from __spark_entry__ import queries
 
@@ -218,19 +250,41 @@ def main() -> None:
 
     from swivel_spark_prep_spark.cache import release_persisted
 
+    # Install the SIGTERM→payload path only now: before this point there
+    # is nothing worth printing (and a _Term raised during session
+    # startup would escape the try below).
+    signal.signal(signal.SIGTERM, _raise_term)
+
     times: dict[str, float] = {}
+    run1: dict[str, float] = {}
     split: dict[str, dict[str, float]] = {}
     loads: dict[str, float] = {}
     env_mid: dict | None = None
-    for name, fn in sorted(qmap.items()):
+    aborted: str | None = None
+    try:
+      for name, fn in sorted(qmap.items()):
         # sorted order puts every declared Q* before every X* extra, so
         # the first X is the declared/extras block boundary — snapshot
         # it (round-12 verdict, What's missing #2: the extras block ran
         # 25 000+ stages into the session with no env evidence of its
         # own, so a mid-run contention spike was indistinguishable from
         # a plan regression).
-        if env_mid is None and name.startswith("X"):
-            env_mid = _env_snapshot()
+        if name.startswith("X"):
+            if env_mid is None:
+                env_mid = _env_snapshot()
+            # deadline: declared Q* always run (they sort first); once
+            # the wall budget is spent, remaining extras are skipped —
+            # recorded in the payload — so the JSON line always prints
+            # inside the driver budget.
+            if time.monotonic() - t0_wall > DEADLINE_S:
+                if aborted is None:
+                    aborted = "deadline"
+                    print(
+                        f"# deadline {DEADLINE_S:.0f}s reached at {name}; "
+                        "skipping remaining extras",
+                        file=sys.stderr,
+                    )
+                continue
         # cache hygiene: operators that persist intermediates (Q41, X06)
         # must not leave blocks that pressure later queries' memory/GC
         spark.catalog.clearCache()
@@ -243,6 +297,12 @@ def main() -> None:
         release_persisted()
         samples = []
         for _ in range(RUNS):
+            if RELEASE_PER_RUN:
+                # opt-in single-shot protocol (round-16 verdict Next #8):
+                # every timed run recomputes persisted intermediates
+                # instead of reading run-1's InMemoryRelations.
+                release_persisted()
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             # Full result fetch. toArrow().to_pandas() is ~25% faster than
@@ -252,6 +312,10 @@ def main() -> None:
             pdf = df.toArrow().to_pandas(self_destruct=True, split_blocks=True)
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
+        # single-shot wall alongside the median (round-16 verdict, What's
+        # wrong #4): run 1 computes persisted intermediates fresh, so its
+        # wall is the honest no-cache cost; BENCH_LOCAL records both.
+        run1[name] = round(samples[0], 4)
         sid = name.split("_", 1)[0]
         if sid in HEAVY:
             # Compute/fetch split for the heavy set: a noop sink executes
@@ -282,6 +346,12 @@ def main() -> None:
         except OSError:
             pass
         print(f"# {name}: {times[name]:.3f}s ({len(pdf)} rows)", file=sys.stderr)
+    except _Term:
+        aborted = "sigterm"
+        print(
+            "# SIGTERM received mid-sweep; emitting partial payload",
+            file=sys.stderr,
+        )
 
     # --- extras self-adjudication pass (round-15 verdict, Next #1) ---
     # The driver's one-shot-per-extra sweep produced 66 apparent >1.4×
@@ -295,6 +365,11 @@ def main() -> None:
     # numbers ship with the per-op load so a transient spike can never
     # masquerade as a plan regression again. verdict: "env" when the
     # re-measure lands back inside 1.5× history, "real" otherwise.
+    # Round-16 verdict (What's wrong #2): under host steal this pass was
+    # UNBOUNDED — 161/422 extras tripped × up to 3 runs ≈ +10 min, which
+    # helped kill the driver run. Now capped: worst first/hist ratios
+    # first, at most REMEASURE_MAX_TRIPS extras and REMEASURE_BUDGET_S
+    # seconds; skipped outright after a deadline/SIGTERM abort.
     hist: dict[str, float] = {}
     if not ONLY:
         try:
@@ -313,13 +388,30 @@ def main() -> None:
                 hist = _prior.get("queries_full", {}) or {}
         except (OSError, ValueError):
             pass
+    tripped = sorted(
+        (
+            n
+            for n in times
+            if n.startswith("X")
+            and hist.get(n)
+            and times[n] > 1.5 * hist[n]
+            and times[n] - hist[n] >= 0.2
+        ),
+        key=lambda n: -(times[n] / hist[n]),
+    )
     remeasured: dict[str, dict] = {}
-    for name in sorted(times):
-        if not name.startswith("X"):
-            continue
-        h = hist.get(name)
-        if not h or times[name] <= 1.5 * h or times[name] - h < 0.2:
-            continue
+    remeasure_skipped = 0
+    t_re0 = time.monotonic()
+    try:
+      for name in tripped:
+        if (
+            aborted is not None
+            or len(remeasured) >= REMEASURE_MAX_TRIPS
+            or time.monotonic() - t_re0 > REMEASURE_BUDGET_S
+        ):
+            remeasure_skipped = len(tripped) - len(remeasured)
+            break
+        h = hist[name]
         spark.catalog.clearCache()
         qfn = qmap[name]
         qfn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -350,6 +442,9 @@ def main() -> None:
             f"(hist {h:.3f}s, {remeasured[name.split('_', 1)[0]]['verdict']})",
             file=sys.stderr,
         )
+    except _Term:
+        aborted = "sigterm"
+        remeasure_skipped = len(tripped) - len(remeasured)
 
     # last-write-wins dict build would silently drop a timing if two
     # registered names ever shared a short prefix — fail loudly instead
@@ -362,8 +457,16 @@ def main() -> None:
         sum(t for n, t in times.items() if n.startswith("Q")), 4
     )
     extra_total = round(sum(t for n, t in times.items() if n.startswith("X")), 4)
+    extras_skipped = sorted(
+        n for n in qmap if n.startswith("X") and n not in times
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    calib = _duckdb_calibration()
+    # End calibration includes q41 (~30 s of DuckDB): after a SIGTERM
+    # there is no budget left for it — print the line with what we have.
+    try:
+        calib = _duckdb_calibration() if aborted != "sigterm" else {}
+    except _Term:
+        aborted, calib = "sigterm", {}
     # Calibrated ratio per anchor: Spark wall / in-run DuckDB wall, both
     # measured in THIS environment minutes apart — the number the judge
     # reads instead of the drift-prone cross-file BASELINE.md ratio.
@@ -422,7 +525,19 @@ def main() -> None:
         # env.mid_extras (and per-query in load1_after_query) for
         # post-hoc localization, self-load caveat applied.
         "extras_contended": bool(env_mid) and bool(env_mid["procs"]),
+        # Deadline accounting (round-16 verdict Next #1): how the run was
+        # bounded. n_extras_skipped counts X* queries never timed because
+        # the wall budget ran out (full ID list in BENCH_LOCAL/PARTIAL);
+        # aborted is null / "deadline" / "sigterm". A non-zero skip count
+        # means extra_total_sec covers only the timed extras.
+        "deadline_s": DEADLINE_S,
+        "aborted": aborted,
+        "n_extras_skipped": len(extras_skipped),
+        "remeasure_skipped": remeasure_skipped,
+        "wall_s": round(time.monotonic() - t0_wall, 1),
     }
+    if RELEASE_PER_RUN:
+        payload["release_per_run"] = True
     if not ONLY:
         # Compact self-adjudication map on stdout: short-ID →
         # [first, remeasured, committed-history] plus an env/real verdict
@@ -445,8 +560,12 @@ def main() -> None:
     # Full-fidelity record for round-over-round diffing (not driver-parsed):
     # every extra's timing, the heavy-set split, and both env snapshots.
     # Partial (filtered) runs write a sibling file so a smoke check can
-    # never clobber the committed full-sweep snapshot.
-    snap = "BENCH_LOCAL.json" if not ONLY else "BENCH_PARTIAL.json"
+    # never clobber the committed full-sweep snapshot — and so does a
+    # deadline/SIGTERM-bounded run: BENCH_LOCAL.json is the self-
+    # adjudication history (queries_full) and MUST only ever hold
+    # complete sweeps, or round+1's re-measure trips against a hole.
+    partial = bool(ONLY) or bool(extras_skipped) or aborted is not None
+    snap = "BENCH_PARTIAL.json" if partial else "BENCH_LOCAL.json"
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), snap),
@@ -457,13 +576,15 @@ def main() -> None:
                     **payload,
                     "queries": short_ids,
                     "queries_full": times,
+                    "queries_run1": run1,
                     "split": split,
                     "remeasured_full": remeasured if not ONLY else {},
+                    "extras_skipped": extras_skipped,
                     "load1_after_query": loads,
                     "env": {
                         "start": env_start,
                         "mid_extras": env_mid,
-                        "end": _env_snapshot(),
+                        "end": _env_snapshot() if aborted != "sigterm" else None,
                     },
                 },
                 fh,
@@ -472,7 +593,11 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass
-    spark.stop()  # stop BEFORE printing so no JVM output can follow the line
+    try:  # stop BEFORE printing so no JVM output can follow the line;
+        # never let a hung/interrupted stop swallow the payload
+        spark.stop()
+    except Exception:
+        pass
     sys.stdout.flush()
     print(json.dumps(payload, separators=(",", ":")))
     sys.stdout.flush()
