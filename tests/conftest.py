@@ -9,12 +9,20 @@ from _sfs import ORACLE_SFS, SF_SMOKE
 
 @pytest.fixture(scope="session")
 def spark():
+    import json
+
     from swivel_spark_prep_spark.session import get_session
 
+    conf = {"spark.sql.shuffle.partitions": "8", "spark.driver.memory": "8g"}
+    # experiment hook: JSON dict of extra confs for A/B-ing session-level
+    # levers on the suite wall without editing this file per run
+    extra = os.environ.get("SPARK_TEST_EXTRA_CONF")
+    if extra:
+        conf.update(json.loads(extra))
     spark = get_session(
         "swivel-spark-prep-tests",
         master="local[8]",
-        conf={"spark.sql.shuffle.partitions": "8", "spark.driver.memory": "8g"},
+        conf=conf,
     )
     yield spark
 

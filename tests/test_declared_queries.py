@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from _guardrail import assert_plan_guardrail
+from _sfs import SF_SMOKE
 from swivel_spark_prep_spark.oracle import compare_frames
 from swivel_spark_prep_spark.queries.declared import (
     DECLARED_ORACLES,
@@ -38,7 +40,12 @@ EXPECTED_ROWS_SF0001 = {
 
 @pytest.mark.parametrize("name", sorted(DECLARED_QUERIES))
 def test_declared_query_matches_oracle(name, spark, each_sf, duck_for):
-    spark_pdf = DECLARED_QUERIES[name](spark, each_sf).toPandas()
+    df = DECLARED_QUERIES[name](spark, each_sf)
+    if each_sf == SF_SMOKE:
+        # plan-guardrail invariants on the SAME DataFrame the replay
+        # executes (tests/_guardrail.py) — one planning pass per query
+        assert_plan_guardrail(name, df)
+    spark_pdf = df.toPandas()
     oracle_pdf = duck_for(each_sf).execute(DECLARED_ORACLES[name]).fetchdf()
 
     expected = (
