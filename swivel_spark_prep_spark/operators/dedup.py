@@ -1087,10 +1087,66 @@ def prefix_filter_jaccard_join(
             ),
         )
     )
-    pref = ordered.select(id_col, F.explode("prefix").alias("tok"))
-    a = pref.select(F.col(id_col).alias("i"), "tok")
-    b = pref.select(F.col(id_col).alias("j"), "tok")
-    cand = a.join(b, "tok").filter(F.col("i") < F.col("j")).select("i", "j").distinct()
+    # Round 17 (guide §3.2 — cut the candidate set before the expensive
+    # join): the PPJoin length + positional filters. Both are upper
+    # bounds with NO false negatives, so the verified result set is
+    # unchanged (the recall-1 theorem still holds; the brute-force
+    # DuckDB oracle pins it):
+    # - length: jac ≥ τ forces min(|x|,|y|) ≥ τ·max(|x|,|y|);
+    # - positional: a common token at 0-based sorted positions (pi, pj)
+    #   bounds the overlap by min(pi,pj) + 1 + min(szi−pi−1, szj−pj−1)
+    #   — tokens strictly before it contribute ≤ min(pi,pj), tokens
+    #   after ≤ min of the remaining suffix lengths — while jac ≥ τ
+    #   needs overlap ≥ τ/(1+τ)·(szi+szj). The bound holds for EVERY
+    #   common prefix token, so the min over matches prunes safely.
+    #   Comparisons use an ε slack so float rounding can only keep an
+    #   extra candidate, never drop a true pair. The groupBy replaces
+    #   the old distinct() — same dedup shuffle, now carrying the
+    #   pruning stats — and every pruned candidate saves a row through
+    #   the two full-set verify joins below.
+    pref = ordered.select(
+        id_col, "sz", F.posexplode("prefix").alias("p", "tok")
+    )
+    a = pref.select(
+        F.col(id_col).alias("i"),
+        F.col("sz").alias("szi"),
+        F.col("p").alias("pi"),
+        "tok",
+    )
+    b = pref.select(
+        F.col(id_col).alias("j"),
+        F.col("sz").alias("szj"),
+        F.col("p").alias("pj"),
+        "tok",
+    )
+    eps = 1e-9
+    match_ub = (
+        F.least("pi", "pj")
+        + 1
+        + F.least(
+            F.col("szi") - F.col("pi") - 1, F.col("szj") - F.col("pj") - 1
+        )
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("i") < F.col("j"))
+        .filter(
+            F.least("szi", "szj")
+            >= threshold * F.greatest("szi", "szj") - eps
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.min(match_ub).alias("_ub"),
+            F.first("szi").alias("_szi"),
+            F.first("szj").alias("_szj"),
+        )
+        .filter(
+            F.col("_ub")
+            >= threshold / (1.0 + threshold) * (F.col("_szi") + F.col("_szj"))
+            - eps
+        )
+        .select("i", "j")
+    )
     si = sets.select(F.col(id_col).alias("i"), F.col("s").alias("s_i"))
     sj = sets.select(F.col(id_col).alias("j"), F.col("s").alias("s_j"))
     return (
@@ -1397,15 +1453,21 @@ def lsh_parameter_plan(
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    # single-partition ranges (round 17, guide §2.2/§6): the whole
+    # relation is control-plane — divisors(num_hashes) × grid ≤ a few
+    # thousand rows at ANY corpus scale — yet default spark.range
+    # parallelism spread it over defaultParallelism tasks per stage
+    # (32 here), all but one near-empty: pure task-scheduling and AQE
+    # overhead for microseconds of arithmetic.
     br = (
-        spark.range(1, num_hashes + 1)
+        spark.range(1, num_hashes + 1, 1, 1)
         .select(F.col("id").alias("r"))
         .filter(F.lit(num_hashes) % F.col("r") == 0)
         .select((F.lit(num_hashes) / F.col("r")).cast("long").alias("b"), "r")
     )
     pts = br.crossJoin(
         F.broadcast(
-            spark.range(grid).select(
+            spark.range(0, grid, 1, 1).select(
                 ((F.col("id") + 0.5) / grid).alias("s")
             )
         )

@@ -432,19 +432,55 @@ def spearman_corr(
     on constant input under ANSI mode). Output: one row (or one per
     group): (group?, n, rho).
     """
+    from swivel_spark_prep_spark.cache import track_persist
+
     gcols = [group_col] if group_col else []
     base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
         *gcols, F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
     )
-    ra = _fractional_ranks(base, "__a", "__ra", group_col)
-    both = _fractional_ranks(ra, "__b", "__rb", group_col)
+    # Round 17 (guide §1.2 — shuffle value-cardinality cells, not rows):
+    # the old form ran TWO _fractional_ranks passes over the full row
+    # set, each persisting its input and joining ranks back to every
+    # row (the second pass's input was the whole first join). Collapse
+    # to the distinct (a, b) CELL relation first (one hash aggregate of
+    # corpus rows); midranks are functions of the marginal value counts
+    # alone, so both rank transforms and the final moments are
+    # cell-sized. Numerically: ranks are identical (same marginal
+    # counts), and the moment sums add the same quarter-integer values
+    # (midranks are k/2, products k/4, cell counts integer) grouped by
+    # cell instead of by row — exact in double at any n where the old
+    # row sums were exact, and pinned against the DuckDB oracle at both
+    # replay SFs (rho is rounded to 6 decimals in X169 on top).
+    cells = track_persist(
+        base.groupBy(*gcols, "__a", "__b").agg(F.count("*").alias("__c"))
+    )
+
+    def _cell_ranks(val, out):
+        marg = cells.groupBy(*gcols, val).agg(F.sum("__c").alias("__cnt"))
+        cum = partitioned_prefix_sum(
+            marg,
+            order_cols=[val],
+            value_cols="__cnt",
+            out_cols=["__below"],
+            group_cols=gcols or None,
+        )
+        return cum.select(
+            *gcols,
+            val,
+            (F.col("__below") + (F.col("__cnt") + 1) / 2.0).alias(out),
+        )
+
+    both = cells.join(_cell_ranks("__a", "__ra"), [*gcols, "__a"]).join(
+        _cell_ranks("__b", "__rb"), [*gcols, "__b"]
+    )
+    c = F.col("__c").cast("double")
     moments = both.groupBy(*gcols).agg(
-        F.count("*").alias("n"),
-        F.sum("__ra").alias("_sx"),
-        F.sum("__rb").alias("_sy"),
-        F.sum(F.col("__ra") * F.col("__ra")).alias("_sxx"),
-        F.sum(F.col("__rb") * F.col("__rb")).alias("_syy"),
-        F.sum(F.col("__ra") * F.col("__rb")).alias("_sxy"),
+        F.sum("__c").alias("n"),
+        F.sum(c * F.col("__ra")).alias("_sx"),
+        F.sum(c * F.col("__rb")).alias("_sy"),
+        F.sum(c * F.col("__ra") * F.col("__ra")).alias("_sxx"),
+        F.sum(c * F.col("__rb") * F.col("__rb")).alias("_syy"),
+        F.sum(c * F.col("__ra") * F.col("__rb")).alias("_sxy"),
     )
     n = F.col("n").cast("double")
     den2 = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * (

@@ -1191,11 +1191,17 @@ def psi_timeline(
     weeks = counts.groupBy("_w").agg(F.sum("_n").alias("_tot"))
     bins = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("_b"))
     scaffold = weeks.crossJoin(F.broadcast(bins))
-    cell = scaffold.join(counts, ["_w", "_b"], "left").select(
-        "_w",
-        "_b",
-        "_tot",
-        (F.coalesce("_n", F.lit(0)) / F.col("_tot")).alias("_p"),
+    # persisted (round 17, guide §5): cell feeds BOTH the baseline-week
+    # slice and the final PSI join — un-persisted, the whole
+    # counts→weeks→scaffold pipeline (and its shuffles) executed twice
+    # inside one action. The relation is weeks×bins rows: tiny.
+    cell = track_persist(
+        scaffold.join(counts, ["_w", "_b"], "left").select(
+            "_w",
+            "_b",
+            "_tot",
+            (F.coalesce("_n", F.lit(0)) / F.col("_tot")).alias("_p"),
+        )
     )
     base = cell.crossJoin(F.broadcast(w0)).filter(
         F.col("_w") == F.col("_w0")

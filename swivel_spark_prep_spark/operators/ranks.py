@@ -89,90 +89,65 @@ def partitioned_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, bound)
     )
+    # Offsets come from a window over the TOTALS relation (≤ n_part +
+    # #groups rows, broadcast back). Round 17 (guide §1.2/§5): the
+    # ungrouped path used to persist the ranged relation and COLLECT the
+    # per-partition totals to the driver — 2 extra Spark jobs, a cache
+    # materialization and a driver sync for every call of the engine's
+    # most shared kernel (every rank/quantile/CDF operator sits on it;
+    # the per-op job-scheduling floor multiplies with job count). Both
+    # paths now share the grouped formula, the ungrouped one keyed by a
+    # constant pseudo-group: the offsets window runs over the bounded
+    # totals relation (never data rows), the plan stays fully lazy, and
+    # the ranged shuffle is shared by the local and totals branches via
+    # ReuseExchange inside the single action. The running-sum offset
+    # accumulates partition totals in ascending _pid order — the same
+    # left-to-right addition order as the old driver-side loop, so
+    # floating-point results are bit-identical.
+    gkey = group_cols or ["_gconst"]
     if not group_cols:
-        # Driver-side cumsum over #partitions numbers (never data) — the
-        # packing/_exclusive_prefix_sum scheme verbatim, so the main
-        # plan carries NO single-partition exchange at all. The ranged
-        # relation is persisted so the totals pass and the main plan
-        # share one upstream computation (released via cache.py).
-        from swivel_spark_prep_spark.cache import track_persist
-
-        with_pid = track_persist(with_pid)
-        local = with_pid.select(
-            "*",
-            *[
-                F.coalesce(F.sum(v).over(w_local), F.lit(0)).alias(f"_loc_{v}")
-                for v in value_cols
-            ],
+        # NOT F.lit(0): FoldablePropagation would inline the literal and
+        # strip it from the offsets window's partition spec, leaving an
+        # unpartitioned Window in the plan (the exact shape the plan
+        # guardrail bans). spark_partition_id() % 1 is always 0 — one
+        # runtime partition, same ascending-_pid addition order — but
+        # is flagged non-deterministic, so Catalyst keeps the attribute
+        # opaque and the partition spec non-empty.
+        with_pid = with_pid.withColumn(
+            "_gconst", F.spark_partition_id() % F.lit(1)
         )
-        totals = {
-            r["_pid"]: tuple(r[f"_t_{v}"] for v in value_cols)
-            for r in with_pid.groupBy("_pid")
-            .agg(*[F.sum(v).alias(f"_t_{v}") for v in value_cols])
-            .collect()
-        }
-        offsets, acc = {}, [0] * len(value_cols)
-        for pid in sorted(totals):
-            offsets[pid] = tuple(acc)
-            acc = [a + (t or 0) for a, t in zip(acc, totals[pid])]
-        if len(offsets) <= 64:
-            out = local
-            for i, (v, o) in enumerate(zip(value_cols, out_cols)):
-                off = F.coalesce(
-                    *[
-                        F.when(F.col("_pid") == p, F.lit(offs[i]))
-                        for p, offs in offsets.items()
-                    ]
-                    or [F.lit(0)],
-                    F.lit(0),
-                )
-                out = out.withColumn(o, F.col(f"_loc_{v}") + off)
-        else:
-            off_df = spark.createDataFrame(
-                [(int(p),) + tuple(offs) for p, offs in offsets.items()],
-                ["_pid"] + [f"_off_{v}" for v in value_cols],
+    local = with_pid.select(
+        "*",
+        *[
+            F.coalesce(F.sum(v).over(w_local), F.lit(0)).alias(f"_loc_{v}")
+            for v in value_cols
+        ],
+    )
+    totals = with_pid.groupBy("_pid", *gkey).agg(
+        *[F.sum(v).alias(f"_t_{v}") for v in value_cols]
+    )
+    w_off = (
+        Window.partitionBy(*gkey)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = totals.select(
+        "_pid",
+        *gkey,
+        *[
+            F.coalesce(F.sum(f"_t_{v}").over(w_off), F.lit(0)).alias(
+                f"_off_{v}"
             )
-            out = local.join(F.broadcast(off_df), "_pid")
-            for v, o in zip(value_cols, out_cols):
-                out = out.withColumn(o, F.col(f"_loc_{v}") + F.col(f"_off_{v}"))
-            out = out.drop(*[f"_off_{v}" for v in value_cols])
-    else:
-        # Grouped: offsets come from a window over the TOTALS relation
-        # (≤ n_part + #groups rows, broadcast back). The window's
-        # partition spec is the group — non-empty, so no
-        # Exchange SinglePartition anywhere, and the whole plan stays
-        # lazy (no driver-side pass).
-        local = with_pid.select(
-            "*",
-            *[
-                F.coalesce(F.sum(v).over(w_local), F.lit(0)).alias(f"_loc_{v}")
-                for v in value_cols
-            ],
-        )
-        totals = with_pid.groupBy("_pid", *group_cols).agg(
-            *[F.sum(v).alias(f"_t_{v}") for v in value_cols]
-        )
-        w_off = (
-            Window.partitionBy(*group_cols)
-            .orderBy("_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        off_df = totals.select(
-            "_pid",
-            *group_cols,
-            *[
-                F.coalesce(F.sum(f"_t_{v}").over(w_off), F.lit(0)).alias(
-                    f"_off_{v}"
-                )
-                for v in value_cols
-            ],
-        )
-        out = local.join(F.broadcast(off_df), ["_pid", *group_cols])
-        for v, o in zip(value_cols, out_cols):
-            out = out.withColumn(o, F.col(f"_loc_{v}") + F.col(f"_off_{v}"))
-        out = out.drop(*[f"_off_{v}" for v in value_cols])
+            for v in value_cols
+        ],
+    )
+    out = local.join(F.broadcast(off_df), ["_pid", *gkey])
+    for v, o in zip(value_cols, out_cols):
+        out = out.withColumn(o, F.col(f"_loc_{v}") + F.col(f"_off_{v}"))
+    out = out.drop(*[f"_off_{v}" for v in value_cols])
 
-    return out.drop("_pid", *[f"_loc_{v}" for v in value_cols])
+    drop_extra = [] if group_cols else ["_gconst"]
+    return out.drop("_pid", *drop_extra, *[f"_loc_{v}" for v in value_cols])
 
 
 def partitioned_prefix_extremum(
@@ -228,59 +203,39 @@ def partitioned_prefix_extremum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, bound)
     )
+    # Round 17: same lazy unification as partitioned_prefix_sum — the
+    # ungrouped path's persist + driver-side collect of partition
+    # extrema (2 extra jobs + a cache per call) is replaced by the
+    # grouped formula over a constant pseudo-group; the offsets window
+    # runs over the ≤ n_part-row totals relation only. greatest/least
+    # skip the NULL offset of the first partition, preserving the
+    # "empty prefix → local extremum only" semantics exactly.
+    gkey = group_cols or ["_gconst"]
     if not group_cols:
-        # driver-side running extremum over <= n_part partition totals
-        from swivel_spark_prep_spark.cache import track_persist
-
-        with_pid = track_persist(with_pid)
-        local = with_pid.select(
-            "*", agg_fn(value_col).over(w_local).alias("_loc")
+        # non-foldable constant — see partitioned_prefix_sum above
+        with_pid = with_pid.withColumn(
+            "_gconst", F.spark_partition_id() % F.lit(1)
         )
-        totals = {
-            r["_pid"]: r["_t"]
-            for r in with_pid.groupBy("_pid")
-            .agg(agg_fn(value_col).alias("_t"))
-            .collect()
-        }
-        offsets: dict[int, object] = {}
-        acc = None
-        py_comb = max if agg == "max" else min
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            t = totals[pid]
-            if t is not None:
-                acc = t if acc is None else py_comb(acc, t)
-        # only pids with a non-empty prefix need an offset; the rest
-        # keep their local extremum (NULL offset would be skipped by
-        # greatest/least anyway, but an empty when-chain cannot type)
-        nonnull = {p: o for p, o in offsets.items() if o is not None}
-        if nonnull:
-            off = F.when(F.lit(False), F.lit(None))
-            for p, o in nonnull.items():
-                off = off.when(F.col("_pid") == p, F.lit(o))
-            out = local.withColumn(out_col, comb(F.col("_loc"), off))
-        else:
-            out = local.withColumn(out_col, F.col("_loc"))
-    else:
-        local = with_pid.select(
-            "*", agg_fn(value_col).over(w_local).alias("_loc")
-        )
-        totals = with_pid.groupBy("_pid", *group_cols).agg(
-            agg_fn(value_col).alias("_t")
-        )
-        w_off = (
-            Window.partitionBy(*group_cols)
-            .orderBy("_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        off_df = totals.select(
-            "_pid", *group_cols, agg_fn("_t").over(w_off).alias("_off")
-        )
-        out = local.join(F.broadcast(off_df), ["_pid", *group_cols]).withColumn(
-            out_col, comb(F.col("_loc"), F.col("_off"))
-        )
-        out = out.drop("_off")
-    return out.drop("_pid", "_loc")
+    local = with_pid.select(
+        "*", agg_fn(value_col).over(w_local).alias("_loc")
+    )
+    totals = with_pid.groupBy("_pid", *gkey).agg(
+        agg_fn(value_col).alias("_t")
+    )
+    w_off = (
+        Window.partitionBy(*gkey)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = totals.select(
+        "_pid", *gkey, agg_fn("_t").over(w_off).alias("_off")
+    )
+    out = local.join(F.broadcast(off_df), ["_pid", *gkey]).withColumn(
+        out_col, comb(F.col("_loc"), F.col("_off"))
+    )
+    out = out.drop("_off")
+    drop_extra = [] if group_cols else ["_gconst"]
+    return out.drop("_pid", "_loc", *drop_extra)
 
 
 def weighted_quantile(

@@ -453,6 +453,15 @@ def _near_dedup_apply(
     spark = batch.sparkSession
     if batch.isEmpty():
         return
+    # Round 17 (guide §5 — multi-consumer persist): this micro-batch
+    # relation feeds FOUR independent pipelines below (the LSH
+    # candidate/verify probe, the batch-id relation, the survivor
+    # anti-join, and the survivor write); un-persisted, each action
+    # re-reads the micro-batch's source files. Released by the
+    # release_persisted() at the end of this batch application.
+    from swivel_spark_prep_spark.cache import track_persist
+
+    batch = track_persist(batch)
     own = f"b{batch_id:06d}"
 
     def _load(sub, schema):

@@ -9,9 +9,7 @@ from __future__ import annotations
 
 import pytest
 
-from _guardrail import assert_plan_guardrail
-from _sfs import SF_SMOKE
-from swivel_spark_prep_spark.oracle import compare_frames
+from _replay import prefetch_replays
 from swivel_spark_prep_spark.queries.declared import (
     DECLARED_ORACLES,
     DECLARED_QUERIES,
@@ -38,24 +36,31 @@ EXPECTED_ROWS_SF0001 = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(DECLARED_QUERIES))
-def test_declared_query_matches_oracle(name, spark, each_sf, duck_for):
-    df = DECLARED_QUERIES[name](spark, each_sf)
-    if each_sf == SF_SMOKE:
-        # plan-guardrail invariants on the SAME DataFrame the replay
-        # executes (tests/_guardrail.py) — one planning pass per query
-        assert_plan_guardrail(name, df)
-    spark_pdf = df.toPandas()
-    oracle_pdf = duck_for(each_sf).execute(DECLARED_ORACLES[name]).fetchdf()
+@pytest.fixture(scope="session")
+def declared_replay(spark, each_sf):
+    """Threaded prefetch of all declared replays (tests/_replay.py),
+    including the SURVEY §2.4 oracle row-count self-check."""
 
-    expected = (
-        EXPECTED_ROWS_SF0001.get(name) if each_sf.rstrip("/").endswith("sf0.001") else None
-    )
-    if expected is not None:
-        assert len(oracle_pdf) == expected, (
-            f"oracle self-check failed for {name}: got {len(oracle_pdf)} rows, "
-            f"SURVEY.md §2.4 says {expected} — harness bug, not engine bug"
+    def survey_check(name, oracle_pdf):
+        expected = (
+            EXPECTED_ROWS_SF0001.get(name)
+            if each_sf.rstrip("/").endswith("sf0.001")
+            else None
         )
+        if expected is not None and len(oracle_pdf) != expected:
+            return [
+                f"oracle self-check failed: got {len(oracle_pdf)} rows, "
+                f"SURVEY.md §2.4 says {expected} — harness bug, not engine bug"
+            ]
+        return []
 
-    problems = compare_frames(spark_pdf, oracle_pdf)
+    return prefetch_replays(
+        spark, each_sf, DECLARED_QUERIES, DECLARED_ORACLES,
+        extra_check=survey_check,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(DECLARED_QUERIES))
+def test_declared_query_matches_oracle(name, declared_replay):
+    problems = declared_replay[name]
     assert not problems, f"{name}: " + "; ".join(problems)

@@ -5,27 +5,25 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from _guardrail import assert_plan_guardrail
-from _sfs import BOTH_SFS, SF_SMOKE
+from _replay import prefetch_replays
+from _sfs import BOTH_SFS
 from swivel_spark_prep_spark.catalog import load_table
 from swivel_spark_prep_spark.oracle import compare_frames
 from swivel_spark_prep_spark.queries.declared import DECLARED_ORACLES
 from swivel_spark_prep_spark.queries.extra import EXTRA_ORACLES, EXTRA_QUERIES
 
 
+@pytest.fixture(scope="session")
+def extra_replay(spark, each_sf):
+    """Threaded prefetch of all extra replays (tests/_replay.py): same
+    per-query Spark/oracle/guardrail work, overlapped instead of
+    serialized; one memo per SF."""
+    return prefetch_replays(spark, each_sf, EXTRA_QUERIES, EXTRA_ORACLES)
+
+
 @pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
-def test_extra_query_matches_oracle(name, spark, each_sf, duck_for):
-    df = EXTRA_QUERIES[name](spark, each_sf)
-    if each_sf == SF_SMOKE:
-        # plan-guardrail invariants on the SAME DataFrame the replay
-        # executes: one Catalyst planning pass per query per suite run
-        # (tests/_guardrail.py; the standalone test covers only the
-        # no-oracle queries). Smoke SF only — the shapes it pins are
-        # SF-independent and this is where the standalone test ran.
-        assert_plan_guardrail(name, df)
-    spark_pdf = df.toPandas()
-    oracle_pdf = duck_for(each_sf).execute(EXTRA_ORACLES[name]).fetchdf()
-    problems = compare_frames(spark_pdf, oracle_pdf)
+def test_extra_query_matches_oracle(name, extra_replay):
+    problems = extra_replay[name]
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
